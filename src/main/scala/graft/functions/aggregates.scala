@@ -1,0 +1,556 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.ItemsSketch
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union => HllUnion}
+import org.apache.datasketches.kll.KllFloatsSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union => ThetaUnion}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.metrics.{ColumnProfileState, ProfileConfig}
+import graft.profile.ProfileSchema
+
+/** Whole-column profiling aggregate: one pass over the column produces the
+  * full queryable profile struct ([[graft.profile.ProfileSchema.schema]]).
+  *
+  * Equivalent surface to the reference's DatasetProfileAggregator
+  * (/root/reference/spark/src/main/scala/org/apache/spark/whylogs/DatasetProfileAggregator.scala:33-123)
+  * but per-column with a compact hand-serialized binary buffer (no Java
+  * serialization across the shuffle) — Catalyst plans it as
+  * ObjectHashAggregate with map-side partial aggregation, so profiling any
+  * number of columns stays a single shuffle whose payload is sketch bytes,
+  * independent of input row count.
+  *
+  * Value routing is static on the child's DataType; StringType columns can
+  * additionally opt into dynamic string->number inference via
+  * [[ProfileConfig.stringMatching]]. Timestamps/dates are profiled as
+  * INTEGRAL (epoch micros / days) — unlike the reference, which degrades
+  * them to UNKNOWN.
+  */
+case class ColumnProfileAgg(
+    child: Expression,
+    cfg: ProfileConfig = ProfileConfig.default,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ColumnProfileState] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ProfileSchema.schema
+  override def prettyName: String = "graft_profile"
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ProfileSchema.schema)
+
+  override def createAggregationBuffer(): ColumnProfileState =
+    new ColumnProfileState(cfg)
+
+  private type Tracker = (ColumnProfileState, Any) => Unit
+
+  @transient private lazy val track: Tracker = child.dataType match {
+    case ByteType    => (st, v) => st.trackLong(v.asInstanceOf[Byte].toLong)
+    case ShortType   => (st, v) => st.trackLong(v.asInstanceOf[Short].toLong)
+    case IntegerType => (st, v) => st.trackLong(v.asInstanceOf[Int].toLong)
+    case LongType    => (st, v) => st.trackLong(v.asInstanceOf[Long])
+    case FloatType   => (st, v) => st.trackDouble(v.asInstanceOf[Float].toDouble)
+    case DoubleType  => (st, v) => st.trackDouble(v.asInstanceOf[Double])
+    case _: DecimalType =>
+      (st, v) => st.trackDouble(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+    case BooleanType => (st, v) => st.trackBoolean(v.asInstanceOf[Boolean])
+    case StringType  => (st, v) => st.trackString(v.asInstanceOf[UTF8String].toString)
+    case TimestampType | TimestampNTZType =>
+      (st, v) => st.trackLong(v.asInstanceOf[Long])
+    case DateType => (st, v) => st.trackLong(v.asInstanceOf[Int].toLong)
+    case _ =>
+      (st, _) => { st.count += 1; st.schema.track(graft.types.InferredType.Unknown) }
+  }
+
+  override def update(st: ColumnProfileState, input: InternalRow): ColumnProfileState = {
+    val v = child.eval(input)
+    if (v == null) st.trackNull() else track(st, v)
+    st
+  }
+
+  override def merge(a: ColumnProfileState, b: ColumnProfileState): ColumnProfileState = {
+    a.merge(b); a
+  }
+
+  override def eval(st: ColumnProfileState): Any =
+    toCatalyst(ProfileSchema.summarize(st))
+
+  override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
+  override def deserialize(bytes: Array[Byte]): ColumnProfileState =
+    ColumnProfileState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ColumnProfileAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ColumnProfileAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Re-aggregation of stored profiles: merges the monoid `state` of profile
+  * structs (or raw state binaries) produced by [[ColumnProfileAgg]] — the
+  * engine's time-rollup / cross-run merge, equivalent to the reference's
+  * DatasetProfileMerger (/root/reference/spark/src/main/scala/org/apache/spark/whylogs/DatasetProfileMerger.scala:19-37).
+  */
+case class ProfileMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ColumnProfileState] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ProfileSchema.schema
+  override def prettyName: String = "graft_profile_merge"
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ProfileSchema.schema)
+
+  @transient private lazy val stateIdx: Int = child.dataType match {
+    case s: StructType => s.fieldIndex("state")
+    case _             => -1 // BinaryType: raw state bytes
+  }
+
+  override def createAggregationBuffer(): ColumnProfileState =
+    new ColumnProfileState(ProfileConfig.default, allocate = false)
+
+  override def update(st: ColumnProfileState, input: InternalRow): ColumnProfileState = {
+    val v = child.eval(input)
+    if (v == null) return st
+    val bytes =
+      if (stateIdx < 0) v.asInstanceOf[Array[Byte]]
+      else {
+        val row = v.asInstanceOf[InternalRow]
+        if (row.isNullAt(stateIdx)) return st
+        row.getBinary(stateIdx)
+      }
+    st.merge(ColumnProfileState.deserialize(bytes))
+    st
+  }
+
+  override def merge(a: ColumnProfileState, b: ColumnProfileState): ColumnProfileState = {
+    a.merge(b); a
+  }
+
+  override def eval(st: ColumnProfileState): Any =
+    toCatalyst(ProfileSchema.summarize(st))
+
+  override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
+  override def deserialize(bytes: Array[Byte]): ColumnProfileState =
+    ColumnProfileState.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ProfileMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ProfileMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** KLL quantile sketch aggregate over a numeric column -> serialized sketch
+  * bytes. Values are sketched as Float, like the reference
+  * (/root/reference/core/src/main/java/com/whylogs/core/statistics/NumberTracker.java:45).
+  */
+case class KllAgg(
+    child: Expression,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllFloatsSketch] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_agg"
+
+  @transient private lazy val toDouble: Any => Double = child.dataType match {
+    case ByteType       => v => v.asInstanceOf[Byte].toDouble
+    case ShortType      => v => v.asInstanceOf[Short].toDouble
+    case IntegerType    => v => v.asInstanceOf[Int].toDouble
+    case LongType       => v => v.asInstanceOf[Long].toDouble
+    case FloatType      => v => v.asInstanceOf[Float].toDouble
+    case DoubleType     => v => v.asInstanceOf[Double]
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+    case other => throw new IllegalArgumentException(
+      s"kll_agg requires a numeric column, got $other")
+  }
+
+  override def createAggregationBuffer(): KllFloatsSketch =
+    KllFloatsSketch.newHeapInstance(k)
+
+  override def update(buf: KllFloatsSketch, input: InternalRow): KllFloatsSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = toDouble(v)
+      if (!java.lang.Double.isNaN(d)) buf.update(d.toFloat)
+    }
+    buf
+  }
+
+  override def merge(a: KllFloatsSketch, b: KllFloatsSketch): KllFloatsSketch = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllFloatsSketch): Any = buf.toByteArray
+  override def serialize(buf: KllFloatsSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllFloatsSketch =
+    KllFloatsSketch.heapify(Memory.wrap(b))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Merge aggregate over serialized KLL sketch bytes (re-aggregation). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllFloatsSketch] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_merge_agg"
+
+  override def createAggregationBuffer(): KllFloatsSketch =
+    KllFloatsSketch.newHeapInstance(k)
+
+  override def update(buf: KllFloatsSketch, input: InternalRow): KllFloatsSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllFloatsSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(a: KllFloatsSketch, b: KllFloatsSketch): KllFloatsSketch = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllFloatsSketch): Any = buf.toByteArray
+  override def serialize(buf: KllFloatsSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllFloatsSketch =
+    KllFloatsSketch.heapify(Memory.wrap(b))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Theta distinct-count sketch aggregate -> compressed compact sketch bytes.
+  * Numerics update as double (matching the reference's NumberTracker),
+  * strings as String, binaries as bytes — so sketches over the same logical
+  * values from different runs are set-algebra compatible.
+  */
+case class ThetaAgg(
+    child: Expression,
+    nominalEntries: Int = 4096,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaUnion] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_agg"
+
+  @transient private lazy val doUpdate: (ThetaUnion, Any) => Unit =
+    child.dataType match {
+      case ByteType    => (u, v) => u.update(v.asInstanceOf[Byte].toDouble)
+      case ShortType   => (u, v) => u.update(v.asInstanceOf[Short].toDouble)
+      case IntegerType => (u, v) => u.update(v.asInstanceOf[Int].toDouble)
+      case LongType    => (u, v) => u.update(v.asInstanceOf[Long].toDouble)
+      case FloatType   => (u, v) => u.update(v.asInstanceOf[Float].toDouble)
+      case DoubleType  => (u, v) => u.update(v.asInstanceOf[Double])
+      case _: DecimalType => (u, v) => u.update(v.asInstanceOf[Decimal].toDouble)
+      case StringType  => (u, v) => u.update(v.asInstanceOf[UTF8String].toString)
+      case BinaryType  => (u, v) => u.update(v.asInstanceOf[Array[Byte]])
+      case BooleanType => (u, v) => u.update(if (v.asInstanceOf[Boolean]) 1.0 else 0.0)
+      case TimestampType | TimestampNTZType => (u, v) => u.update(v.asInstanceOf[Long])
+      case DateType    => (u, v) => u.update(v.asInstanceOf[Int].toLong)
+      case other => throw new IllegalArgumentException(
+        s"theta_agg does not support $other")
+    }
+
+  override def createAggregationBuffer(): ThetaUnion =
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+
+  override def update(buf: ThetaUnion, input: InternalRow): ThetaUnion = {
+    val v = child.eval(input)
+    if (v != null) doUpdate(buf, v)
+    buf
+  }
+
+  override def merge(a: ThetaUnion, b: ThetaUnion): ThetaUnion = {
+    a.union(b.getResult); a
+  }
+
+  override def eval(buf: ThetaUnion): Any = buf.getResult.toByteArrayCompressed
+  override def serialize(buf: ThetaUnion): Array[Byte] =
+    buf.getResult.toByteArrayCompressed
+  override def deserialize(b: Array[Byte]): ThetaUnion = {
+    val u = SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+    u.union(CompactSketch.heapify(Memory.wrap(b)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Merge aggregate over serialized theta sketch bytes. */
+case class ThetaMergeAgg(
+    child: Expression,
+    nominalEntries: Int = 4096,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaUnion] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_merge_agg"
+
+  override def createAggregationBuffer(): ThetaUnion =
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+
+  override def update(buf: ThetaUnion, input: InternalRow): ThetaUnion = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(CompactSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(a: ThetaUnion, b: ThetaUnion): ThetaUnion = {
+    a.union(b.getResult); a
+  }
+
+  override def eval(buf: ThetaUnion): Any = buf.getResult.toByteArrayCompressed
+  override def serialize(buf: ThetaUnion): Array[Byte] =
+    buf.getResult.toByteArrayCompressed
+  override def deserialize(b: Array[Byte]): ThetaUnion = {
+    val u = SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+    u.union(CompactSketch.heapify(Memory.wrap(b)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** HLL cardinality sketch aggregate -> compact HLL bytes (lgK default 12,
+  * as the reference's cardinality tracker, ColumnProfile.java:39).
+  */
+case class HllAgg(
+    child: Expression,
+    lgK: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllSketch] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_agg"
+
+  @transient private lazy val doUpdate: (HllSketch, Any) => Unit =
+    child.dataType match {
+      case ByteType    => (u, v) => u.update(v.asInstanceOf[Byte].toLong)
+      case ShortType   => (u, v) => u.update(v.asInstanceOf[Short].toLong)
+      case IntegerType => (u, v) => u.update(v.asInstanceOf[Int].toLong)
+      case LongType    => (u, v) => u.update(v.asInstanceOf[Long])
+      case FloatType   => (u, v) => u.update(v.asInstanceOf[Float].toDouble)
+      case DoubleType  => (u, v) => u.update(v.asInstanceOf[Double])
+      case _: DecimalType => (u, v) => u.update(v.asInstanceOf[Decimal].toDouble)
+      case StringType  => (u, v) => u.update(v.asInstanceOf[UTF8String].toString)
+      case BinaryType  => (u, v) => u.update(v.asInstanceOf[Array[Byte]])
+      case TimestampType | TimestampNTZType => (u, v) => u.update(v.asInstanceOf[Long])
+      case DateType    => (u, v) => u.update(v.asInstanceOf[Int].toLong)
+      case other => throw new IllegalArgumentException(
+        s"hll_agg does not support $other")
+    }
+
+  override def createAggregationBuffer(): HllSketch = new HllSketch(lgK)
+
+  override def update(buf: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) doUpdate(buf, v)
+    buf
+  }
+
+  override def merge(a: HllSketch, b: HllSketch): HllSketch = {
+    val u = new HllUnion(lgK)
+    u.update(a); u.update(b)
+    u.getResult(TgtHllType.HLL_4)
+  }
+
+  override def eval(buf: HllSketch): Any = buf.toCompactByteArray
+  override def serialize(buf: HllSketch): Array[Byte] = buf.toCompactByteArray
+  override def deserialize(b: Array[Byte]): HllSketch = HllSketch.heapify(b)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Merge aggregate over serialized HLL bytes. */
+case class HllMergeAgg(
+    child: Expression,
+    lgK: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllUnion] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge_agg"
+
+  override def createAggregationBuffer(): HllUnion = new HllUnion(lgK)
+
+  override def update(buf: HllUnion, input: InternalRow): HllUnion = {
+    val v = child.eval(input)
+    if (v != null) buf.update(HllSketch.heapify(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(a: HllUnion, b: HllUnion): HllUnion = {
+    a.update(b.getResult(TgtHllType.HLL_4)); a
+  }
+
+  override def eval(buf: HllUnion): Any =
+    buf.getResult(TgtHllType.HLL_4).toCompactByteArray
+  override def serialize(buf: HllUnion): Array[Byte] =
+    buf.getResult(TgtHllType.HLL_4).toCompactByteArray
+  override def deserialize(b: Array[Byte]): HllUnion = {
+    val u = new HllUnion(lgK)
+    u.update(HllSketch.heapify(b))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Frequent-items (heavy hitters) sketch aggregate over strings -> sketch
+  * bytes. maxMapSize=128 matches the reference
+  * (/root/reference/core/src/main/java/com/whylogs/core/utils/sketches/FrequentStringsSketch.java:14-19).
+  */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int = 128,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "freq_items_agg"
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  @transient private lazy val toStr: Any => String = child.dataType match {
+    case StringType => v => v.asInstanceOf[UTF8String].toString
+    case _          => v => String.valueOf(v)
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(toStr(v))
+    buf
+  }
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] = buf.toByteArray(serde)
+  override def deserialize(b: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance[String](Memory.wrap(b), serde)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Merge aggregate over serialized frequent-items sketch bytes. */
+case class FreqItemsMergeAgg(
+    child: Expression,
+    maxMapSize: Int = 128,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "freq_items_merge_agg"
+
+  @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(ItemsSketch.getInstance[String](
+        Memory.wrap(v.asInstanceOf[Array[Byte]]), serde))
+    buf
+  }
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] = buf.toByteArray(serde)
+  override def deserialize(b: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance[String](Memory.wrap(b), serde)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+
+import graft.metrics.ProfileConfig
+
+/** `org.apache.spark.sql.functions`-style facade for the engine's custom
+  * aggregates and sketch-finish expressions. Everything here returns a
+  * [[Column]] usable in `df.agg(...)` / `df.select(...)`; `registerAll`
+  * additionally makes them SQL-callable.
+  */
+package object functions {
+
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def agg(a: AggregateFunction): Column =
+    col(a.toAggregateExpression())
+
+  /** Full column profile (counters, type inference, number/string stats,
+    * KLL quantiles, theta/HLL distincts, frequent items) in one pass.
+    */
+  def profile(c: Column): Column = agg(ColumnProfileAgg(expr(c)))
+  def profile(c: Column, cfg: ProfileConfig): Column =
+    agg(ColumnProfileAgg(expr(c), cfg))
+
+  /** Re-aggregate stored profiles (profile struct or raw state binary). */
+  def profile_merge(c: Column): Column = agg(ProfileMergeAgg(expr(c)))
+
+  // --- KLL quantile sketch ---
+  def kll_agg(c: Column, k: Int = 256): Column = agg(KllAgg(expr(c), k))
+  def kll_merge(c: Column, k: Int = 256): Column = agg(KllMergeAgg(expr(c), k))
+  def kll_quantile(sketch: Column, rank: Column): Column =
+    col(KllQuantile(expr(sketch), expr(rank)))
+  def kll_quantiles(sketch: Column, ranks: Column): Column =
+    col(KllQuantiles(expr(sketch), expr(ranks)))
+  def kll_n(sketch: Column): Column = col(KllN(expr(sketch)))
+  def kll_histogram(sketch: Column, bins: Column): Column =
+    col(KllHistogram(expr(sketch), expr(bins)))
+
+  // --- Theta distinct sketch ---
+  def theta_agg(c: Column, nominalEntries: Int = 4096): Column =
+    agg(ThetaAgg(expr(c), nominalEntries))
+  def theta_merge(c: Column, nominalEntries: Int = 4096): Column =
+    agg(ThetaMergeAgg(expr(c), nominalEntries))
+  def theta_estimate(sketch: Column): Column = col(ThetaEstimate(expr(sketch)))
+  def theta_summary(sketch: Column): Column = col(ThetaSummary(expr(sketch)))
+
+  // --- HLL cardinality sketch ---
+  def hll_agg(c: Column, lgK: Int = 12): Column = agg(HllAgg(expr(c), lgK))
+  def hll_merge(c: Column, lgK: Int = 12): Column = agg(HllMergeAgg(expr(c), lgK))
+  def hll_estimate(sketch: Column): Column = col(HllEstimate(expr(sketch)))
+  def hll_summary(sketch: Column): Column = col(HllSummary(expr(sketch)))
+
+  // --- Frequent items ---
+  def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
+    agg(FreqItemsAgg(expr(c), maxMapSize))
+  def freq_items_merge(c: Column, maxMapSize: Int = 128): Column =
+    agg(FreqItemsMergeAgg(expr(c), maxMapSize))
+  def freq_items_topk(sketch: Column, k: Column): Column =
+    col(FreqItemsTopK(expr(sketch), expr(k)))
+
+  /** Register all functions in the session's registry (SQL-callable). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    r("graft_profile", es => ColumnProfileAgg(es.head).toAggregateExpression())
+    r("graft_profile_merge", es => ProfileMergeAgg(es.head).toAggregateExpression())
+    r("kll_agg", es => KllAgg(es.head).toAggregateExpression())
+    r("kll_merge", es => KllMergeAgg(es.head).toAggregateExpression())
+    r("kll_quantile", es => KllQuantile(es(0), es(1)))
+    r("kll_quantiles", es => KllQuantiles(es(0), es(1)))
+    r("kll_n", es => KllN(es.head))
+    r("kll_histogram", es => KllHistogram(es(0), es(1)))
+    r("theta_agg", es => ThetaAgg(es.head).toAggregateExpression())
+    r("theta_merge", es => ThetaMergeAgg(es.head).toAggregateExpression())
+    r("theta_estimate", es => ThetaEstimate(es.head))
+    r("theta_summary", es => ThetaSummary(es.head))
+    r("hll_agg", es => HllAgg(es.head).toAggregateExpression())
+    r("hll_merge", es => HllMergeAgg(es.head).toAggregateExpression())
+    r("hll_estimate", es => HllEstimate(es.head))
+    r("hll_summary", es => HllSummary(es.head))
+    r("freq_items_agg", es => FreqItemsAgg(es.head).toAggregateExpression())
+    r("freq_items_merge", es => FreqItemsMergeAgg(es.head).toAggregateExpression())
+    r("freq_items_topk", es => FreqItemsTopK(es(0), es(1)))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.metrics
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.ItemsSketch
+import org.apache.datasketches.hll.{HllSketch, Union => HllUnion}
+import org.apache.datasketches.memory.Memory
+
+import graft.types.InferredType
+
+/** Tunable knobs for a column profile. Defaults mirror the reference's
+  * fixed parameters (/root/reference/core/src/main/java/com/whylogs/core/ColumnProfile.java:37-45,
+  * /root/reference/core/src/main/java/com/whylogs/core/statistics/NumberTracker.java:38):
+  * KLL k=256, HLL lgK=12, frequent-items maxMapSize=128, strings truncated
+  * to 256 chars before cardinality/frequency tracking.
+  */
+case class ProfileConfig(
+    kllK: Int = 256,
+    hllLgK: Int = 12,
+    freqItemsMapSize: Int = 128,
+    stringLengthMax: Int = 256,
+    withKll: Boolean = true,
+    withTheta: Boolean = true,
+    withHll: Boolean = true,
+    withFreqItems: Boolean = true,
+    withCharPos: Boolean = false,
+    // classify string values into the numeric/boolean lattice (reference's
+    // WHYLOGS_ENABLE_STRING_MATCHING) — off by default, like the reference.
+    stringMatching: Boolean = false,
+    // strings treated as NULL (reference's NULL_STRINGS env) — empty default.
+    nullStrings: Set[String] = Set.empty)
+
+object ProfileConfig {
+  val default: ProfileConfig = ProfileConfig()
+  def write(cfg: ProfileConfig, out: DataOutputStream): Unit = {
+    out.writeInt(cfg.kllK); out.writeInt(cfg.hllLgK)
+    out.writeInt(cfg.freqItemsMapSize); out.writeInt(cfg.stringLengthMax)
+    out.writeBoolean(cfg.withKll); out.writeBoolean(cfg.withTheta)
+    out.writeBoolean(cfg.withHll); out.writeBoolean(cfg.withFreqItems)
+    out.writeBoolean(cfg.withCharPos); out.writeBoolean(cfg.stringMatching)
+    out.writeInt(cfg.nullStrings.size)
+    cfg.nullStrings.toSeq.sorted.foreach(out.writeUTF)
+  }
+  def read(in: DataInputStream): ProfileConfig = {
+    val kllK = in.readInt(); val hllLgK = in.readInt()
+    val fi = in.readInt(); val slm = in.readInt()
+    val wk = in.readBoolean(); val wt = in.readBoolean()
+    val wh = in.readBoolean(); val wf = in.readBoolean()
+    val wc = in.readBoolean(); val sm = in.readBoolean()
+    val n = in.readInt()
+    val ns = (0 until n).map(_ => in.readUTF()).toSet
+    ProfileConfig(kllK, hllLgK, fi, slm, wk, wt, wh, wf, wc, sm, ns)
+  }
+}
+
+/** The complete per-column profile state: counters, type counts, numeric
+  * tracker, string tracker, HLL cardinality over stringified values,
+  * frequent-items sketch. A commutative monoid (zero/update/merge) — the
+  * whole engine reduces to hash-aggregating this state.
+  *
+  * Null semantics (reference ColumnProfile.java:119-130): SQL NULL, NaN,
+  * ±Inf, and configured null-strings all count as NULL.
+  */
+final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
+    extends Serializable {
+  var count: Long = 0L // total rows seen, including nulls
+  var trueCount: Long = 0L
+  val schema = new SchemaCounts
+  val numbers =
+    new NumberState(cfg.kllK, allocate && cfg.withKll, allocate && cfg.withTheta)
+  val strings =
+    new StringState(allocate && cfg.withTheta, allocate && cfg.withCharPos)
+  var hll: HllSketch =
+    if (allocate && cfg.withHll) new HllSketch(cfg.hllLgK) else null
+  var freq: ItemsSketch[String] =
+    if (allocate && cfg.withFreqItems) new ItemsSketch[String](cfg.freqItemsMapSize)
+    else null
+
+  private def trackText(s: String): Unit = {
+    val t = if (s.length > cfg.stringLengthMax) s.substring(0, cfg.stringLengthMax) else s
+    if (hll != null) hll.update(t)
+    if (freq != null) freq.update(t)
+  }
+
+  def trackNull(): Unit = {
+    count += 1
+    schema.track(InferredType.Null)
+  }
+
+  def trackLong(v: Long): Unit = {
+    count += 1
+    schema.track(InferredType.Integral)
+    trackText(String.valueOf(v))
+    numbers.trackLong(v)
+  }
+
+  def trackDouble(v: Double): Unit = {
+    count += 1
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) {
+      schema.track(InferredType.Null)
+    } else {
+      schema.track(InferredType.Fractional)
+      trackText(String.valueOf(v))
+      numbers.trackDouble(v)
+    }
+  }
+
+  def trackBoolean(v: Boolean): Unit = {
+    count += 1
+    schema.track(InferredType.Boolean)
+    if (v) trueCount += 1
+    trackText(String.valueOf(v))
+  }
+
+  def trackString(s: String): Unit = {
+    count += 1
+    if (cfg.nullStrings.contains(s)) { schema.track(InferredType.Null); return }
+    if (cfg.stringMatching) {
+      InferredType.classifyString(s) match {
+        case InferredType.Integral =>
+          schema.track(InferredType.Integral)
+          trackText(s); numbers.trackLong(s.replace(" ", "").toLong); return
+        case InferredType.Fractional =>
+          schema.track(InferredType.Fractional)
+          trackText(s); numbers.trackDouble(s.replace(" ", "").toDouble); return
+        case InferredType.Boolean =>
+          schema.track(InferredType.Boolean)
+          if (s.equalsIgnoreCase("true")) trueCount += 1
+          trackText(s); return
+        case _ => // fall through to plain string
+      }
+    }
+    schema.track(InferredType.String)
+    trackText(s)
+    strings.update(s)
+  }
+
+  def merge(o: ColumnProfileState): Unit = {
+    count += o.count
+    trueCount += o.trueCount
+    schema.merge(o.schema)
+    numbers.merge(o.numbers)
+    strings.merge(o.strings)
+    if (hll != null && o.hll != null) {
+      val u = new HllUnion(math.max(cfg.hllLgK, o.cfg.hllLgK))
+      u.update(hll); u.update(o.hll)
+      hll = u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4)
+    } else if (hll == null) hll = o.hll
+    if (freq != null && o.freq != null) freq.merge(o.freq)
+    else if (freq == null) freq = o.freq
+  }
+
+  def nullCount: Long = schema.get(InferredType.Null)
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    ProfileConfig.write(cfg, out)
+    out.writeLong(count); out.writeLong(trueCount)
+    schema.write(out)
+    numbers.write(out)
+    strings.write(out)
+    out.writeBoolean(hll != null)
+    if (hll != null) Ser.writeBytes(out, hll.toCompactByteArray)
+    out.writeBoolean(freq != null)
+    if (freq != null) Ser.writeBytes(out, freq.toByteArray(new ArrayOfStringsSerDe))
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object ColumnProfileState {
+  def deserialize(bytes: Array[Byte]): ColumnProfileState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val cfg = ProfileConfig.read(in)
+    // construct without allocating sketches; restore them from bytes
+    val restored = new ColumnProfileState(cfg, allocate = false)
+    restored.count = in.readLong()
+    restored.trueCount = in.readLong()
+    restored.schema.merge(SchemaCounts.read(in))
+    restored.numbers.merge(NumberState.read(in))
+    restored.strings.merge(StringState.read(in))
+    if (in.readBoolean())
+      restored.hll = HllSketch.heapify(Memory.wrap(Ser.readBytes(in)))
+    if (in.readBoolean())
+      restored.freq = ItemsSketch.getInstance[String](
+        Memory.wrap(Ser.readBytes(in)), new ArrayOfStringsSerDe)
+    restored
+  }
+}

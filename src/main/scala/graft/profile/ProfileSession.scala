@@ -1,0 +1,117 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{profile => profileAgg, profile_merge}
+import graft.metrics.ProfileConfig
+import graft.model.ConfusionMatrixAgg
+
+/** Builder API for dataset profiling — the engine's equivalent of the
+  * reference's WhyProfileSession
+  * (/root/reference/spark/src/main/scala/com/whylogs/spark/WhyLogs.scala:40-177),
+  * re-planned Spark-first:
+  *
+  *   - ONE pass, ONE shuffle: `groupBy(keys ++ window).agg(one profile
+  *     aggregate per column)` planned by Catalyst as ObjectHashAggregate
+  *     with map-side partial aggregation. No 100-column chunking, no
+  *     union + re-merge second shuffle (the reference needed both because
+  *     its buffer was a single Java-serialized object graph,
+  *     WhyLogs.scala:146-176); our buffers are compact sketch bytes.
+  *   - Output is a typed struct per column (queryable with plain SQL),
+  *     `state` binary inside each struct re-aggregates via
+  *     [[graft.functions.profile_merge]].
+  *   - Time bucketing generalizes the reference's pre-truncated time column
+  *     to `window(ts, cadence)`.
+  *
+  * At 100 TB: shuffle volume is (groups x columns x KBs of sketch),
+  * independent of input rows; no collect, no driver-side state.
+  */
+case class ProfileSession(
+    df: DataFrame,
+    name: String = "profile",
+    groupKeys: Seq[String] = Nil,
+    timeColumn: Option[(String, String)] = None,
+    classificationModel: Option[(String, String, Option[String])] = None,
+    regressionModel: Option[(String, String)] = None,
+    cfg: ProfileConfig = ProfileConfig.default) {
+
+  def groupBy(cols: String*): ProfileSession = copy(groupKeys = cols)
+
+  /** Bucket profiles by a tumbling window over `col` (default 1 day). */
+  def withTimeColumn(col: String, cadence: String = "1 day"): ProfileSession =
+    copy(timeColumn = Some((col, cadence)))
+
+  def withClassificationModel(predictionField: String, targetField: String,
+      scoreField: Option[String] = None): ProfileSession =
+    copy(classificationModel = Some((predictionField, targetField, scoreField)))
+
+  def withRegressionModel(predictionField: String, targetField: String): ProfileSession =
+    copy(regressionModel = Some((predictionField, targetField)))
+
+  def withConfig(c: ProfileConfig): ProfileSession = copy(cfg = c)
+
+  /** Columns that will be profiled (everything not a key/time/model field). */
+  def profiledColumns: Seq[String] = {
+    val excluded = groupKeys.toSet ++ timeColumn.map(_._1).toSet ++
+      classificationModel.toSeq.flatMap(m => Seq(m._1, m._2) ++ m._3).toSet ++
+      regressionModel.toSeq.flatMap(m => Seq(m._1, m._2)).toSet
+    df.columns.toSeq.filterNot(excluded)
+  }
+
+  /** The profile DataFrame: one row per (group keys x time window), one
+    * profile struct column per profiled input column, plus model metrics.
+    */
+  def aggProfiles(): DataFrame = {
+    val keyCols: Seq[Column] = groupKeys.map(col) ++
+      timeColumn.map { case (c, cadence) => window(col(c), cadence).as("window") }
+
+    val profileCols: Seq[Column] =
+      profiledColumns.map(c => profileAgg(col(c), cfg).as(c))
+
+    val modelCols: Seq[Column] =
+      classificationModel.map { case (p, t, s) =>
+        GraftBridge.column(ConfusionMatrixAgg(
+          GraftBridge.expression(col(p)),
+          GraftBridge.expression(col(t)),
+          GraftBridge.expression(s.map(col).getOrElse(lit(1.0)))
+        ).toAggregateExpression()).as("classification_metrics")
+      }.toSeq ++
+      regressionModel.map { case (p, t) =>
+        val d = col(p) - col(t)
+        struct(
+          count(d).as("count"),
+          sum(abs(d)).as("sum_abs_diff"),
+          sum(d).as("sum_diff"),
+          sum(d * d).as("sum2_diff"),
+          (sum(abs(d)) / count(d)).as("mae"),
+          (sum(d * d) / count(d)).as("mse"),
+          sqrt(sum(d * d) / count(d)).as("rmse")
+        ).as("regression_metrics")
+      }.toSeq
+
+    val aggCols = profileCols ++ modelCols
+    if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+}
+
+object ProfileSession {
+  /** Merge stored profile rows (from [[ProfileSession.aggProfiles]]) down to
+    * a coarser grouping: re-aggregation of profiles, no raw data needed.
+    * `profileCols` default: every struct column carrying a profile state.
+    */
+  def mergeProfiles(profiles: DataFrame, keys: Seq[String]): DataFrame = {
+    val profileCols = profiles.schema.fields.collect {
+      case f if f.dataType == ProfileSchema.schema => f.name
+    }.toSeq
+    val aggCols = profileCols.map(c => profile_merge(col(c)).as(c))
+    if (keys.isEmpty) profiles.agg(aggCols.head, aggCols.tail: _*)
+    else profiles.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  implicit class ProfilingOps(val df: DataFrame) extends AnyVal {
+    def newProfilingSession(name: String = "profile"): ProfileSession =
+      ProfileSession(df, name)
+  }
+}
