@@ -1,13 +1,675 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.metrics.ProfileConfig
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.profile.ProfileSession.ProfilingOps
+import graft.profile.ProfileSession
+
+/** Driver contract: `entry` (smoke), `queries` (operator inventory, each
+  * verified against `oracleSql` by DuckDB on the same parquet tables).
+  *
+  * Naming: q0x profile-engine operators, q1x sketch operators, q2x dataflow
+  * / relational, q4x training-data ops (dedup/similarity/text/multimodal),
+  * q9x scale demonstrations without SQL oracles (rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    li.newProfilingSession("flagship")
+      .groupBy("l_returnflag")
+      .withTimeColumn("l_shipdate", "30 days")
+      .aggProfiles()
+      .select(col("l_returnflag"), col("window.start").cast("date").as("day"),
+        col("l_quantity.count").as("n"),
+        col("l_quantity.numbers.mean").as("qty_mean"),
+        col("l_extendedprice.numbers.quantiles").as("price_quantiles"),
+        col("l_linestatus.frequent_items")(0)("item").as("top_status"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q0x: profiling engine (ColumnProfileAgg / ProfileSession) ----
+    "q01_profile_counts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_nullable",
+          when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity")))
+      li.newProfilingSession().groupBy("l_returnflag").aggProfiles()
+        .select(col("l_returnflag"),
+          col("qty_nullable.count").as("n_rows"),
+          col("qty_nullable.null_count").as("n_null"),
+          (col("qty_nullable.count") - col("qty_nullable.null_count")).as("n_vals"))
+    }),
+
+    "q02_profile_numbers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.newProfilingSession().groupBy("l_returnflag").aggProfiles()
+        .select(col("l_returnflag"),
+          col("l_quantity.numbers.count").as("qty_n"),
+          col("l_quantity.numbers.min").as("qty_min"),
+          col("l_quantity.numbers.max").as("qty_max"),
+          round(col("l_quantity.numbers.sum"), 2).as("qty_sum"),
+          round(col("l_quantity.numbers.mean"), 6).as("qty_mean"),
+          round(col("l_quantity.numbers.variance"), 6).as("qty_var"),
+          round(col("l_extendedprice.numbers.sum"), 2).as("price_sum"),
+          round(col("l_extendedprice.numbers.mean"), 4).as("price_mean"))
+    }),
+
+    "q03_profile_merge" -> ((s, dir) => {
+      // profiles at (flag x status), re-aggregated to flag: merged exact
+      // metrics must equal direct computation
+      val li = t(s, dir, "lineitem")
+      val fine = li.newProfilingSession()
+        .groupBy("l_returnflag", "l_linestatus").aggProfiles()
+      ProfileSession.mergeProfiles(fine, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          col("l_quantity.count").as("n"),
+          col("l_quantity.numbers.min").as("qty_min"),
+          col("l_quantity.numbers.max").as("qty_max"),
+          round(col("l_quantity.numbers.sum"), 2).as("qty_sum"),
+          col("l_quantity.null_count").as("n_null"))
+    }),
+
+    "q04_profile_strings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.newProfilingSession().groupBy("lang").aggProfiles()
+        .select(col("lang"),
+          col("text.strings.count").as("n_text"),
+          col("text.strings.length.min").cast("long").as("len_min"),
+          col("text.strings.length.max").cast("long").as("len_max"),
+          col("text.strings.length.sum").cast("long").as("len_sum"),
+          round(col("text.strings.length.mean"), 6).as("len_mean"),
+          col("text.strings.token_length.max").cast("long").as("tok_max"),
+          round(col("text.strings.token_length.mean"), 6).as("tok_mean"),
+          col("text.inferred_type").as("inferred_type"))
+    }),
+
+    "q05_schema_inference" -> ((s, dir) => {
+      // dynamically-typed string column: value class depends on row;
+      // stringMatching classifies numeric strings (reference
+      // WHYLOGS_ENABLE_STRING_MATCHING semantics)
+      val li = t(s, dir, "lineitem").withColumn("mixed",
+        when(pmod(col("l_linenumber"), lit(3)) === 0, col("l_quantity").cast("string"))
+          .when(pmod(col("l_linenumber"), lit(3)) === 1, col("l_linestatus"))
+          .otherwise(col("l_orderkey").cast("string")))
+      val cfg = ProfileConfig(stringMatching = true)
+      li.groupBy("l_returnflag")
+        .agg(profile(col("mixed"), cfg).as("p"))
+        .select(col("l_returnflag"),
+          col("p.type_counts.fractional").as("n_fractional"),
+          col("p.type_counts.integral").as("n_integral"),
+          col("p.type_counts.string").as("n_string"),
+          col("p.inferred_type").as("inferred_type"))
+    }),
+
+    "q06_charpos" -> ((s, dir) => {
+      val cfg = ProfileConfig(withCharPos = true)
+      t(s, dir, "nation")
+        .agg(profile(col("n_name"), cfg).as("p"))
+        .select(explode(col("p.strings.char_pos")).as(Seq("ch", "m")))
+        .select(col("ch"), col("m.count").as("n"),
+          col("m.min").cast("long").as("pos_min"),
+          col("m.max").cast("long").as("pos_max"),
+          col("m.sum").cast("long").as("pos_sum"))
+    }),
+
+    "q07_profile_global" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.newProfilingSession().aggProfiles()
+        .select(col("o_totalprice.count").as("n"),
+          round(col("o_totalprice.numbers.sum"), 2).as("price_sum"),
+          round(col("o_totalprice.numbers.variance"), 4).as("price_var"),
+          col("o_orderstatus.strings.count").as("n_status"),
+          col("o_custkey.numbers.long_min").as("cust_min"),
+          col("o_custkey.numbers.long_max").as("cust_max"),
+          col("o_custkey.numbers.long_sum").as("cust_sum"))
+    }),
+
+    "q08_profile_timewindow" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.newProfilingSession().withTimeColumn("l_shipdate", "1 day").aggProfiles()
+        .select(col("window.start").cast("date").as("day"),
+          col("l_quantity.count").as("n"),
+          round(col("l_quantity.numbers.sum"), 2).as("qty_sum"))
+    }),
+
+    // ---- q1x: sketch operators (SQL-callable) ----
+    "q10_theta_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(theta_estimate(theta_agg(col("l_partkey")))).cast("long")
+          .as("n_parts"),
+          round(theta_estimate(theta_agg(col("l_suppkey")))).cast("long")
+            .as("n_supps"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"))
+    }),
+
+    "q11_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(round(hll_estimate(hll_agg(col("source")))).cast("long")
+          .as("n_sources"))
+    }),
+
+    "q12_freq_items" -> ((s, dir) => {
+      val top = freq_items_topk(freq_items_agg(col("o_orderpriority")), lit(1))(0)
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(top.as("top"))
+        .select(col("o_orderstatus"), col("top.item").as("item"),
+          col("top.estimate").as("estimate"))
+    }),
+
+    "q13_kll_quantiles" -> ((s, dir) => {
+      t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(round(kll_quantile(kll_agg(col("s_acctbal")), lit(0.25)), 2).as("q25"),
+          round(kll_quantile(kll_agg(col("s_acctbal")), lit(0.5)), 2).as("q50"),
+          round(kll_quantile(kll_agg(col("s_acctbal")), lit(0.75)), 2).as("q75"),
+          kll_n(kll_agg(col("s_acctbal"))).as("n"))
+    }),
+
+    "q14_kll_merge" -> ((s, dir) => {
+      // two-level KLL: per-(nation,supplier-half) sketches merged to nation;
+      // exact because every value is retained below sketch capacity
+      val sup = t(s, dir, "supplier")
+        .withColumn("half", pmod(col("s_suppkey"), lit(2)))
+      sup.groupBy(col("s_nationkey"), col("half"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"))
+        .groupBy(col("s_nationkey"))
+        .agg(round(kll_quantile(kll_merge(col("sk")), lit(0.5)), 2).as("q50"),
+          kll_n(kll_merge(col("sk"))).as("n"))
+    }),
+
+    "q15_theta_merge" -> ((s, dir) => {
+      // theta re-aggregation: per-(flag,status) part sketches unioned to flag
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(theta_agg(col("l_partkey")).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(theta_estimate(theta_merge(col("sk")))).cast("long")
+          .as("n_parts"))
+    }),
+
+    // ---- q2x: dataflow / relational ----
+    "q20_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink + scan (EP3 surface): parquet -> csv -> aggregate
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString
+      t(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(tmp)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+    }),
+
+    "q21_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q22_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("top_price"))
+    }),
+
+    "q23_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    "q24_dedup_exact" -> ((s, dir) => {
+      // duplicate the corpus, dedup on content, counts must match original
+      val docs = t(s, dir, "documents")
+      val doubled = docs.unionAll(docs)
+      Dedup.exact(doubled, "doc_id", Seq("text"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }),
+
+    "q25_regression_metrics" -> ((s, dir) => {
+      t(s, dir, "lineitem").newProfilingSession()
+        .withRegressionModel("l_extendedprice", "l_quantity")
+        .aggProfiles()
+        .select(col("regression_metrics.count").as("n"),
+          round(col("regression_metrics.sum_abs_diff"), 2).as("sum_abs"),
+          round(col("regression_metrics.mae"), 4).as("mae"),
+          round(col("regression_metrics.rmse"), 4).as("rmse"))
+    }),
+
+    "q26_confusion_matrix" -> ((s, dir) => {
+      t(s, dir, "lineitem").newProfilingSession()
+        .withClassificationModel("l_returnflag", "l_linestatus",
+          Some("l_discount"))
+        .aggProfiles()
+        .select(explode(col("classification_metrics.cells")).as("c"))
+        .select(col("c.prediction").as("prediction"),
+          col("c.target").as("target"),
+          col("c.count").as("n"),
+          round(col("c.score_sum"), 4).as("score_sum"))
+    }),
+
+    "q27_entropy_segmentation" -> ((s, dir) => {
+      // entropy-based auto-segmentation scoring (reference's python extra,
+      // autosegmentation.py:9-74): normalized entropy of a candidate
+      // segment column
+      val ev = t(s, dir, "events")
+      val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(total).agg(
+        lit("event_type").as("column_name"),
+        round(lit(-1.0) * sum((col("cnt") / col("total")) *
+          log2(col("cnt") / col("total"))), 6).as("entropy"),
+        count(lit(1)).as("n_unique"))
+    }),
+
+    // ---- q4x: training-data pipeline ops ----
+    "q40_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q41_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("score"))
+    }),
+
+    "q42_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("tokens"),
+          round(avg(col("n_tok")), 4).as("avg_tokens"),
+          max(col("n_tok")).as("max_tokens"))
+    }),
+
+    "q43_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    "q44_ngram_jaccard" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("doc_id").as("id_a"),
+        col("text").as("text_a"))
+      val b = t(s, dir, "documents").select(col("doc_id").as("id_b"),
+        col("text").as("text_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2), 4)
+            .as("jaccard"))
+    }),
+
+    "q45_embedding_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("item_id"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "q46_multimodal_stub" -> ((s, dir) => {
+      Multimodal.imagePipeline(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // ---- q9x: scale paths, rows-only checks (not SQL-expressible:
+    // sketch internals / seeded-hash candidates) ----
+    "q90_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 2)
+        .filter(col("est_jaccard") >= 0.2)
+    }),
+
+    "q91_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+    }),
+
+    "q92_embedding_neardups" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95, signBits = 6)
+    }),
+
+    "q93_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+    }),
+
+    "q94_kll_grid_large" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(kll_quantiles(kll_agg(col("l_extendedprice")),
+          array(graft.profile.ProfileSchema.QuantileGrid.map(lit): _*))
+          .as("quantiles"))
+    }),
+
+    "q95_rolling_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rh"))
+    }))
+
+  /** DuckDB-runnable oracle SQL per query (same result, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_profile_counts" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  sum(CASE WHEN l_quantity > 45 THEN 0 ELSE 1 END)::BIGINT AS n_vals
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q02_profile_numbers" ->
+      """SELECT l_returnflag,
+        |  count(l_quantity) AS qty_n,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  round(avg(l_quantity), 6) AS qty_mean,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  round(sum(l_extendedprice), 2) AS price_sum,
+        |  round(avg(l_extendedprice), 4) AS price_mean
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q03_profile_merge" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  0 AS n_null
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q04_profile_strings" ->
+      """SELECT lang,
+        |  count(text) AS n_text,
+        |  min(length(text)) AS len_min,
+        |  max(length(text)) AS len_max,
+        |  sum(length(text))::BIGINT AS len_sum,
+        |  round(avg(length(text)), 6) AS len_mean,
+        |  max(len(string_split(text, ' '))) AS tok_max,
+        |  round(avg(len(string_split(text, ' '))), 6) AS tok_mean,
+        |  'STRING' AS inferred_type
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q05_schema_inference" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    sum(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_fractional,
+        |    sum(CASE WHEN l_linenumber % 3 = 2 THEN 1 ELSE 0 END)::BIGINT AS n_integral,
+        |    sum(CASE WHEN l_linenumber % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_string,
+        |    count(*) AS total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_fractional, n_integral, n_string,
+        |  CASE
+        |    WHEN greatest(n_fractional, n_integral, n_string) > 0.7 * total THEN
+        |      CASE WHEN n_fractional >= n_integral AND n_fractional >= n_string
+        |             THEN 'FRACTIONAL'
+        |           WHEN n_integral >= n_string THEN 'INTEGRAL'
+        |           ELSE 'STRING' END
+        |    WHEN n_string >= greatest(n_fractional, n_integral)
+        |         AND n_string > n_fractional + n_integral THEN 'STRING'
+        |    WHEN greatest(n_fractional, n_integral, n_string) > 0.5 * total THEN
+        |      CASE WHEN n_fractional >= n_integral AND n_fractional >= n_string
+        |             THEN 'FRACTIONAL'
+        |           WHEN n_integral >= n_string THEN 'INTEGRAL'
+        |           ELSE 'STRING' END
+        |    WHEN n_fractional + n_integral > 0.5 * total THEN 'FRACTIONAL'
+        |    ELSE 'UNKNOWN' END AS inferred_type
+        |FROM c""".stripMargin,
+
+    "q06_charpos" ->
+      """WITH chars AS (
+        |  SELECT substr(lower(n_name), i, 1) AS raw_ch, i - 1 AS pos
+        |  FROM nation, range(1, 64) t(i)
+        |  WHERE i <= length(n_name)),
+        |mapped AS (
+        |  SELECT CASE WHEN strpos('abcdefghijklmnopqrstuvwzyz0123456789-@!#$%^&*()[]{}', raw_ch) > 0
+        |              THEN raw_ch ELSE 'NITL' END AS ch, pos
+        |  FROM chars)
+        |SELECT ch, count(*) AS n, min(pos) AS pos_min, max(pos) AS pos_max,
+        |       sum(pos)::BIGINT AS pos_sum
+        |FROM mapped GROUP BY 1""".stripMargin,
+
+    "q07_profile_global" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  round(var_samp(o_totalprice), 4) AS price_var,
+        |  count(o_orderstatus) AS n_status,
+        |  min(o_custkey) AS cust_min,
+        |  max(o_custkey) AS cust_max,
+        |  sum(o_custkey)::BIGINT AS cust_sum
+        |FROM orders""".stripMargin,
+
+    "q08_profile_timewindow" ->
+      """SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |  count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q10_theta_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q11_hll_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q12_freq_items" ->
+      """SELECT o_orderstatus, item, estimate FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS item,
+        |    count(*) AS estimate,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2) WHERE rn = 1""".stripMargin,
+
+    "q13_kll_quantiles" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier)
+        |SELECT s_nationkey,
+        |  round(min(s_acctbal) FILTER (WHERE rn >= ceil(0.25 * cnt)), 2) AS q25,
+        |  round(min(s_acctbal) FILTER (WHERE rn >= ceil(0.5 * cnt)), 2) AS q50,
+        |  round(min(s_acctbal) FILTER (WHERE rn >= ceil(0.75 * cnt)), 2) AS q75,
+        |  max(cnt) AS n
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q14_kll_merge" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier)
+        |SELECT s_nationkey,
+        |  round(min(s_acctbal) FILTER (WHERE rn >= ceil(0.5 * cnt)), 2) AS q50,
+        |  max(cnt) AS n
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q15_theta_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q20_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY 1""".stripMargin,
+
+    "q21_join_agg" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q22_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND o_custkey < 50""".stripMargin,
+
+    "q23_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    "q25_regression_metrics" ->
+      """SELECT count(*) AS n,
+        |  round(sum(abs(l_extendedprice - l_quantity)), 2) AS sum_abs,
+        |  round(sum(abs(l_extendedprice - l_quantity)) / count(*), 4) AS mae,
+        |  round(sqrt(sum((l_extendedprice - l_quantity) *
+        |    (l_extendedprice - l_quantity)) / count(*)), 4) AS rmse
+        |FROM lineitem""".stripMargin,
+
+    "q26_confusion_matrix" ->
+      """SELECT l_returnflag AS prediction, l_linestatus AS target,
+        |  count(*) AS n, round(sum(l_discount), 4) AS score_sum
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q27_entropy_segmentation" ->
+      """WITH counts AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM counts)
+        |SELECT 'event_type' AS column_name,
+        |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) AS entropy,
+        |  count(*) AS n_unique
+        |FROM counts, tot""".stripMargin,
+
+    "q40_lang_id" ->
+      """WITH scores AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','and','of','to','in','is','that','it'], t))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['der','die','das','und','nicht','ist','ich','zu'], t))) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['el','los','que','es','una','por','con','para'], t))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['le','les','et','des','est','dans','une','pour'], t))) AS s_fr,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['的','是','不','了','在','人','有','我'], t))) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |      WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM scores)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "q41_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))::DOUBLE AS n_tok,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS n_punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+        |               WHEN n_chars >= 20 THEN 0.5 ELSE 0.0 END)
+        |  + 0.25 * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3
+        |                  AND n_chars / n_tok <= 12 THEN 1.0 ELSE 0.0 END)
+        |  + 0.25 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END))
+        |  + 0.25 * (CASE WHEN n_tok > 0 AND n_stop / n_tok >= 0.05 THEN 1.0
+        |            ELSE 0.0 END), 4) AS score
+        |FROM f""".stripMargin,
+
+    "q42_token_stats" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tok
+        |  FROM documents)
+        |SELECT lang, sum(n_tok)::BIGINT AS tokens, round(avg(n_tok), 4) AS avg_tokens,
+        |  max(n_tok) AS max_tokens
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q43_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q44_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q45_embedding_top1" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS ie FROM embeddings),
+        |sims AS (
+        |  SELECT qid, iid,
+        |    list_dot_product(qe, ie) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ie, ie))) AS s
+        |  FROM q, c WHERE iid <> qid),
+        |top AS (
+        |  SELECT qid, iid, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims)
+        |SELECT qid AS query_id, iid AS item_id, round(s, 6) AS cosine
+        |FROM top WHERE rn = 1""".stripMargin,
+
+    "q46_multimodal_stub" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    strlen(text)::BIGINT AS blob_bytes,
+        |    64 + (strlen(text) % 512) AS w0,
+        |    64 + ((strlen(text) * 7) % 512) AS h0,
+        |    sha256(text) AS content_id
+        |  FROM documents),
+        |scaled AS (
+        |  SELECT *, CASE WHEN greatest(w0, h0) > 256
+        |                 THEN 256.0::DOUBLE / greatest(w0, h0)
+        |                 ELSE 1.0::DOUBLE END AS sc
+        |  FROM dec)
+        |SELECT doc_id, blob_bytes,
+        |  floor(w0 * sc)::INT AS width,
+        |  floor(h0 * sc)::INT AS height,
+        |  3::INT AS channels,
+        |  content_id
+        |FROM scaled""".stripMargin)
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is composed from `org.apache.spark.sql.functions` (codegen'd,
+  * no UDFs) so the operators run inside whole-stage codegen and scale
+  * linearly with input — no shuffle unless the caller aggregates.
+  */
+object TextOps {
+
+  /** Tokens under Java split-on-space semantics (interior empties kept,
+    * trailing empties dropped — matches
+    * graft.metrics.StringState.spaceTokenCount).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (consecutive spaces produce empty tokens that
+    * are NOT counted here — this is the "BPE-ish" user-facing token count,
+    * distinct from the profile's Java-split semantics).
+    */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** Language marker sets. Occurrence counts of these tokens decide the
+    * language; fixed and deliberately small so the same rule is exactly
+    * expressible in ANSI SQL for oracle checks.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "zu"),
+    "es" -> Seq("el", "los", "que", "es", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "des", "est", "dans", "une", "pour"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Marker-occurrence count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(set, t)))
+  }
+
+  /** n-gram-heuristic language ID: argmax of marker occurrences, ties
+    * resolved by [[LangMarkers]] order; "und" (undetermined) when no
+    * marker hits.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives later entries lower priority; first match wins
+    pick
+  }
+
+  private val PunctChars = ".,!?;:"
+
+  /** Punctuation character count (fixed class, SQL-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(translate(text, PunctChars, ""))
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Heuristic document quality score in [0,1]:
+    * 0.25*len_ok + 0.25*token_len_ok + 0.25*(1-punct_ratio) +
+    * 0.25*stopword_presence. Deterministic arithmetic — SQL-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenOk = when(nChars >= 100 && nChars <= 10000, 1.0).otherwise(
+      when(nChars >= 20, 0.5).otherwise(0.0))
+    val avgTokLen = when(toks > 0, nChars / toks).otherwise(0.0)
+    val tokOk = when(avgTokLen >= 3 && avgTokLen <= 12, 1.0).otherwise(0.0)
+    val punctRatio = when(nChars > 0, punctCount(text).cast("double") / nChars)
+      .otherwise(1.0)
+    val stopSet = array(StopWords.map(lit): _*)
+    val stopHits =
+      size(filter(tokens(lower(text)), t => array_contains(stopSet, t))).cast("double")
+    val stopOk = when(toks > 0 && stopHits / toks >= 0.05, 1.0).otherwise(0.0)
+    round(lit(0.25) * lenOk + lit(0.25) * tokOk +
+      lit(0.25) * (lit(1.0) - punctRatio) + lit(0.25) * stopOk, 4)
+  }
+
+  /** Whitespace-normalized MD5 fingerprint: stable document identity for
+    * exact/near-exact dedup across formatting differences.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7 — intermediate products
+    * stay well inside Long range) over the normalized text — cheap
+    * shard-stable fingerprint; native expression composition via
+    * aggregate over the char array.
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
+  }
+}

@@ -173,7 +173,7 @@ object ProfileSchema {
         val charPos =
           if (s.charPos == null) null
           else s.charPos.perChar.map { case (c, m) =>
-            (if (c == ' ') "NITL" else c.toString) -> momentsRow(m)
+            (if (c == '\u0000') "NITL" else c.toString) -> momentsRow(m)
           }.toMap
         Row(s.count, unique, momentsRow(s.length), momentsRow(s.tokenLength),
           charPos,
