@@ -1,25 +1,96 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+import graft.profile.ProfileSession.ProfilingOps
+
+/** Benchmark main: headline operator timings at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout. The headline metric is the full-width profile —
+  * the reference's core workload (every column of lineitem, one pass) — plus
+  * the training-data ops at corpus scale.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    val benches: Seq[(String, () => Long)] = Seq(
+      // full-width single-pass profile of every lineitem column, grouped
+      "profile_full_grouped" -> (() =>
+        t("lineitem").newProfilingSession()
+          .groupBy("l_returnflag", "l_linestatus").aggProfiles().count()),
+      // global single-row profile, all columns
+      "profile_full_global" -> (() =>
+        t("lineitem").newProfilingSession().aggProfiles().count()),
+      // time-windowed profile (weekly buckets)
+      "profile_timewindow" -> (() =>
+        t("lineitem").newProfilingSession()
+          .withTimeColumn("l_shipdate", "7 days").aggProfiles().count()),
+      // standalone sketch aggs over 3 numeric + 1 string column
+      "sketch_aggs" -> (() =>
+        t("lineitem").groupBy(col("l_returnflag"))
+          .agg(functions.kll_agg(col("l_extendedprice")).as("kll"),
+            functions.theta_agg(col("l_partkey")).as("theta"),
+            functions.hll_agg(col("l_orderkey")).as("hll"),
+            functions.freq_items_agg(col("l_linestatus")).as("freq")).count()),
+      // relational: 3-way join + aggregation
+      "join_agg" -> (() => {
+        val li = t("lineitem"); val o = t("orders"); val c = t("customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            count(lit(1))).count()
+      }),
+      // dedup: minhash LSH candidate pairs over the document corpus
+      "dedup_minhash_lsh" -> (() =>
+        Dedup.minHashLshPairs(t("documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 2).count()),
+      // simhash every document
+      "dedup_simhash" -> (() =>
+        t("documents").select(Dedup.simHash(col("text"))).count()),
+      // ANN: brute-force top-10 for 100 queries over the corpus
+      "ann_bruteforce" -> (() => {
+        val emb = t("embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 10).count()
+      }),
+      // profile re-aggregation (merge path)
+      "profile_merge" -> (() => {
+        val fine = t("lineitem").newProfilingSession()
+          .groupBy("l_returnflag", "l_linestatus").aggProfiles()
+        graft.profile.ProfileSession.mergeProfiles(fine, Seq("l_returnflag"))
+          .count()
+      }))
+
+    // JVM/codegen warmup on a tiny slice so timings measure the operators
+    t("lineitem").limit(1000).newProfilingSession().aggProfiles().count()
+
+    val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn() catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,21 +50,52 @@ object Dedup {
         .otherwise(array(text)))
   }
 
-  /** numHashes MinHash signature of a shingle array: min over shingles of
-    * xxhash64(seed_i, shingle). Pure map-side column math (codegen'd).
+  /** Deterministic Carter-Wegman rehash family over a base 64-bit hash:
+    * h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1. Products stay
+    * under 2^62 (no ANSI overflow), one xxhash64 per shingle, then
+    * numHashes multiply-add-mods — everything stays inside whole-stage
+    * codegen.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  private def affineParams(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eedL)
+    Array.fill(numHashes)((
+      1L + math.floorMod(rnd.nextLong(), MersennePrime - 1),
+      math.floorMod(rnd.nextLong(), MersennePrime)))
+  }
+
+  /** MinHash signatures: (id, sig array<long>) via explode + numHashes
+    * min-aggregates. One shuffle on id; the aggregation is a codegen'd
+    * HashAggregate with map-side partial min (shuffle volume = ids x
+    * numHashes longs, independent of document size).
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingleK: Int): DataFrame = {
+    val params = affineParams(numHashes)
+    val hashed = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleK)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("h"))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
+    }
+    hashed.groupBy(col("id"))
+      .agg(mins.head, mins.tail.toIndexedSeq: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** MinHash+LSH candidate pairs: signature -> bands -> bucket-join.
     *
     * Returns (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band,
-    * id_a < id_b, est_jaccard = fraction of matching minhashes. The only
-    * shuffles are the band-bucket groupBy and the final pair distinct;
-    * bucket sizes are bounded, so the pairwise step never goes quadratic
-    * in the corpus.
+    * id_a < id_b, est_jaccard = fraction of matching minhashes. Shuffles:
+    * signature groupBy, band-bucket join, final distinct; bucket sizes are
+    * bounded by banding, so the pairwise step never goes quadratic in the
+    * corpus.
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -76,8 +107,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val sig = df.select(col(idCol).as("id"),
-      minHashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleK)
 
     // band hash: xxhash64 over the band's signature slice
     val banded = sig.select(col("id"), col("sig"),
