@@ -1,0 +1,67 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-shingles of lowercased text, as one monolithic
+  * expression: single scan, no intermediate token/slice arrays.
+  *
+  * Replaces the split + filter + transform(slice) + array_distinct
+  * composition: higher-order functions evaluate interpreted with
+  * per-element lambda dispatch and slice() array copies — ~1ms per
+  * document; this is ~micros.
+  *
+  * Semantics: tokens are maximal runs of non-whitespace in
+  * `lower(text)`; shingles are k consecutive tokens joined by a single
+  * space; fewer than k tokens yields one shingle of all tokens joined
+  * (the whole text); output order is first occurrence, duplicates dropped.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // tokenize: maximal non-whitespace runs
+    val tokens = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) tokens += text.substring(start, i)
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (tokens.length < k) {
+      out.add(UTF8String.fromString(tokens.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var s = 0
+      while (s <= tokens.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(s + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        s += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

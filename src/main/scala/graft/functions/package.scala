@@ -53,6 +53,10 @@ package object functions {
   def hll_estimate(sketch: Column): Column = col(HllEstimate(expr(sketch)))
   def hll_summary(sketch: Column): Column = col(HllSummary(expr(sketch)))
 
+  // --- Vector math (codegen'd) ---
+  /** Dot product of two numeric arrays, double accumulation, fused loop. */
+  def vec_dot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))
@@ -85,5 +89,6 @@ package object functions {
     r("freq_items_agg", es => FreqItemsAgg(es.head).toAggregateExpression())
     r("freq_items_merge", es => FreqItemsMergeAgg(es.head).toAggregateExpression())
     r("freq_items_topk", es => FreqItemsTopK(es(0), es(1)))
+    r("vec_dot", es => VecDot(es(0), es(1)))
   }
 }

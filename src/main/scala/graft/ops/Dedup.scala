@@ -30,16 +30,14 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dupes"))
 
-  /** Word k-shingles of the lowercased text (distinct, order-free set). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => array_join(slice(toks, i + 1, lit(k)), " ")))
-        .otherwise(array(array_join(toks, " "))))
-  }
+  /** Word k-shingles of the lowercased text (distinct, order-free set).
+    * Monolithic expression ([[graft.functions.WordShingles]]) — single
+    * scan per document.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(text), k))
 
   /** Character k-shingles (distinct). */
   def charShingles(text: Column, k: Int): Column = {

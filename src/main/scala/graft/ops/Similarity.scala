@@ -22,11 +22,11 @@ object Similarity {
 
   /** Elementwise dot product of two array columns, computed in double with
     * left-to-right accumulation (deterministic, matches a sequential SQL
-    * evaluation of the same expression).
+    * evaluation of the same expression). Backed by the codegen'd
+    * [[graft.functions.VecDot]] expression — a fused loop inside
+    * whole-stage codegen, not an interpreted higher-order function.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
