@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.profile.ProfileSession
+import graft.profile.ProfileSession.ProfilingOps
+
+/** End-to-end Spark checks of the profiling engine against exact SQL on the
+  * driver-provided sf0.001 tables — the engine-level equivalent of the
+  * reference's Spark tests
+  * (/root/reference/spark/src/test/scala/com/whylogs/spark/WhyLogsTest.scala:50-153).
+  */
+class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  private def lineitem: DataFrame = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("grouped profile matches exact SQL aggregates") {
+    val prof = lineitem.newProfilingSession()
+      .groupBy("l_returnflag").aggProfiles()
+      .select(col("l_returnflag"),
+        col("l_quantity.count").as("n"),
+        col("l_quantity.numbers.min").as("mn"),
+        col("l_quantity.numbers.max").as("mx"),
+        col("l_quantity.numbers.sum").as("sm"),
+        col("l_quantity.numbers.mean").as("mean"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"), sum(col("l_quantity")).as("sm"),
+        avg(col("l_quantity")).as("mean"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+
+    prof.keySet shouldBe exact.keySet
+    for ((k, (n, mn, mx, sm, mean)) <- exact) {
+      val (pn, pmn, pmx, psm, pmean) = prof(k)
+      pn shouldBe n
+      pmn shouldBe mn
+      pmx shouldBe mx
+      psm shouldBe sm +- math.abs(sm) * 1e-9
+      pmean shouldBe mean +- math.abs(mean) * 1e-9
+    }
+  }
+
+  test("profile is partition-invariant: repartition(7) gives identical exact metrics") {
+    def metrics(df: DataFrame): Map[String, Row] =
+      df.newProfilingSession().groupBy("l_returnflag").aggProfiles()
+        .select(col("l_returnflag"),
+          col("l_quantity.count"), col("l_quantity.null_count"),
+          col("l_quantity.numbers.min"), col("l_quantity.numbers.max"),
+          col("l_extendedprice.numbers.count"),
+          col("l_linestatus.strings.count"),
+          col("l_linestatus.strings.length.sum"))
+        .collect().map(r => r.getString(0) -> r).toMap
+
+    val base = metrics(lineitem)
+    val repart = metrics(lineitem.repartition(7))
+    base.keySet shouldBe repart.keySet
+    for (k <- base.keySet) {
+      base(k).toSeq.drop(1) shouldBe repart(k).toSeq.drop(1)
+    }
+  }
+
+  test("profile merge (re-aggregation) equals direct coarse profile") {
+    val fine = lineitem.newProfilingSession()
+      .groupBy("l_returnflag", "l_linestatus").aggProfiles()
+    val merged = ProfileSession.mergeProfiles(fine, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("l_quantity.count"),
+        col("l_quantity.numbers.sum"), col("l_quantity.numbers.min"),
+        col("l_quantity.numbers.max"), col("l_quantity.null_count"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+
+    val direct = lineitem.newProfilingSession()
+      .groupBy("l_returnflag").aggProfiles()
+      .select(col("l_returnflag"), col("l_quantity.count"),
+        col("l_quantity.numbers.sum"), col("l_quantity.numbers.min"),
+        col("l_quantity.numbers.max"), col("l_quantity.null_count"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+
+    merged.keySet shouldBe direct.keySet
+    for (k <- merged.keySet) {
+      merged(k).head shouldBe direct(k).head // count
+      merged(k)(2) shouldBe direct(k)(2) // min
+      merged(k)(3) shouldBe direct(k)(3) // max
+      merged(k)(1).asInstanceOf[Double] shouldBe
+        direct(k)(1).asInstanceOf[Double] +- 1e-6
+    }
+  }
+
+  test("variance from the profile matches var_samp") {
+    val prof = lineitem.newProfilingSession().aggProfiles()
+      .select(col("l_extendedprice.numbers.variance")).first().getDouble(0)
+    val exact = lineitem.agg(var_samp(col("l_extendedprice"))).first().getDouble(0)
+    prof shouldBe exact +- math.abs(exact) * 1e-9
+  }
+
+  test("inferred type is INTEGRAL for long columns, STRING for text") {
+    val p = lineitem.newProfilingSession().aggProfiles()
+      .select(col("l_orderkey.inferred_type"), col("l_linestatus.inferred_type"))
+      .first()
+    p.getString(0) shouldBe "INTEGRAL"
+    p.getString(1) shouldBe "STRING"
+  }
+
+  test("quantile grid: KLL median within rank error of the exact median") {
+    val q = lineitem.newProfilingSession().aggProfiles()
+      .select(col("l_extendedprice.numbers.quantiles")).first()
+      .getSeq[Double](0)
+    q should have size 9
+    val exact = lineitem.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    val n = lineitem.count().toDouble
+    // KLL k=256 normalized rank error ~1.7%; compare by rank, not value
+    val below = lineitem.filter(col("l_extendedprice") <= q(4)).count().toDouble
+    (below / n) shouldBe 0.5 +- 0.02
+    // min/max endpoints are exact in KLL
+    q.head shouldBe lineitem.agg(min(col("l_extendedprice"))).first().getDouble(0).toFloat.toDouble
+    q.last shouldBe lineitem.agg(max(col("l_extendedprice"))).first().getDouble(0).toFloat.toDouble +- math.abs(exact) * 1e-6
+  }
+
+  test("cardinality estimate is exact for small distinct counts") {
+    val p = spark.read.parquet(s"$sfDir/nation.parquet")
+      .newProfilingSession().aggProfiles()
+      .select(col("n_name.cardinality.estimate")).first().getDouble(0)
+    p shouldBe 25.0 +- 0.01
+  }
+}
