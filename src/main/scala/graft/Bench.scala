@@ -76,8 +76,16 @@ object Bench {
           .count()
       }))
 
-    // JVM/codegen warmup on a tiny slice so timings measure the operators
+    // JVM/codegen warmup on tiny slices so timings measure the operators,
+    // not the first-call whole-stage-codegen compile of each plan shape
     t("lineitem").limit(1000).newProfilingSession().aggProfiles().count()
+    Dedup.minHashLshPairs(t("documents").limit(200), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2).count()
+    Dedup.simHash(col("text")) // expression construction only
+    t("documents").limit(200).select(Dedup.simHash(col("text"))).count()
+    val warmEmb = t("embeddings").limit(100)
+    Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 2).count()
 
     val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -346,8 +346,19 @@ object SparkEntry {
     }),
 
     "q92_embedding_neardups" -> ((s, dir) => {
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95, signBits = 6)
+      // the synthetic embeddings have no near-dup pairs (max pairwise
+      // cosine ~0.51), so plant deterministic near-dups: vec_id<50 get a
+      // perturbed copy at id+10000. Multi-band LSH must then recover
+      // exactly the 50 planted pairs — brute-force oracle-checkable.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val dups = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDups(emb.unionAll(dups), "vec_id", "embedding",
+        threshold = 0.95, signBits = 8, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
     "q93_ivf_ann" -> ((s, dir) => {
@@ -357,10 +368,19 @@ object SparkEntry {
     }),
 
     "q94_kll_grid_large" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      // full 9-point quantile grid, exploded to scalar rows (the driver's
+      // hasher can't factorize array columns). The 1/293 orderkey filter
+      // keeps each group under KLL's exact capacity so the grid is
+      // oracle-exact; q13/q14 cover the approximate regime.
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(293)) === 0)
+      li.groupBy(col("l_returnflag"))
         .agg(kll_quantiles(kll_agg(col("l_extendedprice")),
           array(graft.profile.ProfileSchema.QuantileGrid.map(lit): _*))
-          .as("quantiles"))
+          .as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
+        .select(col("l_returnflag"), col("pos"),
+          round(col("q"), 2).as("quantile"))
     }),
 
     "q95_rolling_hash" -> ((s, dir) => {
@@ -652,6 +672,33 @@ object SparkEntry {
         |  FROM sims)
         |SELECT qid AS query_id, iid AS item_id, round(s, 6) AS cosine
         |FROM top WHERE rn = 1""".stripMargin,
+
+    "q92_embedding_neardups" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dup AS (SELECT vec_id + 10000 AS vec_id,
+        |  list_transform(e, (x, i) -> CASE WHEN i = 1 THEN x + 0.1 ELSE x END) AS e
+        |  FROM base WHERE vec_id < 50),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.95""".stripMargin,
+
+    "q94_kll_grid_large" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS REAL) AS v
+        |  FROM lineitem WHERE l_orderkey % 293 = 0),
+        |r AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM f),
+        |g AS (SELECT * FROM (VALUES (0, 0.0), (1, 0.01), (2, 0.05), (3, 0.25),
+        |  (4, 0.5), (5, 0.75), (6, 0.95), (7, 0.99), (8, 1.0)) t(pos, p))
+        |SELECT l_returnflag, pos,
+        |  round(min(v) FILTER (WHERE rn >= ceil(p * cnt))::DOUBLE, 2) AS quantile
+        |FROM r, g GROUP BY 1, 2""".stripMargin,
 
     "q46_multimodal_stub" ->
       """WITH dec AS (

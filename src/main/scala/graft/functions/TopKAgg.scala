@@ -1,0 +1,208 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: the k best (score, id) pairs under score desc,
+  * id asc. Insertion is O(1) reject below the current floor / O(k) accept
+  * (k is small); merge inserts the other side's entries.
+  */
+final class TopKState(val k: Int) extends Serializable {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+  private var worst = -1 // index of the current floor entry, -1 if size<k
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def insert(score: Double, id: Long): Unit = {
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      if (size == k) rescanWorst()
+    } else if (better(score, id, scores(worst), ids(worst))) {
+      scores(worst) = score; ids(worst) = id
+      rescanWorst()
+    }
+  }
+
+  private def rescanWorst(): Unit = {
+    var w = 0
+    var i = 1
+    while (i < size) {
+      if (better(scores(w), ids(w), scores(i), ids(i))) w = i
+      i += 1
+    }
+    worst = w
+  }
+
+  def merge(o: TopKState): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+
+  /** Entries sorted score desc, id asc. */
+  def sorted: Array[(Double, Long)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+
+  def write(out: DataOutputStream): Unit = {
+    out.writeInt(k); out.writeInt(size)
+    var i = 0
+    while (i < size) { out.writeDouble(scores(i)); out.writeLong(ids(i)); i += 1 }
+  }
+}
+
+object TopKState {
+  def read(in: DataInputStream): TopKState = {
+    val st = new TopKState(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { st.insert(in.readDouble(), in.readLong()); i += 1 }
+    st
+  }
+}
+
+/** Top-k aggregate: `groupBy(query).agg(topk_agg(score, id, k))` keeps only
+  * the k best rows per group ON THE MAP SIDE — Catalyst plans it as
+  * ObjectHashAggregate with partial aggregation, so each partition
+  * contributes at most k entries per group to the shuffle instead of every
+  * scored row. This is the scale fix for top-k-over-cross-product plans
+  * (the window row_number() <= k formulation shuffles ALL scored rows).
+  *
+  * Output: array<struct<item_id: long, score: double>> sorted score desc,
+  * ties id asc.
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKState] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "topk_agg"
+
+  @transient private lazy val toDouble: Any => Double = score.dataType match {
+    case DoubleType  => v => v.asInstanceOf[Double]
+    case FloatType   => v => v.asInstanceOf[Float].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case LongType    => v => v.asInstanceOf[Long].toDouble
+    case other => throw new IllegalArgumentException(s"topk_agg score: $other")
+  }
+
+  @transient private lazy val toLong: Any => Long = id.dataType match {
+    case LongType    => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType   => v => v.asInstanceOf[Short].toLong
+    case other => throw new IllegalArgumentException(s"topk_agg id: $other")
+  }
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(st: TopKState, input: InternalRow): TopKState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) st.insert(toDouble(s), toLong(i))
+    st
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = { a.merge(b); a }
+
+  override def eval(st: TopKState): Any =
+    new GenericArrayData(st.sorted.map { case (s, i) =>
+      InternalRow(i, s)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(st: TopKState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    st.write(out); out.flush(); bos.toByteArray
+  }
+  override def deserialize(b: Array[Byte]): TopKState =
+    TopKState.read(new DataInputStream(new ByteArrayInputStream(b)))
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(score = c(0), id = c(1))
+}
+
+/** Elementwise sum of array<float|double> columns -> array<double>. Used by
+  * Lloyd centroid refinement: `groupBy(centroid).agg(vec_sum(emb), count)`
+  * replaces posexplode + per-(centroid,pos) aggregation, which multiplied
+  * the shuffle by the embedding dimensionality.
+  */
+case class VecSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sum"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(s"vec_sum: $other")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.empty
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val acc = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+    var i = 0
+    if (isFloat) while (i < n) { acc(i) += a.getFloat(i); i += 1 }
+    else while (i < n) { acc(i) += a.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeDouble)
+    out.flush(); bos.toByteArray
+  }
+  override def deserialize(b: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    Array.fill(in.readInt())(in.readDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}

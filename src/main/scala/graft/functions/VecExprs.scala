@@ -1,0 +1,346 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of positions where two long arrays agree — the MinHash signature
+  * agreement count. A real codegen expression (fused loop in whole-stage
+  * codegen) replacing the interpreted `aggregate(zip_with(...))` HOF
+  * composition, which dispatches a lambda per element.
+  */
+case class VecMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_match_count requires two array<bigint>, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over whitespace tokens of the lowercased text, in ONE
+  * pass: tokenize, xxhash64 each token (Spark's seed 42 — identical hashes
+  * to `xxhash64(token)`), accumulate the per-bit +-1 majority vote, pack.
+  *
+  * Replaces the 64-HOF-aggregate composition that re-walked the token-hash
+  * array once per bit (64 interpreted passes per document).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase
+    val bytes = text.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      // skip \s whitespace (space, \t, \n, \x0B, \f, \r — the regex class
+      // the previous split("\\s+") used; ASCII bytes, multi-byte UTF-8
+      // chars are never in this set)
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val h = XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-band bucket hashes of a MinHash signature: band b's bucket is an
+  * xxhash64 chain over its `len(sig)/bands` signature slice. One scan of
+  * the signature produces all band buckets (the previous composition
+  * sliced + stringified + re-hashed per band: 16 array copies per row).
+  */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bands >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"band_hashes requires array<bigint>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong // band index seeds the chain: same slice in a
+      var i = b * rows // different band never collides structurally
+      val end = i + rows
+      while (i < end) {
+        h = XXH64.hashLong(sig.getLong(i), h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-band sign-bit LSH buckets of an embedding under fixed hyperplanes:
+  * band b's bucket packs the sign bits of its `bitsPerBand` hyperplane
+  * projections. ALL bands*bitsPerBand projections are computed in one scan
+  * of the embedding (the expression-composed version re-scanned the array
+  * once per plane).
+  */
+case class HyperplaneBands(
+    child: Expression,
+    planes: Array[Array[Double]],
+    bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes.nonEmpty && planes.length % bitsPerBand == 0)
+  private val bands = planes.length / bitsPerBand
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands requires array<float|double>, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val out = new Array[Any](bands)
+    var band = 0
+    var p = 0
+    while (band < bands) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val plane = planes(p)
+        val n = math.min(d, plane.length)
+        var acc = 0.0
+        var i = 0
+        if (isFloat) while (i < n) { acc += v.getFloat(i) * plane(i); i += 1 }
+        else while (i < n) { acc += v.getDouble(i) * plane(i); i += 1 }
+        if (acc > 0) bucket |= (1L << bit)
+        bit += 1
+        p += 1
+      }
+      out(band) = bucket
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Top-n centroid ids for an embedding by cosine similarity, computed in a
+  * single pass over a driver-side centroid literal — zero shuffle, zero
+  * join. Ordering: cosine desc, centroid id asc (ties); zero-norm rows get
+  * all-zero scores and fall back to the lowest ids, matching the previous
+  * window-based argmax semantics.
+  *
+  * Replaces the crossJoin(corpus x centroids) + row_number window that
+  * shuffled corpus x nCentroids rows per assignment pass.
+  */
+case class TopCentroids(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty && n >= 1)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids requires array<float|double>, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val plane = centroids(c)
+      val nd = math.min(d, plane.length)
+      var acc = 0.0
+      var i = 0
+      if (isFloat) while (i < nd) { acc += v.getFloat(i) * plane(i); i += 1 }
+      else while (i < nd) { acc += v.getDouble(i) * plane(i); i += 1 }
+      // item norm is a positive constant across candidates — dropping it
+      // preserves the ranking; zero norms score 0 like the cosine() guard
+      scores(c) = if (centroidNorms(c) > 0) acc / centroidNorms(c) else 0.0
+      c += 1
+    }
+    val picked = new Array[Any](math.min(n, k))
+    val used = new Array[Boolean](k)
+    var slot = 0
+    while (slot < picked.length) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best < 0 || scores(i) > scores(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      picked(slot) = best
+      slot += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Lazily generates all ordered pairs (a, b), a < b, from an array of ids —
+  * the in-bucket candidate-pair step of LSH dedup. A Catalyst `Generator`
+  * (like explode): pairs stream out of the iterator, so a bucket of n ids
+  * yields n*(n-1)/2 rows without materializing them as one array value.
+  */
+case class PairGenerator(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def elementSchema: StructType = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    StructType(Seq(
+      StructField("id_a", et, nullable = false),
+      StructField("id_b", et, nullable = false)))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pair_generator requires array<int|bigint>, got $t")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val isLong = child.dataType.asInstanceOf[ArrayType].elementType == LongType
+    val ids: Array[Long] = {
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        a(i) = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+        i += 1
+      }
+      java.util.Arrays.sort(a)
+      a
+    }
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row =
+          if (isLong) org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+          else org.apache.spark.sql.catalyst.InternalRow(ids(i).toInt, ids(j).toInt)
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -57,6 +57,36 @@ package object functions {
   /** Dot product of two numeric arrays, double accumulation, fused loop. */
   def vec_dot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
 
+  /** Count of positions where two long arrays agree (fused loop). */
+  def vec_match_count(a: Column, b: Column): Column =
+    col(VecMatchCount(expr(a), expr(b)))
+
+  /** One-pass 64-bit SimHash over whitespace tokens of lower(text). */
+  def simhash64(text: Column): Column = col(SimHash64(expr(text)))
+
+  /** Per-band bucket hashes of a MinHash signature (one scan, all bands). */
+  def band_hashes(sig: Column, bands: Int): Column =
+    col(BandHashes(expr(sig), bands))
+
+  /** Per-band sign-bit LSH buckets of an embedding (one scan, all planes). */
+  def hyperplane_bands(emb: Column, planes: Array[Array[Double]],
+      bitsPerBand: Int): Column =
+    col(HyperplaneBands(expr(emb), planes, bitsPerBand))
+
+  /** Top-n centroid ids by cosine against a driver-side centroid literal. */
+  def top_centroids(emb: Column, centroids: Array[Array[Double]], n: Int): Column =
+    col(TopCentroids(expr(emb), centroids, n))
+
+  /** Lazy generator of all sorted in-bucket id pairs (id_a < id_b). */
+  def pair_generator(ids: Column): Column = col(PairGenerator(expr(ids)))
+
+  /** Bounded top-k aggregate (map-side partial; k best per group). */
+  def topk_agg(score: Column, id: Column, k: Int): Column =
+    agg(TopKAgg(expr(score), expr(id), k))
+
+  /** Elementwise array sum aggregate -> array<double>. */
+  def vec_sum(c: Column): Column = agg(VecSumAgg(expr(c)))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))
@@ -90,5 +120,7 @@ package object functions {
     r("freq_items_merge", es => FreqItemsMergeAgg(es.head).toAggregateExpression())
     r("freq_items_topk", es => FreqItemsTopK(es(0), es(1)))
     r("vec_dot", es => VecDot(es(0), es(1)))
+    r("vec_match_count", es => VecMatchCount(es(0), es(1)))
+    r("simhash64", es => SimHash64(es.head))
   }
 }

@@ -90,10 +90,20 @@ object Dedup {
   /** MinHash+LSH candidate pairs: signature -> bands -> bucket-join.
     *
     * Returns (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band,
-    * id_a < id_b, est_jaccard = fraction of matching minhashes. Shuffles:
-    * signature groupBy, band-bucket join, final distinct; bucket sizes are
-    * bounded by banding, so the pairwise step never goes quadratic in the
-    * corpus.
+    * id_a < id_b, est_jaccard = fraction of matching minhashes.
+    *
+    * Scale shape (each step sized for a 100 TB corpus):
+    *  - band buckets come from one codegen scan of the signature
+    *    ([[graft.functions.BandHashes]]) — no per-band slice/stringify;
+    *  - the self-join carries ONLY (band, bucket, id) — signatures do not
+    *    ride through the bucket shuffle (64 longs x bands duplication);
+    *  - buckets larger than `maxBucketSize` are dropped before the join
+    *    (a single boilerplate shingle otherwise makes one bucket hold a
+    *    large fraction of the corpus and the pairwise step goes quadratic);
+    *  - pairs found in multiple bands dedupe via groupBy BEFORE signatures
+    *    are fetched, so each unique pair fetches its two signatures once;
+    *  - agreement is a fused-loop codegen count
+    *    ([[graft.functions.VecMatchCount]]), not an interpreted HOF.
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -101,49 +111,47 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
 
+    // the signature pipeline (shingle -> hash -> 64 min-aggregates) is the
+    // expensive compute stage and is referenced three times below (banding
+    // + both sides of the pair join) — materialize it once. MEMORY_AND_DISK:
+    // signatures are id + numHashes longs per doc, tiny next to the corpus.
     val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band hash: xxhash64 over the band's signature slice
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(lit(b), array_join(
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            x => x.cast("string")), ","))
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = sig.select(col("id"),
+      posexplode(graft.functions.band_hashes(col("sig"), bands))
+        .as(Seq("band", "bucket")))
 
-    val left = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    // ONE shuffle builds the buckets, applies the size cap, and generates
+    // in-bucket candidate pairs lazily (no window pass, no self-join):
+    // buckets above maxBucketSize (boilerplate shingles) are dropped so the
+    // quadratic in-bucket step stays bounded.
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
+      .drop("__nbands")
 
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+        (graft.functions.vec_match_count(col("sig_a"), col("sig_b"))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority of token hashes.
-    * Native expression composition — for each bit b, sum +-1 contributions
-    * across tokens, bit set when the sum is positive.
+    * One monolithic codegen-era expression ([[graft.functions.SimHash64]]):
+    * tokenize + hash + all 64 bit-votes in a single scan of the text (the
+    * HOF composition re-walked the token-hash array once per bit).
     */
-  def simHash(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simHash(text: Column): Column = graft.functions.simhash64(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -160,26 +168,48 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, candidates
-    * generated by random-hyperplane LSH bucketing (signBits sign bits ->
-    * bucket). Exact cosine is verified inside buckets only.
+    * generated by MULTI-BAND random-hyperplane LSH: `bands` independent
+    * buckets of `signBits` sign bits each; a pair is a candidate when it
+    * collides in >=1 band. Banding amplifies recall — for cosine c the
+    * per-pair miss probability is (1-(1-acos(c)/pi)^signBits)^bands, which
+    * for near-dup thresholds is negligible at bands>=8.
+    *
+    * Same scale shape as [[minHashLshPairs]]: one codegen scan computes all
+    * band buckets ([[graft.functions.HyperplaneBands]]), the bucket
+    * self-join carries ids only, oversized buckets are dropped, pairs
+    * dedupe before the embeddings are fetched for the exact-cosine verify.
     */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      signBits: Int = 8): DataFrame = {
+      signBits: Int = 8,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
     val dims = Similarity.dim(df, embCol)
-    val planes = Similarity.randomPlanes(signBits, dims)
-    val withBucket = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      Similarity.hyperplaneBucket(col(embCol), planes).as("bucket"))
-    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val planes = Similarity.randomPlanes(bands * signBits, dims)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+
+    val banded = base.select(col("id"),
+      posexplode(graft.functions.hyperplane_bands(col("emb"), planes, signBits))
+        .as(Seq("band", "bucket")))
+
+    // same single-shuffle bucket -> cap -> lazy pair generation shape as
+    // minHashLshPairs
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
+      .drop("__nbands")
+
+    pairs
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

@@ -1,30 +1,30 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructType}
+
+import graft.functions.{top_centroids, topk_agg, vec_sum}
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>` / `array<double>`).
   *
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast;
-  *    the corpus streams through one codegen'd stage — the right baseline
-  *    even at 100 TB when the query set is small (no shuffle of the corpus).
-  *  - [[ivfTopK]]: IVF-style pruning — corpus is pre-assigned to the
-  *    nearest of k centroid vectors; a query only scans its nProbe closest
-  *    inverted lists. Centroid assignment is one broadcast join; the scan
-  *    cost drops by ~k/nProbe.
-  * Plus random-hyperplane LSH bucketing used by [[Dedup.embeddingNearDups]].
+  *    the corpus streams through one codegen'd scoring stage into a
+  *    map-side bounded top-k aggregate — the corpus never shuffles, and
+  *    the only exchange carries <= partitions x queries x k rows.
+  *  - [[ivfTopK]]: IVF-style pruning — corpus rows are assigned to their
+  *    nearest centroid by a single-pass expression over a driver-side
+  *    centroid literal (zero shuffle, zero join); a query scans only its
+  *    nProbe closest inverted lists.
+  * Plus random-hyperplane LSH planes used by [[Dedup.embeddingNearDups]].
   */
 object Similarity {
 
   /** Elementwise dot product of two array columns, computed in double with
     * left-to-right accumulation (deterministic, matches a sequential SQL
     * evaluation of the same expression). Backed by the codegen'd
-    * [[graft.functions.VecDot]] expression — a fused loop inside
-    * whole-stage codegen, not an interpreted higher-order function.
+    * [[graft.functions.VecDot]] expression.
     */
   def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
@@ -48,18 +48,25 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id of an embedding under the given hyperplanes. */
-  def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(emb, array(p.map(lit): _*))
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** Explode a top-k array (from [[graft.functions.topk_agg]]) back into
+    * (query_id, item_id, cosine, rank) rows, item_id cast to `idType`.
+    */
+  private def explodeTopK(grouped: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "t")))
+      .select(col("query_id"),
+        col("t.item_id").cast(idType).as("item_id"),
+        col("t.score").as("cosine"),
+        (col("r") + 1).as("rank"))
 
   /** Exact cosine top-k neighbors for each query row.
     *
     * `queries` is expected to be small (it is broadcast); the corpus side
-    * never shuffles — the join is a BroadcastNestedLoopJoin feeding a
-    * partial top-k window.
+    * never shuffles scored rows — the bounded top-k aggregate reduces each
+    * partition to k entries per query BEFORE the exchange, so the shuffle
+    * carries <= partitions x |queries| x k rows regardless of corpus size
+    * (the window row_number() formulation shuffled all |corpus| x |queries|
+    * scored rows into per-query partitions first).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -68,25 +75,27 @@ object Similarity {
       embCol: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
     val c = corpus.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
-    val joined = c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("item_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("item_id"),
         cosine(col("query_emb"), col("item_emb")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("item_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val grouped = scored.groupBy(col("query_id"))
+      .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
+    explodeTopK(grouped, idType)
   }
 
   /** IVF-pruned approximate top-k: assign corpus rows to their nearest
-    * centroid (broadcast), then answer each query by scanning only its
-    * nProbe nearest inverted lists.
+    * centroid via [[graft.functions.TopCentroids]] (a map-only pass over a
+    * centroid literal), then answer each query by scanning only its nProbe
+    * nearest inverted lists.
     *
     * Centroids: deterministic sample (first nCentroids by id) refined by
-    * `iterations` Lloyd steps — all DataFrame ops, no collect of the corpus
-    * (only the centroids, which are tiny, come back to the driver).
+    * `iterations` Lloyd steps. Each step is one map pass + one tiny
+    * aggregate (`groupBy(centroid).agg(vec_sum, count)` — nCentroids rows
+    * collected, nothing else reaches the driver).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -97,68 +106,46 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       iterations: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
+    val idType = corpus.schema(idCol).dataType
     val c = corpus.select(col(idCol).as("item_id"),
       transform(col(embCol), x => x.cast("double")).as("item_emb"))
 
     // init: first nCentroids items by id (deterministic)
-    var centroids: Seq[(Int, Seq[Double])] = c.orderBy(col("item_id"))
+    var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
       .limit(nCentroids).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      .map(r => r.getSeq[Double](1).toArray)
 
-    def centroidDf = centroids.toDF("centroid_id", "centroid")
-
-    // Lloyd refinement: assign -> mean per centroid
+    // Lloyd refinement: single-pass assignment -> per-centroid mean
     (0 until iterations).foreach { _ =>
-      val assigned = assignNearest(c, centroidDf)
-      val refined = assigned
-        .select(col("centroid_id"), posexplode(col("item_emb")).as(Seq("pos", "v")))
-        .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"), transform(col("pm"), x => x("m")).as("centroid"))
+      val refined = c
+        .select(top_centroids(col("item_emb"), centroids, 1)(0).as("centroid_id"),
+          col("item_emb"))
+        .groupBy(col("centroid_id"))
+        .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      if (refined.nonEmpty)
-        centroids = refined.toSeq ++
-          centroids.filterNot(cc => refined.exists(_._1 == cc._1))
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
+        .toMap
+      centroids = centroids.indices
+        .map(i => refined.getOrElse(i, centroids(i))).toArray
     }
 
-    val inverted = assignNearest(c, centroidDf)
+    val inverted = c.select(col("item_id"), col("item_emb"),
+      top_centroids(col("item_emb"), centroids, 1)(0).as("centroid_id"))
 
-    // query -> nProbe nearest centroids
+    // query -> nProbe nearest centroids (same single-pass expression)
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(embCol), x => x.cast("double")).as("query_emb"))
-    val qc = q.crossJoin(broadcast(centroidDf))
-      .select(col("query_id"), col("query_emb"), col("centroid_id"),
-        cosine(col("query_emb"), col("centroid")).as("csim"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probes = qc.withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nProbe)
-      .select(col("query_id"), col("query_emb"), col("centroid_id"))
+    val probes = q.select(col("query_id"), col("query_emb"),
+      explode(top_centroids(col("query_emb"), centroids, nProbe))
+        .as("centroid_id"))
 
-    val candidates = probes.join(inverted, Seq("centroid_id"))
+    val grouped = inverted.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
         cosine(col("query_emb"), col("item_emb")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("item_id").asc)
-    candidates.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
-
-  private def assignNearest(c: DataFrame, centroidDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("item_id"))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    c.crossJoin(broadcast(centroidDf))
-      .select(col("item_id"), col("item_emb"), col("centroid_id"),
-        cosine(col("item_emb"), col("centroid")).as("csim"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("item_id"), col("item_emb"), col("centroid_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
+    explodeTopK(grouped, idType)
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.{Dedup, Similarity}
+
+/** Equivalence checks for the scale-rewritten operators: each new plan
+  * (bounded top-k aggregate, single-pass simhash, ids-only LSH join) must
+  * produce the same rows as the straightforward formulation it replaced.
+  */
+class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("simhash64 expression equals the per-bit HOF composition") {
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => org.apache.spark.sql.functions.length(t) > 0)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    val reference = bits.reduce(_.bitwiseOR(_))
+    val mismatches = docs
+      .select(Dedup.simHash(col("text")).as("fast"), reference.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    mismatches shouldBe 0L
+  }
+
+  test("bounded top-k aggregate equals window row_number top-k") {
+    val queries = emb.filter(col("vec_id") < 15)
+    val fast = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("item_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val c = emb.select(col("vec_id").as("item_id"), col("embedding").as("item_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    val slow = c.crossJoin(q)
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosine(col("query_emb"), col("item_emb")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("item_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    fast shouldBe slow
+  }
+
+  test("minhash LSH pairs: est_jaccard in [0,1], symmetric ids, stable count") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2).cache()
+    val rows = pairs.collect()
+    rows should not be empty
+    all(rows.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
+    all(rows.map(r => r.getLong(0) < r.getLong(1))) shouldBe true
+    // unique pairs only — the band dedupe must not emit a pair twice
+    rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length shouldBe rows.length
+    pairs.unpersist()
+  }
+
+  test("minhash est_jaccard tracks exact shingle jaccard on near-dup docs") {
+    // duplicate a doc with a tiny suffix change: est_jaccard must be high
+    val d = docs.limit(20).select(col("doc_id"), col("text"))
+    val mutated = d.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" tiny suffix")).as("text"))
+    val pairs = Dedup.minHashLshPairs(d.unionAll(mutated), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2)
+      .filter(col("id_b") === col("id_a") + 100000)
+    pairs.count() shouldBe 20L
+    all(pairs.collect().map(_.getDouble(2))) should be >= 0.5
+  }
+
+  test("embedding near-dups recover planted perturbed copies exactly") {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val dups = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).as("embedding"))
+    val found = Dedup.embeddingNearDups(base.unionAll(dups), "vec_id", "embedding",
+      threshold = 0.95, signBits = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    found shouldBe (0 until 50).map(i => (i.toLong, (i + 10000).toLong)).toSet
+  }
+
+  test("ivf ann returns k well-ordered neighbors per query") {
+    val res = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .collect()
+    res.length shouldBe 15
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      sorted.map(_.getDouble(2)).toSeq shouldBe
+        sorted.map(_.getDouble(2)).sortBy(-_).toSeq
+    }
+  }
+
+  test("vec_match_count counts agreeing positions") {
+    val df = spark.sql(
+      "SELECT array(1L, 2L, 3L, 4L) AS a, array(1L, 9L, 3L, 8L) AS b")
+    df.select(graft.functions.vec_match_count(col("a"), col("b")))
+      .first().getInt(0) shouldBe 2
+  }
+}
