@@ -282,6 +282,41 @@ object SparkEntry {
         count(lit(1)).as("n_unique"))
     }),
 
+    "q28_json_summary" -> ((s, dir) => {
+      // JSON summary sink (reference cli/Profiler.java:150-168): profile ->
+      // one JSON document per row; verified by parsing metrics back out
+      val prof = t(s, dir, "lineitem")
+        .newProfilingSession().groupBy("l_returnflag").aggProfiles()
+      graft.io.ProfileIO.jsonSummary(prof)
+        .select(col("l_returnflag"),
+          get_json_object(col("summary_json"), "$.l_quantity.count")
+            .cast("long").as("n"),
+          get_json_object(col("summary_json"), "$.l_quantity.numbers.min")
+            .cast("double").as("qty_min"),
+          get_json_object(col("summary_json"), "$.l_quantity.numbers.max")
+            .cast("double").as("qty_max"),
+          round(get_json_object(col("summary_json"), "$.l_quantity.numbers.sum")
+            .cast("double"), 2).as("qty_sum"))
+    }),
+
+    "q29_proto_roundtrip" -> ((s, dir) => {
+      // whylogs wire-format export (DatasetProfileMessage) + reparse: the
+      // parsed stats must equal direct SQL — a full write->read round trip
+      // through the hand-rolled protobuf codec, per row on executors
+      val prof = t(s, dir, "lineitem")
+        .newProfilingSession().groupBy("l_returnflag").aggProfiles()
+      graft.io.ProfileIO.withProtoColumn(prof)
+        .select(col("l_returnflag"),
+          graft.io.ProfileIO.protoColumnStats(col("why_profile"), "l_quantity")
+            .as("st"))
+        .select(col("l_returnflag"),
+          col("st.count").as("n"),
+          col("st.null_count").as("n_null"),
+          col("st.min").as("qty_min"),
+          col("st.max").as("qty_max"),
+          round(col("st.sum"), 2).as("qty_sum"))
+    }),
+
     // ---- q4x: training-data pipeline ops ----
     "q40_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -581,6 +616,20 @@ object SparkEntry {
         |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) AS entropy,
         |  count(*) AS n_unique
         |FROM counts, tot""".stripMargin,
+
+    "q28_json_summary" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q29_proto_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, 0 AS n_null,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q40_lang_id" ->
       """WITH scores AS (

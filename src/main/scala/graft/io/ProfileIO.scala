@@ -1,0 +1,169 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.metrics.ColumnProfileState
+import graft.profile.ProfileSchema
+
+/** Builds a whylogs `DatasetProfileMessage` binary from the per-column
+  * profile `state` binaries of one profile row — the export edge runs as a
+  * per-row expression on executors (no driver collect).
+  */
+case class DatasetProfileProtoExpr(
+    names: Seq[String],
+    children: Seq[Expression],
+    sessionId: String,
+    sessionTimestamp: Long)
+    extends Expression with CodegenFallback {
+
+  require(names.length == children.length)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "dataset_profile_proto"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val cols = names.zip(children).flatMap { case (n, c) =>
+      Option(c.eval(input)).map { v =>
+        n -> ColumnProfileState.deserialize(v.asInstanceOf[Array[Byte]])
+      }
+    }.toMap
+    ProfileProto.toBytes(ProfileProto.DatasetProfile(
+      sessionId, sessionTimestamp, None, Map.empty, Map.empty, cols))
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(children = c)
+}
+
+/** Parses exact per-column statistics back out of a `DatasetProfileMessage`
+  * binary — the reader half of the codec, usable in a plan for round-trip
+  * verification and for merging profiles produced by other writers.
+  */
+case class ProtoColumnStats(child: Expression, colName: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ProtoColumnStats.schema
+  override def prettyName: String = "proto_column_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected binary, got $t")
+  }
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ProtoColumnStats.schema)
+
+  override def nullSafeEval(input: Any): Any = {
+    val profile = ProfileProto.fromBytes(input.asInstanceOf[Array[Byte]])
+    profile.columns.get(colName).map { st =>
+      val n = st.numbers
+      toCatalyst(Row(
+        st.count, st.nullCount, st.trueCount, n.count,
+        if (n.count > 0) n.finalMin else null,
+        if (n.count > 0) n.finalMax else null,
+        if (n.count > 0) n.finalSum else null,
+        if (n.count > 0) n.variance.mean else null,
+        st.strings.count,
+        if (st.hll != null) st.hll.getEstimate else null))
+    }.orNull
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ProtoColumnStats {
+  val schema: StructType = StructType(Seq(
+    StructField("count", LongType),
+    StructField("null_count", LongType),
+    StructField("true_count", LongType),
+    StructField("num_count", LongType),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType),
+    StructField("sum", DoubleType),
+    StructField("mean", DoubleType),
+    StructField("string_count", LongType),
+    StructField("cardinality", DoubleType)))
+}
+
+/** Profile export sinks: whylogs protobuf wire format and JSON summaries —
+  * the engine's equivalents of the reference's delimited-protobuf and JSON
+  * outputs (DatasetProfile.java:316-325, cli/Profiler.java:150-168).
+  */
+object ProfileIO {
+
+  private def profileStructCols(profiles: DataFrame): Seq[String] =
+    profiles.schema.fields.collect {
+      case f if f.dataType == ProfileSchema.schema => f.name
+    }.toSeq
+
+  /** Append a `why_profile` binary column carrying the full
+    * DatasetProfileMessage of each profile row (built on executors).
+    */
+  def withProtoColumn(
+      profiles: DataFrame,
+      sessionId: String = "graft",
+      sessionTimestamp: Long = 0L,
+      outputCol: String = "why_profile"): DataFrame = {
+    val cols = profileStructCols(profiles)
+    val expr = DatasetProfileProtoExpr(
+      cols,
+      cols.map(c => GraftBridge.expression(col(c).getField("state"))),
+      sessionId, sessionTimestamp)
+    profiles.withColumn(outputCol, GraftBridge.column(expr))
+  }
+
+  /** Exact stats parsed back from a proto binary column (round-trip read). */
+  def protoColumnStats(proto: Column, colName: String): Column =
+    GraftBridge.column(ProtoColumnStats(GraftBridge.expression(proto), colName))
+
+  /** JSON summary per profile row: every metric of every profiled column as
+    * one JSON document (sketch/state binaries dropped — summaries are for
+    * humans and downstream JSON consumers).
+    */
+  def jsonSummary(profiles: DataFrame): DataFrame = {
+    val structCols = profileStructCols(profiles)
+    val keep = profiles.schema.fields.collect {
+      case f if !structCols.contains(f.name) => col(f.name)
+    }.toSeq
+    val summaries = structCols.map { c =>
+      col(c).dropFields("state", "numbers.kll", "numbers.theta",
+        "strings.theta", "cardinality.hll").as(c)
+    }
+    profiles.select(keep ++ Seq(
+      to_json(struct(summaries: _*)).as("summary_json")): _*)
+  }
+
+  /** Write each profile row as a delimited DatasetProfileMessage, one
+    * `.bin` file per partition under `dir` (local/NFS path; executors
+    * write their own partitions — no driver collect).
+    */
+  def writeDelimitedBinaries(profiles: DataFrame, dir: String,
+      sessionId: String = "graft"): Unit = {
+    val withProto = withProtoColumn(profiles, sessionId).select(col("why_profile"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    withProto.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val name = f"profiles-part-${java.util.UUID.randomUUID()}.bin"
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$dir/$name"))
+        try it.foreach { r =>
+          val b = r.getAs[Array[Byte]](0)
+          val w = new Wire.Writer
+          w.varint(b.length.toLong)
+          out.write(w.toByteArray)
+          out.write(b)
+        } finally out.close()
+      }
+    }
+  }
+}

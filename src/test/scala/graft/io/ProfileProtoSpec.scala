@@ -1,0 +1,132 @@
+package graft.io
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileInputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.metrics.{ColumnProfileState, ProfileConfig}
+import graft.types.InferredType
+
+/** Round-trip and cross-implementation checks of the DatasetProfileMessage
+  * codec. Interop fixtures are profiles written by the REFERENCE's Python
+  * implementation (core/src/test/resources/python_profile.bin) — parsing
+  * them proves wire compatibility with profiles our engine did not write.
+  */
+class ProfileProtoSpec extends AnyFunSuite with Matchers {
+
+  private def sampleColumn(): ColumnProfileState = {
+    val st = new ColumnProfileState(ProfileConfig.default)
+    (1 to 100).foreach(i => st.trackLong(i.toLong))
+    st.trackDouble(3.5)
+    st.trackString("hello world")
+    st.trackString("foo")
+    st.trackBoolean(true)
+    st.trackNull()
+    st
+  }
+
+  test("write -> parse round trip preserves exact metrics") {
+    val profile = ProfileProto.DatasetProfile(
+      "session-1", 1700000000000L, Some(1699999999999L),
+      Map("env" -> "test"), Map("who" -> "spec"),
+      Map("c1" -> sampleColumn()))
+    val back = ProfileProto.fromBytes(ProfileProto.toBytes(profile))
+
+    back.sessionId shouldBe "session-1"
+    back.sessionTimestamp shouldBe 1700000000000L
+    back.dataTimestamp shouldBe Some(1699999999999L)
+    back.tags shouldBe Map("env" -> "test")
+    back.metadata shouldBe Map("who" -> "spec")
+
+    val c = back.columns("c1")
+    val orig = sampleColumn()
+    c.count shouldBe orig.count
+    c.trueCount shouldBe orig.trueCount
+    c.nullCount shouldBe orig.nullCount
+    c.schema.get(InferredType.Integral) shouldBe 100L
+    c.schema.get(InferredType.Fractional) shouldBe 1L
+    c.schema.get(InferredType.String) shouldBe 2L
+    c.numbers.count shouldBe orig.numbers.count
+    c.numbers.finalMin shouldBe orig.numbers.finalMin
+    c.numbers.finalMax shouldBe orig.numbers.finalMax
+    c.numbers.finalSum shouldBe orig.numbers.finalSum
+    c.numbers.variance.mean shouldBe orig.numbers.variance.mean
+    c.numbers.variance.m2 shouldBe orig.numbers.variance.m2
+    c.numbers.kll.getN shouldBe orig.numbers.kll.getN
+    c.numbers.theta.getResult.getEstimate shouldBe
+      orig.numbers.theta.getResult.getEstimate
+    c.strings.count shouldBe orig.strings.count
+    c.strings.length.max shouldBe orig.strings.length.max
+    c.strings.length.sum shouldBe orig.strings.length.sum
+    c.strings.tokenLength.max shouldBe orig.strings.tokenLength.max
+    c.hll.getEstimate shouldBe orig.hll.getEstimate
+    c.freq.getNumActiveItems shouldBe orig.freq.getNumActiveItems
+  }
+
+  test("delimited stream round trip") {
+    val profile = ProfileProto.DatasetProfile(
+      "s", 1L, None, Map.empty, Map.empty, Map("c" -> sampleColumn()))
+    val bos = new ByteArrayOutputStream()
+    ProfileProto.writeDelimited(bos, profile)
+    ProfileProto.writeDelimited(bos, profile)
+    val in = new ByteArrayInputStream(bos.toByteArray)
+    val first = ProfileProto.readDelimited(in)
+    val second = ProfileProto.readDelimited(in)
+    val third = ProfileProto.readDelimited(in)
+    first.map(_.sessionId) shouldBe Some("s")
+    second.map(_.columns.size) shouldBe Some(1)
+    third shouldBe None
+  }
+
+  test("parsed column merges with a native one (cross-writer merge)") {
+    val profile = ProfileProto.DatasetProfile(
+      "s", 1L, None, Map.empty, Map.empty, Map("c" -> sampleColumn()))
+    val parsed = ProfileProto.fromBytes(ProfileProto.toBytes(profile))
+    val merged = sampleColumn()
+    merged.merge(parsed.columns("c"))
+    merged.count shouldBe 2 * sampleColumn().count
+    merged.numbers.finalSum shouldBe 2 * sampleColumn().numbers.finalSum
+  }
+
+  test("interop: parses the reference Python implementation's profile") {
+    val path = "/root/reference/core/src/test/resources/python_profile.bin"
+    assume(new java.io.File(path).exists())
+    val in = new FileInputStream(path)
+    val profile = try ProfileProto.readDelimited(in).get finally in.close()
+
+    profile.sessionId shouldBe "d78c144f-a15a-4fd2-b1f6-11410afb55b1"
+    profile.sessionTimestamp shouldBe 1608772592814L
+    profile.dataTimestamp shouldBe Some(1608768000000L)
+    profile.tags should contain("Name" -> "lending_club_credit_model")
+
+    val openAcc = profile.columns("open_acc")
+    openAcc.count shouldBe 2299973L
+    openAcc.schema.get(InferredType.Fractional) shouldBe 2299973L
+    openAcc.numbers.variance.mean shouldBe 12.0112646 +- 1e-6
+    openAcc.numbers.doubles.count shouldBe 2299973L
+    openAcc.numbers.doubles.min shouldBe -97.07 +- 0.01
+    openAcc.numbers.doubles.max shouldBe 202.89 +- 0.01
+    openAcc.numbers.kll should not be null
+    openAcc.numbers.kll.getN should be > 0L
+    openAcc.hll should not be null
+    openAcc.hll.getEstimate should be > 0.0
+
+    val state = profile.columns("addr_state")
+    state.count shouldBe 2299973L
+    state.schema.get(InferredType.String) shouldBe 2299973L
+    state.freq should not be null
+    state.freq.getNumActiveItems should be > 0
+  }
+
+  test("interop: reference regression.bin properties parse") {
+    val path = "/root/reference/core/src/test/resources/regression.bin"
+    assume(new java.io.File(path).exists())
+    val in = new FileInputStream(path)
+    val profile = try ProfileProto.readDelimited(in).get finally in.close()
+    profile.sessionId shouldBe "my-model-name"
+    profile.sessionTimestamp shouldBe 1615765458912L
+    profile.dataTimestamp shouldBe None // wire value -1
+    profile.columns.keySet should contain("predictions")
+  }
+}
