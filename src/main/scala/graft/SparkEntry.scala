@@ -282,6 +282,26 @@ object SparkEntry {
         count(lit(1)).as("n_unique"))
     }),
 
+    "q30_csv_date_profile" -> ((s, dir) => {
+      // EP3 CLI-profiler surface: CSV scan (all strings) -> EasyDateTime
+      // date parsing -> per-date profiles with numeric-string matching;
+      // exact metrics recovered from string-typed CSV columns
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_dates").toString
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      graft.io.CsvProfiler.profile(s, tmp,
+          dateColumn = Some(("o_orderdate", "yyyy-MM-dd")))
+        .select(col("profile_ts").cast("date").as("order_date"),
+          col("o_totalprice.count").as("n"),
+          round(col("o_totalprice.numbers.sum"), 2).as("price_sum"),
+          col("o_totalprice.numbers.min").as("price_min"),
+          col("o_totalprice.inferred_type").as("price_type"),
+          col("o_orderkey.inferred_type").as("key_type"))
+    }),
+
     "q28_json_summary" -> ((s, dir) => {
       // JSON summary sink (reference cli/Profiler.java:150-168): profile ->
       // one JSON document per row; verified by parsing metrics back out
@@ -616,6 +636,15 @@ object SparkEntry {
         |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) AS entropy,
         |  count(*) AS n_unique
         |FROM counts, tot""".stripMargin,
+
+    "q30_csv_date_profile" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS price_sum,
+        |  min(o_totalprice) AS price_min,
+        |  'FRACTIONAL' AS price_type,
+        |  'INTEGRAL' AS key_type
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q28_json_summary" ->
       """SELECT l_returnflag, count(*) AS n,
