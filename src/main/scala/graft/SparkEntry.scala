@@ -282,6 +282,21 @@ object SparkEntry {
         count(lit(1)).as("n_unique"))
     }),
 
+    "q31_autosegmentation" -> ((s, dir) => {
+      // estimate_segments greedy loop (autosegmentation.py:77-173): pick
+      // segment columns by normalized weighted-entropy gain until the
+      // segment budget is exhausted; derived categorical columns give the
+      // loop a real two-step choice on events
+      import s.implicits._
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("etype"),
+        floor(col("value") / 100).cast("int").cast("string").as("vb"),
+        pmod(col("user_id"), lit(4)).cast("string").as("ub"))
+      val segs = ops.AutoSegmentation.estimateSegments(ev, Some("etype"))
+      segs.zipWithIndex.map { case (c, i) => (i + 1, c) }
+        .toDF("pos", "column_name")
+    }),
+
     "q30_csv_date_profile" -> ((s, dir) => {
       // EP3 CLI-profiler surface: CSV scan (all strings) -> EasyDateTime
       // date parsing -> per-date profiles with numeric-string matching;
@@ -636,6 +651,62 @@ object SparkEntry {
         |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) AS entropy,
         |  count(*) AS n_unique
         |FROM counts, tot""".stripMargin,
+
+    "q31_autosegmentation" ->
+      """WITH base AS (
+        |  SELECT event_type AS etype,
+        |    CAST(CAST(floor(value / 100) AS INT) AS VARCHAR) AS vb,
+        |    CAST(user_id % 4 AS VARCHAR) AS ub
+        |  FROM events),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM base),
+        |card AS (SELECT count(DISTINCT vb)::DOUBLE AS nu_vb,
+        |                count(DISTINCT ub)::DOUBLE AS nu_ub FROM base),
+        |e0 AS (SELECT -sum(p * log2(p)) AS e FROM (
+        |  SELECT count(*)::DOUBLE / (SELECT n FROM tot) AS p
+        |  FROM base GROUP BY etype)),
+        |evb AS (SELECT sum(ent * w) AS e FROM (
+        |  SELECT vb, -sum(p * log2(p)) AS ent,
+        |         sum(gc) / (SELECT n FROM tot) AS w FROM (
+        |    SELECT vb, etype, count(*)::DOUBLE AS gc,
+        |      count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY vb) AS p
+        |    FROM base GROUP BY vb, etype) GROUP BY vb)),
+        |eub AS (SELECT sum(ent * w) AS e FROM (
+        |  SELECT ub, -sum(p * log2(p)) AS ent,
+        |         sum(gc) / (SELECT n FROM tot) AS w FROM (
+        |    SELECT ub, etype, count(*)::DOUBLE AS gc,
+        |      count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY ub) AS p
+        |    FROM base GROUP BY ub, etype) GROUP BY ub)),
+        |eboth AS (SELECT sum(ent * w) AS e FROM (
+        |  SELECT vb, ub, -sum(p * log2(p)) AS ent,
+        |         sum(gc) / (SELECT n FROM tot) AS w FROM (
+        |    SELECT vb, ub, etype, count(*)::DOUBLE AS gc,
+        |      count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY vb, ub) AS p
+        |    FROM base GROUP BY vb, ub, etype) GROUP BY vb, ub)),
+        |g AS (SELECT
+        |  ((SELECT e FROM e0) - (SELECT e FROM evb)) /
+        |    ln((SELECT nu_vb FROM card)) AS g_vb,
+        |  ((SELECT e FROM e0) - (SELECT e FROM eub)) /
+        |    ln((SELECT nu_ub FROM card)) AS g_ub,
+        |  (SELECT e FROM evb) AS e_vb, (SELECT e FROM eub) AS e_ub,
+        |  (SELECT e FROM eboth) AS e_both,
+        |  (SELECT nu_vb FROM card) AS nu_vb,
+        |  (SELECT nu_ub FROM card) AS nu_ub),
+        |pick AS (SELECT *,
+        |  CASE WHEN g_vb <= 0 AND g_ub <= 0 THEN NULL
+        |       WHEN g_ub >= g_vb THEN 'ub' ELSE 'vb' END AS w1 FROM g),
+        |step2 AS (SELECT *,
+        |  CASE WHEN w1 = 'vb' THEN nu_vb ELSE nu_ub END AS used,
+        |  CASE WHEN w1 = 'vb' THEN 'ub' ELSE 'vb' END AS other,
+        |  CASE WHEN w1 = 'vb' THEN nu_ub ELSE nu_vb END AS nu_other,
+        |  CASE WHEN w1 = 'vb' THEN e_vb ELSE e_ub END AS e_w1
+        |  FROM pick),
+        |fin AS (SELECT w1, other,
+        |  (nu_other * used <= 30 - used)
+        |    AND ((e_w1 - e_both) / ln(nu_other) > 0) AS take2
+        |  FROM step2)
+        |SELECT 1 AS pos, w1 AS column_name FROM fin WHERE w1 IS NOT NULL
+        |UNION ALL
+        |SELECT 2, other FROM fin WHERE take2""".stripMargin,
 
     "q30_csv_date_profile" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_date,
