@@ -103,7 +103,7 @@ object ProfileIO {
 
   private def profileStructCols(profiles: DataFrame): Seq[String] =
     profiles.schema.fields.collect {
-      case f if f.dataType == ProfileSchema.schema => f.name
+      case f if ProfileSchema.isProfileType(f.dataType) => f.name
     }.toSeq
 
   /** Append a `why_profile` binary column carrying the full

@@ -96,6 +96,23 @@ object ProfileSchema {
     StructField("frequent_items", ArrayType(frequentItemType)),
     StructField("state", BinaryType)))
 
+  /** Nullability-normalized type equality: parquet round-trips relax
+    * nullable flags, but the struct shape still identifies a profile column.
+    */
+  private def normalize(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, normalize(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(normalize(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(normalize(m.keyType), normalize(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private lazy val normalizedSchema = normalize(schema)
+
+  def isProfileType(dt: DataType): Boolean = normalize(dt) == normalizedSchema
+
   private def momentsRow(m: Moments): Row =
     if (m.count == 0) Row(0L, null, null, null, null, null, null)
     else Row(m.count, m.min, m.max, m.sum, m.mean,
@@ -129,14 +146,31 @@ object ProfileSchema {
           val hist =
             if (!(mx > mn)) Seq(Row(mn.toDouble, mx.toDouble, n.kll.getN))
             else {
+              // equal-width split points, kept strictly increasing: at large
+              // magnitudes the float width can round below one ulp and
+              // produce duplicate splits, which getPMF rejects — drop them
+              // (the affected bins merge into their neighbor)
               val width = (mx - mn) / HistogramBins.toFloat
-              val splits = Array.tabulate(HistogramBins - 1)(i => mn + width * (i + 1))
-              val pmf = n.kll.getPMF(splits, QuantileSearchCriteria.INCLUSIVE)
+              val splits = {
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Float]
+                var prev = mn
+                var i = 1
+                while (i < HistogramBins) {
+                  val s = mn + width * i
+                  if (s > prev && s < mx) { buf += s; prev = s }
+                  i += 1
+                }
+                buf.toArray
+              }
               val total = n.kll.getN
-              pmf.toIndexedSeq.zipWithIndex.map { case (p, i) =>
-                val lo = mn + width * i
-                val hi = if (i == HistogramBins - 1) mx else mn + width * (i + 1)
-                Row(lo.toDouble, hi.toDouble, math.round(p * total))
+              if (splits.isEmpty) Seq(Row(mn.toDouble, mx.toDouble, total))
+              else {
+                val pmf = n.kll.getPMF(splits, QuantileSearchCriteria.INCLUSIVE)
+                val bounds = mn +: splits :+ mx
+                pmf.toIndexedSeq.zipWithIndex.map { case (p, i) =>
+                  Row(bounds(i).toDouble, bounds(i + 1).toDouble,
+                    math.round(p * total))
+                }
               }
             }
           (qs, hist)

@@ -103,7 +103,7 @@ object ProfileSession {
     */
   def mergeProfiles(profiles: DataFrame, keys: Seq[String]): DataFrame = {
     val profileCols = profiles.schema.fields.collect {
-      case f if f.dataType == ProfileSchema.schema => f.name
+      case f if ProfileSchema.isProfileType(f.dataType) => f.name
     }.toSeq
     val aggCols = profileCols.map(c => profile_merge(col(c)).as(c))
     if (keys.isEmpty) profiles.agg(aggCols.head, aggCols.tail: _*)

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.metrics.ProfileConfig
+import graft.profile.ProfileSession
+
+/** Profiling under Structured Streaming (SURVEY build-plan layer 7): the
+  * same per-column profile aggregates run under
+  * `groupBy(window(ts, cadence), keys)` with a watermark — late data folds
+  * in through the aggregate's merge, exactly the mergeability the batch
+  * engine already proves. State per group is the compact sketch buffer
+  * (KBs), so state-store size is groups x columns x KBs, independent of
+  * stream length.
+  *
+  * The reference has no streaming engine; its designed hook is profile
+  * mergeability across batches (DatasetProfile.java:241-250). The
+  * store-and-merge sink below is that hook: each micro-batch appends its
+  * profile rows to a parquet store, and [[mergeStored]] re-aggregates the
+  * store down to one profile per (keys x window) whenever queried.
+  */
+object StreamingProfile {
+
+  /** Windowed streaming profiles: one row per (window x keys) per trigger.
+    * `df` must be a streaming DataFrame with an event-time column.
+    */
+  def windowedProfiles(
+      df: DataFrame,
+      timeColumn: String,
+      cadence: String,
+      watermark: String,
+      keys: Seq[String] = Nil,
+      cfg: ProfileConfig = ProfileConfig.default): DataFrame = {
+    val marked = df.withWatermark(timeColumn, watermark)
+    val session = ProfileSession(marked, groupKeys = keys,
+      timeColumn = Some((timeColumn, cadence)), cfg = cfg)
+    session.aggProfiles()
+  }
+
+  /** Store-and-merge sink over the RAW stream: each micro-batch is
+    * profiled independently (plain batch aggregation inside foreachBatch —
+    * no cross-batch state) and its partial profiles appended to a parquet
+    * store; [[mergeStored]] merges the partials on read. This is the
+    * pattern for unbounded retention: the state store never grows, and the
+    * stored partials re-aggregate to exactly the all-data profile because
+    * the profile is a commutative monoid.
+    *
+    * (A stateful-aggregation variant must NOT be appended per trigger:
+    * update-mode emissions carry cumulative group state, so storing every
+    * emission would double-count earlier batches.)
+    */
+  def perBatchProfileSink(
+      df: DataFrame,
+      storePath: String,
+      keys: Seq[String] = Nil,
+      timeColumn: Option[(String, String)] = None,
+      cfg: ProfileConfig = ProfileConfig.default): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          ProfileSession(batch, groupKeys = keys, timeColumn = timeColumn,
+            cfg = cfg).aggProfiles()
+            .write.mode("append").parquet(storePath)
+        }
+      }
+
+  /** Re-aggregate the profile store down to one profile per group — the
+    * cross-batch merge (same monoid as the batch engine's mergeProfiles).
+    */
+  def mergeStored(spark: SparkSession, storePath: String,
+      keys: Seq[String]): DataFrame =
+    ProfileSession.mergeProfiles(spark.read.parquet(storePath), keys)
+}

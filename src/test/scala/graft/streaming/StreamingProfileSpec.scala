@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+import graft.profile.ProfileSession.ProfilingOps
+
+/** Streaming smoke: the profile aggregate under Structured Streaming with
+  * windows + watermark must converge to the same profile as a batch run
+  * over the same rows, both through the in-flight state-store merge
+  * (complete mode) and through the store-and-merge parquet sink.
+  */
+class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private val batch1 = Seq(
+    (ts(1, 1), "a", 10.0), (ts(1, 2), "a", 20.0), (ts(1, 3), "b", 5.0),
+    (ts(2, 1), "a", 30.0), (ts(2, 2), "b", 7.0))
+  private val batch2 = Seq(
+    (ts(1, 4), "a", 40.0), (ts(2, 3), "b", 9.0), (ts(2, 4), "b", 11.0))
+
+  test("streamed windowed profile equals the batch profile") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "key", "value")
+
+    val profiles = StreamingProfile.windowedProfiles(
+      streamDf, "ts", "1 day", "2 days", keys = Seq("key"))
+
+    val q = profiles.writeStream
+      .format("memory").queryName("prof_stream").outputMode("complete").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      """SELECT key, CAST(window.start AS DATE) AS day,
+        |  value.count AS n, value.numbers.sum AS s,
+        |  value.numbers.min AS mn, value.numbers.max AS mx
+        |FROM prof_stream""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    val batchDf = (batch1 ++ batch2).toDF("ts", "key", "value")
+    val expected = batchDf.newProfilingSession()
+      .groupBy("key").withTimeColumn("ts", "1 day").aggProfiles()
+      .select(col("key"), col("window.start").cast("date").cast("string"),
+        col("value.count"), col("value.numbers.sum"),
+        col("value.numbers.min"), col("value.numbers.max"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    streamed shouldBe expected
+    streamed.size shouldBe 4 // 2 keys x 2 days
+  }
+
+  test("store-and-merge sink: merged micro-batch profiles equal batch profile") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "key", "value")
+
+    val q = StreamingProfile.perBatchProfileSink(
+      streamDf, store, keys = Seq("key")).start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the store holds one partial profile per (key x micro-batch); they
+    // must merge to exactly the all-data batch answer
+    val merged = StreamingProfile.mergeStored(spark, store, Seq("key"))
+      .select(col("key"), col("value.count"), col("value.numbers.sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val expected = (batch1 ++ batch2).toDF("ts", "key", "value")
+      .newProfilingSession().groupBy("key").aggProfiles()
+      .select(col("key"), col("value.count"), col("value.numbers.sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    merged shouldBe expected
+  }
+}
