@@ -194,6 +194,25 @@ object SparkEntry {
           .as("n_parts"))
     }),
 
+    "q16_strings_summary" -> ((s, dir) => {
+      // string-theta unique counts + the <100-distinct frequent-strings
+      // gate: low-cardinality o_orderpriority emits frequent items (top
+      // estimate = exact modal count below sketch capacity); the
+      // high-cardinality stringified key column is gated to null
+      val o = t(s, dir, "orders")
+        .withColumn("okey_str", col("o_orderkey").cast("string"))
+      o.newProfilingSession().groupBy("o_orderstatus").aggProfiles()
+        .select(col("o_orderstatus"),
+          round(col("o_orderpriority.strings.unique.estimate")).cast("long")
+            .as("n_unique_prio"),
+          coalesce(size(col("o_orderpriority.strings.frequent")), lit(-1))
+            .as("prio_freq_n"),
+          col("o_orderpriority.strings.frequent")(0)("estimate")
+            .as("prio_top_estimate"),
+          coalesce(size(col("okey_str.strings.frequent")), lit(-1))
+            .as("key_freq_n"))
+    }),
+
     // ---- q2x: dataflow / relational ----
     "q20_csv_roundtrip" -> ((s, dir) => {
       // CSV sink + scan (EP3 surface): parquet -> csv -> aggregate
@@ -600,6 +619,17 @@ object SparkEntry {
     "q15_theta_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q16_strings_summary" ->
+      """WITH pc AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus,
+        |  count(*) AS n_unique_prio,
+        |  count(*)::INT AS prio_freq_n,
+        |  max(c) AS prio_top_estimate,
+        |  -1 AS key_freq_n
+        |FROM pc GROUP BY 1""".stripMargin,
 
     "q20_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name

@@ -63,6 +63,11 @@ object ProfileSchema {
     StructField("length", momentsType),
     StructField("token_length", momentsType),
     StructField("char_pos", MapType(StringType, momentsType)),
+    // emitted only when the distinct estimate is < 100, the reference's
+    // NO_FALSE_NEGATIVES gate (SummaryConverters.java:55-60)
+    StructField("frequent", ArrayType(StructType(Seq(
+      StructField("value", StringType),
+      StructField("estimate", LongType))))),
     StructField("theta", BinaryType)))
 
   val typeCountsType: StructType = StructType(Seq(
@@ -209,8 +214,19 @@ object ProfileSchema {
           else s.charPos.perChar.map { case (c, m) =>
             (if (c == '\u0000') "NITL" else c.toString) -> momentsRow(m)
           }.toMap
+        // frequent strings gate: only when distinct estimate < 100
+        // (reference SummaryConverters.java:55-60); items come from the
+        // column-level sketch (values string columns track are the same,
+        // truncated at 256 chars)
+        val frequent =
+          if (unique != null && unique.getDouble(0) < 100 && st.freq != null) {
+            val items = st.freq
+              .getFrequentItems(org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+              .toSeq.map(r => Row(r.getItem, r.getEstimate))
+            if (items.isEmpty) null else items
+          } else null
         Row(s.count, unique, momentsRow(s.length), momentsRow(s.tokenLength),
-          charPos,
+          charPos, frequent,
           if (s.theta == null) null else s.theta.getResult.toByteArrayCompressed)
       }
 

@@ -124,6 +124,51 @@ class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     q.last shouldBe lineitem.agg(max(col("l_extendedprice"))).first().getDouble(0).toFloat.toDouble +- math.abs(exact) * 1e-6
   }
 
+  test("histogram bins partition the data exactly below sketch capacity") {
+    import spark.implicits._
+    val values = (1 to 200).map(_.toDouble)
+    val hist = values.toDF("v").newProfilingSession().aggProfiles()
+      .select(col("v.numbers.histogram")).first()
+      .getSeq[Row](0)
+    hist.map(_.getLong(2)).sum shouldBe 200L
+    // expected: same float split arithmetic as the implementation
+    val mn = 1.0f; val mx = 200.0f
+    val width = (mx - mn) / 30.0f
+    val splits = (1 until 30).map(i => mn + width * i)
+    val bounds = (mn +: splits :+ mx).map(_.toDouble)
+    val expected = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      values.count(v => (v.toFloat <= hi) && (i == 0 || v.toFloat > lo)).toLong
+    }.toSeq
+    hist.map(_.getLong(2)) shouldBe expected
+    hist.head.getDouble(0) shouldBe 1.0
+    hist.last.getDouble(1) shouldBe 200.0
+  }
+
+  test("unique-count summary: estimate with bounds, exact below capacity") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i % 100).toLong).toDF("v")
+    val u = df.newProfilingSession().aggProfiles()
+      .select(col("v.numbers.unique")).first().getStruct(0)
+    u.getDouble(0) shouldBe 100.0 +- 1e-9 // estimate
+    u.getDouble(1) should be <= u.getDouble(0) // lower
+    u.getDouble(2) should be >= u.getDouble(0) // upper
+  }
+
+  test("string unique + frequent-strings gate (<100 distinct emits)") {
+    import spark.implicits._
+    val small = (1 to 300).map(i => s"v${i % 7}").toDF("s")
+    val smallRow = small.newProfilingSession().aggProfiles()
+      .select(col("s.strings.unique.estimate"), col("s.strings.frequent")).first()
+    smallRow.getDouble(0) shouldBe 7.0 +- 1e-9
+    smallRow.getSeq[Row](1) should have size 7
+
+    val big = (1 to 300).map(i => s"u$i").toDF("s")
+    val bigRow = big.newProfilingSession().aggProfiles()
+      .select(col("s.strings.unique.estimate"), col("s.strings.frequent")).first()
+    bigRow.getDouble(0) shouldBe 300.0 +- 1e-9
+    bigRow.isNullAt(1) shouldBe true // gated: >= 100 distinct
+  }
+
   test("cardinality estimate is exact for small distinct counts") {
     val p = spark.read.parquet(s"$sfDir/nation.parquet")
       .newProfilingSession().aggProfiles()
