@@ -74,6 +74,25 @@ object Bench {
           .groupBy("l_returnflag", "l_linestatus").aggProfiles()
         graft.profile.ProfileSession.mergeProfiles(fine, Seq("l_returnflag"))
           .count()
+      }),
+      // IVF ANN: 100 queries through centroid-pruned inverted lists
+      "ann_ivf" -> (() => {
+        val emb = t("embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
+      }),
+      // multi-band hyperplane LSH near-dup pairs over the corpus
+      "dedup_embedding" -> (() =>
+        Dedup.embeddingNearDups(t("embeddings"), "vec_id", "embedding",
+          threshold = 0.8, signBits = 8, bands = 8).count()),
+      // whylogs wire-format export of a grouped profile (write+reparse)
+      "proto_export" -> (() => {
+        val prof = t("lineitem").newProfilingSession()
+          .groupBy("l_returnflag").aggProfiles()
+        graft.io.ProfileIO.withProtoColumn(prof)
+          .select(graft.io.ProfileIO
+            .protoColumnStats(col("why_profile"), "l_quantity"))
+          .count()
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,

@@ -344,3 +344,50 @@ case class PairGenerator(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Polynomial rolling hash (base 31, mod 1e9+7) over whitespace-normalized
+  * lowercased text in ONE pass — replaces the regexp_replace + per-char
+  * split + interpreted HOF aggregate composition (which materialized a
+  * char-array per row and dispatched a lambda per character).
+  *
+  * Semantics (bit-for-bit with the composition it replaces): runs of \s
+  * whitespace collapse to one space, text is lowercased, each character's
+  * codepoint folds in as h = (h*31 + cp) mod 1e9+7.
+  */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val Mod = 1000000007L
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rolling_hash64 requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var h = 0L
+    var i = 0
+    val n = text.length
+    var pendingSpace = false
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace) { h = (h * 31L + 32L) % Mod; pendingSpace = false }
+        h = (h * 31L + cp) % Mod
+      }
+      if (i >= n && pendingSpace) h = (h * 31L + 32L) % Mod
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -72,4 +72,72 @@ object Multimodal {
         col("img.channels").as("channels"),
         col("img.content_id").as("content_id"))
   }
+
+  // --- executor-side codec boundary (the mapInPandas-equivalent shape) ---
+
+  /** One decoded media row. */
+  final case class ImageRecord(
+      id: Long, blob_bytes: Long, width: Int, height: Int, channels: Int,
+      content_id: String)
+
+  /** Codec boundary for real decoders: `open()` runs ONCE per partition
+    * (native decoder/model init is the expensive part — amortized across
+    * the partition, the reason this is a mapPartitions and not a per-row
+    * UDF), `decode` per blob, `close()` when the partition drains.
+    */
+  trait ImageCodec extends Serializable {
+    def open(): Unit = ()
+    /** @return (width, height, channels) parsed from the container. */
+    def decode(blob: Array[Byte]): (Int, Int, Int)
+    def close(): Unit = ()
+  }
+
+  /** Deterministic FAKE codec — this container ships no image libraries,
+    * so dimensions derive from the byte length (same arithmetic as
+    * [[decodeImageStub]]). Swap for a real header parser in production;
+    * everything around it (batching, partition lifecycle, schema) is the
+    * real plumbing.
+    */
+  object FakeImageCodec extends ImageCodec {
+    override def decode(blob: Array[Byte]): (Int, Int, Int) =
+      (64 + blob.length % 512, 64 + (blob.length * 7) % 512, 3)
+  }
+
+  /** Decode + resize through a partition-scoped codec: no shuffle, codec
+    * init amortized per partition, rows stream through the iterator (the
+    * Scala-side equivalent of a mapInPandas batch pipeline).
+    */
+  def decodePartitions(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      codec: ImageCodec = FakeImageCodec,
+      maxSide: Int = 256): org.apache.spark.sql.Dataset[ImageRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), asBlob(col(textCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        codec.open()
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        val decoded = it.map { case (id, blob) =>
+          val (w0, h0, c) = codec.decode(blob)
+          val scale =
+            if (math.max(w0, h0) > maxSide) maxSide.toDouble / math.max(w0, h0)
+            else 1.0
+          digest.reset()
+          val hex = digest.digest(blob).map("%02x".format(_)).mkString
+          ImageRecord(id, blob.length.toLong,
+            math.floor(w0 * scale).toInt, math.floor(h0 * scale).toInt, c, hex)
+        }
+        new Iterator[ImageRecord] {
+          override def hasNext: Boolean = {
+            val h = decoded.hasNext
+            if (!h) codec.close()
+            h
+          }
+          override def next(): ImageRecord = decoded.next()
+        }
+      }
+  }
 }

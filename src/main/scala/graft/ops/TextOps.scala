@@ -94,13 +94,12 @@ object TextOps {
 
   /** Polynomial rolling hash (base 31, mod 1e9+7 — intermediate products
     * stay well inside Long range) over the normalized text — cheap
-    * shard-stable fingerprint; native expression composition via
-    * aggregate over the char array.
+    * shard-stable fingerprint. One-pass expression
+    * ([[graft.functions.RollingHash64]]); the HOF composition it replaced
+    * materialized a per-char array and dispatched a lambda per character.
     */
-  def rollingHash(text: Column): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
-    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
-  }
+  def rollingHash(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RollingHash64(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 }

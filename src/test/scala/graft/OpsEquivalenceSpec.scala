@@ -105,6 +105,29 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("rolling_hash64 equals the HOF composition it replaced") {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
+    val reference = aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
+    val mismatches = docs
+      .select(graft.ops.TextOps.rollingHash(col("text")).as("fast"),
+        reference.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    mismatches shouldBe 0L
+    // edge cases: empty, all-whitespace, leading/trailing/interior runs
+    val edge = spark.sql(
+      """SELECT * FROM VALUES ('', 1), ('   ', 2), ('  a  b  ', 3),
+        |('Mixed CASE  text', 4), ('tab\there', 5) AS t(text, id)""".stripMargin)
+    val edgeMismatch = edge
+      .select(graft.ops.TextOps.rollingHash(col("text")).as("fast"),
+        aggregate(transform(split(lower(regexp_replace(col("text"), "\\s+", " ")), ""),
+          c => ascii(c).cast("long")), lit(0L),
+          (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    edgeMismatch shouldBe 0L
+  }
+
   test("vec_match_count counts agreeing positions") {
     val df = spark.sql(
       "SELECT array(1L, 2L, 3L, 4L) AS a, array(1L, 9L, 3L, 8L) AS b")
