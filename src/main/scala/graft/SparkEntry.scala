@@ -265,6 +265,23 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    "q32_inmemory_scan" -> ((s, dir) => {
+      // in-memory source (reference DatasetProfile.track(Map) row API):
+      // profile a literal dataset created on the driver
+      import s.implicits._
+      val df = Seq(
+        (1L, Some("a"), 1.5), (2L, Some("b"), 2.5), (3L, Some("a"), 3.5),
+        (4L, None, 4.5), (5L, Some("b"), 5.5), (6L, Some("a"), 6.5))
+        .toDF("id", "k", "v")
+      df.newProfilingSession().aggProfiles()
+        .select(col("id.count").as("n"),
+          col("k.null_count").as("k_nulls"),
+          col("k.type_counts.string").as("k_strings"),
+          round(col("v.numbers.sum"), 2).as("v_sum"),
+          col("v.numbers.min").as("v_min"),
+          col("id.numbers.long_sum").as("id_sum"))
+    }),
+
     "q25_regression_metrics" -> ((s, dir) => {
       t(s, dir, "lineitem").newProfilingSession()
         .withRegressionModel("l_extendedprice", "l_quantity")
@@ -659,6 +676,18 @@ object SparkEntry {
 
     "q24_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    "q32_inmemory_scan" ->
+      """WITH d(id, k, v) AS (VALUES
+        |  (1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 3.5),
+        |  (4, NULL, 4.5), (5, 'b', 5.5), (6, 'a', 6.5))
+        |SELECT count(*) AS n,
+        |  count(*) FILTER (k IS NULL) AS k_nulls,
+        |  count(k) AS k_strings,
+        |  round(sum(v), 2) AS v_sum,
+        |  min(v) AS v_min,
+        |  sum(id)::BIGINT AS id_sum
+        |FROM d""".stripMargin,
 
     "q25_regression_metrics" ->
       """SELECT count(*) AS n,

@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on arbitrary key columns: keeps the row with the smallest
-    * `idCol` per key (deterministic winner). One hash-shuffle on the key.
+    * `idCol` per key (deterministic winner). Planned as a hash aggregate
+    * with `min_by` — map-side partial aggregation reduces each partition
+    * to one candidate row per key BEFORE the shuffle, unlike the
+    * row_number window formulation, which shuffles and sorts every
+    * duplicate.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** Per-key duplicate statistics (survivor id + group size). */
