@@ -265,6 +265,47 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    "q33_salted_join" -> ((s, dir) => {
+      // skew-resistant equi-join: result must equal the plain join
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      ops.Joins.saltedJoin(li, o, "okey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty_sum"))
+    }),
+
+    "q34_range_join" -> ((s, dir) => {
+      // band join via range bucketing: equi-join on bucket id + residual
+      // filter instead of a nested-loop cross product
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val bands = Seq((1, 900.0, 1100.0), (2, 5000.0, 5500.0),
+        (3, 90000.0, 95000.0)).toDF("band_id", "lo", "hi")
+      ops.Joins.rangeBucketJoin(li, bands, "l_extendedprice", "lo", "hi",
+          bucketWidth = 1000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("price_sum"))
+    }),
+
+    "q35_asof_join" -> ((s, dir) => {
+      // as-of join: each click enriched with the latest prior view's value
+      // per user — union + window, one shuffle on the key
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("value"))
+      ops.Joins.asOfJoin(clicks, views, "user_id", "ts", "vts", Seq("value"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("value")).as("n_matched"),
+          round(sum(col("value")), 2).as("value_sum"))
+    }),
+
     "q32_inmemory_scan" -> ((s, dir) => {
       // in-memory source (reference DatasetProfile.track(Map) row API):
       // profile a literal dataset created on the driver
@@ -676,6 +717,30 @@ object SparkEntry {
 
     "q24_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    "q33_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q34_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (1, 900.0, 1100.0), (2, 5000.0, 5500.0), (3, 90000.0, 95000.0))
+        |SELECT band_id, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+        |GROUP BY 1""".stripMargin,
+
+    "q35_asof_join" ->
+      """SELECT count(*) AS n_clicks, count(r.value) AS n_matched,
+        |  round(sum(r.value), 2) AS value_sum
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS vts, value FROM events
+        |      WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.vts""".stripMargin,
 
     "q32_inmemory_scan" ->
       """WITH d(id, k, v) AS (VALUES

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for skewed / large-scale pipelines. The reference never
+  * joins (profile merge covers its multi-source story, SURVEY §2.b), but a
+  * 100 TB training-data pipeline does — these are the patterns AQE cannot
+  * always reach:
+  *
+  *  - [[saltedJoin]]: hot keys in a shuffle join put one reducer on the
+  *    critical path. Salting splits every large-side key into
+  *    `saltBuckets` sub-partitions and replicates the matching small-side
+  *    rows across them, so a key's rows spread over `saltBuckets` tasks.
+  *    (AQE's skew-join split handles sort-merge joins after the fact;
+  *    salting is the declarative form that also composes with
+  *    aggregations downstream.)
+  *  - [[rangeBucketJoin]]: inequality/band joins (value BETWEEN lo AND hi)
+  *    naively plan as BroadcastNestedLoopJoin over the whole cross
+  *    product. Bucketing both sides by range turns them into an equi-join
+  *    on the bucket id with a residual filter.
+  */
+object Joins {
+
+  /** Equi-join `large` with `small` on `key`, salted into `saltBuckets`
+    * sub-keys. Result rows equal the plain join exactly; the shuffle key
+    * is (key, salt) so no single reducer owns a hot key. The salt on the
+    * large side is a deterministic hash of the whole row (stable under
+    * retries); the small side replicates `saltBuckets` times.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1)
+    val largeCols = large.columns.toSeq
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(largeCols.map(col): _*), lit(saltBuckets.toLong)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until saltBuckets)
+        .map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Band join: `left.valueCol BETWEEN right.loCol AND right.hiCol`, with
+    * both sides bucketed by `bucketWidth` so the join is an equi-join on
+    * the bucket id plus a residual range filter. Each right row lands in
+    * every bucket its [lo, hi] interval overlaps — correct as long as
+    * interval width is bounded (bucketsPerRow <= (hi-lo)/bucketWidth + 2).
+    */
+  def rangeBucketJoin(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTime <= leftTime` per key — the standard event-time enrichment
+    * the reference's host pipelines need. Implemented as a union +
+    * window (single shuffle on (key)), not a per-row subquery:
+    * right rows carry their payload forward via `last(ignoreNulls)` over
+    * the time-ordered union.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(true))
+    val rTagged = right
+      .select((key +: payloadCols).map(col) :+ col(rightTime).as("__t"): _*)
+      .withColumn("__isLeft", lit(false))
+    // align schemas: left lacks payload, right lacks left columns
+    val lAll = payloadCols.foldLeft(lTagged)((df, c) =>
+      df.withColumn(s"__p_$c", lit(null)))
+    val rAll = leftCols.filterNot(c => c == key).foldLeft(
+      rTagged.withColumnsRenamed(payloadCols.map(c => c -> s"__p_$c").toMap)
+    )((df, c) => df.withColumn(c, lit(null)))
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.map(col): _*))
+    // right rows sort before left rows at equal timestamps so an exact
+    // timestamp match is visible to the left row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__isLeft"))
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__f_$c").as(c)): _*)
+  }
+}
