@@ -265,6 +265,19 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    "q36_cube_profile" -> ((s, dir) => {
+      // grouping sets: the profile aggregate under CUBE — Catalyst's
+      // Expand feeds the same ObjectHashAggregate, so rollup hierarchies
+      // come for free (SURVEY §2.b "grouping sets work for free")
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(profile(col("l_quantity")).as("p"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("p.count").as("n"),
+          round(col("p.numbers.sum"), 2).as("qty_sum"),
+          col("p.numbers.min").as("qty_min"))
+    }),
+
     "q33_salted_join" -> ((s, dir) => {
       // skew-resistant equi-join: result must equal the plain join
       val li = t(s, dir, "lineitem")
@@ -717,6 +730,13 @@ object SparkEntry {
 
     "q24_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1""".stripMargin,
+
+    "q36_cube_profile" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  min(l_quantity) AS qty_min
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q33_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
