@@ -536,7 +536,7 @@ object SparkEntry {
         .filter(pmod(col("l_orderkey"), lit(293)) === 0)
       li.groupBy(col("l_returnflag"))
         .agg(kll_quantiles(kll_agg(col("l_extendedprice")),
-          array(graft.profile.ProfileSchema.QuantileGrid.map(lit): _*))
+          array(graft.profile.ProfileSchema.QuantileGrid.toIndexedSeq.map(lit): _*))
           .as("qs"))
         .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
         .select(col("l_returnflag"), col("pos"),

@@ -95,7 +95,7 @@ object Joins {
     val rAll = leftCols.filterNot(c => c == key).foldLeft(
       rTagged.withColumnsRenamed(payloadCols.map(c => c -> s"__p_$c").toMap)
     )((df, c) => df.withColumn(c, lit(null)))
-    val unioned = lAll.unionByName(rAll.select(lAll.columns.map(col): _*))
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.toIndexedSeq.map(col): _*))
     // right rows sort before left rows at equal timestamps so an exact
     // timestamp match is visible to the left row
     val w = Window.partitionBy(col(key))
