@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.io.EasyDateTime
+
+/** Session extension (SURVEY §4: `spark.sql.extensions` +
+  * `injectFunction`): registers every engine function permanently in the
+  * session catalog, so `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes the whole surface SQL-callable with no Scala code — including on
+  * clusters where jobs are submitted as pure SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (es: Seq[Expression]) => builder(es)))
+    }
+}
+
+object GraftExtensions {
+  /** name -> builder for every SQL-exposed function. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_profile" -> (es => ColumnProfileAgg(es.head).toAggregateExpression()),
+    "graft_profile_merge" -> (es => ProfileMergeAgg(es.head).toAggregateExpression()),
+    "kll_agg" -> (es => KllAgg(es.head).toAggregateExpression()),
+    "kll_merge" -> (es => KllMergeAgg(es.head).toAggregateExpression()),
+    "kll_quantile" -> (es => KllQuantile(es(0), es(1))),
+    "kll_quantiles" -> (es => KllQuantiles(es(0), es(1))),
+    "kll_n" -> (es => KllN(es.head)),
+    "kll_histogram" -> (es => KllHistogram(es(0), es(1))),
+    "theta_agg" -> (es => ThetaAgg(es.head).toAggregateExpression()),
+    "theta_merge" -> (es => ThetaMergeAgg(es.head).toAggregateExpression()),
+    "theta_estimate" -> (es => ThetaEstimate(es.head)),
+    "theta_summary" -> (es => ThetaSummary(es.head)),
+    "hll_agg" -> (es => HllAgg(es.head).toAggregateExpression()),
+    "hll_merge" -> (es => HllMergeAgg(es.head).toAggregateExpression()),
+    "hll_estimate" -> (es => HllEstimate(es.head)),
+    "hll_summary" -> (es => HllSummary(es.head)),
+    "freq_items_agg" -> (es => FreqItemsAgg(es.head).toAggregateExpression()),
+    "freq_items_merge" -> (es => FreqItemsMergeAgg(es.head).toAggregateExpression()),
+    "freq_items_topk" -> (es => FreqItemsTopK(es(0), es(1))),
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_match_count" -> (es => VecMatchCount(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "rolling_hash64" -> (es => RollingHash64(es.head)),
+    "word_shingles" -> (es => WordShingles(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "band_hashes" -> (es => BandHashes(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "easy_datetime" -> (es => EasyDateTime(es(0),
+      es(1).eval().toString)))
+}

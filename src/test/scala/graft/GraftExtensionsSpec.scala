@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The SparkSessionExtensions registration path: the shared test session is
+  * built with `spark.sql.extensions=graft.GraftExtensions`, so every engine
+  * function must be callable from pure SQL with no registerAll call.
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  test("sketch aggregates are SQL-callable via session extensions") {
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("li_ext")
+    val row = spark.sql(
+      """SELECT
+        |  kll_n(kll_agg(l_quantity)) AS n,
+        |  round(theta_estimate(theta_agg(l_partkey))) AS parts,
+        |  round(hll_estimate(hll_agg(l_orderkey))) AS orders
+        |FROM li_ext""".stripMargin).first()
+    val exact = spark.sql(
+      """SELECT count(l_quantity), count(DISTINCT l_partkey),
+        |  count(DISTINCT l_orderkey) FROM li_ext""".stripMargin).first()
+    row.getLong(0) shouldBe exact.getLong(0)
+    row.getDouble(1) shouldBe exact.getLong(1).toDouble +- exact.getLong(1) * 0.03
+    row.getDouble(2) shouldBe exact.getLong(2).toDouble +- exact.getLong(2) * 0.03
+  }
+
+  test("profile aggregate and scalar expressions are SQL-callable") {
+    val row = spark.sql(
+      """SELECT p.count, p.numbers.min, p.inferred_type,
+        |  simhash64('hello world') AS sh,
+        |  rolling_hash64('hello world') AS rh,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |FROM (SELECT graft_profile(l_quantity) AS p
+        |      FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`)""".stripMargin)
+      .first()
+    row.getLong(0) shouldBe 6000L
+    row.getDouble(1) shouldBe 1.0
+    row.getString(2) shouldBe "FRACTIONAL"
+    row.getDouble(5) shouldBe 11.0
+  }
+
+  test("easy_datetime is SQL-callable with a pattern literal") {
+    val micros = spark.sql(
+      "SELECT unix_micros(easy_datetime('2020-12-23', 'yyyy-MM-dd'))")
+      .first().getLong(0)
+    micros shouldBe java.time.Instant.parse("2020-12-23T00:00:00Z")
+      .getEpochSecond * 1000000L
+  }
+}

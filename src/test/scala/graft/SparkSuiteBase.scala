@@ -24,6 +24,9 @@ object SparkSuiteBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // engine functions registered the production way (SQL-callable with
+      // no Scala code) — GraftExtensionsSpec exercises this path
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
