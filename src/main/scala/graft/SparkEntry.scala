@@ -464,6 +464,17 @@ object SparkEntry {
           max(col("n_tok")).as("max_tokens"))
     }),
 
+    "q47_bpeish_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpe"),
+          TextOps.tokenCount(col("text")).as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("bpe_tokens"),
+          sum(col("n_ws")).as("ws_tokens"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe"))
+    }),
+
     "q43_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -929,6 +940,17 @@ object SparkEntry {
         |  max(n_tok) AS max_tokens
         |FROM f GROUP BY 1""".stripMargin,
 
+    "q47_bpeish_tokens" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws
+        |  FROM documents)
+        |SELECT lang, sum(n_bpe)::BIGINT AS bpe_tokens,
+        |  sum(n_ws)::BIGINT AS ws_tokens,
+        |  round(avg(n_bpe), 4) AS avg_bpe
+        |FROM f GROUP BY 1""".stripMargin,
+
     "q43_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
@@ -992,6 +1014,16 @@ object SparkEntry {
         |SELECT l_returnflag, pos,
         |  round(min(v) FILTER (WHERE rn >= ceil(p * cnt))::DOUBLE, 2) AS quantile
         |FROM r, g GROUP BY 1, 2""".stripMargin,
+
+    "q95_rolling_hash" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT,
+        |    list_transform(
+        |      regexp_split_to_array(
+        |        regexp_replace(lower(text), '\s+', ' ', 'g'), ''),
+        |      c -> unicode(c)::BIGINT)),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+        |FROM documents""".stripMargin,
 
     "q46_multimodal_stub" ->
       """WITH dec AS (

@@ -25,6 +25,16 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and
+    * individual non-alphanumeric symbols each count as one token — the
+    * piece boundaries a byte-pair tokenizer starts from (whitespace-only
+    * counting undercounts punctuation-heavy text badly).
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Language marker sets. Occurrence counts of these tokens decide the
     * language; fixed and deliberately small so the same rule is exactly
     * expressible in ANSI SQL for oracle checks.
