@@ -206,3 +206,75 @@ case class VecSumAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
 }
+
+/** Elementwise minimum of array<long> columns — the MinHash signature
+  * reducer: `groupBy(id).agg(vec_min(hashes))` replaces numHashes separate
+  * min() aggregate columns with one aggregate (dramatically smaller
+  * generated code, identical math and shuffle payload).
+  */
+case class VecMinAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_min"
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (buf.length == 0) {
+      val fresh = new Array[Long](n)
+      var i = 0
+      while (i < n) { fresh(i) = a.getLong(i); i += 1 }
+      fresh
+    } else {
+      var i = 0
+      while (i < n && i < buf.length) {
+        val x = a.getLong(i)
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.length == 0) return b
+    if (b.length == 0) return a
+    var i = 0
+    while (i < a.length && i < b.length) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    out.putInt(buf.length)
+    buf.foreach(out.putLong)
+    out.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Long] = {
+    val in = java.nio.ByteBuffer.wrap(b)
+    Array.fill(in.getInt())(in.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VecMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}

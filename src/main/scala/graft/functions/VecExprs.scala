@@ -391,3 +391,38 @@ case class RollingHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** All Carter-Wegman rehashes of a base hash in one pass:
+  * out[i] = (a_i * h + b_i) mod p. Pairs with [[VecMinAgg]] to form MinHash
+  * signatures as ONE aggregate instead of numHashes separate min-aggregate
+  * columns — same arithmetic, same shuffle bytes, but the generated plan
+  * compiles one function instead of 64 (whole-stage codegen compile time
+  * was the dominant cold-start cost of the LSH pipeline).
+  */
+case class CarterWegmanHashes(child: Expression, params: Array[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  private val Mod = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "carter_wegman_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires bigint, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val out = new Array[Long](params.length)
+    var i = 0
+    while (i < params.length) {
+      out(i) = (params(i)._1 * h + params(i)._2) % Mod
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -87,6 +87,13 @@ package object functions {
   /** Elementwise array sum aggregate -> array<double>. */
   def vec_sum(c: Column): Column = agg(VecSumAgg(expr(c)))
 
+  /** Elementwise array min aggregate over array<long>. */
+  def vec_min(c: Column): Column = agg(VecMinAgg(expr(c)))
+
+  /** All Carter-Wegman rehashes of a base hash in one pass. */
+  def carter_wegman_hashes(h: Column, params: Array[(Long, Long)]): Column =
+    col(CarterWegmanHashes(expr(h), params))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))

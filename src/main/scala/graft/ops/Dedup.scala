@@ -67,10 +67,13 @@ object Dedup {
       math.floorMod(rnd.nextLong(), MersennePrime)))
   }
 
-  /** MinHash signatures: (id, sig array<long>) via explode + numHashes
-    * min-aggregates. One shuffle on id; the aggregation is a codegen'd
-    * HashAggregate with map-side partial min (shuffle volume = ids x
-    * numHashes longs, independent of document size).
+  /** MinHash signatures: (id, sig array<long>) via explode + ONE
+    * elementwise-min aggregate over a one-pass rehash array
+    * ([[graft.functions.CarterWegmanHashes]] + [[graft.functions.VecMinAgg]]).
+    * One shuffle on id with map-side partial min; shuffle volume = ids x
+    * numHashes longs, independent of document size. Identical arithmetic
+    * to numHashes separate min() columns but the plan compiles one
+    * aggregate instead of numHashes (measurably faster cold AND warm).
     */
   def minHashSignatures(
       df: DataFrame,
@@ -79,16 +82,13 @@ object Dedup {
       numHashes: Int,
       shingleK: Int): DataFrame = {
     val params = affineParams(numHashes)
-    val hashed = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleK)).as("sh"))
+    df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleK)).as("sh"))
       .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("h"))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
-    }
-    hashed.groupBy(col("id"))
-      .agg(mins.head, mins.tail.toIndexedSeq: _*)
       .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        graft.functions.carter_wegman_hashes(col("h"), params).as("hs"))
+      .groupBy(col("id"))
+      .agg(graft.functions.vec_min(col("hs")).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs: signature -> bands -> bucket-join.
