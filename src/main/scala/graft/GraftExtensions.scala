@@ -39,6 +39,9 @@ object GraftExtensions {
     "theta_merge" -> (es => ThetaMergeAgg(es.head).toAggregateExpression()),
     "theta_estimate" -> (es => ThetaEstimate(es.head)),
     "theta_summary" -> (es => ThetaSummary(es.head)),
+    "theta_intersect" -> (es => ThetaIntersect(es(0), es(1))),
+    "theta_a_not_b" -> (es => ThetaAnotB(es(0), es(1))),
+    "kll_rank" -> (es => KllRank(es(0), es(1))),
     "hll_agg" -> (es => HllAgg(es.head).toAggregateExpression()),
     "hll_merge" -> (es => HllMergeAgg(es.head).toAggregateExpression()),
     "hll_estimate" -> (es => HllEstimate(es.head)),

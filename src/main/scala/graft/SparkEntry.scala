@@ -194,6 +194,29 @@ object SparkEntry {
           .as("n_parts"))
     }),
 
+    "q17_kll_rank" -> ((s, dir) => {
+      // normalized rank (CDF point) from KLL: exact below sketch capacity
+      t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"), count(lit(1)).as("n"))
+        .select(col("s_nationkey"), col("n"),
+          round(kll_rank(col("sk"), lit(5000.0)), 6).as("rank_5000"))
+    }),
+
+    "q18_theta_set_algebra" -> ((s, dir) => {
+      // theta set algebra: parts shipped under flag A intersect / minus
+      // parts under flag R — exact below sketch capacity
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+        .agg(theta_agg(col("l_partkey")).as("sk_a"))
+      val r = li.filter(col("l_returnflag") === "R")
+        .agg(theta_agg(col("l_partkey")).as("sk_r"))
+      a.crossJoin(r).select(
+        round(theta_estimate(theta_intersect(col("sk_a"), col("sk_r"))))
+          .cast("long").as("n_both"),
+        round(theta_estimate(theta_a_not_b(col("sk_a"), col("sk_r"))))
+          .cast("long").as("n_only_a"))
+    }),
+
     "q16_strings_summary" -> ((s, dir) => {
       // string-theta unique counts + the <100-distinct frequent-strings
       // gate: low-cardinality o_orderpriority emits frequent items (top
@@ -701,6 +724,23 @@ object SparkEntry {
     "q15_theta_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q17_kll_rank" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(count(*) FILTER (WHERE CAST(s_acctbal AS REAL) <= 5000.0)
+        |    / count(*)::DOUBLE, 6) AS rank_5000
+        |FROM supplier GROUP BY 1""".stripMargin,
+
+    "q18_theta_set_algebra" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+        |           WHERE l_returnflag = 'A'),
+        |r AS (SELECT DISTINCT l_partkey FROM lineitem
+        |      WHERE l_returnflag = 'R')
+        |SELECT
+        |  (SELECT count(*) FROM a WHERE l_partkey IN (SELECT * FROM r))
+        |    AS n_both,
+        |  (SELECT count(*) FROM a WHERE l_partkey NOT IN (SELECT * FROM r))
+        |    AS n_only_a""".stripMargin,
 
     "q16_strings_summary" ->
       """WITH pc AS (

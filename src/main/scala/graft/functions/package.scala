@@ -36,6 +36,8 @@ package object functions {
   def kll_quantiles(sketch: Column, ranks: Column): Column =
     col(KllQuantiles(expr(sketch), expr(ranks)))
   def kll_n(sketch: Column): Column = col(KllN(expr(sketch)))
+  def kll_rank(sketch: Column, value: Column): Column =
+    col(KllRank(expr(sketch), expr(value)))
   def kll_histogram(sketch: Column, bins: Column): Column =
     col(KllHistogram(expr(sketch), expr(bins)))
 
@@ -46,6 +48,10 @@ package object functions {
     agg(ThetaMergeAgg(expr(c), nominalEntries))
   def theta_estimate(sketch: Column): Column = col(ThetaEstimate(expr(sketch)))
   def theta_summary(sketch: Column): Column = col(ThetaSummary(expr(sketch)))
+  def theta_intersect(a: Column, b: Column): Column =
+    col(ThetaIntersect(expr(a), expr(b)))
+  def theta_a_not_b(a: Column, b: Column): Column =
+    col(ThetaAnotB(expr(a), expr(b)))
 
   // --- HLL cardinality sketch ---
   def hll_agg(c: Column, lgK: Int = 12): Column = agg(HllAgg(expr(c), lgK))

@@ -188,3 +188,57 @@ case class FreqItemsTopK(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Normalized rank of a value in KLL sketch bytes -> double in [0,1]:
+  * fraction of the stream <= value (INCLUSIVE — exact below sketch
+  * capacity).
+  */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_rank"
+
+  override def nullSafeEval(sketchBytes: Any, value: Any): Any = {
+    val sk = KllFloatsSketch.heapify(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getRank(value.asInstanceOf[Double].toFloat,
+      QuantileSearchCriteria.INCLUSIVE)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Theta set intersection of two sketch byte columns -> compact bytes. */
+case class ThetaIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val i = org.apache.datasketches.theta.SetOperation.builder()
+      .buildIntersection()
+    i.intersect(CompactSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    i.intersect(CompactSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    i.getResult.toByteArrayCompressed
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Theta set difference (A and not B) of two sketch byte columns. */
+case class ThetaAnotB(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_a_not_b"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val op = org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+    op.aNotB(
+        CompactSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]])),
+        CompactSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+      .toByteArrayCompressed
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -169,6 +169,20 @@ class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     bigRow.isNullAt(1) shouldBe true // gated: >= 100 distinct
   }
 
+  test("wide schema: 300 columns profile in one pass (reference: 608)") {
+    import spark.implicits._
+    val base = (1 to 200).toDF("v")
+    val wide = (1 to 299).foldLeft(base)((df, i) =>
+      df.withColumn(s"c$i", col("v") * i))
+    val prof = wide.newProfilingSession().aggProfiles()
+    prof.columns should have length 300
+    val row = prof.select(col("v.count"), col("c1.numbers.sum"),
+      col("c299.numbers.max")).first()
+    row.getLong(0) shouldBe 200L
+    row.getDouble(1) shouldBe (1 to 200).sum.toDouble
+    row.getDouble(2) shouldBe 200.0 * 299
+  }
+
   test("cardinality estimate is exact for small distinct counts") {
     val p = spark.read.parquet(s"$sfDir/nation.parquet")
       .newProfilingSession().aggProfiles()
