@@ -487,6 +487,33 @@ object SparkEntry {
           max(col("n_tok")).as("max_tokens"))
     }),
 
+    "q48_dedup_clusters" -> ((s, dir) => {
+      // connected components over a deterministic near-dup graph: 30 docs
+      // x 3 mutated generations, chain edges (gen0-gen1, gen1-gen2) plus
+      // any jaccard>=0.5 edges — components need transitive closure, and
+      // the oracle replicates it with a recursive CTE
+      val docs0 = t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id").as("id"), col("text"))
+      val gen1 = docs0.select((col("id") + 100000).as("id"),
+        concat(col("text"), lit(" mutation suffix")).as("text"))
+      val gen2 = docs0.select((col("id") + 200000).as("id"),
+        concat(col("text"), lit(" mutation suffix mutation suffix")).as("text"))
+      val all = docs0.unionAll(gen1).unionAll(gen2)
+      val a = all.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = all.select(col("id").as("id_b"), col("text").as("text_b"))
+      val jaccardEdges = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val chainEdges = docs0.select(col("id").as("id_a"),
+          (col("id") + 100000).as("id_b"))
+        .unionAll(docs0.select((col("id") + 100000).as("id_a"),
+          (col("id") + 200000).as("id_b")))
+      val edges = jaccardEdges.unionAll(chainEdges).distinct()
+      Dedup.connectedComponents(edges)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    }),
+
     "q47_bpeish_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"),
@@ -979,6 +1006,49 @@ object SparkEntry {
         |SELECT lang, sum(n_tok)::BIGINT AS tokens, round(avg(n_tok), 4) AS avg_tokens,
         |  max(n_tok) AS max_tokens
         |FROM f GROUP BY 1""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
+        |all_docs AS (
+        |  SELECT id, text FROM docs0
+        |  UNION ALL
+        |  SELECT id + 100000, text || ' mutation suffix' FROM docs0
+        |  UNION ALL
+        |  SELECT id + 200000, text || ' mutation suffix mutation suffix'
+        |  FROM docs0),
+        |toks AS (
+        |  SELECT id, list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0) AS w
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT id,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i + 1]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks),
+        |jedges AS (
+        |  SELECT a.id AS src, b.id AS dst
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(a.s || b.s)) >= 0.5),
+        |cedges AS (
+        |  SELECT id AS src, id + 100000 AS dst FROM docs0
+        |  UNION ALL
+        |  SELECT id + 100000, id + 200000 FROM docs0),
+        |edges AS (SELECT DISTINCT * FROM (
+        |  SELECT * FROM jedges UNION ALL SELECT * FROM cedges)),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst, src FROM edges),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |reach AS (
+        |  SELECT id AS a, id AS b FROM nodes
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+        |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        |SELECT comp, count(*) AS sz FROM comp GROUP BY 1""".stripMargin,
 
     "q47_bpeish_tokens" ->
       """WITH f AS (

@@ -150,6 +150,49 @@ object Dedup {
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Connected components over candidate pairs: assigns every id the
+    * minimum id reachable in its component — the cluster-assignment step
+    * that turns near-dup PAIRS into dedup groups (keep min id, drop the
+    * rest). Min-label propagation: each iteration pushes labels across
+    * edges and takes the per-node min; converges in O(component diameter)
+    * rounds, each one join + one aggregate (both map-side combinable).
+    * Near-dup components are shallow (banding makes them clique-ish), so
+    * the loop is a handful of rounds even at corpus scale.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idColA: String = "id_a",
+      idColB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idColA).as("src"), col(idColB).as("dst"))
+      .unionAll(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .unionAll(labels.select(col("id"), col("comp")))
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = propagated.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word tokens: per-bit majority of token hashes.
     * One monolithic codegen-era expression ([[graft.functions.SimHash64]]):
     * tokenize + hash + all 64 bit-votes in a single scan of the text (the

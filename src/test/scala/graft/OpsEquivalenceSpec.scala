@@ -128,6 +128,21 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     edgeMismatch shouldBe 0L
   }
 
+  test("connected components: chains, isolated pairs, min-label roots") {
+    import spark.implicits._
+    // one 5-node chain (1-2-3-4-5), one pair (10,11), one triangle (20,21,22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 5L).foreach(i => comps(i) shouldBe 1L)
+    comps(10L) shouldBe 10L
+    comps(11L) shouldBe 10L
+    Seq(20L, 21L, 22L).foreach(i => comps(i) shouldBe 20L)
+    comps.size shouldBe 10
+  }
+
   test("vec_match_count counts agreeing positions") {
     val df = spark.sql(
       "SELECT array(1L, 2L, 3L, 4L) AS a, array(1L, 9L, 3L, 8L) AS b")
