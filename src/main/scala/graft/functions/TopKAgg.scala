@@ -3,25 +3,28 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k buffer: the k best (score, id) pairs under score desc,
-  * id asc. Insertion is O(1) reject below the current floor / O(k) accept
-  * (k is small); merge inserts the other side's entries.
+  * id asc (`ord` orders ids in their native Catalyst representation).
+  * Insertion is O(1) reject below the current floor / O(k) accept (k is
+  * small); merge inserts the other side's entries.
   */
-final class TopKState(val k: Int) extends Serializable {
+final class TopKState(val k: Int, val ord: Ordering[Any]) {
   val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
+  val ids = new Array[Any](k)
   var size = 0
   private var worst = -1 // index of the current floor entry, -1 if size<k
 
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  @inline private def better(s1: Double, i1: Any, s2: Double, i2: Any): Boolean =
+    s1 > s2 || (s1 == s2 && ord.compare(i1, i2) < 0)
 
-  def insert(score: Double, id: Long): Unit = {
+  def insert(score: Double, id: Any): Unit = {
     if (size < k) {
       scores(size) = score; ids(size) = id; size += 1
       if (size == k) rescanWorst()
@@ -47,25 +50,9 @@ final class TopKState(val k: Int) extends Serializable {
   }
 
   /** Entries sorted score desc, id asc. */
-  def sorted: Array[(Double, Long)] =
+  def sorted: Array[(Double, Any)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
-
-  def write(out: DataOutputStream): Unit = {
-    out.writeInt(k); out.writeInt(size)
-    var i = 0
-    while (i < size) { out.writeDouble(scores(i)); out.writeLong(ids(i)); i += 1 }
-  }
-}
-
-object TopKState {
-  def read(in: DataInputStream): TopKState = {
-    val st = new TopKState(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) { st.insert(in.readDouble(), in.readLong()); i += 1 }
-    st
-  }
+      .sortWith { case ((s1, i1), (s2, i2)) => better(s1, i1, s2, i2) }
 }
 
 /** Top-k aggregate: `groupBy(query).agg(topk_agg(score, id, k))` keeps only
@@ -75,8 +62,9 @@ object TopKState {
   * scored row. This is the scale fix for top-k-over-cross-product plans
   * (the window row_number() <= k formulation shuffles ALL scored rows).
   *
-  * Output: array<struct<item_id: long, score: double>> sorted score desc,
-  * ties id asc.
+  * Output: array<struct<item_id: <id type>, score: double>> sorted score
+  * desc, ties id asc. Ids keep their native Catalyst type (long, string,
+  * date, …); unsupported id types are rejected at analysis time.
   */
 case class TopKAgg(
     score: Expression,
@@ -91,31 +79,56 @@ case class TopKAgg(
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item_id", LongType, nullable = false),
+    StructField("item_id", id.dataType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "topk_agg"
+
+  private def idTypeSupported(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType | FloatType | DoubleType |
+        BooleanType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!score.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg score must be numeric, got ${score.dataType.catalogString}")
+    else if (!idTypeSupported(id.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg id type ${id.dataType.catalogString} is not supported " +
+          "(use an integral, temporal, float, boolean, string or binary id)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   @transient private lazy val toDouble: Any => Double = score.dataType match {
     case DoubleType  => v => v.asInstanceOf[Double]
     case FloatType   => v => v.asInstanceOf[Float].toDouble
     case IntegerType => v => v.asInstanceOf[Int].toDouble
     case LongType    => v => v.asInstanceOf[Long].toDouble
+    case ShortType   => v => v.asInstanceOf[Short].toDouble
+    case ByteType    => v => v.asInstanceOf[Byte].toDouble
     case other => throw new IllegalArgumentException(s"topk_agg score: $other")
   }
 
-  @transient private lazy val toLong: Any => Long = id.dataType match {
-    case LongType    => v => v.asInstanceOf[Long]
-    case IntegerType => v => v.asInstanceOf[Int].toLong
-    case ShortType   => v => v.asInstanceOf[Short].toLong
-    case other => throw new IllegalArgumentException(s"topk_agg id: $other")
+  /** Buffer-reused values (UTF8String, byte[]) must be copied before they
+    * outlive the input row; immutable primitives pass through.
+    */
+  @transient private lazy val copyId: Any => Any = id.dataType match {
+    case StringType => v => v.asInstanceOf[UTF8String].clone()
+    case BinaryType => v => v.asInstanceOf[Array[Byte]].clone()
+    case _          => identity
   }
 
-  override def createAggregationBuffer(): TopKState = new TopKState(k)
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k, idOrd)
 
   override def update(st: TopKState, input: InternalRow): TopKState = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) st.insert(toDouble(s), toLong(i))
+    if (s != null && i != null) st.insert(toDouble(s), copyId(i))
     st
   }
 
@@ -126,13 +139,59 @@ case class TopKAgg(
       InternalRow(i, s)
     }.asInstanceOf[Array[Any]])
 
+  private def writeId(out: DataOutputStream, v: Any): Unit = id.dataType match {
+    case ByteType    => out.writeByte(v.asInstanceOf[Byte].toInt)
+    case ShortType   => out.writeShort(v.asInstanceOf[Short].toInt)
+    case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      out.writeLong(v.asInstanceOf[Long])
+    case FloatType   => out.writeFloat(v.asInstanceOf[Float])
+    case DoubleType  => out.writeDouble(v.asInstanceOf[Double])
+    case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+    case StringType =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      out.writeInt(b.length); out.write(b)
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      out.writeInt(b.length); out.write(b)
+    case other => throw new IllegalArgumentException(s"topk_agg id: $other")
+  }
+
+  private def readId(in: DataInputStream): Any = id.dataType match {
+    case ByteType    => in.readByte()
+    case ShortType   => in.readShort()
+    case IntegerType | DateType => in.readInt()
+    case LongType | TimestampType | TimestampNTZType => in.readLong()
+    case FloatType   => in.readFloat()
+    case DoubleType  => in.readDouble()
+    case BooleanType => in.readBoolean()
+    case StringType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      UTF8String.fromBytes(b)
+    case BinaryType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      b
+    case other => throw new IllegalArgumentException(s"topk_agg id: $other")
+  }
+
   override def serialize(st: TopKState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    st.write(out); out.flush(); bos.toByteArray
+    out.writeInt(st.k); out.writeInt(st.size)
+    var i = 0
+    while (i < st.size) {
+      out.writeDouble(st.scores(i)); writeId(out, st.ids(i)); i += 1
+    }
+    out.flush(); bos.toByteArray
   }
-  override def deserialize(b: Array[Byte]): TopKState =
-    TopKState.read(new DataInputStream(new ByteArrayInputStream(b)))
+  override def deserialize(b: Array[Byte]): TopKState = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    val st = new TopKState(in.readInt(), idOrd)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { st.insert(in.readDouble(), readId(in)); i += 1 }
+    st
+  }
 
   override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
     copy(mutableAggBufferOffset = o)

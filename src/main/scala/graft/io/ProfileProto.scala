@@ -200,18 +200,42 @@ object ProfileProto {
       }
     }
 
+  /** Serialized KLL histogram, valid even when the sketch is null/empty —
+    * the reference reader heapifies the histogram bytes unconditionally
+    * (NumberTracker.java:110-112), so the field must always hold a
+    * parseable sketch image.
+    */
+  private def kllBytes(k: KllFloatsSketch): Array[Byte] =
+    (if (k == null) KllFloatsSketch.newHeapInstance(256) else k).toByteArray
+
+  /** Uncompressed compact theta image (serial format 3). The reference's
+    * ThetaSketch.serialize emits getResult().toByteArray() and its pinned
+    * datasketches 1.3.0 Sketch.heapify rejects the compressed v4 format
+    * that toByteArrayCompressed would produce (ThetaSketch.java:12-21).
+    */
+  private def thetaBytes(
+      u: org.apache.datasketches.theta.Union): Array[Byte] = {
+    val union = if (u == null) SetOperation.builder().buildUnion() else u
+    union.getResult.toByteArray
+  }
+
   /** NumbersMessage for a tracker-of-moments (string length/token length):
     * the reference nests a full NumberTracker there; we emit the exact
-    * long/double tracker part.
+    * long/double tracker part plus the always-required (possibly empty)
+    * histogram and theta images NumberTracker.fromProtobuf heapifies.
     */
   private def numbersFromMoments(w: Wire.Writer, field: Int, m: Moments): Unit =
-    if (m.count > 0) w.message(field) { n =>
+    w.message(field) { n =>
       n.message(1) { v => // variance{count, sum(m2), mean}
         v.int64(1, m.count); v.double(2, m.m2); v.double(3, m.mean)
       }
-      val isIntegral = m.min == m.min.floor && m.max == m.max.floor &&
-        m.sum == m.sum.floor
-      momentsMessage(n, if (isIntegral) 3 else 2, m, asLongs = isIntegral)
+      if (m.count > 0) {
+        val isIntegral = m.min == m.min.floor && m.max == m.max.floor &&
+          m.sum == m.sum.floor
+        momentsMessage(n, if (isIntegral) 3 else 2, m, asLongs = isIntegral)
+      }
+      n.bytes(4, kllBytes(null))
+      n.bytes(6, thetaBytes(null))
     }
 
   def columnBytes(name: String, st: ColumnProfileState): Array[Byte] = {
@@ -226,9 +250,11 @@ object ProfileProto {
         if (n > 0) s.message(1) { e => e.int64(1, id.toLong); e.int64(2, n) }
       }
     }
-    w.message(4) { n => // NumbersMessage
+    w.message(4) { n => // NumbersMessage — always written: the reference
+      // decodes it unconditionally (ColumnProfile.java:227) and heapifies
+      // histogram + theta whether or not data was numeric.
       val num = st.numbers
-      if (num.count > 0) n.message(1) { v => // variance{count, sum, mean}
+      n.message(1) { v => // variance{count, sum, mean}
         v.int64(1, num.variance.count)
         v.double(2, num.variance.m2)
         v.double(3, num.variance.mean)
@@ -238,14 +264,15 @@ object ProfileProto {
         l.int64(1, num.longCount); l.int64(2, num.longMin)
         l.int64(3, num.longMax); l.int64(4, num.longSum)
       }
-      if (num.kll != null && !num.kll.isEmpty) n.bytes(4, num.kll.toByteArray)
-      if (num.theta != null)
-        n.bytes(6, num.theta.getResult.toByteArrayCompressed)
+      n.bytes(4, kllBytes(num.kll))
+      n.bytes(6, thetaBytes(num.theta))
     }
     if (st.strings.count > 0) w.message(5) { s => // StringsMessage
       s.int64(1, st.strings.count)
-      if (st.strings.theta != null)
-        s.bytes(4, st.strings.theta.getResult.toByteArrayCompressed)
+      s.bytes(4, thetaBytes(st.strings.theta))
+      // hasLength implies the reference also decodes tokenLength and
+      // charPosTracker (StringTracker.java:198-203) — write both trackers
+      // whenever the message exists so the pair stays parseable.
       numbersFromMoments(s, 5, st.strings.length)
       numbersFromMoments(s, 6, st.strings.tokenLength)
     }
@@ -253,9 +280,12 @@ object ProfileProto {
       f.bytes(1, st.freq.toByteArray(new ArrayOfStringsSerDe))
       f.int64(2, 7L) // lgMaxK (maxMapSize 128)
     }
-    if (st.hll != null) w.message(8) { h => // HllSketchMessage
-      h.bytes(1, st.hll.toCompactByteArray)
-      h.int64(2, st.hll.getLgConfigK.toLong)
+    w.message(8) { h => // HllSketchMessage — always written: the reference
+      // heapifies cardinalityTracker.sketch unconditionally
+      // (ColumnProfile.java:229-230).
+      val hll = if (st.hll == null) new HllSketch(12) else st.hll
+      h.bytes(1, hll.toCompactByteArray)
+      h.int64(2, hll.getLgConfigK.toLong)
     }
     w.toByteArray
   }

@@ -116,7 +116,25 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    minHashLshPairsReleasable(df, idCol, textCol, numHashes, bands, shingleK,
+      maxBucketSize)._1
+
+  /** [[minHashLshPairs]] plus a release() thunk that unpersists the cached
+    * signature intermediate. The cache is keyed by logical plan, so
+    * repeated calls over the SAME input reuse one entry; long-lived
+    * sessions running many distinct corpora should call release() once the
+    * returned plan has been materialized (the plan recomputes signatures
+    * if materialized again afterwards).
+    */
+  def minHashLshPairsReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
 
     // the signature pipeline (shingle -> hash -> 64 min-aggregates) is the
@@ -142,12 +160,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
 
-    pairs
+    val result = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (graft.functions.vec_match_count(col("sig_a"), col("sig_b"))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+    (result, () => { sig.unpersist(blocking = false); () })
   }
 
   /** Connected components over candidate pairs: assigns every id the
@@ -163,7 +182,19 @@ object Dedup {
       pairs: DataFrame,
       idColA: String = "id_a",
       idColB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsReleasable(pairs, idColA, idColB, maxIter)._1
+
+  /** [[connectedComponents]] plus a release() thunk that unpersists the
+    * returned labels (they stay cached because downstream consumers join
+    * against them; recomputing the label fixpoint through lineage after
+    * release is expensive — release only when done with the result).
+    */
+  def connectedComponentsReleasable(
+      pairs: DataFrame,
+      idColA: String = "id_a",
+      idColB: String = "id_b",
+      maxIter: Int = 20): (DataFrame, () => Unit) = {
     val edges = pairs
       .select(col(idColA).as("src"), col(idColB).as("dst"))
       .unionAll(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
@@ -190,7 +221,8 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    val out = labels
+    (out, () => { out.unpersist(blocking = false); () })
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority of token hashes.

@@ -70,9 +70,13 @@ object Joins {
   /** As-of join: for each left row, the latest right row with
     * `rightTime <= leftTime` per key — the standard event-time enrichment
     * the reference's host pipelines need. Implemented as a union +
-    * window (single shuffle on (key)), not a per-row subquery:
-    * right rows carry their payload forward via `last(ignoreNulls)` over
-    * the time-ordered union.
+    * window (single shuffle on (key)), not a per-row subquery.
+    *
+    * Right rows carry their payloads as ONE struct column and
+    * `last(ignoreNulls)` runs over that struct: the struct is non-null for
+    * every right row, so the latest matching right row wins even when its
+    * payload values are null (carrying payloads individually would leak a
+    * stale non-null payload from an older row past a newer null).
     */
   def asOfJoin(
       left: DataFrame,
@@ -82,29 +86,28 @@ object Joins {
       rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
-    val lTagged = left
+    val pType = StructType(payloadCols.map(c => right.schema(c)))
+    val lAll = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(true))
-    val rTagged = right
-      .select((key +: payloadCols).map(col) :+ col(rightTime).as("__t"): _*)
-      .withColumn("__isLeft", lit(false))
-    // align schemas: left lacks payload, right lacks left columns
-    val lAll = payloadCols.foldLeft(lTagged)((df, c) =>
-      df.withColumn(s"__p_$c", lit(null)))
-    val rAll = leftCols.filterNot(c => c == key).foldLeft(
-      rTagged.withColumnsRenamed(payloadCols.map(c => c -> s"__p_$c").toMap)
-    )((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__p", lit(null).cast(pType))
+    // align schemas: right lacks the non-key left columns
+    val rTagged = right.select(col(key), col(rightTime).as("__t"),
+      lit(false).as("__isLeft"), struct(payloadCols.map(col): _*).as("__p"))
+    val rAll = leftCols.filterNot(_ == key).foldLeft(rTagged)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lAll.unionByName(rAll.select(lAll.columns.toIndexedSeq.map(col): _*))
     // right rows sort before left rows at equal timestamps so an exact
     // timestamp match is visible to the left row
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__isLeft"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"__f_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+    val filled = unioned
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__isLeft"))
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__f_$c").as(c)): _*)
+        payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
 }

@@ -56,6 +56,23 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     fast shouldBe slow
   }
 
+  test("top-k aggregate handles string ids natively") {
+    val named = emb.withColumn("name", concat(lit("vec-"),
+      format_string("%05d", col("vec_id"))))
+    val queries = named.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(named, queries, "name", "embedding", k = 2)
+    got.schema("item_id").dataType shouldBe
+      org.apache.spark.sql.types.StringType
+    val rows = got.collect()
+    rows.length shouldBe 10 // 5 queries x k=2
+    all(rows.map(_.getString(1))) should startWith("vec-")
+    // per-query ranks are 1..k and items are distinct
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.map(_.getInt(3)).sorted.toSeq shouldBe Seq(1, 2)
+      rs.map(_.getString(1)).distinct.length shouldBe 2
+    }
+  }
+
   test("minhash LSH pairs: est_jaccard in [0,1], symmetric ids, stable count") {
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, shingleK = 2).cache()

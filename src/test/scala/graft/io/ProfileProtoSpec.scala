@@ -119,6 +119,74 @@ class ProfileProtoSpec extends AnyFunSuite with Matchers {
     state.freq.getNumActiveItems should be > 0
   }
 
+  test("write direction: emits every field the reference 1.3.0 reader " +
+      "heapifies unconditionally, in formats it can heapify") {
+    import org.apache.datasketches.kll.KllFloatsSketch
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.CompactSketch
+
+    // Columns chosen to exercise the empty-sketch paths: one numeric, one
+    // string-only (no numeric state), one all-null (no state at all).
+    val numeric = new ColumnProfileState(ProfileConfig.default)
+    (1 to 50).foreach(i => numeric.trackLong(i.toLong))
+    val stringy = new ColumnProfileState(ProfileConfig.default)
+    stringy.trackString("a b c")
+    val nullOnly = new ColumnProfileState(ProfileConfig.default)
+    nullOnly.trackNull()
+
+    for (st <- Seq(numeric, stringy, nullOnly)) {
+      val fields = Wire.fields(ProfileProto.columnBytes("c", st))
+
+      // NumbersMessage (field 4) must exist with heapify-able histogram
+      // (field 4) and an UNCOMPRESSED compact theta (field 6):
+      // NumberTracker.fromProtobuf:110-124 heapifies both without checks.
+      val numbers = fields.find(_.number == 4)
+      numbers should not be empty
+      val numFields = Wire.fields(numbers.get.asBytes)
+      val hist = numFields.find(_.number == 4)
+      hist should not be empty
+      KllFloatsSketch.heapify(Memory.wrap(hist.get.asBytes)) // must not throw
+      val theta = numFields.find(_.number == 6)
+      theta should not be empty
+      // compact theta preamble byte 1 is the serial version; 1.3.0's
+      // Sketch.heapify only accepts <= 3 (compressed v4 is rejected)
+      theta.get.asBytes(1).toInt should be <= 3
+      CompactSketch.heapify(Memory.wrap(theta.get.asBytes)) // must not throw
+
+      // HllSketchMessage (field 8) must exist with heapify-able bytes:
+      // ColumnProfile.fromProtobuf:229-230 heapifies unconditionally.
+      val hllMsg = fields.find(_.number == 8)
+      hllMsg should not be empty
+      val hllBytes = Wire.fields(hllMsg.get.asBytes).find(_.number == 1)
+      hllBytes should not be empty
+      HllSketch.heapify(Memory.wrap(hllBytes.get.asBytes)) // must not throw
+
+      // If StringsMessage exists: theta unconditional; length implies
+      // tokenLength, each with its own heapify-able histogram + theta
+      // (StringTracker.fromProtobuf:194-203).
+      fields.find(_.number == 5).foreach { sMsg =>
+        val sFields = Wire.fields(sMsg.asBytes)
+        val sTheta = sFields.find(_.number == 4)
+        sTheta should not be empty
+        sTheta.get.asBytes(1).toInt should be <= 3
+        CompactSketch.heapify(Memory.wrap(sTheta.get.asBytes))
+        val hasLength = sFields.exists(_.number == 5)
+        val hasTokenLength = sFields.exists(_.number == 6)
+        hasLength shouldBe hasTokenLength
+        for (nested <- sFields.filter(f => f.number == 5 || f.number == 6)) {
+          val nf = Wire.fields(nested.asBytes)
+          val nHist = nf.find(_.number == 4)
+          nHist should not be empty
+          KllFloatsSketch.heapify(Memory.wrap(nHist.get.asBytes))
+          val nTheta = nf.find(_.number == 6)
+          nTheta should not be empty
+          CompactSketch.heapify(Memory.wrap(nTheta.get.asBytes))
+        }
+      }
+    }
+  }
+
   test("interop: reference regression.bin properties parse") {
     val path = "/root/reference/core/src/test/resources/regression.bin"
     assume(new java.io.File(path).exists())

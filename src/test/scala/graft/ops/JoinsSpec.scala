@@ -69,4 +69,39 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     result("t2") shouldBe Some(102.0) // latest at ts<=25
     result("t3") shouldBe None // B's only quote is after ts=12
   }
+
+  test("as-of join: a newer null payload wins over an older non-null one") {
+    import spark.implicits._
+    val trades = Seq(("A", 30L, "t1"), ("A", 15L, "t2")).toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 10L, Some(100.0)),
+      ("A", 20L, None)) // latest quote before t1 has a NULL px
+      .toDF("sym", "qts", "px")
+
+    val result = Joins.asOfJoin(trades, quotes, "sym", "ts", "qts", Seq("px"))
+      .select(col("trade"), col("px"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    // standard ASOF semantics: the ts=20 row matches t1 even though its
+    // payload is null — it must NOT fall back to the stale ts=10 value
+    result("t1") shouldBe None
+    result("t2") shouldBe Some(100.0)
+  }
+
+  test("as-of join with multiple payload columns moves them as one row") {
+    import spark.implicits._
+    val trades = Seq(("A", 30L, "t1")).toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 10L, Some(1.0), Some("old")),
+      ("A", 20L, None, Some("new")))
+      .toDF("sym", "qts", "px", "src")
+
+    val row = Joins.asOfJoin(trades, quotes, "sym", "ts", "qts",
+      Seq("px", "src")).select(col("px"), col("src")).collect().head
+    // both payloads come from the SAME (latest) right row — no mixing of
+    // px from ts=10 with src from ts=20
+    row.isNullAt(0) shouldBe true
+    row.getString(1) shouldBe "new"
+  }
 }
