@@ -81,10 +81,21 @@ object Bench {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
       }),
-      // multi-band hyperplane LSH near-dup pairs over the corpus
-      "dedup_embedding" -> (() =>
-        Dedup.embeddingNearDups(t("embeddings"), "vec_id", "embedding",
-          threshold = 0.8, signBits = 8, bands = 8).count()),
+      // multi-band hyperplane LSH near-dup pairs. The synthetic corpus has
+      // no natural near-dups (max pairwise cosine ~0.51, so a 0.8-threshold
+      // run returns 0 rows and measures nothing real past candidate
+      // generation) — plant perturbed copies of 10% of the corpus so the
+      // bucket join, pair dedupe and exact-cosine verify all do real work.
+      "dedup_embedding" -> (() => {
+        val emb = t("embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val dups = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).as("embedding"))
+        Dedup.embeddingNearDups(emb.unionAll(dups), "vec_id", "embedding",
+          threshold = 0.8, signBits = 8, bands = 8).count()
+      }),
       // whylogs wire-format export of a grouped profile (write+reparse)
       "proto_export" -> (() => {
         val prof = t("lineitem").newProfilingSession()

@@ -392,6 +392,85 @@ case class RollingHash64(child: Expression)
     copy(child = c)
 }
 
+/** Full MinHash signature of a text in ONE row-local pass: word k-shingle
+  * -> xxhash64 (Spark seed 42) -> all Carter-Wegman rehashes -> running
+  * elementwise min. Identical arithmetic to
+  * explode(word_shingles) -> pmod(xxhash64, p) -> carter_wegman_hashes ->
+  * groupBy(id).agg(vec_min), but the signature of a document depends only
+  * on that document, so the explode + hash-aggregate (and its shuffle) were
+  * pure overhead — this makes the signature stage map-only.
+  *
+  * Shingle semantics match [[WordShingles]]: maximal non-whitespace runs of
+  * `lower(text)`, k consecutive tokens joined by one space; fewer than k
+  * tokens yields the whole text as one shingle (duplicates are irrelevant
+  * under min).
+  */
+case class MinHashSig(child: Expression, k: Int, params: Array[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  private val Mod = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) tokens += text.substring(start, i)
+    }
+    val sig = new Array[Long](params.length)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+
+    def absorb(shingle: String): Unit = {
+      val u = UTF8String.fromString(shingle)
+      val raw = XXH64.hashUnsafeBytes(u.getBytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, u.numBytes, 42L)
+      val h = ((raw % Mod) + Mod) % Mod // pmod: non-negative base hash
+      var j = 0
+      while (j < params.length) {
+        val v = (params(j)._1 * h + params(j)._2) % Mod
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+
+    if (tokens.length < k) {
+      absorb(tokens.mkString(" "))
+    } else {
+      var s = 0
+      while (s <= tokens.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(s + j))
+          j += 1
+        }
+        absorb(sb.toString)
+        s += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All Carter-Wegman rehashes of a base hash in one pass:
   * out[i] = (a_i * h + b_i) mod p. Pairs with [[VecMinAgg]] to form MinHash
   * signatures as ONE aggregate instead of numHashes separate min-aggregate

@@ -100,6 +100,11 @@ package object functions {
   def carter_wegman_hashes(h: Column, params: Array[(Long, Long)]): Column =
     col(CarterWegmanHashes(expr(h), params))
 
+  /** Row-local MinHash signature: shingle -> hash -> elementwise min. */
+  def minhash_sig(text: Column, shingleK: Int,
+      params: Array[(Long, Long)]): Column =
+    col(MinHashSig(expr(text), shingleK, params))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))

@@ -58,22 +58,22 @@ object Dedup {
     * numHashes multiply-add-mods — everything stays inside whole-stage
     * codegen.
     */
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  private[graft] val MersennePrime = 2147483647L // 2^31 - 1
 
-  private def affineParams(numHashes: Int): Array[(Long, Long)] = {
+  private[graft] def affineParams(numHashes: Int): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(0x5eedL)
     Array.fill(numHashes)((
       1L + math.floorMod(rnd.nextLong(), MersennePrime - 1),
       math.floorMod(rnd.nextLong(), MersennePrime)))
   }
 
-  /** MinHash signatures: (id, sig array<long>) via explode + ONE
-    * elementwise-min aggregate over a one-pass rehash array
-    * ([[graft.functions.CarterWegmanHashes]] + [[graft.functions.VecMinAgg]]).
-    * One shuffle on id with map-side partial min; shuffle volume = ids x
-    * numHashes longs, independent of document size. Identical arithmetic
-    * to numHashes separate min() columns but the plan compiles one
-    * aggregate instead of numHashes (measurably faster cold AND warm).
+  /** MinHash signatures: (id, sig array<long>) via ONE row-local
+    * expression ([[graft.functions.MinHashSig]]): shingle -> hash ->
+    * elementwise running min, per document, zero shuffle. A document's
+    * signature depends only on that document, so the earlier
+    * explode + groupBy(id) + elementwise-min-aggregate plan paid an
+    * explode materialization and a keyed shuffle for nothing; this is a
+    * pure map stage (signature output = ids x numHashes longs).
     */
   def minHashSignatures(
       df: DataFrame,
@@ -83,12 +83,7 @@ object Dedup {
       shingleK: Int): DataFrame = {
     val params = affineParams(numHashes)
     df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleK)).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("h"))
-      .select(col("id"),
-        graft.functions.carter_wegman_hashes(col("h"), params).as("hs"))
-      .groupBy(col("id"))
-      .agg(graft.functions.vec_min(col("hs")).as("sig"))
+      graft.functions.minhash_sig(col(textCol), shingleK, params).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs: signature -> bands -> bucket-join.

@@ -107,8 +107,10 @@ object Similarity {
       nProbe: Int = 4,
       iterations: Int = 2): DataFrame = {
     val idType = corpus.schema(idCol).dataType
+    // array-level Cast (codegen'd), not transform(x => x.cast) — the HOF
+    // evaluates an interpreted lambda per element on every pass
     val c = corpus.select(col(idCol).as("item_id"),
-      transform(col(embCol), x => x.cast("double")).as("item_emb"))
+      col(embCol).cast("array<double>").as("item_emb"))
 
     // init: first nCentroids items by id (deterministic)
     var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
@@ -135,7 +137,7 @@ object Similarity {
 
     // query -> nProbe nearest centroids (same single-pass expression)
     val q = queries.select(col(idCol).as("query_id"),
-      transform(col(embCol), x => x.cast("double")).as("query_emb"))
+      col(embCol).cast("array<double>").as("query_emb"))
     val probes = q.select(col("query_id"), col("query_emb"),
       explode(top_centroids(col("query_emb"), centroids, nProbe))
         .as("centroid_id"))

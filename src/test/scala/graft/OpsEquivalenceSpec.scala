@@ -34,6 +34,24 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     mismatches shouldBe 0L
   }
 
+  test("minhash_sig expression equals the explode + vec_min composition") {
+    val params = Dedup.affineParams(64)
+    val fast = Dedup.minHashSignatures(docs, "doc_id", "text", 64, 2)
+    val slow = docs
+      .select(col("doc_id").as("id"),
+        explode(Dedup.wordShingles(col("text"), 2)).as("sh"))
+      .select(col("id"),
+        pmod(xxhash64(col("sh")), lit(Dedup.MersennePrime)).as("h"))
+      .select(col("id"),
+        graft.functions.carter_wegman_hashes(col("h"), params).as("hs"))
+      .groupBy(col("id"))
+      .agg(graft.functions.vec_min(col("hs")).as("sig"))
+    val mismatches = fast.as("f").join(slow.as("s"), Seq("id"))
+      .filter(col("f.sig") =!= col("s.sig")).count()
+    mismatches shouldBe 0L
+    fast.count() shouldBe docs.count()
+  }
+
   test("bounded top-k aggregate equals window row_number top-k") {
     val queries = emb.filter(col("vec_id") < 15)
     val fast = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
