@@ -514,6 +514,66 @@ object SparkEntry {
         .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
     }),
 
+    // ---- q5x: pipeline utilities (sessionize / sample / outliers /
+    //           pii / tf-idf) ----
+    "q50_sessionize" -> ((s, dir) => {
+      // events.ts arrives as raw epoch-nanos longs (nanosAsLong); the
+      // oracle engine truncates timestamps to micros, so compare at micro
+      // resolution on both sides (integer div — a double cast of an
+      // epoch-nanos value would lose precision above 2^53)
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      graft.ops.Sessionize.stats(ev, "user_id", "ts_us",
+        gap = 14400L * 1000000L)
+        .drop("ts_us")
+    }),
+
+    "q51_sample_bottomk" -> ((s, dir) => {
+      graft.ops.Sampling.bottomK(t(s, dir, "events"), Seq("event_type"),
+        "event_id", k = 5)
+    }),
+
+    "q52_hash_sample" -> ((s, dir) => {
+      graft.ops.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "q53_pii_scan" -> ((s, dir) => {
+      // synthetic docs carry no PII — plant deterministic emails/urls/
+      // phones on id-modulo subsets (the q92 planted-pair trick) so the
+      // counts are non-trivial and the oracle replicates the planting
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact alice@example.com or bob.smith@mail.org"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" see https://example.org/data?id=1 or http://foo.bar/x"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" call 555-123-4567 or 555.987.6543")).otherwise(lit("")))
+          .as("text"))
+      docs.select(col("doc_id"),
+          TextOps.emailCount(col("text")).as("n_emails"),
+          TextOps.urlCount(col("text")).as("n_urls"),
+          TextOps.phoneCount(col("text")).as("n_phones"))
+        .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
+    }),
+
+    "q55_iqr_outliers" -> ((s, dir) => {
+      graft.ops.Outliers.iqrStats(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("q1"), 6).as("q1"),
+          round(col("q3"), 6).as("q3"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_outliers"), col("n"))
+    }),
+
+    "q54_tfidf_topterms" -> ((s, dir) => {
+      TextOps.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id").as("doc_id"), col("term"),
+          round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     "q47_bpeish_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("lang"),
@@ -1049,6 +1109,93 @@ object SparkEntry {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
         |comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
         |SELECT comp, count(*) AS sz FROM comp GROUP BY 1""".stripMargin,
+
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |m AS (SELECT user_id, tu,
+        |  CASE WHEN lag(tu) OVER w IS NULL
+        |         OR tu - lag(tu) OVER w > 14400000000 THEN 1
+        |       ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(tu) AS start_t, max(tu) AS end_t,
+        |  max(tu) - min(tu) AS duration_t
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q51_sample_bottomk" ->
+      """WITH h AS (SELECT event_type, event_id,
+        |  CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY hv ASC, event_id ASC) AS rank
+        |  FROM h)
+        |SELECT event_type, event_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q52_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q53_pii_scan" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact alice@example.com or bob.smith@mail.org'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' see https://example.org/data?id=1 or http://foo.bar/x'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' call 555-123-4567 or 555.987.6543'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
+        |  FROM d)
+        |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q55_iqr_outliers" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT l_returnflag, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT f.l_returnflag, round(q1, 6) AS q1, round(q3, 6) AS q3,
+        |  round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  sum(CASE WHEN l.l_extendedprice < lo OR l.l_extendedprice > hi
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  count(*) AS n
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q54_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |  tf.cnt * ln(n.n_docs / dfq.df) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |top AS (SELECT doc_id, term, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, round(score, 6) AS score, rank
+        |FROM top WHERE rank <= 3""".stripMargin,
 
     "q47_bpeish_tokens" ->
       """WITH f AS (

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Every sample here
+  * is a pure function of the row's id — reproducible across runs,
+  * engines, and partitionings (unlike `df.sample`, whose output depends
+  * on partition layout and RNG state), so sampled datasets can be audited
+  * and re-derived.
+  *
+  * The hash is a 52-bit prefix of md5 — 52 bits so the value is exact in
+  * a double and the identical expression is computable in any engine with
+  * md5 (SQL-oracle-able, which xxhash64-based sampling is not).
+  */
+object Sampling {
+
+  private val HashBits = 52
+  val HashSpace: Long = 1L << HashBits // 2^52
+
+  /** Uniform 52-bit hash in [0, 2^52) of the id's string form. */
+  def md5Hash52(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, HashBits / 4), 16, 10)
+      .cast("long")
+
+  /** Map-only deterministic Bernoulli sample: keeps rows whose id hashes
+    * under `fraction` of the hash space. No shuffle, no RNG state — the
+    * same rows survive at any scale and partitioning.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(md5Hash52(col(idCol)) < (fraction * HashSpace).toLong)
+  }
+
+  /** Per-group deterministic sample of `k` rows: the k smallest id-hashes
+    * per group (a fixed-size uniform-without-replacement sample, stable
+    * under reshuffling). Uses the bounded top-k aggregate, so each
+    * partition contributes at most k rows per group to the shuffle — the
+    * per-group sort/row_number formulation shuffles every row.
+    *
+    * Returns the group keys + (id, rank), rank 1..k by hash asc, id asc.
+    */
+  def bottomK(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int): DataFrame = {
+    // topk_agg keeps score-DESC maxima; negate the hash for bottom-k
+    val score = -md5Hash52(col(idCol)).cast("double")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.topk_agg(score, col(idCol), k).as("topk"))
+      .select(keyCols.map(col) :+ posexplode(col("topk")).as(Seq("r", "t")): _*)
+      .select(keyCols.map(col) ++ Seq(col("t.item_id").as(idCol),
+        (col("r") + 1).as("rank")): _*)
+  }
+}

@@ -112,4 +112,53 @@ object TextOps {
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.RollingHash64(
         org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** PII-ish pattern counts for training-data redaction triage. Patterns
+    * deliberately use only constructs with identical semantics in Java
+    * regex and RE2 (no backrefs, no lookaround) so the same rule is
+    * exactly oracle-able in other engines. Map-only (codegen
+    * regexp_count) — scales linearly, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
+    *
+    * Scale shape: one shuffle builds (id, term) counts with map-side
+    * combine; the document-frequency table is vocabulary-sized and is
+    * BROADCAST back (never a corpus-sized shuffle); the per-document top-n
+    * is the bounded top-k aggregate (string ids), so only n terms per
+    * document per partition reach the final exchange.
+    *
+    * Returns (id, term, score, rank), rank 1..n by score desc / term asc.
+    */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count() // one tiny job; N is a literal in the plan
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    // df falls out of tf (already one row per (doc, term)) — no separate
+    // distinct() shuffle; the identical tf exchange is reused by Catalyst
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(docFreq), Seq("term"))
+      .select(col("id"), col("term"),
+        (col("cnt").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+          .as("score"))
+    scored.groupBy(col("id"))
+      .agg(graft.functions.topk_agg(col("score"), col("term"), topN).as("topk"))
+      .select(col("id"), posexplode(col("topk")).as(Seq("r", "t")))
+      .select(col("id"), col("t.item_id").as("term"),
+        col("t.score").as("score"), (col("r") + 1).as("rank"))
+  }
 }

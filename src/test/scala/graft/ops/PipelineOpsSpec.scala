@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Pinned-value and invariance tests for the pipeline utility operators
+  * (sessionize / deterministic sampling / IQR outliers / PII / tf-idf).
+  */
+class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  test("sessionize splits on gaps and counts per-session events") {
+    import spark.implicits._
+    // user 1: events at t=0,10,20 then 100 (gap>30) -> two sessions
+    // user 2: single event -> one session
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 100L), (2L, 5L))
+      .toDF("user_id", "t")
+    val got = Sessionize.stats(ev, "user_id", "t", gap = 30L)
+      .orderBy(col("user_id"), col("session_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    got shouldBe Array(
+      (1L, 1L, 3L, 0L, 20L, 20L),
+      (1L, 2L, 1L, 100L, 100L, 0L),
+      (2L, 1L, 1L, 5L, 5L, 0L))
+  }
+
+  test("sessionize boundary: gap exactly equal does NOT split") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L), (1L, 30L)).toDF("user_id", "t")
+    Sessionize.stats(ev, "user_id", "t", gap = 30L).count() shouldBe 1L
+  }
+
+  test("hash sample is deterministic and partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.2)
+      .collect().map(_.getLong(0)).sorted
+    a shouldBe b
+    // md5 is uniform: 20% +- a loose tolerance
+    a.length.toDouble should (be > 2000 * 0.15 and be < 2000 * 0.25)
+    Sampling.hashSample(df, "id", 0.0).count() shouldBe 0L
+    Sampling.hashSample(df, "id", 1.0).count() shouldBe 2000L
+  }
+
+  test("bottom-k sample equals the sort-based formulation, any partitioning") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "id")
+    val fast = Sampling.bottomK(df.repartition(11), Seq("g"), "id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+      .orderBy(Sampling.md5Hash52(col("id")).asc, col("id").asc)
+    val slow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7).select(col("g"), col("id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    fast shouldBe slow
+    fast.size shouldBe 14
+  }
+
+  test("iqr outlier stats: pinned quartiles and fence counts") {
+    import spark.implicits._
+    // values 1..100 plus outliers -500 and 250 in one group (the fences
+    // for this mix are lo=-50.5, hi=151.5)
+    val df = ((1 to 100).map(v => ("g", v.toDouble)) ++
+      Seq(("g", -500.0), ("g", 250.0))).toDF("k", "v")
+    val r = Outliers.iqrStats(df, "v", Seq("k")).collect().head
+    val q1 = r.getAs[Double]("q1")
+    val q3 = r.getAs[Double]("q3")
+    q1 should be (25.0 +- 1.5) // exact interpolated quartile of the mix
+    q3 should be (76.0 +- 1.5)
+    r.getAs[Long]("n_outliers") shouldBe 2L
+    r.getAs[Long]("n") shouldBe 102L
+  }
+
+  test("pii counts: pinned per-pattern counts") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a@b.com and c.d@e.org, site https://x.y/z?q=1",
+      "call 555-123-4567 or 555.987.6543 now",
+      "nothing here").toDF("text")
+    val got = df.select(
+        TextOps.emailCount(col("text")).as("e"),
+        TextOps.urlCount(col("text")).as("u"),
+        TextOps.phoneCount(col("text")).as("p"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    got shouldBe Array((2, 1, 0), (0, 0, 2), (0, 0, 0))
+  }
+
+  test("tf-idf: corpus-unique terms outrank ubiquitous terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val top1 = TextOps.tfIdfTopTerms(docs, "doc_id", "text", 1)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc -> idf ln(1)=0; the unique term wins
+    top1 shouldBe Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+  }
+}
