@@ -560,6 +560,37 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q56_ppm_decode" -> ((s, dir) => {
+      // REAL image decode (PPM/P6 byte-level parse + pixel math). Blobs
+      // are synthesized deterministically (test tables carry no media)
+      // with analytically-known pixels, so the decoded dims and channel
+      // means are exactly oracle-checkable.
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.decodePpmImages(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
+    "q57_wav_stats" -> ((s, dir) => {
+      // REAL audio parse (RIFF/WAV chunk walk + PCM16 RMS), same
+      // synthesized-blob oracle pattern as q56
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizeWav(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.wavStats(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
+          col("n_frames"), col("duration_us"), round(col("rms"), 6).as("rms"))
+    }),
+
     "q55_iqr_outliers" -> ((s, dir) => {
       graft.ops.Outliers.iqrStats(t(s, dir, "lineitem"), "l_extendedprice",
         Seq("l_returnflag"))
@@ -1162,6 +1193,30 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q56_ppm_decode" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d),
+        |xy AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px)
+        |SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+        |  3 AS channels,
+        |  round(avg((doc_id + 7 * x + 13 * y) % 256), 6) AS mean_r,
+        |  round(avg((doc_id * 3 + 5 * x + 11 * y) % 256), 6) AS mean_g,
+        |  round(avg((doc_id * 7 + 3 * x + 17 * y) % 256), 6) AS mean_b
+        |FROM xy GROUP BY doc_id""".stripMargin,
+
+    "q57_wav_stats" ->
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |  ((doc_id * 31 + i * 17) % 2003) - 1001 AS smp FROM s)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
+        |  round(sqrt(avg(smp * smp)), 6) AS rms
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "q55_iqr_outliers" ->
       """WITH q AS (SELECT l_returnflag,

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** REAL media decode for self-contained formats that need no external
+  * codec libraries: PPM (P6) raster images and WAV (RIFF PCM16) audio —
+  * byte-level header parsing and sample/pixel math in pure JVM code.
+  *
+  * This upgrades the multimodal story from [[Multimodal]]'s documented
+  * stub: formats with in-band structure (PPM, WAV, BMP-class containers)
+  * decode for real here; codec-dependent formats (JPEG/MP4/...) keep the
+  * [[Multimodal.ImageCodec]] boundary to plug native decoders into.
+  *
+  * Scale shape: decode is row-local inside `mapPartitions` (no shuffle,
+  * no per-row UDF dispatch — one iterator pass per partition); blobs
+  * never leave the executor that read them.
+  */
+object Media {
+
+  // ---------- PPM (P6): "P6\n<w> <h>\n<maxval>\n" + raw RGB ----------
+
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte]) {
+    def channels: Int = 3
+  }
+
+  def encodePpm(img: PpmImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  /** Parse a P6 PPM: magic, whitespace/comment-tolerant header tokens,
+    * then width*height*3 raw bytes.
+    */
+  def decodePpm(blob: Array[Byte]): PpmImage = {
+    require(blob.length >= 2 && blob(0) == 'P' && blob(1) == '6',
+      "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments
+      var inComment = false
+      while (pos < blob.length &&
+        (inComment || Character.isWhitespace(blob(pos)) || blob(pos) == '#')) {
+        if (blob(pos) == '#') inComment = true
+        if (blob(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      while (pos < blob.length && !Character.isWhitespace(blob(pos))) {
+        v = v * 10 + (blob(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    require(maxVal == 255, s"unsupported maxval $maxVal")
+    pos += 1 // single whitespace after maxval per spec
+    val n = w * h * 3
+    require(blob.length - pos >= n, "truncated pixel data")
+    PpmImage(w, h, java.util.Arrays.copyOfRange(blob, pos, pos + n))
+  }
+
+  /** Nearest-neighbor resize — real pixel resampling, no libraries. */
+  def resizeNearest(img: PpmImage, newW: Int, newH: Int): PpmImage = {
+    val out = new Array[Byte](newW * newH * 3)
+    var y = 0
+    while (y < newH) {
+      val sy = y * img.height / newH
+      var x = 0
+      while (x < newW) {
+        val sx = x * img.width / newW
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * newW + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(newW, newH, out)
+  }
+
+  /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
+  def meanRgb(img: PpmImage): (Double, Double, Double) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      r += img.pixels(i) & 0xff
+      g += img.pixels(i + 1) & 0xff
+      b += img.pixels(i + 2) & 0xff
+      i += 3
+    }
+    val n = (img.width * img.height).toDouble
+    (r / n, g / n, b / n)
+  }
+
+  // ---------- WAV (RIFF, PCM signed 16-bit little-endian) ----------
+
+  final case class WavMeta(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, nFrames: Long)
+
+  def encodeWavPcm16(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Walk the RIFF chunk list; returns meta from `fmt ` + `data` sizes. */
+  def parseWav(blob: Array[Byte]): WavMeta = {
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt(0) == 0x46464952, "not RIFF") // "RIFF" LE
+    require(buf.getInt(8) == 0x45564157, "not WAVE") // "WAVE" LE
+    var pos = 12
+    var channels = 0; var rate = 0; var bits = 0; var dataLen = -1
+    while (pos + 8 <= blob.length && (channels == 0 || dataLen < 0)) {
+      val id = buf.getInt(pos)
+      val sz = buf.getInt(pos + 4)
+      if (id == 0x20746d66) { // "fmt "
+        channels = buf.getShort(pos + 10).toInt
+        rate = buf.getInt(pos + 12)
+        bits = buf.getShort(pos + 22).toInt
+      } else if (id == 0x61746164) { // "data"
+        dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(channels > 0 && dataLen >= 0, "missing fmt/data chunk")
+    WavMeta(channels, rate, bits, dataLen.toLong / (channels * bits / 8))
+  }
+
+  /** RMS amplitude of the PCM16 payload (exact integer sum of squares). */
+  def rmsPcm16(blob: Array[Byte]): Double = {
+    val meta = parseWav(blob)
+    require(meta.bitsPerSample == 16, "rmsPcm16 requires 16-bit PCM")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // find the data chunk again (cheap — header is tiny)
+    var pos = 12
+    while (buf.getInt(pos) != 0x61746164) pos += 8 + buf.getInt(pos + 4) +
+      (buf.getInt(pos + 4) & 1)
+    val dataLen = buf.getInt(pos + 4)
+    val start = pos + 8
+    var sumSq = 0L
+    var i = 0
+    val n = dataLen / 2
+    while (i < n) {
+      val s = buf.getShort(start + 2 * i).toLong
+      sumSq += s * s
+      i += 1
+    }
+    if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+  }
+
+  // ---------- deterministic blob synthesis (test tables carry no media) --
+
+  /** Deterministic PPM: w = 4 + id%8, h = 3 + id%5, channel values are
+    * fixed affine functions of (id, x, y) mod 256 — analytically
+    * replicable in SQL, so REAL decode output is oracle-checkable.
+    */
+  def synthesizePpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt
+    val h = (3 + id % 5).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        px(i) = ((id + 7L * x + 13L * y) % 256).toByte
+        px(i + 1) = ((id * 3 + 5L * x + 11L * y) % 256).toByte
+        px(i + 2) = ((id * 7 + 3L * x + 17L * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePpm(PpmImage(w, h, px))
+  }
+
+  /** Deterministic mono PCM16 WAV at 8 kHz: n = 800 + id%100 frames,
+    * sample_i = ((id*31 + i*17) mod 2003) - 1001.
+    */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    val n = (800 + id % 100).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort
+      i += 1
+    }
+    encodeWavPcm16(8000, 1, samples)
+  }
+
+  // ---------- Spark surface (partition-local decode, no shuffle) --------
+
+  final case class PpmRecord(
+      id: Long, width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  final case class WavRecord(
+      id: Long, channels: Int, sample_rate: Int, n_frames: Long,
+      duration_us: Long, rms: Double)
+
+  /** Decode a binary PPM column into dimensions + channel means. */
+  def decodePpmImages(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val img = decodePpm(blob)
+        val (r, g, b) = meanRgb(img)
+        PpmRecord(id, img.width, img.height, img.channels, r, g, b)
+      })
+      .toDF()
+  }
+
+  /** Parse a binary WAV column into audio stats. */
+  def wavStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = parseWav(blob)
+        WavRecord(id, m.channels, m.sampleRate, m.nFrames,
+          m.nFrames * 1000000L / m.sampleRate, rmsPcm16(blob))
+      })
+      .toDF()
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Byte-level pins for the real PPM/WAV codecs: encode -> decode round
+  * trips, header-parse exactness, resize resampling, RMS arithmetic.
+  */
+class MediaSpec extends AnyFunSuite with Matchers {
+
+  test("ppm: encode -> decode round trip") {
+    val px = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
+    val img = Media.PpmImage(2, 3, px)
+    val back = Media.decodePpm(Media.encodePpm(img))
+    back.width shouldBe 2
+    back.height shouldBe 3
+    back.pixels shouldBe px
+  }
+
+  test("ppm: decoder tolerates comments and extra whitespace") {
+    val px = Array[Byte](1, 2, 3)
+    val header = "P6\n# a comment line\n 1  1 \n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val blob = header ++ px
+    val img = Media.decodePpm(blob)
+    img.width shouldBe 1
+    img.height shouldBe 1
+    img.pixels shouldBe px
+  }
+
+  test("ppm: nearest-neighbor resize picks the mapped source pixels") {
+    // 2x1 image: left pixel (10,20,30), right pixel (40,50,60)
+    val img = Media.PpmImage(2, 1, Array[Byte](10, 20, 30, 40, 50, 60))
+    val up = Media.resizeNearest(img, 4, 1)
+    // x=0,1 -> source 0; x=2,3 -> source 1
+    up.pixels shouldBe Array[Byte](10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60)
+    val down = Media.resizeNearest(img, 1, 1)
+    down.pixels shouldBe Array[Byte](10, 20, 30)
+  }
+
+  test("ppm: mean treats pixel bytes as unsigned") {
+    val img = Media.PpmImage(1, 1, Array[Byte](-1, 0, 127)) // 255, 0, 127
+    val (r, g, b) = Media.meanRgb(img)
+    r shouldBe 255.0
+    g shouldBe 0.0
+    b shouldBe 127.0
+  }
+
+  test("wav: encode -> parse round trip with exact header fields") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768)
+    val blob = Media.encodeWavPcm16(44100, 1, samples)
+    val m = Media.parseWav(blob)
+    m.channels shouldBe 1
+    m.sampleRate shouldBe 44100
+    m.bitsPerSample shouldBe 16
+    m.nFrames shouldBe 5L
+  }
+
+  test("wav: rms of a known square wave") {
+    // constant amplitude A -> rms == A
+    val blob = Media.encodeWavPcm16(8000, 1, Array.fill[Short](100)(500))
+    Media.rmsPcm16(blob) shouldBe 500.0 +- 1e-9
+  }
+
+  test("wav: stereo frame count divides by channels") {
+    val blob = Media.encodeWavPcm16(16000, 2, new Array[Short](8))
+    Media.parseWav(blob).nFrames shouldBe 4L
+  }
+
+  test("synthesized blobs decode to their analytic definitions") {
+    val img = Media.decodePpm(Media.synthesizePpm(17L))
+    img.width shouldBe (4 + 17 % 8)
+    img.height shouldBe (3 + 17 % 5)
+    // pixel (x=2, y=1) red channel: (17 + 7*2 + 13*1) % 256
+    val idx = (1 * img.width + 2) * 3
+    (img.pixels(idx) & 0xff) shouldBe ((17 + 14 + 13) % 256)
+
+    val m = Media.parseWav(Media.synthesizeWav(17L))
+    m.nFrames shouldBe (800 + 17 % 100).toLong
+    m.sampleRate shouldBe 8000
+  }
+}
