@@ -96,6 +96,16 @@ object Bench {
         Dedup.embeddingNearDups(emb.unionAll(dups), "vec_id", "embedding",
           threshold = 0.8, signBits = 8, bands = 8).count()
       }),
+      // gap-based sessionization + per-session stats over the event stream
+      "sessionize" -> (() =>
+        graft.ops.Sessionize.stats(
+          t("events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", gap = 14400L * 1000000L).count()),
+      // per-document tf-idf top terms (tokenize + tf shuffle + broadcast
+      // df + bounded top-k)
+      "tfidf_topterms" -> (() =>
+        graft.ops.TextOps.tfIdfTopTerms(t("documents"), "doc_id", "text", 5)
+          .count()),
       // whylogs wire-format export of a grouped profile (write+reparse)
       "proto_export" -> (() => {
         val prof = t("lineitem").newProfilingSession()
@@ -116,6 +126,11 @@ object Bench {
     val warmEmb = t("embeddings").limit(100)
     Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 2).count()
+    graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
+      "doc_id", "text", 2).count()
+    graft.ops.Sessionize.stats(
+      t("events").limit(500).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", gap = 14400L * 1000000L).count()
 
     val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()
