@@ -149,8 +149,13 @@ object TextOps {
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     // df falls out of tf (already one row per (doc, term)) — no separate
-    // distinct() shuffle; the identical tf exchange is reused by Catalyst
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // distinct() shuffle. The predicate on cnt's VALUE keeps this branch's
+    // copy of tf structurally identical to the join branch's (otherwise
+    // RemoveRedundantAggregates rewrites it into a bare distinct, subplan
+    // equality breaks, and Catalyst re-scans + re-shuffles the corpus
+    // instead of reusing tf's exchange). cnt >= 1 always, so df == count.
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(when(col("cnt") >= 1, 1)).as("df"))
     val scored = tf.join(broadcast(docFreq), Seq("term"))
       .select(col("id"), col("term"),
         (col("cnt").cast("double") * log(lit(nDocs.toDouble) / col("df")))
