@@ -560,6 +560,19 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q58_embedding_normalize" -> ((s, dir) => {
+      // L2 normalization: post-norm == 1 for nonzero vectors, and cosine
+      // against the original is 1 (direction preserved) — all scalars so
+      // the driver's hasher never sees an array column
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      emb.select(col("vec_id"),
+        round(Similarity.norm(col("embedding")), 6).as("norm_before"),
+        round(Similarity.norm(
+          Similarity.normalizeL2(col("embedding"))), 6).as("norm_after"),
+        round(Similarity.cosine(col("embedding"),
+          Similarity.normalizeL2(col("embedding"))), 6).as("direction_cos"))
+    }),
+
     "q56_ppm_decode" -> ((s, dir) => {
       // REAL image decode (PPM/P6 byte-level parse + pixel math). Blobs
       // are synthesized deterministically (test tables carry no media)
@@ -1193,6 +1206,22 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q58_embedding_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nb FROM e),
+        |nn AS (SELECT vec_id, v, nb,
+        |  CASE WHEN nb > 0 THEN list_transform(v, x -> x / nb) ELSE v END AS u
+        |  FROM n),
+        |m AS (SELECT vec_id, v, nb, u,
+        |  sqrt(list_dot_product(u, u)) AS na FROM nn)
+        |SELECT vec_id, round(nb, 6) AS norm_before,
+        |  round(na, 6) AS norm_after,
+        |  round(CASE WHEN nb > 0 AND na > 0
+        |    THEN list_dot_product(v, u) / (nb * na) ELSE 0 END, 6)
+        |    AS direction_cos
+        |FROM m""".stripMargin,
 
     "q56_ppm_decode" ->
       """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,

@@ -38,6 +38,17 @@ object Similarity {
     when(na > 0 && nb > 0, d / (na * nb)).otherwise(0.0)
   }
 
+  /** L2-normalize an embedding (zero vectors pass through unchanged).
+    * Normalized corpora turn cosine into a plain dot product — one fused
+    * multiply-add loop instead of three — and make IVF/LSH bucket
+    * geometry scale-invariant. Map-only, codegen'd (array Cast + VecDot).
+    */
+  def normalizeL2(a: Column): Column = {
+    val n = norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n))
+      .otherwise(a.cast("array<double>"))
+  }
+
   /** Embedding dimensionality, read from the first row. */
   def dim(df: DataFrame, embCol: String): Int =
     df.select(size(col(embCol))).first().getInt(0)
