@@ -560,6 +560,21 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q59_corpus_heavy_hitters" -> ((s, dir) => {
+      // corpus-level heavy hitters: frequent-items sketch over the token
+      // stream (vocab 31 << sketch capacity 128 => exact counts); re-sorted
+      // (estimate desc, term asc) at the DataFrame level because the
+      // sketch's own tie order among equal estimates is unspecified
+      val toks = t(s, dir, "documents").select(
+        explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("term"))
+      toks.agg(freq_items_topk(freq_items_agg(col("term")), lit(128)).as("tops"))
+        .select(explode(col("tops")).as("t"))
+        .select(col("t.item").as("term"), col("t.estimate").as("estimate"))
+        .orderBy(col("estimate").desc, col("term").asc)
+        .limit(10)
+    }),
+
     "q58_embedding_normalize" -> ((s, dir) => {
       // L2 normalization: post-norm == 1 for nonzero vectors, and cosine
       // against the original is 1 (direction preserved) — all scalars so
@@ -1206,6 +1221,14 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q59_corpus_heavy_hitters" ->
+      """SELECT term, estimate FROM (
+        |  SELECT t AS term, count(*) AS estimate
+        |  FROM documents,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+        |  WHERE t <> '' GROUP BY 1)
+        |ORDER BY estimate DESC, term LIMIT 10""".stripMargin,
 
     "q58_embedding_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
