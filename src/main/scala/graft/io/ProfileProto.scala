@@ -275,6 +275,19 @@ object ProfileProto {
       // whenever the message exists so the pair stays parseable.
       numbersFromMoments(s, 5, st.strings.length)
       numbersFromMoments(s, 6, st.strings.tokenLength)
+      // CharPosMessage{charList=1, charPosMap=2: map<string, NumbersMessage>}
+      // (CharPosTracker.java:171-181). No fixture binary carries the
+      // new-format strings fields, so 5/6/7 numbering is reconstructed from
+      // the builder call order; round-trip correctness is spec-pinned.
+      if (st.strings.charPos != null) s.message(7) { cp =>
+        cp.string(1, st.strings.charPos.charset)
+        st.strings.charPos.perChar.toSeq.sortBy(_._1).foreach { case (c, m) =>
+          cp.message(2) { e =>
+            e.string(1, c.toString)
+            numbersFromMoments(e, 2, m)
+          }
+        }
+      }
     }
     if (st.freq != null) w.message(7) { f => // FrequentItemsSketchMessage
       f.bytes(1, st.freq.toByteArray(new ArrayOfStringsSerDe))
@@ -410,7 +423,25 @@ object ProfileProto {
             st.strings.length.merge(readNumbersAsMoments(n.asBytes))
           case n @ Wire.Field(6, 2, _) =>
             st.strings.tokenLength.merge(readNumbersAsMoments(n.asBytes))
-          case _ => // items sketch (3), charPosTracker: not reconstructed
+          case f @ Wire.Field(7, 2, _) => // CharPosMessage
+            var charset = graft.metrics.CharPosState.DefaultCharset
+            val entries =
+              mutable.ArrayBuffer.empty[(Char, graft.metrics.Moments)]
+            Wire.fields(f.asBytes).foreach {
+              case cl @ Wire.Field(1, 2, _) => charset = cl.asString
+              case e @ Wire.Field(2, 2, _) =>
+                val kv = Wire.fields(e.asBytes)
+                val key = kv.find(_.number == 1).map(_.asString).getOrElse("")
+                val m = kv.find(_.number == 2)
+                  .map(x => readNumbersAsMoments(x.asBytes))
+                if (key.nonEmpty && m.isDefined)
+                  entries += ((key.charAt(0), m.get))
+              case _ =>
+            }
+            val cp = new graft.metrics.CharPosState(charset)
+            entries.foreach { case (c, m) => cp.perChar(c) = m }
+            st.strings.charPos = cp
+          case _ => // items sketch (3): column-level freq covers it
         }
       case f @ Wire.Field(7, 2, _) => // frequentItems
         Wire.fields(f.asBytes).foreach {

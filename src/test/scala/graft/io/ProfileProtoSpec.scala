@@ -60,8 +60,46 @@ class ProfileProtoSpec extends AnyFunSuite with Matchers {
     c.strings.length.max shouldBe orig.strings.length.max
     c.strings.length.sum shouldBe orig.strings.length.sum
     c.strings.tokenLength.max shouldBe orig.strings.tokenLength.max
+    if (orig.strings.charPos != null) {
+      c.strings.charPos should not be null
+      c.strings.charPos.charset shouldBe orig.strings.charPos.charset
+      orig.strings.charPos.perChar.foreach { case (ch, m) =>
+        val back = c.strings.charPos.perChar(ch)
+        back.count shouldBe m.count
+        back.min shouldBe m.min
+        back.max shouldBe m.max
+        back.sum shouldBe m.sum
+      }
+    }
     c.hll.getEstimate shouldBe orig.hll.getEstimate
     c.freq.getNumActiveItems shouldBe orig.freq.getNumActiveItems
+  }
+
+  test("charPos tracker round trips through CharPosMessage") {
+    val cfg = ProfileConfig.default.copy(withCharPos = true)
+    val st = new ColumnProfileState(cfg)
+    st.trackString("abc abc")
+    st.trackString("zz!")
+    st.strings.charPos should not be null
+
+    val profile = ProfileProto.DatasetProfile(
+      "s", 1L, None, Map.empty, Map.empty, Map("c" -> st))
+    val back = ProfileProto.fromBytes(ProfileProto.toBytes(profile))
+    val cp = back.columns("c").strings.charPos
+    cp should not be null
+    cp.charset shouldBe st.strings.charPos.charset
+    cp.perChar.keySet shouldBe st.strings.charPos.perChar.keySet
+    // 'a' occurs at positions 0 and 4 in "abc abc"
+    cp.perChar('a').count shouldBe 2L
+    cp.perChar('a').min shouldBe 0.0
+    cp.perChar('a').max shouldBe 4.0
+    // ' ' is outside the tracked charset -> pooled under NITL '\u0000'
+    cp.perChar('\u0000').count shouldBe 1L
+    // merge after parse still works
+    val merged = new ColumnProfileState(cfg)
+    merged.trackString("a")
+    merged.merge(back.columns("c"))
+    merged.strings.charPos.perChar('a').count shouldBe 3L
   }
 
   test("delimited stream round trip") {
