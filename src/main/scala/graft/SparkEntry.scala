@@ -560,6 +560,22 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q60_contamination" -> ((s, dir) => {
+      // train/test decontamination: probe = 40 corpus docs with a tiny
+      // suffix (planted contamination). The banded-MinHash candidate
+      // stage proposes cross-corpus pairs; the EXACT shingle-Jaccard
+      // filter decides, so the output is oracle-checkable against a full
+      // exact cross join.
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probe = corpus.filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contamination tail")).as("text"))
+      Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text",
+        threshold = 0.8, numHashes = 64, bands = 16, shingleK = 2)
+        .select(col("corpus_id"), col("probe_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q59_corpus_heavy_hitters" -> ((s, dir) => {
       // corpus-level heavy hitters: frequent-items sketch over the token
       // stream (vocab 31 << sketch capacity 128 => exact counts); re-sorted
@@ -1221,6 +1237,31 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q60_contamination" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |probe AS (SELECT doc_id, text || ' contamination tail' AS text
+        |  FROM documents WHERE doc_id < 40),
+        |ct AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0) AS w FROM corpus),
+        |pt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0) AS w FROM probe),
+        |cs AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    list_distinct(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1]))
+        |  ELSE [array_to_string(w, ' ')] END AS s FROM ct),
+        |ps AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    list_distinct(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1]))
+        |  ELSE [array_to_string(w, ' ')] END AS s FROM pt),
+        |j AS (SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+        |  len(list_intersect(c.s, p.s))::DOUBLE /
+        |    len(list_distinct(c.s || p.s)) AS jaccard
+        |  FROM cs c CROSS JOIN ps p)
+        |SELECT corpus_id, probe_id, round(jaccard, 6) AS jaccard
+        |FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     "q59_corpus_heavy_hitters" ->
       """SELECT term, estimate FROM (

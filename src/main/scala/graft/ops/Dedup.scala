@@ -164,6 +164,63 @@ object Dedup {
     (result, () => { sig.unpersist(blocking = false); () })
   }
 
+  /** Cross-corpus contamination detection (train/test decontamination):
+    * pairs (corpus_id, probe_id) whose texts share >= `threshold` exact
+    * shingle-Jaccard, candidates generated by the SAME banded-MinHash
+    * shape as [[minHashLshPairs]] — both corpora flow through ONE bucket
+    * shuffle with the side encoded in the id's low bit, pairs are
+    * restricted to cross-side collisions, and the final filter recomputes
+    * EXACT Jaccard on the candidate texts (LSH only proposes; the
+    * estimate never decides, so borderline pairs are judged exactly).
+    *
+    * Requires integral ids on both sides (the side bit rides in the id).
+    */
+  def crossCorpusNearDups(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val a = corpus.select((col(idCol).cast("long") * 2).as("id"),
+      col(textCol).as("__text"))
+    val b = probe.select((col(idCol).cast("long") * 2 + 1).as("id"),
+      col(textCol).as("__text"))
+    val all = a.unionAll(b)
+    val sig = minHashSignatures(all, "id", "__text", numHashes, shingleK)
+
+    val banded = sig.select(col("id"),
+      posexplode(graft.functions.band_hashes(col("sig"), bands))
+        .as(Seq("band", "bucket")))
+
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
+      .drop("__nbands")
+
+    val texts = all.select(col("id"), col("__text"))
+    pairs
+      .join(texts.select(col("id").as("id_a"), col("__text").as("text_a")),
+        Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("__text").as("text_b")),
+        Seq("id_b"))
+      .select(
+        shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("corpus_id"),
+        shiftright(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("probe_id"),
+        ngramJaccard(col("text_a"), col("text_b"), shingleK).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over candidate pairs: assigns every id the
     * minimum id reachable in its component — the cluster-assignment step
     * that turns near-dup PAIRS into dedup groups (keep min id, drop the

@@ -103,6 +103,20 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     pairs.unpersist()
   }
 
+  test("cross-corpus contamination recovers planted probes, cross-side only") {
+    val corpus = docs.limit(100).select(col("doc_id"), col("text"))
+    val probe = corpus.filter(col("doc_id") < 15)
+      .select(col("doc_id"), concat(col("text"), lit(" tiny tail")).as("text"))
+    val hits = Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text",
+      threshold = 0.8, shingleK = 2).collect()
+    // every planted probe is found against its source doc
+    val selfHits = hits.filter(r => r.getLong(0) == r.getLong(1))
+    selfHits.map(_.getLong(1)).sorted.toSeq shouldBe (0L until 15L)
+    all(hits.map(_.getDouble(2))) should be >= 0.8
+    // probe ids only ever appear on the probe side (no within-corpus pairs)
+    all(hits.map(_.getLong(1))) should be < 15L
+  }
+
   test("minhash est_jaccard tracks exact shingle jaccard on near-dup docs") {
     // duplicate a doc with a tiny suffix change: est_jaccard must be high
     val d = docs.limit(20).select(col("doc_id"), col("text"))
