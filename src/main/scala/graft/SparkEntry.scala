@@ -560,6 +560,29 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q61_psi_drift" -> ((s, dir) => {
+      // profile-to-profile drift: PSI/KL between the acctbal distribution
+      // of two supplier cohorts, computed ONLY from their KLL sketches
+      // (exact below capacity) over fixed bin edges — the monitoring query
+      // a profile store answers without rescanning data
+      val sup = t(s, dir, "supplier")
+      val edges = Seq(0.0, 2500.0, 5000.0, 7500.0)
+      val sketches = sup
+        .withColumn("cohort",
+          when(col("s_nationkey") < 12, "old").otherwise("new"))
+        .groupBy(col("cohort"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"), count(lit(1)).as("n"))
+      val a = sketches.filter(col("cohort") === "old")
+        .select(col("sk").as("sk_a"), col("n").as("n_a"))
+      val b = sketches.filter(col("cohort") === "new")
+        .select(col("sk").as("sk_b"), col("n").as("n_b"))
+      a.crossJoin(b).select(col("n_a"), col("n_b"),
+        round(graft.ops.Drift.psi(col("sk_a"), col("sk_b"), edges), 6)
+          .as("psi"),
+        round(graft.ops.Drift.klDivergence(col("sk_a"), col("sk_b"), edges), 6)
+          .as("kl"))
+    }),
+
     "q60_contamination" -> ((s, dir) => {
       // train/test decontamination: probe = 40 corpus docs with a tiny
       // suffix (planted contamination). The banded-MinHash candidate
@@ -1237,6 +1260,34 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q61_psi_drift" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |c AS (SELECT cohort, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 7500.0) AS r3
+        |  FROM s GROUP BY 1),
+        |p AS (SELECT cohort, n,
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS p0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |  FROM c)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round((a.p0 - b.p0) * ln(a.p0 / b.p0)
+        |      + (a.p1 - b.p1) * ln(a.p1 / b.p1)
+        |      + (a.p2 - b.p2) * ln(a.p2 / b.p2)
+        |      + (a.p3 - b.p3) * ln(a.p3 / b.p3)
+        |      + (a.p4 - b.p4) * ln(a.p4 / b.p4), 6) AS psi,
+        |  round(a.p0 * ln(a.p0 / b.p0) + a.p1 * ln(a.p1 / b.p1)
+        |      + a.p2 * ln(a.p2 / b.p2) + a.p3 * ln(a.p3 / b.p3)
+        |      + a.p4 * ln(a.p4 / b.p4), 6) AS kl
+        |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
 
     "q60_contamination" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

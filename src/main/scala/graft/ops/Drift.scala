@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift metrics between two statistical profiles — the
+  * monitoring computation a profile store exists for: compare this
+  * window's column distribution against a reference window's WITHOUT
+  * rescanning either dataset, using only the profiles' KLL sketches.
+  *
+  * Bins are caller-fixed edges (bin i = (e_{i-1}, e_i], open at the
+  * ends); per-bin probabilities come from the sketches' INCLUSIVE
+  * normalized ranks ([[graft.functions.kll_rank]]) — exact below sketch
+  * capacity, rank-error-bounded above it. Fixed edges (rather than
+  * per-run min/max bins) keep the two sides and any SQL oracle on
+  * identical boundaries.
+  *
+  * Everything is a scalar expression over sketch bytes: drift for every
+  * (group x column) pair computes in one map pass over stored profiles.
+  */
+object Drift {
+
+  private def binProbs(sk: Column, edges: Seq[Double], eps: Double): Seq[Column] = {
+    val ranks = edges.map(e => graft.functions.kll_rank(sk, lit(e)))
+    val lo = lit(0.0) +: ranks
+    val hi = ranks :+ lit(1.0)
+    // eps floor keeps empty bins from collapsing the log terms
+    lo.zip(hi).map { case (l, h) => greatest(h - l, lit(eps)) }
+  }
+
+  /** Population Stability Index: sum_i (p_i - q_i) * ln(p_i / q_i).
+    * Common gates: < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted.
+    */
+  def psi(a: Column, b: Column, edges: Seq[Double],
+      eps: Double = 1e-6): Column =
+    binProbs(a, edges, eps).zip(binProbs(b, edges, eps))
+      .map { case (p, q) => (p - q) * log(p / q) }
+      .reduce(_ + _)
+
+  /** KL(a || b) over the same fixed bins. */
+  def klDivergence(a: Column, b: Column, edges: Seq[Double],
+      eps: Double = 1e-6): Column =
+    binProbs(a, edges, eps).zip(binProbs(b, edges, eps))
+      .map { case (p, q) => p * log(p / q) }
+      .reduce(_ + _)
+}
