@@ -560,6 +560,12 @@ object SparkEntry {
         .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
     }),
 
+    "q62_unigram_perplexity" -> ((s, dir) => {
+      TextOps.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("perplexity"), 6).as("perplexity"))
+    }),
+
     "q61_psi_drift" -> ((s, dir) => {
       // profile-to-profile drift: PSI/KL between the acctbal distribution
       // of two supplier cohorts, computed ONLY from their KLL sketches
@@ -1260,6 +1266,18 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)
         |SELECT * FROM c WHERE n_emails + n_urls + n_phones > 0""".stripMargin,
+
+    "q62_unigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+        |  WHERE t <> ''),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(exp(avg(-ln(cnt::DOUBLE / total))), 6) AS perplexity
+        |FROM toks JOIN c USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q61_psi_drift" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'

@@ -127,6 +127,32 @@ object TextOps {
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
 
+  /** Per-document unigram language-model perplexity — the classic
+    * LM-based quality filter: score each document by how surprising its
+    * tokens are under the corpus's own unigram distribution
+    * (perplexity = exp(mean(-ln p(token))), p = corpus_count/total).
+    *
+    * Scale shape: one token-count shuffle whose RESULT is vocabulary-
+    * sized and broadcast back; the per-document mean aggregates with
+    * map-side combine on the document key. The corpus streams through
+    * two map passes, never a corpus-sized wide shuffle.
+    */
+  def unigramPerplexity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).first().getLong(0)
+    toks.join(broadcast(counts), Seq("term"))
+      .select(col("id"),
+        (-log(col("cnt").cast("double") / lit(total.toDouble))).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), exp(avg(col("nll"))).as("perplexity"))
+  }
+
   /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
     *
     * Scale shape: one shuffle builds (id, term) counts with map-side
