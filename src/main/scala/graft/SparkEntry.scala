@@ -1261,7 +1261,8 @@ object SparkEntry {
         |c AS (SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text,
+        |    'https?://[^ \t\n\x0B\f\r]+')) AS n_urls,
         |  len(regexp_extract_all(text,
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones
         |  FROM d)

@@ -108,6 +108,8 @@ case class TopKAgg(
     case LongType    => v => v.asInstanceOf[Long].toDouble
     case ShortType   => v => v.asInstanceOf[Short].toDouble
     case ByteType    => v => v.asInstanceOf[Byte].toDouble
+    case _: DecimalType =>
+      v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
     case other => throw new IllegalArgumentException(s"topk_agg score: $other")
   }
 

@@ -422,20 +422,13 @@ case class MinHashSig(child: Expression, k: Int, params: Array[(Long, Long)])
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
-      val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-      if (i > start) tokens += text.substring(start, i)
-    }
+    val tokens = Shingling.tokenize(text)
     val sig = new Array[Long](params.length)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val sb = new java.lang.StringBuilder(64)
-
-    def absorb(shingle: String): Unit = {
+    // shared shingle enumeration ([[Shingling]]) keeps signatures
+    // byte-identical to WordShingles' sets by construction; distinct-only
+    // also skips re-hashing repeated shingles (min is duplicate-blind)
+    Shingling.foreachDistinctShingle(tokens, k) { shingle =>
       val u = UTF8String.fromString(shingle)
       val raw = XXH64.hashUnsafeBytes(u.getBytes,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, u.numBytes, 42L)
@@ -445,23 +438,6 @@ case class MinHashSig(child: Expression, k: Int, params: Array[(Long, Long)])
         val v = (params(j)._1 * h + params(j)._2) % Mod
         if (v < sig(j)) sig(j) = v
         j += 1
-      }
-    }
-
-    if (tokens.length < k) {
-      absorb(tokens.mkString(" "))
-    } else {
-      var s = 0
-      while (s <= tokens.length - k) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(tokens(s + j))
-          j += 1
-        }
-        absorb(sb.toString)
-        s += 1
       }
     }
     new GenericArrayData(sig)

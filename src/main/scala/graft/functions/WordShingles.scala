@@ -8,6 +8,56 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared word-shingling core: the single definition of tokenization and
+  * k-shingle enumeration that [[WordShingles]] and [[MinHashSig]] both
+  * build on — one tokenizer to keep LSH signatures and exact-Jaccard
+  * shingles byte-identical by construction.
+  *
+  * Semantics: tokens are maximal runs of non-whitespace in `lower(text)`;
+  * shingles are k consecutive tokens joined by a single space; fewer than
+  * k tokens yields one shingle of all tokens joined (the whole text);
+  * DISTINCT shingles only, first-occurrence order.
+  */
+private[functions] object Shingling {
+
+  def tokenize(text: String): mutable.ArrayBuffer[String] = {
+    val tokens = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) tokens += text.substring(start, i)
+    }
+    tokens
+  }
+
+  /** Invoke `f` once per DISTINCT k-shingle, in first-occurrence order. */
+  def foreachDistinctShingle(tokens: mutable.ArrayBuffer[String], k: Int)(
+      f: String => Unit): Unit = {
+    if (tokens.length < k) {
+      f(tokens.mkString(" "))
+    } else {
+      val seen = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder(64)
+      var s = 0
+      while (s <= tokens.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(s + j))
+          j += 1
+        }
+        val shingle = sb.toString
+        if (seen.add(shingle)) f(shingle)
+        s += 1
+      }
+    }
+  }
+}
+
 /** Distinct word k-shingles of lowercased text, as one monolithic
   * expression: single scan, no intermediate token/slice arrays.
   *
@@ -16,10 +66,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-element lambda dispatch and slice() array copies — ~1ms per
   * document; this is ~micros.
   *
-  * Semantics: tokens are maximal runs of non-whitespace in
-  * `lower(text)`; shingles are k consecutive tokens joined by a single
-  * space; fewer than k tokens yields one shingle of all tokens joined
-  * (the whole text); output order is first occurrence, duplicates dropped.
+  * Semantics: see [[Shingling]].
   */
 case class WordShingles(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -31,33 +78,10 @@ case class WordShingles(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.toLowerCase
-    // tokenize: maximal non-whitespace runs
-    val tokens = mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
-      val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
-      if (i > start) tokens += text.substring(start, i)
-    }
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    if (tokens.length < k) {
-      out.add(UTF8String.fromString(tokens.mkString(" ")))
-    } else {
-      val sb = new java.lang.StringBuilder(64)
-      var s = 0
-      while (s <= tokens.length - k) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(tokens(s + j))
-          j += 1
-        }
-        out.add(UTF8String.fromString(sb.toString))
-        s += 1
-      }
+    val tokens = Shingling.tokenize(text)
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    Shingling.foreachDistinctShingle(tokens, k) { sh =>
+      out += UTF8String.fromString(sh)
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }

@@ -50,17 +50,26 @@ object Media {
         pos += 1
       }
       var v = 0
+      var digits = 0
       while (pos < blob.length && !Character.isWhitespace(blob(pos))) {
-        v = v * 10 + (blob(pos) - '0'); pos += 1
+        val b = blob(pos)
+        require(b >= '0' && b <= '9', s"malformed header token byte $b")
+        v = v * 10 + (b - '0'); pos += 1; digits += 1
+        require(digits <= 9, "header value out of range")
       }
+      require(digits > 0, "missing header value")
       v
     }
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
+    require(w > 0 && h > 0, s"invalid dimensions ${w}x$h")
     pos += 1 // single whitespace after maxval per spec
-    val n = w * h * 3
-    require(blob.length - pos >= n, "truncated pixel data")
-    PpmImage(w, h, java.util.Arrays.copyOfRange(blob, pos, pos + n))
+    // size math in Long — Int w*h*3 can overflow to a negative that would
+    // defeat the truncation guard below
+    val n = w.toLong * h * 3
+    require(n <= blob.length - pos, "truncated pixel data")
+    PpmImage(w, h,
+      java.util.Arrays.copyOfRange(blob, pos, pos + n.toInt))
   }
 
   /** Nearest-neighbor resize — real pixel resampling, no libraries. */
@@ -122,47 +131,57 @@ object Media {
     buf.array()
   }
 
-  /** Walk the RIFF chunk list; returns meta from `fmt ` + `data` sizes. */
-  def parseWav(blob: Array[Byte]): WavMeta = {
+  /** Validated RIFF chunk walk shared by [[parseWav]]/[[rmsPcm16]]:
+    * (meta, data-chunk offset, data-chunk length). Corrupt chunk sizes
+    * (negative, or extending past the blob) fail fast instead of looping
+    * or reading out of bounds — one bad blob must error its row, not
+    * hang the executor.
+    */
+  private def walkWav(blob: Array[Byte]): (WavMeta, Int, Int) = {
     val buf = java.nio.ByteBuffer.wrap(blob)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(blob.length >= 12, "truncated RIFF header")
     require(buf.getInt(0) == 0x46464952, "not RIFF") // "RIFF" LE
     require(buf.getInt(8) == 0x45564157, "not WAVE") // "WAVE" LE
     var pos = 12
-    var channels = 0; var rate = 0; var bits = 0; var dataLen = -1
+    var channels = 0; var rate = 0; var bits = 0
+    var dataLen = -1; var dataStart = -1
     while (pos + 8 <= blob.length && (channels == 0 || dataLen < 0)) {
       val id = buf.getInt(pos)
       val sz = buf.getInt(pos + 4)
+      require(sz >= 0 && pos + 8 + sz.toLong <= blob.length,
+        s"corrupt chunk size $sz at offset $pos")
       if (id == 0x20746d66) { // "fmt "
+        require(sz >= 16, s"short fmt chunk ($sz bytes)")
         channels = buf.getShort(pos + 10).toInt
         rate = buf.getInt(pos + 12)
         bits = buf.getShort(pos + 22).toInt
       } else if (id == 0x61746164) { // "data"
         dataLen = sz
+        dataStart = pos + 8
       }
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    require(channels > 0 && dataLen >= 0, "missing fmt/data chunk")
-    WavMeta(channels, rate, bits, dataLen.toLong / (channels * bits / 8))
+    require(channels > 0 && bits > 0 && dataLen >= 0,
+      "missing fmt/data chunk")
+    (WavMeta(channels, rate, bits, dataLen.toLong / (channels * bits / 8)),
+      dataStart, dataLen)
   }
+
+  /** Walk the RIFF chunk list; returns meta from `fmt ` + `data` sizes. */
+  def parseWav(blob: Array[Byte]): WavMeta = walkWav(blob)._1
 
   /** RMS amplitude of the PCM16 payload (exact integer sum of squares). */
   def rmsPcm16(blob: Array[Byte]): Double = {
-    val meta = parseWav(blob)
+    val (meta, dataStart, dataLen) = walkWav(blob)
     require(meta.bitsPerSample == 16, "rmsPcm16 requires 16-bit PCM")
     val buf = java.nio.ByteBuffer.wrap(blob)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // find the data chunk again (cheap — header is tiny)
-    var pos = 12
-    while (buf.getInt(pos) != 0x61746164) pos += 8 + buf.getInt(pos + 4) +
-      (buf.getInt(pos + 4) & 1)
-    val dataLen = buf.getInt(pos + 4)
-    val start = pos + 8
     var sumSq = 0L
     var i = 0
     val n = dataLen / 2
     while (i < n) {
-      val s = buf.getShort(start + 2 * i).toLong
+      val s = buf.getShort(dataStart + 2 * i).toLong
       sumSq += s * s
       i += 1
     }

@@ -30,7 +30,14 @@ object Outliers {
         percentile(col(valueCol), lit(0.75)).as("q3"))
       .withColumn("lo", col("q1") - lit(factor) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(factor) * (col("q3") - col("q1")))
-    df.join(broadcast(quartiles), keyCols)
+    // null-safe key equality: groupBy keeps a NULL-key group, and a plain
+    // equi-join would silently drop its rows — the exact rows a data-
+    // quality screen must not lose
+    val q = quartiles.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) ++
+        Seq(col("q1"), col("q3"), col("lo"), col("hi")): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(q), cond)
       .groupBy(keys: _*)
       .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
         first(col("lo")).as("lo"), first(col("hi")).as("hi"),

@@ -24,7 +24,12 @@ object Sessionize {
 
   private def timeUnits(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case TimestampType | TimestampNTZType => unix_micros(col(tsCol))
+      case TimestampType => unix_micros(col(tsCol))
+      // unix_micros rejects TIMESTAMP_NTZ; cast first (under a fixed UTC
+      // session timezone the local instant maps 1:1, and the shift is a
+      // constant either way, so gap arithmetic is unaffected)
+      case TimestampNTZType =>
+        unix_micros(col(tsCol).cast(TimestampType))
       case _ => col(tsCol).cast("long")
     }
 

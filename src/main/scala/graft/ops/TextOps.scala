@@ -120,7 +120,9 @@ object TextOps {
     * regexp_count) — scales linearly, no shuffle.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^\\s]+"
+  // explicit whitespace class, NOT \s: Java's \s includes \x0B while
+  // RE2's does not — an explicit class is byte-identical in both engines
+  val UrlPattern = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
@@ -133,9 +135,12 @@ object TextOps {
     * (perplexity = exp(mean(-ln p(token))), p = corpus_count/total).
     *
     * Scale shape: one token-count shuffle whose RESULT is vocabulary-
-    * sized and broadcast back; the per-document mean aggregates with
-    * map-side combine on the document key. The corpus streams through
-    * two map passes, never a corpus-sized wide shuffle.
+    * sized and broadcast back (with the corpus total folded in-plan via a
+    * 1-row cross join over the same counts — no eager driver-side job);
+    * the per-document mean aggregates with map-side combine on the
+    * document key. The corpus tokenizes twice (once into the count
+    * aggregate, once into the scoring join) and never takes a
+    * corpus-sized wide shuffle.
     */
   def unigramPerplexity(
       df: org.apache.spark.sql.DataFrame,
@@ -145,10 +150,13 @@ object TextOps {
       explode(filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0)).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).first().getLong(0)
-    toks.join(broadcast(counts), Seq("term"))
+    // summing cnt's VALUE keeps this branch's counts subplan canonically
+    // identical to the broadcast branch's, so the count exchange is
+    // reused (the tfIdfTopTerms RemoveRedundantAggregates lesson)
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(broadcast(counts.crossJoin(tot)), Seq("term"))
       .select(col("id"),
-        (-log(col("cnt").cast("double") / lit(total.toDouble))).as("nll"))
+        (-log(col("cnt").cast("double") / col("total"))).as("nll"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), exp(avg(col("nll"))).as("perplexity"))
   }

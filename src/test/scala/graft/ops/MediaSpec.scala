@@ -67,6 +67,33 @@ class MediaSpec extends AnyFunSuite with Matchers {
     Media.parseWav(blob).nFrames shouldBe 4L
   }
 
+  test("corrupt blobs error fast instead of looping or misdecoding") {
+    // WAV with a negative chunk size used to spin the chunk walk forever
+    val bad = Media.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    val buf = java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(16, -8) // fmt chunk size -> -8
+    an[IllegalArgumentException] should be thrownBy Media.parseWav(bad)
+
+    // chunk extending past the blob
+    val short = Media.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    java.nio.ByteBuffer.wrap(short)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 1 << 20)
+    an[IllegalArgumentException] should be thrownBy Media.parseWav(short)
+
+    // PPM dims whose pixel count overflows Int must fail the truncation
+    // guard, not pass it with a negative size
+    val huge = "P6\n46341 46341\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](0)
+    an[IllegalArgumentException] should be thrownBy Media.decodePpm(huge)
+
+    // non-digit bytes in a header token are an error, not a garbage dim
+    val alpha = "P6\n1x2 1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      new Array[Byte](9)
+    an[IllegalArgumentException] should be thrownBy Media.decodePpm(alpha)
+  }
+
   test("synthesized blobs decode to their analytic definitions") {
     val img = Media.decodePpm(Media.synthesizePpm(17L))
     img.width shouldBe (4 + 17 % 8)

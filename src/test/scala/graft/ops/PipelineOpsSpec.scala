@@ -33,6 +33,42 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     Sessionize.stats(ev, "user_id", "t", gap = 30L).count() shouldBe 1L
   }
 
+  test("sessionize handles TIMESTAMP and TIMESTAMP_NTZ time columns") {
+    import spark.implicits._
+    val base = Seq((1L, 0L), (1L, 10L), (1L, 100L)).toDF("user_id", "sec")
+    for (t <- Seq("timestamp", "timestamp_ntz")) {
+      val ev = base.withColumn("ts", timestamp_seconds(col("sec")).cast(t))
+      val sessions = Sessionize.stats(ev, "user_id", "ts",
+        gap = 30L * 1000000L) // 30s in micros
+      sessions.count() shouldBe 2L // 0,10 | 100
+    }
+  }
+
+  test("topk_agg accepts decimal scores") {
+    import spark.implicits._
+    val df = Seq((1, "10.50"), (2, "99.99"), (3, "5.00")).toDF("id", "s")
+      .select(col("id").cast("long").as("id"),
+        col("s").cast("decimal(12,2)").as("score"))
+    val top = df.agg(graft.functions.topk_agg(col("score"), col("id"), 2)
+      .as("topk"))
+      .select(posexplode(col("topk"))).select(col("col.item_id"))
+      .collect().map(_.getLong(0))
+    top.toSeq shouldBe Seq(2L, 1L)
+  }
+
+  test("iqr outlier stats keeps the NULL-key group") {
+    import spark.implicits._
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 100.0)) ++
+      Seq((null, 5.0), (null, 6.0), (null, 7.0), (null, 10000.0)))
+      .toDF("k", "v")
+    val rows = Outliers.iqrStats(df, "v", Seq("k")).collect()
+    rows.length shouldBe 2
+    val nullRow = rows.find(_.isNullAt(0)).get
+    nullRow.getAs[Long]("n") shouldBe 4L
+    // fences for [5,6,7,10000]: q1=5.75, q3~=2505, hi~=6254 -> 10000 out
+    nullRow.getAs[Long]("n_outliers") shouldBe 1L
+  }
+
   test("hash sample is deterministic and partition-invariant") {
     import spark.implicits._
     val df = (1 to 2000).map(_.toLong).toDF("id")
