@@ -58,5 +58,9 @@ object GraftExtensions {
     "band_hashes" -> (es => BandHashes(es(0),
       es(1).eval().asInstanceOf[Int])),
     "easy_datetime" -> (es => EasyDateTime(es(0),
-      es(1).eval().toString)))
+      es(1).eval().toString)),
+    "topk_agg" -> (es => TopKAgg(es(0), es(1),
+      es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
+    "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()))
 }

@@ -113,32 +113,14 @@ package object functions {
   def freq_items_topk(sketch: Column, k: Column): Column =
     col(FreqItemsTopK(expr(sketch), expr(k)))
 
-  /** Register all functions in the session's registry (SQL-callable). */
+  /** Register all functions in the session's registry (SQL-callable) —
+    * the temp-function twin of `graft.GraftExtensions`, sharing its one
+    * name -> builder list.
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def r(name: String, builder: Seq[Expression] => Expression): Unit =
+    graft.GraftExtensions.functions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    r("graft_profile", es => ColumnProfileAgg(es.head).toAggregateExpression())
-    r("graft_profile_merge", es => ProfileMergeAgg(es.head).toAggregateExpression())
-    r("kll_agg", es => KllAgg(es.head).toAggregateExpression())
-    r("kll_merge", es => KllMergeAgg(es.head).toAggregateExpression())
-    r("kll_quantile", es => KllQuantile(es(0), es(1)))
-    r("kll_quantiles", es => KllQuantiles(es(0), es(1)))
-    r("kll_n", es => KllN(es.head))
-    r("kll_histogram", es => KllHistogram(es(0), es(1)))
-    r("theta_agg", es => ThetaAgg(es.head).toAggregateExpression())
-    r("theta_merge", es => ThetaMergeAgg(es.head).toAggregateExpression())
-    r("theta_estimate", es => ThetaEstimate(es.head))
-    r("theta_summary", es => ThetaSummary(es.head))
-    r("hll_agg", es => HllAgg(es.head).toAggregateExpression())
-    r("hll_merge", es => HllMergeAgg(es.head).toAggregateExpression())
-    r("hll_estimate", es => HllEstimate(es.head))
-    r("hll_summary", es => HllSummary(es.head))
-    r("freq_items_agg", es => FreqItemsAgg(es.head).toAggregateExpression())
-    r("freq_items_merge", es => FreqItemsMergeAgg(es.head).toAggregateExpression())
-    r("freq_items_topk", es => FreqItemsTopK(es(0), es(1)))
-    r("vec_dot", es => VecDot(es(0), es(1)))
-    r("vec_match_count", es => VecMatchCount(es(0), es(1)))
-    r("simhash64", es => SimHash64(es.head))
+    }
   }
 }

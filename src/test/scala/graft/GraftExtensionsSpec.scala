@@ -26,6 +26,26 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     row.getDouble(2) shouldBe exact.getLong(2).toDouble +- exact.getLong(2) * 0.03
   }
 
+  test("topk_agg and vec aggregates are SQL-callable via extensions") {
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("li_topk")
+    val rows = spark.sql(
+      """SELECT t.item_id, t.score
+        |FROM (SELECT topk_agg(l_extendedprice, l_orderkey, 3) AS topk
+        |      FROM li_topk)
+        |LATERAL VIEW explode(topk) AS t""".stripMargin).collect()
+    rows.length shouldBe 3
+    rows.map(_.getDouble(1)).toSeq shouldBe
+      rows.map(_.getDouble(1)).sorted.reverse.toSeq
+    val vec = spark.sql(
+      """SELECT vec_min(a) AS mn, vec_sum(b) AS sm FROM (
+        |  SELECT array(3L, 9L) AS a, array(1.0D, 2.0D) AS b
+        |  UNION ALL SELECT array(5L, 4L), array(3.0D, 4.0D))""".stripMargin)
+      .first()
+    vec.getSeq[Long](0) shouldBe Seq(3L, 4L)
+    vec.getSeq[Double](1) shouldBe Seq(4.0, 6.0)
+  }
+
   test("profile aggregate and scalar expressions are SQL-callable") {
     val row = spark.sql(
       """SELECT p.count, p.numbers.min, p.inferred_type,
