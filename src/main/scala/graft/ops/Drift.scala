@@ -43,4 +43,28 @@ object Drift {
     binProbs(a, edges, eps).zip(binProbs(b, edges, eps))
       .map { case (p, q) => p * log(p / q) }
       .reduce(_ + _)
+
+  /** Per-column drift report between two single-row profile frames (e.g.
+    * this window's `aggProfiles()` output vs a stored reference window):
+    * one row per requested column with (psi, kl), computed ONLY from the
+    * profiles' stored KLL bytes (`<col>.numbers.kll`) — no access to
+    * either window's raw data.
+    */
+  def profileDrift(
+      current: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      edges: Map[String, Seq[Double]],
+      eps: Double = 1e-6): org.apache.spark.sql.DataFrame = {
+    val columns = edges.keys.toSeq.sorted
+    val a = current.select(columns.map(c =>
+      col(s"$c.numbers.kll").as(s"__a_$c")): _*)
+    val b = reference.select(columns.map(c =>
+      col(s"$c.numbers.kll").as(s"__b_$c")): _*)
+    val joined = a.crossJoin(b)
+    columns.map { c =>
+      joined.select(lit(c).as("column"),
+        psi(col(s"__a_$c"), col(s"__b_$c"), edges(c), eps).as("psi"),
+        klDivergence(col(s"__a_$c"), col(s"__b_$c"), edges(c), eps).as("kl"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -113,6 +113,25 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getAs[Long]("n") shouldBe 102L
   }
 
+  test("profile drift: zero against itself, positive under a real shift") {
+    import graft.profile.ProfileSession.ProfilingOps
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val profA = li.filter(col("l_orderkey") % 2 === 0)
+      .newProfilingSession().aggProfiles()
+    val profShifted = li.filter(col("l_orderkey") % 2 === 1)
+      .withColumn("l_quantity", col("l_quantity") * 3)
+      .newProfilingSession().aggProfiles()
+    val edges = Map("l_quantity" -> Seq(10.0, 25.0, 40.0))
+
+    val self = Drift.profileDrift(profA, profA, edges).collect().head
+    self.getDouble(1) shouldBe 0.0 // identical distributions: every term 0
+    self.getDouble(2) shouldBe 0.0
+
+    val shifted = Drift.profileDrift(profShifted, profA, edges).collect().head
+    shifted.getString(0) shouldBe "l_quantity"
+    shifted.getDouble(1) should be > 0.25 // tripled values: strong PSI shift
+  }
+
   test("pii counts: pinned per-pattern counts") {
     import spark.implicits._
     val df = Seq(
