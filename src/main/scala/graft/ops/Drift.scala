@@ -44,6 +44,31 @@ object Drift {
       .map { case (p, q) => p * log(p / q) }
       .reduce(_ + _)
 
+  /** Drift of EVERY profile row against one fixed reference profile: the
+    * reference's sketch bytes embed as literals, so the result is a pure
+    * map over the profile frame — no join, no shuffle, and it runs
+    * unchanged on a Structured Streaming profile frame (per-window drift
+    * as windows close: a continuous drift monitor).
+    *
+    * `keep` carries identifying columns (group keys, window) through.
+    * Output: keep columns + one `<col>_psi` per entry in `edges`.
+    */
+  def againstReference(
+      profiles: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      edges: Map[String, Seq[Double]],
+      keep: Seq[String] = Nil,
+      eps: Double = 1e-6): org.apache.spark.sql.DataFrame = {
+    val columns = edges.keys.toSeq.sorted
+    val refRow = reference
+      .select(columns.map(c => col(s"$c.numbers.kll")): _*).first()
+    val psiCols = columns.zipWithIndex.map { case (c, i) =>
+      psi(col(s"$c.numbers.kll"), lit(refRow.getAs[Array[Byte]](i)),
+        edges(c), eps).as(s"${c}_psi")
+    }
+    profiles.select(keep.map(col) ++ psiCols: _*)
+  }
+
   /** Per-column drift report between two single-row profile frames (e.g.
     * this window's `aggProfiles()` output vs a stored reference window):
     * one row per requested column with (psi, kl), computed ONLY from the

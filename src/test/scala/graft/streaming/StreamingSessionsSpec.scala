@@ -64,4 +64,51 @@ class StreamingSessionsSpec extends AnyFunSuite with Matchers with SparkSuiteBas
     // the bridging event merged 0s/10s/20s into one 3-event session
     streamed.count(s => s._1 == 1L && s._2 == 3L) shouldBe 1
   }
+
+  test("streaming drift monitor: per-window psi equals the batch drift") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import graft.ops.Drift
+    import graft.profile.ProfileSession.ProfilingOps
+
+    // reference window: values around 10; live stream day 2 shifts to ~40
+    val day1 = Seq((ts(0), 8.0), (ts(10), 10.0), (ts(20), 12.0),
+      (ts(30), 9.0), (ts(40), 11.0))
+    val day2 = day1.map { case (t, v) =>
+      (new Timestamp(t.getTime + 86400L * 1000), v * 4) }
+    val reference = day1.toDF("ts", "value")
+      .newProfilingSession().aggProfiles()
+    val edges = Map("value" -> Seq(15.0, 30.0))
+
+    val input = MemoryStream[(Timestamp, Double)]
+    val profiles = StreamingProfile.windowedProfiles(
+      input.toDF().toDF("ts", "value"), "ts", "1 day", "2 days")
+    val drift = Drift.againstReference(profiles, reference, edges,
+      keep = Seq("window"))
+    val q = drift.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(day1); q.processAllAvailable()
+      input.addData(day2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT window.start, round(value_psi, 9) FROM drift_stream")
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    streamed.size shouldBe 2
+    // the same-day window matches the reference -> psi 0; the shifted
+    // window must alarm
+    streamed.values.min shouldBe 0.0
+    streamed.values.max should be > 0.25
+
+    // batch-computed drift over the same rows gives identical numbers
+    val batchProfiles = (day1 ++ day2).toDF("ts", "value")
+      .newProfilingSession().withTimeColumn("ts", "1 day").aggProfiles()
+    val batch = Drift.againstReference(batchProfiles, reference, edges,
+        keep = Seq("window"))
+      .select(col("window.start"), round(col("value_psi"), 9))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    streamed shouldBe batch
+  }
 }
