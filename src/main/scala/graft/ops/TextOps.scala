@@ -129,75 +129,154 @@ object TextOps {
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
 
+  /** Default vocabulary-broadcast cap for [[tfIdfTopTerms]] /
+    * [[unigramPerplexity]]: beyond this many distinct terms the
+    * vocabulary table is joined with a shuffle on `term` instead of
+    * broadcast. 4M terms x ~40 bytes ≈ 160 MB — near the practical
+    * executor broadcast ceiling. Lowercase-whitespace tokens over a web
+    * corpus are effectively unbounded (URLs, typos), so an UNgated
+    * broadcast is a driver/executor OOM at 100 TB.
+    */
+  val DefaultMaxBroadcastVocab: Long = 4L * 1000 * 1000
+
   /** Per-document unigram language-model perplexity — the classic
     * LM-based quality filter: score each document by how surprising its
     * tokens are under the corpus's own unigram distribution
     * (perplexity = exp(mean(-ln p(token))), p = corpus_count/total).
     *
-    * Scale shape: one token-count shuffle whose RESULT is vocabulary-
-    * sized and broadcast back (with the corpus total folded in-plan via a
-    * 1-row cross join over the same counts — no eager driver-side job);
-    * the per-document mean aggregates with map-side combine on the
-    * document key. The corpus tokenizes twice (once into the count
-    * aggregate, once into the scoring join) and never takes a
-    * corpus-sized wide shuffle.
+    * Scale shape: one token-count shuffle whose RESULT is
+    * vocabulary-sized. The vocabulary is bounded two ways:
+    *  - `minCount` floors the vocabulary (terms seen < minCount times are
+    *    dropped from the table and scored with the default NLL
+    *    -ln(max(minCount-1,1)/total) — rare-term surprisal saturates at
+    *    the floor instead of keeping billions of hapaxes resident);
+    *  - `maxBroadcastVocab` size-gates the join strategy: at or below the
+    *    cap the vocabulary is BROADCAST (one cheap count job against the
+    *    persisted counts decides); above it the scoring join shuffles on
+    *    `term` — bounded memory at any vocabulary size.
+    * The corpus total rides every token row via a 1-row broadcast cross
+    * join, so OOV rows still see the denominator under the left join.
+    * The per-document mean aggregates with map-side combine on the
+    * document key; the corpus never takes a corpus-sized wide shuffle.
+    *
+    * Defaults (minCount=1) keep every term: the left join never misses
+    * and results are identical to the unfloored formulation.
     */
   def unigramPerplexity(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String,
+      minCount: Long = 1L,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      : org.apache.spark.sql.DataFrame =
+    unigramPerplexityReleasable(df, idCol, textCol, minCount,
+      maxBroadcastVocab)._1
+
+  /** [[unigramPerplexity]] plus a release() thunk for the persisted
+    * term-count intermediate (cache is keyed by logical plan; release
+    * after materializing the result).
+    */
+  def unigramPerplexityReleasable(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val toks = df.select(col(idCol).as("id"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0)).as("term"))
+    // counts feeds three consumers (total, the size gate, the scoring
+    // join) — materialize the token shuffle once
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    // summing cnt's VALUE keeps this branch's counts subplan canonically
-    // identical to the broadcast branch's, so the count exchange is
-    // reused (the tfIdfTopTerms RemoveRedundantAggregates lesson)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // total over the UNfloored counts: the denominator is the true corpus
+    // token count regardless of the vocabulary floor
     val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
-    toks.join(broadcast(counts.crossJoin(tot)), Seq("term"))
+    val vocab = if (minCount > 1L) counts.filter(col("cnt") >= minCount)
+      else counts
+    val useBroadcast = maxBroadcastVocab == Long.MaxValue ||
+      vocab.count() <= maxBroadcastVocab
+    val vocabSide = if (useBroadcast) broadcast(vocab) else vocab
+    // OOV (floored-out) terms score as if seen at the floor boundary
+    val defaultCnt = math.max(minCount - 1L, 1L).toDouble
+    val result = toks.crossJoin(broadcast(tot))
+      .join(vocabSide, Seq("term"), "left")
       .select(col("id"),
-        (-log(col("cnt").cast("double") / col("total"))).as("nll"))
+        (-log(coalesce(col("cnt").cast("double"), lit(defaultCnt))
+          / col("total"))).as("nll"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), exp(avg(col("nll"))).as("perplexity"))
+    (result, () => { counts.unpersist(blocking = false); () })
   }
 
   /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
     *
     * Scale shape: one shuffle builds (id, term) counts with map-side
-    * combine; the document-frequency table is vocabulary-sized and is
-    * BROADCAST back (never a corpus-sized shuffle); the per-document top-n
-    * is the bounded top-k aggregate (string ids), so only n terms per
-    * document per partition reach the final exchange.
+    * combine and is persisted (it feeds the document-frequency branch,
+    * the size gate, and the scoring join). The document-frequency table
+    * is vocabulary-sized and bounded two ways:
+    *  - `minDf` floors it (terms in fewer than minDf documents are
+    *    dropped from scoring — on a web corpus the hapax tail is
+    *    tokenizer noise, and it is also what makes the vocabulary
+    *    unbounded);
+    *  - `maxBroadcastVocab` size-gates the join: at or below the cap the
+    *    table is BROADCAST, above it the scoring join shuffles on `term`.
+    * The per-document top-n is the bounded top-k aggregate (string ids),
+    * so only n terms per document per partition reach the final exchange.
     *
     * Returns (id, term, score, rank), rank 1..n by score desc / term asc.
+    * Defaults (minDf=1) score every term.
     */
   def tfIdfTopTerms(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      topN: Int): org.apache.spark.sql.DataFrame = {
+      topN: Int,
+      minDf: Long = 1L,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      : org.apache.spark.sql.DataFrame =
+    tfIdfTopTermsReleasable(df, idCol, textCol, topN, minDf,
+      maxBroadcastVocab)._1
+
+  /** [[tfIdfTopTerms]] plus a release() thunk for the persisted (doc,
+    * term) count intermediate (cache is keyed by logical plan; release
+    * after materializing the result).
+    */
+  def tfIdfTopTermsReleasable(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int,
+      minDf: Long = 1L,
+      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val nDocs = df.count() // one tiny job; N is a literal in the plan
     val toks = df.select(col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0)).as("term"))
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df falls out of tf (already one row per (doc, term)) — no separate
-    // distinct() shuffle. The predicate on cnt's VALUE keeps this branch's
-    // copy of tf structurally identical to the join branch's (otherwise
-    // RemoveRedundantAggregates rewrites it into a bare distinct, subplan
-    // equality breaks, and Catalyst re-scans + re-shuffles the corpus
-    // instead of reusing tf's exchange). cnt >= 1 always, so df == count.
-    val docFreq = tf.groupBy(col("term"))
-      .agg(count(when(col("cnt") >= 1, 1)).as("df"))
-    val scored = tf.join(broadcast(docFreq), Seq("term"))
+    // distinct() shuffle; tf is persisted so the corpus scan+shuffle runs
+    // once across the df branch, the size gate, and the scoring join
+    val docFreq0 = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val docFreq = if (minDf > 1L) docFreq0.filter(col("df") >= minDf)
+      else docFreq0
+    val useBroadcast = maxBroadcastVocab == Long.MaxValue ||
+      docFreq.count() <= maxBroadcastVocab
+    val dfSide = if (useBroadcast) broadcast(docFreq) else docFreq
+    val scored = tf.join(dfSide, Seq("term"))
       .select(col("id"), col("term"),
         (col("cnt").cast("double") * log(lit(nDocs.toDouble) / col("df")))
           .as("score"))
-    scored.groupBy(col("id"))
+    val result = scored.groupBy(col("id"))
       .agg(graft.functions.topk_agg(col("score"), col("term"), topN).as("topk"))
       .select(col("id"), posexplode(col("topk")).as(Seq("r", "t")))
       .select(col("id"), col("t.item_id").as("term"),
         col("t.score").as("score"), (col("r") + 1).as("rank"))
+    (result, () => { tf.unpersist(blocking = false); () })
   }
 }

@@ -158,4 +158,56 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     // 'common' appears in every doc -> idf ln(1)=0; the unique term wins
     top1 shouldBe Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
   }
+
+  private def fixtureDocs = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+  }
+
+  test("tf-idf: shuffle-join fallback equals the broadcast path") {
+    def run(cap: Long) =
+      TextOps.tfIdfTopTerms(fixtureDocs, "doc_id", "text", 3,
+        maxBroadcastVocab = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    // cap=0 forces the shuffle join on term; MaxValue forces broadcast
+    run(0L) shouldBe run(Long.MaxValue)
+  }
+
+  test("tf-idf: minDf floors the vocabulary (hapax terms dropped)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha shared shared"),
+      (2L, "beta shared"),
+      (3L, "gamma shared rare")).toDF("doc_id", "text")
+    val terms = TextOps.tfIdfTopTerms(docs, "doc_id", "text", 5, minDf = 2L)
+      .collect().map(_.getString(1)).toSet
+    // only 'shared' reaches minDf=2; every hapax is out of scoring
+    terms shouldBe Set("shared")
+  }
+
+  test("perplexity: shuffle-join fallback equals the broadcast path") {
+    def run(cap: Long) =
+      TextOps.unigramPerplexity(fixtureDocs, "doc_id", "text",
+        maxBroadcastVocab = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e6))).toSet
+    run(0L) shouldBe run(Long.MaxValue)
+  }
+
+  test("perplexity: minCount floor scores rare terms at the floor NLL") {
+    import spark.implicits._
+    // corpus: 'a' x6, 'b' x3, 'z' x1 (total 10)
+    val docs = Seq((1L, "a a a a a a"), (2L, "b b b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramPerplexity(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc 3's only term is floored out -> default NLL -ln(1/10) -> ppl 10
+    r(3L) shouldBe (10.0 +- 1e-9)
+    // doc 1 is unaffected by the floor: ppl = 1/p(a) = 10/6
+    r(1L) shouldBe (10.0 / 6.0 +- 1e-9)
+  }
 }
