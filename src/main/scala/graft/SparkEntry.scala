@@ -447,6 +447,20 @@ object SparkEntry {
             .cast("double"), 2).as("qty_sum"))
     }),
 
+    "q63_profile_tags" -> ((s, dir) => {
+      // session tags (whylogs.tag.* namespace, DatasetProfile.java:43)
+      // ride the exported wire profile and parse back per group — the tag
+      // round trip through the export edge, driver-checked
+      t(s, dir, "lineitem")
+        .newProfilingSession("tagged")
+        .withTags(Map("env" -> "prod", "source" -> "lineitem"))
+        .groupBy("l_returnflag")
+        .exportProto()
+        .select(col("l_returnflag"),
+          explode(graft.io.ProfileIO.protoTags(col("why_profile")))
+            .as(Seq("tag_key", "tag_value")))
+    }),
+
     "q29_proto_roundtrip" -> ((s, dir) => {
       // whylogs wire-format export (DatasetProfileMessage) + reparse: the
       // parsed stats must equal direct SQL — a full write->read round trip
@@ -501,6 +515,10 @@ object SparkEntry {
       val all = docs0.unionAll(gen1).unionAll(gen2)
       val a = all.select(col("id").as("id_a"), col("text").as("text_a"))
       val b = all.select(col("id").as("id_b"), col("text").as("text_b"))
+      // FIXTURE-ONLY edge construction: the crossJoin is deliberately
+      // exact (90 docs) so the recursive-CTE oracle can replicate it.
+      // The at-scale path for edge generation is Dedup.minHashLshPairs
+      // (banded LSH, capped buckets) -> connectedComponents.
       val jaccardEdges = a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
         .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 2) >= 0.5)
@@ -1114,6 +1132,12 @@ object SparkEntry {
         |  max(l_quantity) AS qty_max,
         |  round(sum(l_quantity), 2) AS qty_sum
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q63_profile_tags" ->
+      """SELECT l_returnflag, tag_key, tag_value
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (VALUES ('whylogs.tag.env', 'prod'),
+        |  ('whylogs.tag.source', 'lineitem')) t(tag_key, tag_value)""".stripMargin,
 
     "q29_proto_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, 0 AS n_null,

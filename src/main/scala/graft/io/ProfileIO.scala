@@ -20,7 +20,9 @@ case class DatasetProfileProtoExpr(
     names: Seq[String],
     children: Seq[Expression],
     sessionId: String,
-    sessionTimestamp: Long)
+    sessionTimestamp: Long,
+    tags: Map[String, String] = Map.empty,
+    metadata: Map[String, String] = Map.empty)
     extends Expression with CodegenFallback {
 
   require(names.length == children.length)
@@ -36,7 +38,7 @@ case class DatasetProfileProtoExpr(
       }
     }.toMap
     ProfileProto.toBytes(ProfileProto.DatasetProfile(
-      sessionId, sessionTimestamp, None, Map.empty, Map.empty, cols))
+      sessionId, sessionTimestamp, None, tags, metadata, cols))
   }
 
   override protected def withNewChildrenInternal(
@@ -95,6 +97,32 @@ object ProtoColumnStats {
     StructField("cardinality", DoubleType)))
 }
 
+/** Session tags parsed back out of a `DatasetProfileMessage` binary —
+  * map<string,string> from the DatasetProperties tag entries
+  * (DatasetProfile.java:43, tags written by [[DatasetProfileProtoExpr]]).
+  */
+case class ProtoTags(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = MapType(StringType, StringType)
+  override def prettyName: String = "proto_tags"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected binary, got $t")
+  }
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    toCatalyst(ProfileProto.fromBytes(input.asInstanceOf[Array[Byte]]).tags)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Profile export sinks: whylogs protobuf wire format and JSON summaries —
   * the engine's equivalents of the reference's delimited-protobuf and JSON
   * outputs (DatasetProfile.java:316-325, cli/Profiler.java:150-168).
@@ -113,18 +141,24 @@ object ProfileIO {
       profiles: DataFrame,
       sessionId: String = "graft",
       sessionTimestamp: Long = 0L,
-      outputCol: String = "why_profile"): DataFrame = {
+      outputCol: String = "why_profile",
+      tags: Map[String, String] = Map.empty,
+      metadata: Map[String, String] = Map.empty): DataFrame = {
     val cols = profileStructCols(profiles)
     val expr = DatasetProfileProtoExpr(
       cols,
       cols.map(c => GraftBridge.expression(col(c).getField("state"))),
-      sessionId, sessionTimestamp)
+      sessionId, sessionTimestamp, tags, metadata)
     profiles.withColumn(outputCol, GraftBridge.column(expr))
   }
 
   /** Exact stats parsed back from a proto binary column (round-trip read). */
   def protoColumnStats(proto: Column, colName: String): Column =
     GraftBridge.column(ProtoColumnStats(GraftBridge.expression(proto), colName))
+
+  /** Session tags parsed back from a proto binary column. */
+  def protoTags(proto: Column): Column =
+    GraftBridge.column(ProtoTags(GraftBridge.expression(proto)))
 
   /** JSON summary per profile row: every metric of every profiled column as
     * one JSON document (sketch/state binaries dropped — summaries are for

@@ -145,6 +145,11 @@ private[io] object Wire {
   */
 object ProfileProto {
 
+  /** Tag keys set through [[DatasetProfile.withTag]] get this prefix —
+    * the reference's session-tag namespace (DatasetProfile.java:43,107).
+    */
+  val TagPrefix = "whylogs.tag."
+
   /** A parsed dataset profile: identity + per-column states. */
   final case class DatasetProfile(
       sessionId: String,
@@ -152,25 +157,115 @@ object ProfileProto {
       dataTimestamp: Option[Long],
       tags: Map[String, String],
       metadata: Map[String, String],
-      columns: Map[String, ColumnProfileState])
+      columns: Map[String, ColumnProfileState]) {
+
+    /** Add a session tag under the `whylogs.tag.` namespace
+      * (DatasetProfile.java:107-110).
+      */
+    def withTag(key: String, value: String): DatasetProfile =
+      copy(tags = tags + (TagPrefix + key -> value))
+
+    def withMetadata(key: String, value: String): DatasetProfile =
+      copy(metadata = metadata + (key -> value))
+
+    /** Permissive merge (DatasetProfile.java:251-262): identity fields
+      * come from `this`; tags and metadata keep only entries identical on
+      * BOTH sides (intersect-on-merge); columns union with pairwise state
+      * merge.
+      */
+    def merge(other: DatasetProfile): DatasetProfile = {
+      val sharedTags = tags.filter { case (k, v) => other.tags.get(k).contains(v) }
+      doMerge(other, sharedTags)
+    }
+
+    /** Strict merge (DatasetProfile.java:217-239): rejects mismatched
+      * sessionId / sessionTimestamp / dataTimestamp / tags with
+      * IllegalArgumentException before merging.
+      */
+    def mergeStrict(other: DatasetProfile): DatasetProfile = {
+      require(sessionId == other.sessionId,
+        s"Mismatched name. Current name [$sessionId] is merged with " +
+          s"[${other.sessionId}]")
+      require(sessionTimestamp == other.sessionTimestamp,
+        s"Mismatched session timestamp. Current ts [$sessionTimestamp] is " +
+          s"merged with [${other.sessionTimestamp}]")
+      require(dataTimestamp == other.dataTimestamp,
+        s"Mismatched data timestamp. Current ts [$dataTimestamp] is merged " +
+          s"with [${other.dataTimestamp}]")
+      require(tags == other.tags,
+        s"Mismatched tags. Current $tags being merged with ${other.tags}")
+      doMerge(other, tags)
+    }
+
+    private def doMerge(
+        other: DatasetProfile, mergedTags: Map[String, String]): DatasetProfile = {
+      val sharedMeta =
+        metadata.filter { case (k, v) => other.metadata.get(k).contains(v) }
+      val mergedCols = (columns.keySet ++ other.columns.keySet).map { name =>
+        val m = new ColumnProfileState(graft.metrics.ProfileConfig.default,
+          allocate = false)
+        // merge THROWAWAY deep copies: ColumnProfileState.merge adopts the
+        // other side's mutable sketches by reference when its own are null,
+        // so merging the originals would let a later merge corrupt them
+        def copyOf(st: ColumnProfileState): ColumnProfileState =
+          ColumnProfileState.deserialize(st.serialize())
+        columns.get(name).foreach(s => m.merge(copyOf(s)))
+        other.columns.get(name).foreach(s => m.merge(copyOf(s)))
+        name -> m
+      }.toMap
+      DatasetProfile(sessionId, sessionTimestamp, dataTimestamp, mergedTags,
+        sharedMeta, mergedCols)
+    }
+  }
 
   // ---- writer ----
 
+  /** DatasetProperties message body — shared by the whole-profile writer
+    * and the chunked MessageSegment writer ([[ProfileSegments]]).
+    */
+  private[io] def propertiesBody(props: Wire.Writer, p: DatasetProfile): Unit = {
+    props.int64(1, 1L) // schemaMajorVersion (SchemaInformation.java:10)
+    props.int64(2, 3L) // schemaMinorVersion
+    props.string(3, p.sessionId)
+    props.int64(4, p.sessionTimestamp)
+    props.int64(5, p.dataTimestamp.getOrElse(-1L)) // -1 = null
+    p.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      props.message(6) { e => e.string(1, k); e.string(2, v) }
+    }
+    p.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      props.message(7) { e => e.string(1, k); e.string(2, v) }
+    }
+  }
+
+  /** Parse a DatasetProperties body into an empty-columns profile. */
+  private[io] def parseProperties(b: Array[Byte]): DatasetProfile = {
+    var sessionId = ""
+    var sessionTs = 0L
+    var dataTs: Option[Long] = None
+    val tags = mutable.Map.empty[String, String]
+    val meta = mutable.Map.empty[String, String]
+    Wire.fields(b).foreach {
+      case Wire.Field(3, 2, v: Array[Byte]) =>
+        sessionId = new String(v, java.nio.charset.StandardCharsets.UTF_8)
+      case Wire.Field(4, 0, v: Long) => sessionTs = v
+      case Wire.Field(5, 0, v: Long) => if (v != -1L) dataTs = Some(v)
+      case f @ Wire.Field(6, 2, _) =>
+        val kv = Wire.fields(f.asBytes)
+        tags(kv.find(_.number == 1).map(_.asString).getOrElse("")) =
+          kv.find(_.number == 2).map(_.asString).getOrElse("")
+      case f @ Wire.Field(7, 2, _) =>
+        val kv = Wire.fields(f.asBytes)
+        meta(kv.find(_.number == 1).map(_.asString).getOrElse("")) =
+          kv.find(_.number == 2).map(_.asString).getOrElse("")
+      case _ =>
+    }
+    DatasetProfile(sessionId, sessionTs, dataTs, tags.toMap, meta.toMap,
+      Map.empty)
+  }
+
   def toBytes(p: DatasetProfile): Array[Byte] = {
     val w = new Wire.Writer
-    w.message(1) { props =>
-      props.int64(1, 1L) // schemaMajorVersion (SchemaInformation.java:10)
-      props.int64(2, 3L) // schemaMinorVersion
-      props.string(3, p.sessionId)
-      props.int64(4, p.sessionTimestamp)
-      props.int64(5, p.dataTimestamp.getOrElse(-1L)) // -1 = null
-      p.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        props.message(6) { e => e.string(1, k); e.string(2, v) }
-      }
-      p.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        props.message(7) { e => e.string(1, k); e.string(2, v) }
-      }
-    }
+    w.message(1)(propertiesBody(_, p))
     p.columns.toSeq.sortBy(_._1).foreach { case (name, st) =>
       w.message(2) { e =>
         e.string(1, name)
@@ -306,29 +401,11 @@ object ProfileProto {
   // ---- reader ----
 
   def fromBytes(b: Array[Byte]): DatasetProfile = {
-    var sessionId = ""
-    var sessionTs = 0L
-    var dataTs: Option[Long] = None
-    val tags = mutable.Map.empty[String, String]
-    val meta = mutable.Map.empty[String, String]
+    var props = DatasetProfile("", 0L, None, Map.empty, Map.empty, Map.empty)
     val cols = mutable.Map.empty[String, ColumnProfileState]
     Wire.fields(b).foreach {
       case f @ Wire.Field(1, 2, _) =>
-        Wire.fields(f.asBytes).foreach {
-          case Wire.Field(3, 2, v: Array[Byte]) =>
-            sessionId = new String(v, java.nio.charset.StandardCharsets.UTF_8)
-          case Wire.Field(4, 0, v: Long) => sessionTs = v
-          case Wire.Field(5, 0, v: Long) => if (v != -1L) dataTs = Some(v)
-          case f @ Wire.Field(6, 2, _) =>
-            val kv = Wire.fields(f.asBytes)
-            tags(kv.find(_.number == 1).map(_.asString).getOrElse("")) =
-              kv.find(_.number == 2).map(_.asString).getOrElse("")
-          case f @ Wire.Field(7, 2, _) =>
-            val kv = Wire.fields(f.asBytes)
-            meta(kv.find(_.number == 1).map(_.asString).getOrElse("")) =
-              kv.find(_.number == 2).map(_.asString).getOrElse("")
-          case _ =>
-        }
+        props = parseProperties(f.asBytes)
       case f @ Wire.Field(2, 2, _) =>
         val entry = Wire.fields(f.asBytes)
         val name = entry.find(_.number == 1).map(_.asString).getOrElse("")
@@ -337,8 +414,7 @@ object ProfileProto {
         }
       case _ => // modeProfile (10) and unknown fields skipped
     }
-    DatasetProfile(sessionId, sessionTs, dataTs, tags.toMap, meta.toMap,
-      cols.toMap)
+    props.copy(columns = cols.toMap)
   }
 
   def readDelimited(in: InputStream): Option[DatasetProfile] =

@@ -18,9 +18,12 @@ import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
   * (a deliberate state-size reduction; quantiles of char positions are not
   * part of the correctness surface).
   */
-final class CharPosState(val charset: String) extends Serializable {
-  private val tracked: Set[Char] = charset.toSet
+final class CharPosState(initialCharset: String) extends Serializable {
+  private var _charset: String = initialCharset
+  private var tracked: Set[Char] = initialCharset.toSet
   val perChar: mutable.Map[Char, Moments] = mutable.Map.empty
+
+  def charset: String = _charset
 
   def update(s: String): Unit = {
     val lower = s.toLowerCase
@@ -33,10 +36,32 @@ final class CharPosState(val charset: String) extends Serializable {
     }
   }
 
-  def merge(o: CharPosState): Unit =
+  /** Track against an explicit charset: when it differs from the current
+    * tracked SET, accumulated positions are ambiguous (the NITL pool
+    * changes meaning) and the state resets before tracking — the
+    * reference's charset-change semantics (CharPosTracker.java:105-120).
+    */
+  def update(s: String, charString: String): Unit = {
+    if (charString != null && charString.toSet != tracked) {
+      tracked = charString.toSet
+      _charset = charString
+      perChar.clear()
+    }
+    update(s)
+  }
+
+  /** Position moments merge per character; the tracked set unions, as in
+    * the reference's merge (CharPosTracker.java:128-156).
+    */
+  def merge(o: CharPosState): Unit = {
+    if (o.tracked != tracked) {
+      tracked = tracked ++ o.tracked
+      _charset = tracked.toSeq.sorted.mkString
+    }
     o.perChar.foreach { case (c, m) =>
       perChar.getOrElseUpdate(c, new Moments).merge(m)
     }
+  }
 
   def write(out: DataOutputStream): Unit = {
     out.writeUTF(charset)

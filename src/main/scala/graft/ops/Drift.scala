@@ -60,8 +60,13 @@ object Drift {
       keep: Seq[String] = Nil,
       eps: Double = 1e-6): org.apache.spark.sql.DataFrame = {
     val columns = edges.keys.toSeq.sorted
-    val refRow = reference
-      .select(columns.map(c => col(s"$c.numbers.kll")): _*).first()
+    val refRows = reference
+      .select(columns.map(c => col(s"$c.numbers.kll")): _*).head(2)
+    require(refRows.length == 1,
+      s"againstReference needs exactly ONE reference profile row, got " +
+        s"${if (refRows.isEmpty) "an empty frame" else "several rows"} — " +
+        "merge the reference down first (ProfileSession.mergeProfiles)")
+    val refRow = refRows.head
     val psiCols = columns.zipWithIndex.map { case (c, i) =>
       psi(col(s"$c.numbers.kll"), lit(refRow.getAs[Array[Byte]](i)),
         edges(c), eps).as(s"${c}_psi")

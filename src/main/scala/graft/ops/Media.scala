@@ -164,6 +164,10 @@ object Media {
     }
     require(channels > 0 && bits > 0 && dataLen >= 0,
       "missing fmt/data chunk")
+    // sub-byte sample widths (e.g. 4-bit ADPCM) would make the frame-size
+    // divisor 0 and die with an opaque ArithmeticException — fail cleanly
+    require(bits % 8 == 0 && bits >= 8,
+      s"unsupported bitsPerSample $bits (whole-byte PCM widths only)")
     (WavMeta(channels, rate, bits, dataLen.toLong / (channels * bits / 8)),
       dataStart, dataLen)
   }

@@ -129,15 +129,24 @@ object TextOps {
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
 
-  /** Default vocabulary-broadcast cap for [[tfIdfTopTerms]] /
-    * [[unigramPerplexity]]: beyond this many distinct terms the
-    * vocabulary table is joined with a shuffle on `term` instead of
-    * broadcast. 4M terms x ~40 bytes ≈ 160 MB — near the practical
-    * executor broadcast ceiling. Lowercase-whitespace tokens over a web
-    * corpus are effectively unbounded (URLs, typos), so an UNgated
-    * broadcast is a driver/executor OOM at 100 TB.
+  /** Vocabulary join strategy knob for [[tfIdfTopTerms]] /
+    * [[unigramPerplexity]]. Lowercase-whitespace tokens over a web corpus
+    * are effectively unbounded (URLs, typos), so an unconditionally
+    * broadcast vocabulary is a driver/executor OOM at 100 TB. Values:
+    *
+    *  - [[AdaptiveVocabJoin]] (default): NO join hint — AQE measures the
+    *    vocabulary exchange at runtime and broadcast-converts the join
+    *    only when the actual size is under
+    *    `spark.sql.autoBroadcastJoinThreshold`. Memory-safe at any
+    *    vocabulary size, zero extra jobs (the size gate is the runtime
+    *    statistic Spark already collects).
+    *  - finite > 0: explicit gate — the term-count intermediate persists,
+    *    one cheap count job compares the vocabulary against the cap, and
+    *    the join is broadcast iff it fits. Deterministic strategy for
+    *    pipelines that must not depend on AQE conf.
+    *  - `Long.MaxValue`: force the broadcast hint (the pre-gate plan).
     */
-  val DefaultMaxBroadcastVocab: Long = 4L * 1000 * 1000
+  val AdaptiveVocabJoin: Long = -1L
 
   /** Per-document unigram language-model perplexity — the classic
     * LM-based quality filter: score each document by how surprising its
@@ -150,10 +159,11 @@ object TextOps {
     *    dropped from the table and scored with the default NLL
     *    -ln(max(minCount-1,1)/total) — rare-term surprisal saturates at
     *    the floor instead of keeping billions of hapaxes resident);
-    *  - `maxBroadcastVocab` size-gates the join strategy: at or below the
-    *    cap the vocabulary is BROADCAST (one cheap count job against the
-    *    persisted counts decides); above it the scoring join shuffles on
-    *    `term` — bounded memory at any vocabulary size.
+    *  - `maxBroadcastVocab` picks the join strategy (see
+    *    [[AdaptiveVocabJoin]]): by default AQE broadcast-converts the
+    *    scoring join only when the measured vocabulary is actually small;
+    *    otherwise it shuffles on `term` — bounded memory at any
+    *    vocabulary size, no extra jobs.
     * The corpus total rides every token row via a 1-row broadcast cross
     * join, so OOV rows still see the denominator under the left join.
     * The per-document mean aggregates with map-side combine on the
@@ -167,37 +177,45 @@ object TextOps {
       idCol: String,
       textCol: String,
       minCount: Long = 1L,
-      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      maxBroadcastVocab: Long = AdaptiveVocabJoin)
       : org.apache.spark.sql.DataFrame =
     unigramPerplexityReleasable(df, idCol, textCol, minCount,
       maxBroadcastVocab)._1
 
   /** [[unigramPerplexity]] plus a release() thunk for the persisted
-    * term-count intermediate (cache is keyed by logical plan; release
-    * after materializing the result).
+    * term-count intermediate (a no-op unless an explicit finite cap made
+    * the gate persist; cache is keyed by logical plan, release after
+    * materializing the result).
     */
   def unigramPerplexityReleasable(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       minCount: Long = 1L,
-      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      maxBroadcastVocab: Long = AdaptiveVocabJoin)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val toks = df.select(col(idCol).as("id"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0)).as("term"))
-    // counts feeds three consumers (total, the size gate, the scoring
-    // join) — materialize the token shuffle once
-    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts0 = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // explicit finite cap: persist (counts feeds the gate count job, the
+    // total, and the scoring join — one materialization)
+    val gated = maxBroadcastVocab > 0L && maxBroadcastVocab != Long.MaxValue
+    val counts = if (gated)
+      counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else counts0
     // total over the UNfloored counts: the denominator is the true corpus
-    // token count regardless of the vocabulary floor
+    // token count regardless of the vocabulary floor. Summing cnt's VALUE
+    // keeps this branch canonically identical to the join branch's counts
+    // subplan, so the ungated plan reuses the count exchange (the
+    // tfIdfTopTerms RemoveRedundantAggregates lesson).
     val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
     val vocab = if (minCount > 1L) counts.filter(col("cnt") >= minCount)
       else counts
-    val useBroadcast = maxBroadcastVocab == Long.MaxValue ||
-      vocab.count() <= maxBroadcastVocab
-    val vocabSide = if (useBroadcast) broadcast(vocab) else vocab
+    val vocabSide =
+      if (maxBroadcastVocab == Long.MaxValue) broadcast(vocab)
+      else if (gated && vocab.count() <= maxBroadcastVocab) broadcast(vocab)
+      else vocab // no hint: AQE broadcast-converts iff measured size fits
     // OOV (floored-out) terms score as if seen at the floor boundary
     val defaultCnt = math.max(minCount - 1L, 1L).toDouble
     val result = toks.crossJoin(broadcast(tot))
@@ -207,21 +225,23 @@ object TextOps {
           / col("total"))).as("nll"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), exp(avg(col("nll"))).as("perplexity"))
-    (result, () => { counts.unpersist(blocking = false); () })
+    (result,
+      () => { if (gated) counts.unpersist(blocking = false); () })
   }
 
   /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
     *
     * Scale shape: one shuffle builds (id, term) counts with map-side
-    * combine and is persisted (it feeds the document-frequency branch,
-    * the size gate, and the scoring join). The document-frequency table
-    * is vocabulary-sized and bounded two ways:
+    * combine. The document-frequency table is vocabulary-sized and
+    * bounded two ways:
     *  - `minDf` floors it (terms in fewer than minDf documents are
     *    dropped from scoring — on a web corpus the hapax tail is
     *    tokenizer noise, and it is also what makes the vocabulary
     *    unbounded);
-    *  - `maxBroadcastVocab` size-gates the join: at or below the cap the
-    *    table is BROADCAST, above it the scoring join shuffles on `term`.
+    *  - `maxBroadcastVocab` picks the join strategy (see
+    *    [[AdaptiveVocabJoin]]): by default AQE broadcast-converts the
+    *    scoring join only when the measured document-frequency exchange
+    *    is actually small; above the threshold it shuffles on `term`.
     * The per-document top-n is the bounded top-k aggregate (string ids),
     * so only n terms per document per partition reach the final exchange.
     *
@@ -234,14 +254,15 @@ object TextOps {
       textCol: String,
       topN: Int,
       minDf: Long = 1L,
-      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      maxBroadcastVocab: Long = AdaptiveVocabJoin)
       : org.apache.spark.sql.DataFrame =
     tfIdfTopTermsReleasable(df, idCol, textCol, topN, minDf,
       maxBroadcastVocab)._1
 
   /** [[tfIdfTopTerms]] plus a release() thunk for the persisted (doc,
-    * term) count intermediate (cache is keyed by logical plan; release
-    * after materializing the result).
+    * term) count intermediate (a no-op unless an explicit finite cap made
+    * the gate persist; cache is keyed by logical plan, release after
+    * materializing the result).
     */
   def tfIdfTopTermsReleasable(
       df: org.apache.spark.sql.DataFrame,
@@ -249,25 +270,36 @@ object TextOps {
       textCol: String,
       topN: Int,
       minDf: Long = 1L,
-      maxBroadcastVocab: Long = DefaultMaxBroadcastVocab)
+      maxBroadcastVocab: Long = AdaptiveVocabJoin)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val nDocs = df.count() // one tiny job; N is a literal in the plan
     val toks = df.select(col(idCol).as("id"),
         explode(filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0)).as("term"))
-    val tf = toks.groupBy(col("id"), col("term"))
+    val tf0 = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit finite cap: persist tf (it feeds the df branch, the gate
+    // count job, and the scoring join — one materialization)
+    val gated = maxBroadcastVocab > 0L && maxBroadcastVocab != Long.MaxValue
+    val tf = if (gated)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     // df falls out of tf (already one row per (doc, term)) — no separate
-    // distinct() shuffle; tf is persisted so the corpus scan+shuffle runs
-    // once across the df branch, the size gate, and the scoring join
+    // distinct() shuffle. The predicate on cnt's VALUE keeps this branch's
+    // copy of tf structurally identical to the join branch's (otherwise
+    // RemoveRedundantAggregates rewrites it into a bare distinct, subplan
+    // equality breaks, and the UNgated plan re-scans + re-shuffles the
+    // corpus instead of reusing tf's exchange). cnt >= 1 always, so
+    // df == count.
     val docFreq0 = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+      .agg(count(when(col("cnt") >= 1, 1)).as("df"))
     val docFreq = if (minDf > 1L) docFreq0.filter(col("df") >= minDf)
       else docFreq0
-    val useBroadcast = maxBroadcastVocab == Long.MaxValue ||
-      docFreq.count() <= maxBroadcastVocab
-    val dfSide = if (useBroadcast) broadcast(docFreq) else docFreq
+    val dfSide =
+      if (maxBroadcastVocab == Long.MaxValue) broadcast(docFreq)
+      else if (gated && docFreq.count() <= maxBroadcastVocab)
+        broadcast(docFreq)
+      else docFreq // no hint: AQE broadcast-converts iff measured size fits
     val scored = tf.join(dfSide, Seq("term"))
       .select(col("id"), col("term"),
         (col("cnt").cast("double") * log(lit(nDocs.toDouble) / col("df")))
@@ -277,6 +309,6 @@ object TextOps {
       .select(col("id"), posexplode(col("topk")).as(Seq("r", "t")))
       .select(col("id"), col("t.item_id").as("term"),
         col("t.score").as("score"), (col("r") + 1).as("rank"))
-    (result, () => { tf.unpersist(blocking = false); () })
+    (result, () => { if (gated) tf.unpersist(blocking = false); () })
   }
 }

@@ -34,9 +34,25 @@ case class ProfileSession(
     timeColumn: Option[(String, String)] = None,
     classificationModel: Option[(String, String, Option[String])] = None,
     regressionModel: Option[(String, String)] = None,
-    cfg: ProfileConfig = ProfileConfig.default) {
+    cfg: ProfileConfig = ProfileConfig.default,
+    tags: Map[String, String] = Map.empty,
+    metadata: Map[String, String] = Map.empty) {
 
   def groupBy(cols: String*): ProfileSession = copy(groupKeys = cols)
+
+  /** Session tags, namespaced `whylogs.tag.` like the reference's
+    * DatasetProfile.withTag (DatasetProfile.java:43,107-110). Tags ride
+    * the exported wire profiles ([[exportProto]]) and intersect on merge.
+    */
+  def withTag(key: String, value: String): ProfileSession =
+    copy(tags = tags + (graft.io.ProfileProto.TagPrefix + key -> value))
+
+  /** Add every entry of `m` as a namespaced session tag. */
+  def withTags(m: Map[String, String]): ProfileSession =
+    m.foldLeft(this) { case (s, (k, v)) => s.withTag(k, v) }
+
+  def withMetadata(key: String, value: String): ProfileSession =
+    copy(metadata = metadata + (key -> value))
 
   /** Bucket profiles by a tumbling window over `col` (default 1 day). */
   def withTimeColumn(col: String, cadence: String = "1 day"): ProfileSession =
@@ -94,6 +110,14 @@ case class ProfileSession(
     if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
     else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** [[aggProfiles]] plus a `why_profile` wire-format binary column whose
+    * DatasetProfileMessage carries this session's name, tags, and
+    * metadata — the export edge with session identity attached.
+    */
+  def exportProto(sessionTimestamp: Long = 0L): DataFrame =
+    graft.io.ProfileIO.withProtoColumn(aggProfiles(), name, sessionTimestamp,
+      tags = tags, metadata = metadata)
 }
 
 object ProfileSession {

@@ -103,6 +103,39 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     pairs.unpersist()
   }
 
+  test("LSH skew robustness: boilerplate mega-bucket drops, true pairs survive") {
+    import spark.implicits._
+    // 30% of the corpus is ONE identical boilerplate document — at web
+    // scale a shared footer/template does exactly this, and an uncapped
+    // bucket would make the in-bucket pairwise step quadratic in corpus
+    // size. maxBucketSize must drop that bucket while the planted true
+    // pairs (distinct vocab, tiny mutation) still collide in their own
+    // small buckets.
+    val boiler = (0L until 60L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val distinct = (60L until 100L).map(i =>
+      (i, s"unique${i}a word${i}b token${i}c item${i}d part${i}e " +
+        s"bit${i}f chunk${i}g piece${i}h"))
+    val planted = (0 until 5).flatMap { p =>
+      val base = s"planted${p}a carrot${p}b window${p}c stone${p}d " +
+        s"river${p}e cloud${p}f meadow${p}g forest${p}h lantern${p}i"
+      Seq((1000L + 2 * p, base), (1001L + 2 * p, base + s" mutated${p}"))
+    }
+    val corpus = (boiler ++ distinct ++ planted).toDF("doc_id", "text")
+
+    val pairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // every planted pair surfaces (other bands, small buckets)
+    (0 until 5).foreach { p =>
+      pairs should contain ((1000L + 2 * p, 1001L + 2 * p))
+    }
+    // no pair is boilerplate-x-boilerplate: its only shared buckets are
+    // the 60-doc mega-buckets, all above the cap and dropped
+    pairs.filter { case (a, b) => a < 60L && b < 60L } shouldBe empty
+  }
+
   test("cross-corpus contamination recovers planted probes, cross-side only") {
     val corpus = docs.limit(100).select(col("doc_id"), col("text"))
     val probe = corpus.filter(col("doc_id") < 15)

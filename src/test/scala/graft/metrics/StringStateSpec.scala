@@ -69,6 +69,33 @@ class StringStateSpec extends AnyFunSuite with Matchers {
     a.perChar('b').count shouldBe 1L
   }
 
+  test("charset change resets the tracker; same-set charset does not") {
+    val cp = new CharPosState("abc")
+    cp.update("abc")
+    cp.perChar('a').count shouldBe 1L
+    // same SET in different order: no reset (reference compares the set,
+    // CharPosTracker.java:105-114)
+    cp.update("cab", "cba")
+    cp.perChar('a').count shouldBe 2L
+    // different set: ambiguous NITL pool -> state resets, then tracks
+    cp.update("xa", "xyz")
+    cp.charset shouldBe "xyz"
+    cp.perChar.get('a') shouldBe None // old state gone; 'a' now pools NITL
+    cp.perChar('x').count shouldBe 1L
+    cp.perChar('\u0000').count shouldBe 1L // 'a' under the NITL slot
+  }
+
+  test("merging different charsets unions the tracked sets") {
+    val a = new CharPosState("ab")
+    a.update("ab")
+    val b = new CharPosState("cd")
+    b.update("cd")
+    a.merge(b)
+    a.charset.toSet shouldBe Set('a', 'b', 'c', 'd')
+    a.perChar('a').count shouldBe 1L
+    a.perChar('c').count shouldBe 1L
+  }
+
   test("serialization round-trip") {
     val s = new StringState(withTheta = true, withCharPos = true)
     s.update("hello world")

@@ -44,6 +44,25 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("sessionize NTZ gaps are immune to a DST-observing session timezone") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // US spring-forward 2026-03-08: 02:00-03:00 local does not exist.
+      // Wall-clock gap between the two events is 30 min; a session-tz cast
+      // would shift 02:15 across the gap and fake a 90-min split.
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val ev = Seq(
+        ("u", "2026-03-08 01:45:00"),
+        ("u", "2026-03-08 02:15:00")).toDF("user_id", "s")
+        .select(col("user_id"),
+          col("s").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+      val sessions = Sessionize.stats(ev, "user_id", "ts",
+        gap = 35L * 60L * 1000000L) // 35 min in micros
+      sessions.count() shouldBe 1L // one session: the 30-min gap holds
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("topk_agg accepts decimal scores") {
     import spark.implicits._
     val df = Seq((1, "10.50"), (2, "99.99"), (3, "5.00")).toDF("id", "s")
@@ -165,15 +184,17 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .select(col("doc_id"), col("text"))
   }
 
-  test("tf-idf: shuffle-join fallback equals the broadcast path") {
+  test("tf-idf: adaptive, gated, and forced join strategies all agree") {
     def run(cap: Long) =
       TextOps.tfIdfTopTerms(fixtureDocs, "doc_id", "text", 3,
         maxBroadcastVocab = cap)
         .collect()
         .map(r => (r.getLong(0), r.getString(1),
           math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
-    // cap=0 forces the shuffle join on term; MaxValue forces broadcast
-    run(0L) shouldBe run(Long.MaxValue)
+    val forced = run(Long.MaxValue) // broadcast hint
+    run(TextOps.AdaptiveVocabJoin) shouldBe forced // AQE-decided
+    run(10_000_000L) shouldBe forced // exact gate -> broadcast branch
+    run(1L) shouldBe forced // exact gate -> shuffle branch (vocab > 1)
   }
 
   test("tf-idf: minDf floors the vocabulary (hapax terms dropped)") {
@@ -188,14 +209,17 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     terms shouldBe Set("shared")
   }
 
-  test("perplexity: shuffle-join fallback equals the broadcast path") {
+  test("perplexity: adaptive, gated, and forced join strategies all agree") {
     def run(cap: Long) =
       TextOps.unigramPerplexity(fixtureDocs, "doc_id", "text",
         maxBroadcastVocab = cap)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1),
           math.rint(r.getDouble(2) * 1e6))).toSet
-    run(0L) shouldBe run(Long.MaxValue)
+    val forced = run(Long.MaxValue) // broadcast hint
+    run(TextOps.AdaptiveVocabJoin) shouldBe forced // AQE-decided
+    run(10_000_000L) shouldBe forced // exact gate -> broadcast branch
+    run(1L) shouldBe forced // exact gate -> shuffle branch (vocab > 1)
   }
 
   test("perplexity: minCount floor scores rare terms at the floor NLL") {
