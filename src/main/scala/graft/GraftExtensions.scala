@@ -62,5 +62,8 @@ object GraftExtensions {
     "topk_agg" -> (es => TopKAgg(es(0), es(1),
       es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
-    "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()))
+    "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()),
+    "proto_column_stats" -> (es => graft.io.ProtoColumnStats(es(0),
+      es(1).eval().toString)),
+    "proto_tags" -> (es => graft.io.ProtoTags(es.head)))
 }

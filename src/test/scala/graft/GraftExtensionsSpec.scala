@@ -61,6 +61,24 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     row.getDouble(5) shouldBe 11.0
   }
 
+  test("proto reader expressions are SQL-callable") {
+    import graft.profile.ProfileSession.ProfilingOps
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .newProfilingSession("sql-proto")
+      .withTag("env", "test")
+      .groupBy("l_returnflag")
+      .exportProto()
+      .createOrReplaceTempView("proto_ext")
+    val rows = spark.sql(
+      """SELECT l_returnflag,
+        |  proto_column_stats(why_profile, 'l_quantity').count AS n,
+        |  proto_tags(why_profile)['whylogs.tag.env'] AS env
+        |FROM proto_ext""".stripMargin).collect()
+    rows.length shouldBe 3
+    rows.map(_.getLong(1)).sum shouldBe 6000L
+    all(rows.map(_.getString(2))) shouldBe "test"
+  }
+
   test("easy_datetime is SQL-callable with a pattern literal") {
     val micros = spark.sql(
       "SELECT unix_micros(easy_datetime('2020-12-23', 'yyyy-MM-dd'))")

@@ -150,6 +150,22 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     all(hits.map(_.getLong(1))) should be < 15L
   }
 
+  test("contamination pipeline executes the unioned corpus once (cached)") {
+    val corpus = docs.limit(100).select(col("doc_id"), col("text"))
+    val probe = corpus.filter(col("doc_id") < 15)
+      .select(col("doc_id"), concat(col("text"), lit(" tiny tail")).as("text"))
+    val (result, release) = Dedup.crossCorpusNearDupsReleasable(
+      corpus, probe, "doc_id", "text", threshold = 0.8, shingleK = 2)
+    result.collect() should not be empty
+    // the union+scan+shingle stage has three lineage consumers (signature
+    // pipeline + both text fetches); the persist must make all three read
+    // the cache instead of re-executing the scan
+    val plan = result.queryExecution.executedPlan.toString
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    cacheReads should be >= 3
+    release()
+  }
+
   test("minhash est_jaccard tracks exact shingle jaccard on near-dup docs") {
     // duplicate a doc with a tiny suffix change: est_jaccard must be high
     val d = docs.limit(20).select(col("doc_id"), col("text"))
