@@ -114,7 +114,27 @@ object Bench {
           .select(graft.io.ProfileIO
             .protoColumnStats(col("why_profile"), "l_quantity"))
           .count()
-      }))
+      }),
+      // IQR outlier screen over the full fact table (KLL quartiles +
+      // broadcast fence count — the scale-safe two-pass plan)
+      "iqr_outliers" -> (() =>
+        graft.ops.Outliers.iqrStats(t("lineitem"), "l_extendedprice",
+          Seq("l_returnflag", "l_linestatus")).count()),
+      // cross-corpus decontamination: first 10% of docs (perturbed) probed
+      // against the full corpus through one bucket shuffle
+      "contamination" -> (() => {
+        val corpus = t("documents").select(col("doc_id"), col("text"))
+        val probe = corpus.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" tail")).as("text"))
+        Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text",
+          threshold = 0.7, shingleK = 2).count()
+      }),
+      // unigram-LM perplexity of every document (token-count shuffle +
+      // AQE-decided vocabulary join + per-doc mean)
+      "perplexity" -> (() =>
+        graft.ops.TextOps.unigramPerplexity(t("documents"), "doc_id", "text")
+          .count()))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape
@@ -131,6 +151,10 @@ object Bench {
     graft.ops.Sessionize.stats(
       t("events").limit(500).withColumn("ts_us", expr("ts div 1000")),
       "user_id", "ts_us", gap = 14400L * 1000000L).count()
+    graft.ops.Outliers.iqrStats(t("lineitem").limit(1000),
+      "l_extendedprice", Seq("l_returnflag")).count()
+    graft.ops.TextOps.unigramPerplexity(t("documents").limit(200),
+      "doc_id", "text").count()
 
     val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -74,4 +74,33 @@ object StreamingProfile {
   def mergeStored(spark: SparkSession, storePath: String,
       keys: Seq[String]): DataFrame =
     ProfileSession.mergeProfiles(spark.read.parquet(storePath), keys)
+
+  /** Continuous-upload sink: each micro-batch is profiled and its
+    * profile rows POSTed from executors via [[graft.io.ProfileUpload]]
+    * (retry/backoff per row) — the streaming equivalent of the
+    * reference's `log()` upload path (WhyLogs.scala:179-190), one
+    * monitoring push per trigger. Upload failure fails the batch, so
+    * the stream's checkpoint retries it — no silent gaps in the
+    * monitoring feed.
+    */
+  def uploadSink(
+      df: DataFrame,
+      endpoint: String,
+      apiKey: String,
+      keys: Seq[String] = Nil,
+      timeColumn: Option[(String, String)] = None,
+      sessionId: String = "graft-stream",
+      retry: graft.io.ProfileUpload.RetryConfig =
+        graft.io.ProfileUpload.RetryConfig(),
+      cfg: ProfileConfig = ProfileConfig.default): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val profiles = ProfileSession(batch, groupKeys = keys,
+            timeColumn = timeColumn, cfg = cfg).aggProfiles()
+          graft.io.ProfileUpload.upload(profiles, endpoint, apiKey,
+            sessionId = s"$sessionId-$batchId", retry = retry)
+        }
+      }
 }

@@ -117,6 +117,17 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     fast.size shouldBe 14
   }
 
+  test("iqr outlier plan carries NO exact Percentile aggregate") {
+    import spark.implicits._
+    // the exact Percentile aggregate buffers every distinct value per
+    // group — executor OOM at 100 TB; the plan must use the KLL sketch
+    val df = Seq(("g", 1.0), ("g", 2.0)).toDF("k", "v")
+    val plan = Outliers.iqrStats(df, "v", Seq("k"))
+      .queryExecution.optimizedPlan.toString
+    plan.toLowerCase should not include "percentile"
+    plan should include ("kll_agg")
+  }
+
   test("iqr outlier stats: pinned quartiles and fence counts") {
     import spark.implicits._
     // values 1..100 plus outliers -500 and 250 in one group (the fences

@@ -99,4 +99,47 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
 
     merged shouldBe expected
   }
+
+  test("upload sink: every micro-batch's profiles land on the server") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/up", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        val in = ex.getRequestBody
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        bodies.add(buf.toByteArray)
+        ex.sendResponseHeaders(200, -1)
+      } finally ex.close()
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/up"
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "key", "value")
+    val q = StreamingProfile.uploadSink(streamDf, url, "key123",
+      keys = Seq("key"),
+      retry = graft.io.ProfileUpload.RetryConfig(3, 5L)).start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally { q.stop(); server.stop(0) }
+
+    // one upload per (key) group per micro-batch, each a parseable wire
+    // profile whose value counts sum to the full stream
+    val profiles = bodies.toArray(Array.empty[Array[Byte]])
+      .map(graft.io.ProfileProto.fromBytes)
+    profiles.length should be >= 2
+    profiles.map(_.columns("value").numbers.count).sum shouldBe
+      (batch1.length + batch2.length).toLong
+  }
 }
