@@ -447,6 +447,21 @@ object SparkEntry {
             .cast("double"), 2).as("qty_sum"))
     }),
 
+    "q64_viewer_counts" -> ((s, dir) => {
+      // stored-binary viewer: write grouped profiles as delimited wire
+      // binaries (the sink), read them back with the binaryFile-source
+      // viewer, and re-derive per-column row counts — driver-checks the
+      // store -> view loop end to end (cli/ProfileViewer.java's contract)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q64").toString
+      val prof = t(s, dir, "lineitem").newProfilingSession()
+        .groupBy("l_returnflag").aggProfiles()
+      graft.io.ProfileIO.writeDelimitedBinaries(prof, tmp)
+      graft.io.ProfileViewer.view(s, s"$tmp/*.bin")
+        .groupBy(col("column_name"))
+        .agg(sum(col("profile.count")).as("n"),
+          count(lit(1)).as("n_profiles"))
+    }),
+
     "q63_profile_tags" -> ((s, dir) => {
       // session tags (whylogs.tag.* namespace, DatasetProfile.java:43)
       // ride the exported wire profile and parse back per group — the tag
@@ -1132,6 +1147,15 @@ object SparkEntry {
         |  max(l_quantity) AS qty_max,
         |  round(sum(l_quantity), 2) AS qty_sum
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q64_viewer_counts" ->
+      """SELECT c.column_name,
+        |  (SELECT count(*) FROM lineitem) AS n,
+        |  (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_profiles
+        |FROM (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey'),
+        |  ('l_linenumber'), ('l_quantity'), ('l_extendedprice'),
+        |  ('l_discount'), ('l_tax'), ('l_linestatus'),
+        |  ('l_shipdate')) c(column_name)""".stripMargin,
 
     "q63_profile_tags" ->
       """SELECT l_returnflag, tag_key, tag_value
