@@ -447,6 +447,82 @@ object SparkEntry {
             .cast("double"), 2).as("qty_sum"))
     }),
 
+    "q68_sql_surface" -> ((s, dir) => {
+      // the SQL registration surface itself, driver-checked: registerAll
+      // injects every engine function and the whole query is pure SQL —
+      // what a spark-sql-only cluster user would run
+      graft.functions.registerAll(s)
+      t(s, dir, "supplier").createOrReplaceTempView("q68_supplier")
+      s.sql("""SELECT s_nationkey,
+        |  kll_n(kll_agg(s_acctbal)) AS n,
+        |  CAST(round(theta_estimate(theta_agg(s_suppkey))) AS BIGINT)
+        |    AS n_distinct
+        |FROM q68_supplier GROUP BY s_nationkey""".stripMargin)
+    }),
+
+    "q67_streaming_profile" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // Structured Streaming profiles, driver-checked: event rows feed a
+      // MemoryStream (the collect below CONSTRUCTS the fixture-scale
+      // stream source; it is not a query-path collect) and the windowed
+      // profile aggregation runs as a real streaming query into a memory
+      // sink. Day windows over event time must reproduce the batch GROUP
+      // BY day answer.
+      val rows = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(expr("ts div 1000").as("us"), col("user_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val stream = input.toDF().toDF("us", "user_id", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val profiles = graft.streaming.StreamingProfile.windowedProfiles(
+        stream, "ts", "1 day", "1 minute")
+      val name = "q67_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = profiles.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        input.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(
+        col("window.start").cast("date").as("day"),
+        col("value.count").as("n"),
+        round(col("value.numbers.sum"), 2).as("val_sum"))
+    }),
+
+    "q66_parquet_sink" -> ((s, dir) => {
+      // parquet profile sink round trip: grouped profiles written as
+      // typed structs, read back, metrics re-derived from the stored
+      // rows — the store half of the re-aggregation story (the merge
+      // half is q03/q14/q15)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q66").toString
+      t(s, dir, "lineitem").newProfilingSession().groupBy("l_returnflag")
+        .aggProfiles().write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).select(col("l_returnflag"),
+        col("l_quantity.count").as("n"),
+        col("l_quantity.numbers.min").as("qty_min"),
+        col("l_quantity.numbers.max").as("qty_max"),
+        round(col("l_quantity.numbers.sum"), 2).as("qty_sum"))
+    }),
+
+    "q65_histogram" -> ((s, dir) => {
+      // 30-bin equal-width histogram from the profile's KLL sketch. The
+      // 1/293 filter keeps each group under sketch-exact capacity (q94's
+      // regime) so the inclusive-PMF bin counts are exact, and the FLOAT
+      // bin edges (mn + width*i computed in float) replicate in the
+      // oracle by stepwise REAL casts.
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(293)) === 0)
+        .newProfilingSession().groupBy("l_returnflag").aggProfiles()
+        .select(col("l_returnflag"),
+          posexplode(col("l_extendedprice").getField("numbers")
+            .getField("histogram")).as(Seq("bin", "h")))
+        .select(col("l_returnflag"), col("bin"),
+          round(col("h.lo"), 2).as("lo"), round(col("h.hi"), 2).as("hi"),
+          col("h.count").as("cnt"))
+    }),
+
     "q64_viewer_counts" -> ((s, dir) => {
       // stored-binary viewer: write grouped profiles as delimited wire
       // binaries (the sink), read them back with the binaryFile-source
@@ -1147,6 +1223,56 @@ object SparkEntry {
         |  max(l_quantity) AS qty_max,
         |  round(sum(l_quantity), 2) AS qty_sum
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q68_sql_surface" ->
+      """SELECT s_nationkey, count(s_acctbal) AS n,
+        |  count(DISTINCT s_suppkey) AS n_distinct
+        |FROM supplier GROUP BY 1""".stripMargin,
+
+    "q67_streaming_profile" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n, round(sum(value), 2) AS val_sum
+        |FROM events WHERE user_id < 50 GROUP BY 1""".stripMargin,
+
+    "q66_parquet_sink" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q65_histogram" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS REAL) AS v
+        |  FROM lineitem WHERE l_orderkey % 293 = 0),
+        |agg AS (SELECT l_returnflag, min(v) AS mn, max(v) AS mx,
+        |    count(*) AS n FROM f GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST((mx - mn) / CAST(30 AS REAL) AS REAL) AS width FROM agg),
+        |sp AS (SELECT l_returnflag, i,
+        |    CAST(mn + CAST(width * CAST(i AS REAL) AS REAL) AS REAL) AS s,
+        |    mn, mx FROM w
+        |  CROSS JOIN (SELECT unnest(range(1, 30)) AS i)),
+        |bounds AS (
+        |  SELECT l_returnflag, 0 AS ord, mn AS b FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, i, s FROM sp WHERE s > mn AND s < mx
+        |  UNION ALL
+        |  SELECT l_returnflag, 1000, mx FROM w),
+        |pairs AS (
+        |  SELECT l_returnflag, ord, b AS lo,
+        |    LEAD(b) OVER (PARTITION BY l_returnflag ORDER BY ord) AS hi,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY ord) - 1
+        |      AS bin
+        |  FROM bounds)
+        |SELECT p.l_returnflag, CAST(p.bin AS INT) AS bin,
+        |  round(p.lo::DOUBLE, 2) AS lo, round(p.hi::DOUBLE, 2) AS hi,
+        |  (SELECT count(*) FROM f
+        |   WHERE f.l_returnflag = p.l_returnflag AND f.v <= p.hi)
+        |  - CASE WHEN p.bin = 0 THEN 0 ELSE
+        |      (SELECT count(*) FROM f
+        |       WHERE f.l_returnflag = p.l_returnflag AND f.v <= p.lo) END
+        |    AS cnt
+        |FROM pairs p WHERE p.hi IS NOT NULL""".stripMargin,
 
     "q64_viewer_counts" ->
       """SELECT c.column_name,
