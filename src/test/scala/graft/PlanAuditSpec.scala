@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.profile.ProfileSession.ProfilingOps
+
+/** Physical-plan audits: pin the plan shapes the 100 TB design depends
+  * on, so an optimizer change or refactor that silently degrades them
+  * fails a test instead of a production run.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  private def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  /** The executed AQE plan prints "== Final Plan ==" then "== Initial
+    * Plan ==" — audit only what actually ran.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  test("grouped profile: ONE shuffle, map-side partial aggregation") {
+    val prof = li.newProfilingSession().groupBy("l_returnflag").aggProfiles()
+    prof.collect()
+    val plan = finalPlan(prof)
+    // partial + final ObjectHashAggregate around a single exchange:
+    // shuffle volume is groups x columns x sketch-KBs, not rows
+    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 2
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("tf-idf adaptive default: corpus shuffle reused, vocab join " +
+    "broadcast-converted by AQE from runtime size") {
+    val res = graft.ops.TextOps.tfIdfTopTerms(docs, "doc_id", "text", 3)
+    res.collect()
+    val plan = finalPlan(res)
+    // the tf aggregate feeds both the docFreq branch and the scoring
+    // join; subplan canonicalization must reuse its exchange instead of
+    // re-scanning + re-shuffling the corpus
+    plan should include ("ReusedExchange")
+    // no broadcast HINT in the adaptive default — a BroadcastHashJoin in
+    // the FINAL plan proves AQE converted from the measured exchange size
+    plan should include ("BroadcastHashJoin")
+  }
+
+  test("IQR outliers: quartile table broadcast, corpus never re-shuffled") {
+    val res = graft.ops.Outliers.iqrStats(li, "l_extendedprice",
+      Seq("l_returnflag"))
+    res.collect()
+    val plan = finalPlan(res)
+    plan should include ("BroadcastHashJoin")
+    plan.toLowerCase should not include "percentile"
+  }
+}
