@@ -675,6 +675,24 @@ object SparkEntry {
           round(col("perplexity"), 6).as("perplexity"))
     }),
 
+    "q69_drift_monitor" -> ((s, dir) => {
+      // continuous drift monitor: every per-nation profile scored against
+      // ONE reference profile (the global distribution) — the reference
+      // sketch embeds as a literal so scoring is a pure map over the
+      // profile frame (no join), the shape that runs unchanged on a
+      // Structured Streaming profile stream
+      val sup = t(s, dir, "supplier")
+      val edges = Seq(0.0, 2500.0, 5000.0, 7500.0)
+      val reference = sup.select(col("s_acctbal"))
+        .newProfilingSession().aggProfiles()
+      val profiles = sup.select(col("s_nationkey"), col("s_acctbal"))
+        .newProfilingSession().groupBy("s_nationkey").aggProfiles()
+      graft.ops.Drift.againstReference(profiles, reference,
+        Map("s_acctbal" -> edges), keep = Seq("s_nationkey"))
+        .select(col("s_nationkey"),
+          round(col("s_acctbal_psi"), 6).as("psi"))
+    }),
+
     "q61_psi_drift" -> ((s, dir) => {
       // profile-to-profile drift: PSI/KL between the acctbal distribution
       // of two supplier cohorts, computed ONLY from their KLL sketches
@@ -1458,6 +1476,41 @@ object SparkEntry {
         |  round(exp(avg(-ln(cnt::DOUBLE / total))), 6) AS perplexity
         |FROM toks JOIN c USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q69_drift_monitor" ->
+      """WITH s AS (SELECT s_nationkey, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |c AS (SELECT s_nationkey, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 7500.0) AS r3
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 7500.0) AS r3
+        |  FROM s),
+        |p AS (SELECT s_nationkey,
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS p0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |  FROM c),
+        |q AS (SELECT
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS q0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS q1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS q2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS q3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS q4
+        |  FROM g)
+        |SELECT s_nationkey,
+        |  round((p0 - q0) * ln(p0 / q0) + (p1 - q1) * ln(p1 / q1)
+        |    + (p2 - q2) * ln(p2 / q2) + (p3 - q3) * ln(p3 / q3)
+        |    + (p4 - q4) * ln(p4 / q4), 6) AS psi
+        |FROM p CROSS JOIN q""".stripMargin,
 
     "q61_psi_drift" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
