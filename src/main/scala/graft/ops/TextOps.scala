@@ -139,7 +139,10 @@ object TextOps {
     *    only when the actual size is under
     *    `spark.sql.autoBroadcastJoinThreshold`. Memory-safe at any
     *    vocabulary size, zero extra jobs (the size gate is the runtime
-    *    statistic Spark already collects).
+    *    statistic Spark already collects). Trade: the corpus side's
+    *    term-keyed exchange is still WRITTEN before AQE converts (reads
+    *    become local) — bounded disk I/O, vs. the forced-broadcast
+    *    plan's unbounded executor memory.
     *  - finite > 0: explicit gate — the term-count intermediate persists,
     *    one cheap count job compares the vocabulary against the cap, and
     *    the join is broadcast iff it fits. Deterministic strategy for
