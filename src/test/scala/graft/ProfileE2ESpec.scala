@@ -189,4 +189,21 @@ class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .select(col("n_name.cardinality.estimate")).first().getDouble(0)
     p shouldBe 25.0 +- 0.01
   }
+
+  test("profile state is sketch-bounded: 10x the rows, not 10x the bytes") {
+    // BASELINE's headline invariant (reference: ~15 MB profile for 75 GB
+    // input): every tracker is a fixed-capacity sketch, so the exported
+    // wire profile stops growing once sketches saturate
+    def profileBytes(dir: String): Long = {
+      val prof = spark.read.parquet(s"$dir/lineitem.parquet")
+        .newProfilingSession().aggProfiles()
+      graft.io.ProfileIO.withProtoColumn(prof)
+        .select(org.apache.spark.sql.functions.length(col("why_profile")))
+        .first().getInt(0).toLong
+    }
+    val small = profileBytes("/root/testdata/sf0.001") // ~6k rows
+    val big = profileBytes("/root/testdata/sf0.01") // ~60k rows
+    big.toDouble / small.toDouble should be < 3.0 // sub-linear in rows
+    big should be < (1L << 20) // whole-table profile stays under 1 MB
+  }
 }
