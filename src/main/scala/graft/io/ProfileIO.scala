@@ -22,27 +22,70 @@ case class DatasetProfileProtoExpr(
     sessionId: String,
     sessionTimestamp: Long,
     tags: Map[String, String] = Map.empty,
-    metadata: Map[String, String] = Map.empty)
+    metadata: Map[String, String] = Map.empty,
+    modelSpec: Option[DatasetProfileProtoExpr.ModelSpec] = None)
     extends Expression with CodegenFallback {
 
-  require(names.length == children.length)
+  // when a model spec is present the LAST child is the model-metrics
+  // struct column; the first names.length children are column states
+  require(children.length == names.length + modelSpec.size)
 
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "dataset_profile_proto"
 
+  @transient private lazy val modelConverter =
+    CatalystTypeConverters.createToScalaConverter(children.last.dataType)
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val cols = names.zip(children).flatMap { case (n, c) =>
+    val cols = names.zip(children.take(names.length)).flatMap { case (n, c) =>
       Option(c.eval(input)).map { v =>
         n -> ColumnProfileState.deserialize(v.asInstanceOf[Array[Byte]])
       }
     }.toMap
+    val model = modelSpec.flatMap { spec =>
+      Option(children.last.eval(input)).map { v =>
+        val row = modelConverter(v).asInstanceOf[Row]
+        spec match {
+          case DatasetProfileProtoExpr.ClassificationSpec(p, t, s) =>
+            val labels = row.getSeq[String](row.fieldIndex("labels"))
+            val cells = row.getSeq[Row](row.fieldIndex("cells")).map { c =>
+              val m = new graft.metrics.Moments
+              m.count = c.getAs[Long]("count")
+              m.sum = c.getAs[Double]("score_sum")
+              m.mean = c.getAs[Double]("score_mean")
+              m.min = c.getAs[Double]("score_min")
+              m.max = c.getAs[Double]("score_max")
+              m.m2 = c.getAs[Double]("score_m2")
+              (c.getAs[String]("prediction"), c.getAs[String]("target")) -> m
+            }.toMap
+            ProfileProto.ClassificationProto(labels, p, t, s, cells)
+          case DatasetProfileProtoExpr.RegressionSpec(p, t) =>
+            ProfileProto.RegressionProto(p, t,
+              row.getAs[Double]("sum_abs_diff"),
+              row.getAs[Double]("sum_diff"),
+              row.getAs[Double]("sum2_diff"),
+              row.getAs[Long]("count"))
+        }
+      }
+    }
     ProfileProto.toBytes(ProfileProto.DatasetProfile(
-      sessionId, sessionTimestamp, None, tags, metadata, cols))
+      sessionId, sessionTimestamp, None, tags, metadata, cols), model)
   }
 
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(children = c)
+}
+
+object DatasetProfileProtoExpr {
+  /** Which model-metrics struct rides the export and its field names
+    * (ModelMetricsMessage — ModelMetrics.java:44-54).
+    */
+  sealed trait ModelSpec
+  final case class ClassificationSpec(
+      prediction: String, target: String, score: String) extends ModelSpec
+  final case class RegressionSpec(
+      prediction: String, target: String) extends ModelSpec
 }
 
 /** Parses exact per-column statistics back out of a `DatasetProfileMessage`
@@ -143,12 +186,15 @@ object ProfileIO {
       sessionTimestamp: Long = 0L,
       outputCol: String = "why_profile",
       tags: Map[String, String] = Map.empty,
-      metadata: Map[String, String] = Map.empty): DataFrame = {
+      metadata: Map[String, String] = Map.empty,
+      model: Option[(String, DatasetProfileProtoExpr.ModelSpec)] = None)
+      : DataFrame = {
     val cols = profileStructCols(profiles)
     val expr = DatasetProfileProtoExpr(
       cols,
-      cols.map(c => GraftBridge.expression(col(c).getField("state"))),
-      sessionId, sessionTimestamp, tags, metadata)
+      cols.map(c => GraftBridge.expression(col(c).getField("state"))) ++
+        model.map { case (cn, _) => GraftBridge.expression(col(cn)) },
+      sessionId, sessionTimestamp, tags, metadata, model.map(_._2))
     profiles.withColumn(outputCol, GraftBridge.column(expr))
   }
 

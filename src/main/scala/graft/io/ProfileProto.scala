@@ -218,7 +218,73 @@ object ProfileProto {
     }
   }
 
+  /** Model-quality metrics carried at field 10 of DatasetProfileMessage
+    * (ModelProfileMessage — DatasetProfile.java line with modelProfile,
+    * ModelProfile.java:36-41). Numbering reconstructed from builder call
+    * order (the snapshot ships no .proto), pinned by round-trip specs.
+    */
+  sealed trait ModelMetricsProto
+
+  /** RegressionMetricsMessage (RegressionMetrics.java:70-78). */
+  final case class RegressionProto(
+      predictionField: String,
+      targetField: String,
+      sumAbsDiff: Double,
+      sumDiff: Double,
+      sum2Diff: Double,
+      count: Long) extends ModelMetricsProto
+
+  /** ScoreMatrixMessage (ClassificationMetrics.java:207-223): sorted
+    * labels, row-major n x n per-cell score trackers
+    * (row = prediction, col = target — ClassificationMetrics.java:85-90),
+    * each serialized as a NumbersMessage.
+    */
+  final case class ClassificationProto(
+      labels: Seq[String],
+      predictionField: String,
+      targetField: String,
+      scoreField: String,
+      cells: Map[(String, String), Moments]) extends ModelMetricsProto
+
   // ---- writer ----
+
+  /** ModelProfileMessage body: outputFields=1 (repeated), metrics=2
+    * {modelType=1 (CLASSIFICATION=1 / REGRESSION=2), scoreMatrix=2,
+    * regressionMetrics=3}.
+    */
+  private def modelProfileBody(w: Wire.Writer, m: ModelMetricsProto): Unit = {
+    m match {
+      case r: RegressionProto => w.string(1, r.predictionField)
+      case c: ClassificationProto => w.string(1, c.predictionField)
+    }
+    w.message(2) { mm =>
+      m match {
+        case c: ClassificationProto =>
+          mm.int64(1, 1L) // ModelType.CLASSIFICATION
+          mm.message(2) { sm =>
+            c.labels.foreach(sm.string(1, _))
+            for (i <- c.labels.indices; j <- c.labels.indices) {
+              val cell = c.cells.getOrElse((c.labels(i), c.labels(j)),
+                new Moments)
+              numbersFromMoments(sm, 2, cell)
+            }
+            sm.string(3, c.predictionField)
+            sm.string(4, c.targetField)
+            sm.string(5, c.scoreField)
+          }
+        case r: RegressionProto =>
+          mm.int64(1, 2L) // ModelType.REGRESSION
+          mm.message(3) { rm =>
+            rm.string(1, r.predictionField)
+            rm.string(2, r.targetField)
+            rm.double(3, r.sumAbsDiff)
+            rm.double(4, r.sumDiff)
+            rm.double(5, r.sum2Diff)
+            rm.int64(6, r.count)
+          }
+      }
+    }
+  }
 
   /** DatasetProperties message body — shared by the whole-profile writer
     * and the chunked MessageSegment writer ([[ProfileSegments]]).
@@ -263,9 +329,12 @@ object ProfileProto {
       Map.empty)
   }
 
-  def toBytes(p: DatasetProfile): Array[Byte] = {
+  def toBytes(
+      p: DatasetProfile,
+      model: Option[ModelMetricsProto] = None): Array[Byte] = {
     val w = new Wire.Writer
     w.message(1)(propertiesBody(_, p))
+    model.foreach(m => w.message(10)(modelProfileBody(_, m)))
     p.columns.toSeq.sortBy(_._1).foreach { case (name, st) =>
       w.message(2) { e =>
         e.string(1, name)
@@ -419,6 +488,65 @@ object ProfileProto {
 
   def readDelimited(in: InputStream): Option[DatasetProfile] =
     Wire.readDelimited(in).map(fromBytes)
+
+  /** Parse the optional ModelProfileMessage at field 10 of a
+    * DatasetProfileMessage binary (the reader half of
+    * [[modelProfileBody]]; ModelProfile.fromProtobuf semantics —
+    * ModelProfile.java:44-62).
+    */
+  def parseModelProfile(b: Array[Byte]): Option[ModelMetricsProto] =
+    Wire.fields(b).find(f => f.number == 10 && f.wireType == 2)
+      .flatMap { mp =>
+        Wire.fields(mp.asBytes).find(f => f.number == 2 && f.wireType == 2)
+          .map(_.asBytes)
+      }
+      .flatMap { mm =>
+        var tpe = 0L
+        var score: Option[Array[Byte]] = None
+        var regr: Option[Array[Byte]] = None
+        Wire.fields(mm).foreach {
+          case Wire.Field(1, 0, v: Long) => tpe = v
+          case f @ Wire.Field(2, 2, _)   => score = Some(f.asBytes)
+          case f @ Wire.Field(3, 2, _)   => regr = Some(f.asBytes)
+          case _ =>
+        }
+        if (tpe == 2L) regr.map { r =>
+          var pf = ""; var tf = ""
+          var sad = 0.0; var sd = 0.0; var s2 = 0.0; var n = 0L
+          Wire.fields(r).foreach {
+            case f @ Wire.Field(1, 2, _)   => pf = f.asString
+            case f @ Wire.Field(2, 2, _)   => tf = f.asString
+            case f @ Wire.Field(3, 1, _)   => sad = f.asDouble
+            case f @ Wire.Field(4, 1, _)   => sd = f.asDouble
+            case f @ Wire.Field(5, 1, _)   => s2 = f.asDouble
+            case Wire.Field(6, 0, v: Long) => n = v
+            case _ =>
+          }
+          RegressionProto(pf, tf, sad, sd, s2, n)
+        }
+        else if (tpe == 1L) score.map { sm =>
+          val labels = mutable.ArrayBuffer.empty[String]
+          val cellBufs = mutable.ArrayBuffer.empty[Array[Byte]]
+          var pf = ""; var tf = ""; var sf = ""
+          Wire.fields(sm).foreach {
+            case f @ Wire.Field(1, 2, _) => labels += f.asString
+            case f @ Wire.Field(2, 2, _) => cellBufs += f.asBytes
+            case f @ Wire.Field(3, 2, _) => pf = f.asString
+            case f @ Wire.Field(4, 2, _) => tf = f.asString
+            case f @ Wire.Field(5, 2, _) => sf = f.asString
+            case _ =>
+          }
+          val n = labels.length
+          val cells = cellBufs.zipWithIndex.flatMap { case (cb, idx) =>
+            val m = readNumbersAsMoments(cb)
+            if (m.count > 0 && n > 0)
+              Some((labels(idx / n), labels(idx % n)) -> m)
+            else None
+          }.toMap
+          ClassificationProto(labels.toSeq, pf, tf, sf, cells)
+        }
+        else None
+      }
 
   private def readMoments(b: Array[Byte], asLongs: Boolean): Moments = {
     val m = new Moments

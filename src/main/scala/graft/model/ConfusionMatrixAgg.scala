@@ -63,7 +63,10 @@ object ConfusionState {
     StructField("score_sum", DoubleType),
     StructField("score_mean", DoubleType),
     StructField("score_min", DoubleType),
-    StructField("score_max", DoubleType)))
+    StructField("score_max", DoubleType),
+    // centered second moment: lets the wire export rebuild the cell's
+    // full variance tracker (ModelProfileMessage per-cell NumbersMessage)
+    StructField("score_m2", DoubleType)))
 
   val schema: StructType = StructType(Seq(
     StructField("labels", ArrayType(StringType)),
@@ -120,7 +123,7 @@ case class ConfusionMatrixAgg(
     val labels =
       (st.cells.keys.map(_._1) ++ st.cells.keys.map(_._2)).toSeq.distinct.sorted
     val cells = st.cells.toSeq.sortBy(_._1).map { case ((p, t), m) =>
-      Row(p, t, m.count, m.sum, m.mean, m.min, m.max)
+      Row(p, t, m.count, m.sum, m.mean, m.min, m.max, m.m2)
     }
     toCatalyst(Row(labels, cells))
   }

@@ -112,12 +112,23 @@ case class ProfileSession(
   }
 
   /** [[aggProfiles]] plus a `why_profile` wire-format binary column whose
-    * DatasetProfileMessage carries this session's name, tags, and
-    * metadata — the export edge with session identity attached.
+    * DatasetProfileMessage carries this session's name, tags, metadata,
+    * and — when a model is configured — the ModelProfileMessage
+    * (classification score matrix / regression errors at field 10,
+    * ModelProfile.java:36-41).
     */
-  def exportProto(sessionTimestamp: Long = 0L): DataFrame =
+  def exportProto(sessionTimestamp: Long = 0L): DataFrame = {
+    val model: Option[(String, graft.io.DatasetProfileProtoExpr.ModelSpec)] =
+      classificationModel.map { case (p, t, s) =>
+        "classification_metrics" -> graft.io.DatasetProfileProtoExpr
+          .ClassificationSpec(p, t, s.getOrElse(""))
+      }.orElse(regressionModel.map { case (p, t) =>
+        "regression_metrics" -> graft.io.DatasetProfileProtoExpr
+          .RegressionSpec(p, t)
+      })
     graft.io.ProfileIO.withProtoColumn(aggProfiles(), name, sessionTimestamp,
-      tags = tags, metadata = metadata)
+      tags = tags, metadata = metadata, model = model)
+  }
 }
 
 object ProfileSession {
