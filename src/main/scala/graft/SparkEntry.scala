@@ -540,8 +540,9 @@ object SparkEntry {
 
     "q63_profile_tags" -> ((s, dir) => {
       // session tags (whylogs.tag.* namespace, DatasetProfile.java:43)
-      // ride the exported wire profile and parse back per group — the tag
-      // round trip through the export edge, driver-checked
+      // PLUS the per-row group-key segment tag (reference SegmentTag
+      // semantics) ride the exported wire profile and parse back per
+      // group — the tag round trip through the export edge
       t(s, dir, "lineitem")
         .newProfilingSession("tagged")
         .withTags(Map("env" -> "prod", "source" -> "lineitem"))
@@ -1305,7 +1306,10 @@ object SparkEntry {
       """SELECT l_returnflag, tag_key, tag_value
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
         |CROSS JOIN (VALUES ('whylogs.tag.env', 'prod'),
-        |  ('whylogs.tag.source', 'lineitem')) t(tag_key, tag_value)""".stripMargin,
+        |  ('whylogs.tag.source', 'lineitem')) t(tag_key, tag_value)
+        |UNION ALL
+        |SELECT l_returnflag, 'whylogs.tag.l_returnflag', l_returnflag
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)""".stripMargin,
 
     "q29_proto_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, 0 AS n_null,

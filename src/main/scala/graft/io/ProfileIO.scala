@@ -23,12 +23,16 @@ case class DatasetProfileProtoExpr(
     sessionTimestamp: Long,
     tags: Map[String, String] = Map.empty,
     metadata: Map[String, String] = Map.empty,
-    modelSpec: Option[DatasetProfileProtoExpr.ModelSpec] = None)
+    modelSpec: Option[DatasetProfileProtoExpr.ModelSpec] = None,
+    segmentTagNames: Seq[String] = Nil)
     extends Expression with CodegenFallback {
 
-  // when a model spec is present the LAST child is the model-metrics
-  // struct column; the first names.length children are column states
-  require(children.length == names.length + modelSpec.size)
+  // child layout: names.length column states, then segmentTagNames.length
+  // group-key columns (their per-row values become whylogs.tag.* entries,
+  // the reference's SegmentTag semantics — WhyLogs.scala:205-212), then
+  // the optional model-metrics struct LAST
+  require(children.length ==
+    names.length + segmentTagNames.length + modelSpec.size)
 
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
@@ -43,6 +47,13 @@ case class DatasetProfileProtoExpr(
         n -> ColumnProfileState.deserialize(v.asInstanceOf[Array[Byte]])
       }
     }.toMap
+    val segmentTags = segmentTagNames.zip(
+      children.slice(names.length, names.length + segmentTagNames.length))
+      .flatMap { case (k, c) =>
+        Option(c.eval(input)).map { v =>
+          (ProfileProto.TagPrefix + k) -> String.valueOf(v)
+        }
+      }.toMap
     val model = modelSpec.flatMap { spec =>
       Option(children.last.eval(input)).map { v =>
         val row = modelConverter(v).asInstanceOf[Row]
@@ -70,7 +81,8 @@ case class DatasetProfileProtoExpr(
       }
     }
     ProfileProto.toBytes(ProfileProto.DatasetProfile(
-      sessionId, sessionTimestamp, None, tags, metadata, cols), model)
+      sessionId, sessionTimestamp, None, tags ++ segmentTags, metadata,
+      cols), model)
   }
 
   override protected def withNewChildrenInternal(
@@ -187,14 +199,16 @@ object ProfileIO {
       outputCol: String = "why_profile",
       tags: Map[String, String] = Map.empty,
       metadata: Map[String, String] = Map.empty,
-      model: Option[(String, DatasetProfileProtoExpr.ModelSpec)] = None)
-      : DataFrame = {
+      model: Option[(String, DatasetProfileProtoExpr.ModelSpec)] = None,
+      segmentTagCols: Seq[String] = Nil): DataFrame = {
     val cols = profileStructCols(profiles)
     val expr = DatasetProfileProtoExpr(
       cols,
       cols.map(c => GraftBridge.expression(col(c).getField("state"))) ++
+        segmentTagCols.map(c => GraftBridge.expression(col(c))) ++
         model.map { case (cn, _) => GraftBridge.expression(col(cn)) },
-      sessionId, sessionTimestamp, tags, metadata, model.map(_._2))
+      sessionId, sessionTimestamp, tags, metadata, model.map(_._2),
+      segmentTagCols)
     profiles.withColumn(outputCol, GraftBridge.column(expr))
   }
 

@@ -126,8 +126,12 @@ case class ProfileSession(
         "regression_metrics" -> graft.io.DatasetProfileProtoExpr
           .RegressionSpec(p, t)
       })
+    // group keys ride each row's wire profile as whylogs.tag.* entries —
+    // the reference's SegmentTag semantics (WhyLogs.scala:205-212), so an
+    // uploaded profile self-describes its segment
     graft.io.ProfileIO.withProtoColumn(aggProfiles(), name, sessionTimestamp,
-      tags = tags, metadata = metadata, model = model)
+      tags = tags, metadata = metadata, model = model,
+      segmentTagCols = groupKeys)
   }
 }
 
