@@ -62,6 +62,28 @@ object ProfileViewer {
     spark.createDataFrame(rows, OutputSchema)
   }
 
+  /** [[view]] over chunked MessageSegment streams
+    * ([[ProfileSegments]]): same output schema, profiles reassembled by
+    * marker per file on executors.
+    */
+  def viewSegments(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val rows = bin.rdd.flatMap { r =>
+      val file = r.getString(0)
+      val profiles = ProfileSegments.readDelimited(
+        new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      profiles.zipWithIndex.flatMap { case (prof, idx) =>
+        prof.columns.toSeq.sortBy(_._1).map { case (name, st) =>
+          Row(file, idx, prof.sessionId, prof.sessionTimestamp,
+            prof.dataTimestamp.getOrElse(-1L), name,
+            ProfileSchema.summarize(st))
+        }
+      }
+    }
+    spark.createDataFrame(rows, OutputSchema)
+  }
+
   /** [[view]] rendered as JSON summaries: one row per stored profile,
     * `summary_json` = {"col": {metrics...}, ...} with sketch binaries
     * dropped — the shape [[ProfileIO.jsonSummary]] emits for live frames.

@@ -49,6 +49,48 @@ class ProfileViewerSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     prof.unpersist()
   }
 
+  test("segmented files view to the same rows as whole-message files") {
+    val prof = profiles.persist()
+    val plainDir = Files.createTempDirectory("viewer-plain").toString
+    ProfileIO.writeDelimitedBinaries(prof, plainDir)
+
+    // re-write the same profiles as chunked MessageSegments (driver-side
+    // is fine: the segment writer is the export edge, fixture scale)
+    val segDir = Files.createTempDirectory("viewer-seg").toString
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$segDir/profiles.seg"))
+    try {
+      val bins = ProfileViewer.view(spark, s"$plainDir/*.bin")
+      val byProfile = bins.collect()
+        .groupBy(r => (r.getString(0), r.getInt(1)))
+      // rebuild DatasetProfiles from EVERY stored binary via the codec
+      var i = 0
+      new java.io.File(plainDir).listFiles()
+        .filter(_.getName.endsWith(".bin")).foreach { f =>
+          val ins = new java.io.FileInputStream(f)
+          try {
+            var next = ProfileProto.readDelimited(ins)
+            while (next.isDefined) {
+              ProfileSegments.writeDelimited(out, next.get, s"marker-$i",
+                maxChunkContentBytes = 4096)
+              next = ProfileProto.readDelimited(ins)
+              i += 1
+            }
+          } finally ins.close()
+        }
+      byProfile.size should be >= 1
+    } finally out.close()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("column_name"), col("profile.count"),
+        col("profile.numbers.sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).getOrElse(""))).toSeq.sorted
+    key(ProfileViewer.viewSegments(spark, s"$segDir/*.seg")) shouldBe
+      key(ProfileViewer.view(spark, s"$plainDir/*.bin"))
+    prof.unpersist()
+  }
+
   test("view returns one row per (profile, column) with full structs") {
     val dir = Files.createTempDirectory("viewer-spec2").toString
     val prof = profiles
