@@ -195,9 +195,19 @@ object Dedup {
       numHashes, bands, shingleK, maxBucketSize)._1
 
   /** [[crossCorpusNearDups]] plus a release() thunk that unpersists the
-    * cached unioned corpus (same contract as
-    * [[minHashLshPairsReleasable]]: cache is keyed by logical plan, call
+    * cached intermediates (same contract as
+    * [[minHashLshPairsReleasable]]: caches are keyed by logical plan, call
     * release() once the returned plan has been materialized).
+    *
+    * Scale shape of the verify step: nothing corpus-sized is ever
+    * persisted or shuffled. The candidate PAIR frame (ids only) is the
+    * single cached product of the LSH stage; the exact-Jaccard verify
+    * re-reads texts from the source scan filtered by a BROADCAST semi-join
+    * on the candidate-id set, so only candidate texts are materialized,
+    * and the two payload joins stream that small frame — the corpus text
+    * column never crosses an exchange. (Candidate count is bounded by the
+    * band/bucket caps; if the caller's corpus frame is itself expensive to
+    * recompute — a join, not a scan — persist it upstream.)
     */
   def crossCorpusNearDupsReleasable(
       corpus: DataFrame,
@@ -214,19 +224,19 @@ object Dedup {
       col(textCol).as("__text"))
     val b = probe.select((col(idCol).cast("long") * 2 + 1).as("id"),
       col(textCol).as("__text"))
-    // `all` is consumed three times through lineage (signature pipeline +
-    // both candidate text fetches) — materialize the union+scan once, same
-    // persist+release shape as minHashLshPairsReleasable. Signatures
-    // themselves are consumed once (banding), so caching `all` alone makes
-    // the whole pipeline single-execution.
     val all = a.unionAll(b)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures have exactly one consumer (banding) — no persist; the
+    // pipeline is one map stage into the bucket shuffle
     val sig = minHashSignatures(all, "id", "__text", numHashes, shingleK)
 
     val banded = sig.select(col("id"),
       posexplode(graft.functions.band_hashes(col("sig"), bands))
         .as(Seq("band", "bucket")))
 
+    // candidate id pairs: the ONLY cached product of the LSH stage
+    // (two longs per candidate — bounded by the bucket cap, tiny next to
+    // the corpus). Consumed three times: candidate-id broadcast + both
+    // payload joins.
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
@@ -235,12 +245,20 @@ object Dedup {
       .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val texts = all.select(col("id"), col("__text"))
+    // verify texts: re-read the source scan (map-only projection) filtered
+    // to candidate ids via a broadcast LeftSemi — the corpus is scanned,
+    // never shuffled, and only candidate texts survive into the cache
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candTexts = all.join(broadcast(candIds), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val result = pairs
-      .join(texts.select(col("id").as("id_a"), col("__text").as("text_a")),
+      .join(candTexts.select(col("id").as("id_a"), col("__text").as("text_a")),
         Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("__text").as("text_b")),
+      .join(candTexts.select(col("id").as("id_b"), col("__text").as("text_b")),
         Seq("id_b"))
       .select(
         shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
@@ -249,7 +267,11 @@ object Dedup {
           .otherwise(col("id_b")), 1).as("probe_id"),
         ngramJaccard(col("text_a"), col("text_b"), shingleK).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (result, () => { all.unpersist(blocking = false); () })
+    (result, () => {
+      pairs.unpersist(blocking = false)
+      candTexts.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Connected components over candidate pairs: assigns every id the

@@ -150,19 +150,30 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     all(hits.map(_.getLong(1))) should be < 15L
   }
 
-  test("contamination pipeline executes the unioned corpus once (cached)") {
+  test("contamination pipeline caches only pair ids + candidate texts") {
     val corpus = docs.limit(100).select(col("doc_id"), col("text"))
     val probe = corpus.filter(col("doc_id") < 15)
       .select(col("doc_id"), concat(col("text"), lit(" tiny tail")).as("text"))
     val (result, release) = Dedup.crossCorpusNearDupsReleasable(
       corpus, probe, "doc_id", "text", threshold = 0.8, shingleK = 2)
     result.collect() should not be empty
-    // the union+scan+shingle stage has three lineage consumers (signature
-    // pipeline + both text fetches); the persist must make all three read
-    // the cache instead of re-executing the scan
     val plan = result.queryExecution.executedPlan.toString
+    // the LSH stage's product (pair ids) and the candidate texts are both
+    // multi-consumer — all downstream reads must hit the caches instead of
+    // re-running the bucket shuffle / the source scan
     val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
     cacheReads should be >= 3
+    // nothing corpus-sized is persisted: every cached relation either
+    // carries no text at all (pair ids) or is the candidate-filtered text
+    // fetch — whose cached plan must contain the broadcast LeftSemi that
+    // filtered it down from the source scan
+    val cachedSchemas = "InMemoryRelation \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    cachedSchemas should not be empty
+    assert(cachedSchemas.exists(s => !s.contains("__text")),
+      "expected an ids-only cached relation (candidate pairs)")
+    if (cachedSchemas.exists(_.contains("__text")))
+      plan should include ("LeftSemi")
     release()
   }
 

@@ -46,6 +46,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plan should include ("BroadcastHashJoin")
   }
 
+  test("contamination verify: corpus scanned not shuffled, texts fetched " +
+    "via broadcast semi-join on candidate ids") {
+    val corpus = docs.limit(200)
+    val probe = corpus.filter(col("doc_id") < 20)
+      .select(col("doc_id"), concat(col("text"), lit(" tail")).as("text"))
+    val (result, release) = graft.ops.Dedup.crossCorpusNearDupsReleasable(
+      corpus, probe, "doc_id", "text", threshold = 0.8, shingleK = 2)
+    result.collect()
+    val plan = result.queryExecution.executedPlan.toString
+    // candidate ids broadcast against the source scan: the corpus text
+    // column reaches the verify without crossing an exchange
+    plan should include ("LeftSemi")
+    plan should include ("BroadcastExchange")
+    // no corpus-sized cache: every InMemoryRelation is either ids-only
+    // (candidate pairs) or the LeftSemi-filtered candidate texts
+    val cachedSchemas = "InMemoryRelation \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val textCaches = cachedSchemas.filter(_.contains("__text"))
+    textCaches.foreach { _ => plan should include ("LeftSemi") }
+    assert(cachedSchemas.nonEmpty && cachedSchemas.exists(!_.contains("__text")))
+    release()
+  }
+
   test("IQR outliers: quartile table broadcast, corpus never re-shuffled") {
     val res = graft.ops.Outliers.iqrStats(li, "l_extendedprice",
       Seq("l_returnflag"))
