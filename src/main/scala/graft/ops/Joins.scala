@@ -110,4 +110,90 @@ object Joins {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
+
+  /** Skew-safe as-of join: identical semantics to [[asOfJoin]], but the
+    * per-key window is replaced by a TWO-PASS time-bucketed plan so a hot
+    * key (one user owning half the events) no longer serializes on a
+    * single reducer.
+    *
+    *  - Pass 1 (within bucket): the union+window runs partitioned by
+    *    (key, bucket) — a hot key's events spread over its time buckets,
+    *    so max task work is max events per (key, bucket), not per key.
+    *  - Pass 2 (carry across buckets): the last right payload of each
+    *    (key, bucket) is reduced by one map-side-combinable aggregate
+    *    (`max_by` over right event time), then carried forward with a
+    *    per-key window over BUCKETS — O(timeRange / bucketWidth) rows per
+    *    key regardless of event counts, the documented skew bound.
+    *    A left row in bucket t takes its within-bucket match if one
+    *    exists, else the carried payload from the latest right bucket
+    *    strictly before t (any right row there is strictly earlier in
+    *    time than the whole of bucket t, so the as-of ordering holds).
+    *
+    * `bucketWidth` is in the units of `timeCol.cast("double")` — seconds
+    * for timestamps. Choose it so a hot key's densest bucket fits a task
+    * comfortably; correctness does not depend on the choice. Rows with a
+    * NULL left time get NULL payloads (same as [[asOfJoin]]).
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      bucketWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val leftCols = left.columns.toSeq
+    val pType = StructType(payloadCols.map(c => right.schema(c)))
+    def bucketOf(t: Column): Column =
+      floor(t.cast("double") / lit(bucketWidth)).cast("long")
+
+    // pass 1: within-bucket as-of — the asOfJoin union+window shape with
+    // the bucket id added to BOTH the window partition key and the union,
+    // spreading a hot key across its buckets
+    val lAll = left
+      .withColumn("__t", col(leftTime).cast("double"))
+      .withColumn("__bucket", bucketOf(col(leftTime)))
+      .withColumn("__isLeft", lit(true))
+      .withColumn("__p", lit(null).cast(pType))
+    val rTagged = right.select(col(key), col(rightTime).cast("double").as("__t"),
+      bucketOf(col(rightTime)).as("__bucket"),
+      lit(false).as("__isLeft"), struct(payloadCols.map(col): _*).as("__p"))
+    val rAll = leftCols.filterNot(_ == key).foldLeft(rTagged)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.toIndexedSeq.map(col): _*))
+    val wIn = Window.partitionBy(col(key), col("__bucket"))
+      .orderBy(col("__t"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = unioned
+      .withColumn("__w", last(col("__p"), ignoreNulls = true).over(wIn))
+      .filter(col("__isLeft"))
+
+    // pass 2: last right payload per (key, bucket) — map-side combinable
+    // aggregate, then a bucket-granular carry-forward per key. Left-bucket
+    // marker rows sort BEFORE same-bucket right rows (__fromRight asc) so
+    // a marker only sees strictly-earlier buckets.
+    val bucketLast = rTagged
+      .groupBy(col(key), col("__bucket"))
+      .agg(max_by(col("__p"), col("__t")).as("__p"))
+      .withColumn("__fromRight", lit(true))
+    val leftBuckets = left
+      .select(col(key), bucketOf(col(leftTime)).as("__bucket")).distinct()
+      .withColumn("__p", lit(null).cast(pType))
+      .withColumn("__fromRight", lit(false))
+    val wCarry = Window.partitionBy(col(key))
+      .orderBy(col("__bucket"), col("__fromRight"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = bucketLast.unionByName(leftBuckets)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(wCarry))
+      .filter(!col("__fromRight"))
+      .select(col(key), col("__bucket"), col("__carry"))
+
+    within.join(carry, Seq(key, "__bucket"), "left")
+      .withColumn("__f", coalesce(col("__w"), col("__carry")))
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__f.$c").as(c)): _*)
+  }
 }

@@ -89,6 +89,71 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     result("t2") shouldBe Some(100.0)
   }
 
+  test("bucketed as-of join equals plain as-of join under a hot key") {
+    import spark.implicits._
+    // one key owns 50% of both sides; times interleave so matches cross
+    // bucket boundaries in both directions
+    val rnd = new scala.util.Random(7)
+    val trades = (1 to 2000).map { i =>
+      val sym = if (i % 2 == 0) "HOT" else s"s${i % 37}"
+      (sym, rnd.nextInt(100000).toLong, s"t$i")
+    }.toDF("sym", "ts", "trade")
+    val quotes = (1 to 2000).map { i =>
+      val sym = if (i % 2 == 0) "HOT" else s"s${i % 41}"
+      // distinct quote times per key (i rides in the low bits) so the
+      // as-of winner is deterministic on both plans
+      (sym, rnd.nextInt(50).toLong * 4096 + i, i * 1.0)
+    }.toDF("sym", "qts", "px")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("trade"), col("px"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val plain = rows(Joins.asOfJoin(trades, quotes, "sym", "ts", "qts", Seq("px")))
+    val bucketed = rows(Joins.asOfJoinBucketed(
+      trades, quotes, "sym", "ts", "qts", Seq("px"), bucketWidth = 8192.0))
+    bucketed shouldBe plain
+    plain.values.count(_.isDefined) should be > 0
+  }
+
+  test("bucketed as-of join: within-bucket window partitions by bucket") {
+    import spark.implicits._
+    val trades = Seq(("A", 10L, "t1"), ("A", 25L, "t2")).toDF("sym", "ts", "trade")
+    val quotes = Seq(("A", 8L, 1.0), ("A", 20L, 2.0)).toDF("sym", "qts", "px")
+    val res = Joins.asOfJoinBucketed(trades, quotes, "sym", "ts", "qts",
+      Seq("px"), bucketWidth = 16.0)
+    // the event-granular window must be keyed by (sym, __bucket) — the
+    // skew bound depends on it; only the bucket-granular carry window may
+    // partition by the key alone
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(res.queryExecution.optimizedPlan.toString)
+      .map(_.group(1)).toSeq
+    winSpecs.exists(s => s.contains("sym") && s.contains("__bucket")) shouldBe true
+    res.select(col("trade"), col("px")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet shouldBe
+      Set(("t1", 1.0), ("t2", 2.0))
+  }
+
+  test("bucketed as-of join: newer null payload wins, payloads move as one") {
+    import spark.implicits._
+    val trades = Seq(("A", 30L, "t1"), ("A", 15L, "t2")).toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      ("A", 10L, Some(100.0), Some("old")),
+      ("A", 20L, None, Some("new")))
+      .toDF("sym", "qts", "px", "src")
+    // bucketWidth 8: quote ts=10 lands in bucket 1, trade ts=30 in bucket
+    // 3, quote ts=20 in bucket 2 — the match crosses buckets via the carry
+    val rows = Joins.asOfJoinBucketed(trades, quotes, "sym", "ts", "qts",
+      Seq("px", "src"), bucketWidth = 8.0)
+      .select(col("trade"), col("px"), col("src"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getString(2)))
+      .toMap
+    rows("t1") shouldBe ((None, "new")) // carried row wins whole, no mixing
+    rows("t2") shouldBe ((Some(100.0), "old"))
+  }
+
   test("as-of join with multiple payload columns moves them as one row") {
     import spark.implicits._
     val trades = Seq(("A", 30L, "t1")).toDF("sym", "ts", "trade")
