@@ -74,11 +74,29 @@ object Drift {
     profiles.select(keep.map(col) ++ psiCols: _*)
   }
 
+  /** [[binProbs]] with the edges as an array COLUMN instead of plan-time
+    * literals — lets one plan node serve every column of a wide profile.
+    * Ranks come from [[graft.functions.kll_rank]] applied per element
+    * inside a `transform` lambda; the prob floor and log terms are
+    * built-in array HOFs.
+    */
+  private def binProbsDyn(sk: Column, edgesCol: Column, eps: Double): Column = {
+    val ranks = transform(edgesCol, e => graft.functions.kll_rank(sk, e))
+    val lo = concat(array(lit(0.0)), ranks)
+    val hi = concat(ranks, array(lit(1.0)))
+    zip_with(hi, lo, (h, l) => greatest(h - l, lit(eps)))
+  }
+
   /** Per-column drift report between two single-row profile frames (e.g.
     * this window's `aggProfiles()` output vs a stored reference window):
     * one row per requested column with (psi, kl), computed ONLY from the
     * profiles' stored KLL bytes (`<col>.numbers.kll`) — no access to
     * either window's raw data.
+    *
+    * SINGLE-PASS over columns: one explode over an array of
+    * (column, sk_a, sk_b, edges) structs — plan size is constant in the
+    * number of profiled columns (a 1000-column profile is one array
+    * literal, not 1000 unioned subplans paying analyzer cost each).
     */
   def profileDrift(
       current: org.apache.spark.sql.DataFrame,
@@ -90,11 +108,19 @@ object Drift {
       col(s"$c.numbers.kll").as(s"__a_$c")): _*)
     val b = reference.select(columns.map(c =>
       col(s"$c.numbers.kll").as(s"__b_$c")): _*)
-    val joined = a.crossJoin(b)
-    columns.map { c =>
-      joined.select(lit(c).as("column"),
-        psi(col(s"__a_$c"), col(s"__b_$c"), edges(c), eps).as("psi"),
-        klDivergence(col(s"__a_$c"), col(s"__b_$c"), edges(c), eps).as("kl"))
-    }.reduce(_.unionAll(_))
+    val entries = array(columns.map(c => struct(
+      lit(c).as("column"),
+      col(s"__a_$c").as("sk_a"),
+      col(s"__b_$c").as("sk_b"),
+      array(edges(c).map(lit): _*).as("edges"))): _*)
+    val exploded = a.crossJoin(b).select(explode(entries).as("e"))
+      .select(col("e.column").as("column"), col("e.sk_a").as("sk_a"),
+        col("e.sk_b").as("sk_b"), col("e.edges").as("edges"))
+    val pA = binProbsDyn(col("sk_a"), col("edges"), eps)
+    val pB = binProbsDyn(col("sk_b"), col("edges"), eps)
+    def sumArr(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    exploded.select(col("column"),
+      sumArr(zip_with(pA, pB, (p, q) => (p - q) * log(p / q))).as("psi"),
+      sumArr(zip_with(pA, pB, (p, q) => p * log(p / q))).as("kl"))
   }
 }

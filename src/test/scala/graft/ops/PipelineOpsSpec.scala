@@ -162,6 +162,39 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     shifted.getDouble(1) should be > 0.25 // tripled values: strong PSI shift
   }
 
+  test("profile drift is single-pass on a 120-column profile") {
+    import graft.profile.ProfileSession.ProfilingOps
+    val cols = (0 until 120).map(i => s"c$i")
+    // 200 rows: below KLL sketch-exact capacity, so two independent
+    // aggregations of the same column yield bit-identical sketches (above
+    // capacity compaction is randomized and self-PSI is only near-zero)
+    val wide = spark.range(0, 200).select(
+      cols.zipWithIndex.map { case (c, i) =>
+        ((col("id") % 97 + i).cast("double")).as(c)
+      }: _*)
+    val profA = wide.newProfilingSession().aggProfiles()
+    val profB = wide.withColumn("c3", col("c3") * 2.0)
+      .newProfilingSession().aggProfiles()
+    val edges = cols.map(c => c -> Seq(20.0, 50.0, 80.0)).toMap
+
+    val drift = Drift.profileDrift(profB, profA, edges)
+    // plan growth check: constant number of Generate/Project nodes, not
+    // one subplan per column (the old unionAll shape)
+    val plan = drift.queryExecution.optimizedPlan.toString
+    "Union".r.findAllIn(plan).length shouldBe 0
+    val rows = drift.collect()
+    rows.length shouldBe 120
+    val byCol = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byCol("c3") should be > 0.1 // the shifted column stands out
+    byCol("c7") shouldBe 0.0 // identical distribution: zero PSI
+    // the single-pass path must agree with the scalar psi() expression
+    val expected = profB.crossJoin(profA.select(
+        col("c3.numbers.kll").as("__ref")))
+      .select(Drift.psi(col("c3.numbers.kll"), col("__ref"),
+        Seq(20.0, 50.0, 80.0)).as("p")).collect().head.getDouble(0)
+    byCol("c3") shouldBe (expected +- 1e-12)
+  }
+
   test("pii counts: pinned per-pattern counts") {
     import spark.implicits._
     val df = Seq(
