@@ -35,6 +35,7 @@ object GraftExtensions {
     "kll_quantiles" -> (es => KllQuantiles(es(0), es(1))),
     "kll_n" -> (es => KllN(es.head)),
     "kll_histogram" -> (es => KllHistogram(es(0), es(1))),
+    "kll_histogram_splits" -> (es => KllHistogramSplits(es(0), es(1))),
     "theta_agg" -> (es => ThetaAgg(es.head).toAggregateExpression()),
     "theta_merge" -> (es => ThetaMergeAgg(es.head).toAggregateExpression()),
     "theta_estimate" -> (es => ThetaEstimate(es.head)),

@@ -342,6 +342,21 @@ object SparkEntry {
           round(sum(col("value")), 2).as("value_sum"))
     }),
 
+    "q70_asof_bucketed" -> ((s, dir) => {
+      // skew-safe as-of join: same semantics as q35, two-pass time-bucketed
+      // plan (hot keys spread over (key, hour-bucket) tasks)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), col("value"))
+      ops.Joins.asOfJoinBucketed(clicks, views, "user_id", "ts", "vts",
+          Seq("value"), bucketWidth = 3600.0)
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("value")).as("n_matched"),
+          round(sum(col("value")), 2).as("value_sum"))
+    }),
+
     "q32_inmemory_scan" -> ((s, dir) => {
       // in-memory source (reference DatasetProfile.track(Map) row API):
       // profile a literal dataset created on the driver
@@ -518,6 +533,22 @@ object SparkEntry {
         .select(col("l_returnflag"),
           posexplode(col("l_extendedprice").getField("numbers")
             .getField("histogram")).as(Seq("bin", "h")))
+        .select(col("l_returnflag"), col("bin"),
+          round(col("h.lo"), 2).as("lo"), round(col("h.hi"), 2).as("hi"),
+          col("h.count").as("cnt"))
+    }),
+
+    "q71_histogram_splits" -> ((s, dir) => {
+      // caller-supplied splitpoint histogram (SummaryConverters.java:164-221
+      // parity): edges are [sketch min] ++ splits ++ [sketch max]; counts
+      // from the inclusive PMF, exact under the q65 sketch-exact regime
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(293)) === 0)
+        .newProfilingSession().groupBy("l_returnflag").aggProfiles()
+        .select(col("l_returnflag"),
+          posexplode(graft.functions.kll_histogram_splits(
+            col("l_extendedprice.numbers.kll"),
+            Seq(10000.0, 30000.0, 60000.0))).as(Seq("bin", "h")))
         .select(col("l_returnflag"), col("bin"),
           round(col("h.lo"), 2).as("lo"), round(col("h.hi"), 2).as("hi"),
           col("h.count").as("cnt"))
@@ -1137,6 +1168,15 @@ object SparkEntry {
         |      WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.vts""".stripMargin,
 
+    "q70_asof_bucketed" ->
+      """SELECT count(*) AS n_clicks, count(r.value) AS n_matched,
+        |  round(sum(r.value), 2) AS value_sum
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts AS vts, value FROM events
+        |      WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.vts""".stripMargin,
+
     "q32_inmemory_scan" ->
       """WITH d(id, k, v) AS (VALUES
         |  (1, 'a', 1.5), (2, 'b', 2.5), (3, 'a', 3.5),
@@ -1292,6 +1332,23 @@ object SparkEntry {
         |       WHERE f.l_returnflag = p.l_returnflag AND f.v <= p.lo) END
         |    AS cnt
         |FROM pairs p WHERE p.hi IS NOT NULL""".stripMargin,
+
+    "q71_histogram_splits" ->
+      """WITH f AS (SELECT l_returnflag, CAST(l_extendedprice AS REAL) AS v
+        |           FROM lineitem WHERE l_orderkey % 293 = 0),
+        |agg AS (SELECT l_returnflag,
+        |    min(v)::DOUBLE AS mn, max(v)::DOUBLE AS mx, count(*) AS n,
+        |    count(*) FILTER (v <= 10000) AS c1,
+        |    count(*) FILTER (v <= 30000) AS c2,
+        |    count(*) FILTER (v <= 60000) AS c3
+        |  FROM f GROUP BY 1)
+        |SELECT l_returnflag, bin, round(lo, 2) AS lo, round(hi, 2) AS hi,
+        |  cnt FROM (
+        |  SELECT l_returnflag, 0 AS bin, mn AS lo, 10000.0 AS hi,
+        |    c1 AS cnt FROM agg
+        |  UNION ALL SELECT l_returnflag, 1, 10000.0, 30000.0, c2 - c1 FROM agg
+        |  UNION ALL SELECT l_returnflag, 2, 30000.0, 60000.0, c3 - c2 FROM agg
+        |  UNION ALL SELECT l_returnflag, 3, 60000.0, mx, n - c3 FROM agg)""".stripMargin,
 
     "q64_viewer_counts" ->
       """SELECT c.column_name,

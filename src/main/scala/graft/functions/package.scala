@@ -40,6 +40,12 @@ package object functions {
     col(KllRank(expr(sketch), expr(value)))
   def kll_histogram(sketch: Column, bins: Column): Column =
     col(KllHistogram(expr(sketch), expr(bins)))
+  def kll_histogram_splits(sketch: Column, splits: Column): Column =
+    col(KllHistogramSplits(expr(sketch), expr(splits)))
+  def kll_histogram_splits(sketch: Column, splits: Seq[Double]): Column =
+    kll_histogram_splits(sketch,
+      org.apache.spark.sql.functions.array(
+        splits.map(org.apache.spark.sql.functions.lit): _*))
 
   // --- Theta distinct sketch ---
   def theta_agg(c: Column, nominalEntries: Int = 4096): Column =

@@ -119,6 +119,39 @@ case class KllHistogram(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Histogram over CALLER-SUPPLIED split points from KLL bytes — the
+  * reference's custom-splitpoint summary variant
+  * (SummaryConverters.java:164-221: bin edges are [min] ++ splits ++
+  * [max], counts are round(pmf_i * n)). Same INCLUSIVE rank convention
+  * as [[KllHistogram]]. Splits must be strictly increasing; splits at or
+  * outside the sketch min/max yield empty edge bins, matching the
+  * reference (it forwards splits to getPMF unchanged).
+  */
+case class KllHistogramSplits(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(SketchExprs.histBinType)
+  override def prettyName: String = "kll_histogram_splits"
+
+  override def nullSafeEval(sketchBytes: Any, splitsArr: Any): Any = {
+    val sk = KllFloatsSketch.heapify(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) return null
+    val splits = splitsArr.asInstanceOf[ArrayData].toDoubleArray()
+    require(splits.length >= 1, "at least 2 bins expected")
+    require(splits.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "splitpoints must be strictly increasing")
+    val pmf = sk.getPMF(splits.map(_.toFloat),
+      QuantileSearchCriteria.INCLUSIVE)
+    val edges = (sk.getMinItem.toDouble +: splits) :+ sk.getMaxItem.toDouble
+    val rows = pmf.zipWithIndex.map { case (p, i) =>
+      InternalRow(edges(i), edges(i + 1), math.round(p * sk.getN))
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** estimate/lower/upper (1 std dev) from theta sketch bytes. */
 case class ThetaSummary(child: Expression)
     extends UnaryExpression with CodegenFallback {

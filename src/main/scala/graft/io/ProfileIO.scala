@@ -237,6 +237,31 @@ object ProfileIO {
       to_json(struct(summaries: _*)).as("summary_json")): _*)
   }
 
+  /** [[jsonSummary]] with CALLER-SUPPLIED histogram split points for the
+    * named columns (reference SummaryConverters.java:164-221: edges become
+    * [sketch min] ++ splits ++ [sketch max]); unnamed columns keep the
+    * default equal-width histogram.
+    */
+  def jsonSummary(profiles: DataFrame,
+      splitpoints: Map[String, Seq[Double]]): DataFrame = {
+    val structCols = profileStructCols(profiles)
+    val keep = profiles.schema.fields.collect {
+      case f if !structCols.contains(f.name) => col(f.name)
+    }.toSeq
+    val summaries = structCols.map { c =>
+      val base =
+        if (splitpoints.contains(c))
+          col(c).withField("numbers.histogram",
+            graft.functions.kll_histogram_splits(
+              col(s"$c.numbers.kll"), splitpoints(c)))
+        else col(c)
+      base.dropFields("state", "numbers.kll", "numbers.theta",
+        "strings.theta", "cardinality.hll").as(c)
+    }
+    profiles.select(keep ++ Seq(
+      to_json(struct(summaries: _*)).as("summary_json")): _*)
+  }
+
   /** Write each profile row as a delimited DatasetProfileMessage, one
     * `.bin` file per partition under `dir` (local/NFS path; executors
     * write their own partitions — no driver collect).

@@ -26,6 +26,35 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     row.getDouble(2) shouldBe exact.getLong(2).toDouble +- exact.getLong(2) * 0.03
   }
 
+  test("splitpoint histogram: pinned counts, SQL-callable, JSON exposure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1..100: exact sketch, counts are knowable per bin
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val bins = df.agg(graft.functions.kll_agg(col("v")).as("sk"))
+      .select(explode(graft.functions.kll_histogram_splits(
+        col("sk"), Seq(10.0, 50.0))).as("b"))
+      .select(col("b.lo"), col("b.hi"), col("b.count"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    // INCLUSIVE pmf: (-inf,10], (10,50], (50,+inf); edges are min/splits/max
+    bins.toSeq shouldBe Seq((1.0, 10.0, 10L), (10.0, 50.0, 40L),
+      (50.0, 100.0, 50L))
+
+    val sqlBins = spark.sql(
+      """SELECT kll_histogram_splits(kll_agg(v), array(10.0D, 50.0D)) AS h
+        |FROM (SELECT CAST(x AS DOUBLE) AS v
+        |      FROM (SELECT explode(sequence(1, 100)) AS x))""".stripMargin)
+      .selectExpr("h[1].count").first().getLong(0)
+    sqlBins shouldBe 40L
+
+    // jsonSummary overload swaps the named column's histogram in place
+    import graft.profile.ProfileSession.ProfilingOps
+    val prof = df.newProfilingSession().aggProfiles()
+    val json = graft.io.ProfileIO.jsonSummary(prof,
+      Map("v" -> Seq(10.0, 50.0))).first().getString(0)
+    json should include ("\"histogram\":[{\"lo\":1.0,\"hi\":10.0,\"count\":10}")
+  }
+
   test("topk_agg and vec aggregates are SQL-callable via extensions") {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .createOrReplaceTempView("li_topk")
