@@ -575,7 +575,17 @@ object ProfileProto {
               case Wire.Field(1, 0, v: Long) => st.trueCount = v
               case _ =>
             }
-          case _ => // legacy nullCount (3) folded below via schema
+          case nc @ Wire.Field(3, 2, _) =>
+            // legacy nullCount (pre-schema-tracker writers): fold into the
+            // NULL type count, additive with any schema-tracked nulls —
+            // reference SchemaTracker.fromProtobuf:120-128 +
+            // ColumnProfile.fromProtobuf:225-226
+            Wire.fields(nc.asBytes).foreach {
+              case Wire.Field(1, 0, v: Long) =>
+                st.schema.counts(graft.types.InferredType.Null.id) += v
+              case _ =>
+            }
+          case _ =>
         }
       case f @ Wire.Field(3, 2, _) => // schema typeCounts
         Wire.fields(f.asBytes).foreach {

@@ -225,6 +225,94 @@ class ProfileProtoSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("interop: reference profiles-1.bin legacy profile parses with " +
+      "exact metrics") {
+    val path = "/root/reference/core/src/test/resources/profiles-1.bin"
+    assume(new java.io.File(path).exists())
+    val in = new FileInputStream(path)
+    val (profile, rest) =
+      try (ProfileProto.readDelimited(in).get, ProfileProto.readDelimited(in))
+      finally in.close()
+    // the fixture is ONE delimited message (DatasetProfileTest reads it
+    // with a single parse()); a second read must see clean EOF, not junk
+    rest shouldBe None
+
+    profile.sessionId shouldBe "889f8b4c-e5de-411b-ac1f-93d35ca02a1c"
+    profile.sessionTimestamp shouldBe 1609910305301L
+    profile.dataTimestamp shouldBe Some(1602115200000L)
+    profile.tags should contain("orgId" -> "org-1")
+    profile.tags should contain("Name" -> "lending_club_credit_model")
+    // legacy segment tags survive, including one with a space in the key
+    profile.tags should contain("whylogs.tag.city" -> "seattle")
+    profile.tags should contain("whylogs.tag.housea color" -> "blue")
+    profile.columns.size shouldBe 104
+
+    val acc = profile.columns("acc_now_delinq")
+    acc.count shouldBe 64969L
+    acc.schema.get(InferredType.Fractional) shouldBe 64969L
+    acc.numbers.variance.mean shouldBe 0.009241917081979611 +- 1e-12
+    acc.numbers.doubles.count shouldBe 64969L
+    acc.numbers.kll.getN should be > 0L
+
+    // a mostly-null column: nulls ride the schema tracker, numerics only
+    // count the 798 real values
+    val joint = profile.columns("annual_inc_joint")
+    joint.count shouldBe 64969L
+    joint.schema.get(InferredType.Null) shouldBe 64171L
+    joint.schema.get(InferredType.Fractional) shouldBe 798L
+    joint.numbers.doubles.count shouldBe 798L
+    joint.numbers.variance.mean shouldBe 90579.69018555168 +- 1e-6
+
+    val state = profile.columns("addr_state")
+    state.schema.get(InferredType.String) shouldBe 64969L
+    state.freq should not be null
+    state.hll.getEstimate should be > 0.0
+
+    // the fixture's field 10 (mode profile) carries NO metrics submessage:
+    // the reference's testMergeTwoLegacyProfiles expects a null model
+    // after reparse. (Its presence also confirms our field-10 numbering
+    // for ModelProfileMessage against a reference-written binary.)
+    val in2 = new FileInputStream(path)
+    val raw = try Wire.readDelimited(in2).get finally in2.close()
+    Wire.fields(raw).exists(f => f.number == 10 && f.wireType == 2) shouldBe true
+    ProfileProto.parseModelProfile(raw) shouldBe None
+  }
+
+  test("legacy counters.null_count folds into the NULL type count " +
+      "(pre-schema-tracker writers)") {
+    // mirrors ColumnProfileTest.handle_legacy_null_count:216-238: track
+    // {1L, 1.0, null}, then inject counters.null_count=2 as an older
+    // writer would have stored it — the reparsed column must report
+    // NULL = 1 (schema-tracked) + 2 (legacy) = 3 and count = 3
+    val st = new ColumnProfileState(ProfileConfig.default)
+    st.trackLong(1L)
+    st.trackDouble(1.0)
+    st.trackNull()
+    val orig = ProfileProto.columnBytes("test", st)
+
+    val w = new Wire.Writer
+    Wire.fields(orig).foreach {
+      case f @ Wire.Field(2, 2, _) => // counters: copy + append null_count
+        w.message(2) { c =>
+          Wire.fields(f.asBytes).foreach {
+            case Wire.Field(n, 0, v: Long) => c.int64(n, v)
+            case g @ Wire.Field(n, 2, _)   => c.bytes(n, g.asBytes)
+            case _                         =>
+          }
+          c.message(3)(_.int64(1, 2L)) // Int64Value{value=2}
+        }
+      case f @ Wire.Field(n, 2, _)   => w.bytes(n, f.asBytes)
+      case Wire.Field(n, 0, v: Long) => w.int64(n, v)
+      case _                         =>
+    }
+
+    val rt = ProfileProto.parseColumn(w.toByteArray)
+    rt.count shouldBe 3L
+    rt.schema.get(InferredType.Null) shouldBe 3L
+    // the untouched original keeps the schema-tracked single null
+    ProfileProto.parseColumn(orig).schema.get(InferredType.Null) shouldBe 1L
+  }
+
   test("interop: reference regression.bin properties parse") {
     val path = "/root/reference/core/src/test/resources/regression.bin"
     assume(new java.io.File(path).exists())
