@@ -252,6 +252,29 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     comps.size shouldBe 10
   }
 
+  test("connected components: 200-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // adversarial depth: a pure path graph 0-1-2-...-199 (diameter 199).
+    // Plain min-label propagation needs ~200 rounds; large-star/small-star
+    // contraction must close it in ~log2(200) ~ 8 — well under the default
+    // maxIter=20 that used to silently return non-converged labels on
+    // graphs like this.
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // shuffled ids so the min does not ride the same direction as edges
+    val scrambled = path.select(
+      (col("id_a") * 7919 % 1000).as("id_a"),
+      (col("id_b") * 7919 % 1000).as("id_b"))
+    val (labels, release, rounds) =
+      graft.ops.Dedup.connectedComponentsStats(scrambled)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps.size shouldBe 200
+    // one component: every node carries the global min label
+    val minId = comps.keys.min
+    comps.values.toSet shouldBe Set(minId)
+    rounds should be <= 10
+    release()
+  }
+
   test("vec_match_count counts agreeing positions") {
     val df = spark.sql(
       "SELECT array(1L, 2L, 3L, 4L) AS a, array(1L, 9L, 3L, 8L) AS b")
