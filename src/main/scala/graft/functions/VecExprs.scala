@@ -224,30 +224,12 @@ case class HyperplaneBands(
   * Replaces the crossJoin(corpus x centroids) + row_number window that
   * shuffled corpus x nCentroids rows per assignment pass.
   */
-case class TopCentroids(
-    child: Expression,
-    centroids: Array[Array[Double]],
-    n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(centroids.nonEmpty && n >= 1)
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "top_centroids"
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"top_centroids requires array<float|double>, got $t")
-  }
-
-  @transient private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  @transient private lazy val centroidNorms: Array[Double] =
+private[functions] object TopCentroidsEval {
+  def norms(centroids: Array[Array[Double]]): Array[Double] =
     centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
-  override def nullSafeEval(input: Any): Any = {
+  def eval(input: Any, centroids: Array[Array[Double]],
+      centroidNorms: Array[Double], isFloat: Boolean, n: Int): Any = {
     val v = input.asInstanceOf[ArrayData]
     val d = v.numElements()
     val k = centroids.length
@@ -281,6 +263,71 @@ case class TopCentroids(
     }
     new GenericArrayData(picked)
   }
+}
+
+case class TopCentroids(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty && n >= 1)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids requires array<float|double>, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    TopCentroidsEval.norms(centroids)
+
+  override def nullSafeEval(input: Any): Any =
+    TopCentroidsEval.eval(input, centroids, centroidNorms, isFloat, n)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** [[TopCentroids]] with the centroid table carried as a Spark BROADCAST
+  * handle instead of an embedded array: the serialized expression is a
+  * few bytes regardless of centroid count, so large codebooks (10^4+
+  * centroids x hundreds of dims) ship to each executor once via torrent
+  * instead of riding inside every serialized task/plan.
+  */
+case class TopCentroidsBroadcast(
+    child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids_bcast"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids_bcast requires array<float|double>, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val centroids: Array[Array[Double]] = bcast.value
+
+  @transient private lazy val centroidNorms: Array[Double] =
+    TopCentroidsEval.norms(centroids)
+
+  override def nullSafeEval(input: Any): Any =
+    TopCentroidsEval.eval(input, centroids, centroidNorms, isFloat, n)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -89,6 +89,14 @@ package object functions {
   def top_centroids(emb: Column, centroids: Array[Array[Double]], n: Int): Column =
     col(TopCentroids(expr(emb), centroids, n))
 
+  /** [[top_centroids]] with the centroid table as a broadcast handle —
+    * use for large codebooks so tasks/plans stay small.
+    */
+  def top_centroids_bcast(emb: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      n: Int): Column =
+    col(TopCentroidsBroadcast(expr(emb), centroids, n))
+
   /** Lazy generator of all sorted in-bucket id pairs (id_a < id_b). */
   def pair_generator(ids: Column): Column = col(PairGenerator(expr(ids)))
 

@@ -116,12 +116,21 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      iterations: Int = 2): DataFrame = {
+      iterations: Int = 2,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
     val idType = corpus.schema(idCol).dataType
     // array-level Cast (codegen'd), not transform(x => x.cast) — the HOF
     // evaluates an interpreted lambda per element on every pass
     val c = corpus.select(col(idCol).as("item_id"),
       col(embCol).cast("array<double>").as("item_emb"))
+
+    // small codebooks embed in the expression (no broadcast round-trip);
+    // above the threshold the table ships as a torrent broadcast once per
+    // executor instead of riding inside every serialized task
+    val sc = corpus.sparkSession.sparkContext
+    def assignTop(emb: Column, cs: Array[Array[Double]], n: Int): Column =
+      if (cs.length <= centroidBroadcastThreshold) top_centroids(emb, cs, n)
+      else graft.functions.top_centroids_bcast(emb, sc.broadcast(cs), n)
 
     // init: first nCentroids items by id (deterministic)
     var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
@@ -131,7 +140,7 @@ object Similarity {
     // Lloyd refinement: single-pass assignment -> per-centroid mean
     (0 until iterations).foreach { _ =>
       val refined = c
-        .select(top_centroids(col("item_emb"), centroids, 1)(0).as("centroid_id"),
+        .select(assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"),
           col("item_emb"))
         .groupBy(col("centroid_id"))
         .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
@@ -144,13 +153,13 @@ object Similarity {
     }
 
     val inverted = c.select(col("item_id"), col("item_emb"),
-      top_centroids(col("item_emb"), centroids, 1)(0).as("centroid_id"))
+      assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"))
 
     // query -> nProbe nearest centroids (same single-pass expression)
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("query_emb"))
     val probes = q.select(col("query_id"), col("query_emb"),
-      explode(top_centroids(col("query_emb"), centroids, nProbe))
+      explode(assignTop(col("query_emb"), centroids, nProbe))
         .as("centroid_id"))
 
     val grouped = inverted.join(broadcast(probes), Seq("centroid_id"))

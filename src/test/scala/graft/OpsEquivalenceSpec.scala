@@ -214,6 +214,34 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("ivf ann: broadcast-centroid path equals the literal path, and " +
+      "its serialized expression stays small") {
+    val literal = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val bcast = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3,
+      centroidBroadcastThreshold = 0) // force the broadcast path
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    bcast shouldBe literal
+
+    // the point of the broadcast variant: a 2000 x 64 codebook is ~1 MB
+    // inside the literal expression but only a handle in the broadcast one
+    def serializedSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    val codebook = Array.fill(2000)(Array.fill(64)(1.0))
+    val child = org.apache.spark.sql.GraftBridge.expression(col("x"))
+    val litSize = serializedSize(
+      graft.functions.TopCentroids(child, codebook, 1))
+    val bcSize = serializedSize(graft.functions.TopCentroidsBroadcast(
+      child, spark.sparkContext.broadcast(codebook), 1))
+    litSize should be > 1000000
+    bcSize should be < 10000
+  }
+
   test("rolling_hash64 equals the HOF composition it replaced") {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
