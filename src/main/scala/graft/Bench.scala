@@ -134,7 +134,37 @@ object Bench {
       // AQE-decided vocabulary join + per-doc mean)
       "perplexity" -> (() =>
         graft.ops.TextOps.unigramPerplexity(t("documents"), "doc_id", "text")
-          .count()))
+          .count()),
+      // continuous drift monitor (q69 path): weekly windowed profiles
+      // scored against a merged global reference, sketch-only
+      "drift_monitor" -> (() => {
+        val windows = t("lineitem").newProfilingSession()
+          .withTimeColumn("l_shipdate", "7 days").aggProfiles()
+        val reference = t("lineitem").newProfilingSession().aggProfiles()
+        val edges = Seq(10000.0, 30000.0, 60000.0, 90000.0)
+        graft.ops.Drift.againstReference(windows, reference,
+          Map("l_extendedprice" -> edges), keep = Seq("window")).count()
+      }),
+      // stored-binary viewer loop: export grouped profiles as delimited
+      // wire binaries, read them back with the binaryFile-source viewer
+      "viewer" -> (() => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bench_viewer").toString
+        val prof = t("lineitem").newProfilingSession()
+          .groupBy("l_returnflag", "l_linestatus").aggProfiles()
+        graft.io.ProfileIO.writeDelimitedBinaries(prof, tmp)
+        graft.io.ProfileViewer.view(spark, s"$tmp/*.bin").count()
+      }),
+      // Lending-Club-shaped wide profile: 150 numeric columns in ONE pass
+      // (the reference's headline dataset is 100+ columns wide)
+      "profile_wide150" -> (() => {
+        val numeric = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val wide = t("lineitem").select(
+          (0 until 150).map(i =>
+            (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
+        wide.newProfilingSession().aggProfiles().count()
+      }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape
@@ -164,10 +194,24 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
       name -> sec
     }
+    // state-size invariant (the reference's headline: ~KB of profile per
+    // column regardless of row count): serialized wire bytes per
+    // (profile x column) of the grouped lineitem profile
+    val bytesPerColumn = {
+      val prof = t("lineitem").newProfilingSession()
+        .groupBy("l_returnflag").aggProfiles()
+      val nStructCols = prof.schema.fields
+        .count(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      val r = graft.io.ProfileIO.withProtoColumn(prof)
+        .agg(sum(length(col("why_profile"))), count(lit(1))).first()
+      r.getLong(0).toDouble / (r.getLong(1) * nStructCols)
+    }
+    System.err.println(f"[bench] profile_bytes_per_column $bytesPerColumn%.0f")
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","profile_bytes_per_column":$bytesPerColumn%.0f}""")
     spark.stop()
   }
 }

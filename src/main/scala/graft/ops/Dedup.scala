@@ -249,9 +249,11 @@ object Dedup {
 
     // verify texts: re-read the source scan (map-only projection) filtered
     // to candidate ids via a broadcast LeftSemi — the corpus is scanned,
-    // never shuffled, and only candidate texts survive into the cache
+    // never shuffled, and only candidate texts survive into the cache.
+    // No distinct: the broadcast hash relation dedupes keys itself, and
+    // skipping it saves a shuffle stage on the candidate-id frame.
     val candIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val candTexts = all.join(broadcast(candIds), Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
