@@ -1,0 +1,112 @@
+package graft.python
+
+import java.{util => ju}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.io.ProfileUpload
+import graft.ops.AutoSegmentation
+import graft.profile.ProfileSession
+
+/** Py4J-friendly profiling session for the Python facade.
+  *
+  * The reference ships a PySpark wrapper whose gateway calls are plain-Java
+  * shaped: `jvm.com.whylogs.spark.WhyLogs.newProfilingSession(jdf, name)`
+  * then `.withTimeColumn(str)` / `.groupBy(java.util.List)` /
+  * `.withClassificationModel(p, t, s)` / `.aggProfiles(timestampMs)`
+  * (/root/reference/spark/python/whyspark/udt/profile.py:82-98,
+  * WhyLogs.scala:57-125). [[graft.profile.ProfileSession]] is idiomatic
+  * Scala (varargs, Option, default args) which Py4J cannot call, so this
+  * wrapper re-exposes it with monomorphic Java signatures. Every method is
+  * a pure builder returning a new wrapper; all execution stays in
+  * [[ProfileSession]] — one groupBy+agg pass, sketch-bounded state.
+  */
+class PyProfileSession private[python] (val session: ProfileSession) {
+
+  def withTimeColumn(timeColumn: String): PyProfileSession =
+    new PyProfileSession(session.withTimeColumn(timeColumn))
+
+  /** Time bucketing with an explicit cadence (e.g. "1 hour"). The reference
+    * expects callers to pre-truncate; we expose the windowed generalization.
+    */
+  def withTimeColumn(timeColumn: String, cadence: String): PyProfileSession =
+    new PyProfileSession(session.withTimeColumn(timeColumn, cadence))
+
+  def groupBy(columns: ju.List[String]): PyProfileSession =
+    new PyProfileSession(session.groupBy(columns.asScala.toSeq: _*))
+
+  /** scoreField == null or "" tracks the score-less confusion matrix, like
+    * the reference's null-score ModelProfileSession (WhyLogs.scala:22-27).
+    */
+  def withClassificationModel(predictionField: String, targetField: String,
+      scoreField: String): PyProfileSession =
+    new PyProfileSession(session.withClassificationModel(
+      predictionField, targetField,
+      Option(scoreField).filter(_.nonEmpty)))
+
+  def withRegressionModel(predictionField: String,
+      targetField: String): PyProfileSession =
+    new PyProfileSession(session.withRegressionModel(predictionField, targetField))
+
+  def withTag(key: String, value: String): PyProfileSession =
+    new PyProfileSession(session.withTag(key, value))
+
+  def withMetadata(key: String, value: String): PyProfileSession =
+    new PyProfileSession(session.withMetadata(key, value))
+
+  /** The typed profile frame: one row per group/window, one queryable
+    * profile struct per column ([[graft.profile.ProfileSchema.schema]]).
+    */
+  def aggProfiles(): DataFrame = session.aggProfiles()
+
+  /** The reference contract: "a DataFrame with aggregated profiles under
+    * 'why_profile' column" (WhyLogs.scala:108-114) — the typed frame plus
+    * the wire-format `DatasetProfileMessage` bytes stamped with the session
+    * timestamp.
+    */
+  def aggProfiles(timestampMs: Long): DataFrame =
+    session.exportProto(timestampMs)
+
+  /** Profile and write the typed frame to parquet (whyspark's aggParquet,
+    * profile.py:100-108).
+    */
+  def aggParquet(path: String): Unit =
+    session.aggProfiles().write.parquet(path)
+
+  /** Profile and upload each row's wire profile via the HTTP sink
+    * (reference's `log`, profile.py:110-142). One POST per profile row,
+    * retried with backoff; a permanently failing row fails the job.
+    */
+  def log(endpoint: String, apiKey: String): Unit =
+    ProfileUpload.upload(session.aggProfiles(), endpoint, apiKey, session.name)
+}
+
+/** Gateway entry points: `spark._jvm.graft.python.PyBridge.…` */
+object PyBridge {
+
+  def newProfilingSession(df: DataFrame, name: String): PyProfileSession =
+    new PyProfileSession(ProfileSession(df, name))
+
+  def newProfilingSession(df: DataFrame, name: String,
+      timeColumn: String): PyProfileSession =
+    new PyProfileSession(ProfileSession(df, name).withTimeColumn(timeColumn))
+
+  /** Re-aggregate stored profile rows to a coarser grouping (pass an empty
+    * list for a global rollup). Mirrors
+    * [[graft.profile.ProfileSession.mergeProfiles]].
+    */
+  def mergeProfiles(profiles: DataFrame, keys: ju.List[String]): DataFrame =
+    ProfileSession.mergeProfiles(profiles, keys.asScala.toSeq)
+
+  /** Entropy-based segment-column selection (whyspark's estimate_segments,
+    * autosegmentation.py:77-173) — the Scala engine's one-pass
+    * implementation. targetField == null or "" auto-picks the
+    * max-entropy column.
+    */
+  def estimateSegments(df: DataFrame, targetField: String,
+      maxSegments: Int): ju.List[String] =
+    AutoSegmentation.estimateSegments(
+      df, Option(targetField).filter(_.nonEmpty), maxSegments).asJava
+}
