@@ -1,3 +1,4 @@
+from . import multimodal, ops
 from .session import (
     GraftProfileSession,
     new_profiling_session,
@@ -10,4 +11,6 @@ __all__ = [
     "new_profiling_session",
     "merge_profiles",
     "estimate_segments",
+    "ops",
+    "multimodal",
 ]

@@ -1,0 +1,136 @@
+"""Python entry points for the engine's LLM-data-pipeline operators.
+
+Each function forwards to the Scala implementation through the Py4J
+gateway (graft.python.PyBridge) and returns an ordinary PySpark
+DataFrame — no rows cross the Python boundary. Scalar/aggregate
+functions (lang_id, quality_score, minhash_sig, kll_agg, …) are not
+wrapped here: register the engine's SQL surface with
+``spark.sql.extensions=graft.GraftExtensions`` and call them from
+``F.expr`` / ``spark.sql`` directly.
+"""
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+
+from .session import _jvm_bridge, _to_py_df
+
+
+def exact_dedup(df: DataFrame, id_col: str, key_cols: List[str]) -> DataFrame:
+    """Keep the smallest-id row per key (deterministic winner), planned as
+    a min_by hash aggregate with map-side partial aggregation."""
+    return _to_py_df(
+        _jvm_bridge(df).exactDedup(df._jdf, id_col, list(key_cols)), df)
+
+
+def exact_dup_stats(df: DataFrame, id_col: str,
+                    key_cols: List[str]) -> DataFrame:
+    """Per-key duplicate statistics: survivor_id + n_dupes."""
+    return _to_py_df(
+        _jvm_bridge(df).exactDupStats(df._jdf, id_col, list(key_cols)), df)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 3,
+                      max_bucket_size: int = 10000) -> DataFrame:
+    """Banded-MinHash near-duplicate candidate pairs:
+    (id_a, id_b, est_jaccard)."""
+    return _to_py_df(_jvm_bridge(df).minHashLshPairs(
+        df._jdf, id_col, text_col, int(num_hashes), int(bands),
+        int(shingle_k), int(max_bucket_size)), df)
+
+
+def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5, num_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      max_bucket_size: int = 10000,
+                      max_iter: int = 20) -> DataFrame:
+    """Near-duplicate cluster labels (id, component): LSH pairs above
+    `threshold` closed transitively by connected components."""
+    return _to_py_df(_jvm_bridge(df).nearDupClusters(
+        df._jdf, id_col, text_col, float(threshold), int(num_hashes),
+        int(bands), int(shingle_k), int(max_bucket_size), int(max_iter)), df)
+
+
+def cross_corpus_near_dups(corpus: DataFrame, probe: DataFrame,
+                           id_col: str, text_col: str,
+                           threshold: float = 0.8, num_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           max_bucket_size: int = 10000) -> DataFrame:
+    """Train/eval contamination pairs at >= `threshold` EXACT
+    shingle-Jaccard (LSH proposes candidates; exact Jaccard decides).
+    Both id columns must be integral."""
+    return _to_py_df(_jvm_bridge(corpus).crossCorpusNearDups(
+        corpus._jdf, probe._jdf, id_col, text_col, float(threshold),
+        int(num_hashes), int(bands), int(shingle_k),
+        int(max_bucket_size)), corpus)
+
+
+def embedding_near_dups(df: DataFrame, id_col: str, emb_col: str,
+                        threshold: float = 0.95, sign_bits: int = 8,
+                        bands: int = 8,
+                        max_bucket_size: int = 10000) -> DataFrame:
+    """Hyperplane-LSH embedding near-duplicate pairs at >= `threshold`
+    cosine similarity."""
+    return _to_py_df(_jvm_bridge(df).embeddingNearDups(
+        df._jdf, id_col, emb_col, float(threshold), int(sign_bits),
+        int(bands), int(max_bucket_size)), df)
+
+
+def ann_brute_force(corpus: DataFrame, queries: DataFrame, id_col: str,
+                    emb_col: str, k: int = 10,
+                    exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k per query (queries broadcast; shuffle bounded
+    at partitions x |queries| x k rows)."""
+    return _to_py_df(_jvm_bridge(corpus).annBruteForce(
+        corpus._jdf, queries._jdf, id_col, emb_col, int(k),
+        bool(exclude_self)), corpus)
+
+
+def ann_ivf(corpus: DataFrame, queries: DataFrame, id_col: str,
+            emb_col: str, k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, iterations: int = 2) -> DataFrame:
+    """IVF-pruned approximate top-k over a Lloyd-refined codebook."""
+    return _to_py_df(_jvm_bridge(corpus).annIvf(
+        corpus._jdf, queries._jdf, id_col, emb_col, int(k),
+        int(n_centroids), int(n_probe), int(iterations)), corpus)
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    top_n: int = 5, min_df: int = 1) -> DataFrame:
+    """Per-document top-N tf-idf terms (memory-safe adaptive vocab join)."""
+    return _to_py_df(_jvm_bridge(df).tfIdfTopTerms(
+        df._jdf, id_col, text_col, int(top_n), int(min_df)), df)
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap: int) -> DataFrame:
+    """Adds session_seq (1-based per user): a new session starts when the
+    gap since the previous event exceeds `gap`, in the timestamp column's
+    native units (microseconds for TIMESTAMP columns)."""
+    return _to_py_df(_jvm_bridge(df).sessionize(
+        df._jdf, user_col, ts_col, int(gap)), df)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli sample by id hash — reproducible across
+    runs and cluster sizes."""
+    return _to_py_df(_jvm_bridge(df).hashSample(
+        df._jdf, id_col, float(fraction)), df)
+
+
+def bottom_k_sample(df: DataFrame, key_cols: List[str], id_col: str,
+                    k: int) -> DataFrame:
+    """Deterministic per-group k-row sample (bottom-k by id hash)."""
+    return _to_py_df(_jvm_bridge(df).bottomKSample(
+        df._jdf, list(key_cols), id_col, int(k)), df)
+
+
+def iqr_outliers(df: DataFrame, value_col: str,
+                 key_cols: Optional[List[str]] = None,
+                 factor: float = 1.5) -> DataFrame:
+    """Per-group IQR outlier bounds and counts, quartiles from the
+    engine's KLL sketch (constant state per group)."""
+    return _to_py_df(_jvm_bridge(df).iqrOutliers(
+        df._jdf, value_col, list(key_cols or []), float(factor)), df)

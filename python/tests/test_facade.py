@@ -36,6 +36,7 @@ def _get_spark():
             .appName("graftspark-facade-test")
             .config("spark.driver.extraClassPath", GRAFT_CLASSES)
             .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.ui.enabled", "false")
             .getOrCreate()

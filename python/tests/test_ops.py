@@ -1,0 +1,173 @@
+"""End-to-end tests for graftspark.ops and graftspark.multimodal.
+
+Run directly: python3 python/tests/test_ops.py  (see test_facade.py for
+classpath requirements).
+"""
+
+import math
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")),
+    "python"))
+
+from test_facade import SF_DIR, _get_spark  # noqa: E402
+
+
+def _docs():
+    return _get_spark().read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _embs():
+    return _get_spark().read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_exact_dedup():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    orders = _get_spark().read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    stats = ops.exact_dup_stats(orders, "o_orderkey", ["o_orderstatus"])
+    got = {r["o_orderstatus"]: (r["survivor_id"], r["n_dupes"])
+           for r in stats.collect()}
+    want = {r["o_orderstatus"]: (r["mn"], r["cnt"])
+            for r in orders.groupBy("o_orderstatus").agg(
+                F.min("o_orderkey").alias("mn"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want and len(got) > 0
+
+    deduped = ops.exact_dedup(orders, "o_orderkey", ["o_orderstatus"])
+    assert deduped.count() == len(want)
+    survivors = {r["o_orderkey"] for r in deduped.select("o_orderkey").collect()}
+    assert survivors == {v[0] for v in want.values()}
+    print(f"exact dedup: {len(want)} groups, survivors match min-id oracle")
+
+
+def test_near_dup_clusters():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    docs = _docs().filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("id"), "text")
+    mutated = docs.select((F.col("id") + 100000).alias("id"),
+                          F.concat("text", F.lit(" tail")).alias("text"))
+    both = docs.unionAll(mutated)
+    clusters = ops.near_dup_clusters(both, "id", "text", threshold=0.5)
+    comp = {r["id"]: r["comp"] for r in clusters.collect()}
+    # every mutated doc must land in its original's component
+    paired = sum(1 for r in docs.collect()
+                 if comp.get(r["id"]) is not None
+                 and comp.get(r["id"]) == comp.get(r["id"] + 100000))
+    assert paired >= 25, f"only {paired}/30 mutation pairs clustered"
+    print(f"near-dup clusters: {paired}/30 planted pairs share a component")
+
+
+def test_ann_brute_force():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    embs = _embs().limit(200)
+    id_col, emb_col = embs.columns[0], embs.columns[1]
+    queries = embs.limit(5)
+    top = ops.ann_brute_force(embs, queries, id_col, emb_col, k=3,
+                              exclude_self=False)
+    assert top.count() == 15  # 5 queries x k=3
+    # with self included, every query's best hit is itself at cosine ~1
+    best = (top.withColumn(
+                "rn", F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("query_id").orderBy(F.desc("cosine"))))
+            .filter("rn = 1").collect())
+    for r in best:
+        assert r["item_id"] == r["query_id"], (r["item_id"], r["query_id"])
+        assert abs(r["cosine"] - 1.0) < 1e-6
+    print("ann brute force: 5x3 rows, self is top-1 at cosine 1")
+
+
+def test_sessionize_and_sampling():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    events = _get_spark().read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    user_col, ts_col = "user_id", "ts"
+    # ts reads as raw epoch-nanos long (nanosAsLong) -> gap in nanos
+    sessions = ops.sessionize(events, user_col, ts_col,
+                              gap=30 * 60 * 1_000_000_000)
+    assert sessions.count() == events.count()
+    assert sessions.agg(F.min("session_seq")).collect()[0][0] == 1
+
+    s1 = {r[0] for r in ops.hash_sample(events, "event_id", 0.1)
+          .select("event_id").collect()}
+    s2 = {r[0] for r in ops.hash_sample(events, "event_id", 0.1)
+          .select("event_id").collect()}
+    assert s1 == s2 and 0 < len(s1) < events.count()
+    print(f"sessionize rows preserved; hash_sample deterministic ({len(s1)} keys)")
+
+
+def test_tfidf_and_outliers():
+    from graftspark import ops
+    from pyspark.sql import functions as F
+
+    docs = _docs().limit(100)
+    tf = ops.tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+    per_doc = tf.groupBy("id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 3
+
+    orders = _get_spark().read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    iqr = ops.iqr_outliers(orders, "o_totalprice", ["o_orderstatus"])
+    assert iqr.count() == orders.select("o_orderstatus").distinct().count()
+    print("tfidf top_n bound holds; iqr one row per group")
+
+
+def _make_ppm(w, h, r, g, b):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes([r, g, b]) * (w * h)
+
+
+def _make_wav(freq_frames, channels=1, rate=8000, amp=1000):
+    data = struct.pack(f"<{freq_frames * channels}h",
+                       *([amp, -amp] * (freq_frames * channels // 2)))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_multimodal_map_in_pandas():
+    from graftspark import multimodal
+
+    spark = _get_spark()
+    rows = [(1, bytearray(_make_ppm(4, 3, 10, 20, 30))),
+            (2, bytearray(_make_ppm(2, 2, 0, 128, 255))),
+            (3, bytearray(b"\x89PNG not a ppm"))]  # dropped (codec format)
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r["id"]: r for r in
+           multimodal.extract_image_features(df, "id", "blob").collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+    assert out[1]["mean_r"] == 10.0 and out[2]["mean_b"] == 255.0
+
+    wrows = [(7, bytearray(_make_wav(800)))]
+    wdf = spark.createDataFrame(wrows, "id long, blob binary")
+    w = multimodal.extract_audio_features(wdf, "id", "blob").collect()[0]
+    assert w["sample_rate"] == 8000 and w["n_frames"] == 800
+    assert w["duration_us"] == 100000
+    assert abs(w["rms"] - 1000.0) < 1e-9
+    print("multimodal mapInPandas: PPM + WAV decode exact, corrupt row dropped")
+
+
+def main():
+    test_exact_dedup()
+    test_near_dup_clusters()
+    test_ann_brute_force()
+    test_sessionize_and_sampling()
+    test_tfidf_and_outliers()
+    test_multimodal_map_in_pandas()
+    print("ALL OPS TESTS PASSED")
+
+
+if __name__ == "__main__":
+    main()

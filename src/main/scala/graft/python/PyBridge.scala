@@ -109,4 +109,93 @@ object PyBridge {
       maxSegments: Int): ju.List[String] =
     AutoSegmentation.estimateSegments(
       df, Option(targetField).filter(_.nonEmpty), maxSegments).asJava
+
+  // --- LLM-pipeline ops (python: graftspark.ops) ------------------------
+  // Monomorphic mirrors of graft.ops.* — defaults live on the Python side.
+
+  def exactDedup(df: DataFrame, idCol: String,
+      keyCols: ju.List[String]): DataFrame =
+    graft.ops.Dedup.exact(df, idCol, keyCols.asScala.toSeq)
+
+  def exactDupStats(df: DataFrame, idCol: String,
+      keyCols: ju.List[String]): DataFrame =
+    graft.ops.Dedup.exactStats(df, idCol, keyCols.asScala.toSeq)
+
+  /** Banded-MinHash near-dup candidate pairs with estimated Jaccard
+    * (id_a, id_b, est_jaccard).
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int,
+      maxBucketSize: Int): DataFrame =
+    graft.ops.Dedup.minHashLshPairs(
+      df, idCol, textCol, numHashes, bands, shingleK, maxBucketSize)
+
+  /** Near-dup cluster labels (id, comp): LSH pairs at >= `threshold`
+    * estimated Jaccard, closed transitively by the large-star/small-star
+    * connected-components fixpoint.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int, bands: Int, shingleK: Int,
+      maxBucketSize: Int, maxIter: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.ops.Dedup.minHashLshPairs(
+        df, idCol, textCol, numHashes, bands, shingleK, maxBucketSize)
+      .filter(col("est_jaccard") >= threshold)
+    graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter)
+  }
+
+  /** Cross-corpus contamination: (corpus_id, probe_id, jaccard) pairs at
+    * >= `threshold` EXACT shingle-Jaccard (LSH proposes, exact decides).
+    * Integral ids required on both sides.
+    */
+  def crossCorpusNearDups(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, threshold: Double, numHashes: Int,
+      bands: Int, shingleK: Int, maxBucketSize: Int): DataFrame =
+    graft.ops.Dedup.crossCorpusNearDups(corpus, probe, idCol, textCol,
+      threshold, numHashes, bands, shingleK, maxBucketSize)
+
+  /** Hyperplane-LSH embedding near-dup pairs at >= `threshold` cosine. */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, signBits: Int, bands: Int,
+      maxBucketSize: Int): DataFrame =
+    graft.ops.Dedup.embeddingNearDups(
+      df, idCol, embCol, threshold, signBits, bands, maxBucketSize)
+
+  /** Exact cosine top-k of each (broadcast) query against the corpus. */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, excludeSelf: Boolean): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(
+      corpus, queries, idCol, embCol, k, excludeSelf)
+
+  /** IVF-pruned approximate top-k (Lloyd-refined codebook, nProbe lists). */
+  def annIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      iterations: Int): DataFrame =
+    graft.ops.Similarity.ivfTopK(
+      corpus, queries, idCol, embCol, k, nCentroids, nProbe, iterations)
+
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int, minDf: Long): DataFrame =
+    graft.ops.TextOps.tfIdfTopTerms(df, idCol, textCol, topN, minDf)
+
+  /** Gap-based sessionization: adds session_seq per user (gap in the
+    * timestamp column's native units — microseconds for TIMESTAMP).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      gap: Long): DataFrame =
+    graft.ops.Sessionize.assign(df, userCol, tsCol, gap)
+
+  /** Deterministic id-hash Bernoulli sample (reproducible across runs). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    graft.ops.Sampling.hashSample(df, idCol, fraction)
+
+  /** Deterministic per-group bottom-k sample by id hash. */
+  def bottomKSample(df: DataFrame, keyCols: ju.List[String], idCol: String,
+      k: Int): DataFrame =
+    graft.ops.Sampling.bottomK(df, keyCols.asScala.toSeq, idCol, k)
+
+  /** Per-group IQR outlier bounds + counts from the engine's KLL sketch. */
+  def iqrOutliers(df: DataFrame, valueCol: String,
+      keyCols: ju.List[String], factor: Double): DataFrame =
+    graft.ops.Outliers.iqrStats(df, valueCol, keyCols.asScala.toSeq, factor)
 }
