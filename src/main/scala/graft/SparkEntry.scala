@@ -506,6 +506,43 @@ object SparkEntry {
         round(col("value.numbers.sum"), 2).as("val_sum"))
     }),
 
+    "q72_streaming_drift" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // continuous STREAMING drift monitor, driver-checked: the q67
+      // MemoryStream fixture feeds StreamingDrift.monitor and every day
+      // window is PSI-scored against a STATIC day-1 reference profile as
+      // the stream runs — one stateful aggregation, scoring as a pure
+      // projection (no stream-static join). The collect below CONSTRUCTS
+      // the fixture-scale stream source; it is not a query-path collect.
+      // Day windows stay under KLL capacity, so PSI is sketch-exact.
+      val base = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(expr("ts div 1000").as("us"), col("value"))
+      val rows = base.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val reference = base
+        .withColumn("ts", timestamp_micros(col("us")))
+        .filter(col("ts").cast("date") === lit("2024-01-01"))
+        .select(col("value"))
+        .newProfilingSession().aggProfiles()
+      val edges = Map("value" -> Seq(10.0, 25.0, 45.0, 90.0))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val stream = input.toDF().toDF("us", "value")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val scored = graft.streaming.StreamingDrift.monitor(
+        stream, "ts", "1 day", "1 minute", reference, edges)
+      val name = "q72_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        input.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(
+        col("window.start").cast("date").as("day"),
+        round(col("value_psi"), 6).as("psi"))
+    }),
+
     "q66_parquet_sink" -> ((s, dir) => {
       // parquet profile sink round trip: grouped profiles written as
       // typed structs, read back, metrics re-derived from the stored
@@ -1292,6 +1329,42 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n, round(sum(value), 2) AS val_sum
         |FROM events WHERE user_id < 50 GROUP BY 1""".stripMargin,
+
+    "q72_streaming_drift" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(value AS REAL) AS v
+        |  FROM events WHERE user_id < 50),
+        |c AS (SELECT day, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 10.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 25.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 45.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 90.0) AS r3
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 10.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 25.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 45.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 90.0) AS r3
+        |  FROM e WHERE day = DATE '2024-01-01'),
+        |p AS (SELECT day,
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS p0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |  FROM c),
+        |q AS (SELECT
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS q0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS q1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS q2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS q3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS q4
+        |  FROM g)
+        |SELECT day,
+        |  round((p0 - q0) * ln(p0 / q0) + (p1 - q1) * ln(p1 / q1)
+        |    + (p2 - q2) * ln(p2 / q2) + (p3 - q3) * ln(p3 / q3)
+        |    + (p4 - q4) * ln(p4 / q4), 6) AS psi
+        |FROM p CROSS JOIN q""".stripMargin,
 
     "q66_parquet_sink" ->
       """SELECT l_returnflag, count(*) AS n,
