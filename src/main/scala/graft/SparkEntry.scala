@@ -785,6 +785,21 @@ object SparkEntry {
           .as("kl"))
     }),
 
+    "q73_ngram_contamination" -> ((s, dir) => {
+      // EXACT n-gram decontamination: probe = 40 corpus docs behind an
+      // added header (verbatim span overlap survives) + 20 char-reversed
+      // docs (clean controls — no 8-gram survives reversal). The probe
+      // gram stream broadcasts; the training corpus never shuffles.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probe = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(lit("eval header : "), col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id").between(200, 219))
+          .select(col("doc_id"), reverse(col("text")).as("text")))
+      Dedup.ngramContamination(docs, probe, "doc_id", "text",
+        n = 8, minShared = 3)
+    }),
+
     "q60_contamination" -> ((s, dir) => {
       // train/test decontamination: probe = 40 corpus docs with a tiny
       // suffix (planted contamination). The banded-MinHash candidate
@@ -1673,6 +1688,28 @@ object SparkEntry {
         |      + a.p2 * ln(a.p2 / b.p2) + a.p3 * ln(a.p3 / b.p3)
         |      + a.p4 * ln(a.p4 / b.p4), 6) AS kl
         |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
+
+    "q73_ngram_contamination" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |probe AS (
+        |  SELECT doc_id, 'eval header : ' || text AS text
+        |  FROM docs WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id, reverse(text) FROM docs
+        |  WHERE doc_id BETWEEN 200 AND 219),
+        |tg AS (SELECT DISTINCT train_id, gram FROM (
+        |  SELECT train_id, array_to_string(l[i:i+7], ' ') AS gram FROM (
+        |    SELECT doc_id AS train_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM docs)))),
+        |pg AS (SELECT DISTINCT probe_id, gram FROM (
+        |  SELECT probe_id, array_to_string(l[i:i+7], ' ') AS gram FROM (
+        |    SELECT doc_id AS probe_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM probe))))
+        |SELECT train_id, probe_id, count(*) AS shared_ngrams
+        |FROM tg JOIN pg USING (gram)
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q60_contamination" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -181,6 +181,47 @@ object Dedup {
     *
     * Requires integral ids on both sides (the side bit rides in the id).
     */
+  /** EXACT n-gram contamination (the GPT-3-style eval-set decontamination
+    * rule: a probe doc is contaminated if it shares >= minShared distinct
+    * token n-grams with a training doc). Complements
+    * [[crossCorpusNearDups]]: that op finds FUZZY whole-doc near-dups via
+    * MinHash; this one finds verbatim SPAN overlap — quotes, copied
+    * passages, leaked test questions — that whole-doc similarity misses.
+    *
+    * Output: train_id, probe_id, shared_ngrams (count of distinct shared
+    * n-grams).
+    *
+    * Scale shape: both sides are map-only explodes of row-local distinct
+    * n-grams ([[TextOps.ngrams]]) meeting in ONE join on the gram string.
+    * With broadcastProbe=true (the decontamination case: eval set <<
+    * corpus) the probe gram stream broadcasts and the TRAINING CORPUS
+    * NEVER SHUFFLES — the scan streams through a broadcast hash join and
+    * only matching (train_id, probe_id) rows reach the aggregation
+    * shuffle, which is bounded by true contamination volume, not corpus
+    * size. Set broadcastProbe=false for corpus-vs-corpus runs; the join
+    * then shuffles both gram streams on the gram key (n-grams are
+    * near-unique, so the key space is huge and skew-free).
+    */
+  def ngramContamination(
+      train: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minShared: Int = 1,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val tg = train.select(col(idCol).as("train_id"),
+      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("gram"))
+    val pgBase = probe.select(col(idCol).as("probe_id"),
+      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("gram"))
+    val pg = if (broadcastProbe) broadcast(pgBase) else pgBase
+    tg.join(pg, "gram")
+      .groupBy(col("train_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   def crossCorpusNearDups(
       corpus: DataFrame,
       probe: DataFrame,

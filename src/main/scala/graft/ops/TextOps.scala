@@ -96,6 +96,20 @@ object TextOps {
       lit(0.25) * (lit(1.0) - punctRatio) + lit(0.25) * stopOk, 4)
   }
 
+  /** DISTINCT token n-grams of `text` as space-joined strings; empty
+    * array for docs shorter than n tokens. Row-local (codegen HOFs over
+    * the token array), zero shuffle; distinctness is computed inside the
+    * row so no per-doc aggregation is ever needed downstream.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Whitespace-normalized MD5 fingerprint: stable document identity for
     * exact/near-exact dedup across formatting differences.
     */

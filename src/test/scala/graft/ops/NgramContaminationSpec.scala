@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Exact n-gram contamination: verbatim span overlap must be found, fuzzy
+  * similarity must not, and the broadcast plan must never shuffle the
+  * training corpus.
+  */
+class NgramContaminationSpec extends AnyFunSuite with Matchers
+    with SparkSuiteBase {
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("ngrams: distinct space-joined windows, empty below n tokens") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b a b a b", "x y")
+      .toDF("t").select(TextOps.ngrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    got(0) shouldBe Seq("a b c", "b c d")
+    got(1) shouldBe Seq("a b a", "b a b") // repeats collapse in-row
+    got(2) shouldBe Seq.empty // 2 tokens < n=3
+  }
+
+  test("verbatim span overlap is found; disjoint text is not") {
+    val train = df(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "completely unrelated training text about spark plans here")
+    // probe 10 quotes a 6-token span of doc 1 inside new text;
+    // probe 11 shares nothing
+    val probe = df(
+      10L -> "question : quick brown fox jumps over the lazy person",
+      11L -> "zeta eta theta iota kappa lambda mu nu xi")
+    val got = Dedup.ngramContamination(train, probe, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1 x probe10: shared 5-grams within "quick brown fox jumps over
+    // the lazy" = 3 windows
+    got should contain theSameElementsAs Seq((1L, 10L, 3L))
+  }
+
+  test("minShared gates the pair out") {
+    val train = df(1L -> "a b c d e f g h")
+    val probe = df(10L -> "a b c d e z z z") // exactly one shared 5-gram
+    Dedup.ngramContamination(train, probe, "id", "text", n = 5, minShared = 2)
+      .count() shouldBe 0L
+    Dedup.ngramContamination(train, probe, "id", "text", n = 5, minShared = 1)
+      .count() shouldBe 1L
+  }
+
+  test("broadcast mode: the training side reaches the join without an " +
+    "exchange; non-broadcast mode agrees on the answer") {
+    val train = df((0L until 200L).map(i =>
+      i -> s"doc $i token a$i b$i c$i d$i e$i f$i common tail here"): _*)
+    val probe = df(500L -> "doc 7 token a7 b7 c7 d7 e7 f7 common tail here")
+    val bc = Dedup.ngramContamination(train, probe, "id", "text", n = 4)
+    bc.collect()
+    val plan = bc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include("BroadcastHashJoin")
+    // the only hash-partitioning exchange is the post-join aggregation on
+    // (train_id, probe_id) — the corpus gram stream itself never shuffles
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+
+    val shuffled = Dedup.ngramContamination(train, probe, "id", "text",
+      n = 4, broadcastProbe = false)
+    shuffled.collect().toSet shouldBe bc.collect().toSet
+  }
+}
