@@ -130,6 +130,17 @@ object Bench {
         Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text",
           threshold = 0.7, shingleK = 2).count()
       }),
+      // exact n-gram decontamination: 10% of docs (prefixed) probed
+      // against the full corpus — probe grams broadcast, corpus side
+      // joins map-side (no corpus shuffle)
+      "contamination_ngram" -> (() => {
+        val corpus = t("documents").select(col("doc_id"), col("text"))
+        val probe = corpus.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit("eval header : "), col("text")).as("text"))
+        Dedup.ngramContamination(corpus, probe, "doc_id", "text",
+          n = 8, minShared = 3).count()
+      }),
       // unigram-LM perplexity of every document (token-count shuffle +
       // AQE-decided vocabulary join + per-doc mean)
       "perplexity" -> (() =>

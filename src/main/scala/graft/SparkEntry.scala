@@ -785,6 +785,17 @@ object SparkEntry {
           .as("kl"))
     }),
 
+    "q74_sequence_packing" -> ((s, dir) => {
+      // LM training-prep sequence packing: every document's
+      // concat-and-chunk layout coordinates (global start offset, pack
+      // id, in-pack offset) via the distributed two-pass prefix sum —
+      // the oracle is the equivalent single-window SQL cumsum
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tok",
+        "doc_id", budget = 512L)
+    }),
+
     "q73_ngram_contamination" -> ((s, dir) => {
       // EXACT n-gram decontamination: probe = 40 corpus docs behind an
       // added header (verbatim span overlap survives) + 20 char-reversed
@@ -1688,6 +1699,20 @@ object SparkEntry {
         |      + a.p2 * ln(a.p2 / b.p2) + a.p3 * ln(a.p3 / b.p3)
         |      + a.p4 * ln(a.p4 / b.p4), 6) AS kl
         |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
+
+    "q74_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS start_offset
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
+        |  CAST(start_offset % 512 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
 
     "q73_ngram_contamination" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),

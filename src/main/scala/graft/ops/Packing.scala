@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LM training prep: documents are laid out in a
+  * deterministic global order, concatenated into one token stream, and
+  * chunked into fixed `budget`-token training sequences (the standard
+  * concat-and-chunk regime — docs may straddle pack boundaries).
+  *
+  * Each doc gets its global `start_offset`, the `pack_id` it starts in
+  * (start_offset / budget) and its `pack_offset` within that pack — the
+  * coordinates a data loader needs to materialize packed sequences.
+  *
+  * Scale shape — a distributed prefix sum, NOT a global window. A naive
+  * `sum over (order by ...)` collapses to ONE task holding the whole
+  * corpus. Instead: (1) range-repartition + in-partition sort on the
+  * order key (ONE exchange of 3 longs/row — every other column is
+  * pruned before the shuffle); (2) per-partition token totals
+  * (numPartitions rows) cumulated into exclusive offsets and broadcast
+  * back; (3) per-partition running sum under a window PARTITIONED BY
+  * the partition id — every partition scans in parallel.
+  *
+  * The sorted frame is persisted (MEMORY_AND_DISK, 3 longs/row): the
+  * offsets pass and the running-sum pass must observe the SAME range
+  * boundaries, and two materializations of a range exchange re-SAMPLE
+  * them (RangePartitioner seeds by RDD id — a second physical exchange
+  * can legally pick different splits, silently corrupting offsets at
+  * scale; the spec pins a single rangepartitioning materialization).
+  */
+object Packing {
+
+  /** Pack layout for each document. Output: idCol, n_tokens (tokCol),
+    * start_offset, pack_id, pack_offset. `orderCol` defines the
+    * concatenation order (idCol is appended as a tiebreak so equal
+    * order keys still get a deterministic layout).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      orderCol: String,
+      budget: Long): DataFrame =
+    packSequencesReleasable(df, idCol, tokCol, orderCol, budget)._1
+
+  /** [[packSequences]] plus a release() thunk for the persisted layout
+    * frame (same contract as
+    * [[Dedup.minHashLshPairsReleasable]]: call release() once the
+    * returned plan has been materialized).
+    */
+  def packSequencesReleasable(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      orderCol: String,
+      budget: Long): (DataFrame, () => Unit) = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sorted = df
+      .select(col(idCol), col(tokCol).cast("long").as("n_tokens"),
+        col(orderCol).as("__ord"))
+      .repartitionByRange(col("__ord"), col(idCol))
+      .sortWithinPartitions(col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition totals -> exclusive cumulative offsets. numPartitions
+    // rows: the single-partition window is driver-scale by construction.
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__poffset",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__psum")
+
+    val running = Window.partitionBy(col("__pid"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val out = sorted
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_offset",
+        col("__poffset") + sum(col("n_tokens")).over(running)
+          - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${budget}L").as("pack_id"),
+        expr(s"start_offset % ${budget}L").as("pack_offset"))
+    (out, () => { sorted.unpersist(); () })
+  }
+
+  /** Per-pack summary of [[packSequences]]: how many docs START in each
+    * pack and how many of the pack's tokens they contribute (boundary
+    * docs spill their tail into later packs; `budget * pack_id` +
+    * `pack_offset` of the next pack recovers exact spans).
+    */
+  def packStats(packed: DataFrame): DataFrame =
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_started"))
+}
