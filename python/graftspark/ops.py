@@ -134,3 +134,34 @@ def iqr_outliers(df: DataFrame, value_col: str,
     engine's KLL sketch (constant state per group)."""
     return _to_py_df(_jvm_bridge(df).iqrOutliers(
         df._jdf, value_col, list(key_cols or []), float(factor)), df)
+
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      fractions: dict, default: float = 0.0) -> DataFrame:
+    """Deterministic stratified Bernoulli sample: a per-stratum keep
+    fraction (e.g. ``{"en": 0.8, "de": 0.3}``); strata absent from the
+    dict fall back to ``default``. Same id hash as ``hash_sample``."""
+    jf = {str(k): float(v) for k, v in fractions.items()}
+    return _to_py_df(_jvm_bridge(df).stratifiedSample(
+        df._jdf, id_col, stratum_col, jf, float(default)), df)
+
+
+def ngram_contamination(train: DataFrame, probe: DataFrame, id_col: str,
+                        text_col: str, n: int = 13, min_shared: int = 1,
+                        broadcast_probe: bool = True) -> DataFrame:
+    """EXACT shared-n-gram contamination (GPT-3-style eval-set
+    decontamination): (train_id, probe_id, shared_ngrams) for pairs
+    sharing >= ``min_shared`` distinct token n-grams. With
+    ``broadcast_probe`` the training corpus never shuffles."""
+    return _to_py_df(_jvm_bridge(train).ngramContamination(
+        train._jdf, probe._jdf, id_col, text_col, int(n), int(min_shared),
+        bool(broadcast_probe)), train)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tok_col: str,
+                   order_col: str, budget: int) -> DataFrame:
+    """LM sequence packing (concat-and-chunk): every doc's global start
+    offset, pack id and in-pack offset under a ``budget``-token pack
+    size, computed as a distributed prefix sum."""
+    return _to_py_df(_jvm_bridge(df).packSequences(
+        df._jdf, id_col, tok_col, order_col, int(budget)), df)

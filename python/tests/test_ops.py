@@ -159,6 +159,39 @@ def test_multimodal_map_in_pandas():
     print("multimodal mapInPandas: PPM + WAV decode exact, corrupt row dropped")
 
 
+def test_contamination_packing_stratified():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    docs = _docs().select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.concat(F.lit("eval : "), F.col("text")).alias("text"))
+    pairs = ops.ngram_contamination(docs, probe, "doc_id", "text",
+                                    n=8, min_shared=3)
+    hits = {(r["train_id"], r["probe_id"]) for r in pairs.collect()}
+    assert all((i, i) in hits for i in range(20))
+
+    packed = ops.pack_sequences(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id", "n_tok", "doc_id", budget=512)
+    rows = sorted((r["doc_id"], r["start_offset"], r["n_tokens"])
+                  for r in packed.collect())
+    off = 0
+    for _, start, ntok in rows:
+        assert start == off
+        off += ntok
+
+    full = _docs()
+    strat = ops.stratified_sample(full, "doc_id", "lang",
+                                  {"en": 0.8, "de": 0.3})
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    en_frac = strat.filter(F.col("lang") == "en").count() \
+        / full.filter(F.col("lang") == "en").count()
+    assert 0.6 < en_frac < 0.95
+    print("ngram contamination + sequence packing + stratified sample OK")
+
+
 def main():
     test_exact_dedup()
     test_near_dup_clusters()
@@ -166,6 +199,7 @@ def main():
     test_sessionize_and_sampling()
     test_tfidf_and_outliers()
     test_multimodal_map_in_pandas()
+    test_contamination_packing_stratified()
     print("ALL OPS TESTS PASSED")
 
 

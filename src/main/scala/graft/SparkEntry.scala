@@ -716,6 +716,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q75_stratified_sample" -> ((s, dir) => {
+      // corpus rebalance: keep 80% of 'en', 30% of 'de', drop everything
+      // else — one codegen'd filter, the fraction table a literal map
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.8, "de" -> 0.3), default = 0.0)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q53_pii_scan" -> ((s, dir) => {
       // synthetic docs carry no PII — plant deterministic emails/urls/
       // phones on id-modulo subsets (the q92 planted-pair trick) so the
@@ -1602,6 +1610,14 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q75_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT)
+        |  < CASE lang WHEN 'en' THEN 3602879701896397
+        |              WHEN 'de' THEN 1351079888211148
+        |              ELSE 0 END""".stripMargin,
 
     "q53_pii_scan" ->
       """WITH d AS (SELECT doc_id, text

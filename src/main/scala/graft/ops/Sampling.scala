@@ -32,6 +32,31 @@ object Sampling {
     df.filter(md5Hash52(col(idCol)) < (fraction * HashSpace).toLong)
   }
 
+  /** Map-only deterministic STRATIFIED Bernoulli sample: a per-stratum
+    * keep fraction (the "downsample web text, keep all books" rebalance).
+    * Strata absent from `fractions` fall back to `default`. Same
+    * md5-52-bit hash as [[hashSample]] — the same rows survive at any
+    * scale and partitioning, and the fraction table rides the plan as a
+    * literal map (no join, no shuffle, whole-stage codegen).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "every fraction must be in [0,1]")
+    val defaultCutoff = lit((default * HashSpace).toLong)
+    val cutoff = if (fractions.isEmpty) defaultCutoff else {
+      val thresholdMap = map(fractions.toSeq.flatMap { case (k, f) =>
+        Seq(lit(k), lit((f * HashSpace).toLong)) }: _*)
+      coalesce(element_at(thresholdMap, col(stratumCol).cast("string")),
+        defaultCutoff)
+    }
+    df.filter(md5Hash52(col(idCol)) < cutoff)
+  }
+
   /** Per-group deterministic sample of `k` rows: the k smallest id-hashes
     * per group (a fixed-size uniform-without-replacement sample, stable
     * under reshuffling). Uses the bounded top-k aggregate, so each

@@ -198,4 +198,26 @@ object PyBridge {
   def iqrOutliers(df: DataFrame, valueCol: String,
       keyCols: ju.List[String], factor: Double): DataFrame =
     graft.ops.Outliers.iqrStats(df, valueCol, keyCols.asScala.toSeq, factor)
+
+  /** Deterministic stratified Bernoulli sample: per-stratum keep
+    * fractions, same md5-52-bit hash as [[hashSample]].
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: ju.Map[String, java.lang.Double],
+      default: Double): DataFrame =
+    graft.ops.Sampling.stratifiedSample(df, idCol, stratumCol,
+      fractions.asScala.map { case (k, v) => k -> v.doubleValue }.toMap,
+      default)
+
+  /** Exact shared-n-gram contamination (GPT-3-style decontamination). */
+  def ngramContamination(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int,
+      broadcastProbe: Boolean): DataFrame =
+    graft.ops.Dedup.ngramContamination(train, probe, idCol, textCol, n,
+      minShared, broadcastProbe)
+
+  /** LM sequence packing: concat-and-chunk layout coordinates. */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+      orderCol: String, budget: Long): DataFrame =
+    graft.ops.Packing.packSequences(df, idCol, tokCol, orderCol, budget)
 }

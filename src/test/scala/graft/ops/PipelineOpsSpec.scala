@@ -101,6 +101,30 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     Sampling.hashSample(df, "id", 1.0).count() shouldBe 2000L
   }
 
+  test("stratified sample: per-stratum rates, subset of hashSample, " +
+    "default drops unknown strata") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i =>
+      (i.toLong, Seq("en", "de", "zz")(i % 3))).toDF("id", "lang")
+    val got = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.8, "de" -> 0.3)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    byLang.getOrElse("zz", 0) shouldBe 0 // default = 0.0 drops them
+    byLang("en").toDouble should (be > 1000 * 0.7 and be < 1000 * 0.9)
+    byLang("de").toDouble should (be > 1000 * 0.2 and be < 1000 * 0.4)
+    // same hash as hashSample: each stratum's survivors are exactly the
+    // plain Bernoulli survivors at that fraction
+    val en = Sampling.hashSample(df.filter(col("lang") === "en"), "id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    got.filter(_._2 == "en").map(_._1).toSet shouldBe en
+    // partition invariance
+    val again = Sampling.stratifiedSample(df.repartition(17), "id", "lang",
+      Map("en" -> 0.8, "de" -> 0.3)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    again shouldBe got.toSet
+  }
+
   test("bottom-k sample equals the sort-based formulation, any partitioning") {
     import spark.implicits._
     val df = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
