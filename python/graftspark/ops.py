@@ -148,14 +148,17 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
 
 def ngram_contamination(train: DataFrame, probe: DataFrame, id_col: str,
                         text_col: str, n: int = 13, min_shared: int = 1,
-                        broadcast_probe: bool = True) -> DataFrame:
+                        broadcast_probe: bool = True,
+                        hash_grams: bool = False) -> DataFrame:
     """EXACT shared-n-gram contamination (GPT-3-style eval-set
     decontamination): (train_id, probe_id, shared_ngrams) for pairs
     sharing >= ``min_shared`` distinct token n-grams. With
-    ``broadcast_probe`` the training corpus never shuffles."""
+    ``broadcast_probe`` the training corpus never shuffles;
+    ``hash_grams`` joins on 64-bit gram hashes (~10x smaller broadcast
+    for big eval sets)."""
     return _to_py_df(_jvm_bridge(train).ngramContamination(
         train._jdf, probe._jdf, id_col, text_col, int(n), int(min_shared),
-        bool(broadcast_probe)), train)
+        bool(broadcast_probe), bool(hash_grams)), train)
 
 
 def pack_sequences(df: DataFrame, id_col: str, tok_col: str,

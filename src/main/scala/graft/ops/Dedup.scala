@@ -201,6 +201,15 @@ object Dedup {
     * size. Set broadcastProbe=false for corpus-vs-corpus runs; the join
     * then shuffles both gram streams on the gram key (n-grams are
     * near-unique, so the key space is huge and skew-free).
+    *
+    * hashGrams=true joins on xxhash64(gram) instead of the gram string:
+    * an n=13 gram averages ~80 bytes, so a broadcast hash relation over
+    * a large eval set shrinks ~10x (8-byte longs) and the join probes
+    * become long-compares. A 64-bit collision needs ~2^32 DISTINCT probe
+    * grams to become likely (birthday bound) — far beyond any eval set —
+    * and at worst inflates shared_ngrams by the colliding gram, it never
+    * invents a pair out of nothing shared. Default stays exact-string
+    * (SQL-oracle-able).
     */
   def ngramContamination(
       train: DataFrame,
@@ -209,12 +218,16 @@ object Dedup {
       textCol: String,
       n: Int = 13,
       minShared: Int = 1,
-      broadcastProbe: Boolean = true): DataFrame = {
+      broadcastProbe: Boolean = true,
+      hashGrams: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def gramKey(g: Column): Column = if (hashGrams) xxhash64(g) else g
     val tg = train.select(col(idCol).as("train_id"),
-      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("gram"))
+      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("__g"))
+      .select(col("train_id"), gramKey(col("__g")).as("gram"))
     val pgBase = probe.select(col(idCol).as("probe_id"),
-      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("gram"))
+      explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("__g"))
+      .select(col("probe_id"), gramKey(col("__g")).as("gram"))
     val pg = if (broadcastProbe) broadcast(pgBase) else pgBase
     tg.join(pg, "gram")
       .groupBy(col("train_id"), col("probe_id"))

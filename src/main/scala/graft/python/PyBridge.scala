@@ -212,9 +212,9 @@ object PyBridge {
   /** Exact shared-n-gram contamination (GPT-3-style decontamination). */
   def ngramContamination(train: DataFrame, probe: DataFrame, idCol: String,
       textCol: String, n: Int, minShared: Int,
-      broadcastProbe: Boolean): DataFrame =
+      broadcastProbe: Boolean, hashGrams: Boolean): DataFrame =
     graft.ops.Dedup.ngramContamination(train, probe, idCol, textCol, n,
-      minShared, broadcastProbe)
+      minShared, broadcastProbe, hashGrams)
 
   /** LM sequence packing: concat-and-chunk layout coordinates. */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,

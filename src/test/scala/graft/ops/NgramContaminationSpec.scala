@@ -53,6 +53,20 @@ class NgramContaminationSpec extends AnyFunSuite with Matchers
       .count() shouldBe 1L
   }
 
+  test("hashed-gram mode (8-byte broadcast keys) agrees with exact strings") {
+    val train = df((0L until 300L).map(i =>
+      i -> s"alpha beta g$i gamma delta e$i zeta eta theta shared suffix"): _*)
+    val probe = df(
+      900L -> "alpha beta g42 gamma delta e42 zeta eta theta shared suffix",
+      901L -> "nothing in common with anything at all whatsoever today")
+    val exact = Dedup.ngramContamination(train, probe, "id", "text", n = 5)
+      .collect().map(_.toSeq).toSet
+    val hashed = Dedup.ngramContamination(train, probe, "id", "text", n = 5,
+      hashGrams = true).collect().map(_.toSeq).toSet
+    hashed shouldBe exact
+    exact should not be empty
+  }
+
   test("broadcast mode: the training side reaches the join without an " +
     "exchange; non-broadcast mode agrees on the answer") {
     val train = df((0L until 200L).map(i =>
