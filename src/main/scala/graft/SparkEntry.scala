@@ -716,6 +716,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q76_repetition_filter" -> ((s, dir) => {
+      // Gopher-style repetition quality filters: docs with doc_id % 5 == 0
+      // are self-concatenated (planted boilerplate — every 3-gram
+      // duplicated) and the line filter runs over a token-per-line
+      // rewrite so both ratios exercise non-trivial values
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"),
+        round(TextOps.dupNgramRatio(col("text"), 3), 6)
+          .as("dup_3gram_ratio"),
+        round(TextOps.dupLineRatio(
+          regexp_replace(col("text"), " ", "\n")), 6).as("dup_line_ratio"))
+    }),
+
     "q75_stratified_sample" -> ((s, dir) => {
       // corpus rebalance: keep 80% of 'en', 30% of 'de', drop everything
       // else — one codegen'd filter, the fraction table a literal map
@@ -1610,6 +1626,26 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q76_repetition_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM d),
+        |g AS (SELECT doc_id, count(DISTINCT gram) AS dist FROM (
+        |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram FROM (
+        |    SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 1, 1))) AS i
+        |    FROM tok))
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(CASE WHEN len(t.l) - 2 <= 0 THEN 0.0
+        |    ELSE 1.0 - g.dist / CAST(len(t.l) - 2 AS DOUBLE) END, 6)
+        |    AS dup_3gram_ratio,
+        |  round(1.0 - len(list_distinct(t.l)) / CAST(len(t.l) AS DOUBLE), 6)
+        |    AS dup_line_ratio
+        |FROM tok t JOIN g ON t.doc_id = g.doc_id""".stripMargin,
 
     "q75_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -110,6 +110,27 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Fraction of REPEATED token n-grams within one document (the
+    * Gopher-style repetition quality filter: boilerplate, keyword
+    * stuffing and degenerate generations score high): 1 - distinct/total
+    * n-gram windows, 0.0 below n tokens. Row-local, zero shuffle.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total <= lit(0), lit(0.0))
+      .otherwise(lit(1.0) -
+        size(ngrams(text, n)).cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of repeated lines within one document (the duplicate-line
+    * quality filter — headers, nav bars, chat transcripts). Row-local.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) -
+      size(array_distinct(lines)).cast("double") / size(lines).cast("double")
+  }
+
   /** Whitespace-normalized MD5 fingerprint: stable document identity for
     * exact/near-exact dedup across formatting differences.
     */

@@ -219,6 +219,25 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     byCol("c3") shouldBe (expected +- 1e-12)
   }
 
+  test("repetition filters: pinned duplicate n-gram and line ratios") {
+    import spark.implicits._
+    val rows = Seq(
+      "a b c a b c a b",   // 8 toks, 6 3-gram windows, 3 distinct -> 0.5
+      "x y z w",           // no repeats -> 0.0
+      "q r",               // below n -> 0.0
+      "l1\nl2\nl1\nl1")    // 4 lines, 2 distinct -> 0.5
+      .toDF("text")
+    val got = rows.select(
+      TextOps.dupNgramRatio(col("text"), 3).as("g"),
+      TextOps.dupLineRatio(col("text")).as("l")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    got(0)._1 shouldBe 0.5 +- 1e-12
+    got(1)._1 shouldBe 0.0
+    got(2)._1 shouldBe 0.0
+    got(3)._2 shouldBe 0.5 +- 1e-12
+    got(1)._2 shouldBe 0.0 // single line, no dup
+  }
+
   test("pii counts: pinned per-pattern counts") {
     import spark.implicits._
     val df = Seq(
