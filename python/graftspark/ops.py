@@ -168,3 +168,19 @@ def pack_sequences(df: DataFrame, id_col: str, tok_col: str,
     size, computed as a distributed prefix sum."""
     return _to_py_df(_jvm_bridge(df).packSequences(
         df._jdf, id_col, tok_col, order_col, int(budget)), df)
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict) -> DataFrame:
+    """Deterministic multi-way split (e.g. ``{"train": 0.8, "val": 0.1,
+    "test": 0.1}``): adds a ``split`` label by id-hash range — disjoint,
+    covering, and stable across runs and scales."""
+    jw = {str(k): float(v) for k, v in weights.items()}
+    return _to_py_df(_jvm_bridge(df).hashSplit(df._jdf, id_col, jw), df)
+
+
+def top_ngram_stats(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 2) -> DataFrame:
+    """Per-document most frequent n-gram and its share of all windows
+    (the Gopher top-n-gram repetition filter)."""
+    return _to_py_df(_jvm_bridge(df).topNgramStats(
+        df._jdf, id_col, text_col, int(n)), df)

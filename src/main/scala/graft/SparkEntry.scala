@@ -716,6 +716,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q78_top_ngram" -> ((s, dir) => {
+      // Gopher top-n-gram filter over the q76 planted fixture: the
+      // most frequent bigram per doc, its share of all bigram windows
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.topNgramStats(docs, "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("top_gram"), col("top_count"),
+          col("n_windows"), round(col("top_frac"), 6).as("top_frac"))
+    }),
+
+    "q77_hash_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test split: label = id-hash
+      // range, disjoint + covering by construction, stable at any scale
+      graft.ops.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     "q76_repetition_filter" -> ((s, dir) => {
       // Gopher-style repetition quality filters: docs with doc_id % 5 == 0
       // are self-concatenated (planted boilerplate — every 3-gram
@@ -1626,6 +1646,38 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q78_top_ngram" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(l[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l), 1))) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2),
+        |r AS (SELECT doc_id, gram, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+        |      AS n_windows,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram DESC) AS rn
+        |  FROM c)
+        |SELECT doc_id, gram AS top_gram, cnt AS top_count, n_windows,
+        |  round(cnt / CAST(n_windows AS DOUBLE), 6) AS top_frac
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q77_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x' ||
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      < 450359962737049 THEN 'test'
+        |    WHEN CAST(('0x' ||
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      < 4053239664633446 THEN 'train'
+        |    ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
 
     "q76_repetition_filter" ->
       """WITH d AS (SELECT doc_id,

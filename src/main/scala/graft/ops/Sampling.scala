@@ -57,6 +57,31 @@ object Sampling {
     df.filter(md5Hash52(col(idCol)) < cutoff)
   }
 
+  /** Deterministic multi-way split (train/val/test): every row gets a
+    * `split` label by id-hash range, proportional to `weights`
+    * (normalized). Map-only, no shuffle; membership is a pure function of
+    * the id, so splits are stable across runs, engines and scales, and
+    * disjointness/coverage hold by construction. Labels are assigned in
+    * lexicographic order for cross-engine reproducibility.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(_ > 0), "every weight must be > 0")
+    val total = weights.values.sum
+    val cum = weights.toSeq.sortBy(_._1)
+      .scanLeft(("", 0.0)) { case ((_, acc), (k, w)) => (k, acc + w / total) }
+      .drop(1)
+    val h = md5Hash52(col(idCol))
+    val label = cum.init.foldRight(lit(cum.last._1)) {
+      case ((k, c), acc) => when(h < lit((c * HashSpace).toLong), k)
+        .otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Per-group deterministic sample of `k` rows: the k smallest id-hashes
     * per group (a fixed-size uniform-without-replacement sample, stable
     * under reshuffling). Uses the bounded top-k aggregate, so each

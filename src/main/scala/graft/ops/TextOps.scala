@@ -96,19 +96,24 @@ object TextOps {
       lit(0.25) * (lit(1.0) - punctRatio) + lit(0.25) * stopOk, 4)
   }
 
-  /** DISTINCT token n-grams of `text` as space-joined strings; empty
-    * array for docs shorter than n tokens. Row-local (codegen HOFs over
-    * the token array), zero shuffle; distinctness is computed inside the
-    * row so no per-doc aggregation is ever needed downstream.
+  /** ALL token n-gram windows of `text` as space-joined strings, repeats
+    * kept; empty array for docs shorter than n tokens. Row-local
+    * (codegen HOFs over the token array), zero shuffle.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  def allNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
     val toks = tokens(text)
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** DISTINCT token n-grams of `text` — [[allNgrams]] deduped inside the
+    * row, so no per-doc aggregation is ever needed downstream.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    array_distinct(allNgrams(text, n))
 
   /** Fraction of REPEATED token n-grams within one document (the
     * Gopher-style repetition quality filter: boilerplate, keyword
@@ -121,6 +126,31 @@ object TextOps {
       .otherwise(lit(1.0) -
         size(ngrams(text, n)).cast("double") / total.cast("double"))
   }
+
+  /** Per-document most frequent n-gram (the Gopher top-n-gram quality
+    * filter: a high top_frac flags templated or degenerate text that the
+    * distinct-ratio screen can miss). Output: idCol, top_gram, top_count,
+    * n_windows, top_frac. Ties break to the lexicographically GREATEST
+    * gram (max over (count, gram) structs) so results are deterministic
+    * and SQL-oracle-able. Docs shorter than n tokens produce no row.
+    *
+    * Scale: explode + two-level hash aggregate — map-side combine on
+    * (doc, gram), then a struct-max per doc. The tf-idf shuffle shape;
+    * no window, no sort, shuffle volume = distinct (doc, gram) pairs.
+    */
+  def topNgramStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(allNgrams(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cnt"), col("gram"))).as("top"),
+        sum(col("cnt")).as("n_windows"))
+      .select(col(idCol), col("top.gram").as("top_gram"),
+        col("top.cnt").as("top_count"), col("n_windows"),
+        (col("top.cnt").cast("double") / col("n_windows")).as("top_frac"))
 
   /** Fraction of repeated lines within one document (the duplicate-line
     * quality filter — headers, nav bars, chat transcripts). Row-local.

@@ -216,6 +216,17 @@ object PyBridge {
     graft.ops.Dedup.ngramContamination(train, probe, idCol, textCol, n,
       minShared, broadcastProbe, hashGrams)
 
+  /** Deterministic train/val/test split by id-hash range. */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: ju.Map[String, java.lang.Double]): DataFrame =
+    graft.ops.Sampling.hashSplit(df, idCol,
+      weights.asScala.map { case (k, v) => k -> v.doubleValue }.toMap)
+
+  /** Per-document most frequent n-gram + its share of all windows. */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    graft.ops.TextOps.topNgramStats(df, idCol, textCol, n)
+
   /** LM sequence packing: concat-and-chunk layout coordinates. */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
       orderCol: String, budget: Long): DataFrame =

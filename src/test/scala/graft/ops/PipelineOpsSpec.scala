@@ -219,6 +219,46 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     byCol("c3") shouldBe (expected +- 1e-12)
   }
 
+  test("hash split: disjoint covering labels at the requested ratios, " +
+    "consistent with hashSample") {
+    import spark.implicits._
+    val df = (1 to 5000).map(_.toLong).toDF("id")
+    val split = Sampling.hashSplit(df, "id",
+      Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 5000L // total coverage, no dropped rows
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts("train").toDouble should (be > 5000 * 0.75 and be < 5000 * 0.85)
+    counts("val").toDouble should (be > 5000 * 0.06 and be < 5000 * 0.14)
+    // label ranges nest with hashSample: the first-decile sample IS the
+    // lexicographically-first label's rows
+    val test_ = split.filter(col("split") === "test")
+      .collect().map(_.getLong(0)).toSet
+    Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet shouldBe test_
+    // weights normalize: 8/1/1 == 0.8/0.1/0.1
+    val again = Sampling.hashSplit(df.repartition(9), "id",
+      Map("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    again shouldBe split.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  test("top n-gram stats: pinned argmax with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a c"),   // bigrams: "a b"x2, "b a"x2, "a c"x1 -> tie,
+                             // greatest gram wins: "b a"
+      (2L, "x y"),           // one window
+      (3L, "q"))             // below n -> no row
+      .toDF("id", "text")
+    val got = TextOps.topNgramStats(df, "id", "text", 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe (("b a", 2L, 5L, 0.4))
+    got(2L) shouldBe (("x y", 1L, 1L, 1.0))
+  }
+
   test("repetition filters: pinned duplicate n-gram and line ratios") {
     import spark.implicits._
     val rows = Seq(
