@@ -141,6 +141,16 @@ object Bench {
         Dedup.ngramContamination(corpus, probe, "doc_id", "text",
           n = 8, minShared = 3).count()
       }),
+      // LM sequence packing: full-corpus layout via the distributed
+      // prefix sum (range exchange of 3 longs/row + per-pid window)
+      "sequence_packing" -> (() => {
+        val docs = t("documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+        val (packed, release) = graft.ops.Packing.packSequencesReleasable(
+          docs, "doc_id", "n_tok", "doc_id", budget = 2048L)
+        val n = packed.count()
+        release(); n
+      }),
       // unigram-LM perplexity of every document (token-count shuffle +
       // AQE-decided vocabulary join + per-doc mean)
       "perplexity" -> (() =>
