@@ -206,6 +206,16 @@ object Bench {
       "l_extendedprice", Seq("l_returnflag")).count()
     graft.ops.TextOps.unigramPerplexity(t("documents").limit(200),
       "doc_id", "text").count()
+    val warmDocs = t("documents").limit(200).select(col("doc_id"), col("text"))
+    Dedup.ngramContamination(warmDocs, warmDocs.limit(20), "doc_id", "text",
+      n = 8, minShared = 3).count()
+    locally {
+      val (p, rel) = graft.ops.Packing.packSequencesReleasable(
+        warmDocs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok")),
+        "doc_id", "n_tok", "doc_id", budget = 2048L)
+      p.count(); rel()
+    }
 
     val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -77,4 +77,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plan should include ("BroadcastHashJoin")
     plan.toLowerCase should not include "percentile"
   }
+
+  test("608-column profile in ONE pass (the reference's widest scenario)") {
+    // the reference's wide-schema test profiles 608 columns in one
+    // aggregation (WhyLogsTest.scala:107-128); pin the same shape here:
+    // one job, one exchange, 608 profile structs out
+    val base = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val wide = li.select((0 until 608).map(i =>
+      (col(base(i % base.length)) + lit(i)).as(s"c$i")): _*)
+      .limit(20000)
+    val prof = wide.newProfilingSession().aggProfiles()
+    val row = prof.collect()
+    row.length shouldBe 1
+    prof.schema.fields.count(_.name.startsWith("c")) shouldBe 608
+    val plan = finalPlan(prof)
+    "Exchange".r.findAllIn(plan).length shouldBe 1
+  }
 }
