@@ -165,9 +165,23 @@ def pack_sequences(df: DataFrame, id_col: str, tok_col: str,
                    order_col: str, budget: int) -> DataFrame:
     """LM sequence packing (concat-and-chunk): every doc's global start
     offset, pack id and in-pack offset under a ``budget``-token pack
-    size, computed as a distributed prefix sum."""
+    size, computed as a distributed prefix sum.
+
+    Pins an internal id+token-count layout cache for the session; for
+    repeated packs in a long-lived session prefer
+    ``pack_sequences_releasable`` and release after materializing."""
     return _to_py_df(_jvm_bridge(df).packSequences(
         df._jdf, id_col, tok_col, order_col, int(budget)), df)
+
+
+def pack_sequences_releasable(df: DataFrame, id_col: str, tok_col: str,
+                              order_col: str, budget: int):
+    """``pack_sequences`` plus a ``release()`` callable that unpins the
+    internal layout cache. Materialize the returned DataFrame FULLY
+    (collect / write) before releasing."""
+    handle = _jvm_bridge(df).packSequencesReleasable(
+        df._jdf, id_col, tok_col, order_col, int(budget))
+    return _to_py_df(handle.toDF(), df), handle.release
 
 
 def hash_split(df: DataFrame, id_col: str, weights: dict) -> DataFrame:

@@ -203,13 +203,17 @@ object Dedup {
     * near-unique, so the key space is huge and skew-free).
     *
     * hashGrams=true joins on xxhash64(gram) instead of the gram string:
-    * an n=13 gram averages ~80 bytes, so a broadcast hash relation over
-    * a large eval set shrinks ~10x (8-byte longs) and the join probes
-    * become long-compares. A 64-bit collision needs ~2^32 DISTINCT probe
-    * grams to become likely (birthday bound) — far beyond any eval set —
-    * and at worst inflates shared_ngrams by the colliding gram, it never
-    * invents a pair out of nothing shared. Default stays exact-string
-    * (SQL-oracle-able).
+    * an n=13 gram averages ~80 bytes, so the broadcast relation over a
+    * large eval set shrinks ~5x (two 8-byte hashes) and join probes
+    * become long-compares. Because the TRAIN side contributes ~10^12
+    * distinct grams at corpus scale, a single 64-bit key would make a
+    * cross-side collision — which INVENTS a contamination pair between
+    * unrelated docs at minShared=1 — a realistic event (expected
+    * spurious pairs ~ D_train x D_probe / 2^64). So matches are
+    * confirmed against a SECOND independent 64-bit hash after the join:
+    * a false pair then needs a simultaneous 128-bit collision
+    * (~D_train x D_probe / 2^128, negligible at any physical scale).
+    * Default stays exact-string (SQL-oracle-able).
     */
   def ngramContamination(
       train: DataFrame,
@@ -221,15 +225,25 @@ object Dedup {
       broadcastProbe: Boolean = true,
       hashGrams: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    def gramKey(g: Column): Column = if (hashGrams) xxhash64(g) else g
+    // second-seed confirmation hash: a join match must agree on both
+    // independent 64-bit hashes, pushing false pairs out to 2^-128
+    val Seed2 = 0x9E3779B97F4A7C15L
+    def gramCols(g: Column, h2Name: String): Seq[Column] =
+      if (hashGrams) Seq(xxhash64(g).as("gram"),
+        xxhash64(g, lit(Seed2)).as(h2Name))
+      else Seq(g.as("gram"))
     val tg = train.select(col(idCol).as("train_id"),
       explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("__g"))
-      .select(col("train_id"), gramKey(col("__g")).as("gram"))
+      .select(col("train_id") +: gramCols(col("__g"), "__h2t"): _*)
     val pgBase = probe.select(col(idCol).as("probe_id"),
       explode(graft.ops.TextOps.ngrams(col(textCol), n)).as("__g"))
-      .select(col("probe_id"), gramKey(col("__g")).as("gram"))
+      .select(col("probe_id") +: gramCols(col("__g"), "__h2p"): _*)
     val pg = if (broadcastProbe) broadcast(pgBase) else pgBase
-    tg.join(pg, "gram")
+    val joined = tg.join(pg, "gram")
+    val confirmed =
+      if (hashGrams) joined.filter(col("__h2t") === col("__h2p"))
+      else joined
+    confirmed
       .groupBy(col("train_id"), col("probe_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

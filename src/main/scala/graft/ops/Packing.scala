@@ -19,9 +19,14 @@ import org.apache.spark.storage.StorageLevel
   * corpus. Instead: (1) range-repartition + in-partition sort on the
   * order key (ONE exchange of 3 longs/row — every other column is
   * pruned before the shuffle); (2) per-partition token totals
-  * (numPartitions rows) cumulated into exclusive offsets and broadcast
-  * back; (3) per-partition running sum under a window PARTITIONED BY
-  * the partition id — every partition scans in parallel.
+  * (numPartitions rows) cumulated into exclusive offsets and joined
+  * back ON the partition id; (3) per-partition running sum under a
+  * window PARTITIONED BY the partition id — every partition scans in
+  * parallel. The offsets join is deliberately NOT a broadcast: the
+  * window needs an Exchange hashpartitioning(__pid) regardless, the
+  * join reuses that same distribution, and a broadcast would put the
+  * corpus-wide cache fill inside the BroadcastExchange future, where
+  * spark.sql.broadcastTimeout (default 300 s) kills any multi-TB run.
   *
   * The sorted frame is persisted (MEMORY_AND_DISK, 3 longs/row): the
   * offsets pass and the running-sum pass must observe the SAME range
@@ -80,7 +85,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val out = sorted
-      .join(broadcast(offsets), Seq("__pid"))
+      .join(offsets, Seq("__pid"))
       .withColumn("start_offset",
         col("__poffset") + sum(col("n_tokens")).over(running)
           - col("n_tokens"))

@@ -62,7 +62,9 @@ object Sampling {
     * (normalized). Map-only, no shuffle; membership is a pure function of
     * the id, so splits are stable across runs, engines and scales, and
     * disjointness/coverage hold by construction. Labels are assigned in
-    * lexicographic order for cross-engine reproducibility.
+    * lexicographic order for cross-engine reproducibility. Null ids have
+    * no hash and are DROPPED, matching [[hashSample]] — otherwise they
+    * would all silently land in the last label and skew its ratio.
     */
   def hashSplit(
       df: DataFrame,
@@ -79,7 +81,7 @@ object Sampling {
       case ((k, c), acc) => when(h < lit((c * HashSpace).toLong), k)
         .otherwise(acc)
     }
-    df.withColumn("split", label)
+    df.filter(col(idCol).isNotNull).withColumn("split", label)
   }
 
   /** Per-group deterministic sample of `k` rows: the k smallest id-hashes

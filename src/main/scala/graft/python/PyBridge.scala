@@ -83,6 +83,16 @@ class PyProfileSession private[python] (val session: ProfileSession) {
     ProfileUpload.upload(session.aggProfiles(), endpoint, apiKey, session.name)
 }
 
+/** Py4J handle pairing a packed layout frame with its cache release.
+  * Materialize the frame FULLY before calling release(): after release a
+  * recompute re-samples range boundaries and offsets are no longer
+  * guaranteed consistent (see [[graft.ops.Packing]]).
+  */
+class PyPackedLayout private[python] (df: DataFrame, releaseFn: () => Unit) {
+  def toDF(): DataFrame = df
+  def release(): Unit = releaseFn()
+}
+
 /** Gateway entry points: `spark._jvm.graft.python.PyBridge.…` */
 object PyBridge {
 
@@ -227,8 +237,20 @@ object PyBridge {
       n: Int): DataFrame =
     graft.ops.TextOps.topNgramStats(df, idCol, textCol, n)
 
-  /** LM sequence packing: concat-and-chunk layout coordinates. */
+  /** LM sequence packing: concat-and-chunk layout coordinates. NOTE:
+    * pins the internal layout frame (MEMORY_AND_DISK) for the session —
+    * long-lived sessions doing repeated packs should use
+    * [[packSequencesReleasable]] and call release() after materializing.
+    */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
       orderCol: String, budget: Long): DataFrame =
     graft.ops.Packing.packSequences(df, idCol, tokCol, orderCol, budget)
+
+  /** [[packSequences]] with an explicit cache-release handle. */
+  def packSequencesReleasable(df: DataFrame, idCol: String, tokCol: String,
+      orderCol: String, budget: Long): PyPackedLayout = {
+    val (out, release) = graft.ops.Packing.packSequencesReleasable(
+      df, idCol, tokCol, orderCol, budget)
+    new PyPackedLayout(out, release)
+  }
 }

@@ -58,6 +58,7 @@ object StreamingDrift {
       threshold: Double,
       keys: Seq[String] = Nil,
       cfg: ProfileConfig = ProfileConfig.default): DataFrame = {
+    require(edges.nonEmpty, "alerts needs at least one monitored column")
     val scored = monitor(df, timeColumn, cadence, watermark, reference,
       edges, keys, cfg)
     val psiCols = edges.keys.toSeq.sorted.map(c => col(s"${c}_psi"))

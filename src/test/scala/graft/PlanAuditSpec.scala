@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val plan = finalPlan(res)
     // the tf aggregate feeds both the docFreq branch and the scoring
     // join; subplan canonicalization must reuse its exchange instead of
-    // re-scanning + re-shuffling the corpus
-    plan should include ("ReusedExchange")
+    // re-scanning + re-shuffling the corpus. If an identical subplan is
+    // already persisted elsewhere in the session, the cache manager may
+    // serve an InMemoryTableScan instead — equally reused, also accepted.
+    assert(plan.contains("ReusedExchange")
+      || plan.contains("InMemoryTableScan"),
+      "corpus subplan neither exchange-reused nor cache-served:\n" + plan)
     // no broadcast HINT in the adaptive default — a BroadcastHashJoin in
     // the FINAL plan proves AQE converted from the measured exchange size
     plan should include ("BroadcastHashJoin")

@@ -312,12 +312,17 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
   }
 
   test("tf-idf: adaptive, gated, and forced join strategies all agree") {
-    def run(cap: Long) =
-      TextOps.tfIdfTopTerms(fixtureDocs, "doc_id", "text", 3,
-        maxBroadcastVocab = cap)
-        .collect()
+    // releasable variant + release: a leaked gate persist would be
+    // auto-served by the cache manager to ANY later identical subplan
+    // (other suites' plan audits included)
+    def run(cap: Long) = {
+      val (df, release) = TextOps.tfIdfTopTermsReleasable(fixtureDocs,
+        "doc_id", "text", 3, maxBroadcastVocab = cap)
+      try df.collect()
         .map(r => (r.getLong(0), r.getString(1),
           math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+      finally release()
+    }
     val forced = run(Long.MaxValue) // broadcast hint
     run(TextOps.AdaptiveVocabJoin) shouldBe forced // AQE-decided
     run(10_000_000L) shouldBe forced // exact gate -> broadcast branch
@@ -337,12 +342,14 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
   }
 
   test("perplexity: adaptive, gated, and forced join strategies all agree") {
-    def run(cap: Long) =
-      TextOps.unigramPerplexity(fixtureDocs, "doc_id", "text",
-        maxBroadcastVocab = cap)
-        .collect()
+    def run(cap: Long) = {
+      val (df, release) = TextOps.unigramPerplexityReleasable(fixtureDocs,
+        "doc_id", "text", maxBroadcastVocab = cap)
+      try df.collect()
         .map(r => (r.getLong(0), r.getLong(1),
           math.rint(r.getDouble(2) * 1e6))).toSet
+      finally release()
+    }
     val forced = run(Long.MaxValue) // broadcast hint
     run(TextOps.AdaptiveVocabJoin) shouldBe forced // AQE-decided
     run(10_000_000L) shouldBe forced // exact gate -> broadcast branch
