@@ -198,3 +198,19 @@ def top_ngram_stats(df: DataFrame, id_col: str, text_col: str,
     (the Gopher top-n-gram repetition filter)."""
     return _to_py_df(_jvm_bridge(df).topNgramStats(
         df._jdf, id_col, text_col, int(n)), df)
+
+
+def frequent_lines(df: DataFrame, text_col: str,
+                   min_doc_freq: int) -> DataFrame:
+    """Lines recurring in >= ``min_doc_freq`` distinct documents
+    (CCNet-style boilerplate detection)."""
+    return _to_py_df(_jvm_bridge(df).frequentLines(
+        df._jdf, text_col, int(min_doc_freq)), df)
+
+
+def remove_frequent_lines(df: DataFrame, id_col: str, text_col: str,
+                          min_doc_freq: int) -> DataFrame:
+    """Rewrite every document without its corpus-frequent lines (order
+    preserved; ``n_removed`` counts dropped lines)."""
+    return _to_py_df(_jvm_bridge(df).removeFrequentLines(
+        df._jdf, id_col, text_col, int(min_doc_freq)), df)

@@ -716,6 +716,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q79_boilerplate_lines" -> ((s, dir) => {
+      // CCNet-style line-level dedup over a token-per-line rewrite: the
+      // fixture vocabulary is 31 tokens, so >= 400 docs isolates exactly
+      // the ubiquitous one — removed from every doc, order preserved
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " ", "\n").as("text"))
+      Dedup.removeFrequentLines(docs, "doc_id", "text", minDocFreq = 400L)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\n", " ").as("text"),
+          col("n_removed"))
+    }),
+
     "q78_top_ngram" -> ((s, dir) => {
       // Gopher top-n-gram filter over the q76 planted fixture: the
       // most frequent bigram per doc, its share of all bigram windows
@@ -1646,6 +1658,25 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q79_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls
+        |  FROM documents),
+        |lines AS (SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS ord
+        |  FROM d),
+        |freq AS (SELECT line
+        |  FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |  GROUP BY line HAVING count(*) >= 400),
+        |kept AS (SELECT doc_id, line, ord FROM lines
+        |  WHERE line NOT IN (SELECT line FROM freq)),
+        |rebuilt AS (SELECT doc_id,
+        |    array_to_string(list(line ORDER BY ord), ' ') AS text,
+        |    count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |  CAST(len(d.ls) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
     "q78_top_ngram" ->
       """WITH d AS (SELECT doc_id,

@@ -181,6 +181,54 @@ object Dedup {
     *
     * Requires integral ids on both sides (the side bit rides in the id).
     */
+  /** Lines appearing in >= minDocFreq DISTINCT documents (CCNet-style
+    * boilerplate detection: navbars, cookie banners, headers recur
+    * across a corpus; real content does not). Per-doc distinctness is
+    * row-local (array_distinct before the explode), so the one shuffle
+    * carries distinct (line) keys with map-side combine.
+    */
+  def frequentLines(
+      df: DataFrame,
+      textCol: String,
+      minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    df.select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+  }
+
+  /** [[frequentLines]] removal: every doc rewritten without its
+    * corpus-frequent lines. Output: idCol, text (lines re-joined in
+    * original order; "" if everything was boilerplate), n_removed.
+    *
+    * Scale shape: pass 1 is the [[frequentLines]] aggregate (distinct
+    * lines only); pass 2 explodes the corpus and anti-joins the frequent
+    * set with NO broadcast hint — AQE converts from the measured size
+    * (the set is small by construction: <= total_lines / minDocFreq),
+    * so a pathological threshold degrades to a shuffle join instead of
+    * an executor OOM — then one reassembly shuffle on the doc id.
+    */
+  def removeFrequentLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocFreq: Long): DataFrame = {
+    val freq = frequentLines(df, textCol, minDocFreq).select(col("line"))
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "line")))
+    val kept = lines.join(freq, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("line")))),
+          s => s("line")), "\n").as("text"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** EXACT n-gram contamination (the GPT-3-style eval-set decontamination
     * rule: a probe doc is contaminated if it shares >= minShared distinct
     * token n-grams with a training doc). Complements

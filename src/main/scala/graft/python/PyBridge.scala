@@ -226,6 +226,16 @@ object PyBridge {
     graft.ops.Dedup.ngramContamination(train, probe, idCol, textCol, n,
       minShared, broadcastProbe, hashGrams)
 
+  /** CCNet-style corpus-frequent (boilerplate) lines. */
+  def frequentLines(df: DataFrame, textCol: String,
+      minDocFreq: Long): DataFrame =
+    graft.ops.Dedup.frequentLines(df, textCol, minDocFreq)
+
+  /** Rewrite every doc without its corpus-frequent lines. */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Long): DataFrame =
+    graft.ops.Dedup.removeFrequentLines(df, idCol, textCol, minDocFreq)
+
   /** Deterministic train/val/test split by id-hash range. */
   def hashSplit(df: DataFrame, idCol: String,
       weights: ju.Map[String, java.lang.Double]): DataFrame =

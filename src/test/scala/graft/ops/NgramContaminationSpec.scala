@@ -67,6 +67,24 @@ class NgramContaminationSpec extends AnyFunSuite with Matchers
     exact should not be empty
   }
 
+  test("frequent-line removal: order preserved, all-boilerplate doc " +
+    "empties, clean doc untouched") {
+    val train = df(
+      1L -> "COOKIE BANNER\nreal content one\nNAV BAR",
+      2L -> "COOKIE BANNER\nother real text\nNAV BAR",
+      3L -> "COOKIE BANNER\nNAV BAR",           // nothing but boilerplate
+      4L -> "totally unique document")
+    val got = Dedup.removeFrequentLines(train, "id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    got(1L) shouldBe (("real content one", 2L))
+    got(2L) shouldBe (("other real text", 2L))
+    got(3L) shouldBe (("", 2L))
+    got(4L) shouldBe (("totally unique document", 0L))
+    Dedup.frequentLines(train, "text", 2).collect()
+      .map(_.getString(0)).toSet shouldBe Set("COOKIE BANNER", "NAV BAR")
+  }
+
   test("broadcast mode: the training side reaches the join without an " +
     "exchange; non-broadcast mode agrees on the answer") {
     val train = df((0L until 200L).map(i =>
