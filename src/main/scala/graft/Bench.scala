@@ -141,6 +141,14 @@ object Bench {
         Dedup.ngramContamination(corpus, probe, "doc_id", "text",
           n = 8, minShared = 3).count()
       }),
+      // CCNet line-level dedup: frequent-line aggregate + adaptive
+      // anti-join + reassembly over a token-per-line corpus rewrite
+      "boilerplate_lines" -> (() => {
+        val docs = t("documents").select(col("doc_id"),
+          regexp_replace(col("text"), " ", "\n").as("text"))
+        Dedup.removeFrequentLines(docs, "doc_id", "text",
+          minDocFreq = 400L).count()
+      }),
       // LM sequence packing: full-corpus layout via the distributed
       // prefix sum (range exchange of 3 longs/row + per-pid window)
       "sequence_packing" -> (() => {
