@@ -82,6 +82,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plan.toLowerCase should not include "percentile"
   }
 
+  test("boilerplate-line removal: anti-join broadcast-converted by AQE " +
+    "from measured size, no hint") {
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "\n").as("text"))
+    val res = graft.ops.Dedup.removeFrequentLines(lined, "doc_id", "text",
+      minDocFreq = 400L)
+    res.collect()
+    val plan = finalPlan(res)
+    // the frequent-line set is measured small at runtime -> AQE turns the
+    // unhinted LeftAnti into a broadcast join; a pathological threshold
+    // would instead degrade to a shuffle join rather than OOM
+    plan should include ("BroadcastHashJoin")
+    plan should include ("LeftAnti")
+  }
+
   test("608-column profile in ONE pass (the reference's widest scenario)") {
     // the reference's wide-schema test profiles 608 columns in one
     // aggregation (WhyLogsTest.scala:107-128); pin the same shape here:
