@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** The full curation pipeline must COMPOSE: quality filter -> exact +
+  * near dedup -> decontaminate against an eval set -> stratified split
+  * -> sequence packing, each stage consuming the previous stage's
+  * frame, ending in a consistent pack layout. This is the end-to-end
+  * path a training-data team actually runs; composition bugs (column
+  * contracts, null handling, nondeterminism across stages) don't show
+  * up in per-op specs.
+  */
+class CurationPipelineSpec extends AnyFunSuite with Matchers
+    with SparkSuiteBase {
+
+  test("corpus -> filter -> dedup -> decontaminate -> split -> pack") {
+    import spark.implicits._
+
+    // 60 good docs; 10 exact dups of doc 0; 5 near-dups of doc 1 (tiny
+    // suffix); 5 repetition-degenerate docs; 3 docs quoting the eval set
+    val good = (0L until 60L).map(i =>
+      i -> (s"doc $i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " +
+        s"eta$i theta$i iota$i kappa$i"))
+    val exactDups = (100L until 110L).map(i => i -> good(0)._2)
+    val nearDups = (200L until 205L).map(i => i -> (good(1)._2 + " tail"))
+    val degenerate = (300L until 305L).map(i =>
+      i -> Seq.fill(12)("spam spam").mkString(" "))
+    val evalSet = Seq(900L -> "question one secret eval answer text here now",
+      901L -> "question two hidden holdout reply words go here")
+    val leaky = (400L until 403L).map(i =>
+      i -> s"prefix $i question one secret eval answer text here now suffix")
+    val corpus = (good ++ exactDups ++ nearDups ++ degenerate ++ leaky)
+      .toDF("doc_id", "text")
+    val probe = evalSet.toDF("doc_id", "text")
+
+    // 1. quality: drop repetition-degenerate docs
+    val filtered = corpus.filter(TextOps.dupNgramRatio(col("text"), 2) < 0.5)
+    filtered.count() shouldBe 78 // 83 - 5 degenerate
+
+    // 2a. exact dedup on normalized fingerprint
+    val deduped = Dedup.exact(
+      filtered.withColumn("fp", TextOps.fingerprint(col("text"))),
+      "doc_id", Seq("fp")).drop("fp")
+    // 10 exact dups of doc 0 gone, plus 4 of the 5 mutually-identical
+    // near-dup copies (exact dedup catches them before LSH ever runs)
+    deduped.count() shouldBe 64
+    deduped.filter(col("doc_id") === 0L).count() shouldBe 1
+
+    // 2b. near dedup: LSH pairs -> components -> keep min id per comp
+    val pairs = Dedup.minHashLshPairs(deduped, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 2)
+      .filter(col("est_jaccard") >= 0.5)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id"))
+    val nearDeduped = deduped.join(losers,
+      deduped("doc_id") === losers("id"), "left_anti")
+    // the doc-1 near-dup collapses into doc 1, AND the three leaky docs
+    // (identical but for their prefix token) collapse among themselves
+    nearDeduped.count() shouldBe 61
+    nearDeduped.filter(col("doc_id") === 1L).count() shouldBe 1
+    nearDeduped.filter(col("doc_id") >= 400L).count() shouldBe 1
+
+    // 3. decontaminate: exact 5-gram overlap against the eval set
+    val contaminated = Dedup.ngramContamination(nearDeduped, probe,
+      "doc_id", "text", n = 5, minShared = 3)
+      .select(col("train_id").as("doc_id")).distinct()
+    contaminated.collect().map(_.getLong(0)).sorted shouldBe Array(400L)
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    clean.count() shouldBe 60
+
+    // 4. stratified split (deterministic, disjoint, covering)
+    val split = Sampling.hashSplit(clean, "doc_id",
+      Map("train" -> 0.9, "heldout" -> 0.1))
+    split.count() shouldBe 60
+    val trainSet = split.filter(col("split") === "train")
+
+    // 5. pack the training split; layout must be a consistent
+    // concat-and-chunk of exactly the surviving train docs
+    val (packed, release) = Packing.packSequencesReleasable(
+      trainSet.withColumn("n_tok", TextOps.tokenCount(col("text"))),
+      "doc_id", "n_tok", "doc_id", budget = 64L)
+    try {
+      val rows = packed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      rows.length.toLong shouldBe trainSet.count()
+      var off = 0L
+      for ((_, ntok, start) <- rows.map(r => (r._1, r._2, r._3))
+             .sortBy(_._3)) {
+        start shouldBe off
+        off += ntok
+      }
+    } finally release()
+  }
+
+}
