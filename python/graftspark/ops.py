@@ -214,3 +214,11 @@ def remove_frequent_lines(df: DataFrame, id_col: str, text_col: str,
     preserved; ``n_removed`` counts dropped lines)."""
     return _to_py_df(_jvm_bridge(df).removeFrequentLines(
         df._jdf, id_col, text_col, int(min_doc_freq)), df)
+
+
+def cap_per_key(df: DataFrame, key_cols: List[str], id_col: str,
+                k: int) -> DataFrame:
+    """Keep at most ``k`` original rows per key (e.g. per-domain doc
+    caps) — survivors are the deterministic bottom-k id-hash sample."""
+    return _to_py_df(_jvm_bridge(df).capPerKey(
+        df._jdf, list(key_cols), id_col, int(k)), df)

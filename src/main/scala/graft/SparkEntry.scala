@@ -716,6 +716,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q80_cap_per_key" -> ((s, dir) => {
+      // per-source document caps (at most 10 docs per source — below the
+      // 25/source fixture density so the cap actually bites; survivors
+      // = the deterministic bottom-k id-hash sample, full rows kept)
+      graft.ops.Sampling.capPerKey(t(s, dir, "documents"),
+        Seq("source"), "doc_id", k = 10)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "q79_boilerplate_lines" -> ((s, dir) => {
       // CCNet-style line-level dedup over a token-per-line rewrite: the
       // fixture vocabulary is 31 tokens, so >= 400 docs isolates exactly
@@ -1658,6 +1667,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |  AS BIGINT) < 450359962737049""".stripMargin,
+
+    "q80_cap_per_key" ->
+      """WITH h AS (SELECT doc_id, source, lang,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY hv ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT doc_id, source, lang FROM r WHERE rn <= 10""".stripMargin,
 
     "q79_boilerplate_lines" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls

@@ -84,6 +84,24 @@ object Sampling {
     df.filter(col(idCol).isNotNull).withColumn("split", label)
   }
 
+  /** Cap every group at `k` ORIGINAL rows (the "at most K docs per
+    * domain" web-curation rule): survivors are the deterministic
+    * [[bottomK]] sample of each group, fetched back by a semi-join, so
+    * the full row payload survives while the op stays
+    * partition-invariant. The bounded winner set (<= k rows per key)
+    * joins with no hint — AQE broadcast-converts from measured size, so
+    * a huge key space degrades to a shuffle join rather than an OOM.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int): DataFrame = {
+    val winners = bottomK(df, keyCols, idCol, k).drop("rank")
+    df.join(winners, keyCols :+ idCol, "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
+  }
+
   /** Per-group deterministic sample of `k` rows: the k smallest id-hashes
     * per group (a fixed-size uniform-without-replacement sample, stable
     * under reshuffling). Uses the bounded top-k aggregate, so each

@@ -209,6 +209,11 @@ object PyBridge {
       keyCols: ju.List[String], factor: Double): DataFrame =
     graft.ops.Outliers.iqrStats(df, valueCol, keyCols.asScala.toSeq, factor)
 
+  /** Cap every group at k original rows (deterministic winners). */
+  def capPerKey(df: DataFrame, keyCols: ju.List[String], idCol: String,
+      k: Int): DataFrame =
+    graft.ops.Sampling.capPerKey(df, keyCols.asScala.toSeq, idCol, k)
+
   /** Deterministic stratified Bernoulli sample: per-stratum keep
     * fractions, same md5-52-bit hash as [[hashSample]].
     */

@@ -125,6 +125,23 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     again shouldBe got.toSet
   }
 
+  test("capPerKey keeps at most k original rows per key, exactly the " +
+    "bottom-k winners") {
+    import spark.implicits._
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", s"payload$i"))
+      .toDF("id", "g", "p")
+    val capped = Sampling.capPerKey(df, Seq("g"), "id", 7)
+    capped.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .values.toSet shouldBe Set(7L)
+    // full payload survives and survivors == bottomK ids
+    capped.columns.toSeq shouldBe Seq("id", "g", "p")
+    val winners = Sampling.bottomK(df, Seq("g"), "id", 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    capped.select("id").collect().map(_.getLong(0)).toSet shouldBe winners
+  }
+
   test("bottom-k sample equals the sort-based formulation, any partitioning") {
     import spark.implicits._
     val df = (1 to 500).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
