@@ -773,6 +773,25 @@ object SparkEntry {
           regexp_replace(col("text"), " ", "\n")), 6).as("dup_line_ratio"))
     }),
 
+    "q81_temperature_mix" -> ((s, dir) => {
+      // temperature-weighted source mixing (sampling weight ∝ size^t):
+      // small sources keep a higher fraction than bulk sources; the
+      // corpus-side filter is map-only, cutoffs ride an AQE-sized join
+      graft.ops.Sampling.temperatureMix(t(s, dir, "documents"),
+        "doc_id", "source", targetFraction = 0.5, temperature = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "q82_token_budget" -> ((s, dir) => {
+      // deterministic token-budget selection: the hash-order prefix of
+      // docs whose total size fits 100k chars — distributed prefix sum
+      // (range repartition + per-partition offsets), never a global
+      // single-reducer window
+      graft.ops.Sampling.tokenBudgetSelect(t(s, dir, "documents"),
+        "doc_id", "n_chars", budget = 100000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q75_stratified_sample" -> ((s, dir) => {
       // corpus rebalance: keep 80% of 'en', 30% of 'de', drop everything
       // else — one codegen'd filter, the fraction table a literal map
@@ -1749,6 +1768,31 @@ object SparkEntry {
         |  round(1.0 - len(list_distinct(t.l)) / CAST(len(t.l) AS DOUBLE), 6)
         |    AS dup_line_ratio
         |FROM tok t JOIN g ON t.doc_id = g.doc_id""".stripMargin,
+
+    "q81_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |    FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, pow(n, 0.5) AS wgt FROM c),
+        |t AS (SELECT sum(n) AS total, sum(wgt) AS wsum FROM w),
+        |cut AS (SELECT source,
+        |    CAST(floor(least(1.0, 0.5 * total * wgt / (wsum * n))
+        |      * 4503599627370496.0) AS BIGINT) AS cutoff
+        |  FROM w CROSS JOIN t)
+        |SELECT doc_id, lang, source
+        |FROM documents JOIN cut USING (source)
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) < cutoff""".stripMargin,
+
+    "q82_token_budget" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, source,
+        |    sum(n_chars) OVER (ORDER BY hv, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT doc_id, lang, source FROM c WHERE cum <= 100000""".stripMargin,
 
     "q75_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -102,6 +102,97 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
+  /** Temperature-weighted source mixing — the standard multi-corpus
+    * rebalance (sampling weights ∝ sizeᵗ): at t=1 sources keep their
+    * natural proportions, as t→0 they approach uniform, so small
+    * high-quality sources are up-weighted relative to bulk web text.
+    *
+    * Per-source keep rate: with n_s rows in source s and N total,
+    * target_s = targetFraction · N · n_sᵗ / Σ n_uᵗ and
+    * rate_s = min(1, target_s / n_s). Rows are kept by the same
+    * deterministic md5-52-bit id-hash as [[hashSample]], so the selected
+    * set is reproducible and partition-invariant. (Rates cap at 1 —
+    * Bernoulli sampling cannot up-sample; a source whose target exceeds
+    * its size keeps everything and the realized total lands below the
+    * target, matching how mixing weights degrade in practice.)
+    *
+    * Scale shape: one map-side-combined count per source (source
+    * cardinality is pipeline-bounded — dozens, not millions), a 1-row
+    * global aggregate attached by broadcast cross join, and the
+    * source→cutoff table joined back with no hint (AQE
+    * broadcast-converts from measured size). The corpus itself takes no
+    * shuffle — the filter is map-only.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      targetFraction: Double,
+      temperature: Double = 0.5): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction must be in [0,1], got $targetFraction")
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0,1], got $temperature")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), lit(temperature)))
+    val totals = counts.agg(sum(col("__n")).as("__total"),
+      sum(col("__w")).as("__wsum"))
+    val cutoffs = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        (least(lit(1.0),
+          lit(targetFraction) * col("__total") * col("__w")
+            / (col("__wsum") * col("__n")))
+          * lit(HashSpace.toDouble)).cast("long").as("__cutoff"))
+    df.join(cutoffs, Seq(sourceCol))
+      .filter(md5Hash52(col(idCol)) < col("__cutoff"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Deterministic token-budget selection: lay the corpus out in id-hash
+    * order (an unbiased, reproducible shuffle) and keep the prefix of
+    * documents that fits entirely inside `budget` total tokens — the
+    * "take a uniform 50B-token subset of the corpus" op.
+    *
+    * A document is kept iff its whole token count still fits
+    * (cumulative-inclusive ≤ budget), so the selection never truncates a
+    * document. Output is the original rows, original column order.
+    *
+    * Scale shape: the cumulative sum is [[Packing.packSequences]]'s
+    * distributed prefix sum (range-repartition on the hash, per-partition
+    * totals cumulated into exclusive offsets — NO global single-reducer
+    * window), followed by a map-only filter and a semi-join back to the
+    * source to fetch full rows (winner side bounded by the budget; AQE
+    * picks the join strategy from measured size).
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      budget: Long): DataFrame =
+    tokenBudgetSelectReleasable(df, idCol, tokCol, budget)._1
+
+  /** [[tokenBudgetSelect]] plus a release() thunk for the persisted
+    * layout frame (same contract as [[Packing.packSequencesReleasable]]:
+    * call release() once the returned plan has been materialized).
+    */
+  def tokenBudgetSelectReleasable(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      budget: Long): (DataFrame, () => Unit) = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val (layout, release) = Packing.packSequencesReleasable(
+      df.withColumn("__h", md5Hash52(col(idCol))),
+      idCol, tokCol, "__h", math.max(budget, 1L))
+    val winners = layout
+      .filter(col("start_offset") + col("n_tokens") <= budget)
+      .select(col(idCol))
+    val out = df.join(winners, Seq(idCol), "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    (out, release)
+  }
+
   /** Per-group deterministic sample of `k` rows: the k smallest id-hashes
     * per group (a fixed-size uniform-without-replacement sample, stable
     * under reshuffling). Uses the bounded top-k aggregate, so each

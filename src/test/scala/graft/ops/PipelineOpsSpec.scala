@@ -158,6 +158,98 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     fast.size shouldBe 14
   }
 
+  test("temperatureMix: t=1 matches natural proportions, t->0 flattens, " +
+    "survivors are the per-source Bernoulli sets, partition-invariant") {
+    import spark.implicits._
+    // skewed corpus: web 8000 rows, books 500, code 1500
+    val df = (1 to 10000).map { i =>
+      val src = if (i <= 8000) "web" else if (i <= 8500) "books" else "code"
+      (i.toLong, src)
+    }.toDF("id", "source")
+    // t=1: rate is targetFraction for every source (weights = sizes)
+    val t1 = Sampling.temperatureMix(df, "id", "source", 0.5, temperature = 1.0)
+    val by1 = t1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    by1("web").toDouble should (be > 8000 * 0.45 and be < 8000 * 0.55)
+    by1("books").toDouble should (be > 500 * 0.4 and be < 500 * 0.6)
+    // t=1 survivors per source == hashSample at targetFraction
+    val webPlain = Sampling.hashSample(
+      df.filter(col("source") === "web"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    t1.filter(col("source") === "web").collect().map(_.getLong(0))
+      .toSet shouldBe webPlain
+    // t=0.5: books (small source) keeps a HIGHER fraction than web
+    val t5 = Sampling.temperatureMix(df, "id", "source", 0.5,
+      temperature = 0.5)
+    val by5 = t5.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val webRate = by5("web") / 8000.0
+    val bookRate = by5("books") / 500.0
+    bookRate should be > webRate * 2
+    // expected rates: w_s = n_s^0.5; rate_s = min(1, f*N*w_s/(wsum*n_s))
+    val wsum = math.sqrt(8000.0) + math.sqrt(500.0) + math.sqrt(1500.0)
+    def rate(n: Double) =
+      math.min(1.0, 0.5 * 10000 * math.sqrt(n) / (wsum * n))
+    by5("books").toDouble should
+      (be > 500 * rate(500) * 0.8 and be < 500 * rate(500) * 1.2)
+    // schema preserved, partition invariance
+    t5.columns.toSeq shouldBe Seq("id", "source")
+    val again = Sampling.temperatureMix(df.repartition(13), "id", "source",
+      0.5, temperature = 0.5).collect().map(_.getLong(0)).toSet
+    again shouldBe t5.collect().map(_.getLong(0)).toSet
+  }
+
+  test("temperatureMix caps tiny sources at keep-everything (rate 1)") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(i => (i.toLong, "web")) ++
+      (5001 to 5010).map(i => (i.toLong, "gold"))).toDF("id", "source")
+    // at t=0.1 the 10-row gold source's target far exceeds its size
+    val got = Sampling.temperatureMix(df, "id", "source", 0.5,
+      temperature = 0.1)
+    got.filter(col("source") === "gold").count() shouldBe 10L
+  }
+
+  test("tokenBudgetSelect keeps exactly the hash-order prefix that fits, " +
+    "never truncates a doc, partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, 1L + i % 13, s"doc$i"))
+      .toDF("id", "n_tok", "payload")
+    val budget = 800L
+    val got = Sampling.tokenBudgetSelect(df, "id", "n_tok", budget)
+    got.columns.toSeq shouldBe Seq("id", "n_tok", "payload")
+    val gotIds = got.collect().map(_.getLong(0)).toSet
+    // oracle: cumulative-inclusive sum over (md5hash52(id), id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.md5Hash52(col("id")).asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val oracle = df.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= budget).select("id")
+      .collect().map(_.getLong(0)).toSet
+    gotIds shouldBe oracle
+    // sum of kept tokens fits the budget; adding the first excluded doc
+    // (in hash order) would overflow it
+    val keptSum = df.filter(col("id").isin(gotIds.toSeq: _*))
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(keptSum <= budget)
+    val firstExcluded = df.filter(!col("id").isin(gotIds.toSeq: _*))
+      .orderBy(Sampling.md5Hash52(col("id")).asc, col("id").asc)
+      .select("n_tok").head().getLong(0)
+    assert(keptSum + firstExcluded > budget)
+    // partition invariance
+    val again = Sampling.tokenBudgetSelect(df.repartition(17), "id",
+      "n_tok", budget).collect().map(_.getLong(0)).toSet
+    again shouldBe gotIds
+  }
+
+  test("tokenBudgetSelect edge: zero budget keeps nothing, huge budget " +
+    "keeps everything") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, 3L)).toDF("id", "n_tok")
+    Sampling.tokenBudgetSelect(df, "id", "n_tok", 0L).count() shouldBe 0L
+    Sampling.tokenBudgetSelect(df, "id", "n_tok", 1000000L)
+      .count() shouldBe 50L
+  }
+
   test("iqr outlier plan carries NO exact Percentile aggregate") {
     import spark.implicits._
     // the exact Percentile aggregate buffers every distinct value per
