@@ -773,6 +773,17 @@ object SparkEntry {
           regexp_replace(col("text"), " ", "\n")), 6).as("dup_line_ratio"))
     }),
 
+    "q83_bigram_perplexity" -> ((s, dir) => {
+      // interpolated bigram LM quality scoring: adjacency built
+      // row-locally (zip_with against the 1-shifted slice), counts
+      // floored, scoring joins AQE-sized; lambda dyadic so the score is
+      // bit-identical across engines
+      graft.ops.TextOps.bigramPerplexity(t(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("perplexity"), 6).as("perplexity"))
+    }),
+
     "q81_temperature_mix" -> ((s, dir) => {
       // temperature-weighted source mixing (sampling weight ∝ size^t):
       // small sources keep a higher fraction than bulk sources; the
@@ -1768,6 +1779,29 @@ object SparkEntry {
         |  round(1.0 - len(list_distinct(t.l)) / CAST(len(t.l) AS DOUBLE), 6)
         |    AS dup_line_ratio
         |FROM tok t JOIN g ON t.doc_id = g.doc_id""".stripMargin,
+
+    "q83_bigram_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, t AS term FROM d, unnest(d.toks) AS u(t)),
+        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM d)),
+        |uni AS (SELECT term, count(*) AS ucnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS total FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(avg(-ln(
+        |    0.75 * coalesce(CAST(bcnt AS DOUBLE) / u1.ucnt, 0.0)
+        |    + 0.25 * CAST(u2.ucnt AS DOUBLE) / total))), 6) AS perplexity
+        |FROM bi
+        |LEFT JOIN big USING (w1, w2)
+        |LEFT JOIN uni u1 ON bi.w1 = u1.term
+        |LEFT JOIN uni u2 ON bi.w2 = u2.term
+        |CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q81_temperature_mix" ->
       """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n

@@ -297,6 +297,73 @@ object TextOps {
       () => { if (gated) counts.unpersist(blocking = false); () })
   }
 
+  /** Per-document interpolated bigram language-model perplexity — the
+    * CCNet-style quality filter one order up from [[unigramPerplexity]]:
+    * each bigram position scores
+    * p(w2|w1) = lambda * c(w1 w2)/c(w1) + (1-lambda) * c(w2)/total
+    * (Jelinek–Mercer interpolation with the corpus's own counts), and a
+    * document's perplexity is exp(mean(-ln p)) over its bigram
+    * positions. Documents with fewer than 2 tokens have no bigram
+    * positions and are absent from the output.
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY (`zip_with` over the
+    * token array against its own 1-shifted slice — no window, no
+    * per-doc shuffle for adjacency). Two count shuffles produce the
+    * unigram and bigram vocabularies; both are floored by `minCount`
+    * (the bigram table is the one that explodes on a web corpus — the
+    * floor is the defense), and all three scoring joins follow the
+    * [[AdaptiveVocabJoin]] strategy: no hint, AQE broadcast-converts
+    * from measured size. Floored-out bigrams score their conditional
+    * term as 0 (pure interpolation fallback to the unigram term);
+    * floored-out unigrams score the unigram term at the floor boundary
+    * like [[unigramPerplexity]]. The interpolation weight should be a
+    * dyadic rational (default 0.75) so `lambda` and `1-lambda` are both
+    * exact doubles — scores then reproduce bit-for-bit across engines.
+    *
+    * Defaults (minCount=1) keep every n-gram: the unigram joins never
+    * miss and the conditional term is exact.
+    */
+  def bigramPerplexity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75,
+      minCount: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val docs = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0).as("toks"))
+    val toks = docs.select(col("id"), explode(col("toks")).as("term"))
+    val bi = docs
+      .select(col("id"), explode(zip_with(
+        // greatest(.,0): slice throws on negative length for token-less docs
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni0 = toks.groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    // denominator = true corpus token count, independent of the floor
+    val tot = uni0.agg(sum(col("ucnt")).cast("double").as("total"))
+    val uni = if (minCount > 1L) uni0.filter(col("ucnt") >= minCount) else uni0
+    val big0 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+    val big = if (minCount > 1L) big0.filter(col("bcnt") >= minCount) else big0
+    val defaultCnt = math.max(minCount - 1L, 1L).toDouble
+    val u1 = uni.select(col("term").as("w1"), col("ucnt").as("c1"))
+    val u2 = uni.select(col("term").as("w2"), col("ucnt").as("c2"))
+    // conditional term: null bcnt OR null c1 -> 0 (floor consistency:
+    // c(w1) < minCount implies every (w1,*) bigram is floored too)
+    val p = lit(lambda) * coalesce(col("bcnt").cast("double") / col("c1"), lit(0.0)) +
+      lit(1.0 - lambda) * coalesce(col("c2").cast("double"), lit(defaultCnt)) / col("total")
+    bi.crossJoin(broadcast(tot))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .select(col("id"), (-log(p)).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), exp(avg(col("nll"))).as("perplexity"))
+  }
+
   /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
     *
     * Scale shape: one shuffle builds (id, term) counts with map-side

@@ -477,4 +477,49 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     // doc 1 is unaffected by the floor: ppl = 1/p(a) = 10/6
     r(1L) shouldBe (10.0 / 6.0 +- 1e-9)
   }
+
+  test("bigram perplexity: pinned interpolated values on a hand corpus") {
+    import spark.implicits._
+    // uni: a:3 b:3, total 6; big: (a,b):2 (b,a):2
+    // every position: p = .75*(2/3) + .25*(3/6) = .625 -> ppl = 1.6
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val r = TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(_._1)
+    r.map(_._1).toSeq shouldBe Seq(1L, 2L)
+    r.map(_._2).toSeq shouldBe Seq(3L, 1L) // bigram positions per doc
+    r.foreach(_._3 shouldBe (1.6 +- 1e-12))
+  }
+
+  test("bigram perplexity: sub-2-token docs absent; floor sends unseen " +
+    "contexts to the pure unigram term") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "c a"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextOps.bigramPerplexity(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    r.keySet shouldBe Set(1L, 2L) // docs 3 (one token) and 4 (none) absent
+    // unfloored uni: a:4 b:2 c:1 solo:1 -> total 8
+    // floored uni: a:4, b:2. floored big: (a,b):2, (b,a):2 ((c,a) dropped)
+    // doc2 (c,a): cond 0 (c floored) -> p = .25*4/8 -> ppl 8
+    r(2L) shouldBe (8.0 +- 1e-9)
+    // doc1: (a,b)x2: .75*(2/4)+.25*2/8 ; (b,a)x2: .75*(2/2)+.25*4/8
+    val pab = 0.75 * (2.0 / 4.0) + 0.25 * 2.0 / 8.0
+    val pba = 0.75 * (2.0 / 2.0) + 0.25 * 4.0 / 8.0
+    r(1L) shouldBe (1.0 / math.sqrt(pab * pba) +- 1e-9)
+  }
+
+  test("bigram perplexity is partition-invariant") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        math.round(x.getDouble(2) * 1e9))).toSet
+    val b = TextOps.bigramPerplexity(docs.repartition(13), "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        math.round(x.getDouble(2) * 1e9))).toSet
+    a shouldBe b
+  }
 }
