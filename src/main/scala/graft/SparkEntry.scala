@@ -1068,6 +1068,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    "q84_semdedup" -> ((s, dir) => {
+      // SemDeDup survivors under exact-copy planting: vec_id<50 get an
+      // identical copy at id+10000. Identical vectors share a k-means
+      // cell by construction (deterministic assignment), so EVERY copy
+      // must be found and dropped (keep-lowest-id) and no original may
+      // be falsely dropped (max natural cosine ~0.5 << 0.99) — the
+      // result is exactly the original table, independent of the
+      // clustering, which makes the approximate op fully oracle-able.
+      val emb = t(s, dir, "embeddings")
+      val dups = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+          col("label"))
+      graft.ops.Dedup.semDedupSurvivors(emb.unionAll(dups),
+        "vec_id", "embedding", threshold = 0.99, nCentroids = 8)
+        .select(col("vec_id"), col("label"))
+    }),
+
     "q93_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -2133,6 +2150,9 @@ object SparkEntry {
         |  FROM sims)
         |SELECT qid AS query_id, iid AS item_id, round(s, 6) AS cosine
         |FROM top WHERE rn = 1""".stripMargin,
+
+    "q84_semdedup" ->
+      """SELECT vec_id, label FROM embeddings""",
 
     "q92_embedding_neardups" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

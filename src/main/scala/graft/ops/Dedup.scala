@@ -588,4 +588,79 @@ object Dedup {
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * k-means-cluster the embedding space, then compare pairs ONLY within
+    * a cluster — near-duplicates land in the same cell, so the quadratic
+    * work shrinks from corpus² to Σ cluster², the paper's core trick.
+    * Returns (id_a, id_b, cosine) with id_a < id_b and cosine >= the
+    * threshold.
+    *
+    * Scale shape: centroid fit is [[Similarity.fitCentroids]] (map-only
+    * passes + nCentroids-row aggregates); assignment is one codegen
+    * expression over the codebook (literal or torrent-broadcast — no
+    * join); then ONE cluster-keyed shuffle groups ids. In-cluster
+    * pairing uses the lazy pair generator, and `maxClusterSize` bounds
+    * the quadratic cell work exactly like the LSH bucket cap — at 100 TB
+    * nCentroids must grow with the corpus (cells of ~10⁴ docs), which is
+    * a parameter, not a plan change. Only candidate pairs fetch
+    * embeddings back (two AQE-sized joins on the bounded pair frame);
+    * the corpus embedding frame itself never shuffles.
+    */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      iterations: Int = 2,
+      maxClusterSize: Int = 10000,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val centroids = Similarity.fitCentroids(
+      base.select(col("id").as("item_id"), col("emb").as("item_emb")),
+      nCentroids, iterations, centroidBroadcastThreshold)
+    val assign = Similarity.assignTopCentroids(
+      df.sparkSession.sparkContext, centroidBroadcastThreshold) _
+    // clusters partition the corpus: every pair appears in exactly one
+    // cell, so no cross-band dedupe pass is needed (unlike LSH)
+    val pairs = base
+      .select(assign(col("emb"), centroids, 1)(0).as("cluster_id"), col("id"))
+      .groupBy(col("cluster_id"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxClusterSize))
+      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The curation-side view of [[semDedupPairs]]: the input rows that
+    * SURVIVE semantic dedup under the deterministic keep-lowest-id rule —
+    * a row is dropped iff some LOWER-id row in its cluster matches it at
+    * `threshold` (clusters are ε-balls, near-cliques in practice, so
+    * keep-lowest ≈ one representative per duplicate group). Survivors
+    * come back by anti-join on the dropped-id side, which is bounded by
+    * the candidate pair set (AQE picks the strategy); full row payload
+    * and column order are preserved.
+    */
+  def semDedupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      iterations: Int = 2,
+      maxClusterSize: Int = 10000,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+    val dropped = semDedupPairs(df, idCol, embCol, threshold, nCentroids,
+      iterations, maxClusterSize, centroidBroadcastThreshold)
+      .select(col("id_b").as(idCol)) // id_a < id_b: the higher id drops
+    df.join(dropped, Seq(idCol), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -98,6 +98,51 @@ object Similarity {
     explodeTopK(grouped, idType)
   }
 
+  /** Nearest-centroid assignment strategy: small codebooks embed in the
+    * expression (no broadcast round-trip); above the threshold the table
+    * ships as a torrent broadcast once per executor instead of riding
+    * inside every serialized task.
+    */
+  private[ops] def assignTopCentroids(
+      sc: org.apache.spark.SparkContext,
+      centroidBroadcastThreshold: Int)(
+      emb: Column, cs: Array[Array[Double]], n: Int): Column =
+    if (cs.length <= centroidBroadcastThreshold) top_centroids(emb, cs, n)
+    else graft.functions.top_centroids_bcast(emb, sc.broadcast(cs), n)
+
+  /** Deterministic k-means codebook over `c` (item_id, item_emb columns):
+    * init = first nCentroids rows by id, refined by `iterations` Lloyd
+    * steps. Each step is one map-only assignment pass plus a tiny
+    * aggregate (`groupBy(centroid).agg(vec_sum, count)` — nCentroids rows
+    * collected, nothing else reaches the driver). Empty clusters keep
+    * their previous centroid.
+    */
+  private[ops] def fitCentroids(
+      c: DataFrame,
+      nCentroids: Int,
+      iterations: Int,
+      centroidBroadcastThreshold: Int): Array[Array[Double]] = {
+    val sc = c.sparkSession.sparkContext
+    val assign = assignTopCentroids(sc, centroidBroadcastThreshold) _
+    var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
+      .limit(nCentroids).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    (0 until iterations).foreach { _ =>
+      val refined = c
+        .select(assign(col("item_emb"), centroids, 1)(0).as("centroid_id"),
+          col("item_emb"))
+        .groupBy(col("centroid_id"))
+        .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
+        .toMap
+      centroids = centroids.indices
+        .map(i => refined.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
   /** IVF-pruned approximate top-k: assign corpus rows to their nearest
     * centroid via [[graft.functions.TopCentroids]] (a map-only pass over a
     * centroid literal), then answer each query by scanning only its nProbe
@@ -124,33 +169,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("item_id"),
       col(embCol).cast("array<double>").as("item_emb"))
 
-    // small codebooks embed in the expression (no broadcast round-trip);
-    // above the threshold the table ships as a torrent broadcast once per
-    // executor instead of riding inside every serialized task
     val sc = corpus.sparkSession.sparkContext
     def assignTop(emb: Column, cs: Array[Array[Double]], n: Int): Column =
-      if (cs.length <= centroidBroadcastThreshold) top_centroids(emb, cs, n)
-      else graft.functions.top_centroids_bcast(emb, sc.broadcast(cs), n)
+      assignTopCentroids(sc, centroidBroadcastThreshold)(emb, cs, n)
 
-    // init: first nCentroids items by id (deterministic)
-    var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
-      .limit(nCentroids).collect()
-      .map(r => r.getSeq[Double](1).toArray)
-
-    // Lloyd refinement: single-pass assignment -> per-centroid mean
-    (0 until iterations).foreach { _ =>
-      val refined = c
-        .select(assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"),
-          col("item_emb"))
-        .groupBy(col("centroid_id"))
-        .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
-        .toMap
-      centroids = centroids.indices
-        .map(i => refined.getOrElse(i, centroids(i))).toArray
-    }
+    val centroids = fitCentroids(c, nCentroids, iterations,
+      centroidBroadcastThreshold)
 
     val inverted = c.select(col("item_id"), col("item_emb"),
       assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"))

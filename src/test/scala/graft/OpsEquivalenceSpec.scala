@@ -202,6 +202,48 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     found shouldBe (0 until 50).map(i => (i.toLong, (i + 10000).toLong)).toSet
   }
 
+  test("semdedup with one cluster equals brute-force pairs at threshold") {
+    val base = emb.filter(col("vec_id") < 100).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val got = Dedup.semDedupPairs(base, "vec_id", "embedding",
+      threshold = 0.3, nCentroids = 1, iterations = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("ea"), col("eb")) >= 0.3)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe brute
+    brute should not be empty // the threshold actually exercises pairing
+  }
+
+  test("semdedup recovers planted semantic copies; survivors drop exactly " +
+    "the higher-id members") {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // exact copies: identical embeddings get the identical (deterministic)
+    // centroid assignment, so recovery is guaranteed — a PERTURBED copy of
+    // a vector near a cell boundary can land in the neighboring cell and
+    // be missed, which is SemDeDup's documented approximation (the scan of
+    // this fixture at +0.01 perturbation splits exactly 1 of 50 pairs)
+    val dups = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val all = base.unionAll(dups)
+    val pairs = Dedup.semDedupPairs(all, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 50).map(i => (i.toLong, (i + 10000).toLong)).toSet
+    pairs.intersect(planted) shouldBe planted
+    // survivors == every id minus the higher-id member of each found pair
+    val survivors = Dedup.semDedupSurvivors(all, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 8)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = pairs.map(_._2)
+    survivors shouldBe all.collect().map(_.getLong(0)).toSet -- dropped
+    survivors.intersect((10000L until 10050L).toSet) shouldBe empty
+  }
+
   test("ivf ann returns k well-ordered neighbors per query") {
     val res = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
