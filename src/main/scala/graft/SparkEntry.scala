@@ -1039,6 +1039,22 @@ object SparkEntry {
       Multimodal.imagePipeline(t(s, dir, "documents"), "text", "doc_id")
     }),
 
+    "q85_substring_dedup" -> ((s, dir) => {
+      // exact-substring (repeated 8-token window) detection. Every 20th
+      // doc gets a shared 10-word boilerplate tail, so the windows lying
+      // fully inside the tail are verbatim-repeated across ~5% of the
+      // corpus; junction windows and any natural repeats are counted
+      // identically by the oracle. minDocs=3 keeps the output to truly
+      // corpus-frequent spans.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" this boilerplate sentence repeats" +
+            " verbatim across many documents here")))
+          .otherwise(col("text")).as("text"))
+      Dedup.duplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 8, minDocs = 3)
+    }),
+
     // ---- q9x: scale paths, rows-only checks (not SQL-expressible:
     // sketch internals / seeded-hash candidates) ----
     "q90_minhash_lsh" -> ((s, dir) => {
@@ -1985,6 +2001,20 @@ object SparkEntry {
         |SELECT train_id, probe_id, count(*) AS shared_ngrams
         |FROM tg JOIN pg USING (gram)
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q85_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 20 = 0 THEN text ||
+        |      ' this boilerplate sentence repeats verbatim across many documents here'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT DISTINCT doc_id, span FROM (
+        |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span FROM (
+        |    SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
+        |SELECT span, count(*) AS n_docs
+        |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
     "q60_contamination" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -229,6 +229,60 @@ object Dedup {
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Repeated-span detection (the exact-substring dedup regime of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, at token-window granularity): every
+    * `windowTokens`-token window that occurs in >= `minDocs` DISTINCT
+    * documents, with its document count. Complements
+    * [[removeFrequentLines]] (which needs line structure) and
+    * [[ngramContamination]] (cross-corpus): this finds verbatim repeated
+    * passages WITHIN one corpus — licenses, headers, templated blocks —
+    * that whole-doc dedup cannot see.
+    *
+    * Output: span (one exemplar text per duplicated window), n_docs.
+    *
+    * Scale shape: pass 1 explodes per-doc DISTINCT windows
+    * ([[TextOps.ngrams]] dedupes inside the row) but projects them to
+    * TWO independent 64-bit hashes before the exchange, so the only
+    * full-corpus shuffle carries 24 bytes per (window, doc) pair — the
+    * span text itself never crosses it. Counting groups on the 128-bit
+    * hash pair: at corpus scale (~10^12 distinct windows) a single
+    * 64-bit key WOULD collide and merge unrelated windows (expected
+    * collisions ~ W^2/2^65); the pair pushes that to ~W^2/2^129,
+    * negligible at any physical scale. Pass 2 regenerates windows
+    * map-side and joins the duplicated-hash set (bounded by true
+    * duplication volume, not corpus size — no broadcast hint, AQE
+    * converts from the measured size) to recover one exemplar span text
+    * per surviving hash.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Long = 2): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val Seed2 = 0x9E3779B97F4A7C15L
+    def spanStream = df.select(col(idCol).as("__id"),
+      explode(graft.ops.TextOps.ngrams(col(textCol), windowTokens))
+        .as("span"))
+    val dupHashes = spanStream
+      .select(xxhash64(col("span")).as("__h1"),
+        xxhash64(col("span"), lit(Seed2)).as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    spanStream
+      .select(xxhash64(col("span")).as("__h1"),
+        xxhash64(col("span"), lit(Seed2)).as("__h2"), col("span"))
+      .join(dupHashes, Seq("__h1", "__h2"))
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(min(col("span")).as("span"), max(col("n_docs")).as("n_docs"))
+      .select(col("span"), col("n_docs"))
+  }
+
   /** EXACT n-gram contamination (the GPT-3-style eval-set decontamination
     * rule: a probe doc is contaminated if it shares >= minShared distinct
     * token n-grams with a training doc). Complements

@@ -85,6 +85,41 @@ class NgramContaminationSpec extends AnyFunSuite with Matchers
       .map(_.getString(0)).toSet shouldBe Set("COOKIE BANNER", "NAV BAR")
   }
 
+  test("duplicatedSpans: repeated windows found with exact doc counts, " +
+    "per-doc repeats count once, unique text is silent") {
+    val docs = df(
+      1L -> "alpha beta gamma delta unique one",
+      2L -> "intro words alpha beta gamma delta trailer",
+      3L -> "alpha beta gamma delta alpha beta gamma delta", // repeat in-doc
+      4L -> "totally different content here now")
+    val got = Dedup.duplicatedSpans(docs, "id", "text",
+      windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the shared 4-window appears in docs 1,2,3 — doc 3's in-doc repeat
+    // must NOT inflate the count
+    got("alpha beta gamma delta") shouldBe 3L
+    // no window of doc 4 is repeated anywhere
+    got.keys.exists(_.contains("totally")) shouldBe false
+  }
+
+  test("duplicatedSpans: minDocs gates, and the counting exchange " +
+    "carries only hashes (no span text)") {
+    val docs = df((0L until 50L).map(i =>
+      i -> (s"head$i filler$i " + "shared tail of five words")): _*)
+    val spans = Dedup.duplicatedSpans(docs, "id", "text",
+      windowTokens = 5, minDocs = 40)
+    val rows = spans.collect()
+    // only the one window fully inside the shared 5-word tail survives
+    rows.map(r => (r.getString(0), r.getLong(1))) shouldBe
+      Array(("shared tail of five words", 50L))
+    // plan audit: the first (full-corpus) aggregation groups on the two
+    // hash columns only — the span string column must not appear in any
+    // hashpartitioning clause
+    val plan = spans.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "hashpartitioning\\(span".r.findAllIn(plan).isEmpty shouldBe true
+  }
+
   test("broadcast mode: the training side reaches the join without an " +
     "exchange; non-broadcast mode agrees on the answer") {
     val train = df((0L until 200L).map(i =>
