@@ -1055,6 +1055,20 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q86_bloom_decontaminate" -> ((s, dir) => {
+      // Bloom-accelerated exact decontamination: every 13th doc's text is
+      // the probe set; corpus rows matching a probe text are flagged. The
+      // Bloom stage is a prefilter only — the exact confirm join makes
+      // the answer identical to a plain semi-join, which is the oracle.
+      // An undersized filter (2^16 bits) is deliberate: false positives
+      // MUST occur and MUST be removed by the confirm stage.
+      val corpus = t(s, dir, "documents")
+      val probe = corpus.filter(col("doc_id") % 13 === 0)
+      Dedup.bloomSemiJoin(corpus, probe, "text",
+        numBits = 1L << 16, numHashFns = 5)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- q9x: scale paths, rows-only checks (not SQL-expressible:
     // sketch internals / seeded-hash candidates) ----
     "q90_minhash_lsh" -> ((s, dir) => {
@@ -2015,6 +2029,11 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q86_bloom_decontaminate" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text IN (SELECT text FROM documents WHERE doc_id % 13 = 0)
+        |""".stripMargin,
 
     "q60_contamination" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents),

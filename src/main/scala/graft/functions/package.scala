@@ -119,6 +119,16 @@ package object functions {
       params: Array[(Long, Long)]): Column =
     col(MinHashSig(expr(text), shingleK, params))
 
+  // --- Bloom membership filter ---
+  /** Bloom filter aggregate over pre-hashed keys (`xxhash64(col)`). */
+  def bloom_agg(hash: Column, numBits: Long = 1L << 23,
+      numHashFns: Int = 5): Column =
+    agg(BloomAgg(expr(hash), numBits, numHashFns))
+
+  /** Membership probe against [[bloom_agg]] bytes (no false negatives). */
+  def bloom_might_contain(bloom: Column, hash: Column): Column =
+    col(BloomMightContain(expr(bloom), expr(hash)))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))

@@ -229,6 +229,123 @@ object Dedup {
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Corpus rows with the Bloom hit flag attached: one scan, the probe
+    * set reduced to a fixed-size filter broadcast as a single row.
+    */
+  private def withBloomHit(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long,
+      numHashFns: Int): DataFrame = {
+    val blm = probe.agg(graft.functions.bloom_agg(
+      xxhash64(col(keyCol)), numBits, numHashFns).as("__bloom"))
+    corpus.crossJoin(broadcast(blm))
+      .withColumn("__bloom_hit", graft.functions.bloom_might_contain(
+        col("__bloom"), xxhash64(col(keyCol))))
+      .drop("__bloom")
+  }
+
+  /** Bloom HIT candidates, persisted. The persist is not (only) a
+    * recompute guard — it is an OPTIMIZER BARRIER: without it, Catalyst's
+    * PushLeftSemiLeftAntiThroughJoin pushes the exact confirm semi/anti
+    * join BELOW the Bloom condition, turning the plan back into a
+    * full-corpus key shuffle and leaving the filter to run on the join
+    * output — exactly backwards at scale. The cached frame is bounded by
+    * true-match volume + the filter's designed FP rate, never corpus
+    * size.
+    */
+  private def bloomHitsReleasable(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long,
+      numHashFns: Int): (DataFrame, DataFrame, () => Unit) = {
+    val flagged = withBloomHit(corpus, probe, keyCol, numBits, numHashFns)
+    val hits = flagged.filter(col("__bloom_hit")).drop("__bloom_hit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (flagged, hits, () => { hits.unpersist(blocking = false); () })
+  }
+
+  /** EXACT key-match decontamination, Bloom-accelerated: corpus rows
+    * whose `keyCol` appears in `probe` (use the clean complement
+    * [[bloomAntiJoin]] to drop them). The Bloom filter is a PREFILTER —
+    * candidates that survive it are confirmed by an exact join, so the
+    * answer carries no false positives and is SQL-oracle-equal to a plain
+    * semi-join.
+    *
+    * Scale shape (the regime where the probe set is too big to broadcast
+    * raw — a plain semi-join would then shuffle the ENTIRE corpus on the
+    * key): the probe collapses to O(numBits) filter bytes via word-wise
+    * OR merges (one fixed-size buffer per partition crosses the
+    * exchange), broadcasts as one row, and the corpus scan drops
+    * non-members map-side inside whole-stage codegen. Only Bloom HITS —
+    * true matches plus the designed false-positive rate — are persisted
+    * and reach the confirm join, so the join volume is bounded by match
+    * volume, not corpus size (see [[bloomHitsReleasable]] for why the
+    * persist is load-bearing).
+    */
+  def bloomSemiJoin(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long = 1L << 23,
+      numHashFns: Int = 5): DataFrame =
+    bloomSemiJoinReleasable(corpus, probe, keyCol, numBits, numHashFns)._1
+
+  /** [[bloomSemiJoin]] plus a release() thunk that unpersists the cached
+    * candidate frame (call once the result has been materialized).
+    */
+  def bloomSemiJoinReleasable(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long = 1L << 23,
+      numHashFns: Int = 5): (DataFrame, () => Unit) = {
+    val (_, hits, release) =
+      bloomHitsReleasable(corpus, probe, keyCol, numBits, numHashFns)
+    val confirmed = hits
+      .join(probe.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(corpus.columns.map(col): _*)
+    (confirmed, release)
+  }
+
+  /** Clean complement of [[bloomSemiJoin]]: corpus rows whose key does
+    * NOT appear in the probe set — the decontaminated training corpus.
+    *
+    * Two branches, both cheap: Bloom MISSES are definitely clean (no
+    * false negatives) and flow scan->output with NO exchange; Bloom hits
+    * (match volume + FP rate, persisted — see [[bloomHitsReleasable]])
+    * are the only rows that pay the exact anti-join. The corpus is
+    * scanned twice but never shuffled — at scale two pruned columnar
+    * scans cost far less than one full-corpus shuffle. If the corpus
+    * frame is expensive to recompute (a join, not a scan), persist it
+    * upstream.
+    */
+  def bloomAntiJoin(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long = 1L << 23,
+      numHashFns: Int = 5): DataFrame =
+    bloomAntiJoinReleasable(corpus, probe, keyCol, numBits, numHashFns)._1
+
+  /** [[bloomAntiJoin]] plus a release() thunk for the cached candidates. */
+  def bloomAntiJoinReleasable(
+      corpus: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      numBits: Long = 1L << 23,
+      numHashFns: Int = 5): (DataFrame, () => Unit) = {
+    val (flagged, hits, release) =
+      bloomHitsReleasable(corpus, probe, keyCol, numBits, numHashFns)
+    val cleanMisses = flagged.filter(!col("__bloom_hit")).drop("__bloom_hit")
+    val falsePositives = hits
+      .join(probe.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .select(cleanMisses.columns.map(col): _*)
+    (cleanMisses.unionAll(falsePositives), release)
+  }
+
   /** Repeated-span detection (the exact-substring dedup regime of
     * "Deduplicating Training Data Makes Language Models Better",
     * Lee et al. 2022, at token-window granularity): every
