@@ -506,6 +506,43 @@ object SparkEntry {
         round(col("value.numbers.sum"), 2).as("val_sum"))
     }),
 
+    "q87_streaming_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING exact dedup, driver-checked: the event feed replays
+      // through a MemoryStream in two time-ordered micro-batches and
+      // dropDuplicatesWithinWatermark keeps one state entry per
+      // (user_id, event_type) within the horizon. The collect below
+      // CONSTRUCTS the fixture-scale stream source; it is not a
+      // query-path collect. The final distinct projection makes the
+      // result independent of which arrival each key emitted (and of
+      // any re-emission after state eviction), so the set of keys is
+      // exactly batch DISTINCT — the oracle.
+      val rows = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(expr("ts div 1000").as("us"), col("user_id"),
+          col("event_type"))
+        .orderBy(col("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val (batch1, batch2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)]
+      val stream = input.toDF().toDF("us", "user_id", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val deduped = graft.streaming.StreamingDedup.firstArrivals(
+        stream, "ts", Seq("user_id", "event_type"), "1 day")
+      val name = "q87_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(batch1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(batch2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("user_id"), col("event_type")).distinct()
+    }),
+
     "q72_streaming_drift" -> ((s, dir) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1497,6 +1534,10 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n, round(sum(value), 2) AS val_sum
         |FROM events WHERE user_id < 50 GROUP BY 1""".stripMargin,
+
+    "q87_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events WHERE user_id < 50""".stripMargin,
 
     "q72_streaming_drift" ->
       """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
