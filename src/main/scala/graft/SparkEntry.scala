@@ -1092,6 +1092,20 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q88_bm25" -> ((s, dir) => {
+      // Okapi BM25 retrieval: the first 3 docs' 6-token prefixes are the
+      // query set; top-10 docs per query. Ranking uses the 6-decimal
+      // rounded score with doc-id tiebreak (deterministic across
+      // engines), which is exactly the oracle's row_number ordering.
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(lower(col("text")), "\\s+"),
+            tk => length(tk) > 0), 1, 6), " ").as("qtext"))
+      TextOps.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+    }),
+
     "q86_bloom_decontaminate" -> ((s, dir) => {
       // Bloom-accelerated exact decontamination: every 13th doc's text is
       // the probe set; corpus rows matching a probe text are flagged. The
@@ -2070,6 +2084,34 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q88_bm25" ->
+      """WITH tokd AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0) AS toks FROM documents),
+        |q AS (SELECT doc_id AS query_id, toks[1:6] AS qt
+        |  FROM tokd WHERE doc_id < 3),
+        |qt AS (SELECT DISTINCT query_id, t AS term
+        |  FROM q, unnest(qt) AS u(t)),
+        |dt AS (SELECT doc_id, len(toks)::DOUBLE AS dl, t AS term
+        |  FROM tokd, unnest(toks) AS u(t)),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, max(dl) AS dl
+        |  FROM dt WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+        |    avg(len(toks)) AS avgdl FROM tokd),
+        |dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT query_id, tf.doc_id AS doc_id,
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        |  CROSS JOIN stats),
+        |s AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |top AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM top WHERE rank <= 10""".stripMargin,
 
     "q86_bloom_decontaminate" ->
       """SELECT doc_id, lang FROM documents

@@ -446,4 +446,74 @@ object TextOps {
         col("t.score").as("score"), (col("r") + 1).as("rank"))
     (result, () => { if (gated) tf.unpersist(blocking = false); () })
   }
+
+  /** Okapi BM25 top-k retrieval: score every document against a (small)
+    * query set and keep the k best per query. Standard
+    * Robertson–Sparck Jones weighting:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * contribution = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    * summed over the query's distinct terms. Output: query_id, doc_id,
+    * score (rounded to 6 decimals — ranking uses the ROUNDED score with
+    * doc-id tiebreak, so results are deterministic across engines and
+    * partitionings), rank (1-based, <= k).
+    *
+    * Scale shape: the query term set broadcasts and SEMI-JOINS the token
+    * stream map-side, so only tokens matching some query term ever reach
+    * an exchange — the corpus itself never shuffles. Document length is
+    * computed row-locally and rides the surviving tokens (no second
+    * corpus pass, no window). Per-term document frequencies aggregate
+    * from the already-filtered tf rows (query-vocabulary-sized), corpus
+    * N/avgdl ride a 1-row broadcast, and the final per-query top-k is
+    * the bounded [[graft.functions.topk_agg]] — <= partitions x
+    * |queries| x k rows cross the last exchange, not |matches|.
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = docs.schema(idCol).dataType
+    def toksOf(c: Column): Column =
+      filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    val docToks = docs.select(col(idCol).as("id"),
+      size(toksOf(col(textCol))).cast("double").as("dl"),
+      explode(toksOf(col(textCol))).as("term"))
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(toksOf(col(qtextCol)))).as("term"))
+    val tfq = docToks
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val stats = docs
+      .select(size(toksOf(col(textCol))).cast("double").as("dl0"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl0")).as("avgdl"))
+    val docFreq = tfq.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tfq.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.topk_agg(col("score"), col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "t")))
+      .select(col("query_id"),
+        col("t.item_id").cast(idType).as("doc_id"),
+        col("t.score").as("score"), (col("r") + 1).as("rank"))
+  }
 }

@@ -509,6 +509,46 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r(1L) shouldBe (1.0 / math.sqrt(pab * pba) +- 1e-9)
   }
 
+  test("bm25: hand-computed scores, rank order, and absent non-matches") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "durian elderberry fig")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple")).toDF("query_id", "qtext")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(_._4)
+    // N=3, df(apple)=2, avgdl=8/3; idf = ln(1 + 1.5/2.5) = ln(1.6)
+    val idf = math.log(1.6)
+    def w(tf: Double, dl: Double): Double =
+      BigDecimal(idf * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.map(r => (r._1, r._2, r._4)) shouldBe
+      Array((10L, 1L, 1), (10L, 2L, 2)) // tf=2,dl=3 outranks tf=1,dl=2
+    got(0)._3 shouldBe (w(2.0, 3.0) +- 1e-6)
+    got(1)._3 shouldBe (w(1.0, 2.0) +- 1e-6)
+    // doc 3 shares no terms and must be absent entirely
+  }
+
+  test("bm25: multi-term queries sum contributions; k bounds each " +
+    "query's rows; corpus never shuffles before the term semi-join") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"common w${i % 10} filler${i} extra${i}")).toDF(
+      "doc_id", "text")
+    val queries = Seq((1L, "common w1"), (2L, "w2 w3")).toDF(
+      "query_id", "qtext")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", k = 5)
+    val rows = got.collect()
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 5)
+    // query 1: docs with BOTH 'common' and 'w1' (i%10==1) must outrank
+    // docs with only 'common'
+    val q1top = rows.filter(_.getLong(0) == 1L).sortBy(_.getInt(3)).head
+    (q1top.getLong(1) % 10) shouldBe 1L
+  }
+
   test("bigram perplexity is partition-invariant") {
     import spark.implicits._
     val docs = (1 to 200).map(i =>
