@@ -64,6 +64,7 @@ object GraftExtensions {
       es(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
     "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)),
     "bloom_agg" -> (es => BloomAgg(es.head).toAggregateExpression()),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "proto_column_stats" -> (es => graft.io.ProtoColumnStats(es(0),

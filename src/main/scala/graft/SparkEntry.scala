@@ -1092,6 +1092,20 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q89_text_normalize" -> ((s, dir) => {
+      // ingest text cleanup: every doc gets a noisy suffix — decomposed
+      // unicode (e+COMBINING ACUTE, i+COMBINING DIAERESIS), a tab, a BEL
+      // control char, double spaces — and normalizeText must compose,
+      // strip, collapse and trim it identically to the SQL oracle's
+      // nfc_normalize + regexp_replace chain.
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("  cafe\u0301 \u0007 nai\u0308ve\tx  ")).as("text"))
+      noisy.select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+    }),
+
     "q88_bm25" -> ((s, dir) => {
       // Okapi BM25 retrieval: the first 3 docs' 6-token prefixes are the
       // query set; top-10 docs per query. Ranking uses the 6-decimal
@@ -2084,6 +2098,18 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q89_text_normalize" ->
+      """WITH noisy AS (SELECT doc_id,
+        |    text || '  cafe' || chr(769) || ' ' || chr(7) || ' nai' ||
+        |      chr(776) || 've' || chr(9) || 'x  ' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM noisy)
+        |SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
+        |FROM n""".stripMargin,
 
     "q88_bm25" ->
       """WITH tokd AS (SELECT doc_id,

@@ -119,6 +119,9 @@ package object functions {
       params: Array[(Long, Long)]): Column =
     col(MinHashSig(expr(text), shingleK, params))
 
+  /** Unicode NFC canonical composition (codegen'd static call). */
+  def nfc_normalize(text: Column): Column = col(NfcNormalize(expr(text)))
+
   // --- Bloom membership filter ---
   /** Bloom filter aggregate over pre-hashed keys (`xxhash64(col)`). */
   def bloom_agg(hash: Column, numBits: Long = 1L << 23,

@@ -25,6 +25,22 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** Canonical text cleanup for ingest: Unicode NFC composition (via the
+    * codegen'd [[graft.functions.nfc_normalize]]), ASCII control
+    * characters (C0 + DEL) replaced by spaces, whitespace runs collapsed
+    * to one space, ends trimmed — in that order, so a control char
+    * sandwiched between spaces leaves exactly one space. Dedup keys,
+    * shingles and fingerprints computed downstream then agree across
+    * canonically-equal inputs and byte-noise variants. Row-local, zero
+    * shuffle; every step is SQL-expressible for oracle checks
+    * (nfc_normalize / regexp_replace with 'g' / trim).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.nfc_normalize(text),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and
     * individual non-alphanumeric symbols each count as one token — the
     * piece boundaries a byte-pair tokenizer starts from (whitespace-only

@@ -509,6 +509,46 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r(1L) shouldBe (1.0 / math.sqrt(pab * pba) +- 1e-9)
   }
 
+  test("normalizeText: NFC composes, controls strip, whitespace " +
+    "collapses, ends trim; idempotent; null-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      "cafe\u0301",               // decomposed -> composed
+      "a\u0001b\u0007c",           // controls -> single spaces
+      "  x \t\n y  ",              // collapse + trim
+      "already clean",
+      null)
+    val got = rows.toDF("t")
+      .select(TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    got(0) shouldBe "caf\u00e9"
+    got(1) shouldBe "a b c"
+    got(2) shouldBe "x y"
+    got(3) shouldBe "already clean"
+    got(4) shouldBe null
+    // idempotence over the already-normalized output
+    val again = got.take(4).toSeq.toDF("t")
+      .select(TextOps.normalizeText(col("t"))).collect().map(_.getString(0))
+    again shouldBe got.take(4)
+  }
+
+  test("nfc_normalize is SQL-registered and codegen-friendly") {
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+    Seq("nai\u0308ve").toDF("t").createOrReplaceTempView("nfc_probe")
+    spark.sql("SELECT nfc_normalize(t) AS n FROM nfc_probe")
+      .collect()(0).getString(0) shouldBe "na\u00efve"
+    // the projection stays inside whole-stage codegen (no fallback);
+    // a non-foldable input defeats ConvertToLocalRelation so the span
+    // is observable
+    val df = spark.range(1)
+      .select(graft.functions.nfc_normalize(
+        concat(lit("cafe\u0301"), col("id").cast("string"))).as("n"))
+    "\\*\\(\\d+\\) Project".r.findFirstIn(
+      df.queryExecution.executedPlan.toString) should not be empty
+    df.collect()(0).getString(0) shouldBe "caf\u00e90"
+  }
+
   test("bm25: hand-computed scores, rank order, and absent non-matches") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
