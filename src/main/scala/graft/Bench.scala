@@ -193,7 +193,62 @@ object Bench {
           (0 until 150).map(i =>
             (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
         wide.newProfilingSession().aggProfiles().count()
-      }))
+      }),
+      // interpolated bigram-LM perplexity of every document (two n-gram
+      // count shuffles + three AQE-decided scoring joins)
+      "bigram_perplexity" -> (() =>
+        graft.ops.TextOps.bigramPerplexity(t("documents"), "doc_id", "text")
+          .count()),
+      // SemDeDup survivors over the corpus with 10% planted exact copies
+      // (k-means cells + in-cell pair generation + anti-join)
+      "semdedup" -> (() => {
+        val emb = t("embeddings")
+        val dups = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
+            col("label"))
+        Dedup.semDedupSurvivors(emb.unionAll(dups), "vec_id", "embedding",
+          threshold = 0.99, nCentroids = 16).count()
+      }),
+      // temperature-weighted source rebalancing (map-only corpus filter)
+      "temperature_mix" -> (() =>
+        graft.ops.Sampling.temperatureMix(t("documents"), "doc_id",
+          "source", targetFraction = 0.5, temperature = 0.5).count()),
+      // token-budget prefix selection (distributed prefix sum + semi-join)
+      "token_budget" -> (() => {
+        val docs = t("documents").select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("n_tok"))
+        graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id", "n_tok",
+          budget = 100000L).count()
+      }),
+      // exact-substring dedup: repeated 8-token windows across the corpus
+      // (hash-only counting shuffle + exemplar fetch join)
+      "substring_dedup" -> (() =>
+        Dedup.duplicatedSpans(t("documents"), "doc_id", "text",
+          windowTokens = 8, minDocs = 2).count()),
+      // Bloom-accelerated exact decontamination: 10% of texts are the
+      // probe; map-side membership prefilter + bounded confirm join
+      "bloom_decontaminate" -> (() => {
+        val corpus = t("documents")
+        val probe = corpus.filter(col("doc_id") % 10 === 0)
+        val (semi, release) = Dedup.bloomSemiJoinReleasable(corpus, probe,
+          "text", numBits = 1L << 23, numHashFns = 5)
+        val n = semi.count(); release(); n
+      }),
+      // BM25 retrieval: 20 queries against the corpus, top-10 each
+      // (broadcast term semi-join + bounded top-k)
+      "bm25" -> (() => {
+        val docs = t("documents")
+        val queries = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("query_id"),
+            substring(col("text"), 1, 60).as("qtext"))
+        graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10).count()
+      }),
+      // ingest text cleanup over the full corpus (row-local, zero shuffle)
+      "text_normalize" -> (() =>
+        t("documents").select(
+          graft.ops.TextOps.normalizeText(col("text")).as("n"))
+          .agg(sum(length(col("n")))).count()))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape
@@ -224,6 +279,22 @@ object Bench {
         "doc_id", "n_tok", "doc_id", budget = 2048L)
       p.count(); rel()
     }
+    graft.ops.TextOps.bigramPerplexity(warmDocs, "doc_id", "text").count()
+    Dedup.semDedupSurvivors(warmEmb, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 4).count()
+    graft.ops.Sampling.temperatureMix(t("documents").limit(200), "doc_id",
+      "source", targetFraction = 0.5, temperature = 0.5).count()
+    Dedup.duplicatedSpans(warmDocs, "doc_id", "text",
+      windowTokens = 8, minDocs = 2).count()
+    locally {
+      val (semi, rel) = Dedup.bloomSemiJoinReleasable(warmDocs,
+        warmDocs.limit(20), "text", numBits = 1L << 16, numHashFns = 5)
+      semi.count(); rel()
+    }
+    graft.ops.TextOps.bm25TopK(warmDocs, "doc_id", "text",
+      warmDocs.limit(3).select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 40).as("qtext")),
+      "query_id", "qtext", k = 3).count()
 
     val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()
