@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
@@ -180,6 +180,14 @@ case class BloomAgg(
   * rate). Codegen-friendly: the generated code is one static call into
   * [[BloomRuntime]], whose per-thread cache makes the per-row cost k word
   * probes — the hot decontamination scan stays inside whole-stage codegen.
+  *
+  * SCALE CAVEAT: when the bloom bytes arrive as a JOINED COLUMN (the
+  * 1-row cross-join attachment), every row's evaluation first COPIES the
+  * full byte array out of the row (`UnsafeRow.getBinary`) before the
+  * cache can hit — an O(numBits) memcpy per row that dwarfs the probe
+  * itself for megabyte filters. Row-stream plans should use
+  * [[BloomMightContainBroadcast]], which ships the filter once per
+  * executor; this column form is for SQL callers and small filters.
   */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -204,4 +212,63 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** [[BloomMightContain]] with the filter as a torrent-broadcast handle
+  * (the [[TopCentroidsBroadcast]] pattern): the bytes ship once per
+  * executor and parse once per expression instance — per-row work is
+  * exactly k word probes, no per-row byte copies, no join in the plan.
+  * This is the form [[graft.ops.Dedup.bloomSemiJoin]] uses on the corpus
+  * scan.
+  */
+case class BloomMightContainBroadcast(
+    bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires a bigint hash, got $other")
+    }
+
+  @transient private lazy val parsed: (Int, Long, Array[Long]) = {
+    val bytes = bloom.value
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt(0) == BloomRuntime.Magic,
+      "not graft bloom filter bytes")
+    val k = bb.getInt(4)
+    val numBits = bb.getLong(8)
+    val words = new Array[Long]((numBits >> 6).toInt)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong(24 + 8 * i); i += 1 }
+    (k, numBits, words)
+  }
+
+  def probe(h: Long): Boolean = {
+    val (k, numBits, words) = parsed
+    val h2 = BloomRuntime.splitmix64(h)
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h + i.toLong * h2, numBits)
+      if ((words((bit >> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContainBroadcast].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

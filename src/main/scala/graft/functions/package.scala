@@ -132,6 +132,14 @@ package object functions {
   def bloom_might_contain(bloom: Column, hash: Column): Column =
     col(BloomMightContain(expr(bloom), expr(hash)))
 
+  /** [[bloom_might_contain]] with the filter as a broadcast handle — the
+    * row-stream form: no per-row byte copies (use for corpus scans).
+    */
+  def bloom_might_contain_bcast(
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      hash: Column): Column =
+    col(BloomMightContainBroadcast(bloom, expr(hash)))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))

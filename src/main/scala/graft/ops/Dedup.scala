@@ -229,8 +229,15 @@ object Dedup {
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
   }
 
-  /** Corpus rows with the Bloom hit flag attached: one scan, the probe
-    * set reduced to a fixed-size filter broadcast as a single row.
+  /** Corpus rows with the Bloom hit flag attached: the probe set reduces
+    * to a fixed-size filter (one aggregation job, run eagerly — the
+    * [[Similarity.ivfTopK]] centroid precedent) that ships to executors
+    * as a torrent broadcast, and the flag is a pure projection over the
+    * corpus scan. Deliberately NOT the 1-row cross-join attachment: a
+    * joined bloom column costs an O(numBits) `getBinary` copy per corpus
+    * row before the probe can run — the broadcast-handle expression
+    * ([[graft.functions.BloomMightContainBroadcast]]) probes a
+    * once-per-executor parsed word array instead.
     */
   private def withBloomHit(
       corpus: DataFrame,
@@ -238,12 +245,13 @@ object Dedup {
       keyCol: String,
       numBits: Long,
       numHashFns: Int): DataFrame = {
-    val blm = probe.agg(graft.functions.bloom_agg(
+    val bytes = probe.agg(graft.functions.bloom_agg(
       xxhash64(col(keyCol)), numBits, numHashFns).as("__bloom"))
-    corpus.crossJoin(broadcast(blm))
-      .withColumn("__bloom_hit", graft.functions.bloom_might_contain(
-        col("__bloom"), xxhash64(col(keyCol))))
-      .drop("__bloom")
+      .head().getAs[Array[Byte]](0)
+    val handle = corpus.sparkSession.sparkContext.broadcast(bytes)
+    corpus.withColumn("__bloom_hit",
+      graft.functions.bloom_might_contain_bcast(handle,
+        xxhash64(col(keyCol))))
   }
 
   /** Bloom HIT candidates, persisted. The persist is not (only) a

@@ -47,8 +47,12 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
 
   test("the bloom prefilter runs BELOW the confirm join (candidate " +
     "barrier holds against semi-join pushdown), codegen'd") {
-    val corpus = docs(0 until 2000)
-    val probe = docs(0 until 10)
+    // range-backed (non-local) frames so ConvertToLocalRelation cannot
+    // pre-evaluate the probe and erase the plan under audit
+    val corpus = spark.range(2000).select(col("id"),
+      concat(lit("payload text number "), col("id")).as("key"))
+    val probe = spark.range(10).select(col("id"),
+      concat(lit("payload text number "), col("id")).as("key"))
     val (semi, release) = Dedup.bloomSemiJoinReleasable(corpus, probe,
       "key", numBits = 1L << 16, numHashFns = 5)
     try {
