@@ -222,3 +222,90 @@ def cap_per_key(df: DataFrame, key_cols: List[str], id_col: str,
     caps) — survivors are the deterministic bottom-k id-hash sample."""
     return _to_py_df(_jvm_bridge(df).capPerKey(
         df._jdf, list(key_cols), id_col, int(k)), df)
+
+
+def unigram_perplexity(df: DataFrame, id_col: str, text_col: str,
+                       min_count: int = 1) -> DataFrame:
+    """Per-document unigram-LM perplexity under the corpus's own token
+    distribution (LM quality filter)."""
+    return _to_py_df(_jvm_bridge(df).unigramPerplexity(
+        df._jdf, id_col, text_col, int(min_count)), df)
+
+
+def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
+                      lam: float = 0.75, min_count: int = 1) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram-LM perplexity (CCNet-style
+    quality scoring one order up from the unigram filter)."""
+    return _to_py_df(_jvm_bridge(df).bigramPerplexity(
+        df._jdf, id_col, text_col, float(lam), int(min_count)), df)
+
+
+def temperature_mix(df: DataFrame, id_col: str, source_col: str,
+                    target_fraction: float,
+                    temperature: float = 0.5) -> DataFrame:
+    """Temperature-weighted source rebalancing: per-source Bernoulli
+    rates from size^T weights; map-only corpus filter."""
+    return _to_py_df(_jvm_bridge(df).temperatureMix(
+        df._jdf, id_col, source_col, float(target_fraction),
+        float(temperature)), df)
+
+
+def token_budget_select(df: DataFrame, id_col: str, tok_col: str,
+                        budget: int) -> DataFrame:
+    """Deterministic token-budget selection: keep the id-hash-ordered
+    prefix of whole documents fitting inside ``budget`` tokens."""
+    return _to_py_df(_jvm_bridge(df).tokenBudgetSelect(
+        df._jdf, id_col, tok_col, int(budget)), df)
+
+
+def semdedup_survivors(df: DataFrame, id_col: str, emb_col: str,
+                       threshold: float = 0.95,
+                       n_centroids: int = 16) -> DataFrame:
+    """SemDeDup: drop semantic near-duplicates (cosine >= threshold
+    within a k-means cell), keeping the lowest id per duplicate group."""
+    return _to_py_df(_jvm_bridge(df).semDedupSurvivors(
+        df._jdf, id_col, emb_col, float(threshold), int(n_centroids)), df)
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                     window_tokens: int, min_docs: int = 2) -> DataFrame:
+    """Repeated ``window_tokens``-token windows across the corpus
+    (exact-substring duplication detection): span, n_docs."""
+    return _to_py_df(_jvm_bridge(df).duplicatedSpans(
+        df._jdf, id_col, text_col, int(window_tokens), int(min_docs)), df)
+
+
+def bloom_semi_join(corpus: DataFrame, probe: DataFrame, key_col: str,
+                    num_bits: int = 1 << 23,
+                    num_hash_fns: int = 5) -> DataFrame:
+    """Corpus rows whose key appears in the probe set — exact answer,
+    Bloom-prefiltered map-side so only candidates reach the join."""
+    return _to_py_df(_jvm_bridge(corpus).bloomSemiJoin(
+        corpus._jdf, probe._jdf, key_col, int(num_bits),
+        int(num_hash_fns)), corpus)
+
+
+def bloom_anti_join(corpus: DataFrame, probe: DataFrame, key_col: str,
+                    num_bits: int = 1 << 23,
+                    num_hash_fns: int = 5) -> DataFrame:
+    """Clean complement of :func:`bloom_semi_join` — the decontaminated
+    corpus."""
+    return _to_py_df(_jvm_bridge(corpus).bloomAntiJoin(
+        corpus._jdf, probe._jdf, key_col, int(num_bits),
+        int(num_hash_fns)), corpus)
+
+
+def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
+              queries: DataFrame, qid_col: str, qtext_col: str,
+              k: int, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 top-k retrieval: (query_id, doc_id, score, rank)."""
+    return _to_py_df(_jvm_bridge(docs).bm25TopK(
+        docs._jdf, id_col, text_col, queries._jdf, qid_col, qtext_col,
+        int(k), float(k1), float(b)), docs)
+
+
+def normalize_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Canonical ingest cleanup of ``text_col`` in place: Unicode NFC,
+    control chars stripped, whitespace collapsed, ends trimmed."""
+    return _to_py_df(_jvm_bridge(df).normalizeTextColumn(
+        df._jdf, text_col), df)

@@ -192,6 +192,70 @@ def test_contamination_packing_stratified():
     print("ngram contamination + sequence packing + stratified sample OK")
 
 
+def test_round5_curation_ops():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    docs = _docs().select("doc_id", "text", "source")
+
+    # temperature mix: t=1 keeps ~target_fraction of every source
+    mixed = ops.temperature_mix(docs, "doc_id", "source", 0.5,
+                                temperature=1.0)
+    frac = mixed.count() / docs.count()
+    assert 0.4 < frac < 0.6, frac
+
+    # token budget: selection is a subset and fits the budget
+    toks = docs.select("doc_id",
+                       F.size(F.split("text", " ")).alias("n_tok"))
+    picked = ops.token_budget_select(toks, "doc_id", "n_tok", 5000)
+    total = picked.agg(F.sum("n_tok")).collect()[0][0]
+    assert total is not None and total <= 5000
+
+    # perplexity: every doc scored, positive
+    ppl = ops.bigram_perplexity(docs, "doc_id", "text")
+    assert ppl.filter(F.col("perplexity") <= 0).count() == 0
+
+    # duplicated spans: a planted shared tail is found
+    tailed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" zz shared tail marker words here")).alias("text"))
+    spans = ops.duplicated_spans(tailed, "doc_id", "text", 5, min_docs=100)
+    assert spans.filter(F.col("span").contains("shared tail")).count() > 0
+
+    # bloom joins partition the corpus around an exact key-match set
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    semi = ops.bloom_semi_join(docs, probe, "text")
+    anti = ops.bloom_anti_join(docs, probe, "text")
+    assert semi.count() + anti.count() == docs.count()
+
+    # bm25: each query returns <= k ranked docs
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("qtext"))
+    top = ops.bm25_topk(docs, "doc_id", "text",
+                        queries, "query_id", "qtext", k=5)
+    assert top.groupBy("query_id").count() \
+        .filter(F.col("count") > 5).count() == 0
+
+    # normalize_text: whitespace collapsed in place, schema preserved
+    noisy = docs.select("doc_id",
+                        F.concat(F.lit("  a  b "), F.col("text")).alias("text"))
+    norm = ops.normalize_text(noisy, "text")
+    assert norm.columns == ["doc_id", "text"]
+    assert norm.filter(F.col("text").startswith("a b ")).count() \
+        == noisy.count()
+
+    # semdedup: planted exact copies are dropped, originals survive
+    embs = _embs()
+    dups = embs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    surv = ops.semdedup_survivors(embs.unionAll(dups), "vec_id",
+                                  "embedding", threshold=0.99)
+    assert surv.count() == embs.count()
+    print("round-5 curation ops OK")
+
+
 def main():
     test_exact_dedup()
     test_near_dup_clusters()
@@ -200,6 +264,7 @@ def main():
     test_tfidf_and_outliers()
     test_multimodal_map_in_pandas()
     test_contamination_packing_stratified()
+    test_round5_curation_ops()
     print("ALL OPS TESTS PASSED")
 
 

@@ -268,4 +268,68 @@ object PyBridge {
       df, idCol, tokCol, orderCol, budget)
     new PyPackedLayout(out, release)
   }
+
+  /** Per-document unigram-LM perplexity (corpus-trained). */
+  def unigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame =
+    graft.ops.TextOps.unigramPerplexity(df, idCol, textCol, minCount)
+
+  /** Interpolated bigram-LM perplexity (Jelinek–Mercer, corpus-trained). */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double, minCount: Long): DataFrame =
+    graft.ops.TextOps.bigramPerplexity(df, idCol, textCol, lambda, minCount)
+
+  /** Temperature-weighted source rebalancing (map-only filter). */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      targetFraction: Double, temperature: Double): DataFrame =
+    graft.ops.Sampling.temperatureMix(df, idCol, sourceCol,
+      targetFraction, temperature)
+
+  /** Deterministic token-budget prefix selection. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long): DataFrame =
+    graft.ops.Sampling.tokenBudgetSelect(df, idCol, tokCol, budget)
+
+  /** SemDeDup survivors: semantic near-dup removal over embeddings. */
+  def semDedupSurvivors(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nCentroids: Int): DataFrame =
+    graft.ops.Dedup.semDedupSurvivors(df, idCol, embCol, threshold,
+      nCentroids)
+
+  /** Repeated token-window spans across the corpus (exact-substring
+    * dedup detection).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Long): DataFrame =
+    graft.ops.Dedup.duplicatedSpans(df, idCol, textCol, windowTokens,
+      minDocs)
+
+  /** Bloom-accelerated exact semi-join (corpus rows whose key appears
+    * in the probe set).
+    */
+  def bloomSemiJoin(corpus: DataFrame, probe: DataFrame, keyCol: String,
+      numBits: Long, numHashFns: Int): DataFrame =
+    graft.ops.Dedup.bloomSemiJoin(corpus, probe, keyCol, numBits,
+      numHashFns)
+
+  /** Clean complement of [[bloomSemiJoin]] — the decontaminated corpus. */
+  def bloomAntiJoin(corpus: DataFrame, probe: DataFrame, keyCol: String,
+      numBits: Long, numHashFns: Int): DataFrame =
+    graft.ops.Dedup.bloomAntiJoin(corpus, probe, keyCol, numBits,
+      numHashFns)
+
+  /** Okapi BM25 top-k retrieval of corpus docs for a small query set. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double, b: Double): DataFrame =
+    graft.ops.TextOps.bm25TopK(docs, idCol, textCol, queries, qidCol,
+      qtextCol, k, k1, b)
+
+  /** Canonical ingest text cleanup of one column (NFC + control strip +
+    * whitespace collapse + trim), other columns passed through.
+    */
+  def normalizeTextColumn(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      graft.ops.TextOps.normalizeText(org.apache.spark.sql.functions
+        .col(textCol)))
 }
