@@ -241,8 +241,9 @@ object Bench {
         val queries = docs.filter(col("doc_id") < 20)
           .select(col("doc_id").as("query_id"),
             substring(col("text"), 1, 60).as("qtext"))
-        graft.ops.TextOps.bm25TopK(docs, "doc_id", "text",
-          queries, "query_id", "qtext", k = 10).count()
+        val (top, release) = graft.ops.TextOps.bm25TopKReleasable(docs,
+          "doc_id", "text", queries, "query_id", "qtext", k = 10)
+        val n = top.count(); release(); n
       }),
       // ingest text cleanup over the full corpus (row-local, zero shuffle)
       "text_normalize" -> (() =>

@@ -492,7 +492,28 @@ object TextOps {
       qtextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25TopKReleasable(docs, idCol, textCol, queries, qidCol, qtextCol,
+      k, k1, b)._1
+
+  /** [[bm25TopK]] plus a release() thunk for the persisted matched-tf
+    * frame (call once the result has been materialized). The persist is
+    * what keeps the corpus explode + term semi-join + (doc, term)
+    * aggregation a SINGLE execution — its two consumers (per-term doc
+    * frequencies and the scoring join) would otherwise each recompute
+    * the whole chain. The cached frame is bounded by match volume
+    * (docs containing query terms x query terms), not corpus size.
+    */
+  def bm25TopKReleasable(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): (org.apache.spark.sql.DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val idType = docs.schema(idCol).dataType
     def toksOf(c: Column): Column =
@@ -507,6 +528,7 @@ object TextOps {
         Seq("term"), "left_semi")
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = docs
       .select(size(toksOf(col(textCol))).cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -525,11 +547,12 @@ object TextOps {
           .as("contrib"))
       .groupBy(col("query_id"), col("id"))
       .agg(round(sum(col("contrib")), 6).as("score"))
-    scored.groupBy(col("query_id"))
+    val result = scored.groupBy(col("query_id"))
       .agg(graft.functions.topk_agg(col("score"), col("id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("r", "t")))
       .select(col("query_id"),
         col("t.item_id").cast(idType).as("doc_id"),
         col("t.score").as("score"), (col("r") + 1).as("rank"))
+    (result, () => { tfq.unpersist(blocking = false); () })
   }
 }
