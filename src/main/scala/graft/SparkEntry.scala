@@ -1092,6 +1092,18 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q37_json_props" -> ((s, dir) => {
+      // semi-structured payloads: the event stream's JSON props column
+      // parsed in-plan (codegen get_json_object path) and aggregated —
+      // the log-enrichment shape of a telemetry/training-feed pipeline
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          round(avg(col("k")), 4).as("k_avg"))
+    }),
+
     "q89_text_normalize" -> ((s, dir) => {
       // ingest text cleanup: every doc gets a noisy suffix — decomposed
       // unicode (e+COMBINING ACUTE, i+COMBINING DIAERESIS), a tab, a BEL
@@ -2098,6 +2110,13 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q37_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+        |    AS k_avg
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q89_text_normalize" ->
       """WITH noisy AS (SELECT doc_id,

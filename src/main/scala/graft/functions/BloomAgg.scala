@@ -137,6 +137,14 @@ case class BloomAgg(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[BloomBuffer] {
 
+  // fail at plan construction on the driver, not in a task on the
+  // executors (BloomBuffer re-checks, but that surfaces as an opaque
+  // task failure)
+  require(numBits >= 64 && (numBits & 63) == 0,
+    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashFns >= 1 && numHashFns <= 16,
+    s"numHashFns must be in [1,16], got $numHashFns")
+
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType

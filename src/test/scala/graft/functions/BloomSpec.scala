@@ -84,6 +84,13 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     bytes(1) shouldBe bytes(13)
   }
 
+  test("bad filter shapes fail at plan construction, not in a task") {
+    an[IllegalArgumentException] should be thrownBy
+      bloom_agg(xxhash64(col("key")), numBits = 100, numHashFns = 5)
+    an[IllegalArgumentException] should be thrownBy
+      bloom_agg(xxhash64(col("key")), numBits = 1L << 12, numHashFns = 0)
+  }
+
   test("SQL surface: bloom_agg + bloom_might_contain are registered") {
     registerAll(spark)
     docs(0 until 100).createOrReplaceTempView("bloom_keys")
