@@ -1092,6 +1092,15 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q38_key_skew" -> ((s, dir) => {
+      // pre-shuffle skew diagnostic: heaviest event-stream users with
+      // exact counts and corpus share — the "do I need a salted join
+      // here" report, as one map-side-combined aggregation + bounded
+      // top-k (TakeOrderedAndProject)
+      graft.ops.Diagnostics.keySkew(t(s, dir, "events"),
+        Seq("user_id"), topK = 10)
+    }),
+
     "q37_json_props" -> ((s, dir) => {
       // semi-structured payloads: the event stream's JSON props column
       // parsed in-plan (codegen get_json_object path) and aggregated —
@@ -2110,6 +2119,12 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q38_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*)::DOUBLE AS total FROM events)
+        |SELECT user_id, n, round(n / total, 6) AS share
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
 
     "q37_json_props" ->
       """SELECT event_type, count(*) AS n,
