@@ -245,11 +245,15 @@ object Bench {
           "doc_id", "text", queries, "query_id", "qtext", k = 10)
         val n = top.count(); release(); n
       }),
-      // ingest text cleanup over the full corpus (row-local, zero shuffle)
+      // ingest text cleanup over the full corpus (row-local, zero
+      // shuffle). first() + read the SUM, not count(): count(1) would
+      // let ColumnPruning drop the normalizeText projection entirely
+      // and the bench would time a column-less scan
       "text_normalize" -> (() =>
         t("documents").select(
           graft.ops.TextOps.normalizeText(col("text")).as("n"))
-          .agg(sum(length(col("n")))).count()))
+          .agg(sum(length(col("n"))).as("total_chars"))
+          .first().getLong(0)))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape

@@ -65,7 +65,11 @@ object GraftExtensions {
     "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
     "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()),
     "nfc_normalize" -> (es => NfcNormalize(es.head)),
-    "bloom_agg" -> (es => BloomAgg(es.head).toAggregateExpression()),
+    "bloom_agg" -> (es => BloomAgg(es(0),
+      if (es.length > 1) es(1).eval().asInstanceOf[Number].longValue
+      else 1L << 23,
+      if (es.length > 2) es(2).eval().asInstanceOf[Number].intValue
+      else 5).toAggregateExpression()),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "proto_column_stats" -> (es => graft.io.ProtoColumnStats(es(0),
       es(1).eval().toString)),

@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   * one splitmix64 re-mix — no per-key string hashing inside the buffer.
   */
 final class BloomBuffer(val numBits: Long, val numHashFns: Int) {
-  require(numBits >= 64 && (numBits & 63) == 0,
-    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numBits >= 64 && numBits <= BloomRuntime.MaxBits &&
+    (numBits & 63) == 0,
+    s"numBits must be a multiple of 64 in [64, 2^33], got $numBits")
   require(numHashFns >= 1 && numHashFns <= 16,
     s"numHashFns must be in [1,16], got $numHashFns")
   val words = new Array[Long]((numBits >> 6).toInt)
@@ -66,6 +67,14 @@ final class BloomBuffer(val numBits: Long, val numHashFns: Int) {
   */
 object BloomRuntime {
   val Magic: Int = 0x424C4D31 // "BLM1"
+
+  /** 2^33 bits = 1 GiB of words — the ceiling where the serialized form
+    * (24 + 8 * words.length bytes) still fits Int-addressed buffers.
+    * Anything bigger would overflow ByteBuffer.allocate / the words
+    * array INSIDE A TASK; the driver-side require keeps the
+    * fail-at-plan-construction contract honest.
+    */
+  val MaxBits: Long = 1L << 33
 
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -140,8 +149,9 @@ case class BloomAgg(
   // fail at plan construction on the driver, not in a task on the
   // executors (BloomBuffer re-checks, but that surfaces as an opaque
   // task failure)
-  require(numBits >= 64 && (numBits & 63) == 0,
-    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numBits >= 64 && numBits <= BloomRuntime.MaxBits &&
+    (numBits & 63) == 0,
+    s"numBits must be a multiple of 64 in [64, 2^33], got $numBits")
   require(numHashFns >= 1 && numHashFns <= 16,
     s"numHashFns must be in [1,16], got $numHashFns")
 

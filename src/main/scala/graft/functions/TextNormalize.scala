@@ -13,6 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextNormalizeRuntime {
   def nfc(s: UTF8String): UTF8String = {
+    // pure-ASCII fast path WITHOUT the UTF-16 decode: one byte per
+    // codepoint means all-ASCII, and ASCII is always NFC — the common
+    // web-text case pays a byte scan, zero allocation
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -24,7 +24,10 @@ object Diagnostics {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).cast("double").as("__total"))
+    // total = sum over the already-aggregated counts, NOT a second
+    // df.count() scan: both consumers share counts' exchange (the
+    // unigramPerplexity `tot` pattern), so the input is read once
+    val total = counts.agg(sum(col("n")).cast("double").as("__total"))
     counts.crossJoin(broadcast(total))
       .select(keyCols.map(col) ++ Seq(col("n"),
         round(col("n") / col("__total"), 6).as("share")): _*)

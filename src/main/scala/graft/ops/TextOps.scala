@@ -475,13 +475,16 @@ object TextOps {
     *
     * Scale shape: the query term set broadcasts and SEMI-JOINS the token
     * stream map-side, so only tokens matching some query term ever reach
-    * an exchange — the corpus itself never shuffles. Document length is
-    * computed row-locally and rides the surviving tokens (no second
-    * corpus pass, no window). Per-term document frequencies aggregate
-    * from the already-filtered tf rows (query-vocabulary-sized), corpus
-    * N/avgdl ride a 1-row broadcast, and the final per-query top-k is
-    * the bounded [[graft.functions.topk_agg]] — <= partitions x
-    * |queries| x k rows cross the last exchange, not |matches|.
+    * an exchange — the corpus itself never shuffles. The corpus is
+    * tokenized ONCE per scan (a named array column feeds both size()
+    * and explode(); CollapseProject won't inline a non-cheap expression
+    * referenced twice), document length rides the surviving tokens (no
+    * window), and the N/avgdl stats take one additional pruned scan.
+    * Per-term document frequencies aggregate from the already-filtered
+    * tf rows (query-vocabulary-sized), corpus N/avgdl ride a 1-row
+    * broadcast, and the final per-query top-k is the bounded
+    * [[graft.functions.topk_agg]] — <= partitions x |queries| x k rows
+    * cross the last exchange, not |matches|.
     */
   def bm25TopK(
       docs: org.apache.spark.sql.DataFrame,
@@ -518,9 +521,15 @@ object TextOps {
     val idType = docs.schema(idCol).dataType
     def toksOf(c: Column): Column =
       filter(split(lower(c), "\\s+"), t => length(t) > 0)
-    val docToks = docs.select(col(idCol).as("id"),
-      size(toksOf(col(textCol))).cast("double").as("dl"),
-      explode(toksOf(col(textCol))).as("term"))
+    // tokenize ONCE into a named array column; size() and explode()
+    // both consume the attribute (CollapseProject won't inline a
+    // non-cheap expression referenced twice), so the regex split runs
+    // once per row, not once per consumer
+    val toked = docs.select(col(idCol).as("id"),
+      toksOf(col(textCol)).as("__toks"))
+    val docToks = toked.select(col("id"),
+      size(col("__toks")).cast("double").as("dl"),
+      explode(col("__toks")).as("term"))
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(toksOf(col(qtextCol)))).as("term"))
     val tfq = docToks
@@ -529,8 +538,8 @@ object TextOps {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = docs
-      .select(size(toksOf(col(textCol))).cast("double").as("dl0"))
+    val stats = toked
+      .select(size(col("__toks")).cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl0")).as("avgdl"))
     val docFreq = tfq.groupBy(col("term"))

@@ -91,7 +91,8 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       bloom_agg(xxhash64(col("key")), numBits = 1L << 12, numHashFns = 0)
   }
 
-  test("SQL surface: bloom_agg + bloom_might_contain are registered") {
+  test("SQL surface: bloom_agg + bloom_might_contain are registered, " +
+    "and sizing arguments are honored, not dropped") {
     registerAll(spark)
     docs(0 until 100).createOrReplaceTempView("bloom_keys")
     val n = spark.sql(
@@ -100,5 +101,16 @@ class BloomSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         |WHERE bloom_might_contain(b, xxhash64(key))""".stripMargin)
       .collect()(0).getLong(0)
     n shouldBe 100L
+    // 3-arg form: the serialized size reflects the requested 2^12 bits
+    // (24-byte header + 512 bytes of words), proving the args reached
+    // the aggregate instead of being silently replaced by defaults
+    val bytes = spark.sql(
+      "SELECT bloom_agg(xxhash64(key), 4096, 3) FROM bloom_keys")
+      .collect()(0).getAs[Array[Byte]](0)
+    bytes.length shouldBe (24 + 4096 / 8)
+    // and invalid sizes fail fast at plan construction, like the Scala
+    // helper
+    an[IllegalArgumentException] should be thrownBy
+      spark.sql("SELECT bloom_agg(xxhash64(key), 100) FROM bloom_keys")
   }
 }
