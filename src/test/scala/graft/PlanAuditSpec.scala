@@ -97,6 +97,58 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plan should include ("LeftAnti")
   }
 
+  test("bm25: the corpus token stream reaches the tf aggregate through " +
+    "a BROADCAST semi-join — no exchange below it") {
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        substring(col("text"), 1, 40).as("qtext"))
+    val (res, release) = graft.ops.TextOps.bm25TopKReleasable(docs,
+      "doc_id", "text", queries, "query_id", "qtext", k = 5)
+    try {
+      res.collect()
+      // the matched-tf frame is the persisted single execution; inside
+      // its cached plan the semi-join must be broadcast (the corpus
+      // side streams map-side) with the ONLY exchange being the
+      // (doc, term) aggregation above it
+      val imr = res.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      // tfq is consumed twice (doc-frequency branch + scoring stream),
+      // so the SAME cache appears at two tree positions — that sharing
+      // is the point; there must be exactly one distinct cached plan
+      imr.map(_.cachedPlan.toString).distinct should have size 1
+      // the cached plan prints final + initial AQE sections — audit
+      // only what ran
+      val cached = imr.head.cachedPlan.toString
+        .split("== Initial Plan ==")(0)
+      cached should include ("BroadcastHashJoin")
+      cached should include ("LeftSemi")
+      // the CORPUS contributes exactly one exchange — the (id, term)
+      // aggregation above the semi-join; the only other exchange is the
+      // query-term distinct under the broadcast build side (query-sized)
+      "Exchange hashpartitioning\\(id#".r
+        .findAllIn(cached).length shouldBe 1
+      "Exchange hashpartitioning\\(term#".r
+        .findAllIn(cached).length shouldBe 1
+      "Exchange hashpartitioning".r.findAllIn(cached).length shouldBe 2
+    } finally release()
+  }
+
+  test("keySkew: single count aggregation (total reuses it — no second " +
+    "corpus scan) and a bounded TakeOrdered top-k, no global sort") {
+    val skew = graft.ops.Diagnostics.keySkew(
+      spark.read.parquet(s"$sfDir/events.parquet"), Seq("user_id"), 10)
+    skew.collect()
+    val plan = finalPlan(skew)
+    plan should include ("TakeOrderedAndProject")
+    plan should not include "GlobalSort"
+    // ONE scan: the grand-total branch must reuse the count aggregate's
+    // exchange instead of re-reading the events source
+    "Scan parquet".r.findAllIn(plan).length shouldBe 1
+    assert(plan.contains("ReusedExchange"),
+      "total branch did not reuse the counts exchange:\n" + plan)
+  }
+
   test("608-column profile in ONE pass (the reference's widest scenario)") {
     // the reference's wide-schema test profiles 608 columns in one
     // aggregation (WhyLogsTest.scala:107-128); pin the same shape here:
