@@ -57,6 +57,37 @@ class StreamingDedupSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     out.count(_ == "z") shouldBe 1
   }
 
+  test("bloom prefilter composes with streaming: a static probe set " +
+    "drops matching stream rows map-side, no stream-static join") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    // static probe set -> one bloom filter, broadcast once; the
+    // streaming filter is a pure projection (works in ANY output mode,
+    // no watermark needed — nothing stateful happens)
+    val probe = (0 until 50).map(i => s"banned text $i").toDF("k")
+    val bytes = probe.agg(graft.functions.bloom_agg(
+      xxhash64(col("k")), 1L << 16, 5)).head().getAs[Array[Byte]](0)
+    val handle = spark.sparkContext.broadcast(bytes)
+    val input = MemoryStream[String]
+    val clean = input.toDF().toDF("k")
+      .filter(!graft.functions.bloom_might_contain_bcast(handle,
+        xxhash64(col("k"))))
+    val name = "bloom_stream_" + System.nanoTime()
+    val q = clean.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData("banned text 7", "fresh a", "banned text 49", "fresh b")
+      q.processAllAvailable()
+    } finally q.stop()
+    // no false negatives: every banned row is gone; the two fresh rows
+    // survive unless a (possible but unlikely at 2^16 bits / 4 keys)
+    // false positive dropped them — assert banned rows only
+    val out = spark.table(name).as[String].collect().toSet
+    out should contain allOf ("fresh a", "fresh b")
+    out.exists(_.startsWith("banned")) shouldBe false
+  }
+
   test("unbounded variant never re-emits, whatever the gap") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
