@@ -65,6 +65,13 @@ object GraftExtensions {
     "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
     "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()),
     "nfc_normalize" -> (es => NfcNormalize(es.head)),
+    "normalize_text" -> (es => org.apache.spark.sql.GraftBridge.expression(
+      graft.ops.TextOps.normalizeText(
+        org.apache.spark.sql.GraftBridge.column(es.head)))),
+    "collapse_repeated_lines" -> (es =>
+      org.apache.spark.sql.GraftBridge.expression(
+        graft.ops.TextOps.collapseRepeatedLines(
+          org.apache.spark.sql.GraftBridge.column(es.head)))),
     "bloom_agg" -> (es => BloomAgg(es(0),
       if (es.length > 1) es(1).eval().asInstanceOf[Number].longValue
       else 1L << 23,

@@ -1092,6 +1092,19 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q19_collapse_repeats" -> ((s, dir) => {
+      // run-length line dedup (degenerate-generation cleanup): tokens
+      // become lines, a tripled "tail" line is planted, and consecutive
+      // repeats — planted AND natural — must collapse to one occurrence
+      val nl = "\n"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(regexp_replace(col("text"), " ", nl),
+          lit(nl + "tail" + nl + "tail" + nl + "tail")).as("text"))
+      docs.select(col("doc_id"),
+        TextOps.collapseRepeatedLines(col("text")).as("text"))
+        .withColumn("n_lines", size(split(col("text"), nl)))
+    }),
+
     "q39_embedding_quantize" -> ((s, dir) => {
       // int8 embedding quantization: per-vector code stats + max
       // reconstruction error (bounded by scale/2). floor(z+0.5)
@@ -2148,6 +2161,21 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q19_collapse_repeats" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(regexp_replace(text, ' ', chr(10), 'g') ||
+        |      chr(10) || 'tail' || chr(10) || 'tail' || chr(10) || 'tail',
+        |      chr(10)) AS l
+        |  FROM documents),
+        |u AS (SELECT doc_id, l[i] AS t, i FROM (
+        |  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d)),
+        |k AS (SELECT doc_id, t, i,
+        |    lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM u)
+        |SELECT doc_id,
+        |  string_agg(t, chr(10) ORDER BY i) AS text,
+        |  count(*) AS n_lines
+        |FROM k WHERE p IS NULL OR t <> p GROUP BY doc_id""".stripMargin,
 
     "q39_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

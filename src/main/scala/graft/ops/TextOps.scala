@@ -41,6 +41,22 @@ object TextOps {
         "[\\x00-\\x1f\\x7f]", " "),
       "\\s+", " "))
 
+  /** Collapse CONSECUTIVE repeated lines to one occurrence (run-length
+    * dedup): the cleanup for degenerate generations and copy-paste
+    * stutter, where a model or a scraper emits the same line N times in
+    * a row. Non-adjacent repeats are untouched (that's
+    * [[graft.ops.Dedup.removeFrequentLines]]'s corpus-level job).
+    * Row-local codegen HOFs (zip against the 1-shifted line array),
+    * zero shuffle, SQL-expressible for oracle checks.
+    */
+  def collapseRepeatedLines(text: Column): Column = {
+    val l = split(text, "\n")
+    val prev = concat(array(lit(null).cast("string")),
+      slice(l, lit(1), greatest(size(l) - 1, lit(0))))
+    array_join(filter(zip_with(l, prev,
+      (x, p) => when(p.isNull || x =!= p, x)), x => x.isNotNull), "\n")
+  }
+
   /** BPE-style pre-tokenization count: alphabetic runs, digit runs, and
     * individual non-alphanumeric symbols each count as one token — the
     * piece boundaries a byte-pair tokenizer starts from (whitespace-only

@@ -589,6 +589,20 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     (q1top.getLong(1) % 10) shouldBe 1L
   }
 
+  test("collapseRepeatedLines: runs collapse to one, non-adjacent " +
+    "repeats survive, single line untouched") {
+    import spark.implicits._
+    val got = Seq(
+      "a\na\na\nb\na\nc\nc",   // runs a*3 and c*2; non-adjacent 'a' kept
+      "only",
+      "x\nx")
+      .toDF("t").select(TextOps.collapseRepeatedLines(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    got(0) shouldBe "a\nb\na\nc"
+    got(1) shouldBe "only"
+    got(2) shouldBe "x"
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2, " +
     "constant vectors survive") {
     import spark.implicits._
