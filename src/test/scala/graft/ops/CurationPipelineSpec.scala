@@ -96,4 +96,74 @@ class CurationPipelineSpec extends AnyFunSuite with Matchers
     } finally release()
   }
 
+  test("round-5 chain: normalize -> collapse repeats -> bloom " +
+    "decontaminate -> best-copy dedup -> temperature mix -> budget") {
+    import spark.implicits._
+
+    // two sources, skewed 4:1; every doc carries whitespace noise; doc
+    // pairs (i, i+500) are same-content copies where the high-id copy
+    // is longer (higher quality score); docs 0-9's texts leak into the
+    // eval probe verbatim
+    def body(i: Long) =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " * 3
+    val base = (0L until 400L).map(i =>
+      (i, s"  ${body(i)}\t", if (i < 320) "web" else "books"))
+    val copies = (0L until 400L).map(i =>
+      (i + 500L, s" ${body(i)} extra tokens of real content here ",
+        if (i < 320) "web" else "books"))
+    val corpus = (base ++ copies).toDF("doc_id", "text", "source")
+    val probe = (0L until 10L).map(i => (900L + i, body(i).trim))
+      .toDF("doc_id", "text")
+
+    // 1. canonical cleanup: whitespace noise gone, idempotent
+    val normed = corpus.withColumn("text",
+      TextOps.normalizeText(col("text")))
+    normed.filter(col("text").startsWith(" ")).count() shouldBe 0
+
+    // 2. run-length cleanup composes (no repeated lines here -> no-op)
+    val collapsed = normed.withColumn("text",
+      TextOps.collapseRepeatedLines(col("text")))
+    collapsed.count() shouldBe 800
+
+    // 3. bloom decontaminate on the normalized prefix key: the probe
+    // texts equal body(i).trim == normalized base texts of docs 0-9
+    val clean = Dedup.bloomAntiJoin(collapsed,
+      probe.withColumn("text", TextOps.normalizeText(col("text"))),
+      "text", numBits = 1L << 14, numHashFns = 5)
+    clean.count() shouldBe 790
+    clean.filter(col("doc_id") < 10).count() shouldBe 0
+
+    // 4. quality-aware dedup on the shared 6-token prefix fingerprint:
+    // each (i, i+500) pair collapses to the LONGER copy (higher score)
+    val keyed = clean.withColumn("pfx",
+      array_join(slice(split(col("text"), " "), 1, 6), " "))
+      .withColumn("score",
+        org.apache.spark.sql.functions.length(col("text")).cast("double"))
+    val best = Dedup.exactBest(keyed, Seq("pfx"), "score", "doc_id")
+      .drop("pfx", "score")
+    best.count() shouldBe 400
+    // every pair's winner is the longer 500+ copy (and the 10
+    // decontaminated base docs survive only as their copies)
+    best.filter(col("doc_id") >= 500L).count() shouldBe 400
+    best.filter(col("doc_id") === 505L).count() shouldBe 1
+
+    // 5. temperature mix flattens the 4:1 source skew toward books
+    val mixed = Sampling.temperatureMix(best, "doc_id", "source",
+      targetFraction = 0.5, temperature = 0.5)
+    val byS = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val webRate = byS.getOrElse("web", 0L).toDouble / 320.0
+    val bookRate = byS.getOrElse("books", 0L).toDouble / 80.0
+    bookRate should be > webRate // cooler temperature favors the tail
+
+    // 6. token budget: survivors fit, order-hash deterministic
+    val toks = mixed.withColumn("n_tok", TextOps.tokenCount(col("text")))
+    val picked = Sampling.tokenBudgetSelect(toks, "doc_id", "n_tok", 900L)
+    val total = picked.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+    total should be <= 900L
+    val again = Sampling.tokenBudgetSelect(toks.repartition(7), "doc_id",
+      "n_tok", 900L).select("doc_id").collect().map(_.getLong(0)).toSet
+    picked.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
+
 }
