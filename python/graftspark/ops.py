@@ -240,6 +240,15 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
         df._jdf, id_col, text_col, float(lam), int(min_count)), df)
 
 
+def weighted_sample(df: DataFrame, id_col: str,
+                    weight_col: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each row survives with
+    probability ``weight_col`` (clamped to [0,1]) — soft quality
+    filtering without a hard threshold cliff."""
+    return _to_py_df(_jvm_bridge(df).weightedSample(
+        df._jdf, id_col, weight_col), df)
+
+
 def temperature_mix(df: DataFrame, id_col: str, source_col: str,
                     target_fraction: float,
                     temperature: float = 0.5) -> DataFrame:

@@ -1092,6 +1092,16 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q09_weighted_sample" -> ((s, dir) => {
+      // soft quality filtering: keep probability = min(1, n_chars/400)
+      // per doc — long docs always survive, short ones thin out
+      // proportionally; deterministic md5 hash, map-only
+      val docs = t(s, dir, "documents")
+        .withColumn("w", col("n_chars").cast("double") / 400.0)
+      graft.ops.Sampling.weightedSample(docs, "doc_id", "w")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q19_collapse_repeats" -> ((s, dir) => {
       // run-length line dedup (degenerate-generation cleanup): tokens
       // become lines, a tripled "tail" line is planted, and consecutive
@@ -2161,6 +2171,13 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q09_weighted_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT)
+        |  < CAST(trunc(least(1.0, greatest(0.0, n_chars / 400.0))
+        |      * 4503599627370496.0) AS BIGINT)""".stripMargin,
 
     "q19_collapse_repeats" ->
       """WITH d AS (SELECT doc_id,

@@ -32,6 +32,21 @@ object Sampling {
     df.filter(md5Hash52(col(idCol)) < (fraction * HashSpace).toLong)
   }
 
+  /** Map-only deterministic WEIGHTED Bernoulli sample: each row's keep
+    * probability is its own `weightCol` clamped to [0,1] (soft quality
+    * filtering: keep a doc with probability equal to its quality score,
+    * so marginal docs thin out instead of a hard threshold cliff). Same
+    * md5-52-bit id hash as [[hashSample]] — deterministic, partition-
+    * invariant, zero shuffle; a null weight drops the row.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String): DataFrame =
+    df.filter(md5Hash52(col(idCol)) <
+      (least(lit(1.0), greatest(lit(0.0), col(weightCol).cast("double")))
+        * lit(HashSpace.toDouble)).cast("long"))
+
   /** Map-only deterministic STRATIFIED Bernoulli sample: a per-stratum
     * keep fraction (the "downsample web text, keep all books" rebalance).
     * Strata absent from `fractions` fall back to `default`. Same

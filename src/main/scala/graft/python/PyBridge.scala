@@ -279,6 +279,11 @@ object PyBridge {
       lambda: Double, minCount: Long): DataFrame =
     graft.ops.TextOps.bigramPerplexity(df, idCol, textCol, lambda, minCount)
 
+  /** Deterministic weighted Bernoulli sample (keep prob = weight col). */
+  def weightedSample(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    graft.ops.Sampling.weightedSample(df, idCol, weightCol)
+
   /** Temperature-weighted source rebalancing (map-only filter). */
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
       targetFraction: Double, temperature: Double): DataFrame =

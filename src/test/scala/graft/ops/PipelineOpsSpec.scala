@@ -101,6 +101,29 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     Sampling.hashSample(df, "id", 1.0).count() shouldBe 2000L
   }
 
+  test("weighted sample: rate tracks the weight, w>=1 keeps all, w<=0 " +
+    "drops all, partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i =>
+      (i.toLong, if (i <= 2000) 0.2 else 1.5)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // w=1.5 clamps to 1.0: every high-weight row survives
+    kept.count(_._2 > 1.0) shouldBe 2000
+    // w=0.2: ~20% of the low-weight rows survive
+    val low = kept.count(_._2 < 1.0)
+    low.toDouble should (be > 2000 * 0.14 and be < 2000 * 0.26)
+    // deterministic across partitionings
+    Sampling.weightedSample(df.repartition(13), "id", "w")
+      .collect().map(_.getLong(0)).toSet shouldBe kept.map(_._1).toSet
+    // zero / null weights drop rows
+    Sampling.weightedSample(
+      df.withColumn("w", lit(0.0)), "id", "w").count() shouldBe 0L
+    Sampling.weightedSample(
+      df.withColumn("w", lit(null).cast("double")), "id", "w")
+      .count() shouldBe 0L
+  }
+
   test("stratified sample: per-stratum rates, subset of hashSample, " +
     "default drops unknown strata") {
     import spark.implicits._
