@@ -318,3 +318,26 @@ def normalize_text(df: DataFrame, text_col: str) -> DataFrame:
     control chars stripped, whitespace collapsed, ends trimmed."""
     return _to_py_df(_jvm_bridge(df).normalizeTextColumn(
         df._jdf, text_col), df)
+
+
+def collapse_repeated_lines(df: DataFrame, text_col: str) -> DataFrame:
+    """Collapse CONSECUTIVE repeated lines of ``text_col`` in place
+    (degenerate-generation / copy-paste stutter cleanup)."""
+    return _to_py_df(_jvm_bridge(df).collapseRepeatedLinesColumn(
+        df._jdf, text_col), df)
+
+
+def key_skew(df: DataFrame, key_cols: List[str], top_k: int) -> DataFrame:
+    """Heaviest ``top_k`` values of a prospective shuffle key with exact
+    counts and corpus share — run BEFORE committing a big job to the
+    key; double-digit top shares want a salted join."""
+    return _to_py_df(_jvm_bridge(df).keySkew(
+        df._jdf, list(key_cols), int(top_k)), df)
+
+
+def exact_best(df: DataFrame, key_cols: List[str], score_col: str,
+               id_col: str) -> DataFrame:
+    """Quality-aware exact dedup: keep the highest-scoring copy per key
+    (ties to the greatest id; deterministic)."""
+    return _to_py_df(_jvm_bridge(df).exactBest(
+        df._jdf, list(key_cols), score_col, id_col), df)

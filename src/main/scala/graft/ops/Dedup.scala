@@ -820,6 +820,11 @@ object Dedup {
     val centroids = Similarity.fitCentroids(
       base.select(col("id").as("item_id"), col("emb").as("item_emb")),
       nCentroids, iterations, centroidBroadcastThreshold)
+    // empty corpus -> no centroids to assign against; no pairs, by
+    // construction, rather than a zero-length-codebook error
+    if (centroids.isEmpty)
+      return base.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
     val assign = Similarity.assignTopCentroids(
       df.sparkSession.sparkContext, centroidBroadcastThreshold) _
     // clusters partition the corpus: every pair appears in exactly one

@@ -151,6 +151,10 @@ object Similarity {
     var centroids: Array[Array[Double]] = c.orderBy(col("item_id"))
       .limit(nCentroids).collect()
       .map(r => r.getSeq[Double](1).toArray)
+    // an empty corpus has no rows to sample — return no centroids and
+    // let callers short-circuit to an empty result instead of feeding a
+    // zero-length codebook into the assignment expression
+    if (centroids.isEmpty) return centroids
     (0 until iterations).foreach { _ =>
       val refined = c
         .select(assign(col("item_emb"), centroids, 1)(0).as("centroid_id"),
@@ -199,6 +203,12 @@ object Similarity {
 
     val centroids = fitCentroids(c, nCentroids, iterations,
       centroidBroadcastThreshold)
+    // empty corpus -> no centroids, no neighbors (typed empty result,
+    // not a zero-length-codebook error)
+    if (centroids.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("item_id"), lit(0.0).as("cosine"),
+        lit(0).as("rank")).limit(0)
 
     val inverted = c.select(col("item_id"), col("item_emb"),
       assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"))

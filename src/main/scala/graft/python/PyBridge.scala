@@ -279,6 +279,20 @@ object PyBridge {
       lambda: Double, minCount: Long): DataFrame =
     graft.ops.TextOps.bigramPerplexity(df, idCol, textCol, lambda, minCount)
 
+  /** Pre-shuffle key-skew report: top-k heavy keys + corpus share. */
+  def keySkew(df: DataFrame, keyCols: ju.List[String], topK: Int): DataFrame =
+    graft.ops.Diagnostics.keySkew(df, keyCols.asScala.toSeq, topK)
+
+  /** Quality-aware exact dedup: keep the highest-(score, id) row per key. */
+  def exactBest(df: DataFrame, keyCols: ju.List[String], scoreCol: String,
+      idCol: String): DataFrame =
+    graft.ops.Dedup.exactBest(df, keyCols.asScala.toSeq, scoreCol, idCol)
+
+  /** Run-length line dedup of one column (degenerate-text cleanup). */
+  def collapseRepeatedLinesColumn(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, graft.ops.TextOps.collapseRepeatedLines(
+      org.apache.spark.sql.functions.col(textCol)))
+
   /** Deterministic weighted Bernoulli sample (keep prob = weight col). */
   def weightedSample(df: DataFrame, idCol: String,
       weightCol: String): DataFrame =

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Empty and degenerate inputs across the round-5 operators: a curation
+  * pipeline stage that throws on an empty upstream result (a filter
+  * that matched nothing, an empty probe set) takes the whole job down —
+  * every op must return an empty/identity frame instead.
+  */
+class DegenerateInputsSpec extends AnyFunSuite with Matchers
+    with SparkSuiteBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("id", "text")
+  }
+
+  private def someDocs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi")).toDF("id", "text")
+  }
+
+  test("duplicatedSpans: empty corpus and all-short docs are silent") {
+    import spark.implicits._
+    Dedup.duplicatedSpans(emptyDocs, "id", "text", 8).count() shouldBe 0L
+    Dedup.duplicatedSpans(Seq((1L, "too short")).toDF("id", "text"),
+      "id", "text", 8).count() shouldBe 0L
+  }
+
+  test("bloom joins: empty probe keeps/drops everything correctly; " +
+    "empty corpus is empty") {
+    Dedup.bloomSemiJoin(someDocs, emptyDocs, "text").count() shouldBe 0L
+    Dedup.bloomAntiJoin(someDocs, emptyDocs, "text").count() shouldBe 2L
+    Dedup.bloomSemiJoin(emptyDocs, someDocs, "text").count() shouldBe 0L
+  }
+
+  test("bm25: empty query set and empty corpus produce no rows") {
+    TextOps.bm25TopK(someDocs, "id", "text",
+      emptyDocs.select(col("id").as("qid"), col("text").as("qtext")),
+      "qid", "qtext", k = 5).count() shouldBe 0L
+    TextOps.bm25TopK(emptyDocs, "id", "text",
+      someDocs.select(col("id").as("qid"), col("text").as("qtext")),
+      "qid", "qtext", k = 5).count() shouldBe 0L
+  }
+
+  test("keySkew / temperatureMix / tokenBudgetSelect / weightedSample " +
+    "on empty frames are empty, not errors") {
+    import spark.implicits._
+    Diagnostics.keySkew(emptyDocs, Seq("text"), 5).count() shouldBe 0L
+    Sampling.temperatureMix(
+      emptyDocs.withColumn("source", lit("web")), "id", "source", 0.5)
+      .count() shouldBe 0L
+    Sampling.tokenBudgetSelect(
+      emptyDocs.withColumn("n_tok", lit(1L)), "id", "n_tok", 100L)
+      .count() shouldBe 0L
+    Sampling.weightedSample(
+      emptyDocs.withColumn("w", lit(0.5)), "id", "w").count() shouldBe 0L
+  }
+
+  test("exactBest / collapseRepeatedLines / normalizeText identity cases") {
+    import spark.implicits._
+    Dedup.exactBest(emptyDocs.withColumn("s", lit(1.0)),
+      Seq("text"), "s", "id").count() shouldBe 0L
+    val noop = someDocs
+      .select(TextOps.collapseRepeatedLines(col("text")).as("c"),
+        TextOps.normalizeText(col("text")).as("n"), col("text"))
+      .collect()
+    noop.foreach { r =>
+      r.getString(0) shouldBe r.getString(2) // no repeated lines -> id
+      r.getString(1) shouldBe r.getString(2) // already clean -> identity
+    }
+    // empty string survives the whole cleanup chain as empty
+    Seq((1L, "")).toDF("id", "text")
+      .select(TextOps.normalizeText(
+        TextOps.collapseRepeatedLines(col("text"))))
+      .collect()(0).getString(0) shouldBe ""
+  }
+
+  test("semDedup / ivf / quantize on an empty embedding table are empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    Dedup.semDedupSurvivors(empty, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 4).count() shouldBe 0L
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.ivfTopK(empty, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 2).count() shouldBe 0L
+    empty.select(Similarity.quantizeInt8(col("embedding"))).count() shouldBe 0L
+  }
+}
