@@ -246,6 +246,29 @@ def test_round5_curation_ops():
     assert norm.filter(F.col("text").startswith("a b ")).count() \
         == noisy.count()
 
+    # key skew: top keys ordered by exact count, share sums sensibly
+    skew = ops.key_skew(docs, ["source"], 3).collect()
+    assert len(skew) <= 3
+    assert all(skew[i]["n"] >= skew[i + 1]["n"]
+               for i in range(len(skew) - 1))
+
+    # weighted sample: clamp at 1 keeps everything
+    full = ops.weighted_sample(
+        docs.select("doc_id", F.lit(2.0).alias("w")), "doc_id", "w")
+    assert full.count() == docs.count()
+
+    # exact_best keeps one (highest-score) row per key
+    best = ops.exact_best(
+        docs.select("doc_id", "source",
+                    F.length("text").cast("double").alias("s")),
+        ["source"], "s", "doc_id")
+    assert best.count() == docs.select("source").distinct().count()
+
+    # collapse_repeated_lines is identity on single-line docs
+    collapsed = ops.collapse_repeated_lines(docs, "text")
+    assert collapsed.columns == docs.columns
+    assert collapsed.count() == docs.count()
+
     # semdedup: planted exact copies are dropped, originals survive
     embs = _embs()
     dups = embs.filter(F.col("vec_id") < 20).select(
