@@ -1092,6 +1092,18 @@ object SparkEntry {
         windowTokens = 8, minDocs = 3)
     }),
 
+    "q97_char_entropy" -> ((s, dir) => {
+      // character-entropy gibberish screen: per-doc codepoint-
+      // distribution entropy (single-pass expression, fixed ascending
+      // summation order) binned into the low/natural/high quality bands
+      t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.char_entropy(col("text")).as("h"))
+        .select(col("doc_id"), round(col("h"), 6).as("entropy"),
+          when(col("h") < 2.0, "low").when(col("h") > 4.5, "high")
+            .otherwise("natural").as("band"))
+    }),
+
     "q09_weighted_sample" -> ((s, dir) => {
       // soft quality filtering: keep probability = min(1, n_chars/400)
       // per doc — long docs always survive, short ones thin out
@@ -2171,6 +2183,21 @@ object SparkEntry {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM d))))
         |SELECT span, count(*) AS n_docs
         |FROM w GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q97_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS c FROM (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents WHERE length(text) > 0)),
+        |f AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+        |  FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY 1),
+        |e AS (SELECT f.doc_id AS doc_id,
+        |    sum(-(n / tot) * ln(n / tot)) AS h
+        |  FROM f JOIN t ON f.doc_id = t.doc_id GROUP BY 1)
+        |SELECT doc_id, round(h, 6) AS entropy,
+        |  CASE WHEN h < 2.0 THEN 'low' WHEN h > 4.5 THEN 'high'
+        |    ELSE 'natural' END AS band
+        |FROM e""".stripMargin,
 
     "q09_weighted_sample" ->
       """SELECT doc_id, lang, source FROM documents

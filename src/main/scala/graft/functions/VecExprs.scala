@@ -401,6 +401,53 @@ case class PairGenerator(child: Expression)
   * whitespace collapse to one space, text is lowercased, each character's
   * codepoint folds in as h = (h*31 + cp) mod 1e9+7.
   */
+/** Shannon entropy (nats) of the codepoint distribution of a string in
+  * ONE pass: count codepoints, then sum -(p ln p) over codepoints in
+  * ASCENDING order — the fixed summation order makes the float result
+  * deterministic across JVMs and reproducible by a SQL oracle that
+  * aggregates the same terms. The classic cheap gibberish screen: binary
+  * junk and key-mash text score far from natural language's ~3 nats.
+  * Empty/null-free strings score 0.0. Row-local, zero shuffle.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.TreeMap[Int, Long]()
+    var i = 0
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1L
+    }
+    if (n == 0L) 0.0
+    else {
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / n
+        h -= p * math.log(p)
+      }
+      h
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class RollingHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -122,6 +122,9 @@ package object functions {
   /** Unicode NFC canonical composition (codegen'd static call). */
   def nfc_normalize(text: Column): Column = col(NfcNormalize(expr(text)))
 
+  /** Shannon entropy (nats) of a string's codepoint distribution. */
+  def char_entropy(text: Column): Column = col(CharEntropy(expr(text)))
+
   // --- Bloom membership filter ---
   /** Bloom filter aggregate over pre-hashed keys (`xxhash64(col)`). */
   def bloom_agg(hash: Column, numBits: Long = 1L << 23,

@@ -612,6 +612,20 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     (q1top.getLong(1) % 10) shouldBe 1L
   }
 
+  test("char_entropy: pinned values, uniform bound, codepoint units") {
+    import spark.implicits._
+    val got = Seq("aabb", "aaaa", "abcd", "", "naïve")
+      .toDF("t").select(graft.functions.char_entropy(col("t")).as("h"))
+      .collect().map(_.getDouble(0))
+    got(0) shouldBe math.log(2.0) +- 1e-12     // two equiprobable chars
+    got(1) shouldBe 0.0                        // constant string
+    got(2) shouldBe math.log(4.0) +- 1e-12     // four equiprobable chars
+    got(3) shouldBe 0.0                        // empty string
+    got(4) should be > 0.0                     // multibyte counts as 1 cp
+    // entropy never exceeds ln(distinct chars)
+    got(4) should be <= math.log(5.0) + 1e-12
+  }
+
   test("collapseRepeatedLines: runs collapse to one, non-adjacent " +
     "repeats survive, single line untouched") {
     import spark.implicits._
