@@ -2269,7 +2269,8 @@ object SparkEntry {
 
     "q37_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
         |    AS k_avg
         |FROM events GROUP BY 1""".stripMargin,

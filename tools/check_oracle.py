@@ -37,12 +37,24 @@ for name in sorted(sqls):
         ok = True
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver's hash is dtype/format-sensitive: an int64 Spark
+            # column vs a float64 oracle column (e.g. DuckDB HUGEINT sums)
+            # hash-mismatches even when every value agrees. Mirror that:
+            # dtype KINDS must match before values are compared.
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            norm = lambda k: "i" if k in "iu" else k
+            if norm(ak) != norm(bk):
+                print(f"{name}.{c}: DTYPE MISMATCH mine={av.dtype} oracle={bv.dtype}"
+                      f" (driver hash formats these differently)")
+                ok = False
+                continue
             try:
-                if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+                if ak in "fc":
                     import numpy as np
                     bad = ~np.isclose(av.astype(float), bv.astype(float),
                                       rtol=0, atol=1e-9, equal_nan=True)
                 else:
+                    # Non-float columns must match exactly, as the driver does.
                     bad = av.astype(str) != bv.astype(str)
             except Exception as e:
                 print(f"{name}.{c}: compare error {e}"); ok=False; break
