@@ -69,8 +69,49 @@ object Joins {
 
   /** As-of join: for each left row, the latest right row with
     * `rightTime <= leftTime` per key — the standard event-time enrichment
-    * the reference's host pipelines need. Implemented as a union +
-    * window (single shuffle on (key)), not a per-row subquery.
+    * the reference's host pipelines need.
+    *
+    * This default entry point is SKEW-SAFE: it probes the right side's
+    * time range with one bounded 1-row aggregate, derives a bucket width
+    * that spreads each key over ~[[AutoBuckets]] time buckets, and runs
+    * [[asOfJoinBucketed]] — so a hot key (one user owning half the events)
+    * cannot serialize on a single reducer. When the probe finds a
+    * degenerate range (empty right side, a single instant, or an all-null
+    * time column) bucketing cannot spread work and it falls back to
+    * [[asOfJoinWindowed]], which is equivalent there.
+    *
+    * Callers who know their key cardinality dwarfs their hottest key can
+    * use [[asOfJoinWindowed]] directly and skip the probe job; callers who
+    * know their time scale can pick the width via [[asOfJoinBucketed]].
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val mm = right
+      .agg(min(col(rightTime).cast("double")), max(col(rightTime).cast("double")))
+      .head()
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
+      asOfJoinWindowed(left, right, key, leftTime, rightTime, payloadCols)
+    else {
+      val width = (mm.getDouble(1) - mm.getDouble(0)) / AutoBuckets
+      asOfJoinBucketed(left, right, key, leftTime, rightTime, payloadCols, width)
+    }
+  }
+
+  /** Target bucket count for [[asOfJoin]]'s auto-derived width: a key with
+    * N time-uniform rows sees ~N/4096 rows per (key, bucket) task, and the
+    * pass-2 carry window is bounded at ~4096 rows per key.
+    */
+  private val AutoBuckets = 4096.0
+
+  /** Windowed as-of join: the small-data fast path — a single union +
+    * per-key window (one shuffle on `key`, no range probe job). The whole
+    * of a key's rows sort on ONE reducer, so use this only when no key is
+    * hot; [[asOfJoin]] is the skew-safe default.
     *
     * Right rows carry their payloads as ONE struct column and
     * `last(ignoreNulls)` runs over that struct: the struct is non-null for
@@ -78,7 +119,7 @@ object Joins {
     * payload values are null (carrying payloads individually would leak a
     * stale non-null payload from an older row past a newer null).
     */
-  def asOfJoin(
+  def asOfJoinWindowed(
       left: DataFrame,
       right: DataFrame,
       key: String,
@@ -111,10 +152,11 @@ object Joins {
         payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
 
-  /** Skew-safe as-of join: identical semantics to [[asOfJoin]], but the
-    * per-key window is replaced by a TWO-PASS time-bucketed plan so a hot
-    * key (one user owning half the events) no longer serializes on a
-    * single reducer.
+  /** Skew-safe as-of join: identical semantics to [[asOfJoinWindowed]],
+    * but the per-key window is replaced by a TWO-PASS time-bucketed plan
+    * so a hot key (one user owning half the events) no longer serializes
+    * on a single reducer. [[asOfJoin]] routes here with an auto-derived
+    * width.
     *
     *  - Pass 1 (within bucket): the union+window runs partitioned by
     *    (key, bucket) — a hot key's events spread over its time buckets,

@@ -110,11 +110,37 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .collect().map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
 
-    val plain = rows(Joins.asOfJoin(trades, quotes, "sym", "ts", "qts", Seq("px")))
+    val plain = rows(Joins.asOfJoinWindowed(trades, quotes, "sym", "ts", "qts", Seq("px")))
     val bucketed = rows(Joins.asOfJoinBucketed(
       trades, quotes, "sym", "ts", "qts", Seq("px"), bucketWidth = 8192.0))
     bucketed shouldBe plain
     plain.values.count(_.isDefined) should be > 0
+
+    // the DEFAULT entry point must take the skew-safe path on this data
+    // (nondegenerate time range) and still return the identical rows
+    val deflt = Joins.asOfJoin(trades, quotes, "sym", "ts", "qts", Seq("px"))
+    rows(deflt) shouldBe plain
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(deflt.queryExecution.optimizedPlan.toString)
+      .map(_.group(1)).toSeq
+    winSpecs.exists(s => s.contains("sym") && s.contains("__bucket")) shouldBe true
+  }
+
+  test("default as-of join falls back to windowed on a degenerate range") {
+    import spark.implicits._
+    val trades = Seq(("A", 10L, "t1"), ("A", 5L, "t0")).toDF("sym", "ts", "trade")
+    val oneInstant = Seq(("A", 7L, 1.0)).toDF("sym", "qts", "px")
+    val got = Joins.asOfJoin(trades, oneInstant, "sym", "ts", "qts", Seq("px"))
+      .select(col("trade"), col("px"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    got("t1") shouldBe Some(1.0)
+    got("t0") shouldBe None
+    val empty = oneInstant.filter(lit(false))
+    val gotE = Joins.asOfJoin(trades, empty, "sym", "ts", "qts", Seq("px"))
+      .select(col("trade"), col("px")).collect()
+    gotE.length shouldBe 2
+    gotE.forall(_.isNullAt(1)) shouldBe true
   }
 
   test("bucketed as-of join: within-bucket window partitions by bucket") {
