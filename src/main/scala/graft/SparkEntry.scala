@@ -1290,6 +1290,26 @@ object SparkEntry {
     "q95_rolling_hash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rh"))
+    }),
+
+    "q96_corpus_store" -> ((s, dir) => {
+      // bucketed corpus store: documents + a per-doc stats table written
+      // as co-bucketed catalog tables (8 buckets on doc_id, in-bucket
+      // sorted), read back through the catalog, and joined — the bucketed
+      // scans report their hash partitioning so the join plans with ZERO
+      // exchanges below it (CorpusStoreSpec pins the exchange-free plan;
+      // this query puts the store->join loop on the correctness board)
+      val docs = t(s, dir, "documents")
+      graft.io.CorpusStore.writeBucketed(
+        docs.select(col("doc_id"), col("source")),
+        "graft_q96_docs", "doc_id", 8, Seq("doc_id"))
+      graft.io.CorpusStore.writeBucketed(
+        docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+        "graft_q96_stats", "doc_id", 8, Seq("doc_id"))
+      graft.io.CorpusStore.readBucketed(s, "graft_q96_docs")
+        .join(graft.io.CorpusStore.readBucketed(s, "graft_q96_stats"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
     }))
 
   /** DuckDB-runnable oracle SQL per query (same result, same column names). */
@@ -2524,6 +2544,13 @@ object SparkEntry {
         |      c -> unicode(c)::BIGINT)),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
         |FROM documents""".stripMargin,
+
+    "q96_corpus_store" ->
+      """WITH st AS (SELECT doc_id, length(text) AS n_chars FROM documents)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(st.n_chars) AS BIGINT) AS n_chars
+        |FROM documents d JOIN st ON d.doc_id = st.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "q46_multimodal_stub" ->
       """WITH dec AS (
