@@ -1083,11 +1083,15 @@ object SparkEntry {
       // corpus; junction windows and any natural repeats are counted
       // identically by the oracle. minDocs=3 keeps the output to truly
       // corpus-frequent spans.
+      // trim on BOTH sides (here and the oracle): Java split drops
+      // trailing empty tokens while DuckDB string_split keeps them, so
+      // without the trim the equivalence would silently depend on fixture
+      // texts never ending in a space
       val docs = t(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 20 === 0,
+        trim(when(col("doc_id") % 20 === 0,
           concat(col("text"), lit(" this boilerplate sentence repeats" +
             " verbatim across many documents here")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text"))).as("text"))
       Dedup.duplicatedSpans(docs, "doc_id", "text",
         windowTokens = 8, minDocs = 3)
     }),
@@ -2192,9 +2196,9 @@ object SparkEntry {
 
     "q85_substring_dedup" ->
       """WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 20 = 0 THEN text ||
+        |    trim(CASE WHEN doc_id % 20 = 0 THEN text ||
         |      ' this boilerplate sentence repeats verbatim across many documents here'
-        |    ELSE text END AS text
+        |    ELSE text END) AS text
         |  FROM documents),
         |w AS (SELECT DISTINCT doc_id, span FROM (
         |  SELECT doc_id, array_to_string(l[i:i+7], ' ') AS span FROM (

@@ -83,9 +83,16 @@ object BloomRuntime {
     x ^ (x >>> 31)
   }
 
-  // (checksum, numBits, k, words) of the last filter seen by this thread
+  // (checksum, numBits, k, words) of the last filter seen by this thread,
+  // held through a SoftReference: executor task threads are pooled and
+  // outlive the job, so a hard ThreadLocal would pin one full copy of the
+  // word array (up to 1 GiB at MaxBits) per pooled thread for the JVM's
+  // lifetime after a big decontamination job. Soft refs let the GC drop
+  // idle copies under memory pressure; a re-probe just re-deserializes.
+  // (BloomMightContainBroadcast remains the right tool for megabyte+
+  // filters — one parsed copy per executor, not per thread.)
   private val cache =
-    new ThreadLocal[(Long, Long, Int, Array[Long])]
+    new ThreadLocal[java.lang.ref.SoftReference[(Long, Long, Int, Array[Long])]]
 
   def mightContain(bytes: Array[Byte], h: Long): Boolean = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -93,14 +100,15 @@ object BloomRuntime {
     val k = bb.getInt(4)
     val numBits = bb.getLong(8)
     val checksum = bb.getLong(16)
-    var entry = cache.get()
+    val ref = cache.get()
+    var entry = if (ref == null) null else ref.get()
     if (entry == null || entry._1 != checksum || entry._2 != numBits ||
       entry._3 != k) {
       val words = new Array[Long]((numBits >> 6).toInt)
       var i = 0
       while (i < words.length) { words(i) = bb.getLong(24 + 8 * i); i += 1 }
       entry = (checksum, numBits, k, words)
-      cache.set(entry)
+      cache.set(new java.lang.ref.SoftReference(entry))
     }
     val words = entry._4
     val h2 = splitmix64(h)

@@ -154,12 +154,15 @@ object Sampling {
     val totals = counts.agg(sum(col("__n")).as("__total"),
       sum(col("__w")).as("__wsum"))
     val cutoffs = counts.crossJoin(broadcast(totals))
-      .select(col(sourceCol),
+      .select(col(sourceCol).as("__src"),
         (least(lit(1.0),
           lit(targetFraction) * col("__total") * col("__w")
             / (col("__wsum") * col("__n")))
           * lit(HashSpace.toDouble)).cast("long").as("__cutoff"))
-    df.join(cutoffs, Seq(sourceCol))
+    // null-safe join key: groupBy puts NULL-source rows in their own
+    // stratum, and <=> matches them back to that stratum's cutoff — a
+    // plain equi-join would silently drop every NULL-source row
+    df.join(cutoffs, col(sourceCol) <=> col("__src"))
       .filter(md5Hash52(col(idCol)) < col("__cutoff"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

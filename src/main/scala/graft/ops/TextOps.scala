@@ -363,6 +363,12 @@ object TextOps {
       minCount: Long = 1L)
       : org.apache.spark.sql.DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    // with a floor active, a floored-out bigram's conditional term is 0;
+    // at lambda == 1 there is no unigram mass to interpolate with, so the
+    // doc's score would be -ln(0) = Infinity — reject the combination
+    require(minCount == 1L || lambda < 1.0,
+      s"lambda must be < 1 when minCount > 1 (floored bigrams score 0 " +
+        s"conditional mass and need unigram interpolation), got lambda=$lambda")
     val docs = df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0).as("toks"))

@@ -232,6 +232,36 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got.filter(col("source") === "gold").count() shouldBe 10L
   }
 
+  test("temperatureMix gives NULL-source rows their own stratum") {
+    import spark.implicits._
+    val df = ((1 to 4000).map(i => (i.toLong, Some("web"))) ++
+      (4001 to 8000).map(i => (i.toLong, Option.empty[String])))
+      .toDF("id", "source")
+    val got = Sampling.temperatureMix(df, "id", "source", 0.5,
+      temperature = 1.0)
+    // NULL sources must not be silently dropped: at t=1 they sample at
+    // targetFraction like any other stratum (same Bernoulli set as
+    // hashSample over just the NULL rows)
+    val nullKept = got.filter(col("source").isNull)
+      .collect().map(_.getLong(0)).toSet
+    val expected = Sampling.hashSample(
+      df.filter(col("source").isNull), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    nullKept shouldBe expected
+    nullKept.size.toDouble should (be > 4000 * 0.4 and be < 4000 * 0.6)
+  }
+
+  test("bigramPerplexity rejects lambda=1 with an active floor") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.bigramPerplexity(docs, "doc_id", "text",
+        lambda = 1.0, minCount = 2L)
+    // lambda=1 without a floor stays legal: the conditional term is exact
+    noException should be thrownBy
+      TextOps.bigramPerplexity(docs, "doc_id", "text", lambda = 1.0)
+  }
+
   test("tokenBudgetSelect keeps exactly the hash-order prefix that fits, " +
     "never truncates a doc, partition-invariant") {
     import spark.implicits._
