@@ -16,8 +16,9 @@ import graft.profile.ProfileSchema
   * profile frames.
   *
   * Spark-first shape: files load through the `binaryFile` source, each
-  * file's delimited stream parses ON EXECUTORS (one task per file — the
-  * reference CLI is single-threaded driver-style), and summaries render
+  * file's delimited stream splits into per-profile blobs that parse ON
+  * EXECUTORS after a repartition (the reference CLI is single-threaded
+  * driver-style; here even ONE big file fans out), and summaries render
   * through the SAME [[ProfileSchema.summarize]] → drop-sketch-fields →
   * `to_json` pipeline as the live JSON sink, so stored and live summaries
   * are field-for-field identical.
@@ -40,25 +41,35 @@ object ProfileViewer {
   /** One row per (stored profile, column): identity fields + the full
     * profile struct (queryable with plain SQL, same schema as live
     * profile frames).
+    *
+    * Two stages so throughput scales with stored PROFILES, not with how
+    * they were packed into files: stage 1 (one task per file) only walks
+    * the varint boundaries of the delimited stream and emits raw message
+    * blobs (memcpy, no protobuf work); the expensive parse + summarize
+    * runs after a round-robin repartition, so a directory of a few large
+    * multi-profile streams no longer serializes on a few tasks.
     */
   def view(spark: SparkSession, path: String): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
-    val rows = bin.rdd.flatMap { r =>
+    val blobs = bin.rdd.flatMap { r =>
       val file = r.getString(0)
       val in = new ByteArrayInputStream(r.getAs[Array[Byte]](1))
-      Iterator.continually(ProfileProto.readDelimited(in))
+      Iterator.continually(Wire.readDelimited(in))
         .takeWhile(_.isDefined)
         .zipWithIndex
-        .flatMap { case (p, idx) =>
-          val prof = p.get
-          prof.columns.toSeq.sortBy(_._1).map { case (name, st) =>
-            Row(file, idx, prof.sessionId, prof.sessionTimestamp,
-              prof.dataTimestamp.getOrElse(-1L), name,
-              ProfileSchema.summarize(st))
-          }
-        }
+        .map { case (b, idx) => (file, idx, b.get) }
     }
+    val rows = blobs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (file, idx, bytes) =>
+        val prof = ProfileProto.fromBytes(bytes)
+        prof.columns.toSeq.sortBy(_._1).map { case (name, st) =>
+          Row(file, idx, prof.sessionId, prof.sessionTimestamp,
+            prof.dataTimestamp.getOrElse(-1L), name,
+            ProfileSchema.summarize(st))
+        }
+      }
     spark.createDataFrame(rows, OutputSchema)
   }
 

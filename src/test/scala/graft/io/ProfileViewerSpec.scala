@@ -49,6 +49,20 @@ class ProfileViewerSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     prof.unpersist()
   }
 
+  test("viewer parallelism scales with profiles, not files") {
+    val dir = Files.createTempDirectory("viewer-par").toString
+    // pack ALL group profiles into ONE delimited file
+    val prof = profiles.coalesce(1).persist()
+    ProfileIO.writeDelimitedBinaries(prof, dir)
+    Files.list(java.nio.file.Paths.get(dir)).count() shouldBe 1
+    val viewed = ProfileViewer.view(spark, s"$dir/*.bin")
+    // the parse stage must fan out past the single input file
+    viewed.rdd.getNumPartitions shouldBe
+      spark.sparkContext.defaultParallelism
+    viewed.select(col("profile_index")).distinct().count() shouldBe 3
+    prof.unpersist()
+  }
+
   test("segmented files view to the same rows as whole-message files") {
     val prof = profiles.persist()
     val plainDir = Files.createTempDirectory("viewer-plain").toString
