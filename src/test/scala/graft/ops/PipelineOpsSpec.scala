@@ -363,12 +363,19 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .newProfilingSession().aggProfiles()
     val edges = cols.map(c => c -> Seq(20.0, 50.0, 80.0)).toMap
 
+    val t0 = System.nanoTime()
     val drift = Drift.profileDrift(profB, profA, edges)
-    // plan growth check: constant number of Generate/Project nodes, not
-    // one subplan per column (the old unionAll shape)
+    // plan growth check: exactly ONE explode and zero unions — the plan
+    // must stay constant-size in column count, not one subplan per column
+    // (the old unionAll shape whose analyzer cost exploded at width)
     val plan = drift.queryExecution.optimizedPlan.toString
     "Union".r.findAllIn(plan).length shouldBe 0
+    "Generate".r.findAllIn(plan).length shouldBe 1
     val rows = drift.collect()
+    // analyzer + execution must stay interactive at width; a quadratic
+    // analyzer blowup (the r4 concern at 1000 columns) lands in minutes
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    elapsedSec should be < 90.0
     rows.length shouldBe 120
     val byCol = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     byCol("c3") should be > 0.1 // the shifted column stands out
