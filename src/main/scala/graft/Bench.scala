@@ -27,6 +27,20 @@ object Bench {
 
     def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
 
+    // High-cardinality vocabulary variant of the corpus: the synthetic
+    // fixtures draw text from a ~31-word vocabulary, which makes the
+    // bm25 / ngram-contamination term prefilters prune NOTHING locally —
+    // their low-vocab bench rows time the worst case, not the typical
+    // one. Suffixing every token with doc_id%64 multiplies the
+    // vocabulary ~64x, so a query's terms match ~1/64 of the corpus and
+    // the prefilters do the pruning they do on real corpora. Both
+    // variants are benched; the *_keep_frac metrics record the realized
+    // pruning.
+    def hcDocs: DataFrame = t("documents").select(col("doc_id"), col("source"),
+      array_join(transform(split(col("text"), " "),
+        tk => concat(tk, lit("_"), pmod(col("doc_id"), lit(64)))), " ")
+        .as("text"))
+
     val benches: Seq[(String, () => Long)] = Seq(
       // full-width single-pass profile of every lineitem column, grouped
       "profile_full_grouped" -> (() =>
@@ -245,6 +259,29 @@ object Bench {
           "doc_id", "text", queries, "query_id", "qtext", k = 10)
         val n = top.count(); release(); n
       }),
+      // BM25 at the HIGH-CARDINALITY vocabulary: same shape, but the
+      // term prefilter now prunes ~63/64 of the token stream map-side —
+      // the realistic regime the low-vocab row can't show
+      "bm25_hc" -> (() => {
+        val docs = hcDocs
+        val queries = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("query_id"),
+            substring(col("text"), 1, 60).as("qtext"))
+        val (top, release) = graft.ops.TextOps.bm25TopKReleasable(docs,
+          "doc_id", "text", queries, "query_id", "qtext", k = 10)
+        val n = top.count(); release(); n
+      }),
+      // exact n-gram decontamination at the high-cardinality vocabulary:
+      // probe grams only match same-residue docs, so the broadcast join
+      // discards ~63/64 of corpus grams map-side
+      "contamination_ngram_hc" -> (() => {
+        val corpus = hcDocs.select(col("doc_id"), col("text"))
+        val probe = corpus.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            concat(lit("eval header : "), col("text")).as("text"))
+        Dedup.ngramContamination(corpus, probe, "doc_id", "text",
+          n = 8, minShared = 3).count()
+      }),
       // ingest text cleanup over the full corpus (row-local, zero
       // shuffle). first() + read the SUM, not count(): count(1) would
       // let ColumnPruning drop the normalizeText projection entirely
@@ -322,11 +359,46 @@ object Bench {
       r.getLong(0).toDouble / (r.getLong(1) * nStructCols)
     }
     System.err.println(f"[bench] profile_bytes_per_column $bytesPerColumn%.0f")
+    // the reference's headline invariant, now enforced: sketch-bounded
+    // profile state. A regression past 20 KB/column (currently ~17 KB)
+    // fails the bench outright instead of landing silently.
+    require(bytesPerColumn <= 20000.0,
+      f"profile_bytes_per_column regression: $bytesPerColumn%.0f B > 20000 B")
+
+    // prefilter pruning metrics (untimed): fraction of the corpus-side
+    // token/gram stream that SURVIVES the bm25 term prefilter and the
+    // ngram-contamination gram join at each vocabulary. keep~1.0 on the
+    // low-vocab fixture records that those rows time the no-pruning worst
+    // case; the _hc rows are the realistic heavy-pruning regime.
+    def termKeepFrac(corpus: DataFrame): Double = {
+      val toks = corpus.select(explode(split(col("text"), " ")).as("term"))
+      val qterms = corpus.filter(col("doc_id") < 20)
+        .select(explode(split(substring(col("text"), 1, 60), " ")).as("term"))
+        .distinct()
+      toks.join(broadcast(qterms), Seq("term"), "left_semi").count().toDouble /
+        math.max(toks.count(), 1L)
+    }
+    def gramKeepFrac(corpus: DataFrame): Double = {
+      val grams = corpus.select(
+        explode(graft.ops.TextOps.ngrams(col("text"), 8)).as("g"))
+      val probeGrams = corpus.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("eval header : "), col("text")).as("text"))
+        .select(explode(graft.ops.TextOps.ngrams(col("text"), 8)).as("g"))
+        .distinct()
+      grams.join(probeGrams, Seq("g"), "left_semi").count().toDouble /
+        math.max(grams.count(), 1L)
+    }
+    val bm25Keep = termKeepFrac(t("documents"))
+    val bm25KeepHc = termKeepFrac(hcDocs)
+    val ngramKeep = gramKeepFrac(t("documents").select(col("doc_id"), col("text")))
+    val ngramKeepHc = gramKeepFrac(hcDocs.select(col("doc_id"), col("text")))
+    System.err.println(f"[bench] bm25 keep_frac low=$bm25Keep%.4f hc=$bm25KeepHc%.4f; " +
+      f"ngram keep_frac low=$ngramKeep%.4f hc=$ngramKeepHc%.4f")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","profile_bytes_per_column":$bytesPerColumn%.0f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
     spark.stop()
   }
 }
