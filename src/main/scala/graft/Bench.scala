@@ -95,6 +95,14 @@ object Bench {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
       }),
+      // IVF-PQ ANN: same pruning, candidates scored from 8-byte PQ codes
+      // (ADC), bounded exact re-rank — the memory-scale path
+      "ann_ivfpq" -> (() => {
+        val emb = t("embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
+          m = 8, ksub = 16, rerank = 40).count()
+      }),
       // multi-band hyperplane LSH near-dup pairs. The synthetic corpus has
       // no natural near-dups (max pairwise cosine ~0.51, so a 0.8-threshold
       // run returns 0 rows and measures nothing real past candidate

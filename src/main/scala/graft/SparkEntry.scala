@@ -1275,6 +1275,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
     }),
 
+    "q98_ivfpq_ann" -> ((s, dir) => {
+      // IVF-PQ: coarse-cell pruning + product-quantized candidate scoring
+      // + bounded exact re-rank. k-means codes aren't SQL-expressible, so
+      // rows-only like q93; the exact/recall contracts live in
+      // OpsEquivalenceSpec's lossless-regime and recall-floor tests
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 4,
+        m = 8, ksub = 16, rerank = 20)
+    }),
+
     "q94_kll_grid_large" -> ((s, dir) => {
       // full 9-point quantile grid, exploded to scalar rows (the driver's
       // hasher can't factorize array columns). The 1/293 orderkey filter

@@ -575,3 +575,133 @@ case class CarterWegmanHashes(child: Expression, params: Array[(Long, Long)])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Product-quantization asymmetric distance (ADC) inner product: the
+  * codebooks ride a broadcast handle (m sub-codebooks of ksub rows x dsub
+  * dims each); `left` is the full d = m x dsub query vector, `right` the
+  * item's m PQ codes. Result = sum_j dot(query[j*dsub ..+dsub],
+  * codebook_j[code_j]) — the dot product of the query with the item's
+  * RECONSTRUCTION, computed without ever materializing the reconstruction
+  * (one fused loop over d, no allocation per pair). On an L2-normalized
+  * corpus this approximates cosine, so candidate ranking by ADC matches
+  * the exact ranking up to quantization error.
+  */
+case class PqAdcBroadcast(
+    left: Expression,
+    right: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_bcast"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_bcast requires (array<float|double>, array<int>), " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+
+  @transient private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    bcast.value
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val query = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), codebooks.length)
+    var acc = 0.0
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val code = codes.getInt(j)
+      if (code >= 0 && code < cb.length) {
+        val row = cb(code)
+        val dsub = row.length
+        var i = 0
+        if (isFloat)
+          while (i < dsub) { acc += query.getFloat(off + i) * row(i); i += 1 }
+        else
+          while (i < dsub) { acc += query.getDouble(off + i) * row(i); i += 1 }
+        off += dsub
+      } else {
+        off += (if (cb.nonEmpty) cb(0).length else 0)
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Product-quantization encoder: euclidean-argmin code per subspace, all
+  * `m` subspaces in ONE pass over the vector (no per-subspace slice
+  * allocation). `bcast` carries codebooks(j)(code) = dsub-dim centroid;
+  * the result is the item's array<int> of m codes. Also serves Lloyd
+  * training when called with a single sub-codebook over a sliced column.
+  */
+case class PqEncodeBroadcast(
+    child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_bcast"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_bcast requires array<float|double>, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    bcast.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = if (cb.nonEmpty) cb(0).length else 0
+      var best = 0
+      var bestDist = Double.MaxValue
+      var code = 0
+      while (code < cb.length) {
+        val row = cb(code)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub && off + i < d) {
+          val x = if (isFloat) v.getFloat(off + i).toDouble
+                  else v.getDouble(off + i)
+          val diff = x - row(i)
+          acc += diff * diff
+          i += 1
+        }
+        // strict < keeps the LOWEST code on exact ties — deterministic
+        if (acc < bestDist) { bestDist = acc; best = code }
+        code += 1
+      }
+      out(j) = best
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

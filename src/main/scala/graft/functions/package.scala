@@ -100,6 +100,21 @@ package object functions {
   /** Lazy generator of all sorted in-bucket id pairs (id_a < id_b). */
   def pair_generator(ids: Column): Column = col(PairGenerator(expr(ids)))
 
+  /** PQ asymmetric-distance inner product of a query vector against an
+    * item's PQ codes, codebooks as a broadcast handle (no per-pair
+    * reconstruction allocation).
+    */
+  def pq_adc_bcast(query: Column, codes: Column,
+      codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : Column =
+    col(PqAdcBroadcast(expr(query), expr(codes), codebooks))
+
+  /** PQ codes (euclidean argmin per subspace, one pass, all subspaces). */
+  def pq_encode_bcast(emb: Column,
+      codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : Column =
+    col(PqEncodeBroadcast(expr(emb), codebooks))
+
   /** Bounded top-k aggregate (map-side partial; k best per group). */
   def topk_agg(score: Column, id: Column, k: Int): Column =
     agg(TopKAgg(expr(score), expr(id), k))

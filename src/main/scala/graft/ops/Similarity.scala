@@ -228,4 +228,153 @@ object Similarity {
       .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
     explodeTopK(grouped, idType)
   }
+
+  /** Product-quantization codebooks: `m` per-subspace codebooks of `ksub`
+    * centroids each, trained by euclidean Lloyd over a DETERMINISTIC
+    * hash-sample of the corpus (`trainRows` expected rows — PQ training
+    * cost is independent of corpus size; only encode touches every row).
+    * Returns codebooks(j)(code) = the dsub-dim centroid, dsub = d/m.
+    *
+    * Assignment inside Lloyd is euclidean argmin (via the same
+    * [[graft.functions.pq_encode_bcast]] expression encode uses, one
+    * sub-codebook at a time) — NOT the cosine ranking [[ivfTopK]]'s
+    * coarse router uses: subvector norms carry signal, so quantization
+    * must minimize ||x - c||, not angle.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      ksub: Int,
+      iterations: Int = 3,
+      trainRows: Long = 65536L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1)
+    val sc = corpus.sparkSession.sparkContext
+    val c = corpus.select(col(idCol).as("item_id"),
+      col(embCol).cast("array<double>").as("item_emb"))
+    val total = c.count()
+    if (total == 0) return Array.fill(m)(Array.empty[Array[Double]])
+    val d = dim(corpus, embCol)
+    require(d % m == 0, s"embedding dim $d must be divisible by m=$m")
+    val dsub = d / m
+    val frac = math.min(1.0, trainRows.toDouble / total)
+    val sample = (if (frac < 1.0)
+      c.filter(graft.ops.Sampling.md5Hash52(col("item_id")) <
+        lit((frac * (1L << 52).toDouble).toLong))
+    else c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).toArray.map { j =>
+        val sub = sample.select(col("item_id"),
+          slice(col("item_emb"), j * dsub + 1, dsub).as("item_emb"))
+        // init: first ksub sampled rows by id (deterministic)
+        var cb: Array[Array[Double]] = sub.orderBy(col("item_id"))
+          .limit(ksub).collect().map(_.getSeq[Double](1).toArray)
+        if (cb.isEmpty) cb = Array(Array.fill(dsub)(0.0))
+        (0 until iterations).foreach { _ =>
+          val bc = sc.broadcast(Array(cb))
+          val refined = sub
+            .select(graft.functions.pq_encode_bcast(col("item_emb"), bc)(0)
+              .as("code"), col("item_emb"))
+            .groupBy(col("code"))
+            .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
+            .collect()
+            .map(r => r.getInt(0) ->
+              r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
+            .toMap
+          cb = cb.indices.map(i => refined.getOrElse(i, cb(i))).toArray
+        }
+        cb
+      }
+    } finally { sample.unpersist(); () }
+  }
+
+  /** IVF-PQ approximate top-k: the scale path past [[ivfTopK]]. Corpus
+    * rows carry an 8-ish-byte PQ code instead of the full vector through
+    * the candidate stage, so the frame the probe join scans is ~d*4/m
+    * times smaller than the raw embeddings; full vectors are touched
+    * only in the final exact re-rank, whose size is bounded by
+    * |queries| x rerank.
+    *
+    *  1. Both sides L2-normalize (cosine becomes a plain dot product,
+    *     and ADC over normalized vectors approximates cosine directly).
+    *  2. Coarse router: [[fitCentroids]] + nProbe-cell probing, exactly
+    *     [[ivfTopK]]'s pruning.
+    *  3. Candidates score by PQ asymmetric distance
+    *     ([[graft.functions.pq_adc_bcast]] — no reconstruction
+    *     allocation) into a bounded top-`rerank` aggregate.
+    *  4. Exact re-rank: the bounded candidate ids broadcast back against
+    *     the corpus scan (map-side join — the corpus never shuffles),
+    *     exact dot, bounded top-k.
+    *
+    * Raw-vector PQ (not residual PQ): codes quantize the normalized
+    * vectors themselves, keeping encode a single map pass; residual
+    * encoding would couple codes to the coarse assignment for moderate
+    * extra recall. Documented trade — revisit if recall at scale
+    * disappoints.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      iterations: Int = 2,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
+    val rerankN = if (rerank > 0) rerank else 4 * k
+    val sc = corpus.sparkSession.sparkContext
+    val c = corpus.select(col(idCol).as("item_id"),
+      normalizeL2(col(embCol)).as("item_emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      normalizeL2(col(embCol)).as("query_emb"))
+
+    def assignTop(emb: Column, cs: Array[Array[Double]], n: Int): Column =
+      assignTopCentroids(sc, centroidBroadcastThreshold)(emb, cs, n)
+
+    val coarse = fitCentroids(c, nCentroids, iterations,
+      centroidBroadcastThreshold)
+    if (coarse.isEmpty)
+      return queries.select(col(idCol).as("query_id"),
+        col(idCol).as("item_id"), lit(0.0).as("cosine"),
+        lit(0).as("rank")).limit(0)
+    val codebooks = pqTrain(c, "item_id", "item_emb", m, ksub)
+    val bc = sc.broadcast(codebooks)
+
+    // ONE map pass builds the narrow searchable frame: id + cell + codes
+    val encoded = c.select(col("item_id"),
+      assignTop(col("item_emb"), coarse, 1)(0).as("centroid_id"),
+      graft.functions.pq_encode_bcast(col("item_emb"), bc).as("codes"))
+
+    val probes = q.select(col("query_id"), col("query_emb"),
+      explode(assignTop(col("query_emb"), coarse, nProbe))
+        .as("centroid_id"))
+
+    val candidates = encoded.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"),
+        graft.functions.pq_adc_bcast(col("query_emb"), col("codes"), bc)
+          .as("adc"), col("item_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_agg(col("adc"), col("item_id"), rerankN).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.item_id").as("item_id"))
+
+    // exact re-rank over the bounded candidate set: candidates broadcast,
+    // corpus streams map-side; normalized vectors make dot == cosine
+    val grouped = c.join(broadcast(candidates),
+        c("item_id") === candidates("item_id"))
+      .select(col("query_id"), c("item_id").as("item_id"), col("item_emb"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("item_id"),
+        dot(col("query_emb"), col("item_emb")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
+    explodeTopK(grouped, idType)
+  }
 }

@@ -284,6 +284,59 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     bcSize should be < 10000
   }
 
+  test("ivf-pq is exact on a pattern corpus (lossless quantization regime)") {
+    import spark.implicits._
+    // 64-dim vectors assembled from 4 sign patterns per 8-dim subspace:
+    // subspace j of doc i carries pattern (i+j)%4, so the first ksub=4
+    // docs cover every pattern in every subspace — Lloyd's init IS the
+    // exact codebook, quantization is lossless, ADC equals the exact dot,
+    // and with nProbe == nCentroids the whole pipeline must reproduce
+    // brute force exactly (ties break id-asc in both paths)
+    val patterns = Array(
+      Array(1.0, 1, 1, 1, -1, -1, -1, -1),
+      Array(1.0, -1, 1, -1, 1, -1, 1, -1),
+      Array(-1.0, 1, -1, 1, 1, -1, -1, 1),
+      Array(-1.0, -1, 1, 1, -1, 1, -1, 1))
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).flatMap(j => patterns((i + j) % 4)).toArray)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5)
+    val pq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 4, nProbe = 4, m = 8, ksub = 4, rerank = 20)
+    key(pq) shouldBe key(brute)
+    // re-ranked scores are exact cosines, not ADC estimates
+    val bruteScores = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.collect().foreach { r =>
+      r.getDouble(2) shouldBe (bruteScores((r.getLong(0), r.getLong(1))) +- 1e-9)
+    }
+  }
+
+  test("ivf-pq recall on fixture embeddings stays above the pinned floor") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 4, m = 8, ksub = 16, rerank = 50)
+      .collect()
+    // well-ordered within each query
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      sorted.map(_.getDouble(2)).toSeq shouldBe
+        sorted.map(_.getDouble(2)).sortBy(-_).toSeq
+    }
+    val hits = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = hits.intersect(brute).size.toDouble / brute.size
+    recall should be >= 0.5 // measured ~0.7+ on the fixture; floor padded
+  }
+
   test("rolling_hash64 equals the HOF composition it replaced") {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))

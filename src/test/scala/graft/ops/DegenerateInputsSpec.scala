@@ -91,6 +91,10 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
     val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     Similarity.ivfTopK(empty, queries, "vec_id", "embedding",
       k = 3, nCentroids = 4, nProbe = 2).count() shouldBe 0L
+    Similarity.ivfPqTopK(empty, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 2, m = 2, ksub = 4).count() shouldBe 0L
+    Similarity.pqTrain(empty, "vec_id", "embedding", m = 2, ksub = 4)
+      .foreach(_.length shouldBe 0)
     empty.select(Similarity.quantizeInt8(col("embedding"))).count() shouldBe 0L
   }
 }
