@@ -1286,6 +1286,32 @@ object SparkEntry {
         m = 8, ksub = 16, rerank = 20)
     }),
 
+    "q99_feature_scale" -> ((s, dir) => {
+      // per-language standardization + min-max scaling of a numeric
+      // feature: stats reduce map-side, broadcast back, transforms are
+      // pure projections (FeatureScale)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("n_chars"))
+      val z = ops.FeatureScale.zscore(d, Seq("n_chars"), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          round(col("n_chars"), 6).as("z"))
+      val mm = ops.FeatureScale.minMax(d, Seq("n_chars"), Seq("lang"))
+        .select(col("doc_id"), round(col("n_chars"), 6).as("mm"))
+      z.join(mm, Seq("doc_id"))
+    }),
+
+    "q100_winsorize" -> ((s, dir) => {
+      // robust clipping at per-nation KLL [0.1, 0.9] fences — exact
+      // under the q13 sketch-exact regime, so the oracle's rank-based
+      // quantiles reproduce the sketch bit-for-bit
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      ops.FeatureScale.winsorize(sup, "s_acctbal", 0.1, 0.9,
+        Seq("s_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal"), 2).as("acctbal_w"))
+    }),
+
     "q94_kll_grid_large" -> ((s, dir) => {
       // full 9-point quantile grid, exploded to scalar rows (the driver's
       // hasher can't factorize array columns). The 1/293 orderkey filter
@@ -2559,6 +2585,31 @@ object SparkEntry {
         |      c -> unicode(c)::BIGINT)),
         |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
         |FROM documents""".stripMargin,
+
+    "q99_feature_scale" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars::DOUBLE AS x FROM documents),
+        |s AS (SELECT lang, avg(x) AS mu, stddev_samp(x) AS sd,
+        |         min(x) AS lo, max(x) AS hi
+        |       FROM d GROUP BY 1)
+        |SELECT doc_id, d.lang AS lang,
+        |  round(CASE WHEN sd IS NOT NULL AND sd > 0 THEN (x - mu) / sd
+        |        ELSE 0.0 END, 6) AS z,
+        |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
+        |        ELSE 0.0 END, 6) AS mm
+        |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q100_winsorize" ->
+      """WITH r AS (SELECT s_suppkey, s_nationkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier),
+        |f AS (SELECT s_nationkey,
+        |    min(s_acctbal) FILTER (WHERE rn >= ceil(0.1 * cnt)) AS lo,
+        |    min(s_acctbal) FILTER (WHERE rn >= ceil(0.9 * cnt)) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT s_suppkey, r.s_nationkey AS s_nationkey,
+        |  round(least(greatest(s_acctbal, lo), hi), 2) AS acctbal_w
+        |FROM r JOIN f ON r.s_nationkey = f.s_nationkey""".stripMargin,
 
     "q96_corpus_store" ->
       """WITH st AS (SELECT doc_id, length(text) AS n_chars FROM documents)

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Feature scaling transforms: hand-computable values, group handling,
+  * constant-column degenerate cases, and the broadcast-projection plan
+  * shape (the corpus side must not shuffle).
+  */
+class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  test("zscore matches hand-computed values and zeroes constant groups") {
+    import spark.implicits._
+    // group a: values 1,2,3 -> mean 2, sd 1 -> z = -1, 0, 1
+    // group b: constant 7,7 -> sd 0 -> z = 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "x").withColumn("id", monotonically_increasing_id())
+    val z = FeatureScale.zscore(df, Seq("x"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    z shouldBe Array(("a", -1.0), ("a", 0.0), ("a", 1.0),
+      ("b", 0.0), ("b", 0.0))
+    // single-row frame: stddev_samp is null -> 0.0, not NaN
+    val one = FeatureScale.zscore(Seq(("a", 5.0)).toDF("g", "x"), Seq("x"))
+      .collect().head.getDouble(1)
+    one shouldBe 0.0
+  }
+
+  test("minMax maps to [0,1] with exact endpoints; constants to 0") {
+    import spark.implicits._
+    val df = Seq(10.0, 20.0, 15.0, 10.0).toDF("x")
+    val got = FeatureScale.minMax(df, Seq("x"))
+      .collect().map(_.getDouble(0)).sorted
+    got shouldBe Array(0.0, 0.0, 0.5, 1.0)
+    FeatureScale.minMax(Seq(3.0, 3.0).toDF("x"), Seq("x"))
+      .collect().map(_.getDouble(0)) shouldBe Array(0.0, 0.0)
+  }
+
+  test("winsorize clips exactly at the rank-based fences per group") {
+    import spark.implicits._
+    // 10 values 1..10 in one group: lo fence = smallest rank >= ceil(.1*10)
+    // = value at rank 1 = 1; hi = rank >= ceil(.9*10) = value 9
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("g", "x")
+    val got = FeatureScale.winsorize(df, "x", 0.1, 0.9, Seq("g"))
+      .collect().map(_.getDouble(1)).sorted
+    got.max shouldBe 9.0 // 10 clipped down
+    got.min shouldBe 1.0
+    got.count(_ == 9.0) shouldBe 2 // original 9 plus clipped 10
+  }
+
+  test("transforms keep schema and row count; apply side is projection-only") {
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).cast("double").as("x"),
+        (col("id") % 3).cast("string").as("g"))
+    val z = FeatureScale.zscore(df, Seq("x"), Seq("g"))
+    z.columns.toSeq shouldBe df.columns.toSeq
+    z.count() shouldBe 1000L
+    // the only exchanges feed the stats aggregate / its broadcast — the
+    // data side reaches the projection through scan -> broadcast join
+    val plan = z.queryExecution.executedPlan.toString
+    plan should include ("BroadcastHashJoin")
+  }
+}
