@@ -1300,6 +1300,25 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q101_validate" -> ((s, dir) => {
+      // profile-driven expectation suite: six checks per group evaluated
+      // purely from the profile row's sketch state (no raw re-scan) —
+      // min/max/mean bounds, null fraction, Theta distinct range (exact
+      // at this cardinality), inferred-type assertion
+      val prof = t(s, dir, "lineitem").newProfilingSession()
+        .groupBy("l_returnflag").aggProfiles()
+      ops.Validation.report(prof, Seq(
+        ops.Validation.MinAtLeast("l_quantity", 1.0),
+        ops.Validation.MaxAtMost("l_quantity", 50.0),
+        ops.Validation.MeanBetween("l_quantity", 20.0, 30.0),
+        ops.Validation.NullFractionAtMost("l_quantity", 0.0),
+        ops.Validation.DistinctBetween("l_quantity", 40.0, 60.0),
+        ops.Validation.TypeIs("l_quantity", "FRACTIONAL")),
+        keep = Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("check_name"), col("col_name"),
+          round(col("observed"), 6).as("observed"), col("passed"))
+    }),
+
     "q100_winsorize" -> ((s, dir) => {
       // robust clipping at per-nation KLL [0.1, 0.9] fences — exact
       // under the q13 sketch-exact regime, so the oracle's rank-based
@@ -2597,6 +2616,26 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q101_validate" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |    min(l_quantity) AS mn, max(l_quantity) AS mx,
+        |    avg(l_quantity) AS mean,
+        |    count(DISTINCT l_quantity) AS nd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'min_at_least' AS check_name,
+        |  'l_quantity' AS col_name, round(mn, 6) AS observed,
+        |  CAST(mn >= 1.0 AS INT) AS passed FROM g
+        |UNION ALL SELECT l_returnflag, 'max_at_most', 'l_quantity',
+        |  round(mx, 6), CAST(mx <= 50.0 AS INT) FROM g
+        |UNION ALL SELECT l_returnflag, 'mean_between', 'l_quantity',
+        |  round(mean, 6), CAST(mean BETWEEN 20.0 AND 30.0 AS INT) FROM g
+        |UNION ALL SELECT l_returnflag, 'null_fraction_at_most',
+        |  'l_quantity', 0.0, 1 FROM g
+        |UNION ALL SELECT l_returnflag, 'distinct_between', 'l_quantity',
+        |  round(nd, 6), CAST(nd BETWEEN 40 AND 60 AS INT) FROM g
+        |UNION ALL SELECT l_returnflag, 'type_is', 'l_quantity',
+        |  1.0, 1 FROM g""".stripMargin,
 
     "q100_winsorize" ->
       """WITH r AS (SELECT s_suppkey, s_nationkey, s_acctbal,
