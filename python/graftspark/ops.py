@@ -341,3 +341,54 @@ def exact_best(df: DataFrame, key_cols: List[str], score_col: str,
     (ties to the greatest id; deterministic)."""
     return _to_py_df(_jvm_bridge(df).exactBest(
         df._jdf, list(key_cols), score_col, id_col), df)
+
+
+def ann_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
+              emb_col: str, k: int = 10, n_centroids: int = 16,
+              n_probe: int = 4, m: int = 8, ksub: int = 16,
+              rerank: int = 0) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse-cell pruning, product-quantized
+    candidate scoring (asymmetric distance against broadcast codebooks),
+    bounded exact re-rank — returned scores are true cosines."""
+    return _to_py_df(_jvm_bridge(corpus).annIvfPq(
+        corpus._jdf, queries._jdf, id_col, emb_col, int(k),
+        int(n_centroids), int(n_probe), int(m), int(ksub),
+        int(rerank)), corpus)
+
+
+def zscore(df: DataFrame, cols: List[str],
+           keys: Optional[List[str]] = None) -> DataFrame:
+    """Z-score standardize ``cols`` (optionally per ``keys`` group):
+    stats broadcast back, map-only apply; constant columns scale to 0."""
+    return _to_py_df(_jvm_bridge(df).zscore(
+        df._jdf, list(cols), list(keys or [])), df)
+
+
+def min_max_scale(df: DataFrame, cols: List[str],
+                  keys: Optional[List[str]] = None) -> DataFrame:
+    """Min-max scale ``cols`` to [0, 1]; constant columns scale to 0."""
+    return _to_py_df(_jvm_bridge(df).minMaxScale(
+        df._jdf, list(cols), list(keys or [])), df)
+
+
+def winsorize(df: DataFrame, value_col: str, lo_q: float, hi_q: float,
+              keys: Optional[List[str]] = None) -> DataFrame:
+    """Clip ``value_col`` at its per-group KLL [lo_q, hi_q] quantile
+    fences (sketch-driven — no sort, no exact-percentile shuffle)."""
+    return _to_py_df(_jvm_bridge(df).winsorize(
+        df._jdf, value_col, float(lo_q), float(hi_q),
+        list(keys or [])), df)
+
+
+def validation_report(profiles: DataFrame, checks: List[List],
+                      keep: Optional[List[str]] = None) -> DataFrame:
+    """Profile-driven expectation report: each check is a list like
+    ``["min_at_least", col, bound]``, ``["mean_between", col, lo, hi]``,
+    ``["null_fraction_at_most", col, f]``, ``["distinct_between", col,
+    lo, hi]``, ``["quantile_at_most", col, q, bound]`` or
+    ``["type_is", col, expected]`` — evaluated purely from profile rows
+    (no raw-data re-scan). Output: keep cols + (check_name, col_name,
+    observed, passed 0/1)."""
+    jchecks = [list(c) for c in checks]
+    return _to_py_df(_jvm_bridge(profiles).validationReport(
+        profiles._jdf, jchecks, list(keep or [])), profiles)

@@ -279,6 +279,49 @@ def test_round5_curation_ops():
     print("round-5 curation ops OK")
 
 
+def test_round6_scaling_validation_pq():
+    from pyspark.sql import functions as F
+    from graftspark import ops, new_profiling_session
+
+    # ivf-pq: well-formed rows, scores are exact cosines in [-1, 1]
+    embs = _embs().limit(200)
+    queries = embs.limit(5)
+    top = ops.ann_ivfpq(embs, queries, "vec_id", "embedding", k=3,
+                        n_centroids=8, n_probe=8, rerank=20)
+    rows = top.collect()
+    assert len(rows) == 15, len(rows)
+    assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)
+
+    # zscore / min_max / winsorize on a known column
+    docs = _get_spark().read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base = docs.select("doc_id", "lang",
+                       docs["n_chars"].cast("double").alias("x"))
+    z = ops.zscore(base, ["x"], keys=["lang"])
+    assert z.count() == base.count() and z.columns == base.columns
+    mm = ops.min_max_scale(base, ["x"])
+    lohi = mm.agg(F.min("x"), F.max("x")).collect()[0]
+    assert lohi[0] >= 0.0 and lohi[1] <= 1.0
+    w = ops.winsorize(base, "x", 0.1, 0.9, keys=["lang"])
+    assert w.count() == base.count()
+
+    # validation report from a grouped profile
+    prof = new_profiling_session(docs, "pydocs").groupBy("lang") \
+        .aggProfiles()
+    rep = ops.validation_report(
+        prof,
+        [["min_at_least", "n_chars", 0.0],
+         ["null_fraction_at_most", "n_chars", 0.0],
+         ["type_is", "n_chars", "INTEGRAL"]],
+        keep=["lang"])
+    got = rep.collect()
+    n_groups = prof.count()
+    assert len(got) == 3 * n_groups
+    assert all(r["passed"] in (0, 1) for r in got)
+    min_rows = [r for r in got if r["check_name"] == "min_at_least"]
+    assert all(r["passed"] == 1 for r in min_rows)
+    print("round-6 scaling/validation/pq ops OK")
+
+
 def main():
     test_exact_dedup()
     test_near_dup_clusters()
@@ -288,6 +331,7 @@ def main():
     test_multimodal_map_in_pandas()
     test_contamination_packing_stratified()
     test_round5_curation_ops()
+    test_round6_scaling_validation_pq()
     print("ALL OPS TESTS PASSED")
 
 

@@ -351,4 +351,62 @@ object PyBridge {
     df.withColumn(textCol,
       graft.ops.TextOps.normalizeText(org.apache.spark.sql.functions
         .col(textCol)))
+
+  /** IVF-PQ ANN: coarse-cell pruning, product-quantized candidate
+    * scoring (ADC against broadcast codebooks), bounded exact re-rank.
+    */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      m: Int, ksub: Int, rerank: Int): DataFrame =
+    graft.ops.Similarity.ivfPqTopK(corpus, queries, idCol, embCol, k,
+      nCentroids, nProbe, m, ksub, rerank)
+
+  /** Per-group z-score standardization (broadcast stats, map-only apply). */
+  def zscore(df: DataFrame, cols: ju.List[String],
+      keys: ju.List[String]): DataFrame =
+    graft.ops.FeatureScale.zscore(df, cols.asScala.toSeq, keys.asScala.toSeq)
+
+  /** Per-group min-max scaling to [0, 1]. */
+  def minMaxScale(df: DataFrame, cols: ju.List[String],
+      keys: ju.List[String]): DataFrame =
+    graft.ops.FeatureScale.minMax(df, cols.asScala.toSeq, keys.asScala.toSeq)
+
+  /** Clip a column at its per-group KLL [loQ, hiQ] quantile fences. */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double, hiQ: Double,
+      keys: ju.List[String]): DataFrame =
+    graft.ops.FeatureScale.winsorize(df, valueCol, loQ, hiQ,
+      keys.asScala.toSeq)
+
+  /** Profile-driven expectation report. Each check is a list:
+    * ["min_at_least", col, bound] / ["max_at_most", col, bound] /
+    * ["mean_between", col, lo, hi] / ["null_fraction_at_most", col, f] /
+    * ["distinct_between", col, lo, hi] / ["quantile_at_most", col, q, b]
+    * / ["type_is", col, expected].
+    */
+  def validationReport(profiles: DataFrame,
+      checks: ju.List[ju.List[AnyRef]],
+      keep: ju.List[String]): DataFrame = {
+    import graft.ops.Validation
+    def d(x: AnyRef): Double = x.asInstanceOf[Number].doubleValue
+    val parsed: Seq[Validation.Check] = checks.asScala.toSeq.map { row =>
+      val f = row.asScala.toSeq
+      val name = f(0).asInstanceOf[String]
+      val c = f(1).asInstanceOf[String]
+      name match {
+        case "min_at_least" => Validation.MinAtLeast(c, d(f(2)))
+        case "max_at_most" => Validation.MaxAtMost(c, d(f(2)))
+        case "mean_between" => Validation.MeanBetween(c, d(f(2)), d(f(3)))
+        case "null_fraction_at_most" =>
+          Validation.NullFractionAtMost(c, d(f(2)))
+        case "distinct_between" =>
+          Validation.DistinctBetween(c, d(f(2)), d(f(3)))
+        case "quantile_at_most" =>
+          Validation.QuantileAtMost(c, d(f(2)), d(f(3)))
+        case "type_is" => Validation.TypeIs(c, f(2).asInstanceOf[String])
+        case other =>
+          throw new IllegalArgumentException(s"unknown check: $other")
+      }
+    }
+    Validation.report(profiles, parsed, keep.asScala.toSeq)
+  }
 }
