@@ -392,3 +392,21 @@ def validation_report(profiles: DataFrame, checks: List[List],
     jchecks = [list(c) for c in checks]
     return _to_py_df(_jvm_bridge(profiles).validationReport(
         profiles._jdf, jchecks, list(keep or [])), profiles)
+
+
+def robust_scale(df: DataFrame, value_col: str,
+                 keys: Optional[List[str]] = None) -> DataFrame:
+    """Median/IQR scaling from one KLL aggregate per group — the
+    outlier-insensitive zscore; degenerate IQR scales to 0."""
+    return _to_py_df(_jvm_bridge(df).robustScale(
+        df._jdf, value_col, list(keys or [])), df)
+
+
+def drift_auto_edges(reference: DataFrame, sketch_col: str,
+                     probs: Optional[List[float]] = None) -> List[float]:
+    """PSI/KL bin edges derived from a one-row reference profile's KLL
+    sketch quantiles (default quartiles) — equal-mass drift bins."""
+    out = _jvm_bridge(reference).driftAutoEdges(
+        reference._jdf, sketch_col,
+        [float(p) for p in (probs or [0.25, 0.5, 0.75])])
+    return [float(x) for x in out]

@@ -319,6 +319,13 @@ def test_round6_scaling_validation_pq():
     assert all(r["passed"] in (0, 1) for r in got)
     min_rows = [r for r in got if r["check_name"] == "min_at_least"]
     assert all(r["passed"] == 1 for r in min_rows)
+
+    # robust_scale + drift_auto_edges
+    rs = ops.robust_scale(base, "x", keys=["lang"])
+    assert rs.count() == base.count()
+    gprof = new_profiling_session(docs, "pyglobal").aggProfiles()
+    edges = ops.drift_auto_edges(gprof, "n_chars.numbers.kll")
+    assert edges == sorted(edges) and 1 <= len(edges) <= 3
     print("round-6 scaling/validation/pq ops OK")
 
 

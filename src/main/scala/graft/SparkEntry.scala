@@ -1300,6 +1300,36 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q102_drift_autoedges" -> ((s, dir) => {
+      // PSI over bins auto-derived from the reference sketch's quartiles
+      // (equal-mass bins — no hand-picked constants); exact under the
+      // q13/q61 sketch-exact regime, so the oracle re-derives the same
+      // REAL-valued edges by the rank rule
+      val sup = t(s, dir, "supplier")
+      val cohorts = sup
+        .withColumn("cohort",
+          when(col("s_nationkey") < 12, "old").otherwise("new"))
+        .groupBy(col("cohort"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"), count(lit(1)).as("n"))
+      val ref = cohorts.filter(col("cohort") === "old")
+      val edges = ops.Drift.autoEdges(ref, "sk")
+      val a = ref.select(col("sk").as("sk_a"), col("n").as("n_a"))
+      val b = cohorts.filter(col("cohort") === "new")
+        .select(col("sk").as("sk_b"), col("n").as("n_b"))
+      a.crossJoin(b).select(col("n_a"), col("n_b"),
+        round(ops.Drift.psi(col("sk_a"), col("sk_b"), edges), 6).as("psi"))
+    }),
+
+    "q103_robust_scale" -> ((s, dir) => {
+      // median/IQR scaling from one KLL aggregate per nation — the
+      // outlier-insensitive zscore; exact under the sketch-exact regime
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      ops.FeatureScale.robustScale(sup, "s_acctbal", Seq("s_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal"), 6).as("acctbal_r"))
+    }),
+
     "q101_validate" -> ((s, dir) => {
       // profile-driven expectation suite: six checks per group evaluated
       // purely from the profile row's sketch state (no raw re-scan) —
@@ -2616,6 +2646,52 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q102_drift_autoedges" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS cnt FROM s WHERE cohort = 'old'),
+        |q AS (SELECT
+        |    min(v) FILTER (WHERE rn >= ceil(0.25 * cnt)) AS e1,
+        |    min(v) FILTER (WHERE rn >= ceil(0.5 * cnt)) AS e2,
+        |    min(v) FILTER (WHERE rn >= ceil(0.75 * cnt)) AS e3 FROM o),
+        |c AS (SELECT cohort, count(*) AS n,
+        |    count(*) FILTER (WHERE v <= e1) AS r1,
+        |    count(*) FILTER (WHERE v <= e2) AS r2,
+        |    count(*) FILTER (WHERE v <= e3) AS r3
+        |  FROM s, q GROUP BY 1),
+        |p AS (SELECT cohort, n,
+        |  greatest(r1 / n::DOUBLE, 1e-6) AS p0,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p1,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p2,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p3
+        |  FROM c)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round((a.p0 - b.p0) * ln(a.p0 / b.p0)
+        |      + (a.p1 - b.p1) * ln(a.p1 / b.p1)
+        |      + (a.p2 - b.p2) * ln(a.p2 / b.p2)
+        |      + (a.p3 - b.p3) * ln(a.p3 / b.p3), 6) AS psi
+        |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
+
+    "q103_robust_scale" ->
+      """WITH r AS (SELECT s_suppkey, s_nationkey,
+        |    CAST(s_acctbal AS REAL) AS v, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY CAST(s_acctbal AS REAL)) AS rn,
+        |    count(*) OVER (PARTITION BY s_nationkey) AS cnt
+        |  FROM supplier),
+        |f AS (SELECT s_nationkey,
+        |    min(v) FILTER (WHERE rn >= ceil(0.25 * cnt)) AS q1,
+        |    min(v) FILTER (WHERE rn >= ceil(0.5 * cnt)) AS q2,
+        |    min(v) FILTER (WHERE rn >= ceil(0.75 * cnt)) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT s_suppkey, r.s_nationkey AS s_nationkey,
+        |  round(CASE WHEN q3 > q1
+        |    THEN (s_acctbal - q2) / (q3::DOUBLE - q1::DOUBLE)
+        |    ELSE 0.0 END, 6) AS acctbal_r
+        |FROM r JOIN f ON r.s_nationkey = f.s_nationkey""".stripMargin,
 
     "q101_validate" ->
       """WITH g AS (SELECT l_returnflag, count(*) AS n,

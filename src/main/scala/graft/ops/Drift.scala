@@ -37,6 +37,29 @@ object Drift {
       .map { case (p, q) => (p - q) * log(p / q) }
       .reduce(_ + _)
 
+  /** Bin edges for [[psi]]/[[klDivergence]] DERIVED from a reference
+    * profile's KLL sketch: the sketch's quantiles at `probs` (default
+    * quartiles), so drift bins adapt to the observed distribution
+    * instead of hand-picked constants — equal-mass bins maximize PSI
+    * sensitivity. One bounded 1-row driver action against the reference
+    * frame (which must hold exactly one profile row); duplicate
+    * quantile values (heavy point masses) collapse to keep bins
+    * well-formed.
+    */
+  def autoEdges(
+      reference: org.apache.spark.sql.DataFrame,
+      sketchCol: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val rows = reference.select(probs.map(p =>
+      graft.functions.kll_quantile(col(sketchCol), lit(p))): _*).head(2)
+    require(rows.length == 1,
+      s"autoEdges needs exactly ONE reference row, got ${rows.length} — " +
+        "merge the reference down first")
+    probs.indices.map(rows.head.getDouble).distinct.sorted
+  }
+
   /** KL(a || b) over the same fixed bins. */
   def klDivergence(a: Column, b: Column, edges: Seq[Double],
       eps: Double = 1e-6): Column =

@@ -74,6 +74,31 @@ object FeatureScale {
     statsJoin(df, keys, stats).select(out: _*)
   }
 
+  /** Robust scaling: x -> (x - median) / (q75 - q25), fences from ONE
+    * KLL aggregate (optionally per group) — outlier-insensitive where
+    * [[zscore]]'s mean/stddev are not. Degenerate IQR (constant-ish
+    * column) maps to 0.0. Same sketch rank semantics as [[winsorize]].
+    */
+  def robustScale(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val stats = grouped(df, keys)
+      .agg(kll_agg(col(valueCol)).as("__sk"))
+      .select((keys.map(col) :+
+        kll_quantile(col("__sk"), lit(0.25)).as("__q1") :+
+        kll_quantile(col("__sk"), lit(0.5)).as("__q2") :+
+        kll_quantile(col("__sk"), lit(0.75)).as("__q3")): _*)
+    val out = df.columns.toSeq.map { c =>
+      if (c == valueCol)
+        when(col("__q3") > col("__q1"),
+          (col(c) - col("__q2")) / (col("__q3") - col("__q1")))
+          .otherwise(lit(0.0)).as(c)
+      else col(c)
+    }
+    statsJoin(df, keys, stats).select(out: _*)
+  }
+
   /** Winsorization: clip `valueCol` to its [loQ, hiQ] KLL-quantile
     * fences (optionally per group) — the robust-outlier companion to
     * [[Outliers.iqrStats]]. Sketch-driven: the fence pass is ONE

@@ -377,6 +377,20 @@ object PyBridge {
     graft.ops.FeatureScale.winsorize(df, valueCol, loQ, hiQ,
       keys.asScala.toSeq)
 
+  /** Median/IQR scaling from one KLL aggregate (per group). */
+  def robustScale(df: DataFrame, valueCol: String,
+      keys: ju.List[String]): DataFrame =
+    graft.ops.FeatureScale.robustScale(df, valueCol, keys.asScala.toSeq)
+
+  /** PSI/KL bin edges derived from a reference profile sketch's
+    * quantiles (one-row reference frame).
+    */
+  def driftAutoEdges(reference: DataFrame, sketchCol: String,
+      probs: ju.List[java.lang.Double]): ju.List[java.lang.Double] =
+    graft.ops.Drift.autoEdges(reference, sketchCol,
+      probs.asScala.toSeq.map(_.doubleValue))
+      .map(java.lang.Double.valueOf).asJava
+
   /** Profile-driven expectation report. Each check is a list:
     * ["min_at_least", col, bound] / ["max_at_most", col, bound] /
     * ["mean_between", col, lo, hi] / ["null_fraction_at_most", col, f] /

@@ -50,6 +50,19 @@ class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got.count(_ == 9.0) shouldBe 2 // original 9 plus clipped 10
   }
 
+  test("robustScale matches hand-computed median/IQR values") {
+    import spark.implicits._
+    // 1..10: rank-rule quartiles q1 = ceil(2.5)=rank3 -> 3, q2 -> 5, q3 -> 8
+    val df = (1 to 10).map(v => ("g", v.toDouble)).toDF("g", "x")
+    val got = FeatureScale.robustScale(df, "x", Seq("g"))
+      .collect().map(_.getDouble(1)).sorted
+    got.head shouldBe ((1.0 - 5.0) / 5.0 +- 1e-12)
+    got.last shouldBe ((10.0 - 5.0) / 5.0 +- 1e-12)
+    // constant column: degenerate IQR -> all zeros, no NaN/Infinity
+    FeatureScale.robustScale(Seq(("g", 4.0), ("g", 4.0)).toDF("g", "x"), "x")
+      .collect().map(_.getDouble(1)) shouldBe Array(0.0, 0.0)
+  }
+
   test("transforms keep schema and row count; apply side is projection-only") {
     import spark.implicits._
     val df = spark.range(0, 1000)

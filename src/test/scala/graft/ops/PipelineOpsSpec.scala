@@ -329,6 +329,27 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getAs[Long]("n") shouldBe 102L
   }
 
+  test("autoEdges derives sketch quartiles, collapses duplicates, " +
+    "rejects multi-row references") {
+    import graft.profile.ProfileSession.ProfilingOps
+    import spark.implicits._
+    val df = (1 to 10).map(v => v.toDouble).toDF("v")
+    val sk = df.agg(graft.functions.kll_agg(col("v")).as("sk"))
+    // rank-rule quartiles of 1..10 are 3, 5, 8 (q13 semantics)
+    Drift.autoEdges(sk, "sk") shouldBe Seq(3.0, 5.0, 8.0)
+    // a point mass collapses duplicate quantiles instead of emitting
+    // zero-width bins
+    val const = Seq.fill(10)(7.0).toDF("v")
+      .agg(graft.functions.kll_agg(col("v")).as("sk"))
+    Drift.autoEdges(const, "sk") shouldBe Seq(7.0)
+    // two reference rows is a caller bug, not a silent wrong answer
+    val two = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .newProfilingSession().groupBy("l_returnflag").aggProfiles()
+      .select(col("l_quantity.numbers.kll").as("sk"))
+    an[IllegalArgumentException] should be thrownBy
+      Drift.autoEdges(two, "sk")
+  }
+
   test("profile drift: zero against itself, positive under a real shift") {
     import graft.profile.ProfileSession.ProfilingOps
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

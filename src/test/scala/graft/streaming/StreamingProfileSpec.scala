@@ -67,6 +67,44 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     streamed.size shouldBe 4 // 2 keys x 2 days
   }
 
+  test("validation report runs unchanged on a streaming profile frame") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "key", "value")
+    val profiles = StreamingProfile.windowedProfiles(
+      streamDf, "ts", "1 day", "2 days", keys = Seq("key"))
+
+    // expectations evaluate per (key, window) as windows update — the
+    // report is a pure projection + explode, so it composes with the
+    // streaming aggregate with no extra stateful operator
+    val rep = graft.ops.Validation.report(profiles, Seq(
+      graft.ops.Validation.MinAtLeast("value", 0.0), // all fixture values > 0
+      graft.ops.Validation.MaxAtMost("value", 15.0)), // fails for key a
+      keep = Seq("key"))
+    val q = rep.writeStream.format("memory").queryName("prof_checks")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.sql(
+      "SELECT key, check_name, passed FROM prof_checks").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    rows.length shouldBe 8 // 2 keys x 2 windows x 2 checks
+    rows.filter(_._2 == "min_at_least").forall(_._3 == 1) shouldBe true
+    // key a has values up to 40 -> max check fails on a's windows
+    rows.filter(r => r._1 == "a" && r._2 == "max_at_most")
+      .forall(_._3 == 0) shouldBe true
+    rows.filter(r => r._1 == "b" && r._2 == "max_at_most")
+      .forall(_._3 == 1) shouldBe true
+  }
+
   test("store-and-merge sink: merged micro-batch profiles equal batch profile") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
