@@ -1300,6 +1300,17 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q104_linear_score" -> ((s, dir) => {
+      // hashing-trick linear classifier scoring (untrained formula
+      // weights — the oracle replicates hash, bucket, weight and sigmoid
+      // exactly); with a trained broadcast table this is fastText-style
+      // model-based quality filtering, one row-local pass
+      ops.TextOps.linearQualityScore(t(s, dir, "documents"),
+        "doc_id", "text", nBuckets = 4096)
+        .select(col("doc_id"), round(col("logit"), 6).as("logit"),
+          round(col("score"), 6).as("score"))
+    }),
+
     "q102_drift_autoedges" -> ((s, dir) => {
       // PSI over bins auto-derived from the reference sketch's quartiles
       // (equal-mass bins — no hand-picked constants); exact under the
@@ -2646,6 +2657,27 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q104_linear_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+        |    t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(regexp_split_to_array(t, ''),
+        |        c -> unicode(c)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS th
+        |  FROM toks),
+        |w AS (SELECT doc_id,
+        |    ((th % 4096) * 2654435761) % 1000000007 / 1000000007.0 - 0.5
+        |      AS wt
+        |  FROM h),
+        |s AS (SELECT doc_id, sum(wt) / count(*) AS logit FROM w GROUP BY 1)
+        |SELECT doc_id, round(logit, 6) AS logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 6) AS score
+        |FROM s""".stripMargin,
 
     "q102_drift_autoedges" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'

@@ -705,3 +705,70 @@ case class PqEncodeBroadcast(
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Hashing-trick linear text score — the scoring core of a
+  * fastText-style quality classifier, one row-local pass: tokens
+  * (lowercased, whitespace-split) hash by the q95 rolling 31-hash into
+  * one of `nBuckets` weight slots, and the document scores the MEAN
+  * slot weight (0.0 for token-less text; squash outside). Weights come
+  * from `bcast` (a trained table of length nBuckets) or, when absent,
+  * from the deterministic formula
+  * w(b) = ((b * 2654435761) % 1000000007) / 1000000007.0 - 0.5 —
+  * engine-reproducible, so the untrained form is SQL-oracle-able end
+  * to end.
+  */
+case class HashedTokenScore(
+    child: Expression,
+    nBuckets: Int,
+    bcast: Option[org.apache.spark.broadcast.Broadcast[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+
+  private val Mod = 1000000007L
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_token_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_token_score requires string, got $t")
+  }
+
+  @transient private lazy val table: Array[Double] = bcast.map(_.value).orNull
+
+  private def weightOf(bucket: Int): Double =
+    if (table != null) table(bucket)
+    else (bucket.toLong * 2654435761L % Mod).toDouble / Mod.toDouble - 0.5
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var sum = 0.0
+    var cnt = 0L
+    var h = 0L
+    var inTok = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        cp == '\f' || cp == '\r'
+      if (isWs) {
+        if (inTok) {
+          sum += weightOf((h % nBuckets).toInt); cnt += 1
+          h = 0L; inTok = false
+        }
+      } else {
+        h = (h * 31L + cp) % Mod
+        inTok = true
+      }
+    }
+    if (inTok) { sum += weightOf((h % nBuckets).toInt); cnt += 1 }
+    if (cnt == 0L) 0.0 else sum / cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -109,6 +109,14 @@ package object functions {
       : Column =
     col(PqAdcBroadcast(expr(query), expr(codes), codebooks))
 
+  /** Mean hashed-slot weight of a text's tokens (fastText-style linear
+    * scoring core); formula weights when no table is given.
+    */
+  def hashed_token_score(text: Column, nBuckets: Int,
+      weights: Option[org.apache.spark.broadcast.Broadcast[Array[Double]]] = None)
+      : Column =
+    col(HashedTokenScore(expr(text), nBuckets, weights))
+
   /** PQ codes (euclidean argmin per subspace, one pass, all subspaces). */
   def pq_encode_bcast(emb: Column,
       codebooks: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])

@@ -29,6 +29,19 @@ object CorpusStore {
       sortCols: Seq[String] = Nil,
       format: String = "parquet"): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = df.sparkSession
+    // true overwrite ACROSS sessions: a fresh session's in-memory catalog
+    // doesn't know a previous run's table, but the warehouse DIRECTORY
+    // survives — saveAsTable would then fail LOCATION_ALREADY_EXISTS.
+    // Drop the catalog entry if present and clear an orphaned default
+    // location (only the default path — an externally-located table is
+    // never touched here).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format(format).mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)

@@ -128,6 +128,35 @@ object TextOps {
       lit(0.25) * (lit(1.0) - punctRatio) + lit(0.25) * stopOk, 4)
   }
 
+  /** Model-based quality scoring plumbing: a fastText-style LINEAR
+    * classifier over hashing-trick token features, scored in one
+    * row-local pass (zero shuffle at any corpus size). Each token hashes
+    * into one of `nBuckets` weight slots (rolling 31-hash — the q95
+    * engine-reproducible recipe); the document's logit is the mean slot
+    * weight and `score` = sigmoid(logit).
+    *
+    * `weights`: broadcast a trained table (length nBuckets) for real
+    * classification — the plumbing (hashing, pooling, scoring) is
+    * exactly what a trained model needs. Without it, slots carry a
+    * deterministic formula weight (reproducible in SQL, so the
+    * untrained form is oracle-checkable end to end — q104).
+    *
+    * Output: idCol, logit, score.
+    */
+  def linearQualityScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 4096,
+      weights: Option[org.apache.spark.broadcast.Broadcast[Array[Double]]] =
+        None): org.apache.spark.sql.DataFrame = {
+    val mw = graft.functions.hashed_token_score(col(textCol), nBuckets,
+      weights)
+    df.select(col(idCol), mw.as("logit"))
+      .select(col(idCol), col("logit"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("score"))
+  }
+
   /** ALL token n-gram windows of `text` as space-joined strings, repeats
     * kept; empty array for docs shorter than n tokens. Row-local
     * (codegen HOFs over the token array), zero shuffle.

@@ -329,6 +329,29 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getAs[Long]("n") shouldBe 102L
   }
 
+  test("linearQualityScore: trained weights drive the logit; empty text " +
+    "scores neutral; formula path is tokenization-consistent") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "  "), (3L, ""),
+      (4L, "ALPHA Beta gamma")).toDF("doc_id", "text")
+    // a constant trained table makes every token weigh 1.0 -> logit 1.0
+    val ones = spark.sparkContext.broadcast(Array.fill(64)(1.0))
+    val trained = TextOps.linearQualityScore(docs, "doc_id", "text",
+      nBuckets = 64, weights = Some(ones))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    trained(1L)._1 shouldBe 1.0
+    trained(1L)._2 shouldBe (1.0 / (1.0 + math.exp(-1.0)) +- 1e-12)
+    // token-less docs are neutral: logit 0, score 0.5 (not NaN)
+    trained(2L) shouldBe ((0.0, 0.5))
+    trained(3L) shouldBe ((0.0, 0.5))
+    // formula path: scoring is case-insensitive (lowercased tokens)
+    val formula = TextOps.linearQualityScore(docs, "doc_id", "text",
+      nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    formula(4L) shouldBe (formula(1L) +- 1e-12)
+  }
+
   test("autoEdges derives sketch quartiles, collapses duplicates, " +
     "rejects multi-row references") {
     import graft.profile.ProfileSession.ProfilingOps
