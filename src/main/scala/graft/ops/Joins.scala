@@ -67,6 +67,31 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Skew-routed equi-join: probes the large side's key histogram with
+    * ONE map-side-combined aggregate ([[Diagnostics.keySkew]] top-1 —
+    * shuffle carries distinct keys, not rows) and picks the physical
+    * strategy from the measurement: a top key owning at least
+    * `skewThreshold` of the rows routes through [[saltedJoin]];
+    * otherwise a plain equi-join (AQE's skew splitting handles the mild
+    * regime). The probe is the cheap insurance the verdict pattern
+    * demands: commit a 100 TB shuffle to a key only after measuring it.
+    */
+  def autoJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int = 16,
+      skewThreshold: Double = 0.05): DataFrame = {
+    require(skewThreshold > 0 && skewThreshold <= 1,
+      s"skewThreshold must be in (0,1], got $skewThreshold")
+    val top = Diagnostics.keySkew(large, Seq(key), 1).collect()
+    val topShare =
+      if (top.isEmpty) 0.0 else top.head.getAs[Double]("share")
+    if (topShare >= skewThreshold)
+      saltedJoin(large, small, key, saltBuckets)
+    else large.join(small, key)
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `rightTime <= leftTime` per key — the standard event-time enrichment
     * the reference's host pipelines need.

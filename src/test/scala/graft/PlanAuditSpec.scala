@@ -134,6 +134,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     } finally release()
   }
 
+  test("ivf-pq: corpus reaches both scoring stages through broadcast " +
+    "joins — the only exchanges are the two bounded per-query top-k aggs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val res = graft.ops.Similarity.ivfPqTopK(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nCentroids = 4, nProbe = 2, m = 8, ksub = 8, rerank = 10)
+    res.collect()
+    val plan = finalPlan(res)
+    // probes and candidate ids are broadcast; the corpus scan itself
+    // never hash-partitions — candidate ADC top-rerank and the exact
+    // re-rank top-k are the only shuffles, both keyed by query_id and
+    // bounded by |queries| x k-ish rows after map-side partials
+    val exchanges = "Exchange hashpartitioning\\(query_id".r
+      .findAllIn(plan).length
+    exchanges shouldBe 2
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 2
+    "BroadcastExchange".r.findAllIn(plan).length should be >= 2
+  }
+
   test("keySkew: single count aggregation (total reuses it — no second " +
     "corpus scan) and a bounded TakeOrdered top-k, no global sort") {
     val skew = graft.ops.Diagnostics.keySkew(

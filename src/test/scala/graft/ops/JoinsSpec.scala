@@ -30,6 +30,30 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plain.length shouldBe (800 + 4 + 4) // hot key + 4 rows each for k1/k7
   }
 
+  test("autoJoin routes by the measured skew and matches the plain join") {
+    import spark.implicits._
+    val hot = (1 to 1000).map(i =>
+      (if (i <= 800) "x" else s"k${i % 50}", i)).toDF("key", "v")
+    val uniform = (1 to 1000).map(i => (s"k${i % 100}", i)).toDF("key", "v")
+    val small = Seq(("x", 100), ("k1", 200), ("k7", 300)).toDF("key", "w")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("v"), col("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+
+    // hot key (80% share) -> salted path: the join key carries the salt
+    // (ConvertToLocalRelation folds the xxhash64 itself on Seq-backed
+    // frames, so pin the salt column, not the hash expression)
+    val hotJoin = Joins.autoJoin(hot, small, "key", saltBuckets = 8)
+    rows(hotJoin) shouldBe rows(hot.join(small, "key"))
+    hotJoin.queryExecution.optimizedPlan.toString should include ("__salt")
+
+    // uniform keys (1% top share) -> plain equi-join, no salt machinery
+    val uniJoin = Joins.autoJoin(uniform, small, "key")
+    rows(uniJoin) shouldBe rows(uniform.join(small, "key"))
+    (uniJoin.queryExecution.optimizedPlan.toString should not).include("__salt")
+  }
+
   test("range bucket join equals the naive BETWEEN join") {
     import spark.implicits._
     val points = (1 to 500).map(i => (i, i * 0.7)).toDF("id", "value")
