@@ -196,6 +196,21 @@ object Bench {
         graft.ops.Drift.againstReference(windows, reference,
           Map("l_extendedprice" -> edges), keep = Seq("window")).count()
       }),
+      // profile-driven validation: expectation checks evaluated from the
+      // windowed profile frame alone (no raw re-scan after profiling)
+      "validate" -> (() => {
+        val prof = t("lineitem").newProfilingSession()
+          .withTimeColumn("l_shipdate", "7 days").aggProfiles()
+        graft.ops.Validation.report(prof, Seq(
+          graft.ops.Validation.MinAtLeast("l_quantity", 1.0),
+          graft.ops.Validation.MaxAtMost("l_quantity", 50.0),
+          graft.ops.Validation.MeanBetween("l_quantity", 20.0, 30.0),
+          graft.ops.Validation.NullFractionAtMost("l_quantity", 0.0),
+          graft.ops.Validation.DistinctBetween("l_quantity", 40.0, 60.0),
+          graft.ops.Validation.QuantileAtMost("l_extendedprice", 0.5, 1e6),
+          graft.ops.Validation.TypeIs("l_quantity", "FRACTIONAL")),
+          keep = Seq("window")).count()
+      }),
       // stored-binary viewer loop: export grouped profiles as delimited
       // wire binaries, read them back with the binaryFile-source viewer
       "viewer" -> (() => {
@@ -310,6 +325,9 @@ object Bench {
     val warmEmb = t("embeddings").limit(100)
     Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 2).count()
+    Similarity.ivfPqTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 2, nCentroids = 4, nProbe = 2,
+      m = 8, ksub = 4, rerank = 5).count()
     graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
       "doc_id", "text", 2).count()
     graft.ops.Sessionize.stats(

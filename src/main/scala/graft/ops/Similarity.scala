@@ -264,28 +264,37 @@ object Similarity {
         lit((frac * (1L << 52).toDouble).toLong))
     else c).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      (0 until m).toArray.map { j =>
-        val sub = sample.select(col("item_id"),
-          slice(col("item_emb"), j * dsub + 1, dsub).as("item_emb"))
-        // init: first ksub sampled rows by id (deterministic)
-        var cb: Array[Array[Double]] = sub.orderBy(col("item_id"))
-          .limit(ksub).collect().map(_.getSeq[Double](1).toArray)
-        if (cb.isEmpty) cb = Array(Array.fill(dsub)(0.0))
-        (0 until iterations).foreach { _ =>
-          val bc = sc.broadcast(Array(cb))
-          val refined = sub
-            .select(graft.functions.pq_encode_bcast(col("item_emb"), bc)(0)
-              .as("code"), col("item_emb"))
-            .groupBy(col("code"))
-            .agg(vec_sum(col("item_emb")).as("s"), count(lit(1)).as("n"))
-            .collect()
-            .map(r => r.getInt(0) ->
-              r.getSeq[Double](1).map(_ / r.getLong(2)).toArray)
-            .toMap
-          cb = cb.indices.map(i => refined.getOrElse(i, cb(i))).toArray
+      // init: first ksub sampled rows by id (ONE bounded collect),
+      // sliced into every subspace driver-side
+      val initRows = sample.orderBy(col("item_id")).limit(ksub).collect()
+        .map(_.getSeq[Double](1).toArray)
+      if (initRows.isEmpty) return Array.fill(m)(Array.empty[Array[Double]])
+      var codebooks: Array[Array[Array[Double]]] = (0 until m).map(j =>
+        initRows.map(v => v.slice(j * dsub, (j + 1) * dsub))).toArray
+      // each Lloyd step is ONE pass over the sample for ALL m subspaces
+      // (the per-subspace loop would run m x iterations jobs): encode all
+      // codes in one expression call, explode to (subspace, code, subvec),
+      // reduce to m x ksub rows — the only thing the driver ever collects
+      (0 until iterations).foreach { _ =>
+        val bc = sc.broadcast(codebooks)
+        val refined = sample
+          .select(graft.functions.pq_encode_bcast(col("item_emb"), bc)
+            .as("codes"), col("item_emb"))
+          .select(posexplode(col("codes")).as(Seq("j", "code")),
+            col("item_emb"))
+          .select(col("j"), col("code"),
+            slice(col("item_emb"), col("j") * dsub + 1, lit(dsub)).as("sub"))
+          .groupBy(col("j"), col("code"))
+          .agg(vec_sum(col("sub")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Double](2).map(_ / r.getLong(3)).toArray)
+          .toMap
+        codebooks = codebooks.zipWithIndex.map { case (cb, j) =>
+          cb.indices.map(i => refined.getOrElse((j, i), cb(i))).toArray
         }
-        cb
       }
+      codebooks
     } finally { sample.unpersist(); () }
   }
 
