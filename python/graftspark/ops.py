@@ -410,3 +410,14 @@ def drift_auto_edges(reference: DataFrame, sketch_col: str,
         reference._jdf, sketch_col,
         [float(p) for p in (probs or [0.25, 0.5, 0.75])])
     return [float(x) for x in out]
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            window_tokens: int,
+                            min_docs: int = 2) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al.): every ``window_tokens``
+    window repeating across >= ``min_docs`` docs is excised from every
+    document (overlapping windows merge; unique text survives). Output:
+    id, cleaned text, n_removed."""
+    return _to_py_df(_jvm_bridge(df).removeDuplicatedSpans(
+        df._jdf, id_col, text_col, int(window_tokens), int(min_docs)), df)

@@ -1300,6 +1300,20 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q105_remove_spans" -> ((s, dir) => {
+      // exact-substring REMOVAL (the action to q85's detection): the
+      // planted boilerplate tail vanishes from every 20th doc, unique
+      // text survives; n_removed counts excised tokens. Trimmed on both
+      // sides (q85's tokenization-parity lesson)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        trim(when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" this boilerplate sentence repeats" +
+            " verbatim across many documents here")))
+          .otherwise(col("text"))).as("text"))
+      Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 8, minDocs = 3)
+    }),
+
     "q104_linear_score" -> ((s, dir) => {
       // hashing-trick linear classifier scoring (untrained formula
       // weights — the oracle replicates hash, bucket, weight and sigmoid
@@ -2657,6 +2671,36 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q105_remove_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    trim(CASE WHEN doc_id % 20 = 0 THEN text ||
+        |      ' this boilerplate sentence repeats verbatim across many documents here'
+        |    ELSE text END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM d),
+        |w AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(l[i:i+7], ' ') AS span
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM l)),
+        |dup AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM w)
+        |  GROUP BY span HAVING count(*) >= 3),
+        |u AS (SELECT doc_id, l[i] AS t, i - 1 AS idx
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, len(l) + 1)) AS i FROM l)),
+        |cov AS (SELECT DISTINCT w.doc_id, u.idx
+        |  FROM w JOIN dup USING (span)
+        |  JOIN u ON u.doc_id = w.doc_id
+        |    AND u.idx BETWEEN w.pos AND w.pos + 7),
+        |kept AS (SELECT u.doc_id, u.t, u.idx FROM u LEFT JOIN cov
+        |  ON u.doc_id = cov.doc_id AND u.idx = cov.idx
+        |  WHERE cov.idx IS NULL),
+        |k AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS text,
+        |    count(*) AS n FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text,
+        |  CAST(len(l.l) - coalesce(k.n, 0) AS INT) AS n_removed
+        |FROM d JOIN l ON d.doc_id = l.doc_id
+        |LEFT JOIN k ON d.doc_id = k.doc_id""".stripMargin,
 
     "q104_linear_score" ->
       """WITH toks AS (

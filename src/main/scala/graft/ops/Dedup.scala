@@ -428,6 +428,64 @@ object Dedup {
       .select(col("span"), col("n_docs"))
   }
 
+  /** Exact-substring REMOVAL — the action half of [[duplicatedSpans]]'
+    * detection (Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" regime): every `windowTokens`-token window that
+    * repeats across >= `minDocs` documents is excised from EVERY
+    * document. Flagged windows merge by position, so a boilerplate run
+    * longer than one window is removed whole, and interleaved unique
+    * text survives. Output: idCol, text (cleaned), n_removed (excised
+    * token count).
+    *
+    * Scale shape: the frequent-window count is [[duplicatedSpans]]'
+    * hash-only shuffle (two 64-bit hashes per distinct (window, doc) —
+    * span text never shuffles); the flagged-position frame carries
+    * (id, pos) pairs bounded by TRUE duplication volume, reduced to one
+    * sorted position array per affected doc; the excision itself is a
+    * row-local HOF rebuild (token kept iff no flagged window covers
+    * it). Matching is by the same double-64-bit hash as
+    * [[duplicatedSpans]] — a false removal needs a simultaneous 128-bit
+    * collision. Two corpus scans by design (counting pass + rebuild
+    * pass), the documented [[duplicatedSpans]] trade against a
+    * corpus-sized persist.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Long = 2): DataFrame = {
+    require(windowTokens >= 1,
+      s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val Seed2 = 0x9E3779B97F4A7C15L
+    def windows = df.select(col(idCol).as("__id"),
+      posexplode(graft.ops.TextOps.allNgrams(col(textCol), windowTokens))
+        .as(Seq("__pos", "__span")))
+      .select(col("__id"), col("__pos"),
+        xxhash64(col("__span")).as("__h1"),
+        xxhash64(col("__span"), lit(Seed2)).as("__h2"))
+    val dupHashes = windows
+      .select(col("__id"), col("__h1"), col("__h2")).distinct()
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__h1"), col("__h2"))
+    val flaggedPositions = windows
+      .join(dupHashes, Seq("__h1", "__h2"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    val toks = split(col(textCol), " ")
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__ps"), p => i >= p && i < p + windowTokens))
+    df.join(flaggedPositions, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        when(col("__ps").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as(textCol),
+        when(col("__ps").isNull, lit(0))
+          .otherwise(size(toks) - size(kept)).as("n_removed"))
+  }
+
   /** EXACT n-gram contamination (the GPT-3-style eval-set decontamination
     * rule: a probe doc is contaminated if it shares >= minShared distinct
     * token n-grams with a training doc). Complements

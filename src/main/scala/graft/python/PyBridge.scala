@@ -323,6 +323,14 @@ object PyBridge {
     graft.ops.Dedup.duplicatedSpans(df, idCol, textCol, windowTokens,
       minDocs)
 
+  /** Exact-substring removal: corpus-frequent token windows excised
+    * from every document (merged runs, row-local rebuild).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Long): DataFrame =
+    graft.ops.Dedup.removeDuplicatedSpans(df, idCol, textCol,
+      windowTokens, minDocs)
+
   /** Bloom-accelerated exact semi-join (corpus rows whose key appears
     * in the probe set).
     */

@@ -34,6 +34,33 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
       "id", "text", 8).count() shouldBe 0L
   }
 
+  test("removeDuplicatedSpans excises merged flagged runs, keeps unique " +
+    "text, and passes empty/short corpora through") {
+    import spark.implicits._
+    // "b1..b5" is a shared 5-token run in docs 1-3 (windows of 4 merge
+    // across its 2 flagged positions); unique prefixes/suffixes survive
+    val docs = Seq(
+      (1L, "u1 u2 b1 b2 b3 b4 b5 t1"),
+      (2L, "v1 b1 b2 b3 b4 b5 w9"),
+      (3L, "b1 b2 b3 b4 b5"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7")).toDF("id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "id", "text",
+      windowTokens = 4, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    got(1L) shouldBe (("u1 u2 t1", 5))
+    got(2L) shouldBe (("v1 w9", 5))
+    got(3L) shouldBe (("", 5)) // the whole doc was boilerplate
+    got(4L) shouldBe (("x1 x2 x3 x4 x5 x6 x7", 0)) // untouched
+    // degenerate inputs pass through silently
+    Dedup.removeDuplicatedSpans(emptyDocs, "id", "text", 8).count() shouldBe 0L
+    val short = Dedup.removeDuplicatedSpans(
+      Seq((1L, "too short")).toDF("id", "text"), "id", "text", 8)
+      .collect().head
+    short.getString(1) shouldBe "too short"
+    short.getInt(2) shouldBe 0
+  }
+
   test("bloom joins: empty probe keeps/drops everything correctly; " +
     "empty corpus is empty") {
     Dedup.bloomSemiJoin(someDocs, emptyDocs, "text").count() shouldBe 0L
