@@ -326,6 +326,16 @@ def test_round6_scaling_validation_pq():
     gprof = new_profiling_session(docs, "pyglobal").aggProfiles()
     edges = ops.drift_auto_edges(gprof, "n_chars.numbers.kll")
     assert edges == sorted(edges) and 1 <= len(edges) <= 3
+
+    # exact-substring removal: planted boilerplate vanishes
+    spark = _get_spark()
+    boiler = docs.limit(60).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" shared boiler plate tail "
+                                      "tokens here")).alias("text"))
+    cleaned = ops.remove_duplicated_spans(boiler, "doc_id", "text", 6,
+                                          min_docs=3)
+    assert cleaned.filter("n_removed > 0").count() == 60
     print("round-6 scaling/validation/pq ops OK")
 
 
