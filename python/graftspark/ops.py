@@ -346,14 +346,16 @@ def exact_best(df: DataFrame, key_cols: List[str], score_col: str,
 def ann_ivfpq(corpus: DataFrame, queries: DataFrame, id_col: str,
               emb_col: str, k: int = 10, n_centroids: int = 16,
               n_probe: int = 4, m: int = 8, ksub: int = 16,
-              rerank: int = 0) -> DataFrame:
+              rerank: int = 0, residual: bool = False) -> DataFrame:
     """IVF-PQ approximate top-k: coarse-cell pruning, product-quantized
     candidate scoring (asymmetric distance against broadcast codebooks),
-    bounded exact re-rank — returned scores are true cosines."""
+    bounded exact re-rank — returned scores are true cosines.
+    ``residual=True`` quantizes x - centroid(cell) for finer resolution
+    from the same code budget."""
     return _to_py_df(_jvm_bridge(corpus).annIvfPq(
         corpus._jdf, queries._jdf, id_col, emb_col, int(k),
         int(n_centroids), int(n_probe), int(m), int(ksub),
-        int(rerank)), corpus)
+        int(rerank), bool(residual)), corpus)
 
 
 def zscore(df: DataFrame, cols: List[str],

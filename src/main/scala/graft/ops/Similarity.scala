@@ -334,7 +334,8 @@ object Similarity {
       ksub: Int = 16,
       rerank: Int = 0,
       iterations: Int = 2,
-      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+      centroidBroadcastThreshold: Int = 1024,
+      residual: Boolean = false): DataFrame = {
     val idType = corpus.schema(idCol).dataType
     val rerankN = if (rerank > 0) rerank else 4 * k
     val sc = corpus.sparkSession.sparkContext
@@ -352,22 +353,42 @@ object Similarity {
       return queries.select(col(idCol).as("query_id"),
         col(idCol).as("item_id"), lit(0.0).as("cosine"),
         lit(0).as("rank")).limit(0)
-    val codebooks = pqTrain(c, "item_id", "item_emb", m, ksub)
+    // residual mode (classic IVF-PQ refinement): codes quantize
+    // x - centroid(cell), so each codebook only has to cover the spread
+    // WITHIN a cell rather than the whole space — finer resolution from
+    // the same m x ksub budget. ADC then scores
+    // dot(q, centroid_cell) + adc(q, residual codes).
+    val centroidLit = array(coarse.map(cArr => typedLit(cArr)): _*)
+    def cellCentroid(cid: Column): Column = element_at(centroidLit, cid + 1)
+    val assigned = c.select(col("item_id"), col("item_emb"),
+      assignTop(col("item_emb"), coarse, 1)(0).as("centroid_id"))
+    val encBase = if (residual)
+      assigned.withColumn("__enc",
+        zip_with(col("item_emb"), cellCentroid(col("centroid_id")),
+          (x, y) => x - y))
+    else assigned.withColumn("__enc", col("item_emb"))
+    val codebooks = pqTrain(
+      encBase.select(col("item_id"), col("__enc").as("item_emb")),
+      "item_id", "item_emb", m, ksub)
     val bc = sc.broadcast(codebooks)
 
     // ONE map pass builds the narrow searchable frame: id + cell + codes
-    val encoded = c.select(col("item_id"),
-      assignTop(col("item_emb"), coarse, 1)(0).as("centroid_id"),
-      graft.functions.pq_encode_bcast(col("item_emb"), bc).as("codes"))
+    val encoded = encBase.select(col("item_id"), col("centroid_id"),
+      graft.functions.pq_encode_bcast(col("__enc"), bc).as("codes"))
 
-    val probes = q.select(col("query_id"), col("query_emb"),
+    val probes0 = q.select(col("query_id"), col("query_emb"),
       explode(assignTop(col("query_emb"), coarse, nProbe))
         .as("centroid_id"))
+    val probes = if (residual)
+      probes0.withColumn("__cdot",
+        dot(col("query_emb"), cellCentroid(col("centroid_id"))))
+    else probes0.withColumn("__cdot", lit(0.0))
 
     val candidates = encoded.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"),
-        graft.functions.pq_adc_bcast(col("query_emb"), col("codes"), bc)
+        (col("__cdot") +
+          graft.functions.pq_adc_bcast(col("query_emb"), col("codes"), bc))
           .as("adc"), col("item_id"))
       .groupBy(col("query_id"))
       .agg(topk_agg(col("adc"), col("item_id"), rerankN).as("topk"))

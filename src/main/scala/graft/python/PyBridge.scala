@@ -365,9 +365,9 @@ object PyBridge {
     */
   def annIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nCentroids: Int, nProbe: Int,
-      m: Int, ksub: Int, rerank: Int): DataFrame =
+      m: Int, ksub: Int, rerank: Int, residual: Boolean): DataFrame =
     graft.ops.Similarity.ivfPqTopK(corpus, queries, idCol, embCol, k,
-      nCentroids, nProbe, m, ksub, rerank)
+      nCentroids, nProbe, m, ksub, rerank, residual = residual)
 
   /** Per-group z-score standardization (broadcast stats, map-only apply). */
   def zscore(df: DataFrame, cols: ju.List[String],

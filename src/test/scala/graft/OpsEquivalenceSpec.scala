@@ -318,6 +318,33 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("residual ivf-pq is exact with one cell on the pattern corpus") {
+    import spark.implicits._
+    // nCentroids=1: residual = x - global centroid, a constant shift —
+    // each subspace still holds <= ksub distinct residual patterns, so
+    // residual quantization is lossless and the pipeline must reproduce
+    // brute force exactly (the residual-mode ADC adds dot(q, centroid)
+    // back, which this pins)
+    val patterns = Array(
+      Array(1.0, 1, 1, 1, -1, -1, -1, -1),
+      Array(1.0, -1, 1, -1, 1, -1, 1, -1),
+      Array(-1.0, 1, -1, 1, 1, -1, -1, 1),
+      Array(-1.0, -1, 1, 1, -1, 1, -1, 1))
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).flatMap(j => patterns((i + j) % 4)).toArray)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5)
+    val pq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 1, nProbe = 1, m = 8, ksub = 4, rerank = 20,
+      residual = true)
+    key(pq) shouldBe key(brute)
+  }
+
   test("ivf-pq recall on fixture embeddings stays above the pinned floor") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries,
