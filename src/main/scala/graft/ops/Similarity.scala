@@ -229,6 +229,21 @@ object Similarity {
     explodeTopK(grouped, idType)
   }
 
+  /** Recall@k of an approximate ANN result against an exact one (both
+    * in the (query_id, item_id, cosine, rank) shape the top-k ops
+    * return): per-query fraction of the exact neighbors the approximate
+    * search recovered — the tuning loop for nProbe / rerank / ksub.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("item_id"))
+      .join(approx.select(col("query_id"), col("item_id"))
+        .withColumn("__hit", lit(1)), Seq("query_id", "item_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+
   /** Product-quantization codebooks: `m` per-subspace codebooks of `ksub`
     * centroids each, trained by euclidean Lloyd over a DETERMINISTIC
     * hash-sample of the corpus (`trainRows` expected rows — PQ training

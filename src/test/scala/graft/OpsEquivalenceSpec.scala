@@ -362,6 +362,19 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val hits = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = hits.intersect(brute).size.toDouble / brute.size
     recall should be >= 0.5 // measured ~0.7+ on the fixture; floor padded
+
+    // the recallAtK helper must agree with the hand computation
+    val bruteDf = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+    val pqDf = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCentroids = 8, nProbe = 4, m = 8, ksub = 16, rerank = 50)
+    val rep = Similarity.recallAtK(pqDf, bruteDf)
+    val overall = rep.agg(sum(col("n_hit")).cast("double") /
+      sum(col("n_exact"))).head().getDouble(0)
+    overall shouldBe (recall +- 1e-9)
+    rep.collect().foreach { r =>
+      r.getAs[Double]("recall") should (be >= 0.0 and be <= 1.0)
+    }
   }
 
   test("rolling_hash64 equals the HOF composition it replaced") {
