@@ -81,5 +81,10 @@ object GraftExtensions {
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "proto_column_stats" -> (es => graft.io.ProtoColumnStats(es(0),
       es(1).eval().toString)),
-    "proto_tags" -> (es => graft.io.ProtoTags(es.head)))
+    "proto_tags" -> (es => graft.io.ProtoTags(es.head)),
+    // hashed_token_score(text, nBuckets): formula-weight linear scoring
+    // (the broadcast-weights form is API-only — a broadcast can't ride
+    // a SQL literal)
+    "hashed_token_score" -> (es => HashedTokenScore(es(0),
+      es(1).eval().asInstanceOf[Number].intValue, None)))
 }

@@ -1368,7 +1368,9 @@ object SparkEntry {
         ops.Validation.MeanBetween("l_quantity", 20.0, 30.0),
         ops.Validation.NullFractionAtMost("l_quantity", 0.0),
         ops.Validation.DistinctBetween("l_quantity", 40.0, 60.0),
-        ops.Validation.TypeIs("l_quantity", "FRACTIONAL")),
+        ops.Validation.TypeIs("l_quantity", "FRACTIONAL"),
+        ops.Validation.StddevBetween("l_quantity", 10.0, 20.0),
+        ops.Validation.UniqueRatioBetween("l_quantity", 0.0, 0.1)),
         keep = Seq("l_returnflag"))
         .select(col("l_returnflag"), col("check_name"), col("col_name"),
           round(col("observed"), 6).as("observed"), col("passed"))
@@ -2772,7 +2774,7 @@ object SparkEntry {
     "q101_validate" ->
       """WITH g AS (SELECT l_returnflag, count(*) AS n,
         |    min(l_quantity) AS mn, max(l_quantity) AS mx,
-        |    avg(l_quantity) AS mean,
+        |    avg(l_quantity) AS mean, stddev_samp(l_quantity) AS sd,
         |    count(DISTINCT l_quantity) AS nd
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'min_at_least' AS check_name,
@@ -2787,7 +2789,12 @@ object SparkEntry {
         |UNION ALL SELECT l_returnflag, 'distinct_between', 'l_quantity',
         |  round(nd, 6), CAST(nd BETWEEN 40 AND 60 AS INT) FROM g
         |UNION ALL SELECT l_returnflag, 'type_is', 'l_quantity',
-        |  1.0, 1 FROM g""".stripMargin,
+        |  1.0, 1 FROM g
+        |UNION ALL SELECT l_returnflag, 'stddev_between', 'l_quantity',
+        |  round(sd, 6), CAST(sd BETWEEN 10.0 AND 20.0 AS INT) FROM g
+        |UNION ALL SELECT l_returnflag, 'unique_ratio_between',
+        |  'l_quantity', round(nd / n::DOUBLE, 6),
+        |  CAST(nd / n::DOUBLE BETWEEN 0.0 AND 0.1 AS INT) FROM g""".stripMargin,
 
     "q100_winsorize" ->
       """WITH r AS (SELECT s_suppkey, s_nationkey, s_acctbal,

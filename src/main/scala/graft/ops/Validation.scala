@@ -61,6 +61,26 @@ object Validation {
   final case class TypeIs(column: String, expected: String) extends Check {
     val name = "type_is"
   }
+  /** numbers.stddev in [lo, hi] — a dispersion gate (e.g. "this feature
+    * hasn't collapsed to a constant").
+    */
+  final case class StddevBetween(column: String, lo: Double, hi: Double)
+      extends Check {
+    val name = "stddev_between"
+  }
+  /** HLL distinct estimate / row count in [lo, hi] — catches both
+    * exploded-cardinality keys (ratio ~1 where duplicates are expected)
+    * and collapsed columns (ratio ~0 where spread is expected).
+    */
+  final case class UniqueRatioBetween(column: String, lo: Double, hi: Double)
+      extends Check {
+    val name = "unique_ratio_between"
+  }
+  /** true_count / count >= frac (boolean columns). */
+  final case class TrueFractionAtLeast(column: String, frac: Double)
+      extends Check {
+    val name = "true_fraction_at_least"
+  }
 
   private def eval(c: Check): (Column, Column) = c match {
     case MinAtLeast(cc, b) =>
@@ -82,6 +102,17 @@ object Validation {
       (v, v <= b)
     case TypeIs(cc, t) =>
       (col(s"$cc.type_ratio"), col(s"$cc.inferred_type") === t)
+    case StddevBetween(cc, lo, hi) =>
+      (col(s"$cc.numbers.stddev"),
+        col(s"$cc.numbers.stddev").between(lo, hi))
+    case UniqueRatioBetween(cc, lo, hi) =>
+      val ratio = col(s"$cc.cardinality.estimate") /
+        greatest(col(s"$cc.count"), lit(1L)).cast("double")
+      (ratio, ratio.between(lo, hi))
+    case TrueFractionAtLeast(cc, f) =>
+      val frac = col(s"$cc.true_count").cast("double") /
+        greatest(col(s"$cc.count"), lit(1L)).cast("double")
+      (frac, frac >= f)
   }
 
   /** Evaluate `checks` against every profile row. Output: `keep` columns

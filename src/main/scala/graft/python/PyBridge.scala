@@ -425,6 +425,12 @@ object PyBridge {
         case "quantile_at_most" =>
           Validation.QuantileAtMost(c, d(f(2)), d(f(3)))
         case "type_is" => Validation.TypeIs(c, f(2).asInstanceOf[String])
+        case "stddev_between" =>
+          Validation.StddevBetween(c, d(f(2)), d(f(3)))
+        case "unique_ratio_between" =>
+          Validation.UniqueRatioBetween(c, d(f(2)), d(f(3)))
+        case "true_fraction_at_least" =>
+          Validation.TrueFractionAtLeast(c, d(f(2)))
         case other =>
           throw new IllegalArgumentException(s"unknown check: $other")
       }

@@ -90,6 +90,19 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     row.getDouble(5) shouldBe 11.0
   }
 
+  test("hashed_token_score is SQL-callable and matches the API column") {
+    val sql = spark.sql(
+      "SELECT hashed_token_score('alpha beta gamma', 64) AS s").first()
+      .getDouble(0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val api = Seq("alpha beta gamma").toDF("t")
+      .select(graft.functions.hashed_token_score(col("t"), 64))
+      .first().getDouble(0)
+    sql shouldBe api
+    sql should (be >= -0.5 and be <= 0.5) // mean of formula weights
+  }
+
   test("proto reader expressions are SQL-callable") {
     import graft.profile.ProfileSession.ProfilingOps
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -55,6 +55,30 @@ class ValidationSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     } finally { p.unpersist(); () }
   }
 
+  test("dispersion / uniqueness / boolean checks verdict correctly") {
+    import spark.implicits._
+    val rep = Validation.report(prof, Seq(
+      Validation.StddevBetween("l_quantity", 10.0, 20.0), // ~14.4 -> pass
+      Validation.StddevBetween("l_quantity", 0.0, 1.0), // -> fail
+      Validation.UniqueRatioBetween("l_quantity", 0.0, 0.1), // ~0.004
+      Validation.UniqueRatioBetween("l_quantity", 0.5, 1.0))) // -> fail
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getInt(3)))
+    rep.filter(r => r._1 == "stddev_between" && r._3 == 1)
+      .foreach(r => r._2 should (be > 10.0 and be < 20.0))
+    rep.count(_._3 == 1) shouldBe 6 // 3 groups x 2 passing variants
+    rep.count(_._3 == 0) shouldBe 6
+
+    // boolean column: true fraction from the profile's true_count
+    val flags = (1 to 100).map(i => ("g", i % 4 == 0)).toDF("g", "ok")
+      .newProfilingSession().groupBy("g").aggProfiles()
+    val boolRep = Validation.report(flags, Seq(
+      Validation.TrueFractionAtLeast("ok", 0.2), // 0.25 -> pass
+      Validation.TrueFractionAtLeast("ok", 0.5))) // -> fail
+      .collect().map(r => (r.getDouble(2), r.getInt(3)))
+    boolRep.map(_._1).foreach(_ shouldBe 0.25 +- 1e-12)
+    boolRep.map(_._2).toSeq shouldBe Seq(1, 0)
+  }
+
   test("allPass gates and failed expectations read 0, never null") {
     Validation.allPass(prof, Seq(
       Validation.MinAtLeast("l_quantity", 1.0),
