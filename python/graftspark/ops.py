@@ -423,3 +423,12 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     id, cleaned text, n_removed."""
     return _to_py_df(_jvm_bridge(df).removeDuplicatedSpans(
         df._jdf, id_col, text_col, int(window_tokens), int(min_docs)), df)
+
+
+def weighted_bottom_k(df: DataFrame, key_cols: List[str], id_col: str,
+                      weight_col: str, k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per group
+    (Efraimidis-Spirakis A-ES with deterministic id-hash draws —
+    selection probability proportional to weight, reproducible runs)."""
+    return _to_py_df(_jvm_bridge(df).weightedBottomK(
+        df._jdf, list(key_cols), id_col, weight_col, int(k)), df)

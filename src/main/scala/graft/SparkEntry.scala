@@ -1300,6 +1300,17 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q106_weighted_bottomk" -> ((s, dir) => {
+      // Efraimidis-Spirakis weighted sampling WITHOUT replacement: 10
+      // docs per language, selection probability proportional to
+      // n_chars, deterministic draws from the md5-52 id hash — the
+      // oracle replays the exponential-draw ranking exactly
+      ops.Sampling.weightedBottomK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", k = 10)
+    }),
+
     "q105_remove_spans" -> ((s, dir) => {
       // exact-substring REMOVAL (the action to q85's detection): the
       // planted boilerplate tail vanishes from every 20th doc, unique
@@ -2673,6 +2684,18 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q106_weighted_bottomk" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, n_chars,
+        |    ln((hv + 1) / 4503599627370496.0) / n_chars AS score
+        |  FROM h WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10""".stripMargin,
 
     "q105_remove_spans" ->
       """WITH d AS (SELECT doc_id,

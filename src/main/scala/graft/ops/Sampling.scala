@@ -232,4 +232,37 @@ object Sampling {
       .select(keyCols.map(col) ++ Seq(col("t.item_id").as(idCol),
         (col("r") + 1).as("rank")): _*)
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme with a deterministic draw: each
+    * row scores exp_i = -ln(u_i) / w_i with u_i the row's md5-52-bit
+    * id-hash mapped into (0, 1], and the k SMALLEST exponential draws
+    * per group win (probability of selection proportional to weight,
+    * exactly the A-ES guarantee). Fully deterministic and
+    * partition-invariant; rows with weight <= 0 or null never win.
+    *
+    * Scale shape: identical to [[bottomK]] — a bounded map-side top-k
+    * aggregate (k rows per partition per group reach the exchange), the
+    * winners semi-join the source back for full rows.
+    */
+  def weightedBottomK(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (md5Hash52(col(idCol)).cast("double") + 1.0) / HashSpace.toDouble
+    // topk_agg keeps maxima; the negated exponential draw ln(u)/w makes
+    // "largest score" = "smallest -ln(u)/w draw"
+    val score = when(col(weightCol).isNotNull && col(weightCol) > 0,
+      log(u) / col(weightCol)).otherwise(lit(Double.NegativeInfinity))
+    val winners = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.topk_agg(score, col(idCol), k).as("topk"))
+      .select(keyCols.map(col) :+ posexplode(col("topk")).as(Seq("r", "t")): _*)
+      .filter(!col("t.score").isin(Double.NegativeInfinity))
+      .select(keyCols.map(col) ++ Seq(col("t.item_id").as(idCol)): _*)
+    df.join(winners, keyCols :+ idCol, "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

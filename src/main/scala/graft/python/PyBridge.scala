@@ -385,6 +385,14 @@ object PyBridge {
     graft.ops.FeatureScale.winsorize(df, valueCol, loQ, hiQ,
       keys.asScala.toSeq)
 
+  /** Weighted sampling without replacement, k per group (A-ES,
+    * deterministic draws).
+    */
+  def weightedBottomK(df: DataFrame, keyCols: ju.List[String],
+      idCol: String, weightCol: String, k: Int): DataFrame =
+    graft.ops.Sampling.weightedBottomK(df, keyCols.asScala.toSeq,
+      idCol, weightCol, k)
+
   /** Median/IQR scaling from one KLL aggregate (per group). */
   def robustScale(df: DataFrame, valueCol: String,
       keys: ju.List[String]): DataFrame =

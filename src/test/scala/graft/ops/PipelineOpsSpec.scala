@@ -232,6 +232,34 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got.filter(col("source") === "gold").count() shouldBe 10L
   }
 
+  test("weightedBottomK: weight-proportional winners, deterministic, " +
+    "zero/null weights never win") {
+    import spark.implicits._
+    // two weight classes: heavy rows (w=20) vs light (w=1), 500 each.
+    // A-ES selects ~proportional to weight, so heavies dominate the 100
+    // winners; exact determinism pinned by the re-run
+    val df = (1 to 1000).map { i =>
+      val w = if (i <= 500) 20.0 else 1.0
+      ("g", i.toLong, w)
+    }.toDF("g", "id", "w")
+    val got = Sampling.weightedBottomK(df, Seq("g"), "id", "w", k = 100)
+      .collect().map(_.getLong(1)).toSet
+    got.size shouldBe 100
+    val heavies = got.count(_ <= 500)
+    heavies.toDouble should be > 75.0 // ~95 expected at 20:1 weights
+    // partition invariance / determinism
+    val again = Sampling.weightedBottomK(df.repartition(17), Seq("g"),
+      "id", "w", k = 100).collect().map(_.getLong(1)).toSet
+    again shouldBe got
+    // zero/null weights are excluded even when k exceeds the group
+    val degenerate = Seq(("g", 1L, 0.0), ("g", 2L, Double.NaN),
+      ("g", 3L, 5.0)).toDF("g", "id", "w")
+      .withColumn("w", when(col("id") === 2L, lit(null)
+        .cast("double")).otherwise(col("w")))
+    Sampling.weightedBottomK(degenerate, Seq("g"), "id", "w", k = 5)
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(3L)
+  }
+
   test("temperatureMix gives NULL-source rows their own stratum") {
     import spark.implicits._
     val df = ((1 to 4000).map(i => (i.toLong, Some("web"))) ++
