@@ -432,3 +432,16 @@ def weighted_bottom_k(df: DataFrame, key_cols: List[str], id_col: str,
     selection probability proportional to weight, reproducible runs)."""
     return _to_py_df(_jvm_bridge(df).weightedBottomK(
         df._jdf, list(key_cols), id_col, weight_col, int(k)), df)
+
+
+def metric_anomalies(profiles: DataFrame, cols: List[str],
+                     keep: Optional[List[str]] = None,
+                     threshold: float = 3.0) -> DataFrame:
+    """Anomaly screen over a profile TIME SERIES: each window's mean of
+    every listed column z-scored against the metric's distribution
+    across all windows — "which week looks wrong" from stored profiles,
+    no raw re-scan. Output: keep cols + (column, metric_mean, z,
+    is_anomaly)."""
+    return _to_py_df(_jvm_bridge(profiles).metricAnomalies(
+        profiles._jdf, list(cols), list(keep or []),
+        float(threshold)), profiles)

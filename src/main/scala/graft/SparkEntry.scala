@@ -1300,6 +1300,27 @@ object SparkEntry {
       z.join(mm, Seq("doc_id"))
     }),
 
+    "q107_metric_anomalies" -> ((s, dir) => {
+      // profile-store anomaly screen: every daily window's mean z-scored
+      // against the metric's distribution across all windows — "which
+      // day looks wrong" answered from stored profiles, no raw re-scan
+      val prof = t(s, dir, "lineitem").newProfilingSession()
+        .withTimeColumn("l_shipdate", "1 day").aggProfiles()
+      ops.Drift.metricAnomalies(prof,
+        Seq("l_quantity", "l_extendedprice"),
+        keep = Seq("window"), threshold = 2.5)
+        // the raw mean is NOT emitted: the profile's Welford mean and
+        // the oracle's naive avg agree only to ~1e-8 on 5-digit
+        // magnitudes, so with 4800 rows some values always sit on a
+        // rounding boundary AND their sort order flips row alignment.
+        // z normalizes that noise away (~1e-8/sd), so 2dp is six orders
+        // from the noise floor and rows align on exact (wk, col_name)
+        .select(col("window.start").cast("date").as("wk"),
+          col("column").as("col_name"),
+          round(col("z"), 2).as("z"),
+          col("is_anomaly").cast("int").as("anom"))
+    }),
+
     "q106_weighted_bottomk" -> ((s, dir) => {
       // Efraimidis-Spirakis weighted sampling WITHOUT replacement: 10
       // docs per language, selection probability proportional to
@@ -2684,6 +2705,23 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q107_metric_anomalies" ->
+      """WITH m AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE)
+        |      AS wk,
+        |    avg(l_quantity) AS mq, avg(l_extendedprice) AS mp
+        |  FROM lineitem GROUP BY 1),
+        |e AS (SELECT wk, 'l_quantity' AS col_name, mq AS m FROM m
+        |  UNION ALL SELECT wk, 'l_extendedprice', mp FROM m),
+        |s AS (SELECT col_name, avg(m) AS mu, stddev_samp(m) AS sd
+        |  FROM e GROUP BY 1),
+        |z AS (SELECT e.wk, e.col_name, e.m,
+        |    CASE WHEN sd IS NOT NULL AND sd > 0 THEN (e.m - mu) / sd
+        |      ELSE 0.0 END AS zv
+        |  FROM e JOIN s ON e.col_name = s.col_name)
+        |SELECT wk, col_name, round(zv, 2) AS z,
+        |  CAST(abs(zv) >= 2.5 AS INT) AS anom
+        |FROM z""".stripMargin,
 
     "q106_weighted_bottomk" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,

@@ -60,6 +60,46 @@ object Drift {
     probs.indices.map(rows.head.getDouble).distinct.sorted
   }
 
+  /** Metric-anomaly screen over a profile TIME SERIES: given many
+    * profile rows (one per window/segment), z-score each window's MEAN
+    * of every listed column against the distribution of that metric
+    * across ALL windows — the "which week looks wrong" question a
+    * profile store answers without touching raw data. Output: keep
+    * columns + (column, metric_mean, z, is_anomaly per `threshold`).
+    *
+    * Shape: one explode over per-column structs (constant plan size at
+    * any width, the [[profileDrift]] pattern), a tiny per-column
+    * aggregate over the WINDOW rows (windows x columns, not data rows),
+    * broadcast back, pure projection. Windows with a null mean (empty
+    * numeric state) drop out. Degenerate spread (stddev 0 or a single
+    * window) z-scores to 0 — never NaN.
+    */
+  def metricAnomalies(
+      profiles: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      keep: Seq[String] = Nil,
+      threshold: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "metricAnomalies needs at least one column")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"$c.numbers.mean").as("metric_mean"))): _*)
+    val exploded = profiles
+      .select(keep.map(col) :+ explode(entries).as("e"): _*)
+      .select(keep.map(col) ++ Seq(col("e.column").as("column"),
+        col("e.metric_mean").as("metric_mean")): _*)
+      .filter(col("metric_mean").isNotNull)
+    val stats = exploded.groupBy(col("column"))
+      .agg(avg(col("metric_mean")).as("__mu"),
+        stddev_samp(col("metric_mean")).as("__sd"))
+    val z = when(col("__sd").isNotNull && col("__sd") > 0,
+      (col("metric_mean") - col("__mu")) / col("__sd"))
+      .otherwise(lit(0.0))
+    exploded.join(broadcast(stats), Seq("column"))
+      .select(keep.map(col) ++ Seq(col("column"), col("metric_mean"),
+        z.as("z"), (abs(z) >= threshold).as("is_anomaly")): _*)
+  }
+
   /** KL(a || b) over the same fixed bins. */
   def klDivergence(a: Column, b: Column, edges: Seq[Double],
       eps: Double = 1e-6): Column =

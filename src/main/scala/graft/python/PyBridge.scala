@@ -398,6 +398,14 @@ object PyBridge {
       keys: ju.List[String]): DataFrame =
     graft.ops.FeatureScale.robustScale(df, valueCol, keys.asScala.toSeq)
 
+  /** Anomaly screen over a profile time series: per-window metric means
+    * z-scored against all windows.
+    */
+  def metricAnomalies(profiles: DataFrame, cols: ju.List[String],
+      keep: ju.List[String], threshold: Double): DataFrame =
+    graft.ops.Drift.metricAnomalies(profiles, cols.asScala.toSeq,
+      keep.asScala.toSeq, threshold)
+
   /** PSI/KL bin edges derived from a reference profile sketch's
     * quantiles (one-row reference frame).
     */

@@ -380,6 +380,31 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     formula(4L) shouldBe (formula(1L) +- 1e-12)
   }
 
+  test("metricAnomalies flags the planted bad window and nothing else") {
+    import graft.profile.ProfileSession.ProfilingOps
+    import spark.implicits._
+    // 20 windows of mean ~50, one window (w7) at mean ~500
+    val rows = (0 until 21).flatMap { w =>
+      val base = if (w == 7) 500.0 else 50.0
+      (0 until 30).map(i => (f"w$w%02d", base + (i % 5)))
+    }
+    val df = rows.map { case (w, v) => (w, v) }.toDF("w", "v")
+    val prof = df.newProfilingSession().groupBy("w").aggProfiles()
+    val rep = Drift.metricAnomalies(prof, Seq("v"), keep = Seq("w"),
+      threshold = 3.0)
+    val flagged = rep.filter(col("is_anomaly")).collect()
+    flagged.map(_.getString(0)).toSeq shouldBe Seq("w07")
+    flagged.head.getAs[Double]("z") should be > 3.0
+    rep.count() shouldBe 21L
+    // single-window series: degenerate spread -> z 0, no anomaly, no NaN
+    val one = df.filter(col("w") === "w03")
+      .newProfilingSession().groupBy("w").aggProfiles()
+    val r1 = Drift.metricAnomalies(one, Seq("v"), keep = Seq("w")).collect()
+    r1.length shouldBe 1
+    r1.head.getAs[Double]("z") shouldBe 0.0
+    r1.head.getAs[Boolean]("is_anomaly") shouldBe false
+  }
+
   test("autoEdges derives sketch quartiles, collapses duplicates, " +
     "rejects multi-row references") {
     import graft.profile.ProfileSession.ProfilingOps

@@ -59,8 +59,9 @@ for name in sorted(sqls):
             except Exception as e:
                 print(f"{name}.{c}: compare error {e}"); ok=False; break
             if bad.any():
-                i = bad.idxmax()
-                print(f"{name}.{c}: {int(bad.sum())} diffs, e.g. row {i}: mine={av[i]!r} oracle={bv[i]!r}")
+                import numpy as np
+                i = int(np.argmax(np.asarray(bad)))
+                print(f"{name}.{c}: {int(bad.sum())} diffs, e.g. row {i}: mine={av.iloc[i]!r} oracle={bv.iloc[i]!r}")
                 ok = False
         if ok: print(f"{name}: OK ({len(a)} rows)")
         else: fails.append(name)
