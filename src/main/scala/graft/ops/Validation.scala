@@ -144,11 +144,13 @@ object Validation {
   }
 
   /** Gate form of [[report]]: true iff every check passes on every
-    * profile row (one tiny aggregate over the report).
+    * profile row (one tiny aggregate over the report). Vacuously true
+    * on an empty profile frame — nothing failed.
     */
   def allPass(
       profiles: DataFrame,
       checks: Seq[Check]): Boolean =
     report(profiles, checks)
-      .agg(min(col("passed")).as("m")).head().getInt(0) == 1
+      .agg(coalesce(min(col("passed")), lit(1)).as("m"))
+      .head().getInt(0) == 1
 }

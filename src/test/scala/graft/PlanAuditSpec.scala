@@ -153,6 +153,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     "BroadcastExchange".r.findAllIn(plan).length should be >= 2
   }
 
+  test("substring removal: the counting shuffle is keyed by the two " +
+    "64-bit window hashes with a map-side partial") {
+    val res = graft.ops.Dedup.removeDuplicatedSpans(
+      docs, "doc_id", "text", windowTokens = 8, minDocs = 2)
+    res.collect()
+    val plan = finalPlan(res)
+    // frequency counting shuffles on (__h1, __h2) — 16 bytes per
+    // distinct (window, doc) — never on the span text, with partial
+    // aggregation reducing before the exchange
+    plan should include ("Exchange hashpartitioning(__h1")
+    plan should include ("partial_count")
+  }
+
   test("keySkew: single count aggregation (total reuses it — no second " +
     "corpus scan) and a bounded TakeOrdered top-k, no global sort") {
     val skew = graft.ops.Diagnostics.keySkew(

@@ -166,4 +166,56 @@ class CurationPipelineSpec extends AnyFunSuite with Matchers
     picked.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe again
   }
 
+  test("round-6 chain: excise shared spans -> validation gate -> " +
+    "weighted select -> profile anomaly screen") {
+    import spark.implicits._
+    import graft.profile.ProfileSession.ProfilingOps
+
+    // 12 sources x 20 docs; EVERY doc ends in the same boilerplate
+    // sentence; source s11's docs are ~8x longer (the planted anomaly)
+    def body(i: Long) =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    val boiler = "this shared boiler plate sentence appears in every document"
+    val corpus = (0 until 12).flatMap { s =>
+      (0 until 20).map { d =>
+        val i = s * 100L + d
+        val base = if (s == 11) Seq.fill(8)(body(i)).mkString(" ")
+                   else body(i)
+        (i, s"s$s", s"$base $boiler")
+      }
+    }.toDF("doc_id", "source", "text")
+
+    // 1. shared-span excision: the boilerplate vanishes from every doc,
+    // per-doc unique content survives
+    val cleaned = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+      windowTokens = 6, minDocs = 100)
+    cleaned.filter(col("n_removed") === 0).count() shouldBe 0L
+    cleaned.filter(col("text").contains("boiler")).count() shouldBe 0L
+    val withLen = cleaned
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("len",
+        org.apache.spark.sql.functions.length(col("text")).cast("double"))
+
+    // 2. validation gate on the cleaned corpus's profile — no raw
+    // re-scan after profiling
+    val prof = withLen.newProfilingSession()
+      .groupBy("source").aggProfiles()
+    Validation.allPass(prof, Seq(
+      Validation.MinAtLeast("len", 1.0), // nothing emptied out
+      Validation.NullFractionAtMost("text", 0.0),
+      Validation.TypeIs("text", "STRING"))) shouldBe true
+
+    // 3. weighted selection: 5 docs per source, weight = cleaned length
+    val sel = Sampling.weightedBottomK(withLen, Seq("source"),
+      "doc_id", "len", k = 5)
+    sel.groupBy("source").count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
+
+    // 4. anomaly screen over the same profiles: exactly the long source
+    val anomalies = Drift.metricAnomalies(prof, Seq("len"),
+      keep = Seq("source"), threshold = 3.0)
+      .filter(col("is_anomaly"))
+      .collect().map(_.getString(0))
+    anomalies.toSeq shouldBe Seq("s11")
+  }
 }

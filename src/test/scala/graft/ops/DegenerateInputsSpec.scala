@@ -110,6 +110,31 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
       .collect()(0).getString(0) shouldBe ""
   }
 
+  test("round-6 ops survive empty inputs: scaling, validation, anomaly " +
+    "screen, weighted sampling, linear scoring") {
+    import spark.implicits._
+    import graft.profile.ProfileSession.ProfilingOps
+    val emptyNum = Seq.empty[(String, Double)].toDF("g", "x")
+    FeatureScale.zscore(emptyNum, Seq("x"), Seq("g")).count() shouldBe 0L
+    FeatureScale.minMax(emptyNum, Seq("x")).count() shouldBe 0L
+    FeatureScale.robustScale(emptyNum, "x", Seq("g")).count() shouldBe 0L
+    FeatureScale.winsorize(emptyNum, "x", 0.1, 0.9).count() shouldBe 0L
+    val emptyProf = emptyNum.newProfilingSession()
+      .groupBy("g").aggProfiles()
+    Validation.report(emptyProf, Seq(
+      Validation.MinAtLeast("x", 0.0))).count() shouldBe 0L
+    Validation.allPass(emptyProf, Seq(
+      Validation.MinAtLeast("x", 0.0))) shouldBe true // vacuous
+    Drift.metricAnomalies(emptyProf, Seq("x"), keep = Seq("g"))
+      .count() shouldBe 0L
+    val emptyW = Seq.empty[(String, Long, Double)].toDF("g", "id", "w")
+    Sampling.weightedBottomK(emptyW, Seq("g"), "id", "w", 5)
+      .count() shouldBe 0L
+    TextOps.linearQualityScore(emptyDocs, "id", "text").count() shouldBe 0L
+    Dedup.removeDuplicatedSpans(emptyDocs, "id", "text", 8)
+      .count() shouldBe 0L
+  }
+
   test("semDedup / ivf / quantize on an empty embedding table are empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
