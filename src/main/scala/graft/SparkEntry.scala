@@ -1731,7 +1731,7 @@ object SparkEntry {
         |  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
         |tot AS (SELECT sum(cnt) AS total FROM counts)
         |SELECT 'event_type' AS column_name,
-        |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) AS entropy,
+        |  round(-1.0 * sum((cnt / total) * log2(cnt / total)), 6) + 0.0 AS entropy,
         |  count(*) AS n_unique
         |FROM counts, tot""".stripMargin,
 
@@ -1854,7 +1854,7 @@ object SparkEntry {
         |SELECT day,
         |  round((p0 - q0) * ln(p0 / q0) + (p1 - q1) * ln(p1 / q1)
         |    + (p2 - q2) * ln(p2 / q2) + (p3 - q3) * ln(p3 / q3)
-        |    + (p4 - q4) * ln(p4 / q4), 6) AS psi
+        |    + (p4 - q4) * ln(p4 / q4), 6) + 0.0 AS psi
         |FROM p CROSS JOIN q""".stripMargin,
 
     "q66_parquet_sink" ->
@@ -2272,7 +2272,7 @@ object SparkEntry {
         |SELECT s_nationkey,
         |  round((p0 - q0) * ln(p0 / q0) + (p1 - q1) * ln(p1 / q1)
         |    + (p2 - q2) * ln(p2 / q2) + (p3 - q3) * ln(p3 / q3)
-        |    + (p4 - q4) * ln(p4 / q4), 6) AS psi
+        |    + (p4 - q4) * ln(p4 / q4), 6) + 0.0 AS psi
         |FROM p CROSS JOIN q""".stripMargin,
 
     "q61_psi_drift" ->
@@ -2297,10 +2297,10 @@ object SparkEntry {
         |      + (a.p1 - b.p1) * ln(a.p1 / b.p1)
         |      + (a.p2 - b.p2) * ln(a.p2 / b.p2)
         |      + (a.p3 - b.p3) * ln(a.p3 / b.p3)
-        |      + (a.p4 - b.p4) * ln(a.p4 / b.p4), 6) AS psi,
+        |      + (a.p4 - b.p4) * ln(a.p4 / b.p4), 6) + 0.0 AS psi,
         |  round(a.p0 * ln(a.p0 / b.p0) + a.p1 * ln(a.p1 / b.p1)
         |      + a.p2 * ln(a.p2 / b.p2) + a.p3 * ln(a.p3 / b.p3)
-        |      + a.p4 * ln(a.p4 / b.p4), 6) AS kl
+        |      + a.p4 * ln(a.p4 / b.p4), 6) + 0.0 AS kl
         |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
 
     "q74_sequence_packing" ->
@@ -2363,7 +2363,7 @@ object SparkEntry {
         |e AS (SELECT f.doc_id AS doc_id,
         |    sum(-(n / tot) * ln(n / tot)) AS h
         |  FROM f JOIN t ON f.doc_id = t.doc_id GROUP BY 1)
-        |SELECT doc_id, round(h, 6) AS entropy,
+        |SELECT doc_id, round(h, 6) + 0.0 AS entropy,
         |  CASE WHEN h < 2.0 THEN 'low' WHEN h > 4.5 THEN 'high'
         |    ELSE 'natural' END AS band
         |FROM e""".stripMargin,
@@ -2651,7 +2651,7 @@ object SparkEntry {
         |  SELECT qid, iid, s,
         |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
         |  FROM sims)
-        |SELECT qid AS query_id, iid AS item_id, round(s, 6) AS cosine
+        |SELECT qid AS query_id, iid AS item_id, round(s, 6) + 0.0 AS cosine
         |FROM top WHERE rn = 1""".stripMargin,
 
     "q84_semdedup" ->
@@ -2701,7 +2701,7 @@ object SparkEntry {
         |       FROM d GROUP BY 1)
         |SELECT doc_id, d.lang AS lang,
         |  round(CASE WHEN sd IS NOT NULL AND sd > 0 THEN (x - mu) / sd
-        |        ELSE 0.0 END, 6) AS z,
+        |        ELSE 0.0 END, 6) + 0.0 AS z,
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
@@ -2719,7 +2719,7 @@ object SparkEntry {
         |    CASE WHEN sd IS NOT NULL AND sd > 0 THEN (e.m - mu) / sd
         |      ELSE 0.0 END AS zv
         |  FROM e JOIN s ON e.col_name = s.col_name)
-        |SELECT wk, col_name, round(zv, 2) AS z,
+        |SELECT wk, col_name, round(zv, 2) + 0.0 AS z,
         |  CAST(abs(zv) >= 2.5 AS INT) AS anom
         |FROM z""".stripMargin,
 
@@ -2782,7 +2782,7 @@ object SparkEntry {
         |      AS wt
         |  FROM h),
         |s AS (SELECT doc_id, sum(wt) / count(*) AS logit FROM w GROUP BY 1)
-        |SELECT doc_id, round(logit, 6) AS logit,
+        |SELECT doc_id, round(logit, 6) + 0.0 AS logit,
         |  round(1.0 / (1.0 + exp(-logit)), 6) AS score
         |FROM s""".stripMargin,
 
@@ -2811,7 +2811,7 @@ object SparkEntry {
         |  round((a.p0 - b.p0) * ln(a.p0 / b.p0)
         |      + (a.p1 - b.p1) * ln(a.p1 / b.p1)
         |      + (a.p2 - b.p2) * ln(a.p2 / b.p2)
-        |      + (a.p3 - b.p3) * ln(a.p3 / b.p3), 6) AS psi
+        |      + (a.p3 - b.p3) * ln(a.p3 / b.p3), 6) + 0.0 AS psi
         |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
 
     "q103_robust_scale" ->
@@ -2829,7 +2829,7 @@ object SparkEntry {
         |SELECT s_suppkey, r.s_nationkey AS s_nationkey,
         |  round(CASE WHEN q3 > q1
         |    THEN (s_acctbal - q2) / (q3::DOUBLE - q1::DOUBLE)
-        |    ELSE 0.0 END, 6) AS acctbal_r
+        |    ELSE 0.0 END, 6) + 0.0 AS acctbal_r
         |FROM r JOIN f ON r.s_nationkey = f.s_nationkey""".stripMargin,
 
     "q101_validate" ->

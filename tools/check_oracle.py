@@ -50,9 +50,14 @@ for name in sorted(sqls):
                 continue
             try:
                 if ak in "fc":
+                    # The driver hashes FORMATTED values, so compare exact
+                    # reprs: every float oracle column is already rounded at
+                    # fixed precision, and repr sees what isclose cannot —
+                    # the sign of zero (-0.0 vs 0.0) and sub-tolerance drift.
                     import numpy as np
-                    bad = ~np.isclose(av.astype(float), bv.astype(float),
-                                      rtol=0, atol=1e-9, equal_nan=True)
+                    ar = av.astype(float).map(repr)
+                    br = bv.astype(float).map(repr)
+                    bad = ar != br
                 else:
                     # Non-float columns must match exactly, as the driver does.
                     bad = av.astype(str) != bv.astype(str)
