@@ -45,6 +45,9 @@ case class KllQuantiles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType)
   override def prettyName: String = "kll_quantiles"
+  // an EMPTY sketch yields null even when both inputs are non-nullable;
+  // without this the planner assumes non-null and unboxes an NPE
+  override def nullable: Boolean = true
 
   override def nullSafeEval(sketchBytes: Any, ranks: Any): Any = {
     val sk = KllFloatsSketch.heapify(
@@ -63,6 +66,9 @@ case class KllQuantile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_quantile"
+  // an EMPTY sketch yields null even when both inputs are non-nullable;
+  // without this the planner assumes non-null and unboxes an NPE
+  override def nullable: Boolean = true
 
   override def nullSafeEval(sketchBytes: Any, rank: Any): Any = {
     val sk = KllFloatsSketch.heapify(
@@ -93,6 +99,8 @@ case class KllHistogram(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(SketchExprs.histBinType)
   override def prettyName: String = "kll_histogram"
+  // empty sketch -> null regardless of child nullability (see KllQuantile)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(sketchBytes: Any, bins: Any): Any = {
     val sk = KllFloatsSketch.heapify(
@@ -131,6 +139,8 @@ case class KllHistogramSplits(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(SketchExprs.histBinType)
   override def prettyName: String = "kll_histogram_splits"
+  // empty sketch -> null regardless of child nullability (see KllQuantile)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(sketchBytes: Any, splitsArr: Any): Any = {
     val sk = KllFloatsSketch.heapify(
@@ -230,6 +240,8 @@ case class KllRank(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "kll_rank"
+  // empty sketch -> null regardless of child nullability (see KllQuantile)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(sketchBytes: Any, value: Any): Any = {
     val sk = KllFloatsSketch.heapify(

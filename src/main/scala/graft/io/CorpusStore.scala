@@ -21,6 +21,22 @@ object CorpusStore {
     * Bucketed writes go through the session catalog (`saveAsTable`) —
     * Spark does not support bucketing on bare-path writes.
     */
+  /** Drop `table` from the catalog AND clear an orphaned DEFAULT
+    * warehouse location: a fresh session's in-memory catalog doesn't
+    * know a previous run's table, but the directory survives —
+    * saveAsTable would then fail LOCATION_ALREADY_EXISTS. Only the
+    * default path is touched; an externally-located table never is.
+    */
+  private def dropWithDefaultLocation(
+      spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -30,22 +46,19 @@ object CorpusStore {
       format: String = "parquet"): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val spark = df.sparkSession
-    // true overwrite ACROSS sessions: a fresh session's in-memory catalog
-    // doesn't know a previous run's table, but the warehouse DIRECTORY
-    // survives — saveAsTable would then fail LOCATION_ALREADY_EXISTS.
-    // Drop the catalog entry if present and clear an orphaned default
-    // location (only the default path — an externally-located table is
-    // never touched here).
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // Staged overwrite: write the new data to a staging table FIRST and
+    // swap only on success, so a failed write leaves the previous table
+    // intact (a drop-then-write overwrite of a shared table name would
+    // destroy the old data before the new data exists). The swap window
+    // is a catalog drop + rename of fully-written data, not a recompute.
+    val staging = s"${table}__staging"
+    dropWithDefaultLocation(spark, staging)
     val w = df.write.format(format).mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
-     else w).saveAsTable(table)
+     else w).saveAsTable(staging)
+    dropWithDefaultLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
   /** Read a bucketed table back (bucket metadata rides the catalog — a

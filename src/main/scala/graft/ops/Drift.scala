@@ -57,6 +57,15 @@ object Drift {
     require(rows.length == 1,
       s"autoEdges needs exactly ONE reference row, got ${rows.length} — " +
         "merge the reference down first")
+    // getDouble on a NULL cell coerces to 0.0 silently (primitive null
+    // coercion) — an empty/null reference sketch must fail loudly, not
+    // hand back identical bogus edges.
+    probs.indices.foreach { i =>
+      require(!rows.head.isNullAt(i),
+        s"autoEdges: reference sketch '$sketchCol' has no quantile at " +
+          s"p=${probs(i)} (empty or null sketch) — profile the " +
+          "reference data first")
+    }
     probs.indices.map(rows.head.getDouble).distinct.sorted
   }
 

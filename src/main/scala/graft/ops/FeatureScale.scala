@@ -23,7 +23,17 @@ object FeatureScale {
       keys: Seq[String],
       stats: DataFrame): DataFrame =
     if (keys.isEmpty) df.crossJoin(broadcast(stats))
-    else df.join(broadcast(stats), keys)
+    else {
+      // Null-safe: a NULL group key forms a real stratum in the stats
+      // aggregate, so the join back must match it (<=>) — a plain
+      // equi-join would silently drop every NULL-key row from the
+      // scaled output.
+      val aliased = stats.select(stats.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(c).as(s"__key_$c") else col(c)
+      }: _*)
+      val cond = keys.map(k => col(k) <=> col(s"__key_$k")).reduce(_ && _)
+      df.join(broadcast(aliased), cond)
+    }
 
   private def grouped(df: DataFrame, keys: Seq[String]) =
     if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)

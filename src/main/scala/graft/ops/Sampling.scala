@@ -262,7 +262,14 @@ object Sampling {
       .select(keyCols.map(col) :+ posexplode(col("topk")).as(Seq("r", "t")): _*)
       .filter(!col("t.score").isin(Double.NegativeInfinity))
       .select(keyCols.map(col) ++ Seq(col("t.item_id").as(idCol)): _*)
-    df.join(winners, keyCols :+ idCol, "left_semi")
+    // Null-safe on the group keys: a NULL-key stratum wins the top-k
+    // aggregate like any other group, so the semi-join back must match
+    // it (<=>) — a plain equi-join would drop all its rows.
+    val aliased = winners.select(
+      (keyCols :+ idCol).map(c => col(c).as(s"__w_$c")): _*)
+    val cond = (keyCols :+ idCol).map(c => col(c) <=> col(s"__w_$c"))
+      .reduce(_ && _)
+    df.join(aliased, cond, "left_semi")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -233,10 +233,17 @@ object Similarity {
     * in the (query_id, item_id, cosine, rank) shape the top-k ops
     * return): per-query fraction of the exact neighbors the approximate
     * search recovered — the tuning loop for nProbe / rerank / ksub.
+    *
+    * Exact-side-driven: the report carries one row per query present in
+    * `exact`; queries only in `approx` contribute nothing (there is no
+    * ground truth to recall against). The approx side is de-duplicated
+    * before the join so a result frame carrying repeated
+    * (query_id, item_id) pairs cannot multiply exact rows and inflate
+    * n_exact.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("item_id"))
-      .join(approx.select(col("query_id"), col("item_id"))
+      .join(approx.select(col("query_id"), col("item_id")).distinct()
         .withColumn("__hit", lit(1)), Seq("query_id", "item_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),

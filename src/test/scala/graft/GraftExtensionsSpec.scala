@@ -128,4 +128,24 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     micros shouldBe java.time.Instant.parse("2020-12-23T00:00:00Z")
       .getEpochSecond * 1000000L
   }
+
+  test("empty-sketch KLL readers return null, not an unboxing NPE") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // kll_agg over zero rows serializes an EMPTY sketch (non-null bytes),
+    // so every reader expression must declare itself nullable even when
+    // its children are not — otherwise the planner elides the null check
+    // and generated code NPEs unboxing the primitive
+    val empty = (1 to 5).map(_.toDouble).toDF("v").filter(col("v") < 0)
+      .agg(graft.functions.kll_agg(col("v")).as("sk"))
+    val row = empty.select(
+      graft.functions.kll_quantile(col("sk"), lit(0.5)).as("q"),
+      graft.functions.kll_quantiles(col("sk"), array(lit(0.5))).as("qs"),
+      graft.functions.kll_rank(col("sk"), lit(1.0)).as("r"),
+      graft.functions.kll_histogram(col("sk"), lit(10)).as("h"),
+      graft.functions.kll_histogram_splits(col("sk"),
+        array(lit(1.0), lit(2.0))).as("hs")).head()
+    (0 until row.length).foreach(i => assert(row.isNullAt(i),
+      s"field $i should be null for an empty sketch"))
+  }
 }

@@ -377,6 +377,21 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("recallAtK is exact-side-driven and immune to duplicate approx pairs") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2))
+      .toDF("query_id", "item_id", "cosine", "rank")
+    // duplicated (1,10) pairs would row-multiply the left join and
+    // inflate n_exact without the distinct; query 99 has no ground truth
+    val approx = Seq((1L, 10L, 0.9, 1), (1L, 10L, 0.9, 2),
+      (99L, 50L, 0.7, 1)).toDF("query_id", "item_id", "cosine", "rank")
+    val rep = graft.ops.Similarity.recallAtK(approx, exact).collect()
+    rep.length shouldBe 1 // exact-side queries only
+    rep.head.getAs[Long]("n_exact") shouldBe 2L
+    rep.head.getAs[Long]("n_hit") shouldBe 1L
+    rep.head.getAs[Double]("recall") shouldBe 0.5
+  }
+
   test("rolling_hash64 equals the HOF composition it replaced") {
     val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))

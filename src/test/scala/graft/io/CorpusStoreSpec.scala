@@ -56,4 +56,31 @@ class CorpusStoreSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         (1L to 100L)
     } finally spark.sql("DROP TABLE IF EXISTS store_rt")
   }
+
+  test("overwrite is staged: old table survives a failed write, no " +
+    "staging residue on success") {
+    import spark.implicits._
+    val v1 = (1 to 50).map(i => (i.toLong, "v1")).toDF("id", "v")
+    CorpusStore.writeBucketed(v1, "store_stage", "id", 4)
+    try {
+      // a write that fails mid-flight (here: at analysis, duplicate
+      // column names) must leave the previous table fully readable
+      val broken = v1.select(col("id"), col("v"), col("v"))
+      an[Exception] should be thrownBy
+        CorpusStore.writeBucketed(broken, "store_stage", "id", 4)
+      CorpusStore.readBucketed(spark, "store_stage").count() shouldBe 50L
+      // successful overwrite swaps in the new data and leaves no
+      // staging table behind
+      val v2 = (1 to 80).map(i => (i.toLong, "v2")).toDF("id", "v")
+      CorpusStore.writeBucketed(v2, "store_stage", "id", 4)
+      val back = CorpusStore.readBucketed(spark, "store_stage")
+      back.count() shouldBe 80L
+      back.select("v").distinct().collect().map(_.getString(0)) shouldBe
+        Array("v2")
+      spark.catalog.tableExists("store_stage__staging") shouldBe false
+      // the swapped-in table still carries its bucket spec
+      spark.sql("DESCRIBE EXTENDED store_stage").collect()
+        .map(_.mkString(" ")).mkString("\n") should include("Num Buckets")
+    } finally spark.sql("DROP TABLE IF EXISTS store_stage")
+  }
 }

@@ -76,4 +76,23 @@ class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val plan = z.queryExecution.executedPlan.toString
     plan should include ("BroadcastHashJoin")
   }
+
+  test("NULL-key rows form a real stratum and are never dropped") {
+    import spark.implicits._
+    // groupBy computes a NULL-key stratum; the stats join back must be
+    // null-safe or every NULL-key row silently vanishes from the output
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 30.0))
+      .toDF("g", "x")
+    val z = FeatureScale.zscore(df, Seq("x"), Seq("g"))
+    z.count() shouldBe 4L
+    // NULL group: mean 20, sd = sqrt(200) -> z = -+10/sqrt(200)
+    val nz = z.filter(col("g").isNull).collect().map(_.getDouble(1)).sorted
+    nz(0) shouldBe (-10.0 / math.sqrt(200.0) +- 1e-12)
+    nz(1) shouldBe (10.0 / math.sqrt(200.0) +- 1e-12)
+    // same guarantee for every transform that joins stats back
+    FeatureScale.minMax(df, Seq("x"), Seq("g")).count() shouldBe 4L
+    FeatureScale.robustScale(df, "x", Seq("g")).count() shouldBe 4L
+    FeatureScale.winsorize(df, "x", 0.1, 0.9, Seq("g")).count() shouldBe 4L
+  }
 }

@@ -424,6 +424,30 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .select(col("l_quantity.numbers.kll").as("sk"))
     an[IllegalArgumentException] should be thrownBy
       Drift.autoEdges(two, "sk")
+    // an EMPTY reference sketch yields null quantiles; getDouble would
+    // silently coerce those to 0.0 and hand back identical bogus edges
+    val empty = df.filter(col("v") < 0)
+      .agg(graft.functions.kll_agg(col("v")).as("sk"))
+    val err = the[IllegalArgumentException] thrownBy
+      Drift.autoEdges(empty, "sk")
+    err.getMessage should include("empty or null sketch")
+  }
+
+  test("weightedBottomK: a NULL-key stratum wins like any other group") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (Some("g"), i.toLong, 1.0)) ++
+      (101 to 200).map(i => (Option.empty[String], i.toLong, 1.0)))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedBottomK(df, Seq("g"), "id", "w", k = 10)
+      .collect()
+    // the NULL-key group's winners must survive the semi-join back
+    got.count(_.isNullAt(0)) shouldBe 10
+    got.count(!_.isNullAt(0)) shouldBe 10
+    // and match the same draw computed over just the NULL-key rows
+    val nullOnly = Sampling.weightedBottomK(
+      df.filter(col("g").isNull), Seq("g"), "id", "w", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    got.filter(_.isNullAt(0)).map(_.getLong(1)).toSet shouldBe nullOnly
   }
 
   test("profile drift: zero against itself, positive under a real shift") {
