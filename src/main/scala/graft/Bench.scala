@@ -36,10 +36,15 @@ object Bench {
     // the prefilters do the pruning they do on real corpora. Both
     // variants are benched; the *_keep_frac metrics record the realized
     // pruning.
-    def hcDocs: DataFrame = t("documents").select(col("doc_id"), col("source"),
+    // Persisted ONCE and materialized during warmup: the per-token
+    // transform+concat over the full corpus is fixture SYNTHESIS, not the
+    // operator under test — timing it inside the _hc rows recorded 2-9x
+    // phantoms in earlier rounds.
+    val hcDocs: DataFrame = t("documents").select(col("doc_id"), col("source"),
       array_join(transform(split(col("text"), " "),
         tk => concat(tk, lit("_"), pmod(col("doc_id"), lit(64)))), " ")
         .as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val benches: Seq[(String, () => Long)] = Seq(
       // full-width single-pass profile of every lineitem column, grouped
@@ -363,15 +368,33 @@ object Bench {
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 40).as("qtext")),
       "query_id", "qtext", k = 3).count()
+    hcDocs.count() // materialize the persisted hc fixture OUTSIDE timing
 
+    def loadavg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Each row is the MIN of `iters` timed passes: a single pass under
+    // unknown machine load recorded 2-9x phantoms (r6); min-of-3 is
+    // reproducible within ~20% of an idle run while total stays < 5 min.
+    val iterations =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val loadBefore = loadavg1m()
     val results = benches.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn() catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: $e"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.3f s  ($n rows)")
+      val times = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try fn() catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, n)
+      }
+      val (sec, n) = times.minBy(_._1)
+      System.err.println(
+        f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $iterations)")
       name -> sec
     }
+    val loadAfter = loadavg1m()
     // state-size invariant (the reference's headline: ~KB of profile per
     // column regardless of row count): serialized wire bytes per
     // (profile x column) of the grouped lineitem profile
@@ -424,7 +447,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_iterations":$iterations,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
     spark.stop()
   }
 }
