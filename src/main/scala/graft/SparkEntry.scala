@@ -1286,6 +1286,63 @@ object SparkEntry {
         m = 8, ksub = 16, rerank = 20)
     }),
 
+    "q108_ivf_recall" -> ((s, dir) => {
+      // HASH-CHECKED invariant for the ANN family (q93 is rows-only):
+      // probing EVERY centroid makes IVF exhaustive, so its top-k must
+      // equal exact brute force — which DuckDB CAN compute. Ranks are
+      // recomputed on the ROUNDED cosine with an id tiebreak on both
+      // engines so float ulps can't flip the order.
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val top = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 8)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cosine"), 6).desc, col("item_id"))
+      top.select(col("query_id"), col("item_id"),
+        (round(col("cosine"), 6) + 0.0).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
+    "q109_ivfpq_recall" -> ((s, dir) => {
+      // HASH-CHECKED recall row for IVF-PQ (q98 is rows-only): with a
+      // full probe and a re-rank bound past the corpus size, the exact
+      // re-rank re-scores EVERY candidate, so recall vs brute force is
+      // 1.0 regardless of quantization error — pinning the
+      // train/encode/ADC/re-rank plumbing end-to-end through the
+      // recallAtK helper the tuning loop uses.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val pq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCentroids = 8, nProbe = 8, m = 8, ksub = 16,
+        rerank = 4096)
+      val brute = Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(pq, brute)
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          col("recall"))
+    }),
+
+    "q110_auto_join" -> ((s, dir) => {
+      // skew-probe-routed equi-join on the driver board: half the events
+      // collapse onto key 0 (top-key share ~0.5, far past the 0.05
+      // threshold), so the probe measurably routes through the SALTED
+      // plan — and the oracle is the PLAIN join, proving the salted
+      // rewrite is answer-identical. JoinsSpec pins that this regime
+      // takes the salt path; this query pins that the path is correct.
+      val ev = t(s, dir, "events").select(
+        when(col("user_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        col("value"))
+      val dim = ev.select(col("k")).distinct()
+        .select(col("k"),
+          concat(lit("g"), pmod(col("k"), lit(7))).as("label"))
+      ops.Joins.autoJoin(ev, dim, "k", saltBuckets = 8,
+        skewThreshold = 0.05)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 2) + 0.0).as("value_sum"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -2653,6 +2710,54 @@ object SparkEntry {
         |  FROM sims)
         |SELECT qid AS query_id, iid AS item_id, round(s, 6) + 0.0 AS cosine
         |FROM top WHERE rn = 1""".stripMargin,
+
+    "q108_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS ie FROM embeddings),
+        |sims AS (
+        |  SELECT qid, iid,
+        |    list_dot_product(qe, ie) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ie, ie))) AS s
+        |  FROM q, c WHERE iid <> qid),
+        |top AS (
+        |  SELECT qid, iid, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims),
+        |sel AS (SELECT qid, iid, s FROM top WHERE rn <= 10)
+        |SELECT qid AS query_id, iid AS item_id,
+        |  round(s, 6) + 0.0 AS cosine,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(s, 6) DESC, iid) AS rank
+        |FROM sel""".stripMargin,
+
+    "q109_ivfpq_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS ie FROM embeddings),
+        |sims AS (
+        |  SELECT qid, iid,
+        |    list_dot_product(qe, ie) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ie, ie))) AS s
+        |  FROM q, c WHERE iid <> qid),
+        |top AS (
+        |  SELECT qid, iid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims)
+        |SELECT qid AS query_id, count(*) AS n_exact, count(*) AS n_hit,
+        |  1.0 AS recall
+        |FROM top WHERE rn <= 10 GROUP BY 1""".stripMargin,
+
+    "q110_auto_join" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0
+        |      ELSE user_id END AS k, value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k FROM ev),
+        |d2 AS (SELECT k, 'g' || (k % 7) AS label FROM dim)
+        |SELECT label, count(*) AS n,
+        |  round(sum(value), 2) + 0.0 AS value_sum
+        |FROM ev JOIN d2 USING (k)
+        |GROUP BY 1""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

@@ -75,6 +75,47 @@ object StreamingProfile {
       keys: Seq[String]): DataFrame =
     ProfileSession.mergeProfiles(spark.read.parquet(storePath), keys)
 
+  /** Continuous metric-anomaly screen — the streaming completion of
+    * [[graft.ops.Drift.metricAnomalies]], whose cross-WINDOW aggregate
+    * (each window's mean z-scored against all windows) cannot run as a
+    * single stateful streaming plan. The intended pattern is foreachBatch
+    * over the profile store: each trigger appends the batch's windowed
+    * partial profiles to `storePath` (the [[perBatchProfileSink]]
+    * monoid), merges the accumulated store per (keys, window), and
+    * re-scores the whole time series, overwriting `screenPath`.
+    *
+    * The screen is overwritten (not appended) by design: z-scores are
+    * relative to ALL windows seen so far, so earlier windows' rows
+    * legitimately change as history accumulates. The re-score cost is
+    * proportional to windows x columns (profile rows, not data rows) —
+    * at any corpus scale the trigger-time work beyond the batch profile
+    * is a small-frame aggregate plus a broadcast join.
+    */
+  def anomalyScreenSink(
+      df: DataFrame,
+      storePath: String,
+      screenPath: String,
+      cols: Seq[String],
+      timeColumn: (String, String),
+      keys: Seq[String] = Nil,
+      threshold: Double = 3.0,
+      cfg: ProfileConfig = ProfileConfig.default): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          ProfileSession(batch, groupKeys = keys,
+            timeColumn = Some(timeColumn), cfg = cfg).aggProfiles()
+            .write.mode("append").parquet(storePath)
+          val merged = ProfileSession.mergeProfiles(
+            spark.read.parquet(storePath), keys :+ "window")
+          graft.ops.Drift.metricAnomalies(merged, cols,
+            keep = keys :+ "window", threshold = threshold)
+            .write.mode("overwrite").parquet(screenPath)
+        }
+      }
+
   /** Continuous-upload sink: each micro-batch is profiled and its
     * profile rows POSTed from executors via [[graft.io.ProfileUpload]]
     * (retry/backoff per row) — the streaming equivalent of the

@@ -54,6 +54,14 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     (uniJoin.queryExecution.optimizedPlan.toString should not).include("__salt")
   }
 
+  test("the q110 driver query's skewed regime fires the salted plan") {
+    // the CORRECTNESS row proves the answer matches the plain join;
+    // this pins that it proved it THROUGH the salt path (half the
+    // events collapse onto key 0, far past the 5% threshold)
+    val df = graft.SparkEntry.queries("q110_auto_join")(spark, sfDir)
+    df.queryExecution.optimizedPlan.toString should include("__salt")
+  }
+
   test("range bucket join equals the naive BETWEEN join") {
     import spark.implicits._
     val points = (1 to 500).map(i => (i, i * 0.7)).toDF("id", "value")

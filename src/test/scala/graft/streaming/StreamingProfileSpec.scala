@@ -138,6 +138,60 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     merged shouldBe expected
   }
 
+  test("anomaly screen sink: per-trigger screen equals the batch op " +
+    "over the accumulated store and flags a planted anomalous window") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_screen_store").toString
+    val screen = java.nio.file.Files
+      .createTempDirectory("graft_screen_out").toString
+
+    // six daily windows of tame means plus one wild day (day 7): the
+    // wild window must flag once enough history has accumulated
+    def day(d: Int, vs: Seq[Double]) = vs.map(v => (ts(d, 1), v))
+    val early = (1 to 4).flatMap(d => day(d, Seq(9.0, 10.0, 11.0)))
+    val late = (5 to 6).flatMap(d => day(d, Seq(10.0, 10.5, 9.5))) ++
+      day(7, Seq(500.0, 510.0, 490.0))
+
+    val input = MemoryStream[(Timestamp, Double)]
+    val streamDf = input.toDF().toDF("ts", "value")
+    val q = StreamingProfile.anomalyScreenSink(streamDf, store, screen,
+      cols = Seq("value"), timeColumn = ("ts", "1 day"), threshold = 2.0)
+      .start()
+    try {
+      input.addData(early)
+      q.processAllAvailable()
+      // the screen exists and covers the early windows after trigger 1
+      spark.read.parquet(screen).count() shouldBe 4L
+      input.addData(late)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(screen)
+      .select(col("window.start").cast("date").cast("string").as("day"),
+        col("column"), col("metric_mean"), col("z"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+
+    // the intended pattern: the in-flight screen is EXACTLY the batch
+    // metricAnomalies over the merged accumulated store
+    val merged = StreamingProfile.mergeStored(spark, store, Seq("window"))
+    val expected = graft.ops.Drift.metricAnomalies(merged, Seq("value"),
+      keep = Seq("window"), threshold = 2.0)
+      .select(col("window.start").cast("date").cast("string").as("day"),
+        col("column"), col("metric_mean"), col("z"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    got shouldBe expected
+
+    got.length shouldBe 7 // one row per day window
+    // only the wild day flags; its z dominates
+    got.filter(_._5).map(_._1) shouldBe Array("2024-01-07")
+  }
+
   test("upload sink: every micro-batch's profiles land on the server") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
