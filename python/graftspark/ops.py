@@ -445,3 +445,36 @@ def metric_anomalies(profiles: DataFrame, cols: List[str],
     return _to_py_df(_jvm_bridge(profiles).metricAnomalies(
         profiles._jdf, list(cols), list(keep or []),
         float(threshold)), profiles)
+
+
+def gopher_report(df: DataFrame, id_col: str, text_col: str,
+                  min_words: int = 50,
+                  max_words: int = 100000) -> DataFrame:
+    """The published Gopher document-quality battery (word count, mean
+    word length, symbol/bullet/ellipsis ratios, alphabetic fraction,
+    stopword hits) — one row per document with every measured value and
+    the combined ``passed`` verdict. Row-local, zero shuffle."""
+    return _to_py_df(_jvm_bridge(df).gopherReport(
+        df._jdf, id_col, text_col, int(min_words), int(max_words)), df)
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str,
+             min_line_words: int = 5, min_lines: int = 3) -> DataFrame:
+    """C4-style cleaning: keep lines ending in terminal punctuation with
+    at least ``min_line_words`` words and no javascript mention; pages
+    fail when fewer than ``min_lines`` lines survive or the survivors
+    contain lorem ipsum / a curly brace. Returns a TOTAL report (text,
+    line counts, ``kept``) — filter ``kept = 1`` for the corpus."""
+    return _to_py_df(_jvm_bridge(df).c4Clean(
+        df._jdf, id_col, text_col, int(min_line_words), int(min_lines)), df)
+
+
+def context_chunks(df: DataFrame, id_col: str, text_col: str,
+                   window_tokens: int, stride_tokens: int) -> DataFrame:
+    """Split documents into ``window_tokens``-token windows starting
+    every ``stride_tokens`` (overlap when stride < window; partial tail
+    kept) — the long-document half of sequence packing. Output: id,
+    chunk_idx, chunk, n_tokens."""
+    return _to_py_df(_jvm_bridge(df).contextChunks(
+        df._jdf, id_col, text_col, int(window_tokens),
+        int(stride_tokens)), df)

@@ -349,7 +349,42 @@ def main():
     test_contamination_packing_stratified()
     test_round5_curation_ops()
     test_round6_scaling_validation_pq()
+    test_round7_corpus_filters()
     print("ALL OPS TESTS PASSED")
+
+
+def test_round7_corpus_filters():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    spark = _get_spark()
+
+    # gopher battery: a compliant doc passes, a stopword-free doc fails
+    good = " ".join([f"word{i}" for i in range(48)] + ["the", "of"])
+    bad = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "text"])
+    rep = {r["id"]: r for r in ops.gopher_report(df, "id", "text").collect()}
+    assert rep[1]["passed"] == 1 and rep[1]["stop_hits"] == 2
+    assert rep[2]["passed"] == 0 and rep[2]["stop_hits"] == 0
+
+    # c4 cleaning: bad lines drop, page verdict combines
+    page = ("A good sentence line with enough words.\n"
+            "short line.\n"
+            "Another good sentence line that survives fine!\n"
+            "A third good sentence line also survives fine?")
+    cdf = spark.createDataFrame([(1, page)], ["id", "text"])
+    crow = ops.c4_clean(cdf, "id", "text").collect()[0]
+    assert crow["n_lines_in"] == 4 and crow["n_lines_kept"] == 3
+    assert crow["kept"] == 1
+
+    # context chunks: sliding windows with partial tail
+    tdf = spark.createDataFrame([(1, "a b c d e f g")], ["id", "text"])
+    chunks = sorted((r["chunk_idx"], r["chunk"], r["n_tokens"])
+                    for r in ops.context_chunks(
+                        tdf, "id", "text", 4, 2).collect())
+    assert chunks == [(0, "a b c d", 4), (1, "c d e f", 4),
+                      (2, "e f g", 3), (3, "g", 1)]
+    print("round-7 corpus filters: gopher/c4/chunks OK")
 
 
 if __name__ == "__main__":

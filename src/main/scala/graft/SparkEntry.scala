@@ -1343,6 +1343,68 @@ object SparkEntry {
           (round(sum(col("value")), 2) + 0.0).as("value_sum"))
     }),
 
+    "q111_gopher_quality" -> ((s, dir) => {
+      // the published Gopher quality battery over the corpus; the
+      // fixture vocabulary carries only 'the', so stopwords / symbol
+      // storms / bullet+ellipsis lines are planted deterministically to
+      // exercise every measured rule on both engines
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" of and that"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" ## ## ## ##"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- a bullet line here\nmore trailing thought..."))
+            .otherwise(lit(""))).as("text"))
+      ops.TextOps.gopherReport(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("stop_hits"), col("passed"))
+    }),
+
+    "q112_c4_clean" -> ((s, dir) => {
+      // C4 line/page cleaning over a deterministic multi-line rewrite of
+      // the corpus: 8-token lines where (doc_id + line) % 3 == 0 drops
+      // terminal punctuation, % 7 == 0 plants javascript, and doc-level
+      // plants add curly-brace / lorem-ipsum page violations
+      val toks = split(col("text"), " ")
+      val starts = sequence(lit(1), size(toks), lit(8))
+      val lines = transform(starts, i => {
+        val li = (i - 1) / 8
+        val base = array_join(slice(toks, i, lit(8)), " ")
+        concat(base,
+          when((col("doc_id") + li) % 7 === 0, lit(" javascript."))
+            .otherwise(when((col("doc_id") + li) % 3 === 0, lit(""))
+              .otherwise(lit("."))))
+      })
+      val d = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), concat(array_join(lines, "\n"),
+          when(col("doc_id") % 11 === 0,
+            lit("\nbrace { line with enough words here."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nlorem ipsum dolor sit amet line."))
+            .otherwise(lit(""))).as("text"))
+      ops.TextOps.c4Clean(d, "doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          col("n_lines_in").cast("long").as("n_lines_in"),
+          col("n_lines_kept").cast("long").as("n_lines_kept"),
+          col("kept"))
+    }),
+
+    "q113_context_chunks" -> ((s, dir) => {
+      // sliding context-window chunking: 32-token windows every 24
+      // tokens (overlap 8), partial tails kept
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      ops.TextOps.contextChunks(d, "doc_id", "text",
+        windowTokens = 32, strideTokens = 24)
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -2758,6 +2820,110 @@ object SparkEntry {
         |  round(sum(value), 2) + 0.0 AS value_sum
         |FROM ev JOIN d2 USING (k)
         |GROUP BY 1""".stripMargin,
+
+    "q111_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' of and that' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ## ## ## ##' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |      '- a bullet line here' || chr(10) ||
+        |      'more trailing thought...' ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 500),
+        |m AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(lower(text), ' ') AS ltoks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM d),
+        |r AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      (length(text) - (len(toks) - 1))::DOUBLE / len(toks)
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      ((length(text) - length(replace(text, '#', '')))
+        |       + (length(text) - length(replace(text, '...', ''))) / 3
+        |      )::DOUBLE / len(toks) ELSE 0.0 END AS symbol_ratio,
+        |    len(list_filter(lines, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '* ')))::DOUBLE / len(lines) AS bullet_frac,
+        |    len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+        |      / len(lines) AS ellipsis_frac,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      len(list_filter(toks, tk ->
+        |        regexp_matches(tk, '[a-zA-Z]')))::DOUBLE / len(toks)
+        |      ELSE 0.0 END AS alpha_frac,
+        |    (CASE WHEN list_contains(ltoks, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'be') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'that') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'have') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(ltoks, 'with') THEN 1 ELSE 0 END
+        |    )::BIGINT AS stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_frac, 6) AS bullet_frac,
+        |  round(ellipsis_frac, 6) AS ellipsis_frac,
+        |  round(alpha_frac, 6) AS alpha_frac, stop_hits,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND round(mean_word_len, 4) >= 3.0
+        |    AND round(mean_word_len, 4) <= 10.0
+        |    AND round(symbol_ratio, 6) <= 0.1
+        |    AND round(bullet_frac, 6) <= 0.9
+        |    AND round(ellipsis_frac, 6) <= 0.3
+        |    AND round(alpha_frac, 6) >= 0.8
+        |    AND stop_hits >= 2 AS INT) AS passed
+        |FROM r""".stripMargin,
+
+    "q112_c4_clean" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents WHERE doc_id < 400),
+        |w AS (SELECT doc_id, (i - 1) // 8 AS li,
+        |    array_to_string(l[i:i+7], ' ') AS base
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, len(l) + 1, 8)) AS i FROM l)),
+        |w2 AS (SELECT doc_id, li, base ||
+        |    CASE WHEN (doc_id + li) % 7 = 0 THEN ' javascript.'
+        |      WHEN (doc_id + li) % 3 = 0 THEN '' ELSE '.' END AS line
+        |  FROM w),
+        |agg AS (SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY li) AS t
+        |  FROM w2 GROUP BY 1),
+        |d AS (SELECT doc_id, t ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+        |      'brace { line with enough words here.' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+        |      'lorem ipsum dolor sit amet line.' ELSE '' END AS text
+        |  FROM agg),
+        |c AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(list_filter(string_split(trim(x), ' '),
+        |        w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+        |  FROM d)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text,
+        |  len(lines)::BIGINT AS n_lines_in,
+        |  len(kept)::BIGINT AS n_lines_kept,
+        |  CAST(len(kept) >= 3
+        |    AND NOT contains(lower(array_to_string(kept, chr(10))),
+        |      'lorem ipsum')
+        |    AND NOT contains(array_to_string(kept, chr(10)), '{')
+        |    AS INT) AS kept
+        |FROM c""".stripMargin,
+
+    "q113_context_chunks" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, (i - 1) // 24 AS chunk_idx,
+        |    l[i:i+31] AS c
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, len(l) + 1, 24)) AS i FROM l))
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  array_to_string(c, ' ') AS chunk, len(c)::BIGINT AS n_tokens
+        |FROM s""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

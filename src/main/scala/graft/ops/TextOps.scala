@@ -128,6 +128,81 @@ object TextOps {
       lit(0.25) * (lit(1.0) - punctRatio) + lit(0.25) * stopOk, 4)
   }
 
+  /** Gopher stopword set (Rae et al. 2021, Appendix A: a document must
+    * contain at least two of these to pass the quality battery).
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher document-quality battery (Rae et al. 2021,
+    * Appendix A), one row per document with every rule's measured value
+    * and the combined verdict — the standard pretraining-corpus filter
+    * the repetition screens ([[dupNgramRatio]]/[[dupLineRatio]]/
+    * [[topNgramStats]]) complement:
+    *
+    *  - word count in [minWords, maxWords] (50..100k)
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio (# and ...) <= 0.1
+    *  - lines starting with a bullet <= 90%
+    *  - lines ending with an ellipsis <= 30%
+    *  - words containing an alphabetic character >= 80%
+    *  - at least 2 distinct [[GopherStopWords]] present
+    *
+    * Entirely row-local codegen arithmetic (one pass, zero shuffle at
+    * any corpus size) and SQL-portable (fixed-precision rounding) for
+    * oracle checks. Output: idCol, n_words, mean_word_len, symbol_ratio,
+    * bullet_frac, ellipsis_frac, alpha_frac, stop_hits, passed (int).
+    */
+  def gopherReport(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val nWordsD = nWords.cast("double")
+    // single-space token semantics make total word chars = len - (n-1)
+    val meanLen = when(nWords > 0,
+      (length(text) - (nWords - 1)).cast("double") / nWordsD)
+      .otherwise(lit(0.0))
+    val hashes = (length(text) - length(translate(text, "#", "")))
+      .cast("double")
+    val ellipses = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = when(nWords > 0, (hashes + ellipses) / nWordsD)
+      .otherwise(lit(0.0))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nWordsD)
+      .otherwise(lit(0.0))
+    val stopSet = array(GopherStopWords.map(lit): _*)
+    val lowered = tokens(lower(text))
+    val stopHits = size(filter(stopSet,
+      s => array_contains(lowered, s))).cast("long")
+    df.select(col(idCol), nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("passed",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2L).cast("int"))
+  }
+
   /** Model-based quality scoring plumbing: a fastText-style LINEAR
     * classifier over hashing-trick token features, scored in one
     * row-local pass (zero shuffle at any corpus size). Each token hashes
@@ -155,6 +230,79 @@ object TextOps {
     df.select(col(idCol), mw.as("logit"))
       .select(col(idCol), col("logit"),
         (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("score"))
+  }
+
+  /** C4-style cleaning (Raffel et al. 2020, §2.2) — the line/page
+    * heuristics that built the canonical public pretraining corpus:
+    *
+    *  - keep only lines ending in a terminal punctuation mark
+    *  - keep only lines with at least `minLineWords` words
+    *  - drop lines mentioning javascript
+    *  - drop the whole page when fewer than `minLines` lines survive,
+    *    or the surviving text contains "lorem ipsum" or a curly brace
+    *
+    * One row-local pass (codegen HOFs over the line array, zero
+    * shuffle); rows come back 1:1 with `kept` = the page verdict so the
+    * report is total — callers filter `kept = 1` for the cleaned
+    * corpus. SQL-portable for oracle checks. Output: idCol, text
+    * (surviving lines), n_lines_in, n_lines_kept, kept (int).
+    */
+  def c4Clean(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 5,
+      minLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(minLineWords >= 1 && minLines >= 1,
+      s"need minLineWords/minLines >= 1, got $minLineWords/$minLines")
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, " "), w => length(w) > 0)) >= minLineWords &&
+        !lower(t).contains("javascript")
+    })
+    val cleaned = array_join(keptLines, "\n")
+    val pageOk = size(keptLines) >= minLines &&
+      !lower(cleaned).contains("lorem ipsum") &&
+      !cleaned.contains("{")
+    df.select(col(idCol), cleaned.as(textCol),
+      size(lines).as("n_lines_in"),
+      size(keptLines).as("n_lines_kept"),
+      pageOk.cast("int").as("kept"))
+  }
+
+  /** Fixed-size context-window chunking with overlap — the
+    * complementary half of [[Packing]]: where packing concatenates
+    * SHORT documents up to a budget, chunking splits LONG documents
+    * into `windowTokens`-token windows starting every `strideTokens`
+    * (stride < window = sliding overlap, the standard LM data recipe).
+    * The final window of a document may be partial; a window is emitted
+    * only where new tokens start (start <= n_tokens). Empty docs emit
+    * nothing.
+    *
+    * Row-local: one posexplode of an in-row transform — zero shuffle,
+    * output rows ~ n_tokens / stride per document. Output: idCol,
+    * chunk_idx (0-based), chunk (text), n_tokens.
+    */
+  def contextChunks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(strideTokens >= 1, s"strideTokens must be >= 1, got $strideTokens")
+    val toks = tokens(col(textCol))
+    val starts = when(size(toks) > 0,
+      sequence(lit(1), size(toks), lit(strideTokens)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(starts,
+      i => slice(toks, i, lit(windowTokens)))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("c"), " ").as("chunk"),
+        size(col("c")).as("n_tokens"))
   }
 
   /** ALL token n-gram windows of `text` as space-joined strings, repeats

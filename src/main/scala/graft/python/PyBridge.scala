@@ -453,4 +453,20 @@ object PyBridge {
     }
     Validation.report(profiles, parsed, keep.asScala.toSeq)
   }
+
+  /** Gopher document-quality battery (values + verdict per doc). */
+  def gopherReport(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long, maxWords: Long): DataFrame =
+    graft.ops.TextOps.gopherReport(df, idCol, textCol, minWords, maxWords)
+
+  /** C4 line/page cleaning (total report; filter kept = 1). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int, minLines: Int): DataFrame =
+    graft.ops.TextOps.c4Clean(df, idCol, textCol, minLineWords, minLines)
+
+  /** Sliding context-window chunking (window/stride in tokens). */
+  def contextChunks(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame =
+    graft.ops.TextOps.contextChunks(df, idCol, textCol, windowTokens,
+      strideTokens)
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Published corpus-filter batteries: the Gopher document-quality rules,
+  * C4 line/page cleaning, and context-window chunking — hand-computable
+  * fixtures pin every rule, and the plans must stay row-local (no
+  * exchange anywhere: these run over the full corpus).
+  */
+class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  test("gopherReport: every rule measured and the verdict combines them") {
+    import spark.implicits._
+    val good = ((1 to 48).map(i => s"word$i") ++ Seq("the", "of"))
+      .mkString(" ") // 50 words, mean length in [3,10], 2 stopwords
+    val fixtures = Seq(
+      (1L, good),
+      (2L, "too short to pass the word count"),
+      (3L, ((1 to 50).map(_ => "## #")).mkString(" ")), // symbol storm
+      (4L, ((1 to 50).map(i => s"w$i")).mkString(" "))) // no stopwords
+      .toDF("id", "text")
+    val rep = TextOps.gopherReport(fixtures, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    rep(1L).getAs[Long]("n_words") shouldBe 50L
+    rep(1L).getAs[Long]("stop_hits") shouldBe 2L
+    rep(1L).getAs[Double]("alpha_frac") shouldBe 1.0
+    rep(1L).getAs[Int]("passed") shouldBe 1
+
+    rep(2L).getAs[Int]("passed") shouldBe 0 // word count
+    rep(3L).getAs[Double]("symbol_ratio") should be > 0.1
+    rep(3L).getAs[Int]("passed") shouldBe 0
+    rep(4L).getAs[Long]("stop_hits") shouldBe 0L
+    rep(4L).getAs[Int]("passed") shouldBe 0
+  }
+
+  test("gopherReport: bullet and ellipsis line fractions") {
+    import spark.implicits._
+    // 4 lines: 2 bullets, 1 ellipsis ending
+    val doc = Seq((1L, "- first bullet line\n* second bullet\n" +
+      "a normal line\ntrailing thought...")).toDF("id", "text")
+    val r = TextOps.gopherReport(doc, "id", "text").collect().head
+    r.getAs[Double]("bullet_frac") shouldBe 0.5
+    r.getAs[Double]("ellipsis_frac") shouldBe 0.25
+    // the ellipsis also counts into symbol ratio
+    r.getAs[Double]("symbol_ratio") should be > 0.0
+  }
+
+  test("c4Clean: line rules, page rules, totals") {
+    import spark.implicits._
+    val page =
+      "This line has the needed words and punctuation.\n" +
+        "short line.\n" + // < 5 words
+        "This javascript line would otherwise be kept here.\n" + // banned
+        "No terminal punctuation on this line here\n" +
+        "Another fine sentence line that survives cleaning!\n" +
+        "A third fine sentence line also survives cleanly?"
+    val df = Seq(
+      (1L, page),
+      (2L, "Only one surviving sentence line is not enough."),
+      (3L, "A fine line that mentions lorem ipsum stays banned.\n" +
+        "Second fine line to go with the banned one above.\n" +
+        "Third fine line to go with the banned one above too."))
+      .toDF("id", "text")
+    val got = TextOps.c4Clean(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    got(1L).getAs[Int]("n_lines_in") shouldBe 6
+    got(1L).getAs[Int]("n_lines_kept") shouldBe 3
+    got(1L).getAs[Int]("kept") shouldBe 1
+    got(1L).getAs[String]("text").split("\n").length shouldBe 3
+    got(1L).getAs[String]("text") should not include "javascript"
+
+    got(2L).getAs[Int]("kept") shouldBe 0 // < 3 surviving lines
+    got(3L).getAs[Int]("n_lines_kept") shouldBe 3
+    got(3L).getAs[Int]("kept") shouldBe 0 // lorem ipsum page rule
+  }
+
+  test("contextChunks: sliding windows, partial tail, empty doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y"))
+      .toDF("id", "text")
+    val got = TextOps.contextChunks(df, "id", "text",
+      windowTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+
+    got.filter(_._1 == 1L).sortBy(_._2) shouldBe Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "c d e f", 4),
+      (1L, 2, "e f g", 3), (1L, 3, "g", 1))
+    // empty text splits to one empty token -> one 1-token chunk of ""
+    got.filter(_._1 == 2L) shouldBe Seq((2L, 0, "", 1))
+    got.filter(_._1 == 3L) shouldBe Seq((3L, 0, "x y", 2))
+  }
+
+  test("all three filters are row-local: zero exchanges in the plan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Seq(
+      TextOps.gopherReport(docs, "doc_id", "text"),
+      TextOps.c4Clean(docs, "doc_id", "text"),
+      TextOps.contextChunks(docs, "doc_id", "text", 64, 32)
+    ).foreach { df =>
+      df.queryExecution.executedPlan.toString should not include "Exchange"
+    }
+  }
+}
