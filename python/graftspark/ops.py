@@ -478,3 +478,24 @@ def context_chunks(df: DataFrame, id_col: str, text_col: str,
     return _to_py_df(_jvm_bridge(df).contextChunks(
         df._jdf, id_col, text_col, int(window_tokens),
         int(stride_tokens)), df)
+
+
+def categorical_psi(df: DataFrame, sk_a_col: str, sk_b_col: str,
+                    eps: float = 1e-6) -> DataFrame:
+    """Categorical drift: PSI over category shares read from two
+    frequent-items sketch columns (``freq_items_agg`` output) — exact
+    below sketch capacity, heavy-hitter approximate above it. Appends
+    ``n_a``/``n_b`` (per-side totals) and ``psi``."""
+    return _to_py_df(_jvm_bridge(df).categoricalPsi(
+        df._jdf, sk_a_col, sk_b_col, float(eps)), df)
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, n_buckets: int = 4096) -> DataFrame:
+    """DSIR-style importance weights: score every raw document by how
+    target-like its hashed-unigram distribution is (add-one smoothed
+    log probability ratios over ``n_buckets`` hashing-trick slots).
+    Resample proportional to exp(logratio) to tilt the corpus toward
+    the target domain. Output: id, logratio."""
+    return _to_py_df(_jvm_bridge(raw).dsirWeights(
+        raw._jdf, target._jdf, id_col, text_col, int(n_buckets)), raw)

@@ -384,7 +384,26 @@ def test_round7_corpus_filters():
                         tdf, "id", "text", 4, 2).collect())
     assert chunks == [(0, "a b c d", 4), (1, "c d e f", 4),
                       (2, "e f g", 3), (3, "g", 1)]
-    print("round-7 corpus filters: gopher/c4/chunks OK")
+
+    # categorical PSI from sketches: identical cohorts -> 0 drift
+    from graftspark.session import _jvm_bridge
+    _jvm_bridge(_docs()).registerSqlFunctions(spark._jsparkSession)
+    ev = spark.createDataFrame(
+        [("x",)] * 60 + [("y",)] * 40, ["cat"])
+    sk = ev.selectExpr("freq_items_agg(cat) AS sa",
+                       "freq_items_agg(cat) AS sb")
+    psirow = ops.categorical_psi(sk, "sa", "sb").collect()[0]
+    assert psirow["n_a"] == 100 and psirow["n_b"] == 100
+    assert abs(psirow["psi"]) < 1e-12
+
+    # DSIR weights: target-like doc outscores the off-target doc
+    raw = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "zz yy zz yy")], ["id", "text"])
+    tgt = spark.createDataFrame([(3, "aa bb")], ["id", "text"])
+    w = {r["id"]: r["logratio"]
+         for r in ops.dsir_weights(raw, tgt, "id", "text").collect()}
+    assert w[1] > w[2]
+    print("round-7 corpus filters: gopher/c4/chunks/psi/dsir OK")
 
 
 if __name__ == "__main__":

@@ -1405,6 +1405,38 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"))
     }),
 
+    "q114_categorical_drift" -> ((s, dir) => {
+      // categorical PSI from frequent-items sketches: event_type shares
+      // of two user cohorts, computed purely from the sketches (exact
+      // regime: the fixture's category count is far below sketch
+      // capacity). One aggregate, then a scalar expression.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("is_a"))
+      ev.agg(
+        graft.functions.freq_items_agg(
+          when(col("is_a"), col("event_type"))).as("sk_a"),
+        graft.functions.freq_items_agg(
+          when(!col("is_a"), col("event_type"))).as("sk_b"))
+        .select(
+          ops.Drift.categoricalTotal(col("sk_a")).as("n_a"),
+          ops.Drift.categoricalTotal(col("sk_b")).as("n_b"),
+          (round(ops.Drift.categoricalPsi(col("sk_a"), col("sk_b")), 6)
+            + 0.0).as("psi"))
+    }),
+
+    "q115_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: every raw doc scored by how 'en'-like
+      // its hashed-unigram distribution is (add-one smoothed log
+      // ratios over 4096 hashing-trick buckets; two bounded histogram
+      // aggregates + one broadcast + a row-local scoring pass)
+      val raw = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val target = raw.filter(col("lang") === "en")
+      ops.TextOps.dsirWeights(raw, target, "doc_id", "text")
+        .select(col("doc_id"),
+          (round(col("logratio"), 6) + 0.0).as("logratio"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -2924,6 +2956,54 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
         |  array_to_string(c, ' ') AS chunk, len(c)::BIGINT AS n_tokens
         |FROM s""".stripMargin,
+
+    "q114_categorical_drift" ->
+      """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS is_a
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    count(*) FILTER (WHERE is_a) AS ca,
+        |    count(*) FILTER (WHERE NOT is_a) AS cb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(ca)::DOUBLE AS ta, sum(cb)::DOUBLE AS tb
+        |  FROM c),
+        |terms AS (SELECT event_type,
+        |    (greatest(ca / ta, 1e-6) - greatest(cb / tb, 1e-6)) *
+        |      ln(greatest(ca / ta, 1e-6) / greatest(cb / tb, 1e-6))
+        |      AS term
+        |  FROM c, t),
+        |p AS (SELECT list_sum(list(term ORDER BY event_type)) AS psi
+        |  FROM terms)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  round(psi, 6) + 0.0 AS psi
+        |FROM t, p""".stripMargin,
+
+    "q115_dsir_weights" ->
+      """WITH raw AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        |  FROM raw),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(regexp_split_to_array(t, ''),
+        |        c -> unicode(c)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+        |  FROM tok),
+        |en AS (SELECT doc_id FROM raw WHERE lang = 'en'),
+        |tc AS (SELECT b, count(*) AS n FROM h JOIN en USING (doc_id)
+        |  GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS n FROM h GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(n) FROM tc) AS tt,
+        |  (SELECT sum(n) FROM rc) AS rt),
+        |w AS (SELECT h.doc_id AS doc_id,
+        |    ln((coalesce(tc.n, 0) + 1) / (tt + 4096.0)) -
+        |      ln((rc.n + 1) / (rt + 4096.0)) AS wt
+        |  FROM h LEFT JOIN tc ON h.b = tc.b
+        |  JOIN rc ON h.b = rc.b, tots),
+        |s AS (SELECT doc_id, sum(wt) / count(*) AS lr FROM w GROUP BY 1)
+        |SELECT raw.doc_id AS doc_id,
+        |  round(coalesce(s.lr, 0.0), 6) + 0.0 AS logratio
+        |FROM raw LEFT JOIN s ON raw.doc_id = s.doc_id""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

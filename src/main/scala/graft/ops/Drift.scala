@@ -37,6 +37,55 @@ object Drift {
       .map { case (p, q) => (p - q) * log(p / q) }
       .reduce(_ + _)
 
+  /** CATEGORICAL drift: PSI over category shares read from two
+    * frequent-items sketches ([[graft.functions.freq_items_agg]]) — the
+    * string-column companion to the numeric [[psi]], computable from
+    * stored profiles alone. Shares come from sketch estimates over the
+    * UNION of both sides' tracked items, eps-floored so one-sided
+    * categories contribute a finite term.
+    *
+    * EXACT below sketch capacity (distinct values <= maxMapSize: the
+    * items sketch holds true counts, so shares — and the PSI — are
+    * exact and SQL-oracle-able). Above capacity, shares are
+    * heavy-hitter estimates and the PSI is an approximation over the
+    * tracked heads.
+    *
+    * A pure scalar expression (nested codegen HOFs over the <= k-item
+    * arrays): categorical drift for every (group x column) computes in
+    * one map pass over profile rows — no join, no shuffle, usable per
+    * group like every other drift metric here.
+    */
+  def categoricalPsi(a: Column, b: Column, k: Int = 128,
+      eps: Double = 1e-6): Column = {
+    val ia = graft.functions.freq_items_topk(a, lit(k))
+    val ib = graft.functions.freq_items_topk(b, lit(k))
+    def total(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + x.getField("estimate"))
+        .cast("double")
+    def est(arr: Column, item: Column): Column =
+      // get() (not element_at) tolerates a missing item under ANSI mode
+      coalesce(get(filter(arr,
+        y => y.getField("item") === item), lit(0)).getField("estimate"),
+        lit(0L)).cast("double")
+    val ta = total(ia)
+    val tb = total(ib)
+    val names = array_sort(array_union(
+      transform(ia, x => x.getField("item")),
+      transform(ib, x => x.getField("item"))))
+    aggregate(names, lit(0.0), (acc, it) => {
+      val pa = greatest(est(ia, it) / ta, lit(eps))
+      val pb = greatest(est(ib, it) / tb, lit(eps))
+      acc + (pa - pb) * log(pa / pb)
+    })
+  }
+
+  /** Total stream count tracked by a frequent-items sketch (sum of item
+    * estimates — exact below sketch capacity).
+    */
+  def categoricalTotal(sk: Column, k: Int = 128): Column =
+    aggregate(graft.functions.freq_items_topk(sk, lit(k)), lit(0L),
+      (acc, x) => acc + x.getField("estimate"))
+
   /** Bin edges for [[psi]]/[[klDivergence]] DERIVED from a reference
     * profile's KLL sketch: the sketch's quantiles at `probs` (default
     * quartiles), so drift bins adapt to the observed distribution

@@ -305,6 +305,58 @@ object TextOps {
         size(col("c")).as("n_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-unigram distribution is —
+    * logratio = mean over token occurrences of
+    * log p_target(bucket) - log p_raw(bucket), with add-one smoothed
+    * bucket probabilities over `nBuckets` hashing-trick slots (the
+    * [[linearQualityScore]] hash recipe, so the scoring pass is the
+    * same codegen expression). Resample the corpus proportional to
+    * exp(logratio) — or top-k by logratio — to tilt it toward the
+    * target domain.
+    *
+    * Scale shape: TWO bounded aggregates (bucket histograms — at most
+    * `nBuckets` rows cross each exchange regardless of corpus size),
+    * the log-ratio table rides one broadcast, and scoring is a single
+    * row-local pass over the raw corpus. Documents with no tokens score
+    * 0.0. Output: idCol, logratio.
+    */
+  def dsirWeights(
+      raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [1, 2^22], got $nBuckets")
+    def bucketCounts(df: org.apache.spark.sql.DataFrame): (Array[Long], Long) = {
+      val rows = df
+        .select(explode(filter(tokens(lower(col(textCol))),
+          t => length(t) > 0)).as("t"))
+        .select(pmod(rollingHash(col("t")), lit(nBuckets.toLong))
+          .cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+      val arr = new Array[Long](nBuckets)
+      var total = 0L
+      rows.foreach { r =>
+        val n = r.getLong(1); arr(r.getInt(0)) = n; total += n
+      }
+      (arr, total)
+    }
+    val (tc, tt) = bucketCounts(target)
+    val (rc, rt) = bucketCounts(raw)
+    val weights = Array.tabulate(nBuckets) { b =>
+      math.log((tc(b) + 1.0) / (tt + nBuckets.toDouble)) -
+        math.log((rc(b) + 1.0) / (rt + nBuckets.toDouble))
+    }
+    val bc = raw.sparkSession.sparkContext.broadcast(weights)
+    raw.select(col(idCol),
+      graft.functions.hashed_token_score(col(textCol), nBuckets, Some(bc))
+        .as("logratio"))
+  }
+
   /** ALL token n-gram windows of `text` as space-joined strings, repeats
     * kept; empty array for docs shorter than n tokens. Row-local
     * (codegen HOFs over the token array), zero shuffle.

@@ -469,4 +469,25 @@ object PyBridge {
       windowTokens: Int, strideTokens: Int): DataFrame =
     graft.ops.TextOps.contextChunks(df, idCol, textCol, windowTokens,
       strideTokens)
+
+  /** Register the graft SQL function surface on a session (for python
+    * sessions built without the SparkSessionExtensions config).
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.registerAll(spark)
+
+  /** DSIR hashed-unigram importance weights of raw docs vs a target. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
+    graft.ops.TextOps.dsirWeights(raw, target, idCol, textCol, nBuckets)
+
+  /** Categorical PSI between two frequent-items sketch columns, appended
+    * as `psi` (plus per-side totals `n_a` / `n_b`).
+    */
+  def categoricalPsi(df: DataFrame, aCol: String, bCol: String,
+      eps: Double): DataFrame =
+    df.withColumn("n_a", graft.ops.Drift.categoricalTotal(df.col(aCol)))
+      .withColumn("n_b", graft.ops.Drift.categoricalTotal(df.col(bCol)))
+      .withColumn("psi", graft.ops.Drift.categoricalPsi(
+        df.col(aCol), df.col(bCol), eps = eps))
 }

@@ -97,6 +97,34 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got.filter(_._1 == 3L) shouldBe Seq((3L, 0, "x y", 2))
   }
 
+  test("dsirWeights: target-like docs outscore off-target docs, empty " +
+    "docs score 0, scoring pass is shuffle-free") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "aa bb aa bb aa bb"), // pure target vocabulary
+      (2L, "zz yy zz yy zz yy"), // pure off-target vocabulary
+      (3L, "aa bb zz yy"), // mixed
+      (4L, "")).toDF("id", "text")
+    val target = Seq((10L, "aa bb aa bb")).toDF("id", "text")
+    val got = TextOps.dsirWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    got(1L) should be > got(3L)
+    got(3L) should be > got(2L)
+    got(4L) shouldBe 0.0
+    // hand check doc 1: target counts aa=2/bb=2 (total 4), raw counts
+    // aa=4/bb=4 (doc1 x3 + doc3 x1 each; total 16), so every token of
+    // doc 1 scores ln((2+1)/(4+4096)) - ln((4+1)/(16+4096)) and the
+    // equal aa/bb mix makes the doc mean equal the per-token value
+    val perTok = math.log(3.0 / 4100.0) - math.log(5.0 / 4112.0)
+    got(1L) shouldBe (perTok +- 1e-12)
+
+    // the SCORING pass is one row-local select over raw — no exchange
+    // (the two bounded histogram aggregates run before, at plan-build)
+    val scored = TextOps.dsirWeights(raw, target, "id", "text")
+    scored.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("all three filters are row-local: zero exchanges in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -433,6 +433,51 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     err.getMessage should include("empty or null sketch")
   }
 
+  test("categoricalPsi: exact in the low-cardinality regime, zero on " +
+    "identical shares, per-group usable") {
+    import spark.implicits._
+    import graft.functions.freq_items_agg
+    // cohort a: 60/30/10 over x/y/z; cohort b: 10/30/60 — hand PSI
+    val rows = (1 to 100).map { i =>
+      val ca = if (i <= 60) "x" else if (i <= 90) "y" else "z"
+      val cb = if (i <= 10) "x" else if (i <= 40) "y" else "z"
+      (ca, cb)
+    }
+    val sk = rows.toDF("a", "b")
+      .agg(freq_items_agg(col("a")).as("sa"), freq_items_agg(col("b")).as("sb"))
+    val got = sk.select(
+      Drift.categoricalPsi(col("sa"), col("sb")).as("psi"),
+      Drift.categoricalTotal(col("sa")).as("na")).head()
+    val hand = Seq((0.6, 0.1), (0.3, 0.3), (0.1, 0.6))
+      .map { case (p, q) => (p - q) * math.log(p / q) }.sum
+    got.getDouble(0) shouldBe (hand +- 1e-12)
+    got.getLong(1) shouldBe 100L
+
+    // identical sketches -> exactly zero drift
+    sk.select(Drift.categoricalPsi(col("sa"), col("sa")))
+      .head().getDouble(0) shouldBe 0.0
+
+    // one-sided categories get the eps floor, not NaN/Infinity
+    val disjoint = Seq(("only_a", "only_b")).toDF("a", "b")
+      .agg(freq_items_agg(col("a")).as("sa"), freq_items_agg(col("b")).as("sb"))
+    val d = disjoint.select(
+      Drift.categoricalPsi(col("sa"), col("sb"))).head().getDouble(0)
+    d.isNaN shouldBe false
+    d should be > 1.0 // two fully-shifted categories
+
+    // per-group: a scalar expression, so it rides a grouped select
+    val grouped = (1 to 100).map { i =>
+      (if (i % 2 == 0) "g1" else "g2",
+        if (i % 4 < 2) "u" else "v",
+        if (i % 4 < 1) "u" else "v")
+    }.toDF("g", "a", "b")
+      .groupBy("g")
+      .agg(freq_items_agg(col("a")).as("sa"), freq_items_agg(col("b")).as("sb"))
+      .select(col("g"), Drift.categoricalPsi(col("sa"), col("sb")).as("psi"))
+    grouped.count() shouldBe 2L
+    grouped.collect().foreach(_.getDouble(1).isNaN shouldBe false)
+  }
+
   test("weightedBottomK: a NULL-key stratum wins like any other group") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (Some("g"), i.toLong, 1.0)) ++
