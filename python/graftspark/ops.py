@@ -499,3 +499,13 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
     the target domain. Output: id, logratio."""
     return _to_py_df(_jvm_bridge(raw).dsirWeights(
         raw._jdf, target._jdf, id_col, text_col, int(n_buckets)), raw)
+
+
+def redact_pii(df: DataFrame, text_col: str,
+               email_token: str = "[EMAIL]", url_token: str = "[URL]",
+               phone_token: str = "[PHONE]") -> DataFrame:
+    """Replace every email / URL / phone match in ``text_col`` (in
+    place) with fixed placeholder tokens — the action to the PII
+    counting triage. Row-local regexp chain, zero shuffle."""
+    return _to_py_df(_jvm_bridge(df).redactPii(
+        df._jdf, text_col, email_token, url_token, phone_token), df)

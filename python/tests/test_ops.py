@@ -403,7 +403,13 @@ def test_round7_corpus_filters():
     w = {r["id"]: r["logratio"]
          for r in ops.dsir_weights(raw, tgt, "id", "text").collect()}
     assert w[1] > w[2]
-    print("round-7 corpus filters: gopher/c4/chunks/psi/dsir OK")
+
+    # PII redaction
+    pdf = spark.createDataFrame(
+        [(1, "mail a@b.co or call 555-123-4567")], ["id", "text"])
+    red = ops.redact_pii(pdf, "text").collect()[0]["text"]
+    assert red == "mail [EMAIL] or call [PHONE]"
+    print("round-7 corpus filters: gopher/c4/chunks/psi/dsir/redact OK")
 
 
 if __name__ == "__main__":

@@ -46,6 +46,12 @@ object Bench {
         .as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // multi-line corpus rewrite for the C4 row (8-word sentence lines),
+    // persisted for the same reason as hcDocs
+    val mlDocs: DataFrame = t("documents").select(col("doc_id"),
+      regexp_replace(col("text"), "((\\w+ ){7}\\w+) ", "$1.\n").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val benches: Seq[(String, () => Long)] = Seq(
       // full-width single-pass profile of every lineitem column, grouped
       "profile_full_grouped" -> (() =>
@@ -318,7 +324,32 @@ object Bench {
         t("documents").select(
           graft.ops.TextOps.normalizeText(col("text")).as("n"))
           .agg(sum(length(col("n"))).as("total_chars"))
-          .first().getLong(0)))
+          .first().getLong(0)),
+      // Gopher quality battery over the full corpus (row-local rules;
+      // sum a value column so pruning can't drop the computation)
+      "gopher_quality" -> (() =>
+        graft.ops.TextOps.gopherReport(t("documents"), "doc_id", "text")
+          .agg(sum(col("passed")), sum(col("stop_hits")))
+          .first().getLong(1)),
+      // C4 line/page cleaning over the multi-line corpus rewrite
+      // (persisted during warmup — fixture synthesis is not the
+      // operator under test)
+      "c4_clean" -> (() =>
+        graft.ops.TextOps.c4Clean(mlDocs, "doc_id", "text")
+          .agg(sum(col("n_lines_kept"))).first().getLong(0)),
+      // sliding context-window chunking of every document
+      "context_chunks" -> (() =>
+        graft.ops.TextOps.contextChunks(t("documents"), "doc_id", "text",
+          windowTokens = 32, strideTokens = 24).count()),
+      // DSIR importance weights: two bounded histograms + broadcast +
+      // row-local scoring pass (target = 'en' docs)
+      "dsir_weights" -> (() => {
+        val raw = t("documents").select(col("doc_id"), col("text"),
+          col("lang"))
+        graft.ops.TextOps.dsirWeights(raw,
+          raw.filter(col("lang") === "en"), "doc_id", "text")
+          .agg(sum(col("logratio"))).first(); 1L
+      }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape
@@ -368,7 +399,8 @@ object Bench {
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 40).as("qtext")),
       "query_id", "qtext", k = 3).count()
-    hcDocs.count() // materialize the persisted hc fixture OUTSIDE timing
+    hcDocs.count() // materialize the persisted fixtures OUTSIDE timing
+    mlDocs.count()
 
     def loadavg1m(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString

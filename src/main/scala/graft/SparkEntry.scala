@@ -1437,6 +1437,29 @@ object SparkEntry {
           (round(col("logratio"), 6) + 0.0).as("logratio"))
     }),
 
+    "q116_pii_redact" -> ((s, dir) => {
+      // PII redaction — the action to q53's counting triage, on the
+      // same deterministic planting; n_redacted counts on the ORIGINAL
+      // text, the redacted text must carry zero remaining matches
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact alice@example.com or bob.smith@mail.org"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" see https://example.org/data?id=1 or http://foo.bar/x"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" call 555-123-4567 or 555.987.6543")).otherwise(lit("")))
+          .as("text"))
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0 ||
+          col("doc_id") % 13 === 0)
+      docs.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("text"),
+        (TextOps.emailCount(col("text")) + TextOps.urlCount(col("text")) +
+          TextOps.phoneCount(col("text"))).cast("long").as("n_redacted"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3004,6 +3027,34 @@ object SparkEntry {
         |SELECT raw.doc_id AS doc_id,
         |  round(coalesce(s.lr, 0.0), 6) + 0.0 AS logratio
         |FROM raw LEFT JOIN s ON raw.doc_id = s.doc_id""".stripMargin,
+
+    "q116_pii_redact" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact alice@example.com or bob.smith@mail.org'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' see https://example.org/data?id=1 or http://foo.bar/x'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' call 555-123-4567 or 555.987.6543'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g'),
+        |    'https?://[^ \t\n\x0B\f\r]+', '[URL]', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')
+        |    AS text,
+        |  (len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+'))
+        |   + len(regexp_extract_all(text,
+        |     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')))::BIGINT
+        |    AS n_redacted
+        |FROM d""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

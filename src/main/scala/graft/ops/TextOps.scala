@@ -455,6 +455,25 @@ object TextOps {
   def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
 
+  /** PII REDACTION — the action to the counting triage above: every
+    * email / URL / phone match replaced by a fixed placeholder token, in
+    * that order (emails before URLs so a mailto-like tail can't leave a
+    * partial address; URL second so its greedy run eats query strings;
+    * phone last). Same engine-portable patterns as the counters, so the
+    * redacted text is exactly oracle-able. Row-local codegen
+    * regexp_replace chain — zero shuffle at any corpus size.
+    */
+  def redactPii(
+      text: Column,
+      emailToken: String = "[EMAIL]",
+      urlToken: String = "[URL]",
+      phoneToken: String = "[PHONE]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, emailToken),
+        UrlPattern, urlToken),
+      PhonePattern, phoneToken)
+
   /** Vocabulary join strategy knob for [[tfIdfTopTerms]] /
     * [[unigramPerplexity]]. Lowercase-whitespace tokens over a web corpus
     * are effectively unbounded (URLs, typos), so an unconditionally

@@ -476,6 +476,12 @@ object PyBridge {
   def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.registerAll(spark)
 
+  /** In-place PII redaction of a text column (email/URL/phone). */
+  def redactPii(df: DataFrame, textCol: String, emailToken: String,
+      urlToken: String, phoneToken: String): DataFrame =
+    df.withColumn(textCol, graft.ops.TextOps.redactPii(
+      df.col(textCol), emailToken, urlToken, phoneToken))
+
   /** DSIR hashed-unigram importance weights of raw docs vs a target. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int): DataFrame =

@@ -125,13 +125,38 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     scored.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
-  test("all three filters are row-local: zero exchanges in the plan") {
+  test("redactPii: every match replaced, counts drop to zero, rest " +
+    "untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail alice@example.com then visit https://a.b/c?x=1 now"),
+      (2L, "call 555-123-4567 or 555.987.6543 today"),
+      (3L, "no pii at all here")).toDF("id", "text")
+    val red = df.select(col("id"),
+      TextOps.redactPii(col("text")).as("r"))
+    val got = red.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "mail [EMAIL] then visit [URL] now"
+    got(2L) shouldBe "call [PHONE] or [PHONE] today"
+    got(3L) shouldBe "no pii at all here"
+    // redacted text carries zero remaining matches
+    red.select(TextOps.emailCount(col("r")) + TextOps.urlCount(col("r")) +
+      TextOps.phoneCount(col("r"))).collect()
+      .foreach(_.getInt(0) shouldBe 0)
+    // custom tokens
+    df.filter(col("id") === 1L)
+      .select(TextOps.redactPii(col("text"), emailToken = "<e>",
+        urlToken = "<u>")).head().getString(0) shouldBe
+      "mail <e> then visit <u> now"
+  }
+
+  test("all four filters are row-local: zero exchanges in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     Seq(
       TextOps.gopherReport(docs, "doc_id", "text"),
       TextOps.c4Clean(docs, "doc_id", "text"),
-      TextOps.contextChunks(docs, "doc_id", "text", 64, 32)
+      TextOps.contextChunks(docs, "doc_id", "text", 64, 32),
+      docs.select(TextOps.redactPii(col("text")))
     ).foreach { df =>
       df.queryExecution.executedPlan.toString should not include "Exchange"
     }
