@@ -509,3 +509,19 @@ def redact_pii(df: DataFrame, text_col: str,
     counting triage. Row-local regexp chain, zero shuffle."""
     return _to_py_df(_jvm_bridge(df).redactPii(
         df._jdf, text_col, email_token, url_token, phone_token), df)
+
+
+def categorical_jsd(df: DataFrame, sk_a_col: str, sk_b_col: str,
+                    eps: float = 1e-6) -> DataFrame:
+    """Categorical Jensen-Shannon divergence (bounded by ln 2) over
+    category shares from two frequent-items sketch columns; appends
+    ``jsd``."""
+    return _to_py_df(_jvm_bridge(df).categoricalJsd(
+        df._jdf, sk_a_col, sk_b_col, float(eps)), df)
+
+
+def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema-drift report between two stored dataset profiles (single
+    global profile rows): per column — presence on each side, inferred
+    type + changed flag, null fractions + delta, distinct estimates."""
+    return _to_py_df(_jvm_bridge(a).schemaDrift(a._jdf, b._jdf), a)

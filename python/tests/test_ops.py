@@ -409,7 +409,20 @@ def test_round7_corpus_filters():
         [(1, "mail a@b.co or call 555-123-4567")], ["id", "text"])
     red = ops.redact_pii(pdf, "text").collect()[0]["text"]
     assert red == "mail [EMAIL] or call [PHONE]"
-    print("round-7 corpus filters: gopher/c4/chunks/psi/dsir/redact OK")
+
+    # categorical JSD: identical cohorts -> 0; schema drift report
+    jrow = ops.categorical_jsd(sk, "sa", "sb").collect()[0]
+    assert abs(jrow["jsd"]) < 1e-12
+    from graftspark import new_profiling_session
+    pa = new_profiling_session(
+        spark.createDataFrame([(1.0, "s")], ["x", "y"]), "t").aggProfiles()
+    pb = new_profiling_session(
+        spark.createDataFrame([("1", "s")], ["x", "y"]), "t").aggProfiles()
+    srep = {r["column"]: r for r in ops.schema_drift(pa, pb).collect()}
+    assert srep["x"]["type_changed"] == 1
+    assert srep["y"]["type_changed"] == 0
+    print("round-7 corpus filters: gopher/c4/chunks/psi/jsd/dsir/redact/"
+          "schema OK")
 
 
 if __name__ == "__main__":

@@ -1460,6 +1460,58 @@ object SparkEntry {
           TextOps.phoneCount(col("text"))).cast("long").as("n_redacted"))
     }),
 
+    "q117_schema_drift" -> ((s, dir) => {
+      // schema drift between two stored dataset profiles: cohort B
+      // retypes l_quantity to string, plants 20% nulls in l_linestatus,
+      // drops l_linenumber and adds l_tax — the report must surface
+      // exactly those changes from the profile rows alone. Low-
+      // cardinality columns keep the HLL distinct estimates exact, so
+      // the whole report is SQL-oracle-able.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_quantity"), col("l_linestatus"),
+        col("l_linenumber")).newProfilingSession().aggProfiles()
+      val b = li.select(
+        col("l_quantity").cast("string").as("l_quantity"),
+        when(col("l_linenumber") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("l_linestatus")).as("l_linestatus"),
+        col("l_tax")).newProfilingSession().aggProfiles()
+      ops.Drift.schemaDrift(a, b)
+        .select(col("column").as("col_name"), col("present_a"),
+          col("present_b"), col("type_a"), col("type_b"),
+          col("type_changed"), round(col("null_frac_a"), 6).as("null_frac_a"),
+          round(col("null_frac_b"), 6).as("null_frac_b"),
+          round(col("null_frac_delta"), 6).as("null_frac_delta"),
+          col("card_a"), col("card_b"))
+    }),
+
+    "q118_jsd_drift" -> ((s, dir) => {
+      // Jensen-Shannon drift, numeric (KLL-rank bins over supplier
+      // cohorts, the q61 shape) and categorical (event-type shares of
+      // two user cohorts from frequent-items sketches) in one row —
+      // both scalar expressions over sketch state
+      val sup = t(s, dir, "supplier").select(
+        when(col("s_nationkey") < 12, lit("old")).otherwise(lit("new"))
+          .as("cohort"), col("s_acctbal").cast("float").as("v"))
+      val numSk = sup.agg(
+        graft.functions.kll_agg(when(col("cohort") === "old", col("v")))
+          .as("sk_old"),
+        graft.functions.kll_agg(when(col("cohort") === "new", col("v")))
+          .as("sk_new"))
+      val edges = Seq(0.0, 2500.0, 5000.0, 7500.0)
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("is_a"))
+      val catSk = ev.agg(
+        graft.functions.freq_items_agg(
+          when(col("is_a"), col("event_type"))).as("sk_a"),
+        graft.functions.freq_items_agg(
+          when(!col("is_a"), col("event_type"))).as("sk_b"))
+      numSk.crossJoin(catSk).select(
+        (round(ops.Drift.jsd(col("sk_old"), col("sk_new"), edges), 6)
+          + 0.0).as("jsd_num"),
+        (round(ops.Drift.categoricalJsd(col("sk_a"), col("sk_b")), 6)
+          + 0.0).as("jsd_cat"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3055,6 +3107,91 @@ object SparkEntry {
         |     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')))::BIGINT
         |    AS n_redacted
         |FROM d""".stripMargin,
+
+    "q117_schema_drift" ->
+      """WITH a AS (
+        |  SELECT 'l_quantity' AS c, 'FRACTIONAL' AS type_a,
+        |    0.0 AS null_frac_a,
+        |    (SELECT count(DISTINCT l_quantity) FROM lineitem)::BIGINT
+        |      AS card_a
+        |  UNION ALL SELECT 'l_linestatus', 'STRING', 0.0,
+        |    (SELECT count(DISTINCT l_linestatus) FROM lineitem)
+        |  UNION ALL SELECT 'l_linenumber', 'INTEGRAL', 0.0,
+        |    (SELECT count(DISTINCT l_linenumber) FROM lineitem)),
+        |b AS (
+        |  SELECT 'l_quantity' AS c, 'STRING' AS type_b,
+        |    0.0 AS null_frac_b,
+        |    (SELECT count(DISTINCT CAST(l_quantity AS VARCHAR))
+        |      FROM lineitem)::BIGINT AS card_b
+        |  UNION ALL SELECT 'l_linestatus', 'STRING',
+        |    (SELECT (count(*) FILTER (WHERE l_linenumber % 5 = 0))::DOUBLE
+        |      / count(*) FROM lineitem),
+        |    (SELECT count(DISTINCT l_linestatus) FROM lineitem
+        |      WHERE l_linenumber % 5 <> 0)
+        |  UNION ALL SELECT 'l_tax', 'FRACTIONAL', 0.0,
+        |    (SELECT count(DISTINCT l_tax) FROM lineitem))
+        |SELECT coalesce(a.c, b.c) AS col_name,
+        |  CAST(a.c IS NOT NULL AS INT) AS present_a,
+        |  CAST(b.c IS NOT NULL AS INT) AS present_b,
+        |  type_a, type_b,
+        |  CAST(type_a IS NOT NULL AND type_b IS NOT NULL
+        |    AND type_a <> type_b AS INT) AS type_changed,
+        |  round(null_frac_a, 6) AS null_frac_a,
+        |  round(null_frac_b, 6) AS null_frac_b,
+        |  round(null_frac_b - null_frac_a, 6) AS null_frac_delta,
+        |  card_a, card_b
+        |FROM a FULL OUTER JOIN b ON a.c = b.c""".stripMargin,
+
+    "q118_jsd_drift" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |c AS (SELECT cohort, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 7500.0) AS r3
+        |  FROM s GROUP BY 1),
+        |p AS (SELECT cohort,
+        |  greatest(r0 / n::DOUBLE, 1e-6) AS p0,
+        |  greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
+        |  greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
+        |  greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
+        |  greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |  FROM c),
+        |num AS (SELECT
+        |    (a.p0 * ln(a.p0 / ((a.p0 + b.p0) / 2))
+        |      + b.p0 * ln(b.p0 / ((a.p0 + b.p0) / 2))) * 0.5
+        |  + (a.p1 * ln(a.p1 / ((a.p1 + b.p1) / 2))
+        |      + b.p1 * ln(b.p1 / ((a.p1 + b.p1) / 2))) * 0.5
+        |  + (a.p2 * ln(a.p2 / ((a.p2 + b.p2) / 2))
+        |      + b.p2 * ln(b.p2 / ((a.p2 + b.p2) / 2))) * 0.5
+        |  + (a.p3 * ln(a.p3 / ((a.p3 + b.p3) / 2))
+        |      + b.p3 * ln(b.p3 / ((a.p3 + b.p3) / 2))) * 0.5
+        |  + (a.p4 * ln(a.p4 / ((a.p4 + b.p4) / 2))
+        |      + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5 AS jn
+        |  FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'),
+        |e AS (SELECT event_type, (user_id % 2 = 0) AS is_a FROM events),
+        |cc AS (SELECT event_type,
+        |    count(*) FILTER (WHERE is_a) AS ca,
+        |    count(*) FILTER (WHERE NOT is_a) AS cb
+        |  FROM e GROUP BY 1),
+        |tt AS (SELECT sum(ca)::DOUBLE AS ta, sum(cb)::DOUBLE AS tb
+        |  FROM cc),
+        |terms AS (SELECT event_type,
+        |    (greatest(ca / ta, 1e-6) *
+        |       ln(greatest(ca / ta, 1e-6) /
+        |          ((greatest(ca / ta, 1e-6) + greatest(cb / tb, 1e-6)) / 2))
+        |     + greatest(cb / tb, 1e-6) *
+        |       ln(greatest(cb / tb, 1e-6) /
+        |          ((greatest(ca / ta, 1e-6) + greatest(cb / tb, 1e-6)) / 2)))
+        |      * 0.5 AS term
+        |  FROM cc, tt),
+        |cat AS (SELECT list_sum(list(term ORDER BY event_type)) AS jc
+        |  FROM terms)
+        |SELECT round(jn, 6) + 0.0 AS jsd_num,
+        |  round(jc, 6) + 0.0 AS jsd_cat
+        |FROM num, cat""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

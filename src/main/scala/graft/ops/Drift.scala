@@ -37,6 +37,20 @@ object Drift {
       .map { case (p, q) => (p - q) * log(p / q) }
       .reduce(_ + _)
 
+  /** Jensen–Shannon divergence over the same fixed bins (natural log;
+    * bounded by ln 2): jsd = (KL(p||m) + KL(q||m)) / 2 with
+    * m = (p+q)/2 — the symmetric, always-finite companion to [[psi]]
+    * for dashboards that need a bounded score.
+    */
+  def jsd(a: Column, b: Column, edges: Seq[Double],
+      eps: Double = 1e-6): Column =
+    binProbs(a, edges, eps).zip(binProbs(b, edges, eps))
+      .map { case (p, q) =>
+        val m = (p + q) / 2
+        (p * log(p / m) + q * log(q / m)) * lit(0.5)
+      }
+      .reduce(_ + _)
+
   /** CATEGORICAL drift: PSI over category shares read from two
     * frequent-items sketches ([[graft.functions.freq_items_agg]]) — the
     * string-column companion to the numeric [[psi]], computable from
@@ -56,7 +70,27 @@ object Drift {
     * group like every other drift metric here.
     */
   def categoricalPsi(a: Column, b: Column, k: Int = 128,
-      eps: Double = 1e-6): Column = {
+      eps: Double = 1e-6): Column =
+    categoricalTerms(a, b, k, eps) { (pa, pb) =>
+      (pa - pb) * log(pa / pb)
+    }
+
+  /** Categorical Jensen–Shannon divergence over the same sketch-derived
+    * shares ([[jsd]]'s formula, [[categoricalPsi]]'s share machinery).
+    */
+  def categoricalJsd(a: Column, b: Column, k: Int = 128,
+      eps: Double = 1e-6): Column =
+    categoricalTerms(a, b, k, eps) { (pa, pb) =>
+      val m = (pa + pb) / 2
+      (pa * log(pa / m) + pb * log(pb / m)) * lit(0.5)
+    }
+
+  /** Shared share machinery for the categorical divergences: eps-floored
+    * shares over the sorted union of both sketches' tracked items,
+    * summed through `term` in deterministic (item-name) order.
+    */
+  private def categoricalTerms(a: Column, b: Column, k: Int, eps: Double)(
+      term: (Column, Column) => Column): Column = {
     val ia = graft.functions.freq_items_topk(a, lit(k))
     val ib = graft.functions.freq_items_topk(b, lit(k))
     def total(arr: Column): Column =
@@ -75,7 +109,7 @@ object Drift {
     aggregate(names, lit(0.0), (acc, it) => {
       val pa = greatest(est(ia, it) / ta, lit(eps))
       val pb = greatest(est(ib, it) / tb, lit(eps))
-      acc + (pa - pb) * log(pa / pb)
+      acc + term(pa, pb)
     })
   }
 
@@ -85,6 +119,55 @@ object Drift {
   def categoricalTotal(sk: Column, k: Int = 128): Column =
     aggregate(graft.functions.freq_items_topk(sk, lit(k)), lit(0L),
       (acc, x) => acc + x.getField("estimate"))
+
+  /** SCHEMA drift between two stored dataset profiles (each a single
+    * global profile row): per column, presence on each side, inferred
+    * type and whether it changed, null fraction and its delta, and the
+    * distinct-count estimate — the "did the pipeline upstream change
+    * shape" report a profile store answers without touching raw data.
+    *
+    * Shape: one explode per side over the per-column structs (constant
+    * plan size at any width), then a full-outer join of two
+    * columns-sized frames — trivially broadcastable. Output: column,
+    * present_a/b (int), type_a/b, type_changed (int; 0 when either side
+    * is absent), null_frac_a/b, null_frac_delta, card_a/b (rounded
+    * distinct estimates).
+    */
+  def schemaDrift(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def profCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.filter(f =>
+        graft.profile.ProfileSchema.isProfileType(f.dataType))
+        .map(_.name).toSeq
+    def entries(df: org.apache.spark.sql.DataFrame,
+        side: String): org.apache.spark.sql.DataFrame = {
+      val cols = profCols(df)
+      require(cols.nonEmpty, s"schemaDrift: side $side has no profile columns")
+      df.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"$c.inferred_type").as(s"type_$side"),
+        when(col(s"$c.count") > 0,
+          col(s"$c.null_count").cast("double") / col(s"$c.count"))
+          .otherwise(lit(0.0)).as(s"null_frac_$side"),
+        round(col(s"$c.cardinality.estimate")).cast("long")
+          .as(s"card_$side"))): _*)).as("e"))
+        .select(col("e.*"))
+        .withColumn(s"present_$side", lit(1))
+    }
+    entries(a, "a").join(entries(b, "b"), Seq("column"), "full_outer")
+      .select(col("column"),
+        coalesce(col("present_a"), lit(0)).as("present_a"),
+        coalesce(col("present_b"), lit(0)).as("present_b"),
+        col("type_a"), col("type_b"),
+        coalesce(col("type_a").isNotNull && col("type_b").isNotNull &&
+          col("type_a") =!= col("type_b"), lit(false)).cast("int")
+          .as("type_changed"),
+        col("null_frac_a"), col("null_frac_b"),
+        when(col("null_frac_a").isNotNull && col("null_frac_b").isNotNull,
+          col("null_frac_b") - col("null_frac_a")).as("null_frac_delta"),
+        col("card_a"), col("card_b"))
+  }
 
   /** Bin edges for [[psi]]/[[klDivergence]] DERIVED from a reference
     * profile's KLL sketch: the sketch's quantiles at `probs` (default

@@ -487,6 +487,16 @@ object PyBridge {
       textCol: String, nBuckets: Int): DataFrame =
     graft.ops.TextOps.dsirWeights(raw, target, idCol, textCol, nBuckets)
 
+  /** Schema-drift report between two single-row dataset profiles. */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame =
+    graft.ops.Drift.schemaDrift(a, b)
+
+  /** Categorical JSD between two frequent-items sketch columns. */
+  def categoricalJsd(df: DataFrame, aCol: String, bCol: String,
+      eps: Double): DataFrame =
+    df.withColumn("jsd", graft.ops.Drift.categoricalJsd(
+      df.col(aCol), df.col(bCol), eps = eps))
+
   /** Categorical PSI between two frequent-items sketch columns, appended
     * as `psi` (plus per-side totals `n_a` / `n_b`).
     */

@@ -478,6 +478,59 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     grouped.collect().foreach(_.getDouble(1).isNaN shouldBe false)
   }
 
+  test("jsd: zero on identical sketches, symmetric, bounded by ln 2") {
+    import spark.implicits._
+    import graft.functions.{freq_items_agg, kll_agg}
+    val edges = Seq(2.0, 5.0, 8.0)
+    val sk = ((1 to 50).map(_.toDouble) ++ (1 to 50).map(_ / 5.0))
+      .zipWithIndex.map { case (v, i) => (i < 50, v) }.toDF("first", "v")
+      .agg(kll_agg(when(col("first"), col("v"))).as("a"),
+        kll_agg(when(!col("first"), col("v"))).as("b"))
+    val r = sk.select(
+      Drift.jsd(col("a"), col("a"), edges).as("self"),
+      Drift.jsd(col("a"), col("b"), edges).as("ab"),
+      Drift.jsd(col("b"), col("a"), edges).as("ba")).head()
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1) shouldBe (r.getDouble(2) +- 1e-15)
+    r.getDouble(1) should (be > 0.0 and be <= math.log(2.0))
+
+    // categorical: disjoint categories saturate at ln 2 (up to the eps
+    // floor), identical sketches at exactly 0
+    val cat = Seq(("onlya", "onlyb")).toDF("a", "b")
+      .agg(freq_items_agg(col("a")).as("sa"), freq_items_agg(col("b")).as("sb"))
+    val c = cat.select(
+      Drift.categoricalJsd(col("sa"), col("sb")).as("ab"),
+      Drift.categoricalJsd(col("sa"), col("sa")).as("self")).head()
+    c.getDouble(1) shouldBe 0.0
+    c.getDouble(0) shouldBe (math.log(2.0) +- 1e-4)
+  }
+
+  test("schemaDrift surfaces type changes, null-fraction shifts, and " +
+    "added/removed columns") {
+    import graft.profile.ProfileSession.ProfilingOps
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toDouble, s"s$i", i.toLong))
+    val a = rows.toDF("x", "y", "z").newProfilingSession().aggProfiles()
+    val b = rows.toDF("x", "y", "z")
+      .select(col("x").cast("string").as("x"), // retyped
+        when(col("z") % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("y")).as("y"), // 25% nulls
+        (col("z") * 2).as("w")) // z removed, w added
+      .newProfilingSession().aggProfiles()
+    val rep = Drift.schemaDrift(a, b).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+
+    rep("x").getAs[Int]("type_changed") shouldBe 1
+    rep("x").getAs[String]("type_a") shouldBe "FRACTIONAL"
+    rep("x").getAs[String]("type_b") shouldBe "STRING"
+    rep("y").getAs[Int]("type_changed") shouldBe 0
+    rep("y").getAs[Double]("null_frac_delta") shouldBe 0.25
+    rep("z").getAs[Int]("present_b") shouldBe 0
+    rep("z").getAs[Int]("type_changed") shouldBe 0 // one-sided: no change
+    rep("w").getAs[Int]("present_a") shouldBe 0
+    rep("w").getAs[Long]("card_b") shouldBe 100L
+  }
+
   test("weightedBottomK: a NULL-key stratum wins like any other group") {
     import spark.implicits._
     val df = ((1 to 100).map(i => (Some("g"), i.toLong, 1.0)) ++
