@@ -175,3 +175,13 @@ def extract_audio_features(df: DataFrame, id_col: str,
 
     return df.select(id_col, blob_col).mapInPandas(
         batches, schema=AUDIO_META_SCHEMA)
+
+
+def resize_ppm(df: "DataFrame", id_col: str, blob_col: str,
+               new_w: int, new_h: int) -> "DataFrame":
+    """Decode + nearest-neighbor resize + re-encode a PPM blob column in
+    the JVM (partition-local, zero shuffle): returns id, width, height,
+    per-channel means, n_bytes, and the resized blob."""
+    from .session import _jvm_bridge, _to_py_df
+    return _to_py_df(_jvm_bridge(df).resizePpmImages(
+        df._jdf, id_col, blob_col, int(new_w), int(new_h)), df)

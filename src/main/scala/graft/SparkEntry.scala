@@ -1512,6 +1512,23 @@ object SparkEntry {
           + 0.0).as("jsd_cat"))
     }),
 
+    "q119_ppm_resize" -> ((s, dir) => {
+      // REAL pixel transform: decode -> nearest-neighbor resize to 8x4
+      // -> re-encode, on the q56 synthesized PPMs whose pixels are
+      // affine in (id, x, y) — so the resized means are analytically
+      // oracle-able (source coords sx = x*w/8, sy = y*h/4, int div)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.resizePpmImages(blobs, "doc_id", "blob", 8, 4)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("n_bytes"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3192,6 +3209,21 @@ object SparkEntry {
         |SELECT round(jn, 6) + 0.0 AS jsd_num,
         |  round(jc, 6) + 0.0 AS jsd_cat
         |FROM num, cat""".stripMargin,
+
+    "q119_ppm_resize" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, unnest(range(32)) AS p FROM d),
+        |xy AS (SELECT doc_id, w, h, p % 8 AS x, p // 8 AS y FROM px),
+        |src AS (SELECT doc_id,
+        |    (x * w) // 8 AS sx, (y * h) // 4 AS sy FROM xy)
+        |SELECT doc_id, 8 AS width, 4 AS height,
+        |  round(avg((doc_id + 7 * sx + 13 * sy) % 256), 6) AS mean_r,
+        |  round(avg((doc_id * 3 + 5 * sx + 11 * sy) % 256), 6) AS mean_g,
+        |  round(avg((doc_id * 7 + 3 * sx + 17 * sy) % 256), 6) AS mean_b,
+        |  107::BIGINT AS n_bytes
+        |FROM src GROUP BY 1""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

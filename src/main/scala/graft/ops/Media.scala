@@ -256,6 +256,35 @@ object Media {
       .toDF()
   }
 
+  final case class PpmResizedRecord(
+      id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      n_bytes: Long, blob: Array[Byte])
+
+  /** Decode + nearest-neighbor resize + re-encode a binary PPM column —
+    * a REAL pixel transform in the decode/transform/re-encode shape a
+    * production media pipeline uses, with the resized blob AND its
+    * stats in one pass. Partition-local (mapPartitions at the codec
+    * boundary, like [[decodePpmImages]]), zero shuffle.
+    */
+  def resizePpmImages(
+      df: DataFrame, idCol: String, blobCol: String,
+      newW: Int, newH: Int): DataFrame = {
+    require(newW >= 1 && newH >= 1, s"invalid target ${newW}x$newH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val resized = resizeNearest(decodePpm(blob), newW, newH)
+        val out = encodePpm(resized)
+        val (r, g, b) = meanRgb(resized)
+        PpmResizedRecord(id, resized.width, resized.height, r, g, b,
+          out.length.toLong, out)
+      })
+      .toDF()
+  }
+
   /** Parse a binary WAV column into audio stats. */
   def wavStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession

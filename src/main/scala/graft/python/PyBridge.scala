@@ -487,6 +487,11 @@ object PyBridge {
       textCol: String, nBuckets: Int): DataFrame =
     graft.ops.TextOps.dsirWeights(raw, target, idCol, textCol, nBuckets)
 
+  /** Decode + nearest-neighbor resize + re-encode a PPM blob column. */
+  def resizePpmImages(df: DataFrame, idCol: String, blobCol: String,
+      newW: Int, newH: Int): DataFrame =
+    graft.ops.Media.resizePpmImages(df, idCol, blobCol, newW, newH)
+
   /** Schema-drift report between two single-row dataset profiles. */
   def schemaDrift(a: DataFrame, b: DataFrame): DataFrame =
     graft.ops.Drift.schemaDrift(a, b)

@@ -6,7 +6,7 @@ import org.scalatest.matchers.should.Matchers
 /** Byte-level pins for the real PPM/WAV codecs: encode -> decode round
   * trips, header-parse exactness, resize resampling, RMS arithmetic.
   */
-class MediaSpec extends AnyFunSuite with Matchers {
+class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
 
   test("ppm: encode -> decode round trip") {
     val px = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
@@ -36,6 +36,35 @@ class MediaSpec extends AnyFunSuite with Matchers {
     up.pixels shouldBe Array[Byte](10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60)
     val down = Media.resizeNearest(img, 1, 1)
     down.pixels shouldBe Array[Byte](10, 20, 30)
+  }
+
+  test("ppm: DataFrame resize re-encodes decodable blobs with exact " +
+    "stats") {
+    import spark.implicits._
+    val blobs = Seq(1L, 2L, 3L)
+      .map(id => (id, Media.synthesizePpm(id))).toDF("id", "blob")
+    val out = Media.resizePpmImages(blobs, "id", "blob", 8, 4).collect()
+    out.length shouldBe 3
+    out.foreach { r =>
+      r.getAs[Int]("width") shouldBe 8
+      r.getAs[Int]("height") shouldBe 4
+      r.getAs[Long]("n_bytes") shouldBe 107L // "P6\n8 4\n255\n" + 96 px
+      // the re-encoded blob round-trips and matches the reported stats
+      val img = Media.decodePpm(r.getAs[Array[Byte]]("blob"))
+      img.width shouldBe 8
+      img.height shouldBe 4
+      val (mr, _, _) = Media.meanRgb(img)
+      mr shouldBe r.getAs[Double]("mean_r")
+      // resized pixels equal the analytic source formula at the mapped
+      // coords (sx = x*w/8, sy = y*h/4)
+      val id = r.getAs[Long]("id")
+      val w = (4 + id % 8).toInt; val h = (3 + id % 5).toInt
+      for (y <- 0 until 4; x <- 0 until 8) {
+        val sx = x * w / 8; val sy = y * h / 4
+        (img.pixels((y * 8 + x) * 3) & 0xff) shouldBe
+          ((id + 7L * sx + 13L * sy) % 256).toInt
+      }
+    }
   }
 
   test("ppm: mean treats pixel bytes as unsigned") {
