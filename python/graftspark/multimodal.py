@@ -185,3 +185,12 @@ def resize_ppm(df: "DataFrame", id_col: str, blob_col: str,
     from .session import _jvm_bridge, _to_py_df
     return _to_py_df(_jvm_bridge(df).resizePpmImages(
         df._jdf, id_col, blob_col, int(new_w), int(new_h)), df)
+
+
+def wav_window_rms(df: "DataFrame", id_col: str, blob_col: str,
+                   window_frames: int) -> "DataFrame":
+    """Windowed RMS energy of a PCM16 WAV blob column (JVM codec, one
+    row per (file, window); final window partial)."""
+    from .session import _jvm_bridge, _to_py_df
+    return _to_py_df(_jvm_bridge(df).wavWindowRms(
+        df._jdf, id_col, blob_col, int(window_frames)), df)

@@ -525,3 +525,21 @@ def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     global profile rows): per column — presence on each side, inferred
     type + changed flag, null fractions + delta, distinct estimates."""
     return _to_py_df(_jvm_bridge(a).schemaDrift(a._jdf, b._jdf), a)
+
+
+def ngram_novelty(docs: DataFrame, reference: DataFrame, id_col: str,
+                  text_col: str, n: int = 8) -> DataFrame:
+    """Per-document fraction of distinct token n-grams NOT present in a
+    reference corpus — the inverse of contamination: how much genuinely
+    new text each candidate adds. Output: id, n_grams, n_novel,
+    novelty."""
+    return _to_py_df(_jvm_bridge(docs).ngramNovelty(
+        docs._jdf, reference._jdf, id_col, text_col, int(n)), docs)
+
+
+def matryoshka(df: DataFrame, emb_col: str, d: int) -> DataFrame:
+    """Matryoshka-style truncation of an embedding column in place:
+    keep the first ``d`` components and L2-renormalize (downstream
+    cosine math works unchanged at the reduced width)."""
+    return _to_py_df(_jvm_bridge(df).matryoshka(
+        df._jdf, emb_col, int(d)), df)

@@ -1529,6 +1529,62 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"), col("n_bytes"))
     }),
 
+    "q120_wav_windows" -> ((s, dir) => {
+      // frame-level audio features: 200-frame windowed RMS over the q57
+      // synthesized PCM16 fixtures (sample_i analytic, so every
+      // window's energy is exactly oracle-able; final window partial)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizeWav(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.wavWindowRms(blobs, "doc_id", "blob",
+        windowFrames = 200)
+        .select(col("id").as("doc_id"),
+          col("window_idx").cast("long").as("window_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("rms"), 6).as("rms"))
+    }),
+
+    "q121_matryoshka" -> ((s, dir) => {
+      // Matryoshka truncation: first-16-dim renormalized embeddings;
+      // the report carries the reduced-width cosine to vec 0 next to
+      // the full-width cosine so the dimension-reduction error is the
+      // visible quantity
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("e").as("e0"))
+      emb.crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+          (round(Similarity.cosine(
+            Similarity.truncateNormalize(col("e"), 16),
+            Similarity.truncateNormalize(col("e0"), 16)), 6) + 0.0)
+            .as("cos16"),
+          (round(Similarity.cosine(col("e"), col("e0")), 6) + 0.0)
+            .as("cos_full"))
+    }),
+
+    "q122_ngram_novelty" -> ((s, dir) => {
+      // novelty vs a reference corpus: docs sharing a planted sentence
+      // with the reference score below 1.0, everything else is novel
+      val base = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val shared = lit(" shared boilerplate sentence repeats verbatim" +
+        " across many documents here okay")
+      val reference = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), shared).as("text"))
+      val probe = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, shared).otherwise(lit("")))
+            .as("text"))
+      ops.TextOps.ngramNovelty(probe, reference, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3224,6 +3280,59 @@ object SparkEntry {
         |  round(avg((doc_id * 7 + 3 * sx + 17 * sy) % 256), 6) AS mean_b,
         |  107::BIGINT AS n_bytes
         |FROM src GROUP BY 1""".stripMargin,
+
+    "q120_wav_windows" ->
+      """WITH d AS (SELECT doc_id, (800 + doc_id % 100)::INT AS n
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, i // 200 AS w,
+        |    ((doc_id * 31 + i * 17) % 2003) - 1001 AS v
+        |  FROM (SELECT doc_id, unnest(range(n)) AS i FROM d))
+        |SELECT doc_id, w::BIGINT AS window_idx,
+        |  count(*)::BIGINT AS n_frames,
+        |  round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q121_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings WHERE vec_id < 200),
+        |z AS (SELECT e AS e0 FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(e[1:16], e0[1:16]) /
+        |    (sqrt(list_dot_product(e[1:16], e[1:16])) *
+        |     sqrt(list_dot_product(e0[1:16], e0[1:16]))), 6) + 0.0
+        |    AS cos16,
+        |  round(list_dot_product(e, e0) /
+        |    (sqrt(list_dot_product(e, e)) *
+        |     sqrt(list_dot_product(e0, e0))), 6) + 0.0 AS cos_full
+        |FROM e, z""".stripMargin,
+
+    "q122_ngram_novelty" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 400),
+        |sfx AS (SELECT ' shared boilerplate sentence repeats verbatim' ||
+        |  ' across many documents here okay' AS s),
+        |ref AS (SELECT doc_id, text || (SELECT s FROM sfx) AS text
+        |  FROM base WHERE doc_id % 10 = 0),
+        |probe AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN (SELECT s FROM sfx)
+        |      ELSE '' END AS text
+        |  FROM base WHERE doc_id % 10 <> 0),
+        |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
+        |rg AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT l, unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM rl)),
+        |pl AS (SELECT doc_id, string_split(text, ' ') AS l FROM probe),
+        |pg AS (SELECT DISTINCT doc_id,
+        |    array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM pl)),
+        |j AS (SELECT pg.doc_id AS doc_id,
+        |    CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END AS novel
+        |  FROM pg LEFT JOIN rg ON pg.g = rg.g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(novel)::BIGINT AS n_novel,
+        |  round(sum(novel)::DOUBLE / count(*), 6) AS novelty
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

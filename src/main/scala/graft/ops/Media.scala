@@ -192,6 +192,63 @@ object Media {
     if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
   }
 
+  /** Windowed RMS energy of the PCM16 payload: one (window_idx,
+    * n_frames, rms) triple per `windowFrames`-frame window (final
+    * window may be partial) — the frame-level feature pass an audio
+    * pipeline runs after parse (VAD screens, silence trimming, energy
+    * normalization). Exact integer sums of squares per window.
+    */
+  def windowRmsPcm16(
+      blob: Array[Byte], windowFrames: Int): Seq[(Int, Int, Double)] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val (meta, dataStart, dataLen) = walkWav(blob)
+    require(meta.bitsPerSample == 16, "windowRmsPcm16 requires 16-bit PCM")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val samplesPerFrame = meta.channels
+    val nFrames = (dataLen / 2 / samplesPerFrame).toInt
+    (0 until nFrames by windowFrames).map { start =>
+      val end = math.min(nFrames, start + windowFrames)
+      var sumSq = 0L
+      var f = start
+      while (f < end) {
+        var c = 0
+        while (c < samplesPerFrame) {
+          val s = buf.getShort(dataStart + 2 * (f * samplesPerFrame + c))
+            .toLong
+          sumSq += s * s
+          c += 1
+        }
+        f += 1
+      }
+      val n = (end - start) * samplesPerFrame
+      (start / windowFrames, end - start,
+        if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+    }
+  }
+
+  final case class WavWindowRecord(
+      id: Long, window_idx: Int, n_frames: Int, rms: Double)
+
+  /** Per-window RMS energy of a binary WAV column — one row per
+    * (file, window). Partition-local flatMap at the codec boundary,
+    * zero shuffle; output rows ~ frames / windowFrames per file.
+    */
+  def wavWindowRms(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        windowRmsPcm16(blob, windowFrames).map { case (w, n, rms) =>
+          WavWindowRecord(id, w, n, rms)
+        }
+      })
+      .toDF()
+  }
+
   // ---------- deterministic blob synthesis (test tables carry no media) --
 
   /** Deterministic PPM: w = 4 + id%8, h = 3 + id%5, channel values are

@@ -43,6 +43,18 @@ object Similarity {
     * multiply-add loop instead of three — and make IVF/LSH bucket
     * geometry scale-invariant. Map-only, codegen'd (array Cast + VecDot).
     */
+  /** Matryoshka-style dimension truncation: keep the first `d`
+    * components and L2-renormalize — the standard memory/latency knob
+    * for embeddings trained with nested representations (Kusupati et
+    * al. 2022): downstream cosine math works unchanged at the reduced
+    * width. Row-local slice + normalize, zero shuffle; zero vectors
+    * stay zero.
+    */
+  def truncateNormalize(a: Column, d: Int): Column = {
+    require(d >= 1, s"truncation dim must be >= 1, got $d")
+    normalizeL2(slice(a, 1, d))
+  }
+
   def normalizeL2(a: Column): Column = {
     val n = norm(a)
     when(n > 0, transform(a, x => x.cast("double") / n))

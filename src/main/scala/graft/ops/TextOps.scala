@@ -305,6 +305,38 @@ object TextOps {
         size(col("c")).as("n_tokens"))
   }
 
+  /** N-gram NOVELTY: per document, the fraction of its distinct token
+    * n-grams NOT present anywhere in a reference corpus — the inverse
+    * of [[graft.ops.Dedup.ngramContamination]]'s question, scoring how
+    * much genuinely new text a candidate document adds (memorization
+    * screens, crawl-refresh dedup, curriculum novelty weighting).
+    *
+    * Scale shape: grams de-duplicate INSIDE each row first ([[ngrams]]),
+    * the reference set reduces to distinct grams, and the membership
+    * join is left to AQE (no broadcast hint — the reference gram set is
+    * corpus-sized in general, the [[AdaptiveVocabJoin]] reasoning).
+    * Documents shorter than n tokens produce no row. Output: idCol,
+    * n_grams, n_novel, novelty.
+    */
+  def ngramNovelty(
+      docs: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val refGrams = reference
+      .select(explode(ngrams(col(textCol), n)).as("g")).distinct()
+      .withColumn("__seen", lit(1))
+    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .join(refGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-unigram distribution is —

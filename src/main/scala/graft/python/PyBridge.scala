@@ -487,6 +487,21 @@ object PyBridge {
       textCol: String, nBuckets: Int): DataFrame =
     graft.ops.TextOps.dsirWeights(raw, target, idCol, textCol, nBuckets)
 
+  /** Per-document n-gram novelty vs a reference corpus. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    graft.ops.TextOps.ngramNovelty(docs, reference, idCol, textCol, n)
+
+  /** Matryoshka truncation of an embedding column in place. */
+  def matryoshka(df: DataFrame, embCol: String, d: Int): DataFrame =
+    df.withColumn(embCol,
+      graft.ops.Similarity.truncateNormalize(df.col(embCol), d))
+
+  /** Windowed RMS energy of a PCM16 WAV blob column. */
+  def wavWindowRms(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): DataFrame =
+    graft.ops.Media.wavWindowRms(df, idCol, blobCol, windowFrames)
+
   /** Decode + nearest-neighbor resize + re-encode a PPM blob column. */
   def resizePpmImages(df: DataFrame, idCol: String, blobCol: String,
       newW: Int, newH: Int): DataFrame =

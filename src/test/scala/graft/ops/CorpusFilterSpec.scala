@@ -149,6 +149,41 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       "mail <e> then visit <u> now"
   }
 
+  test("ngramNovelty: shared text scores below 1, disjoint text exactly 1") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten"
+    val reference = Seq((100L, s"ref preamble words go here $shared"))
+      .toDF("id", "text")
+    val probe = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $shared"), // overlaps
+      (2L, "completely different words that the reference never saw" +
+        " in any order at all")) // disjoint
+      .toDF("id", "text")
+    val rep = TextOps.ngramNovelty(probe, reference, "id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rep(2L)._3 shouldBe 1.0
+    rep(1L)._3 should be < 1.0
+    rep(1L)._2 should be < rep(1L)._1 // some grams seen
+    // a doc shorter than n tokens produces no row
+    val short = Seq((3L, "too short")).toDF("id", "text")
+    TextOps.ngramNovelty(short, reference, "id", "text", 8)
+      .count() shouldBe 0L
+  }
+
+  test("truncateNormalize: unit norm, slice semantics, zero-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0, 4.0, 100.0, 100.0)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0))).toDF("id", "e")
+    val got = df.select(col("id"),
+      Similarity.truncateNormalize(col("e"), 2).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    got(1L)(0) shouldBe (0.6 +- 1e-12) // 3/5: trailing dims ignored
+    got(1L)(1) shouldBe (0.8 +- 1e-12)
+    got(2L).foreach(_ shouldBe 0.0) // zero vector stays zero
+  }
+
   test("all four filters are row-local: zero exchanges in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -85,6 +85,28 @@ class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     m.nFrames shouldBe 5L
   }
 
+  test("wav: windowed rms covers all frames with exact per-window energy") {
+    // 5 frames of amplitude 100 then 5 of amplitude 300, window 4:
+    // w0 = 4x100^2, w1 = 100^2 + 3x300^2, w2 = 2x300^2 (partial)
+    val samples = (Array.fill(5)(100) ++ Array.fill(5)(300)).map(_.toShort)
+    val blob = Media.encodeWavPcm16(8000, 1, samples)
+    val got = Media.windowRmsPcm16(blob, 4)
+    got.map(t => (t._1, t._2)) shouldBe Seq((0, 4), (1, 4), (2, 2))
+    got(0)._3 shouldBe 100.0
+    got(1)._3 shouldBe math.sqrt((100.0 * 100 + 3 * 300.0 * 300) / 4)
+    got(2)._3 shouldBe 300.0
+    // stereo: windows count FRAMES, energy sums both channels
+    val st = Media.encodeWavPcm16(8000, 2,
+      Array[Short](100, 200, 100, 200, 100, 200, 100, 200))
+    val sw = Media.windowRmsPcm16(st, 2)
+    sw.length shouldBe 2
+    sw.foreach(_._3 shouldBe math.sqrt((100.0 * 100 + 200.0 * 200) / 2))
+    // DataFrame surface: one row per (file, window)
+    import spark.implicits._
+    val df = Seq((1L, blob)).toDF("id", "blob")
+    Media.wavWindowRms(df, "id", "blob", 4).count() shouldBe 3L
+  }
+
   test("wav: rms of a known square wave") {
     // constant amplitude A -> rms == A
     val blob = Media.encodeWavPcm16(8000, 1, Array.fill[Short](100)(500))
