@@ -543,3 +543,14 @@ def matryoshka(df: DataFrame, emb_col: str, d: int) -> DataFrame:
     cosine math works unchanged at the reduced width)."""
     return _to_py_df(_jvm_bridge(df).matryoshka(
         df._jdf, emb_col, int(d)), df)
+
+
+def random_project(df: DataFrame, emb_col: str, d_out: int,
+                   seed: int = 0) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column
+    in place, via a deterministic hash-derived +-1 sign matrix (no
+    stored matrix; identical on every executor and reproducible in
+    SQL). The standard pre-LSH / pre-clustering dimensionality
+    reducer."""
+    return _to_py_df(_jvm_bridge(df).randomProject(
+        df._jdf, emb_col, int(d_out), int(seed)), df)

@@ -1585,6 +1585,20 @@ object SparkEntry {
           round(col("novelty"), 6).as("novelty"))
     }),
 
+    "q123_random_projection" -> ((s, dir) => {
+      // deterministic JL projection to 8 dims (hash-derived +-1 signs,
+      // ascending-j summation on both engines -> bit-identical); one
+      // row per (vector, output dim)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+      emb.select(col("vec_id"),
+        posexplode(Similarity.randomProject(col("e"), 8))
+          .as(Seq("k", "v")))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          (round(col("v"), 6) + 0.0).as("v"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3333,6 +3347,18 @@ object SparkEntry {
         |  sum(novel)::BIGINT AS n_novel,
         |  round(sum(novel)::DOUBLE / count(*), 6) AS novelty
         |FROM j GROUP BY 1""".stripMargin,
+
+    "q123_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings WHERE vec_id < 100),
+        |k AS (SELECT unnest(range(8)) AS k)
+        |SELECT vec_id, k::BIGINT AS k,
+        |  round(list_sum(list_transform(range(len(e)),
+        |    j -> e[j + 1] * CASE WHEN
+        |      ((((j * 1000003 + k) % 1000000007) * 2654435761)
+        |        % 1000000007) % 2 = 0 THEN 1 ELSE -1 END))
+        |    / sqrt(8.0), 6) + 0.0 AS v
+        |FROM e, k""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

@@ -43,6 +43,40 @@ object Similarity {
     * multiply-add loop instead of three — and make IVF/LSH bucket
     * geometry scale-invariant. Map-only, codegen'd (array Cast + VecDot).
     */
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * hash-derived ±1 sign matrix (Achlioptas 2003's database-friendly
+    * variant): out_k = (1/sqrt(dOut)) * sum_j emb_j * s(j, k), where
+    * s(j, k) = ±1 from an integer hash of (j, k, seed) — no stored
+    * matrix, identical on every executor and reproducible in plain SQL.
+    * The standard pre-LSH / pre-clustering dimensionality reducer:
+    * pairwise distances are preserved within (1 ± eps) at
+    * dOut = O(log n / eps^2).
+    *
+    * Row-local codegen HOFs (dOut x d multiply-adds per row), zero
+    * shuffle at any corpus size.
+    */
+  def randomProject(emb: Column, dOut: Int, seed: Long = 0L): Column = {
+    require(dOut >= 1, s"dOut must be >= 1, got $dOut")
+    // Sign hash: mix (j, k, seed) linearly, reduce mod M, THEN multiply
+    // and reduce again before taking parity. The multiply must come
+    // after the mix: parity of (j*A + k*B) mod M decomposes into
+    // parity(j-term) XOR parity(k) whenever k*B stays far below M,
+    // which makes every output dimension +-the same sum (a rank-1 sign
+    // matrix — not a projection at all). Both reductions keep the
+    // intermediate below 2^62 at any j/k/seed.
+    // divide (not multiply by a reciprocal): bit-identical to the SQL
+    // oracle's `/ sqrt(dOut)`
+    transform(sequence(lit(0), lit(dOut - 1)), k =>
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) => {
+          val mixed = (j.cast("long") * 1000003L + k.cast("long") +
+            lit(seed)) % 1000000007L
+          val h = (mixed * 2654435761L) % 1000000007L
+          when(h % 2 === 0, x).otherwise(-x)
+        }),
+        lit(0.0), (acc, v) => acc + v) / lit(math.sqrt(dOut.toDouble)))
+  }
+
   /** Matryoshka-style dimension truncation: keep the first `d`
     * components and L2-renormalize — the standard memory/latency knob
     * for embeddings trained with nested representations (Kusupati et

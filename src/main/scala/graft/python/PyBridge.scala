@@ -492,6 +492,12 @@ object PyBridge {
       textCol: String, n: Int): DataFrame =
     graft.ops.TextOps.ngramNovelty(docs, reference, idCol, textCol, n)
 
+  /** Deterministic JL random projection of an embedding column in place. */
+  def randomProject(df: DataFrame, embCol: String, dOut: Int,
+      seed: Long): DataFrame =
+    df.withColumn(embCol,
+      graft.ops.Similarity.randomProject(df.col(embCol), dOut, seed))
+
   /** Matryoshka truncation of an embedding column in place. */
   def matryoshka(df: DataFrame, embCol: String, d: Int): DataFrame =
     df.withColumn(embCol,

@@ -377,6 +377,33 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("randomProject: deterministic, seed-sensitive, distance-preserving") {
+    import graft.ops.Similarity
+    val e = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val proj = e.select(col("vec_id"),
+      Similarity.randomProject(col("e"), 16).as("p"))
+    // deterministic across evaluations
+    val a = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    a shouldBe b
+    // a different seed gives a different projection
+    val seeded = e.select(Similarity.randomProject(col("e"), 16, seed = 7L))
+      .head().getSeq[Double](0)
+    seeded should not be a(0L)
+    // JL guarantee (loose): squared distances preserved within a broad
+    // band at dOut=16 for 50 points
+    val full = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ratios = for {
+      i <- 0L until 10L; j <- (i + 1) until 10L
+    } yield d2(a(i), a(j)) / d2(full(i), full(j))
+    ratios.foreach(_ should (be > 0.1 and be < 4.0))
+    // the mean ratio concentrates near 1
+    (ratios.sum / ratios.size) shouldBe (1.0 +- 0.35)
+  }
+
   test("recallAtK is exact-side-driven and immune to duplicate approx pairs") {
     import spark.implicits._
     val exact = Seq((1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2))

@@ -218,4 +218,72 @@ class CurationPipelineSpec extends AnyFunSuite with Matchers
       .collect().map(_.getString(0))
     anomalies.toSeq shouldBe Seq("s11")
   }
+
+  test("round-7 chain: c4 clean -> gopher gate -> redact -> novelty " +
+    "screen -> dsir weights -> weighted select -> chunk") {
+    import spark.implicits._
+
+    // three-sentence pages built from per-doc vocabulary; docs % 5 == 0
+    // carry an email; docs %7 == 0 quote the reference sentence
+    val refSentence =
+      "the shared reference sentence that with some documents quote here."
+    def page(i: Long): String = {
+      val quote = if (i % 7 == 0) s"$refSentence\n" else ""
+      val pii = if (i % 5 == 0) s"contact agent$i@mail.com for details " else ""
+      s"the first sentence of document number $i speaks of alpha$i here.\n" +
+        s"${pii}a second sentence with beta$i and of gamma$i follows on.\n" +
+        quote +
+        s"finally the third sentence that closes with delta$i here."
+    }
+    val corpus = (0L until 80L).map(i => (i, page(i), if (i % 2 == 0) "web"
+      else "books")).toDF("doc_id", "text", "source")
+    val reference = Seq((999L, refSentence)).toDF("doc_id", "text")
+
+    // 1. C4 cleaning keeps every page (all sentences terminal-punctuated
+    // and long enough)
+    val c4 = TextOps.c4Clean(corpus, "doc_id", "text")
+    c4.filter(col("kept") === 1).count() shouldBe 80L
+
+    // 2. gopher gate: measured values ride the report; pages here are
+    // short so the word-count rule fails — gate on the other rules
+    val rep = TextOps.gopherReport(
+      c4.select(col("doc_id"), col("text")), "doc_id", "text",
+      minWords = 10)
+    rep.filter(col("passed") === 1).count() shouldBe 80L
+
+    // 3. redact the planted PII; nothing else changes
+    val redacted = c4.select(col("doc_id"),
+      TextOps.redactPii(col("text")).as("text"))
+    redacted.filter(col("text").contains("@")).count() shouldBe 0L
+    redacted.filter(col("text").contains("[EMAIL]")).count() shouldBe 16L
+
+    // 4. novelty vs the reference: quoting docs score measurably lower
+    val nov = TextOps.ngramNovelty(redacted, reference, "doc_id", "text",
+      n = 8)
+    val (quoting, fresh) = (nov.filter(col("doc_id") % 7 === 0),
+      nov.filter(col("doc_id") % 7 =!= 0))
+    val maxQuoting = quoting.agg(max(col("novelty"))).head().getDouble(0)
+    val minFresh = fresh.agg(min(col("novelty"))).head().getDouble(0)
+    maxQuoting should be < minFresh
+    minFresh shouldBe 1.0
+
+    // 5. DSIR weights toward the books cohort, then weighted selection
+    val withSource = redacted
+      .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val w = TextOps.dsirWeights(withSource,
+      withSource.filter(col("source") === "books"), "doc_id", "text")
+      .withColumn("wexp", exp(col("logratio")))
+      .join(withSource.select(col("doc_id"), col("source")), "doc_id")
+    val sel = Sampling.weightedBottomK(w, Nil, "doc_id", "wexp", k = 20)
+    sel.count() shouldBe 20L
+    // books-tilted weights: books docs dominate the selection
+    sel.filter(col("source") === "books").count().toDouble should be >= 12.0
+
+    // 6. chunk the selected docs for the context window
+    val chunks = TextOps.contextChunks(
+      sel.join(redacted, "doc_id").select(col("doc_id"), col("text")),
+      "doc_id", "text", windowTokens = 16, strideTokens = 16)
+    chunks.groupBy("doc_id").count().count() shouldBe 20L
+    chunks.filter(col("n_tokens") > 16).count() shouldBe 0L
+  }
 }
