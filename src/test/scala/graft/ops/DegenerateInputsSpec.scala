@@ -149,4 +149,62 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
       .foreach(_.length shouldBe 0)
     empty.select(Similarity.quantizeInt8(col("embedding"))).count() shouldBe 0L
   }
+
+  test("round-7 ops survive empty inputs: filters, novelty, dsir, " +
+    "drift, chunks, projection") {
+    import spark.implicits._
+    TextOps.gopherReport(emptyDocs, "id", "text").count() shouldBe 0L
+    TextOps.c4Clean(emptyDocs, "id", "text").count() shouldBe 0L
+    TextOps.contextChunks(emptyDocs, "id", "text", 8, 4).count() shouldBe 0L
+    emptyDocs.select(TextOps.redactPii(col("text"))).count() shouldBe 0L
+
+    // novelty: empty probe -> no rows; empty reference -> all novel
+    TextOps.ngramNovelty(emptyDocs, someDocs, "id", "text", 4)
+      .count() shouldBe 0L
+    val allNovel = TextOps.ngramNovelty(someDocs, emptyDocs,
+      "id", "text", 4).collect()
+    allNovel.length shouldBe 2
+    allNovel.foreach(_.getAs[Double]("novelty") shouldBe 1.0)
+
+    // dsir: empty target degrades to a raw-only prior (finite scores);
+    // empty raw produces no rows
+    val w = TextOps.dsirWeights(someDocs, emptyDocs, "id", "text",
+      nBuckets = 64).collect()
+    w.length shouldBe 2
+    w.foreach(r => assert(!r.getAs[Double]("logratio").isNaN))
+    TextOps.dsirWeights(emptyDocs, someDocs, "id", "text", 64)
+      .count() shouldBe 0L
+
+    // categorical drift of two EMPTY sketches: zero totals, zero psi
+    // (no categories tracked -> empty union -> empty sum)
+    val sk = emptyDocs.agg(
+      graft.functions.freq_items_agg(col("text")).as("sa"),
+      graft.functions.freq_items_agg(col("text")).as("sb"))
+    val d = sk.select(Drift.categoricalPsi(col("sa"), col("sb")).as("p"),
+      Drift.categoricalJsd(col("sa"), col("sb")).as("j"),
+      Drift.categoricalTotal(col("sa")).as("n")).head()
+    d.getDouble(0) shouldBe 0.0
+    d.getDouble(1) shouldBe 0.0
+    d.getLong(2) shouldBe 0L
+
+    // schemaDrift with one empty side's profile (0-row frame profiles
+    // to a row of zero counts, not an error)
+    import graft.profile.ProfileSession.ProfilingOps
+    val pa = someDocs.newProfilingSession().aggProfiles()
+    val pb = emptyDocs.newProfilingSession().aggProfiles()
+    val rep = Drift.schemaDrift(pa, pb).collect()
+    rep.length shouldBe 2
+    rep.foreach(_.getAs[Double]("null_frac_b") shouldBe 0.0)
+
+    // projection / truncation / media on empty frames
+    val emptyEmb = Seq.empty[(Long, Array[Double])].toDF("vec_id", "e")
+    emptyEmb.select(Similarity.randomProject(col("e"), 4))
+      .count() shouldBe 0L
+    emptyEmb.select(Similarity.truncateNormalize(col("e"), 2))
+      .count() shouldBe 0L
+    val emptyBlobs = Seq.empty[(Long, Array[Byte])].toDF("id", "blob")
+    Media.resizePpmImages(emptyBlobs, "id", "blob", 4, 4)
+      .count() shouldBe 0L
+    Media.wavWindowRms(emptyBlobs, "id", "blob", 100).count() shouldBe 0L
+  }
 }

@@ -192,6 +192,40 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     got.filter(_._5).map(_._1) shouldBe Array("2024-01-07")
   }
 
+  test("row-local curation filters run unchanged on a stream") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import graft.ops.TextOps
+
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("id", "text")
+    // gopher + c4 + redaction + chunking compose on the streaming frame
+    // with no extra stateful operator (pure projections/explodes)
+    val screened = TextOps.gopherReport(streamDf, "id", "text",
+      minWords = 3)
+    val cleaned = streamDf.select(col("id"),
+      TextOps.redactPii(col("text")).as("text"))
+    val chunks = TextOps.contextChunks(cleaned, "id", "text", 4, 4)
+
+    val q1 = screened.writeStream.format("memory").queryName("s_gopher")
+      .outputMode("append").start()
+    val q2 = chunks.writeStream.format("memory").queryName("s_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps with the usual words here"),
+        (2L, "mail me at alice@example.com about the offer")))
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+
+    spark.sql("SELECT count(*) FROM s_gopher").head().getLong(0) shouldBe 2L
+    val redactedChunks = spark.sql("SELECT chunk FROM s_chunks")
+      .collect().map(_.getString(0))
+    redactedChunks.exists(_.contains("[EMAIL]")) shouldBe true
+    redactedChunks.exists(_.contains("@")) shouldBe false
+  }
+
   test("upload sink: every micro-batch's profiles land on the server") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
