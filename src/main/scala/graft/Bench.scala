@@ -349,6 +349,21 @@ object Bench {
         graft.ops.TextOps.dsirWeights(raw,
           raw.filter(col("lang") === "en"), "doc_id", "text")
           .agg(sum(col("logratio"))).first(); 1L
+      }),
+      // n-gram novelty of the corpus vs a 10% reference slice (hashed
+      // gram keys cross the exchange, never gram text)
+      "ngram_novelty" -> (() => {
+        val corpus = t("documents").select(col("doc_id"), col("text"))
+        graft.ops.TextOps.ngramNovelty(
+          corpus.filter(col("doc_id") % 10 =!= 0),
+          corpus.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8).count()
+      }),
+      // JL projection of every embedding to 16 dims (row-local)
+      "random_project" -> (() => {
+        t("embeddings").select(graft.ops.Similarity.randomProject(
+          col("embedding").cast("array<double>"), 16).as("p"))
+          .agg(sum(element_at(col("p"), 1))).first(); 1L
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,

@@ -312,11 +312,15 @@ object TextOps {
     * screens, crawl-refresh dedup, curriculum novelty weighting).
     *
     * Scale shape: grams de-duplicate INSIDE each row first ([[ngrams]]),
-    * the reference set reduces to distinct grams, and the membership
-    * join is left to AQE (no broadcast hint — the reference gram set is
-    * corpus-sized in general, the [[AdaptiveVocabJoin]] reasoning).
-    * Documents shorter than n tokens produce no row. Output: idCol,
-    * n_grams, n_novel, novelty.
+    * both sides reduce grams to 64-bit xxhash64 keys BEFORE any
+    * exchange (membership only needs identity — the shuffle carries 8
+    * bytes per gram, not gram text; a cross-gram hash collision
+    * mis-counts one gram as seen, ~0.03 expected collisions even at
+    * 10^12 distinct grams), the reference set reduces to distinct
+    * keys, and the membership join is left to AQE (no broadcast hint —
+    * the reference gram set is corpus-sized in general, the
+    * [[AdaptiveVocabJoin]] reasoning). Documents shorter than n tokens
+    * produce no row. Output: idCol, n_grams, n_novel, novelty.
     */
   def ngramNovelty(
       docs: org.apache.spark.sql.DataFrame,
@@ -326,10 +330,12 @@ object TextOps {
       n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
     val refGrams = reference
-      .select(explode(ngrams(col(textCol), n)).as("g")).distinct()
+      .select(explode(ngrams(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
       .withColumn("__seen", lit(1))
     docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
-      .join(refGrams, Seq("g"), "left")
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(refGrams, Seq("gh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))

@@ -181,6 +181,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       "total branch did not reuse the counts exchange:\n" + plan)
   }
 
+  test("ngram novelty: every exchange carries hashed gram keys, never " +
+    "gram text") {
+    val base = docs.limit(2000)
+    val reference = docs.limit(200)
+    val rep = graft.ops.TextOps.ngramNovelty(base, reference,
+      "doc_id", "text", n = 8)
+    rep.collect()
+    val plan = finalPlan(rep)
+    // both sides reduce grams to xxhash64 BEFORE the join: no exchange
+    // output may contain the raw gram column `g` (only `gh` keys and
+    // the per-doc aggregate)
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    exchanges should not be empty
+    exchanges.foreach { line =>
+      line should not include "g#"
+    }
+    plan should include ("xxhash64")
+  }
+
   test("608-column profile in ONE pass (the reference's widest scenario)") {
     // the reference's wide-schema test profiles 608 columns in one
     // aggregation (WhyLogsTest.scala:107-128); pin the same shape here:
