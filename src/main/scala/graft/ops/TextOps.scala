@@ -365,7 +365,23 @@ object TextOps {
       target: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+      nBuckets: Int = 4096): org.apache.spark.sql.DataFrame =
+    raw.select(col(idCol),
+      dsirScorer(raw, target, textCol, nBuckets).as("logratio"))
+
+  /** The trained half of [[dsirWeights]] as a reusable scoring COLUMN:
+    * fits the smoothed log-ratio table from the two corpora (two
+    * bounded histogram jobs, run eagerly at plan-build), broadcasts it,
+    * and returns the row-local scoring expression — apply it to ANY
+    * frame with the same text column, including a Structured Streaming
+    * frame (batch-train, stream-score: the standard deployment shape
+    * for importance filters).
+    */
+  def dsirScorer(
+      raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      nBuckets: Int = 4096): Column = {
     require(nBuckets >= 1 && nBuckets <= (1 << 22),
       s"nBuckets must be in [1, 2^22], got $nBuckets")
     def bucketCounts(df: org.apache.spark.sql.DataFrame): (Array[Long], Long) = {
@@ -390,9 +406,7 @@ object TextOps {
         math.log((rc(b) + 1.0) / (rt + nBuckets.toDouble))
     }
     val bc = raw.sparkSession.sparkContext.broadcast(weights)
-    raw.select(col(idCol),
-      graft.functions.hashed_token_score(col(textCol), nBuckets, Some(bc))
-        .as("logratio"))
+    graft.functions.hashed_token_score(col(textCol), nBuckets, Some(bc))
   }
 
   /** ALL token n-gram windows of `text` as space-joined strings, repeats

@@ -226,6 +226,55 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     redactedChunks.exists(_.contains("@")) shouldBe false
   }
 
+  test("batch-trained DSIR scorer and static-reference novelty run on " +
+    "a stream") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+    import graft.ops.TextOps
+
+    // train on static corpora; the returned Column is row-local
+    val raw = Seq((1L, "aa bb aa bb"), (2L, "zz yy zz yy"))
+      .toDF("id", "text")
+    val target = Seq((3L, "aa bb")).toDF("id", "text")
+    val scorer = TextOps.dsirScorer(raw, target, "text")
+
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("id", "text")
+    val scored = streamDf.select(col("id"), scorer.as("logratio"))
+    // static-reference novelty: stream-static left join + per-doc agg
+    // (update mode: each doc's aggregate finalizes as it arrives)
+    val nov = TextOps.ngramNovelty(streamDf, target
+      .select(col("id"), lit("aa bb cc dd ee ff gg hh ii").as("text")),
+      "id", "text", n = 4)
+
+    val q1 = scored.writeStream.format("memory").queryName("s_dsir")
+      .outputMode("append").start()
+    val q2 = nov.writeStream.format("memory").queryName("s_nov")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq(
+        (10L, "aa bb aa bb"), // target-like
+        (11L, "zz yy zz yy"), // off-target
+        (12L, "aa bb cc dd unseen words here follow on"))) // overlaps ref
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+
+    val w = spark.sql("SELECT id, logratio FROM s_dsir").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w(10L) should be > w(11L)
+    // the streamed scores equal the batch dsirWeights on the same rows
+    val batch = TextOps.dsirWeights(raw, target, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w(10L) shouldBe batch(1L) // same text as raw doc 1
+    w(11L) shouldBe batch(2L)
+
+    val nv = spark.sql("SELECT id, novelty FROM s_nov").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nv(12L) should be < 1.0 // "aa bb cc dd" seen in the reference
+    nv(10L) shouldBe 1.0 // 4-gram "aa bb aa bb" is NOT in the reference
+  }
+
   test("upload sink: every micro-batch's profiles land on the server") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
