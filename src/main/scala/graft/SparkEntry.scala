@@ -1599,6 +1599,24 @@ object SparkEntry {
           (round(col("v"), 6) + 0.0).as("v"))
     }),
 
+    "q124_corpus_diversity" -> ((s, dir) => {
+      // per-source lexical diversity: corpus-distinct 8-grams (theta
+      // sketch, exact at the fixture's cardinality) over total
+      // doc-deduped gram instances — cross-document repetition shows up
+      // as a LOW ratio. The sketch path is the 100 TB shape (bounded
+      // state per group); the oracle recomputes exactly.
+      val grams = t(s, dir, "documents")
+        .select(col("source"),
+          explode(ops.TextOps.ngrams(col("text"), 8)).as("g"))
+      grams.groupBy(col("source"))
+        .agg(round(theta_estimate(theta_agg(col("g")))).cast("long")
+          .as("n_distinct"),
+          count(lit(1)).as("n_grams"))
+        .select(col("source"), col("n_distinct"), col("n_grams"),
+          round(col("n_distinct").cast("double") / col("n_grams"), 6)
+            .as("diversity"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3359,6 +3377,19 @@ object SparkEntry {
         |        % 1000000007) % 2 = 0 THEN 1 ELSE -1 END))
         |    / sqrt(8.0), 6) + 0.0 AS v
         |FROM e, k""".stripMargin,
+
+    "q124_corpus_diversity" ->
+      """WITH l AS (SELECT doc_id, source, string_split(text, ' ') AS l
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |    array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, source, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM l))
+        |SELECT source,
+        |  count(DISTINCT g)::BIGINT AS n_distinct,
+        |  count(*)::BIGINT AS n_grams,
+        |  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",
