@@ -144,6 +144,12 @@ object Drift {
         side: String): org.apache.spark.sql.DataFrame = {
       val cols = profCols(df)
       require(cols.nonEmpty, s"schemaDrift: side $side has no profile columns")
+      // a grouped (multi-row) profile frame would silently multiply the
+      // per-column rows through the full-outer join — fail loudly like
+      // autoEdges does (profile frames are tiny; the count is cheap)
+      require(df.limit(2).count() == 1,
+        s"schemaDrift: side $side must hold exactly ONE global profile " +
+          "row — merge grouped profiles down first (mergeProfiles)")
       df.select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
         col(s"$c.inferred_type").as(s"type_$side"),

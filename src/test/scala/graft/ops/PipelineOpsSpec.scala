@@ -529,6 +529,15 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     rep("z").getAs[Int]("type_changed") shouldBe 0 // one-sided: no change
     rep("w").getAs[Int]("present_a") shouldBe 0
     rep("w").getAs[Long]("card_b") shouldBe 100L
+
+    // a grouped (multi-row) profile frame is a caller bug, not a
+    // silently multiplied report
+    val grouped = rows.toDF("x", "y", "z")
+      .withColumn("g", col("z") % 2)
+      .newProfilingSession().groupBy("g").aggProfiles()
+    val err = the[IllegalArgumentException] thrownBy
+      Drift.schemaDrift(grouped, b)
+    err.getMessage should include("ONE global profile row")
   }
 
   test("weightedBottomK: a NULL-key stratum wins like any other group") {
