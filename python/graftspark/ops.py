@@ -554,3 +554,16 @@ def random_project(df: DataFrame, emb_col: str, d_out: int,
     reducer."""
     return _to_py_df(_jvm_bridge(df).randomProject(
         df._jdf, emb_col, int(d_out), int(seed)), df)
+
+
+def quality_classifier(train: DataFrame, score: DataFrame, id_col: str,
+                       text_col: str, label_col: str,
+                       n_buckets: int = 4096, epochs: int = 3,
+                       lr: float = 1.0) -> DataFrame:
+    """Train a fastText-style linear quality classifier IN-ENGINE
+    (full-batch logistic regression over hashing-trick features; one
+    bounded aggregate per epoch) on ``train``, then score ``score``
+    row-locally with the learned weights. Output: id, logit, score."""
+    return _to_py_df(_jvm_bridge(train).trainAndScoreQuality(
+        train._jdf, score._jdf, id_col, text_col, label_col,
+        int(n_buckets), int(epochs), float(lr)), train)

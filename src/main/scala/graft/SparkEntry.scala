@@ -1617,6 +1617,24 @@ object SparkEntry {
             .as("diversity"))
     }),
 
+    "q125_trained_classifier" -> ((s, dir) => {
+      // TRAINED quality classifier: one full-batch logistic-regression
+      // epoch over hashing-trick features (label: lang == 'en'), then a
+      // row-local scoring pass with the learned weights. From zero
+      // init, epoch 1 is closed-form (sigmoid(0) = 1/2), so the whole
+      // train->score loop is SQL-oracle-able; multi-epoch convergence
+      // is spec-pinned instead.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"),
+          (col("lang") === "en").cast("double").as("y"))
+      val w = ops.TextOps.trainHashedLogReg(d, "text", "y",
+        nBuckets = 4096, epochs = 1, lr = 1.0)
+      val bc = s.sparkContext.broadcast(w)
+      TextOps.linearQualityScore(d, "doc_id", "text", 4096, Some(bc))
+        .select(col("doc_id"), (round(col("logit"), 6) + 0.0).as("logit"),
+          round(col("score"), 6).as("score"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3390,6 +3408,30 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_grams,
         |  round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
         |FROM g GROUP BY 1""".stripMargin,
+
+    "q125_trained_classifier" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, y, unnest(list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        |  FROM d),
+        |nt AS (SELECT doc_id, count(*)::DOUBLE AS nt FROM tok
+        |  GROUP BY 1),
+        |h AS (SELECT tok.doc_id AS doc_id, y, nt, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(regexp_split_to_array(t, ''),
+        |        c -> unicode(c)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+        |  FROM tok JOIN nt ON tok.doc_id = nt.doc_id),
+        |w AS (SELECT b,
+        |    -(1.0 / (SELECT count(*) FROM d)) * sum((0.5 - y) / nt) AS w
+        |  FROM h GROUP BY 1),
+        |s AS (SELECT h.doc_id AS doc_id, sum(w.w) / count(*) AS logit
+        |  FROM h JOIN w ON h.b = w.b GROUP BY 1)
+        |SELECT doc_id, round(logit, 6) + 0.0 AS logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 6) AS score
+        |FROM s""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",

@@ -343,6 +343,59 @@ object TextOps {
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** TRAIN a fastText-style linear quality classifier in-engine:
+    * logistic regression over the hashing-trick mean-pooled features
+    * [[linearQualityScore]] scores with — full-batch gradient descent,
+    * one bounded aggregate per epoch. Each epoch: score every doc with
+    * the current weights (row-local broadcast expression), spread the
+    * residual sigmoid(score) - y over the doc's tokens, and reduce per
+    * bucket (<= nBuckets rows cross the exchange regardless of corpus
+    * size); the driver applies w -= lr/N * grad and re-broadcasts.
+    *
+    * Returns the trained weight table — apply it with
+    * [[linearQualityScore]]'s `weights` parameter (or
+    * [[graft.functions.hashed_token_score]] directly) for a row-local,
+    * shuffle-free scoring pass on any frame, batch or streaming. The
+    * single-epoch path is closed-form from zero init (sigmoid(0) = 1/2)
+    * and therefore SQL-oracle-able end to end.
+    */
+  def trainHashedLogReg(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      labelCol: String,
+      nBuckets: Int = 4096,
+      epochs: Int = 3,
+      lr: Double = 1.0): Array[Double] = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [1, 2^22], got $nBuckets")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = df.sparkSession
+    val n = df.count().toDouble
+    require(n > 0, "trainHashedLogReg needs a non-empty training frame")
+    var weights = new Array[Double](nBuckets)
+    (0 until epochs).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(weights)
+      val grad = df.select(col(labelCol).cast("double").as("y"),
+        graft.functions.hashed_token_score(col(textCol), nBuckets,
+          Some(bc)).as("score"),
+        filter(tokens(lower(col(textCol))), t => length(t) > 0).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(
+          (lit(1.0) / (lit(1.0) + exp(-col("score"))) - col("y")).as("r"),
+          size(col("ts")).cast("double").as("nt"),
+          explode(col("ts")).as("t"))
+        .select(pmod(rollingHash(col("t")), lit(nBuckets.toLong))
+          .cast("int").as("b"), (col("r") / col("nt")).as("g"))
+        .groupBy(col("b")).agg(sum(col("g")).as("g"))
+        .collect()
+      val next = weights.clone()
+      grad.foreach(r => next(r.getInt(0)) -= lr / n * r.getDouble(1))
+      weights = next
+      bc.unpersist()
+    }
+    weights
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-unigram distribution is —

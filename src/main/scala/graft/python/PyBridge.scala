@@ -482,6 +482,19 @@ object PyBridge {
     df.withColumn(textCol, graft.ops.TextOps.redactPii(
       df.col(textCol), emailToken, urlToken, phoneToken))
 
+  /** Train the hashed logistic-regression quality classifier on one
+    * frame and score another with the learned weights.
+    */
+  def trainAndScoreQuality(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
+      nBuckets: Int, epochs: Int, lr: Double): DataFrame = {
+    val w = graft.ops.TextOps.trainHashedLogReg(train, textCol, labelCol,
+      nBuckets, epochs, lr)
+    val bc = train.sparkSession.sparkContext.broadcast(w)
+    graft.ops.TextOps.linearQualityScore(score, idCol, textCol, nBuckets,
+      Some(bc))
+  }
+
   /** DSIR hashed-unigram importance weights of raw docs vs a target. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int): DataFrame =

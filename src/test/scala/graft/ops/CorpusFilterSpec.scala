@@ -184,6 +184,41 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got(2L).foreach(_ shouldBe 0.0) // zero vector stays zero
   }
 
+  test("trainHashedLogReg separates planted classes and improves with " +
+    "epochs") {
+    import spark.implicits._
+    // separable vocabulary: positive docs speak goodN, negative badN
+    val df = ((0 until 40).map(i =>
+      (i.toLong, s"good$i good${i + 1} good${i + 2} good${i + 3}", 1.0)) ++
+      (40 until 80).map(i =>
+        (i.toLong, s"bad$i bad${i + 1} bad${i + 2} bad${i + 3}", 0.0)))
+      .toDF("id", "text", "y")
+    def scores(epochs: Int): Map[Long, Double] = {
+      val w = TextOps.trainHashedLogReg(df, "text", "y",
+        nBuckets = 1024, epochs = epochs, lr = 8.0)
+      val bc = spark.sparkContext.broadcast(w)
+      TextOps.linearQualityScore(df, "id", "text", 1024, Some(bc))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    }
+    val s5 = scores(5)
+    val posMin = (0 until 40).map(i => s5(i.toLong)).min
+    val negMax = (40 until 80).map(i => s5(i.toLong)).max
+    posMin should be > negMax // fully separated after 5 epochs
+    posMin should be > 0.5
+    negMax should be < 0.5
+
+    // more epochs reduce the logistic loss (training is actually
+    // descending, not just sign-flipping)
+    def loss(s: Map[Long, Double]): Double =
+      -((0 until 40).map(i => math.log(s(i.toLong))).sum +
+        (40 until 80).map(i => math.log(1.0 - s(i.toLong))).sum) / 80.0
+    loss(s5) should be < loss(scores(1))
+
+    // deterministic: same inputs, same weights
+    TextOps.trainHashedLogReg(df, "text", "y", 1024, 3, 8.0).toSeq shouldBe
+      TextOps.trainHashedLogReg(df, "text", "y", 1024, 3, 8.0).toSeq
+  }
+
   test("all four filters are row-local: zero exchanges in the plan") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
