@@ -364,6 +364,16 @@ object Bench {
         t("embeddings").select(graft.ops.Similarity.randomProject(
           col("embedding").cast("array<double>"), 16).as("p"))
           .agg(sum(element_at(col("p"), 1))).first(); 1L
+      }),
+      // 3-epoch in-engine classifier training + full-corpus scoring
+      "train_classifier" -> (() => {
+        val d = t("documents").select(col("doc_id"), col("text"),
+          (col("lang") === "en").cast("double").as("y"))
+        val w = graft.ops.TextOps.trainHashedLogReg(d, "text", "y",
+          nBuckets = 4096, epochs = 3)
+        val bc = spark.sparkContext.broadcast(w)
+        graft.ops.TextOps.linearQualityScore(d, "doc_id", "text", 4096,
+          Some(bc)).agg(sum(col("score"))).first(); 1L
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
