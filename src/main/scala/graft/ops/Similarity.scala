@@ -62,15 +62,19 @@ object Similarity {
     // after the mix: parity of (j*A + k*B) mod M decomposes into
     // parity(j-term) XOR parity(k) whenever k*B stays far below M,
     // which makes every output dimension +-the same sum (a rank-1 sign
-    // matrix — not a projection at all). Both reductions keep the
-    // intermediate below 2^62 at any j/k/seed.
+    // matrix — not a projection at all). The seed is reduced to
+    // [0, M) driver-side (floorMod, so negative Longs map in too);
+    // with all terms non-negative, j*1000003 + k + s stays below 2^62
+    // for any embedding width, `%` never yields a negative remainder,
+    // and the whole chain reproduces in DuckDB BIGINT without overflow.
     // divide (not multiply by a reciprocal): bit-identical to the SQL
     // oracle's `/ sqrt(dOut)`
+    val s = java.lang.Math.floorMod(seed, 1000000007L)
     transform(sequence(lit(0), lit(dOut - 1)), k =>
       aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1), (x, j) => {
           val mixed = (j.cast("long") * 1000003L + k.cast("long") +
-            lit(seed)) % 1000000007L
+            lit(s)) % 1000000007L
           val h = (mixed * 2654435761L) % 1000000007L
           when(h % 2 === 0, x).otherwise(-x)
         }),

@@ -142,7 +142,9 @@ object TextOps {
     *
     *  - word count in [minWords, maxWords] (50..100k)
     *  - mean word length in [3, 10]
-    *  - symbol-to-word ratio (# and ...) <= 0.1
+    *  - hash-to-word ratio (#) <= 0.1 and ellipsis-to-word ratio
+    *    (...) <= 0.1 — two SEPARATE gates, as published (Rae et al.
+    *    apply the 0.1 symbol threshold to each symbol independently)
     *  - lines starting with a bullet <= 90%
     *  - lines ending with an ellipsis <= 30%
     *  - words containing an alphabetic character >= 80%
@@ -150,8 +152,9 @@ object TextOps {
     *
     * Entirely row-local codegen arithmetic (one pass, zero shuffle at
     * any corpus size) and SQL-portable (fixed-precision rounding) for
-    * oracle checks. Output: idCol, n_words, mean_word_len, symbol_ratio,
-    * bullet_frac, ellipsis_frac, alpha_frac, stop_hits, passed (int).
+    * oracle checks. Output: idCol, n_words, mean_word_len, hash_ratio,
+    * ellipsis_ratio (both per word), bullet_frac, ellipsis_frac (both
+    * per line), alpha_frac, stop_hits, passed (int).
     */
   def gopherReport(
       df: org.apache.spark.sql.DataFrame,
@@ -171,7 +174,8 @@ object TextOps {
       .cast("double")
     val ellipses = ((length(text) -
       length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double")
-    val symbolRatio = when(nWords > 0, (hashes + ellipses) / nWordsD)
+    val hashRatio = when(nWords > 0, hashes / nWordsD).otherwise(lit(0.0))
+    val ellipsisRatio = when(nWords > 0, ellipses / nWordsD)
       .otherwise(lit(0.0))
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
@@ -188,7 +192,8 @@ object TextOps {
       s => array_contains(lowered, s))).cast("long")
     df.select(col(idCol), nWords.as("n_words"),
       round(meanLen, 4).as("mean_word_len"),
-      round(symbolRatio, 6).as("symbol_ratio"),
+      round(hashRatio, 6).as("hash_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_ratio"),
       round(bulletFrac, 6).as("bullet_frac"),
       round(ellipsisFrac, 6).as("ellipsis_frac"),
       round(alphaFrac, 6).as("alpha_frac"),
@@ -196,7 +201,7 @@ object TextOps {
       .withColumn("passed",
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
           col("bullet_frac") <= 0.9 &&
           col("ellipsis_frac") <= 0.3 &&
           col("alpha_frac") >= 0.8 &&
@@ -239,7 +244,10 @@ object TextOps {
     *  - keep only lines with at least `minLineWords` words
     *  - drop lines mentioning javascript
     *  - drop the whole page when fewer than `minLines` lines survive,
-    *    or the surviving text contains "lorem ipsum" or a curly brace
+    *    or the RAW page text contains "lorem ipsum" or a curly brace
+    *    anywhere (the published recipe drops pages on these markers
+    *    wherever they appear — including on lines the line rules
+    *    already removed)
     *
     * One row-local pass (codegen HOFs over the line array, zero
     * shuffle); rows come back 1:1 with `kept` = the page verdict so the
@@ -264,8 +272,8 @@ object TextOps {
     })
     val cleaned = array_join(keptLines, "\n")
     val pageOk = size(keptLines) >= minLines &&
-      !lower(cleaned).contains("lorem ipsum") &&
-      !cleaned.contains("{")
+      !lower(col(textCol)).contains("lorem ipsum") &&
+      !col(textCol).contains("{")
     df.select(col(idCol), cleaned.as(textCol),
       size(lines).as("n_lines_in"),
       size(keptLines).as("n_lines_kept"),
@@ -278,8 +286,10 @@ object TextOps {
     * into `windowTokens`-token windows starting every `strideTokens`
     * (stride < window = sliding overlap, the standard LM data recipe).
     * The final window of a document may be partial; a window is emitted
-    * only where new tokens start (start <= n_tokens). Empty docs emit
-    * nothing.
+    * only where new tokens start (start <= n_tokens). Tokens are the
+    * NON-EMPTY whitespace pieces, so empty and all-whitespace docs emit
+    * nothing (a bare `split` would turn "" into one empty token and
+    * hand downstream packing/training a junk empty chunk).
     *
     * Row-local: one posexplode of an in-row transform — zero shuffle,
     * output rows ~ n_tokens / stride per document. Output: idCol,
@@ -293,7 +303,7 @@ object TextOps {
       strideTokens: Int): org.apache.spark.sql.DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(strideTokens >= 1, s"strideTokens must be >= 1, got $strideTokens")
-    val toks = tokens(col(textCol))
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val starts = when(size(toks) > 0,
       sequence(lit(1), size(toks), lit(strideTokens)))
       .otherwise(array().cast("array<int>"))
