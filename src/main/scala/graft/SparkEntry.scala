@@ -1359,8 +1359,9 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       ops.TextOps.gopherReport(d, "doc_id", "text")
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
-          col("alpha_frac"), col("stop_hits"), col("passed"))
+          col("hash_ratio"), col("ellipsis_ratio"), col("bullet_frac"),
+          col("ellipsis_frac"), col("alpha_frac"), col("stop_hits"),
+          col("passed"))
     }),
 
     "q112_c4_clean" -> ((s, dir) => {
@@ -3070,9 +3071,11 @@ object SparkEntry {
         |      (length(text) - (len(toks) - 1))::DOUBLE / len(toks)
         |      ELSE 0.0 END AS mean_word_len,
         |    CASE WHEN len(toks) > 0 THEN
-        |      ((length(text) - length(replace(text, '#', '')))
-        |       + (length(text) - length(replace(text, '...', ''))) / 3
-        |      )::DOUBLE / len(toks) ELSE 0.0 END AS symbol_ratio,
+        |      (length(text) - length(replace(text, '#', '')))::DOUBLE
+        |      / len(toks) ELSE 0.0 END AS hash_ratio,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      ((length(text) - length(replace(text, '...', ''))) / 3
+        |      )::DOUBLE / len(toks) ELSE 0.0 END AS ellipsis_ratio,
         |    len(list_filter(lines, l -> starts_with(l, '- ')
         |      OR starts_with(l, '* ')))::DOUBLE / len(lines) AS bullet_frac,
         |    len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
@@ -3092,14 +3095,16 @@ object SparkEntry {
         |    )::BIGINT AS stop_hits
         |  FROM m)
         |SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
-        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(hash_ratio, 6) AS hash_ratio,
+        |  round(ellipsis_ratio, 6) AS ellipsis_ratio,
         |  round(bullet_frac, 6) AS bullet_frac,
         |  round(ellipsis_frac, 6) AS ellipsis_frac,
         |  round(alpha_frac, 6) AS alpha_frac, stop_hits,
         |  CAST(n_words >= 50 AND n_words <= 100000
         |    AND round(mean_word_len, 4) >= 3.0
         |    AND round(mean_word_len, 4) <= 10.0
-        |    AND round(symbol_ratio, 6) <= 0.1
+        |    AND round(hash_ratio, 6) <= 0.1
+        |    AND round(ellipsis_ratio, 6) <= 0.1
         |    AND round(bullet_frac, 6) <= 0.9
         |    AND round(ellipsis_frac, 6) <= 0.3
         |    AND round(alpha_frac, 6) >= 0.8
@@ -3131,21 +3136,20 @@ object SparkEntry {
         |      regexp_matches(trim(x), '[.!?"]$')
         |      AND len(list_filter(string_split(trim(x), ' '),
         |        w -> len(w) > 0)) >= 5
-        |      AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+        |      AND NOT contains(lower(trim(x)), 'javascript')) AS kept,
+        |    (NOT contains(lower(text), 'lorem ipsum')
+        |     AND NOT contains(text, '{')) AS page_markers_ok
         |  FROM d)
         |SELECT doc_id,
         |  coalesce(array_to_string(kept, chr(10)), '') AS text,
         |  len(lines)::BIGINT AS n_lines_in,
         |  len(kept)::BIGINT AS n_lines_kept,
-        |  CAST(len(kept) >= 3
-        |    AND NOT contains(lower(array_to_string(kept, chr(10))),
-        |      'lorem ipsum')
-        |    AND NOT contains(array_to_string(kept, chr(10)), '{')
-        |    AS INT) AS kept
+        |  CAST(len(kept) >= 3 AND page_markers_ok AS INT) AS kept
         |FROM c""".stripMargin,
 
     "q113_context_chunks" ->
-      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l
+      """WITH l AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |      t -> len(t) > 0) AS l
         |  FROM documents WHERE doc_id < 300),
         |s AS (SELECT doc_id, (i - 1) // 24 AS chunk_idx,
         |    l[i:i+31] AS c

@@ -32,7 +32,8 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     rep(1L).getAs[Int]("passed") shouldBe 1
 
     rep(2L).getAs[Int]("passed") shouldBe 0 // word count
-    rep(3L).getAs[Double]("symbol_ratio") should be > 0.1
+    rep(3L).getAs[Double]("hash_ratio") should be > 0.1
+    rep(3L).getAs[Double]("ellipsis_ratio") shouldBe 0.0
     rep(3L).getAs[Int]("passed") shouldBe 0
     rep(4L).getAs[Long]("stop_hits") shouldBe 0L
     rep(4L).getAs[Int]("passed") shouldBe 0
@@ -46,8 +47,9 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val r = TextOps.gopherReport(doc, "id", "text").collect().head
     r.getAs[Double]("bullet_frac") shouldBe 0.5
     r.getAs[Double]("ellipsis_frac") shouldBe 0.25
-    // the ellipsis also counts into symbol ratio
-    r.getAs[Double]("symbol_ratio") should be > 0.0
+    // the ellipsis counts into its own per-symbol ratio; no hashes here
+    r.getAs[Double]("ellipsis_ratio") should be > 0.0
+    r.getAs[Double]("hash_ratio") shouldBe 0.0
   }
 
   test("c4Clean: line rules, page rules, totals") {
@@ -92,8 +94,8 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got.filter(_._1 == 1L).sortBy(_._2) shouldBe Seq(
       (1L, 0, "a b c d", 4), (1L, 1, "c d e f", 4),
       (1L, 2, "e f g", 3), (1L, 3, "g", 1))
-    // empty text splits to one empty token -> one 1-token chunk of ""
-    got.filter(_._1 == 2L) shouldBe Seq((2L, 0, "", 1))
+    // tokens are the NON-EMPTY pieces: empty docs emit no chunks
+    got.filter(_._1 == 2L) shouldBe empty
     got.filter(_._1 == 3L) shouldBe Seq((3L, 0, "x y", 2))
   }
 
