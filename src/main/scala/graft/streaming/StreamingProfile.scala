@@ -42,8 +42,10 @@ object StreamingProfile {
 
   /** Store-and-merge sink over the RAW stream: each micro-batch is
     * profiled independently (plain batch aggregation inside foreachBatch —
-    * no cross-batch state) and its partial profiles appended to a parquet
-    * store; [[mergeStored]] merges the partials on read. This is the
+    * no cross-batch state) and its partial profiles written to a
+    * `batch=<id>` subdirectory of the parquet store (overwrite, so
+    * at-least-once replay of a batch is idempotent);
+    * [[mergeStored]] merges the partials on read. This is the
     * pattern for unbounded retention: the state store never grows, and the
     * stored partials re-aggregate to exactly the all-data profile because
     * the profile is a commutative monoid.
@@ -60,29 +62,45 @@ object StreamingProfile {
       cfg: ProfileConfig = ProfileConfig.default): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          ProfileSession(batch, groupKeys = keys, timeColumn = timeColumn,
-            cfg = cfg).aggProfiles()
-            .write.mode("append").parquet(storePath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        storeBatchProfiles(batch, batchId, storePath, keys, timeColumn, cfg)
       }
+
+  /** The foreachBatch body of [[perBatchProfileSink]], exposed so replay
+    * idempotency is directly testable: foreachBatch is at-least-once, and
+    * invoking this twice with the same batchId leaves the store unchanged
+    * (the batch overwrites its own batchId-keyed subdirectory).
+    */
+  def storeBatchProfiles(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keys: Seq[String] = Nil,
+      timeColumn: Option[(String, String)] = None,
+      cfg: ProfileConfig = ProfileConfig.default): Unit =
+    if (!batch.isEmpty) {
+      ProfileSession(batch, groupKeys = keys, timeColumn = timeColumn,
+        cfg = cfg).aggProfiles()
+        .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    }
 
   /** Re-aggregate the profile store down to one profile per group — the
     * cross-batch merge (same monoid as the batch engine's mergeProfiles).
     */
   def mergeStored(spark: SparkSession, storePath: String,
       keys: Seq[String]): DataFrame =
-    ProfileSession.mergeProfiles(spark.read.parquet(storePath), keys)
+    ProfileSession.mergeProfiles(
+      spark.read.parquet(storePath).drop("batch"), keys)
 
   /** Continuous metric-anomaly screen — the streaming completion of
     * [[graft.ops.Drift.metricAnomalies]], whose cross-WINDOW aggregate
     * (each window's mean z-scored against all windows) cannot run as a
     * single stateful streaming plan. The intended pattern is foreachBatch
-    * over the profile store: each trigger appends the batch's windowed
-    * partial profiles to `storePath` (the [[perBatchProfileSink]]
-    * monoid), merges the accumulated store per (keys, window), and
-    * re-scores the whole time series, overwriting `screenPath`.
+    * over the profile store: each trigger writes the batch's windowed
+    * partial profiles to a batchId-keyed subdirectory of `storePath`
+    * (the [[perBatchProfileSink]] monoid; overwrite ⇒ replay-idempotent),
+    * merges the accumulated store per (keys, window), and re-scores the
+    * whole time series, overwriting `screenPath`.
     *
     * The screen is overwritten (not appended) by design: z-scores are
     * relative to ALL windows seen so far, so earlier windows' rows
@@ -102,19 +120,38 @@ object StreamingProfile {
       cfg: ProfileConfig = ProfileConfig.default): DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          ProfileSession(batch, groupKeys = keys,
-            timeColumn = Some(timeColumn), cfg = cfg).aggProfiles()
-            .write.mode("append").parquet(storePath)
-          val merged = ProfileSession.mergeProfiles(
-            spark.read.parquet(storePath), keys :+ "window")
-          graft.ops.Drift.metricAnomalies(merged, cols,
-            keep = keys :+ "window", threshold = threshold)
-            .write.mode("overwrite").parquet(screenPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenBatch(batch, batchId, storePath, screenPath, cols,
+          timeColumn, keys, threshold, cfg)
       }
+
+  /** The foreachBatch body of [[anomalyScreenSink]], exposed so replay
+    * idempotency is directly testable: invoking it twice with the same
+    * batchId leaves both the store and the recomputed screen unchanged
+    * (the batch overwrites its own batchId-keyed store subdirectory, and
+    * the screen is a pure function of the store).
+    */
+  def screenBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      screenPath: String,
+      cols: Seq[String],
+      timeColumn: (String, String),
+      keys: Seq[String] = Nil,
+      threshold: Double = 3.0,
+      cfg: ProfileConfig = ProfileConfig.default): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      ProfileSession(batch, groupKeys = keys,
+        timeColumn = Some(timeColumn), cfg = cfg).aggProfiles()
+        .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      val merged = ProfileSession.mergeProfiles(
+        spark.read.parquet(storePath).drop("batch"), keys :+ "window")
+      graft.ops.Drift.metricAnomalies(merged, cols,
+        keep = keys :+ "window", threshold = threshold)
+        .write.mode("overwrite").parquet(screenPath)
+    }
 
   /** Continuous-upload sink: each micro-batch is profiled and its
     * profile rows POSTed from executors via [[graft.io.ProfileUpload]]

@@ -192,6 +192,58 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     got.filter(_._5).map(_._1) shouldBe Array("2024-01-07")
   }
 
+  test("anomaly screen sink is idempotent under at-least-once batch " +
+    "replay: re-invoking the foreachBatch body with the same batchId " +
+    "leaves the store and screen unchanged") {
+    import spark.implicits._
+
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_replay_store").toString
+    val screen = java.nio.file.Files
+      .createTempDirectory("graft_replay_out").toString
+
+    def day(d: Int, vs: Seq[Double]) = vs.map(v => (ts(d, 1), v))
+    val b0 = ((1 to 4).flatMap(d => day(d, Seq(9.0, 10.0, 11.0))))
+      .toDF("ts", "value")
+    val b1 = (day(5, Seq(10.0, 10.5)) ++ day(6, Seq(9.5, 10.0)) ++
+      day(7, Seq(500.0, 510.0, 490.0))).toDF("ts", "value")
+
+    def snapshot(): (Map[String, Long], Vector[(String, Double, Boolean)]) = {
+      val st = StreamingProfile.mergeStored(spark, store, Seq("window"))
+        .select(col("window.start").cast("date").cast("string"),
+          col("value.count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sc = spark.read.parquet(screen)
+        .select(col("window.start").cast("date").cast("string"),
+          col("z"), col("is_anomaly"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getBoolean(2))).sortBy(_._1).toVector
+      (st, sc)
+    }
+
+    StreamingProfile.screenBatch(b0, 0L, store, screen,
+      cols = Seq("value"), timeColumn = ("ts", "1 day"), threshold = 2.0)
+    StreamingProfile.screenBatch(b1, 1L, store, screen,
+      cols = Seq("value"), timeColumn = ("ts", "1 day"), threshold = 2.0)
+    val clean = snapshot()
+    clean._1("2024-01-01") shouldBe 3L
+    clean._2.length shouldBe 7
+    clean._2.filter(_._3).map(_._1) shouldBe Vector("2024-01-07")
+
+    // at-least-once replay: batch 1 fires again with the SAME batchId
+    StreamingProfile.screenBatch(b1, 1L, store, screen,
+      cols = Seq("value"), timeColumn = ("ts", "1 day"), threshold = 2.0)
+    snapshot() shouldBe clean
+
+    // ...and a store-only sink replay is equally idempotent
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_replay_store2").toString
+    StreamingProfile.storeBatchProfiles(b0, 0L, store2)
+    StreamingProfile.storeBatchProfiles(b0, 0L, store2)
+    StreamingProfile.mergeStored(spark, store2, Nil)
+      .select(col("value.count")).as[Long].head() shouldBe 12L
+  }
+
   test("row-local curation filters run unchanged on a stream") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
