@@ -1636,6 +1636,46 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    "q126_minhash_invariant" -> ((s, dir) => {
+      // HASH-CHECKED invariant for the MinHash-LSH family (q90 is
+      // rows-only): an exact duplicate has the identical shingle set,
+      // hence identical signature, hence identical band hashes — EVERY
+      // band collides, so LSH must recover the planted pair with
+      // est_jaccard exactly 1.0 (64/64 minhashes agree). Plant copies
+      // of doc_id<50 at +100000; the oracle recomputes the recovered
+      // pairs from the planting rule alone. (All fixture docs have >=1
+      // shingle, so no null-signature drop can hide a miss.)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.minHashLshPairs(docs.unionAll(planted), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleK = 2)
+        .filter(col("id_b") === col("id_a") + 100000 && col("id_a") < 50)
+        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"),
+          col("est_jaccard"))
+    }),
+
+    "q127_simhash_invariant" -> ((s, dir) => {
+      // HASH-CHECKED invariant for SimHash (q91 is rows-only): the
+      // 64-bit fingerprint is a pure function of the text, so a planted
+      // exact copy MUST fingerprint identically — identical-signature
+      // count over the planted pairs equals the pair count, which the
+      // oracle recomputes from the planting rule alone.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sigs = docs.unionAll(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      val a = sigs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("sig").as("sig_a"))
+      val b = sigs.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id"), col("sig").as("sig_b"))
+      a.join(b, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L))
+            .as("n_identical"))
+    }),
+
     "q99_feature_scale" -> ((s, dir) => {
       // per-language standardization + min-max scaling of a numeric
       // feature: stats reduce map-side, broadcast back, transforms are
@@ -3436,6 +3476,14 @@ object SparkEntry {
         |SELECT doc_id, round(logit, 6) + 0.0 AS logit,
         |  round(1.0 / (1.0 + exp(-logit)), 6) AS score
         |FROM s""".stripMargin,
+
+    "q126_minhash_invariant" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id, 1.0 AS est_jaccard
+        |FROM documents WHERE doc_id < 50 AND text IS NOT NULL""".stripMargin,
+
+    "q127_simhash_invariant" ->
+      """SELECT count(*) AS n_pairs, count(*) AS n_identical
+        |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q84_semdedup" ->
       """SELECT vec_id, label FROM embeddings""",
