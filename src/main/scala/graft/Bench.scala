@@ -432,26 +432,52 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    // Each row is the MIN of `iters` timed passes: a single pass under
-    // unknown machine load recorded 2-9x phantoms (r6); min-of-3 is
-    // reproducible within ~20% of an idle run while total stays < 5 min.
-    val iterations =
+    // Each row is the MIN of several timed passes: a single pass under
+    // unknown machine load recorded 2-9x phantoms (r6), and min-of-3
+    // still polluted sub-second rows when the driver machine was
+    // contended (r8/r9 artifacts). Hardened loop: sub-`fastRowSec` rows
+    // keep sampling (up to maxIters) until the min rests on enough
+    // evidence, per-row 1-minute loadavg is recorded so noise is
+    // attributable after the fact, and a row whose loadavg exceeds
+    // `loadMax` is explicitly marked contended in the artifact rather
+    // than trusted silently.
+    val baseIters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val maxIters =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "10").toInt
+        .max(baseIters)
+    val fastRowSec = 0.5
+    val loadMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.5").toDouble
     val loadBefore = loadavg1m()
+    case class RowResult(name: String, sec: Double, iters: Int,
+        spread: Double, load: Double, contended: Boolean)
     val results = benches.map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val rowLoad = loadavg1m()
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rows = -1L
+      def pass(): Unit = {
         val t0 = System.nanoTime()
-        val n = try fn() catch { case e: Throwable =>
+        rows = try fn() catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        (sec, n)
+        times += (System.nanoTime() - t0) / 1e9
       }
-      val (sec, n) = times.minBy(_._1)
+      (1 to baseIters).foreach(_ => pass())
+      while (times.min < fastRowSec && times.size < maxIters) pass()
+      val sec = times.min
+      // spread = 2nd-best/best: ~1.0 means the min is reproducible, a
+      // large spread means the row was noisy even within this run
+      val spread =
+        if (times.size < 2) 1.0 else times.sorted.apply(1) / math.max(sec, 1e-9)
+      val contended = rowLoad > loadMax
       System.err.println(
-        f"[bench] $name%-24s $sec%8.3f s  ($n rows, min of $iterations)")
-      name -> sec
+        f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${times.size}, " +
+          f"spread $spread%.2f, load $rowLoad%.2f${if (contended) ", CONTENDED" else ""})")
+      RowResult(name, sec, times.size, spread, rowLoad, contended)
     }
     val loadAfter = loadavg1m()
+    val anyContended = results.exists(_.contended) ||
+      loadBefore > loadMax || loadAfter > loadMax
     // state-size invariant (the reference's headline: ~KB of profile per
     // column regardless of row count): serialized wire bytes per
     // (profile x column) of the grouped lineitem profile
@@ -501,10 +527,15 @@ object Bench {
     System.err.println(f"[bench] bm25 keep_frac low=$bm25Keep%.4f hc=$bm25KeepHc%.4f; " +
       f"ngram keep_frac low=$ngramKeep%.4f hc=$ngramKeepHc%.4f")
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map(r => "\"" + r.name + f"\":${r.sec}%.3f")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_iterations":$iterations,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
+    val rowDetail = results.map(r =>
+      "\"" + r.name + f"""\":{"sec":${r.sec}%.3f,"iters":${r.iters},""" +
+        f""""spread":${r.spread}%.2f,"loadavg":${r.load}%.2f,""" +
+        s""""contended":${r.contended}}""")
+      .mkString("{", ",", "}")
+    val total = results.map(_.sec).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_iterations":$baseIters,"max_iterations":$maxIters,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"contended":$anyContended,"rows":$rowDetail,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
     spark.stop()
   }
 }
