@@ -520,6 +520,15 @@ def categorical_jsd(df: DataFrame, sk_a_col: str, sk_b_col: str,
         df._jdf, sk_a_col, sk_b_col, float(eps)), df)
 
 
+def ks_statistic(df: DataFrame, sk_a_col: str, sk_b_col: str,
+                 edges: List[float]) -> DataFrame:
+    """Kolmogorov-Smirnov statistic between two KLL sketch columns over
+    a fixed edge grid (max |CDF_a(e) - CDF_b(e)|; exact below sketch
+    capacity, rank-error-bounded above). Appends ``ks``."""
+    return _to_py_df(_jvm_bridge(df).ksStatistic(
+        df._jdf, sk_a_col, sk_b_col, [float(e) for e in edges]), df)
+
+
 def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     """Schema-drift report between two stored dataset profiles (single
     global profile rows): per column — presence on each side, inferred

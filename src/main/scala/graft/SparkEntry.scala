@@ -917,6 +917,28 @@ object SparkEntry {
           .as("kl"))
     }),
 
+    "q128_ks_drift" -> ((s, dir) => {
+      // Kolmogorov–Smirnov drift between the same two supplier cohorts
+      // as q61, read ONLY from their KLL sketches over a fixed edge
+      // grid: max |CDF_a(e) - CDF_b(e)|. Sketch-exact regime (cohorts
+      // below KLL capacity), so the oracle recomputes the grid CDFs by
+      // counting.
+      val sup = t(s, dir, "supplier")
+      val edges = Seq(0.0, 2500.0, 5000.0, 7500.0)
+      val sketches = sup
+        .withColumn("cohort",
+          when(col("s_nationkey") < 12, "old").otherwise("new"))
+        .groupBy(col("cohort"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"), count(lit(1)).as("n"))
+      val a = sketches.filter(col("cohort") === "old")
+        .select(col("sk").as("sk_a"), col("n").as("n_a"))
+      val b = sketches.filter(col("cohort") === "new")
+        .select(col("sk").as("sk_b"), col("n").as("n_b"))
+      a.crossJoin(b).select(col("n_a"), col("n_b"),
+        round(graft.ops.Drift.ks(col("sk_a"), col("sk_b"), edges), 6)
+          .as("ks"))
+    }),
+
     "q74_sequence_packing" -> ((s, dir) => {
       // LM training-prep sequence packing: every document's
       // concat-and-chunk layout coordinates (global start offset, pack
@@ -2692,6 +2714,24 @@ object SparkEntry {
         |      + a.p2 * ln(a.p2 / b.p2) + a.p3 * ln(a.p3 / b.p3)
         |      + a.p4 * ln(a.p4 / b.p4), 6) + 0.0 AS kl
         |FROM p a, p b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
+
+    "q128_ks_drift" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |c AS (SELECT cohort, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2,
+        |  count(*) FILTER (WHERE v <= 7500.0) AS r3
+        |  FROM s GROUP BY 1)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(greatest(
+        |    abs(a.r0 / a.n::DOUBLE - b.r0 / b.n::DOUBLE),
+        |    abs(a.r1 / a.n::DOUBLE - b.r1 / b.n::DOUBLE),
+        |    abs(a.r2 / a.n::DOUBLE - b.r2 / b.n::DOUBLE),
+        |    abs(a.r3 / a.n::DOUBLE - b.r3 / b.n::DOUBLE)), 6) + 0.0 AS ks
+        |FROM c a, c b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
 
     "q74_sequence_packing" ->
       """WITH d AS (SELECT doc_id,

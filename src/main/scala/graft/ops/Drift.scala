@@ -51,6 +51,24 @@ object Drift {
       }
       .reduce(_ + _)
 
+  /** Kolmogorov–Smirnov statistic over a fixed edge grid: the maximum
+    * |CDF_a(e) - CDF_b(e)| across the supplied edges, with each CDF read
+    * from its KLL sketch's inclusive normalized rank
+    * ([[graft.functions.kll_rank]]) — exact below sketch capacity,
+    * rank-error-bounded above it. The grid statistic lower-bounds the
+    * continuous sup over all thresholds; a denser grid tightens it (the
+    * classical use gates on fixed critical values, so a fixed grid keeps
+    * both engines and any SQL oracle on identical thresholds). Scalar
+    * expression over sketch bytes, like [[psi]]/[[jsd]]: one map pass
+    * over stored profiles, no raw rescan.
+    */
+  def ks(a: Column, b: Column, edges: Seq[Double]): Column = {
+    require(edges.nonEmpty, "ks requires at least one edge")
+    edges.map(e => abs(graft.functions.kll_rank(a, lit(e)) -
+        graft.functions.kll_rank(b, lit(e))))
+      .reduce((x, y) => greatest(x, y))
+  }
+
   /** CATEGORICAL drift: PSI over category shares read from two
     * frequent-items sketches ([[graft.functions.freq_items_agg]]) — the
     * string-column companion to the numeric [[psi]], computable from

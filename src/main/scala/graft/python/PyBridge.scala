@@ -545,4 +545,14 @@ object PyBridge {
       .withColumn("n_b", graft.ops.Drift.categoricalTotal(df.col(bCol)))
       .withColumn("psi", graft.ops.Drift.categoricalPsi(
         df.col(aCol), df.col(bCol), eps = eps))
+
+  /** Kolmogorov–Smirnov statistic between two KLL sketch columns over a
+    * fixed edge grid, appended as `ks`.
+    */
+  def ksStatistic(df: DataFrame, aCol: String, bCol: String,
+      edges: java.util.List[java.lang.Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.withColumn("ks", graft.ops.Drift.ks(
+      df.col(aCol), df.col(bCol), edges.asScala.toSeq.map(_.doubleValue())))
+  }
 }

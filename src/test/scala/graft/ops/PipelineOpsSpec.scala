@@ -478,6 +478,29 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     grouped.collect().foreach(_.getDouble(1).isNaN shouldBe false)
   }
 
+  test("ks: zero on identical sketches, symmetric, equals the exact " +
+    "grid CDF gap below sketch capacity") {
+    import spark.implicits._
+    import graft.functions.kll_agg
+    val edges = Seq(2.0, 5.0, 8.0)
+    val va = (1 to 50).map(_.toDouble)       // uniform 1..50
+    val vb = (1 to 50).map(_ / 5.0)          // compressed to 0.2..10
+    val sk = (va.map((true, _)) ++ vb.map((false, _))).toDF("first", "v")
+      .agg(kll_agg(when(col("first"), col("v"))).as("a"),
+        kll_agg(when(!col("first"), col("v"))).as("b"))
+    val r = sk.select(
+      Drift.ks(col("a"), col("a"), edges).as("self"),
+      Drift.ks(col("a"), col("b"), edges).as("ab"),
+      Drift.ks(col("b"), col("a"), edges).as("ba")).head()
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1) shouldBe r.getDouble(2) // |.| makes it symmetric
+    // exact regime: hand-computed max grid CDF gap
+    def cdf(vs: Seq[Double], e: Double) = vs.count(_ <= e).toDouble / vs.size
+    val expected = edges.map(e => math.abs(cdf(va, e) - cdf(vb, e))).max
+    r.getDouble(1) shouldBe (expected +- 1e-12)
+    r.getDouble(1) should (be > 0.0 and be <= 1.0)
+  }
+
   test("jsd: zero on identical sketches, symmetric, bounded by ln 2") {
     import spark.implicits._
     import graft.functions.{freq_items_agg, kll_agg}
