@@ -374,6 +374,16 @@ object Bench {
         val bc = spark.sparkContext.broadcast(w)
         graft.ops.TextOps.linearQualityScore(d, "doc_id", "text", 4096,
           Some(bc)).agg(sum(col("score"))).first(); 1L
+      }),
+
+      "lang_id_trained" -> (() => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val d = t("documents").select(col("doc_id"), col("text"),
+          col("lang"))
+        val models = graft.ops.TextOps.trainLangIdOneVsRest(
+          d, "text", "lang", langs, nBuckets = 4096, epochs = 1)
+        graft.ops.TextOps.langIdTrained(d, "doc_id", "text", models)
+          .agg(count(col("pred_lang"))).first(); 1L
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
@@ -447,37 +457,64 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "10").toInt
         .max(baseIters)
     val fastRowSec = 0.5
-    val loadMax =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.5").toDouble
+    // Contention is judged on loadavg NORMALIZED by core count: the raw
+    // loadavg of an otherwise-idle local[32] bench run is ~1.5-3 (the
+    // bench's own executors), so an absolute threshold either cries wolf
+    // on every run or never fires. The bench's own steady-state is
+    // ~0.1x cores; the default flags only loads well above that —
+    // i.e. a genuinely busy machine, not the bench itself.
+    val cores = Runtime.getRuntime.availableProcessors().max(1)
+    val loadMaxFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX_FRAC", "0.5").toDouble
+    val loadMax = loadMaxFrac * cores
     val loadBefore = loadavg1m()
     case class RowResult(name: String, sec: Double, iters: Int,
-        spread: Double, load: Double, contended: Boolean)
+        spread: Double, load: Double, contended: Boolean, failures: Int)
     val results = benches.map { case (name, fn) =>
-      val rowLoad = loadavg1m()
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val loadPre = loadavg1m()
+      // only SUCCESSFUL passes may set the row minimum: a throwing fn()
+      // returns in ~ms, and recording that time both fakes a fast row
+      // and (being sub-fastRowSec) re-runs the broken bench to maxIters
+      val okTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var attempts = 0
+      var failures = 0
       var rows = -1L
       def pass(): Unit = {
+        attempts += 1
         val t0 = System.nanoTime()
-        rows = try fn() catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); -1L }
-        times += (System.nanoTime() - t0) / 1e9
+        try {
+          rows = fn()
+          okTimes += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name failed: $e")
+        }
       }
       (1 to baseIters).foreach(_ => pass())
-      while (times.min < fastRowSec && times.size < maxIters) pass()
-      val sec = times.min
+      while (okTimes.nonEmpty && okTimes.min < fastRowSec &&
+        attempts < maxIters) pass()
+      val sec = if (okTimes.nonEmpty) okTimes.min else -1.0
       // spread = 2nd-best/best: ~1.0 means the min is reproducible, a
       // large spread means the row was noisy even within this run
       val spread =
-        if (times.size < 2) 1.0 else times.sorted.apply(1) / math.max(sec, 1e-9)
+        if (okTimes.size < 2) 1.0
+        else okTimes.sorted.apply(1) / math.max(sec, 1e-9)
+      // re-sample after the passes: a row contended mid-run (passes can
+      // span many seconds x up to maxIters) would be missed by the
+      // pre-sample alone
+      val loadPost = loadavg1m()
+      val rowLoad = math.max(loadPre, loadPost)
       val contended = rowLoad > loadMax
       System.err.println(
-        f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${times.size}, " +
-          f"spread $spread%.2f, load $rowLoad%.2f${if (contended) ", CONTENDED" else ""})")
-      RowResult(name, sec, times.size, spread, rowLoad, contended)
+        f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${okTimes.size}, " +
+          f"spread $spread%.2f, load $rowLoad%.2f${if (contended) ", CONTENDED" else ""}" +
+          (if (failures > 0) s", $failures FAILED" else "") + ")")
+      RowResult(name, sec, okTimes.size, spread, rowLoad, contended, failures)
     }
     val loadAfter = loadavg1m()
     val anyContended = results.exists(_.contended) ||
       loadBefore > loadMax || loadAfter > loadMax
+    val anyFailed = results.exists(_.failures > 0)
     // state-size invariant (the reference's headline: ~KB of profile per
     // column regardless of row count): serialized wire bytes per
     // (profile x column) of the grouped lineitem profile
@@ -529,13 +566,26 @@ object Bench {
 
     val qs = results.map(r => "\"" + r.name + f"\":${r.sec}%.3f")
       .mkString("{", ",", "}")
+    // Per-row diagnostics go to a SIDE FILE (+ stderr), never the stdout
+    // metric line: round 10 inlined them there and the tripled line
+    // overflowed the driver's tail capture, truncating the artifact it
+    // was meant to harden. The stdout line stays compact.
     val rowDetail = results.map(r =>
       "\"" + r.name + f"""\":{"sec":${r.sec}%.3f,"iters":${r.iters},""" +
         f""""spread":${r.spread}%.2f,"loadavg":${r.load}%.2f,""" +
-        s""""contended":${r.contended}}""")
+        s""""contended":${r.contended},"failures":${r.failures}}""")
       .mkString("{", ",", "}")
+    val detailJson =
+      f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"rows":$rowDetail}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_rows.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detailJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: $e") }
+    System.err.println(s"[bench] row detail: $detailJson")
     val total = results.map(_.sec).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_iterations":$baseIters,"max_iterations":$maxIters,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"contended":$anyContended,"rows":$rowDetail,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac":$bm25Keep%.4f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac":$ngramKeep%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$anyContended,"failed":$anyFailed,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
     spark.stop()
   }
 }

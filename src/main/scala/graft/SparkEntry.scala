@@ -939,6 +939,28 @@ object SparkEntry {
           .as("ks"))
     }),
 
+    "q129_lang_id_trained" -> ((s, dir) => {
+      // TRAINED multiclass language ID: one-vs-rest hashed logistic
+      // regression (one epoch from zero init => closed-form, so the
+      // whole train->predict loop is SQL-oracle-able like q125), then a
+      // row-local argmax-scoring pass with the learned weight tables.
+      // All K classes train inside ONE bounded <= nBuckets-row
+      // aggregate per epoch; scoring is K broadcast expressions, zero
+      // shuffle. Multi-epoch accuracy (beating the marker heuristic on
+      // held-out docs) is spec-pinned in LangIdTrainedSpec.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val models = ops.TextOps.trainLangIdOneVsRest(d, "text", "lang",
+        langs, nBuckets = 4096, epochs = 1, lr = 1.0)
+      ops.TextOps.langIdTrained(d, "doc_id", "text", models,
+        nBuckets = 4096)
+        .select(Seq(col("doc_id"), col("pred_lang"),
+          (col("best_logit") + 0.0).as("best_logit")) ++
+          langs.map(l =>
+            (round(col(s"logit_$l"), 6) + 0.0).as(s"logit_$l")): _*)
+    }),
+
     "q74_sequence_packing" -> ((s, dir) => {
       // LM training-prep sequence packing: every document's
       // concat-and-chunk layout coordinates (global start offset, pack
@@ -2732,6 +2754,43 @@ object SparkEntry {
         |    abs(a.r2 / a.n::DOUBLE - b.r2 / b.n::DOUBLE),
         |    abs(a.r3 / a.n::DOUBLE - b.r3 / b.n::DOUBLE)), 6) + 0.0 AS ks
         |FROM c a, c b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
+
+    "q129_lang_id_trained" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, lang, unnest(list_filter(
+        |    string_split(lower(text), ' '), t -> len(t) > 0)) AS t
+        |  FROM d),
+        |nt AS (SELECT doc_id, count(*)::DOUBLE AS nt FROM tok
+        |  GROUP BY 1),
+        |h AS (SELECT tok.doc_id AS doc_id, lang, nt, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(regexp_split_to_array(t, ''),
+        |        c -> unicode(c)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 4096 AS b
+        |  FROM tok JOIN nt ON tok.doc_id = nt.doc_id),
+        |ls AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lng),
+        |w AS (SELECT lng, b,
+        |    -(1.0 / (SELECT count(*) FROM d)) * sum(
+        |      (0.5 - CASE WHEN h.lang = lng THEN 1.0 ELSE 0.0 END) / nt)
+        |      AS w
+        |  FROM h CROSS JOIN ls GROUP BY 1, 2),
+        |s AS (SELECT h.doc_id AS doc_id, w.lng AS lng,
+        |    sum(w.w) / count(*) AS logit
+        |  FROM h JOIN w ON h.b = w.b GROUP BY 1, 2),
+        |p AS (SELECT doc_id, lng, logit, round(logit, 6) AS rl,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(logit, 6) DESC, lng ASC) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  max(CASE WHEN rn = 1 THEN lng END) AS pred_lang,
+        |  max(rl) + 0.0 AS best_logit,
+        |  round(max(CASE WHEN lng = 'de' THEN logit END), 6) + 0.0 AS logit_de,
+        |  round(max(CASE WHEN lng = 'en' THEN logit END), 6) + 0.0 AS logit_en,
+        |  round(max(CASE WHEN lng = 'es' THEN logit END), 6) + 0.0 AS logit_es,
+        |  round(max(CASE WHEN lng = 'fr' THEN logit END), 6) + 0.0 AS logit_fr,
+        |  round(max(CASE WHEN lng = 'zh' THEN logit END), 6) + 0.0 AS logit_zh
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q74_sequence_packing" ->
       """WITH d AS (SELECT doc_id,

@@ -406,6 +406,118 @@ object TextOps {
     weights
   }
 
+  /** TRAINED multiclass language ID, one-vs-rest over the
+    * [[trainHashedLogReg]] machinery: one hashed-LR weight table per
+    * language, ALL classes trained in a single bounded aggregate per
+    * epoch (K gradient columns ride the same <= nBuckets-row exchange —
+    * not K separate jobs), so the pass count is epochs, not
+    * epochs x languages. From zero init the single-epoch update is
+    * closed-form (sigmoid(0) = 1/2), which keeps the whole
+    * train-then-predict loop SQL-oracle-able exactly like q125.
+    *
+    * Returns the per-language weight tables in `langs` order; apply
+    * them with [[langIdTrained]] (row-local, shuffle-free, usable on
+    * streaming frames — the batch-train/stream-score shape).
+    */
+  def trainLangIdOneVsRest(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      langCol: String,
+      langs: Seq[String],
+      nBuckets: Int = 4096,
+      epochs: Int = 1,
+      lr: Double = 1.0): Seq[(String, Array[Double])] = {
+    require(langs.nonEmpty, "trainLangIdOneVsRest needs >= 1 language")
+    require(langs.distinct.size == langs.size, "duplicate language labels")
+    require(nBuckets >= 1 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [1, 2^22], got $nBuckets")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = df.sparkSession
+    val n = df.count().toDouble
+    require(n > 0, "trainLangIdOneVsRest needs a non-empty training frame")
+    var weights: Array[Array[Double]] =
+      Array.fill(langs.size)(new Array[Double](nBuckets))
+    (0 until epochs).foreach { _ =>
+      val bcs = weights.map(w => spark.sparkContext.broadcast(w))
+      val scored = df.select(
+        Seq(col(langCol).as("__lang"),
+          filter(tokens(lower(col(textCol))), t => length(t) > 0).as("__ts")) ++
+          langs.indices.map(i => graft.functions.hashed_token_score(
+            col(textCol), nBuckets, Some(bcs(i))).as(s"__s$i")): _*)
+        .filter(size(col("__ts")) > 0)
+      val resid = scored.select(
+        Seq(size(col("__ts")).cast("double").as("__nt"),
+          explode(col("__ts")).as("__t")) ++
+          langs.indices.map(i =>
+            (lit(1.0) / (lit(1.0) + exp(-col(s"__s$i"))) -
+              (col("__lang") === langs(i)).cast("double")).as(s"__r$i")): _*)
+      val gradCols = langs.indices
+        .map(i => sum(col(s"__r$i") / col("__nt")).as(s"__g$i"))
+      val grad = resid
+        .select(pmod(rollingHash(col("__t")), lit(nBuckets.toLong))
+          .cast("int").as("__b") +:
+          langs.indices.map(i => col(s"__r$i") / col("__nt")): _*)
+        .toDF("__b" +: langs.indices.map(i => s"__r$i"): _*)
+        .groupBy(col("__b"))
+        .agg(sum(col("__r0")).as("__g0"),
+          langs.indices.tail.map(i => sum(col(s"__r$i")).as(s"__g$i")): _*)
+        .collect()
+      val next = weights.map(_.clone())
+      grad.foreach { r =>
+        val b = r.getInt(0)
+        langs.indices.foreach(i => next(i)(b) -= lr / n * r.getDouble(i + 1))
+      }
+      weights = next
+      bcs.foreach(_.unpersist())
+    }
+    langs.zip(weights)
+  }
+
+  /** Score every document against [[trainLangIdOneVsRest]] models and
+    * predict the argmax language — one row-local pass (K broadcast
+    * scoring expressions, zero shuffle at any corpus size).
+    *
+    * The argmax is taken over logits ROUNDED to `roundTo` decimals with
+    * ties (and token-less or null text) resolved deterministically —
+    * rounded comparison so a cross-engine float-sum ulp difference
+    * cannot flip the winner (ties break to the lexicographically
+    * smallest language; token-less text predicts "und"). Output: idCol,
+    * pred_lang, best_logit (rounded), plus one raw logit_<lang> column
+    * per model.
+    */
+  def langIdTrained(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      models: Seq[(String, Array[Double])],
+      nBuckets: Int = 4096,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(models.nonEmpty, "langIdTrained needs >= 1 model")
+    val spark = df.sparkSession
+    val bcs = models.map { case (l, w) =>
+      l -> spark.sparkContext.broadcast(w)
+    }
+    val base = df.select(
+      Seq(col(idCol),
+        size(filter(tokens(lower(col(textCol))), t => length(t) > 0))
+          .as("__ntok")) ++
+        bcs.map { case (l, bc) => graft.functions.hashed_token_score(
+          col(textCol), nBuckets, Some(bc)).as(s"logit_$l") }: _*)
+    val rounded = models.map { case (l, _) =>
+      l -> round(col(s"logit_$l"), roundTo)
+    }
+    val best = rounded.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = rounded.sortBy(_._1).foldRight(lit("und")) {
+      case ((l, r), acc) => when(r === best, lit(l)).otherwise(acc)
+    }
+    base.select(
+      Seq(col(idCol),
+        when(col("__ntok") === 0 || col("__ntok").isNull, lit("und"))
+          .otherwise(pick).as("pred_lang"),
+        (best + lit(0.0)).as("best_logit")) ++
+        models.map { case (l, _) => col(s"logit_$l") }: _*)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-unigram distribution is —
