@@ -1591,6 +1591,47 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"))
     }),
 
+    "q130_wav_zcr_peak" -> ((s, dir) => {
+      // frame-level audio feature triple (RMS energy + zero-crossing
+      // count + peak) per 200-frame window over the q57 analytic PCM16
+      // fixtures — ZCR and peak are integral, so the oracle recomputes
+      // them exactly (lag-based sign flips; max |sample|)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizeWav(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.wavWindowStats(blobs, "doc_id", "blob",
+        windowFrames = 200)
+        .select(col("id").as("doc_id"),
+          col("window_idx").cast("long").as("window_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("rms"), 6).as("rms"),
+          col("zcr"),
+          col("peak").cast("long").as("peak"))
+    }),
+
+    "q131_image_hash" -> ((s, dir) => {
+      // perceptual image hashes over the q56/q119 analytic PPM
+      // fixtures: aHash (8x8 mean-threshold) and dHash (9x8 horizontal
+      // gradient signs), both exact integer constructions, so the
+      // oracle rebuilds every bit from the synthetic pixel formula.
+      // 64-bit values ship as two unsigned 32-bit halves (BIGINT-safe
+      // in any SQL engine). Near-dup pair recovery is spec-pinned in
+      // MediaSpec (banded Hamming join, planted perturbed copy).
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.imageHashes(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
+    }),
+
     "q121_matryoshka" -> ((s, dir) => {
       // Matryoshka truncation: first-16-dim renormalized embeddings;
       // the report carries the reduced-width cosine to vec 0 next to
@@ -3484,6 +3525,65 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_frames,
         |  round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q131_image_hash" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |ag AS (SELECT doc_id, p,
+        |    ((doc_id + 7 * sx + 13 * sy) % 256)
+        |      + ((doc_id * 3 + 5 * sx + 11 * sy) % 256)
+        |      + ((doc_id * 7 + 3 * sx + 17 * sy) % 256) AS g3
+        |  FROM (SELECT doc_id, p, ((p % 8) * w) // 8 AS sx,
+        |      ((p // 8) * h) // 8 AS sy
+        |    FROM (SELECT doc_id, w, h, unnest(range(64)) AS p FROM d))),
+        |asum AS (SELECT doc_id, sum(g3) AS s3 FROM ag GROUP BY 1),
+        |abits AS (SELECT ag.doc_id AS doc_id, p,
+        |    CASE WHEN 64 * g3 > s3 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM ag JOIN asum ON ag.doc_id = asum.doc_id),
+        |ah AS (SELECT doc_id,
+        |    sum(CASE WHEN p >= 32 THEN bit << (p - 32) ELSE 0 END)::BIGINT
+        |      AS ahash_hi,
+        |    sum(CASE WHEN p < 32 THEN bit << p ELSE 0 END)::BIGINT
+        |      AS ahash_lo
+        |  FROM abits GROUP BY 1),
+        |dg AS (SELECT doc_id, x, y,
+        |    ((doc_id + 7 * sx + 13 * sy) % 256)
+        |      + ((doc_id * 3 + 5 * sx + 11 * sy) % 256)
+        |      + ((doc_id * 7 + 3 * sx + 17 * sy) % 256) AS g3
+        |  FROM (SELECT doc_id, p % 9 AS x, p // 9 AS y,
+        |      ((p % 9) * w) // 9 AS sx, ((p // 9) * h) // 8 AS sy
+        |    FROM (SELECT doc_id, w, h, unnest(range(72)) AS p FROM d))),
+        |dbits AS (SELECT l.doc_id AS doc_id, l.y * 8 + l.x AS p,
+        |    CASE WHEN r.g3 > l.g3 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM dg l JOIN dg r ON l.doc_id = r.doc_id AND l.y = r.y
+        |    AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |dh AS (SELECT doc_id,
+        |    sum(CASE WHEN p >= 32 THEN bit << (p - 32) ELSE 0 END)::BIGINT
+        |      AS dhash_hi,
+        |    sum(CASE WHEN p < 32 THEN bit << p ELSE 0 END)::BIGINT
+        |      AS dhash_lo
+        |  FROM dbits GROUP BY 1)
+        |SELECT ah.doc_id AS doc_id, ahash_hi, ahash_lo, dhash_hi, dhash_lo
+        |FROM ah JOIN dh ON ah.doc_id = dh.doc_id""".stripMargin,
+
+    "q130_wav_zcr_peak" ->
+      """WITH d AS (SELECT doc_id, (800 + doc_id % 100)::INT AS n
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, i, i // 200 AS w,
+        |    ((doc_id * 31 + i * 17) % 2003) - 1001 AS v
+        |  FROM (SELECT doc_id, unnest(range(n)) AS i FROM d)),
+        |x AS (SELECT doc_id, w, v,
+        |    lag(v) OVER (PARTITION BY doc_id, w ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, w::BIGINT AS window_idx,
+        |  count(*)::BIGINT AS n_frames,
+        |  round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms,
+        |  coalesce(sum(CASE WHEN pv IS NOT NULL
+        |    AND ((pv >= 0) != (v >= 0)) THEN 1 END), 0)::BIGINT AS zcr,
+        |  max(abs(v))::BIGINT AS peak
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q121_matryoshka" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, bit_count, col, collect_list,
+  count, lit, posexplode, shiftrightunsigned, size}
 
 /** REAL media decode for self-contained formats that need no external
   * codec libraries: PPM (P6) raster images and WAV (RIFF PCM16) audio —
@@ -91,6 +92,138 @@ object Media {
       y += 1
     }
     PpmImage(newW, newH, out)
+  }
+
+  /** Per-pixel gray value scaled by 3 (r+g+b, range 0..765) — integer,
+    * so every downstream comparison is exact and SQL-replicable (no
+    * luma float weights, no /3 rounding choice to match).
+    */
+  def gray3(img: PpmImage): Array[Int] = {
+    val n = img.width * img.height
+    val out = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      out(p) = (img.pixels(3 * p) & 0xff) + (img.pixels(3 * p + 1) & 0xff) +
+        (img.pixels(3 * p + 2) & 0xff)
+      p += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash: nearest-neighbor resize to 8x8, bit p (=y*8+x,
+    * LSB first) set iff pixel p's gray is STRICTLY above the 8x8 mean
+    * (exact integer form: 64*gray3 > sum of all gray3). Robust to
+    * uniform brightness/contrast changes; identical images hash
+    * identically by construction.
+    */
+  def aHash64(img: PpmImage): Long = {
+    val g = gray3(resizeNearest(img, 8, 8))
+    var sum = 0L
+    var p = 0
+    while (p < 64) { sum += g(p); p += 1 }
+    var hash = 0L
+    p = 0
+    while (p < 64) {
+      if (64L * g(p) > sum) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+
+  /** 64-bit difference hash: resize to 9x8, bit p (=y*8+x) set iff
+    * gray(x+1,y) > gray(x,y) — horizontal gradient signs, the classic
+    * dHash. More robust than aHash to global level shifts.
+    */
+  def dHash64(img: PpmImage): Long = {
+    val r = resizeNearest(img, 9, 8)
+    val g = gray3(r)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  final case class ImageHashRecord(id: Long, ahash: Long, dhash: Long)
+
+  /** Perceptual hashes (aHash + dHash) of a binary PPM column —
+    * partition-local decode at the codec boundary, zero shuffle; the
+    * whole image column reduces to 16 bytes/row of hash state.
+    */
+  def imageHashes(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val img = decodePpm(blob)
+        ImageHashRecord(id, aHash64(img), dHash64(img))
+      })
+      .toDF()
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance,
+    * banded like SimHash: the 64-bit hash splits into 4 x 16-bit bands,
+    * so any pair within Hamming distance 3 collides in >=1 band
+    * (pigeonhole) — recall is exact for maxHamming <= 3, no all-pairs
+    * scan. Scale shape is [[Dedup.minHashLshPairs]]: the band
+    * self-join carries (id, hash) only, oversized buckets are dropped
+    * (`maxBucketSize`), pairs dedupe across bands before the exact
+    * Hamming verify. Returns (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def imageHashNearDups(
+      df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3, useDHash: Boolean = true,
+      maxBucketSize: Int = 10000): DataFrame =
+    imageHashNearDupsReleasable(df, idCol, blobCol, maxHamming, useDHash,
+      maxBucketSize)._1
+
+  /** [[imageHashNearDups]] plus a release() thunk for the cached hash
+    * intermediate (same contract as
+    * [[Dedup.minHashLshPairsReleasable]]).
+    */
+  def imageHashNearDupsReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3, useDHash: Boolean = true,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    // decode is the expensive stage and is referenced three times below
+    // (banding + both sides of the pair join) — materialize the 16-byte
+    // hash rows once, never the blobs
+    val hashes = imageHashes(df, idCol, blobCol)
+      .select(col("id"), col(hashCol).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashes.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("h"), 16 * b)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+    val pairs = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids"))
+        .as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nb"))
+      .drop("__nb")
+    val result = pairs
+      .join(hashes.select(col("id").as("id_a"), col("h").as("h_a")),
+        Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("h").as("h_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    (result, () => { hashes.unpersist(blocking = false); () })
   }
 
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
@@ -227,8 +360,77 @@ object Media {
     }
   }
 
+  /** Per-window RMS + zero-crossing count + peak of 16-bit PCM. ZCR
+    * counts frame-to-frame sign flips (sign = `sample >= 0`) per
+    * channel WITHIN the window (a window's first frame has no
+    * predecessor), summed over channels; peak is max |sample| over all
+    * channels. Both are integral, so they are exactly SQL-oracle-able
+    * over the analytic fixtures — no float tolerance needed.
+    */
+  def windowStatsPcm16(
+      blob: Array[Byte], windowFrames: Int)
+      : Seq[(Int, Int, Double, Long, Int)] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val (meta, dataStart, dataLen) = walkWav(blob)
+    require(meta.bitsPerSample == 16, "windowStatsPcm16 requires 16-bit PCM")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ch = meta.channels
+    val nFrames = (dataLen / 2 / ch).toInt
+    def sample(f: Int, c: Int): Int =
+      buf.getShort(dataStart + 2 * (f * ch + c)).toInt
+    (0 until nFrames by windowFrames).map { start =>
+      val end = math.min(nFrames, start + windowFrames)
+      var sumSq = 0L
+      var zcr = 0L
+      var peak = 0
+      var f = start
+      while (f < end) {
+        var c = 0
+        while (c < ch) {
+          val s = sample(f, c)
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (f > start && ((sample(f - 1, c) >= 0) != (s >= 0))) zcr += 1
+          c += 1
+        }
+        f += 1
+      }
+      val n = (end - start) * ch
+      (start / windowFrames, end - start,
+        if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), zcr, peak)
+    }
+  }
+
   final case class WavWindowRecord(
       id: Long, window_idx: Int, n_frames: Int, rms: Double)
+
+  final case class WavWindowStatsRecord(
+      id: Long, window_idx: Int, n_frames: Int, rms: Double,
+      zcr: Long, peak: Int)
+
+  /** Per-window RMS / zero-crossing-rate / peak of a binary WAV column
+    * — one row per (file, window), the frame-level feature triple a
+    * speech-data curation pass filters on (energy + voicedness +
+    * clipping). Partition-local flatMap at the codec boundary like
+    * [[wavWindowRms]]; zero shuffle at any corpus size.
+    */
+  def wavWindowStats(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        windowStatsPcm16(blob, windowFrames).map {
+          case (w, n, rms, zcr, peak) =>
+            WavWindowStatsRecord(id, w, n, rms, zcr, peak)
+        }
+      })
+      .toDF()
+  }
 
   /** Per-window RMS energy of a binary WAV column — one row per
     * (file, window). Partition-local flatMap at the codec boundary,

@@ -75,6 +75,71 @@ class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     b shouldBe 127.0
   }
 
+  test("image hash: brightness invariance, gradient bits, exact-copy " +
+    "identity") {
+    // deterministic 18x16 image (each 9x8 resize cell samples a
+    // DISTINCT source pixel: sx = 2x, sy = 2y)
+    def mkImg(f: (Int, Int) => Int): Media.PpmImage = {
+      val px = new Array[Byte](18 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 18; c <- 0 until 3)
+        px((y * 18 + x) * 3 + c) = ((f(x, y) + 20 * c) % 200).toByte
+      Media.PpmImage(18, 16, px)
+    }
+    val base = mkImg((x, y) => 3 * x + 5 * y)
+    // uniform brightness shift (no byte wrap): both hashes invariant
+    val brighter = Media.PpmImage(18, 16,
+      base.pixels.map(b => ((b & 0xff) + 40).toByte))
+    assert(Media.aHash64(brighter) === Media.aHash64(base))
+    assert(Media.dHash64(brighter) === Media.dHash64(base))
+    // left-to-right monotone gray: every in-row comparison with a
+    // strictly increasing sampled column sets its dHash bit; an 8x8
+    // source resized to 9x8 duplicates column 0 (sx = x*8//9), so
+    // bit x=0 of each row is 0 and bits 1..7 are 1 -> rows of 0xFE
+    val grad = {
+      val px = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        px((y * 8 + x) * 3 + c) = (x * 20).toByte
+      Media.PpmImage(8, 8, px)
+    }
+    assert(Media.dHash64(grad) === java.lang.Long.parseUnsignedLong(
+      "fefefefefefefefe", 16))
+  }
+
+  test("image hash: banded Hamming join recovers planted near-identical " +
+    "and exact copies") {
+    import spark.implicits._
+    def mkBlob(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](18 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 18; c <- 0 until 3)
+        px((y * 18 + x) * 3 + c) = ((f(x, y) + 20 * c) % 200).toByte
+      Media.encodePpm(Media.PpmImage(18, 16, px))
+    }
+    val baseF = (x: Int, y: Int) => 7 * x + 11 * y
+    val base = mkBlob(baseF)
+    // invert ONE sampled source pixel (cell x=2,y=3 samples (4,6)):
+    // at most the two adjacent in-row dHash comparisons flip
+    val near = mkBlob((x, y) =>
+      if (x == 4 && y == 6) 180 - baseF(x, y) else baseF(x, y))
+    val corpus = (0L until 50L).map(id =>
+      (id, Media.synthesizePpm(id))) ++
+      Seq((500L, base), (501L, near), (502L, base.clone()))
+    val df = corpus.toDF("id", "blob")
+    val (pairs, release) =
+      Media.imageHashNearDupsReleasable(df, "id", "blob", maxHamming = 3)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    release()
+    assert(got.contains((500L, 502L)) && got((500L, 502L)) === 0,
+      s"exact copy must pair at hamming 0, got $got")
+    assert(got.contains((500L, 501L)) && got((500L, 501L)) <= 2,
+      s"planted near-identical pair missing or too far: $got")
+    assert(got.contains((501L, 502L)))
+    // hashes themselves: 16 bytes of state per image
+    val hashes = Media.imageHashes(df, "id", "blob")
+    assert(hashes.columns.toSeq === Seq("id", "ahash", "dhash"))
+    assert(hashes.count() === 53L)
+  }
+
   test("wav: encode -> parse round trip with exact header fields") {
     val samples = Array[Short](0, 1000, -1000, 32767, -32768)
     val blob = Media.encodeWavPcm16(44100, 1, samples)
@@ -105,6 +170,43 @@ class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     import spark.implicits._
     val df = Seq((1L, blob)).toDF("id", "blob")
     Media.wavWindowRms(df, "id", "blob", 4).count() shouldBe 3L
+  }
+
+  test("wav: windowed zcr counts in-window sign flips; peak is max |s|") {
+    // samples: +100 -100 +100 +100 -200 | -300 0 -300 +400 -400, window 5
+    // w0 flips: +/-, -/+, (same), +/- -> 3; peak 200
+    // w1 flips: 0 counts as >= 0: -300->0 flip, 0->-300 flip,
+    //   -300->+400 flip, +400->-400 flip -> 4; peak 400
+    val samples = Array[Short](100, -100, 100, 100, -200,
+      -300, 0, -300, 400, -400)
+    val blob = Media.encodeWavPcm16(8000, 1, samples)
+    val got = Media.windowStatsPcm16(blob, 5)
+    got.map(t => (t._1, t._2, t._4, t._5)) shouldBe
+      Seq((0, 5, 3L, 200), (1, 5, 4L, 400))
+    // rms agrees with the rms-only path
+    val rmsOnly = Media.windowRmsPcm16(blob, 5)
+    got.map(_._3) shouldBe rmsOnly.map(_._3)
+    // one big window sees the same 7 flips (the w0/w1 boundary
+    // transition -200 -> -300 is itself a non-flip, so splitting at it
+    // loses nothing here; splitting elsewhere would)
+    val one = Media.windowStatsPcm16(blob, 10)
+    one.head._4 shouldBe 7L
+    // splitting INSIDE flips loses exactly those: windows of 2 cut the
+    // chain at 4 flip transitions, keeping only 3 of the 7
+    Media.windowStatsPcm16(blob, 2).map(_._4).sum shouldBe 3L
+    // stereo: per-channel chains, summed; peak over both channels
+    // ch0: +100 -100 +100 -> 2 flips; ch1: -50 -50 +900 -> 1 flip
+    val st = Media.encodeWavPcm16(8000, 2,
+      Array[Short](100, -50, -100, -50, 100, 900))
+    val sw = Media.windowStatsPcm16(st, 3)
+    sw.map(t => (t._4, t._5)) shouldBe Seq((3L, 900))
+    // DataFrame surface: one row per (file, window), schema pinned
+    import spark.implicits._
+    val df = Seq((7L, blob)).toDF("id", "blob")
+    val out = Media.wavWindowStats(df, "id", "blob", 5)
+    out.columns.toSeq shouldBe
+      Seq("id", "window_idx", "n_frames", "rms", "zcr", "peak")
+    out.count() shouldBe 2L
   }
 
   test("wav: rms of a known square wave") {
