@@ -1671,6 +1671,24 @@ object SparkEntry {
           round(col("novelty"), 6).as("novelty"))
     }),
 
+    "q132_novelty_stored" -> ((s, dir) => {
+      // novelty vs a STORED reference: the reference corpus's distinct
+      // gram hashes live in a CorpusStore bucketed table (written once,
+      // 8 buckets on the hash), so scoring a batch of new documents
+      // shuffles only the batch's grams — the stored side scans
+      // bucketed, exchange-free (plan-pinned in StoredNoveltySpec).
+      // Same semantics as q122's two-frame form; the oracle recomputes
+      // membership from the raw text split.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      ops.TextOps.writeNoveltyReference(
+        docs.filter(col("doc_id") >= 250), "text", n = 8,
+        table = "graft_q132_ref", numBuckets = 8)
+      ops.TextOps.ngramNoveltyStored(docs.filter(col("doc_id") < 250),
+        "graft_q132_ref", "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3610,6 +3628,27 @@ object SparkEntry {
         |    CASE WHEN doc_id % 3 = 0 THEN (SELECT s FROM sfx)
         |      ELSE '' END AS text
         |  FROM base WHERE doc_id % 10 <> 0),
+        |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
+        |rg AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT l, unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM rl)),
+        |pl AS (SELECT doc_id, string_split(text, ' ') AS l FROM probe),
+        |pg AS (SELECT DISTINCT doc_id,
+        |    array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM pl)),
+        |j AS (SELECT pg.doc_id AS doc_id,
+        |    CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END AS novel
+        |  FROM pg LEFT JOIN rg ON pg.g = rg.g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(novel)::BIGINT AS n_novel,
+        |  round(sum(novel)::DOUBLE / count(*), 6) AS novelty
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q132_novelty_stored" ->
+      """WITH ref AS (SELECT text FROM documents WHERE doc_id >= 250),
+        |probe AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 250),
         |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
         |rg AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g
         |  FROM (SELECT l, unnest(range(1, greatest(len(l) - 6, 1))) AS i

@@ -353,6 +353,55 @@ object TextOps {
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** Persist the reference side of [[ngramNovelty]] as a bucketed
+    * gram-hash table ([[graft.io.CorpusStore]]): grams reduce to
+    * distinct 64-bit xxhash64 keys at WRITE time, bucketed + in-bucket
+    * sorted on the hash. Repeated novelty scans against the same
+    * reference corpus then pay its gram extraction + distinct + shuffle
+    * exactly once ever — at 100 TB the reference gram set is
+    * corpus-sized, and re-deriving it per batch of new documents is the
+    * dominant cost this kills.
+    */
+  def writeNoveltyReference(
+      reference: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      table: String,
+      numBuckets: Int): Unit = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    graft.io.CorpusStore.writeBucketed(
+      reference.select(explode(ngrams(col(textCol), n)).as("g"))
+        .select(xxhash64(col("g")).as("gh")).distinct(),
+      table, "gh", numBuckets, Seq("gh"))
+  }
+
+  /** [[ngramNovelty]] against a [[writeNoveltyReference]] table: the
+    * stored gram-hash side scans bucketed (its hash partitioning
+    * reaches the planner), so the membership join shuffles ONLY the
+    * incoming documents' grams — the corpus-sized reference never
+    * re-exchanges (plan-pinned in StoredNoveltySpec). Semantics are
+    * identical to the two-frame form.
+    */
+  def ngramNoveltyStored(
+      docs: org.apache.spark.sql.DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val refGrams = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, table)
+      .withColumn("__seen", lit(1))
+    docs.select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(refGrams, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** TRAIN a fastText-style linear quality classifier in-engine:
     * logistic regression over the hashing-trick mean-pooled features
     * [[linearQualityScore]] scores with — full-batch gradient descent,
