@@ -1689,6 +1689,47 @@ object SparkEntry {
           round(col("novelty"), 6).as("novelty"))
     }),
 
+    "q133_novelty_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING novelty, driver-checked: probe documents arrive on a
+      // MemoryStream and are scored row-locally against a STATIC
+      // broadcast reference gram set — stateless append-mode projection,
+      // no stream-static join, no state store (StreamingNoveltySpec pins
+      // both). The collect below CONSTRUCTS the fixture-scale stream
+      // source; it is not a query-path collect. Fixture: q122's planted
+      // shared-sentence shape on a different document slice.
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val shared = lit(" planted shared sentence for the streaming" +
+        " novelty row okay yes")
+      val reference = base.filter(col("doc_id") % 7 === 0)
+        .select(concat(col("text"), shared).as("text"))
+      val probe = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, shared).otherwise(lit("")))
+            .as("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val refSet = graft.streaming.StreamingNovelty.referenceGrams(
+        reference, "text", n = 8)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val scored = graft.streaming.StreamingNovelty.score(
+        input.toDF().toDF("doc_id", "text"), refSet, "doc_id", "text",
+        n = 8)
+      val name = "q133_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(probe.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("doc_id"), col("n_grams"),
+        col("n_novel"), round(col("novelty"), 6).as("novelty"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3649,6 +3690,34 @@ object SparkEntry {
       """WITH ref AS (SELECT text FROM documents WHERE doc_id >= 250),
         |probe AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id < 250),
+        |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
+        |rg AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT l, unnest(range(1, greatest(len(l) - 6, 1))) AS i
+        |    FROM rl)),
+        |pl AS (SELECT doc_id, string_split(text, ' ') AS l FROM probe),
+        |pg AS (SELECT DISTINCT doc_id,
+        |    array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM pl)),
+        |j AS (SELECT pg.doc_id AS doc_id,
+        |    CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END AS novel
+        |  FROM pg LEFT JOIN rg ON pg.g = rg.g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(novel)::BIGINT AS n_novel,
+        |  round(sum(novel)::DOUBLE / count(*), 6) AS novelty
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q133_novelty_stream" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 300),
+        |sfx AS (SELECT ' planted shared sentence for the streaming' ||
+        |  ' novelty row okay yes' AS s),
+        |ref AS (SELECT text || (SELECT s FROM sfx) AS text
+        |  FROM base WHERE doc_id % 7 = 0),
+        |probe AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN (SELECT s FROM sfx)
+        |      ELSE '' END AS text
+        |  FROM base WHERE doc_id % 7 <> 0),
         |rl AS (SELECT string_split(text, ' ') AS l FROM ref),
         |rg AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS g
         |  FROM (SELECT l, unnest(range(1, greatest(len(l) - 6, 1))) AS i

@@ -166,6 +166,15 @@ package object functions {
       hash: Column): Column =
     col(BloomMightContainBroadcast(bloom, expr(hash)))
 
+  /** EXACT membership of a 64-bit hash in a broadcast sorted long
+    * array — [[bloom_might_contain_bcast]] without false positives,
+    * for sets that fit executor memory (8 bytes/entry).
+    */
+  def in_sorted_long_set_bcast(
+      set: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      hash: Column): Column =
+    col(InSortedLongSetBroadcast(set, expr(hash)))
+
   // --- Frequent items ---
   def freq_items_agg(c: Column, maxMapSize: Int = 128): Column =
     agg(FreqItemsAgg(expr(c), maxMapSize))
