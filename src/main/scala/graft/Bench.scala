@@ -132,7 +132,7 @@ object Bench {
       // gap-based sessionization + per-session stats over the event stream
       "sessionize" -> (() =>
         graft.ops.Sessionize.stats(
-          t("events").withColumn("ts_us", expr("ts div 1000")),
+          t("events").withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))")),
           "user_id", "ts_us", gap = 14400L * 1000000L).count()),
       // per-document tf-idf top terms (tokenize + tf shuffle + broadcast
       // df + bounded top-k)
@@ -402,7 +402,7 @@ object Bench {
     graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
       "doc_id", "text", 2).count()
     graft.ops.Sessionize.stats(
-      t("events").limit(500).withColumn("ts_us", expr("ts div 1000")),
+      t("events").limit(500).withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))")),
       "user_id", "ts_us", gap = 14400L * 1000000L).count()
     graft.ops.Outliers.iqrStats(t("lineitem").limit(1000),
       "l_extendedprice", Seq("l_returnflag")).count()
