@@ -130,10 +130,11 @@ object Bench {
           threshold = 0.8, signBits = 8, bands = 8).count()
       }),
       // gap-based sessionization + per-session stats over the event stream
+      // (ts is TIMESTAMP; Sessionize's schema dispatch does the exact
+      // epoch-micro arithmetic — same plan shape as q50)
       "sessionize" -> (() =>
-        graft.ops.Sessionize.stats(
-          t("events").withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))")),
-          "user_id", "ts_us", gap = 14400L * 1000000L).count()),
+        graft.ops.Sessionize.stats(t("events"),
+          "user_id", "ts", gap = 14400L * 1000000L).count()),
       // per-document tf-idf top terms (tokenize + tf shuffle + broadcast
       // df + bounded top-k)
       "tfidf_topterms" -> (() =>
@@ -387,55 +388,61 @@ object Bench {
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
-    // not the first-call whole-stage-codegen compile of each plan shape
-    t("lineitem").limit(1000).newProfilingSession().aggProfiles().count()
-    Dedup.minHashLshPairs(t("documents").limit(200), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleK = 2).count()
-    Dedup.simHash(col("text")) // expression construction only
-    t("documents").limit(200).select(Dedup.simHash(col("text"))).count()
+    // not the first-call whole-stage-codegen compile of each plan shape.
+    // Every warm statement is individually shielded: a warmup failure
+    // must never abort the run (the r11 artifact was a crash log because
+    // ONE unguarded warmup expression failed analysis) — the timed loop
+    // below records the real failure per-row.
+    def warm(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup failed (non-fatal): $e")
+      }
+    warm(t("lineitem").limit(1000).newProfilingSession().aggProfiles().count())
+    warm(Dedup.minHashLshPairs(t("documents").limit(200), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2).count())
+    warm(t("documents").limit(200).select(Dedup.simHash(col("text"))).count())
     val warmEmb = t("embeddings").limit(100)
-    Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 2).count()
-    Similarity.ivfPqTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
+    warm(Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 2).count())
+    warm(Similarity.ivfPqTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 2, nCentroids = 4, nProbe = 2,
-      m = 8, ksub = 4, rerank = 5).count()
-    graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
-      "doc_id", "text", 2).count()
-    graft.ops.Sessionize.stats(
-      t("events").limit(500).withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))")),
-      "user_id", "ts_us", gap = 14400L * 1000000L).count()
-    graft.ops.Outliers.iqrStats(t("lineitem").limit(1000),
-      "l_extendedprice", Seq("l_returnflag")).count()
-    graft.ops.TextOps.unigramPerplexity(t("documents").limit(200),
-      "doc_id", "text").count()
+      m = 8, ksub = 4, rerank = 5).count())
+    warm(graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
+      "doc_id", "text", 2).count())
+    warm(graft.ops.Sessionize.stats(t("events").limit(500),
+      "user_id", "ts", gap = 14400L * 1000000L).count())
+    warm(graft.ops.Outliers.iqrStats(t("lineitem").limit(1000),
+      "l_extendedprice", Seq("l_returnflag")).count())
+    warm(graft.ops.TextOps.unigramPerplexity(t("documents").limit(200),
+      "doc_id", "text").count())
     val warmDocs = t("documents").limit(200).select(col("doc_id"), col("text"))
-    Dedup.ngramContamination(warmDocs, warmDocs.limit(20), "doc_id", "text",
-      n = 8, minShared = 3).count()
-    locally {
+    warm(Dedup.ngramContamination(warmDocs, warmDocs.limit(20), "doc_id",
+      "text", n = 8, minShared = 3).count())
+    warm {
       val (p, rel) = graft.ops.Packing.packSequencesReleasable(
         warmDocs.select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tok")),
         "doc_id", "n_tok", "doc_id", budget = 2048L)
       p.count(); rel()
     }
-    graft.ops.TextOps.bigramPerplexity(warmDocs, "doc_id", "text").count()
-    Dedup.semDedupSurvivors(warmEmb, "vec_id", "embedding",
-      threshold = 0.99, nCentroids = 4).count()
-    graft.ops.Sampling.temperatureMix(t("documents").limit(200), "doc_id",
-      "source", targetFraction = 0.5, temperature = 0.5).count()
-    Dedup.duplicatedSpans(warmDocs, "doc_id", "text",
-      windowTokens = 8, minDocs = 2).count()
-    locally {
+    warm(graft.ops.TextOps.bigramPerplexity(warmDocs, "doc_id", "text").count())
+    warm(Dedup.semDedupSurvivors(warmEmb, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 4).count())
+    warm(graft.ops.Sampling.temperatureMix(t("documents").limit(200), "doc_id",
+      "source", targetFraction = 0.5, temperature = 0.5).count())
+    warm(Dedup.duplicatedSpans(warmDocs, "doc_id", "text",
+      windowTokens = 8, minDocs = 2).count())
+    warm {
       val (semi, rel) = Dedup.bloomSemiJoinReleasable(warmDocs,
         warmDocs.limit(20), "text", numBits = 1L << 16, numHashFns = 5)
       semi.count(); rel()
     }
-    graft.ops.TextOps.bm25TopK(warmDocs, "doc_id", "text",
+    warm(graft.ops.TextOps.bm25TopK(warmDocs, "doc_id", "text",
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 40).as("qtext")),
-      "query_id", "qtext", k = 3).count()
-    hcDocs.count() // materialize the persisted fixtures OUTSIDE timing
-    mlDocs.count()
+      "query_id", "qtext", k = 3).count())
+    warm(hcDocs.count()) // materialize the persisted fixtures OUTSIDE timing
+    warm(mlDocs.count())
 
     def loadavg1m(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString

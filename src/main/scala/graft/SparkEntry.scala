@@ -484,8 +484,10 @@ object SparkEntry {
       // profile aggregation runs as a real streaming query into a memory
       // sink. Day windows over event time must reproduce the batch GROUP
       // BY day answer.
-      val rows = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(expr("ts div 1000").as("us"), col("user_id"), col("value"))
+      val evd = t(s, dir, "events").filter(col("user_id") < 50)
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"),
+          col("user_id"), col("value"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Double)]
@@ -518,8 +520,9 @@ object SparkEntry {
       // result independent of which arrival each key emitted (and of
       // any re-emission after state eviction), so the set of keys is
       // exactly batch DISTINCT — the oracle.
-      val rows = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(expr("ts div 1000").as("us"), col("user_id"),
+      val evd = t(s, dir, "events").filter(col("user_id") < 50)
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"), col("user_id"),
           col("event_type"))
         .orderBy(col("us"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -553,8 +556,9 @@ object SparkEntry {
       // projection (no stream-static join). The collect below CONSTRUCTS
       // the fixture-scale stream source; it is not a query-path collect.
       // Day windows stay under KLL capacity, so PSI is sketch-exact.
-      val base = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(expr("ts div 1000").as("us"), col("value"))
+      val evd = t(s, dir, "events").filter(col("user_id") < 50)
+      val base = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"), col("value"))
       val rows = base.collect().map(r => (r.getLong(0), r.getDouble(1)))
       val reference = base
         .withColumn("ts", timestamp_micros(col("us")))
@@ -732,15 +736,11 @@ object SparkEntry {
     // ---- q5x: pipeline utilities (sessionize / sample / outliers /
     //           pii / tf-idf) ----
     "q50_sessionize" -> ((s, dir) => {
-      // events.ts arrives as raw epoch-nanos longs (nanosAsLong); the
-      // oracle engine truncates timestamps to micros, so compare at micro
-      // resolution on both sides (integer div — a double cast of an
-      // epoch-nanos value would lose precision above 2^53)
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-      graft.ops.Sessionize.stats(ev, "user_id", "ts_us",
+      // events.ts is parquet TIMESTAMP_MICROS (read as TIMESTAMP_NTZ);
+      // Sessionize's schema dispatch compares it as exact epoch-micro
+      // integers, matching the oracle's epoch_us(ts). gap is in micros.
+      graft.ops.Sessionize.stats(t(s, dir, "events"), "user_id", "ts",
         gap = 14400L * 1000000L)
-        .drop("ts_us")
     }),
 
     "q51_sample_bottomk" -> ((s, dir) => {
@@ -2878,9 +2878,9 @@ object SparkEntry {
         |s AS (SELECT h.doc_id AS doc_id, w.lng AS lng,
         |    sum(w.w) / count(*) AS logit
         |  FROM h JOIN w ON h.b = w.b GROUP BY 1, 2),
-        |p AS (SELECT doc_id, lng, logit, round(logit, 6) AS rl,
+        |p AS (SELECT doc_id, lng, logit, round(logit, 6) + 0.0 AS rl,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY round(logit, 6) DESC, lng ASC) AS rn
+        |      ORDER BY round(logit, 6) + 0.0 DESC, lng ASC) AS rn
         |  FROM s)
         |SELECT doc_id,
         |  max(CASE WHEN rn = 1 THEN lng END) AS pred_lang,

@@ -117,7 +117,8 @@ object Joins {
       rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     val mm = right
-      .agg(min(col(rightTime).cast("double")), max(col(rightTime).cast("double")))
+      .agg(min(EventTime.seconds(right, rightTime)),
+        max(EventTime.seconds(right, rightTime)))
       .head()
     if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
       asOfJoinWindowed(left, right, key, leftTime, rightTime, payloadCols)
@@ -196,8 +197,10 @@ object Joins {
     *    strictly before t (any right row there is strictly earlier in
     *    time than the whole of bucket t, so the as-of ordering holds).
     *
-    * `bucketWidth` is in the units of `timeCol.cast("double")` — seconds
-    * for timestamps. Choose it so a hot key's densest bucket fits a task
+    * `bucketWidth` is in the units of [[EventTime.seconds]] — seconds
+    * for timestamp columns (micro-precision, ANSI-safe via `unix_micros`
+    * rather than a timestamp→double cast), the raw value for numeric
+    * time columns. Choose it so a hot key's densest bucket fits a task
     * comfortably; correctness does not depend on the choice. Rows with a
     * NULL left time get NULL payloads (same as [[asOfJoin]]).
     */
@@ -215,18 +218,20 @@ object Joins {
     val leftCols = left.columns.toSeq
     val pType = StructType(payloadCols.map(c => right.schema(c)))
     def bucketOf(t: Column): Column =
-      floor(t.cast("double") / lit(bucketWidth)).cast("long")
+      floor(t / lit(bucketWidth)).cast("long")
+    val lSecs = EventTime.seconds(left, leftTime)
+    val rSecs = EventTime.seconds(right, rightTime)
 
     // pass 1: within-bucket as-of — the asOfJoin union+window shape with
     // the bucket id added to BOTH the window partition key and the union,
     // spreading a hot key across its buckets
     val lAll = left
-      .withColumn("__t", col(leftTime).cast("double"))
-      .withColumn("__bucket", bucketOf(col(leftTime)))
+      .withColumn("__t", lSecs)
+      .withColumn("__bucket", bucketOf(lSecs))
       .withColumn("__isLeft", lit(true))
       .withColumn("__p", lit(null).cast(pType))
-    val rTagged = right.select(col(key), col(rightTime).cast("double").as("__t"),
-      bucketOf(col(rightTime)).as("__bucket"),
+    val rTagged = right.select(col(key), rSecs.as("__t"),
+      bucketOf(rSecs).as("__bucket"),
       lit(false).as("__isLeft"), struct(payloadCols.map(col): _*).as("__p"))
     val rAll = leftCols.filterNot(_ == key).foldLeft(rTagged)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -247,7 +252,7 @@ object Joins {
       .agg(max_by(col("__p"), col("__t")).as("__p"))
       .withColumn("__fromRight", lit(true))
     val leftBuckets = left
-      .select(col(key), bucketOf(col(leftTime)).as("__bucket")).distinct()
+      .select(col(key), bucketOf(lSecs).as("__bucket")).distinct()
       .withColumn("__p", lit(null).cast(pType))
       .withColumn("__fromRight", lit(false))
     val wCarry = Window.partitionBy(col(key))

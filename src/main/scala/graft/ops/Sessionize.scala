@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Gap-based sessionization of event streams: a session is a maximal run
   * of a user's events where consecutive gaps stay within `gap` time units.
@@ -23,23 +22,7 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 object Sessionize {
 
   private def timeUnits(df: DataFrame, tsCol: String): Column =
-    df.schema(tsCol).dataType match {
-      case TimestampType => unix_micros(col(tsCol))
-      // unix_micros rejects TIMESTAMP_NTZ, and casting to TIMESTAMP
-      // interprets the wall clock in the SESSION timezone — under a
-      // DST-observing zone that shift is not constant, so gaps spanning a
-      // transition would distort and sessions could split/merge wrongly.
-      // Decompose the wall clock into date + time-of-day fields instead:
-      // pure field extraction, no instant conversion, timezone-independent.
-      case TimestampNTZType =>
-        val ts = col(tsCol)
-        unix_date(ts.cast(DateType)).cast("long") * lit(86400000000L) +
-          date_part(lit("HOUR"), ts).cast("long") * lit(3600000000L) +
-          date_part(lit("MINUTE"), ts).cast("long") * lit(60000000L) +
-          (date_part(lit("SECOND"), ts).cast("decimal(16,6)") *
-            lit(1000000)).cast("long")
-      case _ => col(tsCol).cast("long")
-    }
+    EventTime.micros(df, tsCol)
 
   /** Adds `session_seq` (1-based per user, time-ordered): a new session
     * starts at the user's first event and whenever the gap since the
