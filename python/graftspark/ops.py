@@ -576,3 +576,94 @@ def quality_classifier(train: DataFrame, score: DataFrame, id_col: str,
     return _to_py_df(_jvm_bridge(train).trainAndScoreQuality(
         train._jdf, score._jdf, id_col, text_col, label_col,
         int(n_buckets), int(epochs), float(lr)), train)
+
+
+def lang_id_trained(train: DataFrame, score: DataFrame, id_col: str,
+                    text_col: str, lang_col: str, langs: List[str],
+                    n_buckets: int = 4096, epochs: int = 1,
+                    lr: float = 1.0) -> DataFrame:
+    """Train one-vs-rest hashed language-ID models IN-ENGINE on the
+    labeled ``train`` frame (all K classes train in ONE bounded
+    aggregate per epoch), then score ``score`` row-locally against the
+    broadcast weights — zero shuffle at scoring time. Output: id,
+    pred_lang ('und' for empty text), one logit column per language."""
+    return _to_py_df(_jvm_bridge(train).trainAndScoreLangId(
+        train._jdf, score._jdf, id_col, text_col, lang_col,
+        list(langs), int(n_buckets), int(epochs), float(lr)), train)
+
+
+def image_hashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """aHash64 + dHash64 perceptual hashes of a PPM image blob column
+    (exact integer forms, partition-local decode). Output: id, ahash,
+    dhash."""
+    return _to_py_df(_jvm_bridge(df).imageHashes(
+        df._jdf, id_col, blob_col), df)
+
+
+def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
+                         max_hamming: int = 3, use_dhash: bool = True,
+                         max_bucket_size: int = 10000) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    banded into 4 x 16-bit bands (recall exact for ``max_hamming`` <= 3
+    by pigeonhole; blobs never shuffle — only 16-byte hash rows do).
+    Output: id_a, id_b, hamming with id_a < id_b."""
+    return _to_py_df(_jvm_bridge(df).imageHashNearDups(
+        df._jdf, id_col, blob_col, int(max_hamming), bool(use_dhash),
+        int(max_bucket_size)), df)
+
+
+def wav_window_stats(df: DataFrame, id_col: str, blob_col: str,
+                     window_frames: int) -> DataFrame:
+    """Windowed audio stats of a PCM16 WAV blob column: per-window RMS,
+    per-channel zero-crossing count, and peak amplitude (JVM codec,
+    partition-local, one row per (file, window))."""
+    return _to_py_df(_jvm_bridge(df).wavWindowStats(
+        df._jdf, id_col, blob_col, int(window_frames)), df)
+
+
+def write_novelty_reference(reference: DataFrame, text_col: str,
+                            table: str, n: int = 8,
+                            num_buckets: int = 64) -> None:
+    """Persist a reference corpus's distinct n-gram hashes as a bucketed
+    store table: pay the reference's gram extraction + distinct +
+    shuffle ONCE, then score any number of incoming batches against it
+    with ``ngram_novelty_stored`` (the reference never re-exchanges)."""
+    _jvm_bridge(reference).writeNoveltyReference(
+        reference._jdf, text_col, int(n), table, int(num_buckets))
+
+
+def ngram_novelty_stored(docs: DataFrame, table: str, id_col: str,
+                         text_col: str, n: int = 8) -> DataFrame:
+    """Per-document n-gram novelty against a stored
+    ``write_novelty_reference`` table — same semantics as
+    ``ngram_novelty``, but the corpus-sized reference side scans
+    bucketed and only the incoming documents' grams shuffle. Output:
+    id, n_grams, n_novel, novelty."""
+    return _to_py_df(_jvm_bridge(docs).ngramNoveltyStored(
+        docs._jdf, table, id_col, text_col, int(n)), docs)
+
+
+def novelty_score_broadcast(docs: DataFrame, reference: DataFrame,
+                            id_col: str, text_col: str,
+                            n: int = 8) -> DataFrame:
+    """Row-local novelty scoring against a broadcast reference gram set
+    — the streaming-safe form (stateless append-mode projection; works
+    on batch AND streaming frames). The reference is collected once at
+    call time, so use it for eval-set-sized references;
+    ``ngram_novelty_stored`` is the corpus-scale path. Output: id,
+    n_grams, n_novel, novelty."""
+    return _to_py_df(_jvm_bridge(reference).noveltyScoreBroadcast(
+        docs._jdf, reference._jdf, id_col, text_col, int(n)), docs)
+
+
+def doremi_weights(df: DataFrame, domain_col: str, proxy_loss_col: str,
+                   ref_loss_col: str, eta: float = 1.0, steps: int = 10,
+                   smoothing: float = 0.1) -> DataFrame:
+    """DoReMi-lite domain mixture weights (Xie et al. 2023): a
+    deterministic fixed-iteration multiplicative-weights update over
+    per-domain mean excess loss (clipped at 0), smoothed toward uniform
+    each step. One K-row aggregate over the corpus; the iteration runs
+    on K doubles. Output: domain, excess, weight (weights sum to 1)."""
+    return _to_py_df(_jvm_bridge(df).doremiWeights(
+        df._jdf, domain_col, proxy_loss_col, ref_loss_col, float(eta),
+        int(steps), float(smoothing)), df)

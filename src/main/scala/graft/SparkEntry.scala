@@ -1730,6 +1730,24 @@ object SparkEntry {
         col("n_novel"), round(col("novelty"), 6).as("novelty"))
     }),
 
+    "q134_doremi_weights" -> ((s, dir) => {
+      // DoReMi-lite mixture weights over the documents corpus: per-doc
+      // proxy loss = ln(1+chars), reference loss = ln(1+tokens) —
+      // deterministic stand-ins for upstream perplexity scorers whose
+      // per-source excess (≈ avg log token length) genuinely differs by
+      // source. One K-row aggregate, then the fixed 10-step
+      // multiplicative-weights iteration on the driver.
+      val d = t(s, dir, "documents").select(col("source"),
+        log(lit(1.0) + length(col("text")).cast("double")).as("lp"),
+        log(lit(1.0) + size(split(col("text"), " ")).cast("double"))
+          .as("lr"))
+      ops.Sampling.doremiWeights(d, "source", "lp", "lr",
+          eta = 1.0, steps = 10, smoothing = 0.1)
+        .select(col("domain").as("source"),
+          round(col("excess"), 6).as("excess"),
+          round(col("weight"), 6).as("weight"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3734,6 +3752,28 @@ object SparkEntry {
         |  sum(novel)::BIGINT AS n_novel,
         |  round(sum(novel)::DOUBLE / count(*), 6) AS novelty
         |FROM j GROUP BY 1""".stripMargin,
+
+    // the 10-step multiplicative-weights iteration is unrolled (w0..w10):
+    // each step renormalizes across the K domains and remixes with
+    // uniform, exactly the Scala driver loop's arithmetic
+    "q134_doremi_weights" ->
+      ("""WITH e AS (SELECT source AS domain,
+        |    avg(greatest(ln(1 + length(text))
+        |      - ln(1 + len(string_split(text, ' '))), 0)) AS excess
+        |  FROM documents GROUP BY 1),
+        |w0 AS (SELECT domain, excess,
+        |    1.0 / (count(*) OVER ()) AS w FROM e),
+        |""".stripMargin +
+        (1 to 10).map(i =>
+          s"""w$i AS (SELECT domain, excess,
+            |    (1 - 0.1) * (w * exp(excess))
+            |      / (sum(w * exp(excess)) OVER ())
+            |      + 0.1 / (count(*) OVER ()) AS w FROM w${i - 1}),
+            |""".stripMargin).mkString +
+        """sel AS (SELECT * FROM w10)
+        |SELECT domain AS source, round(excess, 6) AS excess,
+        |  round(w, 6) AS weight
+        |FROM sel""".stripMargin),
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

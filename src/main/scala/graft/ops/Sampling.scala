@@ -272,4 +272,63 @@ object Sampling {
     df.join(aliased, cond, "left_semi")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** DoReMi-lite domain reweighting (after Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429): a fixed-iteration multiplicative-weights update
+    * over per-domain excess loss. Full DoReMi retrains a proxy model
+    * between updates; the lite form takes the per-example proxy and
+    * reference losses as COLUMNS (computed by any upstream scorer —
+    * perplexity, quality classifier, …) and runs the deterministic
+    * minimax update on their per-domain means:
+    *
+    *   e_k        = mean over domain k of max(proxyLoss - refLoss, 0)
+    *   a_k        = w_k * exp(eta * e_k)         (multiplicative step)
+    *   w'_k       = (1-smoothing) * a_k / Σa  +  smoothing / K
+    *
+    * iterated `steps` times from the uniform mixture. The smoothing
+    * remix each step is what makes iteration genuinely sequential (and
+    * matches DoReMi's uniform-smoothed update, §3 step 2).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus
+    * produces K rows (K = training domains — tens, never data-scale);
+    * the iteration is driver-side arithmetic on K doubles. Returns
+    * (domain, excess, weight), weights summing to 1.
+    */
+  def doremiWeights(
+      df: DataFrame,
+      domainCol: String,
+      proxyLossCol: String,
+      refLossCol: String,
+      eta: Double = 1.0,
+      steps: Int = 10,
+      smoothing: Double = 0.1): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0,1), got $smoothing")
+    val spark = df.sparkSession
+    // bounded collect: K rows, K = distinct domains of a training mixture
+    val ex = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(avg(greatest(col(proxyLossCol) - col(refLossCol), lit(0.0)))
+        .as("excess"))
+      .orderBy(col("domain"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getDouble(1)))
+    val k = ex.length
+    require(k >= 1, "doremiWeights needs at least one domain")
+    val e = ex.map(_._2)
+    var w = Array.fill(k)(1.0 / k)
+    var step = 0
+    while (step < steps) {
+      val a = Array.tabulate(k)(j => w(j) * math.exp(eta * e(j)))
+      val z = a.sum
+      w = a.map(x => (1 - smoothing) * x / z + smoothing / k)
+      step += 1
+    }
+    import spark.implicits._
+    ex.zip(w).map { case ((d, exc), wt) => (d, exc, wt) }
+      .toSeq.toDF("domain", "excess", "weight")
+  }
 }

@@ -555,4 +555,71 @@ object PyBridge {
     df.withColumn("ks", graft.ops.Drift.ks(
       df.col(aCol), df.col(bCol), edges.asScala.toSeq.map(_.doubleValue())))
   }
+
+  /** Train the one-vs-rest hashed language-ID models on a labeled frame
+    * and score another frame with them (pred_lang + per-language logits).
+    */
+  def trainAndScoreLangId(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      langs: java.util.List[String], nBuckets: Int, epochs: Int,
+      lr: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val models = graft.ops.TextOps.trainLangIdOneVsRest(train, textCol,
+      langCol, langs.asScala.toSeq, nBuckets, epochs, lr)
+    graft.ops.TextOps.langIdTrained(score, idCol, textCol, models, nBuckets)
+  }
+
+  /** aHash64 + dHash64 perceptual hashes of a PPM image blob column. */
+  def imageHashes(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.imageHashes(df, idCol, blobCol)
+
+  /** Near-duplicate image pairs by banded perceptual-hash Hamming
+    * distance (exact recall for maxHamming <= 3).
+    */
+  def imageHashNearDups(df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int, useDHash: Boolean, maxBucketSize: Int): DataFrame =
+    graft.ops.Media.imageHashNearDups(df, idCol, blobCol, maxHamming,
+      useDHash, maxBucketSize)
+
+  /** Windowed RMS / per-channel zero-crossing / peak stats of a PCM16
+    * WAV blob column.
+    */
+  def wavWindowStats(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): DataFrame =
+    graft.ops.Media.wavWindowStats(df, idCol, blobCol, windowFrames)
+
+  /** Persist a reference corpus's distinct gram hashes as a bucketed
+    * store table for [[ngramNoveltyStored]].
+    */
+  def writeNoveltyReference(reference: DataFrame, textCol: String,
+      n: Int, table: String, numBuckets: Int): Unit =
+    graft.ops.TextOps.writeNoveltyReference(reference, textCol, n, table,
+      numBuckets)
+
+  /** Per-document n-gram novelty against a stored
+    * [[writeNoveltyReference]] table (reference side never re-shuffles).
+    */
+  def ngramNoveltyStored(docs: DataFrame, table: String, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    graft.ops.TextOps.ngramNoveltyStored(docs, table, idCol, textCol, n)
+
+  /** Row-local novelty scoring against a broadcast reference gram set —
+    * the streaming-safe form (works on batch AND streaming frames; the
+    * reference is collected once at call time).
+    */
+  def noveltyScoreBroadcast(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val ref = graft.streaming.StreamingNovelty.referenceGrams(
+      reference, textCol, n)
+    graft.streaming.StreamingNovelty.score(docs, ref, idCol, textCol, n)
+  }
+
+  /** DoReMi-lite domain mixture weights from per-example proxy and
+    * reference loss columns.
+    */
+  def doremiWeights(df: DataFrame, domainCol: String,
+      proxyLossCol: String, refLossCol: String, eta: Double, steps: Int,
+      smoothing: Double): DataFrame =
+    graft.ops.Sampling.doremiWeights(df, domainCol, proxyLossCol,
+      refLossCol, eta, steps, smoothing)
 }

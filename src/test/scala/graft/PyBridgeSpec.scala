@@ -80,4 +80,92 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     segs shouldBe a[ju.List[_]]
     segs.forEach(s => orders.columns should contain(s))
   }
+
+  private def documents: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("bridge lang-ID train+score equals the Scala two-step path") {
+    val docs = documents.select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("lang").isin("en", "de")).limit(120)
+    val viaBridge = PyBridge.trainAndScoreLangId(docs, docs, "doc_id",
+        "text", "lang", jList("de", "en"), 1024, 1, 1.0)
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(_.toSeq).toSet
+    val models = graft.ops.TextOps.trainLangIdOneVsRest(docs, "text",
+      "lang", Seq("de", "en"), 1024, 1, 1.0)
+    val viaScala = graft.ops.TextOps.langIdTrained(docs, "doc_id", "text",
+        models, 1024)
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe viaScala
+    viaBridge should not be empty
+  }
+
+  test("bridge image hashes + near-dup pairs run end to end") {
+    import spark.implicits._
+    val base = graft.ops.Media.synthesizePpm(7L)
+    val df = ((0L until 20L).map(id =>
+      (id, graft.ops.Media.synthesizePpm(id))) ++
+      Seq((500L, base.clone()))).toDF("id", "blob")
+    val hashes = PyBridge.imageHashes(df, "id", "blob")
+    hashes.columns.toSeq shouldBe Seq("id", "ahash", "dhash")
+    hashes.count() shouldBe 21L
+    val pairs = PyBridge.imageHashNearDups(df, "id", "blob", 3, true, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs((7L, 500L)) shouldBe 0
+  }
+
+  test("bridge wavWindowStats equals the Scala call") {
+    import spark.implicits._
+    val blob = graft.ops.Media.encodeWavPcm16(8000, 1,
+      Array.tabulate[Short](100)(i => if (i % 4 < 2) 900 else -900))
+    val df = Seq((1L, blob)).toDF("id", "blob")
+    val viaBridge = PyBridge.wavWindowStats(df, "id", "blob", 25)
+      .collect().map(_.toSeq).toSet
+    val viaScala = graft.ops.Media.wavWindowStats(df, "id", "blob", 25)
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe viaScala
+    viaBridge should have size 4
+  }
+
+  test("bridge stored-novelty write + score equals the two-frame form") {
+    val docs = documents.select(col("doc_id"), col("text")).limit(200)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val probe = docs.filter(col("doc_id") % 3 =!= 0)
+    PyBridge.writeNoveltyReference(ref, "text", 8,
+      "graft_pybridge_novelty_ref", 4)
+    val viaStore = PyBridge.ngramNoveltyStored(probe,
+        "graft_pybridge_novelty_ref", "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.TextOps.ngramNovelty(probe, ref, "doc_id",
+        "text", 8)
+      .collect().map(_.toSeq).toSet
+    viaStore shouldBe direct
+    viaStore should not be empty
+  }
+
+  test("bridge broadcast novelty equals the two-frame form") {
+    val docs = documents.select(col("doc_id"), col("text")).limit(200)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val probe = docs.filter(col("doc_id") % 3 =!= 0)
+    val viaBridge = PyBridge.noveltyScoreBroadcast(probe, ref, "doc_id",
+        "text", 8)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.TextOps.ngramNovelty(probe, ref, "doc_id",
+        "text", 8)
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe direct
+  }
+
+  test("bridge doremiWeights equals the Scala call") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0, 1.0), ("b", 1.0, 1.5), ("c", 3.0, 1.0))
+      .toDF("dom", "lp", "lr")
+    val viaBridge = PyBridge.doremiWeights(df, "dom", "lp", "lr",
+      1.0, 10, 0.1).collect().map(_.toSeq).toSet
+    val viaScala = graft.ops.Sampling.doremiWeights(df, "dom", "lp", "lr",
+      1.0, 10, 0.1).collect().map(_.toSeq).toSet
+    viaBridge shouldBe viaScala
+    viaBridge should have size 3
+  }
 }

@@ -976,4 +976,44 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         math.round(x.getDouble(2) * 1e9))).toSet
     a shouldBe b
   }
+
+  test("doremiWeights: one step, no smoothing matches the closed form") {
+    import spark.implicits._
+    // domain a: excess (2-1)=1 on both rows; domain b: 1-1.5 clips to 0
+    val df = Seq(("a", 2.0, 1.0), ("a", 2.0, 1.0), ("b", 1.0, 1.5))
+      .toDF("dom", "lp", "lr")
+    val got = Sampling.doremiWeights(df, "dom", "lp", "lr",
+        eta = 1.0, steps = 1, smoothing = 0.0)
+      .orderBy("domain").collect()
+    got.map(_.getString(0)) shouldBe Array("a", "b")
+    got.map(_.getDouble(1)) shouldBe Array(1.0, 0.0)
+    // from uniform: w_a = e / (e + 1), w_b = 1 / (e + 1)
+    val e = math.exp(1.0)
+    got(0).getDouble(2) shouldBe (e / (e + 1)) +- 1e-12
+    got(1).getDouble(2) shouldBe (1 / (e + 1)) +- 1e-12
+  }
+
+  test("doremiWeights: zero excess everywhere stays uniform") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 2.0), ("b", 1.0, 1.0), ("c", 0.5, 0.9))
+      .toDF("dom", "lp", "lr")
+    val got = Sampling.doremiWeights(df, "dom", "lp", "lr",
+        eta = 2.0, steps = 7, smoothing = 0.1)
+      .collect().map(_.getDouble(2))
+    got.foreach(_ shouldBe (1.0 / 3) +- 1e-12)
+  }
+
+  test("doremiWeights: smoothing floors every domain, weights sum to 1," +
+      " hottest excess wins") {
+    import spark.implicits._
+    val df = Seq(("hot", 5.0, 1.0), ("warm", 2.0, 1.0), ("cold", 1.0, 1.0))
+      .toDF("dom", "lp", "lr")
+    val rows = Sampling.doremiWeights(df, "dom", "lp", "lr",
+        eta = 1.0, steps = 25, smoothing = 0.2)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    rows.values.sum shouldBe 1.0 +- 1e-9
+    rows.values.foreach(_ should be >= 0.2 / 3 - 1e-12)
+    rows("hot") should be > rows("warm")
+    rows("warm") should be > rows("cold")
+  }
 }
