@@ -667,3 +667,18 @@ def doremi_weights(df: DataFrame, domain_col: str, proxy_loss_col: str,
     return _to_py_df(_jvm_bridge(df).doremiWeights(
         df._jdf, domain_col, proxy_loss_col, ref_loss_col, float(eta),
         int(steps), float(smoothing)), df)
+
+
+def apply_mixture_weights(df: DataFrame, domain_col: str, id_col: str,
+                          weights: DataFrame, target_fraction: float,
+                          weight_domain_col: str = "domain",
+                          weight_col: str = "weight") -> DataFrame:
+    """Resample a corpus toward a target domain mixture: each domain
+    keeps the deterministic id-hash fraction min(1, f*N*w_k/n_k), so
+    survivors approximate ``target_fraction * N`` rows distributed as
+    the weights (``doremi_weights`` output plugs in directly). Domains
+    absent from ``weights`` are dropped; the corpus-side filter is
+    map-only."""
+    return _to_py_df(_jvm_bridge(df).applyMixtureWeights(
+        df._jdf, domain_col, id_col, weights._jdf,
+        float(target_fraction), weight_domain_col, weight_col), df)

@@ -92,9 +92,10 @@ def test_sessionize_and_sampling():
 
     events = _get_spark().read.parquet(os.path.join(SF_DIR, "events.parquet"))
     user_col, ts_col = "user_id", "ts"
-    # ts reads as raw epoch-nanos long (nanosAsLong) -> gap in nanos
+    # ts is parquet TIMESTAMP_MICROS (read as TIMESTAMP_NTZ); the
+    # engine's schema dispatch compares exact epoch-micros -> gap in us
     sessions = ops.sessionize(events, user_col, ts_col,
-                              gap=30 * 60 * 1_000_000_000)
+                              gap=30 * 60 * 1_000_000)
     assert sessions.count() == events.count()
     assert sessions.agg(F.min("session_seq")).collect()[0][0] == 1
 
@@ -350,6 +351,7 @@ def main():
     test_round5_curation_ops()
     test_round6_scaling_validation_pq()
     test_round7_corpus_filters()
+    test_round12_mixture_media_novelty()
     print("ALL OPS TESTS PASSED")
 
 
@@ -423,6 +425,79 @@ def test_round7_corpus_filters():
     assert srep["y"]["type_changed"] == 0
     print("round-7 corpus filters: gopher/c4/chunks/psi/jsd/dsir/redact/"
           "schema OK")
+
+
+def _ppm_blob(seed):
+    px = bytes(((x * 7 + y * 11 + c * 20 + seed * 13) % 200)
+               for y in range(8) for x in range(8) for c in range(3))
+    return b"P6\n8 8\n255\n" + px
+
+
+def _wav_blob(samples, rate=8000):
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_round12_mixture_media_novelty():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    spark = _get_spark()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    # DoReMi-lite weights sum to 1; the mixture resampler keeps a strict
+    # subset distributed over every weighted domain
+    d = docs.select("source",
+                    F.log(1.0 + F.length("text")).alias("lp"),
+                    F.log(1.0 + F.size(F.split("text", " "))).alias("lr"))
+    w = ops.doremi_weights(d, "source", "lp", "lr")
+    ws = {r["domain"]: r["weight"] for r in w.collect()}
+    assert abs(sum(ws.values()) - 1.0) < 1e-9
+    mixed = ops.apply_mixture_weights(docs, "source", "doc_id", w, 0.3)
+    assert 0 < mixed.count() < docs.count()
+
+    # trained one-vs-rest language id
+    labeled = docs.select("doc_id", "text", "lang").filter(
+        F.col("lang").isin("en", "de")).filter("doc_id < 400")
+    scored = ops.lang_id_trained(labeled, labeled, "doc_id", "text",
+                                 "lang", ["de", "en"], epochs=2)
+    assert {"doc_id", "pred_lang"} <= set(scored.columns)
+    assert scored.count() == labeled.count()
+
+    # perceptual image hashes; the planted exact copy pairs at hamming 0
+    blobs = [(i, _ppm_blob(i)) for i in range(10)] + [(100, _ppm_blob(3))]
+    bdf = spark.createDataFrame(blobs, ["id", "blob"])
+    assert ops.image_hashes(bdf, "id", "blob").count() == 11
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in ops.image_hash_near_dups(bdf, "id", "blob").collect()}
+    assert pairs.get((3, 100)) == 0, pairs
+
+    # windowed audio stats of a square wave
+    sq = [900 if i % 4 < 2 else -900 for i in range(100)]
+    wdf = spark.createDataFrame([(1, _wav_blob(sq))], ["id", "blob"])
+    rows = ops.wav_window_stats(wdf, "id", "blob", 25).collect()
+    assert len(rows) == 4 and all(r["peak"] == 900 for r in rows)
+
+    # novelty: stored-table and broadcast forms equal the two-frame form
+    ref = docs.filter("doc_id % 3 = 0 AND doc_id < 300").select(
+        "doc_id", "text")
+    probe = docs.filter("doc_id % 3 <> 0 AND doc_id < 300").select(
+        "doc_id", "text")
+    direct = {(r["doc_id"], r["n_novel"]) for r in
+              ops.ngram_novelty(probe, ref, "doc_id", "text").collect()}
+    ops.write_novelty_reference(ref, "text", "graft_pytest_ref",
+                                num_buckets=4)
+    stored = {(r["doc_id"], r["n_novel"]) for r in ops.ngram_novelty_stored(
+        probe, "graft_pytest_ref", "doc_id", "text").collect()}
+    bcast = {(r["doc_id"], r["n_novel"]) for r in
+             ops.novelty_score_broadcast(probe, ref, "doc_id",
+                                         "text").collect()}
+    assert stored == direct == bcast
+    print("round-12 mixture/media/novelty/lang-id facade OK")
 
 
 if __name__ == "__main__":

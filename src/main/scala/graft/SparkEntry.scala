@@ -1748,6 +1748,22 @@ object SparkEntry {
           round(col("weight"), 6).as("weight"))
     }),
 
+    "q135_mixture_apply" -> ((s, dir) => {
+      // the DoReMi loop CLOSED: solver weights (q134's exact fixture)
+      // feed the deterministic mixture resampler — per-domain id-hash
+      // rates hit the target mixture, corpus-side filter map-only
+      val docs = t(s, dir, "documents")
+      val d = docs.select(col("source"),
+        log(lit(1.0) + length(col("text")).cast("double")).as("lp"),
+        log(lit(1.0) + size(split(col("text"), " ")).cast("double"))
+          .as("lr"))
+      val w = ops.Sampling.doremiWeights(d, "source", "lp", "lr",
+        eta = 1.0, steps = 10, smoothing = 0.1)
+      ops.Sampling.applyMixtureWeights(docs, "source", "doc_id", w,
+          targetFraction = 0.3)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3774,6 +3790,34 @@ object SparkEntry {
         |SELECT domain AS source, round(excess, 6) AS excess,
         |  round(w, 6) AS weight
         |FROM sel""".stripMargin),
+
+    // q134's solver CTE chain, then the mixture resampler's per-domain
+    // hash cutoffs — rate_k = min(1, f * total * w_k / n_k)
+    "q135_mixture_apply" ->
+      ("""WITH e AS (SELECT source AS domain,
+        |    avg(greatest(ln(1 + length(text))
+        |      - ln(1 + len(string_split(text, ' '))), 0)) AS excess
+        |  FROM documents GROUP BY 1),
+        |w0 AS (SELECT domain, excess,
+        |    1.0 / (count(*) OVER ()) AS w FROM e),
+        |""".stripMargin +
+        (1 to 10).map(i =>
+          s"""w$i AS (SELECT domain, excess,
+            |    (1 - 0.1) * (w * exp(excess))
+            |      / (sum(w * exp(excess)) OVER ())
+            |      + 0.1 / (count(*) OVER ()) AS w FROM w${i - 1}),
+            |""".stripMargin).mkString +
+        """c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |    FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c),
+        |cut AS (SELECT c.source,
+        |    CAST(floor(least(1.0, 0.3 * total * w10.w / n)
+        |      * 4503599627370496.0) AS BIGINT) AS cutoff
+        |  FROM c JOIN w10 ON c.source = w10.domain CROSS JOIN t)
+        |SELECT doc_id, source, lang
+        |FROM documents JOIN cut USING (source)
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) < cutoff""".stripMargin),
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -331,4 +331,54 @@ object Sampling {
     ex.zip(w).map { case ((d, exc), wt) => (d, exc, wt) }
       .toSeq.toDF("domain", "excess", "weight")
   }
+
+  /** Resample a corpus toward a TARGET domain mixture: given per-domain
+    * weights (e.g. [[doremiWeights]] output — weights summing to 1),
+    * keep each domain at the deterministic id-hash rate
+    *
+    *   rate_k = min(1, targetFraction * N_total * w_k / n_k)
+    *
+    * so the survivors approximate `targetFraction * N_total` rows
+    * distributed as the weights. Rates cap at 1 — a domain cannot be
+    * oversampled without replication, the standard mixture-sampler
+    * behavior — and domains absent from `weights` are dropped (weight
+    * 0). This is [[temperatureMix]] with the size^T weight replaced by
+    * an externally-supplied target, closing the DoReMi loop:
+    * weights out of the solver, resampled corpus out of this.
+    *
+    * Scale shape: ONE count aggregate (K rows), weights broadcast into
+    * the cutoff join; the corpus-side filter is map-only — no corpus
+    * shuffle.
+    */
+  def applyMixtureWeights(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      weights: DataFrame,
+      targetFraction: Double,
+      weightDomainCol: String = "domain",
+      weightCol: String = "weight"): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1,
+      s"targetFraction must be in [0,1], got $targetFraction")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val totals = counts.agg(sum(col("__n")).as("__total"))
+    val wNorm = weights.select(
+      col(weightDomainCol).cast("string").as("__d"),
+      col(weightCol).cast("double").as("__w"))
+    val cutoffs = counts.crossJoin(broadcast(totals))
+      .join(broadcast(wNorm), col(domainCol).cast("string") <=> col("__d"))
+      .select(col(domainCol).as("__src"),
+        (least(lit(1.0),
+          lit(targetFraction) * col("__total") * col("__w") / col("__n"))
+          * lit(HashSpace.toDouble)).cast("long").as("__cutoff"))
+    // null-safe join key: a NULL-domain stratum matches its cutoff row.
+    // The cutoff table is K rows — broadcast it EXPLICITLY so the
+    // corpus is always the streamed side (on a tiny test corpus AQE
+    // would otherwise happily broadcast the corpus instead, a shape
+    // that cannot scale past executor memory).
+    df.join(broadcast(cutoffs), col(domainCol) <=> col("__src"))
+      .filter(md5Hash52(col(idCol)) < col("__cutoff"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -622,4 +622,13 @@ object PyBridge {
       smoothing: Double): DataFrame =
     graft.ops.Sampling.doremiWeights(df, domainCol, proxyLossCol,
       refLossCol, eta, steps, smoothing)
+
+  /** Deterministic per-domain resampling toward a target mixture
+    * (weights frame: domain, weight — e.g. [[doremiWeights]] output).
+    */
+  def applyMixtureWeights(df: DataFrame, domainCol: String, idCol: String,
+      weights: DataFrame, targetFraction: Double, weightDomainCol: String,
+      weightCol: String): DataFrame =
+    graft.ops.Sampling.applyMixtureWeights(df, domainCol, idCol, weights,
+      targetFraction, weightDomainCol, weightCol)
 }

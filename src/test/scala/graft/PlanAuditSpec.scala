@@ -215,4 +215,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val plan = finalPlan(prof)
     "Exchange".r.findAllIn(plan).length shouldBe 1
   }
+
+  test("mixture resampler: cutoffs broadcast, corpus filter map-only " +
+    "(no corpus-side exchange)") {
+    import spark.implicits._
+    val w = Seq(("s0", 0.5), ("s1", 0.5)).toDF("domain", "weight")
+    val res = graft.ops.Sampling.applyMixtureWeights(
+      docs.withColumn("source", concat(lit("s"), col("doc_id") % 2)),
+      "source", "doc_id", w, targetFraction = 0.3)
+    res.collect()
+    val plan = finalPlan(res)
+    // the K-row cutoff table is the BUILD side of the survivor join
+    // (explicit broadcast — AQE must never flip a 100 TB corpus onto
+    // the build side), and the only real hash exchange in the plan is
+    // the bounded per-domain count aggregate (K rows cross it); the
+    // ReusedExchange reference to it is not a second shuffle
+    plan should include ("BroadcastHashJoin")
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange")) should be <= 1
+  }
 }

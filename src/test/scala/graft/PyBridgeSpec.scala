@@ -168,4 +168,17 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBridge shouldBe viaScala
     viaBridge should have size 3
   }
+
+  test("bridge applyMixtureWeights equals the Scala call") {
+    import spark.implicits._
+    val df = ((1L to 500L).map(i => (i, "a")) ++
+      (1001L to 1100L).map(i => (i, "b"))).toDF("id", "dom")
+    val w = Seq(("a", 0.5), ("b", 0.5)).toDF("domain", "weight")
+    val viaBridge = PyBridge.applyMixtureWeights(df, "dom", "id", w,
+      0.3, "domain", "weight").collect().map(_.toSeq).toSet
+    val viaScala = graft.ops.Sampling.applyMixtureWeights(df, "dom", "id",
+      w, 0.3).collect().map(_.toSeq).toSet
+    viaBridge shouldBe viaScala
+    viaBridge should not be empty
+  }
 }

@@ -1016,4 +1016,27 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     rows("hot") should be > rows("warm")
     rows("warm") should be > rows("cold")
   }
+
+  test("applyMixtureWeights: hits target rates, caps at 1, drops " +
+      "unweighted domains, and is deterministic") {
+    import spark.implicits._
+    // big: 2000 rows, small: 100 rows, ghost: 50 rows (no weight)
+    val df = ((1L to 2000L).map(i => (i, "big")) ++
+      (3001L to 3100L).map(i => (i, "small")) ++
+      (4001L to 4050L).map(i => (i, "ghost"))).toDF("id", "dom")
+    val w = Seq(("big", 0.5), ("small", 0.5)).toDF("domain", "weight")
+    val got = Sampling.applyMixtureWeights(df, "dom", "id", w,
+      targetFraction = 0.2)
+    val byDom = got.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byDom.keySet shouldBe Set("big", "small")
+    // small: rate = min(1, .2*2150*.5/100) = 1 -> ALL 100 rows kept
+    byDom("small") shouldBe 100L
+    // big: rate = .2*2150*.5/2000 = .1075 -> ~215 of 2000 (hash noise)
+    byDom("big").toDouble shouldBe 215.0 +- 60.0
+    // deterministic: identical survivor set on re-run
+    val again = Sampling.applyMixtureWeights(df, "dom", "id", w,
+      targetFraction = 0.2).select("id").collect().map(_.getLong(0)).toSet
+    got.select("id").collect().map(_.getLong(0)).toSet shouldBe again
+  }
 }
