@@ -1764,6 +1764,44 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    "q136_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING sessionization, driver-checked: the event feed replays
+      // through a MemoryStream in two time-ordered micro-batches and
+      // Spark's native session_window merges per-user sessions in the
+      // state store (bounded by OPEN sessions, not stream length). The
+      // fixture has no gap at exactly 4h — the one boundary where the
+      // half-open session_window differs from batch `diff > gap` — so
+      // closed sessions equal the batch q50 stats minus the seq number.
+      // The collect below CONSTRUCTS the fixture-scale stream source;
+      // it is not a query-path collect.
+      val evd = t(s, dir, "events")
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"), col("user_id"))
+        .orderBy(col("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val stream = input.toDF().toDF("us", "user_id")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val sessions = graft.streaming.StreamingSessions.sessionStats(
+        stream, "user_id", "ts", gap = "4 hours")
+      val name = "q136_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        input.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(col("user_id"), col("n_events"),
+        col("start_t"), col("end_t"), col("duration_t"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3818,6 +3856,24 @@ object SparkEntry {
         |FROM documents JOIN cut USING (source)
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
         |    AS BIGINT) < cutoff""".stripMargin),
+
+    // q50's batch sessionization minus the seq number: streaming
+    // session_window closes to the same per-session stats
+    "q136_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |m AS (SELECT user_id, tu,
+        |  CASE WHEN lag(tu) OVER w IS NULL
+        |         OR tu - lag(tu) OVER w > 14400000000 THEN 1
+        |       ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |  FROM m)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(tu) AS start_t, max(tu) AS end_t,
+        |  max(tu) - min(tu) AS duration_t
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
