@@ -385,6 +385,19 @@ object Bench {
           d, "text", "lang", langs, nBuckets = 4096, epochs = 1)
         graft.ops.TextOps.langIdTrained(d, "doc_id", "text", models)
           .agg(count(col("pred_lang"))).first(); 1L
+      }),
+
+      // DoReMi-lite solve (K-row aggregate + driver iteration) feeding
+      // the mixture resampler (broadcast cutoffs, map-only corpus filter)
+      "mixture_apply" -> (() => {
+        val docs = t("documents")
+        val d = docs.select(col("source"),
+          log(lit(1.0) + length(col("text")).cast("double")).as("lp"),
+          log(lit(1.0) + size(split(col("text"), " ")).cast("double"))
+            .as("lr"))
+        val w = graft.ops.Sampling.doremiWeights(d, "source", "lp", "lr")
+        graft.ops.Sampling.applyMixtureWeights(docs, "source", "doc_id",
+          w, targetFraction = 0.3).count()
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,

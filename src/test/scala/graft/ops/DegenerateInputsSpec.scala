@@ -207,4 +207,37 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
       .count() shouldBe 0L
     Media.wavWindowRms(emptyBlobs, "id", "blob", 100).count() shouldBe 0L
   }
+
+  test("round-12 mixture ops: degenerate domains and empty frames") {
+    import spark.implicits._
+    val losses = Seq(("a", 2.0, 1.0), ("a", 3.0, 1.0))
+      .toDF("dom", "lp", "lr")
+
+    // single domain: weight is exactly 1 regardless of excess/steps
+    val one = Sampling.doremiWeights(losses, "dom", "lp", "lr",
+      eta = 2.0, steps = 5, smoothing = 0.1).collect()
+    one.length shouldBe 1
+    one.head.getDouble(2) shouldBe 1.0 +- 1e-12
+
+    // empty loss frame is a hard error (no mixture to solve), not a
+    // silent empty result a pipeline would keep feeding downstream
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.doremiWeights(losses.filter(col("lp") < 0), "dom",
+        "lp", "lr")
+
+    // mixture apply: empty corpus -> empty out; empty weights -> all
+    // domains dropped (explicit empty, not a crash); weight 0 domain
+    // keeps nothing, weight-1 domain at fraction 1 keeps everything
+    val corpus = ((1L to 40L).map(i => (i, "a")) ++
+      (41L to 80L).map(i => (i, "b"))).toDF("id", "dom")
+    val w1 = Seq(("a", 1.0), ("b", 0.0)).toDF("domain", "weight")
+    Sampling.applyMixtureWeights(corpus.filter(col("id") < 0), "dom",
+      "id", w1, 0.5).count() shouldBe 0L
+    Sampling.applyMixtureWeights(corpus, "dom", "id",
+      w1.filter(col("weight") < 0), 0.5).count() shouldBe 0L
+    val kept = Sampling.applyMixtureWeights(corpus, "dom", "id", w1,
+      targetFraction = 1.0)
+    kept.filter(col("dom") === "b").count() shouldBe 0L
+    kept.filter(col("dom") === "a").count() shouldBe 40L
+  }
 }
