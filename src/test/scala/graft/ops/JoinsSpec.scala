@@ -227,4 +227,41 @@ class JoinsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     row.isNullAt(0) shouldBe true
     row.getString(1) shouldBe "new"
   }
+
+  test("as-of join on TIMESTAMP and TIMESTAMP_NTZ time columns equals " +
+    "the raw-micros join (both plans)") {
+    import spark.implicits._
+    // adjacent-micro times force micro-exact comparison: an engine that
+    // rounds through float seconds would merge t=...000 and t=...001
+    val base = 1700000000000000L // epoch micros
+    val tradesUs = Seq(("A", base, "t0"), ("A", base + 1, "t1"),
+      ("A", base + 3600000000L, "t2"), ("B", base + 2, "t3"))
+      .toDF("sym", "us", "trade")
+    val quotesUs = Seq(("A", base, 1.0), ("A", base + 1, 2.0),
+      ("A", base + 1800000000L, 3.0), ("B", base + 3, 4.0))
+      .toDF("sym", "us", "px")
+    def withTs(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("ts", timestamp_micros(col("us")).cast(t)).drop("us")
+    val expectRaw = Joins.asOfJoin(
+        tradesUs.withColumnRenamed("us", "ts"),
+        quotesUs.withColumnRenamed("us", "ts").withColumnRenamed("ts", "qts"),
+        "sym", "ts", "qts", Seq("px"))
+      .select(col("trade"), col("px")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for (t <- Seq("timestamp", "timestamp_ntz")) {
+      val trades = withTs(tradesUs, t)
+      val quotes = withTs(quotesUs, t).withColumnRenamed("ts", "qts")
+      for (res <- Seq(
+        Joins.asOfJoin(trades, quotes, "sym", "ts", "qts", Seq("px")),
+        Joins.asOfJoinBucketed(trades, quotes, "sym", "ts", "qts",
+          Seq("px"), bucketWidth = 600.0))) {
+        val got = res.select(col("trade"), col("px")).collect()
+          .map(r => r.getString(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        withClue(s"time type $t: ") { got shouldBe expectRaw }
+      }
+    }
+    expectRaw("t1") shouldBe Some(2.0) // micro-adjacent quote resolved
+  }
 }
