@@ -682,3 +682,17 @@ def apply_mixture_weights(df: DataFrame, domain_col: str, id_col: str,
     return _to_py_df(_jvm_bridge(df).applyMixtureWeights(
         df._jdf, domain_col, id_col, weights._jdf,
         float(target_fraction), weight_domain_col, weight_col), df)
+
+
+def funnel_depth(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, steps: List[str],
+                 tie_cols: Optional[List[str]] = None) -> DataFrame:
+    """Ordered funnel analysis per user: ``depth`` (0..K steps reached
+    in strict event order) plus ``t_step1..t_stepK`` first-completion
+    times (NULL where unreached). One events shuffle regardless of K;
+    the step flags chain through window passes over a single sort.
+    Pass the event id in ``tie_cols`` for deterministic same-time
+    ordering."""
+    return _to_py_df(_jvm_bridge(df).funnelDepth(
+        df._jdf, user_col, ts_col, type_col, list(steps),
+        list(tie_cols or [])), df)

@@ -497,7 +497,18 @@ def test_round12_mixture_media_novelty():
              ops.novelty_score_broadcast(probe, ref, "doc_id",
                                          "text").collect()}
     assert stored == direct == bcast
-    print("round-12 mixture/media/novelty/lang-id facade OK")
+
+    # ordered funnel: depth bounded by steps, every full-depth user has
+    # monotone step times
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    fun = ops.funnel_depth(events, "user_id", "ts", "event_type",
+                           ["view", "click", "purchase"], ["event_id"])
+    rows = fun.collect()
+    assert len(rows) == events.select("user_id").distinct().count()
+    assert all(0 <= r["depth"] <= 3 for r in rows)
+    full = [r for r in rows if r["depth"] == 3]
+    assert all(r["t_step1"] < r["t_step2"] < r["t_step3"] for r in full)
+    print("round-12 mixture/media/novelty/lang-id/funnel facade OK")
 
 
 if __name__ == "__main__":

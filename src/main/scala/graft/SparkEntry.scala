@@ -1802,6 +1802,20 @@ object SparkEntry {
         col("start_t"), col("end_t"), col("duration_t"))
     }),
 
+    "q137_funnel" -> ((s, dir) => {
+      // ordered view->click->purchase funnel per user: one events
+      // shuffle, K chained window passes over the same sort, unreached
+      // step times surface as -1 (an int64 sentinel keeps the column
+      // integral on both engines; a NULL would float-coerce in pandas)
+      val f = ops.Funnel.depth(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        tieCols = Seq("event_id"))
+      f.select(col("user_id"), col("depth"),
+        coalesce(col("t_step1"), lit(-1L)).as("t_step1"),
+        coalesce(col("t_step2"), lit(-1L)).as("t_step2"),
+        coalesce(col("t_step3"), lit(-1L)).as("t_step3"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3874,6 +3888,36 @@ object SparkEntry {
         |  min(tu) AS start_t, max(tu) AS end_t,
         |  max(tu) - min(tu) AS duration_t
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // the K-step flag chain as K chained CTEs: step i fires on its event
+    // type when a strictly earlier row (ts, event_id order) reached i-1
+    "q137_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type,
+        |    event_id FROM events),
+        |c1 AS (SELECT user_id, tu, event_type, event_id,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f1
+        |  FROM e),
+        |c2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |      coalesce(max(f1) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS f2 FROM c1),
+        |c3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |      coalesce(max(f2) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS f3 FROM c2),
+        |a AS (SELECT user_id,
+        |    min(CASE WHEN f1 = 1 THEN tu END) AS t1,
+        |    min(CASE WHEN f2 = 1 THEN tu END) AS t2,
+        |    min(CASE WHEN f3 = 1 THEN tu END) AS t3
+        |  FROM c3 GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  coalesce(t1, -1) AS t_step1, coalesce(t2, -1) AS t_step2,
+        |  coalesce(t3, -1) AS t_step3
+        |FROM a""".stripMargin,
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -631,4 +631,13 @@ object PyBridge {
       weightCol: String): DataFrame =
     graft.ops.Sampling.applyMixtureWeights(df, domainCol, idCol, weights,
       targetFraction, weightDomainCol, weightCol)
+
+  /** Ordered per-user funnel depth + first step-completion times. */
+  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: java.util.List[String],
+      tieCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.Funnel.depth(df, userCol, tsCol, typeCol,
+      steps.asScala.toSeq, tieCols.asScala.toSeq)
+  }
 }

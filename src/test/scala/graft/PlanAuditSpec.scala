@@ -235,4 +235,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       l.contains("Exchange hashpartitioning") &&
         !l.contains("ReusedExchange")) should be <= 1
   }
+
+  test("funnel: one events shuffle, one sort — the chained step windows " +
+    "and the final aggregate reuse both") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val res = graft.ops.Funnel.depth(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), tieCols = Seq("event_id"))
+    res.collect()
+    val plan = finalPlan(res)
+    // K chained window passes + per-user aggregate: exactly one hash
+    // exchange and one sort — a second of either means a step flag or
+    // the aggregate stopped reusing the user partitioning
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    "\\bSort \\[".r.findAllIn(plan).length shouldBe 1
+    "Window".r.findAllIn(plan).length should be >= 2
+  }
 }

@@ -169,6 +169,19 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBridge should have size 3
   }
 
+  test("bridge funnelDepth equals the Scala call") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val viaBridge = PyBridge.funnelDepth(ev, "user_id", "ts",
+        "event_type", jList("view", "click", "purchase"),
+        jList("event_id"))
+      .collect().map(_.toSeq).toSet
+    val viaScala = graft.ops.Funnel.depth(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Seq("event_id"))
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe viaScala
+    viaBridge should not be empty
+  }
+
   test("bridge applyMixtureWeights equals the Scala call") {
     import spark.implicits._
     val df = ((1L to 500L).map(i => (i, "a")) ++
