@@ -696,3 +696,14 @@ def funnel_depth(df: DataFrame, user_col: str, ts_col: str,
     return _to_py_df(_jvm_bridge(df).funnelDepth(
         df._jdf, user_col, ts_col, type_col, list(steps),
         list(tie_cols or [])), df)
+
+
+def retention_cohorts(df: DataFrame, user_col: str,
+                      ts_col: str) -> DataFrame:
+    """Cohort retention triangle: users cohort by the UTC day of their
+    first event; each (cohort_day, day_offset) row counts the distinct
+    users active that many days after their cohort day. The (user, day)
+    distinct is the only event-scale exchange and it carries 16-byte
+    pairs. Output: cohort_day, day_offset, n_users."""
+    return _to_py_df(_jvm_bridge(df).retentionCohorts(
+        df._jdf, user_col, ts_col), df)

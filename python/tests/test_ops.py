@@ -508,7 +508,16 @@ def test_round12_mixture_media_novelty():
     assert all(0 <= r["depth"] <= 3 for r in rows)
     full = [r for r in rows if r["depth"] == 3]
     assert all(r["t_step1"] < r["t_step2"] < r["t_step3"] for r in full)
-    print("round-12 mixture/media/novelty/lang-id/funnel facade OK")
+
+    # retention triangle: every cohort has an offset-0 row whose count
+    # equals the cohort's size
+    ret = ops.retention_cohorts(events, "user_id", "ts").collect()
+    assert all(r["day_offset"] >= 0 for r in ret)
+    base = {r["cohort_day"]: r["n_users"] for r in ret
+            if r["day_offset"] == 0}
+    assert sum(base.values()) == events.select("user_id").distinct().count()
+    print("round-12 mixture/media/novelty/lang-id/funnel/retention "
+          "facade OK")
 
 
 if __name__ == "__main__":

@@ -1816,6 +1816,12 @@ object SparkEntry {
         coalesce(col("t_step3"), lit(-1L)).as("t_step3"))
     }),
 
+    "q138_retention" -> ((s, dir) => {
+      // cohort retention triangle: users cohort by first-event UTC day,
+      // one (cohort, offset) row per distinct active (user, day)
+      ops.Retention.cohorts(t(s, dir, "events"), "user_id", "ts")
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3918,6 +3924,15 @@ object SparkEntry {
         |  coalesce(t1, -1) AS t_step1, coalesce(t2, -1) AS t_step2,
         |  coalesce(t3, -1) AS t_step3
         |FROM a""".stripMargin,
+
+    "q138_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first FROM a)
+        |SELECT first AS cohort_day, day - first AS day_offset,
+        |  count(*) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

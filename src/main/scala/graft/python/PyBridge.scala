@@ -640,4 +640,11 @@ object PyBridge {
     graft.ops.Funnel.depth(df, userCol, tsCol, typeCol,
       steps.asScala.toSeq, tieCols.asScala.toSeq)
   }
+
+  /** Cohort retention triangle (first-day cohorts, per-offset distinct
+    * active users).
+    */
+  def retentionCohorts(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    graft.ops.Retention.cohorts(df, userCol, tsCol)
 }
