@@ -707,3 +707,14 @@ def retention_cohorts(df: DataFrame, user_col: str,
     pairs. Output: cohort_day, day_offset, n_users."""
     return _to_py_df(_jvm_bridge(df).retentionCohorts(
         df._jdf, user_col, ts_col), df)
+
+
+def write_shards(df: DataFrame, id_col: str, n_shards: int,
+                 path: str) -> None:
+    """Write the corpus as a deterministic training-shard layout:
+    ``shard=N/part-*.parquet`` dirs with shard = 52-bit-md5(id) mod
+    ``n_shards`` (derivable without reading the output) and in-shard
+    rows in id-hash order — a stable unbiased shuffle for dataloaders.
+    One exchange total; read back with ``spark.read.parquet(path)``
+    (shard-filtered reads stay partition-pruned)."""
+    _jvm_bridge(df).writeShards(df._jdf, id_col, int(n_shards), path)

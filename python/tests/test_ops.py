@@ -516,6 +516,15 @@ def test_round12_mixture_media_novelty():
     base = {r["cohort_day"]: r["n_users"] for r in ret
             if r["day_offset"] == 0}
     assert sum(base.values()) == events.select("user_id").distinct().count()
+    # shard layout: lossless round trip, in-range shard dirs
+    import tempfile
+    shard_dir = tempfile.mkdtemp(prefix="graft_py_shards")
+    ops.write_shards(docs.select("doc_id", "n_chars"), "doc_id", 4,
+                     shard_dir)
+    back = spark.read.parquet(shard_dir)
+    assert back.count() == docs.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()}         == {0, 1, 2, 3}
+
     print("round-12 mixture/media/novelty/lang-id/funnel/retention "
           "facade OK")
 

@@ -1822,6 +1822,22 @@ object SparkEntry {
       ops.Retention.cohorts(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    "q139_shard_layout" -> ((s, dir) => {
+      // training-shard sink: deterministic md5 sharding written as a
+      // shard=N partitioned parquet layout, then aggregated FROM THE
+      // FILES — the oracle recomputes the assignment analytically, so
+      // a wrong shard function, a lost row, or a partition-column type
+      // slip all hash-mismatch
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q139_shards").toString
+      io.ShardWriter.writeShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", nShards = 8, tmp)
+      io.ShardWriter.readShards(s, tmp)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }),
+
     "q123_random_projection" -> ((s, dir) => {
       // deterministic JL projection to 8 dims (hash-derived +-1 signs,
       // ascending-j summation on both engines -> bit-identical); one
@@ -3933,6 +3949,15 @@ object SparkEntry {
         |SELECT first AS cohort_day, day - first AS day_offset,
         |  count(*) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    "q139_shard_layout" ->
+      """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "q123_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -647,4 +647,9 @@ object PyBridge {
   def retentionCohorts(df: DataFrame, userCol: String,
       tsCol: String): DataFrame =
     graft.ops.Retention.cohorts(df, userCol, tsCol)
+
+  /** Write the deterministic hash-sharded training layout. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    graft.io.ShardWriter.writeShards(df, idCol, nShards, path)
 }

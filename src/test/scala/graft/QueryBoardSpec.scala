@@ -25,8 +25,8 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 138)
-      assert(SparkEntry.oracleSql.size == 134)
+      assert(SparkEntry.queries.size == 139)
+      assert(SparkEntry.oracleSql.size == 135)
     }
 
     it("every oracle entry has a matching query") {
