@@ -1822,6 +1822,49 @@ object SparkEntry {
       ops.Retention.cohorts(t(s, dir, "events"), "user_id", "ts")
     }),
 
+    "q140_streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING funnel, driver-checked: the event feed replays
+      // through a MemoryStream in two time-ordered micro-batches and
+      // per-user progress lives in CUSTOM mapGroupsWithState state
+      // (K longs per user). The last update per user must equal the
+      // batch q137 answer — same oracle. The collect below CONSTRUCTS
+      // the fixture-scale stream source; it is not a query-path collect.
+      val evd = t(s, dir, "events")
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"), col("user_id"),
+          col("event_type"), col("event_id"))
+        .orderBy(col("us"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Long)]
+      val stream = input.toDF().toDF("us", "user_id", "event_type",
+        "event_id")
+      val funnel = graft.streaming.StreamingFunnel.depth(stream,
+        "user_id", "us", "event_type", Seq("view", "click", "purchase"),
+        "event_id")
+      val name = "q140_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = funnel.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // update-mode sink keeps every trigger's row; depth and set step
+      // times are monotone, so max = the final state
+      s.table(name).groupBy(col("user").cast("long").as("user_id"))
+        .agg(max(col("depth")).as("depth"),
+          max(col("t_step1")).as("t_step1"),
+          max(col("t_step2")).as("t_step2"),
+          max(col("t_step3")).as("t_step3"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -3949,6 +3992,36 @@ object SparkEntry {
         |SELECT first AS cohort_day, day - first AS day_offset,
         |  count(*) AS n_users
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // identical to q137's oracle: a time-ordered streaming replay with
+    // custom per-user state must land on the batch funnel exactly
+    "q140_streaming_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_type,
+        |    event_id FROM events),
+        |c1 AS (SELECT user_id, tu, event_type, event_id,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f1
+        |  FROM e),
+        |c2 AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |      coalesce(max(f1) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS f2 FROM c1),
+        |c3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |      coalesce(max(f2) OVER (PARTITION BY user_id
+        |        ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+        |    THEN 1 ELSE 0 END AS f3 FROM c2),
+        |a AS (SELECT user_id,
+        |    min(CASE WHEN f1 = 1 THEN tu END) AS t1,
+        |    min(CASE WHEN f2 = 1 THEN tu END) AS t2,
+        |    min(CASE WHEN f3 = 1 THEN tu END) AS t3
+        |  FROM c3 GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  coalesce(t1, -1) AS t_step1, coalesce(t2, -1) AS t_step2,
+        |  coalesce(t3, -1) AS t_step3
+        |FROM a""".stripMargin,
 
     "q139_shard_layout" ->
       """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,
