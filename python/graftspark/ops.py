@@ -718,3 +718,15 @@ def write_shards(df: DataFrame, id_col: str, n_shards: int,
     One exchange total; read back with ``spark.read.parquet(path)``
     (shard-filtered reads stay partition-pruned)."""
     _jvm_bridge(df).writeShards(df._jdf, id_col, int(n_shards), path)
+
+
+def event_transitions(df: DataFrame, user_col: str, ts_col: str,
+                      type_col: str,
+                      tie_cols: Optional[List[str]] = None) -> DataFrame:
+    """Event-flow transition matrix: per (from_type, to_type) count of
+    immediately-consecutive event pairs within each user's (time, tie)
+    order, with a terminal NULL ``to_type`` row per user's last event.
+    One events shuffle + a bounded types-squared aggregate. Output:
+    from_type, to_type, n."""
+    return _to_py_df(_jvm_bridge(df).eventTransitions(
+        df._jdf, user_col, ts_col, type_col, list(tie_cols or [])), df)

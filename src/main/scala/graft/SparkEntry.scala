@@ -1865,6 +1865,16 @@ object SparkEntry {
           max(col("t_step3")).as("t_step3"))
     }),
 
+    "q141_event_transitions" -> ((s, dir) => {
+      // event-flow transition matrix (the path structure behind q137's
+      // funnel): terminal rows coalesce to '<end>' so the column stays
+      // string-typed and hash-comparable on both engines
+      ops.Funnel.transitions(t(s, dir, "events"), "user_id", "ts",
+          "event_type", tieCols = Seq("event_id"))
+        .select(col("from_type"),
+          coalesce(col("to_type"), lit("<end>")).as("to_type"), col("n"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4022,6 +4032,15 @@ object SparkEntry {
         |  coalesce(t1, -1) AS t_step1, coalesce(t2, -1) AS t_step2,
         |  coalesce(t3, -1) AS t_step3
         |FROM a""".stripMargin,
+
+    "q141_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next
+        |  FROM events)
+        |SELECT event_type AS from_type,
+        |  coalesce(next, '<end>') AS to_type, count(*) AS n
+        |FROM o GROUP BY 1, 2""".stripMargin,
 
     "q139_shard_layout" ->
       """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,

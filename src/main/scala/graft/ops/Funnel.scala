@@ -66,4 +66,29 @@ object Funnel {
       .select(col(userCol) +: col("depth") +:
         steps.indices.map(i => col(s"t_step${i + 1}")): _*)
   }
+
+  /** Event-flow transition matrix: for each (from_type, to_type) pair,
+    * how many times a user's event of `from_type` was IMMEDIATELY
+    * followed (in (time, tie) order) by one of `to_type` — the path
+    * structure behind the funnel, with a terminal `to_type = NULL` row
+    * per user's last event so outgoing counts per type sum to the type's
+    * event count.
+    *
+    * Same plan shape as [[depth]]: one events shuffle for the per-user
+    * lead window, then a bounded (types x types) aggregate.
+    */
+  def transitions(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val units = EventTime.micros(df, tsCol)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((col("__t") +: tieCols.map(col)).map(_.asc): _*)
+    df.withColumn("__t", units)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

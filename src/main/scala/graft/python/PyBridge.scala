@@ -652,4 +652,12 @@ object PyBridge {
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
       path: String): Unit =
     graft.io.ShardWriter.writeShards(df, idCol, nShards, path)
+
+  /** Event-flow transition matrix (terminal rows have NULL to_type). */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.Funnel.transitions(df, userCol, tsCol, typeCol,
+      tieCols.asScala.toSeq)
+  }
 }

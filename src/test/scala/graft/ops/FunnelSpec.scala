@@ -74,6 +74,24 @@ class FunnelSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     a shouldBe b
   }
 
+  test("transition matrix counts consecutive pairs with a terminal row " +
+    "per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "view", 1L), (1L, 2L, "click", 2L), (1L, 3L, "view", 3L),
+      (2L, 1L, "view", 4L), (2L, 2L, "click", 5L))
+      .toDF("user_id", "t", "etype", "eid")
+    val got = Funnel.transitions(ev, "user_id", "t", "etype", Seq("eid"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) -> r.getLong(2))
+      .toMap
+    got shouldBe Map(
+      ("view", Some("click")) -> 2L, ("click", Some("view")) -> 1L,
+      ("view", None) -> 1L, ("click", None) -> 1L)
+    // outgoing counts per type sum to that type's event count
+    got.collect { case ((f, _), n) if f == "view" => n }.sum shouldBe 3L
+  }
+
   test("single-step funnel and timestamp time columns work") {
     import spark.implicits._
     val df = Seq((1L, 1700000000000000L, "view", 1L),
