@@ -387,6 +387,17 @@ object Bench {
           .agg(count(col("pred_lang"))).first(); 1L
       }),
 
+      // ordered funnel + transition matrix over the event stream: one
+      // shuffle each, chained window passes / lead window over one sort
+      "funnel_paths" -> (() => {
+        val ev = t("events")
+        graft.ops.Funnel.depth(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), Seq("event_id"))
+          .agg(sum(col("depth"))).first()
+        graft.ops.Funnel.transitions(ev, "user_id", "ts", "event_type",
+          Seq("event_id")).count()
+      }),
+
       // DoReMi-lite solve (K-row aggregate + driver iteration) feeding
       // the mixture resampler (broadcast cutoffs, map-only corpus filter)
       "mixture_apply" -> (() => {

@@ -182,6 +182,21 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBridge should not be empty
   }
 
+  test("bridge retentionCohorts and eventTransitions equal the Scala " +
+    "calls") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    PyBridge.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Retention.cohorts(ev, "user_id", "ts")
+        .collect().map(_.toSeq).toSet
+    PyBridge.eventTransitions(ev, "user_id", "ts", "event_type",
+        jList("event_id"))
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Funnel.transitions(ev, "user_id", "ts", "event_type",
+        Seq("event_id"))
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge applyMixtureWeights equals the Scala call") {
     import spark.implicits._
     val df = ((1L to 500L).map(i => (i, "a")) ++
