@@ -286,4 +286,44 @@ class CurationPipelineSpec extends AnyFunSuite with Matchers
     chunks.groupBy("doc_id").count().count() shouldBe 20L
     chunks.filter(col("n_tokens") > 16).count() shouldBe 0L
   }
+
+  test("round-12 chain: per-doc losses -> doremi solve -> mixture " +
+    "resample -> shard layout round-trips") {
+    import spark.implicits._
+    // three sources of very different sizes
+    val corpus = ((0L until 600L).map(i =>
+      (i, s"common web page text number $i with filler tokens", "web")) ++
+      (1000L until 1100L).map(i =>
+        (i, s"curated book passage $i longer cleaner prose", "books")) ++
+      (2000L until 2040L).map(i =>
+        (i, s"reference encyclopedia entry $i", "wiki")))
+      .toDF("doc_id", "text", "source")
+
+    // 1. per-doc proxy/reference losses (stand-ins for upstream
+    // perplexity scorers), 2. solve the mixture
+    val losses = corpus.select(col("source"),
+      expr("ln(1 + cast(length(text) as double))").as("lp"),
+      expr("ln(1 + cast(size(split(text, ' ')) as double))").as("lr"))
+    val w = Sampling.doremiWeights(losses, "source", "lp", "lr")
+    w.agg(sum(col("weight"))).head.getDouble(0) shouldBe 1.0 +- 1e-9
+
+    // 3. resample toward it: a strict subset spanning every source
+    // (the two small sources rate-cap at 1 and keep everything)
+    val mixed = Sampling.applyMixtureWeights(corpus, "source", "doc_id",
+      w, targetFraction = 0.5)
+    val n = mixed.count()
+    n should be > 140L
+    n should be < 740L
+    mixed.select(col("source")).distinct().count() shouldBe 3L
+    mixed.filter(col("source") === "wiki").count() shouldBe 40L
+
+    // 4. shard the survivors for training; lossless, stable round trip
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chain_shards").toString
+    graft.io.ShardWriter.writeShards(
+      mixed.select(col("doc_id"), col("source")), "doc_id", 4, dir)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe n
+    back.select(col("doc_id")).distinct().count() shouldBe n
+  }
 }
