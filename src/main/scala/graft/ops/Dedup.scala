@@ -334,7 +334,7 @@ object Dedup {
       bloomHitsReleasable(corpus, probe, keyCol, numBits, numHashFns)
     val confirmed = hits
       .join(probe.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .select(corpus.columns.map(col): _*)
+      .select(corpus.columns.toIndexedSeq.map(col): _*)
     (confirmed, release)
   }
 
@@ -370,7 +370,7 @@ object Dedup {
     val cleanMisses = flagged.filter(!col("__bloom_hit")).drop("__bloom_hit")
     val falsePositives = hits
       .join(probe.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .select(cleanMisses.columns.map(col): _*)
+      .select(cleanMisses.columns.toIndexedSeq.map(col): _*)
     (cleanMisses.unionAll(falsePositives), release)
   }
 

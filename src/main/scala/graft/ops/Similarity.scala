@@ -430,7 +430,7 @@ object Similarity {
     // WITHIN a cell rather than the whole space — finer resolution from
     // the same m x ksub budget. ADC then scores
     // dot(q, centroid_cell) + adc(q, residual codes).
-    val centroidLit = array(coarse.map(cArr => typedLit(cArr)): _*)
+    val centroidLit = array(coarse.toIndexedSeq.map(cArr => typedLit(cArr)): _*)
     def cellCentroid(cid: Column): Column = element_at(centroidLit, cid + 1)
     val assigned = c.select(col("item_id"), col("item_emb"),
       assignTop(col("item_emb"), coarse, 1)(0).as("centroid_id"))
