@@ -1529,6 +1529,34 @@ object SparkEntry {
           col("card_a"), col("card_b"))
     }),
 
+    "q143_embedding_drift" -> ((s, dir) => {
+      // embedding-space drift between two label cohorts: each side is
+      // ONE map-side-combined aggregate (vector sum + count + norm
+      // sum); all metrics are scalar array math on the two 1-row
+      // results — vectors never shuffle
+      val emb = t(s, dir, "embeddings")
+      val cur = emb.filter(col("label") >= 5)
+      val ref = emb.filter(col("label") < 5)
+      ops.Drift.embeddingDrift(cur, ref, "embedding").select(
+        col("n_cur"), col("n_ref"),
+        (round(col("mean_cosine"), 6) + 0.0).as("mean_cosine"),
+        (round(col("mean_l2_shift"), 6) + 0.0).as("mean_l2_shift"),
+        (round(col("norm_mean_cur"), 6) + 0.0).as("norm_mean_cur"),
+        (round(col("norm_mean_ref"), 6) + 0.0).as("norm_mean_ref"))
+    }),
+
+    "q144_embedding_drift_dim" -> ((s, dir) => {
+      // per-dimension drill-down of q143: where the representation
+      // moved — 64 rows from the same single-aggregate-per-side shape
+      val emb = t(s, dir, "embeddings")
+      ops.Drift.embeddingDriftByDim(
+        emb.filter(col("label") >= 5), emb.filter(col("label") < 5),
+        "embedding").select(col("dim"),
+        (round(col("mean_cur"), 6) + 0.0).as("mean_cur"),
+        (round(col("mean_ref"), 6) + 0.0).as("mean_ref"),
+        (round(col("shift"), 6) + 0.0).as("shift"))
+    }),
+
     "q118_jsd_drift" -> ((s, dir) => {
       // Jensen-Shannon drift, numeric (KLL-rank bins over supplier
       // cohorts, the q61 shape) and categorical (event-type shares of
@@ -1993,6 +2021,33 @@ object SparkEntry {
       val mm = ops.FeatureScale.minMax(d, Seq("n_chars"), Seq("lang"))
         .select(col("doc_id"), round(col("n_chars"), 6).as("mm"))
       z.join(mm, Seq("doc_id"))
+    }),
+
+    "q145_zorder_key" -> ((s, dir) => {
+      // z-order layout key over (l_extendedprice, l_quantity): the
+      // engine-reproducible Morton construction behind
+      // io.ZOrderLayout.writeZOrdered — one stats aggregate, map-only
+      // bucketing + bit interleave; the oracle replays the exact
+      // min/max-linear bucket and every interleave term
+      io.ZOrderLayout.withZKey(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity")),
+        Seq("l_extendedprice", "l_quantity"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zkey"))
+    }),
+
+    "q142_percentile_rank" -> ((s, dir) => {
+      // EXACT per-group empirical CDF at corpus scale: cume_dist()
+      // semantics without the single-task global window — one counts
+      // aggregate + the Packing-style distributed prefix sum over
+      // distinct values. The ratio is exact-integer division on both
+      // engines; rounding only pins the hash representation.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      ops.FeatureScale.percentileRanks(li, "v", Seq("g"))
+        .select(col("g"), col("v"),
+          (round(col("pct_rank"), 9) + 0.0).as("pct_rank"))
     }),
 
     "q107_metric_anomalies" -> ((s, dir) => {
@@ -3669,6 +3724,47 @@ object SparkEntry {
         |  card_a, card_b
         |FROM a FULL OUTER JOIN b ON a.c = b.c""".stripMargin,
 
+    "q143_embedding_drift" ->
+      """WITH cur AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |    WHERE label >= 5),
+        |ref AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |    WHERE label < 5),
+        |cu AS (SELECT unnest(e) AS x, unnest(range(len(e))) AS i FROM cur),
+        |ru AS (SELECT unnest(e) AS x, unnest(range(len(e))) AS i FROM ref),
+        |cm AS (SELECT i, avg(x) AS m FROM cu GROUP BY i),
+        |rm AS (SELECT i, avg(x) AS m FROM ru GROUP BY i),
+        |j AS (SELECT cm.m AS ma, rm.m AS mb FROM cm JOIN rm
+        |    ON cm.i = rm.i),
+        |s AS (SELECT sum(ma * mb) AS dotab, sum(ma * ma) AS da,
+        |    sum(mb * mb) AS db, sum((ma - mb) * (ma - mb)) AS dd FROM j),
+        |nc AS (SELECT count(*) AS n_cur,
+        |    avg(sqrt(list_sum(list_transform(e, x -> x * x)))) AS nm
+        |  FROM cur),
+        |nr AS (SELECT count(*) AS n_ref,
+        |    avg(sqrt(list_sum(list_transform(e, x -> x * x)))) AS nm
+        |  FROM ref)
+        |SELECT n_cur, n_ref,
+        |  round(dotab / (sqrt(da) * sqrt(db)), 6) + 0.0 AS mean_cosine,
+        |  round(sqrt(dd), 6) + 0.0 AS mean_l2_shift,
+        |  round(nc.nm, 6) + 0.0 AS norm_mean_cur,
+        |  round(nr.nm, 6) + 0.0 AS norm_mean_ref
+        |FROM s, nc, nr""".stripMargin,
+
+    "q144_embedding_drift_dim" ->
+      """WITH cur AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |    WHERE label >= 5),
+        |ref AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |    WHERE label < 5),
+        |cu AS (SELECT unnest(e) AS x, unnest(range(len(e))) AS i FROM cur),
+        |ru AS (SELECT unnest(e) AS x, unnest(range(len(e))) AS i FROM ref),
+        |cm AS (SELECT i, avg(x) AS m FROM cu GROUP BY i),
+        |rm AS (SELECT i, avg(x) AS m FROM ru GROUP BY i)
+        |SELECT cm.i::BIGINT AS dim,
+        |  round(cm.m, 6) + 0.0 AS mean_cur,
+        |  round(rm.m, 6) + 0.0 AS mean_ref,
+        |  round(abs(cm.m - rm.m), 6) + 0.0 AS shift
+        |FROM cm JOIN rm ON cm.i = rm.i""".stripMargin,
+
     "q118_jsd_drift" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
         |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
@@ -4159,6 +4255,34 @@ object SparkEntry {
         |  round(CASE WHEN hi > lo THEN (x - lo) / (hi - lo)
         |        ELSE 0.0 END, 6) AS mm
         |FROM d JOIN s ON d.lang = s.lang""".stripMargin,
+
+    "q145_zorder_key" -> {
+      // bit b of column j lands at position b*2+j -> multiplier 4^b
+      // for column 1, 2*4^b for column 2 (unrolled, bits=8)
+      val terms = (0 until 8).flatMap { b =>
+        val m = 1L << (2 * b)
+        Seq(s"((b1 >> $b) & 1) * $m", s"((b2 >> $b) & 1) * ${2 * m}")
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT min(l_extendedprice) AS lo1,
+         |    max(l_extendedprice) AS hi1,
+         |    min(l_quantity) AS lo2, max(l_quantity) AS hi2
+         |  FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber,
+         |    least(255, CAST(floor((l_extendedprice - lo1) * 256.0
+         |      / (hi1 - lo1)) AS BIGINT)) AS b1,
+         |    least(255, CAST(floor((l_quantity - lo2) * 256.0
+         |      / (hi2 - lo2)) AS BIGINT)) AS b2
+         |  FROM lineitem, s)
+         |SELECT l_orderkey, l_linenumber, $terms AS zkey
+         |FROM b""".stripMargin
+    },
+
+    "q142_percentile_rank" ->
+      """SELECT g, v, round(pr, 9) + 0.0 AS pct_rank FROM (
+        |  SELECT DISTINCT l_returnflag AS g, l_extendedprice AS v,
+        |    cume_dist() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS pr
+        |  FROM lineitem)""".stripMargin,
 
     "q107_metric_anomalies" ->
       """WITH m AS (SELECT CAST(date_trunc('day', l_shipdate) AS DATE)

@@ -351,4 +351,72 @@ object Drift {
       sumArr(zip_with(pA, pB, (p, q) => (p - q) * log(p / q))).as("psi"),
       sumArr(zip_with(pA, pB, (p, q) => p * log(p / q))).as("kl"))
   }
+
+  private def embMeanStats(
+      df: org.apache.spark.sql.DataFrame,
+      embCol: String,
+      suffix: String): org.apache.spark.sql.DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    df.filter(col(embCol).isNotNull).agg(
+      graft.functions.vec_sum(e).as(s"__s$suffix"),
+      count(lit(1)).as(s"__n$suffix"),
+      sum(sqrt(graft.functions.vec_dot(e, e))).as(s"__ns$suffix"))
+  }
+
+  /** Embedding-distribution drift between two frames of vectors — the
+    * embedding-space analogue of [[psi]]: did the representation of the
+    * corpus move? Each side reduces in ONE map-side-combined aggregate
+    * (vector sum + count + summed L2 norm — a dim-length buffer per
+    * partition, never a vector shuffle); the two 1-row results meet in
+    * a broadcast cross join and every metric is scalar array math.
+    *
+    * One row: n_cur, n_ref, mean_cosine (cosine between the two mean
+    * vectors; 1.0 = no directional shift), mean_l2_shift (L2 distance
+    * between means), norm_mean_cur / norm_mean_ref (average row L2
+    * norms — catches scale drift that direction metrics miss).
+    * Degenerate sides (empty, or a zero mean vector) yield NULL
+    * mean_cosine rather than NaN.
+    */
+  def embeddingDrift(
+      current: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      embCol: String): org.apache.spark.sql.DataFrame = {
+    val a = embMeanStats(current, embCol, "a")
+    val b = embMeanStats(reference, embCol, "b")
+    val meanA = transform(col("__sa"), x => x / col("__na"))
+    val meanB = transform(col("__sb"), x => x / col("__nb"))
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val cosDen = sqrt(dot(meanA, meanA)) * sqrt(dot(meanB, meanB))
+    a.crossJoin(broadcast(b)).select(
+      col("__na").as("n_cur"),
+      col("__nb").as("n_ref"),
+      when(cosDen > 0, dot(meanA, meanB) / cosDen).as("mean_cosine"),
+      sqrt(dot(zip_with(meanA, meanB, (p, q) => p - q),
+        zip_with(meanA, meanB, (p, q) => p - q))).as("mean_l2_shift"),
+      (col("__nsa") / col("__na")).as("norm_mean_cur"),
+      (col("__nsb") / col("__nb")).as("norm_mean_ref"))
+  }
+
+  /** Per-dimension companion to [[embeddingDrift]]: one row per
+    * embedding dimension with the two means and the absolute shift —
+    * WHERE the representation moved, for drill-down after the summary
+    * trips. Same single-aggregate-per-side shape; the explode runs over
+    * one dim-length row.
+    */
+  def embeddingDriftByDim(
+      current: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame,
+      embCol: String): org.apache.spark.sql.DataFrame = {
+    val a = embMeanStats(current, embCol, "a")
+    val b = embMeanStats(reference, embCol, "b")
+    val meanA = transform(col("__sa"), x => x / col("__na"))
+    val meanB = transform(col("__sb"), x => x / col("__nb"))
+    a.crossJoin(broadcast(b))
+      .select(posexplode(zip_with(meanA, meanB,
+        (p, q) => struct(p.as("ma"), q.as("mb")))).as(Seq("dim", "m")))
+      .select(col("dim").cast("long").as("dim"),
+        col("m.ma").as("mean_cur"), col("m.mb").as("mean_ref"),
+        abs(col("m.ma") - col("m.mb")).as("shift"))
+  }
 }

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{kll_agg, kll_quantile}
 
@@ -136,5 +138,121 @@ object FeatureScale {
       else col(c)
     }
     statsJoin(df, keys, stats).select(out: _*)
+  }
+
+  /** EXACT empirical-CDF table for `valueCol` (optionally per `keys`
+    * group): one row per distinct (group, value) with
+    * `outCol = #(rows <= value within the group) / #(group rows)` —
+    * SQL `cume_dist()` semantics, but computed scale-safe. NULL values
+    * are excluded (they carry no rank).
+    *
+    * Scale shape — the [[Packing]] distributed prefix sum, applied to
+    * VALUE COUNTS instead of token counts: (1) ONE map-side-combined
+    * `groupBy(value).count` collapses the corpus to its distinct
+    * values; (2) the counts frame range-repartitions on (keys, value)
+    * and sorts within partitions; (3) per-(partition, group) subtotals
+    * cumulate into exclusive offsets (a frame of #partitions × #groups
+    * boundary rows, windowed BY GROUP in parallel — never a global
+    * single-task window); (4) the in-partition running sum finishes the
+    * inclusive count. The offsets join deliberately reuses the
+    * hashpartitioning the running window needs anyway (see
+    * [[Packing.packSequencesReleasable]] for why it must not
+    * broadcast). A naive `cume_dist() over (order by value)` collapses
+    * the whole corpus into ONE task; this plan's only corpus-scale
+    * exchange is the initial counts aggregate.
+    */
+  def percentileRanks(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      outCol: String = "pct_rank"): DataFrame = {
+    val (out, release) = percentileRanksReleasable(df, valueCol, keys, outCol)
+    // the persisted counts layout stays pinned until the session drops
+    // it; callers that materialize exactly once should prefer the
+    // releasable variant
+    val _ = release
+    out
+  }
+
+  /** [[percentileRanks]] plus a release() thunk for the persisted
+    * distinct-value layout (same contract as
+    * [[Packing.packSequencesReleasable]]: release once materialized).
+    */
+  def percentileRanksReleasable(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      outCol: String = "pct_rank"): (DataFrame, () => Unit) = {
+    val keyCols = keys.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keyCols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sorted = counts
+      .repartitionByRange((keyCols :+ col(valueCol)): _*)
+      .sortWithinPartitions((keyCols :+ col(valueCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-(partition, group) subtotals -> exclusive offsets; the window
+    // partitions by GROUP (parallel), ordering partitions by id. With
+    // no keys this is #partitions rows — driver-scale by construction.
+    val offWin =
+      (if (keys.isEmpty) Window.partitionBy()
+       else Window.partitionBy(keyCols: _*))
+        .orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted
+      .groupBy((col("__pid") +: keyCols): _*)
+      .agg(sum(col("__c")).as("__psum"))
+      .withColumn("__poffset",
+        coalesce(sum(col("__psum")).over(offWin), lit(0L)))
+      .drop("__psum")
+
+    val running = Window
+      .partitionBy((col("__pid") +: keyCols): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val totals = counts
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__c")).as("__n"))
+
+    // null-safe offsets join (a NULL group key is a real stratum, like
+    // statsJoin): rename the offsets side, match __pid by = and keys
+    // by <=>, reusing the hashpartitioning the running window needs
+    val offRenamed = offsets.select(
+      (col("__pid").as("__off_pid") +:
+        keys.map(k => col(k).as(s"__off_$k")) :+
+        col("__poffset")): _*)
+    val offCond = keys.foldLeft(col("__pid") === col("__off_pid")) {
+      (c, k) => c && (col(k) <=> col(s"__off_$k"))
+    }
+    val ranked = sorted
+      .join(offRenamed, offCond)
+      .withColumn("__cum",
+        col("__poffset") + sum(col("__c")).over(running))
+    val out = statsJoin(ranked, keys, totals)
+      .select((keyCols :+ col(valueCol) :+
+        (col("__cum").cast("double") / col("__n").cast("double"))
+          .as(outCol)): _*)
+    (out, () => { sorted.unpersist(); () })
+  }
+
+  /** Attach the exact percentile rank of `valueCol` to every row
+    * (optionally per `keys` group): SQL `cume_dist()` as a column, at
+    * corpus scale. Rows with a NULL value get a NULL rank. The rank
+    * table rides back through a shuffle join on (keys, value) — NOT a
+    * broadcast: distinct values of a continuous column are
+    * corpus-scale.
+    */
+  def percentileRank(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String] = Nil,
+      outCol: String = "pct_rank"): DataFrame = {
+    val ranks = percentileRanks(df, valueCol, keys, outCol)
+    df.join(ranks, keys :+ valueCol, "left")
+      .select((df.columns.toSeq.map(col) :+ col(outCol)): _*)
   }
 }

@@ -95,4 +95,79 @@ class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     FeatureScale.robustScale(df, "x", Seq("g")).count() shouldBe 4L
     FeatureScale.winsorize(df, "x", 0.1, 0.9, Seq("g")).count() shouldBe 4L
   }
+
+  test("percentileRanks: exact cume_dist semantics with duplicates") {
+    import spark.implicits._
+    // values 1,2,2,5: rank(1)=1/4, rank(2)=3/4 (peers count), rank(5)=1
+    val df = Seq(1.0, 2.0, 2.0, 5.0).toDF("x")
+    val got = FeatureScale.percentileRanks(df, "x")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    got shouldBe Array((1.0, 0.25), (2.0, 0.75), (5.0, 1.0))
+  }
+
+  test("percentileRanks equals the window cume_dist on a random frame") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 7919) % 23 + 1).toDouble).toDF("x")
+      .repartition(8)
+    val want = df.select(col("x"),
+        cume_dist().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("x"))).as("pr"))
+      .distinct().collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val got = FeatureScale.percentileRanks(df, "x")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    got shouldBe want
+  }
+
+  test("percentileRanks per group: groups rank independently, NULL key " +
+      "is a stratum, NULL values carry no rank") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Option.empty[String], Some(4.0)), (Option.empty[String], Some(8.0)),
+      (Some("a"), Option.empty[Double]))
+      .toDF("g", "x")
+    val got = FeatureScale.percentileRanks(df, "x", Seq("g"))
+      .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"),
+        r.getDouble(1), r.getDouble(2))).toSet
+    // the NULL-x row is excluded from ranking entirely
+    got shouldBe Set(("a", 1.0, 0.5), ("a", 2.0, 1.0),
+      ("<null>", 4.0, 0.5), ("<null>", 8.0, 1.0))
+    // attach: original row count preserved; the NULL-x row gets NULL rank
+    val attached = FeatureScale.percentileRank(df, "x", Seq("g"))
+    attached.count() shouldBe 5L
+    attached.filter(col("x").isNull).select(col("pct_rank"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("percentileRank attach is invariant to input partitioning") {
+    import spark.implicits._
+    def frame(n: Int) = (1 to 200)
+      .map(i => (i.toLong, ((i * 31) % 13).toDouble)).toDF("id", "x")
+      .repartition(n)
+    val a = FeatureScale.percentileRank(frame(1), "x")
+      .collect().map(_.toSeq).toSet
+    val b = FeatureScale.percentileRank(frame(32), "x")
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("percentile prefix-sum passes read ONE materialized range " +
+      "partitioning; no corpus-scale global window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 17) % 97).toDouble).toDF("x")
+      .repartition(8)
+    val (ranks, release) =
+      FeatureScale.percentileRanksReleasable(df, "x")
+    try {
+      ranks.collect()
+      val plan = ranks.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // same re-sampling argument as PackingSpec: two physical range
+      // exchanges could disagree on boundaries and corrupt offsets
+      "Exchange rangepartitioning".r.findAllIn(plan).length shouldBe 1
+      "InMemoryTableScan".r.findAllIn(plan).length should be >= 1
+      // the corpus collapses to distinct values through ONE partial+final
+      // count aggregate before any exchange
+      plan should include ("partial_count")
+    } finally release()
+  }
 }
