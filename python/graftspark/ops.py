@@ -730,3 +730,62 @@ def event_transitions(df: DataFrame, user_col: str, ts_col: str,
     from_type, to_type, n."""
     return _to_py_df(_jvm_bridge(df).eventTransitions(
         df._jdf, user_col, ts_col, type_col, list(tie_cols or [])), df)
+
+
+def percentile_ranks(df: DataFrame, value_col: str,
+                     keys: Optional[List[str]] = None,
+                     out_col: str = "pct_rank") -> DataFrame:
+    """EXACT empirical-CDF table for ``value_col`` (optionally per
+    ``keys`` group): one row per distinct (group, value) with SQL
+    ``cume_dist()`` semantics, computed with a distributed prefix sum
+    over distinct values — never a single-task global window. NULL
+    values are excluded."""
+    return _to_py_df(_jvm_bridge(df).percentileRanks(
+        df._jdf, value_col, list(keys or []), out_col), df)
+
+
+def percentile_rank(df: DataFrame, value_col: str,
+                    keys: Optional[List[str]] = None,
+                    out_col: str = "pct_rank") -> DataFrame:
+    """Attach the exact percentile rank of ``value_col`` to every row
+    (NULL values get a NULL rank). The rank table rides back through a
+    shuffle join on (keys, value)."""
+    return _to_py_df(_jvm_bridge(df).percentileRank(
+        df._jdf, value_col, list(keys or []), out_col), df)
+
+
+def embedding_drift(current: DataFrame, reference: DataFrame,
+                    emb_col: str) -> DataFrame:
+    """One-row embedding-distribution drift summary: n_cur, n_ref,
+    mean_cosine (cosine between mean vectors), mean_l2_shift, and the
+    average row L2 norms of each side. One map-side-combined aggregate
+    per side; vectors never shuffle."""
+    return _to_py_df(_jvm_bridge(current).embeddingDrift(
+        current._jdf, reference._jdf, emb_col), current)
+
+
+def embedding_drift_by_dim(current: DataFrame, reference: DataFrame,
+                           emb_col: str) -> DataFrame:
+    """Per-dimension drill-down of :func:`embedding_drift`: one row per
+    dimension with mean_cur, mean_ref and the absolute shift."""
+    return _to_py_df(_jvm_bridge(current).embeddingDriftByDim(
+        current._jdf, reference._jdf, emb_col), current)
+
+
+def with_zorder_key(df: DataFrame, cols: List[str],
+                    bits: int = 16) -> DataFrame:
+    """Attach the Morton z-order key (``zkey``) over ``cols``:
+    per-column min/max linear bucketing to ``bits`` bits, bit
+    positions interleaved LSB-first. One stats aggregate + a map-only
+    projection; engine-reproducible."""
+    return _to_py_df(_jvm_bridge(df).withZKey(
+        df._jdf, list(cols), int(bits)), df)
+
+
+def write_zordered(df: DataFrame, cols: List[str], path: str,
+                   bits: int = 16, num_files: int = 0) -> None:
+    """Write ``df`` z-ordered on ``cols``: each parquet file covers one
+    compact Z-curve segment, so min/max pruning works for predicates on
+    ANY clustered column. Read back with ``spark.read.parquet``."""
+    _jvm_bridge(df).writeZOrdered(df._jdf, list(cols), path, int(bits),
+                                  int(num_files))

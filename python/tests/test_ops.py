@@ -352,6 +352,7 @@ def main():
     test_round6_scaling_validation_pq()
     test_round7_corpus_filters()
     test_round12_mixture_media_novelty()
+    test_round12b_rank_drift_layout()
     print("ALL OPS TESTS PASSED")
 
 
@@ -527,6 +528,54 @@ def test_round12_mixture_media_novelty():
 
     print("round-12 mixture/media/novelty/lang-id/funnel/retention "
           "facade OK")
+
+
+
+def test_round12b_rank_drift_layout():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    spark = _get_spark()
+
+    # exact percentile rank == the window cume_dist on a small frame
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .select("l_returnflag", "l_quantity").filter("l_orderkey < 500")
+    from pyspark.sql import Window
+    want = {(r[0], r[1], r[2]) for r in li.select(
+        "l_returnflag", "l_quantity",
+        F.cume_dist().over(Window.partitionBy("l_returnflag")
+                           .orderBy("l_quantity")).alias("pr"))
+        .distinct().collect()}
+    got = {(r[0], r[1], r[2]) for r in ops.percentile_ranks(
+        li, "l_quantity", ["l_returnflag"]).collect()}
+    assert got == want
+    attached = ops.percentile_rank(li, "l_quantity", ["l_returnflag"])
+    assert attached.count() == li.count()
+    assert "pct_rank" in attached.columns
+
+    # embedding drift: identical cohorts -> cosine 1, zero shift
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    same = ops.embedding_drift(emb, emb, "embedding").collect()[0]
+    assert abs(same["mean_cosine"] - 1.0) < 1e-9
+    assert same["mean_l2_shift"] < 1e-9
+    by_dim = ops.embedding_drift_by_dim(
+        emb.filter("label >= 5"), emb.filter("label < 5"),
+        "embedding").collect()
+    assert len(by_dim) == 64
+    assert all(r["shift"] >= 0 for r in by_dim)
+
+    # z-order: key attaches; layout round-trips losslessly
+    keyed = ops.with_zorder_key(
+        li.select("l_quantity").withColumn("x", F.rand(7) * 100),
+        ["l_quantity", "x"], bits=8)
+    assert "zkey" in keyed.columns
+    assert keyed.filter("zkey < 0").count() == 0
+    import tempfile
+    zdir = tempfile.mkdtemp(prefix="graft_py_zorder")
+    ops.write_zordered(li, ["l_quantity"], zdir, bits=8, num_files=4)
+    assert spark.read.parquet(zdir).count() == li.count()
+
+    print("round-12b rank/drift/layout facade OK")
 
 
 if __name__ == "__main__":

@@ -660,4 +660,49 @@ object PyBridge {
     graft.ops.Funnel.transitions(df, userCol, tsCol, typeCol,
       tieCols.asScala.toSeq)
   }
+
+  /** Exact per-(group, value) empirical-CDF table (cume_dist
+    * semantics, distributed prefix sum — no global window).
+    */
+  def percentileRanks(df: DataFrame, valueCol: String,
+      keys: java.util.List[String], outCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.FeatureScale.percentileRanks(df, valueCol,
+      keys.asScala.toSeq, outCol)
+  }
+
+  /** Attach the exact percentile rank of `valueCol` to every row. */
+  def percentileRank(df: DataFrame, valueCol: String,
+      keys: java.util.List[String], outCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.FeatureScale.percentileRank(df, valueCol,
+      keys.asScala.toSeq, outCol)
+  }
+
+  /** One-row embedding-distribution drift summary between two frames. */
+  def embeddingDrift(current: DataFrame, reference: DataFrame,
+      embCol: String): DataFrame =
+    graft.ops.Drift.embeddingDrift(current, reference, embCol)
+
+  /** Per-dimension embedding mean shift (drill-down of
+    * [[embeddingDrift]]).
+    */
+  def embeddingDriftByDim(current: DataFrame, reference: DataFrame,
+      embCol: String): DataFrame =
+    graft.ops.Drift.embeddingDriftByDim(current, reference, embCol)
+
+  /** Attach the Morton z-order key over `cols` (`zkey`). */
+  def withZKey(df: DataFrame, cols: java.util.List[String],
+      bits: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.io.ZOrderLayout.withZKey(df, cols.asScala.toSeq, bits)
+  }
+
+  /** Write the z-ordered multi-column-clustered parquet layout. */
+  def writeZOrdered(df: DataFrame, cols: java.util.List[String],
+      path: String, bits: Int, numFiles: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    graft.io.ZOrderLayout.writeZOrdered(df, cols.asScala.toSeq, path,
+      bits, numFiles)
+  }
 }

@@ -209,4 +209,51 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBridge shouldBe viaScala
     viaBridge should not be empty
   }
+
+  test("bridge percentileRanks/percentileRank equal the Scala calls") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    PyBridge.percentileRanks(li, "l_quantity", jList("l_returnflag"),
+        "pct_rank")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.FeatureScale.percentileRanks(li, "l_quantity",
+        Seq("l_returnflag")).collect().map(_.toSeq).toSet
+    PyBridge.percentileRank(li, "l_quantity", jList(), "pr")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.FeatureScale.percentileRank(li, "l_quantity",
+        outCol = "pr").collect().map(_.toSeq).toSet
+  }
+
+  test("bridge embeddingDrift + byDim equal the Scala calls") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cur = emb.filter(col("label") >= 5)
+    val ref = emb.filter(col("label") < 5)
+    PyBridge.embeddingDrift(cur, ref, "embedding")
+      .collect().map(_.toSeq) shouldBe
+      graft.ops.Drift.embeddingDrift(cur, ref, "embedding")
+        .collect().map(_.toSeq)
+    PyBridge.embeddingDriftByDim(cur, ref, "embedding")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Drift.embeddingDriftByDim(cur, ref, "embedding")
+        .collect().map(_.toSeq).toSet
+  }
+
+  test("bridge z-order key + layout write run end to end") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_quantity"))
+    PyBridge.withZKey(li, jList("l_extendedprice", "l_quantity"), 8)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.io.ZOrderLayout.withZKey(li,
+        Seq("l_extendedprice", "l_quantity"), 8)
+        .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pybridge_zorder").toString
+    PyBridge.writeZOrdered(li, jList("l_extendedprice", "l_quantity"),
+      tmp, 8, 4)
+    spark.read.parquet(tmp).count() shouldBe li.count()
+  }
 }
