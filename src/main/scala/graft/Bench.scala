@@ -409,6 +409,44 @@ object Bench {
         val w = graft.ops.Sampling.doremiWeights(d, "source", "lp", "lr")
         graft.ops.Sampling.applyMixtureWeights(docs, "source", "doc_id",
           w, targetFraction = 0.3).count()
+      }),
+
+      // exact distributed ECDF over ~600k lineitem rows (counts
+      // aggregate + prefix sum over distinct values + rank join-back)
+      "percentile_rank" -> (() => {
+        val li = t("lineitem").select(col("l_returnflag"),
+          col("l_extendedprice"))
+        val (ranked, release) = graft.ops.FeatureScale
+          .percentileRanksReleasable(li, "l_extendedprice",
+            Seq("l_returnflag"))
+        try ranked.count() finally release()
+      }),
+
+      // one aggregate per side + scalar array math; vectors never
+      // shuffle
+      "embedding_drift" -> (() => {
+        val emb = t("embeddings")
+        graft.ops.Drift.embeddingDrift(
+          emb.filter(col("label") >= 5), emb.filter(col("label") < 5),
+          "embedding").first()
+        graft.ops.Drift.embeddingDriftByDim(
+          emb.filter(col("label") >= 5), emb.filter(col("label") < 5),
+          "embedding").count()
+      }),
+
+      // Morton key + range layout + parquet write over lineitem (the
+      // real clustering pass: stats agg, map-only interleave, one
+      // range exchange, file write — an agg-only probe would let the
+      // optimizer drop the sort)
+      "zorder_layout" -> (() => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bench_zorder").toString
+        graft.io.ZOrderLayout.writeZOrdered(
+          t("lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_quantity")),
+          Seq("l_extendedprice", "l_quantity"), tmp, bits = 16,
+          numFiles = 8)
+        8L
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,

@@ -1903,6 +1903,72 @@ object SparkEntry {
           coalesce(col("to_type"), lit("<end>")).as("to_type"), col("n"))
     }),
 
+    "q146_layout_manifest" -> ((s, dir) => {
+      // file-stats manifest over the deterministic shard layout: one
+      // column-pruned scan keyed by file name; the oracle recomputes
+      // every shard's row count and n_chars envelope analytically from
+      // the md5 assignment, so a wrong stat, lost file, or misattributed
+      // row all hash-mismatch
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q146_manifest").toString
+      io.ShardWriter.writeShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", nShards = 8, tmp)
+      io.LayoutManifest.collectStats(s, tmp, Seq("n_chars"))
+        .withColumn("shard",
+          regexp_extract(col("file"), "shard=(\\d+)", 1).cast("int"))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("min_n_chars")).as("min_n_chars"),
+          max(col("max_n_chars")).as("max_n_chars"))
+    }),
+
+    "q147_streaming_transitions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING transition matrix, driver-checked: two time-ordered
+      // micro-batches through custom flatMapGroupsWithState state; the
+      // collapsed update-mode sink must equal the batch operator's
+      // non-terminal rows. The collect CONSTRUCTS the fixture-scale
+      // stream source; it is not a query-path collect.
+      val evd = t(s, dir, "events")
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"), col("user_id"),
+          col("event_type"), col("event_id"))
+        .orderBy(col("us"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Long)]
+      val stream = input.toDF().toDF("us", "user_id", "event_type",
+        "event_id")
+      val trans = graft.streaming.StreamingTransitions.matrix(stream,
+        "user_id", "us", "event_type", "event_id")
+      val name = "q147_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = trans.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingTransitions.collapse(s.table(name))
+    }),
+
+    "q148_decayed_score" -> ((s, dir) => {
+      // time-decayed per-user activity score (1h half-life), anchored
+      // at each user's last event so the answer is replay-stable; one
+      // events shuffle (window + agg share the exchange)
+      ops.EventStats.decayedScore(t(s, dir, "events"), "user_id", "ts",
+        "value", halfLifeSeconds = 3600.0)
+        .select(col("user_id"),
+          (round(col("ewma_score"), 6) + 0.0).as("ewma_score"),
+          col("n_events"), col("last_t"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4137,6 +4203,37 @@ object SparkEntry {
         |SELECT event_type AS from_type,
         |  coalesce(next, '<end>') AS to_type, count(*) AS n
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    "q146_layout_manifest" ->
+      """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_rows,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM (SELECT n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS hv
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    // the batch transition matrix (q141) minus its batch-only terminal
+    // rows: a stream never knows an event was a user's last
+    "q147_streaming_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next
+        |  FROM events)
+        |SELECT event_type AS from_type, next AS to_type,
+        |  count(*) AS n
+        |FROM o WHERE next IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q148_decayed_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, max(t) AS mt FROM e GROUP BY 1)
+        |SELECT e.user_id,
+        |  round(sum(coalesce(value, 0)
+        |    * power(2.0, (t - mt) / 3600000000.0)), 6) + 0.0
+        |    AS ewma_score,
+        |  count(*) AS n_events, max(t) AS last_t
+        |FROM e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id, mt""".stripMargin,
 
     "q139_shard_layout" ->
       """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,
