@@ -789,3 +789,49 @@ def write_zordered(df: DataFrame, cols: List[str], path: str,
     ANY clustered column. Read back with ``spark.read.parquet``."""
     _jvm_bridge(df).writeZOrdered(df._jdf, list(cols), path, int(bits),
                                   int(num_files))
+
+
+def write_manifest(spark, layout_path: str, cols: List[str],
+                   manifest_path: str) -> None:
+    """Write the file-stats manifest (one row per data file: row count
+    + per-column min/max) for the parquet layout at ``layout_path`` —
+    the data-skipping index for :func:`pruned_read`. One column-pruned
+    scan of the layout."""
+    from .session import _BRIDGE
+    getattr(spark._jvm, _BRIDGE).writeManifest(
+        spark._jsparkSession, layout_path, list(cols), manifest_path)
+
+
+def pruned_read(spark, layout_path: str, manifest_path: str,
+                value_col: str, lo: float, hi: float) -> DataFrame:
+    """Manifest-pruned range read: only files whose recorded [min, max]
+    envelope intersects [lo, hi] are scanned; the predicate is
+    re-applied row-exactly and still pushes down for row-group pruning
+    within the kept files."""
+    from pyspark.sql import DataFrame as PyDataFrame
+    from .session import _BRIDGE
+    jdf = getattr(spark._jvm, _BRIDGE).prunedRead(
+        spark._jsparkSession, layout_path, manifest_path, value_col,
+        float(lo), float(hi))
+    return PyDataFrame(jdf, spark)
+
+
+def decayed_score(df: DataFrame, key_col: str, ts_col: str,
+                  value_col: str, half_life_seconds: float) -> DataFrame:
+    """Time-decayed per-key event score: each event contributes
+    ``value * 2^(-(age / half_life))`` with age measured back from the
+    key's own most recent event (replay-stable — no wall clock).
+    Output: key, ewma_score, n_events, last_t (epoch micros). One
+    events shuffle."""
+    return _to_py_df(_jvm_bridge(df).decayedScore(
+        df._jdf, key_col, ts_col, value_col,
+        float(half_life_seconds)), df)
+
+
+def decayed_count(df: DataFrame, key_col: str, ts_col: str,
+                  half_life_seconds: float) -> DataFrame:
+    """Time-decayed per-key event count (every event weighs 1):
+    recency-weighted activity level with the same decay anchor as
+    :func:`decayed_score`."""
+    return _to_py_df(_jvm_bridge(df).decayedCount(
+        df._jdf, key_col, ts_col, float(half_life_seconds)), df)

@@ -575,6 +575,21 @@ def test_round12b_rank_drift_layout():
     ops.write_zordered(li, ["l_quantity"], zdir, bits=8, num_files=4)
     assert spark.read.parquet(zdir).count() == li.count()
 
+    # manifest-pruned read equals the full filter
+    mdir = tempfile.mkdtemp(prefix="graft_py_manifest")
+    ops.write_manifest(spark, zdir, ["l_quantity"], mdir)
+    pr = ops.pruned_read(spark, zdir, mdir, "l_quantity", 5.0, 10.0)
+    assert pr.count() == spark.read.parquet(zdir).filter(
+        "l_quantity BETWEEN 5.0 AND 10.0").count()
+
+    # decayed scores: identical single-event keys score their value
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ds = ops.decayed_score(events, "user_id", "ts", "value", 3600.0)
+    assert ds.count() == events.select("user_id").distinct().count()
+    assert {"ewma_score", "n_events", "last_t"} <= set(ds.columns)
+    dc = ops.decayed_count(events, "user_id", "ts", 3600.0)
+    assert dc.filter("decayed_count > n_events").count() == 0
+
     print("round-12b rank/drift/layout facade OK")
 
 

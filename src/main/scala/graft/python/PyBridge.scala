@@ -705,4 +705,33 @@ object PyBridge {
     graft.io.ZOrderLayout.writeZOrdered(df, cols.asScala.toSeq, path,
       bits, numFiles)
   }
+
+  /** Write the file-stats manifest for a parquet layout. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, cols: java.util.List[String],
+      manifestPath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    graft.io.LayoutManifest.writeManifest(spark, layoutPath,
+      cols.asScala.toSeq, manifestPath)
+  }
+
+  /** Manifest-pruned range read over a written layout. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, manifestPath: String, valueCol: String,
+      lo: Double, hi: Double): DataFrame =
+    graft.io.LayoutManifest.prunedRead(spark, layoutPath, manifestPath,
+      valueCol, lo, hi)
+
+  /** Time-decayed per-key event score (2^(-age/halfLife) weights,
+    * anchored at each key's last event).
+    */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Double): DataFrame =
+    graft.ops.EventStats.decayedScore(df, keyCol, tsCol, valueCol,
+      halfLifeSeconds)
+
+  /** Time-decayed per-key event count. */
+  def decayedCount(df: DataFrame, keyCol: String, tsCol: String,
+      halfLifeSeconds: Double): DataFrame =
+    graft.ops.EventStats.decayedCount(df, keyCol, tsCol, halfLifeSeconds)
 }

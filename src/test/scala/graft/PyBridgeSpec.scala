@@ -240,6 +240,32 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq).toSet
   }
 
+  test("bridge manifest write + pruned read and decayed scores equal " +
+    "the Scala calls") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_pybridge_layout").toString
+    graft.io.ZOrderLayout.writeZOrdered(li, Seq("l_quantity"), layout,
+      bits = 8, numFiles = 4)
+    val manifest = java.nio.file.Files
+      .createTempDirectory("graft_pybridge_manifest").toString
+    PyBridge.writeManifest(spark, layout, jList("l_quantity"), manifest)
+    val pruned = PyBridge.prunedRead(spark, layout, manifest,
+      "l_quantity", 5.0, 10.0)
+    pruned.count() shouldBe
+      li.filter(col("l_quantity").between(5.0, 10.0)).count()
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    PyBridge.decayedScore(ev, "user_id", "ts", "value", 3600.0)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.EventStats.decayedScore(ev, "user_id", "ts", "value",
+        3600.0).collect().map(_.toSeq).toSet
+    PyBridge.decayedCount(ev, "user_id", "ts", 3600.0)
+      .count() should be > 0L
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
