@@ -1969,6 +1969,56 @@ object SparkEntry {
           col("n_events"), col("last_t"))
     }),
 
+    "q149_corr_matrix" -> ((s, dir) => {
+      // pairwise Pearson over the lineitem measures: ONE aggregation
+      // job (each corr is a map-side-combined moment buffer), input
+      // scans once, nothing row-sized shuffles
+      ops.Stats.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"),
+          (round(col("pearson"), 6) + 0.0).as("pearson"), col("n"))
+    }),
+
+    "q150_cat_association" -> ((s, dir) => {
+      // MI / chi-squared / Cramer's V between order status and
+      // priority: input reduces to its contingency cells in one hash
+      // aggregate; marginals re-aggregate the cell table and broadcast
+      ops.Stats.categoricalAssociation(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")
+        .select((round(col("mi"), 6) + 0.0).as("mi"),
+          (round(col("chi2"), 6) + 0.0).as("chi2"),
+          (round(col("cramers_v"), 6) + 0.0).as("cramers_v"),
+          col("n"), col("card_a"), col("card_b"))
+    }),
+
+    "q151_pagerank" -> ((s, dir) => {
+      // weighted PageRank over the customer->supplier purchase graph
+      // (3 power iterations, d=0.85); suppliers have no out-edges, so
+      // the dangling-mass redistribution path is fully exercised. Node
+      // ids are namespaced (c:/s:) because the key spaces overlap.
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      ops.Graph.pageRank(edges, "src", "dst", weightCol = None,
+        iterations = 3, damping = 0.85)
+        .select(col("node"),
+          (round(col("scaled_rank"), 6) + 0.0).as("scaled_rank"))
+    }),
+
+    "q152_knn_label_noise" -> ((s, dir) => {
+      // label-noise screen: exact cosine 10-NN per labeled vector
+      // (corpus never shuffles; neighbor-id pairs do), neighborhood
+      // majority + disagreement vs own label
+      Similarity.knnLabelNoise(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 10)
+        .select(col("query_id").as("vec_id"), col("label"),
+          col("majority_label"), col("n_neighbors"),
+          (round(col("disagree_frac"), 6) + 0.0).as("disagree_frac"),
+          col("suspect"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4234,6 +4284,128 @@ object SparkEntry {
         |  count(*) AS n_events, max(t) AS last_t
         |FROM e JOIN m ON e.user_id = m.user_id
         |GROUP BY e.user_id, mt""".stripMargin,
+
+    "q149_corr_matrix" ->
+      """SELECT * FROM (
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS pearson,
+        |  count(*) AS n FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |  round(corr(l_quantity, l_discount), 6) + 0.0, count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_tax',
+        |  round(corr(l_quantity, l_tax), 6) + 0.0, count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount',
+        |  round(corr(l_extendedprice, l_discount), 6) + 0.0, count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_tax',
+        |  round(corr(l_extendedprice, l_tax), 6) + 0.0, count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', 'l_tax',
+        |  round(corr(l_discount, l_tax), 6) + 0.0, count(*)
+        |FROM lineitem)""".stripMargin,
+
+    "q150_cat_association" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |    count(*)::DOUBLE AS c
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c) AS ra FROM c GROUP BY 1),
+        |rb AS (SELECT b, sum(c) AS rb FROM c GROUP BY 1),
+        |t AS (SELECT sum(c) AS n, count(DISTINCT a)::DOUBLE AS ka,
+        |             count(DISTINCT b)::DOUBLE AS kb FROM c),
+        |j AS (SELECT c.c, ra.ra, rb.rb, t.n, t.ka, t.kb
+        |      FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t),
+        |agg AS (
+        |  SELECT sum(c / n * ln(c * n / (ra * rb))) AS mi,
+        |    sum(pow(c - ra * rb / n, 2) / (ra * rb / n))
+        |      + any_value(n) - sum(ra * rb / n) AS chi2,
+        |    any_value(n) AS n, any_value(ka) AS ka, any_value(kb) AS kb
+        |  FROM j)
+        |SELECT round(mi, 6) + 0.0 AS mi, round(chi2, 6) + 0.0 AS chi2,
+        |  round(CASE WHEN least(ka, kb) > 1
+        |    THEN sqrt(chi2 / (n * (least(ka, kb) - 1))) END, 6) + 0.0
+        |    AS cramers_v,
+        |  n::BIGINT AS n, ka::BIGINT AS card_a, kb::BIGINT AS card_b
+        |FROM agg""".stripMargin,
+
+    "q151_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+        |    count(*)::DOUBLE AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, e0.w / ow.ow AS p
+        |      FROM e0 JOIN ow USING (src)),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT src FROM e)),
+        |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r * e.p) AS inflow
+        |       FROM e JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |  0.15 / nn.n + 0.85 * (coalesce(c1.inflow, 0) + d1.dm / nn.n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d1
+        |  LEFT JOIN c1 ON c1.node = nodes.node),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r * e.p) AS inflow
+        |       FROM e JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |  0.15 / nn.n + 0.85 * (coalesce(c2.inflow, 0) + d2.dm / nn.n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d2
+        |  LEFT JOIN c2 ON c2.node = nodes.node),
+        |d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r * e.p) AS inflow
+        |       FROM e JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |  0.15 / nn.n + 0.85 * (coalesce(c3.inflow, 0) + d3.dm / nn.n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d3
+        |  LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node, round(r * nn.n, 6) + 0.0 AS scaled_rank
+        |FROM r3 CROSS JOIN nn""".stripMargin,
+
+    "q152_knn_label_noise" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+        |           FROM embeddings),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS iid,
+        |  a.label AS ol, b.label AS nl,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) *
+        |     sqrt(list_dot_product(b.e, b.e))) AS c
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |top AS (SELECT qid, iid, ol, nl,
+        |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, iid) AS rn
+        |  FROM s),
+        |nb AS (SELECT qid, ol, nl FROM top WHERE rn <= 10),
+        |pl AS (SELECT qid, ol, nl, count(*) AS cnt FROM nb GROUP BY 1, 2, 3),
+        |mj AS (SELECT qid, nl AS maj FROM (
+        |  SELECT qid, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, nl ASC)
+        |      AS rn
+        |  FROM pl) WHERE rn = 1),
+        |ag AS (SELECT qid, any_value(ol) AS label,
+        |  count(*) AS n_neighbors,
+        |  sum(CASE WHEN nl <> ol THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |    AS df
+        |  FROM nb GROUP BY 1)
+        |SELECT ag.qid AS vec_id, ag.label, mj.maj AS majority_label,
+        |  ag.n_neighbors, round(ag.df, 6) + 0.0 AS disagree_frac,
+        |  mj.maj <> ag.label AS suspect
+        |FROM ag JOIN mj ON ag.qid = mj.qid""".stripMargin,
 
     "q139_shard_layout" ->
       """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,

@@ -479,4 +479,66 @@ object Similarity {
       .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
     explodeTopK(grouped, idType)
   }
+
+  /** Label-noise screen by k-NN disagreement (the Confident-Learning /
+    * deep-kNN style heuristic): for every labeled vector, find its k
+    * nearest neighbors among the OTHER labeled vectors and compare the
+    * neighborhood's labels to its own. A point whose neighborhood
+    * majority disagrees is a mislabeling candidate.
+    *
+    * `neighbors` is any (query_id, item_id) frame — [[bruteForceTopK]]
+    * for exact small/eval corpora, [[ivfTopK]]/[[ivfPqTopK]] at corpus
+    * scale — so the scoring works unchanged on either path. Output per
+    * query: own `label`, the neighborhood `majority_label` (ties break
+    * to the smallest label), `n_neighbors`, `disagree_frac` (fraction
+    * of neighbors whose label differs from the point's own), and
+    * `suspect` (majority label differs from own).
+    *
+    * Scale shape: two joins on skinny (id, label) rows — the label side
+    * of each is the full corpus, hash-partitioned on the id key — then
+    * two bounded aggregations of n·k rows. Embeddings never move here;
+    * only the neighbor-id pairs from the ANN stage do.
+    */
+  def labelNoiseFromNeighbors(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val lbl = labels.select(col(idCol).as("__id"), col(labelCol).as("__lbl"))
+    val joined = neighbors.select(col("query_id"), col("item_id"))
+      .join(lbl.withColumnRenamed("__id", "item_id")
+        .withColumnRenamed("__lbl", "__nl"), Seq("item_id"))
+      .join(lbl.withColumnRenamed("__id", "query_id")
+        .withColumnRenamed("__lbl", "__ol"), Seq("query_id"))
+    val perLabel = joined.groupBy(col("query_id"), col("__ol"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__c").desc, col("__nl").asc)
+    perLabel
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("__ol")).as("label"),
+        max(when(col("__rn") === 1, col("__nl"))).as("majority_label"),
+        sum(col("__c")).as("n_neighbors"),
+        (sum(when(col("__nl") =!= col("__ol"), col("__c")).otherwise(lit(0)))
+          .cast("double") / sum(col("__c"))).as("disagree_frac"))
+      .withColumn("suspect", col("majority_label") =!= col("label"))
+  }
+
+  /** Convenience: exact self-kNN label-noise screen over one labeled
+    * embedding frame (brute-force cosine neighbors, self excluded).
+    * For corpora too large for the broadcast in [[bruteForceTopK]],
+    * run [[ivfTopK]] yourself and feed [[labelNoiseFromNeighbors]].
+    */
+  def knnLabelNoise(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val nb = bruteForceTopK(df, df, idCol, embCol, k)
+    labelNoiseFromNeighbors(nb, df, idCol, labelCol)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** PageRank: closed-form fixtures (symmetric cycle, star, dangling
+  * redistribution), mass conservation, weight sensitivity, and
+  * partitioning-invariance.
+  */
+class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("symmetric cycle converges to uniform 1/N from any damping") {
+    import spark.implicits._
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("s", "d")
+    val r = ranks(Graph.pageRank(e, "s", "d", iterations = 4))
+    r.values.foreach(_ shouldBe (1.0 / 3 +- 1e-12))
+  }
+
+  test("star graph: hand-computed two-iteration ranks with dangling " +
+    "redistribution") {
+    import spark.implicits._
+    // a->c, b->c; c dangling. N=3, d=0.85.
+    // iter1: D = 1/3 (c's mass). base = 0.05 + 0.85*(1/9)
+    //   r(a) = r(b) = 0.05 + 0.85/9
+    //   r(c) = 0.05 + 0.85*(1/3 + 1/3 + 1/9)
+    val e = Seq("a" -> "c", "b" -> "c").toDF("s", "d")
+    val r1 = ranks(Graph.pageRank(e, "s", "d", iterations = 1))
+    val base1 = 0.05 + 0.85 / 9
+    r1("a") shouldBe (base1 +- 1e-12)
+    r1("b") shouldBe (base1 +- 1e-12)
+    r1("c") shouldBe (0.05 + 0.85 * (2.0 / 3 + 1.0 / 9) +- 1e-12)
+    // mass conserved exactly each iteration
+    val r2 = ranks(Graph.pageRank(e, "s", "d", iterations = 2))
+    r2.values.sum shouldBe (1.0 +- 1e-9)
+  }
+
+  test("edge weights steer rank: heavier edge, larger share") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("s", "d", "w")
+    val r = ranks(Graph.pageRank(e, "s", "d", weightCol = Some("w"),
+      iterations = 6))
+    r("b") should be > r("c")
+    r.values.sum shouldBe (1.0 +- 1e-9)
+  }
+
+  test("parallel edges merge by summed weight (same as one fat edge)") {
+    import spark.implicits._
+    val dup = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"),
+      ("b", "a"), ("c", "a")).toDF("s", "d")
+    val fat = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("s", "d", "w")
+    val r1 = ranks(Graph.pageRank(dup, "s", "d", iterations = 3))
+    val r2 = ranks(Graph.pageRank(fat, "s", "d", weightCol = Some("w"),
+      iterations = 3))
+    r1.keySet.foreach(k => r1(k) shouldBe (r2(k) +- 1e-12))
+  }
+
+  test("partitioning-invariant: 1 vs 32 input partitions, same ranks") {
+    import spark.implicits._
+    val edges = (1 to 200).map { i =>
+      (s"n${i % 23}", s"n${(i * 7) % 23}")
+    }.toDF("s", "d")
+    val a = ranks(Graph.pageRank(edges.repartition(1), "s", "d",
+      iterations = 3))
+    val b = ranks(Graph.pageRank(edges.repartition(32), "s", "d",
+      iterations = 3))
+    a.keySet.foreach(k => a(k) shouldBe (b(k) +- 1e-12))
+  }
+
+  test("scaled_rank = rank * N; invalid rows dropped") {
+    import spark.implicits._
+    val e = Seq((Some("a"), Some("b"), 1.0), (Some("b"), Some("a"), 1.0),
+      (Option.empty[String], Some("a"), 1.0),
+      (Some("a"), Option.empty[String], 1.0),
+      (Some("a"), Some("b"), -5.0)).toDF("s", "d", "w")
+    val out = Graph.pageRank(e, "s", "d", weightCol = Some("w"),
+      iterations = 2).collect()
+    out.map(_.getString(0)).toSet shouldBe Set("a", "b")
+    out.foreach(r => r.getDouble(2) shouldBe (r.getDouble(1) * 2 +- 1e-12))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** kNN label-noise screen: planted mislabels in separable clusters are
+  * flagged, clean points are not, and the scoring works over any
+  * neighbor frame (brute == IVF full-probe).
+  */
+class LabelNoiseSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+
+  // two tight, well-separated clusters on orthogonal axes; one point
+  // of each cluster carries the other cluster's label
+  private def fixture = {
+    import spark.implicits._
+    val rows = (0 until 10).map { i =>
+      val eps = 0.01f * i
+      (i.toLong, Array(1.0f, eps, 0.0f), if (i == 3) 1 else 0)
+    } ++ (10 until 20).map { i =>
+      val eps = 0.01f * (i - 10)
+      (i.toLong, Array(0.0f, eps, 1.0f), if (i == 13) 0 else 1)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("planted mislabels are the ONLY suspects; disagreement is total " +
+    "inside a pure neighborhood") {
+    val out = Similarity.knnLabelNoise(fixture, "vec_id", "embedding",
+      "label", k = 5).collect()
+    out.length shouldBe 20
+    val suspects = out.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    suspects shouldBe Set(3L, 13L)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // the mislabeled point's 5 neighbors are all clean same-cluster
+    // points -> every neighbor disagrees with its (wrong) label
+    byId(3L).getDouble(4) shouldBe (1.0 +- 1e-12)
+    byId(3L).getInt(2) shouldBe 0 // majority = the cluster's true label
+    // a clean point next to the planted mislabel sees 1 dissent in 5
+    byId(2L).getDouble(4) shouldBe (0.2 +- 1e-12)
+    byId(2L).getBoolean(5) shouldBe false
+    out.foreach(_.getLong(3) shouldBe 5L)
+  }
+
+  test("scoring is neighbor-source-agnostic: full-probe IVF neighbors " +
+    "give the identical screen") {
+    val df = fixture
+    val brute = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(df, df, "vec_id", "embedding", k = 5,
+      nCentroids = 2, nProbe = 2)
+    val a = Similarity.labelNoiseFromNeighbors(brute, df, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = Similarity.labelNoiseFromNeighbors(ivf, df, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    a shouldBe b
+  }
+
+  test("majority tie breaks to the smallest label deterministically") {
+    import spark.implicits._
+    // query 0 has 4 neighbors: two labeled 5, two labeled 2 -> majority 2
+    val nb = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("query_id", "item_id")
+    val lbl = Seq((0L, 9), (1L, 5), (2L, 5), (3L, 2), (4L, 2))
+      .toDF("vec_id", "label")
+    val r = Similarity.labelNoiseFromNeighbors(nb, lbl, "vec_id", "label")
+      .collect().head
+    r.getInt(2) shouldBe 2
+    r.getDouble(4) shouldBe (1.0 +- 1e-12)
+    r.getBoolean(5) shouldBe true
+  }
+}
