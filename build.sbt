@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test JVM runs every suite in ONE shared SparkSession; broadcast
+// and shuffle bookkeeping across ~400 tests needs more headroom than a
+// single run/bench process (an 8g test JVM OOM'd once the suite grew
+// past ~300 tests). Last -Xmx wins in HotSpot.
+Test / javaOptions += "-Xmx16g"

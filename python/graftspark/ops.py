@@ -835,3 +835,159 @@ def decayed_count(df: DataFrame, key_col: str, ts_col: str,
     :func:`decayed_score`."""
     return _to_py_df(_jvm_bridge(df).decayedCount(
         df._jdf, key_col, ts_col, float(half_life_seconds)), df)
+
+
+def corr_matrix(df: DataFrame, cols: List[str]) -> DataFrame:
+    """Long-form pairwise Pearson correlation + sample covariance over
+    numeric columns (NULLs excluded pairwise). One aggregation job:
+    input rows never shuffle, only moment buffers do. Output:
+    (col_a, col_b, pearson, covariance, n)."""
+    return _to_py_df(
+        _jvm_bridge(df).corrMatrix(df._jdf, list(cols)), df)
+
+
+def categorical_association(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Association between two categorical columns: one row with
+    mutual information (nats), Pearson's chi-squared over the full
+    grid, Cramer's V, n, and both cardinalities. The input reduces to
+    its contingency cells in one hash aggregate."""
+    return _to_py_df(
+        _jvm_bridge(df).categoricalAssociation(df._jdf, col_a, col_b), df)
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             weight_col: Optional[str] = None, iterations: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank by fixed power iteration with dangling-mass
+    redistribution (parallel edges merge by summed weight; unweighted
+    edges count). Output: (node, rank, scaled_rank = rank * N)."""
+    return _to_py_df(_jvm_bridge(edges).pageRank(
+        edges._jdf, src_col, dst_col, weight_col or "",
+        int(iterations), float(damping)), edges)
+
+
+def knn_label_noise(df: DataFrame, id_col: str, emb_col: str,
+                    label_col: str, k: int = 10) -> DataFrame:
+    """Label-noise screen by exact cosine k-NN disagreement: per point,
+    the neighborhood majority label, disagreement fraction, and a
+    suspect flag (majority differs from own label). For corpora too
+    large for broadcast brute force, compute IVF neighbors and use
+    :func:`label_noise_from_neighbors`."""
+    return _to_py_df(_jvm_bridge(df).knnLabelNoise(
+        df._jdf, id_col, emb_col, label_col, int(k)), df)
+
+
+def label_noise_from_neighbors(neighbors: DataFrame, labels: DataFrame,
+                               id_col: str, label_col: str) -> DataFrame:
+    """Label-noise scoring over any precomputed (query_id, item_id)
+    neighbor frame — brute-force or IVF/IVF-PQ."""
+    return _to_py_df(_jvm_bridge(neighbors).labelNoiseFromNeighbors(
+        neighbors._jdf, labels._jdf, id_col, label_col), neighbors)
+
+
+def source_overlap(df: DataFrame, group_col: str, text_col: str,
+                   n: int = 8) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap BETWEEN corpus groups (sources,
+    snapshots, shards) — the overlap matrix run before document-level
+    dedup. Grams reduce to per-(group, 64-bit hash) distinct keys in
+    one reused exchange; gram text never shuffles. Output one row per
+    unordered pair: (source_a, source_b, n_a, n_b, n_common, jaccard),
+    zero-overlap pairs included."""
+    return _to_py_df(_jvm_bridge(df).sourceOverlap(
+        df._jdf, group_col, text_col, int(n)), df)
+
+
+def rolling_window_stats(df: DataFrame, key_col: str, ts_col: str,
+                         value_col: str,
+                         window_seconds: int) -> DataFrame:
+    """Exact trailing-window per-event statistics: every input row plus
+    t_micros, n_window, sum_window, mean_window over the key's events
+    in the preceding window (inclusive). One hash exchange + sort — a
+    single RANGE window, no self-join."""
+    return _to_py_df(_jvm_bridge(df).rollingWindowStats(
+        df._jdf, key_col, ts_col, value_col, int(window_seconds)), df)
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, id_col: str,
+               key_col: str, max_dist: int, prefix_len: int = 1,
+               symmetric_prefixes: bool = True) -> DataFrame:
+    """Fuzzy (edit-distance) record-linkage join: pairs whose string
+    keys are within max_dist Levenshtein edits, generated through
+    (prefix, length-band) blocking — an equi-join on block keys, never
+    a cartesian product. Output: left_id, left_key, right_id,
+    right_key, dist."""
+    return _to_py_df(_jvm_bridge(left).fuzzyJoin(
+        left._jdf, right._jdf, id_col, key_col, int(max_dist),
+        int(prefix_len), bool(symmetric_prefixes)), left)
+
+
+def trending_items(df: DataFrame, ts_col: str, item_col: str,
+                   bucket_seconds: int, k: int) -> DataFrame:
+    """Top-k item types per fixed time bucket by event count (ties to
+    the smaller item). Events collapse to (bucket, item) cells
+    map-side; the top-k window runs over cells, not events. Output:
+    bucket_start (epoch micros), item, n, rank."""
+    return _to_py_df(_jvm_bridge(df).trendingItems(
+        df._jdf, ts_col, item_col, int(bucket_seconds), int(k)), df)
+
+
+def touch_attribution(df: DataFrame, key_col: str, ts_col: str,
+                      type_col: str, tie_col: str,
+                      touch_types: List[str], conversion_type: str,
+                      lookback_seconds: int) -> DataFrame:
+    """First/last-touch conversion attribution: for every conversion
+    event, the key's first and last touch event inside the preceding
+    lookback (strictly before the conversion). One exchange + sort
+    carries both window passes; unattributed conversions report NULL
+    touch columns."""
+    return _to_py_df(_jvm_bridge(df).touchAttribution(
+        df._jdf, key_col, ts_col, type_col, tie_col,
+        list(touch_types), conversion_type, int(lookback_seconds)), df)
+
+
+def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
+                      iterations: int = 5) -> DataFrame:
+    """Community detection by self-vote synchronous label propagation
+    over the symmetrized edge set: deterministic (ties to the smallest
+    label), replay- and partitioning-stable. Output: (node, label)."""
+    return _to_py_df(_jvm_bridge(edges).labelPropagation(
+        edges._jdf, src_col, dst_col, int(iterations)), edges)
+
+
+def kmeans_clusters(df: DataFrame, id_col: str, emb_col: str, k: int,
+                    iterations: int = 2) -> DataFrame:
+    """Deterministic cosine k-means over an embedding column (init =
+    first k rows by id, Lloyd refinement): training is map-only passes
+    plus a k-row aggregate each; the assignment is one more map pass —
+    the corpus never shuffles. Output: (id, cluster)."""
+    return _to_py_df(_jvm_bridge(df).kmeansClusters(
+        df._jdf, id_col, emb_col, int(k), int(iterations)), df)
+
+
+def inter_arrival_stats(df: DataFrame, key_col: str,
+                        ts_col: str) -> DataFrame:
+    """Per-key inter-arrival statistics (burstiness profile): n_gaps,
+    mean/min/max gap seconds, sample std-dev, coefficient of
+    variation. One exchange: the lag window and the aggregate share
+    the key partitioning."""
+    return _to_py_df(_jvm_bridge(df).interArrivalStats(
+        df._jdf, key_col, ts_col), df)
+
+
+def concentration(df: DataFrame, key_col: str,
+                  value_col: Optional[str] = None) -> DataFrame:
+    """Activity concentration across keys: Gini coefficient +
+    top-decile share of per-key weight (row counts, or value_col's
+    sum). Events collapse to per-key totals first; the global sort
+    ranks keys, not events."""
+    return _to_py_df(_jvm_bridge(df).concentration(
+        df._jdf, key_col, value_col or ""), df)
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
+    """Zipf-law OLS fit of ln(count) on ln(rank) over the corpus's
+    top-N tokens: slope ~ -1 for natural text. Output one row: slope,
+    intercept, r2, n_ranks."""
+    return _to_py_df(_jvm_bridge(df).zipfFit(
+        df._jdf, text_col, int(top_n)), df)

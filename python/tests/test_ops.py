@@ -353,6 +353,7 @@ def main():
     test_round7_corpus_filters()
     test_round12_mixture_media_novelty()
     test_round12b_rank_drift_layout()
+    test_round12c_stats_graph_noise()
     print("ALL OPS TESTS PASSED")
 
 
@@ -591,6 +592,105 @@ def test_round12b_rank_drift_layout():
     assert dc.filter("decayed_count > n_events").count() == 0
 
     print("round-12b rank/drift/layout facade OK")
+
+
+def test_round12c_stats_graph_noise():
+    from graftspark import ops
+
+    spark = _get_spark()
+
+    # correlation matrix: 3 pairs over 3 columns, |pearson| <= 1
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cm = ops.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]).collect()
+    assert len(cm) == 3
+    assert all(abs(r["pearson"]) <= 1.0 for r in cm)
+    assert all(r["n"] == li.count() for r in cm)
+
+    # categorical association: one row, chi2 >= 0, 0 <= V <= 1
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    ca = ops.categorical_association(
+        orders, "o_orderstatus", "o_orderpriority").collect()[0]
+    assert ca["chi2"] >= 0 and 0 <= ca["cramers_v"] <= 1
+    assert ca["card_a"] >= 1 and ca["card_b"] >= 1
+
+    # pagerank: mass sums to 1; symmetric cycle is uniform
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["s", "d"])
+    pr = ops.pagerank(e, "s", "d", iterations=4).collect()
+    assert abs(sum(r["rank"] for r in pr) - 1.0) < 1e-9
+    assert all(abs(r["scaled_rank"] - 1.0) < 1e-9 for r in pr)
+
+    # knn label noise: every point scored, fractions in [0, 1]
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")).filter("vec_id < 80")
+    ln = ops.knn_label_noise(emb, "vec_id", "embedding", "label", k=5)
+    rows = ln.collect()
+    assert len(rows) == emb.count()
+    assert all(0.0 <= r["disagree_frac"] <= 1.0 for r in rows)
+    assert all(r["n_neighbors"] == 5 for r in rows)
+
+    # source overlap: complete matrix over the source pairs
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_src = docs.select("source").distinct().count()
+    so = ops.source_overlap(docs, "source", "text", n=8).collect()
+    assert len(so) == n_src * (n_src - 1) // 2
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in so)
+
+    # rolling windows: one output row per event, counts >= 1
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    rw = ops.rolling_window_stats(events, "user_id", "ts", "value", 3600)
+    assert rw.count() == events.count()
+    assert rw.filter("n_window < 1").count() == 0
+
+    # fuzzy join: identity pairs always present at dist 0
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")) \
+        .selectExpr("c_custkey AS id", "c_name AS name") \
+        .filter("id <= 100")
+    fj = ops.fuzzy_join(cust, cust, "id", "name", max_dist=0)
+    assert fj.filter("left_id = right_id").count() == cust.count()
+
+    # trending: at most k rows per bucket, ranks 1..k
+    tr = ops.trending_items(events, "ts", "event_type", 14400, 3)
+    assert tr.filter("rank > 3").count() == 0
+    assert tr.groupBy("bucket_start").count() \
+        .filter("count > 3").count() == 0
+
+    # attribution: one row per conversion
+    at = ops.touch_attribution(events, "user_id", "ts", "event_type",
+                               "event_id", ["view", "click"],
+                               "purchase", 3600)
+    assert at.count() == events.filter(
+        "event_type = 'purchase'").count()
+
+    # label propagation: labels are a subset of node ids
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["s", "d"])
+    lp = ops.label_propagation(e, "s", "d", iterations=3).collect()
+    assert {r["node"] for r in lp} == {1, 2, 3, 7, 8}
+    assert all(r["label"] in {1, 7} for r in lp)
+
+    # kmeans: every vector assigned to one of k clusters
+    km = ops.kmeans_clusters(emb, "vec_id", "embedding", k=4,
+                             iterations=1)
+    assert km.count() == emb.count()
+    assert km.select("cluster").distinct().count() <= 4
+
+    # burstiness: single-event users report zero gaps
+    ia = ops.inter_arrival_stats(events, "user_id", "ts")
+    assert ia.filter("n_gaps < 0").count() == 0
+
+    # concentration: gini in [0, 1)
+    conc = ops.concentration(events, "user_id").collect()[0]
+    assert 0.0 <= conc["gini"] < 1.0
+    assert 0.0 < conc["top_decile_share"] <= 1.0
+
+    # zipf: natural-ish corpus fits a negative slope
+    zf = ops.zipf_fit(docs, "text", top_n=100).collect()[0]
+    assert zf["slope"] < 0
+    assert zf["n_ranks"] == 100
+
+    print("round-12c stats/graph/noise facade OK")
 
 
 if __name__ == "__main__":

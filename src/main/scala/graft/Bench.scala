@@ -447,7 +447,87 @@ object Bench {
           Seq("l_extendedprice", "l_quantity"), tmp, bits = 16,
           numFiles = 8)
         8L
-      }))
+      }),
+
+      // pairwise moments in ONE aggregation job over the full lineitem
+      // width: input rows never shuffle, only moment buffers do
+      "corr_matrix" -> (() =>
+        graft.ops.Stats.corrMatrix(t("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .count()),
+
+      // 3 power iterations over the customer->supplier purchase graph:
+      // edges normalized + persisted once, per-iteration exchanges are
+      // rank-sized
+      "pagerank" -> (() => {
+        val o = t("orders")
+        val li = t("lineitem")
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+        graft.ops.Graph.pageRank(edges, "src", "dst", None,
+          iterations = 3).count()
+      }),
+
+      // exact cosine 10-NN per labeled vector + neighborhood majority:
+      // corpus broadcast-scored map-side, then two skinny id-pair joins
+      "knn_label_noise" -> (() =>
+        graft.ops.Similarity.knnLabelNoise(t("embeddings"),
+          "vec_id", "embedding", "label", k = 10).count()),
+
+      // pairwise 8-gram Jaccard between sources: grams dedupe to
+      // (group, hash) in one exchange reused by sizes + both join sides
+      "source_overlap" -> (() =>
+        graft.ops.TextOps.sourceOverlap(t("documents"),
+          "source", "text", n = 8).count()),
+
+      // exact trailing-1h per-event stats: one hash exchange + sort,
+      // single RANGE window over the full event table
+      "rolling_window" -> (() =>
+        graft.ops.EventStats.rollingWindowStats(t("events"),
+          "user_id", "ts", "value", windowSeconds = 3600L).count()),
+
+      // blocked edit-distance self-linkage over customer names: block
+      // equi-join + codegen levenshtein, no cartesian product
+      // TPC-H names are a blocking worst case (shared prefix + equal
+      // length puts everything in one block), so this measures the
+      // quadratic in-block stage honestly on a bounded slice
+      "fuzzy_join" -> (() => {
+        val c = t("customer").filter(col("c_custkey") <= 2000)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        graft.ops.Joins.fuzzyJoin(c, c, "id", "name", maxDist = 1)
+          .count()
+      }),
+
+      // 3 self-vote LPA rounds over the symmetrized purchase graph:
+      // per-iteration exchanges carry (node, label) cells only
+      "label_prop" -> (() => {
+        val o = t("orders")
+        val li = t("lineitem")
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+        graft.ops.Graph.labelPropagation(edges, "src", "dst",
+          iterations = 3).count()
+      }),
+
+      // first/last-touch attribution for every purchase: one exchange
+      // + sort serves both window passes
+      "attribution" -> (() =>
+        graft.ops.EventStats.touchAttribution(t("events"), "user_id",
+          "ts", "event_type", "event_id", Seq("view", "click"),
+          "purchase", lookbackSeconds = 3600L).count()),
+
+      // cosine k-means: 2 Lloyd passes + assignment, all map-only
+      // with k-row aggregates — zero corpus shuffles
+      "kmeans" -> (() =>
+        graft.ops.Similarity.kmeansClusters(t("embeddings"),
+          "vec_id", "embedding", k = 8, iterations = 2).count()),
+
+      // token counts map-side-combined, OLS over the bounded top-200
+      "zipf" -> (() =>
+        graft.ops.TextOps.zipfFit(t("documents"), "text", topN = 200)
+          .count()))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape.

@@ -2019,6 +2019,166 @@ object SparkEntry {
           col("suspect"))
     }),
 
+    "q153_source_overlap" -> ((s, dir) => {
+      // pairwise 8-gram Jaccard BETWEEN sources (the pre-dedup corpus
+      // overlap matrix): grams reduce to per-(source, hash) distinct
+      // keys in one exchange reused across all three plan occurrences;
+      // gram text never shuffles
+      ops.TextOps.sourceOverlap(t(s, dir, "documents"),
+        "source", "text", n = 8)
+        .select(col("source_a"), col("source_b"), col("n_a"),
+          col("n_b"), col("n_common"),
+          (round(col("jaccard"), 6) + 0.0).as("jaccard"))
+    }),
+
+    "q154_rolling_window" -> ((s, dir) => {
+      // exact trailing-1h per-event stats: ONE hash exchange on the
+      // key + per-partition sort (a single RANGE window), no self-join
+      ops.EventStats.rollingWindowStats(t(s, dir, "events"),
+        "user_id", "ts", "value", windowSeconds = 3600L)
+        .select(col("event_id"), col("user_id"),
+          col("t_micros").as("t"), col("n_window"),
+          (round(col("sum_window"), 6) + 0.0).as("sum_window"),
+          (round(col("mean_window"), 6) + 0.0).as("mean_window"))
+    }),
+
+    "q155_streaming_scores" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING decayed scores, driver-checked: the event feed
+      // replays through a MemoryStream in two micro-batches; per-key
+      // state is 3 numbers (score at anchor, anchor, count) and the
+      // exact re-anchoring update makes the final state equal the
+      // batch q148 closed form. The collect below CONSTRUCTS the
+      // fixture-scale stream source; it is not a query-path collect.
+      val evd = t(s, dir, "events")
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"),
+          col("user_id"), col("value"))
+        .orderBy(col("us"), col("user_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val stream0 = input.toDF().toDF("us", "user_id", "v")
+      // NaN encodes the source's NULL values through the typed
+      // MemoryStream tuple; restore before scoring
+      val stream = stream0.withColumn("value",
+        when(isnan(col("v")), lit(null).cast("double"))
+          .otherwise(col("v")))
+      val scored = graft.streaming.StreamingScores.decayedScores(
+        stream, "user_id", "us", "value", halfLifeSeconds = 3600.0)
+      val name = "q155_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // update-mode sink keeps every trigger's row; n_events is
+      // monotone per key, so max_by picks the final state
+      s.table(name).groupBy(col("key").cast("long").as("user_id"))
+        .agg((round(expr("max_by(ewma_score, n_events)"), 6) + 0.0)
+          .as("ewma_score"),
+          max(col("n_events")).as("n_events"),
+          max(col("last_t")).as("last_t"))
+    }),
+
+    "q156_fuzzy_join" -> ((s, dir) => {
+      // edit-distance record linkage: customer names vs a one-edit
+      // perturbed copy under (prefix, length-band) blocking — an
+      // equi-join on block keys, never a cartesian product. All names
+      // share the first char, so blocking is provably lossless here
+      // and the brute-force oracle must agree exactly.
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 400)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val perturbed = c.select((col("id") + 100000L).as("id"),
+        when(col("id") % 3 === 0,
+          concat(substring(col("name"), lit(1),
+            length(col("name")) - 1), lit("X")))
+          .otherwise(col("name")).as("name"))
+      ops.Joins.fuzzyJoin(c, perturbed, "id", "name", maxDist = 1)
+        .select(col("left_id"), col("left_key"), col("right_id"),
+          col("right_key"), col("dist").cast("long").as("dist"))
+    }),
+
+    "q157_trending" -> ((s, dir) => {
+      // per-4h-bucket top-3 event types: events collapse to
+      // (bucket, item) cells in one map-side-combined exchange; the
+      // top-k window runs over cells, not events
+      ops.EventStats.trendingItems(t(s, dir, "events"), "ts",
+        "event_type", bucketSeconds = 14400L, k = 3)
+    }),
+
+    "q158_attribution" -> ((s, dir) => {
+      // first/last-touch credit for every purchase within a 1h
+      // lookback: both window passes share one exchange + sort
+      ops.EventStats.touchAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_type", "event_id", Seq("view", "click"),
+        "purchase", lookbackSeconds = 3600L)
+    }),
+
+    "q159_label_prop" -> ((s, dir) => {
+      // community detection over the per-region nation cliques: with
+      // disjoint cliques the self-vote LPA fixed point is each
+      // clique's minimum member, reached by iteration 1 — the oracle
+      // states that closed form; 3 iterations prove stability
+      val n = t(s, dir, "nation")
+      val m = n.select(col("n_nationkey").as("b"),
+        col("n_regionkey").as("r2"))
+      val edges = n.join(m, col("n_regionkey") === col("r2") &&
+          col("n_nationkey") < col("b"))
+        .select(col("n_nationkey").as("src"), col("b").as("dst"))
+      ops.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+    }),
+
+    "q160_kmeans" -> ((s, dir) => {
+      // deterministic cosine k-means (init = first 4 by id, one Lloyd
+      // step): training is map passes + a 4-row aggregate each, the
+      // assignment a map-only pass — zero corpus shuffles. The oracle
+      // replays init/assign/update/assign in SQL.
+      Similarity.kmeansClusters(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iterations = 1)
+    }),
+
+    "q161_interarrival" -> ((s, dir) => {
+      // per-user burstiness: gap stats + CV; the lag window and the
+      // aggregate share one exchange on the key
+      ops.EventStats.interArrivalStats(t(s, dir, "events"),
+        "user_id", "ts")
+        .select(col("key").as("user_id"), col("n_gaps"),
+          (round(col("mean_gap_s"), 6) + 0.0).as("mean_gap_s"),
+          (round(col("min_gap_s"), 6) + 0.0).as("min_gap_s"),
+          (round(col("max_gap_s"), 6) + 0.0).as("max_gap_s"),
+          (round(col("std_gap_s"), 6) + 0.0).as("std_gap_s"),
+          (round(col("cv"), 6) + 0.0).as("cv"))
+    }),
+
+    "q162_concentration" -> ((s, dir) => {
+      // traffic-inequality screen: Gini + top-decile share of per-user
+      // event counts; the global sort ranks USERS, not events
+      ops.EventStats.concentration(t(s, dir, "events"), "user_id")
+        .select(col("n_keys"), col("total").cast("long").as("total"),
+          (round(col("gini"), 6) + 0.0).as("gini"),
+          (round(col("top_decile_share"), 6) + 0.0)
+            .as("top_decile_share"))
+    }),
+
+    "q163_zipf" -> ((s, dir) => {
+      // Zipf fit of the corpus token-frequency curve: token counts in
+      // one map-side-combined exchange, OLS over the top-200 ranks
+      ops.TextOps.zipfFit(t(s, dir, "documents"), "text", topN = 200)
+        .select((round(col("slope"), 6) + 0.0).as("slope"),
+          (round(col("intercept"), 6) + 0.0).as("intercept"),
+          (round(col("r2"), 6) + 0.0).as("r2"), col("n_ranks"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4406,6 +4566,189 @@ object SparkEntry {
         |  ag.n_neighbors, round(ag.df, 6) + 0.0 AS disagree_frac,
         |  mj.maj <> ag.label AS suspect
         |FROM ag JOIN mj ON ag.qid = mj.qid""".stripMargin,
+
+    "q153_source_overlap" ->
+      """WITH l AS (SELECT source, string_split(text, ' ') AS l
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS (SELECT DISTINCT source, array_to_string(l[i:i+7], ' ') AS g
+        |  FROM (SELECT source, l,
+        |      unnest(range(1, greatest(len(l) - 6, 1))) AS i FROM l)),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.source AS source_a, a.n AS n_a,
+        |    b.source AS source_b, b.n AS n_b
+        |  FROM sz a JOIN sz b ON a.source < b.source)
+        |SELECT source_a, source_b, n_a::BIGINT AS n_a,
+        |  n_b::BIGINT AS n_b,
+        |  coalesce(n_common, 0)::BIGINT AS n_common,
+        |  round(coalesce(n_common, 0)::DOUBLE /
+        |    (n_a + n_b - coalesce(n_common, 0)), 6) + 0.0 AS jaccard
+        |FROM pairs LEFT JOIN inter USING (source_a, source_b)"""
+        .stripMargin,
+
+    "q160_kmeans" ->
+      // cosine k-means replay: init = first 4 by vec_id; assignment
+      // score = dot / centroid_norm (item norm is rank-invariant —
+      // matching the engine's TopCentroids arithmetic shape exactly),
+      // ties to the smaller cluster id; update = per-dim mean; empty
+      // clusters keep their previous centroid
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |           FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         e AS ce
+        |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c0.cid, row_number() OVER (
+        |    PARTITION BY v.vec_id
+        |    ORDER BY list_dot_product(v.e, c0.ce) /
+        |      sqrt(list_dot_product(c0.ce, c0.ce)) DESC, c0.cid ASC)
+        |    AS rn
+        |  FROM v CROSS JOIN c0) WHERE rn = 1),
+        |m AS (SELECT cid, i, avg(x) AS mx FROM (
+        |  SELECT a0.cid, unnest(v.e) AS x,
+        |    generate_subscripts(v.e, 1) AS i
+        |  FROM a0 JOIN v USING (vec_id)) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(mx ORDER BY i) AS ce FROM m GROUP BY 1),
+        |c1f AS (SELECT c0.cid, coalesce(c1.ce, c0.ce) AS ce
+        |        FROM c0 LEFT JOIN c1 USING (cid))
+        |SELECT vec_id, cid::BIGINT AS cluster FROM (
+        |  SELECT v.vec_id, c1f.cid, row_number() OVER (
+        |    PARTITION BY v.vec_id
+        |    ORDER BY list_dot_product(v.e, c1f.ce) /
+        |      sqrt(list_dot_product(c1f.ce, c1f.ce)) DESC, c1f.cid ASC)
+        |    AS rn
+        |  FROM v CROSS JOIN c1f) WHERE rn = 1""".stripMargin,
+
+    "q161_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id,
+        |    (t - lag(t) OVER (PARTITION BY user_id ORDER BY t))
+        |      / 1e6 AS gap
+        |  FROM e)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |  round(avg(gap), 6) + 0.0 AS mean_gap_s,
+        |  round(min(gap), 6) + 0.0 AS min_gap_s,
+        |  round(max(gap), 6) + 0.0 AS max_gap_s,
+        |  round(stddev_samp(gap), 6) + 0.0 AS std_gap_s,
+        |  round(CASE WHEN avg(gap) > 0
+        |    THEN stddev_samp(gap) / avg(gap) END, 6) + 0.0 AS cv
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q162_concentration" ->
+      """WITH pk AS (SELECT user_id AS key, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT key, x,
+        |    row_number() OVER (ORDER BY x ASC, key ASC) AS i,
+        |    count(*) OVER () AS n
+        |  FROM pk)
+        |SELECT count(*) AS n_keys, sum(x)::BIGINT AS total,
+        |  round(2.0 * sum(i * x) / (any_value(n) * sum(x)) -
+        |    (any_value(n) + 1.0) / any_value(n), 6) + 0.0 AS gini,
+        |  round(coalesce(sum(CASE WHEN i > n - (n // 10) THEN x END),
+        |    0) / sum(x), 6) + 0.0 AS top_decile_share
+        |FROM r""".stripMargin,
+
+    "q163_zipf" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
+        |    AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks
+        |  WHERE length(tok) > 0 GROUP BY 1
+        |  ORDER BY c DESC, tok ASC LIMIT 200),
+        |rk AS (SELECT ln(row_number() OVER (ORDER BY c DESC, tok ASC))
+        |    AS lx, ln(c) AS ly FROM cnt)
+        |SELECT
+        |  round(covar_samp(lx, ly) / var_samp(lx), 6) + 0.0 AS slope,
+        |  round(avg(ly) - covar_samp(lx, ly) / var_samp(lx) * avg(lx),
+        |    6) + 0.0 AS intercept,
+        |  round(corr(lx, ly) * corr(lx, ly), 6) + 0.0 AS r2,
+        |  count(*) AS n_ranks
+        |FROM rk""".stripMargin,
+
+    "q156_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name
+        |  FROM customer WHERE c_custkey <= 400),
+        |p AS (SELECT id + 100000 AS id,
+        |  CASE WHEN id % 3 = 0
+        |    THEN substr(name, 1, length(name) - 1) || 'X'
+        |    ELSE name END AS name FROM c)
+        |SELECT c.id AS left_id, c.name AS left_key,
+        |  p.id AS right_id, p.name AS right_key,
+        |  levenshtein(c.name, p.name)::BIGINT AS dist
+        |FROM c, p WHERE levenshtein(c.name, p.name) <= 1"""
+        .stripMargin,
+
+    "q157_trending" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(ts) // 14400000000) * 14400000000 AS bucket_start,
+        |    event_type AS item
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT bucket_start, item, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT bucket_start, item, n,
+        |    row_number() OVER (PARTITION BY bucket_start
+        |      ORDER BY n DESC, item) AS rank
+        |  FROM cells)
+        |SELECT bucket_start, item, n, rank FROM r WHERE rank <= 3"""
+        .stripMargin,
+
+    "q158_attribution" ->
+      // the events fixture has no (user_id, ts) duplicates (verified),
+      // so plain-t min_by/max_by is total here; the engine's tie
+      // column is exercised by the sbt spec instead
+      """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t,
+        |    event_type AS ty, event_id AS tie FROM events),
+        |tagged AS (SELECT key, t, ty, tie,
+        |  min(CASE WHEN ty IN ('view', 'click') THEN t END) OVER w
+        |    AS first_touch_t,
+        |  min_by(CASE WHEN ty IN ('view', 'click') THEN ty END,
+        |    CASE WHEN ty IN ('view', 'click') THEN t END) OVER w
+        |    AS first_touch_type,
+        |  max(CASE WHEN ty IN ('view', 'click') THEN t END) OVER w
+        |    AS last_touch_t,
+        |  max_by(CASE WHEN ty IN ('view', 'click') THEN ty END,
+        |    CASE WHEN ty IN ('view', 'click') THEN t END) OVER w
+        |    AS last_touch_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY key ORDER BY t
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING))
+        |SELECT key, t AS conv_t, tie AS conv_tie,
+        |  first_touch_type, first_touch_t,
+        |  last_touch_type, last_touch_t
+        |FROM tagged WHERE ty = 'purchase'""".stripMargin,
+
+    "q159_label_prop" ->
+      // disjoint per-region cliques: the self-vote LPA fixed point is
+      // each clique's minimum member (reached at iteration 1; the
+      // Spark side runs 3 to prove stability)
+      """SELECT n_nationkey::BIGINT AS node,
+        |  min(n_nationkey) OVER (PARTITION BY n_regionkey)::BIGINT
+        |    AS label
+        |FROM nation""".stripMargin,
+
+    "q154_rolling_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  count(*) OVER w AS n_window,
+        |  round(sum(coalesce(value, 0)) OVER w, 6) + 0.0 AS sum_window,
+        |  round((sum(coalesce(value, 0)) OVER w) /
+        |    (count(*) OVER w), 6) + 0.0 AS mean_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "q155_streaming_scores" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        |m AS (SELECT user_id, max(t) AS mt FROM e GROUP BY 1)
+        |SELECT e.user_id,
+        |  round(sum(coalesce(value, 0)
+        |    * power(2.0, (t - mt) / 3600000000.0)), 6) + 0.0
+        |    AS ewma_score,
+        |  count(*) AS n_events, max(t) AS last_t
+        |FROM e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id, mt""".stripMargin,
 
     "q139_shard_layout" ->
       """SELECT CAST(hv % 8 AS INT) AS shard, count(*) AS n_docs,

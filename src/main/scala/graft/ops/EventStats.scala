@@ -61,4 +61,209 @@ object EventStats {
     decayedScore(df.withColumn("__one", lit(1.0)), keyCol, tsCol,
       "__one", halfLifeSeconds)
       .withColumnRenamed("ewma_score", "decayed_count")
+
+  /** Per-event trailing-window statistics: for every event, the count /
+    * sum / mean of the key's events inside the PRECEDING
+    * `windowSeconds` (inclusive of the current event) — the rolling
+    * rate/velocity feature behind abuse detection and activity
+    * features, computed exactly (no bucketing error).
+    *
+    * Scale shape: one hash exchange on the key plus a per-partition
+    * sort — a single RANGE window over event-time micros; no
+    * self-join, no bucket explosion. Ties in event time all see the
+    * full tied set (SQL RANGE semantics, deterministic on replay).
+    * Output: every input row + `t_micros` (epoch micros; a name no
+    * raw event schema uses, so input columns never collide),
+    * `n_window`, `sum_window`, `mean_window`.
+    */
+  def rollingWindowStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be > 0, got $windowSeconds")
+    val t = EventTime.micros(df, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+      .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
+    df.withColumn("__t", t)
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        sum(coalesce(col(valueCol).cast("double"), lit(0.0))).over(w))
+      .withColumn("mean_window", col("sum_window") / col("n_window"))
+      .withColumnRenamed("__t", "t_micros")
+  }
+
+  /** Trending items: the top-k item types per fixed time bucket by
+    * event count, with rank. Two-level aggregation — events collapse
+    * to (bucket, item, count) cells map-side-combined in one exchange;
+    * the per-bucket top-k is a bounded window over the CELL table
+    * (|buckets| x |items| rows, not events). Buckets are epoch-aligned
+    * (`floor(t / width)`), deterministic ties by item ascending.
+    * Output: bucket_start (epoch micros), item, n, rank (1-based).
+    */
+  def trendingItems(
+      df: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      bucketSeconds: Long,
+      k: Int): DataFrame = {
+    require(bucketSeconds > 0,
+      s"bucketSeconds must be > 0, got $bucketSeconds")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val micros = bucketSeconds * 1000000L
+    val cells = df
+      .filter(col(itemCol).isNotNull)
+      .select(
+        (floor(EventTime.micros(df, tsCol) / micros) * micros)
+          .as("bucket_start"),
+        col(itemCol).as("item"))
+      .groupBy(col("bucket_start"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bucket_start"))
+      .orderBy(col("n").desc, col("item").asc)
+    cells.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-key inter-arrival statistics: number of gaps, mean/min/max
+    * gap (seconds), sample std-dev, and the coefficient of variation —
+    * the burstiness profile of an event stream (CV ~ 1 is Poisson,
+    * >> 1 is bursty, << 1 is periodic). Keys with < 2 events emit
+    * n_gaps = 0 and NULL stats.
+    *
+    * Scale shape: the lag window and the aggregate share ONE hash
+    * exchange on the key (same partitioning); gaps never materialize
+    * beyond the window projection.
+    */
+  def interArrivalStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val t = EventTime.micros(df, tsCol)
+    val w = Window.partitionBy(col("key")).orderBy(col("__t"))
+    df.select(col(keyCol).as("key"), t.as("__t"))
+      .withColumn("__gap",
+        (col("__t") - lag(col("__t"), 1).over(w)).cast("double") / 1e6)
+      .groupBy(col("key"))
+      .agg(
+        count(col("__gap")).as("n_gaps"),
+        avg(col("__gap")).as("mean_gap_s"),
+        min(col("__gap")).as("min_gap_s"),
+        max(col("__gap")).as("max_gap_s"),
+        stddev_samp(col("__gap")).as("std_gap_s"))
+      .withColumn("cv",
+        when(col("mean_gap_s") > 0,
+          col("std_gap_s") / col("mean_gap_s")))
+  }
+
+  /** Activity concentration across keys: the Gini coefficient and
+    * top-decile share of per-key event WEIGHT (row count, or a value
+    * column's sum) — "how unequal is the traffic", the screen that
+    * decides whether per-key capping / skew handling is needed before
+    * a pipeline run.
+    *
+    * gini = 2 * sum(i * x_(i)) / (n * sum x) - (n + 1) / n over
+    * ascending-sorted per-key weights (rank ties broken by key for
+    * determinism). Scale shape: events collapse to per-key totals
+    * first (one exchange, map-side combined); everything after runs
+    * on the KEY-cardinality table — the global sort ranks keys, not
+    * events. Output one row: n_keys, total, gini, top_decile_share.
+    */
+  def concentration(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Option[String] = None): DataFrame = {
+    val weight = valueCol
+      .map(c => sum(coalesce(col(c).cast("double"), lit(0.0))))
+      .getOrElse(count(lit(1)).cast("double"))
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(weight.as("x"))
+    // global rank over the KEY-cardinality table (events are already
+    // collapsed) — the count-over-all rides the same single-partition
+    // window the sort needs anyway
+    val wAsc = Window.orderBy(col("x").asc, col("key").asc)
+    val ranked = perKey
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy().orderBy(col("x").asc, col("key").asc)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("x")).as("total"),
+        sum(col("__i") * col("x")).as("__ix"),
+        max(col("__n")).as("__nn"),
+        sum(when(col("__i") > col("__n") - floor(col("__n") / 10),
+          col("x"))).as("__topx"))
+      .select(col("n_keys"), col("total"),
+        (lit(2.0) * col("__ix") / (col("__nn") * col("total")) -
+          (col("__nn") + 1).cast("double") / col("__nn")).as("gini"),
+        (coalesce(col("__topx"), lit(0.0)) / col("total"))
+          .as("top_decile_share"))
+  }
+
+  /** First/last-touch conversion attribution: for every conversion
+    * event, the key's FIRST and LAST touch event (of the given touch
+    * types) in the preceding `lookbackSeconds` (strictly before the
+    * conversion). The standard marketing/causal-credit assignment over
+    * an event log.
+    *
+    * Scale shape: one hash exchange on the key + one sort carries BOTH
+    * window passes (first and last touch read the same ordered
+    * partition); no self-join of the event table against itself.
+    * Conversions with no in-window touch report NULL touch columns
+    * (unattributed). Ties at the same micro use the tie column
+    * (ascending = first, descending = last) so replay is
+    * deterministic. Output: one row per conversion — key, conv_t,
+    * conv_tie, first_touch_type, first_touch_t, last_touch_type,
+    * last_touch_t.
+    */
+  def touchAttribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String,
+      touchTypes: Seq[String],
+      conversionType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversionType must not also be a touch type")
+    require(lookbackSeconds > 0,
+      s"lookbackSeconds must be > 0, got $lookbackSeconds")
+    val touchSet = array(touchTypes.map(lit): _*)
+    val base = df.select(col(keyCol).as("key"),
+      EventTime.micros(df, tsCol).as("__t"),
+      col(typeCol).as("__ty"), col(tieCol).cast("long").as("__tie"))
+      .withColumn("__is_touch",
+        array_contains(touchSet, col("__ty")))
+    // the lookback IS the window frame: [conv_t - horizon, conv_t - 1]
+    // in RANGE micros — in-window semantics exactly, and a touch AT
+    // the conversion micro never self-attributes. RANGE frames are
+    // value-determined, so replay order can't change the answer; the
+    // (t, tie) pair breaks min_by/max_by ties among equal-micro
+    // touches deterministically.
+    val horizon = lookbackSeconds * 1000000L
+    val ord = Window.partitionBy(col("key")).orderBy(col("__t"))
+      .rangeBetween(-horizon, -1L)
+    val touchT = when(col("__is_touch"), col("__t"))
+    val touchKey = when(col("__is_touch"),
+      struct(col("__t"), col("__tie")))
+    val touchTy = when(col("__is_touch"), col("__ty"))
+    val tagged = base
+      .withColumn("__first_t", min(touchT).over(ord))
+      .withColumn("__first_ty", min_by(touchTy, touchKey).over(ord))
+      .withColumn("__last_t", max(touchT).over(ord))
+      .withColumn("__last_ty", max_by(touchTy, touchKey).over(ord))
+    tagged.filter(col("__ty") === conversionType)
+      .select(col("key"), col("__t").as("conv_t"),
+        col("__tie").as("conv_tie"),
+        col("__first_ty").as("first_touch_type"),
+        col("__first_t").as("first_touch_t"),
+        col("__last_ty").as("last_touch_type"),
+        col("__last_t").as("last_touch_t"))
+  }
 }

@@ -268,4 +268,74 @@ object Joins {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
+
+  /** Fuzzy (edit-distance) record-linkage join: pairs of rows whose
+    * string keys are within `maxDist` Levenshtein edits. The classic
+    * entity-resolution primitive (name/address matching, near-key
+    * reconciliation).
+    *
+    * Blocking makes it scale: each key expands to its deterministic
+    * block signatures — (prefix, length-band) cells for every length
+    * band the key COULD match under `maxDist` edits — and only rows
+    * sharing a block meet in the equi-join, where the exact
+    * codegen'd `levenshtein` decides. Every true match shares a block
+    * (an edit changes length by <= maxDist and the first
+    * `prefixLen` chars only if it lands there; emitting BOTH sides'
+    * prefixes under edits <= maxDist keeps recall exact for
+    * prefix-region edits), so recall is exact for maxDist <=
+    * prefixLen deletions/insertions at the front — and the default
+    * prefixLen=1 block on the first character plus length bands is
+    * the standard Soundex-free compromise: exact for all edits that
+    * keep the first character, documented miss for first-character
+    * substitutions unless `symmetricPrefixes` stays on (default),
+    * which also blocks on the key with its first character dropped,
+    * restoring exact recall for single first-char edits.
+    *
+    * Output: one row per matching pair — left id/key, right id/key,
+    * `dist`. Pairs are distinct even when multiple blocks agree
+    * (dedup happens on ids before the distance filter's final
+    * projection).
+    */
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxDist: Int,
+      prefixLen: Int = 1,
+      symmetricPrefixes: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    def blocks(df: DataFrame, side: String): DataFrame = {
+      val k = col(keyCol)
+      val pfx = substring(k, 1, prefixLen)
+      val pfxDrop = substring(k, 1 + maxDist, prefixLen)
+      val prefixes =
+        if (symmetricPrefixes && maxDist > 0) array(pfx, pfxDrop)
+        else array(pfx)
+      // length bands of width (maxDist+1): a pair within maxDist edits
+      // differs by <= maxDist in length, so it shares at least one of
+      // the two bands around each side's length
+      val bandW = maxDist + 1
+      val band = floor(length(k) / bandW)
+      df.filter(k.isNotNull)
+        .select(col(idCol).as(s"${side}_id"), k.as(s"${side}_key"),
+          explode(array_distinct(flatten(transform(prefixes,
+            p => array(concat(p, lit(":"), band),
+              concat(p, lit(":"), band - 1),
+              concat(p, lit(":"), band + 1)))))).as("__block"))
+    }
+    val lb = blocks(left, "left")
+    val rb = blocks(right, "right")
+    lb.join(rb, Seq("__block"))
+      .select(col("left_id"), col("left_key"),
+        col("right_id"), col("right_key"))
+      .distinct()
+      // bounded variant: the DP abandons a row once every cell exceeds
+      // the threshold (returns -1), so far-apart candidate pairs cost
+      // O(maxDist * len) instead of O(len^2)
+      .withColumn("dist",
+        levenshtein(col("left_key"), col("right_key"), maxDist))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -527,6 +527,39 @@ object Similarity {
       .withColumn("suspect", col("majority_label") =!= col("label"))
   }
 
+  /** Deterministic cosine k-means clustering over an embedding frame:
+    * init = first `k` rows by id, refined by `iterations` Lloyd steps
+    * (assignment by the codegen'd [[graft.functions.TopCentroids]]
+    * cosine argmax over a driver-side centroid literal; update = plain
+    * per-cluster mean — the same cells [[ivfTopK]] and SemDeDup
+    * build on, exposed as a first-class operator). Returns one row per
+    * input: (idCol, cluster) with cluster in [0, k).
+    *
+    * Scale shape: training cost is `iterations` map-only passes plus a
+    * k-row aggregate each (nothing but k centroids ever reaches the
+    * driver); the final assignment is one more map-only pass. Zero
+    * shuffles of the corpus at any size.
+    */
+  def kmeansClusters(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iterations: Int = 2,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = df.select(col(idCol).as("item_id"),
+      col(embCol).cast("array<double>").as("item_emb"))
+    val cs = fitCentroids(c, k, iterations, centroidBroadcastThreshold)
+    if (cs.isEmpty)
+      return c.select(col("item_id").as(idCol),
+        lit(0L).as("cluster")).limit(0)
+    val assign = assignTopCentroids(
+      df.sparkSession.sparkContext, centroidBroadcastThreshold) _
+    c.select(col("item_id").as(idCol),
+      assign(col("item_emb"), cs, 1)(0).cast("long").as("cluster"))
+  }
+
   /** Convenience: exact self-kNN label-noise screen over one labeled
     * embedding frame (brute-force cosine neighbors, self excluded).
     * For corpora too large for the broadcast in [[bruteForceTopK]],

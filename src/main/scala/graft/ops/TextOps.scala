@@ -1110,4 +1110,99 @@ object TextOps {
         col("t.score").as("score"), (col("r") + 1).as("rank"))
     (result, () => { tfq.unpersist(blocking = false); () })
   }
+
+  /** Pairwise n-gram Jaccard overlap BETWEEN corpus groups (sources,
+    * snapshots, shards) — the overlap matrix that decides whether two
+    * sources are near-copies of each other before any document-level
+    * dedup runs. One row per unordered group pair: per-side distinct
+    * gram counts, the intersection size, and Jaccard.
+    *
+    * Scale shape: grams reduce to per-(group, 64-bit xxhash64) DISTINCT
+    * keys in one exchange — gram text never shuffles; the pair stage
+    * re-exchanges only the deduped gram keys, and per shared gram emits
+    * at most nGroups^2 pairs (nGroups is small by definition — it's the
+    * GROUP label, not the document id). Per-group totals are a tiny
+    * re-aggregation broadcast onto the pair counts.
+    */
+  def sourceOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(ngrams(col(textCol), n)).as("__gram"))
+      .select(col("__g"), xxhash64(col("__gram")).as("__h"))
+      .distinct()
+    val sizes = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val a = grams.select(col("__g").as("source_a"), col("__h"))
+    val b = grams.select(col("__g").as("source_b"), col("__h"))
+    val inter = a.join(b, Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // complete matrix: every unordered group pair appears, zero-overlap
+    // pairs included (the pair frame is sizes x sizes — tiny)
+    val allPairs = sizes.select(col("__g").as("source_a"),
+        col("__n").as("n_a"))
+      .crossJoin(sizes.select(col("__g").as("source_b"),
+        col("__n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val out = allPairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+    // the deduped gram frame appears three times in this one plan
+    // (sizes, both join sides) — ReuseExchange collapses them onto a
+    // single physical shuffle, so no persist is needed
+    out
+  }
+
+  /** Zipf law fit over the corpus token-frequency distribution: OLS of
+    * ln(count) against ln(rank) for the top-`topN` tokens (rank 1 =
+    * most frequent, count ties broken by token ascending). Natural
+    * corpora fit slope ~ -1; a slope far off flags synthetic,
+    * boilerplate-heavy, or truncated-vocabulary text. Output one row:
+    * `slope`, `intercept`, `r2`, `n_ranks`.
+    *
+    * Scale shape: tokens collapse to per-token counts in one map-side
+    * combined exchange; the rank window + regression run over the
+    * top-`topN` rows only (a bounded TakeOrdered, not a global sort
+    * of the vocabulary).
+    */
+  def zipfFit(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topN: Int = 200): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs
+      .select(explode(filter(tokens(lower(col(textCol))),
+        t => length(t) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .agg(
+        corr(log(col("rank").cast("double")), log(col("c").cast("double")))
+          .as("__r"),
+        covar_samp(log(col("rank").cast("double")),
+          log(col("c").cast("double"))).as("__cov"),
+        var_samp(log(col("rank").cast("double"))).as("__vx"),
+        avg(log(col("rank").cast("double"))).as("__mx"),
+        avg(log(col("c").cast("double"))).as("__my"),
+        count(lit(1)).as("n_ranks"))
+      .select(
+        (col("__cov") / col("__vx")).as("slope"),
+        (col("__my") - col("__cov") / col("__vx") * col("__mx"))
+          .as("intercept"),
+        (col("__r") * col("__r")).as("r2"),
+        col("n_ranks"))
+  }
 }

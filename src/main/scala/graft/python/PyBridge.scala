@@ -734,4 +734,87 @@ object PyBridge {
   def decayedCount(df: DataFrame, keyCol: String, tsCol: String,
       halfLifeSeconds: Double): DataFrame =
     graft.ops.EventStats.decayedCount(df, keyCol, tsCol, halfLifeSeconds)
+
+  /** Pairwise Pearson correlation + covariance over numeric columns. */
+  def corrMatrix(df: DataFrame, cols: java.util.List[String]): DataFrame =
+    graft.ops.Stats.corrMatrix(df, cols.asScala.toSeq)
+
+  /** MI / chi-squared / Cramer's V between two categorical columns. */
+  def categoricalAssociation(df: DataFrame, colA: String,
+      colB: String): DataFrame =
+    graft.ops.Stats.categoricalAssociation(df, colA, colB)
+
+  /** Weighted PageRank by fixed power iteration ("" weightCol = counts). */
+  def pageRank(df: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, damping: Double): DataFrame =
+    graft.ops.Graph.pageRank(df, srcCol, dstCol,
+      Option(weightCol).filter(_.nonEmpty), iterations, damping)
+
+  /** Exact self-kNN label-noise screen. */
+  def knnLabelNoise(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int): DataFrame =
+    graft.ops.Similarity.knnLabelNoise(df, idCol, embCol, labelCol, k)
+
+  /** Label-noise scoring over a precomputed neighbor frame. */
+  def labelNoiseFromNeighbors(neighbors: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame =
+    graft.ops.Similarity.labelNoiseFromNeighbors(neighbors, labels,
+      idCol, labelCol)
+
+  /** Pairwise n-gram Jaccard overlap between corpus groups. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame =
+    graft.ops.TextOps.sourceOverlap(df, groupCol, textCol, n)
+
+  /** Exact trailing-window per-event stats (count/sum/mean). */
+  def rollingWindowStats(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSeconds: Long): DataFrame =
+    graft.ops.EventStats.rollingWindowStats(df, keyCol, tsCol, valueCol,
+      windowSeconds)
+
+  /** Fuzzy (edit-distance) record-linkage join with blocking. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, idCol: String,
+      keyCol: String, maxDist: Int, prefixLen: Int,
+      symmetricPrefixes: Boolean): DataFrame =
+    graft.ops.Joins.fuzzyJoin(left, right, idCol, keyCol, maxDist,
+      prefixLen, symmetricPrefixes)
+
+  /** Per-bucket top-k trending items. */
+  def trendingItems(df: DataFrame, tsCol: String, itemCol: String,
+      bucketSeconds: Long, k: Int): DataFrame =
+    graft.ops.EventStats.trendingItems(df, tsCol, itemCol,
+      bucketSeconds, k)
+
+  /** First/last-touch conversion attribution inside a lookback. */
+  def touchAttribution(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String,
+      touchTypes: java.util.List[String], conversionType: String,
+      lookbackSeconds: Long): DataFrame =
+    graft.ops.EventStats.touchAttribution(df, keyCol, tsCol, typeCol,
+      tieCol, touchTypes.asScala.toSeq, conversionType, lookbackSeconds)
+
+  /** Self-vote synchronous label propagation (community detection). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame =
+    graft.ops.Graph.labelPropagation(edges, srcCol, dstCol, iterations)
+
+  /** Deterministic cosine k-means clustering. */
+  def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iterations: Int): DataFrame =
+    graft.ops.Similarity.kmeansClusters(df, idCol, embCol, k, iterations)
+
+  /** Per-key inter-arrival (burstiness) statistics. */
+  def interArrivalStats(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    graft.ops.EventStats.interArrivalStats(df, keyCol, tsCol)
+
+  /** Gini + top-decile concentration of per-key weight ("" = counts). */
+  def concentration(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventStats.concentration(df, keyCol,
+      Option(valueCol).filter(_.nonEmpty))
+
+  /** Zipf-law OLS fit over top-N token frequencies. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    graft.ops.TextOps.zipfFit(df, textCol, topN)
 }

@@ -266,6 +266,95 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .count() should be > 0L
   }
 
+  test("bridge association stats, pagerank, and label-noise mirror the " +
+    "Scala API") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    PyBridge.corrMatrix(li, jList("l_quantity", "l_extendedprice"))
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Stats.corrMatrix(li,
+        Seq("l_quantity", "l_extendedprice"))
+        .collect().map(_.toSeq).toSet
+    PyBridge.categoricalAssociation(orders, "o_orderstatus",
+      "o_orderpriority").collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Stats.categoricalAssociation(orders, "o_orderstatus",
+        "o_orderpriority").collect().map(_.toSeq).toSet
+    // empty weightCol string (pyspark's None) routes to unweighted
+    import spark.implicits._
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("s", "d")
+    PyBridge.pageRank(e, "s", "d", "", 3, 0.85)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Graph.pageRank(e, "s", "d", None, 3, 0.85)
+        .collect().map(_.toSeq).toSet
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    PyBridge.knnLabelNoise(emb, "vec_id", "embedding", "label", 5)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Similarity.knnLabelNoise(emb, "vec_id", "embedding",
+        "label", 5).collect().map(_.toSeq).toSet
+  }
+
+  test("bridge source overlap and rolling windows equal the Scala calls") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    PyBridge.sourceOverlap(docs, "source", "text", 8)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.TextOps.sourceOverlap(docs, "source", "text", 8)
+        .collect().map(_.toSeq).toSet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    PyBridge.rollingWindowStats(ev, "user_id", "ts", "value", 3600L)
+      .count() shouldBe ev.count()
+  }
+
+  test("bridge fuzzy join, trending, attribution, label propagation " +
+    "mirror the Scala API") {
+    import spark.implicits._
+    val l = Seq((1L, "smith"), (2L, "jones")).toDF("id", "name")
+    val r = Seq((10L, "smyth"), (11L, "bones")).toDF("id", "name")
+    PyBridge.fuzzyJoin(l, r, "id", "name", 1, 1, true)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Joins.fuzzyJoin(l, r, "id", "name", 1)
+        .collect().map(_.toSeq).toSet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    PyBridge.trendingItems(ev, "ts", "event_type", 14400L, 3)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.EventStats.trendingItems(ev, "ts", "event_type",
+        14400L, 3).collect().map(_.toSeq).toSet
+    PyBridge.touchAttribution(ev, "user_id", "ts", "event_type",
+      "event_id", jList("view", "click"), "purchase", 3600L)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.EventStats.touchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", Seq("view", "click"), "purchase",
+        3600L).collect().map(_.toSeq).toSet
+    val e = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("s", "d")
+    PyBridge.labelPropagation(e, "s", "d", 3)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Graph.labelPropagation(e, "s", "d", 3)
+        .collect().map(_.toSeq).toSet
+  }
+
+  test("bridge kmeans, burstiness, concentration, zipf mirror the " +
+    "Scala API") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    PyBridge.kmeansClusters(emb, "vec_id", "embedding", 4, 1)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Similarity.kmeansClusters(emb, "vec_id", "embedding",
+        4, 1).collect().map(_.toSeq).toSet
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    PyBridge.interArrivalStats(ev, "user_id", "ts")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.EventStats.interArrivalStats(ev, "user_id", "ts")
+        .collect().map(_.toSeq).toSet
+    // empty valueCol string (pyspark's None) routes to count weights
+    PyBridge.concentration(ev, "user_id", "")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.EventStats.concentration(ev, "user_id", None)
+        .collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    PyBridge.zipfFit(docs, "text", 50)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.TextOps.zipfFit(docs, "text", 50)
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -74,6 +74,42 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     a.keySet.foreach(k => a(k) shouldBe (b(k) +- 1e-12))
   }
 
+  test("labelPropagation: two cliques joined by one bridge edge " +
+    "resolve to two communities labeled by their smallest member") {
+    import spark.implicits._
+    // clique {1,2,3}, clique {7,8,9}, bridge 3-7
+    val cl = for {
+      s <- Seq(Seq(1L, 2L, 3L), Seq(7L, 8L, 9L))
+      a <- s; b <- s if a < b
+    } yield (a, b)
+    val e = (cl :+ (3L -> 7L) :+ (3L, 7L)).map(identity).toDF("s", "d")
+    val out = Graph.labelPropagation(e, "s", "d", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced fixed point under self-vote: each clique converges
+    // to its minimum member's label, the bridge notwithstanding
+    Seq(1L, 2L, 3L).map(out) shouldBe Seq(1L, 1L, 1L)
+    Seq(7L, 8L, 9L).map(out) shouldBe Seq(7L, 7L, 7L)
+    out.values.toSet.size shouldBe 2
+  }
+
+  test("labelPropagation: isolated self-loop node keeps its own " +
+    "label; deterministic across partitionings") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (5L, 5L)).toDF("s", "d")
+    val out = Graph.labelPropagation(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(5L) shouldBe 5L
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    val edges = (1 to 150).map(i => (i.toLong % 31, (i * 7L) % 31))
+      .toDF("s", "d")
+    val a = Graph.labelPropagation(edges.repartition(1), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(edges.repartition(32), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a shouldBe b
+  }
+
   test("scaled_rank = rank * N; invalid rows dropped") {
     import spark.implicits._
     val e = Seq((Some("a"), Some("b"), 1.0), (Some("b"), Some("a"), 1.0),
