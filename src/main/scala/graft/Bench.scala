@@ -493,7 +493,7 @@ object Bench {
       // length puts everything in one block), so this measures the
       // quadratic in-block stage honestly on a bounded slice
       "fuzzy_join" -> (() => {
-        val c = t("customer").filter(col("c_custkey") <= 2000)
+        val c = t("customer").filter(col("c_custkey") <= 1200)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
         graft.ops.Joins.fuzzyJoin(c, c, "id", "name", maxDist = 1)
           .count()
@@ -619,7 +619,16 @@ object Bench {
     val loadBefore = loadavg1m()
     case class RowResult(name: String, sec: Double, iters: Int,
         spread: Double, load: Double, contended: Boolean, failures: Int)
-    val results = benches.map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=fuzzy_join,pagerank times just
+    // the named rows (prefix match); unset = all rows (driver mode)
+    val onlyRows = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selectedBenches = onlyRows match {
+      case Some(ps) =>
+        benches.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => benches
+    }
+    val results = selectedBenches.map { case (name, fn) =>
       val loadPre = loadavg1m()
       // only SUCCESSFUL passes may set the row minimum: a throwing fn()
       // returns in ~ms, and recording that time both fakes a fast row

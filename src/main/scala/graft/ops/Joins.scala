@@ -306,7 +306,13 @@ object Joins {
       symmetricPrefixes: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
-    def blocks(df: DataFrame, side: String): DataFrame = {
+    // bands are ASYMMETRIC: the left side emits only its own length
+    // band, the right side the three adjacent ones — |band_l - band_r|
+    // <= 1 guarantees band_l is among the right's three, so recall is
+    // unchanged while every pair shares 3x fewer band keys (the join's
+    // output row count, the real cost, drops with it)
+    def blocks(df: DataFrame, side: String,
+        threeBands: Boolean): DataFrame = {
       val k = col(keyCol)
       val pfx = substring(k, 1, prefixLen)
       val pfxDrop = substring(k, 1 + maxDist, prefixLen)
@@ -314,28 +320,37 @@ object Joins {
         if (symmetricPrefixes && maxDist > 0) array(pfx, pfxDrop)
         else array(pfx)
       // length bands of width (maxDist+1): a pair within maxDist edits
-      // differs by <= maxDist in length, so it shares at least one of
-      // the two bands around each side's length
+      // differs by <= maxDist in length
       val bandW = maxDist + 1
       val band = floor(length(k) / bandW)
+      val bandsOf: Column => Column =
+        if (threeBands) p => array(concat(p, lit(":"), band),
+          concat(p, lit(":"), band - 1), concat(p, lit(":"), band + 1))
+        else p => array(concat(p, lit(":"), band))
       df.filter(k.isNotNull)
         .select(col(idCol).as(s"${side}_id"), k.as(s"${side}_key"),
-          explode(array_distinct(flatten(transform(prefixes,
-            p => array(concat(p, lit(":"), band),
-              concat(p, lit(":"), band - 1),
-              concat(p, lit(":"), band + 1)))))).as("__block"))
+          array_distinct(flatten(transform(prefixes, bandsOf)))
+            .as(s"__${side}_blocks"))
+        .select(col(s"${side}_id"), col(s"${side}_key"),
+          col(s"__${side}_blocks"),
+          explode(col(s"__${side}_blocks")).as("__block"))
     }
-    val lb = blocks(left, "left")
-    val rb = blocks(right, "right")
+    val lb = blocks(left, "left", threeBands = false)
+    val rb = blocks(right, "right", threeBands = true)
     lb.join(rb, Seq("__block"))
-      .select(col("left_id"), col("left_key"),
-        col("right_id"), col("right_key"))
-      .distinct()
+      // a pair meets once per SHARED block (<= 6): keep it only in the
+      // smallest shared block — map-side dedup, so candidate pairs
+      // never shuffle (the only exchange carries the skinny exploded
+      // block rows, not the quadratic in-block pair stream)
+      .filter(col("__block") === array_min(
+        array_intersect(col("__left_blocks"), col("__right_blocks"))))
       // bounded variant: the DP abandons a row once every cell exceeds
       // the threshold (returns -1), so far-apart candidate pairs cost
       // O(maxDist * len) instead of O(len^2)
       .withColumn("dist",
         levenshtein(col("left_key"), col("right_key"), maxDist))
       .filter(col("dist") >= 0)
+      .select(col("left_id"), col("left_key"),
+        col("right_id"), col("right_key"), col("dist"))
   }
 }

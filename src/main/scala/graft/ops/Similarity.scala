@@ -161,12 +161,19 @@ object Similarity {
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val idType = corpus.schema(idCol).dataType
-    val c = corpus.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
+    // norms hoisted to per-ROW columns: |a| and |b| compute n + q
+    // times instead of n x q, and the per-pair score keeps cosine()'s
+    // exact fp shape (dot / (qnorm * inorm)) — bit-identical results
+    val c = corpus.select(col(idCol).as("item_id"),
+      col(embCol).as("item_emb"), norm(col(embCol)).as("__in"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).as("query_emb"), norm(col(embCol)).as("__qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col("item_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("item_id"),
-        cosine(col("query_emb"), col("item_emb")).as("cosine"))
+        when(col("__qn") > 0 && col("__in") > 0,
+          dot(col("query_emb"), col("item_emb")) /
+            (col("__qn") * col("__in"))).otherwise(0.0).as("cosine"))
     val grouped = scored.groupBy(col("query_id"))
       .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
     explodeTopK(grouped, idType)
@@ -260,20 +267,26 @@ object Similarity {
         col(idCol).as("item_id"), lit(0.0).as("cosine"),
         lit(0).as("rank")).limit(0)
 
+    // norms hoisted per ROW (n + q computations instead of per-pair);
+    // the per-pair score keeps cosine()'s exact fp shape
     val inverted = c.select(col("item_id"), col("item_emb"),
+      norm(col("item_emb")).as("__in"),
       assignTop(col("item_emb"), centroids, 1)(0).as("centroid_id"))
 
     // query -> nProbe nearest centroids (same single-pass expression)
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("query_emb"))
     val probes = q.select(col("query_id"), col("query_emb"),
+      norm(col("query_emb")).as("__qn"),
       explode(assignTop(col("query_emb"), centroids, nProbe))
         .as("centroid_id"))
 
     val grouped = inverted.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
-        cosine(col("query_emb"), col("item_emb")).as("cosine"))
+        when(col("__qn") > 0 && col("__in") > 0,
+          dot(col("query_emb"), col("item_emb")) /
+            (col("__qn") * col("__in"))).otherwise(0.0).as("cosine"))
       .groupBy(col("query_id"))
       .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
     explodeTopK(grouped, idType)
