@@ -991,3 +991,22 @@ def zipf_fit(df: DataFrame, text_col: str, top_n: int = 200) -> DataFrame:
     intercept, r2, n_ranks."""
     return _to_py_df(_jvm_bridge(df).zipfFit(
         df._jdf, text_col, int(top_n)), df)
+
+
+def degree_stats(edges: DataFrame, src_col: str,
+                 dst_col: str) -> DataFrame:
+    """Per-node degree statistics over a directed edge table: out_deg,
+    in_deg (parallel edges collapse, self-loops drop) and deg, the
+    undirected distinct-neighbor count."""
+    return _to_py_df(_jvm_bridge(edges).degreeStats(
+        edges._jdf, src_col, dst_col), edges)
+
+
+def triangle_stats(edges: DataFrame, src_col: str,
+                   dst_col: str) -> DataFrame:
+    """Global triangle census of the undirected graph via the
+    degree-orientation wedge join (every triangle counted once at its
+    smallest-degree corner; wedge work bounded O(m^1.5)). One row:
+    n_nodes, n_edges, n_wedges, n_triangles, global_clustering."""
+    return _to_py_df(_jvm_bridge(edges).triangleStats(
+        edges._jdf, src_col, dst_col), edges)

@@ -690,6 +690,15 @@ def test_round12c_stats_graph_noise():
     assert zf["slope"] < 0
     assert zf["n_ranks"] == 100
 
+    # graph census over a triangle + pendant
+    eg = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["s", "d"])
+    ds = {r["node"]: r["deg"] for r in
+          ops.degree_stats(eg, "s", "d").collect()}
+    assert ds == {1: 2, 2: 2, 3: 3, 4: 1}
+    tc = ops.triangle_stats(eg, "s", "d").collect()[0]
+    assert tc["n_triangles"] == 1 and tc["n_edges"] == 4
+
     print("round-12c stats/graph/noise facade OK")
 
 

@@ -527,7 +527,18 @@ object Bench {
       // token counts map-side-combined, OLS over the bounded top-200
       "zipf" -> (() =>
         graft.ops.TextOps.zipfFit(t("documents"), "text", topN = 200)
-          .count()))
+          .count()),
+
+      // triangle census of the order co-purchase graph (parts sharing
+      // an order): degree-oriented wedge join, O(m^1.5) bound
+      "triangles" -> (() => {
+        val li = t("lineitem").filter(col("l_orderkey") <= 40000)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("o"))
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        graft.ops.Graph.triangleStats(edges, "src", "dst").count()
+      }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
     // not the first-call whole-stage-codegen compile of each plan shape.

@@ -2179,6 +2179,74 @@ object SparkEntry {
           (round(col("r2"), 6) + 0.0).as("r2"), col("n_ranks"))
     }),
 
+    "q164_triangles" -> ((s, dir) => {
+      // triangle census of the per-region nation cliques (5 K5s):
+      // degree-oriented wedge join, every triangle counted at its
+      // smallest corner — n_wedges 150, n_triangles 50, clustering 1
+      val n = t(s, dir, "nation")
+      val m = n.select(col("n_nationkey").as("b"),
+        col("n_regionkey").as("r2"))
+      val edges = n.join(m, col("n_regionkey") === col("r2") &&
+          col("n_nationkey") < col("b"))
+        .select(col("n_nationkey").as("src"), col("b").as("dst"))
+      ops.Graph.triangleStats(edges, "src", "dst")
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (round(col("global_clustering"), 6) + 0.0)
+            .as("global_clustering"))
+    }),
+
+    "q165_degrees" -> ((s, dir) => {
+      // per-node degrees of the customer->supplier purchase graph
+      // (namespaced: the key spaces overlap); everything edge-sized
+      // dies at the first distinct
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      ops.Graph.degreeStats(edges, "src", "dst")
+    }),
+
+    "q166_streaming_trending" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING trending, driver-checked: windowed stateful counts
+      // (watermark + groupBy(bucket, item).count) replayed through a
+      // MemoryStream in two batches; the latest update per cell must
+      // equal the batch cell table, and the post-query top-k matches
+      // the batch q157 oracle. The collect below CONSTRUCTS the
+      // fixture-scale stream source; it is not a query-path collect.
+      val evd = t(s, dir, "events")
+      val rows = evd
+        .select(ops.EventTime.micros(evd, "ts").as("us"),
+          col("event_type"))
+        .orderBy(col("us"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("us", "event_type")
+      val counts = graft.streaming.StreamingTrending.itemCounts(
+        stream, "us", "event_type", bucketSeconds = 14400L,
+        watermarkDelay = "3650 days")
+      val name = "q166_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        input.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // update-mode sink: counts are monotone per cell, max = final
+      val cells = s.table(name)
+        .groupBy(col("bucket_start"), col("item"))
+        .agg(max(col("n")).as("n"))
+      graft.streaming.StreamingTrending.topK(cells, 3)
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4666,6 +4734,56 @@ object SparkEntry {
         |  round(corr(lx, ly) * corr(lx, ly), 6) + 0.0 AS r2,
         |  count(*) AS n_ranks
         |FROM rk""".stripMargin,
+
+    "q164_triangles" ->
+      """WITH e AS (SELECT a.n_nationkey AS x, b.n_nationkey AS y
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey
+        |   AND a.n_nationkey < b.n_nationkey),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+        |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT sum(d * (d - 1) / 2)::BIGINT FROM deg) AS n_wedges,
+        |  (SELECT t FROM tri)::BIGINT AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) /
+        |    (SELECT sum(d * (d - 1) / 2) FROM deg), 6) + 0.0
+        |    AS global_clustering""".stripMargin,
+
+    "q165_degrees" ->
+      """WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS src,
+        |    's:' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |outd AS (SELECT src AS node, count(*) AS out_deg
+        |  FROM e GROUP BY 1),
+        |ind AS (SELECT dst AS node, count(*) AS in_deg
+        |  FROM e GROUP BY 1),
+        |und AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT DISTINCT src AS node, dst AS nbr FROM e
+        |  UNION SELECT DISTINCT dst AS node, src AS nbr FROM e)
+        |  GROUP BY 1)
+        |SELECT und.node, coalesce(outd.out_deg, 0) AS out_deg,
+        |  coalesce(ind.in_deg, 0) AS in_deg, und.deg
+        |FROM und LEFT JOIN outd USING (node)
+        |LEFT JOIN ind USING (node)""".stripMargin,
+
+    "q166_streaming_trending" ->
+      """WITH e AS (SELECT
+        |    (epoch_us(ts) // 14400000000) * 14400000000 AS bucket_start,
+        |    event_type AS item
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT bucket_start, item, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT bucket_start, item, n,
+        |    row_number() OVER (PARTITION BY bucket_start
+        |      ORDER BY n DESC, item) AS rank
+        |  FROM cells)
+        |SELECT bucket_start, item, n, rank FROM r WHERE rank <= 3"""
+        .stripMargin,
 
     "q156_fuzzy_join" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name

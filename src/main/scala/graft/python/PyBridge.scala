@@ -817,4 +817,14 @@ object PyBridge {
   /** Zipf-law OLS fit over top-N token frequencies. */
   def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame =
     graft.ops.TextOps.zipfFit(df, textCol, topN)
+
+  /** Per-node in/out/undirected degree statistics. */
+  def degreeStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    graft.ops.Graph.degreeStats(edges, srcCol, dstCol)
+
+  /** Global triangle census + clustering coefficient. */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    graft.ops.Graph.triangleStats(edges, srcCol, dstCol)
 }

@@ -355,6 +355,16 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq).toSet
   }
 
+  test("bridge degree and triangle stats mirror the Scala API") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    PyBridge.degreeStats(e, "s", "d").collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Graph.degreeStats(e, "s", "d")
+        .collect().map(_.toSeq).toSet
+    PyBridge.triangleStats(e, "s", "d").collect().map(_.toSeq) shouldBe
+      graft.ops.Graph.triangleStats(e, "s", "d").collect().map(_.toSeq)
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -110,6 +110,59 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     a shouldBe b
   }
 
+  test("degreeStats: parallel edges collapse, self-loops drop, " +
+    "degrees are distinct-neighbor counts") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "c")).toDF("s", "d")
+    val got = Graph.degreeStats(e, "s", "d")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got("a") shouldBe ((2L, 1L, 2L)) // out: b,c; in: b; nbrs: b,c
+    got("b") shouldBe ((1L, 1L, 1L))
+    got("c") shouldBe ((0L, 1L, 1L))
+  }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1; adding a " +
+    "pendant vertex lowers clustering") {
+    import spark.implicits._
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b }
+      yield (a.toLong, b.toLong)).toDF("s", "d")
+    val r = Graph.triangleStats(k4, "s", "d").collect().head
+    r.getLong(0) shouldBe 4L   // nodes
+    r.getLong(1) shouldBe 6L   // edges
+    r.getLong(2) shouldBe 12L  // wedges: 4 * C(3,2)
+    r.getLong(3) shouldBe 4L   // triangles
+    r.getDouble(4) shouldBe (1.0 +- 1e-12)
+    val withPendant = ((for { a <- 1 to 4; b <- 1 to 4 if a < b }
+      yield (a.toLong, b.toLong)) :+ (4L, 9L)).toDF("s", "d")
+    val p = Graph.triangleStats(withPendant, "s", "d").collect().head
+    p.getLong(3) shouldBe 4L
+    p.getDouble(4) should be < 1.0
+  }
+
+  test("triangleStats: direction and duplication never change the " +
+    "census; triangle-free graphs report 0 with NULL-safe clustering") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val triRev = Seq((2L, 1L), (3L, 2L), (3L, 1L), (1L, 2L))
+      .toDF("s", "d")
+    val a = Graph.triangleStats(tri, "s", "d").collect().head
+    val b = Graph.triangleStats(triRev, "s", "d").collect().head
+    a.toSeq shouldBe b.toSeq
+    a.getLong(3) shouldBe 1L
+    // path graph: 1 wedge, 0 triangles
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.triangleStats(path, "s", "d").collect().head
+    p.getLong(2) shouldBe 1L
+    p.getLong(3) shouldBe 0L
+    p.getDouble(4) shouldBe (0.0 +- 1e-12)
+    // single edge: no wedges -> clustering NULL
+    val edge = Seq((1L, 2L)).toDF("s", "d")
+    Graph.triangleStats(edge, "s", "d").collect().head
+      .isNullAt(4) shouldBe true
+  }
+
   test("scaled_rank = rank * N; invalid rows dropped") {
     import spark.implicits._
     val e = Seq((Some("a"), Some("b"), 1.0), (Some("b"), Some("a"), 1.0),
