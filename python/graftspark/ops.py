@@ -1010,3 +1010,24 @@ def triangle_stats(edges: DataFrame, src_col: str,
     n_nodes, n_edges, n_wedges, n_triangles, global_clustering."""
     return _to_py_df(_jvm_bridge(edges).triangleStats(
         edges._jdf, src_col, dst_col), edges)
+
+
+def cusum(df: DataFrame, group_cols: List[str], order_col: str,
+          value_col: str, k: float = 0.5, h: float = 4.0) -> DataFrame:
+    """CUSUM level-shift screen over per-group metric time series
+    (Page's test): values standardize against their own series, the
+    one-sided cumulative sums run in closed form (running sum minus
+    running min — one exchange, no recursion), alarm above h."""
+    return _to_py_df(_jvm_bridge(df).cusum(
+        df._jdf, list(group_cols), order_col, value_col,
+        float(k), float(h)), df)
+
+
+def corpus_diff(older: DataFrame, newer: DataFrame, id_col: str,
+                compare_cols: List[str]) -> DataFrame:
+    """Snapshot diff between two versions of a keyed corpus: one row
+    with n_added / n_removed / n_changed / n_unchanged / n_old /
+    n_new. Sides reduce to (id, content hash) map-side — payload
+    columns never shuffle."""
+    return _to_py_df(_jvm_bridge(older).corpusDiff(
+        older._jdf, newer._jdf, id_col, list(compare_cols)), older)

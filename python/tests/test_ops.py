@@ -699,6 +699,19 @@ def test_round12c_stats_graph_noise():
     tc = ops.triangle_stats(eg, "s", "d").collect()[0]
     assert tc["n_triangles"] == 1 and tc["n_edges"] == 4
 
+    # cusum: constant series never alarms
+    const = spark.createDataFrame(
+        [("m", i, 5.0) for i in range(10)], ["g", "t", "v"])
+    cs = ops.cusum(const, ["g"], "t", "v").collect()
+    assert all(not r["alarm"] for r in cs)
+
+    # corpus diff: dropping odd ids -> removed = odd count
+    half = docs.filter("doc_id % 2 = 0")
+    cd = ops.corpus_diff(docs, half, "doc_id", ["text"]).collect()[0]
+    assert cd["n_added"] == 0
+    assert cd["n_removed"] == docs.count() - half.count()
+    assert cd["n_changed"] == 0
+
     print("round-12c stats/graph/noise facade OK")
 
 

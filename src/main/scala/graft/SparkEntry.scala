@@ -2247,6 +2247,41 @@ object SparkEntry {
       graft.streaming.StreamingTrending.topK(cells, 3)
     }),
 
+    "q167_cusum" -> ((s, dir) => {
+      // CUSUM level-shift screen over per-type 4h event-count series:
+      // the recursion runs in closed form (running sum - running min),
+      // four window passes over ONE exchange on the series key
+      val cells = t(s, dir, "events")
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          (floor(expr("unix_micros(cast(ts as timestamp))") /
+            14400000000L) * 14400000000L).as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      ops.Drift.cusum(cells, Seq("event_type"), "bucket_start", "n",
+        k = 0.5, h = 4.0)
+        .select(col("event_type"), col("bucket_start"), col("value"),
+          (round(col("z"), 6) + 0.0).as("z"),
+          (round(col("cusum_pos"), 6) + 0.0).as("cusum_pos"),
+          (round(col("cusum_neg"), 6) + 0.0).as("cusum_neg"),
+          col("alarm"))
+    }),
+
+    "q168_corpus_diff" -> ((s, dir) => {
+      // snapshot diff of documents vs a perturbed copy (9% removed,
+      // texts changed on the 7-multiples, 30 added): sides reduce to
+      // (id, hash) map-side — payload text never shuffles
+      val d = t(s, dir, "documents")
+      val newer = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("text"), col("source"))
+        .union(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("source")))
+      ops.Diagnostics.corpusDiff(d, newer, "doc_id",
+        Seq("text", "source"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4734,6 +4769,65 @@ object SparkEntry {
         |  round(corr(lx, ly) * corr(lx, ly), 6) + 0.0 AS r2,
         |  count(*) AS n_ranks
         |FROM rk""".stripMargin,
+
+    "q167_cusum" ->
+      """WITH cells AS (SELECT event_type,
+        |    (epoch_us(ts) // 14400000000) * 14400000000 AS b,
+        |    count(*)::DOUBLE AS v
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT event_type, b, v,
+        |    avg(v) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(v) OVER (PARTITION BY event_type) AS sd
+        |  FROM cells),
+        |z AS (SELECT event_type, b, v,
+        |    CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+        |         ELSE (v - mu) / sd END AS z
+        |  FROM st),
+        |s AS (SELECT event_type, b, v, z,
+        |    sum(z - 0.5) OVER w AS sp, sum(-z - 0.5) OVER w AS sn
+        |  FROM z
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT event_type, b, v, z,
+        |    sp - least(0, min(sp) OVER w) AS cp,
+        |    sn - least(0, min(sn) OVER w) AS cn
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, b AS bucket_start, v AS value,
+        |  round(z, 6) + 0.0 AS z,
+        |  round(cp, 6) + 0.0 AS cusum_pos,
+        |  round(cn, 6) + 0.0 AS cusum_neg,
+        |  (cp > 4.0 OR cn > 4.0) AS alarm
+        |FROM c""".stripMargin,
+
+    "q168_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text, source FROM documents),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END
+        |      AS text, source
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, source FROM documents
+        |  WHERE doc_id < 30),
+        |j AS (SELECT o.doc_id AS oid, n.doc_id AS nid,
+        |    (o.text IS DISTINCT FROM n.text OR
+        |     o.source IS DISTINCT FROM n.source) AS diff
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT
+        |  sum(CASE WHEN oid IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_added,
+        |  sum(CASE WHEN nid IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN oid IS NOT NULL AND nid IS NOT NULL AND diff
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(CASE WHEN oid IS NOT NULL AND nid IS NOT NULL
+        |    AND NOT diff THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+        |  sum(CASE WHEN oid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_old,
+        |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_new
+        |FROM j""".stripMargin,
 
     "q164_triangles" ->
       """WITH e AS (SELECT a.n_nationkey AS x, b.n_nationkey AS y

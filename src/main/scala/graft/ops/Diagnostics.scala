@@ -34,4 +34,45 @@ object Diagnostics {
       .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
       .limit(topK)
   }
+
+  /** Snapshot diff between two versions of a keyed corpus: one row
+    * with `n_added` (id only in `newer`), `n_removed` (only in
+    * `older`), `n_changed` (both, any `compareCols` value differs),
+    * `n_unchanged`, and both totals — the pre-flight check before
+    * re-running an expensive pipeline on a "refreshed" corpus (a 2%
+    * delta wants incremental processing; an 80% delta wants a full
+    * rerun and an alarm).
+    *
+    * Scale shape: each side reduces to (id, 64-bit content hash)
+    * map-side — payload columns never shuffle; the full outer join on
+    * id and the final 1-row count aggregate are the only exchanges.
+    * NULL values hash distinctly from empty strings (type-tagged
+    * hash input).
+    */
+  def corpusDiff(
+      older: DataFrame,
+      newer: DataFrame,
+      idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    def h(df: DataFrame, side: String): DataFrame =
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          xxhash64(compareCols.map(col): _*).as(s"__h_$side"))
+    h(older, "old").join(h(newer, "new"), Seq("__id"), "full_outer")
+      .agg(
+        sum(when(col("__h_old").isNull, 1).otherwise(0))
+          .cast("long").as("n_added"),
+        sum(when(col("__h_new").isNull, 1).otherwise(0))
+          .cast("long").as("n_removed"),
+        sum(when(col("__h_old").isNotNull && col("__h_new").isNotNull &&
+          col("__h_old") =!= col("__h_new"), 1).otherwise(0))
+          .cast("long").as("n_changed"),
+        sum(when(col("__h_old") === col("__h_new"), 1).otherwise(0))
+          .cast("long").as("n_unchanged"),
+        sum(when(col("__h_old").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_old"),
+        sum(when(col("__h_new").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_new"))
+  }
 }

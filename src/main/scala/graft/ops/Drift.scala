@@ -419,4 +419,66 @@ object Drift {
         col("m.ma").as("mean_cur"), col("m.mb").as("mean_ref"),
         abs(col("m.ma") - col("m.mb")).as("shift"))
   }
+
+  /** Tabular CUSUM change-point screen over metric time series: per
+    * series (the `groupCols` key), values standardize against the
+    * series' own mean/stddev, then the classic one-sided cumulative
+    * sums accumulate with slack `k` and alarm at threshold `h`
+    * (Page 1954 — the standard "did this metric's level shift"
+    * monitor, more sensitive to small persistent shifts than the
+    * z-score screen in [[metricAnomalies]]).
+    *
+    * The recursion s+_i = max(0, s+_{i-1} + z_i - k) is computed in
+    * CLOSED FORM as running-sum minus running-min (s+ = S_i - min(0,
+    * min_j S_j) over S = cumsum(z - k); s- symmetrically on -z), so
+    * the whole screen is ONE hash exchange on the series key + one
+    * sort — four window passes share the partition, no recursion, no
+    * driver loop. Degenerate series (stddev 0 or one point) z-score
+    * to 0 and never alarm.
+    *
+    * Output: groupCols..., orderCol, value, z, cusum_pos, cusum_neg,
+    * alarm.
+    */
+  def cusum(
+      df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      k: Double = 0.5,
+      h: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    require(k >= 0, s"slack k must be >= 0, got $k")
+    require(h > 0, s"threshold h must be > 0, got $h")
+    val gcols = groupCols.map(col)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val v = col(valueCol).cast("double")
+    val withZ = df
+      .withColumn("__mu", avg(v).over(wAll))
+      .withColumn("__sd", stddev_samp(v).over(wAll))
+      .withColumn("z",
+        when(col("__sd").isNull || col("__sd") === 0, lit(0.0))
+          .otherwise((v - col("__mu")) / col("__sd")))
+    withZ
+      // running sums materialize first: a window function can't nest
+      // inside another window's argument
+      .withColumn("__sp", sum(col("z") - k).over(wRun))
+      .withColumn("__sn", sum(-col("z") - k).over(wRun))
+      .withColumn("cusum_pos",
+        col("__sp") - least(lit(0.0), min(col("__sp")).over(wRun)))
+      .withColumn("cusum_neg",
+        col("__sn") - least(lit(0.0), min(col("__sn")).over(wRun)))
+      .withColumn("alarm",
+        col("cusum_pos") > h || col("cusum_neg") > h)
+      .select(gcols ++ Seq(col(orderCol), v.as("value"), col("z"),
+        col("cusum_pos"), col("cusum_neg"), col("alarm")): _*)
+  }
 }

@@ -827,4 +827,17 @@ object PyBridge {
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
     graft.ops.Graph.triangleStats(edges, srcCol, dstCol)
+
+  /** CUSUM level-shift screen over per-group metric series. */
+  def cusum(df: DataFrame, groupCols: java.util.List[String],
+      orderCol: String, valueCol: String, k: Double,
+      h: Double): DataFrame =
+    graft.ops.Drift.cusum(df, groupCols.asScala.toSeq, orderCol,
+      valueCol, k, h)
+
+  /** Snapshot diff between two versions of a keyed corpus. */
+  def corpusDiff(older: DataFrame, newer: DataFrame, idCol: String,
+      compareCols: java.util.List[String]): DataFrame =
+    graft.ops.Diagnostics.corpusDiff(older, newer, idCol,
+      compareCols.asScala.toSeq)
 }

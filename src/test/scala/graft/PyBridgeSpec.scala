@@ -365,6 +365,22 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       graft.ops.Graph.triangleStats(e, "s", "d").collect().map(_.toSeq)
   }
 
+  test("bridge cusum and corpusDiff mirror the Scala API") {
+    import spark.implicits._
+    val series = (0 until 12).map(i =>
+      ("m", i.toLong, if (i < 8) 5.0 else 9.0)).toDF("g", "t", "v")
+    PyBridge.cusum(series, jList("g"), "t", "v", 0.5, 4.0)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Drift.cusum(series, Seq("g"), "t", "v", 0.5, 4.0)
+        .collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val newer = docs.filter(col("doc_id") % 2 === 0)
+    PyBridge.corpusDiff(docs, newer, "doc_id", jList("text"))
+      .collect().map(_.toSeq) shouldBe
+      graft.ops.Diagnostics.corpusDiff(docs, newer, "doc_id",
+        Seq("text")).collect().map(_.toSeq)
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -25,8 +25,8 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 166)
-      assert(SparkEntry.oracleSql.size == 162)
+      assert(SparkEntry.queries.size == 168)
+      assert(SparkEntry.oracleSql.size == 164)
     }
 
     it("every oracle entry has a matching query") {
