@@ -1031,3 +1031,31 @@ def corpus_diff(older: DataFrame, newer: DataFrame, id_col: str,
     columns never shuffle."""
     return _to_py_df(_jvm_bridge(older).corpusDiff(
         older._jdf, newer._jdf, id_col, list(compare_cols)), older)
+
+
+def write_bloom_manifest(spark, layout_path: str, col_name: str,
+                         manifest_path: str, num_bits: int = 1 << 20,
+                         num_hash_fns: int = 5) -> None:
+    """Per-file bloom manifest on a high-cardinality column — the
+    point-lookup complement to the min/max stats manifest. False
+    positives only cost an extra file scan; misses are impossible."""
+    from .session import _BRIDGE
+    getattr(spark._jvm, _BRIDGE).writeBloomManifest(
+        spark._jsparkSession, layout_path, col_name, manifest_path,
+        int(num_bits), int(num_hash_fns))
+
+
+def lookup_read(spark, layout_path: str, manifest_path: str,
+                col_name: str, value) -> DataFrame:
+    """Bloom-pruned equality read: only files whose bloom might contain
+    value are scanned; the predicate re-applies row-exactly."""
+    from pyspark.sql import DataFrame as PyDataFrame
+    from .session import _BRIDGE
+    b = getattr(spark._jvm, _BRIDGE)
+    if isinstance(value, str):
+        jdf = b.lookupReadString(spark._jsparkSession, layout_path,
+                                 manifest_path, col_name, value)
+    else:
+        jdf = b.lookupRead(spark._jsparkSession, layout_path,
+                           manifest_path, col_name, int(value))
+    return PyDataFrame(jdf, spark)

@@ -712,6 +712,18 @@ def test_round12c_stats_graph_noise():
     assert cd["n_removed"] == docs.count() - half.count()
     assert cd["n_changed"] == 0
 
+    # bloom manifest point lookup == plain equality filter
+    import tempfile
+    bdir = tempfile.mkdtemp(prefix="graft_py_bloom_layout")
+    ops.write_shards(li.select("l_orderkey", "l_quantity"),
+                     "l_orderkey", 4, bdir)
+    bman = tempfile.mkdtemp(prefix="graft_py_bloom_man")
+    ops.write_bloom_manifest(spark, bdir, "l_orderkey", bman)
+    some_key = li.select("l_orderkey").first()[0]
+    lr = ops.lookup_read(spark, bdir, bman, "l_orderkey", some_key)
+    assert lr.count() == spark.read.parquet(bdir).filter(
+        f"l_orderkey = {some_key}").count()
+
     print("round-12c stats/graph/noise facade OK")
 
 

@@ -2282,6 +2282,25 @@ object SparkEntry {
         Seq("text", "source"))
     }),
 
+    "q169_bloom_lookup" -> ((s, dir) => {
+      // per-file bloom manifest + point-lookup read: the layout is
+      // written sharded by l_partkey hash (so an orderkey probe can't
+      // be pruned by sort order), the bloom prunes files, the equality
+      // filter re-applies row-exactly — result must equal the plain
+      // full-table predicate
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q169_layout").toString
+      val li = t(s, dir, "lineitem")
+      io.ShardWriter.writeShards(li, "l_partkey", nShards = 8, tmp)
+      val man = java.nio.file.Files
+        .createTempDirectory("graft_q169_bloom").toString
+      io.LayoutManifest.writeBloomManifest(s, tmp, "l_orderkey", man)
+      io.LayoutManifest.lookupRead(s, tmp, man, "l_orderkey", 1988L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4828,6 +4847,11 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q169_bloom_lookup" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey = 1988""".stripMargin,
 
     "q164_triangles" ->
       """WITH e AS (SELECT a.n_nationkey AS x, b.n_nationkey AS y

@@ -99,4 +99,68 @@ object LayoutManifest {
       col(s"min_$valueCol") <= lit(hi)).count()
     (kept, total)
   }
+
+  /** Per-file BLOOM manifest on a high-cardinality column — the
+    * point-lookup complement to the min/max envelope: range stats
+    * can't prune equality probes on a column the layout isn't sorted
+    * by, a per-file bloom can. One row per data file with the filter
+    * bytes over `xxhash64(colName)`; `numBits` sizes the false-
+    * positive rate (a false positive only costs an extra file scan —
+    * correctness never depends on the filter).
+    *
+    * Built like [[collectStats]]: one column-pruned scan, map-side
+    * combined bloom aggregate keyed by file name.
+    */
+  def writeBloomManifest(
+      spark: SparkSession,
+      layoutPath: String,
+      colName: String,
+      manifestPath: String,
+      numBits: Long = 1L << 20,
+      numHashFns: Int = 5): Unit =
+    spark.read.parquet(layoutPath)
+      .select(input_file_name().as(FileCol), col(colName))
+      .groupBy(col(FileCol))
+      .agg(graft.functions.bloom_agg(xxhash64(col(colName)), numBits,
+        numHashFns).as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+
+  /** Bloom-pruned equality read: only files whose bloom might contain
+    * `value` are scanned, and the equality predicate re-applies
+    * row-exactly (false positives scan and filter away; misses are
+    * impossible — blooms have no false negatives). `value` must be
+    * the column's own type (the lookup hash must equal the build
+    * hash).
+    */
+  def lookupRead(
+      spark: SparkSession,
+      layoutPath: String,
+      bloomManifestPath: String,
+      colName: String,
+      value: Any): DataFrame = {
+    val files = spark.read.parquet(bloomManifestPath)
+      .filter(graft.functions.bloom_might_contain(col("bloom"),
+        xxhash64(lit(value))))
+      .select(col(FileCol)).collect().map(_.getString(0))
+    val base = spark.read.option("basePath", layoutPath)
+    val scanned =
+      if (files.isEmpty) base.parquet(layoutPath).filter(lit(false))
+      else base.parquet(files.toIndexedSeq: _*)
+    scanned.filter(col(colName) === lit(value))
+  }
+
+  /** Bloom-pruning effectiveness for a probe value:
+    * (files_kept, files_total).
+    */
+  def lookupStats(
+      spark: SparkSession,
+      bloomManifestPath: String,
+      value: Any): (Long, Long) = {
+    val m = spark.read.parquet(bloomManifestPath)
+    val total = m.count()
+    val kept = m.filter(graft.functions.bloom_might_contain(
+      col("bloom"), xxhash64(lit(value)))).count()
+    (kept, total)
+  }
 }

@@ -722,6 +722,27 @@ object PyBridge {
     graft.io.LayoutManifest.prunedRead(spark, layoutPath, manifestPath,
       valueCol, lo, hi)
 
+  /** Write a per-file bloom manifest on a high-cardinality column. */
+  def writeBloomManifest(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, colName: String, manifestPath: String,
+      numBits: Long, numHashFns: Int): Unit =
+    graft.io.LayoutManifest.writeBloomManifest(spark, layoutPath,
+      colName, manifestPath, numBits, numHashFns)
+
+  /** Bloom-pruned equality read (long-keyed columns). */
+  def lookupRead(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, manifestPath: String, colName: String,
+      value: Long): DataFrame =
+    graft.io.LayoutManifest.lookupRead(spark, layoutPath, manifestPath,
+      colName, value)
+
+  /** Bloom-pruned equality read (string-keyed columns). */
+  def lookupReadString(spark: org.apache.spark.sql.SparkSession,
+      layoutPath: String, manifestPath: String, colName: String,
+      value: String): DataFrame =
+    graft.io.LayoutManifest.lookupRead(spark, layoutPath, manifestPath,
+      colName, value)
+
   /** Time-decayed per-key event score (2^(-age/halfLife) weights,
     * anchored at each key's last event).
     */

@@ -381,6 +381,21 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         Seq("text")).collect().map(_.toSeq)
   }
 
+  test("bridge bloom manifest + lookup reads mirror the Scala API") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_pybridge_bloom").toString
+    graft.io.ShardWriter.writeShards(li, "l_orderkey", 4, layout)
+    val man = java.nio.file.Files
+      .createTempDirectory("graft_pybridge_bloom_man").toString
+    PyBridge.writeBloomManifest(spark, layout, "l_orderkey", man,
+      1L << 20, 5)
+    val key = li.select("l_orderkey").head.getLong(0)
+    PyBridge.lookupRead(spark, layout, man, "l_orderkey", key)
+      .count() shouldBe li.filter(col("l_orderkey") === key).count()
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -64,6 +64,33 @@ class LayoutManifestSpec extends AnyFunSuite with Matchers
       1e9, 2e9).count() shouldBe 0L
   }
 
+  test("bloom manifest: point lookups prune files, never lose rows, " +
+    "and misses prune everything") {
+    import spark.implicits._
+    // ids clustered per shard by construction: shard = md5-hash, so a
+    // single id lives in exactly one file — the bloom should keep ~1
+    val df = (1 to 2000).map(i => (i.toLong, s"payload$i"))
+      .toDF("id", "payload")
+    val layout = tmpDir("graft_bloom_layout")
+    ShardWriter.writeShards(df, "id", 8, layout)
+    val man = tmpDir("graft_bloom_manifest")
+    LayoutManifest.writeBloomManifest(spark, layout, "id", man)
+    // every single id is findable (no false negatives), row-exactly
+    Seq(1L, 777L, 2000L).foreach { id =>
+      val got = LayoutManifest.lookupRead(spark, layout, man, "id", id)
+        .collect()
+      got.length shouldBe 1
+      got.head.getLong(0) shouldBe id
+    }
+    // pruning actually skips files: one id keeps far fewer than all 8
+    val (kept, total) = LayoutManifest.lookupStats(spark, man, 777L)
+    total shouldBe 8L
+    kept should be < 8L
+    // an absent id returns an empty, well-typed frame
+    LayoutManifest.lookupRead(spark, layout, man, "id", 999999L)
+      .count() shouldBe 0L
+  }
+
   test("partition-directory columns survive a pruned direct-file read") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, (i % 50).toDouble))
