@@ -1059,3 +1059,35 @@ def lookup_read(spark, layout_path: str, manifest_path: str,
         jdf = b.lookupRead(spark._jsparkSession, layout_path,
                            manifest_path, col_name, int(value))
     return PyDataFrame(jdf, spark)
+
+
+def basket_co_occurrence(df: DataFrame, basket_col: str, item_col: str,
+                         min_count: int = 1) -> DataFrame:
+    """Market-basket item-pair association: one row per unordered
+    co-occurring pair with n_ab/n_a/n_b, support, confidence, lift
+    (per-basket presence is distinct). Pair generation stays inside
+    each basket's partition; only counts survive."""
+    return _to_py_df(_jvm_bridge(df).basketCoOccurrence(
+        df._jdf, basket_col, item_col, int(min_count)), df)
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney ROC AUC: one sort via window + a
+    1-row aggregate — no pairwise join. Output: n_pos, n_neg, auc."""
+    return _to_py_df(_jvm_bridge(df).auc(
+        df._jdf, score_col, label_col), df)
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability table over equal-width score bins: per bin — n,
+    mean_score (confidence), frac_pos (accuracy), gap."""
+    return _to_py_df(_jvm_bridge(df).calibrationReport(
+        df._jdf, score_col, label_col, int(n_bins)), df)
+
+
+def ece(df: DataFrame, score_col: str, label_col: str,
+        n_bins: int = 10) -> DataFrame:
+    """Expected calibration error: bin-mass-weighted mean |gap|."""
+    return _to_py_df(_jvm_bridge(df).ece(
+        df._jdf, score_col, label_col, int(n_bins)), df)

@@ -724,6 +724,22 @@ def test_round12c_stats_graph_noise():
     assert lr.count() == spark.read.parquet(bdir).filter(
         f"l_orderkey = {some_key}").count()
 
+    # basket pairs: supplier co-occurrence, lift positive
+    bp = ops.basket_co_occurrence(li, "l_orderkey", "l_suppkey",
+                                  min_count=2)
+    assert bp.filter("lift <= 0").count() == 0
+    assert bp.filter("item_a >= item_b").count() == 0
+
+    # model eval: deterministic score vs label
+    scored = emb.selectExpr("(vec_id % 97) / 96.0 AS s",
+                            "label >= 5 AS y")
+    a = ops.auc(scored, "s", "y").collect()[0]
+    assert 0.0 <= a["auc"] <= 1.0
+    rep = ops.calibration_report(scored, "s", "y", 10)
+    assert rep.count() <= 10
+    e = ops.ece(scored, "s", "y").collect()[0]
+    assert 0.0 <= e["ece"] <= 1.0
+
     print("round-12c stats/graph/noise facade OK")
 
 

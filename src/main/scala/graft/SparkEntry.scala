@@ -2301,6 +2301,45 @@ object SparkEntry {
           col("l_extendedprice"))
     }),
 
+    "q170_basket_pairs" -> ((s, dir) => {
+      // supplier co-occurrence across orders: support/confidence/lift
+      // per pair; pair generation stays inside each basket's partition
+      // and only counts survive
+      val li = t(s, dir, "lineitem")
+      ops.Baskets.coOccurrence(li, "l_orderkey", "l_suppkey",
+        minCount = 2L)
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          col("n_a"), col("n_b"),
+          (round(col("support"), 6) + 0.0).as("support"),
+          (round(col("confidence"), 6) + 0.0).as("confidence"),
+          (round(col("lift"), 6) + 0.0).as("lift"))
+    }),
+
+    "q171_calibration" -> ((s, dir) => {
+      // reliability table of a deterministic score vs the embedding
+      // labels: one hash aggregate over <= 10 bins
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.calibrationReport(emb, "score", "y", nBins = 10)
+        .select(col("bin"), col("n"),
+          (round(col("mean_score"), 6) + 0.0).as("mean_score"),
+          (round(col("frac_pos"), 6) + 0.0).as("frac_pos"),
+          (round(col("gap"), 6) + 0.0).as("gap"))
+    }),
+
+    "q172_auc" -> ((s, dir) => {
+      // tie-corrected Mann-Whitney AUC: one sort via window, 1-row
+      // aggregate, no pairwise join; 97 distinct scores over 500 rows
+      // exercise the average-rank tie handling
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.auc(emb, "score", "y")
+        .select(col("n_pos"), col("n_neg"),
+          (round(col("auc"), 6) + 0.0).as("auc"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4847,6 +4886,51 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q170_basket_pairs" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM p),
+        |ic AS (SELECT i, count(*) AS ni FROM p GROUP BY 1),
+        |pr AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |  FROM p a JOIN p b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.item_a, pr.item_b, pr.n_ab,
+        |  ia.ni AS n_a, ib.ni AS n_b,
+        |  round(pr.n_ab / nb.n, 6) + 0.0 AS support,
+        |  round(pr.n_ab::DOUBLE / ia.ni, 6) + 0.0 AS confidence,
+        |  round(pr.n_ab * nb.n / (ia.ni * ib.ni), 6) + 0.0 AS lift
+        |FROM pr JOIN ic ia ON ia.i = pr.item_a
+        |JOIN ic ib ON ib.i = pr.item_b CROSS JOIN nb""".stripMargin,
+
+    "q171_calibration" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |b AS (SELECT least(floor(least(greatest(sc, 0), 1) * 10),
+        |    9)::BIGINT AS bin,
+        |    least(greatest(sc, 0), 1) AS sc, y FROM s)
+        |SELECT bin, count(*) AS n,
+        |  round(avg(sc), 6) + 0.0 AS mean_score,
+        |  round(avg(y), 6) + 0.0 AS frac_pos,
+        |  round(abs(avg(sc) - avg(y)), 6) + 0.0 AS gap
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q172_auc" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    label >= 5 AS y FROM embeddings),
+        |r AS (SELECT sc, y, rank() OVER (ORDER BY sc) AS rk,
+        |    count(*) OVER (PARTITION BY sc) AS t FROM s),
+        |a AS (SELECT y, (2 * rk + t - 1)::DOUBLE / 2 AS ar FROM r)
+        |SELECT
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+        |  round((sum(CASE WHEN y THEN ar END) -
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE *
+        |    (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) / 2) /
+        |    (sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE *
+        |     sum(CASE WHEN y THEN 0 ELSE 1 END)), 6) + 0.0 AS auc
+        |FROM a""".stripMargin,
 
     "q169_bloom_lookup" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,

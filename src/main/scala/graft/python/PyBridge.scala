@@ -861,4 +861,23 @@ object PyBridge {
       compareCols: java.util.List[String]): DataFrame =
     graft.ops.Diagnostics.corpusDiff(older, newer, idCol,
       compareCols.asScala.toSeq)
+
+  /** Item-pair association (support/confidence/lift) over baskets. */
+  def basketCoOccurrence(df: DataFrame, basketCol: String,
+      itemCol: String, minCount: Long): DataFrame =
+    graft.ops.Baskets.coOccurrence(df, basketCol, itemCol, minCount)
+
+  /** Tie-corrected Mann-Whitney ROC AUC. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    graft.ops.ModelEval.auc(df, scoreCol, labelCol)
+
+  /** Equal-width reliability table on [0, 1]. */
+  def calibrationReport(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int): DataFrame =
+    graft.ops.ModelEval.calibrationReport(df, scoreCol, labelCol, nBins)
+
+  /** Expected calibration error. */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame =
+    graft.ops.ModelEval.ece(df, scoreCol, labelCol, nBins)
 }

@@ -396,6 +396,25 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .count() shouldBe li.filter(col("l_orderkey") === key).count()
   }
 
+  test("bridge basket pairs and model eval mirror the Scala API") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    PyBridge.basketCoOccurrence(li, "l_orderkey", "l_suppkey", 2L)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Baskets.coOccurrence(li, "l_orderkey", "l_suppkey", 2L)
+        .collect().map(_.toSeq).toSet
+    val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("(vec_id % 7) / 6.0 AS s", "label >= 5 AS y")
+    PyBridge.auc(scored, "s", "y").collect().map(_.toSeq) shouldBe
+      graft.ops.ModelEval.auc(scored, "s", "y").collect().map(_.toSeq)
+    PyBridge.calibrationReport(scored, "s", "y", 10)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.ModelEval.calibrationReport(scored, "s", "y", 10)
+        .collect().map(_.toSeq).toSet
+    PyBridge.ece(scored, "s", "y", 10).collect().map(_.toSeq) shouldBe
+      graft.ops.ModelEval.ece(scored, "s", "y", 10)
+        .collect().map(_.toSeq)
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
