@@ -1091,3 +1091,34 @@ def ece(df: DataFrame, score_col: str, label_col: str,
     """Expected calibration error: bin-mass-weighted mean |gap|."""
     return _to_py_df(_jvm_bridge(df).ece(
         df._jdf, score_col, label_col, int(n_bins)), df)
+
+
+def join_size_estimate(left: DataFrame, right: DataFrame,
+                       left_key_cols: List[str],
+                       right_key_cols: List[str]) -> DataFrame:
+    """Exact pre-flight forecast of an equi-join's output size: sides
+    reduce to (key, count) map-side, the count tables join
+    key-cardinality-sized. One row: n_left, n_right, n_left_keys,
+    n_right_keys, n_matched_keys, join_rows."""
+    return _to_py_df(_jvm_bridge(left).joinSizeEstimate(
+        left._jdf, right._jdf, list(left_key_cols),
+        list(right_key_cols)), left)
+
+
+def referential_integrity(child: DataFrame, child_key_cols: List[str],
+                          parent: DataFrame,
+                          parent_key_cols: List[str]) -> DataFrame:
+    """FK-violation counter: child rows referencing keys absent from
+    the parent (NULL FKs tracked separately, never as orphans). One
+    row: n_child, n_orphans, n_null_keys, orphan_frac."""
+    return _to_py_df(_jvm_bridge(child).referentialIntegrity(
+        child._jdf, list(child_key_cols), parent._jdf,
+        list(parent_key_cols)), child)
+
+
+def uniqueness_report(df: DataFrame, key_cols: List[str]) -> DataFrame:
+    """Key-uniqueness census ("is this really a primary key"): one row
+    with n_rows, n_keys, n_dupe_keys, n_dupe_rows, n_null_rows,
+    dupe_frac."""
+    return _to_py_df(_jvm_bridge(df).uniquenessReport(
+        df._jdf, list(key_cols)), df)

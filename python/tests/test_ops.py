@@ -740,6 +740,19 @@ def test_round12c_stats_graph_noise():
     e = ops.ece(scored, "s", "y").collect()[0]
     assert 0.0 <= e["ece"] <= 1.0
 
+    # data-quality trio
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    je = ops.join_size_estimate(orders, li, ["o_orderkey"],
+                                ["l_orderkey"]).collect()[0]
+    assert je["join_rows"] == orders.join(
+        li, orders.o_orderkey == li.l_orderkey).count()
+    supp = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    ri = ops.referential_integrity(li, ["l_suppkey"], supp,
+                                   ["s_suppkey"]).collect()[0]
+    assert ri["n_orphans"] == 0
+    ur = ops.uniqueness_report(li, ["l_orderkey", "l_linenumber"])
+    assert ur.collect()[0]["n_dupe_keys"] == 0
+
     print("round-12c stats/graph/noise facade OK")
 
 

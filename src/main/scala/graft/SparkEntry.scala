@@ -2340,6 +2340,34 @@ object SparkEntry {
           (round(col("auc"), 6) + 0.0).as("auc"))
     }),
 
+    "q173_join_estimate" -> ((s, dir) => {
+      // exact pre-flight join-size forecast: sides reduce to (key,
+      // count) map-side, the count tables join key-cardinality-sized
+      ops.Diagnostics.joinSizeEstimate(t(s, dir, "orders"),
+        t(s, dir, "lineitem"), Seq("o_orderkey"), Seq("l_orderkey"))
+    }),
+
+    "q174_ref_integrity" -> ((s, dir) => {
+      // FK-violation counter against a parent with every 5th supplier
+      // deleted: parent reduces to distinct keys, child counted once
+      ops.Validation.referentialIntegrity(
+        t(s, dir, "lineitem"), Seq("l_suppkey"),
+        t(s, dir, "supplier").filter(col("s_suppkey") % 5 =!= 0),
+        Seq("s_suppkey"))
+        .select(col("n_child"), col("n_orphans"), col("n_null_keys"),
+          (round(col("orphan_frac"), 6) + 0.0).as("orphan_frac"))
+    }),
+
+    "q175_uniqueness" -> ((s, dir) => {
+      // "is l_orderkey a primary key?" — no (multi-line orders):
+      // per-key counts in one hash aggregate, bounded re-aggregation
+      ops.Validation.uniquenessReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey"))
+        .select(col("n_rows"), col("n_keys"), col("n_dupe_keys"),
+          col("n_dupe_rows"), col("n_null_rows"),
+          (round(col("dupe_frac"), 6) + 0.0).as("dupe_frac"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4886,6 +4914,54 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q173_join_estimate" ->
+      """WITH lc AS (SELECT o_orderkey AS k, count(*) AS nl
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT l_orderkey AS k, count(*) AS nr
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT lc.nl, rc.nr FROM lc FULL OUTER JOIN rc
+        |  ON lc.k = rc.k)
+        |SELECT coalesce(sum(nl), 0)::BIGINT AS n_left,
+        |  coalesce(sum(nr), 0)::BIGINT AS n_right,
+        |  count(CASE WHEN nl IS NOT NULL THEN 1 END)::BIGINT
+        |    AS n_left_keys,
+        |  count(CASE WHEN nr IS NOT NULL THEN 1 END)::BIGINT
+        |    AS n_right_keys,
+        |  count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1
+        |    END)::BIGINT AS n_matched_keys,
+        |  coalesce(sum(nl * nr), 0)::BIGINT AS join_rows
+        |FROM j""".stripMargin,
+
+    "q174_ref_integrity" ->
+      """WITH p AS (SELECT DISTINCT s_suppkey FROM supplier
+        |  WHERE s_suppkey % 5 <> 0 AND s_suppkey IS NOT NULL),
+        |c AS (SELECT l_suppkey FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_child,
+        |  sum(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_orphans,
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)
+        |    ::BIGINT AS n_null_keys,
+        |  round(sum(CASE WHEN p.s_suppkey IS NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / count(*), 6) + 0.0 AS orphan_frac
+        |FROM c LEFT JOIN p ON c.l_suppkey = p.s_suppkey"""
+        .stripMargin,
+
+    "q175_uniqueness" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(sum(c), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_keys,
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dupe_keys,
+        |  coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+        |    ::BIGINT AS n_dupe_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |    ::BIGINT AS n_null_rows,
+        |  round(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END),
+        |    0)::DOUBLE / sum(c), 6) + 0.0 AS dupe_frac
+        |FROM k""".stripMargin,
 
     "q170_basket_pairs" ->
       """WITH p AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i

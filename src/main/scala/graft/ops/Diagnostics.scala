@@ -49,6 +49,47 @@ object Diagnostics {
     * NULL values hash distinctly from empty strings (type-tagged
     * hash input).
     */
+  /** Exact output-size forecast for a prospective equi-join: one row
+    * with both sides' row/key counts and `join_rows` = sum over
+    * matching keys of cnt_left * cnt_right — the number the optimizer
+    * only estimates, computed exactly BEFORE committing the join.
+    * A forecast orders of magnitude above either input is the skew /
+    * many-to-many explosion warning.
+    *
+    * Scale shape: each side reduces to (key, count) map-side; the
+    * count tables join on the key (key-cardinality-sized, not
+    * row-sized) and one 1-row aggregate finishes. NULL keys never
+    * match (SQL join semantics) and are excluded.
+    */
+  def joinSizeEstimate(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String]): DataFrame = {
+    require(leftKeyCols.nonEmpty &&
+      leftKeyCols.size == rightKeyCols.size,
+      "key column lists must be non-empty and same-length")
+    def counts(df: DataFrame, cols0: Seq[String], out: String) =
+      df.filter(cols0.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(cols0.map(col): _*)
+        .agg(count(lit(1)).as(out))
+        .select(cols0.zipWithIndex
+          .map { case (c, i) => col(c).as(s"__k$i") } :+ col(out): _*)
+    val lc = counts(left, leftKeyCols, "__nl")
+    val rc = counts(right, rightKeyCols, "__nr")
+    val keyCols0 = leftKeyCols.indices.map(i => s"__k$i")
+    lc.join(rc, keyCols0, "full_outer")
+      .agg(
+        coalesce(sum(col("__nl")), lit(0L)).as("n_left"),
+        coalesce(sum(col("__nr")), lit(0L)).as("n_right"),
+        count(when(col("__nl").isNotNull, 1)).as("n_left_keys"),
+        count(when(col("__nr").isNotNull, 1)).as("n_right_keys"),
+        count(when(col("__nl").isNotNull && col("__nr").isNotNull, 1))
+          .as("n_matched_keys"),
+        coalesce(sum(col("__nl") * col("__nr")), lit(0L))
+          .as("join_rows"))
+  }
+
   def corpusDiff(
       older: DataFrame,
       newer: DataFrame,

@@ -153,4 +153,73 @@ object Validation {
     report(profiles, checks)
       .agg(coalesce(min(col("passed")), lit(1)).as("m"))
       .head().getInt(0) == 1
+
+  /** Referential-integrity check: how many child rows reference a key
+    * absent from the parent table (the FK-violation counter every
+    * warehouse validation suite runs). One row: n_child (non-null
+    * keys), n_orphans, n_null_keys, orphan_frac. NULL child keys are
+    * counted separately, never as orphans (SQL FK semantics).
+    *
+    * Scale shape: the parent reduces to its DISTINCT keys before the
+    * join (parent payload never moves), the child streams through a
+    * left-anti-style presence join keyed on the FK, and only the
+    * final 1-row count aggregate leaves it.
+    */
+  def referentialIntegrity(
+      child: DataFrame,
+      childKeyCols: Seq[String],
+      parent: DataFrame,
+      parentKeyCols: Seq[String]): DataFrame = {
+    require(childKeyCols.nonEmpty &&
+      childKeyCols.size == parentKeyCols.size,
+      "child/parent key column lists must be non-empty and same-length")
+    val anyNull = childKeyCols.map(col(_).isNull).reduce(_ || _)
+    val pkeys = parent
+      .filter(parentKeyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(parentKeyCols.zip(childKeyCols)
+        .map { case (p, c) => col(p).as(c) }: _*)
+      .distinct()
+      .withColumn("__present", lit(1))
+    val nullCount = child.filter(anyNull).count()
+    val joined = child.filter(!anyNull)
+      .join(pkeys, childKeyCols, "left")
+    joined.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(col("n_child"), col("n_orphans"),
+        lit(nullCount).as("n_null_keys"),
+        when(col("n_child") > 0,
+          col("n_orphans").cast("double") / col("n_child"))
+          .otherwise(lit(0.0)).as("orphan_frac"))
+  }
+
+  /** Key-uniqueness report: one row with n_rows, n_keys (distinct
+    * non-null key tuples), n_dupe_keys (keys appearing more than
+    * once), n_dupe_rows (rows beyond the first per key), n_null_rows
+    * (rows with any NULL key part), and dupe_frac. The "is this
+    * really a primary key" pre-flight. One hash aggregate to per-key
+    * counts, one bounded re-aggregation.
+    */
+  def uniquenessReport(
+      df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val nullRows = df.filter(anyNull).count()
+    df.filter(!anyNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dupe_keys"),
+        coalesce(sum(when(col("__c") > 1, col("__c") - 1)
+          .otherwise(0L)), lit(0L)).as("n_dupe_rows"))
+      .select(col("n_rows"), col("n_keys"), col("n_dupe_keys"),
+        col("n_dupe_rows"), lit(nullRows).as("n_null_rows"),
+        when(col("n_rows") > 0,
+          col("n_dupe_rows").cast("double") / col("n_rows"))
+          .otherwise(lit(0.0)).as("dupe_frac"))
+  }
 }

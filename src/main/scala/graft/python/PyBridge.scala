@@ -880,4 +880,23 @@ object PyBridge {
   def ece(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int): DataFrame =
     graft.ops.ModelEval.ece(df, scoreCol, labelCol, nBins)
+
+  /** Exact pre-flight equi-join output-size forecast. */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      leftKeyCols: java.util.List[String],
+      rightKeyCols: java.util.List[String]): DataFrame =
+    graft.ops.Diagnostics.joinSizeEstimate(left, right,
+      leftKeyCols.asScala.toSeq, rightKeyCols.asScala.toSeq)
+
+  /** FK-violation counter (orphan child rows vs a parent key set). */
+  def referentialIntegrity(child: DataFrame,
+      childKeyCols: java.util.List[String], parent: DataFrame,
+      parentKeyCols: java.util.List[String]): DataFrame =
+    graft.ops.Validation.referentialIntegrity(child,
+      childKeyCols.asScala.toSeq, parent, parentKeyCols.asScala.toSeq)
+
+  /** Key-uniqueness report ("is this really a primary key"). */
+  def uniquenessReport(df: DataFrame,
+      keyCols: java.util.List[String]): DataFrame =
+    graft.ops.Validation.uniquenessReport(df, keyCols.asScala.toSeq)
 }

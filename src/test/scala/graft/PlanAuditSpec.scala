@@ -250,4 +250,39 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     "\\bSort \\[".r.findAllIn(plan).length shouldBe 1
     "Window".r.findAllIn(plan).length should be >= 2
   }
+
+  test("attribution: both touch-window passes share one exchange and " +
+    "one sort, no self-join of the event table") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val res = graft.ops.EventStats.touchAttribution(ev, "user_id",
+      "ts", "event_type", "event_id", Seq("view", "click"),
+      "purchase", 3600L)
+    res.collect()
+    val plan = finalPlan(res)
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    "\\bSort \\[".r.findAllIn(plan).length shouldBe 1
+    plan shouldNot include("Join")
+  }
+
+  test("basket co-occurrence: per-item totals reach the pair table " +
+    "via broadcast joins — only baskets and pairs hash-exchange") {
+    val res = graft.ops.Baskets.coOccurrence(li, "l_orderkey",
+      "l_suppkey", minCount = 2L)
+    res.collect()
+    val plan = finalPlan(res)
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+    plan shouldNot include("SortMergeJoin")
+    plan shouldNot include("CartesianProduct")
+  }
+
+  test("auc: rank statistic — windows over one global sort, no " +
+    "pairwise join") {
+    val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("(vec_id % 7) / 6.0 AS s", "label >= 5 AS y")
+    val res = graft.ops.ModelEval.auc(scored, "s", "y")
+    res.collect()
+    val plan = finalPlan(res)
+    plan shouldNot include("Join")
+    "Window".r.findAllIn(plan).length should be >= 1
+  }
 }

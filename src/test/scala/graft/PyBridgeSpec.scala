@@ -415,6 +415,23 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq)
   }
 
+  test("bridge data-quality trio mirrors the Scala API") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    PyBridge.joinSizeEstimate(orders, li, jList("o_orderkey"),
+      jList("l_orderkey")).collect().map(_.toSeq) shouldBe
+      graft.ops.Diagnostics.joinSizeEstimate(orders, li,
+        Seq("o_orderkey"), Seq("l_orderkey")).collect().map(_.toSeq)
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+    PyBridge.referentialIntegrity(li, jList("l_suppkey"), supp,
+      jList("s_suppkey")).collect().map(_.toSeq) shouldBe
+      graft.ops.Validation.referentialIntegrity(li, Seq("l_suppkey"),
+        supp, Seq("s_suppkey")).collect().map(_.toSeq)
+    PyBridge.uniquenessReport(li, jList("l_orderkey"))
+      .collect().map(_.toSeq) shouldBe
+      graft.ops.Validation.uniquenessReport(li, Seq("l_orderkey"))
+        .collect().map(_.toSeq)
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Data-quality pre-flight trio: exact join-size forecast,
+  * referential integrity, key uniqueness — hand-counted fixtures and
+  * the forecast-equals-actual invariant.
+  */
+class DataQualitySpec extends AnyFunSuite with Matchers
+    with SparkSuiteBase {
+
+  test("joinSizeEstimate forecasts the EXACT join cardinality, " +
+    "many-to-many included; null keys never match") {
+    import spark.implicits._
+    val l = Seq((Some(1), "a"), (Some(1), "b"), (Some(2), "c"),
+      (Some(3), "d"), (Option.empty[Int], "e")).toDF("k", "v")
+    val r = Seq((1, "x"), (1, "y"), (1, "z"), (2, "w"), (9, "q"))
+      .toDF("k", "w")
+    val est = Diagnostics.joinSizeEstimate(l, r, Seq("k"), Seq("k"))
+      .collect().head
+    est.getLong(0) shouldBe 4L // non-null left rows
+    est.getLong(1) shouldBe 5L
+    est.getLong(2) shouldBe 3L // left keys 1,2,3
+    est.getLong(3) shouldBe 3L // right keys 1,2,9
+    est.getLong(4) shouldBe 2L // matched 1,2
+    est.getLong(5) shouldBe 7L // 2*3 + 1*1
+    // forecast == the actual inner join
+    val actual = l.filter(col("k").isNotNull)
+      .join(r, Seq("k")).count()
+    est.getLong(5) shouldBe (actual: Long)
+  }
+
+  test("referentialIntegrity: orphans counted once per child row, " +
+    "null FKs tracked separately") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(8L),
+      Option.empty[Long]).toDF("fk")
+    val r = Validation.referentialIntegrity(child, Seq("fk"),
+      parent, Seq("pk")).collect().head
+    r.getLong(0) shouldBe 4L  // non-null child rows
+    r.getLong(1) shouldBe 2L  // 9, 8
+    r.getLong(2) shouldBe 1L  // null FK
+    r.getDouble(3) shouldBe (0.5 +- 1e-12)
+  }
+
+  test("referentialIntegrity: duplicate parent keys don't multiply " +
+    "child rows") {
+    import spark.implicits._
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk")
+    val child = Seq(1L, 2L, 3L).toDF("fk")
+    val r = Validation.referentialIntegrity(child, Seq("fk"),
+      parent, Seq("pk")).collect().head
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 1L
+  }
+
+  test("uniquenessReport: true PK reports zero dupes; a duplicated " +
+    "key is counted with its extra rows") {
+    import spark.implicits._
+    val pk = Seq((1L, 1), (1L, 2), (2L, 1)).toDF("a", "b")
+    val u1 = Validation.uniquenessReport(pk, Seq("a", "b"))
+      .collect().head
+    u1.getLong(2) shouldBe 0L
+    u1.getLong(3) shouldBe 0L
+    u1.getDouble(5) shouldBe (0.0 +- 1e-12)
+    val u2 = Validation.uniquenessReport(pk, Seq("a")).collect().head
+    u2.getLong(0) shouldBe 3L
+    u2.getLong(1) shouldBe 2L
+    u2.getLong(2) shouldBe 1L  // key 1 duplicated
+    u2.getLong(3) shouldBe 1L  // one extra row
+    // null key parts route to n_null_rows
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("a")
+    Validation.uniquenessReport(withNull, Seq("a"))
+      .collect().head.getLong(4) shouldBe 1L
+  }
+
+  test("empty inputs produce clean zero reports") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val est = Diagnostics.joinSizeEstimate(empty, empty,
+      Seq("k"), Seq("k")).collect().head
+    est.getLong(5) shouldBe 0L
+    val u = Validation.uniquenessReport(empty, Seq("k")).collect().head
+    u.getLong(0) shouldBe 0L
+    u.getDouble(5) shouldBe (0.0 +- 1e-12)
+  }
+}
