@@ -1122,3 +1122,23 @@ def uniqueness_report(df: DataFrame, key_cols: List[str]) -> DataFrame:
     dupe_frac."""
     return _to_py_df(_jvm_bridge(df).uniquenessReport(
         df._jdf, list(key_cols)), df)
+
+
+def length_buckets(df: DataFrame, len_col: str,
+                   boundaries: List[int]) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: per bucket —
+    n_seqs, sum_len, padded_tokens, waste_frac (lengths above the last
+    boundary truncate to it). Map-only assignment + a bounded
+    aggregate."""
+    return _to_py_df(_jvm_bridge(df).lengthBuckets(
+        df._jdf, len_col, [int(b) for b in boundaries]), df)
+
+
+def interleave_sources(df: DataFrame, source_col: str,
+                       id_col: str) -> DataFrame:
+    """Deterministic source-interleaved ordering: adds
+    interleave_rank (the row's md5-hash position within its source);
+    sorting by (interleave_rank, source) round-robins proportionally
+    across sources — the balanced-shuffle write order."""
+    return _to_py_df(_jvm_bridge(df).interleaveSources(
+        df._jdf, source_col, id_col), df)

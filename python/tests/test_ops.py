@@ -753,6 +753,13 @@ def test_round12c_stats_graph_noise():
     ur = ops.uniqueness_report(li, ["l_orderkey", "l_linenumber"])
     assert ur.collect()[0]["n_dupe_keys"] == 0
 
+    # batching + ordering utilities
+    lb = ops.length_buckets(docs, "n_chars", [128, 256, 512])
+    assert lb.count() <= 3
+    assert lb.filter("waste_frac < 0 OR waste_frac > 1").count() == 0
+    il = ops.interleave_sources(docs, "source", "doc_id")
+    assert il.filter("interleave_rank < 1").count() == 0
+
     print("round-12c stats/graph/noise facade OK")
 
 

@@ -2368,6 +2368,28 @@ object SparkEntry {
           (round(col("dupe_frac"), 6) + 0.0).as("dupe_frac"))
     }),
 
+    "q176_length_buckets" -> ((s, dir) => {
+      // padding-waste report for length-bucketed batching (128/256/
+      // 512 ladder; >512 truncates): map-only assignment + one
+      // bounded aggregate
+      ops.Packing.lengthBuckets(t(s, dir, "documents"), "n_chars",
+        Seq(128L, 256L, 512L))
+        .select(col("bucket_len"), col("n_seqs"), col("sum_len"),
+          col("padded_tokens"),
+          (round(col("waste_frac"), 6) + 0.0).as("waste_frac"))
+    }),
+
+    "q177_interleave" -> ((s, dir) => {
+      // deterministic source-interleaved curriculum order: the first
+      // 100 rows of the (rank, source) round-robin — TakeOrdered, no
+      // global sort materialization
+      ops.Sampling.interleaveSources(t(s, dir, "documents"),
+        "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("interleave_rank"))
+        .orderBy(col("interleave_rank"), col("source"), col("doc_id"))
+        .limit(100)
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4914,6 +4936,30 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q176_length_buckets" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN n_chars <= 128 THEN 128
+        |         WHEN n_chars <= 256 THEN 256
+        |         ELSE 512 END AS bucket_len,
+        |    least(n_chars, 512) AS l
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT bucket_len, count(*)::BIGINT AS n_seqs,
+        |  sum(l)::BIGINT AS sum_len,
+        |  (count(*) * bucket_len)::BIGINT AS padded_tokens,
+        |  round((count(*) * bucket_len - sum(l))::DOUBLE /
+        |    (count(*) * bucket_len), 6) + 0.0 AS waste_frac
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q177_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 13)) AS BIGINT) ASC, doc_id ASC) AS interleave_rank
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT doc_id, source, interleave_rank FROM r
+        |ORDER BY interleave_rank, source, doc_id LIMIT 100"""
+        .stripMargin,
 
     "q173_join_estimate" ->
       """WITH lc AS (SELECT o_orderkey AS k, count(*) AS nl

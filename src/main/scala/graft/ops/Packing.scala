@@ -104,4 +104,43 @@ object Packing {
     packed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens_started"))
+
+  /** Length-bucketed batching report — the OTHER way to fight padding
+    * waste (the alternative to [[packSequences]]' concat-and-chunk):
+    * assign each sequence to the smallest bucket boundary >= its
+    * length (sequences longer than the last boundary truncate to it),
+    * then measure what batching by bucket would cost: per bucket —
+    * n_seqs, bucket_len, sum_len, padded tokens (= n * bucket_len),
+    * waste_frac (padding / padded). The total waste_frac across
+    * buckets is the padding bill a bucketed dataloader pays; compare
+    * against uniform max-length padding to size the win.
+    *
+    * Map-only assignment (a literal boundary ladder in one CASE
+    * chain) + one bounded aggregate over |buckets| cells.
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      lenCol: String,
+      boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one bucket boundary")
+    require(boundaries == boundaries.sorted && boundaries.head > 0,
+      "boundaries must be ascending and positive")
+    require(boundaries.distinct.size == boundaries.size,
+      "boundaries must be distinct")
+    val len = col(lenCol).cast("long")
+    val bucket = boundaries.reverse.tail.foldLeft(
+      lit(boundaries.last)) { (acc, b) =>
+      when(len <= b, lit(b)).otherwise(acc)
+    }
+    val eff = least(len, lit(boundaries.last))
+    df.filter(len.isNotNull && len > 0)
+      .select(bucket.as("bucket_len"), eff.as("__l"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("__l")).as("sum_len"))
+      .withColumn("padded_tokens", col("n_seqs") * col("bucket_len"))
+      .withColumn("waste_frac",
+        (col("padded_tokens") - col("sum_len")).cast("double") /
+          col("padded_tokens"))
+  }
 }

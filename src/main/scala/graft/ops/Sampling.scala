@@ -381,4 +381,28 @@ object Sampling {
       .filter(md5Hash52(col(idCol)) < col("__cutoff"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Deterministic source-interleaved ordering key for training-data
+    * writes: each row gets `interleave_rank` — its md5-hash position
+    * WITHIN its source — so that sorting by (interleave_rank, source)
+    * round-robins proportionally across sources (every source's k-th
+    * row appears before any source's (k+1)-th), the "balanced shuffle"
+    * a curriculum-stable dataloader wants, reproducible on replay.
+    *
+    * One hash exchange on the source + a per-source sort; no global
+    * ordering is materialized here — writers range-partition on
+    * (interleave_rank, source) (e.g. `orderBy` into
+    * [[graft.io.ShardWriter]]) so the global order exists on disk
+    * without a single-partition bottleneck.
+    */
+  def interleaveSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5Hash52(col(idCol)).asc, col(idCol).asc)
+    df.filter(col(sourceCol).isNotNull)
+      .withColumn("interleave_rank", row_number().over(w).cast("long"))
+  }
 }

@@ -899,4 +899,15 @@ object PyBridge {
   def uniquenessReport(df: DataFrame,
       keyCols: java.util.List[String]): DataFrame =
     graft.ops.Validation.uniquenessReport(df, keyCols.asScala.toSeq)
+
+  /** Padding-waste report for length-bucketed batching. */
+  def lengthBuckets(df: DataFrame, lenCol: String,
+      boundaries: java.util.List[java.lang.Long]): DataFrame =
+    graft.ops.Packing.lengthBuckets(df, lenCol,
+      boundaries.asScala.toSeq.map(_.longValue))
+
+  /** Deterministic source-interleaved ordering rank. */
+  def interleaveSources(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame =
+    graft.ops.Sampling.interleaveSources(df, sourceCol, idCol)
 }

@@ -432,6 +432,20 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq)
   }
 
+  test("bridge length buckets and interleave mirror the Scala API") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bounds = new ju.ArrayList[java.lang.Long]()
+    Seq(128L, 256L, 512L).foreach(b => bounds.add(b))
+    PyBridge.lengthBuckets(docs, "n_chars", bounds)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Packing.lengthBuckets(docs, "n_chars",
+        Seq(128L, 256L, 512L)).collect().map(_.toSeq).toSet
+    PyBridge.interleaveSources(docs, "source", "doc_id")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Sampling.interleaveSources(docs, "source", "doc_id")
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -78,4 +78,45 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val totalTokens = (0L until 500L).map(i => (i * 7919) % 97 + 3).sum
     stats.map(_.getLong(2)).sum shouldBe totalTokens
   }
+
+  test("lengthBuckets: smallest-fitting bucket, truncation at the " +
+    "last boundary, hand-computed waste") {
+    import spark.implicits._
+    // lengths: 10, 128 -> bucket 128; 200 -> 256; 900 -> truncates 512
+    val df = Seq(10L, 128L, 200L, 900L).toDF("len")
+    val got = Packing.lengthBuckets(df, "len", Seq(128L, 256L, 512L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    got(128L) shouldBe ((2L, 138L, 256L, (256.0 - 138) / 256))
+    got(256L) shouldBe ((1L, 200L, 256L, 56.0 / 256))
+    got(512L) shouldBe ((1L, 512L, 512L, 0.0))
+    // zero/null lengths drop
+    Packing.lengthBuckets(Seq(Some(0L), Option.empty[Long])
+      .toDF("len"), "len", Seq(8L)).count() shouldBe 0L
+  }
+
+  test("interleaveSources: sorting by (rank, source) round-robins " +
+    "proportionally; ranks are replay-stable") {
+    import spark.implicits._
+    val df = (1 to 90).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("id", "src")
+    val a = graft.ops.Sampling.interleaveSources(df, "src", "id")
+    // each source gets a dense 1..30 rank
+    a.groupBy(col("src"))
+      .agg(max(col("interleave_rank")).as("m"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        r.getLong(1) shouldBe 30L
+        r.getLong(2) shouldBe 30L
+      }
+    // the first 3k rows of the interleave hold exactly k per source
+    val ordered = a.orderBy(col("interleave_rank"), col("src"))
+      .select(col("src")).collect().map(_.getString(0))
+    ordered.take(9).count(_ == "s0") shouldBe 3
+    ordered.take(9).count(_ == "s1") shouldBe 3
+    // deterministic across partitionings
+    val b = graft.ops.Sampling.interleaveSources(
+      df.repartition(17), "src", "id")
+    a.collect().map(_.toSeq).toSet shouldBe b.collect().map(_.toSeq).toSet
+  }
 }
