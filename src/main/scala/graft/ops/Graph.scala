@@ -122,10 +122,15 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // partitioned on DST — the key every iteration's label join uses
+    // (labels arrive hash-partitioned on the same key from the
+    // previous round's aggregate, so the per-iteration join
+    // re-exchanges neither side; only the (node, label) cell stream
+    // moves)
     val und = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
       .distinct()
-      .repartition(col("src"))
+      .repartition(col("dst"))
       .persist()
     val nodes = und.select(col("src").as("node")).distinct()
       .union(edges.filter(col(srcCol).isNotNull)
