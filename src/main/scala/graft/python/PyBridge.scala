@@ -900,9 +900,11 @@ object PyBridge {
       keyCols: java.util.List[String]): DataFrame =
     graft.ops.Validation.uniquenessReport(df, keyCols.asScala.toSeq)
 
-  /** Padding-waste report for length-bucketed batching. */
+  /** Padding-waste report for length-bucketed batching (Py4J sends
+    * small Python ints as Integer, large as Long — accept both).
+    */
   def lengthBuckets(df: DataFrame, lenCol: String,
-      boundaries: java.util.List[java.lang.Long]): DataFrame =
+      boundaries: java.util.List[java.lang.Number]): DataFrame =
     graft.ops.Packing.lengthBuckets(df, lenCol,
       boundaries.asScala.toSeq.map(_.longValue))
 

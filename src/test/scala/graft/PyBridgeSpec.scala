@@ -434,8 +434,10 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
 
   test("bridge length buckets and interleave mirror the Scala API") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val bounds = new ju.ArrayList[java.lang.Long]()
-    Seq(128L, 256L, 512L).foreach(b => bounds.add(b))
+    val bounds = new ju.ArrayList[java.lang.Number]()
+    // Py4J sends small python ints as Integer — exercise that shape
+    Seq[java.lang.Number](Integer.valueOf(128), Integer.valueOf(256),
+      java.lang.Long.valueOf(512L)).foreach(bounds.add)
     PyBridge.lengthBuckets(docs, "n_chars", bounds)
       .collect().map(_.toSeq).toSet shouldBe
       graft.ops.Packing.lengthBuckets(docs, "n_chars",
