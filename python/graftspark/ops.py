@@ -1142,3 +1142,21 @@ def interleave_sources(df: DataFrame, source_col: str,
     across sources — the balanced-shuffle write order."""
     return _to_py_df(_jvm_bridge(df).interleaveSources(
         df._jdf, source_col, id_col), df)
+
+
+def blocklist_report(df: DataFrame, id_col: str, text_col: str,
+                     words: List[str], max_ratio: float = 0.0) -> DataFrame:
+    """C4-style blocklist screen: per document — n_tokens, n_flagged
+    (case-folded exact token match), flagged_ratio, passed. Row-local,
+    zero shuffle."""
+    return _to_py_df(_jvm_bridge(df).blocklistReport(
+        df._jdf, id_col, text_col, list(words), float(max_ratio)), df)
+
+
+def url_domain_stats(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """URL-domain histogram over a text corpus: n_urls and distinct
+    n_docs per lowercased host — the source-mix profile behind domain
+    caps and quality-by-domain weighting."""
+    return _to_py_df(_jvm_bridge(df).urlDomainStats(
+        df._jdf, id_col, text_col), df)

@@ -763,6 +763,18 @@ def test_round12c_stats_graph_noise():
     il = ops.interleave_sources(docs, "source", "doc_id")
     assert il.filter("interleave_rank < 1").count() == 0
 
+    # blocklist + domain profiling
+    bl = ops.blocklist_report(docs, "doc_id", "text",
+                              ["spark"], max_ratio=0.05)
+    assert bl.count() == docs.count()
+    assert bl.filter("flagged_ratio < 0 OR flagged_ratio > 1").count() == 0
+    from pyspark.sql import functions as F
+    with_urls = docs.withColumn(
+        "text", F.concat("text", F.lit(" http://d.example/x")))
+    dh = ops.url_domain_stats(with_urls, "doc_id", "text").collect()
+    assert len(dh) == 1 and dh[0]["domain"] == "d.example"
+    assert dh[0]["n_docs"] == docs.count()
+
     print("round-12c stats/graph/noise facade OK")
 
 

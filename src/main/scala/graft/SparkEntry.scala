@@ -2390,6 +2390,31 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q178_blocklist" -> ((s, dir) => {
+      // C4-style blocklist screen over natural corpus tokens:
+      // row-local array ops, pass verdict at ratio <= 2%
+      ops.TextOps.blocklistReport(t(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "window"), maxRatio = 0.02)
+        .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+          (round(col("flagged_ratio"), 6) + 0.0).as("flagged_ratio"),
+          col("passed"))
+    }),
+
+    "q179_domain_stats" -> ((s, dir) => {
+      // URL-domain histogram: the synthetic corpus carries no URLs,
+      // so the fixture plants deterministic ones (doc_id mod 7
+      // domains, a second URL on the 3-multiples) — extraction is a
+      // row-local regex pass, the exchange carries (domain, doc)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://site"), col("doc_id") % 7,
+          lit(".example/page"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" and https://Mirror"), col("doc_id") % 7,
+              lit(".example/x"))).otherwise(lit(""))).as("text"))
+      ops.TextOps.urlDomainStats(docs, "doc_id", "text")
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4936,6 +4961,39 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q178_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(toks,
+        |    x -> x IN ('spark', 'window')))::BIGINT AS n_flagged,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks,
+        |      x -> x IN ('spark', 'window')))::DOUBLE / len(toks)
+        |    ELSE 0.0 END, 6) + 0.0 AS flagged_ratio,
+        |  (CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks,
+        |      x -> x IN ('spark', 'window')))::DOUBLE / len(toks)
+        |    ELSE 0.0 END) <= 0.02 AS passed
+        |FROM t""".stripMargin,
+
+    "q179_domain_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' see http://site' || (doc_id % 7) ||
+        |    '.example/page' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' and https://Mirror' || (doc_id % 7) ||
+        |           '.example/x'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, lower(unnest(regexp_extract_all(
+        |    text, 'https?://([^/\s]+)', 1))) AS domain FROM d)
+        |SELECT domain, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM h GROUP BY 1""".stripMargin,
 
     "q176_length_buckets" ->
       """WITH b AS (SELECT

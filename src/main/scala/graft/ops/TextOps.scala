@@ -1205,4 +1205,53 @@ object TextOps {
         (col("__r") * col("__r")).as("r2"),
         col("n_ranks"))
   }
+
+  /** Blocklist screen (the C4-style "bad words" filter): per document
+    * — token count, flagged-token count (case-folded exact token
+    * match against the list), flagged ratio, and the pass verdict
+    * (ratio <= maxRatio; empty documents pass). Entirely row-local
+    * codegen array ops, zero shuffle, SQL-portable.
+    */
+  def blocklistReport(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      words: Seq[String],
+      maxRatio: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    require(maxRatio >= 0, s"maxRatio must be >= 0, got $maxRatio")
+    val set = array(words.map(w => lit(w.toLowerCase)): _*)
+    val toks = filter(tokens(lower(col(textCol))),
+      t => length(t) > 0)
+    val flagged = size(filter(toks, t => array_contains(set, t)))
+    df.select(col(idCol),
+        size(toks).as("n_tokens"),
+        flagged.as("n_flagged"))
+      .withColumn("flagged_ratio",
+        when(col("n_tokens") > 0,
+          col("n_flagged").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("passed", col("flagged_ratio") <= maxRatio)
+  }
+
+  /** URL-domain histogram over a text corpus — the source-mix profile
+    * behind web-corpus curation (domain caps, quality-by-domain
+    * weighting): extract every `http(s)://host` occurrence, count
+    * URLS and DISTINCT DOCUMENTS per lowercased host. Extraction is
+    * a row-local regex pass; the exchange carries (domain, doc)
+    * pairs, never text.
+    */
+  def urlDomainStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val hosts = df.select(col(idCol).as("__id"),
+        explode(expr(
+          s"regexp_extract_all($textCol, 'https?://([^/\\\\s]+)', 1)"))
+          .as("__h"))
+      .select(col("__id"), lower(col("__h")).as("domain"))
+    hosts.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("__id")).as("n_docs"))
+  }
 }

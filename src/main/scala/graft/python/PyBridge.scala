@@ -912,4 +912,15 @@ object PyBridge {
   def interleaveSources(df: DataFrame, sourceCol: String,
       idCol: String): DataFrame =
     graft.ops.Sampling.interleaveSources(df, sourceCol, idCol)
+
+  /** C4-style blocklist screen (per-doc flagged ratio + verdict). */
+  def blocklistReport(df: DataFrame, idCol: String, textCol: String,
+      words: java.util.List[String], maxRatio: Double): DataFrame =
+    graft.ops.TextOps.blocklistReport(df, idCol, textCol,
+      words.asScala.toSeq, maxRatio)
+
+  /** URL-domain histogram (n_urls, n_docs per lowercased host). */
+  def urlDomainStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.TextOps.urlDomainStats(df, idCol, textCol)
 }

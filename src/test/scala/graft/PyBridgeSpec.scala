@@ -448,6 +448,20 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq).toSet
   }
 
+  test("bridge blocklist and domain stats mirror the Scala API") {
+    val docs = documents.select(col("doc_id"), col("text"))
+    PyBridge.blocklistReport(docs, "doc_id", "text", jList("spark"),
+      0.05).collect().map(_.toSeq).toSet shouldBe
+      graft.ops.TextOps.blocklistReport(docs, "doc_id", "text",
+        Seq("spark"), 0.05).collect().map(_.toSeq).toSet
+    val withUrls = docs.withColumn("text",
+      concat(col("text"), lit(" http://d.example/x")))
+    PyBridge.urlDomainStats(withUrls, "doc_id", "text")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.TextOps.urlDomainStats(withUrls, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -233,4 +233,33 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       df.queryExecution.executedPlan.toString should not include "Exchange"
     }
   }
+
+  test("blocklistReport: case-folded exact-token hits, ratio verdict, " +
+    "empty documents pass") {
+    import spark.implicits._
+    val df = Seq((1L, "the BAD word and bad again"), (2L, "all clean"),
+      (3L, ""), (4L, "badge bad")).toDF("id", "text")
+    val got = TextOps.blocklistReport(df, "id", "text", Seq("bad"),
+      maxRatio = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    got(1L) shouldBe ((6, 2, 2.0 / 6, false))  // 1/3 > 0.25
+    got(2L) shouldBe ((2, 0, 0.0, true))
+    got(3L) shouldBe ((0, 0, 0.0, true))       // empty passes
+    got(4L) shouldBe ((2, 1, 0.5, false))      // "badge" NOT a hit
+  }
+
+  test("urlDomainStats: hosts extracted and case-folded; docs counted " +
+    "distinct; no-URL docs contribute nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x http://A.com/p1 y https://a.com/p2 z"),
+      (2L, "see http://b.org/q and http://b.org/r"),
+      (3L, "no links here")).toDF("id", "text")
+    val got = TextOps.urlDomainStats(df, "id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe Map("a.com" -> ((2L, 1L)), "b.org" -> ((2L, 1L)))
+  }
 }
