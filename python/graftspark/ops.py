@@ -1160,3 +1160,26 @@ def url_domain_stats(df: DataFrame, id_col: str,
     caps and quality-by-domain weighting."""
     return _to_py_df(_jvm_bridge(df).urlDomainStats(
         df._jdf, id_col, text_col), df)
+
+
+def personalized_pagerank(edges: DataFrame, src_col: str, dst_col: str,
+                          seeds: DataFrame, seed_col: str,
+                          weight_col: Optional[str] = None,
+                          iterations: int = 5,
+                          damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank: teleport and dangling mass return to the
+    seed set, so rank is relevance-to-the-seeds (seed-expansion for
+    data selection). Nodes unreachable from the seeds score exactly 0.
+    Output: (node, rank), summing to 1."""
+    return _to_py_df(_jvm_bridge(edges).personalizedPageRank(
+        edges._jdf, src_col, dst_col, seeds._jdf, seed_col,
+        weight_col or "", int(iterations), float(damping)), edges)
+
+
+def hits(edges: DataFrame, src_col: str, dst_col: str,
+         iterations: int = 5) -> DataFrame:
+    """HITS hubs-and-authorities (L1-normalized per round): hub =
+    breadth of pointing, authority = breadth of being pointed at.
+    Output: (node, hub, authority), each column summing to 1."""
+    return _to_py_df(_jvm_bridge(edges).hits(
+        edges._jdf, src_col, dst_col, int(iterations)), edges)

@@ -775,6 +775,17 @@ def test_round12c_stats_graph_noise():
     assert len(dh) == 1 and dh[0]["domain"] == "d.example"
     assert dh[0]["n_docs"] == docs.count()
 
+    # personalized pagerank + HITS
+    eg2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["s", "d"])
+    seeds = spark.createDataFrame([("a",)], ["seed"])
+    ppr = ops.personalized_pagerank(eg2, "s", "d", seeds, "seed",
+                                    iterations=4).collect()
+    assert abs(sum(r["rank"] for r in ppr) - 1.0) < 1e-9
+    ht = ops.hits(eg2, "s", "d", iterations=2).collect()
+    assert abs(sum(r["hub"] for r in ht) - 1.0) < 1e-9
+    assert abs(sum(r["authority"] for r in ht) - 1.0) < 1e-9
+
     print("round-12c stats/graph/noise facade OK")
 
 

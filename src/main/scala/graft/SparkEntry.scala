@@ -2415,6 +2415,38 @@ object SparkEntry {
       ops.TextOps.urlDomainStats(docs, "doc_id", "text")
     }),
 
+    "q180_personalized_pr" -> ((s, dir) => {
+      // personalized PageRank seeded on nation-0 customers: teleport
+      // AND dangling mass return to the seeds, so rank is
+      // relevance-to-the-seed-set (3 iterations, d=0.85)
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 0)
+        .select(concat(lit("c:"), col("c_custkey")).as("seed"))
+      ops.Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        "seed", weightCol = None, iterations = 3, damping = 0.85)
+        .select(col("node"), (round(col("rank"), 6) + 0.0).as("rank"))
+    }),
+
+    "q181_hits" -> ((s, dir) => {
+      // HITS on the purchase graph (2 rounds, L1-normalized): hub =
+      // breadth of buying, authority = breadth of being bought; both
+      // edge copies persist partitioned on their own update key
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      ops.Graph.hits(edges, "src", "dst", iterations = 2)
+        .select(col("node"),
+          (round(col("hub"), 6) + 0.0).as("hub"),
+          (round(col("authority"), 6) + 0.0).as("authority"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -4961,6 +4993,86 @@ object SparkEntry {
         |  sum(CASE WHEN nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS n_new
         |FROM j""".stripMargin,
+
+    "q180_personalized_pr" ->
+      """WITH e0 AS (
+        |  SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst,
+        |    count(*)::DOUBLE AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, e0.w / ow.ow AS p
+        |      FROM e0 JOIN ow USING (src)),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |sx AS (SELECT DISTINCT 'c:' || c_custkey AS node
+        |       FROM customer WHERE c_nationkey = 0),
+        |sg AS (SELECT nodes.node FROM nodes JOIN sx USING (node)),
+        |ns AS (SELECT count(*)::DOUBLE AS k FROM sg),
+        |t AS (SELECT nodes.node,
+        |    CASE WHEN sg.node IS NOT NULL THEN 1.0 / ns.k
+        |         ELSE 0.0 END AS tv
+        |  FROM nodes CROSS JOIN ns
+        |  LEFT JOIN sg ON sg.node = nodes.node),
+        |dang AS (SELECT node FROM nodes
+        |         WHERE node NOT IN (SELECT src FROM e)),
+        |r0 AS (SELECT node, tv AS r FROM t),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c1 AS (SELECT e.dst AS node, sum(r0.r * e.p) AS inflow
+        |       FROM e JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT t.node,
+        |  (0.15 + 0.85 * d1.dm) * t.tv +
+        |    0.85 * coalesce(c1.inflow, 0) AS r
+        |  FROM t CROSS JOIN d1 LEFT JOIN c1 ON c1.node = t.node),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.r * e.p) AS inflow
+        |       FROM e JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT t.node,
+        |  (0.15 + 0.85 * d2.dm) * t.tv +
+        |    0.85 * coalesce(c2.inflow, 0) AS r
+        |  FROM t CROSS JOIN d2 LEFT JOIN c2 ON c2.node = t.node),
+        |d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |       WHERE node IN (SELECT node FROM dang)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.r * e.p) AS inflow
+        |       FROM e JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT t.node,
+        |  (0.15 + 0.85 * d3.dm) * t.tv +
+        |    0.85 * coalesce(c3.inflow, 0) AS r
+        |  FROM t CROSS JOIN d3 LEFT JOIN c3 ON c3.node = t.node)
+        |SELECT node, round(r, 6) + 0.0 AS rank FROM r3""".stripMargin,
+
+    "q181_hits" ->
+      """WITH e AS (SELECT DISTINCT 'c:' || o_custkey AS src,
+        |    's:' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM e
+        |          UNION SELECT dst AS node FROM e),
+        |h0 AS (SELECT node, 1.0 AS h FROM nodes),
+        |a1r AS (SELECT e.dst AS node, sum(h0.h) AS a FROM e
+        |        JOIN h0 ON h0.node = e.src GROUP BY 1),
+        |a1 AS (SELECT nodes.node,
+        |    coalesce(a1r.a, 0) / (SELECT sum(a) FROM a1r) AS a
+        |  FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node),
+        |h1r AS (SELECT e.src AS node, sum(a1.a) AS h FROM e
+        |        JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT nodes.node,
+        |    coalesce(h1r.h, 0) / (SELECT sum(h) FROM h1r) AS h
+        |  FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node),
+        |a2r AS (SELECT e.dst AS node, sum(h1.h) AS a FROM e
+        |        JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT nodes.node,
+        |    coalesce(a2r.a, 0) / (SELECT sum(a) FROM a2r) AS a
+        |  FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node),
+        |h2r AS (SELECT e.src AS node, sum(a2.a) AS h FROM e
+        |        JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT nodes.node,
+        |    coalesce(h2r.h, 0) / (SELECT sum(h) FROM h2r) AS h
+        |  FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node)
+        |SELECT h2.node, round(h2.h, 6) + 0.0 AS hub,
+        |  round(a2.a, 6) + 0.0 AS authority
+        |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin,
 
     "q178_blocklist" ->
       """WITH t AS (SELECT doc_id,

@@ -95,6 +95,155 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank: the random surfer teleports to the SEED
+    * set (uniformly) instead of to every node — rank becomes
+    * relevance-to-the-seeds, the standard seed-expansion primitive
+    * for data selection ("find more like these"). Dangling mass also
+    * returns to the seeds. Nodes unreachable from the seed set score
+    * 0 exactly.
+    *
+    * Same iteration shape as [[pageRank]] (normalized edges persisted
+    * on the join key once, rank-sized per-iteration exchanges, 1-row
+    * broadcast dangling mass, O(1) lineage); the teleport vector
+    * rides the persisted node frame as a column.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      weightCol: Option[String] = None,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0,1), got $damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && w > 0)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(w).as("w"))
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val norm = e0.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .repartition(col("src"))
+      .persist()
+    val seedSet = seeds.filter(col(seedCol).isNotNull)
+      .select(col(seedCol).as("node")).distinct()
+    val nodes = norm.select(col("src").as("node"))
+      .union(norm.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .repartition(col("node"))
+      .persist()
+    val nSeeds = nodes.filter(col("__s").isNotNull).count().toDouble
+    require(nSeeds > 0, "no seed appears in the graph")
+    val tele = when(col("__s").isNotNull, lit(1.0 / nSeeds))
+      .otherwise(lit(0.0))
+    val dangling = nodes.join(
+      norm.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").select(col("node")).persist()
+
+    var ranks = nodes.select(col("node"), tele.as("rank")).persist()
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val dMass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contrib = norm
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("inflow"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dMass))
+        .select(col("node"),
+          ((lit(1.0 - damping) + lit(damping) * col("__dm")) * tele +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+        .persist()
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank"))
+    norm.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    out
+  }
+
+  /** HITS hubs-and-authorities over a directed edge table (Kleinberg
+    * 1999): authority(v) = sum of hub scores pointing AT v, hub(u) =
+    * sum of authority scores u points at, L1-normalized after every
+    * update, `iterations` rounds from uniform hubs — the bipartite
+    * complement to PageRank (in a purchase graph: hub = breadth of
+    * buying, authority = breadth of being bought).
+    *
+    * Scale shape: the deduped edge set persists TWICE, partitioned on
+    * dst (the authority-update join key) and on src (the hub-update
+    * key), so neither update re-exchanges edges; scores are
+    * node-sized, normalization is an in-plan 1-row broadcast, and
+    * persist-and-swap keeps lineage O(1).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val eByDst = e.repartition(col("dst")).persist()
+    val eBySrc = e.repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .persist()
+    nodes.count()
+
+    var hubs = nodes.select(col("node"), lit(1.0).as("hub")).persist()
+    hubs.count()
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = eByDst
+        .join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub")).as("__a"))
+      val aSum = aRaw.agg(sum(col("__a")).as("__s"))
+      val aNext = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aSum))
+        .select(col("node"),
+          (coalesce(col("__a"), lit(0.0)) / col("__s"))
+            .as("authority"))
+        .persist()
+      aNext.count()
+      if (auths != null) auths.unpersist(blocking = false)
+      auths = aNext
+      val hRaw = eBySrc
+        .join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("authority")).as("__h"))
+      val hSum = hRaw.agg(sum(col("__h")).as("__s"))
+      val hNext = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hSum))
+        .select(col("node"),
+          (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
+        .persist()
+      hNext.count()
+      hubs.unpersist(blocking = false)
+      hubs = hNext
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("hub"), col("authority"))
+    eByDst.unpersist(blocking = false)
+    eBySrc.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own community; each iteration it adopts the most
     * frequent label among its neighbors AND itself (the self-vote

@@ -923,4 +923,19 @@ object PyBridge {
   def urlDomainStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     graft.ops.TextOps.urlDomainStats(df, idCol, textCol)
+
+  /** Personalized PageRank seeded on a node set ("" weightCol =
+    * unweighted).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      weightCol: String, iterations: Int, damping: Double): DataFrame =
+    graft.ops.Graph.personalizedPageRank(edges, srcCol, dstCol, seeds,
+      seedCol, Option(weightCol).filter(_.nonEmpty), iterations,
+      damping)
+
+  /** HITS hubs and authorities (L1-normalized per round). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame =
+    graft.ops.Graph.hits(edges, srcCol, dstCol, iterations)
 }

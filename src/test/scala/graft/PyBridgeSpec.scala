@@ -462,6 +462,19 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         .collect().map(_.toSeq).toSet
   }
 
+  test("bridge personalized pagerank and hits mirror the Scala API") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val seeds = Seq("a").toDF("seed")
+    PyBridge.personalizedPageRank(e, "s", "d", seeds, "seed", "", 3,
+      0.85).collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Graph.personalizedPageRank(e, "s", "d", seeds, "seed",
+        None, 3, 0.85).collect().map(_.toSeq).toSet
+    PyBridge.hits(e, "s", "d", 2).collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Graph.hits(e, "s", "d", 2)
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge z-order key + layout write run end to end") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -110,6 +110,58 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     a shouldBe b
   }
 
+  test("personalizedPageRank: mass conserved at 1, unreachable nodes " +
+    "score exactly 0, seeds dominate their neighborhood") {
+    import spark.implicits._
+    // chain a->b->c plus an isolated pair x->y unreachable from seed a
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"),
+      ("y", "x")).toDF("s", "d")
+    val seeds = Seq("a").toDF("seed")
+    val r = Graph.personalizedPageRank(e, "s", "d", seeds, "seed",
+      iterations = 6).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.values.sum shouldBe (1.0 +- 1e-9)
+    r("x") shouldBe (0.0 +- 1e-15)
+    r("y") shouldBe (0.0 +- 1e-15)
+    r("a") should be > r("b")
+    r("b") should be > r("c") * 0.0 // b reachable in 1 hop
+    // dangling mass returns to seeds: pure sink graph keeps sum 1
+    val sink = Seq(("a", "z")).toDF("s", "d")
+    val rs = Graph.personalizedPageRank(sink, "s", "d", seeds, "seed",
+      iterations = 4).collect().map(x => x.getDouble(1)).sum
+    rs shouldBe (1.0 +- 1e-9)
+  }
+
+  test("personalizedPageRank: seed absent from the graph is rejected") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("s", "d")
+    val seeds = Seq("zzz").toDF("seed")
+    an[IllegalArgumentException] should be thrownBy
+      Graph.personalizedPageRank(e, "s", "d", seeds, "seed")
+  }
+
+  test("hits: star authority concentrates all authority mass; " +
+    "hand-checked two-node case") {
+    import spark.implicits._
+    // a, b, c all point at z: z is the only authority, a/b/c equal hubs
+    val star = Seq(("a", "z"), ("b", "z"), ("c", "z")).toDF("s", "d")
+    val r = Graph.hits(star, "s", "d", iterations = 3).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    r("z")._2 shouldBe (1.0 +- 1e-12)
+    r("z")._1 shouldBe (0.0 +- 1e-12)
+    Seq("a", "b", "c").foreach { n =>
+      r(n)._1 shouldBe (1.0 / 3 +- 1e-12)
+      r(n)._2 shouldBe (0.0 +- 1e-12)
+    }
+    // normalization: both scores sum to 1 every time
+    val e2 = (1 to 60).map(i => (s"u${i % 7}", s"v${i % 11}"))
+      .toDF("s", "d")
+    val out = Graph.hits(e2, "s", "d", iterations = 2).collect()
+    out.map(_.getDouble(1)).sum shouldBe (1.0 +- 1e-9)
+    out.map(_.getDouble(2)).sum shouldBe (1.0 +- 1e-9)
+  }
+
   test("degreeStats: parallel edges collapse, self-loops drop, " +
     "degrees are distinct-neighbor counts") {
     import spark.implicits._
