@@ -529,6 +529,32 @@ object Bench {
         graft.ops.TextOps.zipfFit(t("documents"), "text", topN = 200)
           .count()),
 
+      // personalized PageRank from the nation-0 customer seeds:
+      // 3 iterations, teleport + dangling mass to seeds
+      "personalized_pr" -> (() => {
+        val o = t("orders")
+        val li = t("lineitem")
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+        val seeds = t("customer").filter(col("c_nationkey") === 0)
+          .select(concat(lit("c:"), col("c_custkey")).as("seed"))
+        graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "seed", None, iterations = 3).count()
+      }),
+
+      // HITS on the purchase graph, 2 L1-normalized rounds; both edge
+      // copies persist partitioned on their own update key
+      "hits" -> (() => {
+        val o = t("orders")
+        val li = t("lineitem")
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+        graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
+          .count()
+      }),
+
       // triangle census of the order co-purchase graph (parts sharing
       // an order): degree-oriented wedge join, O(m^1.5) bound
       "triangles" -> (() => {
