@@ -2447,6 +2447,81 @@ object SparkEntry {
           (round(col("authority"), 6) + 0.0).as("authority"))
     }),
 
+    "q182_readability" -> ((s, dir) => {
+      // classic readability battery per document (Flesch reading ease,
+      // Flesch-Kincaid grade, ARI) from countable surface features —
+      // row-local, zero shuffle, every count SQL-exact
+      // scores floor-round explicitly (floor(x*1e6+0.5)/1e6) instead of
+      // round(): the op guarantees bit-identical doubles cross-engine,
+      // and this rounding is a pure double op chain — so it cannot
+      // disagree at exact decimal halves the way round() does
+      val r = ops.TextOps.readability(col("text"))
+      val r6 = (c: org.apache.spark.sql.Column) =>
+        floor(c * 1e6 + 0.5) / 1e6 + 0.0
+      t(s, dir, "documents")
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.n_alnum").as("n_alnum"),
+          r6(col("r.flesch")).as("flesch"),
+          r6(col("r.fk_grade")).as("fk_grade"),
+          r6(col("r.ari")).as("ari"))
+    }),
+
+    "q183_pmi_collocations" -> ((s, dir) => {
+      // top-50 bigram collocations by PMI (min count 5): two
+      // vocabulary-sized count tables, AQE-broadcast joins, ranking on
+      // ROUNDED pmi with lexicographic tie-break for a deterministic cut
+      ops.TextOps.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)
+    }),
+
+    "q184_bpe_pairs" -> ((s, dir) => {
+      // BPE training's inner statistic: weighted adjacent-symbol pair
+      // counts over the word-frequency table at the initial (per-char)
+      // segmentation — the corpus collapses to |vocab| rows first, so
+      // the pair aggregate never rescans the corpus
+      ops.Tokenizer.pairCounts(
+        ops.Tokenizer.wordFreq(t(s, dir, "documents"), "text")
+          .select(ops.Tokenizer.symInit(col("word")).as("sym"), col("freq")))
+    }),
+
+    "q185_bpe_merges" -> ((s, dir) => {
+      // six full BPE merge steps (Sennrich 2016) over the documents
+      // corpus: per step one vocab-sized pair aggregate + a 1-row argmax
+      // collect + a literal replace — the oracle unrolls the identical
+      // loop in SQL, so pair counting, tie-breaks, AND the merge rewrite
+      // itself are all hash-checked
+      ops.Tokenizer.bpeTrain(t(s, dir, "documents"), "text", merges = 6)
+    }),
+
+    "q186_embed_cov" -> ((s, dir) => {
+      // upper-triangular sample covariance of the embedding dimensions:
+      // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
+      // then a row-local explode of the single result row — no vector
+      // ever shuffles
+      ops.Pca.covMatrix(t(s, dir, "embeddings"), "embedding")
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + 0.0).as("cov"))
+    }),
+
+    "q187_pca_variance" -> ((s, dir) => {
+      // PCA eigen-spectrum of the embedding covariance (driver-side
+      // Jacobi on the collected d x d matrix — constant-bounded, the IVF
+      // codebook pattern): explained-variance report per component.
+      // No SQL eigensolver exists, so this row is rows-only; PcaSpec
+      // pins the invariants (orthonormal basis, descending eigenvalues,
+      // Av=lambda*v residual, projected variance == eigenvalue)
+      val m = ops.Pca.fit(t(s, dir, "embeddings"), "embedding")
+      ops.Pca.explainedVariance(s, m)
+        .select(col("component"),
+          (round(col("eigenvalue"), 6) + 0.0).as("eigenvalue"),
+          (round(col("variance_ratio"), 6) + 0.0).as("variance_ratio"),
+          (round(col("cum_ratio"), 6) + 0.0).as("cum_ratio"))
+    }),
+
     "q139_shard_layout" -> ((s, dir) => {
       // training-shard sink: deterministic md5 sharding written as a
       // shard=N partitioned parquet layout, then aggregated FROM THE
@@ -5073,6 +5148,84 @@ object SparkEntry {
         |SELECT h2.node, round(h2.h, 6) + 0.0 AS hub,
         |  round(a2.a, 6) + 0.0 AS authority
         |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin,
+
+    "q182_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |      AS n_sentences,
+        |    coalesce(list_sum(list_transform(toks, t ->
+        |      greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))),
+        |      0)::BIGINT AS n_syllables,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]'))::BIGINT AS n_alnum
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, n_alnum,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    floor((206835 * n_words * n_sentences - 1015 * n_words * n_words
+        |      - 84600 * n_syllables * n_sentences)::DOUBLE
+        |      / (1000 * n_words * n_sentences)::DOUBLE * 1e6 + 0.5) / 1e6
+        |      + 0.0
+        |  END AS flesch,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    floor((39 * n_words * n_words + 1180 * n_syllables * n_sentences
+        |      - 1559 * n_words * n_sentences)::DOUBLE
+        |      / (100 * n_words * n_sentences)::DOUBLE * 1e6 + 0.5) / 1e6
+        |      + 0.0
+        |  END AS fk_grade,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    floor((471 * n_alnum * n_sentences + 50 * n_words * n_words
+        |      - 2143 * n_words * n_sentences)::DOUBLE
+        |      / (100 * n_words * n_sentences)::DOUBLE * 1e6 + 0.5) / 1e6
+        |      + 0.0
+        |  END AS ari
+        |FROM r""".stripMargin,
+
+    "q183_pmi_collocations" ->
+      """WITH d AS (SELECT list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0) AS t FROM documents),
+        |uni AS (SELECT w, count(*)::BIGINT AS c1
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM
+        |    (SELECT t[i] AS w1, t[i + 1] AS w2
+        |     FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i
+        |           FROM d))
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT sum(c1)::DOUBLE AS nu FROM uni),
+        |nb AS (SELECT sum(c12)::DOUBLE AS nbi FROM bi)
+        |SELECT w1, w2, c12 AS cnt,
+        |  round(ln((c12 / nbi) / ((u1.c1 / nu) * (u2.c1 / nu))), 6) + 0.0
+        |    AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |  JOIN uni u2 ON bi.w2 = u2.w, tot, nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q184_bpe_pairs" ->
+      """WITH wf AS (SELECT t AS word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z]+$') GROUP BY 1)
+        |SELECT substr(word, i, 1) AS left, substr(word, i + 1, 1) AS right,
+        |  sum(freq)::BIGINT AS cnt
+        |FROM (SELECT word, freq,
+        |      unnest(range(1, greatest(len(word), 1))) AS i FROM wf)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q185_bpe_merges" ->
+      ops.Tokenizer.bpeTrainOracleSql("documents", "text", merges = 6),
+
+    "q186_embed_cov" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, unnest(e) AS x, unnest(range(len(e))) AS i
+        |  FROM e)
+        |SELECT a.i::BIGINT AS i, b.i::BIGINT AS j,
+        |  round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
 
     "q178_blocklist" ->
       """WITH t AS (SELECT doc_id,

@@ -1254,4 +1254,95 @@ object TextOps {
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col("__id")).as("n_docs"))
   }
+
+  /** Classic readability statistics per text, from three countable
+    * surface features (Flesch 1948; Kincaid 1975; Senter & Smith 1967):
+    * words (non-empty whitespace tokens), sentences (runs of `.!?`,
+    * floored at 1), and syllables (vowel-group count `[aeiouy]+` per
+    * word, floored at 1 per word — the standard cheap estimator).
+    * Returns a struct column (n_words, n_sentences, n_syllables,
+    * n_alnum, flesch, fk_grade, ari); empty text yields NULL scores.
+    * Row-local built-ins only — zero shuffle, whole-stage codegen, and
+    * every count is exactly SQL-expressible for oracle checks.
+    */
+  def readability(text: Column): Column = {
+    val words = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val nW = size(words).cast("double")
+    val nS = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val nSyl = aggregate(words, lit(0L),
+      (acc, w) => acc +
+        greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long"))
+      .cast("double")
+    val nAl = regexp_count(text, lit("[A-Za-z0-9]")).cast("double")
+    val gate = (c: Column) => when(nW > 0, c)
+    // Each score is ONE integer-exact fraction (the formula multiplied
+    // through by its denominators): the numerator and denominator are
+    // exact in int64, so the single IEEE division yields a BIT-IDENTICAL
+    // double on any engine — no operation-order or FMA drift, which
+    // matters because integer-ratio inputs land on exact decimal
+    // rounding boundaries far more often than generic floats.
+    val w = nW.cast("long"); val s = nS.cast("long")
+    val syl = nSyl.cast("long"); val al = nAl.cast("long")
+    val flesch = (lit(206835L) * w * s - lit(1015L) * w * w -
+      lit(84600L) * syl * s).cast("double") /
+      (lit(1000L) * w * s).cast("double")
+    val fk = (lit(39L) * w * w + lit(1180L) * syl * s -
+      lit(1559L) * w * s).cast("double") /
+      (lit(100L) * w * s).cast("double")
+    val ari = (lit(471L) * al * s + lit(50L) * w * w -
+      lit(2143L) * w * s).cast("double") /
+      (lit(100L) * w * s).cast("double")
+    struct(
+      w.as("n_words"),
+      s.as("n_sentences"),
+      syl.as("n_syllables"),
+      al.as("n_alnum"),
+      gate(flesch).as("flesch"),
+      gate(fk).as("fk_grade"),
+      gate(ari).as("ari"))
+  }
+
+  /** Top bigram collocations by pointwise mutual information —
+    * `log P(w1,w2) / (P(w1) P(w2))` with probabilities estimated from
+    * corpus bigram / unigram counts (Church & Hanks 1990). The corpus
+    * reduces to two vocabulary-sized count tables (one exchange each,
+    * map-side combined); PMI assembly then joins the `minCount`-filtered
+    * bigram table to the unigram table twice — vocabulary-sized inputs,
+    * so AQE broadcasts whenever they fit, and the full corpus never
+    * re-shuffles. Grand totals attach via a broadcast 1-row cross join.
+    * Ranking sorts by ROUNDED pmi (6 places) with (w1, w2) tie-break so
+    * the top-k cut is deterministic and engine-independent.
+    *
+    * Output: w1, w2, cnt, pmi — `topK` rows.
+    */
+  def pmiCollocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Int,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = uni.agg(sum("c1").as("nu"))
+    val nb = bi.agg(sum("c12").as("nb"))
+    bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cl"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cr"), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12").as("cnt"),
+        (round(log((col("c12").cast("double") / col("nb")) /
+          ((col("cl").cast("double") / col("nu")) *
+            (col("cr").cast("double") / col("nu")))), 6) + 0.0).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
 }

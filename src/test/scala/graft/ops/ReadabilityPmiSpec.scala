@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSuiteBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Readability battery and PMI collocations: hand-computed fixtures,
+  * degenerate inputs, tie-break determinism.
+  */
+class ReadabilityPmiSpec extends AnyFunSpec with SparkSuiteBase {
+  import spark.implicits._
+
+  describe("TextOps.readability") {
+    it("matches the hand-computed battery on a two-sentence text") {
+      val df = Seq("Hello world. It works!").toDF("text")
+      val r = df.select(TextOps.readability(col("text")).as("r"))
+        .select("r.*").collect()(0)
+      assert(r.getLong(0) == 4L)   // words
+      assert(r.getLong(1) == 2L)   // sentences
+      assert(r.getLong(2) == 5L)   // syllables (he-llo=2, world=1, it=1, works=1)
+      assert(r.getLong(3) == 17L)  // alnum chars
+      assert(math.abs(r.getDouble(4) - 99.055) < 1e-9)    // flesch
+      assert(math.abs(r.getDouble(5) - (-0.06)) < 1e-9)   // fk_grade
+      assert(math.abs(r.getDouble(6) - (-0.4125)) < 1e-9) // ari
+    }
+
+    it("floors syllables at one per word (vowelless words)") {
+      val df = Seq("tsk pfft").toDF("text")
+      val r = df.select(TextOps.readability(col("text")).as("r"))
+        .select("r.n_syllables").collect()(0)
+      assert(r.getLong(0) == 2L)
+    }
+
+    it("empty text: zero words, NULL scores, sentence floor of 1") {
+      val r = Seq("").toDF("text")
+        .select(TextOps.readability(col("text")).as("r"))
+        .select("r.*").collect()(0)
+      assert(r.getLong(0) == 0L)
+      assert(r.getLong(1) == 1L)
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
+  describe("TextOps.pmiCollocations") {
+    val docs = Seq("a b a b", "a c").toDF("text")
+
+    it("matches hand-computed PMI with deterministic tie-break") {
+      val got = TextOps.pmiCollocations(docs, "text", minCount = 1, topK = 10)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      // uni: a=3 b=2 c=1 (N=6); bi: (a,b)=2 (b,a)=1 (a,c)=1 (N=4)
+      // pmi(a,b) = pmi(a,c) = ln 3; pmi(b,a) = ln 1.5; ties order by w1,w2
+      val ln3 = math.floor(math.log(3.0) * 1e6 + 0.5) / 1e6
+      assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+        Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L)))
+      assert(math.abs(got(0)._4 - ln3) < 1e-12)
+      assert(math.abs(got(1)._4 - ln3) < 1e-12)
+    }
+
+    it("minCount filters the bigram table before the joins") {
+      val got = TextOps.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == Seq(("a", "b")))
+    }
+
+    it("topK cuts after the rounded-pmi sort") {
+      val got = TextOps.pmiCollocations(docs, "text", minCount = 1, topK = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == Seq(("a", "b"), ("a", "c")))
+    }
+
+    it("empty corpus yields an empty result, not an error") {
+      val empty = Seq.empty[String].toDF("text")
+      assert(TextOps.pmiCollocations(empty, "text", 1, 5).collect().isEmpty)
+    }
+  }
+}
