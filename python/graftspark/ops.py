@@ -1183,3 +1183,60 @@ def hits(edges: DataFrame, src_col: str, dst_col: str,
     Output: (node, hub, authority), each column summing to 1."""
     return _to_py_df(_jvm_bridge(edges).hits(
         edges._jdf, src_col, dst_col, int(iterations)), edges)
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Classic readability battery per row: word / sentence / syllable /
+    alnum counts plus Flesch reading ease, Flesch-Kincaid grade, and ARI
+    (row-local built-ins, zero shuffle; empty text scores NULL)."""
+    return _to_py_df(_jvm_bridge(df).readability(
+        df._jdf, id_col, text_col), df)
+
+
+def pmi_collocations(df: DataFrame, text_col: str, min_count: int = 5,
+                     top_k: int = 50) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information over the
+    corpus (two vocabulary-sized count tables; deterministic rounded-PMI
+    ranking). Output: w1, w2, cnt, pmi."""
+    return _to_py_df(_jvm_bridge(df).pmiCollocations(
+        df._jdf, text_col, int(min_count), int(top_k)), df)
+
+
+def bpe_train(df: DataFrame, text_col: str, merges: int) -> DataFrame:
+    """Train BPE merges over the corpus: the corpus collapses to a
+    word-frequency table once, then each merge costs one tiny aggregate
+    plus a 1-row argmax. Output: step, left, right, cnt (merge order)."""
+    return _to_py_df(_jvm_bridge(df).bpeTrain(
+        df._jdf, text_col, int(merges)), df)
+
+
+def bpe_encode(df: DataFrame, id_col: str, text_col: str,
+               merges: DataFrame) -> DataFrame:
+    """Piece counts per row after replaying a ``bpe_train`` merge table
+    (row-local replace chain; non-alphabetic tokens count one piece).
+    Output: id, n_pieces."""
+    return _to_py_df(_jvm_bridge(df).bpeEncode(
+        df._jdf, id_col, text_col, merges._jdf), df)
+
+
+def embed_cov_matrix(df: DataFrame, emb_col: str) -> DataFrame:
+    """Upper-triangular sample covariance of the embedding dimensions in
+    long form (i, j, cov) — ONE bounded-state aggregate; vectors never
+    shuffle."""
+    return _to_py_df(_jvm_bridge(df).embedCovMatrix(
+        df._jdf, emb_col), df)
+
+
+def pca_project(df: DataFrame, emb_col: str, k: int) -> DataFrame:
+    """Fit PCA on the embedding column (bounded moment aggregate +
+    driver-side Jacobi eigensolve on the d x d covariance) and append a
+    ``pca`` array column with the top-``k`` component scores."""
+    return _to_py_df(_jvm_bridge(df).pcaProject(
+        df._jdf, emb_col, int(k)), df)
+
+
+def pca_explained_variance(df: DataFrame, emb_col: str) -> DataFrame:
+    """PCA eigen-spectrum report: component, eigenvalue, variance_ratio,
+    cum_ratio — the intrinsic-dimensionality diagnostic."""
+    return _to_py_df(_jvm_bridge(df).pcaExplainedVariance(
+        df._jdf, emb_col), df)

@@ -354,6 +354,7 @@ def main():
     test_round12_mixture_media_novelty()
     test_round12b_rank_drift_layout()
     test_round12c_stats_graph_noise()
+    test_round12d_tokenizer_readability_pca()
     print("ALL OPS TESTS PASSED")
 
 
@@ -791,3 +792,49 @@ def test_round12c_stats_graph_noise():
 
 if __name__ == "__main__":
     main()
+
+
+def test_round12d_tokenizer_readability_pca():
+    from graftspark import ops
+    docs = _docs().limit(150)
+    embs = _embs().limit(100)
+
+    # readability: counts positive, flesch finite, one row per doc
+    rd = ops.readability(docs, "doc_id", "text")
+    assert rd.count() == docs.count()
+    r0 = rd.filter("n_words > 0").first()
+    assert r0["n_syllables"] >= r0["n_words"]  # >=1 syllable per word
+    assert r0["flesch"] is not None
+
+    # PMI collocations: rows ordered by pmi desc, counts >= min_count
+    pmi = ops.pmi_collocations(docs, "text", min_count=3, top_k=20).collect()
+    assert 0 < len(pmi) <= 20
+    assert all(r["cnt"] >= 3 for r in pmi)
+    assert all(pmi[i]["pmi"] >= pmi[i + 1]["pmi"]
+               for i in range(len(pmi) - 1))
+
+    # BPE: merges are distinct ordered steps; encode shrinks pieces
+    merges = ops.bpe_train(docs, "text", 5)
+    ms = merges.collect()
+    assert [r["step"] for r in ms] == list(range(len(ms)))
+    enc0 = ops.bpe_encode(docs, "doc_id", "text",
+                          merges.filter("step < 0"))  # empty merge table
+    enc5 = ops.bpe_encode(docs, "doc_id", "text", merges)
+    tot0 = enc0.agg({"n_pieces": "sum"}).collect()[0][0]
+    tot5 = enc5.agg({"n_pieces": "sum"}).collect()[0][0]
+    assert tot5 < tot0  # merging strictly reduces piece count here
+
+    # covariance: diagonal is per-dim variance (non-negative)
+    cov = ops.embed_cov_matrix(embs, "embedding")
+    assert cov.filter("i = j AND cov < 0").count() == 0
+
+    # PCA: k-dim projection + explained variance sums to 1
+    pj = ops.pca_project(embs, "embedding", 8)
+    from pyspark.sql import functions as F
+    assert pj.select(F.size("pca")).distinct().collect()[0][0] == 8
+    ev = ops.pca_explained_variance(embs, "embedding").collect()
+    assert abs(sum(r["variance_ratio"] for r in ev) - 1.0) < 1e-9
+    assert all(ev[i]["eigenvalue"] >= ev[i + 1]["eigenvalue"] - 1e-12
+               for i in range(len(ev) - 1))
+
+    print("round-12d tokenizer/readability/pca facade OK")

@@ -938,4 +938,51 @@ object PyBridge {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame =
     graft.ops.Graph.hits(edges, srcCol, dstCol, iterations)
+
+  /** Readability battery per row (Flesch / FK grade / ARI + counts). */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol),
+        graft.ops.TextOps.readability(col(textCol)).as("__r"))
+      .select(col(idCol), col("__r.*"))
+  }
+
+  /** Top-k bigram collocations by PMI. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int,
+      topK: Int): DataFrame =
+    graft.ops.TextOps.pmiCollocations(df, textCol, minCount, topK)
+
+  /** BPE merge training: (step, left, right, cnt), `merges` rows. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    graft.ops.Tokenizer.bpeTrain(df, textCol, merges)
+
+  /** Encode piece counts with a learned merge table (a [[bpeTrain]]
+    * result — collected here; it is merge-count-sized by construction).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ms = merges.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    df.select(col(idCol),
+      graft.ops.Tokenizer.encodePieceCount(col(textCol), ms)
+        .as("n_pieces"))
+  }
+
+  /** Long-form upper-triangular embedding covariance (i, j, cov). */
+  def embedCovMatrix(df: DataFrame, embCol: String): DataFrame =
+    graft.ops.Pca.covMatrix(df, embCol)
+
+  /** Fit PCA and project to the top-k components (adds `pca` array). */
+  def pcaProject(df: DataFrame, embCol: String, k: Int): DataFrame = {
+    val m = graft.ops.Pca.fit(df, embCol)
+    graft.ops.Pca.project(df, embCol, m, k)
+  }
+
+  /** PCA explained-variance report per component. */
+  def pcaExplainedVariance(df: DataFrame, embCol: String): DataFrame = {
+    val m = graft.ops.Pca.fit(df, embCol)
+    graft.ops.Pca.explainedVariance(df.sparkSession, m)
+  }
 }

@@ -491,4 +491,41 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       tmp, 8, 4)
     spark.read.parquet(tmp).count() shouldBe li.count()
   }
+
+  test("bridge readability / pmi / bpe mirror the Scala API") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(100)
+    PyBridge.readability(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet shouldBe
+      docs.select(col("doc_id"),
+          graft.ops.TextOps.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .collect().map(_.toSeq).toSet
+    PyBridge.pmiCollocations(docs, "text", 2, 10)
+      .collect().map(_.toSeq) shouldBe
+      graft.ops.TextOps.pmiCollocations(docs, "text", 2, 10)
+        .collect().map(_.toSeq)
+    val merges = PyBridge.bpeTrain(docs, "text", 3)
+    merges.collect().map(_.toSeq) shouldBe
+      graft.ops.Tokenizer.bpeTrain(docs, "text", 3)
+        .collect().map(_.toSeq)
+    val enc = PyBridge.bpeEncode(docs, "doc_id", "text", merges)
+    enc.columns.toSeq shouldBe Seq("doc_id", "n_pieces")
+    enc.count() shouldBe docs.count()
+  }
+
+  test("bridge covariance / pca mirror the Scala API") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(80)
+    PyBridge.embedCovMatrix(emb, "embedding")
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Pca.covMatrix(emb, "embedding")
+        .collect().map(_.toSeq).toSet
+    val proj = PyBridge.pcaProject(emb, "embedding", 4)
+    proj.columns should contain("pca")
+    proj.select(org.apache.spark.sql.functions.size(col("pca"))).distinct()
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(4)
+    val ev = PyBridge.pcaExplainedVariance(emb, "embedding").collect()
+    ev.map(_.getDouble(2)).sum shouldBe 1.0 +- 1e-9
+  }
 }
