@@ -1240,3 +1240,34 @@ def pca_explained_variance(df: DataFrame, emb_col: str) -> DataFrame:
     cum_ratio — the intrinsic-dimensionality diagnostic."""
     return _to_py_df(_jvm_bridge(df).pcaExplainedVariance(
         df._jdf, emb_col), df)
+
+
+def write_minhash_reference(reference: DataFrame, id_col: str,
+                            text_col: str, table: str,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 3, num_buckets: int = 64,
+                            max_bucket_size: int = 10000) -> None:
+    """Persist a reference corpus's MinHash-LSH index as bucketed store
+    tables (``<table>_buckets`` + ``<table>_sigs``): pay shingling,
+    signatures, and the bucket shuffle ONCE, then screen any number of
+    new batches with ``minhash_near_dups_stored`` — the stored corpus
+    never recomputes or re-exchanges. Oversized (boilerplate) buckets
+    drop at write time."""
+    _jvm_bridge(reference).writeMinHashReference(
+        reference._jdf, id_col, text_col, table, int(num_hashes),
+        int(bands), int(shingle_k), int(num_buckets),
+        int(max_bucket_size))
+
+
+def minhash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
+                             text_col: str, num_hashes: int = 64,
+                             bands: int = 16, shingle_k: int = 3,
+                             threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs between a new batch and a
+    ``write_minhash_reference`` store (incremental dedup): only
+    batch-derived rows shuffle; the stored sides scan bucketed. Use the
+    SAME num_hashes / bands / shingle_k as at write time. Output:
+    new_id, ref_id, est_jaccard >= threshold."""
+    return _to_py_df(_jvm_bridge(docs).minHashNearDupsStored(
+        docs._jdf, table, id_col, text_col, int(num_hashes), int(bands),
+        int(shingle_k), float(threshold)), docs)

@@ -828,6 +828,25 @@ def test_round12d_tokenizer_readability_pca():
     cov = ops.embed_cov_matrix(embs, "embedding")
     assert cov.filter("i = j AND cov < 0").count() == 0
 
+    # stored MinHash index: planted copies recover their originals
+    ops.write_minhash_reference(docs, "doc_id", "text", "py_mh_ref",
+                                num_hashes=32, bands=8, shingle_k=2,
+                                num_buckets=4)
+    try:
+        from pyspark.sql import functions as F
+        batch = docs.limit(20).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text")
+        hits = ops.minhash_near_dups_stored(
+            batch, "py_mh_ref", "doc_id", "text", num_hashes=32,
+            bands=8, shingle_k=2, threshold=0.999).collect()
+        planted = {(r["new_id"], r["ref_id"]) for r in hits}
+        assert all((i + 50000, i) in planted
+                   for r in docs.limit(20).collect()
+                   for i in [r["doc_id"]])
+    finally:
+        _get_spark().sql("DROP TABLE IF EXISTS py_mh_ref_buckets")
+        _get_spark().sql("DROP TABLE IF EXISTS py_mh_ref_sigs")
+
     # PCA: k-dim projection + explained variance sums to 1
     pj = ops.pca_project(embs, "embedding", 8)
     from pyspark.sql import functions as F

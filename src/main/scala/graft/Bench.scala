@@ -564,6 +564,56 @@ object Bench {
           .filter(col("p") < col("p2"))
           .select(col("p").as("src"), col("p2").as("dst"))
         graft.ops.Graph.triangleStats(edges, "src", "dst").count()
+      }),
+
+      // full readability battery: row-local regexp counting + HOF fold,
+      // one scan, no exchange — measures text-scan throughput
+      "readability" -> (() => {
+        t("documents").select(
+          graft.ops.TextOps.readability(col("text")).as("r"))
+          .agg(sum(col("r.n_syllables")), sum(col("r.flesch")))
+          .first(); 1L
+      }),
+
+      // corpus PMI collocations: two vocab-sized count aggregates +
+      // joins on the filtered bigram table
+      "pmi_collocations" -> (() =>
+        graft.ops.TextOps.pmiCollocations(t("documents"), "text",
+          minCount = 5, topK = 50).count()),
+
+      // 8 BPE merges: one corpus collapse, then per-merge vocab-sized
+      // aggregates + 1-row argmax collects
+      "bpe_train" -> (() =>
+        graft.ops.Tokenizer.bpeTrain(t("documents"), "text",
+          merges = 8).count()),
+
+      // PCA: one bounded moment aggregate, driver Jacobi (d=64), then a
+      // row-local broadcast projection pass
+      "pca_project" -> (() => {
+        val emb = t("embeddings")
+        val m = graft.ops.Pca.fit(emb, "embedding")
+        graft.ops.Pca.project(emb, "embedding", m, 16)
+          .select(element_at(col("pca"), 1).as("p0"))
+          .agg(sum(col("p0"))).first(); 1L
+      }),
+
+      // incremental dedup vs a stored LSH index: index write (the
+      // one-time corpus cost) + a 500-doc batch probe where only
+      // batch-derived rows shuffle
+      "minhash_stored" -> (() => {
+        val docs = t("documents").select(col("doc_id"), col("text"))
+        graft.ops.Dedup.writeMinHashReference(docs, "doc_id", "text",
+          "graft_bench_mh", numHashes = 64, bands = 16, shingleK = 3,
+          numBuckets = 8)
+        val batch = docs.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        try graft.ops.Dedup.minHashNearDupsStored(batch,
+          "graft_bench_mh", "doc_id", "text", numHashes = 64,
+          bands = 16, shingleK = 3, threshold = 0.8).count()
+        finally {
+          spark.sql("DROP TABLE IF EXISTS graft_bench_mh_buckets")
+          spark.sql("DROP TABLE IF EXISTS graft_bench_mh_sigs")
+        }
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
@@ -615,6 +665,14 @@ object Bench {
       val (semi, rel) = Dedup.bloomSemiJoinReleasable(warmDocs,
         warmDocs.limit(20), "text", numBits = 1L << 16, numHashFns = 5)
       semi.count(); rel()
+    }
+    warm(warmDocs.select(graft.ops.TextOps.readability(col("text"))
+      .as("r")).agg(sum(col("r.n_words"))).first())
+    warm(graft.ops.TextOps.pmiCollocations(warmDocs, "text", 2, 5).count())
+    warm(graft.ops.Tokenizer.bpeTrain(warmDocs, "text", merges = 2).count())
+    warm {
+      val m = graft.ops.Pca.fit(warmEmb, "embedding")
+      graft.ops.Pca.project(warmEmb, "embedding", m, 4).count()
     }
     warm(graft.ops.TextOps.bm25TopK(warmDocs, "doc_id", "text",
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
@@ -774,10 +832,17 @@ object Bench {
       f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"rows":$rowDetail}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_rows.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+    // a BENCH_ONLY-filtered dev run must never clobber the full-board
+    // artifact with a partial row set — redirect it to a side path
+    val effectivePath =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
+          !sys.env.contains("SPARK_GRAFT_BENCH_DETAIL"))
+        detailPath + ".partial"
+      else detailPath
+    try java.nio.file.Files.write(java.nio.file.Paths.get(effectivePath),
       detailJson.getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $detailPath: $e") }
+      System.err.println(s"[bench] could not write $effectivePath: $e") }
     System.err.println(s"[bench] row detail: $detailJson")
     val total = results.map(_.sec).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$anyContended,"failed":$anyFailed,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")

@@ -2497,6 +2497,42 @@ object SparkEntry {
       ops.Tokenizer.bpeTrain(t(s, dir, "documents"), "text", merges = 6)
     }),
 
+    "q188_bpe_encode" -> ((s, dir) => {
+      // the tokenizer round trip: train six merges on the corpus, then
+      // encode the same corpus with them (row-local replace replay) —
+      // the oracle re-derives the merges AND the per-document piece
+      // counts entirely in SQL, so training and encoding are verified
+      // together end to end
+      val d = t(s, dir, "documents")
+      val ms = ops.Tokenizer.trainMerges(d, "text", 6)
+        .map(m => (m.left, m.right))
+      d.select(col("doc_id"),
+        ops.Tokenizer.encodePieceCount(col("text"), ms).as("n_pieces"))
+    }),
+
+    "q189_minhash_stored" -> ((s, dir) => {
+      // INCREMENTAL near-dup screening against a STORED MinHash-LSH
+      // index (the q126 invariant, store edition): the corpus's band
+      // buckets + signatures persist as bucketed tables, a batch of
+      // planted exact copies probes them, and every copy must recover
+      // its original at est_jaccard exactly 1.0 (identical text ->
+      // identical signature -> every band collides). Stored sides scan
+      // bucketed, exchange-free (plan-pinned in StoredMinHashSpec);
+      // the oracle recomputes the pairs from the planting rule alone.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      ops.Dedup.writeMinHashReference(docs, "doc_id", "text",
+        "graft_q189_ref", numHashes = 64, bands = 16, shingleK = 2,
+        numBuckets = 8)
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      ops.Dedup.minHashNearDupsStored(batch, "graft_q189_ref",
+        "doc_id", "text", numHashes = 64, bands = 16, shingleK = 2,
+        threshold = 0.999)
+        .filter(col("ref_id") === col("new_id") - 100000)
+        .select(col("ref_id").as("doc_id"), col("new_id").as("dup_id"),
+          col("est_jaccard"))
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5216,6 +5252,14 @@ object SparkEntry {
 
     "q185_bpe_merges" ->
       ops.Tokenizer.bpeTrainOracleSql("documents", "text", merges = 6),
+
+    "q188_bpe_encode" ->
+      ops.Tokenizer.bpeEncodeOracleSql("documents", "doc_id", "text",
+        merges = 6),
+
+    "q189_minhash_stored" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id, 1.0 AS est_jaccard
+        |FROM documents WHERE doc_id < 50 AND text IS NOT NULL""".stripMargin,
 
     "q186_embed_cov" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -925,4 +925,124 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Persist a reference corpus's MinHash-LSH index as CorpusStore
+    * bucketed tables, for INCREMENTAL near-dup screening: dedup every
+    * new batch against the historical corpus without recomputing or
+    * re-exchanging the history. Two tables are written:
+    *
+    *  - `<table>_buckets` (bb, id): one row per (band-bucket, doc),
+    *    bb = xxhash64(band, band-hash) so the probe join key is a
+    *    single column the store can bucket on. Buckets larger than
+    *    `maxBucketSize` (boilerplate shingles) are dropped at WRITE
+    *    time, so no probe ever pays their quadratic fan-out.
+    *  - `<table>_sigs` (id, sig): the signatures, bucketed by id, so
+    *    the verification join fetches them without the store re-
+    *    exchanging.
+    *
+    * At 100 TB this is the structural win of the store: the reference
+    * pays shingling + signatures + the bucket shuffle ONCE, at write
+    * time; every subsequent batch shuffles only its own (tiny) bands.
+    * Probe with [[minHashNearDupsStored]] using the SAME numHashes /
+    * bands / shingleK.
+    */
+  def writeMinHashReference(
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      numBuckets: Int = 64,
+      maxBucketSize: Int = 10000): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sig = minHashSignatures(reference, idCol, textCol, numHashes,
+      shingleK).filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = sig.select(col("id"),
+        posexplode(graft.functions.band_hashes(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+        .select(col("id"), xxhash64(col("band"), col("bucket")).as("bb"))
+      // write-time cap: the oversized-bucket list is boilerplate-sized
+      // (few distinct degenerate shingles), so it broadcasts
+      val oversized = buckets.groupBy(col("bb"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select(col("bb"), lit(1).as("__drop"))
+      val kept = buckets
+        .join(broadcast(oversized), Seq("bb"), "left")
+        .filter(col("__drop").isNull).drop("__drop")
+      graft.io.CorpusStore.writeBucketed(kept, s"${table}_buckets",
+        "bb", numBuckets, Seq("bb"))
+      graft.io.CorpusStore.writeBucketed(sig, s"${table}_sigs",
+        "id", numBuckets, Seq("id"))
+    } finally { sig.unpersist(blocking = false); () }
+  }
+
+  /** Near-duplicate pairs between a new batch and a
+    * [[writeMinHashReference]] store: (new_id, ref_id, est_jaccard)
+    * for every stored document whose estimated Jaccard with a batch
+    * document reaches `threshold`. Candidates come from the band-
+    * bucket join against `<table>_buckets` (the stored side scans
+    * bucketed — exchange-free, plan-pinned in StoredMinHashSpec); each
+    * unique candidate pair then fetches its two signatures once (the
+    * stored side from `<table>_sigs`, again without re-exchanging) and
+    * the match-count estimate decides. Only batch-derived rows ever
+    * shuffle. Pass the SAME numHashes / bands / shingleK as at write
+    * time — signature layouts must agree for the estimate to mean
+    * anything.
+    */
+  def minHashNearDupsStored(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    minHashNearDupsStoredReleasable(docs, table, idCol, textCol,
+      numHashes, bands, shingleK, threshold)._1
+
+  /** [[minHashNearDupsStored]] plus a release() thunk for the cached
+    * batch-signature intermediate (the [[minHashLshPairsReleasable]]
+    * contract).
+    */
+  def minHashNearDupsStoredReleasable(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleK)
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probe = sig.select(col("id").as("new_id"),
+      posexplode(graft.functions.band_hashes(col("sig"), bands))
+        .as(Seq("band", "bucket")))
+      .select(col("new_id"), xxhash64(col("band"), col("bucket")).as("bb"))
+    val refBuckets = graft.io.CorpusStore
+      .readBucketed(spark, s"${table}_buckets")
+    val cand = probe.join(refBuckets, Seq("bb"))
+      .groupBy(col("new_id"), col("id").as("ref_id"))
+      .agg(count(lit(1)).as("__nb")).drop("__nb")
+    val refSigs = graft.io.CorpusStore.readBucketed(spark, s"${table}_sigs")
+      .select(col("id").as("ref_id"), col("sig").as("__sig_ref"))
+    val result = cand
+      .join(refSigs, Seq("ref_id"))
+      .join(sig.select(col("id").as("new_id"), col("sig").as("__sig_new")),
+        Seq("new_id"))
+      .select(col("new_id"), col("ref_id"),
+        (graft.functions.vec_match_count(col("__sig_ref"), col("__sig_new"))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    (result, () => { sig.unpersist(blocking = false); () })
+  }
 }

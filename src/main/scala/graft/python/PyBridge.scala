@@ -985,4 +985,18 @@ object PyBridge {
     val m = graft.ops.Pca.fit(df, embCol)
     graft.ops.Pca.explainedVariance(df.sparkSession, m)
   }
+
+  /** Persist a corpus's MinHash-LSH index as bucketed store tables. */
+  def writeMinHashReference(reference: DataFrame, idCol: String,
+      textCol: String, table: String, numHashes: Int, bands: Int,
+      shingleK: Int, numBuckets: Int, maxBucketSize: Int): Unit =
+    graft.ops.Dedup.writeMinHashReference(reference, idCol, textCol,
+      table, numHashes, bands, shingleK, numBuckets, maxBucketSize)
+
+  /** Near-dup pairs of a new batch vs a stored MinHash index. */
+  def minHashNearDupsStored(docs: DataFrame, table: String,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      shingleK: Int, threshold: Double): DataFrame =
+    graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
+      numHashes, bands, shingleK, threshold)
 }

@@ -124,6 +124,24 @@ class PcaSpec extends AnyFunSpec with SparkSuiteBase {
     }
   }
 
+  describe("plan shape") {
+    it("covMatrix is one aggregation job: the only exchange carries the " +
+        "moment buffer, vectors never shuffle") {
+      val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val plan = Pca.covMatrix(df, "embedding")
+        .queryExecution.executedPlan.toString
+      assert(plan.split("Exchange").length - 1 == 1, plan.take(800))
+    }
+
+    it("project adds no exchange at all (row-local broadcast literals)") {
+      val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val m = Pca.fit(df, "embedding")
+      val plan = Pca.project(df, "embedding", m, 4)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+    }
+  }
+
   describe("explainedVariance") {
     it("ratios sum to 1 and cumulate monotonically") {
       val df = (0 until 10).map(i =>

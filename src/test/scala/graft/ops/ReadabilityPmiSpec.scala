@@ -74,4 +74,13 @@ class ReadabilityPmiSpec extends AnyFunSpec with SparkSuiteBase {
       assert(TextOps.pmiCollocations(empty, "text", 1, 5).collect().isEmpty)
     }
   }
+
+  describe("plan shape") {
+    it("readability is row-local: no exchange in the scoring plan") {
+      val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      val plan = df.select(TextOps.readability(col("text")).as("r"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+    }
+  }
 }
