@@ -1271,3 +1271,21 @@ def minhash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
     return _to_py_df(_jvm_bridge(docs).minHashNearDupsStored(
         docs._jdf, table, id_col, text_col, int(num_hashes), int(bands),
         int(shingle_k), float(threshold)), docs)
+
+
+def psi_matrix(df: DataFrame, group_col: str, value_col: str,
+               edges: List[float]) -> DataFrame:
+    """Pairwise PSI/JSD drift matrix across ALL groups of a column in
+    one corpus scan (one KLL sketch per group, then the K(K-1)/2 pair
+    scores read off the broadcast sketch table). Output: group_a,
+    group_b, n_a, n_b, psi, jsd."""
+    return _to_py_df(_jvm_bridge(df).psiMatrix(
+        df._jdf, group_col, value_col, [float(e) for e in edges]), df)
+
+
+def pca_whiten(df: DataFrame, emb_col: str, k: int) -> DataFrame:
+    """PCA-whitened top-``k`` projection: ``pca_project`` scores scaled
+    to unit variance per component (decorrelated, equal-energy
+    coordinates — the usual prep before cosine / linear probes)."""
+    return _to_py_df(_jvm_bridge(df).pcaWhiten(
+        df._jdf, emb_col, int(k)), df)

@@ -856,4 +856,20 @@ def test_round12d_tokenizer_readability_pca():
     assert all(ev[i]["eigenvalue"] >= ev[i + 1]["eigenvalue"] - 1e-12
                for i in range(len(ev) - 1))
 
+    # PSI matrix: symmetric-free pairs, identical corpus halves near 0
+    pm = ops.psi_matrix(docs.withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")),
+        "grp", "n_chars", [150.0, 300.0, 450.0]).collect()
+    assert len(pm) == 3  # 3 groups -> 3 pairs
+    assert all(r["group_a"] < r["group_b"] for r in pm)
+    assert all(r["psi"] >= 0.0 and 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+               for r in pm)
+
+    # whitening: per-component variance ~1
+    wh = ops.pca_whiten(embs, "embedding", 4).select("pca").collect()
+    import statistics
+    for k in range(4):
+        var = statistics.variance([r["pca"][k] for r in wh])
+        assert abs(var - 1.0) < 1e-6, var
+
     print("round-12d tokenizer/readability/pca facade OK")

@@ -597,6 +597,15 @@ object Bench {
           .agg(sum(col("p0"))).first(); 1L
       }),
 
+      // 190-pair source drift matrix off ONE corpus scan (per-group
+      // KLL sketches + broadcast pair join)
+      "psi_matrix" -> (() => {
+        val (m, release) = graft.ops.Drift.psiMatrixReleasable(
+          t("documents"), "source", "n_chars",
+          Seq(150.0, 250.0, 350.0, 450.0))
+        try m.count() finally release()
+      }),
+
       // incremental dedup vs a stored LSH index: index write (the
       // one-time corpus cost) + a 500-doc batch probe where only
       // batch-derived rows shuffle

@@ -2533,6 +2533,19 @@ object SparkEntry {
           col("est_jaccard"))
     }),
 
+    "q190_source_psi_matrix" -> ((s, dir) => {
+      // pairwise drift matrix across ALL 20 sources in one corpus scan:
+      // one KLL sketch per source (single map-side-combined aggregate),
+      // then the 190-pair PSI/JSD matrix reads off the broadcast K-row
+      // sketch table — the oracle recomputes every bin fraction exactly
+      val edges = Seq(150.0, 250.0, 350.0, 450.0)
+      ops.Drift.psiMatrix(t(s, dir, "documents"), "source", "n_chars",
+        edges)
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          (round(col("psi"), 6) + 0.0).as("psi"),
+          (round(col("jsd"), 6) + 0.0).as("jsd"))
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5260,6 +5273,40 @@ object SparkEntry {
     "q189_minhash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 1.0 AS est_jaccard
         |FROM documents WHERE doc_id < 50 AND text IS NOT NULL""".stripMargin,
+
+    "q190_source_psi_matrix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE n_chars <= 150) AS r0,
+        |    count(*) FILTER (WHERE n_chars <= 250) AS r1,
+        |    count(*) FILTER (WHERE n_chars <= 350) AS r2,
+        |    count(*) FILTER (WHERE n_chars <= 450) AS r3
+        |  FROM documents GROUP BY 1),
+        |p AS (SELECT source, n,
+        |    greatest(r0 / n::DOUBLE, 1e-6) AS p0,
+        |    greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
+        |    greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
+        |    greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
+        |    greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |  FROM c)
+        |SELECT a.source AS group_a, b.source AS group_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round((a.p0 - b.p0) * ln(a.p0 / b.p0)
+        |      + (a.p1 - b.p1) * ln(a.p1 / b.p1)
+        |      + (a.p2 - b.p2) * ln(a.p2 / b.p2)
+        |      + (a.p3 - b.p3) * ln(a.p3 / b.p3)
+        |      + (a.p4 - b.p4) * ln(a.p4 / b.p4), 6) + 0.0 AS psi,
+        |  round((a.p0 * ln(a.p0 / ((a.p0 + b.p0) / 2))
+        |       + b.p0 * ln(b.p0 / ((a.p0 + b.p0) / 2))) * 0.5
+        |      + (a.p1 * ln(a.p1 / ((a.p1 + b.p1) / 2))
+        |       + b.p1 * ln(b.p1 / ((a.p1 + b.p1) / 2))) * 0.5
+        |      + (a.p2 * ln(a.p2 / ((a.p2 + b.p2) / 2))
+        |       + b.p2 * ln(b.p2 / ((a.p2 + b.p2) / 2))) * 0.5
+        |      + (a.p3 * ln(a.p3 / ((a.p3 + b.p3) / 2))
+        |       + b.p3 * ln(b.p3 / ((a.p3 + b.p3) / 2))) * 0.5
+        |      + (a.p4 * ln(a.p4 / ((a.p4 + b.p4) / 2))
+        |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
+        |    AS jsd
+        |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
 
     "q186_embed_cov" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

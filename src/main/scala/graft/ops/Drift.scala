@@ -481,4 +481,54 @@ object Drift {
       .select(gcols ++ Seq(col(orderCol), v.as("value"), col("z"),
         col("cusum_pos"), col("cusum_neg"), col("alarm")): _*)
   }
+
+  /** Pairwise distribution-drift matrix across ALL groups of a column —
+    * "which sources disagree about this feature" in one shot, the
+    * matrix generalization of [[psi]]'s two-cohort form. The corpus
+    * reduces to ONE sketch per group in a single map-side-combined
+    * aggregate; the K-row sketch table then self-joins (a < b, both
+    * sides broadcast-sized since K = group count) and PSI + JSD read
+    * straight off the sketch pairs over the fixed `edges` grid — raw
+    * rows are scanned exactly once regardless of how many pairs the
+    * matrix has. Exact below sketch capacity, rank-error-bounded above.
+    *
+    * Output: group_a, group_b (group_a < group_b lexicographically),
+    * n_a, n_b, psi, jsd.
+    */
+  def psiMatrix(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      valueCol: String,
+      edges: Seq[Double],
+      eps: Double = 1e-6): org.apache.spark.sql.DataFrame =
+    psiMatrixReleasable(df, groupCol, valueCol, edges, eps)._1
+
+  /** [[psiMatrix]] plus a release() thunk for the cached K-row sketch
+    * table (both self-join sides read it, so without the cache the
+    * corpus would be scanned and aggregated twice — the cache holds K
+    * sketch rows, not data).
+    */
+  def psiMatrixReleasable(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      valueCol: String,
+      edges: Seq[Double],
+      eps: Double = 1e-6)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    require(edges.nonEmpty, "psiMatrix requires at least one edge")
+    val sk = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(graft.functions.kll_agg(col(valueCol).cast("double")).as("__sk"),
+        count(col(valueCol)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sk.select(col("__g").as("group_a"), col("__sk").as("__ska"),
+      col("__n").as("n_a"))
+    val b = sk.select(col("__g").as("group_b"), col("__sk").as("__skb"),
+      col("__n").as("n_b"))
+    val out = a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        psi(col("__ska"), col("__skb"), edges, eps).as("psi"),
+        jsd(col("__ska"), col("__skb"), edges, eps).as("jsd"))
+    (out, () => { sk.unpersist(blocking = false); () })
+  }
 }

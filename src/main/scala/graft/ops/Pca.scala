@@ -165,6 +165,24 @@ object Pca {
     df.withColumn("pca", array(scores.toIndexedSeq: _*))
   }
 
+  /** PCA-whitened projection: [[project]] scores divided by
+    * sqrt(eigenvalue + eps), so the output coordinates have unit
+    * variance and zero covariance (ZCA-less whitening — the usual
+    * preprocessing before cosine/linear probes when raw dimensions
+    * carry wildly different energy). Same row-local broadcast-literal
+    * shape as [[project]]; components with near-zero eigenvalues are
+    * tamed by `eps` rather than exploding.
+    */
+  def whiten(df: DataFrame, embCol: String, model: PcaModel, k: Int,
+      eps: Double = 1e-9): DataFrame = {
+    require(k >= 1 && k <= model.d, s"k=$k out of range 1..${model.d}")
+    val scales = (0 until k)
+      .map(i => 1.0 / math.sqrt(math.max(model.eigenvalues(i), 0.0) + eps))
+    val scaleLit = array(scales.map(lit(_)).toIndexedSeq: _*)
+    project(df, embCol, model, k)
+      .withColumn("pca", zip_with(col("pca"), scaleLit, (s, w) => s * w))
+  }
+
   /** Explained-variance report from a fitted model: one row per
     * component with the eigenvalue, the variance ratio, and the
     * cumulative ratio (clamped to d rows; negative round-off

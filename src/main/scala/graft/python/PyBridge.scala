@@ -986,6 +986,18 @@ object PyBridge {
     graft.ops.Pca.explainedVariance(df.sparkSession, m)
   }
 
+  /** Pairwise PSI/JSD drift matrix across all groups of a column. */
+  def psiMatrix(df: DataFrame, groupCol: String, valueCol: String,
+      edges: ju.List[Double]): DataFrame =
+    graft.ops.Drift.psiMatrix(df, groupCol, valueCol,
+      edges.asScala.map(_.doubleValue).toSeq)
+
+  /** PCA-whitened top-k projection (unit-variance decorrelated scores). */
+  def pcaWhiten(df: DataFrame, embCol: String, k: Int): DataFrame = {
+    val m = graft.ops.Pca.fit(df, embCol)
+    graft.ops.Pca.whiten(df, embCol, m, k)
+  }
+
   /** Persist a corpus's MinHash-LSH index as bucketed store tables. */
   def writeMinHashReference(reference: DataFrame, idCol: String,
       textCol: String, table: String, numHashes: Int, bands: Int,

@@ -122,6 +122,20 @@ class PcaSpec extends AnyFunSpec with SparkSuiteBase {
         Pca.project(df, "embedding", model, 0)
       }
     }
+
+    it("whitened scores have unit variance and zero cross-covariance") {
+      val w = Pca.whiten(df, "embedding", model, 2)
+        .select(col("vec_id"), col("pca")).collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val n = w.length
+      for (i <- 0 until 2; j <- i until 2) {
+        val mi = w.map(_(i)).sum / n
+        val mj = w.map(_(j)).sum / n
+        val cov = w.map(v => (v(i) - mi) * (v(j) - mj)).sum / (n - 1)
+        val expected = if (i == j) 1.0 else 0.0
+        assert(math.abs(cov - expected) < 1e-6, s"whitened cov ($i,$j)=$cov")
+      }
+    }
   }
 
   describe("plan shape") {
