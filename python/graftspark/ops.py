@@ -1289,3 +1289,26 @@ def pca_whiten(df: DataFrame, emb_col: str, k: int) -> DataFrame:
     coordinates — the usual prep before cosine / linear probes)."""
     return _to_py_df(_jvm_bridge(df).pcaWhiten(
         df._jdf, emb_col, int(k)), df)
+
+
+def write_ivf_index(corpus: DataFrame, id_col: str, emb_col: str,
+                    table: str, n_centroids: int = 16,
+                    iterations: int = 2, num_buckets: int = 16) -> None:
+    """Persist an IVF ANN index at rest: the Lloyd-refined codebook and
+    norm-precomputed inverted lists as bucketed store tables. Pay
+    clustering + assignment once; every later query batch searches via
+    ``ivf_top_k_stored`` with zero corpus-side recompute or shuffle."""
+    _jvm_bridge(corpus).writeIvfIndex(
+        corpus._jdf, id_col, emb_col, table, int(n_centroids),
+        int(iterations), int(num_buckets))
+
+
+def ivf_top_k_stored(queries: DataFrame, table: str, id_col: str,
+                     emb_col: str, k: int, n_probe: int = 4) -> DataFrame:
+    """Cosine top-k against a ``write_ivf_index`` store: queries assign
+    to their n_probe nearest stored lists row-locally and broadcast into
+    the bucketed scan. n_probe = n_centroids makes it exhaustive.
+    Output: query_id, item_id, cosine, rank."""
+    return _to_py_df(_jvm_bridge(queries).ivfTopKStored(
+        queries._jdf, table, id_col, emb_col, int(k), int(n_probe)),
+        queries)

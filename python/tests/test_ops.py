@@ -865,6 +865,20 @@ def test_round12d_tokenizer_readability_pca():
     assert all(r["psi"] >= 0.0 and 0.0 <= r["jsd"] <= math.log(2) + 1e-9
                for r in pm)
 
+    # stored IVF index: exhaustive probe finds each query's own vector
+    ops.write_ivf_index(embs, "vec_id", "embedding", "py_ivf",
+                        n_centroids=4, iterations=1, num_buckets=2)
+    try:
+        import pyspark.sql.functions as SF
+        q = embs.filter(SF.col("vec_id") < 5)
+        top = ops.ivf_top_k_stored(q, "py_ivf", "vec_id", "embedding",
+                                   k=3, n_probe=4)
+        assert top.count() == 15  # 5 queries x k=3
+        assert top.filter("rank < 1 OR rank > 3").count() == 0
+    finally:
+        _get_spark().sql("DROP TABLE IF EXISTS py_ivf_centroids")
+        _get_spark().sql("DROP TABLE IF EXISTS py_ivf_lists")
+
     # whitening: per-component variance ~1
     wh = ops.pca_whiten(embs, "embedding", 4).select("pca").collect()
     import statistics

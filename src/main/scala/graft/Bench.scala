@@ -606,6 +606,23 @@ object Bench {
         try m.count() finally release()
       }),
 
+      // ANN serving from the index at rest: write (clustering +
+      // assignment, the one-time cost) + a 100-query batch probing the
+      // stored lists with no corpus-side recompute
+      "ivf_stored" -> (() => {
+        val emb = t("embeddings")
+        graft.ops.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+          "graft_bench_ivf", nCentroids = 16, iterations = 2,
+          numBuckets = 8)
+        try graft.ops.Similarity.ivfTopKStored(
+          emb.filter(col("vec_id") < 100), "graft_bench_ivf",
+          "vec_id", "embedding", k = 10, nProbe = 4).count()
+        finally {
+          spark.sql("DROP TABLE IF EXISTS graft_bench_ivf_centroids")
+          spark.sql("DROP TABLE IF EXISTS graft_bench_ivf_lists")
+        }
+      }),
+
       // incremental dedup vs a stored LSH index: index write (the
       // one-time corpus cost) + a 500-doc batch probe where only
       // batch-derived rows shuffle

@@ -2546,6 +2546,27 @@ object SparkEntry {
           (round(col("jsd"), 6) + 0.0).as("jsd"))
     }),
 
+    "q191_ivf_stored" -> ((s, dir) => {
+      // the vector index AT REST (q108's invariant, store edition):
+      // codebook + inverted lists persist as CorpusStore tables, query
+      // batches search without re-clustering, and probing EVERY stored
+      // list makes the search exhaustive — so it must equal DuckDB's
+      // exact brute force. Ranks recompute on the ROUNDED cosine with
+      // an id tiebreak on both engines.
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.writeIvfIndex(emb, "vec_id", "embedding",
+        "graft_q191_ivf", nCentroids = 8, iterations = 2, numBuckets = 4)
+      val top = ops.Similarity.ivfTopKStored(
+        emb.filter(col("vec_id") < 20), "graft_q191_ivf",
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cosine"), 6).desc, col("item_id"))
+      top.select(col("query_id"), col("item_id"),
+        (round(col("cosine"), 6) + 0.0).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5307,6 +5328,26 @@ object SparkEntry {
         |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
         |    AS jsd
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
+
+    "q191_ivf_stored" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS iid, embedding::DOUBLE[] AS ie FROM embeddings),
+        |sims AS (
+        |  SELECT qid, iid,
+        |    list_dot_product(qe, ie) /
+        |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ie, ie))) AS s
+        |  FROM q, c WHERE iid <> qid),
+        |top AS (
+        |  SELECT qid, iid, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims),
+        |sel AS (SELECT qid, iid, s FROM top WHERE rn <= 10)
+        |SELECT qid AS query_id, iid AS item_id,
+        |  round(s, 6) + 0.0 AS cosine,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(s, 6) DESC, iid) AS rank
+        |FROM sel""".stripMargin,
 
     "q186_embed_cov" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

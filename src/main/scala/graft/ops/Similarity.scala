@@ -292,6 +292,92 @@ object Similarity {
     explodeTopK(grouped, idType)
   }
 
+  /** Persist an IVF index as CorpusStore tables — the vector index AT
+    * REST: `<table>_centroids` (the Lloyd-refined codebook, one bucket)
+    * and `<table>_lists` (item_id, item_emb, item_norm, centroid_id —
+    * the inverted lists, bucketed on centroid_id with norms
+    * precomputed). Clustering, assignment, and norm computation are the
+    * corpus-sized passes of IVF — the store pays them ONCE; every
+    * subsequent query batch via [[ivfTopKStored]] is a broadcast probe
+    * join against the bucketed lists, with zero corpus-side recompute
+    * or exchange. Rewrites are staged (CorpusStore's swap-on-success),
+    * so a failed re-index never destroys the serving index.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      table: String,
+      nCentroids: Int = 16,
+      iterations: Int = 2,
+      numBuckets: Int = 16,
+      centroidBroadcastThreshold: Int = 1024): Unit = {
+    val c = corpus.select(col(idCol).as("item_id"),
+      col(embCol).cast("array<double>").as("item_emb"))
+    val centroids = fitCentroids(c, nCentroids, iterations,
+      centroidBroadcastThreshold)
+    require(centroids.nonEmpty, "cannot index an empty corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+    graft.io.CorpusStore.writeBucketed(centDf, s"${table}_centroids",
+      "centroid_id", 1)
+    val sc = spark.sparkContext
+    val assign = assignTopCentroids(sc, centroidBroadcastThreshold) _
+    val lists = c.select(col("item_id"), col("item_emb"),
+      norm(col("item_emb")).as("item_norm"),
+      assign(col("item_emb"), centroids, 1)(0).as("centroid_id"))
+    graft.io.CorpusStore.writeBucketed(lists, s"${table}_lists",
+      "centroid_id", numBuckets)
+  }
+
+  /** [[ivfTopK]] against a [[writeIvfIndex]] store: the codebook is a
+    * constant-bounded collect (nCentroids rows), queries assign to
+    * their nProbe lists row-locally and broadcast into the bucketed
+    * inverted-list scan — the stored corpus never re-clusters,
+    * re-assigns, re-norms, or shuffles; the only exchange is the
+    * bounded per-query top-k aggregate. nProbe = nCentroids makes the
+    * search exhaustive (equal to brute force), which is the
+    * driver-oracle invariant.
+    */
+  def ivfTopKStored(
+      queries: DataFrame,
+      table: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = graft.io.CorpusStore
+      .readBucketed(spark, s"${table}_centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val idType = queries.schema(idCol).dataType
+    val sc = spark.sparkContext
+    def assignTop(emb: Column, cs: Array[Array[Double]], n: Int): Column =
+      assignTopCentroids(sc, centroidBroadcastThreshold)(emb, cs, n)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("query_emb"))
+    val probes = q.select(col("query_id"), col("query_emb"),
+      norm(col("query_emb")).as("__qn"),
+      explode(assignTop(col("query_emb"), centroids, nProbe))
+        .as("centroid_id"))
+    val inverted = graft.io.CorpusStore
+      .readBucketed(spark, s"${table}_lists")
+    val grouped = inverted.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        when(col("__qn") > 0 && col("item_norm") > 0,
+          dot(col("query_emb"), col("item_emb")) /
+            (col("__qn") * col("item_norm"))).otherwise(0.0).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
+    explodeTopK(grouped, idType)
+  }
+
   /** Recall@k of an approximate ANN result against an exact one (both
     * in the (query_id, item_id, cosine, rank) shape the top-k ops
     * return): per-query fraction of the exact neighbors the approximate

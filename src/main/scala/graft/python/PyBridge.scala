@@ -1011,4 +1011,17 @@ object PyBridge {
       shingleK: Int, threshold: Double): DataFrame =
     graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
       numHashes, bands, shingleK, threshold)
+
+  /** Persist an IVF ANN index (codebook + bucketed inverted lists). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      table: String, nCentroids: Int, iterations: Int,
+      numBuckets: Int): Unit =
+    graft.ops.Similarity.writeIvfIndex(corpus, idCol, embCol, table,
+      nCentroids, iterations, numBuckets)
+
+  /** Approximate top-k search against a stored IVF index. */
+  def ivfTopKStored(queries: DataFrame, table: String, idCol: String,
+      embCol: String, k: Int, nProbe: Int): DataFrame =
+    graft.ops.Similarity.ivfTopKStored(queries, table, idCol, embCol,
+      k, nProbe)
 }
