@@ -1312,3 +1312,14 @@ def ivf_top_k_stored(queries: DataFrame, table: str, id_col: str,
     return _to_py_df(_jvm_bridge(queries).ivfTopKStored(
         queries._jdf, table, id_col, emb_col, int(k), int(n_probe)),
         queries)
+
+
+def negative_samples(df: DataFrame, id_col: str, k: int,
+                     domain: DataFrame) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    md5-drawn partner ids per anchor over the dense [0, N) id domain of
+    ``domain`` (zero shuffle, zero RNG state — same pairs at any scale
+    or partitioning; an anchor never draws itself). Output: anchor_id,
+    j, neg_id."""
+    return _to_py_df(_jvm_bridge(df).negativeSamples(
+        df._jdf, id_col, int(k), domain._jdf), df)

@@ -865,6 +865,13 @@ def test_round12d_tokenizer_readability_pca():
     assert all(r["psi"] >= 0.0 and 0.0 <= r["jsd"] <= math.log(2) + 1e-9
                for r in pm)
 
+    # negative sampling: k per anchor, never self, deterministic
+    neg1 = ops.negative_samples(embs.limit(10), "vec_id", 3, embs).collect()
+    neg2 = ops.negative_samples(embs.limit(10), "vec_id", 3, embs).collect()
+    assert len(neg1) == 30
+    assert all(r["neg_id"] != r["anchor_id"] for r in neg1)
+    assert sorted(map(tuple, neg1)) == sorted(map(tuple, neg2))
+
     # stored IVF index: exhaustive probe finds each query's own vector
     ops.write_ivf_index(embs, "vec_id", "embedding", "py_ivf",
                         n_centroids=4, iterations=1, num_buckets=2)

@@ -2567,6 +2567,16 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
+    "q192_negative_sampling" -> ((s, dir) => {
+      // deterministic contrastive negative sampling: 4 md5-drawn
+      // partners per anchor over the dense vec_id domain, zero shuffle,
+      // zero RNG state — the oracle re-derives every draw from the
+      // same md5 formula, so the pairing is hash-checked end to end
+      val emb = t(s, dir, "embeddings")
+      ops.Sampling.negativeSamples(emb.filter(col("vec_id") < 100),
+        "vec_id", k = 4, domain = emb)
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5328,6 +5338,20 @@ object SparkEntry {
         |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
         |    AS jsd
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
+
+    "q192_negative_sampling" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id FROM embeddings
+        |      WHERE vec_id < 100),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |d AS (SELECT anchor_id, j::BIGINT AS j,
+        |    CAST(('0x' || substring(md5(anchor_id::VARCHAR || ':' ||
+        |      j::VARCHAR), 1, 13)) AS BIGINT) % n.n AS raw, n.n AS n
+        |  FROM a, js, n)
+        |SELECT anchor_id, j,
+        |  CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END
+        |    AS neg_id
+        |FROM d""".stripMargin,
 
     "q191_ivf_stored" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

@@ -405,4 +405,40 @@ object Sampling {
     df.filter(col(sourceCol).isNotNull)
       .withColumn("interleave_rank", row_number().over(w).cast("long"))
   }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: `k`
+    * pseudo-random partner ids per anchor, drawn as
+    * md5(anchor ':' j) (52-bit) mod N over a DENSE integer id domain
+    * [0, N) — the caller's corpus must carry such ids (write one with
+    * [[graft.io.ShardWriter]] or a row-number pass if it doesn't). A
+    * draw that lands on the anchor itself advances by 1 mod N, so no
+    * anchor is ever its own negative. Repeats across j are possible
+    * and standard (sampling WITH replacement).
+    *
+    * Zero shuffle and zero RNG state: the domain size attaches as a
+    * broadcast 1-row cross join and every draw is a row-local md5 —
+    * the same pairs come out at any scale, partitioning, or engine
+    * (the formula is exactly SQL-expressible, so draws are
+    * oracle-checkable). Output: anchor_id, j, neg_id.
+    */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      domain: DataFrame): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = domain.agg(count(lit(1)).as("__n"))
+    df.select(col(idCol).as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("__n"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        (md5Hash52(concat(col("anchor_id").cast("string"), lit(":"),
+          col("j").cast("string"))) % col("__n")).as("__raw"),
+        col("__n"))
+      .select(col("anchor_id"), col("j"),
+        when(col("__raw") === col("anchor_id"),
+          (col("__raw") + 1) % col("__n"))
+          .otherwise(col("__raw")).as("neg_id"))
+  }
 }

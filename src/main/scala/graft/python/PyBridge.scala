@@ -1012,6 +1012,11 @@ object PyBridge {
     graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
       numHashes, bands, shingleK, threshold)
 
+  /** Deterministic md5 negative sampling over a dense id domain. */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int,
+      domain: DataFrame): DataFrame =
+    graft.ops.Sampling.negativeSamples(df, idCol, k, domain)
+
   /** Persist an IVF ANN index (codebook + bucketed inverted lists). */
   def writeIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
       table: String, nCentroids: Int, iterations: Int,
