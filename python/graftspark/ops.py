@@ -1323,3 +1323,23 @@ def negative_samples(df: DataFrame, id_col: str, k: int,
     j, neg_id."""
     return _to_py_df(_jvm_bridge(df).negativeSamples(
         df._jdf, id_col, int(k), domain._jdf), df)
+
+
+def write_fingerprint_reference(reference: DataFrame, text_col: str,
+                                table: str, num_buckets: int = 16) -> None:
+    """Persist a reference corpus's distinct normalized-text md5
+    fingerprints as a bucketed store table — the EXACT half of
+    incremental ingest dedup (``write_minhash_reference`` is the fuzzy
+    half)."""
+    _jvm_bridge(reference).writeFingerprintReference(
+        reference._jdf, text_col, table, int(num_buckets))
+
+
+def filter_unseen_against_store(docs: DataFrame, table: str,
+                                text_col: str) -> DataFrame:
+    """Rows whose normalized-text fingerprint is NOT in a
+    ``write_fingerprint_reference`` store. Stateless anti join against
+    the static bucketed table, so the same call screens batch frames
+    AND streaming frames (no state store, no watermark)."""
+    return _to_py_df(_jvm_bridge(docs).filterUnseenAgainstStore(
+        docs._jdf, table, text_col), docs)

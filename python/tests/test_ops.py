@@ -865,6 +865,16 @@ def test_round12d_tokenizer_readability_pca():
     assert all(r["psi"] >= 0.0 and 0.0 <= r["jsd"] <= math.log(2) + 1e-9
                for r in pm)
 
+    # stored exact-dedup screen: seen texts drop, fresh pass
+    ops.write_fingerprint_reference(docs.limit(50), "text", "py_fp_ref",
+                                    num_buckets=2)
+    try:
+        kept = ops.filter_unseen_against_store(docs.limit(100),
+                                               "py_fp_ref", "text")
+        assert kept.count() == 50
+    finally:
+        _get_spark().sql("DROP TABLE IF EXISTS py_fp_ref")
+
     # negative sampling: k per anchor, never self, deterministic
     neg1 = ops.negative_samples(embs.limit(10), "vec_id", 3, embs).collect()
     neg2 = ops.negative_samples(embs.limit(10), "vec_id", 3, embs).collect()

@@ -2577,6 +2577,21 @@ object SparkEntry {
         "vec_id", k = 4, domain = emb)
     }),
 
+    "q193_dedup_stored" -> ((s, dir) => {
+      // the EXACT half of incremental ingest dedup: normalized-text
+      // fingerprints of the doc_id >= 250 half persist as a bucketed
+      // store; screening the full corpus keeps exactly the docs whose
+      // text is not in the store. Stateless anti join (stream-capable,
+      // spec'd streamed==batch); the oracle recomputes membership from
+      // the same md5 fingerprint in SQL.
+      val docs = t(s, dir, "documents")
+      ops.Dedup.writeFingerprintReference(
+        docs.filter(col("doc_id") >= 250), "text", "graft_q193_ref",
+        numBuckets = 4)
+      ops.Dedup.filterUnseenAgainstStore(docs, "graft_q193_ref", "text")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5338,6 +5353,12 @@ object SparkEntry {
         |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
         |    AS jsd
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
+
+    "q193_dedup_stored" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) NOT IN
+        |  (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |   FROM documents WHERE doc_id >= 250)""".stripMargin,
 
     "q192_negative_sampling" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n FROM embeddings),

@@ -926,6 +926,42 @@ object Dedup {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Persist a reference corpus's distinct normalized-text fingerprints
+    * ([[TextOps.fingerprint]]) as a bucketed store table — the EXACT
+    * half of incremental ingest dedup (the fuzzy half is
+    * [[writeMinHashReference]]): pay the reference's fingerprint +
+    * distinct + shuffle once, then screen every new batch — or STREAM,
+    * see [[filterUnseenAgainstStore]] — against it with the stored side
+    * scanning bucketed and exchange-free.
+    */
+  def writeFingerprintReference(
+      reference: DataFrame,
+      textCol: String,
+      table: String,
+      numBuckets: Int): Unit =
+    graft.io.CorpusStore.writeBucketed(
+      reference.select(TextOps.fingerprint(col(textCol)).as("fp"))
+        .distinct(),
+      table, "fp", numBuckets, Seq("fp"))
+
+  /** Rows of `docs` whose normalized-text fingerprint does NOT appear
+    * in a [[writeFingerprintReference]] store — a STATELESS left-anti
+    * join against the static bucketed table, so the same call works on
+    * a batch frame and on a STREAMING frame (stream-static anti joins
+    * need no state store and no watermark; Spark recomputes nothing on
+    * the static side beyond the bucketed scan). All input columns pass
+    * through untouched.
+    */
+  def filterUnseenAgainstStore(
+      docs: DataFrame,
+      table: String,
+      textCol: String): DataFrame = {
+    val ref = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, table)
+    docs.join(ref, TextOps.fingerprint(col(textCol)) === col("fp"),
+      "left_anti")
+  }
+
   /** Persist a reference corpus's MinHash-LSH index as CorpusStore
     * bucketed tables, for INCREMENTAL near-dup screening: dedup every
     * new batch against the historical corpus without recomputing or

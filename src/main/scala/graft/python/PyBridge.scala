@@ -1012,6 +1012,17 @@ object PyBridge {
     graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
       numHashes, bands, shingleK, threshold)
 
+  /** Persist distinct normalized-text fingerprints as a store table. */
+  def writeFingerprintReference(reference: DataFrame, textCol: String,
+      table: String, numBuckets: Int): Unit =
+    graft.ops.Dedup.writeFingerprintReference(reference, textCol, table,
+      numBuckets)
+
+  /** Keep rows whose fingerprint is NOT in the store (batch or stream). */
+  def filterUnseenAgainstStore(docs: DataFrame, table: String,
+      textCol: String): DataFrame =
+    graft.ops.Dedup.filterUnseenAgainstStore(docs, table, textCol)
+
   /** Deterministic md5 negative sampling over a dense id domain. */
   def negativeSamples(df: DataFrame, idCol: String, k: Int,
       domain: DataFrame): DataFrame =
