@@ -1343,3 +1343,29 @@ def filter_unseen_against_store(docs: DataFrame, table: str,
     AND streaming frames (no state store, no watermark)."""
     return _to_py_df(_jvm_bridge(docs).filterUnseenAgainstStore(
         docs._jdf, table, text_col), docs)
+
+
+def write_image_hash_reference(reference: DataFrame, id_col: str,
+                               blob_col: str, table: str,
+                               use_dhash: bool = True,
+                               num_buckets: int = 16,
+                               max_bucket_size: int = 10000) -> None:
+    """Persist a reference corpus's perceptual-hash LSH buckets as a
+    bucketed store table — incremental IMAGE dedup: decode + hash the
+    history once, then screen new image batches with
+    ``image_hash_near_dups_stored``."""
+    _jvm_bridge(reference).writeImageHashReference(
+        reference._jdf, id_col, blob_col, table, bool(use_dhash),
+        int(num_buckets), int(max_bucket_size))
+
+
+def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
+                                blob_col: str, max_hamming: int = 3,
+                                use_dhash: bool = True) -> DataFrame:
+    """Near-duplicate (new image, stored image) pairs by banded Hamming
+    distance against a ``write_image_hash_reference`` store (recall
+    exact for max_hamming <= 3; the stored side never re-decodes or
+    re-exchanges). Output: new_id, ref_id, hamming."""
+    return _to_py_df(_jvm_bridge(docs).imageHashNearDupsStored(
+        docs._jdf, table, id_col, blob_col, int(max_hamming),
+        bool(use_dhash)), docs)

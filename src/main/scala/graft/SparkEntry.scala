@@ -2592,6 +2592,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    "q194_image_hash_stored" -> ((s, dir) => {
+      // incremental IMAGE dedup against a stored perceptual-hash index
+      // (q189's multimodal twin): the analytic PPM fixtures for
+      // doc_id < 100 persist as band buckets, a batch of exact copies
+      // (+100000) probes them, and every copy must recover its original
+      // at hamming exactly 0 — identical pixels, identical dHash, all
+      // four bands collide. Oracle from the planting rule alone.
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val ref = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.writeImageHashReference(ref, "doc_id", "blob",
+        "graft_q194_ref", numBuckets = 4)
+      val batch = ids.filter(_ < 40)
+        .map(id => (id + 100000L, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.imageHashNearDupsStored(batch, "graft_q194_ref",
+        "doc_id", "blob", maxHamming = 0)
+        .filter(col("ref_id") === col("new_id") - 100000L)
+        .select(col("ref_id").as("doc_id"), col("new_id").as("dup_id"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     "q186_embed_cov" -> ((s, dir) => {
       // upper-triangular sample covariance of the embedding dimensions:
       // ONE map-side-combined aggregate (d + d^2 + 1 doubles of state),
@@ -5353,6 +5377,10 @@ object SparkEntry {
         |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
         |    AS jsd
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
+
+    "q194_image_hash_stored" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
+        |FROM documents WHERE doc_id < 40""".stripMargin,
 
     "q193_dedup_stored" ->
       """SELECT doc_id, n_chars FROM documents

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, bit_count, col, collect_list,
-  count, lit, posexplode, shiftrightunsigned, size}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{array, bit_count, broadcast, col,
+  collect_list, count, lit, posexplode, shiftrightunsigned, size, xxhash64}
 
 /** REAL media decode for self-contained formats that need no external
   * codec libraries: PPM (P6) raster images and WAV (RIFF PCM16) audio —
@@ -224,6 +224,74 @@ object Media {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
     (result, () => { hashes.unpersist(blocking = false); () })
+  }
+
+  private def bandCols(h: Column): Column =
+    array((0 until 4).map(b =>
+      shiftrightunsigned(h, 16 * b).bitwiseAND(lit(0xffffL))): _*)
+
+  /** Persist a reference corpus's perceptual-hash LSH buckets as a
+    * CorpusStore table — incremental IMAGE dedup, the multimodal twin
+    * of [[Dedup.writeMinHashReference]]: decode + hash + band-bucket
+    * the historical images ONCE; each new batch then probes with
+    * [[imageHashNearDupsStored]] and only batch-derived rows shuffle.
+    * One table suffices (`<table>_buckets`: bb, id, h) because the
+    * 8-byte hash rides each of its 4 band rows — no second fetch join.
+    * Oversized (flat-image) buckets drop at write time.
+    */
+  def writeImageHashReference(
+      reference: DataFrame, idCol: String, blobCol: String,
+      table: String, useDHash: Boolean = true, numBuckets: Int = 16,
+      maxBucketSize: Int = 10000): Unit = {
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    val banded = imageHashes(reference, idCol, blobCol)
+      .select(col("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
+      .select(col("id"), col("h"),
+        xxhash64(col("band"), col("bucket")).as("bb"))
+    val oversized = banded.groupBy(col("bb"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("bb"), lit(1).as("__drop"))
+    val kept = banded.join(broadcast(oversized), Seq("bb"), "left")
+      .filter(col("__drop").isNull).drop("__drop")
+    graft.io.CorpusStore.writeBucketed(kept, s"${table}_buckets",
+      "bb", numBuckets, Seq("bb"))
+  }
+
+  /** Near-duplicate (new image, stored image) pairs by banded Hamming
+    * distance against a [[writeImageHashReference]] store: the batch
+    * decodes and hashes row-locally, its band rows broadcast-or-shuffle
+    * into the bucketed stored scan (the store never re-decodes or
+    * re-exchanges), candidate pairs dedupe across bands, and the exact
+    * bit_count Hamming verify decides. Recall is exact for
+    * `maxHamming` <= 3 by the 4-band pigeonhole. Pass the same
+    * `useDHash` as at write time. Output: new_id, ref_id, hamming.
+    */
+  def imageHashNearDupsStored(
+      docs: DataFrame, table: String, idCol: String, blobCol: String,
+      maxHamming: Int = 3, useDHash: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    val probe = imageHashes(docs, idCol, blobCol)
+      .select(col("id").as("new_id"), col(hashCol).as("h_new"))
+      .select(col("new_id"), col("h_new"),
+        posexplode(bandCols(col("h_new"))).as(Seq("band", "bucket")))
+      .select(col("new_id"), col("h_new"),
+        xxhash64(col("band"), col("bucket")).as("bb"))
+    val ref = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, s"${table}_buckets")
+    probe.join(ref, Seq("bb"))
+      .select(col("new_id"), col("id").as("ref_id"),
+        col("h_new"), col("h").as("h_ref"))
+      .distinct() // hash values are functions of the ids, so this
+                  // dedupes multi-band collisions of the same pair
+      .select(col("new_id"), col("ref_id"),
+        bit_count(col("h_new").bitwiseXOR(col("h_ref"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */

@@ -1012,6 +1012,20 @@ object PyBridge {
     graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
       numHashes, bands, shingleK, threshold)
 
+  /** Persist an image perceptual-hash LSH index as a store table. */
+  def writeImageHashReference(reference: DataFrame, idCol: String,
+      blobCol: String, table: String, useDHash: Boolean,
+      numBuckets: Int, maxBucketSize: Int): Unit =
+    graft.ops.Media.writeImageHashReference(reference, idCol, blobCol,
+      table, useDHash, numBuckets, maxBucketSize)
+
+  /** Near-dup (new image, stored image) pairs vs a stored index. */
+  def imageHashNearDupsStored(docs: DataFrame, table: String,
+      idCol: String, blobCol: String, maxHamming: Int,
+      useDHash: Boolean): DataFrame =
+    graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
+      maxHamming, useDHash)
+
   /** Persist distinct normalized-text fingerprints as a store table. */
   def writeFingerprintReference(reference: DataFrame, textCol: String,
       table: String, numBuckets: Int): Unit =
