@@ -1278,7 +1278,7 @@ def psi_matrix(df: DataFrame, group_col: str, value_col: str,
     """Pairwise PSI/JSD drift matrix across ALL groups of a column in
     one corpus scan (one KLL sketch per group, then the K(K-1)/2 pair
     scores read off the broadcast sketch table). Output: group_a,
-    group_b, n_a, n_b, psi, jsd."""
+    group_b, n_a, n_b, psi, jsd, ks."""
     return _to_py_df(_jvm_bridge(df).psiMatrix(
         df._jdf, group_col, value_col, [float(e) for e in edges]), df)
 

@@ -2543,7 +2543,8 @@ object SparkEntry {
         edges)
         .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
           (round(col("psi"), 6) + 0.0).as("psi"),
-          (round(col("jsd"), 6) + 0.0).as("jsd"))
+          (round(col("jsd"), 6) + 0.0).as("jsd"),
+          (round(col("ks"), 6) + 0.0).as("ks"))
     }),
 
     "q191_ivf_stored" -> ((s, dir) => {
@@ -5356,7 +5357,9 @@ object SparkEntry {
         |    greatest(r1 / n::DOUBLE - r0 / n::DOUBLE, 1e-6) AS p1,
         |    greatest(r2 / n::DOUBLE - r1 / n::DOUBLE, 1e-6) AS p2,
         |    greatest(r3 / n::DOUBLE - r2 / n::DOUBLE, 1e-6) AS p3,
-        |    greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4
+        |    greatest(1.0 - r3 / n::DOUBLE, 1e-6) AS p4,
+        |    r0 / n::DOUBLE AS f0, r1 / n::DOUBLE AS f1,
+        |    r2 / n::DOUBLE AS f2, r3 / n::DOUBLE AS f3
         |  FROM c)
         |SELECT a.source AS group_a, b.source AS group_b,
         |  a.n AS n_a, b.n AS n_b,
@@ -5375,7 +5378,9 @@ object SparkEntry {
         |       + b.p3 * ln(b.p3 / ((a.p3 + b.p3) / 2))) * 0.5
         |      + (a.p4 * ln(a.p4 / ((a.p4 + b.p4) / 2))
         |       + b.p4 * ln(b.p4 / ((a.p4 + b.p4) / 2))) * 0.5, 6) + 0.0
-        |    AS jsd
+        |    AS jsd,
+        |  round(greatest(abs(a.f0 - b.f0), abs(a.f1 - b.f1),
+        |    abs(a.f2 - b.f2), abs(a.f3 - b.f3)), 6) + 0.0 AS ks
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
 
     "q194_image_hash_stored" ->

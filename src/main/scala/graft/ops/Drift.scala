@@ -493,7 +493,8 @@ object Drift {
     * matrix has. Exact below sketch capacity, rank-error-bounded above.
     *
     * Output: group_a, group_b (group_a < group_b lexicographically),
-    * n_a, n_b, psi, jsd.
+    * n_a, n_b, psi, jsd, ks (the [[ks]] grid statistic over the same
+    * edges — the bounded, bin-free companion score).
     */
   def psiMatrix(
       df: org.apache.spark.sql.DataFrame,
@@ -528,7 +529,8 @@ object Drift {
     val out = a.join(broadcast(b), col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         psi(col("__ska"), col("__skb"), edges, eps).as("psi"),
-        jsd(col("__ska"), col("__skb"), edges, eps).as("jsd"))
+        jsd(col("__ska"), col("__skb"), edges, eps).as("jsd"),
+        ks(col("__ska"), col("__skb"), edges).as("ks"))
     (out, () => { sk.unpersist(blocking = false); () })
   }
 }

@@ -29,6 +29,7 @@ class PsiMatrixSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.length shouldBe 1
     r(0).getAs[Double]("psi") shouldBe (0.0 +- 1e-12)
     r(0).getAs[Double]("jsd") shouldBe (0.0 +- 1e-12)
+    r(0).getAs[Double]("ks") shouldBe (0.0 +- 1e-12)
   }
 
   test("disjoint distributions: large psi, jsd near its ln 2 bound") {
@@ -40,6 +41,7 @@ class PsiMatrixSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getAs[String]("group_b") shouldBe "lo"
     r.getAs[Double]("psi") should be > 10.0
     r.getAs[Double]("jsd") shouldBe (math.log(2.0) +- 1e-4)
+    r.getAs[Double]("ks") shouldBe (1.0 +- 1e-12)
   }
 
   test("two-group matrix equals the two-cohort psi/jsd expressions") {
@@ -53,9 +55,11 @@ class PsiMatrixSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val b = sk.filter(col("g") === "b").select(col("sk").as("skb"))
     val direct = a.crossJoin(b).select(
       Drift.psi(col("ska"), col("skb"), edges).as("psi"),
-      Drift.jsd(col("ska"), col("skb"), edges).as("jsd")).collect()(0)
+      Drift.jsd(col("ska"), col("skb"), edges).as("jsd"),
+      Drift.ks(col("ska"), col("skb"), edges).as("ks")).collect()(0)
     viaMatrix.getAs[Double]("psi") shouldBe direct.getDouble(0)
     viaMatrix.getAs[Double]("jsd") shouldBe direct.getDouble(1)
+    viaMatrix.getAs[Double]("ks") shouldBe direct.getDouble(2)
   }
 
   test("K groups give K(K-1)/2 rows; the corpus aggregates once (both " +
