@@ -1369,3 +1369,19 @@ def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
     return _to_py_df(_jvm_bridge(docs).imageHashNearDupsStored(
         docs._jdf, table, id_col, blob_col, int(max_hamming),
         bool(use_dhash)), docs)
+
+
+def write_bpe_merges(merges: DataFrame, table: str) -> None:
+    """Persist a ``bpe_train`` merge table as a store table, so a
+    vocabulary trained once serves every later encode job."""
+    _jvm_bridge(merges).writeBpeMerges(merges._jdf, table)
+
+
+def bpe_encode_stored(df: DataFrame, id_col: str, text_col: str,
+                      table: str) -> DataFrame:
+    """Piece counts per row against a ``write_bpe_merges`` store — the
+    merge list is collected (k rows) and replayed row-locally; a
+    zero-shuffle map pass on batch or streaming frames. Output: id,
+    n_pieces."""
+    return _to_py_df(_jvm_bridge(df).bpeEncodeStored(
+        df._jdf, id_col, text_col, table), df)

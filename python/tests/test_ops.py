@@ -820,6 +820,15 @@ def test_round12d_tokenizer_readability_pca():
     enc0 = ops.bpe_encode(docs, "doc_id", "text",
                           merges.filter("step < 0"))  # empty merge table
     enc5 = ops.bpe_encode(docs, "doc_id", "text", merges)
+    # stored merge table: encode-from-store equals direct encode
+    ops.write_bpe_merges(merges, "py_bpe_merges")
+    try:
+        stored = ops.bpe_encode_stored(docs, "doc_id", "text",
+                                       "py_bpe_merges")
+        assert sorted(map(tuple, stored.collect())) == \
+            sorted(map(tuple, enc5.collect()))
+    finally:
+        _get_spark().sql("DROP TABLE IF EXISTS py_bpe_merges")
     tot0 = enc0.agg({"n_pieces": "sum"}).collect()[0][0]
     tot5 = enc5.agg({"n_pieces": "sum"}).collect()[0][0]
     assert tot5 < tot0  # merging strictly reduces piece count here

@@ -957,6 +957,20 @@ object PyBridge {
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
     graft.ops.Tokenizer.bpeTrain(df, textCol, merges)
 
+  /** Persist a bpeTrain merge table as a store table. */
+  def writeBpeMerges(merges: DataFrame, table: String): Unit = {
+    val ms = merges.orderBy("step").collect().zipWithIndex.map {
+      case (r, i) => graft.ops.Tokenizer.Merge(i, r.getString(1),
+        r.getString(2), r.getLong(3))
+    }.toSeq
+    graft.ops.Tokenizer.writeMerges(ms, table, merges.sparkSession)
+  }
+
+  /** Encode piece counts against a stored merge table. */
+  def bpeEncodeStored(df: DataFrame, idCol: String, textCol: String,
+      table: String): DataFrame =
+    graft.ops.Tokenizer.encodeWithStored(df, idCol, textCol, table)
+
   /** Encode piece counts with a learned merge table (a [[bpeTrain]]
     * result — collected here; it is merge-count-sized by construction).
     */

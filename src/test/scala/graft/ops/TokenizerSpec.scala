@@ -74,6 +74,25 @@ class TokenizerSpec extends AnyFunSpec with SparkSuiteBase {
     }
   }
 
+  describe("merge store") {
+    it("write -> encodeWithStored equals direct encode with the " +
+        "trained merges") {
+      val df = Seq.fill(3)("aaab").union(Seq.fill(2)("ab")).toDF("text")
+      val ms = Tokenizer.trainMerges(df, "text", 3)
+      Tokenizer.writeMerges(ms, "bpe_store_eq", spark)
+      try {
+        val docs = Seq((1L, "aaab ab xyz"), (2L, "aaa 42")).toDF("doc_id", "text")
+        val stored = Tokenizer.encodeWithStored(docs, "doc_id", "text",
+          "bpe_store_eq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val direct = docs.select(col("doc_id"),
+          Tokenizer.encodePieceCount(col("text"),
+            ms.map(m => (m.left, m.right))).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(stored == direct)
+      } finally spark.sql("DROP TABLE IF EXISTS bpe_store_eq")
+    }
+  }
+
   describe("oracle generator") {
     it("emits one CTE block per merge and a final union of the steps") {
       val sql = Tokenizer.bpeTrainOracleSql("documents", "text", 3)
