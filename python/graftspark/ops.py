@@ -1385,3 +1385,48 @@ def bpe_encode_stored(df: DataFrame, id_col: str, text_col: str,
     n_pieces."""
     return _to_py_df(_jvm_bridge(df).bpeEncodeStored(
         df._jdf, id_col, text_col, table), df)
+
+
+def append_fingerprints(docs: DataFrame, table: str,
+                        text_col: str) -> None:
+    """Grow a ``write_fingerprint_reference`` store with a screened
+    batch: only fingerprints not already present append (history never
+    rewrites). The ingest loop: screen -> process -> append."""
+    _jvm_bridge(docs).appendFingerprints(docs._jdf, table, text_col)
+
+
+def append_minhash_reference(docs: DataFrame, table: str, id_col: str,
+                             text_col: str, num_hashes: int = 64,
+                             bands: int = 16, shingle_k: int = 3,
+                             max_bucket_size: int = 10000) -> None:
+    """Grow a ``write_minhash_reference`` store with a new batch (ids
+    assumed fresh — screen first). Same parameters as at write time."""
+    _jvm_bridge(docs).appendMinHashReference(
+        docs._jdf, table, id_col, text_col, int(num_hashes), int(bands),
+        int(shingle_k), int(max_bucket_size))
+
+
+def append_image_hash_reference(docs: DataFrame, id_col: str,
+                                blob_col: str, table: str,
+                                use_dhash: bool = True) -> None:
+    """Grow a ``write_image_hash_reference`` store with a new image
+    batch (screen first)."""
+    _jvm_bridge(docs).appendImageHashReference(
+        docs._jdf, id_col, blob_col, table, bool(use_dhash))
+
+
+def append_to_ivf_index(corpus: DataFrame, id_col: str, emb_col: str,
+                        table: str) -> None:
+    """Grow a ``write_ivf_index`` store: new vectors assign to the
+    FROZEN stored codebook and append to the inverted lists (old
+    queries untouched; re-index periodically after heavy growth)."""
+    _jvm_bridge(corpus).appendToIvfIndex(
+        corpus._jdf, id_col, emb_col, table)
+
+
+def append_novelty_reference(reference: DataFrame, text_col: str,
+                             table: str, n: int = 8) -> None:
+    """Grow a ``write_novelty_reference`` gram store with newly
+    ingested documents (only unseen gram hashes append)."""
+    _jvm_bridge(reference).appendNoveltyReference(
+        reference._jdf, text_col, int(n), table)

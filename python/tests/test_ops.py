@@ -874,13 +874,17 @@ def test_round12d_tokenizer_readability_pca():
     assert all(r["psi"] >= 0.0 and 0.0 <= r["jsd"] <= math.log(2) + 1e-9
                for r in pm)
 
-    # stored exact-dedup screen: seen texts drop, fresh pass
+    # stored exact-dedup screen: seen texts drop, fresh pass; after
+    # appending the screened batch, the whole batch drops
     ops.write_fingerprint_reference(docs.limit(50), "text", "py_fp_ref",
                                     num_buckets=2)
     try:
-        kept = ops.filter_unseen_against_store(docs.limit(100),
-                                               "py_fp_ref", "text")
+        batch = docs.limit(100)
+        kept = ops.filter_unseen_against_store(batch, "py_fp_ref", "text")
         assert kept.count() == 50
+        ops.append_fingerprints(batch, "py_fp_ref", "text")
+        assert ops.filter_unseen_against_store(
+            batch, "py_fp_ref", "text").count() == 0
     finally:
         _get_spark().sql("DROP TABLE IF EXISTS py_fp_ref")
 

@@ -61,9 +61,42 @@ object CorpusStore {
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
+  /** Append rows to an EXISTING bucketed table with the same bucket
+    * spec — the grow-the-store half of incremental ingest: each append
+    * job writes its own per-bucket files (hash partitioning stays
+    * valid for exchange-free reads; multiple files per bucket are
+    * fine), so the history is never rewritten. The caller owns
+    * dedup-before-append semantics; Spark rejects a mismatched bucket
+    * spec.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    val w = df.write.format(format).mode("append")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** Read a bucketed table back (bucket metadata rides the catalog — a
     * bare `spark.read.parquet(path)` would lose it and re-shuffle).
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** The stored bucket count of `table` — appenders read it from the
+    * catalog instead of trusting a caller-passed number, so an append
+    * can never silently mismatch the write-time spec.
+    */
+  def storedNumBuckets(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — not a CorpusStore table"))
 }

@@ -944,6 +944,26 @@ object Dedup {
         .distinct(),
       table, "fp", numBuckets, Seq("fp"))
 
+  /** GROW a fingerprint store with a screened batch: the fingerprints
+    * of `docs` not already present append to the table (anti-join
+    * dedup keeps the store distinct; the history is never rewritten —
+    * each ingest writes only its own per-bucket files). The canonical
+    * ingest loop is screen ([[filterUnseenAgainstStore]]) → process →
+    * append.
+    */
+  def appendFingerprints(
+      docs: DataFrame,
+      table: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val n = graft.io.CorpusStore.storedNumBuckets(spark, table)
+    val fresh = docs
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+      .join(graft.io.CorpusStore.readBucketed(spark, table),
+        Seq("fp"), "left_anti")
+    graft.io.CorpusStore.appendBucketed(fresh, table, "fp", n, Seq("fp"))
+  }
+
   /** Rows of `docs` whose normalized-text fingerprint does NOT appear
     * in a [[writeFingerprintReference]] store — a STATELESS left-anti
     * join against the static bucketed table, so the same call works on
@@ -1014,6 +1034,48 @@ object Dedup {
         "bb", numBuckets, Seq("bb"))
       graft.io.CorpusStore.writeBucketed(sig, s"${table}_sigs",
         "id", numBuckets, Seq("id"))
+    } finally { sig.unpersist(blocking = false); () }
+  }
+
+  /** GROW a MinHash store with a new batch: band buckets and
+    * signatures of `docs` append to the two tables (ids are assumed
+    * fresh — screen first, the ingest contract). The write-time bucket
+    * cap applies per append batch; a store ingesting adversarial
+    * boilerplate for many batches should periodically re-write with
+    * [[writeMinHashReference]] to re-apply the global cap.
+    */
+  def appendMinHashReference(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      maxBucketSize: Int = 10000): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    val nb = graft.io.CorpusStore
+      .storedNumBuckets(spark, s"${table}_buckets")
+    val ns = graft.io.CorpusStore.storedNumBuckets(spark, s"${table}_sigs")
+    val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleK)
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = sig.select(col("id"),
+        posexplode(graft.functions.band_hashes(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+        .select(col("id"), xxhash64(col("band"), col("bucket")).as("bb"))
+      val oversized = buckets.groupBy(col("bb"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select(col("bb"), lit(1).as("__drop"))
+      val kept = buckets.join(broadcast(oversized), Seq("bb"), "left")
+        .filter(col("__drop").isNull).drop("__drop")
+      graft.io.CorpusStore.appendBucketed(kept, s"${table}_buckets",
+        "bb", nb, Seq("bb"))
+      graft.io.CorpusStore.appendBucketed(sig, s"${table}_sigs",
+        "id", ns, Seq("id"))
     } finally { sig.unpersist(blocking = false); () }
   }
 

@@ -260,6 +260,27 @@ object Media {
       "bb", numBuckets, Seq("bb"))
   }
 
+  /** GROW an image-hash store with a new batch (screen first — ids are
+    * assumed fresh): decode + hash + band rows append to the bucket
+    * table; history never rewrites.
+    */
+  def appendImageHashReference(
+      docs: DataFrame, idCol: String, blobCol: String, table: String,
+      useDHash: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    val n = graft.io.CorpusStore
+      .storedNumBuckets(spark, s"${table}_buckets")
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    val banded = imageHashes(docs, idCol, blobCol)
+      .select(col("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
+      .select(col("id"), col("h"),
+        xxhash64(col("band"), col("bucket")).as("bb"))
+    graft.io.CorpusStore.appendBucketed(banded, s"${table}_buckets",
+      "bb", n, Seq("bb"))
+  }
+
   /** Near-duplicate (new image, stored image) pairs by banded Hamming
     * distance against a [[writeImageHashReference]] store: the batch
     * decodes and hashes row-locally, its band rows broadcast-or-shuffle

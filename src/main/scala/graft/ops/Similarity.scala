@@ -333,6 +333,36 @@ object Similarity {
       "centroid_id", numBuckets)
   }
 
+  /** GROW an IVF index with a new batch: rows assign to the EXISTING
+    * stored centroids (no re-clustering — the codebook is the index's
+    * contract; recall of old queries is untouched) and append to the
+    * inverted lists. After heavy growth the codebook drifts from the
+    * data's true centers; periodically re-index with [[writeIvfIndex]].
+    */
+  def appendToIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      table: String,
+      centroidBroadcastThreshold: Int = 1024): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = graft.io.CorpusStore
+      .readBucketed(spark, s"${table}_centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, s"$table has an empty codebook")
+    val n = graft.io.CorpusStore.storedNumBuckets(spark, s"${table}_lists")
+    val sc = spark.sparkContext
+    val assign = assignTopCentroids(sc, centroidBroadcastThreshold) _
+    val lists = corpus.select(col(idCol).as("item_id"),
+      col(embCol).cast("array<double>").as("item_emb"))
+      .select(col("item_id"), col("item_emb"),
+        norm(col("item_emb")).as("item_norm"),
+        assign(col("item_emb"), centroids, 1)(0).as("centroid_id"))
+    graft.io.CorpusStore.appendBucketed(lists, s"${table}_lists",
+      "centroid_id", n)
+  }
+
   /** [[ivfTopK]] against a [[writeIvfIndex]] store: the codebook is a
     * constant-bounded collect (nCentroids rows), queries assign to
     * their nProbe lists row-locally and broadcast into the bucketed

@@ -375,6 +375,29 @@ object TextOps {
       table, "gh", numBuckets, Seq("gh"))
   }
 
+  /** GROW a novelty gram store with newly ingested documents: gram
+    * hashes not already present append (anti-join dedup keeps the
+    * store distinct) — the canonical loop is score
+    * ([[ngramNoveltyStored]]) → keep the novel docs → append their
+    * grams, so the reference tracks the corpus without ever rewriting
+    * history.
+    */
+  def appendNoveltyReference(
+      reference: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      table: String): Unit = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val spark = reference.sparkSession
+    val nb = graft.io.CorpusStore.storedNumBuckets(spark, table)
+    val fresh = reference
+      .select(explode(ngrams(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .join(graft.io.CorpusStore.readBucketed(spark, table)
+        .select(col("gh")), Seq("gh"), "left_anti")
+    graft.io.CorpusStore.appendBucketed(fresh, table, "gh", nb, Seq("gh"))
+  }
+
   /** [[ngramNovelty]] against a [[writeNoveltyReference]] table: the
     * stored gram-hash side scans bucketed (its hash partitioning
     * reaches the planner), so the membership join shuffles ONLY the

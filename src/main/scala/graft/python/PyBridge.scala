@@ -1040,6 +1040,34 @@ object PyBridge {
     graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
       maxHamming, useDHash)
 
+  /** Grow a fingerprint store with a screened batch. */
+  def appendFingerprints(docs: DataFrame, table: String,
+      textCol: String): Unit =
+    graft.ops.Dedup.appendFingerprints(docs, table, textCol)
+
+  /** Grow a MinHash store with a new batch (ids assumed fresh). */
+  def appendMinHashReference(docs: DataFrame, table: String,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      shingleK: Int, maxBucketSize: Int): Unit =
+    graft.ops.Dedup.appendMinHashReference(docs, table, idCol, textCol,
+      numHashes, bands, shingleK, maxBucketSize)
+
+  /** Grow an image-hash store with a new batch. */
+  def appendImageHashReference(docs: DataFrame, idCol: String,
+      blobCol: String, table: String, useDHash: Boolean): Unit =
+    graft.ops.Media.appendImageHashReference(docs, idCol, blobCol,
+      table, useDHash)
+
+  /** Grow an IVF index under its frozen stored codebook. */
+  def appendToIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      table: String): Unit =
+    graft.ops.Similarity.appendToIvfIndex(corpus, idCol, embCol, table)
+
+  /** Grow a novelty gram store with newly ingested documents. */
+  def appendNoveltyReference(reference: DataFrame, textCol: String,
+      n: Int, table: String): Unit =
+    graft.ops.TextOps.appendNoveltyReference(reference, textCol, n, table)
+
   /** Persist distinct normalized-text fingerprints as a store table. */
   def writeFingerprintReference(reference: DataFrame, textCol: String,
       table: String, numBuckets: Int): Unit =
