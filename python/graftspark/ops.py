@@ -1430,3 +1430,19 @@ def append_novelty_reference(reference: DataFrame, text_col: str,
     ingested documents (only unseen gram hashes append)."""
     _jvm_bridge(reference).appendNoveltyReference(
         reference._jdf, text_col, int(n), table)
+
+
+def compact_store(spark, table: str) -> None:
+    """Compact a CorpusStore table after many appends: a staged
+    rewrite folds the accumulated per-ingest file sets back together
+    (a failed compaction leaves the store untouched)."""
+    getattr(spark._jvm, "graft.python.PyBridge").compactStore(
+        spark._jsparkSession, table)
+
+
+def store_stats(spark, table: str) -> DataFrame:
+    """Row / bucket / file census of a CorpusStore table — watch
+    files_per_bucket to decide when to ``compact_store``."""
+    jdf = getattr(spark._jvm, "graft.python.PyBridge").storeStats(
+        spark._jsparkSession, table)
+    return DataFrame(jdf, spark)

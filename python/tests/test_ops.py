@@ -885,6 +885,13 @@ def test_round12d_tokenizer_readability_pca():
         ops.append_fingerprints(batch, "py_fp_ref", "text")
         assert ops.filter_unseen_against_store(
             batch, "py_fp_ref", "text").count() == 0
+        spark = _get_spark()
+        before = ops.store_stats(spark, "py_fp_ref").collect()[0]
+        assert before["n_rows"] == 100
+        ops.compact_store(spark, "py_fp_ref")
+        after = ops.store_stats(spark, "py_fp_ref").collect()[0]
+        assert after["n_rows"] == 100
+        assert after["n_files"] <= before["n_files"]
     finally:
         _get_spark().sql("DROP TABLE IF EXISTS py_fp_ref")
 

@@ -88,6 +88,50 @@ object CorpusStore {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Rewrite a store table in place (staged swap, same bucket/sort
+    * spec from the catalog): appends accumulate one file set per
+    * ingest batch, and a compaction folds them back to one file per
+    * bucket — run it when [[storeStats]] shows files-per-bucket
+    * creeping up. Readers are never broken: the swap is the same
+    * staging + rename as [[writeBucketed]], so a failed compaction
+    * leaves the store untouched.
+    */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — not a CorpusStore table"))
+    require(spec.bucketColumnNames.length == 1,
+      s"CorpusStore tables bucket on one column, $table has ${spec.bucketColumnNames}")
+    // repartition on the bucket column with numBuckets tasks: bucket id
+    // and exchange partition use the same murmur hash, so each task
+    // holds exactly one bucket's rows -> ONE file per non-empty bucket
+    val compacted = spark.table(table).repartition(spec.numBuckets,
+      org.apache.spark.sql.functions.col(spec.bucketColumnNames.head))
+    writeBucketed(compacted, table,
+      spec.bucketColumnNames.head, spec.numBuckets,
+      spec.sortColumnNames.toSeq)
+  }
+
+  /** Operational report for a store table: one row with row count,
+    * bucket count, file count, and files-per-bucket — the compaction
+    * trigger metric. File census via `input_file_name` over a
+    * column-pruned scan.
+    */
+  def storeStats(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count_distinct, count, lit,
+      input_file_name, round => sround, col}
+    val n = storedNumBuckets(spark, table)
+    spark.table(table)
+      .select(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__f")).as("n_files"))
+      .select(lit(table).as("table"), col("n_rows"),
+        lit(n).as("n_buckets"), col("n_files"),
+        sround(col("n_files").cast("double") / n, 2)
+          .as("files_per_bucket"))
+  }
+
   /** The stored bucket count of `table` — appenders read it from the
     * catalog instead of trusting a caller-passed number, so an append
     * can never silently mismatch the write-time spec.

@@ -1040,6 +1040,16 @@ object PyBridge {
     graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
       maxHamming, useDHash)
 
+  /** Compact a store table back to one file set (staged swap). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    graft.io.CorpusStore.compactBucketed(spark, table)
+
+  /** Row/bucket/file census of a store table. */
+  def storeStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    graft.io.CorpusStore.storeStats(spark, table)
+
   /** Grow a fingerprint store with a screened batch. */
   def appendFingerprints(docs: DataFrame, table: String,
       textCol: String): Unit =

@@ -129,6 +129,32 @@ class StoreAppendSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("storeStats tracks append file growth; compaction folds it back " +
+      "to one file per bucket without changing the answers") {
+    Dedup.writeFingerprintReference(docs(0, 20), "text", "fp_cmp",
+      numBuckets = 2)
+    try {
+      Dedup.appendFingerprints(docs(20, 40), "fp_cmp", "text")
+      Dedup.appendFingerprints(docs(40, 60), "fp_cmp", "text")
+      val grown = graft.io.CorpusStore.storeStats(spark, "fp_cmp")
+        .collect()(0)
+      grown.getAs[Long]("n_rows") shouldBe 60
+      grown.getAs[Long]("n_files") should be > 2L
+      graft.io.CorpusStore.compactBucketed(spark, "fp_cmp")
+      val compacted = graft.io.CorpusStore.storeStats(spark, "fp_cmp")
+        .collect()(0)
+      compacted.getAs[Long]("n_rows") shouldBe 60
+      // one write pass replaces the three generations' file sets (the
+      // exact count depends on AQE's task coalescing, so pin the
+      // direction, not the number)
+      compacted.getAs[Long]("n_files") should
+        be < grown.getAs[Long]("n_files")
+      // behaviour unchanged: the full corpus still screens to zero
+      Dedup.filterUnseenAgainstStore(docs(0, 60), "fp_cmp", "text")
+        .count() shouldBe 0
+    } finally spark.sql("DROP TABLE IF EXISTS fp_cmp")
+  }
+
   test("append to a non-store table is rejected via the catalog check") {
     import spark.implicits._
     Seq((1L, "x")).toDF("doc_id", "text")
