@@ -1446,3 +1446,24 @@ def store_stats(spark, table: str) -> DataFrame:
     jdf = getattr(spark._jvm, "graft.python.PyBridge").storeStats(
         spark._jsparkSession, table)
     return DataFrame(jdf, spark)
+
+
+def time_to_event(df: DataFrame, key_col: str, ts_col: str,
+                  type_col: str, target_type: str) -> DataFrame:
+    """Per key: duration (micros) from the first event to the first
+    ``target_type`` event, right-censored at the last observed event
+    when the target never comes. One conditional-min/max aggregate.
+    Output: key, duration, observed (1 = target reached)."""
+    return _to_py_df(_jvm_bridge(df).timeToEvent(
+        df._jdf, key_col, ts_col, type_col, target_type), df)
+
+
+def kaplan_meier(df: DataFrame, duration_col: str,
+                 observed_col: str) -> DataFrame:
+    """Kaplan-Meier survival curve with right censoring — the
+    time-to-conversion / churn estimator. Closed-form product via
+    exp(cumsum(ln)); one aggregate to distinct times + one sort.
+    Bucket durations first when cardinality is large. Output: t,
+    n_risk, n_events, n_censored, survival."""
+    return _to_py_df(_jvm_bridge(df).kaplanMeier(
+        df._jdf, duration_col, observed_col), df)

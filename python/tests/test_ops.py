@@ -923,4 +923,17 @@ def test_round12d_tokenizer_readability_pca():
         var = statistics.variance([r["pca"][k] for r in wh])
         assert abs(var - 1.0) < 1e-6, var
 
+    # survival: time-to-purchase curve is monotone non-increasing in (0,1]
+    events = _get_spark().read.parquet(
+        os.path.join(SF_DIR, "events.parquet"))
+    tte = ops.time_to_event(events, "user_id", "ts", "event_type",
+                            "purchase")
+    km = ops.kaplan_meier(
+        tte.selectExpr("key", "duration div 3600000000 as dh", "observed"),
+        "dh", "observed").orderBy("t").collect()
+    assert len(km) > 0
+    surv = [r["survival"] for r in km]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(surv[i] >= surv[i + 1] - 1e-12 for i in range(len(surv) - 1))
+
     print("round-12d tokenizer/readability/pca facade OK")

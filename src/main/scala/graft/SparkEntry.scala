@@ -2578,6 +2578,23 @@ object SparkEntry {
         "vec_id", k = 4, domain = emb)
     }),
 
+    "q195_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-purchase with right censoring: per user,
+      // duration from first event to first purchase (censored at the
+      // last event otherwise), bucketed to hours so the curve's global
+      // window runs over bounded distinct times; survival is the
+      // closed-form exp(cumsum(ln(1 - d/n))) product — every term
+      // SQL-exact, so the oracle replays extraction AND curve
+      val tte = ops.EventStats.timeToEvent(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase")
+        .select(col("key"), expr("duration div 3600000000").as("dh"),
+          col("observed"))
+      ops.EventStats.kaplanMeier(tte, "dh", "observed")
+        .select(col("t"), col("n_risk"), col("n_events"),
+          col("n_censored"), (round(col("survival"), 6) + 0.0)
+            .as("survival"))
+    }),
+
     "q193_dedup_stored" -> ((s, dir) => {
       // the EXACT half of incremental ingest dedup: normalized-text
       // fingerprints of the doc_id >= 250 half persist as a bucketed
@@ -5386,6 +5403,38 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q195_survival" ->
+      """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+        |      AS tp,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT CASE WHEN tp IS NOT NULL THEN tp - t0
+        |      ELSE tmax - t0 END AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs FROM tt),
+        |b AS (SELECT (dur // 3600000000)::BIGINT AS t, obs FROM d
+        |      WHERE dur >= 0),
+        |g AS (SELECT t,
+        |    sum(CASE WHEN obs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_events,
+        |    sum(CASE WHEN obs = 1 THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_censored,
+        |    count(*)::BIGINT AS n_at FROM b GROUP BY 1),
+        |r AS (SELECT *, ((SELECT sum(n_at) FROM g)
+        |    - coalesce(sum(n_at) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    ::BIGINT AS n_risk FROM g),
+        |s AS (SELECT *,
+        |    CASE WHEN sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN n_events < n_risk
+        |        THEN ln(1 - n_events::DOUBLE / n_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
+        |      AS survival
+        |  FROM r)
+        |SELECT t, n_risk, n_events, n_censored,
+        |  round(survival, 6) + 0.0 AS survival
+        |FROM s WHERE n_events > 0""".stripMargin,
 
     "q193_dedup_stored" ->
       """SELECT doc_id, n_chars FROM documents

@@ -266,4 +266,88 @@ object EventStats {
         col("__last_ty").as("last_touch_type"),
         col("__last_t").as("last_touch_t"))
   }
+
+  /** Time-to-event extraction for survival analysis: per key, the
+    * duration (micros) from the FIRST event of any kind to the first
+    * `targetType` event — or, for keys that never reach the target,
+    * to their LAST observed event with `observed = 0` (right
+    * censoring, the subject left the study still event-free). One
+    * aggregate over the events (conditional min/max — no window pass);
+    * keys whose only event is their first observation get duration 0.
+    * Feed the result to [[kaplanMeier]].
+    */
+  def timeToEvent(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      targetType: String): DataFrame = {
+    val t = EventTime.micros(df, tsCol)
+    df.groupBy(col(keyCol).as("key"))
+      .agg(min(t).as("__t0"),
+        min(when(col(typeCol) === targetType, t)).as("__tt"),
+        max(t).as("__tmax"))
+      .select(col("key"),
+        when(col("__tt").isNotNull, col("__tt") - col("__t0"))
+          .otherwise(col("__tmax") - col("__t0")).as("duration"),
+        when(col("__tt").isNotNull, 1).otherwise(0).as("observed"))
+  }
+
+  /** Kaplan–Meier survival curve over (duration, observed) rows —
+    * time-to-conversion / churn with RIGHT CENSORING handled the
+    * standard way (Kaplan & Meier 1958): at each distinct event time
+    * t_i with d_i observed events out of n_i still at risk,
+    * S(t) = prod_{t_i <= t} (1 - d_i / n_i); censored rows leave the
+    * risk set without an event. The product is computed in CLOSED form
+    * as exp(cumsum(ln(1 - d/n))) over one window pass, so the whole
+    * curve is ONE aggregate to distinct times + one sort — no driver
+    * loop, no recursion, and every term is SQL-expressible for oracle
+    * checks. Durations collapse to distinct-time rows first, so the
+    * window runs over |distinct times|, never |subjects| — at
+    * microsecond resolution distinct times approach subject count, so
+    * bucket durations first (floor to seconds / hours) when subject
+    * cardinality is large. Output (one row per distinct OBSERVED event
+    * time, ascending): t, n_risk, n_events, n_censored (censorings AT
+    * t, leaving after it), survival.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String): DataFrame = {
+    val grouped = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L))
+          .as("n_events"),
+        sum(when(col(observedCol) === 1, 0L).otherwise(1L))
+          .as("n_censored"),
+        count(lit(1)).as("__n_at_t"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("__total", sum(col("__n_at_t")).over(
+        Window.orderBy(col("t")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk",
+        col("__total") - coalesce(sum(col("__n_at_t")).over(wPrev), lit(0L)))
+      // a time where EVERYONE at risk has the event makes its factor 0
+      // — Spark's log(0) is NULL, not -inf, so zero factors are
+      // tracked explicitly and survival pins to 0 from there on
+      .withColumn("__lnterm",
+        when(col("n_events") < col("n_risk"),
+          log(lit(1.0) -
+            col("n_events").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__zeros",
+        sum(when(col("n_events") === col("n_risk"), 1L).otherwise(0L))
+          .over(w))
+      .withColumn("survival",
+        when(col("__zeros") > 0, lit(0.0))
+          .otherwise(exp(sum(col("__lnterm")).over(w))))
+      .filter(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
 }

@@ -1040,6 +1040,17 @@ object PyBridge {
     graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
       maxHamming, useDHash)
 
+  /** Time-to-event extraction for survival analysis. */
+  def timeToEvent(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, targetType: String): DataFrame =
+    graft.ops.EventStats.timeToEvent(df, keyCol, tsCol, typeCol,
+      targetType)
+
+  /** Kaplan-Meier survival curve over (duration, observed) rows. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      observedCol: String): DataFrame =
+    graft.ops.EventStats.kaplanMeier(df, durationCol, observedCol)
+
   /** Compact a store table back to one file set (staged swap). */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =

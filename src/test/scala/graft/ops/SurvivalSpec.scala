@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** Kaplan–Meier survival: hand-computed curve on a classic fixture,
+  * censoring semantics, the everyone-dies zero tail, and the
+  * time-to-event extraction feeding it.
+  */
+class SurvivalSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
+  import spark.implicits._
+
+  test("hand-computed curve: factors, risk sets, and censoring at an " +
+      "event time") {
+    // (duration, observed): events at 6 (x2), 7, 13; censored at 6,
+    // 10, 16. Censored-at-6 is still AT RISK at 6 (standard KM).
+    val df = Seq((6L, 1), (6L, 1), (6L, 0), (7L, 1), (10L, 0),
+      (13L, 1), (16L, 0)).toDF("duration", "observed")
+    val got = EventStats.kaplanMeier(df, "duration", "observed")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    got.map(x => (x._1, x._2, x._3, x._4)) shouldBe Array(
+      (6L, 7L, 2L, 1L), (7L, 4L, 1L, 0L), (13L, 2L, 1L, 0L))
+    got(0)._5 shouldBe (5.0 / 7.0 +- 1e-12)
+    got(1)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 +- 1e-12)
+    got(2)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 * 0.5 +- 1e-12)
+  }
+
+  test("when everyone at risk has the event, survival pins to 0 " +
+      "(Spark's log(0)-is-NULL cannot poison the product)") {
+    val df = Seq((1L, 1), (3L, 1), (3L, 1)).toDF("duration", "observed")
+    val got = EventStats.kaplanMeier(df, "duration", "observed")
+      .orderBy("t").collect()
+    got.map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+    got(0).getDouble(4) shouldBe (2.0 / 3.0 +- 1e-12)
+    got(1).getDouble(4) shouldBe 0.0
+  }
+
+  test("all-censored input yields an empty curve; negative and null " +
+      "durations drop") {
+    val df = Seq((5L, 0), (9L, 0)).toDF("duration", "observed")
+    EventStats.kaplanMeier(df, "duration", "observed")
+      .collect() shouldBe empty
+    val bad = Seq((-1L, 1), (4L, 1)).toDF("duration", "observed")
+    EventStats.kaplanMeier(bad, "duration", "observed")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+  }
+
+  test("timeToEvent: duration to first target, censored at last event " +
+      "when the target never comes") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(100), "view"), (1L, ts(200), "purchase"),
+      (1L, ts(300), "view"),
+      (2L, ts(100), "view"), (2L, ts(250), "view"),
+      (3L, ts(500), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStats.timeToEvent(ev, "user_id", "ts", "event_type",
+      "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    got(1L) shouldBe ((100000000L, 1)) // 100s in micros
+    got(2L) shouldBe ((150000000L, 0)) // censored at last view
+    got(3L) shouldBe ((0L, 1))         // target is the first event
+  }
+}
