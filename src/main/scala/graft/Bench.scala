@@ -597,6 +597,16 @@ object Bench {
           .agg(sum(col("p0"))).first(); 1L
       }),
 
+      // KM time-to-purchase: one conditional-min/max aggregate over
+      // the events + a distinct-time window for the closed-form curve
+      "survival" -> (() => {
+        val tte = graft.ops.EventStats.timeToEvent(t("events"),
+          "user_id", "ts", "event_type", "purchase")
+          .select(col("key"), expr("duration div 3600000000").as("dh"),
+            col("observed"))
+        graft.ops.EventStats.kaplanMeier(tte, "dh", "observed").count()
+      }),
+
       // 190-pair source drift matrix off ONE corpus scan (per-group
       // KLL sketches + broadcast pair join)
       "psi_matrix" -> (() => {
