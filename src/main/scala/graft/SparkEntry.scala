@@ -2591,8 +2591,10 @@ object SparkEntry {
           col("observed"))
       ops.EventStats.kaplanMeier(tte, "dh", "observed")
         .select(col("t"), col("n_risk"), col("n_events"),
-          col("n_censored"), (round(col("survival"), 6) + 0.0)
-            .as("survival"))
+          col("n_censored"),
+          (round(col("survival"), 6) + 0.0).as("survival"),
+          (round(col("hazard"), 6) + 0.0).as("hazard"),
+          (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"))
     }),
 
     "q193_dedup_stored" -> ((s, dir) => {
@@ -5430,10 +5432,14 @@ object SparkEntry {
         |    ELSE exp(sum(CASE WHEN n_events < n_risk
         |        THEN ln(1 - n_events::DOUBLE / n_risk) ELSE 0.0 END)
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
-        |      AS survival
+        |      AS survival,
+        |    sum(n_events::DOUBLE / n_risk)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_hazard
         |  FROM r)
         |SELECT t, n_risk, n_events, n_censored,
-        |  round(survival, 6) + 0.0 AS survival
+        |  round(survival, 6) + 0.0 AS survival,
+        |  round(n_events::DOUBLE / n_risk, 6) + 0.0 AS hazard,
+        |  round(cum_hazard, 6) + 0.0 AS cum_hazard
         |FROM s WHERE n_events > 0""".stripMargin,
 
     "q193_dedup_stored" ->

@@ -308,7 +308,9 @@ object EventStats {
     * bucket durations first (floor to seconds / hours) when subject
     * cardinality is large. Output (one row per distinct OBSERVED event
     * time, ascending): t, n_risk, n_events, n_censored (censorings AT
-    * t, leaving after it), survival.
+    * t, leaving after it), survival, hazard (d/n at t), cum_hazard
+    * (the Nelson–Aalen estimator — ≈ −ln(survival), exact when
+    * hazards are small).
     */
   def kaplanMeier(
       df: DataFrame,
@@ -346,8 +348,14 @@ object EventStats {
       .withColumn("survival",
         when(col("__zeros") > 0, lit(0.0))
           .otherwise(exp(sum(col("__lnterm")).over(w))))
+      // companions off the same window pass: the per-time hazard
+      // d/n and the Nelson-Aalen cumulative hazard sum(d/n)
+      .withColumn("hazard",
+        col("n_events").cast("double") / col("n_risk"))
+      .withColumn("cum_hazard", sum(col("hazard")).over(w))
       .filter(col("n_events") > 0)
       .select(col("t"), col("n_risk"), col("n_events"),
-        col("n_censored"), col("survival"))
+        col("n_censored"), col("survival"), col("hazard"),
+        col("cum_hazard"))
   }
 }

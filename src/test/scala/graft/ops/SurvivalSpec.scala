@@ -30,6 +30,13 @@ class SurvivalSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got(0)._5 shouldBe (5.0 / 7.0 +- 1e-12)
     got(1)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 +- 1e-12)
     got(2)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 * 0.5 +- 1e-12)
+    // hazard + Nelson-Aalen off the same rows
+    val hz = EventStats.kaplanMeier(df, "duration", "observed")
+      .orderBy("t").collect()
+      .map(r => (r.getDouble(5), r.getDouble(6)))
+    hz(0)._1 shouldBe (2.0 / 7.0 +- 1e-12)
+    hz(1)._2 shouldBe (2.0 / 7.0 + 1.0 / 4.0 +- 1e-12)
+    hz(2)._2 shouldBe (2.0 / 7.0 + 1.0 / 4.0 + 0.5 +- 1e-12)
   }
 
   test("when everyone at risk has the event, survival pins to 0 " +
