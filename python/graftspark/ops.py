@@ -1468,3 +1468,14 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     (Nelson-Aalen)."""
     return _to_py_df(_jvm_bridge(df).kaplanMeier(
         df._jdf, duration_col, observed_col), df)
+
+
+def log_rank(df: DataFrame, duration_col: str, observed_col: str,
+             group_col: str) -> DataFrame:
+    """Two-sample log-rank test: do two cohorts share a survival
+    curve? chi2 gates at 3.84 for alpha=0.05 (df 1); with more than
+    two groups, lexicographic-min tests against the rest pooled.
+    Output: group_a, group_b, n_a, n_b, observed_a, expected_a,
+    chi2."""
+    return _to_py_df(_jvm_bridge(df).logRank(
+        df._jdf, duration_col, observed_col, group_col), df)

@@ -2597,6 +2597,22 @@ object SparkEntry {
           (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"))
     }),
 
+    "q196_log_rank" -> ((s, dir) => {
+      // two-sample log-rank: do even and odd user cohorts share a
+      // time-to-purchase curve? One (time, group) cell aggregate + one
+      // bounded distinct-time window; observed/expected/variance and
+      // the chi2 all replay exactly in SQL
+      val tte = ops.EventStats.timeToEvent(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase")
+        .select(pmod(col("key"), lit(2)).cast("string").as("g"),
+          expr("duration div 3600000000").as("dh"), col("observed"))
+      ops.EventStats.logRank(tte, "dh", "observed", "g")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("observed_a"),
+          (round(col("expected_a"), 6) + 0.0).as("expected_a"),
+          (round(col("chi2"), 6) + 0.0).as("chi2"))
+    }),
+
     "q193_dedup_stored" -> ((s, dir) => {
       // the EXACT half of incremental ingest dedup: normalized-text
       // fingerprints of the doc_id >= 250 half persist as a bucketed
@@ -5405,6 +5421,49 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q196_log_rank" ->
+      """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+        |      AS tp,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT (user_id % 2)::VARCHAR AS g,
+        |    ((CASE WHEN tp IS NOT NULL THEN tp - t0
+        |      ELSE tmax - t0 END) // 3600000000)::BIGINT AS t,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs FROM tt),
+        |cells AS (SELECT t, g,
+        |    sum(CASE WHEN obs = 1 THEN 1 ELSE 0 END)::BIGINT AS d,
+        |    count(*)::BIGINT AS m FROM d GROUP BY 1, 2),
+        |wide AS (SELECT t,
+        |    sum(CASE WHEN g = '0' THEN d ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN g = '0' THEN m ELSE 0 END)::BIGINT AS m1,
+        |    sum(CASE WHEN g <> '0' THEN d ELSE 0 END)::BIGINT AS d2,
+        |    sum(CASE WHEN g <> '0' THEN m ELSE 0 END)::BIGINT AS m2
+        |  FROM cells GROUP BY 1),
+        |risks AS (SELECT *,
+        |    ((SELECT sum(m1) FROM wide) - coalesce(sum(m1)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0))::BIGINT AS n1,
+        |    ((SELECT sum(m2) FROM wide) - coalesce(sum(m2)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0))::BIGINT AS n2
+        |  FROM wide),
+        |terms AS (SELECT d1, (d1 + d2) AS dd, (n1 + n2) AS n, n1, n2
+        |  FROM risks WHERE d1 + d2 > 0),
+        |acc AS (SELECT sum(d1)::BIGINT AS oa,
+        |    sum(dd::DOUBLE * n1 / n) AS ea,
+        |    sum(CASE WHEN n > 1 THEN dd::DOUBLE * (n1::DOUBLE / n)
+        |      * (n2::DOUBLE / n) * (n - dd)::DOUBLE / (n - 1)
+        |      ELSE 0.0 END) AS v
+        |  FROM terms)
+        |SELECT '0' AS group_a, '1' AS group_b,
+        |  (SELECT count(*) FROM d WHERE g = '0')::BIGINT AS n_a,
+        |  (SELECT count(*) FROM d WHERE g <> '0')::BIGINT AS n_b,
+        |  oa AS observed_a, round(ea, 6) + 0.0 AS expected_a,
+        |  round(CASE WHEN v > 0 THEN (oa - ea) * (oa - ea) / v
+        |    ELSE 0.0 END, 6) + 0.0 AS chi2
+        |FROM acc""".stripMargin,
 
     "q195_survival" ->
       """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,

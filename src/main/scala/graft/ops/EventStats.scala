@@ -358,4 +358,91 @@ object EventStats {
         col("n_censored"), col("survival"), col("hazard"),
         col("cum_hazard"))
   }
+
+  /** Two-sample log-rank test (Mantel 1966): do two cohorts share a
+    * survival curve? At every distinct event time, group 1's observed
+    * events compare against the hypergeometric expectation under the
+    * null (events distribute over groups proportional to their risk
+    * sets); chi2 = (Σ(O−E))² / ΣV with the standard variance term,
+    * gate at 3.84 for α = 0.05 (df 1). Same scale shape as
+    * [[kaplanMeier]]: one aggregate to (time, group) cells, one
+    * bounded window pass over distinct times — no per-subject shuffle
+    * beyond the first aggregate, no driver loop; fully SQL-exact.
+    * With exactly two group values this is the classic two-sample
+    * test; with more, the lexicographic-min group tests against the
+    * REST pooled (one-vs-rest). Rows with a NULL group drop. Output
+    * (one row): group_a, group_b (the max group value — "rest" label
+    * under pooling), n_a, n_b, observed_a, expected_a, chi2.
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.filter(col(durationCol).isNotNull &&
+      col(durationCol) >= 0 && col(groupCol).isNotNull)
+    // per (time, group): events and subjects arriving at t
+    val cells = base
+      .groupBy(col(durationCol).cast("long").as("t"),
+        col(groupCol).cast("string").as("g"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("m"))
+    // pivot the (at most two) groups wide with conditional sums keyed
+    // on the lexicographic min/max group value
+    val ga = cells.agg(min(col("g")).as("ga"), max(col("g")).as("gb"))
+    val wide = cells.crossJoin(broadcast(ga))
+      .groupBy(col("t"), col("ga"), col("gb"))
+      .agg(sum(when(col("g") === col("ga"), col("d")).otherwise(0L))
+          .as("d1"),
+        sum(when(col("g") === col("ga"), col("m")).otherwise(0L))
+          .as("m1"),
+        sum(when(col("g") =!= col("ga"), col("d")).otherwise(0L))
+          .as("d2"),
+        sum(when(col("g") =!= col("ga"), col("m")).otherwise(0L))
+          .as("m2"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("t")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val risks = wide
+      .withColumn("n1",
+        sum(col("m1")).over(wAll) - coalesce(sum(col("m1")).over(w),
+          lit(0L)))
+      .withColumn("n2",
+        sum(col("m2")).over(wAll) - coalesce(sum(col("m2")).over(w),
+          lit(0L)))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .filter(col("d") > 0)
+      .withColumn("e1",
+        col("d").cast("double") * col("n1") / col("n"))
+      .withColumn("v",
+        when(col("n") > 1,
+          col("d").cast("double") * (col("n1").cast("double") / col("n")) *
+            (col("n2").cast("double") / col("n")) *
+            (col("n") - col("d")).cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)))
+    val counts = base
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val sizes = counts
+      .crossJoin(broadcast(counts.agg(min(col("__g")).as("__mg"))))
+      .agg(sum(when(col("__g") === col("__mg"), col("__n"))
+          .otherwise(0L)).as("__na"),
+        sum(col("__n")).as("__tot"))
+    risks
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("d1")).as("observed_a"),
+        sum(col("e1")).as("expected_a"),
+        sum(col("v")).as("__v"))
+      .crossJoin(broadcast(sizes))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("__na").as("n_a"), (col("__tot") - col("__na")).as("n_b"),
+        col("observed_a"),
+        col("expected_a"),
+        when(col("__v") > 0,
+          (col("observed_a") - col("expected_a")) *
+            (col("observed_a") - col("expected_a")) / col("__v"))
+          .otherwise(lit(0.0)).as("chi2"))
+  }
 }

@@ -1051,6 +1051,11 @@ object PyBridge {
       observedCol: String): DataFrame =
     graft.ops.EventStats.kaplanMeier(df, durationCol, observedCol)
 
+  /** Two-sample log-rank test between cohorts' survival curves. */
+  def logRank(df: DataFrame, durationCol: String, observedCol: String,
+      groupCol: String): DataFrame =
+    graft.ops.EventStats.logRank(df, durationCol, observedCol, groupCol)
+
   /** Compact a store table back to one file set (staged swap). */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =

@@ -59,6 +59,39 @@ class SurvivalSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
   }
 
+  test("logRank: hand-computed observed/expected/variance on a 4-subject " +
+      "fixture") {
+    // A: events at 1, 3; B: event at 2, censored at 4.
+    // t=1: n=(2,2) d1=1 -> E1=1/2,  V=1/4
+    // t=2: n=(1,2) d2=1 -> E1=1/3,  V=2/9
+    // t=3: n=(1,1) d1=1 -> E1=1/2,  V=1/4
+    // O1=2, E1=4/3, V=13/18, chi2=(2/3)^2/(13/18)=8/13
+    val df = Seq(("A", 1L, 1), ("A", 3L, 1), ("B", 2L, 1), ("B", 4L, 0))
+      .toDF("g", "duration", "observed")
+    val r = EventStats.logRank(df, "duration", "observed", "g")
+      .collect()(0)
+    r.getString(0) shouldBe "A"
+    r.getString(1) shouldBe "B"
+    r.getLong(2) shouldBe 2L
+    r.getLong(3) shouldBe 2L
+    r.getLong(4) shouldBe 2L // observed_a
+    r.getDouble(5) shouldBe (4.0 / 3.0 +- 1e-12)
+    r.getDouble(6) shouldBe (8.0 / 13.0 +- 1e-12)
+  }
+
+  test("logRank: identical cohorts score chi2 exactly 0; fully " +
+      "separated cohorts score large") {
+    val same = Seq(("A", 2L, 1), ("A", 5L, 1), ("B", 2L, 1),
+      ("B", 5L, 1)).toDF("g", "duration", "observed")
+    EventStats.logRank(same, "duration", "observed", "g")
+      .collect()(0).getDouble(6) shouldBe (0.0 +- 1e-12)
+    val sep = (1 to 10).map(i => ("A", i.toLong, 1)) ++
+      (1 to 10).map(i => ("B", 100L + i, 1))
+    EventStats.logRank(sep.toDF("g", "duration", "observed"),
+      "duration", "observed", "g")
+      .collect()(0).getDouble(6) should be > 10.0
+  }
+
   test("timeToEvent: duration to first target, censored at last event " +
       "when the target never comes") {
     def ts(s: Long) = new Timestamp(s * 1000L)
