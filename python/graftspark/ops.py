@@ -1479,3 +1479,14 @@ def log_rank(df: DataFrame, duration_col: str, observed_col: str,
     chi2."""
     return _to_py_df(_jvm_bridge(df).logRank(
         df._jdf, duration_col, observed_col, group_col), df)
+
+
+def rfm(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+        n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation per key: recency (seconds to the corpus-max
+    event time), frequency, monetary, each ntile-scored 1..n_tiles
+    with the best metric earning the top score (key tie-breaks keep
+    replays and engines identical). Output: key, recency_s, frequency,
+    monetary, r_score, f_score, m_score, rfm."""
+    return _to_py_df(_jvm_bridge(df).rfm(
+        df._jdf, key_col, ts_col, value_col, int(n_tiles)), df)

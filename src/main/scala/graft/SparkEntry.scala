@@ -2597,6 +2597,18 @@ object SparkEntry {
           (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"))
     }),
 
+    "q197_rfm" -> ((s, dir) => {
+      // RFM segmentation per user: recency anchored on the corpus max
+      // event time (replay-exact), ntile scores with key tie-breaks so
+      // both engines cut identically, monetary ranked on its ROUNDED
+      // value (reduction-order independence)
+      ops.EventStats.rfm(t(s, dir, "events"), "user_id", "ts", "value")
+        .select(col("key"), col("recency_s"), col("frequency"),
+          (round(col("monetary"), 6) + 0.0).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          col("rfm").cast("long").as("rfm"))
+    }),
+
     "q196_log_rank" -> ((s, dir) => {
       // two-sample log-rank: do even and odd user cohorts share a
       // time-to-purchase curve? One (time, group) cell aggregate + one
@@ -5421,6 +5433,28 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q197_rfm" ->
+      """WITH a AS (SELECT user_id AS key, max(epoch_us(ts)) AS lastt,
+        |    count(*)::BIGINT AS frequency, sum(value) AS monetary
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT key,
+        |    (((SELECT max(lastt) FROM a) - lastt) // 1000000)::BIGINT
+        |      AS recency_s,
+        |    frequency, monetary FROM a),
+        |s AS (SELECT *,
+        |    (6 - ntile(5) OVER (ORDER BY recency_s ASC, key ASC))
+        |      ::BIGINT AS r_score,
+        |    (6 - ntile(5) OVER (ORDER BY frequency DESC, key ASC))
+        |      ::BIGINT AS f_score,
+        |    (6 - ntile(5) OVER (ORDER BY round(monetary, 6) DESC,
+        |      key ASC))::BIGINT AS m_score
+        |  FROM r)
+        |SELECT key, recency_s, frequency,
+        |  round(monetary, 6) + 0.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+        |FROM s""".stripMargin,
 
     "q196_log_rank" ->
       """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,

@@ -359,6 +359,53 @@ object EventStats {
         col("cum_hazard"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary) per key — the
+    * classic behavioral customer-value decomposition: recency =
+    * seconds from the key's LAST event to the corpus-wide latest event
+    * (anchoring on data, not wall clock, keeps replays exact),
+    * frequency = event count, monetary = summed `valueCol`. Each
+    * dimension then scores 1..nTiles by ntile with the BEST tile
+    * mapped to the highest score (most recent / most frequent /
+    * highest spend = nTiles), ties broken by key so both engines cut
+    * identically; `rfm` concatenates the three digits. One aggregate
+    * to per-key rows + three key-cardinality ntile windows (global
+    * sorts over |keys|, never |events|). Output: key, recency_s,
+    * frequency, monetary, r_score, f_score, m_score, rfm.
+    */
+  def rfm(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
+    val t = EventTime.micros(df, tsCol)
+    val agg = df.groupBy(col(keyCol).as("key"))
+      .agg(max(t).as("__last"), count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("double")).as("monetary"))
+    val ref = agg.agg(max(col("__last")).as("__ref"))
+    val wR = Window.orderBy(col("recency_s").asc, col("key").asc)
+    val wF = Window.orderBy(col("frequency").desc, col("key").asc)
+    // monetary ranks on the 6-decimal rounding: a float sum's last
+    // ulps depend on reduction order, and two keys flipping across
+    // engines would flip their ntiles — rounding first makes the cut
+    // reduction-order-independent
+    val wM = Window.orderBy(round(col("monetary"), 6).desc,
+      col("key").asc)
+    agg.crossJoin(broadcast(ref))
+      .select(col("key"),
+        expr("(__ref - __last) div 1000000").as("recency_s"),
+        col("frequency"), col("monetary"))
+      .withColumn("r_score",
+        (lit(nTiles + 1) - ntile(nTiles).over(wR)).cast("long"))
+      .withColumn("f_score",
+        (lit(nTiles + 1) - ntile(nTiles).over(wF)).cast("long"))
+      .withColumn("m_score",
+        (lit(nTiles + 1) - ntile(nTiles).over(wM)).cast("long"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966): do two cohorts share a
     * survival curve? At every distinct event time, group 1's observed
     * events compare against the hypergeometric expectation under the

@@ -1051,6 +1051,11 @@ object PyBridge {
       observedCol: String): DataFrame =
     graft.ops.EventStats.kaplanMeier(df, durationCol, observedCol)
 
+  /** RFM (recency/frequency/monetary) segmentation per key. */
+  def rfm(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, nTiles: Int): DataFrame =
+    graft.ops.EventStats.rfm(df, keyCol, tsCol, valueCol, nTiles)
+
   /** Two-sample log-rank test between cohorts' survival curves. */
   def logRank(df: DataFrame, durationCol: String, observedCol: String,
       groupCol: String): DataFrame =

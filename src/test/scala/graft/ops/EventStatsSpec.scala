@@ -215,4 +215,47 @@ class EventStatsSpec extends AnyFunSuite with Matchers
     "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
     plan shouldNot include ("Exchange rangepartitioning")
   }
+
+  test("rfm: hand-computed scores; best metric earns the top tile") {
+    import spark.implicits._
+    // 5 users, each its own quintile: u1 most recent / most frequent /
+    // biggest spender -> 555; u5 the opposite -> 111
+    val rows = (1 to 5).flatMap { u =>
+      val nEvents = 6 - u // u1: 5 events ... u5: 1 event
+      (0 until nEvents).map { j =>
+        (u.toLong, (100L - 10L * u + j) * 1000000L, (6 - u) * 10.0)
+      }
+    }
+    val df = rows.toDF("user", "t", "v")
+    val got = EventStats.rfm(df, "user", "t", "v", nTiles = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // u1 last event at (90+4)=94s, corpus max is also 94 -> recency 0
+    got(1L)._1 shouldBe 0L
+    got(1L)._2 shouldBe 5L      // frequency
+    got(1L)._3 shouldBe 250.0   // 5 events x 50
+    got(1L)._7 shouldBe 555L
+    got(5L)._1 shouldBe (94L - 50L) // u5's single event is at 50s
+    got(5L)._7 shouldBe 111L
+    got(3L)._7 shouldBe 333L
+    // every score in 1..5, rfm consistent with the digits
+    got.values.foreach { v =>
+      Seq(v._4, v._5, v._6).foreach(s => s should (be >= 1L and be <= 5L))
+      v._7 shouldBe v._4 * 100 + v._5 * 10 + v._6
+    }
+  }
+
+  test("rfm: ntile ties break by key, so replays and engines agree") {
+    import spark.implicits._
+    // four identical users -> tiles assigned purely by key order
+    val df = (1 to 4).map(u => (u.toLong, 1000000L, 1.0))
+      .toDF("user", "t", "v")
+    val got = EventStats.rfm(df, "user", "t", "v", nTiles = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    got(1L) shouldBe 222L
+    got(2L) shouldBe 222L
+    got(3L) shouldBe 111L
+    got(4L) shouldBe 111L
+  }
 }
