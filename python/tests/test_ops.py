@@ -936,4 +936,16 @@ def test_round12d_tokenizer_readability_pca():
     assert all(0.0 <= s <= 1.0 for s in surv)
     assert all(surv[i] >= surv[i + 1] - 1e-12 for i in range(len(surv) - 1))
 
+    # log-rank between even/odd user cohorts; RFM quintiles
+    from pyspark.sql import functions as F
+    lr = ops.log_rank(
+        tte.selectExpr("pmod(key, 2)::string as g",
+                       "duration div 3600000000 as dh", "observed"),
+        "dh", "observed", "g").collect()[0]
+    assert lr["chi2"] >= 0.0
+    assert lr["n_a"] + lr["n_b"] == tte.count()
+    seg = ops.rfm(events, "user_id", "ts", "value")
+    assert seg.count() == events.select("user_id").distinct().count()
+    assert seg.filter("r_score < 1 OR r_score > 5").count() == 0
+
     print("round-12d tokenizer/readability/pca facade OK")

@@ -377,12 +377,25 @@ object EventStats {
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      nTiles: Int = 5): DataFrame = {
+      nTiles: Int = 5): DataFrame =
+    rfmReleasable(df, keyCol, tsCol, valueCol, nTiles)._1
+
+  /** [[rfm]] plus a release() thunk for the cached per-key aggregate:
+    * the corpus-max reference time derives from that (keys-sized)
+    * frame, so without the cache the events would aggregate twice.
+    */
+  def rfmReleasable(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      nTiles: Int = 5): (DataFrame, () => Unit) = {
     require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
     val t = EventTime.micros(df, tsCol)
     val agg = df.groupBy(col(keyCol).as("key"))
       .agg(max(t).as("__last"), count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("double")).as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ref = agg.agg(max(col("__last")).as("__ref"))
     val wR = Window.orderBy(col("recency_s").asc, col("key").asc)
     val wF = Window.orderBy(col("frequency").desc, col("key").asc)
@@ -392,7 +405,7 @@ object EventStats {
     // reduction-order-independent
     val wM = Window.orderBy(round(col("monetary"), 6).desc,
       col("key").asc)
-    agg.crossJoin(broadcast(ref))
+    val out = agg.crossJoin(broadcast(ref))
       .select(col("key"),
         expr("(__ref - __last) div 1000000").as("recency_s"),
         col("frequency"), col("monetary"))
@@ -404,6 +417,7 @@ object EventStats {
         (lit(nTiles + 1) - ntile(nTiles).over(wM)).cast("long"))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    (out, () => { agg.unpersist(blocking = false); () })
   }
 
   /** Two-sample log-rank test (Mantel 1966): do two cohorts share a
@@ -425,7 +439,19 @@ object EventStats {
       df: DataFrame,
       durationCol: String,
       observedCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String): DataFrame =
+    logRankReleasable(df, durationCol, observedCol, groupCol)._1
+
+  /** [[logRank]] plus a release() thunk for the cached (time, group)
+    * cell table — group labels, risk sets, AND cohort sizes all derive
+    * from it, so without the cache the subject rows would aggregate
+    * three times.
+    */
+  def logRankReleasable(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      groupCol: String): (DataFrame, () => Unit) = {
     val base = df.filter(col(durationCol).isNotNull &&
       col(durationCol) >= 0 && col(groupCol).isNotNull)
     // per (time, group): events and subjects arriving at t
@@ -434,6 +460,7 @@ object EventStats {
         col(groupCol).cast("string").as("g"))
       .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pivot the (at most two) groups wide with conditional sums keyed
     // on the lexicographic min/max group value
     val ga = cells.agg(min(col("g")).as("ga"), max(col("g")).as("gb"))
@@ -469,15 +496,14 @@ object EventStats {
             (col("n2").cast("double") / col("n")) *
             (col("n") - col("d")).cast("double") / (col("n") - 1))
           .otherwise(lit(0.0)))
-    val counts = base
-      .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"))
-    val sizes = counts
-      .crossJoin(broadcast(counts.agg(min(col("__g")).as("__mg"))))
-      .agg(sum(when(col("__g") === col("__mg"), col("__n"))
+    // cohort sizes derive from the cached cell table (subjects count
+    // once, at their duration time) — no second pass over subjects
+    val sizes = cells
+      .crossJoin(broadcast(cells.agg(min(col("g")).as("__mg"))))
+      .agg(sum(when(col("g") === col("__mg"), col("m"))
           .otherwise(0L)).as("__na"),
-        sum(col("__n")).as("__tot"))
-    risks
+        sum(col("m")).as("__tot"))
+    val out = risks
       .groupBy(col("ga"), col("gb"))
       .agg(sum(col("d1")).as("observed_a"),
         sum(col("e1")).as("expected_a"),
@@ -491,5 +517,6 @@ object EventStats {
           (col("observed_a") - col("expected_a")) *
             (col("observed_a") - col("expected_a")) / col("__v"))
           .otherwise(lit(0.0)).as("chi2"))
+    (out, () => { cells.unpersist(blocking = false); () })
   }
 }
