@@ -597,14 +597,23 @@ object Bench {
           .agg(sum(col("p0"))).first(); 1L
       }),
 
-      // KM time-to-purchase: one conditional-min/max aggregate over
-      // the events + a distinct-time window for the closed-form curve
+      // the survival family: KM curve + log-rank between even/odd
+      // cohorts + RFM segmentation, all off the events table
       "survival" -> (() => {
         val tte = graft.ops.EventStats.timeToEvent(t("events"),
           "user_id", "ts", "event_type", "purchase")
           .select(col("key"), expr("duration div 3600000000").as("dh"),
             col("observed"))
-        graft.ops.EventStats.kaplanMeier(tte, "dh", "observed").count()
+        val n = graft.ops.EventStats.kaplanMeier(tte, "dh", "observed")
+          .count()
+        val (lr, lrRel) = graft.ops.EventStats.logRankReleasable(
+          tte.select(pmod(col("key"), lit(2)).cast("string").as("g"),
+            col("dh"), col("observed")), "dh", "observed", "g")
+        try lr.count() finally lrRel()
+        val (seg, segRel) = graft.ops.EventStats.rfmReleasable(
+          t("events"), "user_id", "ts", "value")
+        try seg.count() finally segRel()
+        n
       }),
 
       // 190-pair source drift matrix off ONE corpus scan (per-group
