@@ -1490,3 +1490,14 @@ def rfm(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     monetary, r_score, f_score, m_score, rfm."""
     return _to_py_df(_jvm_bridge(df).rfm(
         df._jdf, key_col, ts_col, value_col, int(n_tiles)), df)
+
+
+def ltv_curve(df: DataFrame, user_col: str, ts_col: str,
+              value_col: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per acquired user by
+    cohort age (users cohort by first-active day; cohort size reads
+    back from the offset-0 cell, so events aggregate once). Output:
+    cohort_day, day_offset, n_active, revenue, cohort_users,
+    cum_revenue, ltv."""
+    return _to_py_df(_jvm_bridge(df).ltvCurve(
+        df._jdf, user_col, ts_col, value_col), df)

@@ -2597,6 +2597,19 @@ object SparkEntry {
           (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"))
     }),
 
+    "q198_ltv_curve" -> ((s, dir) => {
+      // cohort LTV: cumulative revenue per acquired user by cohort
+      // age; cohort size reads back from the offset-0 cell via a
+      // window, so the events aggregate exactly once
+      ops.Retention.ltvCurve(t(s, dir, "events"), "user_id", "ts",
+        "value")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_users"),
+          (round(col("revenue"), 6) + 0.0).as("revenue"),
+          (round(col("cum_revenue"), 6) + 0.0).as("cum_revenue"),
+          (round(col("ltv"), 6) + 0.0).as("ltv"))
+    }),
+
     "q197_rfm" -> ((s, dir) => {
       // RFM segmentation per user: recency anchored on the corpus max
       // event time (replay-exact), ntile scores with key tie-breaks so
@@ -5433,6 +5446,30 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q198_ltv_curve" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    floor(epoch_us(ts) / 86400000000.0)::BIGINT AS day,
+        |    value AS v FROM events),
+        |f AS (SELECT u, day, v,
+        |    min(day) OVER (PARTITION BY u) AS firstd FROM e),
+        |c AS (SELECT firstd AS cohort_day,
+        |    (day - firstd)::BIGINT AS day_offset,
+        |    count(DISTINCT u)::BIGINT AS n_active,
+        |    sum(v) AS revenue
+        |  FROM f GROUP BY 1, 2),
+        |x AS (SELECT *,
+        |    max(CASE WHEN day_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_day) AS cohort_users,
+        |    sum(revenue) OVER (PARTITION BY cohort_day
+        |      ORDER BY day_offset ROWS UNBOUNDED PRECEDING)
+        |      AS cum_revenue
+        |  FROM c)
+        |SELECT cohort_day, day_offset, n_active, cohort_users,
+        |  round(revenue, 6) + 0.0 AS revenue,
+        |  round(cum_revenue, 6) + 0.0 AS cum_revenue,
+        |  round(cum_revenue / cohort_users, 6) + 0.0 AS ltv
+        |FROM x""".stripMargin,
 
     "q197_rfm" ->
       """WITH a AS (SELECT user_id AS key, max(epoch_us(ts)) AS lastt,

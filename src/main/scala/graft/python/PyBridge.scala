@@ -1051,6 +1051,11 @@ object PyBridge {
       observedCol: String): DataFrame =
     graft.ops.EventStats.kaplanMeier(df, durationCol, observedCol)
 
+  /** Cohort LTV curve (cumulative revenue per acquired user by age). */
+  def ltvCurve(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.Retention.ltvCurve(df, userCol, tsCol, valueCol)
+
   /** RFM (recency/frequency/monetary) segmentation per key. */
   def rfm(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, nTiles: Int): DataFrame =

@@ -42,4 +42,25 @@ class RetentionSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     // offsets 0-based, every cohort has an offset-0 row
     expect.map(s => s(1).asInstanceOf[Long]).min shouldBe 0L
   }
+
+  test("ltv curve: hand-computed cohorts, cumulative revenue, and " +
+      "per-acquired-user division") {
+    import spark.implicits._
+    val day = 86400000000L
+    // cohort 0: A (10 @ d0, 5 @ d1), B (20 @ d0); cohort 1: C (7 @ d1)
+    val ev = Seq(
+      ("A", 0L * day, 10.0), ("A", 1L * day, 5.0),
+      ("B", 0L * day + 5L, 20.0),
+      ("C", 1L * day + 9L, 7.0)).toDF("u", "t", "v")
+    val got = Retention.ltvCurve(ev, "u", "t", "v")
+      .select("cohort_day", "day_offset", "n_active", "cohort_users",
+        "revenue", "cum_revenue", "ltv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    got((0L, 0L)) shouldBe ((2L, 2L, 30.0, 30.0, 15.0))
+    got((0L, 1L)) shouldBe ((1L, 2L, 5.0, 35.0, 17.5))
+    got((1L, 0L)) shouldBe ((1L, 1L, 7.0, 7.0, 7.0))
+    got.size shouldBe 3
+  }
 }
