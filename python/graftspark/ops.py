@@ -1465,7 +1465,7 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     exp(cumsum(ln)); one aggregate to distinct times + one sort.
     Bucket durations first when cardinality is large. Output: t,
     n_risk, n_events, n_censored, survival, hazard, cum_hazard
-    (Nelson-Aalen)."""
+    (Nelson-Aalen), survival_lo / survival_hi (95% Greenwood band)."""
     return _to_py_df(_jvm_bridge(df).kaplanMeier(
         df._jdf, duration_col, observed_col), df)
 

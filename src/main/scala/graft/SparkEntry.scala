@@ -2594,7 +2594,9 @@ object SparkEntry {
           col("n_censored"),
           (round(col("survival"), 6) + 0.0).as("survival"),
           (round(col("hazard"), 6) + 0.0).as("hazard"),
-          (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"))
+          (round(col("cum_hazard"), 6) + 0.0).as("cum_hazard"),
+          (round(col("survival_lo"), 6) + 0.0).as("survival_lo"),
+          (round(col("survival_hi"), 6) + 0.0).as("survival_hi"))
     }),
 
     "q198_ltv_curve" -> ((s, dir) => {
@@ -5564,12 +5566,19 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END
         |      AS survival,
         |    sum(n_events::DOUBLE / n_risk)
-        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_hazard
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_hazard,
+        |    sum(CASE WHEN n_events < n_risk THEN n_events::DOUBLE
+        |        / (n_risk::DOUBLE * (n_risk - n_events)) ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS gw
         |  FROM r)
         |SELECT t, n_risk, n_events, n_censored,
         |  round(survival, 6) + 0.0 AS survival,
         |  round(n_events::DOUBLE / n_risk, 6) + 0.0 AS hazard,
-        |  round(cum_hazard, 6) + 0.0 AS cum_hazard
+        |  round(cum_hazard, 6) + 0.0 AS cum_hazard,
+        |  round(greatest(survival - 1.96 * survival * sqrt(gw), 0.0), 6)
+        |    + 0.0 AS survival_lo,
+        |  round(least(survival + 1.96 * survival * sqrt(gw), 1.0), 6)
+        |    + 0.0 AS survival_hi
         |FROM s WHERE n_events > 0""".stripMargin,
 
     "q193_dedup_stored" ->

@@ -310,7 +310,8 @@ object EventStats {
     * time, ascending): t, n_risk, n_events, n_censored (censorings AT
     * t, leaving after it), survival, hazard (d/n at t), cum_hazard
     * (the Nelson–Aalen estimator — ≈ −ln(survival), exact when
-    * hazards are small).
+    * hazards are small), survival_lo / survival_hi (the 95% linear
+    * Greenwood band, clipped to [0, 1]).
     */
   def kaplanMeier(
       df: DataFrame,
@@ -349,14 +350,27 @@ object EventStats {
         when(col("__zeros") > 0, lit(0.0))
           .otherwise(exp(sum(col("__lnterm")).over(w))))
       // companions off the same window pass: the per-time hazard
-      // d/n and the Nelson-Aalen cumulative hazard sum(d/n)
+      // d/n, the Nelson-Aalen cumulative hazard sum(d/n), and the
+      // 95% Greenwood band se = S * sqrt(sum d/(n(n-d))) (the d = n
+      // term is skipped — survival is pinned 0 there anyway)
       .withColumn("hazard",
         col("n_events").cast("double") / col("n_risk"))
       .withColumn("cum_hazard", sum(col("hazard")).over(w))
+      .withColumn("__gw", sum(
+        when(col("n_events") < col("n_risk"),
+          col("n_events").cast("double") /
+            (col("n_risk").cast("double") *
+              (col("n_risk") - col("n_events")))).otherwise(lit(0.0)))
+        .over(w))
+      .withColumn("__se", col("survival") * sqrt(col("__gw")))
+      .withColumn("survival_lo",
+        greatest(col("survival") - lit(1.96) * col("__se"), lit(0.0)))
+      .withColumn("survival_hi",
+        least(col("survival") + lit(1.96) * col("__se"), lit(1.0)))
       .filter(col("n_events") > 0)
       .select(col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("survival"), col("hazard"),
-        col("cum_hazard"))
+        col("cum_hazard"), col("survival_lo"), col("survival_hi"))
   }
 
   /** RFM segmentation (recency / frequency / monetary) per key — the

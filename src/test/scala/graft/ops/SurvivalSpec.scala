@@ -30,13 +30,24 @@ class SurvivalSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     got(0)._5 shouldBe (5.0 / 7.0 +- 1e-12)
     got(1)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 +- 1e-12)
     got(2)._5 shouldBe (5.0 / 7.0 * 3.0 / 4.0 * 0.5 +- 1e-12)
-    // hazard + Nelson-Aalen off the same rows
+    // hazard + Nelson-Aalen + Greenwood band off the same rows
     val hz = EventStats.kaplanMeier(df, "duration", "observed")
       .orderBy("t").collect()
-      .map(r => (r.getDouble(5), r.getDouble(6)))
+      .map(r => (r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
     hz(0)._1 shouldBe (2.0 / 7.0 +- 1e-12)
     hz(1)._2 shouldBe (2.0 / 7.0 + 1.0 / 4.0 +- 1e-12)
     hz(2)._2 shouldBe (2.0 / 7.0 + 1.0 / 4.0 + 0.5 +- 1e-12)
+    // Greenwood at t=6: se = S * sqrt(d/(n(n-d))) = 5/7 * sqrt(2/35)
+    val s6 = 5.0 / 7.0
+    val se6 = s6 * math.sqrt(2.0 / 35.0)
+    hz(0)._3 shouldBe (math.max(s6 - 1.96 * se6, 0.0) +- 1e-12)
+    hz(0)._4 shouldBe (math.min(s6 + 1.96 * se6, 1.0) +- 1e-12)
+    // bands bracket the estimate and stay in [0, 1]
+    hz.foreach { v =>
+      v._3 should be >= 0.0
+      v._4 should be <= 1.0
+    }
   }
 
   test("when everyone at risk has the event, survival pins to 0 " +
