@@ -1501,3 +1501,13 @@ def ltv_curve(df: DataFrame, user_col: str, ts_col: str,
     cum_revenue, ltv."""
     return _to_py_df(_jvm_bridge(df).ltvCurve(
         df._jdf, user_col, ts_col, value_col), df)
+
+
+def kaplan_meier_grouped(df: DataFrame, duration_col: str,
+                         observed_col: str, group_col: str) -> DataFrame:
+    """One Kaplan-Meier curve per group in a single pass — the windows
+    partition on the group, so no global sort exists (the scale-correct
+    form for many simultaneous cohorts). Output: group + the
+    ``kaplan_meier`` columns."""
+    return _to_py_df(_jvm_bridge(df).kaplanMeierGrouped(
+        df._jdf, duration_col, observed_col, group_col), df)

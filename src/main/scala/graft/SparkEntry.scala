@@ -2599,6 +2599,20 @@ object SparkEntry {
           (round(col("survival_hi"), 6) + 0.0).as("survival_hi"))
     }),
 
+    "q199_survival_grouped" -> ((s, dir) => {
+      // per-cohort KM curves in one pass: the windows partition on the
+      // cohort, so no single-partition global sort exists at all — the
+      // scale-correct form of q195 for many simultaneous cohorts
+      val tte = ops.EventStats.timeToEvent(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase")
+        .select(pmod(col("key"), lit(2)).cast("string").as("g"),
+          expr("duration div 3600000000").as("dh"), col("observed"))
+      ops.EventStats.kaplanMeierGrouped(tte, "dh", "observed", "g")
+        .select(col("group"), col("t"), col("n_risk"), col("n_events"),
+          col("n_censored"),
+          (round(col("survival"), 6) + 0.0).as("survival"))
+    }),
+
     "q198_ltv_curve" -> ((s, dir) => {
       // cohort LTV: cumulative revenue per acquired user by cohort
       // age; cohort size reads back from the offset-0 cell via a
@@ -5448,6 +5462,39 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q199_survival_grouped" ->
+      """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+        |      AS tp,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT (user_id % 2)::VARCHAR AS g,
+        |    ((CASE WHEN tp IS NOT NULL THEN tp - t0
+        |      ELSE tmax - t0 END) // 3600000000)::BIGINT AS t,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs FROM tt),
+        |grp AS (SELECT g, t,
+        |    sum(CASE WHEN obs = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_events,
+        |    sum(CASE WHEN obs = 1 THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_censored,
+        |    count(*)::BIGINT AS n_at FROM d GROUP BY 1, 2),
+        |r AS (SELECT *, (sum(n_at) OVER (PARTITION BY g)
+        |    - coalesce(sum(n_at) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |    ::BIGINT AS n_risk FROM grp),
+        |s AS (SELECT *,
+        |    CASE WHEN sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY g ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+        |    ELSE exp(sum(CASE WHEN n_events < n_risk
+        |        THEN ln(1 - n_events::DOUBLE / n_risk) ELSE 0.0 END)
+        |      OVER (PARTITION BY g ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING)) END AS survival
+        |  FROM r)
+        |SELECT g AS "group", t, n_risk, n_events, n_censored,
+        |  round(survival, 6) + 0.0 AS survival
+        |FROM s WHERE n_events > 0""".stripMargin,
 
     "q198_ltv_curve" ->
       """WITH e AS (SELECT user_id AS u,

@@ -316,22 +316,45 @@ object EventStats {
   def kaplanMeier(
       df: DataFrame,
       durationCol: String,
-      observedCol: String): DataFrame = {
+      observedCol: String): DataFrame =
+    kaplanMeierImpl(df, durationCol, observedCol, None)
+
+  /** One [[kaplanMeier]] curve PER GROUP — cohort survival side by
+    * side. Structurally better than K separate calls at scale: the
+    * ordering windows partition on the group, so no single-partition
+    * global sort exists at all. Output: group, then the
+    * [[kaplanMeier]] columns.
+    */
+  def kaplanMeierGrouped(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      groupCol: String): DataFrame =
+    kaplanMeierImpl(df.filter(col(groupCol).isNotNull), durationCol,
+      observedCol, Some(groupCol))
+
+  private def kaplanMeierImpl(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String,
+      groupCol: Option[String]): DataFrame = {
+    val gcols = groupCol.toSeq.map(c => col(c).cast("string").as("group"))
+    val gkeys = groupCol.toSeq.map(_ => col("group"))
     val grouped = df
       .filter(col(durationCol).isNotNull && col(durationCol) >= 0)
-      .groupBy(col(durationCol).cast("long").as("t"))
+      .groupBy(gcols :+ col(durationCol).cast("long").as("t"): _*)
       .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L))
           .as("n_events"),
         sum(when(col(observedCol) === 1, 0L).otherwise(1L))
           .as("n_censored"),
         count(lit(1)).as("__n_at_t"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    def ordered = Window.partitionBy(gkeys: _*).orderBy(col("t"))
+    val w = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wPrev = ordered.rowsBetween(Window.unboundedPreceding, -1)
     grouped
       .withColumn("__total", sum(col("__n_at_t")).over(
-        Window.orderBy(col("t")).rowsBetween(
+        ordered.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("n_risk",
         col("__total") - coalesce(sum(col("__n_at_t")).over(wPrev), lit(0L)))
@@ -368,9 +391,9 @@ object EventStats {
       .withColumn("survival_hi",
         least(col("survival") + lit(1.96) * col("__se"), lit(1.0)))
       .filter(col("n_events") > 0)
-      .select(col("t"), col("n_risk"), col("n_events"),
+      .select(gkeys ++ Seq(col("t"), col("n_risk"), col("n_events"),
         col("n_censored"), col("survival"), col("hazard"),
-        col("cum_hazard"), col("survival_lo"), col("survival_hi"))
+        col("cum_hazard"), col("survival_lo"), col("survival_hi")): _*)
   }
 
   /** RFM segmentation (recency / frequency / monetary) per key — the

@@ -1061,6 +1061,12 @@ object PyBridge {
       valueCol: String, nTiles: Int): DataFrame =
     graft.ops.EventStats.rfm(df, keyCol, tsCol, valueCol, nTiles)
 
+  /** Per-group Kaplan-Meier curves (windows partition on the group). */
+  def kaplanMeierGrouped(df: DataFrame, durationCol: String,
+      observedCol: String, groupCol: String): DataFrame =
+    graft.ops.EventStats.kaplanMeierGrouped(df, durationCol,
+      observedCol, groupCol)
+
   /** Two-sample log-rank test between cohorts' survival curves. */
   def logRank(df: DataFrame, durationCol: String, observedCol: String,
       groupCol: String): DataFrame =

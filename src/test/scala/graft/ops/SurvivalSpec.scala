@@ -70,6 +70,31 @@ class SurvivalSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
   }
 
+  test("grouped curves equal per-group separate calls, and the windows " +
+      "partition on the group (no global sort)") {
+    val df = Seq(("x", 6L, 1), ("x", 6L, 1), ("x", 6L, 0), ("x", 7L, 1),
+      ("y", 2L, 1), ("y", 5L, 0), ("y", 9L, 1))
+      .toDF("g", "duration", "observed")
+    val grouped = EventStats.kaplanMeierGrouped(df, "duration",
+      "observed", "g")
+    val viaGroup = grouped.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    for (g <- Seq("x", "y")) {
+      val solo = EventStats.kaplanMeier(df.filter(col("g") === g),
+        "duration", "observed")
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      solo.foreach { case (t, s) =>
+        viaGroup((g, t)) shouldBe (s +- 1e-12)
+      }
+    }
+    // windows partition on the group: the window exchange hashes on
+    // it instead of funnelling everything to one partition
+    val plan = grouped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include ("Exchange hashpartitioning(group")
+    plan shouldNot include ("Exchange SinglePartition")
+  }
+
   test("logRank: hand-computed observed/expected/variance on a 4-subject " +
       "fixture") {
     // A: events at 1, 3; B: event at 2, censored at 4.
