@@ -1511,3 +1511,16 @@ def kaplan_meier_grouped(df: DataFrame, duration_col: str,
     ``kaplan_meier`` columns."""
     return _to_py_df(_jvm_bridge(df).kaplanMeierGrouped(
         df._jdf, duration_col, observed_col, group_col), df)
+
+
+def funnel_report(df: DataFrame, group_col: str,
+                  stages: List) -> DataFrame:
+    """Per-group curation-funnel attrition for an ORDERED filter chain,
+    counted in one corpus scan. ``stages`` is a list of (name,
+    sql_condition) pairs; each stage only sees survivors of the
+    previous ones, and NULL conditions count as failures. Output:
+    group, stage, stage_name, n_in, n_out, keep_rate."""
+    names = [n for n, _ in stages]
+    conds = [c for _, c in stages]
+    return _to_py_df(_jvm_bridge(df).funnelReport(
+        df._jdf, group_col, names, conds), df)

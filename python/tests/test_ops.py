@@ -948,4 +948,13 @@ def test_round12d_tokenizer_readability_pca():
     assert seg.count() == events.select("user_id").distinct().count()
     assert seg.filter("r_score < 1 OR r_score > 5").count() == 0
 
+    # curation funnel: per-source attrition in one scan
+    fr = ops.funnel_report(docs, "source", [
+        ("nonempty", "n_chars > 0"),
+        ("short", "n_chars <= 400")]).collect()
+    assert all(r["n_out"] <= r["n_in"] for r in fr)
+    s1 = {r["group"]: r for r in fr if r["stage"] == 1}
+    s2 = {r["group"]: r for r in fr if r["stage"] == 2}
+    assert all(s2[g]["n_in"] == s1[g]["n_out"] for g in s1)
+
     print("round-12d tokenizer/readability/pca facade OK")

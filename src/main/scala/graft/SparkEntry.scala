@@ -2599,6 +2599,22 @@ object SparkEntry {
           (round(col("survival_hi"), 6) + 0.0).as("survival_hi"))
     }),
 
+    "q200_curation_funnel" -> ((s, dir) => {
+      // the curation funnel: per source, attrition through an ordered
+      // screen chain (token range -> length cap -> readability floor),
+      // all prefix-counted in ONE corpus scan; every condition is
+      // SQL-exact so the oracle replays the whole funnel
+      val toks = ops.TextOps.tokenCount(col("text"))
+      val r = ops.TextOps.readability(col("text"))
+      ops.Curation.funnelReport(t(s, dir, "documents"), "source", Seq(
+        "token_range" -> (toks >= 40 && toks <= 100),
+        "length_cap" -> (col("n_chars") <= 450),
+        "readable" -> (r.getField("flesch") >= 0)))
+        .select(col("group"), col("stage"), col("stage_name"),
+          col("n_in"), col("n_out"),
+          (round(col("keep_rate"), 6) + 0.0).as("keep_rate"))
+    }),
+
     "q199_survival_grouped" -> ((s, dir) => {
       // per-cohort KM curves in one pass: the windows partition on the
       // cohort, so no single-partition global sort exists at all — the
@@ -5462,6 +5478,41 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q200_curation_funnel" ->
+      """WITH m AS (SELECT source,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0))::BIGINT AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      ::BIGINT AS s,
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(string_split(lower(text), ' '),
+        |        t -> len(t) > 0),
+        |      t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+        |        1))), 0)::BIGINT AS syl,
+        |    n_chars
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    (w >= 40 AND w <= 100) AS c1,
+        |    (n_chars <= 450) AS c2,
+        |    (206835 * w * s - 1015 * w * w - 84600 * syl * s >= 0)
+        |      AS c3
+        |  FROM m),
+        |a AS (SELECT source AS grp, count(*)::BIGINT AS n_total,
+        |    sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+        |    sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END)::BIGINT
+        |      AS s3
+        |  FROM c GROUP BY 1)
+        |SELECT grp AS "group", 1::INT AS stage,
+        |  'token_range' AS stage_name, n_total AS n_in, s1 AS n_out,
+        |  round(s1::DOUBLE / n_total, 6) + 0.0 AS keep_rate FROM a
+        |UNION ALL SELECT grp, 2::INT, 'length_cap', s1, s2,
+        |  CASE WHEN s1 > 0 THEN round(s2::DOUBLE / s1, 6) + 0.0 END
+        |  FROM a
+        |UNION ALL SELECT grp, 3::INT, 'readable', s2, s3,
+        |  CASE WHEN s2 > 0 THEN round(s3::DOUBLE / s2, 6) + 0.0 END
+        |  FROM a""".stripMargin,
 
     "q199_survival_grouped" ->
       """WITH tt AS (SELECT user_id, min(epoch_us(ts)) AS t0,

@@ -1061,6 +1061,15 @@ object PyBridge {
       valueCol: String, nTiles: Int): DataFrame =
     graft.ops.EventStats.rfm(df, keyCol, tsCol, valueCol, nTiles)
 
+  /** Curation funnel from SQL-expression stage conditions. */
+  def funnelReport(df: DataFrame, groupCol: String,
+      names: ju.List[String], conditions: ju.List[String]): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val stages = names.asScala.toSeq.zip(
+      conditions.asScala.toSeq.map(expr))
+    graft.ops.Curation.funnelReport(df, groupCol, stages)
+  }
+
   /** Per-group Kaplan-Meier curves (windows partition on the group). */
   def kaplanMeierGrouped(df: DataFrame, durationCol: String,
       observedCol: String, groupCol: String): DataFrame =
