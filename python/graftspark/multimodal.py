@@ -194,3 +194,104 @@ def wav_window_rms(df: "DataFrame", id_col: str, blob_col: str,
     from .session import _jvm_bridge, _to_py_df
     return _to_py_df(_jvm_bridge(df).wavWindowRms(
         df._jdf, id_col, blob_col, int(window_frames)), df)
+
+
+VIDEO_META_SCHEMA = ("id long, n_frames int, fps_milli int, "
+                     "duration_us long")
+
+VIDEO_FRAME_SCHEMA = ("id long, frame_idx int, width int, height int, "
+                      "mean_r double, mean_g double, mean_b double, "
+                      "frame binary")
+
+
+def parse_gvid(blob: bytes):
+    """GVID container walk: magic 'GVID', big-endian fps_milli and
+    frame count, then length-prefixed frame payloads. Returns
+    (fps_milli, [frame_bytes, ...]). Raises ValueError on bad magic /
+    truncation — the corrupt-input drop policy of the extractors."""
+    import struct as _struct
+    if len(blob) < 12 or blob[:4] != b"GVID":
+        raise ValueError("not a GVID blob")
+    fps_milli, n_frames = _struct.unpack(">ii", blob[4:12])
+    frames = []
+    off = 12
+    for _ in range(n_frames):
+        if off + 4 > len(blob):
+            raise ValueError("truncated GVID")
+        (ln,) = _struct.unpack(">i", blob[off:off + 4])
+        off += 4
+        if off + ln > len(blob):
+            raise ValueError("truncated GVID frame")
+        frames.append(blob[off:off + ln])
+        off += ln
+    return fps_milli, frames
+
+
+def extract_video_features(df: DataFrame, id_col: str,
+                           blob_col: str) -> DataFrame:
+    """Container-level video metadata via mapInPandas: frame count,
+    fps, exact duration — headers only, frame payloads never decode.
+    Corrupt blobs drop (ValueError policy). Default walker handles the
+    self-contained GVID container; codec containers (MP4/WebM) need a
+    native decoder plugged at this boundary."""
+    import pandas as pd
+
+    _self_contained_udfs()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"id": [], "n_frames": [], "fps_milli": [],
+                   "duration_us": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    fps, frames = parse_gvid(bytes(blob))
+                except ValueError:
+                    continue
+                out["id"].append(id_)
+                out["n_frames"].append(len(frames))
+                out["fps_milli"].append(fps)
+                out["duration_us"].append(
+                    len(frames) * 1_000_000_000 // fps)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=VIDEO_META_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, id_col: str, blob_col: str,
+                        every_n: int = 1) -> DataFrame:
+    """Every ``every_n``-th frame of a GVID column as its own row —
+    standalone PPM blob plus dimensions and per-channel means, ready
+    for the image extractors / hashes / stores. Decode is
+    partition-local inside mapInPandas; only the sampled frames leave
+    the executor. Corrupt videos drop whole (ValueError policy)."""
+    import pandas as pd
+
+    _self_contained_udfs()
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {"id": [], "frame_idx": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [],
+                   "frame": []}
+            for id_, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    _, frames = parse_gvid(bytes(blob))
+                    for i in range(0, len(frames), every_n):
+                        w, h, _ch, (mr, mg, mb) = parse_ppm(frames[i])
+                        out["id"].append(id_)
+                        out["frame_idx"].append(i)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_r"].append(mr)
+                        out["mean_g"].append(mg)
+                        out["mean_b"].append(mb)
+                        out["frame"].append(frames[i])
+                except ValueError:
+                    continue
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA)

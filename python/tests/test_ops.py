@@ -948,6 +948,40 @@ def test_round12d_tokenizer_readability_pca():
     assert seg.count() == events.select("user_id").distinct().count()
     assert seg.filter("r_score < 1 OR r_score > 5").count() == 0
 
+    # video: GVID container walk + frame sampling via mapInPandas
+    from graftspark import multimodal
+    import struct as _st
+    spark2 = _get_spark()
+
+    def mk_gvid(fps_milli, frames):
+        out = b"GVID" + _st.pack(">ii", fps_milli, len(frames))
+        for fr in frames:
+            out += _st.pack(">i", len(fr)) + fr
+        return out
+
+    def mk_ppm(w, h, r, g, b):
+        return (f"P6\n{w} {h}\n255\n".encode() +
+                bytes([r, g, b]) * (w * h))
+
+    vids = spark2.createDataFrame(
+        [(1, bytearray(mk_gvid(2000, [mk_ppm(4, 3, 10, 20, 30),
+                                      mk_ppm(2, 2, 5, 6, 7),
+                                      mk_ppm(3, 3, 9, 9, 9)]))),
+         (2, bytearray(b"not a video"))],
+        "id long, blob binary")
+    vm = {r["id"]: r for r in
+          multimodal.extract_video_features(vids, "id", "blob").collect()}
+    assert set(vm) == {1}
+    assert vm[1]["n_frames"] == 3 and vm[1]["fps_milli"] == 2000
+    assert vm[1]["duration_us"] == 1_500_000
+    fr = multimodal.sample_video_frames(vids, "id", "blob",
+                                        every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in fr) == [0, 2]
+    f0 = next(r for r in fr if r["frame_idx"] == 0)
+    assert (f0["width"], f0["height"]) == (4, 3)
+    assert f0["mean_r"] == 10.0
+    assert bytes(f0["frame"]).startswith(b"P6")
+
     # curation funnel: per-source attrition in one scan
     fr = ops.funnel_report(docs, "source", [
         ("nonempty", "n_chars > 0"),

@@ -2599,6 +2599,44 @@ object SparkEntry {
           (round(col("survival_hi"), 6) + 0.0).as("survival_hi"))
     }),
 
+    "q201_video_frames" -> ((s, dir) => {
+      // video frame sampling over the GVID analytic container: every
+      // 2nd frame decodes to dims + per-channel pixel means, all
+      // SQL-derivable from (id, frame) alone — decode is partition-
+      // local, video bytes never shuffle
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id")).as[Long]
+      val vids = ids.map(id =>
+        (id, graft.ops.Media.synthesizeGvid(id, 3 + (id % 3).toInt)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.videoFrameSample(vids, "doc_id", "blob",
+        everyN = 2)
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (round(col("mean_r"), 6) + 0.0).as("mean_r"),
+          (round(col("mean_g"), 6) + 0.0).as("mean_g"),
+          (round(col("mean_b"), 6) + 0.0).as("mean_b"))
+    }),
+
+    "q202_video_stats" -> ((s, dir) => {
+      // container-level stats: header walk only, frames never decode;
+      // duration derives exactly from the frame count and fps
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val vids = ids.map(id =>
+        (id, graft.ops.Media.synthesizeGvid(id, 4 + (id % 5).toInt)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.videoStats(vids, "doc_id", "blob")
+        .select(col("id").as("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("fps_milli").cast("long").as("fps_milli"),
+          col("duration_us"))
+    }),
+
     "q200_curation_funnel" -> ((s, dir) => {
       // the curation funnel: per source, attrition through an ordered
       // screen chain (token range -> length cap -> readability floor),
@@ -5478,6 +5516,36 @@ object SparkEntry {
     "q194_image_hash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q201_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, 3 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id < 24),
+        |fr AS (SELECT id, unnest(range(0, nf, 2)) AS f FROM ids),
+        |d AS (SELECT id, f, (id * 31 + f)::BIGINT AS fid FROM fr),
+        |dims AS (SELECT id, f, fid, (4 + fid % 8)::BIGINT AS w,
+        |    (3 + fid % 5)::BIGINT AS h FROM d),
+        |px AS (SELECT id, f, w, h, fid, unnest(range(0, w)) AS x
+        |  FROM dims),
+        |pxy AS (SELECT id, f, w, h, fid, x, unnest(range(0, h)) AS y
+        |  FROM px),
+        |m AS (SELECT id, f, w, h,
+        |    avg(((fid + 7 * x + 13 * y) % 256)::DOUBLE) AS mr,
+        |    avg(((fid * 3 + 5 * x + 11 * y) % 256)::DOUBLE) AS mg,
+        |    avg(((fid * 7 + 3 * x + 17 * y) % 256)::DOUBLE) AS mb
+        |  FROM pxy GROUP BY 1, 2, 3, 4)
+        |SELECT id AS doc_id, f::BIGINT AS frame_idx, w AS width,
+        |  h AS height,
+        |  round(mr, 6) + 0.0 AS mean_r,
+        |  round(mg, 6) + 0.0 AS mean_g,
+        |  round(mb, 6) + 0.0 AS mean_b
+        |FROM m""".stripMargin,
+
+    "q202_video_stats" ->
+      """SELECT doc_id, (4 + doc_id % 5)::BIGINT AS n_frames,
+        |  4000::BIGINT AS fps_milli,
+        |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
+        |    AS duration_us
+        |FROM documents WHERE doc_id < 60""".stripMargin,
 
     "q200_curation_funnel" ->
       """WITH m AS (SELECT source,

@@ -315,6 +315,108 @@ object Media {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ===== video: GVID container =====================================
+  // A self-contained video format in the same spirit as the PPM / WAV
+  // codecs: "GVID" magic, big-endian fps_milli (frames/sec x 1000) and
+  // frame count, then length-prefixed PPM frames. Real byte-walking
+  // decode with zero native dependencies; codec-dependent containers
+  // (MP4/WebM) sit behind the same ImageCodec-style boundary as
+  // JPEG/PNG stills.
+
+  final case class GvidMeta(fpsMilli: Int, nFrames: Int)
+
+  def encodeGvid(fpsMilli: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fpsMilli > 0, s"fpsMilli must be > 0, got $fpsMilli")
+    val size = 12 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.put("GVID".getBytes("US-ASCII"))
+    bb.putInt(fpsMilli)
+    bb.putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  def parseGvidMeta(blob: Array[Byte]): GvidMeta = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID blob")
+    GvidMeta(bb.getInt(), bb.getInt())
+  }
+
+  /** Frames of a GVID blob in order, lazily: (frame index, PPM bytes). */
+  def gvidFrames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    val meta = parseGvidMeta(blob)
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.position(12)
+    (0 until meta.nFrames).iterator.map { i =>
+      val len = bb.getInt()
+      val frame = new Array[Byte](len)
+      bb.get(frame)
+      (i, frame)
+    }
+  }
+
+  /** Deterministic synthetic video: frame f is the analytic PPM
+    * [[synthesizePpm]](id * 31 + f), so every sampled pixel is
+    * SQL-derivable from (id, f) alone.
+    */
+  def synthesizeGvid(id: Long, nFrames: Int,
+      fpsMilli: Int = 4000): Array[Byte] =
+    encodeGvid(fpsMilli,
+      (0 until nFrames).map(f => synthesizePpm(id * 31L + f)))
+
+  final case class VideoStatsRecord(id: Long, n_frames: Int,
+      fps_milli: Int, duration_us: Long)
+
+  /** Container-level stats per video blob — header walk only, frames
+    * never decode. Partition-local, zero shuffle.
+    */
+  def videoStats(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = parseGvidMeta(blob)
+        VideoStatsRecord(id, m.nFrames, m.fpsMilli,
+          m.nFrames.toLong * 1000000000L / m.fpsMilli)
+      })
+      .toDF()
+  }
+
+  final case class VideoFrameRecord(id: Long, frame_idx: Int,
+      width: Int, height: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double, frame: Array[Byte])
+
+  /** Sample every `everyN`-th frame of a GVID column: one output row
+    * per sampled frame with its dimensions, per-channel pixel means,
+    * and the decoded frame as a standalone PPM blob (ready for
+    * [[imageHashes]] / [[resizePpmImages]] / the image store).
+    * Partition-local decode at the codec boundary — video bytes never
+    * shuffle; only the (much smaller) sampled frames leave the row.
+    */
+  def videoFrameSample(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        gvidFrames(blob).collect {
+          case (i, ppm) if i % everyN == 0 =>
+            val img = decodePpm(ppm)
+            val (mr, mg, mb) = meanRgb(img)
+            VideoFrameRecord(id, i, img.width, img.height, mr, mg, mb,
+              ppm)
+        }
+      })
+      .toDF()
+  }
+
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
   def meanRgb(img: PpmImage): (Double, Double, Double) = {
     var r = 0L; var g = 0L; var b = 0L

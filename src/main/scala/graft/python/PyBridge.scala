@@ -1061,6 +1061,15 @@ object PyBridge {
       valueCol: String, nTiles: Int): DataFrame =
     graft.ops.EventStats.rfm(df, keyCol, tsCol, valueCol, nTiles)
 
+  /** GVID container stats (header walk, frames never decode). */
+  def videoStats(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.videoStats(df, idCol, blobCol)
+
+  /** Every Nth GVID frame as a standalone PPM row (JVM decode). */
+  def videoFrameSample(df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int): DataFrame =
+    graft.ops.Media.videoFrameSample(df, idCol, blobCol, everyN)
+
   /** Curation funnel from SQL-expression stage conditions. */
   def funnelReport(df: DataFrame, groupCol: String,
       names: ju.List[String], conditions: ju.List[String]): DataFrame = {
