@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,41 +167,49 @@ object EventStats {
     * gini = 2 * sum(i * x_(i)) / (n * sum x) - (n + 1) / n over
     * ascending-sorted per-key weights (rank ties broken by key for
     * determinism). Scale shape: events collapse to per-key totals
-    * first (one exchange, map-side combined); everything after runs
-    * on the KEY-cardinality table — the global sort ranks keys, not
-    * events. Output one row: n_keys, total, gini, top_decile_share.
+    * first (one exchange, map-side combined); the global rank over the
+    * KEY-cardinality table then comes from the
+    * [[FeatureScale.runningTotalsReleasable]] distributed prefix sum —
+    * a billion-key frame range-partitions instead of funneling through
+    * the single-partition sort a naive `row_number().over(orderBy)`
+    * would plan. Output one row: n_keys, total, gini,
+    * top_decile_share. The persisted key layout stays pinned until the
+    * session drops it; use [[concentrationReleasable]] to reclaim.
     */
   def concentration(
       df: DataFrame,
       keyCol: String,
-      valueCol: Option[String] = None): DataFrame = {
+      valueCol: Option[String] = None): DataFrame =
+    concentrationReleasable(df, keyCol, valueCol)._1
+
+  /** [[concentration]] plus a release() thunk for the persisted
+    * ranked-key layout.
+    */
+  def concentrationReleasable(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Option[String] = None): (DataFrame, () => Unit) = {
     val weight = valueCol
       .map(c => sum(coalesce(col(c).cast("double"), lit(0.0))))
       .getOrElse(count(lit(1)).cast("double"))
     val perKey = df.groupBy(col(keyCol).as("key"))
       .agg(weight.as("x"))
-    // global rank over the KEY-cardinality table (events are already
-    // collapsed) — the count-over-all rides the same single-partition
-    // window the sort needs anyway
-    val wAsc = Window.orderBy(col("x").asc, col("key").asc)
-    val ranked = perKey
-      .withColumn("__i", row_number().over(wAsc))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy().orderBy(col("x").asc, col("key").asc)
-          .rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
-    ranked.agg(
+    // __cum IS the global 1-based rank (weight 1 over a total order)
+    val (ranked, release) = FeatureScale.runningTotalsReleasable(
+      perKey, Seq(col("x").asc, col("key").asc), lit(1L))
+    val out = ranked.agg(
         count(lit(1)).as("n_keys"),
         sum(col("x")).as("total"),
-        sum(col("__i") * col("x")).as("__ix"),
+        sum(col("__cum") * col("x")).as("__ix"),
         max(col("__n")).as("__nn"),
-        sum(when(col("__i") > col("__n") - floor(col("__n") / 10),
+        sum(when(col("__cum") > col("__n") - floor(col("__n") / 10),
           col("x"))).as("__topx"))
       .select(col("n_keys"), col("total"),
         (lit(2.0) * col("__ix") / (col("__nn") * col("total")) -
           (col("__nn") + 1).cast("double") / col("__nn")).as("gini"),
         (coalesce(col("__topx"), lit(0.0)) / col("total"))
           .as("top_decile_share"))
+    (out, release)
   }
 
   /** First/last-touch conversion attribution: for every conversion
@@ -405,9 +413,14 @@ object EventStats {
     * mapped to the highest score (most recent / most frequent /
     * highest spend = nTiles), ties broken by key so both engines cut
     * identically; `rfm` concatenates the three digits. One aggregate
-    * to per-key rows + three key-cardinality ntile windows (global
-    * sorts over |keys|, never |events|). Output: key, recency_s,
-    * frequency, monetary, r_score, f_score, m_score, rfm.
+    * to per-key rows + three distributed rank passes over |keys|
+    * (never |events|): each ntile comes from the
+    * [[FeatureScale.runningTotalsReleasable]] prefix sum — global row
+    * number + total, then SQL ntile's closed form — so a billion-key
+    * frame range-partitions three times instead of serializing through
+    * three single-partition `ntile().over(Window.orderBy)` sorts.
+    * Output: key, recency_s, frequency, monetary, r_score, f_score,
+    * m_score, rfm.
     */
   def rfm(
       df: DataFrame,
@@ -434,27 +447,50 @@ object EventStats {
         sum(col(valueCol).cast("double")).as("monetary"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ref = agg.agg(max(col("__last")).as("__ref"))
-    val wR = Window.orderBy(col("recency_s").asc, col("key").asc)
-    val wF = Window.orderBy(col("frequency").desc, col("key").asc)
+    val base = agg.crossJoin(broadcast(ref))
+      .select(col("key"),
+        expr("(__ref - __last) div 1000000").as("recency_s"),
+        col("frequency"), col("monetary"))
+
+    // SQL ntile's closed form from the global row number r over total
+    // N: bucketSize = N div n, rem = N mod n, the first rem buckets
+    // take one extra row — r <= rem*(bucketSize+1) lands in bucket
+    // ceil(r/(bucketSize+1)), the rest in rem + ceil((r-cut)/
+    // bucketSize). Integer ceil via (a + b - 1) div b; when
+    // bucketSize = 0 (fewer keys than tiles) cut = N and the first
+    // branch degenerates to bucket = r, exactly Spark's ntile.
+    // NtileClosedFormSpec pins equality against ntile() itself.
+    val tileExpr = expr(
+      s"""CASE WHEN __cum <= (__n % $nTiles) * ((__n div $nTiles) + 1)
+         |  THEN (__cum + (__n div $nTiles)) div ((__n div $nTiles) + 1)
+         |  ELSE (__n % $nTiles) +
+         |    (__cum - (__n % $nTiles) * ((__n div $nTiles) + 1)
+         |      + (__n div $nTiles) - 1) div (__n div $nTiles)
+         |END""".stripMargin)
+    def score(in: DataFrame, order: Seq[Column], outCol: String)
+        : (DataFrame, () => Unit) = {
+      val (cum, release) = FeatureScale.runningTotalsReleasable(
+        in, order, lit(1L))
+      (cum.withColumn(outCol,
+          (lit(nTiles + 1) - tileExpr).cast("long"))
+        .drop("__cum", "__n"), release)
+    }
     // monetary ranks on the 6-decimal rounding: a float sum's last
     // ulps depend on reduction order, and two keys flipping across
     // engines would flip their ntiles — rounding first makes the cut
     // reduction-order-independent
-    val wM = Window.orderBy(round(col("monetary"), 6).desc,
-      col("key").asc)
-    val out = agg.crossJoin(broadcast(ref))
-      .select(col("key"),
-        expr("(__ref - __last) div 1000000").as("recency_s"),
-        col("frequency"), col("monetary"))
-      .withColumn("r_score",
-        (lit(nTiles + 1) - ntile(nTiles).over(wR)).cast("long"))
-      .withColumn("f_score",
-        (lit(nTiles + 1) - ntile(nTiles).over(wF)).cast("long"))
-      .withColumn("m_score",
-        (lit(nTiles + 1) - ntile(nTiles).over(wM)).cast("long"))
-      .withColumn("rfm",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-    (out, () => { agg.unpersist(blocking = false); () })
+    val (r1, rel1) = score(base,
+      Seq(col("recency_s").asc, col("key").asc), "r_score")
+    val (r2, rel2) = score(r1,
+      Seq(col("frequency").desc, col("key").asc), "f_score")
+    val (r3, rel3) = score(r2,
+      Seq(round(col("monetary"), 6).desc, col("key").asc), "m_score")
+    val out = r3.withColumn("rfm",
+      col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    (out, () => {
+      rel1(); rel2(); rel3()
+      agg.unpersist(blocking = false); ()
+    })
   }
 
   /** Two-sample log-rank test (Mantel 1966): do two cohorts share a

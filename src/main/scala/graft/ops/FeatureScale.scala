@@ -239,6 +239,68 @@ object FeatureScale {
     (out, () => { sorted.unpersist(); () })
   }
 
+  /** Attach the inclusive running total of `weight` over a GLOBAL
+    * `order` — the distributed prefix sum every "rank the whole
+    * table" op needs, WITHOUT the single-partition sort a naive
+    * `Window.orderBy(...)` plans. `order` must be a TOTAL order
+    * (callers append a tie-break column); with `weight = lit(1L)` the
+    * running total IS the global 1-based row number.
+    *
+    * Output = the input columns + `__cum` (inclusive running total of
+    * `weight` in `order`) + `__n` (the grand total, on every row).
+    * Returns the frame plus a release() thunk for the persisted sorted
+    * layout (same contract as [[percentileRanksReleasable]]).
+    *
+    * Scale shape (the [[Packing.packSequencesReleasable]] prefix sum,
+    * factored out): (1) range-repartition + in-partition sort on
+    * `order`; (2) per-partition subtotals cumulate into exclusive
+    * offsets — a #partitions-row frame whose single-partition window
+    * is driver-scale BY CONSTRUCTION (its ordering column is `__pid`,
+    * which the board-wide plan canary recognizes as the bounded
+    * shape); (3) the offsets join back on `__pid`, reusing the
+    * hashpartitioning the in-partition running window needs anyway,
+    * and the running sum finishes the inclusive total. The only
+    * corpus-scale exchanges are the range partition and the `__pid`
+    * hash — both carry the input rows once.
+    */
+  def runningTotalsReleasable(
+      df: DataFrame,
+      order: Seq[Column],
+      weight: Column): (DataFrame, () => Unit) = {
+    require(order.nonEmpty, "runningTotals needs an ordering")
+    val inCols = df.columns.toSeq
+    val sorted = df
+      .withColumn("__w", weight)
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition subtotals -> exclusive offsets + grand total; both
+    // windows order by __pid over #partitions rows (bounded), so Spark
+    // plans them in one WindowExec
+    val offWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = sorted
+      .groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__psum"))
+      .select(col("__pid").as("__off_pid"),
+        coalesce(sum(col("__psum")).over(offWin), lit(0L)).as("__poffset"),
+        sum(col("__psum")).over(allWin).as("__n"))
+
+    val running = Window.partitionBy(col("__pid"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = sorted
+      .join(offsets, col("__pid") === col("__off_pid"))
+      .withColumn("__cum",
+        col("__poffset") + sum(col("__w")).over(running))
+      .select((inCols.map(col) :+ col("__cum") :+ col("__n")): _*)
+    (out, () => { sorted.unpersist(); () })
+  }
+
   /** Attach the exact percentile rank of `valueCol` to every row
     * (optionally per `keys` group): SQL `cume_dist()` as a column, at
     * corpus scale. Rows with a NULL value get a NULL rank. The rank

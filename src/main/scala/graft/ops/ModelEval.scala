@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Score-quality evaluation beyond the confusion matrix: ROC AUC and
@@ -10,9 +9,12 @@ import org.apache.spark.sql.functions._
   * contamination detectors all emit scores whose THRESHOLD someone
   * must trust).
   *
-  * Scale shape: AUC is the rank statistic (one sort via a window over
-  * the score ordering, then a 1-row aggregate — no pairwise join);
-  * calibration is one hash aggregate over at most `nBins` cells.
+  * Scale shape: AUC is the rank statistic computed on the
+  * DISTINCT-SCORE counts table (one map-side-combined aggregate
+  * collapses the corpus, then the [[FeatureScale]] distributed prefix
+  * sum ranks the counts — never a single-partition sort of the scored
+  * rows, never a pairwise join); calibration is one hash aggregate
+  * over at most `nBins` cells.
   */
 object ModelEval {
 
@@ -23,34 +25,59 @@ object ModelEval {
     * definition P(s+ > s-) + P(s+ = s-)/2). NULL scores/labels drop.
     * Returns one row: n_pos, n_neg, auc (NULL when either class is
     * empty).
+    *
+    * The distinct-score layout persists until the session drops it;
+    * callers running many evaluations in one session should prefer
+    * [[aucReleasable]] and release after materializing.
     */
   def auc(
       df: DataFrame,
       scoreCol: String,
-      labelCol: String): DataFrame = {
-    val base = df
+      labelCol: String): DataFrame =
+    aucReleasable(df, scoreCol, labelCol)._1
+
+  /** [[auc]] plus a release() thunk for the persisted distinct-score
+    * counts layout.
+    *
+    * Plan: `groupBy(score)` collapses N scored rows to (score,
+    * tie_count, pos_count) cells — the only corpus-scale exchange —
+    * then [[FeatureScale.runningTotalsReleasable]] prefix-sums the tie
+    * counts in score order. The tie group ending at inclusive count c
+    * with t members spans ranks (c-t+1)..c, so its average rank is
+    * (c-t) + (t+1)/2 — pure arithmetic on the counts, no row of the
+    * original corpus crosses a window. (The previous revision ranked
+    * every scored row through `rank().over(Window.orderBy(score))`,
+    * which funnels the entire score table into ONE partition — correct
+    * at test scale, a scale-killer at 100 TB of scores.)
+    */
+  def aucReleasable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): (DataFrame, () => Unit) = {
+    val counts = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("boolean").as("__y"))
-    // average rank = (2*min_rank + tie_count - 1) / 2; min_rank via
-    // the rank() window, tie counts via a partition on the score
-    val wOrd = Window.orderBy(col("__s"))
-    val wTie = Window.partitionBy(col("__s"))
-    base
-      .withColumn("__r", rank().over(wOrd))
-      .withColumn("__t", count(lit(1)).over(wTie))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val (cum, release) = FeatureScale.runningTotalsReleasable(
+      counts, Seq(col("__s")), col("__t"))
+    val out = cum
       .withColumn("__ar",
-        (lit(2) * col("__r") + col("__t") - 1).cast("double") / 2)
+        (col("__cum") - col("__t")).cast("double") +
+          (col("__t") + 1).cast("double") / 2)
       .agg(
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("__y"), col("__ar"))).as("__rp"))
+        sum(col("__p")).as("n_pos"),
+        (sum(col("__t")) - sum(col("__p"))).as("n_neg"),
+        sum(col("__p") * col("__ar")).as("__rp"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           (col("__rp") - col("n_pos").cast("double") *
             (col("n_pos") + 1) / 2) /
             (col("n_pos").cast("double") * col("n_neg")))
           .as("auc"))
+    (out, release)
   }
 
   /** Reliability table over `nBins` equal-width score bins on [0, 1]:

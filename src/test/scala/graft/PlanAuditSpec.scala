@@ -275,14 +275,89 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     plan shouldNot include("CartesianProduct")
   }
 
-  test("auc: rank statistic — windows over one global sort, no " +
-    "pairwise join") {
+  test("auc: rank statistic on the distinct-score counts — corpus " +
+    "collapses through one partial aggregate, no pairwise join, no " +
+    "unpartitioned corpus-scale window") {
     val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("(vec_id % 7) / 6.0 AS s", "label >= 5 AS y")
-    val res = graft.ops.ModelEval.auc(scored, "s", "y")
-    res.collect()
-    val plan = finalPlan(res)
-    plan shouldNot include("Join")
-    "Window".r.findAllIn(plan).length should be >= 1
+    val (res, release) = graft.ops.ModelEval.aucReleasable(scored, "s", "y")
+    try {
+      res.collect()
+      val plan = finalPlan(res)
+      // the scored rows reduce map-side before any exchange; ranks come
+      // from the prefix sum, so every window in the plan is keyed on
+      // __pid (bounded offsets / per-partition running sum) — never a
+      // single-partition sort of the score table
+      plan should include ("partial_count")
+      plan.linesIterator.filter(_.contains("Window "))
+        .filterNot(_.contains("__pid")).toSeq shouldBe empty
+      plan shouldNot include ("SortMergeJoin")
+      unpartitionedWindows(res.queryExecution.executedPlan) shouldBe empty
+    } finally release()
+  }
+
+  // ---- board-wide single-partition-window canary ----------------------
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+  /** Every WindowExec with an EMPTY partition spec whose ordering is
+    * not the `__pid` offsets convention. An unpartitioned window
+    * funnels its whole input through ONE task — the defect class that
+    * made auc/rfm/concentration correct-but-unscalable; windows
+    * ordered by `__pid` are the distributed-prefix-sum offsets frames
+    * (#partitions rows, bounded by construction) and are allowed.
+    */
+  private def unpartitionedWindows(plan: SparkPlan): Seq[WindowExec] = {
+    val nested = plan match {
+      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
+      case q: QueryStageExec => unpartitionedWindows(q.plan)
+      case s: InMemoryTableScanExec =>
+        unpartitionedWindows(s.relation.cachedPlan)
+      case _ => Nil
+    }
+    val here = plan match {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !(w.orderSpec.nonEmpty &&
+            w.orderSpec.forall(_.child.references.exists(_.name == "__pid"))) =>
+        Seq(w)
+      case _ => Nil
+    }
+    here ++ nested ++ plan.children.flatMap(unpartitionedWindows) ++
+      plan.subqueries.flatMap(unpartitionedWindows)
+  }
+
+  test("board-wide: no driver query plans an unpartitioned WindowExec " +
+    "outside the documented bounded-by-construction allowlist") {
+    // Queries whose unpartitioned windows run over frames that are
+    // BOUNDED BY CONSTRUCTION (never corpus- or key-cardinality):
+    //  - q195/q196: Kaplan-Meier / log-rank curves window over
+    //    DISTINCT bucketed event times — both queries floor durations
+    //    to hours exactly so this window is bounded (the
+    //    kaplanMeierImpl scaladoc documents the bucketing obligation)
+    //  - q163: zipfFit's rank window reads the `orderBy().limit(topN)`
+    //    TakeOrdered output — at most topN (200) rows by construction
+    val bounded: Set[String] = Set(
+      "q163_zipf", "q195_survival", "q196_log_rank")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val wins = unpartitionedWindows(fn(spark, sfDir)
+            .queryExecution.sparkPlan)
+          if (wins.isEmpty || bounded(name)) Nil
+          else Seq(s"$name: ${wins.size} unpartitioned WindowExec " +
+            wins.map(w => w.orderSpec.map(_.child.toString)
+              .mkString("orderBy(", ",", ")")).mkString("; "))
+        } catch {
+          // construction failures are QueryBoardSpec's concern
+          case _: Throwable => Nil
+        }
+    }
+    assert(offenders.isEmpty,
+      s"\n${offenders.size} queries plan a single-partition window " +
+        s"(fix with FeatureScale.runningTotalsReleasable or allowlist " +
+        s"with a boundedness argument):\n  ${offenders.mkString("\n  ")}")
   }
 }

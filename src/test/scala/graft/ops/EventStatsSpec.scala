@@ -258,4 +258,47 @@ class EventStatsSpec extends AnyFunSuite with Matchers
     got(3L) shouldBe 111L
     got(4L) shouldBe 111L
   }
+
+  test("rfm closed-form ntile == Spark's ntile window for every key, " +
+    "across key counts and tile counts (incl. fewer keys than tiles)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (nKeys <- Seq(3, 7, 10, 23); tiles <- Seq(2, 3, 5, 7)) {
+      // key u has u events, staggered last-times, varied spend; some
+      // monetary ties (spend depends on u % 4) exercise the tie-break
+      val rows = (1 to nKeys).flatMap { u =>
+        (0 until u).map(j => (u.toLong, (u * 50L + j) * 1000000L,
+          (u % 4) * 10.0))
+      }
+      val df = rows.toDF("user", "t", "v")
+      val got = EventStats.rfm(df, "user", "t", "v", nTiles = tiles)
+        .select("key", "r_score", "f_score", "m_score")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // oracle: the pre-prefix-sum formulation — ntile windows over the
+      // same per-key aggregate and tie-break orderings
+      val agg = df.groupBy(col("user").as("key"))
+        .agg(max(col("t")).as("__last"), count(lit(1)).as("frequency"),
+          sum(col("v")).as("monetary"))
+      val ref = agg.agg(max(col("__last")).as("__ref"))
+      val base = agg.crossJoin(broadcast(ref))
+        .select(col("key"),
+          expr("(__ref - __last) div 1000000").as("recency_s"),
+          col("frequency"), col("monetary"))
+      val want = base
+        .withColumn("r_score", (lit(tiles + 1) - ntile(tiles).over(
+          Window.orderBy(col("recency_s").asc, col("key").asc)))
+          .cast("long"))
+        .withColumn("f_score", (lit(tiles + 1) - ntile(tiles).over(
+          Window.orderBy(col("frequency").desc, col("key").asc)))
+          .cast("long"))
+        .withColumn("m_score", (lit(tiles + 1) - ntile(tiles).over(
+          Window.orderBy(round(col("monetary"), 6).desc,
+            col("key").asc))).cast("long"))
+        .collect().map(r => r.getAs[Long]("key") ->
+          (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+            r.getAs[Long]("m_score"))).toMap
+      withClue(s"nKeys=$nKeys tiles=$tiles: ") { got shouldBe want }
+    }
+  }
 }

@@ -170,4 +170,68 @@ class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       plan should include ("partial_count")
     } finally release()
   }
+
+  test("runningTotals: __cum/__n match a global-window oracle on asc, " +
+    "desc, and weighted orderings") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 400)
+      .map(i => (((i * 37) % 89).toDouble, i.toLong, ((i * 13) % 7 + 1).toLong))
+      .toDF("x", "id", "w").repartition(8)
+
+    // weight 1 over (x asc, id asc) == global row_number
+    val (rn, rel1) = FeatureScale.runningTotalsReleasable(
+      df, Seq(col("x").asc, col("id").asc), lit(1L))
+    try {
+      val got = rn.select(col("id"), col("__cum"), col("__n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val want = df.withColumn("__rn", row_number().over(
+          Window.orderBy(col("x").asc, col("id").asc)))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("__rn").toLong, 400L))
+        .sortBy(_._1)
+      got shouldBe want
+    } finally rel1()
+
+    // real weights over a DESC ordering == windowed running sum
+    val (ws, rel2) = FeatureScale.runningTotalsReleasable(
+      df, Seq(col("x").desc, col("id").asc), col("w"))
+    try {
+      val got = ws.select(col("id"), col("__cum"), col("__n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val want = df.withColumn("__cum", sum(col("w")).over(
+          Window.orderBy(col("x").desc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", sum(col("w")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("__cum"),
+          r.getAs[Long]("__n")))
+        .sortBy(_._1)
+      got shouldBe want
+    } finally rel2()
+  }
+
+  test("runningTotals plan: one range exchange, offsets window bounded " +
+    "by __pid — no unpartitioned corpus-scale window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 17) % 97).toDouble).toDF("x")
+      .withColumn("id", monotonically_increasing_id()).repartition(8)
+    val (out, release) = FeatureScale.runningTotalsReleasable(
+      df, Seq(col("x").asc, col("id").asc), lit(1L))
+    try {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      "Exchange rangepartitioning".r.findAllIn(plan).length shouldBe 1
+      // every unpartitioned window in the plan orders by __pid — the
+      // #partitions-row offsets frame, bounded by construction
+      // both the offsets window (orders by __pid) and the running
+      // window (partitions by __pid) are keyed on the partition id
+      val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      winLines should not be empty
+      winLines.filterNot(_.contains("__pid")) shouldBe empty
+    } finally release()
+  }
 }
