@@ -656,6 +656,23 @@ def novelty_score_broadcast(docs: DataFrame, reference: DataFrame,
         docs._jdf, reference._jdf, id_col, text_col, int(n)), docs)
 
 
+def novelty_score_bloom(docs: DataFrame, reference: DataFrame,
+                        id_col: str, text_col: str, n: int = 8,
+                        num_bits: int = 1 << 27,
+                        num_hash_fns: int = 5) -> DataFrame:
+    """``novelty_score_broadcast`` with the reference collapsed into
+    fixed-size Bloom filter bytes (``num_bits`` / 8 bytes regardless of
+    reference size) instead of an exact gram array — the bounded-state
+    form for references too large to collect distinct gram hashes to
+    the driver. Novelty is a LOWER bound: a false positive marks a
+    truly novel gram as seen (rate set by num_bits/num_hash_fns; size
+    num_bits ~ 10x expected distinct grams for ~1%). No false
+    negatives. Output: id, n_grams, n_novel, novelty."""
+    return _to_py_df(_jvm_bridge(reference).noveltyScoreBloom(
+        docs._jdf, reference._jdf, id_col, text_col, int(n),
+        int(num_bits), int(num_hash_fns)), docs)
+
+
 def doremi_weights(df: DataFrame, domain_col: str, proxy_loss_col: str,
                    ref_loss_col: str, eta: float = 1.0, steps: int = 10,
                    smoothing: float = 0.1) -> DataFrame:
@@ -868,14 +885,21 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
 
 
 def knn_label_noise(df: DataFrame, id_col: str, emb_col: str,
-                    label_col: str, k: int = 10) -> DataFrame:
-    """Label-noise screen by exact cosine k-NN disagreement: per point,
-    the neighborhood majority label, disagreement fraction, and a
-    suspect flag (majority differs from own label). For corpora too
-    large for broadcast brute force, compute IVF neighbors and use
+                    label_col: str, k: int = 10,
+                    brute_force_threshold: int = 20000,
+                    n_centroids: int = 16,
+                    n_probe: int = 16) -> DataFrame:
+    """Label-noise screen by cosine k-NN disagreement: per point, the
+    neighborhood majority label, disagreement fraction, and a suspect
+    flag (majority differs from own label). Auto-routed on a measured
+    count: at or below ``brute_force_threshold`` rows the neighbors
+    are exact broadcast brute force; above it they come from IVF
+    (exact while ``n_probe == n_centroids``, approximate below). For
+    full control compute neighbors yourself and use
     :func:`label_noise_from_neighbors`."""
-    return _to_py_df(_jvm_bridge(df).knnLabelNoise(
-        df._jdf, id_col, emb_col, label_col, int(k)), df)
+    return _to_py_df(_jvm_bridge(df).knnLabelNoiseRouted(
+        df._jdf, id_col, emb_col, label_col, int(k),
+        int(brute_force_threshold), int(n_centroids), int(n_probe)), df)
 
 
 def label_noise_from_neighbors(neighbors: DataFrame, labels: DataFrame,

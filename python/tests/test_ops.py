@@ -499,7 +499,10 @@ def test_round12_mixture_media_novelty():
     bcast = {(r["doc_id"], r["n_novel"]) for r in
              ops.novelty_score_broadcast(probe, ref, "doc_id",
                                          "text").collect()}
-    assert stored == direct == bcast
+    bloom = {(r["doc_id"], r["n_novel"]) for r in
+             ops.novelty_score_bloom(probe, ref, "doc_id", "text",
+                                     num_bits=1 << 22).collect()}
+    assert stored == direct == bcast == bloom
 
     # ordered funnel: depth bounded by steps, every full-depth user has
     # monotone step times

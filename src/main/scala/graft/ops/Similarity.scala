@@ -689,18 +689,36 @@ object Similarity {
       assign(col("item_emb"), cs, 1)(0).cast("long").as("cluster"))
   }
 
-  /** Convenience: exact self-kNN label-noise screen over one labeled
-    * embedding frame (brute-force cosine neighbors, self excluded).
-    * For corpora too large for the broadcast in [[bruteForceTopK]],
-    * run [[ivfTopK]] yourself and feed [[labelNoiseFromNeighbors]].
+  /** Convenience: self-kNN label-noise screen over one labeled
+    * embedding frame, AUTO-ROUTED on a measured corpus count (the
+    * [[Joins.autoJoin]] probe precedent — commit to a broadcast only
+    * after measuring): at or below `bruteForceThreshold` rows the
+    * neighbors are exact ([[bruteForceTopK]], where the whole frame
+    * broadcasts as the query side — the threshold bounds exactly that
+    * broadcast); above it the search routes through [[ivfTopK]], whose
+    * corpus side streams map-only against a broadcast codebook at any
+    * scale. Routed neighbors are exact when `nProbe == nCentroids`
+    * (exhaustive probing == brute force — the spec-pinned boundary
+    * property) and approximate otherwise, which is the standard ANN
+    * trade at corpus scale. The probe is ONE count aggregate; callers
+    * that already know their regime can call [[bruteForceTopK]] /
+    * [[ivfTopK]] + [[labelNoiseFromNeighbors]] directly and skip it.
     */
   def knnLabelNoise(
       df: DataFrame,
       idCol: String,
       embCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
-    val nb = bruteForceTopK(df, df, idCol, embCol, k)
+      k: Int,
+      bruteForceThreshold: Long = 20000L,
+      nCentroids: Int = 16,
+      nProbe: Int = 16): DataFrame = {
+    require(bruteForceThreshold >= 0,
+      s"bruteForceThreshold must be >= 0, got $bruteForceThreshold")
+    val nb =
+      if (df.count() <= bruteForceThreshold)
+        bruteForceTopK(df, df, idCol, embCol, k)
+      else ivfTopK(df, df, idCol, embCol, k, nCentroids, nProbe)
     labelNoiseFromNeighbors(nb, df, idCol, labelCol)
   }
 }

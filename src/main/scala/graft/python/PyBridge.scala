@@ -614,6 +614,19 @@ object PyBridge {
     graft.streaming.StreamingNovelty.score(docs, ref, idCol, textCol, n)
   }
 
+  /** [[noveltyScoreBroadcast]] with the reference collapsed to
+    * fixed-size Bloom filter bytes — bounded driver state for large
+    * references; novelty is a lower bound by the filter's FP rate.
+    */
+  def noveltyScoreBloom(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int, numBits: Long,
+      numHashFns: Int): DataFrame = {
+    val ref = graft.streaming.StreamingNovelty.referenceGramsBloom(
+      reference, textCol, n, numBits, numHashFns)
+    graft.streaming.StreamingNovelty.scoreBloom(docs, ref, idCol,
+      textCol, n)
+  }
+
   /** DoReMi-lite domain mixture weights from per-example proxy and
     * reference loss columns.
     */
@@ -775,6 +788,15 @@ object PyBridge {
   def knnLabelNoise(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int): DataFrame =
     graft.ops.Similarity.knnLabelNoise(df, idCol, embCol, labelCol, k)
+
+  /** [[knnLabelNoise]] with explicit routing knobs (brute-force
+    * broadcast threshold + IVF parameters above it).
+    */
+  def knnLabelNoiseRouted(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, bruteForceThreshold: Long,
+      nCentroids: Int, nProbe: Int): DataFrame =
+    graft.ops.Similarity.knnLabelNoise(df, idCol, embCol, labelCol, k,
+      bruteForceThreshold, nCentroids, nProbe)
 
   /** Label-noise scoring over a precomputed neighbor frame. */
   def labelNoiseFromNeighbors(neighbors: DataFrame, labels: DataFrame,

@@ -12,21 +12,25 @@ import graft.ops.TextOps
   * novelty gating). The batch twin is [[TextOps.ngramNovelty]]; this is
   * the same contract re-planned for a stream.
   *
-  * Plan shape — deliberately STATELESS: the reference's distinct gram
-  * hashes are materialized ONCE into a sorted broadcast long array
-  * ([[referenceGrams]]), and scoring is a row-local projection over
-  * each document's in-row-distinct gram hashes probing that array
-  * ([[InSortedLongSetBroadcast]], exact membership — a Bloom here would
-  * silently undercount novelty). No stream-static join, no streaming
-  * aggregation, no watermark, zero state-store operators (spec-pinned):
-  * the query runs in append mode at source parallelism, and the same
-  * column works unchanged on a batch frame (equivalence spec-pinned
-  * against [[TextOps.ngramNovelty]]).
+  * Plan shape — deliberately STATELESS: the reference's gram hashes
+  * are materialized ONCE into a broadcast — either the exact sorted
+  * long array ([[referenceGrams]]) or fixed-size Bloom filter bytes
+  * ([[referenceGramsBloom]]) — and scoring is a row-local projection
+  * over each document's in-row-distinct gram hashes probing it. No
+  * stream-static join, no streaming aggregation, no watermark, zero
+  * state-store operators (spec-pinned): the query runs in append mode
+  * at source parallelism, and the same column works unchanged on a
+  * batch frame (equivalence spec-pinned against
+  * [[TextOps.ngramNovelty]]).
   *
-  * Scale posture: broadcast cost is 8 bytes per distinct reference gram
-  * (10^8 grams = 800 MB — executor-memory scale, not cluster scale).
-  * Beyond that, score in micro-batch joins against the bucketed stored
-  * form ([[TextOps.ngramNoveltyStored]]) instead.
+  * Scale posture, in order of reference size: the exact array costs
+  * 8 bytes per distinct gram (10^8 grams = 800 MB — executor-memory
+  * scale) and its build COLLECTS every distinct hash to the driver;
+  * past what the driver should hold, [[referenceGramsBloom]] bounds
+  * both driver and broadcast at O(numBits) with a documented FP-rate
+  * undercount; beyond resident filters entirely, score in micro-batch
+  * joins against the bucketed stored form
+  * ([[TextOps.ngramNoveltyStored]]).
   */
 object StreamingNovelty {
 
@@ -48,6 +52,39 @@ object StreamingNovelty {
     reference.sparkSession.sparkContext.broadcast(hashes)
   }
 
+  /** [[referenceGrams]] with a FIXED driver/broadcast footprint: the
+    * reference's gram hashes collapse into [[graft.functions.bloom_agg]]
+    * filter bytes — O(numBits / 8) bytes REGARDLESS of corpus size
+    * (one fixed-size buffer per partition crosses the exchange and
+    * word-OR-merges; the driver never holds 8 bytes × distinct grams,
+    * which for a 100 TB reference is billions of longs — driver OOM).
+    * No distinct pass is needed at all: Bloom insertion is idempotent,
+    * so this is strictly cheaper to build than the exact array.
+    *
+    * Membership carries Bloom FP semantics: a false positive marks a
+    * genuinely novel gram as seen, so [[scoreBloom]] novelty is a
+    * LOWER BOUND, low by at most the filter's FP rate — size numBits ≈
+    * 10 × expected distinct grams for ~1% FP at numHashFns = 5 and
+    * document the rate at the call site. Prefer [[referenceGrams]]
+    * (exact) while the gram set fits executor memory, and the stored
+    * bucketed path ([[TextOps.ngramNoveltyStored]]) when even filter
+    * bytes are not wanted resident.
+    */
+  def referenceGramsBloom(
+      reference: DataFrame,
+      textCol: String,
+      n: Int,
+      numBits: Long = 1L << 27,
+      numHashFns: Int = 5): Broadcast[Array[Byte]] = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val bytes = reference
+      .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
+      .agg(graft.functions.bloom_agg(xxhash64(col("g")), numBits,
+        numHashFns).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    reference.sparkSession.sparkContext.broadcast(bytes)
+  }
+
   /** Row-local novelty columns against a [[referenceGrams]] broadcast:
     * n_grams (in-row-distinct gram count), n_novel (grams absent from
     * the reference), novelty = n_novel / n_grams. Usable on streaming
@@ -59,10 +96,33 @@ object StreamingNovelty {
       ref: Broadcast[Array[Long]],
       idCol: String,
       textCol: String,
+      n: Int): DataFrame =
+    scoreWith(df,
+      h => graft.functions.in_sorted_long_set_bcast(ref, h),
+      idCol, textCol, n)
+
+  /** [[score]] against [[referenceGramsBloom]] filter bytes — same
+    * columns, bounded reference state, novelty a lower bound by the
+    * filter's FP rate (no false negatives: a gram reported novel truly
+    * is).
+    */
+  def scoreBloom(
+      df: DataFrame,
+      ref: Broadcast[Array[Byte]],
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    scoreWith(df,
+      h => graft.functions.bloom_might_contain_bcast(ref, h),
+      idCol, textCol, n)
+
+  private def scoreWith(
+      df: DataFrame,
+      seen: Column => Column,
+      idCol: String,
+      textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
-    val seen: Column => Column =
-      h => graft.functions.in_sorted_long_set_bcast(ref, h)
     val hashes = transform(TextOps.ngrams(col(textCol), n),
       g => xxhash64(g))
     df.select(col(idCol), hashes.as("__gh"))

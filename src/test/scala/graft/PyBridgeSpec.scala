@@ -157,6 +157,20 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBridge shouldBe direct
   }
 
+  test("bridge bloom novelty equals the exact form at a generous " +
+    "filter size") {
+    val docs = documents.select(col("doc_id"), col("text")).limit(200)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val probe = docs.filter(col("doc_id") % 3 =!= 0)
+    val viaBloom = PyBridge.noveltyScoreBloom(probe, ref, "doc_id",
+        "text", 8, 1L << 22, 5)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.TextOps.ngramNovelty(probe, ref, "doc_id",
+        "text", 8)
+      .collect().map(_.toSeq).toSet
+    viaBloom shouldBe direct
+  }
+
   test("bridge doremiWeights equals the Scala call") {
     import spark.implicits._
     val df = Seq(("a", 2.0, 1.0), ("b", 1.0, 1.5), ("c", 3.0, 1.0))

@@ -57,6 +57,23 @@ class LabelNoiseSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     a shouldBe b
   }
 
+  test("auto-route boundary: the IVF regime (count above threshold) " +
+    "returns the identical screen to the brute-force regime") {
+    val df = fixture // 20 rows
+    // below threshold -> brute force; above -> ivfTopK with the default
+    // exhaustive nProbe == nCentroids, so the screens must be EQUAL
+    val brute = Similarity.knnLabelNoise(df, "vec_id", "embedding",
+        "label", k = 5, bruteForceThreshold = 100L,
+        nCentroids = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val routed = Similarity.knnLabelNoise(df, "vec_id", "embedding",
+        "label", k = 5, bruteForceThreshold = 5L,
+        nCentroids = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    routed shouldBe brute
+    routed.size shouldBe 20
+  }
+
   test("majority tie breaks to the smallest label deterministically") {
     import spark.implicits._
     // query 0 has 4 neighbors: two labeled 5, two labeled 2 -> majority 2

@@ -69,6 +69,40 @@ class StreamingNoveltySpec extends AnyFunSuite with Matchers
     nov.exists(_ < 1.0) shouldBe true
   }
 
+  test("bloom reference: fixed byte footprint independent of corpus " +
+    "size; novelty a lower bound, exact at a generous filter size") {
+    import spark.implicits._
+    val small = referenceDf.limit(5)
+    val numBits = 1L << 16
+    val refSmall = StreamingNovelty.referenceGramsBloom(
+      small, "text", n = 3, numBits = numBits)
+    val refFull = StreamingNovelty.referenceGramsBloom(
+      referenceDf, "text", n = 3, numBits = numBits)
+    // driver/broadcast state is the filter bytes — same size for a 5-doc
+    // and a 40-doc reference (and for any 100 TB one)
+    refSmall.value.length shouldBe refFull.value.length
+    refFull.value.length.toLong should be <= (numBits / 8 + 64)
+
+    val docs = (0 until 40).map(i => (i.toLong, mkDoc(i)))
+      .toDF("doc_id", "text")
+    val exact = StreamingNovelty.score(
+      docs, StreamingNovelty.referenceGrams(referenceDf, "text", n = 3),
+      "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloomed = StreamingNovelty.scoreBloom(
+      docs, refFull, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    bloomed.keySet shouldBe exact.keySet
+    // no false negatives: a gram the bloom calls novel truly is, so
+    // bloom n_novel can only undercount
+    bloomed.foreach { case (id, nNovel) =>
+      nNovel should be <= exact(id)
+    }
+    // at 2^16 bits for a few thousand grams the FP rate is ~0: the
+    // counts should in fact be exactly equal
+    bloomed shouldBe exact
+  }
+
   test("documents shorter than n tokens are dropped, as in batch") {
     import spark.implicits._
     val ref = StreamingNovelty.referenceGrams(referenceDf, "text", n = 3)
