@@ -299,17 +299,19 @@ object Graph {
         .union(labels) // the self-vote
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      // argmax label by (count desc, label asc): a row_number window
-      // over the (node, label) CELL table — bounded by distinct
-      // neighbor labels, not edges — keeps the tie order type-generic
+      // argmax label by (count desc, label asc) WITHOUT a sort:
+      // min_by over the (negated count, label) struct collapses the
+      // (node, label) CELL table — bounded by distinct neighbor
+      // labels, not edges — in ONE hash aggregate. The previous
+      // row_number window needed the same node exchange PLUS a sort
+      // per iteration; struct ordering (-count first, then the label
+      // itself) keeps the tie order identical and type-generic
       // (numeric or string labels alike)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("__c").desc, col("label").asc)
       val best = neighborLabels
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label").as("__new"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("__c")).as("c"), col("label").as("l")))
+          .as("__new"))
       val next = nodes.join(best, Seq("node"), "left")
         .join(labels, Seq("node"))
         .select(col("node"),
