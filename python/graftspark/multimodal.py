@@ -278,19 +278,26 @@ def sample_video_frames(df: DataFrame, id_col: str, blob_col: str,
                    "frame": []}
             for id_, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
+                    # buffer the whole video's sample before emitting:
+                    # drop-WHOLE semantics (a corrupt frame mid-video
+                    # must not leave a partial prefix in the output) —
+                    # matches the JVM videoFrameSample policy
+                    rows = []
                     _, frames = parse_gvid(bytes(blob))
                     for i in range(0, len(frames), every_n):
                         w, h, _ch, (mr, mg, mb) = parse_ppm(frames[i])
-                        out["id"].append(id_)
-                        out["frame_idx"].append(i)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["mean_r"].append(mr)
-                        out["mean_g"].append(mg)
-                        out["mean_b"].append(mb)
-                        out["frame"].append(frames[i])
+                        rows.append((i, w, h, mr, mg, mb, frames[i]))
                 except ValueError:
                     continue
+                for i, w, h, mr, mg, mb, fr in rows:
+                    out["id"].append(id_)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(mr)
+                    out["mean_g"].append(mg)
+                    out["mean_b"].append(mb)
+                    out["frame"].append(fr)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(

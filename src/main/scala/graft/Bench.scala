@@ -659,6 +659,25 @@ object Bench {
           spark.sql("DROP TABLE IF EXISTS graft_bench_mh_buckets")
           spark.sql("DROP TABLE IF EXISTS graft_bench_mh_sigs")
         }
+      }),
+
+      // video ingest e2e: synthesize GVID containers executor-side
+      // (partition-local, blobs never shuffle), sample every 2nd frame
+      // through the byte-walk decode, and dedup-hash each sampled frame
+      // (aHash) — the multimodal family's decode+feature throughput row
+      "video_frames" -> (() => {
+        import spark.implicits._
+        val vids = t("documents").filter(col("doc_id") < 4000)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, graft.ops.Media.synthesizeGvid(id,
+            3 + (id % 3).toInt)))
+          .toDF("doc_id", "blob")
+        val frames = graft.ops.Media.videoFrameSample(vids, "doc_id",
+            "blob", everyN = 2)
+          .select((col("id") * 100 + col("frame_idx")).as("fid"),
+            col("frame"))
+        graft.ops.Media.imageHashes(frames, "fid", "frame")
+          .agg(countDistinct(col("ahash"))).first(); 1L
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
@@ -723,6 +742,15 @@ object Bench {
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 40).as("qtext")),
       "query_id", "qtext", k = 3).count())
+    warm {
+      import spark.implicits._
+      val vv = t("documents").limit(8).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.ops.Media.synthesizeGvid(id, 2)))
+        .toDF("doc_id", "blob")
+      val fr = graft.ops.Media.videoFrameSample(vv, "doc_id", "blob", 2)
+        .select(col("id").as("fid"), col("frame"))
+      graft.ops.Media.imageHashes(fr, "fid", "frame").count()
+    }
     warm(hcDocs.count()) // materialize the persisted fixtures OUTSIDE timing
     warm(mlDocs.count())
 

@@ -1040,9 +1040,12 @@ object Dedup {
   /** GROW a MinHash store with a new batch: band buckets and
     * signatures of `docs` append to the two tables (ids are assumed
     * fresh — screen first, the ingest contract). The write-time bucket
-    * cap applies per append batch; a store ingesting adversarial
-    * boilerplate for many batches should periodically re-write with
-    * [[writeMinHashReference]] to re-apply the global cap.
+    * cap applies per append batch; [[minHashNearDupsStored]] re-applies
+    * the cap at READ time so cross-batch growth cannot restore the
+    * quadratic fan-out, and a store ingesting adversarial boilerplate
+    * for many batches should still periodically re-write with
+    * [[writeMinHashReference]] (or compact via
+    * [[graft.io.CorpusStore.compact]]) to shed the dead rows.
     */
   def appendMinHashReference(
       docs: DataFrame,
@@ -1091,6 +1094,17 @@ object Dedup {
     * shuffle. Pass the SAME numHashes / bands / shingleK as at write
     * time — signature layouts must agree for the estimate to mean
     * anything.
+    *
+    * `maxBucketSize` re-applies the write-time mega-bucket cap AT READ
+    * TIME: [[appendMinHashReference]] caps only within each append
+    * batch, so a boilerplate bucket can grow past the cap across many
+    * appends — without this guard that silently restores the quadratic
+    * candidate fan-out the cap exists to prevent.
+    *
+    * The batch-signature intermediate stays persisted until the
+    * session drops it; sessions probing many batches should use
+    * [[minHashNearDupsStoredReleasable]] and release after
+    * materializing.
     */
   def minHashNearDupsStored(
       docs: DataFrame,
@@ -1100,9 +1114,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 10000): DataFrame =
     minHashNearDupsStoredReleasable(docs, table, idCol, textCol,
-      numHashes, bands, shingleK, threshold)._1
+      numHashes, bands, shingleK, threshold, maxBucketSize)._1
 
   /** [[minHashNearDupsStored]] plus a release() thunk for the cached
     * batch-signature intermediate (the [[minHashLshPairsReleasable]]
@@ -1116,7 +1131,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleK: Int = 3,
-      threshold: Double = 0.8): (DataFrame, () => Unit) = {
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
     val sig = minHashSignatures(docs, idCol, textCol, numHashes, shingleK)
@@ -1126,8 +1142,19 @@ object Dedup {
       posexplode(graft.functions.band_hashes(col("sig"), bands))
         .as(Seq("band", "bucket")))
       .select(col("new_id"), xxhash64(col("band"), col("bucket")).as("bb"))
-    val refBuckets = graft.io.CorpusStore
+    val refAll = graft.io.CorpusStore
       .readBucketed(spark, s"${table}_buckets")
+    // read-time mega-bucket guard: measure CURRENT bucket sizes (the
+    // count aggregates on the stored bucketing — no exchange) and drop
+    // buckets past the cap before the candidate join; the oversized
+    // list is boilerplate-sized, so it broadcasts
+    val oversized = refAll.groupBy(col("bb"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("bb"), lit(1).as("__drop"))
+    val refBuckets = refAll
+      .join(broadcast(oversized), Seq("bb"), "left")
+      .filter(col("__drop").isNull).drop("__drop")
     val cand = probe.join(refBuckets, Seq("bb"))
       .groupBy(col("new_id"), col("id").as("ref_id"))
       .agg(count(lit(1)).as("__nb")).drop("__nb")

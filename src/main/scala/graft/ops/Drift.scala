@@ -495,6 +495,10 @@ object Drift {
     * Output: group_a, group_b (group_a < group_b lexicographically),
     * n_a, n_b, psi, jsd, ks (the [[ks]] grid statistic over the same
     * edges — the bounded, bin-free companion score).
+    *
+    * The per-group sketch table stays persisted until the session
+    * drops it; monitors computing many matrices per session should use
+    * [[psiMatrixReleasable]] and release after materializing.
     */
   def psiMatrix(
       df: org.apache.spark.sql.DataFrame,

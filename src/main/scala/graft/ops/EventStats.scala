@@ -421,6 +421,10 @@ object EventStats {
     * three single-partition `ntile().over(Window.orderBy)` sorts.
     * Output: key, recency_s, frequency, monetary, r_score, f_score,
     * m_score, rfm.
+    *
+    * The per-key aggregate and the three rank layouts stay persisted
+    * until the session drops them; use [[rfmReleasable]] to reclaim
+    * after materializing.
     */
   def rfm(
       df: DataFrame,
@@ -507,6 +511,10 @@ object EventStats {
     * REST pooled (one-vs-rest). Rows with a NULL group drop. Output
     * (one row): group_a, group_b (the max group value — "rest" label
     * under pooling), n_a, n_b, observed_a, expected_a, chi2.
+    *
+    * The (time, group) cell cache stays persisted until the session
+    * drops it; use [[logRankReleasable]] to reclaim after
+    * materializing.
     */
   def logRank(
       df: DataFrame,

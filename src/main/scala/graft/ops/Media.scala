@@ -337,20 +337,38 @@ object Media {
   }
 
   def parseGvidMeta(blob: Array[Byte]): GvidMeta = {
+    require(blob != null && blob.length >= 12, "truncated GVID header")
     val bb = java.nio.ByteBuffer.wrap(blob)
     val magic = new Array[Byte](4)
     bb.get(magic)
     require(new String(magic, "US-ASCII") == "GVID", "not a GVID blob")
-    GvidMeta(bb.getInt(), bb.getInt())
+    val fpsMilli = bb.getInt()
+    val nFrames = bb.getInt()
+    // a corrupt count must fail the PARSE, not allocate: a negative
+    // count underflows the frame loop, a huge one promises more bytes
+    // than exist (each frame costs at least its 4-byte length prefix)
+    require(fpsMilli > 0, s"corrupt GVID fps_milli $fpsMilli")
+    require(nFrames >= 0 && nFrames.toLong * 4 <= blob.length - 12,
+      s"corrupt GVID frame count $nFrames for ${blob.length} bytes")
+    GvidMeta(fpsMilli, nFrames)
   }
 
-  /** Frames of a GVID blob in order, lazily: (frame index, PPM bytes). */
+  /** Frames of a GVID blob in order, lazily: (frame index, PPM bytes).
+    * Every frame length is validated against the bytes that remain —
+    * truncation or a negative/oversized length raises
+    * IllegalArgumentException at that frame instead of
+    * BufferUnderflow/NegativeArraySize/OOM mid-allocation.
+    */
   def gvidFrames(blob: Array[Byte]): Iterator[(Int, Array[Byte])] = {
     val meta = parseGvidMeta(blob)
     val bb = java.nio.ByteBuffer.wrap(blob)
     bb.position(12)
     (0 until meta.nFrames).iterator.map { i =>
+      require(bb.remaining >= 4, s"truncated GVID at frame $i")
       val len = bb.getInt()
+      require(len >= 0 && len <= bb.remaining,
+        s"corrupt GVID frame length $len at frame $i " +
+          s"(${bb.remaining} bytes remain)")
       val frame = new Array[Byte](len)
       bb.get(frame)
       (i, frame)
@@ -370,7 +388,10 @@ object Media {
       fps_milli: Int, duration_us: Long)
 
   /** Container-level stats per video blob — header walk only, frames
-    * never decode. Partition-local, zero shuffle.
+    * never decode. Partition-local, zero shuffle. Corrupt blobs DROP
+    * (the python mirror's ValueError policy —
+    * `multimodal.extract_video_features`): one bad container in a
+    * large corpus must cost its row, never the job.
     */
   def videoStats(
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
@@ -378,10 +399,14 @@ object Media {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, blob) =>
-        val m = parseGvidMeta(blob)
-        VideoStatsRecord(id, m.nFrames, m.fpsMilli,
-          m.nFrames.toLong * 1000000000L / m.fpsMilli)
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          val m = parseGvidMeta(blob)
+          Iterator.single(VideoStatsRecord(id, m.nFrames, m.fpsMilli,
+            m.nFrames.toLong * 1000000000L / m.fpsMilli))
+        } catch {
+          case _: IllegalArgumentException => Iterator.empty
+        }
       })
       .toDF()
   }
@@ -396,6 +421,9 @@ object Media {
     * [[imageHashes]] / [[resizePpmImages]] / the image store).
     * Partition-local decode at the codec boundary — video bytes never
     * shuffle; only the (much smaller) sampled frames leave the row.
+    * Corrupt videos DROP WHOLE (the python mirror's ValueError policy
+    * — `multimodal.sample_video_frames`): a container or frame that
+    * fails validation costs every frame of that video, never the job.
     */
   def videoFrameSample(
       df: DataFrame, idCol: String, blobCol: String,
@@ -406,12 +434,19 @@ object Media {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, blob) =>
-        gvidFrames(blob).collect {
-          case (i, ppm) if i % everyN == 0 =>
-            val img = decodePpm(ppm)
-            val (mr, mg, mb) = meanRgb(img)
-            VideoFrameRecord(id, i, img.width, img.height, mr, mg, mb,
-              ppm)
+        try {
+          // materialize the whole video's sample before emitting any
+          // row: drop-whole semantics (a mid-stream corrupt frame must
+          // not leave a partial prefix in the output)
+          gvidFrames(blob).collect {
+            case (i, ppm) if i % everyN == 0 =>
+              val img = decodePpm(ppm)
+              val (mr, mg, mb) = meanRgb(img)
+              VideoFrameRecord(id, i, img.width, img.height, mr, mg,
+                mb, ppm)
+          }.toVector
+        } catch {
+          case _: IllegalArgumentException => Vector.empty
         }
       })
       .toDF()

@@ -1290,8 +1290,13 @@ object TextOps {
     */
   def readability(text: Column): Column = {
     val words = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val nW = size(words).cast("double")
-    val nS = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    // NULL text must yield NULL counts, not artifacts: Spark's
+    // size(NULL array) is -1 (legacy) and greatest() SKIPS nulls (so
+    // an ungated sentence count would report 1) — both diverge from
+    // the SQL-oracle semantics where every count of NULL input is NULL
+    val nW = when(text.isNotNull, size(words)).cast("double")
+    val nS = when(text.isNotNull,
+      greatest(regexp_count(text, lit("[.!?]+")), lit(1))).cast("double")
     val nSyl = aggregate(words, lit(0L),
       (acc, w) => acc +
         greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long"))

@@ -39,6 +39,15 @@ class ReadabilityPmiSpec extends AnyFunSpec with SparkSuiteBase {
       assert(r.getLong(1) == 1L)
       assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
     }
+
+    it("NULL text: every count and score NULL (oracle semantics), " +
+      "never size(null) = -1") {
+      val r = Seq[Option[String]](None).toDF("text")
+        .select(TextOps.readability(col("text")).as("r"))
+        .select("r.*").collect()(0)
+      (0 until 7).foreach(i => assert(r.isNullAt(i),
+        s"field $i should be NULL for NULL text, got ${r.get(i)}"))
+    }
   }
 
   describe("TextOps.pmiCollocations") {

@@ -113,6 +113,39 @@ class StoredMinHashSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("read-time cap drops buckets grown past the cap ACROSS appends " +
+      "(each batch alone under the write-time cap)") {
+    import spark.implicits._
+    def boiler(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, "alpha beta alpha beta")).toDF("doc_id", "text")
+    // 10 docs per batch, cap 25: every write passes its own cap, but
+    // after two appends each band bucket holds 30 ids
+    Dedup.writeMinHashReference(boiler(0, 10), "doc_id", "text",
+      "mh_growth", numHashes = 32, bands = 8, shingleK = 2,
+      numBuckets = 2, maxBucketSize = 25)
+    try {
+      Dedup.appendMinHashReference(boiler(10, 20), "mh_growth",
+        "doc_id", "text", numHashes = 32, bands = 8, shingleK = 2,
+        maxBucketSize = 25)
+      Dedup.appendMinHashReference(boiler(20, 30), "mh_growth",
+        "doc_id", "text", numHashes = 32, bands = 8, shingleK = 2,
+        maxBucketSize = 25)
+      val batch = boiler(1000, 1001)
+      // default read cap (10000): the grown bucket still probes
+      Dedup.minHashNearDupsStored(batch, "mh_growth", "doc_id", "text",
+        numHashes = 32, bands = 8, shingleK = 2, threshold = 0.9)
+        .count() shouldBe 30
+      // the write-time cap re-applied at read time: bucket size 30 > 25
+      // -> dropped, candidate fan-out gone
+      Dedup.minHashNearDupsStored(batch, "mh_growth", "doc_id", "text",
+        numHashes = 32, bands = 8, shingleK = 2, threshold = 0.9,
+        maxBucketSize = 25).count() shouldBe 0L
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mh_growth_buckets")
+      spark.sql("DROP TABLE IF EXISTS mh_growth_sigs")
+    }
+  }
+
   test("stored sides never re-exchange: only batch-derived rows shuffle") {
     val ref = docs(0, 60)
     Dedup.writeMinHashReference(ref, "doc_id", "text", "mh_ref_plan",

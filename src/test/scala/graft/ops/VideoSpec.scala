@@ -66,4 +66,39 @@ class VideoSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       Media.parseGvidMeta("nope".getBytes ++ Array[Byte](0, 0, 0, 0))
     }
   }
+
+  test("corrupt blobs drop their row, never the job (python ValueError " +
+      "policy): bad magic, negative/huge counts, truncation, bad frame " +
+      "length") {
+    val good = Media.synthesizeGvid(9L, 4)
+    def withCount(n: Int): Array[Byte] = {
+      val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).putInt(8, n); b
+    }
+    def withFrameLen(len: Int): Array[Byte] = {
+      val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).putInt(12, len); b
+    }
+    val corrupt = Seq(
+      1L -> "not a video".getBytes,          // bad magic
+      2L -> good.take(7),                    // truncated header
+      3L -> withCount(-5),                   // negative frame count
+      4L -> withCount(Int.MaxValue),         // count promising > blob
+      5L -> withFrameLen(-1),                // negative frame length
+      6L -> withFrameLen(Int.MaxValue / 2),  // length past the end
+      7L -> good.dropRight(10))              // truncated mid-frame
+    val df = (corrupt :+ (8L -> good)).toDF("id", "blob")
+
+    // header-only stats: the four header-corrupt rows drop; the two
+    // frame-level corruptions parse (headers are fine) — plus the clean row
+    val stats = Media.videoStats(df, "id", "blob").collect()
+    stats.map(_.getLong(0)).sorted.toSeq shouldBe Seq(5L, 6L, 7L, 8L)
+
+    // frame decode: every corrupt video drops WHOLE; only the clean one
+    // survives, with all its sampled frames
+    val frames = Media.videoFrameSample(df, "id", "blob", everyN = 1)
+      .collect()
+    frames.map(_.getLong(0)).distinct.toSeq shouldBe Seq(8L)
+    frames.length shouldBe 4
+  }
 }
