@@ -793,10 +793,6 @@ def test_round12c_stats_graph_noise():
     print("round-12c stats/graph/noise facade OK")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def test_round12d_tokenizer_readability_pca():
     from graftspark import ops
     docs = _docs().limit(150)
@@ -995,3 +991,7 @@ def test_round12d_tokenizer_readability_pca():
     assert all(s2[g]["n_in"] == s1[g]["n_out"] for g in s1)
 
     print("round-12d tokenizer/readability/pca facade OK")
+
+
+if __name__ == "__main__":
+    main()

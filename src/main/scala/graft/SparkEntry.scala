@@ -1668,8 +1668,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("e"))
+      // limit(1) bounds the broadcast build in the PLAN (vec_id is
+      // unique so it drops nothing) — the nested-loop canary requires
+      // provable boundedness, not data luck
       val q0 = emb.filter(col("vec_id") === 0)
-        .select(col("e").as("e0"))
+        .select(col("e").as("e0")).limit(1)
       emb.crossJoin(broadcast(q0))
         .select(col("vec_id"),
           (round(Similarity.cosine(

@@ -303,6 +303,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
   import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
   import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 
+  /** Every node of the physical plan, descending through the AQE
+    * wrapper, query stages, cached relations, and subqueries (all of
+    * which hide their subtree from a plain TreeNode traversal).
+    */
+  private def walkPlans(plan: SparkPlan): Seq[SparkPlan] = {
+    val nested = plan match {
+      case a: AdaptiveSparkPlanExec => walkPlans(a.executedPlan)
+      case q: QueryStageExec => walkPlans(q.plan)
+      case s: InMemoryTableScanExec => walkPlans(s.relation.cachedPlan)
+      case _ => Nil
+    }
+    plan +: (nested ++ plan.children.flatMap(walkPlans) ++
+      plan.subqueries.flatMap(walkPlans))
+  }
+
   /** Every WindowExec with an EMPTY partition spec whose ordering is
     * not the `__pid` offsets convention. An unpartitioned window
     * funnels its whole input through ONE task — the defect class that
@@ -310,24 +325,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     * ordered by `__pid` are the distributed-prefix-sum offsets frames
     * (#partitions rows, bounded by construction) and are allowed.
     */
-  private def unpartitionedWindows(plan: SparkPlan): Seq[WindowExec] = {
-    val nested = plan match {
-      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.executedPlan)
-      case q: QueryStageExec => unpartitionedWindows(q.plan)
-      case s: InMemoryTableScanExec =>
-        unpartitionedWindows(s.relation.cachedPlan)
-      case _ => Nil
-    }
-    val here = plan match {
+  private def unpartitionedWindows(plan: SparkPlan): Seq[WindowExec] =
+    walkPlans(plan).collect {
       case w: WindowExec if w.partitionSpec.isEmpty &&
           !(w.orderSpec.nonEmpty &&
             w.orderSpec.forall(_.child.references.exists(_.name == "__pid"))) =>
-        Seq(w)
-      case _ => Nil
+        w
     }
-    here ++ nested ++ plan.children.flatMap(unpartitionedWindows) ++
-      plan.subqueries.flatMap(unpartitionedWindows)
-  }
 
   test("board-wide: no driver query plans an unpartitioned WindowExec " +
     "outside the documented bounded-by-construction allowlist") {
@@ -359,5 +363,68 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       s"\n${offenders.size} queries plan a single-partition window " +
         s"(fix with FeatureScale.runningTotalsReleasable or allowlist " +
         s"with a boundedness argument):\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("board-wide: no query plans an UNBOUNDED cartesian / " +
+    "nested-loop join (1-row-aggregate and tiny-literal builds allowed)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+    // the standard bounded shapes: an aggregate bounds the build to
+    // its group cardinality (1 row when ungrouped — the
+    // crossJoin(broadcast(stats)) pattern; K rows for the per-group
+    // stats / quantile-edge / sketch tables the ops broadcast by
+    // design); a literal LocalTableScan is caller-supplied config
+    // (splits, edges, weights) and bounded by its row count
+    def bounded(side: SparkPlan): Boolean =
+      walkPlans(side).exists {
+        case _: BaseAggregateExec => true
+        case l: LocalTableScanExec => l.rows.lengthCompare(1000) <= 0
+        case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+          g.limit <= 10000
+        case c: org.apache.spark.sql.execution.CollectLimitExec =>
+          c.limit <= 10000
+        case _ => false
+      }
+
+    // Queries with a DOCUMENTED bounded all-pairs step:
+    //  - q48: connected components demo builds its edge set by
+    //    similarity over a fixture-bounded doc slice
+    //    (SparkEntry q48 comment: fixture-only, never the scale path)
+    //  - q45/q109/q152: bruteForceTopK broadcasts the QUERY side
+    //    whole — the eval-set regime by contract (Similarity
+    //    scaladoc); q109's brute pass is the recall ORACLE over 20
+    //    eval queries, and q152's knnLabelNoise probes the count and
+    //    re-routes through ivfTopK above the threshold
+    //    (LabelNoiseSpec pins the boundary)
+    val allowed: Set[String] =
+      Set("q48_dedup_clusters", "q45_embedding_top1",
+        "q109_ivfpq_recall", "q152_knn_label_noise")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val bad = walkPlans(fn(spark, sfDir).queryExecution.sparkPlan)
+            .flatMap {
+              case c: CartesianProductExec
+                  if !bounded(c.left) && !bounded(c.right) =>
+                Seq("cartesian")
+              case b: BroadcastNestedLoopJoinExec =>
+                val build = b.buildSide match {
+                  case BuildLeft => b.left
+                  case BuildRight => b.right
+                }
+                if (bounded(build)) Nil else Seq("nested-loop")
+              case _ => Nil
+            }
+          if (bad.isEmpty || allowed(name)) Nil
+          else Seq(s"$name: ${bad.mkString(",")}")
+        } catch { case _: Throwable => Nil }
+    }
+    assert(offenders.isEmpty,
+      s"\n${offenders.size} queries plan an unbounded cross join " +
+        s"(broadcast a measured-small side or allowlist with a " +
+        s"boundedness argument):\n  ${offenders.mkString("\n  ")}")
   }
 }
