@@ -673,6 +673,21 @@ def novelty_score_bloom(docs: DataFrame, reference: DataFrame,
         int(num_bits), int(num_hash_fns)), docs)
 
 
+def encoding_profile(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Encoding-hygiene profile — the mojibake / corruption screen:
+    per row, counts of ASCII / letters / digits / whitespace / control
+    characters (tab, CR, LF excluded) / U+FFFD replacement characters,
+    the non-ASCII ratio, and a ``mojibake`` verdict (any replacement
+    char, or control characters above 1% of the text). Row-local regex
+    counting over explicit char ranges — zero shuffle at any scale;
+    NULL text yields NULL fields. Output: id, n_chars, n_ascii,
+    n_letter, n_digit, n_ws, n_control, n_replacement,
+    non_ascii_ratio, mojibake."""
+    return _to_py_df(_jvm_bridge(df).encodingProfile(
+        df._jdf, id_col, text_col), df)
+
+
 def doremi_weights(df: DataFrame, domain_col: str, proxy_loss_col: str,
                    ref_loss_col: str, eta: float = 1.0, steps: int = 10,
                    smoothing: float = 0.1) -> DataFrame:

@@ -355,6 +355,7 @@ def main():
     test_round12b_rank_drift_layout()
     test_round12c_stats_graph_noise()
     test_round12d_tokenizer_readability_pca()
+    test_round13_encoding_profile()
     print("ALL OPS TESTS PASSED")
 
 
@@ -991,6 +992,27 @@ def test_round12d_tokenizer_readability_pca():
     assert all(s2[g]["n_in"] == s1[g]["n_out"] for g in s1)
 
     print("round-12d tokenizer/readability/pca facade OK")
+
+
+def test_round13_encoding_profile():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    spark = _get_spark()
+    rows = [(1, "Ab1 c\td\n"),            # clean: formatting only
+            (2, "ok\ufffdtext"),           # replacement char
+            (3, "ab" + "\x01" * 5),        # heavy control bytes
+            (4, "caf\u00e9 \u4e2d\u6587")]  # accents + CJK
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ops.encoding_profile(df, "doc_id", "text").collect()}
+    assert out[1]["n_chars"] == 8 and out[1]["n_control"] == 0
+    assert not out[1]["mojibake"]
+    assert out[2]["n_replacement"] == 1 and out[2]["mojibake"]
+    assert out[3]["n_control"] == 5 and out[3]["mojibake"]
+    assert out[4]["n_ascii"] == 4 and not out[4]["mojibake"]
+    assert abs(out[4]["non_ascii_ratio"] - 3.0 / 7.0) < 1e-12
+    print("round-13 encoding profile facade OK")
 
 
 if __name__ == "__main__":

@@ -2640,6 +2640,36 @@ object SparkEntry {
           col("duration_us"))
     }),
 
+    "q203_encoding_profile" -> ((s, dir) => {
+      // encoding-hygiene screen with deterministic corruption
+      // injection so every branch exercises cross-engine: doc_id%7==0
+      // gains a U+FFFD replacement char (failed-decode mark), %7==1
+      // two stray control bytes (under the 1% mojibake gate), %7==2
+      // twenty control bytes (over it); everything is explicit-range
+      // regexp counting, row-local in both engines
+      val mutated = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\uFFFD")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit("\u0003\u0007")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit("\u0008" * 20)))
+          .otherwise(col("text")).as("text"))
+      mutated.select(col("doc_id"),
+          ops.TextOps.encodingProfile(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_chars").as("n_chars"),
+          col("p.n_ascii").as("n_ascii"),
+          col("p.n_letter").as("n_letter"),
+          col("p.n_digit").as("n_digit"),
+          col("p.n_ws").as("n_ws"),
+          col("p.n_control").as("n_control"),
+          col("p.n_replacement").as("n_replacement"),
+          (round(col("p.non_ascii_ratio"), 6) + 0.0)
+            .as("non_ascii_ratio"),
+          col("p.mojibake").as("mojibake"))
+    }),
+
     "q200_curation_funnel" -> ((s, dir) => {
       // the curation funnel: per source, attrition through an ordered
       // screen chain (token range -> length cap -> readability floor),
@@ -5549,6 +5579,34 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q203_encoding_profile" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || chr(65533)
+        |         WHEN doc_id % 7 = 1 THEN text || chr(3) || chr(7)
+        |         WHEN doc_id % 7 = 2 THEN text || repeat(chr(8), 20)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    length(t)::BIGINT AS n_chars,
+        |    len(regexp_extract_all(t, '[\x00-\x7f]'))::BIGINT
+        |      AS n_ascii,
+        |    len(regexp_extract_all(t, '[A-Za-z]'))::BIGINT AS n_letter,
+        |    len(regexp_extract_all(t, '[0-9]'))::BIGINT AS n_digit,
+        |    len(regexp_extract_all(t, '[ \t\n\r]'))::BIGINT AS n_ws,
+        |    len(regexp_extract_all(t,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]'))::BIGINT AS n_control,
+        |    len(regexp_extract_all(t, chr(65533)))::BIGINT
+        |      AS n_replacement
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_ascii, n_letter, n_digit, n_ws,
+        |  n_control, n_replacement,
+        |  round(CASE WHEN n_chars > 0
+        |      THEN (n_chars - n_ascii)::DOUBLE / n_chars
+        |      WHEN n_chars = 0 THEN 0.0 END, 6) + 0.0
+        |    AS non_ascii_ratio,
+        |  (n_replacement > 0 OR n_control * 100 > n_chars) AS mojibake
+        |FROM c""".stripMargin,
 
     "q200_curation_funnel" ->
       """WITH m AS (SELECT source,

@@ -1330,6 +1330,39 @@ object TextOps {
       gate(ari).as("ari"))
   }
 
+  /** Encoding-hygiene profile — the mojibake / corruption screen a
+    * web crawl needs before any text op trusts the bytes: per-row
+    * counts of ASCII, letters, digits, whitespace, control characters
+    * (tab / CR / LF excluded — those are formatting, not damage), and
+    * U+FFFD replacement characters (the indelible mark of a failed
+    * decode), plus `non_ascii_ratio` and a `mojibake` verdict (any
+    * replacement char, or control characters above 1% of the text —
+    * compared as `n_control * 100 > n_chars`, integer-exact on any
+    * engine). NULL text yields NULL fields ([[readability]]'s
+    * convention). Row-local codegen regexp counts over EXPLICIT char
+    * ranges — identical semantics in Java regex and RE2, so a SQL
+    * oracle replays bit-for-bit; zero shuffle at any scale.
+    */
+  def encodingProfile(text: Column): Column = {
+    val nChars = when(text.isNotNull, length(text)).cast("long")
+    def cnt(cls: String) = regexp_count(text, lit(cls)).cast("long")
+    val nAscii = cnt("[\\x00-\\x7f]")
+    val nCtl = cnt("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+    val nRepl = cnt("\uFFFD")
+    struct(
+      nChars.as("n_chars"),
+      nAscii.as("n_ascii"),
+      cnt("[A-Za-z]").as("n_letter"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("[ \\t\\n\\r]").as("n_ws"),
+      nCtl.as("n_control"),
+      nRepl.as("n_replacement"),
+      when(nChars > 0,
+        (nChars - nAscii).cast("double") / nChars.cast("double"))
+        .when(nChars === 0, lit(0.0)).as("non_ascii_ratio"),
+      (nRepl > 0 || nCtl * 100 > nChars).as("mojibake"))
+  }
+
   /** Top bigram collocations by pointwise mutual information —
     * `log P(w1,w2) / (P(w1) P(w2))` with probabilities estimated from
     * corpus bigram / unigram counts (Church & Hanks 1990). The corpus

@@ -627,6 +627,17 @@ object PyBridge {
       textCol, n)
   }
 
+  /** Encoding-hygiene profile (mojibake / corruption screen) per row:
+    * id + the [[graft.ops.TextOps.encodingProfile]] fields flattened.
+    */
+  def encodingProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol),
+        graft.ops.TextOps.encodingProfile(col(textCol)).as("p"))
+      .select(col(idCol), col("p.*"))
+  }
+
   /** DoReMi-lite domain mixture weights from per-example proxy and
     * reference loss columns.
     */

@@ -171,6 +171,18 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBloom shouldBe direct
   }
 
+  test("bridge encodingProfile equals the Scala struct flattened") {
+    val docs = documents.select(col("doc_id"), col("text")).limit(50)
+    val viaBridge = PyBridge.encodingProfile(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val direct = docs.select(col("doc_id"),
+        graft.ops.TextOps.encodingProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.*"))
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe direct
+    viaBridge should not be empty
+  }
+
   test("bridge doremiWeights equals the Scala call") {
     import spark.implicits._
     val df = Seq(("a", 2.0, 1.0), ("b", 1.0, 1.5), ("c", 3.0, 1.0))

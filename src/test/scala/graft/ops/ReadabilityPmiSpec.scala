@@ -50,6 +50,56 @@ class ReadabilityPmiSpec extends AnyFunSpec with SparkSuiteBase {
     }
   }
 
+  describe("TextOps.encodingProfile") {
+
+    it("hand-computed counts; replacement chars and heavy control " +
+      "bytes flag mojibake, tab/CR/LF do not") {
+      val rows = Seq(
+        ("clean", "Ab1 c\td\n"),                       // formatting only
+        ("repl", "ok\uFFFDtext"),                      // failed decode
+        ("ctl", "ab" + "\u0001" * 5),                  // 5/7 control
+        ("nonascii", "café 中文"))        // accents + CJK
+        .toDF("id", "text")
+      val got = rows
+        .select(col("id"), TextOps.encodingProfile(col("text")).as("p"))
+        .select(col("id"), col("p.*"))
+        .collect().map(r => r.getString(0) -> r).toMap
+
+      val clean = got("clean")   // "Ab1 c\td\n": 8 chars, all ascii
+      assert(clean.getLong(1) == 8L)   // n_chars
+      assert(clean.getLong(2) == 8L)   // n_ascii
+      assert(clean.getLong(3) == 4L)   // letters A b c d
+      assert(clean.getLong(4) == 1L)   // digit 1
+      assert(clean.getLong(5) == 3L)   // space, tab, newline
+      assert(clean.getLong(6) == 0L)   // tab/LF are NOT control damage
+      assert(clean.getLong(7) == 0L)
+      assert(clean.getDouble(8) == 0.0)
+      assert(!clean.getBoolean(9))
+
+      assert(got("repl").getLong(7) == 1L)
+      assert(got("repl").getBoolean(9))
+      assert(got("ctl").getLong(6) == 5L)  // 5 * 100 > 7 chars
+      assert(got("ctl").getBoolean(9))
+      val na = got("nonascii")         // 7 chars, 3 non-ascii
+      assert(na.getLong(1) == 7L)
+      assert(na.getLong(2) == 4L)
+      assert(math.abs(na.getDouble(8) - 3.0 / 7.0) < 1e-12)
+      assert(!na.getBoolean(9))
+    }
+
+    it("NULL text yields NULL fields; empty text a zero profile") {
+      val r = Seq[Option[String]](None, Some("")).toDF("text")
+        .select(TextOps.encodingProfile(col("text")).as("p"))
+        .select("p.*").collect()
+      val nul = r(0); val empty = r(1)
+      (0 until 9).foreach(i => assert(nul.isNullAt(i),
+        s"field $i should be NULL for NULL text"))
+      assert(empty.getLong(0) == 0L)
+      assert(empty.getDouble(7) == 0.0)
+      assert(!empty.getBoolean(8))
+    }
+  }
+
   describe("TextOps.pmiCollocations") {
     val docs = Seq("a b a b", "a c").toDF("text")
 
