@@ -661,6 +661,19 @@ object Bench {
         }
       }),
 
+      // score-quality screens: tie-corrected AUC off the distinct-score
+      // prefix sum (no single-partition rank window) + the nBins
+      // calibration aggregate, over a synthetic score on the events table
+      "model_eval" -> (() => {
+        val scored = t("events")
+          .select((pmod(xxhash64(col("event_id")), lit(1000)) / 1000.0)
+            .as("s"),
+            (col("event_type") === "purchase").as("y"))
+        val (a, rel) = graft.ops.ModelEval.aucReleasable(scored, "s", "y")
+        try a.count() finally rel()
+        graft.ops.ModelEval.ece(scored, "s", "y", nBins = 20).count()
+      }),
+
       // video ingest e2e: synthesize GVID containers executor-side
       // (partition-local, blobs never shuffle), sample every 2nd frame
       // through the byte-walk decode, and dedup-hash each sampled frame
