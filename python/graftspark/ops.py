@@ -673,6 +673,33 @@ def novelty_score_bloom(docs: DataFrame, reference: DataFrame,
         int(num_bits), int(num_hash_fns)), docs)
 
 
+def audio_fingerprints(df: DataFrame, id_col: str, blob_col: str,
+                       window_frames: int = 256) -> DataFrame:
+    """64-bit audio sub-fingerprints of a binary PCM16-WAV column
+    (Haitsma-Kalker-style band-energy-delta signs over Goertzel
+    energies, 8 bands x 8 delta-windows per block). Amplitude-scale
+    invariant; partition-local decode, audio bytes never shuffle;
+    corrupt blobs drop row-wise. Output: id, block, fp."""
+    return _to_py_df(_jvm_bridge(df).audioFingerprints(
+        df._jdf, id_col, blob_col, int(window_frames)), df)
+
+
+def audio_near_dups(df: DataFrame, id_col: str, blob_col: str,
+                    window_frames: int = 256,
+                    min_shared_blocks: int = 2,
+                    max_bucket_size: int = 10000) -> DataFrame:
+    """Audio near-duplicate pairs: clips sharing >=
+    ``min_shared_blocks`` exact (block, fingerprint) cells — the
+    re-encoded / volume-normalized duplicate screen
+    (alignment-sensitive by design). LSH shape: buckets on
+    (block, fp), never all-pairs; oversized buckets (silence, test
+    tones) drop at ``max_bucket_size``. Output: id_a, id_b,
+    n_shared."""
+    return _to_py_df(_jvm_bridge(df).audioNearDups(
+        df._jdf, id_col, blob_col, int(window_frames),
+        int(min_shared_blocks), int(max_bucket_size)), df)
+
+
 def encoding_profile(df: DataFrame, id_col: str,
                      text_col: str) -> DataFrame:
     """Encoding-hygiene profile — the mojibake / corruption screen:

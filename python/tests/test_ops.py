@@ -356,6 +356,7 @@ def main():
     test_round12c_stats_graph_noise()
     test_round12d_tokenizer_readability_pca()
     test_round13_encoding_profile()
+    test_round13_audio_dups()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1013,6 +1014,24 @@ def test_round13_encoding_profile():
     assert out[4]["n_ascii"] == 4 and not out[4]["mojibake"]
     assert abs(out[4]["non_ascii_ratio"] - 3.0 / 7.0) < 1e-12
     print("round-13 encoding profile facade OK")
+
+
+def test_round13_audio_dups():
+    from graftspark import ops
+
+    spark = _get_spark()
+    jm = spark._jvm.graft.ops.Media
+    rows = ([(i, bytearray(jm.synthesizeWavNoise(i))) for i in range(8)] +
+            [(i + 100, bytearray(jm.synthesizeWavNoise(i)))
+             for i in range(3)])
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    fp = ops.audio_fingerprints(df, "id", "blob", window_frames=16)
+    assert fp.count() > 0
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ops.audio_near_dups(df, "id", "blob", window_frames=16,
+                                 min_shared_blocks=2).collect()}
+    assert pairs == {(i, i + 100) for i in range(3)}
+    print("round-13 audio dedup facade OK")
 
 
 if __name__ == "__main__":

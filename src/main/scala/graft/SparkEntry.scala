@@ -2670,6 +2670,38 @@ object SparkEntry {
           col("p.mojibake").as("mojibake"))
     }),
 
+    "q204_audio_dups" -> ((s, dir) => {
+      // audio near-dup screen: white-noise clips for doc_id < 80, the
+      // first 25 replanted at +1000 with 4x amplitude (a re-encoded /
+      // volume-normalized copy; power of two, so the scaled Goertzel
+      // recursion is BIT-exact and every energy-delta sign provably
+      // survives) — each copy matches its original on ALL blocks and
+      // nothing else matches anything (cross-id blocks are independent
+      // white noise). The pair list + closed-form shared count
+      // (((frames/16)-1)/8 blocks) is the analytic oracle.
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id")).as[Long]
+      val originals = ids.map(id =>
+        (id, graft.ops.Media.synthesizeWavNoise(id)))
+        .toDF("doc_id", "blob")
+      val copies = ids.filter(col("doc_id") < 25).map { id =>
+        val base = graft.ops.Media.synthesizeWavNoise(id)
+        val meta = graft.ops.Media.parseWav(base)
+        val _ = meta // parse validates; amplitude-scale the payload
+        val buf = java.nio.ByteBuffer.wrap(base.clone())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 44
+        while (i + 1 < base.length) {
+          buf.putShort(i, (buf.getShort(i) * 4).toShort); i += 2
+        }
+        (id + 1000L, buf.array())
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.audioNearDups(originals.unionAll(copies),
+        "doc_id", "blob", windowFrames = 16, minSharedBlocks = 2)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
+
     "q200_curation_funnel" -> ((s, dir) => {
       // the curation funnel: per source, attrition through an ordered
       // screen chain (token range -> length cap -> readability floor),
@@ -5579,6 +5611,12 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q204_audio_dups" ->
+      """SELECT doc_id::BIGINT AS id_a, (doc_id + 1000)::BIGINT AS id_b,
+        |  ((((1600 + (doc_id % 3) * 160) // 16) - 1) // 8)::BIGINT
+        |    AS n_shared
+        |FROM documents WHERE doc_id < 25""".stripMargin,
 
     "q203_encoding_profile" ->
       """WITH m AS (SELECT doc_id,

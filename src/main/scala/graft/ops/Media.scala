@@ -677,6 +677,152 @@ object Media {
       .toDF()
   }
 
+  // ---------- audio fingerprinting (band-energy sign blocks) -----------
+
+  /** Goertzel spectral power of PCM16 audio at `bands` fixed
+    * normalized frequencies, per non-overlapping `windowFrames`-frame
+    * window (channels mix down by summation; the partial tail window
+    * is dropped so block math is exact). Band k probes
+    * ω_k = π (k+1) / (bands + 1) — an even comb over (0, π)
+    * independent of sample rate. One O(frames × bands) pass per blob,
+    * partition-local.
+    */
+  def goertzelEnergiesPcm16(
+      blob: Array[Byte], windowFrames: Int,
+      bands: Int): Seq[Array[Double]] = {
+    require(windowFrames >= 2,
+      s"windowFrames must be >= 2, got $windowFrames")
+    require(bands >= 1 && bands <= 32,
+      s"bands must be in [1, 32], got $bands")
+    val (meta, dataStart, dataLen) = walkWav(blob)
+    require(meta.bitsPerSample == 16,
+      "goertzelEnergiesPcm16 requires 16-bit PCM")
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ch = meta.channels
+    val nFrames = (dataLen / 2 / ch).toInt
+    val coeffs = Array.tabulate(bands)(k =>
+      2.0 * math.cos(math.Pi * (k + 1) / (bands + 1)))
+    (0 until nFrames / windowFrames).map { w =>
+      val base = w * windowFrames
+      val energies = new Array[Double](bands)
+      var k = 0
+      while (k < bands) {
+        val c = coeffs(k)
+        var s1 = 0.0; var s2 = 0.0
+        var f = 0
+        while (f < windowFrames) {
+          var x = 0.0
+          var cc = 0
+          while (cc < ch) {
+            x += buf.getShort(dataStart + 2 * ((base + f) * ch + cc))
+            cc += 1
+          }
+          val s0 = x + c * s1 - s2
+          s2 = s1; s1 = s0
+          f += 1
+        }
+        energies(k) = s1 * s1 + s2 * s2 - c * s1 * s2
+        k += 1
+      }
+      energies
+    }
+  }
+
+  /** 64-bit audio sub-fingerprints (Haitsma–Kalker-style energy-delta
+    * signs): bit (w, k) of a block is `E[w][k] > E[w-1][k]` — the sign
+    * of the band-k energy CHANGE between consecutive windows — and 8
+    * consecutive delta-windows × 8 bands pack into one long. Signs of
+    * ratios are invariant under amplitude scaling (energies scale
+    * quadratically but uniformly), so a volume-normalized copy
+    * fingerprints identically. Only COMPLETE blocks emit: a clip of F
+    * frames yields ((F / windowFrames) - 1) / 8 blocks.
+    */
+  def audioFingerprintBlocks(
+      blob: Array[Byte], windowFrames: Int): Seq[(Int, Long)] = {
+    val bands = 8
+    val e = goertzelEnergiesPcm16(blob, windowFrames, bands)
+    val deltas = math.max(0, e.length - 1)
+    (0 until deltas / bands).map { b =>
+      var fp = 0L
+      var i = 0
+      while (i < 8) {
+        val w = b * 8 + i + 1
+        var k = 0
+        while (k < bands) {
+          if (e(w)(k) > e(w - 1)(k)) fp |= 1L << (i * 8 + k)
+          k += 1
+        }
+        i += 1
+      }
+      (b, fp)
+    }
+  }
+
+  final case class AudioFpRecord(id: Long, block: Int, fp: Long)
+
+  /** Per-clip audio sub-fingerprints of a binary WAV column: one row
+    * per (clip, block) with the 64-bit [[audioFingerprintBlocks]]
+    * value. Partition-local decode at the codec boundary — audio bytes
+    * never shuffle, each clip reduces to ~12 bytes per block. Corrupt
+    * blobs DROP row-wise (the [[videoStats]] policy).
+    */
+  def audioFingerprints(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try audioFingerprintBlocks(blob, windowFrames)
+          .map { case (b, fp) => AudioFpRecord(id, b, fp) }
+        catch { case _: IllegalArgumentException => Nil }
+      })
+      .toDF()
+  }
+
+  /** Audio near-duplicate pairs by exact sub-fingerprint match: clips
+    * sharing at least `minSharedBlocks` (block index, fingerprint)
+    * cells pair up — the re-encoded / volume-normalized duplicate
+    * screen for an audio corpus (alignment-sensitive by design: a
+    * time-shifted copy needs an overlapping-hop index, the classic
+    * recall/cost trade). Scale shape is [[imageHashNearDups]] /
+    * [[Dedup.minHashLshPairs]]: the self-match buckets on
+    * (block, fp) — never all-pairs — with oversized buckets (silence,
+    * test tones) dropped at `maxBucketSize`, and only (id, block, fp)
+    * rows ever shuffle.
+    */
+  def audioNearDups(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int = 256, minSharedBlocks: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame =
+    audioNearDupsReleasable(df, idCol, blobCol, windowFrames,
+      minSharedBlocks, maxBucketSize)._1
+
+  /** [[audioNearDups]] plus a release() thunk for the cached
+    * fingerprint intermediate.
+    */
+  def audioNearDupsReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int = 256, minSharedBlocks: Int = 2,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
+    require(minSharedBlocks >= 1,
+      s"minSharedBlocks must be >= 1, got $minSharedBlocks")
+    val fps = audioFingerprints(df, idCol, blobCol, windowFrames)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = fps
+      .groupBy(col("block"), col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids"))
+        .as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedBlocks)
+    (result, () => { fps.unpersist(blocking = false); () })
+  }
+
   // ---------- deterministic blob synthesis (test tables carry no media) --
 
   /** Deterministic PPM: w = 4 + id%8, h = 3 + id%5, channel values are
@@ -700,6 +846,22 @@ object Media {
       y += 1
     }
     encodePpm(PpmImage(w, h, px))
+  }
+
+  /** Deterministic WHITE-NOISE mono PCM16 WAV at 8 kHz for the
+    * fingerprint fixtures: n = 1600 + (id % 3) * 160 frames,
+    * sample_i = splitmix64(id * 1000003 + i) % 1001. The
+    * [[synthesizeWav]] ramp is NEAR-PERIODIC and aliases across ids at
+    * fingerprint granularity (every clip pairs with every clip);
+    * per-sample splitmix noise makes cross-id energy-sign blocks
+    * independent, so only planted copies collide.
+    */
+  def synthesizeWavNoise(id: Long): Array[Byte] = {
+    val n = (1600 + (id % 3) * 160).toInt
+    val samples = Array.tabulate(n)(i =>
+      (graft.functions.BloomRuntime.splitmix64(
+        id * 1000003L + i) % 1001).toShort)
+    encodeWavPcm16(8000, 1, samples)
   }
 
   /** Deterministic mono PCM16 WAV at 8 kHz: n = 800 + id%100 frames,

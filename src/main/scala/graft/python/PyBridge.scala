@@ -627,6 +627,18 @@ object PyBridge {
       textCol, n)
   }
 
+  /** Per-clip audio sub-fingerprints (band-energy-delta sign blocks). */
+  def audioFingerprints(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int): DataFrame =
+    graft.ops.Media.audioFingerprints(df, idCol, blobCol, windowFrames)
+
+  /** Audio near-duplicate pairs by shared sub-fingerprint blocks. */
+  def audioNearDups(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int, minSharedBlocks: Int,
+      maxBucketSize: Int): DataFrame =
+    graft.ops.Media.audioNearDups(df, idCol, blobCol, windowFrames,
+      minSharedBlocks, maxBucketSize)
+
   /** Encoding-hygiene profile (mojibake / corruption screen) per row:
     * id + the [[graft.ops.TextOps.encodingProfile]] fields flattened.
     */

@@ -171,6 +171,24 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBloom shouldBe direct
   }
 
+  test("bridge audio fingerprint + near-dups equal the Scala calls") {
+    import spark.implicits._
+    val df = ((0L until 10L).map(i =>
+      (i, graft.ops.Media.synthesizeWavNoise(i))) ++
+      (0L until 4L).map(i =>
+        (i + 100L, graft.ops.Media.synthesizeWavNoise(i))))
+      .toDF("id", "blob")
+    val viaBridge = PyBridge.audioNearDups(df, "id", "blob", 16, 2, 10000)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.Media.audioNearDups(df, "id", "blob",
+        windowFrames = 16, minSharedBlocks = 2)
+      .collect().map(_.toSeq).toSet
+    viaBridge shouldBe direct
+    viaBridge.map(r => (r(0), r(1))) shouldBe
+      (0L until 4L).map(i => (i, i + 100L)).toSet
+    PyBridge.audioFingerprints(df, "id", "blob", 16).count() should be > 0L
+  }
+
   test("bridge encodingProfile equals the Scala struct flattened") {
     val docs = documents.select(col("doc_id"), col("text")).limit(50)
     val viaBridge = PyBridge.encodingProfile(docs, "doc_id", "text")
