@@ -1437,6 +1437,45 @@ def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
         bool(use_dhash)), docs)
 
 
+def write_audio_fp_reference(reference: DataFrame, id_col: str,
+                             blob_col: str, table: str,
+                             window_frames: int = 256,
+                             num_buckets: int = 16,
+                             max_bucket_size: int = 10000) -> None:
+    """Persist a reference corpus's audio sub-fingerprints as a
+    bucketed store table — incremental AUDIO dedup (the stored-screen
+    family's third member beside text MinHash and image hashes):
+    decode + fingerprint the history once, then screen new clip
+    batches with ``audio_near_dups_stored``."""
+    _jvm_bridge(reference).writeAudioFpReference(
+        reference._jdf, id_col, blob_col, table, int(window_frames),
+        int(num_buckets), int(max_bucket_size))
+
+
+def append_audio_fp_reference(docs: DataFrame, table: str, id_col: str,
+                              blob_col: str,
+                              window_frames: int = 256) -> None:
+    """Grow a ``write_audio_fp_reference`` store with a new clip batch
+    (screen first — ids are assumed fresh). The probe re-applies the
+    bucket cap at read time, so cross-batch growth cannot restore the
+    quadratic fan-out."""
+    _jvm_bridge(docs).appendAudioFpReference(
+        docs._jdf, table, id_col, blob_col, int(window_frames))
+
+
+def audio_near_dups_stored(docs: DataFrame, table: str, id_col: str,
+                           blob_col: str, window_frames: int = 256,
+                           min_shared_blocks: int = 2,
+                           max_bucket_size: int = 10000) -> DataFrame:
+    """Near-duplicate (new clip, stored clip) pairs against a
+    ``write_audio_fp_reference`` store — the stored side never
+    re-decodes or re-exchanges; pass the same window_frames as at
+    write time. Output: new_id, ref_id, n_shared."""
+    return _to_py_df(_jvm_bridge(docs).audioNearDupsStored(
+        docs._jdf, table, id_col, blob_col, int(window_frames),
+        int(min_shared_blocks), int(max_bucket_size)), docs)
+
+
 def write_bpe_merges(merges: DataFrame, table: str) -> None:
     """Persist a ``bpe_train`` merge table as a store table, so a
     vocabulary trained once serves every later encode job."""

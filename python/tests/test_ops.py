@@ -1031,6 +1031,20 @@ def test_round13_audio_dups():
              ops.audio_near_dups(df, "id", "blob", window_frames=16,
                                  min_shared_blocks=2).collect()}
     assert pairs == {(i, i + 100) for i in range(3)}
+    # stored audio index: write originals, probe amplified copies
+    try:
+        ops.write_audio_fp_reference(df.filter("id < 100"), "id", "blob",
+                                     "graft_pytest_audio",
+                                     window_frames=16, num_buckets=2)
+        stored = {(r["new_id"], r["ref_id"]) for r in
+                  ops.audio_near_dups_stored(
+                      df.filter("id >= 100"), "graft_pytest_audio",
+                      "id", "blob", window_frames=16,
+                      min_shared_blocks=2).collect()}
+        assert {(a - 100, b) for a, b in stored if a - 100 == b} == \
+            {(i, i) for i in range(3)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS graft_pytest_audio_buckets")
     print("round-13 audio dedup facade OK")
 
 

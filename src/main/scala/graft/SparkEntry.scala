@@ -2702,6 +2702,39 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"))
     }),
 
+    "q205_audio_stored" -> ((s, dir) => {
+      // incremental AUDIO dedup against a stored fingerprint index
+      // (q194's audio twin, completing the stored-screen family):
+      // white-noise clips for doc_id < 60 persist as (block, fp)
+      // buckets, a batch of 4x-amplified copies (+1000) probes them,
+      // and every copy recovers its original on ALL blocks (power-of-
+      // two scaling keeps the Goertzel recursion bit-exact). Oracle
+      // from the planting rule + closed-form block count.
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val ref = ids.map(id =>
+        (id, graft.ops.Media.synthesizeWavNoise(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.writeAudioFpReference(ref, "doc_id", "blob",
+        "graft_q205_ref", windowFrames = 16, numBuckets = 4)
+      val batch = ids.filter(col("doc_id") < 20).map { id =>
+        val base = graft.ops.Media.synthesizeWavNoise(id)
+        val buf = java.nio.ByteBuffer.wrap(base.clone())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 44
+        while (i + 1 < base.length) {
+          buf.putShort(i, (buf.getShort(i) * 4).toShort); i += 2
+        }
+        (id + 1000L, buf.array())
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.audioNearDupsStored(batch, "graft_q205_ref",
+        "doc_id", "blob", windowFrames = 16, minSharedBlocks = 2)
+        .filter(col("ref_id") === col("new_id") - 1000L)
+        .select(col("ref_id").as("doc_id"),
+          col("new_id").as("dup_id"), col("n_shared"))
+    }),
+
     "q200_curation_funnel" -> ((s, dir) => {
       // the curation funnel: per source, attrition through an ordered
       // screen chain (token range -> length cap -> readability floor),
@@ -5611,6 +5644,12 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q205_audio_stored" ->
+      """SELECT doc_id, (doc_id + 1000)::BIGINT AS dup_id,
+        |  ((((1600 + (doc_id % 3) * 160) // 16) - 1) // 8)::BIGINT
+        |    AS n_shared
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     "q204_audio_dups" ->
       """SELECT doc_id::BIGINT AS id_a, (doc_id + 1000)::BIGINT AS id_b,

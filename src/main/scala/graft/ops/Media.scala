@@ -823,6 +823,83 @@ object Media {
     (result, () => { fps.unpersist(blocking = false); () })
   }
 
+  /** Persist a reference corpus's audio sub-fingerprints as a
+    * CorpusStore table — incremental AUDIO dedup, the third member of
+    * the stored-screen family ([[Dedup.writeMinHashReference]] for
+    * text, [[writeImageHashReference]] for stills): decode +
+    * fingerprint the historical clips ONCE into `<table>_buckets`
+    * (bb = xxhash64(block, fp), id), bucketed on bb; each new batch
+    * then probes with [[audioNearDupsStored]] and only batch-derived
+    * rows shuffle. Oversized buckets (silence, test tones) drop at
+    * write time.
+    */
+  def writeAudioFpReference(
+      reference: DataFrame, idCol: String, blobCol: String,
+      table: String, windowFrames: Int = 256, numBuckets: Int = 16,
+      maxBucketSize: Int = 10000): Unit = {
+    val rows = audioFingerprints(reference, idCol, blobCol, windowFrames)
+      .select(col("id"), xxhash64(col("block"), col("fp")).as("bb"))
+    val oversized = rows.groupBy(col("bb"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("bb"), lit(1).as("__drop"))
+    val kept = rows.join(broadcast(oversized), Seq("bb"), "left")
+      .filter(col("__drop").isNull).drop("__drop")
+    graft.io.CorpusStore.writeBucketed(kept, s"${table}_buckets",
+      "bb", numBuckets, Seq("bb"))
+  }
+
+  /** GROW an audio-fingerprint store with a new batch (screen first —
+    * ids are assumed fresh). Like the MinHash store, appends cannot
+    * re-apply a global cap; [[audioNearDupsStored]] re-measures bucket
+    * sizes at read time so cross-batch growth cannot restore the
+    * quadratic fan-out.
+    */
+  def appendAudioFpReference(
+      docs: DataFrame, table: String, idCol: String, blobCol: String,
+      windowFrames: Int = 256): Unit = {
+    val n = graft.io.CorpusStore
+      .storedNumBuckets(docs.sparkSession, s"${table}_buckets")
+    val rows = audioFingerprints(docs, idCol, blobCol, windowFrames)
+      .select(col("id"), xxhash64(col("block"), col("fp")).as("bb"))
+    graft.io.CorpusStore.appendBucketed(rows, s"${table}_buckets",
+      "bb", n, Seq("bb"))
+  }
+
+  /** Near-duplicate (new clip, stored clip) pairs against a
+    * [[writeAudioFpReference]] store: the batch decodes and
+    * fingerprints row-locally, its (block, fp) bucket keys join into
+    * the bucketed stored scan (the store never re-decodes or
+    * re-exchanges), and pairs sharing at least `minSharedBlocks` cells
+    * survive. `maxBucketSize` re-applies the write-time cap at READ
+    * time (appends cap nothing — the
+    * [[Dedup.minHashNearDupsStored]] lesson). Pass the same
+    * `windowFrames` as at write time. Output: new_id, ref_id,
+    * n_shared.
+    */
+  def audioNearDupsStored(
+      docs: DataFrame, table: String, idCol: String, blobCol: String,
+      windowFrames: Int = 256, minSharedBlocks: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minSharedBlocks >= 1,
+      s"minSharedBlocks must be >= 1, got $minSharedBlocks")
+    val probe = audioFingerprints(docs, idCol, blobCol, windowFrames)
+      .select(col("id").as("new_id"),
+        xxhash64(col("block"), col("fp")).as("bb"))
+    val refAll = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, s"${table}_buckets")
+    val oversized = refAll.groupBy(col("bb"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("bb"), lit(1).as("__drop"))
+    val ref = refAll.join(broadcast(oversized), Seq("bb"), "left")
+      .filter(col("__drop").isNull).drop("__drop")
+    probe.join(ref, Seq("bb"))
+      .groupBy(col("new_id"), col("id").as("ref_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedBlocks)
+  }
+
   // ---------- deterministic blob synthesis (test tables carry no media) --
 
   /** Deterministic PPM: w = 4 + id%8, h = 3 + id%5, channel values are

@@ -1085,6 +1085,26 @@ object PyBridge {
     graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
       maxHamming, useDHash)
 
+  /** Persist an audio-fingerprint store for incremental audio dedup. */
+  def writeAudioFpReference(reference: DataFrame, idCol: String,
+      blobCol: String, table: String, windowFrames: Int,
+      numBuckets: Int, maxBucketSize: Int): Unit =
+    graft.ops.Media.writeAudioFpReference(reference, idCol, blobCol,
+      table, windowFrames, numBuckets, maxBucketSize)
+
+  /** Grow an audio-fingerprint store with a new batch. */
+  def appendAudioFpReference(docs: DataFrame, table: String,
+      idCol: String, blobCol: String, windowFrames: Int): Unit =
+    graft.ops.Media.appendAudioFpReference(docs, table, idCol, blobCol,
+      windowFrames)
+
+  /** Near-dup (new clip, stored clip) pairs vs a stored index. */
+  def audioNearDupsStored(docs: DataFrame, table: String,
+      idCol: String, blobCol: String, windowFrames: Int,
+      minSharedBlocks: Int, maxBucketSize: Int): DataFrame =
+    graft.ops.Media.audioNearDupsStored(docs, table, idCol, blobCol,
+      windowFrames, minSharedBlocks, maxBucketSize)
+
   /** Time-to-event extraction for survival analysis. */
   def timeToEvent(df: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, targetType: String): DataFrame =
