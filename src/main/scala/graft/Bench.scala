@@ -674,6 +674,26 @@ object Bench {
         graft.ops.ModelEval.ece(scored, "s", "y", nBins = 20).count()
       }),
 
+      // audio dedup e2e: synthesize white-noise WAVs executor-side
+      // (audio bytes never shuffle), Goertzel-fingerprint every clip,
+      // pair via the bucketed (block, fp) self-match — decode +
+      // spectral throughput of the audio screen
+      "audio_dedup" -> (() => {
+        import spark.implicits._
+        val ids = t("documents").filter(col("doc_id") < 2000)
+          .select(col("doc_id")).as[Long]
+        val clips = ids.map(id =>
+            (id, graft.ops.Media.synthesizeWavNoise(id)))
+          .toDF("doc_id", "blob")
+          .unionAll(ids.filter(col("doc_id") < 200).map(id =>
+            (id + 100000L, graft.ops.Media.synthesizeWavNoise(id)))
+            .toDF("doc_id", "blob"))
+        val (pairs, rel) = graft.ops.Media.audioNearDupsReleasable(
+          clips, "doc_id", "blob", windowFrames = 64,
+          minSharedBlocks = 1)
+        try pairs.count() finally rel()
+      }),
+
       // video ingest e2e: synthesize GVID containers executor-side
       // (partition-local, blobs never shuffle), sample every 2nd frame
       // through the byte-walk decode, and dedup-hash each sampled frame

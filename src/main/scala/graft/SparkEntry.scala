@@ -2702,6 +2702,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"))
     }),
 
+    "q206_orc_sink" -> ((s, dir) => {
+      // ORC source/sink round trip (the second columnar format beside
+      // parquet, q66): grouped profiles written as typed ORC structs —
+      // sketch bytes ride as binary — read back, metrics re-derived
+      // from the stored rows. Profiles survive any columnar store
+      // Spark can write; the engine is not parquet-bound.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q206").toString
+      t(s, dir, "lineitem").newProfilingSession()
+        .groupBy("l_returnflag")
+        .aggProfiles().write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).select(col("l_returnflag"),
+        col("l_quantity.count").as("n"),
+        col("l_quantity.numbers.min").as("qty_min"),
+        col("l_quantity.numbers.max").as("qty_max"),
+        round(col("l_quantity.numbers.sum"), 2).as("qty_sum"))
+    }),
+
     "q205_audio_stored" -> ((s, dir) => {
       // incremental AUDIO dedup against a stored fingerprint index
       // (q194's audio twin, completing the stored-screen family):
@@ -5644,6 +5662,12 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q206_orc_sink" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q205_audio_stored" ->
       """SELECT doc_id, (doc_id + 1000)::BIGINT AS dup_id,
