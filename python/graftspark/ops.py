@@ -1437,6 +1437,15 @@ def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
         bool(use_dhash)), docs)
 
 
+def seasonality(df: DataFrame, ts_col: str) -> DataFrame:
+    """Hour-of-week seasonality profile: every event buckets into one
+    of 168 (day-of-week, hour) UTC cells by integer epoch arithmetic
+    (dow 0 = Monday), one bounded aggregate. Output per non-empty
+    cell: dow, hour, n, share, lift (share x 168 — the multiple of
+    uniform traffic)."""
+    return _to_py_df(_jvm_bridge(df).seasonality(df._jdf, ts_col), df)
+
+
 def write_audio_fp_reference(reference: DataFrame, id_col: str,
                              blob_col: str, table: str,
                              window_frames: int = 256,

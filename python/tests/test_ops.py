@@ -357,6 +357,7 @@ def main():
     test_round12d_tokenizer_readability_pca()
     test_round13_encoding_profile()
     test_round13_audio_dups()
+    test_round13_seasonality()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1046,6 +1047,21 @@ def test_round13_audio_dups():
     finally:
         spark.sql("DROP TABLE IF EXISTS graft_pytest_audio_buckets")
     print("round-13 audio dedup facade OK")
+
+
+def test_round13_seasonality():
+    import os
+    from graftspark import ops
+
+    spark = _get_spark()
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    rows = ops.seasonality(events, "ts").collect()
+    assert 0 < len(rows) <= 168
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+        assert abs(r["lift"] - r["share"] * 168.0) < 1e-9
+    print("round-13 seasonality facade OK")
 
 
 if __name__ == "__main__":

@@ -2702,6 +2702,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"))
     }),
 
+    "q207_seasonality" -> ((s, dir) => {
+      // hour-of-week traffic profile: 168-cell aggregate with
+      // integer-exact bucketing (epoch-micros div, no calendar
+      // functions — engines disagree on week starts)
+      ops.EventStats.seasonality(t(s, dir, "events"), "ts")
+        .select(col("dow"), col("hour"), col("n"),
+          (round(col("share"), 6) + 0.0).as("share"),
+          (round(col("lift"), 6) + 0.0).as("lift"))
+    }),
+
     "q206_orc_sink" -> ((s, dir) => {
       // ORC source/sink round trip (the second columnar format beside
       // parquet, q66): grouped profiles written as typed ORC structs —
@@ -5662,6 +5672,18 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q207_seasonality" ->
+      """WITH b AS (SELECT
+        |    ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT dow, hour, count(*)::BIGINT AS n FROM b
+        |  GROUP BY 1, 2)
+        |SELECT dow, hour, n,
+        |  round(n::DOUBLE / (SELECT sum(n) FROM c), 6) + 0.0 AS share,
+        |  round(n * 168.0 / (SELECT sum(n) FROM c), 6) + 0.0 AS lift
+        |FROM c""".stripMargin,
 
     "q206_orc_sink" ->
       """SELECT l_returnflag, count(*) AS n,

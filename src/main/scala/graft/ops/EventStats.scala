@@ -127,6 +127,36 @@ object EventStats {
       .filter(col("rank") <= k)
   }
 
+  /** Hour-of-week seasonality profile of an event stream: every event
+    * buckets into one of the 168 (day-of-week, hour) UTC cells; per
+    * non-empty cell — n, share of total traffic, and `lift` =
+    * share × 168 (the cell's multiple of uniform traffic; capacity
+    * planning reads peaks, anomaly screens read troughs). Both time
+    * parts derive from epoch micros by INTEGER arithmetic
+    * (dow 0 = Monday via `(epoch_day + 3) mod 7` — 1970-01-01 was a
+    * Thursday) so any engine replays the bucketing exactly — calendar
+    * functions differ across engines on week-start conventions.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the
+    * corpus to ≤ 168 cells; the grand total rides back on a broadcast
+    * 1-row cross join. Nothing event-sized survives the exchange.
+    */
+  def seasonality(df: DataFrame, tsCol: String): DataFrame = {
+    val t = EventTime.micros(df, tsCol)
+    val cells = df
+      .filter(t.isNotNull)
+      .select(t.as("__t"))
+      .selectExpr("pmod((__t div 86400000000) + 3, 7) AS dow",
+        "(__t div 3600000000) % 24 AS hour")
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("__total")).as("share"),
+        (col("n") * lit(168.0) / col("__total")).as("lift"))
+  }
+
   /** Per-key inter-arrival statistics: number of gaps, mean/min/max
     * gap (seconds), sample std-dev, and the coefficient of variation —
     * the burstiness profile of an event stream (CV ~ 1 is Poisson,

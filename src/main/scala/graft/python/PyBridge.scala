@@ -1105,6 +1105,10 @@ object PyBridge {
     graft.ops.Media.audioNearDupsStored(docs, table, idCol, blobCol,
       windowFrames, minSharedBlocks, maxBucketSize)
 
+  /** Hour-of-week seasonality profile (168-cell traffic shape). */
+  def seasonality(df: DataFrame, tsCol: String): DataFrame =
+    graft.ops.EventStats.seasonality(df, tsCol)
+
   /** Time-to-event extraction for survival analysis. */
   def timeToEvent(df: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, targetType: String): DataFrame =

@@ -259,6 +259,28 @@ class EventStatsSpec extends AnyFunSuite with Matchers
     got(4L) shouldBe 111L
   }
 
+  test("seasonality: integer-exact hour-of-week cells, shares sum to " +
+    "1, lift is share x 168") {
+    import spark.implicits._
+    val day = 86400000000L; val hour = 3600000000L
+    // epoch 0 = Thursday 00:00 UTC -> dow 3 (Monday = 0)
+    val df = Seq(
+      0L,                 // Thu 00
+      0L,                 // Thu 00 (again)
+      hour * 5,           // Thu 05
+      day * 4,            // Mon 00 (1970-01-05)
+      day * 4 + hour * 23 // Mon 23
+    ).toDF("ts")
+    val got = EventStats.seasonality(df, "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    got.keySet shouldBe Set((3L, 0L), (3L, 5L), (0L, 0L), (0L, 23L))
+    got((3L, 0L))._1 shouldBe 2L
+    got((3L, 0L))._2 shouldBe (0.4 +- 1e-12)
+    got((3L, 0L))._3 shouldBe (0.4 * 168 +- 1e-9)
+    got.values.map(_._2).sum shouldBe (1.0 +- 1e-12)
+  }
+
   test("rfm closed-form ntile == Spark's ntile window for every key, " +
     "across key counts and tile counts (incl. fewer keys than tiles)") {
     import spark.implicits._
