@@ -1437,6 +1437,36 @@ def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
         bool(use_dhash)), docs)
 
 
+def k_anonymity_report(df: DataFrame, quasi_cols: List[str],
+                       k: int) -> DataFrame:
+    """One-row k-anonymity release gate over quasi-identifier columns:
+    n_rows, n_groups, min_group_size, n_violating_groups (size < k),
+    n_rows_at_risk, k_anonymous. One bounded aggregate; NULL QI
+    combinations count as real groups."""
+    return _to_py_df(_jvm_bridge(df).kAnonymityReport(
+        df._jdf, list(quasi_cols), int(k)), df)
+
+
+def k_anonymity_violations(df: DataFrame, quasi_cols: List[str],
+                           k: int, max_groups: int = 100) -> DataFrame:
+    """The violating quasi-identifier groups themselves (size < k),
+    smallest — most identifying — first, bounded to ``max_groups``
+    via a top-k cut (never a global sort)."""
+    return _to_py_df(_jvm_bridge(df).kAnonymityViolations(
+        df._jdf, list(quasi_cols), int(k), int(max_groups)), df)
+
+
+def l_diversity_report(df: DataFrame, quasi_cols: List[str],
+                       sensitive_col: str, l: int) -> DataFrame:
+    """One-row distinct l-diversity report: do quasi-identifier groups
+    cover at least ``l`` distinct sensitive values? NULL sensitive
+    values add no diversity. Output: n_groups,
+    min_distinct_sensitive, n_violating_groups, n_rows_at_risk,
+    l_diverse."""
+    return _to_py_df(_jvm_bridge(df).lDiversityReport(
+        df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
+
+
 def seasonality(df: DataFrame, ts_col: str) -> DataFrame:
     """Hour-of-week seasonality profile: every event buckets into one
     of 168 (day-of-week, hour) UTC cells by integer epoch arithmetic

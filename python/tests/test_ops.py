@@ -358,6 +358,7 @@ def main():
     test_round13_encoding_profile()
     test_round13_audio_dups()
     test_round13_seasonality()
+    test_round13_privacy()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1062,6 +1063,28 @@ def test_round13_seasonality():
         assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
         assert abs(r["lift"] - r["share"] * 168.0) < 1e-9
     print("round-13 seasonality facade OK")
+
+
+def test_round13_privacy():
+    import os
+    from graftspark import ops
+
+    spark = _get_spark()
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    rep = ops.k_anonymity_report(
+        orders, ["o_orderstatus", "o_custkey"], k=3).collect()[0]
+    assert rep["n_rows"] == orders.count()
+    assert rep["k_anonymous"] == (rep["n_violating_groups"] == 0)
+    vio = ops.k_anonymity_violations(
+        orders, ["o_orderstatus", "o_custkey"], k=3, max_groups=5).collect()
+    assert len(vio) <= 5
+    assert all(r["group_size"] < 3 for r in vio)
+    div = ops.l_diversity_report(
+        orders, ["o_orderpriority", "o_custkey"], "o_orderstatus",
+        l=2).collect()[0]
+    assert div["n_groups"] > 0
+    assert div["l_diverse"] == (div["n_violating_groups"] == 0)
+    print("round-13 privacy facade OK")
 
 
 if __name__ == "__main__":

@@ -2702,6 +2702,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"))
     }),
 
+    "q208_k_anonymity" -> ((s, dir) => {
+      // release-gate privacy screen: is (status, priority, custkey)
+      // k-anonymous at k=3? custkey is the high-cardinality
+      // quasi-identifier, so the synthetic table fails realistically;
+      // the one-row verdict replays exactly in SQL
+      ops.Privacy.kAnonymityReport(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 3)
+    }),
+
+    "q209_l_diversity" -> ((s, dir) => {
+      // l-diversity of the order status within each (priority,
+      // custkey) cohort: does knowing the cohort disclose the status?
+      ops.Privacy.lDiversityReport(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_custkey"), "o_orderstatus", l = 2)
+    }),
+
     "q207_seasonality" -> ((s, dir) => {
       // hour-of-week traffic profile: 168-cell aggregate with
       // integer-exact bucketing (epoch-micros div, no calendar
@@ -5672,6 +5688,36 @@ object SparkEntry {
         |  ((4 + doc_id % 5) * 1000000000 // 4000)::BIGINT
         |    AS duration_us
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q208_k_anonymity" ->
+      """WITH g AS (SELECT o_orderstatus, o_orderpriority, o_custkey,
+        |    count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT coalesce(sum(n), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_groups,
+        |  min(n)::BIGINT AS min_group_size,
+        |  coalesce(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_violating_groups,
+        |  coalesce(sum(CASE WHEN n < 3 THEN n ELSE 0 END), 0)::BIGINT
+        |    AS n_rows_at_risk,
+        |  coalesce(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END), 0) = 0
+        |    AS k_anonymous
+        |FROM g""".stripMargin,
+
+    "q209_l_diversity" ->
+      """WITH g AS (SELECT o_orderpriority, o_custkey,
+        |    count(*)::BIGINT AS n,
+        |    count(DISTINCT o_orderstatus)::BIGINT AS d
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |  min(d)::BIGINT AS min_distinct_sensitive,
+        |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_violating_groups,
+        |  coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)::BIGINT
+        |    AS n_rows_at_risk,
+        |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0) = 0
+        |    AS l_diverse
+        |FROM g""".stripMargin,
 
     "q207_seasonality" ->
       """WITH b AS (SELECT

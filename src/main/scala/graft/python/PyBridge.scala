@@ -1105,6 +1105,23 @@ object PyBridge {
     graft.ops.Media.audioNearDupsStored(docs, table, idCol, blobCol,
       windowFrames, minSharedBlocks, maxBucketSize)
 
+  /** One-row k-anonymity report over quasi-identifier columns. */
+  def kAnonymityReport(df: DataFrame, quasiCols: ju.List[String],
+      k: Long): DataFrame =
+    graft.ops.Privacy.kAnonymityReport(df, quasiCols.asScala.toSeq, k)
+
+  /** The violating quasi-identifier groups, smallest first, bounded. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: ju.List[String],
+      k: Long, maxGroups: Int): DataFrame =
+    graft.ops.Privacy.kAnonymityViolations(df, quasiCols.asScala.toSeq,
+      k, maxGroups)
+
+  /** One-row distinct l-diversity report over a sensitive column. */
+  def lDiversityReport(df: DataFrame, quasiCols: ju.List[String],
+      sensitiveCol: String, l: Long): DataFrame =
+    graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
+      sensitiveCol, l)
+
   /** Hour-of-week seasonality profile (168-cell traffic shape). */
   def seasonality(df: DataFrame, tsCol: String): DataFrame =
     graft.ops.EventStats.seasonality(df, tsCol)

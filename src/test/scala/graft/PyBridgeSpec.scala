@@ -171,6 +171,24 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     viaBloom shouldBe direct
   }
 
+  test("bridge privacy screens equal the Scala calls") {
+    import scala.jdk.CollectionConverters._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val qi = List("o_orderstatus", "o_custkey").asJava
+    PyBridge.kAnonymityReport(orders, qi, 3L).collect().toSeq shouldBe
+      graft.ops.Privacy.kAnonymityReport(orders,
+        Seq("o_orderstatus", "o_custkey"), 3L).collect().toSeq
+    PyBridge.kAnonymityViolations(orders, qi, 3L, 10)
+      .collect().toSeq shouldBe
+      graft.ops.Privacy.kAnonymityViolations(orders,
+        Seq("o_orderstatus", "o_custkey"), 3L, 10).collect().toSeq
+    PyBridge.lDiversityReport(orders, qi, "o_orderpriority", 2L)
+      .collect().toSeq shouldBe
+      graft.ops.Privacy.lDiversityReport(orders,
+        Seq("o_orderstatus", "o_custkey"), "o_orderpriority", 2L)
+        .collect().toSeq
+  }
+
   test("bridge audio fingerprint + near-dups equal the Scala calls") {
     import spark.implicits._
     val df = ((0L until 10L).map(i =>

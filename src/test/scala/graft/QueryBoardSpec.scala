@@ -25,8 +25,8 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 207)
-      assert(SparkEntry.oracleSql.size == 202)
+      assert(SparkEntry.queries.size == 209)
+      assert(SparkEntry.oracleSql.size == 204)
     }
 
     it("every oracle entry has a matching query") {
