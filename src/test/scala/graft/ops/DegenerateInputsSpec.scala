@@ -240,4 +240,28 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
     kept.filter(col("dom") === "b").count() shouldBe 0L
     kept.filter(col("dom") === "a").count() shouldBe 40L
   }
+
+  test("round-13 ops survive empty inputs: encoding profile, audio " +
+    "fingerprints, seasonality, runningTotals, auc") {
+    import spark.implicits._
+    emptyDocs.select(TextOps.encodingProfile(col("text")))
+      .count() shouldBe 0L
+    val emptyBlobs = Seq.empty[(Long, Array[Byte])].toDF("id", "blob")
+    Media.audioFingerprints(emptyBlobs, "id", "blob", 16)
+      .count() shouldBe 0L
+    Media.audioNearDups(emptyBlobs, "id", "blob", 16).count() shouldBe 0L
+    EventStats.seasonality(Seq.empty[Long].toDF("ts"), "ts")
+      .count() shouldBe 0L
+    val (rt, release) = FeatureScale.runningTotalsReleasable(
+      emptyDocs, Seq(col("id").asc), lit(1L))
+    try rt.count() shouldBe 0L finally release()
+    // empty scored frame: the 1-row auc report with NULL verdicts
+    val (a, relA) = ModelEval.aucReleasable(
+      Seq.empty[(Double, Boolean)].toDF("s", "y"), "s", "y")
+    try {
+      val row = a.collect().head
+      row.isNullAt(0) shouldBe true
+      row.isNullAt(2) shouldBe true
+    } finally relA()
+  }
 }
