@@ -9,7 +9,7 @@ wrapped here: register the engine's SQL surface with
 ``F.expr`` / ``spark.sql`` directly.
 """
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 
@@ -1465,6 +1465,41 @@ def l_diversity_report(df: DataFrame, quasi_cols: List[str],
     l_diverse."""
     return _to_py_df(_jvm_bridge(df).lDiversityReport(
         df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
+
+
+def benford(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law conformance screen: one row per leading digit 1-9
+    (zero-count digits included) with n, observed share, the Benford
+    expectation log10(1 + 1/d), and the overall chi-squared / mean
+    absolute deviation repeated per row. Values below 1, NULL, and NaN
+    are excluded; the corpus collapses to 9 digit counts in one
+    aggregate."""
+    return _to_py_df(_jvm_bridge(df).benford(df._jdf, value_col), df)
+
+
+def functional_dependencies(df: DataFrame,
+                            pairs: List[Tuple[str, str]]) -> DataFrame:
+    """Functional-dependency screen: one row per candidate
+    (determinant, dependent) pair with n_groups, n_violating_groups
+    (determinant values mapping to >1 distinct dependent — NULL counts
+    as a value when present alongside non-NULLs), n_rows_at_risk, and
+    ``holds``. One bounded aggregate per pair."""
+    dets = [p[0] for p in pairs]
+    deps = [p[1] for p in pairs]
+    return _to_py_df(_jvm_bridge(df).functionalDependencies(
+        df._jdf, dets, deps), df)
+
+
+def t_closeness_report(df: DataFrame, quasi_cols: List[str],
+                       sensitive_col: str, t: float) -> DataFrame:
+    """One-row t-closeness report over a CATEGORICAL sensitive column:
+    per quasi-identifier group, the total-variation distance between
+    the group's sensitive distribution and the global one; violations
+    where the 6-dp-rounded distance exceeds ``t``. NULL sensitive
+    values form a real category. Output: n_rows, n_groups, max_tvd,
+    n_violating_groups, n_rows_at_risk, t_close."""
+    return _to_py_df(_jvm_bridge(df).tClosenessReport(
+        df._jdf, list(quasi_cols), sensitive_col, float(t)), df)
 
 
 def seasonality(df: DataFrame, ts_col: str) -> DataFrame:

@@ -359,6 +359,7 @@ def main():
     test_round13_audio_dups()
     test_round13_seasonality()
     test_round13_privacy()
+    test_round13_quality_screens()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1084,7 +1085,33 @@ def test_round13_privacy():
         l=2).collect()[0]
     assert div["n_groups"] > 0
     assert div["l_diverse"] == (div["n_violating_groups"] == 0)
+    tcl = ops.t_closeness_report(
+        orders, ["o_orderpriority", "o_custkey"], "o_orderstatus",
+        t=0.2).collect()[0]
+    assert tcl["n_rows"] == rep["n_rows"]
+    assert 0.0 <= tcl["max_tvd"] <= 1.0
+    assert tcl["t_close"] == (tcl["n_violating_groups"] == 0)
     print("round-13 privacy facade OK")
+
+
+def test_round13_quality_screens():
+    import os
+    from graftspark import ops
+
+    spark = _get_spark()
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    ben = {r["digit"]: r for r in
+           ops.benford(orders, "o_totalprice").collect()}
+    assert set(ben) == set(range(1, 10))
+    assert abs(sum(r["share"] for r in ben.values()) - 1.0) < 1e-4
+    assert ben[1]["expected"] == 0.30103
+    fd = {(r["determinant"], r["dependent"]): r
+          for r in ops.functional_dependencies(
+              orders, [("o_orderkey", "o_custkey"),
+                       ("o_custkey", "o_orderpriority")]).collect()}
+    assert fd[("o_orderkey", "o_custkey")]["holds"]
+    assert not fd[("o_custkey", "o_orderpriority")]["holds"]
+    print("round-13 quality screens facade OK")
 
 
 if __name__ == "__main__":

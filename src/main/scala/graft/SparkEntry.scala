@@ -2718,6 +2718,33 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", l = 2)
     }),
 
+    "q210_t_closeness" -> ((s, dir) => {
+      // the third privacy gate: does any (priority, custkey) cohort's
+      // order-status distribution sit further than t=0.2 (total
+      // variation) from the global one? Single-order cohorts are
+      // point masses, so the synthetic table fails realistically
+      ops.Privacy.tClosenessReport(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
+    }),
+
+    "q211_benford" -> ((s, dir) => {
+      // numeric-quality screen: leading-digit distribution of order
+      // totals vs the Benford expectation (TPC-H's uniform prices
+      // fail loudly — exactly what the screen is for)
+      ops.Diagnostics.benford(t(s, dir, "orders"), "o_totalprice")
+    }),
+
+    "q212_functional_deps" -> ((s, dir) => {
+      // does the corpus respect the dependencies a schema implies?
+      // orderkey->custkey holds (orderkey unique), custkey->priority
+      // does not (customers order at many priorities); price->custkey
+      // probes whether a near-unique double column is a safe key
+      ops.Diagnostics.functionalDependencies(t(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority",
+          "o_totalprice" -> "o_custkey"))
+    }),
+
     "q207_seasonality" -> ((s, dir) => {
       // hour-of-week traffic profile: 168-cell aggregate with
       // integer-exact bucketing (epoch-micros div, no calendar
@@ -5718,6 +5745,90 @@ object SparkEntry {
         |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0) = 0
         |    AS l_diverse
         |FROM g""".stripMargin,
+
+    "q211_benford" ->
+      """WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1),
+        |d AS (SELECT CAST(substring(CAST(CAST(floor(x) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*)::BIGINT AS n0
+        |  FROM v GROUP BY 1),
+        |alld AS (SELECT t.d::BIGINT AS digit,
+        |    coalesce(d.n0, 0)::BIGINT AS n,
+        |    ln(1 + 1.0 / t.d) / ln(10) AS e
+        |  FROM range(1, 10) t(d) LEFT JOIN d ON d.digit = t.d),
+        |tot AS (SELECT sum(n)::DOUBLE AS nn FROM alld),
+        |fit AS (SELECT
+        |    sum((n - nn * e) * (n - nn * e) / (nn * e)) AS chi2,
+        |    avg(abs(n / nn - e)) AS mad
+        |  FROM alld CROSS JOIN tot)
+        |SELECT digit, n, round(n / nn, 6) + 0.0 AS share,
+        |  round(e, 6) + 0.0 AS expected, round(chi2, 6) + 0.0 AS chi2,
+        |  round(mad, 6) + 0.0 AS mad
+        |FROM alld CROSS JOIN tot CROSS JOIN fit""".stripMargin,
+
+    "q212_functional_deps" ->
+      """WITH g1 AS (SELECT o_orderkey AS k, count(*)::BIGINT AS n,
+        |    (count(DISTINCT o_custkey) + max(CASE WHEN o_custkey
+        |      IS NULL THEN 1 ELSE 0 END))::BIGINT AS d
+        |  FROM orders GROUP BY 1),
+        |g2 AS (SELECT o_custkey AS k, count(*)::BIGINT AS n,
+        |    (count(DISTINCT o_orderpriority) + max(CASE WHEN
+        |      o_orderpriority IS NULL THEN 1 ELSE 0 END))::BIGINT AS d
+        |  FROM orders GROUP BY 1),
+        |g3 AS (SELECT o_totalprice AS k, count(*)::BIGINT AS n,
+        |    (count(DISTINCT o_custkey) + max(CASE WHEN
+        |      o_custkey IS NULL THEN 1 ELSE 0 END))::BIGINT AS d
+        |  FROM orders GROUP BY 1)
+        |SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+        |  count(*)::BIGINT AS n_groups,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+        |    AS n_violating_groups,
+        |  coalesce(sum(CASE WHEN d > 1 THEN n ELSE 0 END), 0)::BIGINT
+        |    AS n_rows_at_risk,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) = 0
+        |    AS holds
+        |FROM g1
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderpriority', count(*)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) = 0
+        |FROM g2
+        |UNION ALL
+        |SELECT 'o_totalprice', 'o_custkey', count(*)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) = 0
+        |FROM g3""".stripMargin,
+
+    "q210_t_closeness" ->
+      """WITH cell AS (SELECT o_orderpriority AS p, o_custkey AS c,
+        |    o_orderstatus AS s, count(*)::BIGINT AS nc
+        |  FROM orders GROUP BY 1, 2, 3),
+        |gd AS (SELECT s, sum(nc)::BIGINT AS ns FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(nc)::BIGINT AS n FROM cell),
+        |grp AS (SELECT p, c, sum(nc)::BIGINT AS ng
+        |  FROM cell GROUP BY 1, 2),
+        |per AS (SELECT cell.p, cell.c, any_value(grp.ng) AS ng,
+        |    (sum(abs(cell.nc * 1.0 / grp.ng - gd.ns * 1.0 / tot.n))
+        |      + 1.0 - sum(gd.ns * 1.0 / tot.n)) / 2.0 AS tvd
+        |  FROM cell
+        |  JOIN grp ON cell.p IS NOT DISTINCT FROM grp.p
+        |    AND cell.c IS NOT DISTINCT FROM grp.c
+        |  JOIN gd ON cell.s IS NOT DISTINCT FROM gd.s
+        |  CROSS JOIN tot
+        |  GROUP BY cell.p, cell.c)
+        |SELECT coalesce(sum(ng), 0)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_groups,
+        |  coalesce(round(max(tvd), 6) + 0.0, 0.0) AS max_tvd,
+        |  coalesce(sum(CASE WHEN round(tvd, 6) + 0.0 > 0.2
+        |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_violating_groups,
+        |  coalesce(sum(CASE WHEN round(tvd, 6) + 0.0 > 0.2
+        |    THEN ng ELSE 0 END), 0)::BIGINT AS n_rows_at_risk,
+        |  coalesce(sum(CASE WHEN round(tvd, 6) + 0.0 > 0.2
+        |    THEN 1 ELSE 0 END), 0) = 0 AS t_close
+        |FROM per""".stripMargin,
 
     "q207_seasonality" ->
       """WITH b AS (SELECT

@@ -116,4 +116,88 @@ object Diagnostics {
         sum(when(col("__h_new").isNotNull, 1).otherwise(0))
           .cast("long").as("n_new"))
   }
+
+  /** Benford's-law conformance screen over a numeric column — the
+    * classic fabricated-/truncated-data tell for amounts that span
+    * orders of magnitude (prices, populations, file sizes). One row
+    * per leading digit 1-9 (zero-count digits included): n, observed
+    * share, the Benford expectation log10(1 + 1/d), plus the overall
+    * chi-squared statistic vs the expectation and the mean absolute
+    * deviation repeated on every row (the single-query report shape).
+    * Values below 1, NULL, and NaN are excluded (a sub-1 value's
+    * leading significant digit is scale-dependent; integer-exact
+    * extraction needs the integer part). The digit comes from the
+    * decimal string of floor(x) — identical across engines, no
+    * floating log10 at a power-of-10 boundary.
+    *
+    * Scale shape: the corpus collapses to at most 9 digit counts in
+    * one map-side-combined aggregate; everything after is 9-row
+    * arithmetic on broadcast 1-row totals.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") >= 1.0)
+      .select(substring(floor(col("__v")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("__n0"))
+    val all = df.sparkSession.range(1, 10).toDF("digit")
+      .join(digits, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("__n0"), lit(0L)).as("n"),
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+          .as("__e"))
+    // NULL (not 0) when no values survive the filter: ANSI mode makes
+    // x/0 an error, x/NULL the wanted NULL report
+    val totals = all.agg(nullif(sum(col("n")).cast("double"), lit(0.0))
+      .as("__nn"))
+    val withTot = all.crossJoin(broadcast(totals))
+    val fit = withTot.agg(
+      sum((col("n") - col("__nn") * col("__e")) *
+        (col("n") - col("__nn") * col("__e")) /
+        (col("__nn") * col("__e"))).as("__chi2"),
+      avg(abs(col("n") / col("__nn") - col("__e"))).as("__mad"))
+    withTot.crossJoin(broadcast(fit))
+      .select(col("digit"), col("n"),
+        (round(col("n") / col("__nn"), 6) + lit(0.0)).as("share"),
+        (round(col("__e"), 6) + lit(0.0)).as("expected"),
+        (round(col("__chi2"), 6) + lit(0.0)).as("chi2"),
+        (round(col("__mad"), 6) + lit(0.0)).as("mad"))
+  }
+
+  /** Functional-dependency screen: for each candidate (determinant →
+    * dependent) column pair, does every determinant value map to ONE
+    * dependent value? One row per pair: n_groups, n_violating_groups
+    * (determinant values with >1 distinct dependent — NULL counts as
+    * a distinct value when present alongside non-NULLs), n_rows_at_risk
+    * (rows under violating determinants), and `holds`. The
+    * data-quality pre-flight before trusting a column as a lookup key,
+    * a denormalization, or a join dimension.
+    *
+    * Scale shape: one map-side-combined aggregate per candidate pair
+    * (the pair list is user-bounded), each collapsing the corpus to
+    * its determinant cardinality, then a 1-row summary; pairs union.
+    */
+  def functionalDependencies(
+      df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det).as("__k"))
+        .agg(count(lit(1)).as("__n"),
+          (count_distinct(col(dep)) +
+            max(when(col(dep).isNull, 1L).otherwise(0L))).as("__d"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__d") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating_groups"),
+          coalesce(sum(when(col("__d") > 1, col("__n")).otherwise(0L)),
+            lit(0L)).as("n_rows_at_risk"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_groups"), col("n_violating_groups"),
+          col("n_rows_at_risk"),
+          (col("n_violating_groups") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
 }

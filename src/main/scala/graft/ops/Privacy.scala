@@ -71,6 +71,66 @@ object Privacy {
       .limit(maxGroups)
   }
 
+  /** One-row t-closeness report over a CATEGORICAL sensitive column:
+    * per QI group, the total-variation distance between the group's
+    * sensitive-value distribution and the global one (the EMD under
+    * the equal-distance ground metric of the original t-closeness
+    * paper's categorical case), then n_groups, max_tvd,
+    * n_violating_groups (tvd > t on the 6-dp-rounded value so both
+    * engines cut identically), n_rows_at_risk, and `t_close`. NULL
+    * sensitive values form a real category (GROUP BY semantics — a
+    * skewed NULL rate discloses too).
+    *
+    * Scale shape: one exchange to (QI, sensitive)-cell counts, after
+    * which everything is cell-cardinality-sized — group totals via a
+    * QI-partitioned window on the cells (no new exchange past the
+    * hash partition), the global distribution and grand total as
+    * broadcast joins of sensitive-cardinality / 1-row aggregates.
+    * Values absent from a group contribute their full global share,
+    * folded in closed form: tvd = (sum |p_g - p| + 1 - sum p) / 2
+    * over the PRESENT cells only — no dense group x value expansion.
+    */
+  def tClosenessReport(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    val qiCols = qi(quasiCols)
+    val cells = df
+      .groupBy(qiCols :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val globalDist = cells.groupBy(col("__s"))
+      .agg(sum(col("__nc")).as("__ns"))
+    val total = cells.agg(sum(col("__nc")).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val perGroup = cells
+      .join(broadcast(globalDist.withColumnRenamed("__s", "__s2")),
+        col("__s") <=> col("__s2"))
+      .crossJoin(broadcast(total))
+      .withColumn("__ng", sum(col("__nc")).over(w))
+      .groupBy(qiCols :+ col("__ng"): _*)
+      .agg(
+        (
+          (sum(abs(col("__nc") * lit(1.0) / col("__ng") -
+            col("__ns") * lit(1.0) / col("__n"))) +
+            lit(1.0) -
+            sum(col("__ns") * lit(1.0) / col("__n"))) / lit(2.0)
+        ).as("__tvd"))
+      .withColumn("__tvd_r", round(col("__tvd"), 6) + lit(0.0))
+    perGroup.agg(
+      coalesce(sum(col("__ng")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      coalesce(round(max(col("__tvd")), 6) + lit(0.0), lit(0.0))
+        .as("max_tvd"),
+      coalesce(sum(when(col("__tvd_r") > t, 1L).otherwise(0L)), lit(0L))
+        .as("n_violating_groups"),
+      coalesce(sum(when(col("__tvd_r") > t, col("__ng")).otherwise(0L)),
+        lit(0L)).as("n_rows_at_risk"))
+      .withColumn("t_close", col("n_violating_groups") === 0)
+  }
+
   /** One-row (distinct) l-diversity report over a sensitive column:
     * n_groups, min_distinct_sensitive, n_violating_groups (groups
     * covering < l distinct sensitive values), n_rows_at_risk, and

@@ -1122,6 +1122,23 @@ object PyBridge {
     graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
       sensitiveCol, l)
 
+  /** Benford leading-digit conformance profile (9 digit rows). */
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    graft.ops.Diagnostics.benford(df, valueCol)
+
+  /** Functional-dependency screen over candidate column pairs. */
+  def functionalDependencies(df: DataFrame,
+      determinants: ju.List[String],
+      dependents: ju.List[String]): DataFrame =
+    graft.ops.Diagnostics.functionalDependencies(df,
+      determinants.asScala.toSeq.zip(dependents.asScala.toSeq))
+
+  /** One-row t-closeness report (categorical TVD per QI group). */
+  def tClosenessReport(df: DataFrame, quasiCols: ju.List[String],
+      sensitiveCol: String, t: Double): DataFrame =
+    graft.ops.Privacy.tClosenessReport(df, quasiCols.asScala.toSeq,
+      sensitiveCol, t)
+
   /** Hour-of-week seasonality profile (168-cell traffic shape). */
   def seasonality(df: DataFrame, tsCol: String): DataFrame =
     graft.ops.EventStats.seasonality(df, tsCol)

@@ -187,6 +187,27 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       graft.ops.Privacy.lDiversityReport(orders,
         Seq("o_orderstatus", "o_custkey"), "o_orderpriority", 2L)
         .collect().toSeq
+    PyBridge.tClosenessReport(orders, qi, "o_orderpriority", 0.2)
+      .collect().toSeq shouldBe
+      graft.ops.Privacy.tClosenessReport(orders,
+        Seq("o_orderstatus", "o_custkey"), "o_orderpriority", 0.2)
+        .collect().toSeq
+  }
+
+  test("bridge quality screens (benford, functional deps) equal the " +
+    "Scala calls") {
+    import scala.jdk.CollectionConverters._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    PyBridge.benford(orders, "o_totalprice").collect().toSeq shouldBe
+      graft.ops.Diagnostics.benford(orders, "o_totalprice")
+        .collect().toSeq
+    PyBridge.functionalDependencies(orders,
+      List("o_orderkey", "o_custkey").asJava,
+      List("o_custkey", "o_orderpriority").asJava)
+      .collect().toSeq shouldBe
+      graft.ops.Diagnostics.functionalDependencies(orders,
+        Seq("o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority")).collect().toSeq
   }
 
   test("bridge audio fingerprint + near-dups equal the Scala calls") {

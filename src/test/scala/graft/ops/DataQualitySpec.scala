@@ -79,6 +79,67 @@ class DataQualitySpec extends AnyFunSuite with Matchers
       .collect().head.getLong(4) shouldBe 1L
   }
 
+  test("benford: hand-computed digit profile; sub-1 and null values " +
+    "excluded; zero-count digits present") {
+    import spark.implicits._
+    // digits: 1 (from 1.5, 123, 19), 2 (from 250), 9 (from 9000);
+    // 0.5 (sub-1) and null are excluded -> N = 5
+    val df = Seq(Some(1.5), Some(123.0), Some(19.0), Some(250.0),
+      Some(9000.0), Some(0.5), Option.empty[Double]).toDF("x")
+    val rows = Diagnostics.benford(df, "x").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.keySet shouldBe (1L to 9L).toSet
+    rows(1L).getLong(1) shouldBe 3L
+    rows(2L).getLong(1) shouldBe 1L
+    rows(9L).getLong(1) shouldBe 1L
+    rows(3L).getLong(1) shouldBe 0L
+    rows(1L).getDouble(2) shouldBe 0.6 +- 1e-9          // share 3/5
+    rows(1L).getDouble(3) shouldBe 0.30103 +- 1e-6      // log10(2)
+    // chi2 replays: sum over digits of (n - N*e)^2 / (N*e)
+    val exp = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10))
+    val n = Map(1 -> 3.0, 2 -> 1.0, 9 -> 1.0).withDefaultValue(0.0)
+    val chi2 = (1 to 9).map { d =>
+      val e = 5.0 * exp(d - 1); (n(d) - e) * (n(d) - e) / e
+    }.sum
+    rows(5L).getDouble(4) shouldBe
+      (math.floor(chi2 * 1e6 + 0.5) / 1e6) +- 2e-6
+  }
+
+  test("benford: empty input still yields the 9-digit frame") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("x")
+    val rows = Diagnostics.benford(empty, "x").collect()
+    rows.length shouldBe 9
+    rows.map(_.getLong(1)).sum shouldBe 0L
+  }
+
+  test("functionalDependencies: holds vs violated, NULL dependent is " +
+    "a distinct value") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some("a")), (1, Some("a")),        // k=1 -> {a} fine
+      (2, Some("a")), (2, Some("b")),        // k=2 -> {a,b} violates
+      (3, Option.empty[String]), (3, Some("a")), // {NULL,a} violates
+      (4, Option.empty[String])              // {NULL} alone fine
+    ).toDF("k", "v")
+    val r = Diagnostics.functionalDependencies(df, Seq("k" -> "v"))
+      .collect().head
+    r.getString(0) shouldBe "k"
+    r.getString(1) shouldBe "v"
+    r.getLong(2) shouldBe 4L  // groups
+    r.getLong(3) shouldBe 2L  // k=2 and k=3
+    r.getLong(4) shouldBe 4L  // their rows
+    r.getBoolean(5) shouldBe false
+    // a real dependency over the same frame
+    val ok = Diagnostics.functionalDependencies(
+      df.withColumn("kk", col("k") * 10), Seq("k" -> "kk"))
+      .collect().head
+    ok.getBoolean(5) shouldBe true
+    // multiple pairs -> one row each, in order
+    Diagnostics.functionalDependencies(df,
+      Seq("k" -> "v", "v" -> "k")).collect().length shouldBe 2
+  }
+
   test("empty inputs produce clean zero reports") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")

@@ -60,6 +60,46 @@ class PrivacySpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r2.getBoolean(4) shouldBe false
   }
 
+  test("t-closeness: hand-computed TVD per group; absent values " +
+    "contribute their global share") {
+    // global: flu 4/6, cold 1/6, cancer 1/6
+    // 10a {flu 2/3, cold 1/3}: (0 + 1/6 + absent cancer 1/6)/2 = 1/6
+    // 10b {flu 1}:             (1/3 + absent 1/3)/2          = 1/3
+    // 10c {cancer 1}:          (5/6 + absent 5/6)/2          = 5/6
+    val r = Privacy.tClosenessReport(fixture, Seq("zip", "age"),
+      "disease", t = 0.3).collect().head
+    r.getLong(0) shouldBe 6L           // n_rows
+    r.getLong(1) shouldBe 3L           // n_groups
+    r.getDouble(2) shouldBe 0.833333 +- 1e-9  // max_tvd = 5/6
+    r.getLong(3) shouldBe 2L           // 10b (1/3) and 10c (5/6) > 0.3
+    r.getLong(4) shouldBe 3L           // 2 + 1 rows at risk
+    r.getBoolean(5) shouldBe false
+    Privacy.tClosenessReport(fixture, Seq("zip", "age"), "disease",
+      t = 0.9).collect().head.getBoolean(5) shouldBe true
+  }
+
+  test("t-closeness: NULL sensitive values are a real category") {
+    val withNull = fixture.unionAll(
+      Seq(("10d", 60, null.asInstanceOf[String]),
+        ("10d", 60, null.asInstanceOf[String]))
+        .toDF("zip", "age", "disease"))
+    // global over 8 rows: flu 1/2, cold 1/8, cancer 1/8, NULL 1/4
+    // 10d {NULL 1}: (|1 - 1/4| + (1 - 1/4))/2 = 3/4
+    val per = Privacy.tClosenessReport(withNull, Seq("zip", "age"),
+      "disease", t = 0.7).collect().head
+    per.getLong(1) shouldBe 4L
+    // violators at t=0.7: 10c (tvd (7/8+7/8)/2=7/8) and 10d (3/4)
+    per.getLong(3) shouldBe 2L
+  }
+
+  test("t-closeness: empty input is vacuously close") {
+    val r = Privacy.tClosenessReport(fixture.filter(lit(false)),
+      Seq("zip"), "disease", t = 0.2).collect().head
+    r.getLong(0) shouldBe 0L
+    r.getDouble(2) shouldBe 0.0
+    r.getBoolean(5) shouldBe true
+  }
+
   test("NULL quasi-identifier combinations form real groups") {
     val df = Seq((Some("10a"), 1), (None, 2), (None, 3))
       .map { case (z, i) => (z.orNull, i) }.toDF("zip", "v")
