@@ -1467,6 +1467,18 @@ def l_diversity_report(df: DataFrame, quasi_cols: List[str],
         df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
 
 
+def embedding_outliers(df: DataFrame, id_col: str, emb_col: str,
+                       top_k: int) -> DataFrame:
+    """Out-of-distribution vector screen: per row, the
+    diagonal-Mahalanobis energy sum_d ((x_d - mean_d) / sd_d)^2 against
+    the corpus's own per-dimension moments (near-constant dimensions
+    contribute 0); top ``top_k`` (rounded score desc, then id). One
+    dim-length aggregate + a broadcast, row-local scoring, TakeOrdered
+    cut. Output: id, score."""
+    return _to_py_df(_jvm_bridge(df).embeddingOutliers(
+        df._jdf, id_col, emb_col, int(top_k)), df)
+
+
 def benford(df: DataFrame, value_col: str) -> DataFrame:
     """Benford's-law conformance screen: one row per leading digit 1-9
     (zero-count digits included) with n, observed share, the Benford

@@ -1105,6 +1105,11 @@ def test_round13_quality_screens():
     assert set(ben) == set(range(1, 10))
     assert abs(sum(r["share"] for r in ben.values()) - 1.0) < 1e-4
     assert ben[1]["expected"] == 0.30103
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = ops.embedding_outliers(embs, "vec_id", "embedding", 10).collect()
+    assert len(out) == 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True) and scores[-1] >= 0.0
     fd = {(r["determinant"], r["dependent"]): r
           for r in ops.functional_dependencies(
               orders, [("o_orderkey", "o_custkey"),

@@ -2727,6 +2727,13 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q213_embedding_outliers" -> ((s, dir) => {
+      // out-of-distribution vector screen: diagonal-Mahalanobis energy
+      // against the corpus's own per-dim moments, top 20
+      ops.Similarity.embeddingOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", topK = 20)
+    }),
+
     "q211_benford" -> ((s, dir) => {
       // numeric-quality screen: leading-digit distribution of order
       // totals vs the Benford expectation (TPC-H's uniform prices
@@ -5745,6 +5752,23 @@ object SparkEntry {
         |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0) = 0
         |    AS l_diverse
         |FROM g""".stripMargin,
+
+    "q213_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |u AS (SELECT vec_id, unnest(e) AS x,
+        |    unnest(range(len(e))) AS i FROM e),
+        |st AS (SELECT i, sum(x) AS s, sum(x * x) AS s2,
+        |    count(*)::DOUBLE AS n FROM u GROUP BY i),
+        |d AS (SELECT i, s / n AS m,
+        |    s2 / n - (s / n) * (s / n) AS v FROM st),
+        |sc AS (SELECT u.vec_id,
+        |    round(sum(CASE WHEN d.v > 1e-12
+        |      THEN (u.x - d.m) * (u.x - d.m) / d.v
+        |      ELSE 0.0 END), 6) + 0.0 AS score
+        |  FROM u JOIN d ON u.i = d.i GROUP BY u.vec_id)
+        |SELECT vec_id, score FROM sc
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
 
     "q211_benford" ->
       """WITH v AS (SELECT o_totalprice::DOUBLE AS x FROM orders

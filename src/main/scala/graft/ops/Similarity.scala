@@ -127,6 +127,49 @@ object Similarity {
   def dim(df: DataFrame, embCol: String): Int =
     df.select(size(col(embCol))).first().getInt(0)
 
+  /** Per-dimension standardized outlier screen: each vector's score is
+    * the diagonal-Mahalanobis energy sum_d ((x_d - mu_d) / sigma_d)^2
+    * against the corpus's own per-dimension mean/variance (population;
+    * near-constant dimensions, variance <= 1e-12, contribute 0 instead
+    * of exploding). Top `topK` scores surface mislabeled, corrupt, or
+    * out-of-distribution vectors BEFORE they poison contrastive
+    * training — the embedding-space twin of [[Stats]]' IQR outliers.
+    * Deterministic cut: 6-dp-rounded score desc, then id.
+    *
+    * Scale shape: ONE map-side-combined aggregate reduces the corpus
+    * to two dim-length buffers + a count (rows never shuffle); scoring
+    * is a row-local zip against the broadcast 1-row stats; the top-k
+    * is a TakeOrdered (each partition contributes <= topK rows, no
+    * global sort). Full covariance needs d^2 state — for correlated
+    * dims at modest d, [[Pca]]'s whitening then THIS screen on the
+    * whitened vectors is the exact route.
+    */
+  def embeddingOutliers(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val e = col(embCol).cast("array<double>")
+    val stats = df.filter(col(embCol).isNotNull).agg(
+      graft.functions.vec_sum(e).as("__s"),
+      graft.functions.vec_sum(transform(e, x => x * x)).as("__s2"),
+      count(lit(1)).cast("double").as("__n"))
+    val m = transform(col("__s"), s => s / col("__n"))
+    val v = zip_with(col("__s2"), col("__s"), (s2, s1) =>
+      s2 / col("__n") - (s1 / col("__n")) * (s1 / col("__n")))
+    val contrib = zip_with(
+      zip_with(e, m, (x, mu) => x - mu), v,
+      (d0, vv) => when(vv > 1e-12, d0 * d0 / vv).otherwise(lit(0.0)))
+    df.filter(col(embCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (round(aggregate(contrib, lit(0.0), (acc, x) => acc + x), 6) +
+          lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Deterministic random hyperplanes (fixed seed — reproducible runs). */
   def randomPlanes(nPlanes: Int, dims: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

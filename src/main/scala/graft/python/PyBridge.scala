@@ -1122,6 +1122,11 @@ object PyBridge {
     graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
       sensitiveCol, l)
 
+  /** Diagonal-Mahalanobis embedding outlier screen (top-k scores). */
+  def embeddingOutliers(df: DataFrame, idCol: String, embCol: String,
+      topK: Int): DataFrame =
+    graft.ops.Similarity.embeddingOutliers(df, idCol, embCol, topK)
+
   /** Benford leading-digit conformance profile (9 digit rows). */
   def benford(df: DataFrame, valueCol: String): DataFrame =
     graft.ops.Diagnostics.benford(df, valueCol)

@@ -201,6 +201,11 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     PyBridge.benford(orders, "o_totalprice").collect().toSeq shouldBe
       graft.ops.Diagnostics.benford(orders, "o_totalprice")
         .collect().toSeq
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    PyBridge.embeddingOutliers(embs, "vec_id", "embedding", 5)
+      .collect().toSeq shouldBe
+      graft.ops.Similarity.embeddingOutliers(embs, "vec_id",
+        "embedding", 5).collect().toSeq
     PyBridge.functionalDependencies(orders,
       List("o_orderkey", "o_custkey").asJava,
       List("o_custkey", "o_orderpriority").asJava)

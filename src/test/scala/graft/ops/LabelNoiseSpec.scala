@@ -74,6 +74,47 @@ class LabelNoiseSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     routed.size shouldBe 20
   }
 
+  test("embeddingOutliers: planted outlier tops the list; constant " +
+    "dims contribute zero; null vectors drop") {
+    import spark.implicits._
+    // dim stats over 5 rows: mean 2.4, pop-var 14.64 (both dims)
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.embeddingOutliers(df, "vec_id", "embedding", 2)
+      .collect()
+    top.head.getLong(0) shouldBe 4L
+    // (10 - 2.4)^2 / 14.64 per dim, twice
+    top.head.getDouble(1) shouldBe (2 * 7.6 * 7.6 / 14.64) +- 1e-5
+    top.length shouldBe 2
+
+    // a constant third dimension changes nothing (var 0 -> contrib 0)
+    val padded = df.withColumn("embedding",
+      concat(col("embedding"), array(lit(5f))))
+    Similarity.embeddingOutliers(padded, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      top.map(r => (r.getLong(0), r.getDouble(1)))
+
+    // null embeddings are excluded from stats and scoring
+    val withNull = df.unionAll(Seq((9L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    Similarity.embeddingOutliers(withNull, "vec_id", "embedding", 5)
+      .collect().map(_.getLong(0)) should not contain 9L
+  }
+
+  test("embeddingOutliers plan: TakeOrdered cut, no row-shuffling " +
+    "sort") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i =>
+      (i, Array(i.toFloat, (i * 7 % 13).toFloat))).toDF("vec_id", "embedding")
+    val q = Similarity.embeddingOutliers(df, "vec_id", "embedding", 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include ("TakeOrderedAndProject")
+  }
+
   test("majority tie breaks to the smallest label deterministically") {
     import spark.implicits._
     // query 0 has 4 neighbors: two labeled 5, two labeled 2 -> majority 2
