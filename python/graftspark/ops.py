@@ -612,6 +612,26 @@ def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
         int(max_bucket_size)), df)
 
 
+def image_phashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """pHash64 DCT perceptual hashes of a PPM image blob column
+    (32x32 gray, orthonormal 2D DCT-II, low 8x8 block thresholded at
+    the non-DC median; partition-local decode). Output: id, phash."""
+    return _to_py_df(_jvm_bridge(df).imagePHashes(
+        df._jdf, id_col, blob_col), df)
+
+
+def phash_near_dups(df: DataFrame, id_col: str, blob_col: str,
+                    max_hamming: int = 3,
+                    max_bucket_size: int = 10000) -> DataFrame:
+    """Near-duplicate image pairs by DCT perceptual-hash (pHash)
+    Hamming distance — the recompression-robust twin of
+    ``image_hash_near_dups`` with the same banded scale shape.
+    Output: id_a, id_b, hamming with id_a < id_b."""
+    return _to_py_df(_jvm_bridge(df).pHashNearDups(
+        df._jdf, id_col, blob_col, int(max_hamming),
+        int(max_bucket_size)), df)
+
+
 def wav_window_stats(df: DataFrame, id_col: str, blob_col: str,
                      window_frames: int) -> DataFrame:
     """Windowed audio stats of a PCM16 WAV blob column: per-window RMS,

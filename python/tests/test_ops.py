@@ -483,6 +483,12 @@ def test_round12_mixture_media_novelty():
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in ops.image_hash_near_dups(bdf, "id", "blob").collect()}
     assert pairs.get((3, 100)) == 0, pairs
+    ph = ops.image_phashes(bdf, "id", "blob")
+    assert ph.columns == ["id", "phash"] and ph.count() == 11
+    ppairs = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in ops.phash_near_dups(bdf, "id", "blob",
+                                           max_hamming=0).collect()}
+    assert ppairs.get((3, 100)) == 0, ppairs
 
     # windowed audio stats of a square wave
     sq = [900 if i % 4 < 2 else -900 for i in range(100)]

@@ -2727,6 +2727,29 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q214_phash_dups" -> ((s, dir) => {
+      // HASH-CHECKED invariant for the DCT perceptual hash: an exact
+      // image copy has the identical pHash, so every band collides and
+      // the banded join must recover the planted pair at Hamming 0.
+      // Copies of the doc_id<60 synthetic PPMs plant at +100000; the
+      // oracle replays the planting rule (q126 pattern). Perturbation
+      // robustness (brightness/contrast invariants) is spec-pinned in
+      // MediaSpec where SQL cannot follow the DCT.
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      val planted = blobs.select((col("doc_id") + 100000).as("doc_id"),
+        col("blob"))
+      graft.ops.Media.pHashNearDups(blobs.unionAll(planted),
+        "doc_id", "blob", maxHamming = 0)
+        .filter(col("id_b") === col("id_a") + 100000 &&
+          col("id_a") < 60)
+        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"),
+          col("hamming"))
+    }),
+
     "q213_embedding_outliers" -> ((s, dir) => {
       // out-of-distribution vector screen: diagonal-Mahalanobis energy
       // against the corpus's own per-dim moments, top 20
@@ -5752,6 +5775,10 @@ object SparkEntry {
         |  coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0) = 0
         |    AS l_diverse
         |FROM g""".stripMargin,
+
+    "q214_phash_dups" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id, 0 AS hamming
+        |FROM documents WHERE doc_id < 60""".stripMargin,
 
     "q213_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

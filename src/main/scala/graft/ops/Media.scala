@@ -150,7 +150,82 @@ object Media {
     hash
   }
 
+  /** 64-bit perceptual DCT hash (pHash): nearest-neighbor resize to
+    * 32x32, gray, orthonormal 2D DCT-II (separable, two 8x32 passes —
+    * only the low 8x8 block is ever computed), bit p (=v*8+u, LSB
+    * first) set iff coefficient (u,v) is strictly above the median
+    * (32nd smallest) of the 63 non-DC coefficients. Exact invariants,
+    * spec-pinned: a global brightness shift moves only the DC
+    * coefficient (AC terms of a constant are 0), so Hamming <= 1; a
+    * pure contrast scale multiplies every coefficient AND the median
+    * by the same positive factor, so the hash is identical. Survives
+    * recompression-style perturbation far better than aHash/dHash
+    * (bits live in the frequency domain, not single pixels).
+    */
+  def pHash64(img: PpmImage): Long = {
+    val g = gray3(resizeNearest(img, 32, 32))
+    val cosTab = Array.tabulate(8, 32) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+      a * math.cos((2 * x + 1) * u * math.Pi / 64)
+    }
+    val tmp = Array.ofDim[Double](32, 8)
+    var y = 0
+    while (y < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * cosTab(u)(x); x += 1 }
+        tmp(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 32) { s += tmp(yy)(u) * cosTab(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val rest = new Array[Double](63)
+    System.arraycopy(coef, 1, rest, 0, 63)
+    java.util.Arrays.sort(rest)
+    val m = rest(31)
+    var hash = 0L
+    var p = 0
+    while (p < 64) {
+      if (coef(p) > m) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+
   final case class ImageHashRecord(id: Long, ahash: Long, dhash: Long)
+
+  final case class PHashRecord(id: Long, phash: Long)
+
+  /** DCT perceptual hashes of a binary PPM column — same codec-boundary
+    * shape as [[imageHashes]]: partition-local decode, zero shuffle,
+    * 8 bytes of hash state per row.
+    */
+  def imagePHashes(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        PHashRecord(id, pHash64(decodePpm(blob)))
+      })
+      .toDF()
+  }
 
   /** Perceptual hashes (aHash + dHash) of a binary PPM column —
     * partition-local decode at the codec boundary, zero shuffle; the
@@ -196,11 +271,24 @@ object Media {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
     val hashCol = if (useDHash) "dhash" else "ahash"
-    // decode is the expensive stage and is referenced three times below
-    // (banding + both sides of the pair join) — materialize the 16-byte
-    // hash rows once, never the blobs
-    val hashes = imageHashes(df, idCol, blobCol)
-      .select(col("id"), col(hashCol).as("h"))
+    bandedHammingPairsReleasable(
+      imageHashes(df, idCol, blobCol)
+        .select(col("id"), col(hashCol).as("h")),
+      maxHamming, maxBucketSize)
+  }
+
+  /** Banded Hamming-distance pair join over an (id, 64-bit hash) frame
+    * — the shared engine behind [[imageHashNearDupsReleasable]] and
+    * [[pHashNearDupsReleasable]]: 4 x 16-bit bands (pigeonhole-exact
+    * for maxHamming <= 3), oversized-bucket drop, cross-band pair
+    * dedup, exact bit_count verify. The input is persisted here (it is
+    * referenced by the banding and both sides of the pair join — for
+    * decoded-image hashes that materializes the expensive stage once).
+    */
+  private[ops] def bandedHammingPairsReleasable(
+      hashes0: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): (DataFrame, () => Unit) = {
+    val hashes = hashes0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(col("id"),
       posexplode(array((0 until 4).map(b =>
@@ -224,6 +312,31 @@ object Media {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
     (result, () => { hashes.unpersist(blocking = false); () })
+  }
+
+  /** Near-duplicate image pairs by DCT perceptual-hash (pHash) Hamming
+    * distance — the recompression-robust twin of [[imageHashNearDups]]
+    * with the identical banded scale shape. Output: (id_a, id_b,
+    * hamming), id_a < id_b.
+    */
+  def pHashNearDups(
+      df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    pHashNearDupsReleasable(df, idCol, blobCol, maxHamming,
+      maxBucketSize)._1
+
+  /** [[pHashNearDups]] plus a release() thunk for the cached hash
+    * intermediate.
+    */
+  def pHashNearDupsReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
+    bandedHammingPairsReleasable(
+      imagePHashes(df, idCol, blobCol)
+        .select(col("id"), col("phash").as("h")),
+      maxHamming, maxBucketSize)
   }
 
   private def bandCols(h: Column): Column =

@@ -581,6 +581,16 @@ object PyBridge {
     graft.ops.Media.imageHashNearDups(df, idCol, blobCol, maxHamming,
       useDHash, maxBucketSize)
 
+  /** DCT perceptual hashes (pHash64) of a PPM image blob column. */
+  def imagePHashes(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.imagePHashes(df, idCol, blobCol)
+
+  /** Near-duplicate image pairs by banded pHash Hamming distance. */
+  def pHashNearDups(df: DataFrame, idCol: String, blobCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame =
+    graft.ops.Media.pHashNearDups(df, idCol, blobCol, maxHamming,
+      maxBucketSize)
+
   /** Windowed RMS / per-channel zero-crossing / peak stats of a PCM16
     * WAV blob column.
     */

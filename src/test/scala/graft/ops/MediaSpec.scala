@@ -105,6 +105,48 @@ class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
       "fefefefefefefefe", 16))
   }
 
+  test("phash: contrast scale is identity, brightness shift flips at " +
+    "most the DC bit, copies collide, distinct images differ") {
+    def mkImg(f: (Int, Int) => Int): Media.PpmImage = {
+      val px = new Array[Byte](40 * 36 * 3)
+      for (y <- 0 until 36; x <- 0 until 40; c <- 0 until 3)
+        px((y * 40 + x) * 3 + c) = f(x, y).toByte
+      Media.PpmImage(40, 36, px)
+    }
+    val base = mkImg((x, y) => (x * 2 + y + (x * y) % 7) % 100)
+    // exact copy -> identical hash (drives the q214 oracle)
+    assert(Media.pHash64(base) === Media.pHash64(
+      Media.PpmImage(base.width, base.height, base.pixels.clone())))
+    // pure contrast scale (x2, values < 100 so no byte wrap): every
+    // DCT coefficient AND the median double -> identical hash
+    val contrast = Media.PpmImage(40, 36,
+      base.pixels.map(b => ((b & 0xff) * 2).toByte))
+    assert(Media.pHash64(contrast) === Media.pHash64(base))
+    // uniform brightness shift: only the DC coefficient moves (the
+    // AC transform of a constant is 0), so Hamming <= 1
+    val brighter = Media.PpmImage(40, 36,
+      base.pixels.map(b => ((b & 0xff) + 50).toByte))
+    assert(java.lang.Long.bitCount(
+      Media.pHash64(brighter) ^ Media.pHash64(base)) <= 1)
+    // a structurally different image lands far away
+    val other = mkImg((x, y) => (97 * x * x + 31 * y + 13) % 100)
+    assert(java.lang.Long.bitCount(
+      Media.pHash64(other) ^ Media.pHash64(base)) > 8)
+  }
+
+  test("phash: banded join recovers planted exact copies at Hamming 0") {
+    import spark.implicits._
+    val blobs = (0L until 30L).map(i =>
+      (i, Media.synthesizePpm(i))) ++ (0L until 30L).map(i =>
+      (i + 1000L, Media.synthesizePpm(i)))
+    val df = blobs.toDF("doc_id", "blob")
+    val pairs = Media.pHashNearDups(df, "doc_id", "blob", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000L }
+    planted.length shouldBe 30
+    all(planted.map(_._3)) shouldBe 0
+  }
+
   test("image hash: banded Hamming join recovers planted near-identical " +
     "and exact copies") {
     import spark.implicits._
