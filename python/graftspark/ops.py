@@ -240,6 +240,17 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
         df._jdf, id_col, text_col, float(lam), int(min_count)), df)
 
 
+def trigram_perplexity(df: DataFrame, id_col: str, text_col: str,
+                       alpha: float = 0.4, min_count: int = 1) -> DataFrame:
+    """Stupid-backoff trigram-LM perplexity (Brants et al.): trigram
+    conditional if the count survives ``min_count``, else
+    alpha x bigram, else alpha^2 x unigram. ``min_count`` >= 2 is both
+    the regime where backoff fires and the scale bound on the trigram
+    table. Output: id, n_trigrams, perplexity."""
+    return _to_py_df(_jvm_bridge(df).trigramPerplexity(
+        df._jdf, id_col, text_col, float(alpha), int(min_count)), df)
+
+
 def weighted_sample(df: DataFrame, id_col: str,
                     weight_col: str) -> DataFrame:
     """Deterministic weighted Bernoulli sample: each row survives with

@@ -215,6 +215,9 @@ def test_round5_curation_ops():
     # perplexity: every doc scored, positive
     ppl = ops.bigram_perplexity(docs, "doc_id", "text")
     assert ppl.filter(F.col("perplexity") <= 0).count() == 0
+    tri = ops.trigram_perplexity(docs, "doc_id", "text", min_count=2)
+    assert tri.filter(F.col("perplexity") <= 0).count() == 0
+    assert {"id", "n_trigrams", "perplexity"} <= set(tri.columns)
 
     # duplicated spans: a planted shared tail is found
     tailed = docs.select(

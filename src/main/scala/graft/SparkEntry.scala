@@ -2727,6 +2727,17 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q215_trigram_perplexity" -> ((s, dir) => {
+      // stupid-backoff trigram LM at minCount=2: the floor prunes
+      // singleton tri/bigrams, so all three backoff branches score
+      // real positions (at minCount=1 every observed trigram is
+      // "seen" and the backoff never fires)
+      graft.ops.TextOps.trigramPerplexity(t(s, dir, "documents"),
+        "doc_id", "text", alpha = 0.4, minCount = 2L)
+        .select(col("id").as("doc_id"), col("n_trigrams"),
+          round(col("perplexity"), 6).as("perplexity"))
+    }),
+
     "q214_phash_dups" -> ((s, dir) => {
       // HASH-CHECKED invariant for the DCT perceptual hash: an exact
       // image copy has the identical pHash, so every band collides and
@@ -5779,6 +5790,42 @@ object SparkEntry {
     "q214_phash_dups" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0 AS hamming
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q215_trigram_perplexity" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, t AS term FROM d, unnest(d.toks) AS u(t)),
+        |bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i FROM d)),
+        |tri AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+        |    toks[i + 2] AS w3
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(1, len(toks) - 2)) AS i FROM d)),
+        |uni AS (SELECT term, count(*) AS ucnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS total FROM uni),
+        |bic AS (SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |tric AS (SELECT w1, w2, w3, count(*) AS tcnt FROM tri
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(exp(avg(-ln(CASE
+        |    WHEN tc.tcnt IS NOT NULL
+        |      THEN CAST(tc.tcnt AS DOUBLE) / b12.bcnt
+        |    WHEN b23.bcnt IS NOT NULL
+        |      THEN 0.4 * CAST(b23.bcnt AS DOUBLE) / u2.ucnt
+        |    ELSE 0.4 * 0.4 * CAST(u3.ucnt AS DOUBLE) / total
+        |    END))), 6) AS perplexity
+        |FROM tri
+        |LEFT JOIN tric tc USING (w1, w2, w3)
+        |LEFT JOIN bic b12 ON tri.w1 = b12.w1 AND tri.w2 = b12.w2
+        |LEFT JOIN bic b23 ON tri.w2 = b23.w1 AND tri.w3 = b23.w2
+        |LEFT JOIN uni u2 ON tri.w2 = u2.term
+        |LEFT JOIN uni u3 ON tri.w3 = u3.term
+        |CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q213_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -949,6 +949,91 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), exp(avg(col("nll"))).as("perplexity"))
   }
 
+  /** Trigram language-model perplexity with stupid backoff (Brants et
+    * al., "Large Language Models in Machine Translation") — the order-3
+    * member of the perplexity family ([[unigramPerplexity]],
+    * [[bigramPerplexity]]): each trigram position scores
+    *   p = c(w1 w2 w3)/c(w1 w2)            if the trigram survives the
+    *                                       count floor,
+    *     = alpha * c(w2 w3)/c(w2)          else if the bigram survives,
+    *     = alpha^2 * c(w3)/total           otherwise,
+    * and a document's perplexity is exp(mean(-ln p)) over its trigram
+    * positions (documents under 3 tokens are absent). With
+    * `minCount` = 1 every scored trigram was observed, so the backoff
+    * branches only matter at `minCount` >= 2 — the pruned-LM regime
+    * that is ALSO the scale answer: the raw trigram table is the
+    * object that explodes on a web corpus, and the floor bounds it.
+    *
+    * Scale shape: trigram positions are built ROW-LOCALLY (zip_with
+    * over the token array against its own shifted slices — no window,
+    * no per-doc shuffle for adjacency); the three count tables shuffle
+    * with map-side combine; the five scoring joins follow the
+    * [[AdaptiveVocabJoin]] strategy (no hint — AQE broadcast-converts
+    * from measured size). The floor keeps branch-1's denominator
+    * total: c(w1 w2) >= c(w1 w2 w3) >= minCount, so a surviving
+    * trigram's prefix bigram always survives too.
+    */
+  def trigramPerplexity(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4,
+      minCount: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val docs = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0).as("toks"))
+    val toks = docs.select(col("id"), explode(col("toks")).as("term"))
+    def shifted(from: Int, span: Column): Column =
+      slice(col("toks"), lit(from), span)
+    val span2 = greatest(size(col("toks")) - 1, lit(0))
+    val span3 = greatest(size(col("toks")) - 2, lit(0))
+    val bi = docs
+      .select(explode(zip_with(shifted(1, span2), shifted(2, span2),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tri = docs
+      .select(col("id"), explode(zip_with(
+        zip_with(shifted(1, span3), shifted(2, span3),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        shifted(3, span3),
+        (ab, c3) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c3.as("w3")))).as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+    val tot = uni.agg(sum(col("ucnt")).cast("double").as("total"))
+    val bic0 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+    val bic = if (minCount > 1L) bic0.filter(col("bcnt") >= minCount) else bic0
+    val tric0 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tcnt"))
+    val tric = if (minCount > 1L) tric0.filter(col("tcnt") >= minCount)
+      else tric0
+    val b12 = bic.select(col("w1"), col("w2"), col("bcnt").as("c12"))
+    val b23 = bic.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("bcnt").as("c23"))
+    val u2 = uni.select(col("term").as("w2"), col("ucnt").as("cw2"))
+    val u3 = uni.select(col("term").as("w3"), col("ucnt").as("cw3"))
+    val p = when(col("tcnt").isNotNull,
+        col("tcnt").cast("double") / col("c12"))
+      .when(col("c23").isNotNull,
+        lit(alpha) * col("c23").cast("double") / col("cw2"))
+      .otherwise(lit(alpha) * lit(alpha) *
+        col("cw3").cast("double") / col("total"))
+    tri.crossJoin(broadcast(tot))
+      .join(tric, Seq("w1", "w2", "w3"), "left")
+      .join(b12, Seq("w1", "w2"), "left")
+      .join(b23, Seq("w2", "w3"), "left")
+      .join(u2, Seq("w2"), "left")
+      .join(u3, Seq("w3"), "left")
+      .select(col("id"), (-log(p)).as("nll"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        exp(avg(col("nll"))).as("perplexity"))
+  }
+
   /** Top-n terms per document by tf-idf (raw term count x ln(N/df)).
     *
     * Scale shape: one shuffle builds (id, term) counts with map-side

@@ -279,6 +279,11 @@ object PyBridge {
       lambda: Double, minCount: Long): DataFrame =
     graft.ops.TextOps.bigramPerplexity(df, idCol, textCol, lambda, minCount)
 
+  /** Stupid-backoff trigram-LM perplexity (pruned at minCount). */
+  def trigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double, minCount: Long): DataFrame =
+    graft.ops.TextOps.trigramPerplexity(df, idCol, textCol, alpha, minCount)
+
   /** Pre-shuffle key-skew report: top-k heavy keys + corpus share. */
   def keySkew(df: DataFrame, keyCols: ju.List[String], topK: Int): DataFrame =
     graft.ops.Diagnostics.keySkew(df, keyCols.asScala.toSeq, topK)

@@ -820,6 +820,38 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r(1L) shouldBe (1.0 / math.sqrt(pab * pba) +- 1e-9)
   }
 
+  test("trigram perplexity: stupid backoff walks all three branches " +
+    "under a floor; sub-3-token docs absent") {
+    import spark.implicits._
+    // uni: a:3 b:3 c:2 d:1 x:1 y:1 (total 11); floored(>=2) bigrams:
+    // (a,b):3 (b,c):2; floored trigrams: (a,b,c):2
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val r = TextOps.trigramPerplexity(docs, "doc_id", "text",
+      alpha = 0.4, minCount = 2L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    r.keySet shouldBe Set(1L, 2L) // doc 3 has no trigram position
+    r(1L)._1 shouldBe 4L
+    r(2L)._1 shouldBe 1L
+    // doc1: (a,b,c) seen -> 2/3 (x2); (b,c,a) backs off past the
+    // floored (c,a) to alpha^2*c(a)/11; (c,a,b) backs off to the
+    // surviving (a,b): alpha*3/c(a)
+    val pSeen = 2.0 / 3
+    val pUni = 0.4 * 0.4 * 3.0 / 11
+    val pBi = 0.4 * 3.0 / 3
+    r(1L)._2 shouldBe math.exp(
+      -(2 * math.log(pSeen) + math.log(pUni) + math.log(pBi)) / 4) +- 1e-9
+    // doc2: (a,b,d) and (b,d) both floored out -> alpha^2*c(d)/11
+    r(2L)._2 shouldBe (1.0 / (0.4 * 0.4 * 1.0 / 11)) +- 1e-9
+
+    // minCount=1: every observed trigram is seen, pure branch 1
+    val r1 = TextOps.trigramPerplexity(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc2: p = c(a,b,d)/c(a,b) = 1/3
+    r1(2L) shouldBe (3.0 +- 1e-9)
+  }
+
   test("normalizeText: NFC composes, controls strip, whitespace " +
     "collapses, ends trim; idempotent; null-safe") {
     import spark.implicits._
