@@ -694,6 +694,30 @@ object Bench {
         try pairs.count() finally rel()
       }),
 
+      // stupid-backoff trigram LM at the pruned-LM floor: three n-gram
+      // count shuffles + five AQE-decided scoring joins — the heaviest
+      // member of the perplexity family
+      "trigram_perplexity" -> (() =>
+        graft.ops.TextOps.trigramPerplexity(t("documents"), "doc_id",
+          "text", minCount = 2L).count()),
+
+      // DCT perceptual-hash dedup e2e: synthesize PPMs executor-side,
+      // 32x32 gray + 2D DCT per image, banded Hamming pair join over
+      // planted exact copies — the frequency-domain image screen
+      "phash_dups" -> (() => {
+        import spark.implicits._
+        val ids = t("documents").filter(col("doc_id") < 3000)
+          .select(col("doc_id")).as[Long]
+        val blobs = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+          .toDF("doc_id", "blob")
+          .unionAll(ids.filter(col("doc_id") < 300).map(id =>
+            (id + 100000L, graft.ops.Media.synthesizePpm(id)))
+            .toDF("doc_id", "blob"))
+        val (pairs, rel) = graft.ops.Media.pHashNearDupsReleasable(
+          blobs, "doc_id", "blob", maxHamming = 0)
+        try pairs.count() finally rel()
+      }),
+
       // video ingest e2e: synthesize GVID containers executor-side
       // (partition-local, blobs never shuffle), sample every 2nd frame
       // through the byte-walk decode, and dedup-hash each sampled frame
