@@ -1498,6 +1498,29 @@ def l_diversity_report(df: DataFrame, quasi_cols: List[str],
         df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
 
 
+def semantic_contamination(train: DataFrame, eval_df: DataFrame,
+                           id_col: str, emb_col: str,
+                           threshold: float) -> DataFrame:
+    """Embedding-space decontamination: every (train, eval) pair whose
+    cosine reaches ``threshold`` (cut on the 6-dp-rounded value) —
+    catches paraphrased eval leakage that exact n-gram screens miss.
+    The eval side broadcasts; the train corpus never shuffles. Output:
+    train_id, eval_id, cosine."""
+    return _to_py_df(_jvm_bridge(train).semanticContamination(
+        train._jdf, eval_df._jdf, id_col, emb_col, float(threshold)),
+        train)
+
+
+def semantic_decontaminate(train: DataFrame, eval_df: DataFrame,
+                           id_col: str, emb_col: str,
+                           threshold: float) -> DataFrame:
+    """The train rows surviving ``semantic_contamination`` (left-anti
+    on the flagged ids; payload columns pass through)."""
+    return _to_py_df(_jvm_bridge(train).semanticDecontaminate(
+        train._jdf, eval_df._jdf, id_col, emb_col, float(threshold)),
+        train)
+
+
 def embedding_outliers(df: DataFrame, id_col: str, emb_col: str,
                        top_k: int) -> DataFrame:
     """Out-of-distribution vector screen: per row, the

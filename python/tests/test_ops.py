@@ -1115,6 +1115,14 @@ def test_round13_quality_screens():
     assert abs(sum(r["share"] for r in ben.values()) - 1.0) < 1e-4
     assert ben[1]["expected"] == 0.30103
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    ev = embs.filter("vec_id >= 480")
+    flags = ops.semantic_contamination(embs, ev, "vec_id", "embedding",
+                                       0.99).collect()
+    self_hits = {(r["train_id"], r["eval_id"]) for r in flags}
+    assert all((i, i) in self_hits for i in range(480, 500))
+    kept = ops.semantic_decontaminate(embs, ev, "vec_id", "embedding",
+                                      0.99)
+    assert kept.filter("vec_id >= 480").count() == 0
     out = ops.embedding_outliers(embs, "vec_id", "embedding", 10).collect()
     assert len(out) == 10
     scores = [r["score"] for r in out]

@@ -2727,6 +2727,17 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q216_semantic_contamination" -> ((s, dir) => {
+      // embedding-space decontamination: vectors 450+ play the eval
+      // benchmark while remaining in the train corpus, so every eval
+      // doc must flag its own train twin at cosine 1.0 (plus any true
+      // near-neighbors the n-gram screens would miss)
+      val emb = t(s, dir, "embeddings")
+      ops.Similarity.semanticContamination(emb,
+        emb.filter(col("vec_id") >= 450), "vec_id", "embedding",
+        threshold = 0.99)
+    }),
+
     "q215_trigram_perplexity" -> ((s, dir) => {
       // stupid-backoff trigram LM at minCount=2: the floor prunes
       // singleton tri/bigrams, so all three backoff branches score
@@ -5790,6 +5801,23 @@ object SparkEntry {
     "q214_phash_dups" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0 AS hamming
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q216_semantic_contamination" ->
+      """WITH tr AS (SELECT vec_id AS train_id,
+        |    embedding::DOUBLE[] AS te FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ev AS (SELECT vec_id AS eval_id,
+        |    embedding::DOUBLE[] AS ee FROM embeddings
+        |  WHERE vec_id >= 450 AND embedding IS NOT NULL),
+        |p AS (SELECT train_id, eval_id,
+        |    round(list_dot_product(te, ee) /
+        |      (sqrt(list_dot_product(te, te)) *
+        |       sqrt(list_dot_product(ee, ee))), 6) + 0.0 AS cosine
+        |  FROM tr, ev
+        |  WHERE list_dot_product(te, te) > 0
+        |    AND list_dot_product(ee, ee) > 0)
+        |SELECT train_id, eval_id, cosine FROM p
+        |WHERE cosine >= 0.99""".stripMargin,
 
     "q215_trigram_perplexity" ->
       """WITH d AS (SELECT doc_id,

@@ -176,6 +176,63 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
+  /** Cross-corpus SEMANTIC decontamination screen — the embedding-space
+    * member of the contamination family ([[Dedup.ngramContamination]],
+    * [[Dedup.bloomDecontaminate]], [[Dedup.crossCorpusNearDups]]):
+    * every (train, eval) pair whose cosine reaches `threshold`
+    * (compared on the 6-dp-rounded value so any two engines cut
+    * identically). Catches paraphrased or reformatted eval leakage
+    * that exact n-gram screens miss. Zero-norm vectors never match.
+    *
+    * Scale shape: the eval side is BROADCAST (an eval benchmark is
+    * bounded by construction); the train corpus never shuffles — the
+    * pair scan is map-only and the output is bounded by actual
+    * matches. Cost is |train| x |eval| x d row-local flops; for an
+    * eval side too large to broadcast, go through [[ivfTopK]] with a
+    * distance cut instead.
+    */
+  def semanticContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val te = col("__te"); val ee = col("__ee")
+    val cos = (round(
+      graft.functions.vec_dot(te, ee) /
+        (sqrt(graft.functions.vec_dot(te, te)) *
+          sqrt(graft.functions.vec_dot(ee, ee))), 6) + lit(0.0))
+    train
+      .select(col(idCol).as("train_id"),
+        col(embCol).cast("array<double>").as("__te"))
+      .filter(te.isNotNull)
+      .crossJoin(broadcast(eval
+        .select(col(idCol).as("eval_id"),
+          col(embCol).cast("array<double>").as("__ee"))
+        .filter(ee.isNotNull)))
+      .filter(graft.functions.vec_dot(te, te) > 0 &&
+        graft.functions.vec_dot(ee, ee) > 0)
+      .select(col("train_id"), col("eval_id"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The surviving train rows after [[semanticContamination]]: a
+    * left-anti join on the flagged train ids (payload columns pass
+    * through untouched).
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    val flagged = semanticContamination(train, eval, idCol, embCol,
+      threshold).select(col("train_id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Explode a top-k array (from [[graft.functions.topk_agg]]) back into
     * (query_id, item_id, cosine, rank) rows, item_id cast to `idType`.
     */

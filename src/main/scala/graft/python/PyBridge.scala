@@ -1137,6 +1137,18 @@ object PyBridge {
     graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
       sensitiveCol, l)
 
+  /** Cross-corpus semantic contamination pairs (eval side broadcast). */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame =
+    graft.ops.Similarity.semanticContamination(train, eval, idCol,
+      embCol, threshold)
+
+  /** Train rows surviving the semantic contamination screen. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame =
+    graft.ops.Similarity.semanticDecontaminate(train, eval, idCol,
+      embCol, threshold)
+
   /** Diagonal-Mahalanobis embedding outlier screen (top-k scores). */
   def embeddingOutliers(df: DataFrame, idCol: String, embCol: String,
       topK: Int): DataFrame =

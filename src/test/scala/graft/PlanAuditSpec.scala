@@ -399,9 +399,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     //    eval queries, and q152's knnLabelNoise probes the count and
     //    re-routes through ivfTopK above the threshold
     //    (LabelNoiseSpec pins the boundary)
+    //  - q216: semanticContamination broadcasts the EVAL side whole —
+    //    an eval benchmark is bounded by construction (Similarity
+    //    scaladoc names ivfTopK as the too-big-to-broadcast route)
     val allowed: Set[String] =
       Set("q48_dedup_clusters", "q45_embedding_top1",
-        "q109_ivfpq_recall", "q152_knn_label_noise")
+        "q109_ivfpq_recall", "q152_knn_label_noise",
+        "q216_semantic_contamination")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

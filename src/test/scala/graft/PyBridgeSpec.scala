@@ -211,6 +211,15 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .collect().toSeq shouldBe
       graft.ops.Similarity.embeddingOutliers(embs, "vec_id",
         "embedding", 5).collect().toSeq
+    val ev = embs.filter(col("vec_id") >= 490)
+    PyBridge.semanticContamination(embs, ev, "vec_id", "embedding",
+      0.99).collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Similarity.semanticContamination(embs, ev, "vec_id",
+        "embedding", 0.99).collect().map(_.toSeq).toSet
+    PyBridge.semanticDecontaminate(embs, ev, "vec_id", "embedding",
+      0.99).count() shouldBe
+      graft.ops.Similarity.semanticDecontaminate(embs, ev, "vec_id",
+        "embedding", 0.99).count()
     PyBridge.functionalDependencies(orders,
       List("o_orderkey", "o_custkey").asJava,
       List("o_custkey", "o_orderpriority").asJava)

@@ -138,4 +138,43 @@ class NgramContaminationSpec extends AnyFunSuite with Matchers
       n = 4, broadcastProbe = false)
     shuffled.collect().toSet shouldBe bc.collect().toSet
   }
+
+  test("semanticContamination: copies and scaled twins flag at cosine " +
+    "1.0, orthogonal and zero vectors never match") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(1f, 0f, 0f)),   // exact eval copy
+      (2L, Array(2f, 0f, 0f)),   // scaled twin: cosine 1.0
+      (3L, Array(0f, 1f, 0f)),   // orthogonal
+      (4L, Array(0f, 0f, 0f)),   // zero vector
+      (5L, Array(1f, 1f, 0f)))   // cosine ~0.7071
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val flagged = graft.ops.Similarity.semanticContamination(
+      train, eval, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    flagged.map(_._1).sorted.toSeq shouldBe Seq(1L, 2L)
+    all(flagged.map(_._3)) shouldBe 1.0
+    // at 0.7: the diagonal joins (rounded 0.707107 >= 0.7)
+    graft.ops.Similarity.semanticContamination(
+      train, eval, "vec_id", "embedding", threshold = 0.7)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L, 5L)
+  }
+
+  test("semanticDecontaminate drops exactly the flagged rows, payload " +
+    "intact") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(1f, 0f), "keepable a"),
+      (2L, Array(1f, 0.01f), "leaked"),
+      (3L, Array(0f, 1f), "keepable b"))
+      .toDF("vec_id", "embedding", "payload")
+    val eval = Seq((9L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = graft.ops.Similarity.semanticDecontaminate(
+      train, eval, "vec_id", "embedding", threshold = 0.99)
+    kept.columns.toSeq shouldBe Seq("vec_id", "embedding", "payload")
+    kept.select("vec_id").collect().map(_.getLong(0)).sorted
+      .toSeq shouldBe Seq(3L)
+  }
 }
