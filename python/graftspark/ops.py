@@ -643,6 +643,19 @@ def phash_near_dups(df: DataFrame, id_col: str, blob_col: str,
         int(max_bucket_size)), df)
 
 
+def video_near_dups(df: DataFrame, id_col: str, blob_col: str,
+                    every_n: int = 1, min_shared_frames: int = 2,
+                    max_bucket_size: int = 10000) -> DataFrame:
+    """Video near-duplicate pairs by shared sampled-frame perceptual
+    hashes (aHash per sampled frame, distinct per video; candidate
+    pairs generate only inside capped per-hash buckets — video bytes
+    never shuffle). Corrupt containers drop whole. Output: id_a, id_b,
+    n_shared with id_a < id_b."""
+    return _to_py_df(_jvm_bridge(df).videoNearDups(
+        df._jdf, id_col, blob_col, int(every_n),
+        int(min_shared_frames), int(max_bucket_size)), df)
+
+
 def wav_window_stats(df: DataFrame, id_col: str, blob_col: str,
                      window_frames: int) -> DataFrame:
     """Windowed audio stats of a PCM16 WAV blob column: per-window RMS,
@@ -1496,6 +1509,18 @@ def l_diversity_report(df: DataFrame, quasi_cols: List[str],
     l_diverse."""
     return _to_py_df(_jvm_bridge(df).lDiversityReport(
         df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
+
+
+def hard_negatives(df: DataFrame, id_col: str, emb_col: str,
+                   label_col: str, k: int) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` most-similar vectors with a DIFFERENT label (NULL differs
+    from every label) — same-label near-neighbors cannot crowd
+    negatives out. Labeled-seed-set regime (frame broadcasts as its
+    own query side; bound it with .limit()). Output: anchor_id,
+    negative_id, cosine, rank."""
+    return _to_py_df(_jvm_bridge(df).hardNegatives(
+        df._jdf, id_col, emb_col, label_col, int(k)), df)
 
 
 def semantic_contamination(train: DataFrame, eval_df: DataFrame,

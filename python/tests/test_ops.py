@@ -995,6 +995,19 @@ def test_round12d_tokenizer_readability_pca():
     assert f0["mean_r"] == 10.0
     assert bytes(f0["frame"]).startswith(b"P6")
 
+    # video dedup: a re-encoded copy shares every frame hash
+    dup_vids = spark2.createDataFrame(
+        [(1, bytearray(mk_gvid(2000, [mk_ppm(4, 3, 10, 20, 30),
+                                      mk_ppm(2, 2, 5, 6, 7)]))),
+         (2, bytearray(mk_gvid(9000, [mk_ppm(4, 3, 10, 20, 30),
+                                      mk_ppm(2, 2, 5, 6, 7)]))),
+         (3, bytearray(mk_gvid(2000, [mk_ppm(3, 3, 200, 0, 0)])))],
+        "id long, blob binary")
+    vd = {(r["id_a"], r["id_b"]): r["n_shared"]
+          for r in ops.video_near_dups(dup_vids, "id", "blob",
+                                       min_shared_frames=2).collect()}
+    assert vd == {(1, 2): 2}, vd
+
     # curation funnel: per-source attrition in one scan
     fr = ops.funnel_report(docs, "source", [
         ("nonempty", "n_chars > 0"),
@@ -1123,6 +1136,11 @@ def test_round13_quality_screens():
     kept = ops.semantic_decontaminate(embs, ev, "vec_id", "embedding",
                                       0.99)
     assert kept.filter("vec_id >= 480").count() == 0
+    hn = ops.hard_negatives(embs.limit(100), "vec_id", "embedding",
+                            "label", 3)
+    anchors = {r["anchor_id"] for r in hn.collect()}
+    assert len(anchors) > 0
+    assert hn.filter("rank < 1 OR rank > 3").count() == 0
     out = ops.embedding_outliers(embs, "vec_id", "embedding", 10).collect()
     assert len(out) == 10
     scores = [r["score"] for r in out]

@@ -2727,6 +2727,38 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q218_hard_negatives" -> ((s, dir) => {
+      // contrastive data prep: top-3 most-similar DIFFERENT-label
+      // vector per anchor; the limit(500) bounds the broadcast side
+      // in-plan (the labeled-seed-set contract made visible)
+      ops.Similarity.hardNegatives(
+        t(s, dir, "embeddings").limit(500), "vec_id", "embedding",
+        "label", k = 3)
+        .select(col("anchor_id"), col("negative_id"),
+          (round(col("cosine"), 6) + 0.0).as("cosine"), col("rank"))
+    }),
+
+    "q217_video_dups" -> ((s, dir) => {
+      // fourth dedup modality: planted exact video copies at +100000
+      // share every sampled-frame aHash, so the bucketed pair join
+      // must recover each planted pair (q126 pattern; the shared-frame
+      // count semantics are spec-pinned where SQL cannot hash frames)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+      val vids = ids.map(id => (id,
+        graft.ops.Media.synthesizeGvid(id, 3 + (id % 3).toInt)))
+        .toDF("doc_id", "blob")
+      val planted = ids.map(id => (id + 100000L,
+        graft.ops.Media.synthesizeGvid(id, 3 + (id % 3).toInt)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.videoNearDups(vids.unionAll(planted),
+        "doc_id", "blob", everyN = 1, minSharedFrames = 1)
+        .filter(col("id_b") === col("id_a") + 100000 &&
+          col("id_a") < 40)
+        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"))
+    }),
+
     "q216_semantic_contamination" -> ((s, dir) => {
       // embedding-space decontamination: vectors 450+ play the eval
       // benchmark while remaining in the train corpus, so every eval
@@ -5801,6 +5833,27 @@ object SparkEntry {
     "q214_phash_dups" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0 AS hamming
         |FROM documents WHERE doc_id < 60""".stripMargin,
+
+    "q217_video_dups" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q218_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |sims AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+        |    list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) *
+        |       sqrt(list_dot_product(b.emb, b.emb))) AS s
+        |  FROM e a JOIN e b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        |top AS (SELECT anchor_id, negative_id, s,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY s DESC, negative_id) AS rn
+        |  FROM sims)
+        |SELECT anchor_id, negative_id, round(s, 6) + 0.0 AS cosine,
+        |  rn::INT AS rank
+        |FROM top WHERE rn <= 3""".stripMargin,
 
     "q216_semantic_contamination" ->
       """WITH tr AS (SELECT vec_id AS train_id,

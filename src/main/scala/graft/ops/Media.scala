@@ -565,6 +565,55 @@ object Media {
       .toDF()
   }
 
+  /** Video near-duplicate pairs by shared sampled-frame perceptual
+    * hashes — the fourth modality of the dedup matrix (text MinHash,
+    * image pHash/dHash, audio fingerprint blocks): two videos pair
+    * when at least `minSharedFrames` of their sampled frames hash
+    * identically (aHash — re-encoded copies and brightness variants
+    * still collide). Frame hashes are DISTINCT per video row-locally,
+    * so a still video (one frame repeated) counts once.
+    *
+    * Scale shape: decode + hash is ONE partition-local pass over the
+    * container (video bytes never shuffle — 8-byte hash rows do);
+    * candidate pairs generate only inside per-hash buckets with an
+    * oversized-bucket cap (a black-frame hash shared by half the
+    * corpus is dropped, like the LSH mega-bucket rule), never
+    * all-pairs; the shared-frame count is the bucket-collision count,
+    * no second fetch join. Corrupt containers drop whole.
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def videoNearDups(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int = 1, minSharedFrames: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          gvidFrames(blob).collect {
+            case (i, ppm) if i % everyN == 0 =>
+              (id, aHash64(decodePpm(ppm)))
+          }.distinct.toVector
+        } catch {
+          case _: IllegalArgumentException => Vector.empty
+        }
+      })
+      .toDF("id", "h")
+    hashes.groupBy(col("h"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(graft.functions.pair_generator(col("ids"))
+        .as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
   def meanRgb(img: PpmImage): (Double, Double, Double) = {
     var r = 0L; var g = 0L; var b = 0L

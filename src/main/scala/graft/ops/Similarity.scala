@@ -279,6 +279,52 @@ object Similarity {
     explodeTopK(grouped, idType)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label
+    * (null-safe mismatch — a NULL label differs from every non-NULL) —
+    * the pairs that teach a metric model the most, vs
+    * [[Sampling.negativeSample]]'s uniform negatives. Ranking happens
+    * per anchor among mismatched candidates only, so same-label
+    * near-neighbors cannot crowd negatives out of the top-k.
+    * Output: (anchor_id, negative_id, cosine, rank).
+    *
+    * Scale shape: the labeled-set regime of [[bruteForceTopK]] — the
+    * frame broadcasts as its own query side (a labeled contrastive
+    * seed set is small by construction; bound it visibly with
+    * `.limit(n)` so the plan proves it), the corpus side never
+    * shuffles scored rows (the bounded top-k aggregate reduces each
+    * partition to k entries per anchor before the exchange). For a
+    * corpus-scale anchor set, go through [[ivfTopK]] with a
+    * post-filter and an over-fetched k instead.
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idType = df.schema(idCol).dataType
+    val c = df.select(col(idCol).as("item_id"),
+      col(embCol).as("item_emb"), col(labelCol).as("__il"),
+      norm(col(embCol)).as("__in"))
+    val q = df.select(col(idCol).as("query_id"),
+      col(embCol).as("query_emb"), col(labelCol).as("__ql"),
+      norm(col(embCol)).as("__qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id") &&
+        !(col("__il") <=> col("__ql")))
+      .select(col("query_id"), col("item_id"),
+        when(col("__qn") > 0 && col("__in") > 0,
+          dot(col("query_emb"), col("item_emb")) /
+            (col("__qn") * col("__in"))).otherwise(0.0).as("cosine"))
+    val grouped = scored.groupBy(col("query_id"))
+      .agg(topk_agg(col("cosine"), col("item_id"), k).as("topk"))
+    explodeTopK(grouped, idType)
+      .select(col("query_id").as("anchor_id"),
+        col("item_id").as("negative_id"), col("cosine"), col("rank"))
+  }
+
   /** Nearest-centroid assignment strategy: small codebooks embed in the
     * expression (no broadcast round-trip); above the threshold the table
     * ships as a torrent broadcast once per executor instead of riding

@@ -596,6 +596,12 @@ object PyBridge {
     graft.ops.Media.pHashNearDups(df, idCol, blobCol, maxHamming,
       maxBucketSize)
 
+  /** Video near-duplicate pairs by shared sampled-frame hashes. */
+  def videoNearDups(df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int, minSharedFrames: Int, maxBucketSize: Int): DataFrame =
+    graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
+      minSharedFrames, maxBucketSize)
+
   /** Windowed RMS / per-channel zero-crossing / peak stats of a PCM16
     * WAV blob column.
     */
@@ -1136,6 +1142,11 @@ object PyBridge {
       sensitiveCol: String, l: Long): DataFrame =
     graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
       sensitiveCol, l)
+
+  /** Hard-negative mining: top-k different-label vectors per anchor. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int): DataFrame =
+    graft.ops.Similarity.hardNegatives(df, idCol, embCol, labelCol, k)
 
   /** Cross-corpus semantic contamination pairs (eval side broadcast). */
   def semanticContamination(train: DataFrame, eval: DataFrame,

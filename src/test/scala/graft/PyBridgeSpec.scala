@@ -118,6 +118,14 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val ppairs = PyBridge.pHashNearDups(df, "id", "blob", 0, 10000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     ppairs((7L, 500L)) shouldBe 0
+    val vids = Seq(
+      (1L, graft.ops.Media.synthesizeGvid(1L, 3)),
+      (2L, graft.ops.Media.synthesizeGvid(1L, 3)),
+      (3L, graft.ops.Media.synthesizeGvid(9L, 4))).toDF("id", "blob")
+    PyBridge.videoNearDups(vids, "id", "blob", 1, 1, 10000)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Media.videoNearDups(vids, "id", "blob", 1, 1, 10000)
+        .collect().map(_.toSeq).toSet
   }
 
   test("bridge wavWindowStats equals the Scala call") {
@@ -220,6 +228,10 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       0.99).count() shouldBe
       graft.ops.Similarity.semanticDecontaminate(embs, ev, "vec_id",
         "embedding", 0.99).count()
+    PyBridge.hardNegatives(embs.limit(50), "vec_id", "embedding",
+      "label", 2).collect().map(_.toSeq).toSet shouldBe
+      graft.ops.Similarity.hardNegatives(embs.limit(50), "vec_id",
+        "embedding", "label", 2).collect().map(_.toSeq).toSet
     PyBridge.functionalDependencies(orders,
       List("o_orderkey", "o_custkey").asJava,
       List("o_custkey", "o_orderpriority").asJava)

@@ -74,6 +74,41 @@ class LabelNoiseSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     routed.size shouldBe 20
   }
 
+  test("hardNegatives: ranks only different-label vectors; NULL label " +
+    "differs from every label") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f), "A"),
+      (2L, Array(0.9f, 0.1f), "A"),   // same label: never a negative
+      (3L, Array(0.8f, 0.2f), "B"),
+      (4L, Array(0f, 1f), "B"),
+      (5L, Array(-1f, 0f), "C"))
+      .toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(df, "vec_id", "embedding",
+      "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    // anchor 1: nearest mismatched are 3 (cos ~0.970) then 4 (0);
+    // the same-label 2 (cos ~0.994) must NOT crowd them out
+    negs((1L, 1)) shouldBe 3L
+    negs((1L, 2)) shouldBe 4L
+    // anchor 5 (label C): everything mismatches; 4 is its best
+    // (cos 0) ahead of 1/3 (negative cosines, ties by id)
+    negs((5L, 1)) shouldBe 4L
+
+    val withNull = df.unionAll(Seq(
+      (6L, Array(1f, 0.01f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "label"))
+    val n2 = Similarity.hardNegatives(withNull, "vec_id", "embedding",
+      "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    // the NULL-labeled 6 outranks 3 for anchor 1 (cos ~0.99995)
+    n2((1L, 1)) shouldBe 6L
+    // and anchor 6 sees every row as a candidate: its top is 1
+    n2((6L, 1)) shouldBe 1L
+  }
+
   test("embeddingOutliers: planted outlier tops the list; constant " +
     "dims contribute zero; null vectors drop") {
     import spark.implicits._

@@ -134,6 +134,36 @@ class MediaSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
       Media.pHash64(other) ^ Media.pHash64(base)) > 8)
   }
 
+  test("videoNearDups: shared-frame counting, per-video distinct " +
+    "rule, corrupt containers drop whole") {
+    import spark.implicits._
+    // three distinct frames A,B,C (visually different synth images)
+    val fa = Media.synthesizePpm(1L)
+    val fb = Media.synthesizePpm(2L)
+    val fc = Media.synthesizePpm(3L)
+    val v1 = Media.encodeGvid(4000, Seq(fa, fb, fc))     // A B C
+    val v2 = Media.encodeGvid(4000, Seq(fa, fb))         // A B -> 2 shared
+    val v3 = Media.encodeGvid(4000, Seq(fc, fc, fc, fc)) // still video C
+    val v4 = Media.encodeGvid(4000, Seq(fb))             // B only
+    val corrupt = "not a video".getBytes
+    val df = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4),
+      (9L, corrupt)).toDF("id", "blob")
+    val pairs = Media.videoNearDups(df, "id", "blob",
+      minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pairs shouldBe Map((1L, 2L) -> 2L) // only v1-v2 share >= 2 frames
+    // at minSharedFrames=1 the still video pairs with v1 ONCE (its
+    // repeated frame is distinct-ed per video), v4 joins via B, and
+    // the corrupt blob contributes nothing
+    val one = Media.videoNearDups(df, "id", "blob",
+      minSharedFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    one shouldBe Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 4L) -> 1L)
+  }
+
   test("phash: banded join recovers planted exact copies at Hamming 0") {
     import spark.implicits._
     val blobs = (0L until 30L).map(i =>
