@@ -995,13 +995,21 @@ def test_round12d_tokenizer_readability_pca():
     assert f0["mean_r"] == 10.0
     assert bytes(f0["frame"]).startswith(b"P6")
 
-    # video dedup: a re-encoded copy shares every frame hash
+    # video dedup: a re-encoded (different-fps) copy shares every
+    # frame hash; constant frames would all aHash alike, so the
+    # fixture frames carry distinct structure (x-, y-gradients, checks)
+    def mk_ppm_pat(f):
+        px = bytes(v for y in range(8) for x in range(8)
+                   for v in [f(x, y) % 256] * 3)
+        return b"P6\n8 8\n255\n" + px
+
+    fx = mk_ppm_pat(lambda x, y: 30 * x)
+    fy = mk_ppm_pat(lambda x, y: 30 * y)
+    fc = mk_ppm_pat(lambda x, y: 255 * ((x + y) % 2))
     dup_vids = spark2.createDataFrame(
-        [(1, bytearray(mk_gvid(2000, [mk_ppm(4, 3, 10, 20, 30),
-                                      mk_ppm(2, 2, 5, 6, 7)]))),
-         (2, bytearray(mk_gvid(9000, [mk_ppm(4, 3, 10, 20, 30),
-                                      mk_ppm(2, 2, 5, 6, 7)]))),
-         (3, bytearray(mk_gvid(2000, [mk_ppm(3, 3, 200, 0, 0)])))],
+        [(1, bytearray(mk_gvid(2000, [fx, fy]))),
+         (2, bytearray(mk_gvid(9000, [fx, fy]))),
+         (3, bytearray(mk_gvid(2000, [fc])))],
         "id long, blob binary")
     vd = {(r["id_a"], r["id_b"]): r["n_shared"]
           for r in ops.video_near_dups(dup_vids, "id", "blob",
