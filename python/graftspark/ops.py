@@ -1511,6 +1511,17 @@ def l_diversity_report(df: DataFrame, quasi_cols: List[str],
         df._jdf, list(quasi_cols), sensitive_col, int(l)), df)
 
 
+def feature_relevance(df: DataFrame, feature_cols: List[str],
+                      label_col: str) -> DataFrame:
+    """Which columns carry signal for a label: mutual information,
+    chi-squared, and Cramér's V of each candidate feature vs the label
+    (one contingency aggregate per feature; bucket high-cardinality
+    features first). Output per feature: feature, mi, chi2, cramers_v,
+    n, card_feature, card_label."""
+    return _to_py_df(_jvm_bridge(df).featureRelevance(
+        df._jdf, list(feature_cols), label_col), df)
+
+
 def hard_negatives(df: DataFrame, id_col: str, emb_col: str,
                    label_col: str, k: int) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the

@@ -1153,6 +1153,11 @@ def test_round13_quality_screens():
     assert len(out) == 10
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True) and scores[-1] >= 0.0
+    rel = {r["feature"]: r for r in ops.feature_relevance(
+        orders, ["o_orderpriority", "o_custkey"],
+        "o_orderstatus").collect()}
+    assert set(rel) == {"o_orderpriority", "o_custkey"}
+    assert all(r["n"] > 0 for r in rel.values())
     fd = {(r["determinant"], r["dependent"]): r
           for r in ops.functional_dependencies(
               orders, [("o_orderkey", "o_custkey"),

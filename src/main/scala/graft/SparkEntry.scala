@@ -2727,6 +2727,19 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q219_feature_relevance" -> ((s, dir) => {
+      // which columns predict the order status? priority (weak
+      // signal) vs custkey (near-unique key — the case the scaladoc
+      // warns about, included to exercise the cardinality columns)
+      ops.Stats.featureRelevance(t(s, dir, "orders"),
+        Seq("o_orderpriority", "o_custkey"), "o_orderstatus")
+        .select(col("feature"),
+          (round(col("mi"), 6) + 0.0).as("mi"),
+          (round(col("chi2"), 6) + 0.0).as("chi2"),
+          (round(col("cramers_v"), 6) + 0.0).as("cramers_v"),
+          col("n"), col("card_feature"), col("card_label"))
+    }),
+
     "q218_hard_negatives" -> ((s, dir) => {
       // contrastive data prep: top-3 most-similar DIFFERENT-label
       // vector per anchor; the limit(500) bounds the broadcast side
@@ -3334,7 +3347,39 @@ object SparkEntry {
     }))
 
   /** DuckDB-runnable oracle SQL per query (same result, same column names). */
+  /** One q150-shaped association block for [[oracleSql]]'s
+    * q219_feature_relevance UNION (feature vs o_orderstatus on orders).
+    */
+  private def relevanceOracleBlock(feature: String): String =
+    s"""SELECT '$feature' AS feature, round(mi, 6) + 0.0 AS mi,
+       |  round(chi2, 6) + 0.0 AS chi2,
+       |  round(CASE WHEN least(ka, kb) > 1
+       |    THEN sqrt(chi2 / (n * (least(ka, kb) - 1))) END, 6) + 0.0
+       |    AS cramers_v,
+       |  n::BIGINT AS n, ka::BIGINT AS card_feature,
+       |  kb::BIGINT AS card_label
+       |FROM (
+       |  WITH c AS (SELECT $feature AS a, o_orderstatus AS b,
+       |      count(*)::DOUBLE AS c
+       |    FROM orders
+       |    WHERE $feature IS NOT NULL AND o_orderstatus IS NOT NULL
+       |    GROUP BY 1, 2),
+       |  ra AS (SELECT a, sum(c) AS ra FROM c GROUP BY 1),
+       |  rb AS (SELECT b, sum(c) AS rb FROM c GROUP BY 1),
+       |  t AS (SELECT sum(c) AS n, count(DISTINCT a)::DOUBLE AS ka,
+       |               count(DISTINCT b)::DOUBLE AS kb FROM c),
+       |  j AS (SELECT c.c, ra.ra, rb.rb, t.n, t.ka, t.kb
+       |        FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t)
+       |  SELECT sum(c / n * ln(c * n / (ra * rb))) AS mi,
+       |    sum(pow(c - ra * rb / n, 2) / (ra * rb / n))
+       |      + any_value(n) - sum(ra * rb / n) AS chi2,
+       |    any_value(n) AS n, any_value(ka) AS ka, any_value(kb) AS kb
+       |  FROM j)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q219_feature_relevance" ->
+      Seq("o_orderpriority", "o_custkey").map(relevanceOracleBlock)
+        .mkString("\nUNION ALL\n"),
     "q01_profile_counts" ->
       """SELECT l_returnflag,
         |  count(*) AS n_rows,

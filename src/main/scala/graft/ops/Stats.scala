@@ -91,4 +91,33 @@ object Stats {
       .select(col("mi"), col("chi2"), col("cramers_v"),
         col("n"), col("card_a"), col("card_b"))
   }
+
+  /** Feature-relevance ranking: [[categoricalAssociation]] of each
+    * candidate feature column against ONE label column — the
+    * model-prep screen for "which columns carry signal" (mutual
+    * information in nats, chi-squared, Cramér's V side by side; MI
+    * and V agree on ordering only when cardinalities are comparable,
+    * which is why both ship). One row per feature; NULL on either
+    * side excludes the row pairwise, matching the per-pair oracle.
+    *
+    * Scale shape: one contingency-cell aggregate per feature (the
+    * candidate list is user-bounded), each collapsing the corpus to
+    * its |feature| x |label| observed-cell grid; unions of 1-row
+    * summaries. A high-cardinality feature's grid is the thing that
+    * grows — bucket such features first (the chi-squared of a
+    * near-unique key is meaningless anyway).
+    */
+  def featureRelevance(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    featureCols.map { f =>
+      categoricalAssociation(df, f, labelCol)
+        .select(lit(f).as("feature"), col("mi"), col("chi2"),
+          col("cramers_v"), col("n"),
+          col("card_a").as("card_feature"),
+          col("card_b").as("card_label"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1143,6 +1143,12 @@ object PyBridge {
     graft.ops.Privacy.lDiversityReport(df, quasiCols.asScala.toSeq,
       sensitiveCol, l)
 
+  /** Feature-relevance ranking: per-feature association vs a label. */
+  def featureRelevance(df: DataFrame, featureCols: ju.List[String],
+      labelCol: String): DataFrame =
+    graft.ops.Stats.featureRelevance(df, featureCols.asScala.toSeq,
+      labelCol)
+
   /** Hard-negative mining: top-k different-label vectors per anchor. */
   def hardNegatives(df: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int): DataFrame =

@@ -239,6 +239,11 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       graft.ops.Diagnostics.functionalDependencies(orders,
         Seq("o_orderkey" -> "o_custkey",
           "o_custkey" -> "o_orderpriority")).collect().toSeq
+    PyBridge.featureRelevance(orders,
+      List("o_orderpriority").asJava, "o_orderstatus")
+      .collect().toSeq shouldBe
+      graft.ops.Stats.featureRelevance(orders,
+        Seq("o_orderpriority"), "o_orderstatus").collect().toSeq
   }
 
   test("bridge audio fingerprint + near-dups equal the Scala calls") {

@@ -72,6 +72,30 @@ class StatsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r2.getLong(4) shouldBe 2L
   }
 
+  test("featureRelevance: one row per feature, equal to the per-pair " +
+    "association, ranked signal ordering") {
+    import spark.implicits._
+    // f1 determines the label perfectly; f2 is independent of it
+    val df = Seq(
+      ("a", "p", "x"), ("a", "q", "x"), ("b", "p", "y"), ("b", "q", "y"))
+      .toDF("f1", "f2", "label")
+    val r = Stats.featureRelevance(df, Seq("f1", "f2"), "label")
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(3))).toMap
+    r.keySet shouldBe Set("f1", "f2")
+    r("f1")._1 shouldBe (math.log(2.0) +- 1e-12) // mi saturates
+    r("f1")._2 shouldBe (1.0 +- 1e-12)           // V = 1
+    r("f2")._1 shouldBe (0.0 +- 1e-12)
+    // each row equals the direct per-pair call
+    val direct = Stats.categoricalAssociation(df, "f1", "label")
+      .collect().head
+    val viaRel = Stats.featureRelevance(df, Seq("f1"), "label")
+      .collect().head
+    viaRel.getDouble(1) shouldBe direct.getDouble(0)
+    viaRel.getDouble(2) shouldBe direct.getDouble(1)
+    viaRel.getLong(4) shouldBe direct.getLong(3)
+  }
+
   test("categoricalAssociation: chi2 counts unobserved cells via the " +
     "n - sum(e) identity; NULLs drop pairwise") {
     import spark.implicits._
