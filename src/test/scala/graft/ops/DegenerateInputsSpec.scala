@@ -264,4 +264,40 @@ class DegenerateInputsSpec extends AnyFunSuite with Matchers
       row.isNullAt(2) shouldBe true
     } finally relA()
   }
+
+  test("late-round-13 ops survive empty inputs: privacy trio, quality " +
+    "screens, embedding ops, media dedup, trigram LM") {
+    import spark.implicits._
+    val emptyTab = Seq.empty[(String, Long, String)]
+      .toDF("qi", "k2", "sensitive")
+    Privacy.tClosenessReport(emptyTab, Seq("qi", "k2"), "sensitive",
+      t = 0.2).collect().head.getBoolean(5) shouldBe true
+    Diagnostics.benford(Seq.empty[Double].toDF("x"), "x")
+      .count() shouldBe 9L // the digit frame survives, all n = 0
+    Diagnostics.functionalDependencies(emptyTab,
+      Seq("qi" -> "sensitive")).collect().head.getBoolean(5) shouldBe true
+    val emptyVecs = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    Similarity.embeddingOutliers(emptyVecs, "vec_id", "embedding", 5)
+      .count() shouldBe 0L
+    Similarity.semanticContamination(emptyVecs, emptyVecs, "vec_id",
+      "embedding", 0.9).count() shouldBe 0L
+    Similarity.hardNegatives(
+      emptyVecs.withColumn("label", lit("x")), "vec_id", "embedding",
+      "label", 3).count() shouldBe 0L
+    val emptyBlobs2 = Seq.empty[(Long, Array[Byte])].toDF("id", "blob")
+    Media.imagePHashes(emptyBlobs2, "id", "blob").count() shouldBe 0L
+    Media.pHashNearDups(emptyBlobs2, "id", "blob").count() shouldBe 0L
+    Media.videoNearDups(emptyBlobs2, "id", "blob").count() shouldBe 0L
+    // a corrupt-only video corpus yields zero pairs, not a crash
+    Media.videoNearDups(Seq((1L, "junk".getBytes)).toDF("id", "blob"),
+      "id", "blob").count() shouldBe 0L
+    TextOps.trigramPerplexity(emptyDocs, "id", "text").count() shouldBe 0L
+    // empty input: the 1-row-per-feature report survives with NULL
+    // stats (same contract as categoricalAssociation on no pairs)
+    val rel = Stats.featureRelevance(emptyTab, Seq("qi"), "sensitive")
+      .collect().head
+    rel.getString(0) shouldBe "qi"
+    rel.isNullAt(4) shouldBe true
+  }
 }
