@@ -1696,6 +1696,36 @@ def append_image_hash_reference(docs: DataFrame, id_col: str,
         docs._jdf, id_col, blob_col, table, bool(use_dhash))
 
 
+def write_phash_reference(reference: DataFrame, id_col: str,
+                          blob_col: str, table: str,
+                          num_buckets: int = 16,
+                          max_bucket_size: int = 10000) -> None:
+    """Persist a reference corpus's pHash (DCT) LSH buckets as a
+    bucketed store table — the recompression-robust stored image
+    screen; probe with ``phash_near_dups_stored``."""
+    _jvm_bridge(reference).writePHashReference(
+        reference._jdf, id_col, blob_col, table, int(num_buckets),
+        int(max_bucket_size))
+
+
+def append_phash_reference(docs: DataFrame, id_col: str,
+                           blob_col: str, table: str) -> None:
+    """Grow a ``write_phash_reference`` store with a new image batch
+    (screen first)."""
+    _jvm_bridge(docs).appendPHashReference(
+        docs._jdf, id_col, blob_col, table)
+
+
+def phash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
+                           blob_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate (new image, stored image) pairs by banded pHash
+    Hamming distance against a ``write_phash_reference`` store.
+    Output: new_id, ref_id, hamming."""
+    return _to_py_df(_jvm_bridge(docs).pHashNearDupsStored(
+        docs._jdf, table, id_col, blob_col, int(max_hamming)), docs)
+
+
 def append_to_ivf_index(corpus: DataFrame, id_col: str, emb_col: str,
                         table: str) -> None:
     """Grow a ``write_ivf_index`` store: new vectors assign to the

@@ -1016,6 +1016,24 @@ def test_round12d_tokenizer_readability_pca():
                                        min_shared_frames=2).collect()}
     assert vd == {(1, 2): 2}, vd
 
+    # stored pHash index: exact copies recover at hamming 0
+    ops.write_phash_reference(
+        spark2.createDataFrame(
+            [(10, bytearray(fx)), (11, bytearray(fy)),
+             (12, bytearray(fc))], "id long, blob binary"),
+        "id", "blob", "py_ph_ref", num_buckets=2)
+    try:
+        probe = spark2.createDataFrame(
+            [(110, bytearray(fx)), (112, bytearray(fc))],
+            "id long, blob binary")
+        ph_hits = {(r["new_id"], r["ref_id"]): r["hamming"]
+                   for r in ops.phash_near_dups_stored(
+                       probe, "py_ph_ref", "id", "blob",
+                       max_hamming=0).collect()}
+        assert ph_hits.get((110, 10)) == 0 and ph_hits.get((112, 12)) == 0
+    finally:
+        spark2.sql("DROP TABLE IF EXISTS py_ph_ref_buckets")
+
     # curation funnel: per-source attrition in one scan
     fr = ops.funnel_report(docs, "source", [
         ("nonempty", "n_chars > 0"),

@@ -2727,6 +2727,27 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q220_phash_stored" -> ((s, dir) => {
+      // the stored pHash screen (q194's frequency-domain twin): PPM
+      // fixtures persist as pHash band buckets, exact copies probe,
+      // every copy recovers its original at hamming 0
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val ref = ids.map(id => (id, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.writePHashReference(ref, "doc_id", "blob",
+        "graft_q220_ref", numBuckets = 4)
+      val batch = ids.filter(_ < 40)
+        .map(id => (id + 100000L, graft.ops.Media.synthesizePpm(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.pHashNearDupsStored(batch, "graft_q220_ref",
+        "doc_id", "blob", maxHamming = 0)
+        .filter(col("ref_id") === col("new_id") - 100000L)
+        .select(col("ref_id").as("doc_id"), col("new_id").as("dup_id"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     "q219_feature_relevance" -> ((s, dir) => {
       // which columns predict the order status? priority (weak
       // signal) vs custkey (near-unique key — the case the scaladoc
@@ -5812,6 +5833,10 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.source < b.source""".stripMargin,
 
     "q194_image_hash_stored" ->
+      """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q220_phash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
 

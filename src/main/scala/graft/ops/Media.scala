@@ -352,17 +352,20 @@ object Media {
     * 8-byte hash rides each of its 4 band rows — no second fetch join.
     * Oversized (flat-image) buckets drop at write time.
     */
-  def writeImageHashReference(
-      reference: DataFrame, idCol: String, blobCol: String,
-      table: String, useDHash: Boolean = true, numBuckets: Int = 16,
-      maxBucketSize: Int = 10000): Unit = {
-    val hashCol = if (useDHash) "dhash" else "ahash"
-    val banded = imageHashes(reference, idCol, blobCol)
-      .select(col("id"), col(hashCol).as("h"))
+  /** (id, h) -> (id, h, bb) band-bucket rows shared by the aHash/dHash
+    * and pHash store writers and probes.
+    */
+  private def bandedStoreRows(hashes: DataFrame): DataFrame =
+    hashes
       .select(col("id"), col("h"),
         posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
       .select(col("id"), col("h"),
         xxhash64(col("band"), col("bucket")).as("bb"))
+
+  /** Oversized-bucket drop + bucketed write shared by the hash stores. */
+  private def writeHashReferenceRows(
+      banded: DataFrame, table: String, numBuckets: Int,
+      maxBucketSize: Int): Unit = {
     val oversized = banded.groupBy(col("bb"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -373,6 +376,72 @@ object Media {
       "bb", numBuckets, Seq("bb"))
   }
 
+  def writeImageHashReference(
+      reference: DataFrame, idCol: String, blobCol: String,
+      table: String, useDHash: Boolean = true, numBuckets: Int = 16,
+      maxBucketSize: Int = 10000): Unit = {
+    val hashCol = if (useDHash) "dhash" else "ahash"
+    writeHashReferenceRows(
+      bandedStoreRows(imageHashes(reference, idCol, blobCol)
+        .select(col("id"), col(hashCol).as("h"))),
+      table, numBuckets, maxBucketSize)
+  }
+
+  /** The DCT-perceptual-hash twin of [[writeImageHashReference]]:
+    * persist a reference corpus's pHash LSH buckets once; probe new
+    * batches with [[pHashNearDupsStored]]. Same store layout
+    * (`<table>_buckets`: bb, id, h), same oversized-bucket drop.
+    */
+  def writePHashReference(
+      reference: DataFrame, idCol: String, blobCol: String,
+      table: String, numBuckets: Int = 16,
+      maxBucketSize: Int = 10000): Unit =
+    writeHashReferenceRows(
+      bandedStoreRows(imagePHashes(reference, idCol, blobCol)
+        .select(col("id"), col("phash").as("h"))),
+      table, numBuckets, maxBucketSize)
+
+  /** GROW a pHash store with a new batch (screen first — ids are
+    * assumed fresh); history never rewrites.
+    */
+  def appendPHashReference(
+      docs: DataFrame, idCol: String, blobCol: String,
+      table: String): Unit = {
+    val n = graft.io.CorpusStore
+      .storedNumBuckets(docs.sparkSession, s"${table}_buckets")
+    graft.io.CorpusStore.appendBucketed(
+      bandedStoreRows(imagePHashes(docs, idCol, blobCol)
+        .select(col("id"), col("phash").as("h"))),
+      s"${table}_buckets", "bb", n, Seq("bb"))
+  }
+
+  /** Near-duplicate (new image, stored image) pairs by banded pHash
+    * Hamming distance against a [[writePHashReference]] store — the
+    * recompression-robust stored screen; scale shape identical to
+    * [[imageHashNearDupsStored]] (batch decodes row-locally, stored
+    * side never re-decodes or re-exchanges). Output: new_id, ref_id,
+    * hamming.
+    */
+  def pHashNearDupsStored(
+      docs: DataFrame, table: String, idCol: String, blobCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
+    val probe = bandedStoreRows(imagePHashes(docs, idCol, blobCol)
+      .select(col("id"), col("phash").as("h")))
+      .select(col("id").as("new_id"), col("h").as("h_new"), col("bb"))
+    val ref = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, s"${table}_buckets")
+    probe.join(ref, Seq("bb"))
+      .select(col("new_id"), col("id").as("ref_id"),
+        col("h_new"), col("h").as("h_ref"))
+      .distinct()
+      .select(col("new_id"), col("ref_id"),
+        bit_count(col("h_new").bitwiseXOR(col("h_ref"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** GROW an image-hash store with a new batch (screen first — ids are
     * assumed fresh): decode + hash + band rows append to the bucket
     * table; history never rewrites.
@@ -380,18 +449,13 @@ object Media {
   def appendImageHashReference(
       docs: DataFrame, idCol: String, blobCol: String, table: String,
       useDHash: Boolean = true): Unit = {
-    val spark = docs.sparkSession
     val n = graft.io.CorpusStore
-      .storedNumBuckets(spark, s"${table}_buckets")
+      .storedNumBuckets(docs.sparkSession, s"${table}_buckets")
     val hashCol = if (useDHash) "dhash" else "ahash"
-    val banded = imageHashes(docs, idCol, blobCol)
-      .select(col("id"), col(hashCol).as("h"))
-      .select(col("id"), col("h"),
-        posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
-      .select(col("id"), col("h"),
-        xxhash64(col("band"), col("bucket")).as("bb"))
-    graft.io.CorpusStore.appendBucketed(banded, s"${table}_buckets",
-      "bb", n, Seq("bb"))
+    graft.io.CorpusStore.appendBucketed(
+      bandedStoreRows(imageHashes(docs, idCol, blobCol)
+        .select(col("id"), col(hashCol).as("h"))),
+      s"${table}_buckets", "bb", n, Seq("bb"))
   }
 
   /** Near-duplicate (new image, stored image) pairs by banded Hamming

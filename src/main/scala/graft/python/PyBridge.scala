@@ -1106,6 +1106,24 @@ object PyBridge {
     graft.ops.Media.imageHashNearDupsStored(docs, table, idCol, blobCol,
       maxHamming, useDHash)
 
+  /** Persist a pHash (DCT) LSH index as a store table. */
+  def writePHashReference(reference: DataFrame, idCol: String,
+      blobCol: String, table: String, numBuckets: Int,
+      maxBucketSize: Int): Unit =
+    graft.ops.Media.writePHashReference(reference, idCol, blobCol,
+      table, numBuckets, maxBucketSize)
+
+  /** Grow a pHash store with a new image batch. */
+  def appendPHashReference(docs: DataFrame, idCol: String,
+      blobCol: String, table: String): Unit =
+    graft.ops.Media.appendPHashReference(docs, idCol, blobCol, table)
+
+  /** Near-dup (new image, stored image) pairs vs a pHash store. */
+  def pHashNearDupsStored(docs: DataFrame, table: String,
+      idCol: String, blobCol: String, maxHamming: Int): DataFrame =
+    graft.ops.Media.pHashNearDupsStored(docs, table, idCol, blobCol,
+      maxHamming)
+
   /** Persist an audio-fingerprint store for incremental audio dedup. */
   def writeAudioFpReference(reference: DataFrame, idCol: String,
       blobCol: String, table: String, windowFrames: Int,
