@@ -240,6 +240,24 @@ def bigram_perplexity(df: DataFrame, id_col: str, text_col: str,
         df._jdf, id_col, text_col, float(lam), int(min_count)), df)
 
 
+def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tag-level markup strip for web-scraped text: ``<...>`` tags
+    become spaces, the six ubiquitous HTML entities decode (``&amp;``
+    last — no double decode), space/tab runs collapse, newlines
+    survive. Row-local. Output: id, n_tags, text."""
+    return _to_py_df(_jvm_bridge(df).stripMarkup(
+        df._jdf, id_col, text_col), df)
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Crawl-frontier URL dedup over canonical forms (lowercased
+    scheme/host, query + fragment stripped, trailing slash trimmed;
+    unparseable URLs excluded). Output per canonical URL:
+    canonical_url, survivor_id (smallest id), n_dupes."""
+    return _to_py_df(_jvm_bridge(df).urlDedup(
+        df._jdf, id_col, url_col), df)
+
+
 def trigram_perplexity(df: DataFrame, id_col: str, text_col: str,
                        alpha: float = 0.4, min_count: int = 1) -> DataFrame:
     """Stupid-backoff trigram-LM perplexity (Brants et al.): trigram

@@ -219,6 +219,20 @@ def test_round5_curation_ops():
     assert tri.filter(F.col("perplexity") <= 0).count() == 0
     assert {"id", "n_trigrams", "perplexity"} <= set(tri.columns)
 
+    # markup strip + url dedup: crawl-side hygiene
+    tagged = docs.select("doc_id", F.concat(
+        F.lit("<p>"), F.col("text"), F.lit("</p> x &amp; y")).alias("text"))
+    sm = ops.strip_markup(tagged, "doc_id", "text")
+    assert sm.filter(F.col("n_tags") != 2).count() == 0
+    assert sm.filter(F.col("text").contains("<p>")).count() == 0
+    assert sm.filter(F.col("text").contains("&amp;")).count() == 0
+    urls = docs.select("doc_id", F.concat(
+        F.lit("https://Host"), F.col("doc_id") % 5,
+        F.lit(".example/p?q=1")).alias("url"))
+    ud = ops.url_dedup(urls, "doc_id", "url")
+    assert ud.count() == 5
+    assert ud.filter(F.col("canonical_url").contains("?")).count() == 0
+
     # duplicated spans: a planted shared tail is found
     tailed = docs.select(
         "doc_id",

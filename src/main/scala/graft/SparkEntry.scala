@@ -2727,6 +2727,31 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q221_strip_markup" -> ((s, dir) => {
+      // crawl-text cleanup: inject tags + entities around every doc,
+      // strip tag-level markup, decode entities (&amp; last), collapse
+      // runs — every branch crosses the DuckDB compare
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<p class=\"x\">"), col("text"),
+          lit("</p>\t<br/>fish &amp;lt; chips &quot;q&#39;s&quot; "),
+          lit("&nbsp;&gt;end&lt;")).as("text"))
+      d.select(col("doc_id"),
+        ops.TextOps.markupTagCount(col("text")).as("n_tags"),
+        ops.TextOps.stripMarkup(col("text")).as("text"))
+    }),
+
+    "q222_url_dedup" -> ((s, dir) => {
+      // crawl-frontier dedup: host case, tracking query, fragment,
+      // and trailing slash all collapse to one canonical fetch
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://Site"), col("doc_id") % 7,
+          lit(".Example/Page"), col("doc_id") % 3,
+          when(col("doc_id") % 2 === 0,
+            lit("/?utm_source=x#frag")).otherwise(lit("")))
+          .as("url"))
+      ops.TextOps.urlDedup(urls, "doc_id", "url")
+    }),
+
     "q220_phash_stored" -> ((s, dir) => {
       // the stored pHash screen (q194's frequency-domain twin): PPM
       // fixtures persist as pHash band buckets, exact copies probe,
@@ -5839,6 +5864,47 @@ object SparkEntry {
     "q220_phash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q221_strip_markup" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<p class="x">' || text ||
+        |    '</p>' || chr(9) ||
+        |    '<br/>fish &amp;lt; chips &quot;q&#39;s&quot; ' ||
+        |    '&nbsp;&gt;end&lt;' AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '<[^>]*>'))::INT AS n_tags,
+        |    regexp_replace(text, '<[^>]*>', ' ', 'g') AS t1
+        |  FROM d),
+        |u AS (SELECT doc_id, n_tags,
+        |    replace(replace(replace(replace(replace(replace(t1,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t2
+        |  FROM s)
+        |SELECT doc_id, n_tags,
+        |  trim(regexp_replace(t2, '[ ' || chr(9) || ']+', ' ', 'g'))
+        |    AS text
+        |FROM u""".stripMargin,
+
+    "q222_url_dedup" ->
+      """WITH urls AS (SELECT doc_id,
+        |    'https://Site' || (doc_id % 7) || '.Example/Page' ||
+        |    (doc_id % 3) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=x#frag'
+        |      ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^(?i)(https?)://', 1)) || '://' ||
+        |    lower(regexp_extract(url, '^(?i)https?://([^/?#]+)', 1)) ||
+        |    rtrim(regexp_extract(url,
+        |      '^(?i)https?://[^/?#]+([^?#]*)', 1), '/') AS canonical_url
+        |  FROM urls
+        |  WHERE regexp_extract(url, '^(?i)(https?)://', 1) <> ''
+        |    AND regexp_extract(url,
+        |      '^(?i)https?://([^/?#]+)', 1) <> '')
+        |SELECT canonical_url, min(doc_id)::BIGINT AS survivor_id,
+        |  count(*)::BIGINT AS n_dupes
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q201_video_frames" ->
       """WITH ids AS (SELECT doc_id AS id, 3 + doc_id % 3 AS nf

@@ -237,6 +237,69 @@ object TextOps {
         (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("score"))
   }
 
+  /** Tag-level markup strip for web-scraped text — the step BEFORE
+    * [[c4Clean]] in a crawl pipeline: removes `<...>` tags (replaced
+    * by a space so `a<br>b` stays two words), decodes the six
+    * ubiquitous HTML entities (`&amp;` LAST, so `&amp;lt;` decodes to
+    * the literal `&lt;` and never double-decodes), collapses runs of
+    * spaces/tabs, and trims — newlines survive for the line-based
+    * cleaners downstream. Deliberately NOT an HTML parser (no
+    * script/style content awareness): it is the deterministic,
+    * SQL-portable 95% answer; route genuinely structured HTML through
+    * a real parser upstream. Row-local, zero shuffle, codegen regex.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(unescaped, "[ \t]+", " "))
+  }
+
+  /** Count of `<...>` tags [[stripMarkup]] would remove — the
+    * markup-density signal (a page that is mostly tags is boilerplate
+    * or template residue).
+    */
+  def markupTagCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("<[^>]*>"), lit(0)))
+
+  /** Canonical URL for crawl-level dedup: lowercased scheme and host,
+    * query string and fragment stripped (tracking parameters are the
+    * #1 cause of duplicate fetches), trailing path slashes trimmed;
+    * the PATH keeps its case (case-sensitive by standard). Returns
+    * NULL for strings that do not parse as http(s) URLs — callers
+    * decide whether unparseable means drop or keep-verbatim.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = regexp_extract(url, "^(?i)(https?)://", 1)
+    val host = regexp_extract(url, "^(?i)https?://([^/?#]+)", 1)
+    val path = regexp_extract(url, "^(?i)https?://[^/?#]+([^?#]*)", 1)
+    when(scheme =!= "" && host =!= "",
+      concat(lower(scheme), lit("://"), lower(host),
+        rtrim(path, "/")))
+  }
+
+  /** URL-level exact dedup over canonical forms — "have we fetched
+    * this page already" for a crawl frontier: one row per canonical
+    * URL with the smallest id as survivor and the duplicate count.
+    * Unparseable URLs (NULL canonical) are excluded. One
+    * map-side-combined aggregate; the raw URLs never shuffle beyond
+    * their canonical group keys.
+    */
+  def urlDedup(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      urlCol: String): org.apache.spark.sql.DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("__id"))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("__id")).as("survivor_id"),
+        count(lit(1)).as("n_dupes"))
+
   /** C4-style cleaning (Raffel et al. 2020, §2.2) — the line/page
     * heuristics that built the canonical public pretraining corpus:
     *

@@ -279,6 +279,18 @@ object PyBridge {
       lambda: Double, minCount: Long): DataFrame =
     graft.ops.TextOps.bigramPerplexity(df, idCol, textCol, lambda, minCount)
 
+  /** Tag-level markup strip + tag count over a text column. */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol),
+      graft.ops.TextOps.markupTagCount(col(textCol)).as("n_tags"),
+      graft.ops.TextOps.stripMarkup(col(textCol)).as(textCol))
+  }
+
+  /** URL-level exact dedup over canonical forms. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    graft.ops.TextOps.urlDedup(df, idCol, urlCol)
+
   /** Stupid-backoff trigram-LM perplexity (pruned at minCount). */
   def trigramPerplexity(df: DataFrame, idCol: String, textCol: String,
       alpha: Double, minCount: Long): DataFrame =

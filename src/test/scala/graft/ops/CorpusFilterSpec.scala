@@ -52,6 +52,57 @@ class CorpusFilterSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getAs[Double]("hash_ratio") shouldBe 0.0
   }
 
+  test("stripMarkup: tags to spaces, entity decode order, whitespace " +
+    "collapse, newlines survive") {
+    import spark.implicits._
+    val got = Seq(
+      "<p>a<br>b</p>",                 // tag becomes a word break
+      "fish &amp; chips",              // amp decodes
+      "&amp;lt; stays literal",        // amp LAST: no double decode
+      "a  \t b\nline2   c",            // collapse spaces, keep \n
+      "&lt;tag&gt; &quot;q&#39;s&quot; x&nbsp;y")
+      .toDF("t")
+      .select(TextOps.stripMarkup(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    got(0) shouldBe "a b"
+    got(1) shouldBe "fish & chips"
+    got(2) shouldBe "&lt; stays literal"
+    got(3) shouldBe "a b\nline2 c"
+    got(4) shouldBe "<tag> \"q's\" x y"
+    Seq("plain no markup").toDF("t")
+      .select(TextOps.markupTagCount(col("t")))
+      .collect().head.getInt(0) shouldBe 0
+    Seq("<a><b attr=1/></a>").toDF("t")
+      .select(TextOps.markupTagCount(col("t")))
+      .collect().head.getInt(0) shouldBe 3
+  }
+
+  test("canonicalizeUrl + urlDedup: host case, query, fragment, and " +
+    "trailing slash collapse; unparseable is NULL") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://Example.COM/Path/?utm=1#x"),
+      (2L, "https://example.com/Path"),
+      (3L, "HTTPS://example.com/Path"),   // scheme case-insensitive
+      (4L, "https://example.com/Other"),
+      (5L, "not a url"),
+      (6L, "ftp://example.com/Path"))     // non-http(s): NULL
+      .toDF("id", "url")
+    val canon = urls.select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    canon(0) shouldBe "https://example.com/Path"
+    canon(1) shouldBe "https://example.com/Path"
+    canon(2) shouldBe "https://example.com/Path"
+    canon(4) shouldBe null
+    canon(5) shouldBe null
+    val dedup = TextOps.urlDedup(urls, "id", "url")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    dedup("https://example.com/Path") shouldBe (1L, 3L)
+    dedup("https://example.com/Other") shouldBe (4L, 1L)
+    dedup.size shouldBe 2
+  }
+
   test("c4Clean: line rules, page rules, totals") {
     import spark.implicits._
     val page =
