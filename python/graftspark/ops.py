@@ -558,6 +558,16 @@ def ks_statistic(df: DataFrame, sk_a_col: str, sk_b_col: str,
         df._jdf, sk_a_col, sk_b_col, [float(e) for e in edges]), df)
 
 
+def emd_distance(df: DataFrame, sk_a_col: str, sk_b_col: str,
+                 edges: List[float]) -> DataFrame:
+    """Earth-mover's (Wasserstein-1) distance between two KLL sketch
+    columns over a fixed edge grid — how far the mass moved, in the
+    value column's own units (sum of |CDF gap| x cell width; exact
+    below sketch capacity). Appends ``emd``."""
+    return _to_py_df(_jvm_bridge(df).emdDistance(
+        df._jdf, sk_a_col, sk_b_col, [float(e) for e in edges]), df)
+
+
 def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     """Schema-drift report between two stored dataset profiles (single
     global profile rows): per column — presence on each side, inferred

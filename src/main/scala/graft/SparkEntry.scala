@@ -2727,6 +2727,26 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q223_emd_drift" -> ((s, dir) => {
+      // Wasserstein-1 drift between the q128 cohorts from their KLL
+      // sketches alone: how far (in account-balance units) did the
+      // mass move — the magnitude companion to the KS max gap
+      val sup = t(s, dir, "supplier")
+      val edges = Seq(0.0, 2500.0, 5000.0, 7500.0)
+      val sketches = sup
+        .withColumn("cohort",
+          when(col("s_nationkey") < 12, "old").otherwise("new"))
+        .groupBy(col("cohort"))
+        .agg(kll_agg(col("s_acctbal")).as("sk"), count(lit(1)).as("n"))
+      val a = sketches.filter(col("cohort") === "old")
+        .select(col("sk").as("sk_a"), col("n").as("n_a"))
+      val b = sketches.filter(col("cohort") === "new")
+        .select(col("sk").as("sk_b"), col("n").as("n_b"))
+      a.crossJoin(b).select(col("n_a"), col("n_b"),
+        round(graft.ops.Drift.emd(col("sk_a"), col("sk_b"), edges), 6)
+          .as("emd"))
+    }),
+
     "q221_strip_markup" -> ((s, dir) => {
       // crawl-text cleanup: inject tags + entities around every doc,
       // strip tag-level markup, decode entities (&amp; last), collapse
@@ -5864,6 +5884,23 @@ object SparkEntry {
     "q220_phash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q223_emd_drift" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS cohort, CAST(s_acctbal AS REAL) AS v
+        |  FROM supplier),
+        |c AS (SELECT cohort, count(*) AS n,
+        |  count(*) FILTER (WHERE v <= 0.0) AS r0,
+        |  count(*) FILTER (WHERE v <= 2500.0) AS r1,
+        |  count(*) FILTER (WHERE v <= 5000.0) AS r2
+        |  FROM s GROUP BY 1)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(
+        |    abs(a.r0 / a.n::DOUBLE - b.r0 / b.n::DOUBLE) * 2500.0 +
+        |    abs(a.r1 / a.n::DOUBLE - b.r1 / b.n::DOUBLE) * 2500.0 +
+        |    abs(a.r2 / a.n::DOUBLE - b.r2 / b.n::DOUBLE) * 2500.0,
+        |    6) + 0.0 AS emd
+        |FROM c a, c b WHERE a.cohort = 'old' AND b.cohort = 'new'""".stripMargin,
 
     "q221_strip_markup" ->
       """WITH d AS (SELECT doc_id,

@@ -69,6 +69,25 @@ object Drift {
       .reduce((x, y) => greatest(x, y))
   }
 
+  /** Earth-mover's (Wasserstein-1) distance between two KLL sketch
+    * columns over a fixed edge grid — the fourth member of the
+    * numeric drift set ([[psi]] is bin-ratio-sensitive, [[jsd]]
+    * bounded, [[ks]] a max gap; EMD alone reports HOW FAR the mass
+    * moved, in the value column's own units):
+    * sum over grid cells of |CDF_a(e_i) - CDF_b(e_i)| x cell width.
+    * Exact-below-capacity like [[ks]] (grid-resolution-bounded above),
+    * and the same per-group, from-stored-profiles usability — a pure
+    * scalar expression over two sketches, no join, no shuffle.
+    */
+  def emd(a: Column, b: Column, edges: Seq[Double]): Column = {
+    require(edges.size >= 2, "emd requires at least two edges")
+    require(edges == edges.sorted, "emd edges must be ascending")
+    edges.init.zip(edges.tail).map { case (lo, hi) =>
+      abs(graft.functions.kll_rank(a, lit(lo)) -
+        graft.functions.kll_rank(b, lit(lo))) * lit(hi - lo)
+    }.reduce(_ + _)
+  }
+
   /** CATEGORICAL drift: PSI over category shares read from two
     * frequent-items sketches ([[graft.functions.freq_items_agg]]) — the
     * string-column companion to the numeric [[psi]], computable from

@@ -573,6 +573,14 @@ object PyBridge {
       df.col(aCol), df.col(bCol), edges.asScala.toSeq.map(_.doubleValue())))
   }
 
+  /** Earth-mover's (Wasserstein-1) distance between two KLL columns. */
+  def emdDistance(df: DataFrame, aCol: String, bCol: String,
+      edges: java.util.List[java.lang.Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.withColumn("emd", graft.ops.Drift.emd(
+      df.col(aCol), df.col(bCol), edges.asScala.toSeq.map(_.doubleValue())))
+  }
+
   /** Train the one-vs-rest hashed language-ID models on a labeled frame
     * and score another frame with them (pred_lang + per-language logits).
     */

@@ -501,6 +501,37 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     r.getDouble(1) should (be > 0.0 and be <= 1.0)
   }
 
+  test("emd: zero on identical sketches, symmetric, equals the exact " +
+    "grid CDF-gap x cell-width sum; shift distance in value units") {
+    import spark.implicits._
+    import graft.functions.kll_agg
+    val edges = Seq(0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0)
+    val va = (1 to 50).map(_ / 5.0)          // 0.2..10
+    val vb = (1 to 50).map(v => v / 5.0 + 2) // the same, shifted by +2
+    val sk = (va.map((true, _)) ++ vb.map((false, _))).toDF("first", "v")
+      .agg(kll_agg(when(col("first"), col("v"))).as("a"),
+        kll_agg(when(!col("first"), col("v"))).as("b"))
+    val r = sk.select(
+      Drift.emd(col("a"), col("a"), edges).as("self"),
+      Drift.emd(col("a"), col("b"), edges).as("ab"),
+      Drift.emd(col("b"), col("a"), edges).as("ba")).head()
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1) shouldBe r.getDouble(2)
+    def cdf(vs: Seq[Double], e: Double) = vs.count(_ <= e).toDouble / vs.size
+    val expected = edges.init.zip(edges.tail).map { case (lo, hi) =>
+      math.abs(cdf(va, lo) - cdf(vb, lo)) * (hi - lo)
+    }.sum
+    r.getDouble(1) shouldBe (expected +- 1e-12)
+    // a pure +2 shift of a distribution spanning the grid reads back
+    // as a distance NEAR 2 in value units (grid-resolution-bounded)
+    r.getDouble(1) shouldBe (2.0 +- 0.5)
+
+    an[IllegalArgumentException] should be thrownBy
+      Drift.emd(col("a"), col("b"), Seq(5.0))
+    an[IllegalArgumentException] should be thrownBy
+      Drift.emd(col("a"), col("b"), Seq(5.0, 1.0))
+  }
+
   test("jsd: zero on identical sketches, symmetric, bounded by ln 2") {
     import spark.implicits._
     import graft.functions.{freq_items_agg, kll_agg}
