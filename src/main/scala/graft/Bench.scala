@@ -718,6 +718,36 @@ object Bench {
         try pairs.count() finally rel()
       }),
 
+      // video dedup e2e: synthesize GVID containers with planted
+      // copies, decode + aHash every sampled frame in one
+      // partition-local pass, pair via capped per-hash buckets — the
+      // fourth dedup modality tracked like audio_dedup
+      "video_dedup" -> (() => {
+        import spark.implicits._
+        val ids = t("documents").filter(col("doc_id") < 2000)
+          .select(col("doc_id")).as[Long]
+        val vids = ids.map(id => (id, graft.ops.Media.synthesizeGvid(id,
+            3 + (id % 3).toInt)))
+          .toDF("doc_id", "blob")
+          .unionAll(ids.filter(_ < 200).map(id =>
+            (id + 100000L, graft.ops.Media.synthesizeGvid(id,
+              3 + (id % 3).toInt)))
+            .toDF("doc_id", "blob"))
+        graft.ops.Media.videoNearDups(vids, "doc_id", "blob",
+          everyN = 1, minSharedFrames = 2).count()
+      }),
+
+      // semantic decontamination e2e: 500-vector eval side broadcast
+      // against the embedding corpus with 10% planted leaks — the
+      // map-only pair scan of the embedding-space screen
+      "semantic_decontam" -> (() => {
+        val emb = t("embeddings")
+        val eval = emb.filter(col("vec_id") % 10 === 0)
+          .limit(500)
+        graft.ops.Similarity.semanticContamination(emb, eval,
+          "vec_id", "embedding", threshold = 0.99).count()
+      }),
+
       // video ingest e2e: synthesize GVID containers executor-side
       // (partition-local, blobs never shuffle), sample every 2nd frame
       // through the byte-walk decode, and dedup-hash each sampled frame
