@@ -549,6 +549,16 @@ def categorical_jsd(df: DataFrame, sk_a_col: str, sk_b_col: str,
         df._jdf, sk_a_col, sk_b_col, float(eps)), df)
 
 
+def categorical_tvd(df: DataFrame, sk_a_col: str, sk_b_col: str,
+                    eps: float = 1e-6) -> DataFrame:
+    """Categorical total-variation distance between two frequent-items
+    sketch columns (half the L1 share gap over the union of tracked
+    items, eps-floored) — the plain fraction of shifted mass next to
+    ``categorical_psi``'s log-ratio weighting. Appends ``tvd``."""
+    return _to_py_df(_jvm_bridge(df).categoricalTvd(
+        df._jdf, sk_a_col, sk_b_col, float(eps)), df)
+
+
 def ks_statistic(df: DataFrame, sk_a_col: str, sk_b_col: str,
                  edges: List[float]) -> DataFrame:
     """Kolmogorov-Smirnov statistic between two KLL sketch columns over

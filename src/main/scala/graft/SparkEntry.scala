@@ -2727,6 +2727,24 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q224_categorical_tvd" -> ((s, dir) => {
+      // categorical total-variation drift from the q114 sketches:
+      // the plain fraction of shifted mass, next to PSI's log-ratio
+      // weighting — sketch-exact regime, scalar expression
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("is_a"))
+      ev.agg(
+        graft.functions.freq_items_agg(
+          when(col("is_a"), col("event_type"))).as("sk_a"),
+        graft.functions.freq_items_agg(
+          when(!col("is_a"), col("event_type"))).as("sk_b"))
+        .select(
+          ops.Drift.categoricalTotal(col("sk_a")).as("n_a"),
+          ops.Drift.categoricalTotal(col("sk_b")).as("n_b"),
+          (round(ops.Drift.categoricalTvd(col("sk_a"), col("sk_b")), 6)
+            + 0.0).as("tvd"))
+    }),
+
     "q223_emd_drift" -> ((s, dir) => {
       // Wasserstein-1 drift between the q128 cohorts from their KLL
       // sketches alone: how far (in account-balance units) did the
@@ -5884,6 +5902,25 @@ object SparkEntry {
     "q220_phash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q224_categorical_tvd" ->
+      """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS is_a
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    count(*) FILTER (WHERE is_a) AS ca,
+        |    count(*) FILTER (WHERE NOT is_a) AS cb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(ca)::DOUBLE AS ta, sum(cb)::DOUBLE AS tb
+        |  FROM c),
+        |terms AS (SELECT event_type,
+        |    abs(greatest(ca / ta, 1e-6) - greatest(cb / tb, 1e-6)) / 2
+        |      AS term
+        |  FROM c, t),
+        |p AS (SELECT list_sum(list(term ORDER BY event_type)) AS tvd
+        |  FROM terms)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  round(tvd, 6) + 0.0 AS tvd
+        |FROM t, p""".stripMargin,
 
     "q223_emd_drift" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'

@@ -122,6 +122,19 @@ object Drift {
       (pa * log(pa / m) + pb * log(pb / m)) * lit(0.5)
     }
 
+  /** Categorical total-variation distance over the same sketch-derived
+    * shares — max |P(S) - Q(S)| over all category sets, in [0, 1]: the
+    * categorical analogue of [[emd]]'s "how much mass moved" (PSI and
+    * JSD weight by log ratios; TVD is the plain fraction of shifted
+    * mass, and the metric [[graft.ops.Privacy.tClosenessReport]]
+    * thresholds per group — here as a two-sketch drift column).
+    */
+  def categoricalTvd(a: Column, b: Column, k: Int = 128,
+      eps: Double = 1e-6): Column =
+    categoricalTerms(a, b, k, eps) { (pa, pb) =>
+      abs(pa - pb) / 2
+    }
+
   /** Shared share machinery for the categorical divergences: eps-floored
     * shares over the sorted union of both sketches' tracked items,
     * summed through `term` in deterministic (item-name) order.

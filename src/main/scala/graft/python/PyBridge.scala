@@ -553,6 +553,12 @@ object PyBridge {
     df.withColumn("jsd", graft.ops.Drift.categoricalJsd(
       df.col(aCol), df.col(bCol), eps = eps))
 
+  /** Categorical total-variation distance between two items sketches. */
+  def categoricalTvd(df: DataFrame, aCol: String, bCol: String,
+      eps: Double): DataFrame =
+    df.withColumn("tvd", graft.ops.Drift.categoricalTvd(
+      df.col(aCol), df.col(bCol), eps = eps))
+
   /** Categorical PSI between two frequent-items sketch columns, appended
     * as `psi` (plus per-side totals `n_a` / `n_b`).
     */

@@ -433,6 +433,31 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     err.getMessage should include("empty or null sketch")
   }
 
+  test("categoricalTvd: half the L1 share gap, zero on identical, " +
+    "1 on disjoint supports (up to the eps floor)") {
+    import spark.implicits._
+    import graft.functions.freq_items_agg
+    // cohort a: 60/30/10 over x/y/z; cohort b: 10/30/60
+    // TVD = (|.6-.1| + |.3-.3| + |.1-.6|) / 2 = 0.5
+    val rows = (1 to 100).map { i =>
+      val ca = if (i <= 60) "x" else if (i <= 90) "y" else "z"
+      val cb = if (i <= 10) "x" else if (i <= 40) "y" else "z"
+      (ca, cb)
+    }
+    val sk = rows.toDF("a", "b")
+      .agg(freq_items_agg(col("a")).as("sa"),
+        freq_items_agg(col("b")).as("sb"))
+    sk.select(Drift.categoricalTvd(col("sa"), col("sb")))
+      .head().getDouble(0) shouldBe (0.5 +- 1e-12)
+    sk.select(Drift.categoricalTvd(col("sa"), col("sa")))
+      .head().getDouble(0) shouldBe 0.0
+    val disjoint = Seq(("only_a", "only_b")).toDF("a", "b")
+      .agg(freq_items_agg(col("a")).as("sa"),
+        freq_items_agg(col("b")).as("sb"))
+    disjoint.select(Drift.categoricalTvd(col("sa"), col("sb")))
+      .head().getDouble(0) shouldBe (1.0 +- 1e-5) // eps-floored ends
+  }
+
   test("categoricalPsi: exact in the low-cardinality regime, zero on " +
     "identical shares, per-group usable") {
     import spark.implicits._
