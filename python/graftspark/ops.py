@@ -1241,6 +1241,26 @@ def ece(df: DataFrame, score_col: str, label_col: str,
         df._jdf, score_col, label_col, int(n_bins)), df)
 
 
+def brier_score(df: DataFrame, score_col: str,
+                label_col: str) -> DataFrame:
+    """One-row Brier score (mean squared probability gap — the strictly
+    proper rule penalizing miscalibration AND lack of resolution) plus
+    the base rate skill reference. Output: n, brier, base_rate."""
+    return _to_py_df(_jvm_bridge(df).brierScore(
+        df._jdf, score_col, label_col), df)
+
+
+def lift_table(df: DataFrame, score_col: str, label_col: str,
+               n_bins: int = 10) -> DataFrame:
+    """Decile lift / cumulative-gains table: rows rank from the top
+    score down via a distributed prefix sum (never a single-partition
+    window) into ``n_bins`` equal-population bins; tie groups land
+    whole in the bin of their last row. Output per bin: bin, n, n_pos,
+    pos_rate, cum_capture, lift."""
+    return _to_py_df(_jvm_bridge(df).liftTable(
+        df._jdf, score_col, label_col, int(n_bins)), df)
+
+
 def join_size_estimate(left: DataFrame, right: DataFrame,
                        left_key_cols: List[str],
                        right_key_cols: List[str]) -> DataFrame:

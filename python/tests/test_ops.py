@@ -772,6 +772,12 @@ def test_round12c_stats_graph_noise():
     assert rep.count() <= 10
     e = ops.ece(scored, "s", "y").collect()[0]
     assert 0.0 <= e["ece"] <= 1.0
+    br = ops.brier_score(scored, "s", "y").collect()[0]
+    assert 0.0 <= br["brier"] <= 1.0 and br["n"] == scored.count()
+    lt = ops.lift_table(scored, "s", "y", 10).collect()
+    assert len(lt) <= 10
+    caps = [r["cum_capture"] for r in sorted(lt, key=lambda r: r["bin"])]
+    assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
 
     # data-quality trio
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))

@@ -2727,6 +2727,32 @@ object SparkEntry {
         Seq("o_orderpriority", "o_custkey"), "o_orderstatus", t = 0.2)
     }),
 
+    "q225_brier" -> ((s, dir) => {
+      // strictly proper scoring of the q172 scored fixture: mean
+      // squared probability gap + the base rate skill reference
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.brierScore(emb, "score", "y")
+        .select(col("n"),
+          (round(col("brier"), 6) + 0.0).as("brier"),
+          (round(col("base_rate"), 6) + 0.0).as("base_rate"))
+    }),
+
+    "q226_lift_table" -> ((s, dir) => {
+      // decile gains over the q172 fixture: distinct-score counts ->
+      // distributed prefix sum over score DESC -> <= nBins bin rows;
+      // tie groups land whole in the bin of their last row
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.liftTable(emb, "score", "y", nBins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          (round(col("pos_rate"), 6) + 0.0).as("pos_rate"),
+          (round(col("cum_capture"), 6) + 0.0).as("cum_capture"),
+          (round(col("lift"), 6) + 0.0).as("lift"))
+    }),
+
     "q224_categorical_tvd" -> ((s, dir) => {
       // categorical total-variation drift from the q114 sketches:
       // the plain fraction of shifted mass, next to PSI's log-ratio
@@ -5902,6 +5928,39 @@ object SparkEntry {
     "q220_phash_stored" ->
       """SELECT doc_id, doc_id + 100000 AS dup_id, 0::BIGINT AS hamming
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "q225_brier" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM embeddings)
+        |SELECT count(*)::BIGINT AS n,
+        |  round(avg((sc - y) * (sc - y)), 6) + 0.0 AS brier,
+        |  round(avg(y), 6) + 0.0 AS base_rate
+        |FROM s""".stripMargin,
+
+    "q226_lift_table" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    label >= 5 AS y FROM embeddings),
+        |c AS (SELECT sc, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT sc, t, p,
+        |    sum(t) OVER (ORDER BY sc DESC) AS cum,
+        |    sum(t) OVER () AS n FROM c),
+        |b AS (SELECT least(10, CAST(floor((cum * 10 + n - 1)
+        |      / n::DOUBLE) AS BIGINT)) AS bin, t, p FROM r),
+        |g AS (SELECT bin, sum(t)::BIGINT AS n,
+        |    sum(p)::BIGINT AS n_pos FROM b GROUP BY 1),
+        |f AS (SELECT bin, n, n_pos,
+        |    sum(n_pos) OVER (ORDER BY bin) AS cp,
+        |    sum(n_pos) OVER () AS tp,
+        |    sum(n) OVER () AS tn FROM g)
+        |SELECT bin, n, n_pos,
+        |  round(n_pos::DOUBLE / n, 6) + 0.0 AS pos_rate,
+        |  round(cp::DOUBLE / tp, 6) + 0.0 AS cum_capture,
+        |  round((n_pos::DOUBLE / n) / (tp::DOUBLE / tn), 6) + 0.0
+        |    AS lift
+        |FROM f""".stripMargin,
 
     "q224_categorical_tvd" ->
       """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS is_a

@@ -117,4 +117,101 @@ object ModelEval {
     calibrationReport(df, scoreCol, labelCol, nBins)
       .agg((sum(col("gap") * col("n")) / sum(col("n"))).as("ece"),
         sum(col("n")).as("n"))
+
+  /** One-row Brier score: mean squared gap between the predicted
+    * probability and the 0/1 outcome — the strictly proper scoring
+    * rule that penalizes BOTH miscalibration and lack of resolution
+    * (the [[ece]] measures only the former; AUC only the ranking).
+    * Also reports the base rate, whose Brier for a constant
+    * base-rate predictor is base_rate x (1 - base_rate) — the
+    * skill reference. One map-side-combined aggregate.
+    */
+  def brierScore(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean").cast("int").cast("double")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg((s - y) * (s - y)).as("brier"),
+        avg(y).as("base_rate"))
+  }
+
+  /** Decile lift / cumulative-gains table: scored rows rank from the
+    * TOP score down and cut into `nBins` equal-population bins at
+    * distinct-score granularity (a tie group lands whole in the bin of
+    * its last row — ties are indistinguishable to the model, so they
+    * must not straddle a marketing cut). Per bin: n, n_pos, pos_rate,
+    * cum_capture (fraction of ALL positives found through this bin —
+    * the gains curve), lift (pos_rate over the base rate).
+    *
+    * Scale shape: the corpus collapses to distinct-score counts in one
+    * map-side-combined aggregate; ranking is the
+    * [[FeatureScale.runningTotalsReleasable]] distributed prefix sum
+    * over score DESC (never a single-partition corpus window); the bin
+    * table is <= nBins rows, so its cumulative windows are bounded by
+    * construction. Bin assignment is ceil(nBins x cum/n) via
+    * floor((cum x nBins + n - 1) / n) — exact in doubles for
+    * cum x nBins < 2^52.
+    */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame =
+    // the persisted prefix-sum layout lives until session end in this
+    // convenience form — long-lived sessions should use
+    // [[liftTableReleasable]] (the aucReleasable contract)
+    liftTableReleasable(df, scoreCol, labelCol, nBins)._1
+
+  /** [[liftTable]] plus a release() thunk for the persisted prefix-sum
+    * layout (same contract as [[aucReleasable]]).
+    */
+  def liftTableReleasable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): (DataFrame, () => Unit) = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val (cum, release) = FeatureScale.runningTotalsReleasable(
+      counts, Seq(col("__s").desc), col("__t"))
+    val binned = cum
+      .withColumn("bin",
+        least(lit(nBins.toLong), floor(
+          (col("__cum") * nBins + col("__n") - lit(1L)) /
+            col("__n").cast("double")).cast("long")))
+      .groupBy(col("bin"))
+      .agg(sum(col("__t")).as("n"), sum(col("__p")).as("n_pos"))
+    // <= nBins rows from here: the unpartitioned windows are bounded
+    // by the aggregate above (the kaplanMeier distinct-times argument)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val out = binned
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+      .withColumn("__tp", sum(col("n_pos")).over(wAll))
+      .withColumn("__tn", sum(col("n")).over(wAll))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        when(col("__tp") > 0,
+          col("__cp").cast("double") / col("__tp")).as("cum_capture"),
+        when(col("__tp") > 0,
+          (col("n_pos").cast("double") / col("n")) /
+            (col("__tp").cast("double") / col("__tn"))).as("lift"))
+    (out, release)
+  }
 }

@@ -973,6 +973,16 @@ object PyBridge {
       nBins: Int): DataFrame =
     graft.ops.ModelEval.ece(df, scoreCol, labelCol, nBins)
 
+  /** One-row Brier score + base rate. */
+  def brierScore(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    graft.ops.ModelEval.brierScore(df, scoreCol, labelCol)
+
+  /** Decile lift / cumulative-gains table. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame =
+    graft.ops.ModelEval.liftTable(df, scoreCol, labelCol, nBins)
+
   /** Exact pre-flight equi-join output-size forecast. */
   def joinSizeEstimate(left: DataFrame, right: DataFrame,
       leftKeyCols: java.util.List[String],

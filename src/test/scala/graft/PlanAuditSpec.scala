@@ -343,8 +343,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     //    kaplanMeierImpl scaladoc documents the bucketing obligation)
     //  - q163: zipfFit's rank window reads the `orderBy().limit(topN)`
     //    TakeOrdered output — at most topN (200) rows by construction
+    //  - q226: liftTable's cumulative windows run over the <= nBins
+    //    (10) bin-aggregate output; the corpus-scale ranking beneath
+    //    is the runningTotalsReleasable prefix sum, not a window
     val bounded: Set[String] = Set(
-      "q163_zipf", "q195_survival", "q196_log_rank")
+      "q163_zipf", "q195_survival", "q196_log_rank", "q226_lift_table")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

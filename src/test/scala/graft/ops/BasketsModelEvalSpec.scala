@@ -88,4 +88,46 @@ class BasketsModelEvalSpec extends AnyFunSuite with Matchers
     ModelEval.calibrationReport(edge, "s", "y", 10)
       .collect().head.getLong(0) shouldBe 9L
   }
+
+  test("brierScore: hand-computed mean squared gap and base rate; " +
+    "null rows excluded") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some(true)), (Some(0.0), Some(false)),
+      (Some(0.5), Some(true)), (Some(0.8), Some(false)),
+      (None, Some(true)), (Some(0.3), Option.empty[Boolean]))
+      .toDF("s", "y")
+    val r = ModelEval.brierScore(df, "s", "y").collect().head
+    r.getLong(0) shouldBe 4L
+    r.getDouble(1) shouldBe ((0.0 + 0.0 + 0.25 + 0.64) / 4 +- 1e-12)
+    r.getDouble(2) shouldBe (0.5 +- 1e-12)
+  }
+
+  test("liftTable: hand-computed deciles, gains accumulate to 1, " +
+    "a tie group lands whole in the bin of its last row") {
+    import spark.implicits._
+    // scores 1..20 distinct; positives: 17-20 and 3 -> n_pos = 5
+    val df = (1 to 20).map(i =>
+      (i.toDouble, i >= 17 || i == 3)).toDF("s", "y")
+    val bins = ModelEval.liftTable(df, "s", "y", nBins = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    bins.keySet shouldBe (1L to 5L).toSet
+    bins(1L)._1 shouldBe 4L        // 20,19,18,17
+    bins(1L)._2 shouldBe 4L
+    bins(1L)._3 shouldBe 1.0
+    bins(1L)._5 shouldBe (1.0 / (5.0 / 20.0) +- 1e-12) // lift 4x
+    bins(1L)._4 shouldBe (4.0 / 5.0 +- 1e-12)          // gains 80%
+    bins(5L)._2 shouldBe 1L        // the stray positive at score 3
+    bins(5L)._4 shouldBe (1.0 +- 1e-12)                // gains end at 1
+    (2L to 4L).map(bins(_)._2).sum shouldBe 0L
+
+    // ties: scores [5,4,3,3,3,1] at nBins=2 — the 3-tie (cum 5 of 6)
+    // lands WHOLE in bin 2, so bin 1 holds only 2 rows
+    val ties = Seq(5.0, 4.0, 3.0, 3.0, 3.0, 1.0).map((_, false))
+      .toDF("s", "y")
+    val tb = ModelEval.liftTable(ties, "s", "y", nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tb shouldBe Map(1L -> 2L, 2L -> 4L)
+  }
 }
