@@ -246,6 +246,18 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
         Seq("o_orderpriority"), "o_orderstatus").collect().toSeq
   }
 
+  test("bridge model-eval additions (brier, lift table) equal the " +
+    "Scala calls") {
+    val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("(vec_id % 97) / 96.0 AS s", "label >= 5 AS y")
+    PyBridge.brierScore(scored, "s", "y").collect().toSeq shouldBe
+      graft.ops.ModelEval.brierScore(scored, "s", "y").collect().toSeq
+    PyBridge.liftTable(scored, "s", "y", 10)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.ops.ModelEval.liftTable(scored, "s", "y", 10)
+        .collect().map(_.toSeq).toSet
+  }
+
   test("bridge audio fingerprint + near-dups equal the Scala calls") {
     import spark.implicits._
     val df = ((0L until 10L).map(i =>
