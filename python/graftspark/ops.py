@@ -1261,6 +1261,80 @@ def lift_table(df: DataFrame, score_col: str, label_col: str,
         df._jdf, score_col, label_col, int(n_bins)), df)
 
 
+def average_precision(df: DataFrame, score_col: str,
+                      label_col: str) -> DataFrame:
+    """One-row average precision (step-interpolated PR-curve area at
+    distinct-score granularity) — the imbalance-honest companion to
+    ``auc``: both cumulatives come from one multi-weight distributed
+    prefix sum. Output: n_pos, n_neg, ap."""
+    return _to_py_df(_jvm_bridge(df).averagePrecision(
+        df._jdf, score_col, label_col), df)
+
+
+def threshold_report(df: DataFrame, score_col: str, label_col: str,
+                     thresholds: List[float]) -> DataFrame:
+    """Operating-point table: per candidate threshold, the confusion
+    counts of ``score >= t`` plus accuracy / precision / recall / F1 /
+    MCC / Cohen's kappa (NULL on empty denominators). One aggregate
+    with |thresholds| groups."""
+    return _to_py_df(_jvm_bridge(df).thresholdReport(
+        df._jdf, score_col, label_col,
+        [float(t) for t in thresholds]), df)
+
+
+def ranking_report(df: DataFrame, query_col: str, item_col: str,
+                   score_col: str, rel_col: str, k: int) -> DataFrame:
+    """Per-query ranking quality over (query, item, score, graded rel):
+    NDCG@k (rel / log2(rank+1) gain), reciprocal rank (0 when no
+    relevant item — averaging these is MRR), precision@k, recall@k.
+    Windows partition BY QUERY; ties break by item ascending."""
+    return _to_py_df(_jvm_bridge(df).rankingReport(
+        df._jdf, query_col, item_col, score_col, rel_col, int(k)), df)
+
+
+def acf(df: DataFrame, index_col: str, value_col: str,
+        max_lag: int) -> DataFrame:
+    """Sample autocorrelation of an evenly-indexed series at lags
+    1..max_lag (full-series mean/denominator): the periodicity screen.
+    Lag pairs come from an equi-join on the shifted index, never a
+    global-sort window. Output per lag: lag, n_pairs, acf."""
+    return _to_py_df(_jvm_bridge(df).acf(
+        df._jdf, index_col, value_col, int(max_lag)), df)
+
+
+def event_acf(df: DataFrame, ts_col: str, bucket_seconds: int,
+              max_lag: int) -> DataFrame:
+    """``acf`` over per-bucket event counts with empty buckets between
+    the first and last event counted as genuine zeros."""
+    return _to_py_df(_jvm_bridge(df).eventAcf(
+        df._jdf, ts_col, int(bucket_seconds), int(max_lag)), df)
+
+
+def exact_quantiles(df: DataFrame, value_col: str, qs: List[float],
+                    keys: Optional[List[str]] = None) -> DataFrame:
+    """EXACT discrete quantiles (SQL quantile_disc: the element at
+    ascending rank max(1, ceil(q*n))) at corpus scale — the bit-exact
+    contract form where approx quantiles have a rank epsilon. Output
+    per (keys, q): keys..., q, n, value."""
+    return _to_py_df(_jvm_bridge(df).exactQuantiles(
+        df._jdf, value_col, [float(q) for q in qs],
+        list(keys or [])), df)
+
+
+def name_match_pairs(left: DataFrame, right: DataFrame, id_col: str,
+                     key_col: str, min_sim: float,
+                     prefix_len: int = 2,
+                     band_width: int = 4) -> DataFrame:
+    """Blocked Jaro-Winkler record linkage: candidate pairs share a
+    prefix block and adjacent length bands (the classic recall/cost
+    blocking dial — NOT exact recall), scored by the codegen'd native
+    jaro_winkler expression (byte-level, 0.7 boost threshold, prefix
+    cap 4). Output: left_id, left_key, right_id, right_key, sim."""
+    return _to_py_df(_jvm_bridge(left).nameMatchPairs(
+        left._jdf, right._jdf, id_col, key_col, float(min_sim),
+        int(prefix_len), int(band_width)), left)
+
+
 def join_size_estimate(left: DataFrame, right: DataFrame,
                        left_key_cols: List[str],
                        right_key_cols: List[str]) -> DataFrame:

@@ -778,6 +778,46 @@ def test_round12c_stats_graph_noise():
     assert len(lt) <= 10
     caps = [r["cum_capture"] for r in sorted(lt, key=lambda r: r["bin"])]
     assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
+    ap = ops.average_precision(scored, "s", "y").collect()[0]
+    assert 0.0 <= ap["ap"] <= 1.0
+    assert ap["n_pos"] + ap["n_neg"] == scored.count()
+    tr = ops.threshold_report(scored, "s", "y", [0.25, 0.5, 0.75])
+    trows = tr.collect()
+    assert len(trows) == 3
+    assert all(r["tp"] + r["fp"] + r["fn"] + r["tn"] == scored.count()
+               for r in trows)
+
+    # ranking quality: a perfect run scores ndcg 1 and rr 1
+    runs = emb.selectExpr("vec_id % 20 AS q", "vec_id AS item",
+                          "greatest(0, label - 6) AS rel") \
+        .selectExpr("q", "item", "rel", "rel + 0.0 AS s")
+    rk = ops.ranking_report(runs, "q", "item", "s", "rel", 10)
+    perfect = rk.filter("n_rel > 0").collect()
+    assert perfect and all(abs(r["ndcg"] - 1.0) < 1e-9 for r in perfect)
+
+    # acf of the hourly event stream: lag-1 within [-1, 1]
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ac = ops.event_acf(events, "ts", 3600, 3).collect()
+    assert len(ac) == 3
+    assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in ac)
+
+    # exact quantiles agree with a literal sort
+    eq = {r["q"]: r["value"]
+          for r in ops.exact_quantiles(li, "l_quantity",
+                                       [0.5, 0.9]).collect()}
+    vals = sorted(r[0] for r in li.select("l_quantity").collect())
+    import math as _math
+    for q, v in eq.items():
+        assert v == vals[max(1, _math.ceil(q * len(vals))) - 1]
+
+    # blocked jaro-winkler linkage recovers a planted typo
+    base = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia")], ["id", "key"])
+    dirty = spark.createDataFrame(
+        [(11, "jonathon smith"), (12, "maria garcai")], ["id", "key"])
+    nm = ops.name_match_pairs(base, dirty, "id", "key", 0.9)
+    assert {(r["left_id"], r["right_id"]) for r in nm.collect()} >= {
+        (1, 11), (2, 12)}
 
     # data-quality trio
     orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))

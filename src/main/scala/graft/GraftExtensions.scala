@@ -65,6 +65,7 @@ object GraftExtensions {
     "vec_sum" -> (es => VecSumAgg(es.head).toAggregateExpression()),
     "vec_min" -> (es => VecMinAgg(es.head).toAggregateExpression()),
     "nfc_normalize" -> (es => NfcNormalize(es.head)),
+    "jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
     "char_entropy" -> (es => CharEntropy(es.head)),
     "normalize_text" -> (es => org.apache.spark.sql.GraftBridge.expression(
       graft.ops.TextOps.normalizeText(

@@ -2753,6 +2753,93 @@ object SparkEntry {
           (round(col("lift"), 6) + 0.0).as("lift"))
     }),
 
+    "q227_average_precision" -> ((s, dir) => {
+      // PR-curve area over the q172 fixture: BOTH cumulatives (trials
+      // and positives per descending threshold) from ONE multi-weight
+      // prefix-sum pass — the imbalance-honest twin of the AUC
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.averagePrecision(emb, "score", "y")
+        .select(col("n_pos"), col("n_neg"),
+          (round(col("ap"), 6) + 0.0).as("ap"))
+    }),
+
+    "q228_threshold_report" -> ((s, dir) => {
+      // operating-point table: confusion counts + derived metrics at
+      // five candidate cuts; one aggregate with |thresholds| groups
+      val emb = t(s, dir, "embeddings")
+        .select(((col("vec_id") % 97).cast("double") / 96.0)
+          .as("score"), (col("label") >= 5).as("y"))
+      ops.ModelEval.thresholdReport(emb, "score", "y",
+        Seq(0.2, 0.35, 0.5, 0.65, 0.8))
+        .select((round(col("threshold"), 6) + 0.0).as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          (round(col("accuracy"), 6) + 0.0).as("accuracy"),
+          (round(col("precision"), 6) + 0.0).as("precision"),
+          (round(col("recall"), 6) + 0.0).as("recall"),
+          (round(col("f1"), 6) + 0.0).as("f1"),
+          (round(col("mcc"), 6) + 0.0).as("mcc"),
+          (round(col("kappa"), 6) + 0.0).as("kappa"))
+    }),
+
+    "q229_ranking_metrics" -> ((s, dir) => {
+      // per-query retrieval quality: NDCG@10 / reciprocal rank /
+      // precision@10 / recall@10 over a deterministic 25-query ranking
+      // fixture with graded relevance; windows partition BY QUERY
+      val runs = t(s, dir, "embeddings").select(
+        (col("vec_id") % 25).as("query"), col("vec_id").as("item"),
+        (((col("vec_id") * 37) % 101).cast("double") / 100.0)
+          .as("score"),
+        greatest(lit(0), col("label") - 6).cast("double").as("rel"))
+      ops.ModelEval.rankingReport(runs, "query", "item", "score",
+        "rel", k = 10)
+        .select(col("query"), col("n_items"), col("n_rel"),
+          (round(col("dcg"), 6) + 0.0).as("dcg"),
+          (round(col("ndcg"), 6) + 0.0).as("ndcg"),
+          (round(col("rr"), 6) + 0.0).as("rr"),
+          (round(col("precision_at_k"), 6) + 0.0).as("precision_at_k"),
+          (round(col("recall_at_k"), 6) + 0.0).as("recall_at_k"))
+    }),
+
+    "q230_event_acf" -> ((s, dir) => {
+      // hourly-bucket autocorrelation of the event stream, lags 1..30:
+      // quiet hours count as zeros; the lag pairs come from an
+      // equi-join on the shifted index, never a global-sort window
+      ops.EventStats.eventAcf(t(s, dir, "events"), "ts",
+        bucketSeconds = 3600L, maxLag = 30)
+        .select(col("lag"), col("n_pairs"),
+          (round(col("acf"), 6) + 0.0).as("acf"))
+    }),
+
+    "q231_exact_quantiles" -> ((s, dir) => {
+      // exact discrete quantiles of lineitem prices at seven cuts —
+      // quantile_disc parity via the distributed prefix sum (the KLL
+      // sketch answers the same question with a rank epsilon; this is
+      // the bit-exact contract form)
+      ops.FeatureScale.exactQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .select((round(col("q"), 6) + 0.0).as("q"), col("n"),
+          (round(col("value"), 6) + 0.0).as("value"))
+    }),
+
+    "q232_name_match" -> ((s, dir) => {
+      // blocked Jaro-Winkler record linkage: clean part names vs a
+      // deterministically typo'd copy (3rd char dropped) — planted
+      // matches recover through the (prefix, length-band) blocks; the
+      // scorer is the codegen'd native expression
+      val base = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit(" #"), col("p_partkey") % 100)
+          .as("key"))
+      val typod = base.select((col("id") + 100000).as("id"),
+        concat(substring(col("key"), 1, 2), substring(col("key"), 4,
+          1000000)).as("key"))
+      ops.Joins.nameMatchPairs(base, typod, "id", "key",
+        minSim = 0.95)
+        .select(col("left_id"), col("right_id"),
+          (round(col("sim"), 6) + 0.0).as("sim"))
+    }),
+
     "q224_categorical_tvd" -> ((s, dir) => {
       // categorical total-variation drift from the q114 sketches:
       // the plain fraction of shifted mass, next to PSI's log-ratio
@@ -5961,6 +6048,125 @@ object SparkEntry {
         |  round((n_pos::DOUBLE / n) / (tp::DOUBLE / tn), 6) + 0.0
         |    AS lift
         |FROM f""".stripMargin,
+
+    "q227_average_precision" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    label >= 5 AS y FROM embeddings),
+        |c AS (SELECT sc, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT sc, t, p,
+        |    sum(t) OVER (ORDER BY sc DESC) AS ct,
+        |    sum(p) OVER (ORDER BY sc DESC) AS cp FROM c)
+        |SELECT sum(p)::BIGINT AS n_pos,
+        |  (sum(t) - sum(p))::BIGINT AS n_neg,
+        |  round(sum(p * (cp::DOUBLE / ct)) / sum(p), 6) + 0.0 AS ap
+        |FROM r""".stripMargin,
+
+    "q228_threshold_report" ->
+      """WITH s AS (SELECT (vec_id % 97)::DOUBLE / 96.0 AS sc,
+        |    label >= 5 AS y FROM embeddings),
+        |th AS (SELECT unnest([0.2, 0.35, 0.5, 0.65, 0.8]) AS threshold),
+        |c AS (SELECT threshold,
+        |    count(*) FILTER (WHERE sc >= threshold AND y)::BIGINT AS tp,
+        |    count(*) FILTER (WHERE sc >= threshold AND NOT y)::BIGINT AS fp,
+        |    count(*) FILTER (WHERE sc < threshold AND y)::BIGINT AS fn,
+        |    count(*) FILTER (WHERE sc < threshold AND NOT y)::BIGINT AS tn
+        |  FROM s, th GROUP BY 1),
+        |d AS (SELECT *, (tp + fp + fn + tn)::DOUBLE AS n,
+        |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS prec,
+        |    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS rec,
+        |    ((tp + fp)::DOUBLE * (tp + fn) + (fn + tn)::DOUBLE * (fp + tn))
+        |      / ((tp + fp + fn + tn)::DOUBLE * (tp + fp + fn + tn)) AS pe
+        |  FROM c)
+        |SELECT round(threshold, 6) + 0.0 AS threshold, tp, fp, fn, tn,
+        |  round((tp + tn) / n, 6) + 0.0 AS accuracy,
+        |  round(prec, 6) + 0.0 AS precision,
+        |  round(rec, 6) + 0.0 AS recall,
+        |  round(CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+        |      AND prec + rec > 0
+        |    THEN 2.0 * prec * rec / (prec + rec) END, 6) + 0.0 AS f1,
+        |  round(CASE WHEN sqrt((tp + fp)::DOUBLE * (tp + fn)
+        |        * (tn + fp) * (tn + fn)) > 0
+        |    THEN (tp::DOUBLE * tn - fp::DOUBLE * fn)
+        |      / sqrt((tp + fp)::DOUBLE * (tp + fn) * (tn + fp)
+        |        * (tn + fn)) END, 6) + 0.0 AS mcc,
+        |  round(CASE WHEN pe < 1.0
+        |    THEN ((tp + tn) / n - pe) / (1.0 - pe) END, 6) + 0.0 AS kappa
+        |FROM d""".stripMargin,
+
+    "q229_ranking_metrics" ->
+      """WITH runs AS (SELECT vec_id % 25 AS query, vec_id AS item,
+        |    ((vec_id * 37) % 101)::DOUBLE / 100.0 AS score,
+        |    greatest(0, label - 6)::DOUBLE AS rel FROM embeddings),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY query
+        |      ORDER BY score DESC, item ASC) AS rnk,
+        |    row_number() OVER (PARTITION BY query
+        |      ORDER BY rel DESC, item ASC) AS irnk FROM runs),
+        |g AS (SELECT query, count(*)::BIGINT AS n_items,
+        |    count(*) FILTER (WHERE rel > 0)::BIGINT AS n_rel,
+        |    sum(CASE WHEN rnk <= 10
+        |      THEN rel / log2(rnk + 1.0) ELSE 0.0 END) AS dcg,
+        |    sum(CASE WHEN irnk <= 10
+        |      THEN rel / log2(irnk + 1.0) ELSE 0.0 END) AS idcg,
+        |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+        |    count(*) FILTER (WHERE rel > 0 AND rnk <= 10)::BIGINT
+        |      AS hits
+        |  FROM r GROUP BY 1)
+        |SELECT query, n_items, n_rel,
+        |  round(dcg, 6) + 0.0 AS dcg,
+        |  round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) + 0.0
+        |    AS ndcg,
+        |  round(coalesce(1.0 / first_rel, 0.0), 6) + 0.0 AS rr,
+        |  round(hits / 10.0, 6) + 0.0 AS precision_at_k,
+        |  round(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel END, 6)
+        |    + 0.0 AS recall_at_k
+        |FROM g""".stripMargin,
+
+    "q230_event_acf" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000)::BIGINT AS t,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |r AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+        |idx AS (SELECT unnest(generate_series(lo, hi)) AS t FROM r),
+        |d AS (SELECT idx.t, coalesce(b.n, 0)::DOUBLE AS v
+        |  FROM idx LEFT JOIN b ON b.t = idx.t),
+        |s AS (SELECT avg(v) AS mu FROM d),
+        |den AS (SELECT sum((v - mu) * (v - mu)) AS den FROM d, s),
+        |lags AS (SELECT unnest(generate_series(1, 30)) AS lag),
+        |p AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+        |    sum((a.v - s.mu) * (b.v - s.mu)) AS num
+        |  FROM lags l JOIN d a ON true
+        |    JOIN d b ON b.t = a.t + l.lag, s
+        |  GROUP BY 1)
+        |SELECT lag::INT AS lag, n_pairs,
+        |  round(CASE WHEN den.den > 0 THEN num / den.den END, 6) + 0.0
+        |    AS acf
+        |FROM p, den""".stripMargin,
+
+    // quantile_disc needs CONSTANT parameters, so one arm per q —
+    // DuckDB's own quantile implementation stays the independent oracle
+    "q231_exact_quantiles" ->
+      Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+        s"""SELECT $q + 0.0 AS q,
+           |  (SELECT count(l_extendedprice) FROM lineitem)::BIGINT AS n,
+           |  round((SELECT quantile_disc(l_extendedprice, $q)
+           |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    "q232_name_match" ->
+      """WITH base AS (SELECT p_partkey AS id,
+        |    p_name || ' #' || (p_partkey % 100) AS key FROM part),
+        |typo AS (SELECT id + 100000 AS id,
+        |    substr(key, 1, 2) || substr(key, 4) AS key FROM base),
+        |p AS (SELECT l.id AS left_id, r.id AS right_id,
+        |    jaro_winkler_similarity(l.key, r.key) AS sim
+        |  FROM base l JOIN typo r
+        |    ON substr(l.key, 1, 2) = substr(r.key, 1, 2)
+        |   AND abs(floor(len(l.key) / 4) - floor(len(r.key) / 4)) <= 1
+        |  WHERE len(l.key) >= 2 AND len(r.key) >= 2)
+        |SELECT left_id, right_id, round(sim, 6) + 0.0 AS sim
+        |FROM p WHERE sim >= 0.95""".stripMargin,
 
     "q224_categorical_tvd" ->
       """WITH e AS (SELECT event_type, (user_id % 2 = 0) AS is_a

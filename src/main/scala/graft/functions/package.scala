@@ -145,6 +145,12 @@ package object functions {
   /** Unicode NFC canonical composition (codegen'd static call). */
   def nfc_normalize(text: Column): Column = col(NfcNormalize(expr(text)))
 
+  /** Jaro-Winkler similarity in [0, 1] (codegen'd static call;
+    * DuckDB-parity semantics — see [[JaroWinkler]]).
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinkler(expr(a), expr(b)))
+
   /** Shannon entropy (nats) of a string's codepoint distribution. */
   def char_entropy(text: Column): Column = col(CharEntropy(expr(text)))
 

@@ -157,6 +157,91 @@ object EventStats {
         (col("n") * lit(168.0) / col("__total")).as("lift"))
   }
 
+  /** Sample autocorrelation of an evenly-indexed series at lags
+    * 1..maxLag: r_lag = sum((x_t - mean)(x_{t+lag} - mean)) /
+    * sum((x_t - mean)^2), with the mean/denominator over the FULL
+    * series — the standard sample ACF, the periodicity screen that
+    * tells a traffic monitor its cycle length (a daily rhythm spikes
+    * r at lag 24 on hourly buckets) and a drift monitor whether
+    * "anomalies" are just seasonality. Rows with a NULL index/value
+    * drop; the series is assumed dense (use [[eventAcf]] to build a
+    * gap-filled series from raw events) — a missing index contributes
+    * no pair at the lags that would touch it. Returns one row per
+    * lag: lag, n_pairs, acf (NULL for a constant series).
+    *
+    * Scale shape: the mean/denominator reduce in one aggregate and
+    * ride back as a broadcast 1-row; the lagged products come from an
+    * equi-join of the series with itself on (t + lag) — lags explode
+    * against a literal array, so the join carries |series| x maxLag
+    * cells hash-partitioned on the shifted index, never a global-sort
+    * window (the naive `lag().over(orderBy(t))` funnels the whole
+    * series through ONE task).
+    */
+  def acf(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series
+      .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(indexCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val mu = s.agg(avg(col("__v")).as("__mu"))
+    val centered = s.crossJoin(broadcast(mu))
+      .select(col("__t"), (col("__v") - col("__mu")).as("__d"))
+    val den = centered.agg(sum(col("__d") * col("__d")).as("__den"))
+    val a = centered
+      .select(col("__t"), col("__d"),
+        explode(array((1 to maxLag).map(l => lit(l)): _*)).as("lag"))
+    val b = centered
+      .select(col("__t").as("__bt"), col("__d").as("__bd"))
+    a.join(b, col("__t") + col("lag") === col("__bt"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__d") * col("__bd")).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+        when(col("__den") > 0, col("__num") / col("__den")).as("acf"))
+  }
+
+  /** [[acf]] over the per-bucket EVENT COUNTS of a raw event stream:
+    * timestamps bucket to `floor(t / bucketSeconds)`, empty buckets
+    * between the first and last event count as genuine zeros (a
+    * quiet hour is data, not a gap), and the dense series feeds the
+    * lag join. The only driver state is the two bucket bounds (one
+    * 1-row collect); the dense index is a distributed `range`.
+    */
+  def eventAcf(
+      df: DataFrame,
+      tsCol: String,
+      bucketSeconds: Long,
+      maxLag: Int): DataFrame = {
+    require(bucketSeconds >= 1,
+      s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val t = EventTime.micros(df, tsCol)
+    val counts = df
+      .filter(t.isNotNull)
+      .select(t.as("__tm"))
+      // integer division (micros are exact longs; a double quotient
+      // could round across a bucket boundary)
+      .selectExpr(s"__tm div ${bucketSeconds * 1000000L} AS __b")
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val bounds = counts
+      .agg(min(col("__b")).as("lo"), max(col("__b")).as("hi"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return acf(counts.select(col("__b"), col("__n")), "__b", "__n",
+        maxLag)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val dense = df.sparkSession.range(0L, hi - lo + 1L)
+      .select((col("id") + lit(lo)).as("__b"))
+    val series = dense.join(counts, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__n"), lit(0L)).as("__n"))
+    acf(series, "__b", "__n", maxLag)
+  }
+
   /** Per-key inter-arrival statistics: number of gaps, mean/min/max
     * gap (seconds), sample std-dev, and the coefficient of variation —
     * the burstiness profile of an event stream (CV ~ 1 is Poisson,

@@ -267,37 +267,64 @@ object FeatureScale {
       df: DataFrame,
       order: Seq[Column],
       weight: Column): (DataFrame, () => Unit) = {
+    val (multi, release) =
+      runningTotalsMultiReleasable(df, order, Seq("" -> weight))
+    (multi.withColumnRenamed("__cum_", "__cum")
+      .withColumnRenamed("__n_", "__n"), release)
+  }
+
+  /** [[runningTotalsReleasable]] for SEVERAL weights over ONE shared
+    * ordering: each (name, weight) yields `__cum_<name>` (inclusive
+    * running total) and `__n_<name>` (grand total) — the sorted layout,
+    * the offsets frame, and the in-partition running window are all
+    * paid ONCE, where N single-weight calls would range-exchange the
+    * input N times. Needed wherever a rank statistic reads two
+    * cumulatives at the same row (average precision: cumulative trials
+    * AND cumulative positives at each score threshold).
+    */
+  def runningTotalsMultiReleasable(
+      df: DataFrame,
+      order: Seq[Column],
+      weights: Seq[(String, Column)]): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "runningTotals needs an ordering")
+    require(weights.nonEmpty, "runningTotals needs at least one weight")
     val inCols = df.columns.toSeq
-    val sorted = df
-      .withColumn("__w", weight)
+    val sorted = weights
+      .foldLeft(df) { case (d, (n, w)) => d.withColumn(s"__w_$n", w) }
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-partition subtotals -> exclusive offsets + grand total; both
+    // per-partition subtotals -> exclusive offsets + grand totals; the
     // windows order by __pid over #partitions rows (bounded), so Spark
     // plans them in one WindowExec
     val offWin = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val allWin = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val psums = weights.map { case (n, _) =>
+      sum(col(s"__w_$n")).as(s"__psum_$n") }
     val offsets = sorted
       .groupBy(col("__pid"))
-      .agg(sum(col("__w")).as("__psum"))
-      .select(col("__pid").as("__off_pid"),
-        coalesce(sum(col("__psum")).over(offWin), lit(0L)).as("__poffset"),
-        sum(col("__psum")).over(allWin).as("__n"))
+      .agg(psums.head, psums.tail: _*)
+      .select((col("__pid").as("__off_pid") +: weights.flatMap {
+        case (n, _) => Seq(
+          coalesce(sum(col(s"__psum_$n")).over(offWin), lit(0L))
+            .as(s"__poffset_$n"),
+          sum(col(s"__psum_$n")).over(allWin).as(s"__n_$n"))
+      }): _*)
 
     val running = Window.partitionBy(col("__pid"))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = sorted
-      .join(offsets, col("__pid") === col("__off_pid"))
-      .withColumn("__cum",
-        col("__poffset") + sum(col("__w")).over(running))
-      .select((inCols.map(col) :+ col("__cum") :+ col("__n")): _*)
+    val out = weights
+      .foldLeft(sorted.join(offsets, col("__pid") === col("__off_pid"))) {
+        case (d, (n, _)) => d.withColumn(s"__cum_$n",
+          col(s"__poffset_$n") + sum(col(s"__w_$n")).over(running))
+      }
+      .select((inCols.map(col) ++ weights.flatMap { case (n, _) =>
+        Seq(col(s"__cum_$n"), col(s"__n_$n")) }): _*)
     (out, () => { sorted.unpersist(); () })
   }
 
@@ -316,5 +343,68 @@ object FeatureScale {
     val ranks = percentileRanks(df, valueCol, keys, outCol)
     df.join(ranks, keys :+ valueCol, "left")
       .select((df.columns.toSeq.map(col) :+ col(outCol)): _*)
+  }
+
+  /** EXACT discrete quantiles at corpus scale (optionally per `keys`
+    * group): for each q, the element at ascending rank
+    * `max(1, ceil(q * n))` — SQL `quantile_disc` semantics, the
+    * actually-occurring value (never an interpolation), where
+    * `percentile_approx`/KLL answers are off by a rank epsilon. The
+    * difference matters when the quantile IS the contract: a conformal
+    * prediction threshold, a p99 latency SLO, a "trim the top 0.1%"
+    * cut that must reproduce bit-for-bit across runs. NULL values
+    * carry no rank. Returns one row per (keys, q): keys..., q, n,
+    * value.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the corpus
+    * to distinct-value counts. Ungrouped, the global rank comes from
+    * the [[runningTotalsReleasable]] distributed prefix sum (never a
+    * single-partition sort); grouped, the cumulative window partitions
+    * BY GROUP — parallel at any key count. Selection explodes the
+    * (small, literal) q list against the counts and takes one min per
+    * (group, q). The persisted layout of the ungrouped path lives
+    * until session end in this convenience form (the
+    * [[percentileRanks]] contract).
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double],
+      keys: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty, "exactQuantiles needs at least one q")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"every q must be in [0, 1], got $qs")
+    val keyCols = keys.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((keyCols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum =
+      if (keys.isEmpty) {
+        val (c, release) = runningTotalsReleasable(
+          counts, Seq(col(valueCol)), col("__c"))
+        val _ = release
+        c
+      } else {
+        val wRun = Window.partitionBy(keyCols: _*)
+          .orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(keyCols: _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        counts
+          .withColumn("__cum", sum(col("__c")).over(wRun))
+          .withColumn("__n", sum(col("__c")).over(wAll))
+      }
+    // rank_q = max(1, ceil(q * n)) in DOUBLE exactly as the oracle
+    // computes it — both engines see the same literal and the same
+    // IEEE product, so boundary cases agree by construction
+    cum
+      .select((keyCols :+ col(valueCol) :+ col("__cum") :+ col("__n") :+
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .filter(col("__cum") >=
+        greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .groupBy((keyCols :+ col("q")): _*)
+      .agg(max(col("__n")).as("n"), min(col(valueCol)).as("value"))
   }
 }

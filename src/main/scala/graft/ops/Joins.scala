@@ -353,4 +353,63 @@ object Joins {
       .select(col("left_id"), col("left_key"),
         col("right_id"), col("right_key"), col("dist"))
   }
+
+  /** Blocked record linkage by Jaro-Winkler similarity: pairs from
+    * `left` x `right` whose keys block together (same `prefixLen`-byte
+    * prefix, length bands within one step of width `bandWidth`) and
+    * score `jaro_winkler >= minSim` — the name/title matcher for
+    * entity resolution, where [[fuzzyJoin]]'s edit-distance counts
+    * typos but misses that "Jonathan Smythe" and "Jonathon Smith" are
+    * the same person. Keys should be pre-normalized (case, NFC —
+    * [[graft.functions.JaroWinkler]] is byte-exact by design, matching
+    * the DuckDB oracle).
+    *
+    * Recall contract — UNLIKE [[fuzzyJoin]], blocking here is the
+    * standard record-linkage recall/cost dial, not a guarantee:
+    * Jaro-Winkler has no block-compatible exact bound (a high score
+    * CAN survive a first-byte mismatch that prefix blocking prunes).
+    * The default (2-byte prefix, ±1 length band) is the classic
+    * Fellegi-Sunter blocking; widen `bandWidth` / shrink `prefixLen`
+    * to trade cost for recall.
+    *
+    * Scale shape: the only exchange carries the skinny exploded block
+    * rows; the left side emits ONE block per key and the right side
+    * its three adjacent bands, so a pair meets exactly once and the
+    * candidate stream needs no dedup. Scoring is the codegen'd
+    * [[graft.functions.JaroWinkler]] on the blocked candidates only —
+    * never all pairs.
+    */
+  def nameMatchPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      keyCol: String,
+      minSim: Double,
+      prefixLen: Int = 2,
+      bandWidth: Int = 4): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(bandWidth >= 1, s"bandWidth must be >= 1, got $bandWidth")
+    def blocks(df: DataFrame, side: String,
+        threeBands: Boolean): DataFrame = {
+      val k = col(keyCol)
+      val pfx = substring(k, 1, prefixLen)
+      val band = floor(length(k) / bandWidth)
+      val bands =
+        if (threeBands) array(concat(pfx, lit(":"), band),
+          concat(pfx, lit(":"), band - 1), concat(pfx, lit(":"), band + 1))
+        else array(concat(pfx, lit(":"), band))
+      df.filter(k.isNotNull && length(k) >= prefixLen)
+        .select(col(idCol).as(s"${side}_id"), k.as(s"${side}_key"),
+          explode(bands).as("__block"))
+    }
+    blocks(left, "left", threeBands = false)
+      .join(blocks(right, "right", threeBands = true), Seq("__block"))
+      .withColumn("sim",
+        graft.functions.jaro_winkler(col("left_key"), col("right_key")))
+      .filter(col("sim") >= minSim)
+      .select(col("left_id"), col("left_key"),
+        col("right_id"), col("right_key"), col("sim"))
+  }
 }

@@ -983,6 +983,48 @@ object PyBridge {
       nBins: Int): DataFrame =
     graft.ops.ModelEval.liftTable(df, scoreCol, labelCol, nBins)
 
+  /** One-row average precision (PR-curve area). */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    graft.ops.ModelEval.averagePrecision(df, scoreCol, labelCol)
+
+  /** Operating-point confusion + derived metrics per threshold. */
+  def thresholdReport(df: DataFrame, scoreCol: String,
+      labelCol: String,
+      thresholds: java.util.List[java.lang.Double]): DataFrame =
+    graft.ops.ModelEval.thresholdReport(df, scoreCol, labelCol,
+      thresholds.asScala.toSeq.map(_.doubleValue()))
+
+  /** Per-query NDCG@k / RR / precision@k / recall@k. */
+  def rankingReport(df: DataFrame, queryCol: String, itemCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame =
+    graft.ops.ModelEval.rankingReport(df, queryCol, itemCol, scoreCol,
+      relCol, k)
+
+  /** Sample autocorrelation of an evenly-indexed series. */
+  def acf(df: DataFrame, indexCol: String, valueCol: String,
+      maxLag: Int): DataFrame =
+    graft.ops.EventStats.acf(df, indexCol, valueCol, maxLag)
+
+  /** [[acf]] over gap-filled per-bucket event counts. */
+  def eventAcf(df: DataFrame, tsCol: String, bucketSeconds: Long,
+      maxLag: Int): DataFrame =
+    graft.ops.EventStats.eventAcf(df, tsCol, bucketSeconds, maxLag)
+
+  /** Exact discrete quantiles (quantile_disc semantics). */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: java.util.List[java.lang.Double],
+      keys: java.util.List[String]): DataFrame =
+    graft.ops.FeatureScale.exactQuantiles(df, valueCol,
+      qs.asScala.toSeq.map(_.doubleValue()), keys.asScala.toSeq)
+
+  /** Blocked Jaro-Winkler record linkage. */
+  def nameMatchPairs(left: DataFrame, right: DataFrame, idCol: String,
+      keyCol: String, minSim: Double, prefixLen: Int,
+      bandWidth: Int): DataFrame =
+    graft.ops.Joins.nameMatchPairs(left, right, idCol, keyCol, minSim,
+      prefixLen, bandWidth)
+
   /** Exact pre-flight equi-join output-size forecast. */
   def joinSizeEstimate(left: DataFrame, right: DataFrame,
       leftKeyCols: java.util.List[String],
