@@ -1321,6 +1321,55 @@ def exact_quantiles(df: DataFrame, value_col: str, qs: List[float],
         list(keys or [])), df)
 
 
+def welch_t_test(df: DataFrame, group_col: str, value_col: str,
+                 group_a: str, group_b: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (the A/B workhorse):
+    one aggregate -> n_a, n_b, mean_a, mean_b, diff, se, t_stat,
+    df (Welch-Satterthwaite). No p-value column: at pipeline scale df
+    is huge and |t| > 1.96 is the 5% normal read."""
+    return _to_py_df(_jvm_bridge(df).welchTTest(
+        df._jdf, group_col, value_col, group_a, group_b), df)
+
+
+def mann_whitney(df: DataFrame, group_col: str, value_col: str,
+                 group_a: str, group_b: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U / z (rank-based two-sample test
+    for skewed metrics), computed on distinct-value counts via the
+    distributed prefix sum — never a single-partition sort. Output:
+    n_a, n_b, u, z."""
+    return _to_py_df(_jvm_bridge(df).mannWhitney(
+        df._jdf, group_col, value_col, group_a, group_b), df)
+
+
+def agreement_report(df: DataFrame, col_a: str,
+                     col_b: str) -> DataFrame:
+    """Inter-rater agreement between two label columns: observed
+    agreement po, chance agreement pe, Cohen's kappa. One contingency
+    aggregate; NULL on either side drops the row."""
+    return _to_py_df(_jvm_bridge(df).agreementReport(
+        df._jdf, col_a, col_b), df)
+
+
+def event_series(df: DataFrame, ts_col: str,
+                 bucket_seconds: int) -> DataFrame:
+    """Dense per-bucket event-count series (t, n) from first to last
+    event; quiet buckets count 0. Feeds ``acf`` / ``decompose``."""
+    return _to_py_df(_jvm_bridge(df).eventSeries(
+        df._jdf, ts_col, int(bucket_seconds)), df)
+
+
+def decompose(df: DataFrame, index_col: str, value_col: str,
+              period: int, trend_window: int) -> DataFrame:
+    """Additive decomposition v = trend + seasonal + residual: centered
+    moving-average trend (NULL at incomplete edges), per-phase seasonal
+    means of the DETRENDED series, residual. The moving average comes
+    from an offsets explode + hash aggregate, never a global-sort
+    window. Output per index: t, v, trend, seasonal, residual."""
+    return _to_py_df(_jvm_bridge(df).decompose(
+        df._jdf, index_col, value_col, int(period),
+        int(trend_window)), df)
+
+
 def name_match_pairs(left: DataFrame, right: DataFrame, id_col: str,
                      key_col: str, min_sim: float,
                      prefix_len: int = 2,

@@ -810,6 +810,28 @@ def test_round12c_stats_graph_noise():
     for q, v in eq.items():
         assert v == vals[max(1, _math.ceil(q * len(vals))) - 1]
 
+    # A/B stats: welch t and mann-whitney agree on direction
+    supp2 = supp.selectExpr(
+        "CASE WHEN s_nationkey < 12 THEN 'old' ELSE 'new' END AS g",
+        "s_acctbal AS v")
+    wt = ops.welch_t_test(supp2, "g", "v", "old", "new").collect()[0]
+    assert wt["n_a"] + wt["n_b"] == supp2.count()
+    mw = ops.mann_whitney(supp2, "g", "v", "old", "new").collect()[0]
+    assert 0.0 <= mw["u"] <= mw["n_a"] * mw["n_b"]
+
+    # inter-rater agreement: planted 1-in-7 disagreement -> kappa < 1
+    raters = docs.selectExpr(
+        "lang AS a",
+        "CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b")
+    ag = ops.agreement_report(raters, "a", "b").collect()[0]
+    assert 0.0 < ag["kappa"] < 1.0 and abs(ag["po"] - 6 / 7) < 0.01
+
+    # series decomposition: hourly series, 24h period
+    series = ops.event_series(events, "ts", 3600)
+    dec = ops.decompose(series, "t", "n", 24, 12)
+    assert dec.count() == series.count()
+    assert dec.filter("trend IS NULL").count() == 24  # 12 each edge
+
     # blocked jaro-winkler linkage recovers a planted typo
     base = spark.createDataFrame(
         [(1, "jonathan smith"), (2, "maria garcia")], ["id", "key"])

@@ -2823,6 +2823,58 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q233_welch_ttest" -> ((s, dir) => {
+      // A/B read on the q223 cohorts: does the account-balance MEAN
+      // differ — unequal-variance t, one map-side-combined aggregate
+      val sup = t(s, dir, "supplier").withColumn("cohort",
+        when(col("s_nationkey") < 12, "old").otherwise("new"))
+      ops.Stats.welchTTest(sup, "cohort", "s_acctbal", "old", "new")
+        .select(col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + 0.0).as("mean_a"),
+          (round(col("mean_b"), 6) + 0.0).as("mean_b"),
+          (round(col("diff"), 6) + 0.0).as("diff"),
+          (round(col("se"), 6) + 0.0).as("se"),
+          (round(col("t_stat"), 6) + 0.0).as("t_stat"),
+          (round(col("df"), 6) + 0.0).as("df"))
+    }),
+
+    "q234_mann_whitney" -> ((s, dir) => {
+      // the rank-based twin on the same cohorts: tie-corrected U/z via
+      // the distinct-value counts prefix sum (the AUC plan)
+      val sup = t(s, dir, "supplier").withColumn("cohort",
+        when(col("s_nationkey") < 12, "old").otherwise("new"))
+      ops.Stats.mannWhitney(sup, "cohort", "s_acctbal", "old", "new")
+        .select(col("n_a"), col("n_b"),
+          (round(col("u"), 6) + 0.0).as("u"),
+          (round(col("z"), 6) + 0.0).as("z"))
+    }),
+
+    "q235_rater_agreement" -> ((s, dir) => {
+      // label-QA screen: a second rater that disagrees on every 7th
+      // doc — po/pe/kappa from one contingency aggregate
+      val d = t(s, dir, "documents").select(col("lang").as("rater_a"),
+        when(col("doc_id") % 7 === 0, lit("xx"))
+          .otherwise(col("lang")).as("rater_b"))
+      ops.Stats.agreementReport(d, "rater_a", "rater_b")
+        .select(col("n"), (round(col("po"), 6) + 0.0).as("po"),
+          (round(col("pe"), 6) + 0.0).as("pe"),
+          (round(col("kappa"), 6) + 0.0).as("kappa"))
+    }),
+
+    "q236_decompose" -> ((s, dir) => {
+      // trend + daily-shape + residual of the hourly event series:
+      // the moving average via offsets explode (never a global-sort
+      // window), seasonal as a 24-row broadcast
+      val series = ops.EventStats.eventSeries(t(s, dir, "events"),
+        "ts", bucketSeconds = 3600L)
+      ops.EventStats.decompose(series, "t", "n", period = 24,
+        trendWindow = 12)
+        .select(col("t"), col("v"),
+          (round(col("trend"), 6) + 0.0).as("trend"),
+          (round(col("seasonal"), 6) + 0.0).as("seasonal"),
+          (round(col("residual"), 6) + 0.0).as("residual"))
+    }),
+
     "q232_name_match" -> ((s, dir) => {
       // blocked Jaro-Winkler record linkage: clean part names vs a
       // deterministically typo'd copy (3rd char dropped) — planted
@@ -6153,6 +6205,90 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q233_welch_ttest" ->
+      """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'
+        |    ELSE 'new' END AS g, s_acctbal AS v FROM supplier
+        |  WHERE s_acctbal IS NOT NULL),
+        |a AS (SELECT
+        |    count(*) FILTER (WHERE g = 'old')::BIGINT AS n_a,
+        |    count(*) FILTER (WHERE g = 'new')::BIGINT AS n_b,
+        |    avg(v) FILTER (WHERE g = 'old') AS mean_a,
+        |    avg(v) FILTER (WHERE g = 'new') AS mean_b,
+        |    var_samp(v) FILTER (WHERE g = 'old') AS va,
+        |    var_samp(v) FILTER (WHERE g = 'new') AS vb
+        |  FROM s),
+        |d AS (SELECT *, va / n_a AS sa, vb / n_b AS sb FROM a)
+        |SELECT n_a, n_b,
+        |  round(mean_a, 6) + 0.0 AS mean_a,
+        |  round(mean_b, 6) + 0.0 AS mean_b,
+        |  round(mean_a - mean_b, 6) + 0.0 AS diff,
+        |  round(sqrt(sa + sb), 6) + 0.0 AS se,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(sa + sb) > 0
+        |    THEN (mean_a - mean_b) / sqrt(sa + sb) END, 6) + 0.0
+        |    AS t_stat,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(sa + sb) > 0
+        |    THEN pow(sa + sb, 2.0) / (pow(sa, 2.0) / (n_a - 1)
+        |      + pow(sb, 2.0) / (n_b - 1)) END, 6) + 0.0 AS df
+        |FROM d""".stripMargin,
+
+    "q234_mann_whitney" ->
+      """WITH s AS (SELECT CAST(s_acctbal AS DOUBLE) AS v,
+        |    (s_nationkey < 12) AS a FROM supplier
+        |  WHERE s_acctbal IS NOT NULL),
+        |c AS (SELECT v, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS p
+        |  FROM s GROUP BY 1),
+        |r AS (SELECT t, p, sum(t) OVER (ORDER BY v) AS cum FROM c),
+        |g AS (SELECT sum(p)::BIGINT AS na,
+        |    (sum(t) - sum(p))::BIGINT AS nb,
+        |    sum(p * ((cum - t) + (t + 1) / 2.0)) AS ra,
+        |    sum(t::DOUBLE * t * t - t) AS ties FROM r),
+        |f AS (SELECT na, nb, ra - na::DOUBLE * (na + 1) / 2 AS u,
+        |    sqrt(na::DOUBLE * nb / 12.0 * ((na + nb + 1)
+        |      - ties / ((na + nb)::DOUBLE * (na + nb - 1)))) AS sig
+        |  FROM g)
+        |SELECT na AS n_a, nb AS n_b, round(u, 6) + 0.0 AS u,
+        |  round(CASE WHEN na > 0 AND nb > 0 AND sig > 0
+        |    THEN (u - na::DOUBLE * nb / 2) / sig END, 6) + 0.0 AS z
+        |FROM f""".stripMargin,
+
+    "q235_rater_agreement" ->
+      """WITH r AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT a, b, count(*)::DOUBLE AS c FROM r GROUP BY 1, 2),
+        |n AS (SELECT sum(c) AS n,
+        |    sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM c),
+        |ma AS (SELECT a AS k, sum(c) AS ra FROM c GROUP BY 1),
+        |mb AS (SELECT b AS k, sum(c) AS rb FROM c GROUP BY 1),
+        |pe AS (SELECT sum(ra * rb / (n.n * n.n)) AS pe
+        |  FROM ma JOIN mb USING (k), n)
+        |SELECT n.n::BIGINT AS n, round(agree / n.n, 6) + 0.0 AS po,
+        |  round(pe.pe, 6) + 0.0 AS pe,
+        |  round(CASE WHEN pe.pe < 1.0
+        |    THEN (agree / n.n - pe.pe) / (1.0 - pe.pe) END, 6) + 0.0
+        |    AS kappa
+        |FROM n, pe""".stripMargin,
+
+    "q236_decompose" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000)::BIGINT AS t,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |r AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+        |idx AS (SELECT unnest(generate_series(lo, hi)) AS t FROM r),
+        |d AS (SELECT idx.t, coalesce(b.n, 0)::DOUBLE AS v
+        |  FROM idx LEFT JOIN b ON b.t = idx.t),
+        |tr AS (SELECT t, v,
+        |    CASE WHEN count(*) OVER w = 25 THEN avg(v) OVER w END
+        |      AS trend FROM d
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |se AS (SELECT t % 24 AS ph, avg(v - trend) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1)
+        |SELECT tr.t, tr.v, round(trend, 6) + 0.0 AS trend,
+        |  round(seasonal, 6) + 0.0 AS seasonal,
+        |  round(v - trend - seasonal, 6) + 0.0 AS residual
+        |FROM tr LEFT JOIN se ON tr.t % 24 = se.ph""".stripMargin,
 
     "q232_name_match" ->
       """WITH base AS (SELECT p_partkey AS id,

@@ -216,7 +216,20 @@ object EventStats {
       df: DataFrame,
       tsCol: String,
       bucketSeconds: Long,
-      maxLag: Int): DataFrame = {
+      maxLag: Int): DataFrame =
+    acf(eventSeries(df, tsCol, bucketSeconds), "t", "n", maxLag)
+
+  /** DENSE per-bucket event-count series from a raw event stream:
+    * one row per `bucketSeconds` bucket from the first event to the
+    * last, `n = 0` for quiet buckets (a quiet hour is data, not a
+    * gap). The series the lag-based ops ([[acf]], [[decompose]])
+    * consume. The only driver state is the two bucket bounds (one
+    * 1-row collect); the dense index is a distributed `range`.
+    */
+  def eventSeries(
+      df: DataFrame,
+      tsCol: String,
+      bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1,
       s"bucketSeconds must be >= 1, got $bucketSeconds")
     val t = EventTime.micros(df, tsCol)
@@ -225,21 +238,72 @@ object EventStats {
       .select(t.as("__tm"))
       // integer division (micros are exact longs; a double quotient
       // could round across a bucket boundary)
-      .selectExpr(s"__tm div ${bucketSeconds * 1000000L} AS __b")
-      .groupBy(col("__b"))
-      .agg(count(lit(1)).as("__n"))
+      .selectExpr(s"__tm div ${bucketSeconds * 1000000L} AS t")
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
     val bounds = counts
-      .agg(min(col("__b")).as("lo"), max(col("__b")).as("hi"))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
       .collect()(0)
-    if (bounds.isNullAt(0))
-      return acf(counts.select(col("__b"), col("__n")), "__b", "__n",
-        maxLag)
+    if (bounds.isNullAt(0)) return counts
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val dense = df.sparkSession.range(0L, hi - lo + 1L)
-      .select((col("id") + lit(lo)).as("__b"))
-    val series = dense.join(counts, Seq("__b"), "left")
-      .select(col("__b"), coalesce(col("__n"), lit(0L)).as("__n"))
-    acf(series, "__b", "__n", maxLag)
+      .select((col("id") + lit(lo)).as("t"))
+    dense.join(counts, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Classical additive decomposition of an evenly-indexed series:
+    * `v = trend + seasonal + residual` — trend is the centered moving
+    * average over `2 * trendWindow + 1` points (NULL at the edges
+    * where the window is incomplete: extrapolated trend is a lie),
+    * seasonal is the mean DETRENDED value per phase `t mod period`
+    * (so the daily shape is measured net of the week's drift, not
+    * polluted by it), residual is what neither explains. The
+    * anomaly-screen prerequisite: a raw threshold on `v` pages every
+    * midnight; one on `residual` pages on real anomalies. Rows with a
+    * NULL index/value drop; the series is assumed dense
+    * ([[eventSeries]] builds one). Returns one row per index:
+    * t, v, trend, seasonal, residual.
+    *
+    * Scale shape: the moving average comes from an offsets explode
+    * (each row contributes to its 2w+1 neighbor positions) plus one
+    * hash aggregate on the target index — never a global-sort window
+    * (`avg().over(orderBy(t).rowsBetween(-w, w))` funnels the whole
+    * series through ONE task); the per-phase seasonal means are a
+    * `period`-row broadcast.
+    */
+  def decompose(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      period: Int,
+      trendWindow: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(trendWindow >= 1,
+      s"trendWindow must be >= 1, got $trendWindow")
+    val w = trendWindow
+    val s = series
+      .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(indexCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+    val trend = s
+      .select(col("v"),
+        explode(array((-w to w).map(o => col("t") + lit(o)): _*))
+          .as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("__k"), avg(col("v")).as("__ma"))
+      .select(col("t"),
+        when(col("__k") === (2 * w + 1), col("__ma")).as("trend"))
+    val withTrend = s.join(trend, Seq("t"), "left")
+    val seasonal = withTrend
+      .filter(col("trend").isNotNull)
+      .groupBy(pmod(col("t"), lit(period.toLong)).as("__phase"))
+      .agg(avg(col("v") - col("trend")).as("seasonal"))
+    withTrend
+      .join(broadcast(seasonal),
+        pmod(col("t"), lit(period.toLong)) === col("__phase"), "left")
+      .select(col("t"), col("v"), col("trend"), col("seasonal"),
+        (col("v") - col("trend") - col("seasonal")).as("residual"))
   }
 
   /** Per-key inter-arrival statistics: number of gaps, mean/min/max

@@ -92,6 +92,152 @@ object Stats {
         col("n"), col("card_a"), col("card_b"))
   }
 
+  /** Welch's unequal-variance t-test between two named groups of
+    * `valueCol`: the A/B-test workhorse that does NOT assume the
+    * variants share a variance (Student's pooled test silently lies
+    * when the treatment changes the spread, which treatments do).
+    * One row: n_a, n_b, mean_a, mean_b, diff (a - b), se, t_stat,
+    * df (Welch-Satterthwaite). t_stat/df are NULL when either group
+    * has < 2 values or both variances are 0. No p-value column by
+    * design — erf is not portable arithmetic; at pipeline scale df is
+    * huge and |t| > 1.96 IS the 5% normal read, which the caller
+    * applies.
+    *
+    * Scale shape: ONE map-side-combined aggregate (conditional
+    * count/avg/var_samp per group) — the corpus never shuffles.
+    */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol).cast("string")
+    val va = when(g === groupA, v)
+    val vb = when(g === groupB, v)
+    val stats = df
+      .filter(v.isNotNull && (g === groupA || g === groupB))
+      .agg(
+        count(va).as("n_a"), count(vb).as("n_b"),
+        avg(va).as("mean_a"), avg(vb).as("mean_b"),
+        var_samp(va).as("__va"), var_samp(vb).as("__vb"))
+    val sa = col("__va") / col("n_a")
+    val sb = col("__vb") / col("n_b")
+    val se = sqrt(sa + sb)
+    stats
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+      .withColumn("se", se)
+      .withColumn("t_stat",
+        when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+          col("diff") / se))
+      .withColumn("df",
+        when(col("n_a") > 1 && col("n_b") > 1 && se > 0,
+          pow(sa + sb, 2.0) /
+            (pow(sa, 2.0) / (col("n_a") - 1) +
+              pow(sb, 2.0) / (col("n_b") - 1))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("diff"), col("se"), col("t_stat"), col("df"))
+  }
+
+  /** Mann-Whitney U test between two named groups — the rank-based
+    * twin of [[welchTTest]] for skewed / heavy-tailed metrics
+    * (latencies, revenues) where a mean test answers the wrong
+    * question. U counts (a > b) pairs with ties at half weight
+    * (U = n_a * n_b * AUC — same statistic the ROC measures); z is
+    * the tie-corrected normal approximation, no continuity
+    * correction. One row: n_a, n_b, u, z (z NULL when either group
+    * is empty or all values tie).
+    *
+    * Scale shape: the [[ModelEval.auc]] plan — one aggregate to
+    * distinct-value counts, average ranks via the
+    * [[FeatureScale.runningTotalsReleasable]] distributed prefix sum,
+    * then pure arithmetic (the tie-correction term sums t^3 - t over
+    * the same counts). Never a single-partition sort, never a
+    * pairwise join. The persisted counts layout lives until session
+    * end in this convenience form (the aucReleasable contract).
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = col(groupCol).cast("string")
+    val counts = df
+      .filter(v.isNotNull && (g === groupA || g === groupB))
+      .select(v.as("__v"), (g === groupA).as("__a"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__p"))
+    val (cum, release) = FeatureScale.runningTotalsReleasable(
+      counts, Seq(col("__v")), col("__t"))
+    val _ = release
+    val out = cum
+      .withColumn("__ar",
+        (col("__cum") - col("__t")).cast("double") +
+          (col("__t") + 1).cast("double") / 2)
+      .agg(
+        sum(col("__p")).as("n_a"),
+        (sum(col("__t")) - sum(col("__p"))).as("n_b"),
+        sum(col("__p") * col("__ar")).as("__ra"),
+        sum(col("__t").cast("double") * col("__t") * col("__t") -
+          col("__t")).as("__ties"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u = col("__ra") - col("n_a").cast("double") *
+      (col("n_a") + 1) / 2
+    val sigma = sqrt(
+      col("n_a").cast("double") * col("n_b") / 12.0 *
+        ((n + 1) - col("__ties") / (n * (n - 1))))
+    out
+      .withColumn("u", u)
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
+          (u - col("n_a").cast("double") * col("n_b") / 2) / sigma))
+      .select(col("n_a"), col("n_b"), col("u"), col("z"))
+  }
+
+  /** Inter-rater agreement between two label columns (human-label QA
+    * before labels gate a pipeline): observed agreement po, chance
+    * agreement pe (product of marginals), and Cohen's kappa
+    * (po - pe) / (1 - pe) — raw accuracy flatters raters who both
+    * spam the majority class; kappa does not. Rows where either side
+    * is NULL drop (an abstention is not a rating). One row: n, po,
+    * pe, kappa (NULL when pe = 1, i.e. both raters constant).
+    *
+    * Scale shape: one hash aggregate to the |A| x |B| contingency
+    * cells; marginals re-aggregate the cell table and meet in a
+    * broadcast join — nothing row-sized survives the first exchange.
+    */
+  def agreementReport(
+      df: DataFrame,
+      colA: String,
+      colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val ra = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__ra"))
+    val rb = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__rb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0.0)).as("__agree"))
+    val pe = ra.join(rb, "__k")
+      .crossJoin(broadcast(tot.select(col("__n").as("__n2"))))
+      .agg(sum(col("__ra") * col("__rb") /
+        (col("__n2") * col("__n2"))).as("pe"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("__n").cast("long").as("n"),
+        (col("__agree") / col("__n")).as("po"), col("pe"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+  }
+
   /** Feature-relevance ranking: [[categoricalAssociation]] of each
     * candidate feature column against ONE label column — the
     * model-prep screen for "which columns carry signal" (mutual

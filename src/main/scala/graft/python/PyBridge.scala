@@ -1018,6 +1018,32 @@ object PyBridge {
     graft.ops.FeatureScale.exactQuantiles(df, valueCol,
       qs.asScala.toSeq.map(_.doubleValue()), keys.asScala.toSeq)
 
+  /** Welch's unequal-variance two-sample t-test. */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame =
+    graft.ops.Stats.welchTTest(df, groupCol, valueCol, groupA, groupB)
+
+  /** Tie-corrected Mann-Whitney U / z between two groups. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame =
+    graft.ops.Stats.mannWhitney(df, groupCol, valueCol, groupA, groupB)
+
+  /** Inter-rater agreement (po / pe / Cohen's kappa). */
+  def agreementReport(df: DataFrame, colA: String,
+      colB: String): DataFrame =
+    graft.ops.Stats.agreementReport(df, colA, colB)
+
+  /** Dense per-bucket event-count series (quiet buckets = 0). */
+  def eventSeries(df: DataFrame, tsCol: String,
+      bucketSeconds: Long): DataFrame =
+    graft.ops.EventStats.eventSeries(df, tsCol, bucketSeconds)
+
+  /** Additive trend / seasonal / residual decomposition. */
+  def decompose(df: DataFrame, indexCol: String, valueCol: String,
+      period: Int, trendWindow: Int): DataFrame =
+    graft.ops.EventStats.decompose(df, indexCol, valueCol, period,
+      trendWindow)
+
   /** Blocked Jaro-Winkler record linkage. */
   def nameMatchPairs(left: DataFrame, right: DataFrame, idCol: String,
       keyCol: String, minSim: Double, prefixLen: Int,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuiteBase
+
+/** A/B-test statistics and agreement: Welch's t against hand-computed
+  * moments, Mann-Whitney against the textbook example, Cohen's kappa
+  * against a hand-built contingency table, and the series
+  * decomposition against a constructed trend + seasonality.
+  */
+class AbTestSpec extends AnyFunSuite with Matchers
+    with SparkSuiteBase {
+
+  test("welchTTest: hand-computed two-group case; degenerate groups " +
+    "yield NULL t/df") {
+    import spark.implicits._
+    // a = [1,2,3] (mean 2, var 1), b = [2,4,6,8] (mean 5, var 20/3)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val r = ModelEvalHelpers.one(
+      Stats.welchTTest(df, "g", "v", "a", "b"))
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe (2.0 +- 1e-12)
+    r.getDouble(3) shouldBe (5.0 +- 1e-12)
+    r.getDouble(4) shouldBe (-3.0 +- 1e-12)
+    val sa = 1.0 / 3
+    val sb = (20.0 / 3) / 4
+    r.getDouble(5) shouldBe (math.sqrt(sa + sb) +- 1e-12)
+    r.getDouble(6) shouldBe (-3.0 / math.sqrt(sa + sb) +- 1e-12)
+    val dfExp = math.pow(sa + sb, 2) /
+      (math.pow(sa, 2) / 2 + math.pow(sb, 2) / 3)
+    r.getDouble(7) shouldBe (dfExp +- 1e-12)
+
+    // single-element group: t/df NULL, means still reported
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r2 = ModelEvalHelpers.one(
+      Stats.welchTTest(tiny, "g", "v", "a", "b"))
+    r2.isNullAt(6) shouldBe true
+    r2.isNullAt(7) shouldBe true
+  }
+
+  test("mannWhitney: U equals n_a*n_b*AUC with average-rank ties; " +
+    "all-tied yields NULL z") {
+    import spark.implicits._
+    // a = [1, 3, 3], b = [2, 3]: ranks 1,2,(3.5 avg over 3-way... )
+    // values sorted: 1(a) 2(b) 3,3,3 (two a, one b) -> ranks 1, 2,
+    // and the tie group spans 3..5 with average rank 4
+    // R_a = 1 + 4 + 4 = 9; U = 9 - 3*4/2 = 3
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 3.0), ("b", 2.0),
+      ("b", 3.0)).toDF("g", "v")
+    val r = ModelEvalHelpers.one(Stats.mannWhitney(df, "g", "v", "a", "b"))
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe (3.0 +- 1e-12)
+    // sigma^2 = (3*2/12) * ((5+1) - (27-3)/(5*4)) = 0.5 * 4.8 = 2.4
+    r.getDouble(3) shouldBe ((3.0 - 3.0) / math.sqrt(2.4) +- 1e-12)
+
+    val allTied = Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    ModelEvalHelpers.one(Stats.mannWhitney(allTied, "g", "v", "a", "b"))
+      .isNullAt(3) shouldBe true
+  }
+
+  test("mannWhitney: U / (n_a n_b) equals the tie-corrected AUC") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(300)(
+      (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(20).toDouble))
+    val df = rows.toDF("g", "v")
+    val mw = ModelEvalHelpers.one(Stats.mannWhitney(df, "g", "v", "a", "b"))
+    val auc = ModelEvalHelpers.one(ModelEval.auc(
+      df.withColumn("y", col("g") === "a"), "v", "y"))
+    (mw.getDouble(2) / (mw.getLong(0).toDouble * mw.getLong(1))
+      ) shouldBe (auc.getDouble(2) +- 1e-12)
+  }
+
+  test("agreementReport: hand-computed kappa; perfect agreement 1; " +
+    "constant raters NULL") {
+    import spark.implicits._
+    // 2x2: both-yes 20, both-no 5, a-yes-b-no 10, a-no-b-yes 15
+    // po = 25/50 = 0.5; pe = (30*35 + 20*15)/2500 = 0.54
+    // kappa = (0.5 - 0.54)/0.46
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("n", "n")) ++
+        Seq.fill(10)(("y", "n")) ++ Seq.fill(15)(("n", "y"))
+    val r = ModelEvalHelpers.one(
+      Stats.agreementReport(rows.toDF("a", "b"), "a", "b"))
+    r.getLong(0) shouldBe 50L
+    r.getDouble(1) shouldBe (0.5 +- 1e-12)
+    r.getDouble(2) shouldBe (0.54 +- 1e-12)
+    r.getDouble(3) shouldBe ((0.5 - 0.54) / 0.46 +- 1e-12)
+
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    ModelEvalHelpers.one(Stats.agreementReport(perfect, "a", "b"))
+      .getDouble(3) shouldBe (1.0 +- 1e-12)
+
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    ModelEvalHelpers.one(Stats.agreementReport(const, "a", "b"))
+      .isNullAt(3) shouldBe true
+  }
+
+  test("decompose: recovers a constructed linear trend + period-3 " +
+    "seasonality with zero residual away from the edges") {
+    import spark.implicits._
+    // v(t) = 2t + s(t%3), s = (3, -1, -2) -> sums to 0 per cycle.
+    // centered MA over a full period window (w=1 covers 3 points)
+    // averages the seasonal away on a linear trend.
+    val season = Array(3.0, -1.0, -2.0)
+    val rows = (0L until 30L).map(t =>
+      (t, 2.0 * t + season((t % 3).toInt)))
+    val out = EventStats.decompose(rows.toDF("t", "v"), "t", "v",
+      period = 3, trendWindow = 1).orderBy("t").collect()
+    // edges: incomplete window -> NULL trend/residual
+    out.head.isNullAt(2) shouldBe true
+    out.last.isNullAt(2) shouldBe true
+    out.drop(1).dropRight(1).foreach { r =>
+      val t = r.getLong(0)
+      r.getDouble(2) shouldBe (2.0 * t +- 1e-9)          // trend
+      r.getDouble(3) shouldBe (season((t % 3).toInt) +- 1e-9)
+      r.getDouble(4) shouldBe (0.0 +- 1e-9)              // residual
+    }
+  }
+
+  test("eventSeries: dense from first to last bucket with zero fill") {
+    import spark.implicits._
+    val ev = Seq(0L, 500000L, 3000000L).toDF("ts") // buckets 0,0,3
+    val got = EventStats.eventSeries(ev, "ts", 1L)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe Array((0L, 2L), (1L, 0L), (2L, 0L), (3L, 1L))
+  }
+}
+
+/** Tiny shared helper: collect exactly one row. */
+private[ops] object ModelEvalHelpers {
+  def one(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = {
+    val rows = df.collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    rows.head
+  }
+}
