@@ -1341,6 +1341,34 @@ def mann_whitney(df: DataFrame, group_col: str, value_col: str,
         df._jdf, group_col, value_col, group_a, group_b), df)
 
 
+def proportion_test(df: DataFrame, group_col: str, success_col: str,
+                    group_a: str, group_b: str) -> DataFrame:
+    """Pooled two-sample proportion z-test (the conversion-rate A/B
+    read). Output: n_a, n_b, p_a, p_b, diff, z."""
+    return _to_py_df(_jvm_bridge(df).proportionTest(
+        df._jdf, group_col, success_col, group_a, group_b), df)
+
+
+def cuped(df: DataFrame, metric_col: str, covariate_col: str,
+          out_col: str = "adjusted") -> DataFrame:
+    """CUPED variance reduction: adjusted = y - theta*(x - mean_x),
+    theta = cov(x,y)/var(x) from one moment aggregate broadcast back —
+    shrinks metric variance without biasing group-mean differences."""
+    return _to_py_df(_jvm_bridge(df).cuped(
+        df._jdf, metric_col, covariate_col, out_col), df)
+
+
+def srm_check(df: DataFrame, group_col: str,
+              expected: List[Tuple[str, float]]) -> DataFrame:
+    """Sample-ratio-mismatch check: per designed group — n_obs,
+    n_expected, chi-squared contrib — plus totals (n, n_unlisted,
+    chi2) on every row. Nonzero n_unlisted means the assignment or
+    logging is broken."""
+    return _to_py_df(_jvm_bridge(df).srmCheck(
+        df._jdf, group_col, [g for g, _ in expected],
+        [float(w) for _, w in expected]), df)
+
+
 def agreement_report(df: DataFrame, col_a: str,
                      col_b: str) -> DataFrame:
     """Inter-rater agreement between two label columns: observed

@@ -819,6 +819,23 @@ def test_round12c_stats_graph_noise():
     mw = ops.mann_whitney(supp2, "g", "v", "old", "new").collect()[0]
     assert 0.0 <= mw["u"] <= mw["n_a"] * mw["n_b"]
 
+    # proportion z + srm over the event stream
+    ev2 = events.selectExpr(
+        "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "event_type = 'purchase' AS y")
+    pt = ops.proportion_test(ev2, "g", "y", "a", "b").collect()[0]
+    assert 0.0 <= pt["p_a"] <= 1.0 and 0.0 <= pt["p_b"] <= 1.0
+    srm = ops.srm_check(events, "event_type",
+                        [("signup", 1.0), ("click", 1.0),
+                         ("view", 1.0), ("purchase", 1.0)]).collect()
+    assert len(srm) == 4 and srm[0]["n_unlisted"] > 0  # 'error' rows
+
+    # CUPED: adjusted metric keeps the mean (global theta recentering)
+    cu = ops.cuped(supp, "s_acctbal", "s_nationkey")
+    raw_mean = supp.selectExpr("avg(s_acctbal)").collect()[0][0]
+    adj_mean = cu.selectExpr("avg(adjusted)").collect()[0][0]
+    assert abs(raw_mean - adj_mean) < 1e-6
+
     # inter-rater agreement: planted 1-in-7 disagreement -> kappa < 1
     raters = docs.selectExpr(
         "lang AS a",

@@ -2823,6 +2823,43 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q237_proportion_test" -> ((s, dir) => {
+      // conversion-rate A/B: purchase rate between even/odd user
+      // cohorts — pooled two-sample z, one aggregate
+      val ev = t(s, dir, "events")
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("conv", col("event_type") === "purchase")
+      ops.Stats.proportionTest(ev, "grp", "conv", "a", "b")
+        .select(col("n_a"), col("n_b"),
+          (round(col("p_a"), 6) + 0.0).as("p_a"),
+          (round(col("p_b"), 6) + 0.0).as("p_b"),
+          (round(col("diff"), 6) + 0.0).as("diff"),
+          (round(col("z"), 6) + 0.0).as("z"))
+    }),
+
+    "q238_cuped" -> ((s, dir) => {
+      // CUPED adjustment of account balance by the nation covariate:
+      // theta from one moment aggregate, row-local projection
+      ops.Stats.cuped(t(s, dir, "supplier"), "s_acctbal",
+        "s_nationkey")
+        .select(col("s_suppkey"),
+          (round(col("adjusted"), 6) + 0.0).as("adjusted"))
+    }),
+
+    "q239_srm_check" -> ((s, dir) => {
+      // sample-ratio mismatch vs a designed 1:1:1:1 split with one
+      // event type deliberately unlisted — n_unlisted IS the bug
+      ops.Stats.srmCheck(t(s, dir, "events"), "event_type",
+        Seq("signup" -> 1.0, "click" -> 1.0, "view" -> 1.0,
+          "purchase" -> 1.0))
+        .select(col("group").as("grp"), col("n_obs"),
+          (round(col("n_expected"), 6) + 0.0).as("n_expected"),
+          (round(col("contrib"), 6) + 0.0).as("contrib"),
+          col("n"), col("n_unlisted"),
+          (round(col("chi2"), 6) + 0.0).as("chi2"))
+    }),
+
     "q233_welch_ttest" -> ((s, dir) => {
       // A/B read on the q223 cohorts: does the account-balance MEAN
       // differ — unequal-variance t, one map-side-combined aggregate
@@ -6205,6 +6242,58 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q237_proportion_test" ->
+      """WITH s AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a'
+        |    ELSE 'b' END AS g, (event_type = 'purchase') AS y
+        |  FROM events WHERE event_type IS NOT NULL),
+        |a AS (SELECT
+        |    count(*) FILTER (WHERE g = 'a')::BIGINT AS n_a,
+        |    count(*) FILTER (WHERE g = 'b')::BIGINT AS n_b,
+        |    count(*) FILTER (WHERE g = 'a' AND y)::BIGINT AS sa,
+        |    count(*) FILTER (WHERE g = 'b' AND y)::BIGINT AS sb
+        |  FROM s),
+        |d AS (SELECT *, sa::DOUBLE / n_a AS pa, sb::DOUBLE / n_b AS pb,
+        |    (sa + sb)::DOUBLE / (n_a + n_b) AS pp FROM a),
+        |f AS (SELECT *, sqrt(pp * (1.0 - pp)
+        |    * (1.0 / n_a + 1.0 / n_b)) AS se FROM d)
+        |SELECT n_a, n_b, round(pa, 6) + 0.0 AS p_a,
+        |  round(pb, 6) + 0.0 AS p_b,
+        |  round(pa - pb, 6) + 0.0 AS diff,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN (pa - pb) / se END, 6) + 0.0 AS z
+        |FROM f""".stripMargin,
+
+    "q238_cuped" ->
+      """WITH st AS (SELECT covar_samp(s_nationkey, s_acctbal) AS c,
+        |    var_samp(s_nationkey) AS v, avg(s_nationkey) AS m
+        |  FROM supplier)
+        |SELECT s_suppkey,
+        |  round(CASE WHEN v > 0
+        |    THEN s_acctbal - c / v * (s_nationkey - m)
+        |    ELSE s_acctbal END, 6) + 0.0 AS adjusted
+        |FROM supplier, st""".stripMargin,
+
+    "q239_srm_check" ->
+      """WITH obs AS (SELECT event_type AS g, count(*)::BIGINT AS o
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(CASE WHEN g IN ('signup', 'click', 'view',
+        |      'purchase') THEN o ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN g IN ('signup', 'click', 'view', 'purchase')
+        |      THEN 0 ELSE o END)::BIGINT AS n_unlisted FROM obs),
+        |e AS (SELECT unnest(['signup', 'click', 'view', 'purchase'])
+        |    AS grp),
+        |c AS (SELECT e.grp, coalesce(obs.o, 0)::BIGINT AS n_obs,
+        |    0.25 * t.n AS n_expected, t.n, t.n_unlisted
+        |  FROM e LEFT JOIN obs ON obs.g = e.grp, t),
+        |w AS (SELECT *, CASE WHEN n_expected > 0
+        |    THEN pow(n_obs - n_expected, 2) / n_expected END AS contrib
+        |  FROM c),
+        |x AS (SELECT sum(contrib) AS chi2 FROM w)
+        |SELECT grp, n_obs, round(n_expected, 6) + 0.0 AS n_expected,
+        |  round(contrib, 6) + 0.0 AS contrib, n, n_unlisted,
+        |  round(x.chi2, 6) + 0.0 AS chi2
+        |FROM w, x""".stripMargin,
 
     "q233_welch_ttest" ->
       """WITH s AS (SELECT CASE WHEN s_nationkey < 12 THEN 'old'

@@ -198,6 +198,128 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u"), col("z"))
   }
 
+  /** Two-sample proportion z-test (pooled) between two named groups:
+    * the conversion-rate A/B test. `successCol` casts to boolean;
+    * NULL successes drop. One row: n_a, n_b, p_a, p_b, diff (a - b),
+    * z (pooled-variance normal statistic; NULL when either group is
+    * empty or the pooled rate is degenerate 0/1). One
+    * map-side-combined aggregate.
+    */
+  def proportionTest(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val y = col(successCol).cast("boolean")
+    val inA = g === groupA
+    val stats = df
+      .filter(y.isNotNull && (g === groupA || g === groupB))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(inA && y, 1L).otherwise(0L)).as("__sa"),
+        sum(when(!inA && y, 1L).otherwise(0L)).as("__sb"))
+    val pa = col("__sa").cast("double") / col("n_a")
+    val pb = col("__sb").cast("double") / col("n_b")
+    val pooled = (col("__sa") + col("__sb")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    stats.select(col("n_a"), col("n_b"),
+      pa.as("p_a"), pb.as("p_b"), (pa - pb).as("diff"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        (pa - pb) / se).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al.): adjust a metric by its
+    * pre-experiment covariate, `adjusted = y - theta * (x - mean_x)`
+    * with `theta = cov(x, y) / var(x)` — the experimentation-platform
+    * transform that shrinks metric variance by the covariate's R^2
+    * without biasing the group-mean DIFFERENCE (every group shifts by
+    * the same global theta/mean). Rows where either side is NULL get
+    * a NULL `adjusted` but pass through. Run [[welchTTest]] on
+    * `adjusted` afterwards — same decision, tighter interval.
+    *
+    * Scale shape: one moment aggregate (cov/var/mean), broadcast back
+    * as a 1-row; the adjustment is a pure projection — the corpus
+    * never shuffles.
+    */
+  def cuped(
+      df: DataFrame,
+      metricCol: String,
+      covariateCol: String,
+      outCol: String = "adjusted"): DataFrame = {
+    val y = col(metricCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val stats = df.agg(
+      covar_samp(x, y).as("__cov"),
+      var_samp(x).as("__var"),
+      avg(x).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        when(col("__var") > 0,
+          y - col("__cov") / col("__var") * (x - col("__mx")))
+          .otherwise(y))
+      .drop("__cov", "__var", "__mx")
+  }
+
+  /** Sample-ratio-mismatch check: observed per-group counts against
+    * the DESIGNED allocation — the first thing to read on any
+    * experiment dashboard (a 50/50 split arriving 52/48 means the
+    * assignment or logging is broken and every downstream p-value is
+    * fiction). `expected` lists (group, weight); weights normalize
+    * over the listed groups. Returns one row per listed group (group,
+    * n_obs, n_expected, contrib) — a group with NO observed rows
+    * still appears with n_obs 0 — plus the totals on every row:
+    * n (observed in listed groups), n_unlisted (rows in groups the
+    * design never mentioned — nonzero IS the mismatch), chi2
+    * (sum of contribs, df = k - 1).
+    *
+    * Scale shape: one count aggregate; the expected table is a
+    * k-row literal; totals ride back on a broadcast.
+    */
+  def srmCheck(
+      df: DataFrame,
+      groupCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck needs expected allocations")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "expected groups must be distinct")
+    require(expected.forall(_._2 > 0), "expected weights must be > 0")
+    val wTotal = expected.map(_._2).sum
+    val g = col(groupCol).cast("string")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.map { case (k, w) => (k, w / wTotal) }
+      .toDF("group", "__share")
+    val listed = expected.map(_._1)
+    val obs = df
+      .filter(g.isNotNull)
+      .groupBy(g.as("group"))
+      .agg(count(lit(1)).as("__o"))
+    val totals = obs.agg(
+      sum(when(col("group").isin(listed: _*), col("__o"))
+        .otherwise(0L)).as("n"),
+      sum(when(col("group").isin(listed: _*), 0L)
+        .otherwise(col("__o"))).as("n_unlisted"))
+    val cells = exp
+      .join(obs, Seq("group"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("n_obs", coalesce(col("__o"), lit(0L)))
+      .withColumn("n_expected", col("__share") * col("n"))
+      .withColumn("contrib",
+        when(col("n_expected") > 0,
+          pow(col("n_obs") - col("n_expected"), 2.0) /
+            col("n_expected")))
+    val chi2 = cells.agg(sum(col("contrib")).as("chi2"))
+    cells.crossJoin(broadcast(chi2))
+      .select(col("group"), col("n_obs"),
+        col("n_expected"), col("contrib"), col("n"),
+        col("n_unlisted"), col("chi2"))
+  }
+
   /** Inter-rater agreement between two label columns (human-label QA
     * before labels gate a pipeline): observed agreement po, chance
     * agreement pe (product of marginals), and Cohen's kappa

@@ -1028,6 +1028,25 @@ object PyBridge {
       groupA: String, groupB: String): DataFrame =
     graft.ops.Stats.mannWhitney(df, groupCol, valueCol, groupA, groupB)
 
+  /** Pooled two-sample proportion z-test. */
+  def proportionTest(df: DataFrame, groupCol: String,
+      successCol: String, groupA: String, groupB: String): DataFrame =
+    graft.ops.Stats.proportionTest(df, groupCol, successCol, groupA,
+      groupB)
+
+  /** CUPED covariate adjustment (adds `outCol`). */
+  def cuped(df: DataFrame, metricCol: String, covariateCol: String,
+      outCol: String): DataFrame =
+    graft.ops.Stats.cuped(df, metricCol, covariateCol, outCol)
+
+  /** Sample-ratio-mismatch check vs designed allocations. */
+  def srmCheck(df: DataFrame, groupCol: String,
+      groups: java.util.List[String],
+      weights: java.util.List[java.lang.Double]): DataFrame =
+    graft.ops.Stats.srmCheck(df, groupCol,
+      groups.asScala.toSeq.zip(
+        weights.asScala.toSeq.map(_.doubleValue())))
+
   /** Inter-rater agreement (po / pe / Cohen's kappa). */
   def agreementReport(df: DataFrame, colA: String,
       colB: String): DataFrame =

@@ -102,6 +102,76 @@ class AbTestSpec extends AnyFunSuite with Matchers
       .isNullAt(3) shouldBe true
   }
 
+  test("proportionTest: hand-computed pooled z; degenerate pooled " +
+    "rate yields NULL z") {
+    import spark.implicits._
+    // a: 3/4 convert, b: 1/4 convert -> pooled 0.5
+    val df = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false))
+      .toDF("g", "y")
+    val r = ModelEvalHelpers.one(
+      Stats.proportionTest(df, "g", "y", "a", "b"))
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 4L
+    r.getDouble(2) shouldBe (0.75 +- 1e-12)
+    r.getDouble(3) shouldBe (0.25 +- 1e-12)
+    val se = math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    r.getDouble(5) shouldBe (0.5 / se +- 1e-12)
+
+    val allConvert = Seq(("a", true), ("b", true)).toDF("g", "y")
+    ModelEvalHelpers.one(
+      Stats.proportionTest(allConvert, "g", "y", "a", "b"))
+      .isNullAt(5) shouldBe true
+  }
+
+  test("cuped: removes a perfectly linear covariate; preserves the " +
+    "group-mean difference; constant covariate is identity") {
+    import spark.implicits._
+    // y = 3x + group effect: after CUPED the within-group variance
+    // from x vanishes but the a-vs-b difference survives. 42 = lcm(2,
+    // 7) * 3 full cycles, so x is EXACTLY balanced across groups and
+    // theta = 3 to float precision.
+    val rows = (1 to 42).map { i =>
+      val x = (i % 7).toDouble
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, x, 3.0 * x + (if (g == "a") 10.0 else 0.0))
+    }
+    val adj = Stats.cuped(rows.toDF("g", "x", "y"), "y", "x")
+    val byG = adj.groupBy("g")
+      .agg(avg(col("adjusted")).as("m"), var_samp(col("adjusted")).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (byG("a")._1 - byG("b")._1) shouldBe (10.0 +- 1e-6)
+    // theta ~ 3 exactly here (group effect is orthogonal to x by
+    // construction i%2 vs i%7 over full cycles is near-balanced);
+    // residual variance collapses vs the raw ~ var(3x) + group term
+    byG("a")._2 should be < 1e-6
+    val const = Seq(("a", 1.0, 5.0), ("b", 1.0, 7.0)).toDF("g", "x", "y")
+    Stats.cuped(const, "y", "x").select(col("adjusted"))
+      .collect().map(_.getDouble(0)).sorted shouldBe Array(5.0, 7.0)
+  }
+
+  test("srmCheck: hand-computed chi2; zero-observed listed group " +
+    "appears; unlisted rows counted") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++
+      Seq.fill(7)("ghost")).toDF("g")
+    val rows = Stats.srmCheck(df, "g",
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)).orderBy("group")
+      .collect()
+    rows.length shouldBe 3
+    val byG = rows.map(r => r.getString(0) -> r).toMap
+    byG("a").getLong(1) shouldBe 60L
+    byG("c").getLong(1) shouldBe 0L
+    // expected: a 25, b 25, c 50 of n=100
+    byG("a").getDouble(2) shouldBe (25.0 +- 1e-12)
+    byG("c").getDouble(2) shouldBe (50.0 +- 1e-12)
+    byG("a").getLong(5) shouldBe 7L // n_unlisted
+    val chi2 = math.pow(60 - 25, 2) / 25 + math.pow(40 - 25, 2) / 25 +
+      math.pow(0 - 50, 2) / 50
+    byG("b").getDouble(6) shouldBe (chi2 +- 1e-9)
+  }
+
   test("decompose: recovers a constructed linear trend + period-3 " +
     "seasonality with zero residual away from the edges") {
     import spark.implicits._
