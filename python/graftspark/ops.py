@@ -1412,6 +1412,18 @@ def name_match_pairs(left: DataFrame, right: DataFrame, id_col: str,
         int(prefix_len), int(band_width)), left)
 
 
+def name_match_pairs_blocked(left: DataFrame, right: DataFrame,
+                             id_col: str, key_col: str, block_col: str,
+                             min_sim: float) -> DataFrame:
+    """Jaro-Winkler linkage blocked on an EXTERNAL exact column (zip,
+    birth year — the Fellegi-Sunter shape): names fuzzy-match only
+    inside executor-sized blocks, immune to low-entropy name prefixes.
+    NULL blocks drop."""
+    return _to_py_df(_jvm_bridge(left).nameMatchPairsBlocked(
+        left._jdf, right._jdf, id_col, key_col, block_col,
+        float(min_sim)), left)
+
+
 def join_size_estimate(left: DataFrame, right: DataFrame,
                        left_key_cols: List[str],
                        right_key_cols: List[str]) -> DataFrame:

@@ -674,6 +674,85 @@ object Bench {
         graft.ops.ModelEval.ece(scored, "s", "y", nBins = 20).count()
       }),
 
+      // PR-curve AP (multi-weight prefix sum over ~1k distinct scores)
+      // + per-query ranking metrics over the full event stream (windows
+      // partitioned by user — parallel at any corpus size)
+      "ranking_eval" -> (() => {
+        val scored = t("events")
+          .select((pmod(xxhash64(col("event_id")), lit(1000)) / 1000.0)
+            .as("s"),
+            (col("event_type") === "purchase").as("y"))
+        val (ap, rel) = graft.ops.ModelEval
+          .averagePrecisionReleasable(scored, "s", "y")
+        try ap.count() finally rel()
+        graft.ops.ModelEval.rankingReport(
+          t("events").withColumn("rel",
+            (col("event_type") === "purchase").cast("int")),
+          "user_id", "event_id", "value", "rel", k = 10).count()
+      }),
+
+      // two-sample tests at corpus scale: mann-whitney ranks ~600k
+      // continuous values through the distributed prefix sum; welch and
+      // the proportion z are single aggregates
+      "ab_tests" -> (() => {
+        val ev = t("events")
+          .withColumn("grp",
+            when(col("user_id") % 2 === 0, "a").otherwise("b"))
+        graft.ops.Stats.welchTTest(ev, "grp", "value", "a", "b").count()
+        graft.ops.Stats.mannWhitney(ev, "grp", "value", "a", "b").count()
+        graft.ops.Stats.proportionTest(
+          ev.withColumn("conv", col("event_type") === "purchase"),
+          "grp", "conv", "a", "b").count()
+      }),
+
+      // exact discrete quantiles of 600k prices: distinct-value counts
+      // -> range-partitioned prefix sum -> 7 order statistics
+      "exact_quantiles" -> (() =>
+        graft.ops.FeatureScale.exactQuantiles(t("lineitem"),
+          "l_extendedprice",
+          Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)).count()),
+
+      // prefix-blocked Jaro-Winkler on a PATHOLOGICAL key space (64
+      // base names -> huge shared-prefix blocks): a 5k-row slice times
+      // raw scorer throughput on the worst case the other row avoids
+      "name_match" -> (() => {
+        val base = t("part").filter(col("p_partkey") < 5000)
+          .select(col("p_partkey").as("id"),
+            concat(col("p_name"), lit(" #"), col("p_partkey") % 100)
+              .as("key"))
+        val typod = base.select((col("id") + 1000000).as("id"),
+          concat(substring(col("key"), 1, 2),
+            substring(col("key"), 4, 1000000)).as("key"))
+        graft.ops.Joins.nameMatchPairs(base, typod, "id", "key",
+          minSim = 0.95).count()
+      }),
+
+      // the Fellegi-Sunter shape at full width: 20k vs 20k, blocked on
+      // an external high-entropy key (id mod 1000 standing in for a
+      // zip code), names fuzzy-matched only inside executor-sized
+      // blocks — how linkage is actually run when names are low-entropy
+      "name_match_blocked" -> (() => {
+        val base = t("part").select(col("p_partkey").as("id"),
+          concat(col("p_name"), lit(" #"), col("p_partkey") % 100)
+            .as("key"), pmod(col("p_partkey"), lit(1000)).as("blk"))
+        val typod = base.select((col("id") + 1000000).as("id"),
+          concat(substring(col("key"), 1, 2),
+            substring(col("key"), 4, 1000000)).as("key"), col("blk"))
+        graft.ops.Joins.nameMatchPairsBlocked(base, typod, "id", "key",
+          "blk", minSim = 0.95).count()
+      }),
+
+      // hourly series ops: dense 720-bucket series from 600k events,
+      // additive decomposition + 48-lag autocorrelation via shifted
+      // equi-joins (no global-sort windows)
+      "series_analysis" -> (() => {
+        val series = graft.ops.EventStats.eventSeries(
+          t("events"), "ts", bucketSeconds = 3600L)
+        graft.ops.EventStats.decompose(series, "t", "n", period = 24,
+          trendWindow = 12).count()
+        graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).count()
+      }),
+
       // audio dedup e2e: synthesize white-noise WAVs executor-side
       // (audio bytes never shuffle), Goertzel-fingerprint every clip,
       // pair via the bucketed (block, fp) self-match — decode +

@@ -2823,6 +2823,22 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q240_name_match_blocked" -> ((s, dir) => {
+      // Fellegi-Sunter linkage: block on an external high-entropy key
+      // (id mod 50 standing in for a zip), fuzzy-match the name inside
+      // the block only — low-entropy names never explode the blocks
+      val base = t(s, dir, "part").select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit(" #"), col("p_partkey") % 100)
+          .as("key"), pmod(col("p_partkey"), lit(50)).as("blk"))
+      val typod = base.select((col("id") + 100000).as("id"),
+        concat(substring(col("key"), 1, 2), substring(col("key"), 4,
+          1000000)).as("key"), col("blk"))
+      ops.Joins.nameMatchPairsBlocked(base, typod, "id", "key", "blk",
+        minSim = 0.95)
+        .select(col("left_id"), col("right_id"),
+          (round(col("sim"), 6) + 0.0).as("sim"))
+    }),
+
     "q237_proportion_test" -> ((s, dir) => {
       // conversion-rate A/B: purchase rate between even/odd user
       // cohorts — pooled two-sample z, one aggregate
@@ -6242,6 +6258,18 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q240_name_match_blocked" ->
+      """WITH base AS (SELECT p_partkey AS id,
+        |    p_name || ' #' || (p_partkey % 100) AS key,
+        |    p_partkey % 50 AS blk FROM part),
+        |typo AS (SELECT id + 100000 AS id,
+        |    substr(key, 1, 2) || substr(key, 4) AS key, blk FROM base),
+        |p AS (SELECT l.id AS left_id, r.id AS right_id,
+        |    jaro_winkler_similarity(l.key, r.key) AS sim
+        |  FROM base l JOIN typo r ON l.blk = r.blk)
+        |SELECT left_id, right_id, round(sim, 6) + 0.0 AS sim
+        |FROM p WHERE sim >= 0.95""".stripMargin,
 
     "q237_proportion_test" ->
       """WITH s AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a'

@@ -412,4 +412,38 @@ object Joins {
       .select(col("left_id"), col("left_key"),
         col("right_id"), col("right_key"), col("sim"))
   }
+
+  /** [[nameMatchPairs]] with a CALLER-SUPPLIED blocking column — the
+    * textbook Fellegi-Sunter shape: block on a higher-entropy exact
+    * field (zip code, birth year, normalized phone) and fuzzy-match
+    * the name within the block. Prefix blocking (the other overload)
+    * degrades when keys share low-entropy openings ("the ...",
+    * honorifics, a catalog's color vocabulary); a good external block
+    * key keeps every block executor-sized regardless of how the NAMES
+    * distribute. Pairs join on `blockCol` equality (NULL blocks drop
+    * — NULL never equals NULL in an equi-join, and an unblockable
+    * record is a data-quality problem upstream), score with the
+    * codegen'd [[graft.functions.JaroWinkler]], and keep
+    * `sim >= minSim`.
+    */
+  def nameMatchPairsBlocked(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      keyCol: String,
+      blockCol: String,
+      minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    def side(df: DataFrame, s: String): DataFrame =
+      df.filter(col(keyCol).isNotNull && col(blockCol).isNotNull)
+        .select(col(idCol).as(s"${s}_id"), col(keyCol).as(s"${s}_key"),
+          col(blockCol).as("__block"))
+    side(left, "left").join(side(right, "right"), Seq("__block"))
+      .withColumn("sim",
+        graft.functions.jaro_winkler(col("left_key"), col("right_key")))
+      .filter(col("sim") >= minSim)
+      .select(col("left_id"), col("left_key"),
+        col("right_id"), col("right_key"), col("sim"))
+  }
 }

@@ -1070,6 +1070,13 @@ object PyBridge {
     graft.ops.Joins.nameMatchPairs(left, right, idCol, keyCol, minSim,
       prefixLen, bandWidth)
 
+  /** Jaro-Winkler linkage blocked on an external exact column. */
+  def nameMatchPairsBlocked(left: DataFrame, right: DataFrame,
+      idCol: String, keyCol: String, blockCol: String,
+      minSim: Double): DataFrame =
+    graft.ops.Joins.nameMatchPairsBlocked(left, right, idCol, keyCol,
+      blockCol, minSim)
+
   /** Exact pre-flight equi-join output-size forecast. */
   def joinSizeEstimate(left: DataFrame, right: DataFrame,
       leftKeyCols: java.util.List[String],

@@ -83,4 +83,21 @@ class StringSimSpec extends AnyFunSuite with Matchers
     got.count() shouldBe got.dropDuplicates("left_id", "right_id")
       .count()
   }
+
+  test("nameMatchPairsBlocked: external block key pairs within-block " +
+    "only; NULL blocks drop") {
+    import spark.implicits._
+    val l = Seq((1L, "jonathan smith", "90210"),
+      (2L, "maria garcia", "10001"),
+      (3L, "ann lee", null)).toDF("id", "key", "zip")
+    val r = Seq((11L, "jonathon smith", "90210"),
+      (12L, "maria garcai", "90210"), // right name, WRONG block
+      (13L, "ann lee", null)).toDF("id", "key", "zip")
+    val pairs = graft.ops.Joins.nameMatchPairsBlocked(l, r, "id",
+      "key", "zip", minSim = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    pairs should contain((1L, 11L))
+    pairs should not contain ((2L, 12L)) // blocked apart
+    pairs should not contain ((3L, 13L)) // NULL block drops
+  }
 }
