@@ -1369,6 +1369,34 @@ def srm_check(df: DataFrame, group_col: str,
         [float(w) for _, w in expected]), df)
 
 
+def simpson_check(df: DataFrame, treat_col: str, metric_col: str,
+                  strata_col: str) -> DataFrame:
+    """Simpson's-paradox screen: pooled vs stratum-weighted treatment
+    diff, how many strata disagree in sign, and ``flipped`` — the
+    confounded-experiment smell. One (stratum, arm) aggregate."""
+    return _to_py_df(_jvm_bridge(df).simpsonCheck(
+        df._jdf, treat_col, metric_col, strata_col), df)
+
+
+def trimmed_mean(df: DataFrame, value_col: str, lo_q: float,
+                 hi_q: float) -> DataFrame:
+    """Mean inside the EXACT [lo_q, hi_q] discrete-quantile cuts — the
+    whale-proof location metric. Output: n, n_kept, lo_cut, hi_cut,
+    trimmed_mean."""
+    return _to_py_df(_jvm_bridge(df).trimmedMean(
+        df._jdf, value_col, float(lo_q), float(hi_q)), df)
+
+
+def ratio_test(df: DataFrame, group_col: str, num_col: str,
+               den_col: str, group_a: str, group_b: str) -> DataFrame:
+    """Ratio-metric A/B test (sum/sum per group, delta-method
+    variance): n_a, n_b, ratio_a, ratio_b, diff, se, z. Use for
+    clicks-per-view / revenue-per-session style metrics where
+    mean-of-ratios over-weights tiny denominators."""
+    return _to_py_df(_jvm_bridge(df).ratioTest(
+        df._jdf, group_col, num_col, den_col, group_a, group_b), df)
+
+
 def agreement_report(df: DataFrame, col_a: str,
                      col_b: str) -> DataFrame:
     """Inter-rater agreement between two label columns: observed

@@ -811,6 +811,7 @@ def test_round12c_stats_graph_noise():
         assert v == vals[max(1, _math.ceil(q * len(vals))) - 1]
 
     # A/B stats: welch t and mann-whitney agree on direction
+    supp = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
     supp2 = supp.selectExpr(
         "CASE WHEN s_nationkey < 12 THEN 'old' ELSE 'new' END AS g",
         "s_acctbal AS v")
@@ -835,6 +836,25 @@ def test_round12c_stats_graph_noise():
     raw_mean = supp.selectExpr("avg(s_acctbal)").collect()[0][0]
     adj_mean = cu.selectExpr("avg(adjusted)").collect()[0][0]
     assert abs(raw_mean - adj_mean) < 1e-6
+
+    # simpson screen + ratio metric + trimmed mean on the event stream
+    sc = ops.simpson_check(
+        events.selectExpr("user_id % 2 = 0 AS tr", "value",
+                          "event_type"),
+        "tr", "value", "event_type").collect()[0]
+    assert sc["n_strata"] == 5
+    from pyspark.sql import functions as F
+    units = events.groupBy("user_id").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1.0 "
+                     "ELSE 0.0 END")).alias("x"),
+        F.count("*").cast("double").alias("y")) \
+        .selectExpr("*",
+                    "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g")
+    rt = ops.ratio_test(units, "g", "x", "y", "a", "b").collect()[0]
+    assert 0.0 <= rt["ratio_a"] <= 1.0 and rt["se"] > 0
+    tm = ops.trimmed_mean(li, "l_extendedprice", 0.01, 0.99).collect()[0]
+    assert tm["lo_cut"] <= tm["trimmed_mean"] <= tm["hi_cut"]
+    assert tm["n_kept"] <= tm["n"]
 
     # inter-rater agreement: planted 1-in-7 disagreement -> kappa < 1
     raters = docs.selectExpr(

@@ -2823,6 +2823,49 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q241_simpson_check" -> ((s, dir) => {
+      // confounding screen: even/odd-user value gap, pooled vs
+      // stratified by event type — one (stratum, arm) aggregate
+      val ev = t(s, dir, "events")
+        .withColumn("treat", col("user_id") % 2 === 0)
+      ops.Stats.simpsonCheck(ev, "treat", "value", "event_type")
+        .select(col("n"), col("n_strata"),
+          (round(col("pooled_diff"), 6) + 0.0).as("pooled_diff"),
+          (round(col("stratified_diff"), 6) + 0.0)
+            .as("stratified_diff"),
+          col("n_disagreeing_strata"), col("flipped"))
+    }),
+
+    "q242_trimmed_mean" -> ((s, dir) => {
+      // robust location: mean inside the exact 1-99% quantile cuts —
+      // cuts from the distributed order statistics, one filtered agg
+      ops.Stats.trimmedMean(t(s, dir, "lineitem"), "l_extendedprice",
+        loQ = 0.01, hiQ = 0.99)
+        .select(col("n"), col("n_kept"),
+          (round(col("lo_cut"), 6) + 0.0).as("lo_cut"),
+          (round(col("hi_cut"), 6) + 0.0).as("hi_cut"),
+          (round(col("trimmed_mean"), 6) + 0.0).as("trimmed_mean"))
+    }),
+
+    "q243_ratio_test" -> ((s, dir) => {
+      // ratio-metric A/B (purchases per event, per user): delta-method
+      // variance — sum/sum ratio, never the mean of per-unit ratios
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1.0)
+          .otherwise(0.0)).as("x"),
+          count(lit(1)).cast("double").as("y"))
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b"))
+      ops.Stats.ratioTest(units, "grp", "x", "y", "a", "b")
+        .select(col("n_a"), col("n_b"),
+          (round(col("ratio_a"), 6) + 0.0).as("ratio_a"),
+          (round(col("ratio_b"), 6) + 0.0).as("ratio_b"),
+          (round(col("diff"), 6) + 0.0).as("diff"),
+          (round(col("se"), 6) + 0.0).as("se"),
+          (round(col("z"), 6) + 0.0).as("z"))
+    }),
+
     "q240_name_match_blocked" -> ((s, dir) => {
       // Fellegi-Sunter linkage: block on an external high-entropy key
       // (id mod 50 standing in for a zip), fuzzy-match the name inside
@@ -6258,6 +6301,92 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q241_simpson_check" ->
+      """WITH s AS (SELECT (user_id % 2 = 0) AS tr, value AS y,
+        |    event_type AS st FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |c AS (SELECT st,
+        |    count(*) FILTER (WHERE tr)::BIGINT AS nt,
+        |    count(*) FILTER (WHERE NOT tr)::BIGINT AS nc,
+        |    sum(CASE WHEN tr THEN y ELSE 0 END) AS stt,
+        |    sum(CASE WHEN NOT tr THEN y ELSE 0 END) AS sc
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT sum(stt) AS sta, sum(nt) AS nta,
+        |    sum(sc) AS sca, sum(nc) AS nca FROM c),
+        |p AS (SELECT CASE WHEN nta > 0 AND nca > 0
+        |    THEN sta / nta - sca / nca END AS pooled FROM t),
+        |g AS (SELECT sum(nt + nc)::BIGINT AS n,
+        |    sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_strata,
+        |    sum(CASE WHEN nt > 0 AND nc > 0
+        |      THEN (nt + nc) * (stt / nt - sc / nc) END) AS wd,
+        |    sum(CASE WHEN nt > 0 AND nc > 0
+        |      THEN (nt + nc)::DOUBLE END) AS wsum,
+        |    sum(CASE WHEN nt > 0 AND nc > 0 AND p.pooled IS NOT NULL
+        |      AND sign(stt / nt - sc / nc) <> sign(p.pooled)
+        |      THEN 1 ELSE 0 END)::BIGINT AS nd
+        |  FROM c, p)
+        |SELECT n, n_strata, round(p.pooled, 6) + 0.0 AS pooled_diff,
+        |  round(wd / wsum, 6) + 0.0 AS stratified_diff,
+        |  nd AS n_disagreeing_strata,
+        |  (p.pooled IS NOT NULL AND wd / wsum IS NOT NULL
+        |    AND sign(p.pooled) <> sign(wd / wsum)) AS flipped
+        |FROM g, p""".stripMargin,
+
+    "q242_trimmed_mean" ->
+      """WITH c AS (SELECT
+        |    (SELECT quantile_disc(l_extendedprice, 0.01)
+        |      FROM lineitem) AS lo,
+        |    (SELECT quantile_disc(l_extendedprice, 0.99)
+        |      FROM lineitem) AS hi)
+        |SELECT
+        |  (SELECT count(l_extendedprice) FROM lineitem)::BIGINT AS n,
+        |  (SELECT count(*) FROM lineitem, c
+        |    WHERE l_extendedprice BETWEEN c.lo AND c.hi)::BIGINT
+        |    AS n_kept,
+        |  round(lo, 6) + 0.0 AS lo_cut, round(hi, 6) + 0.0 AS hi_cut,
+        |  round((SELECT avg(l_extendedprice) FROM lineitem, c
+        |    WHERE l_extendedprice BETWEEN c.lo AND c.hi), 6) + 0.0
+        |    AS trimmed_mean
+        |FROM c""".stripMargin,
+
+    "q243_ratio_test" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1.0
+        |      ELSE 0 END) AS x,
+        |    count(*)::DOUBLE AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    count(*) FILTER (WHERE g = 'a')::BIGINT AS n_a,
+        |    count(*) FILTER (WHERE g = 'b')::BIGINT AS n_b,
+        |    sum(x) FILTER (WHERE g = 'a') AS sxa,
+        |    sum(y) FILTER (WHERE g = 'a') AS sya,
+        |    sum(x) FILTER (WHERE g = 'b') AS sxb,
+        |    sum(y) FILTER (WHERE g = 'b') AS syb,
+        |    var_samp(x) FILTER (WHERE g = 'a') AS vxa,
+        |    var_samp(y) FILTER (WHERE g = 'a') AS vya,
+        |    covar_samp(x, y) FILTER (WHERE g = 'a') AS ca,
+        |    var_samp(x) FILTER (WHERE g = 'b') AS vxb,
+        |    var_samp(y) FILTER (WHERE g = 'b') AS vyb,
+        |    covar_samp(x, y) FILTER (WHERE g = 'b') AS cb
+        |  FROM u),
+        |d AS (SELECT *,
+        |    CASE WHEN sya <> 0 THEN sxa / sya END AS ra,
+        |    CASE WHEN syb <> 0 THEN sxb / syb END AS rb FROM a),
+        |f AS (SELECT *, ra - rb AS diff,
+        |    CASE WHEN n_a > 1 AND n_b > 1 THEN sqrt(
+        |      (vxa - 2.0 * ra * ca + ra * ra * vya)
+        |        / (n_a * (sya / n_a) * (sya / n_a)) +
+        |      (vxb - 2.0 * rb * cb + rb * rb * vyb)
+        |        / (n_b * (syb / n_b) * (syb / n_b))) END AS se
+        |  FROM d)
+        |SELECT n_a, n_b, round(ra, 6) + 0.0 AS ratio_a,
+        |  round(rb, 6) + 0.0 AS ratio_b,
+        |  round(diff, 6) + 0.0 AS diff, round(se, 6) + 0.0 AS se,
+        |  round(CASE WHEN se > 0 THEN diff / se END, 6) + 0.0 AS z
+        |FROM f""".stripMargin,
 
     "q240_name_match_blocked" ->
       """WITH base AS (SELECT p_partkey AS id,

@@ -265,6 +265,156 @@ object Stats {
       .drop("__cov", "__var", "__mx")
   }
 
+  /** Simpson's-paradox screen: does the pooled treatment-control mean
+    * difference of `metricCol` keep its SIGN after stratifying by
+    * `strataCol`? Reports the pooled diff, the stratum-size-weighted
+    * diff over strata containing BOTH arms, how many such strata
+    * disagree in sign with the pooled read, and `flipped` — the
+    * pooled and stratified estimates pointing opposite ways, the
+    * classic confounded-experiment smell (the strata are imbalanced
+    * across arms AND predictive of the metric). One row: n, n_strata
+    * (with both arms), pooled_diff, stratified_diff,
+    * n_disagreeing_strata, flipped. NULL diffs when an arm is empty.
+    *
+    * Scale shape: one hash aggregate to (stratum, arm) cells, then
+    * arithmetic on the stratum table — the corpus shuffles once.
+    */
+  def simpsonCheck(
+      df: DataFrame,
+      treatCol: String,
+      metricCol: String,
+      strataCol: String): DataFrame = {
+    val y = col(metricCol).cast("double")
+    val tr = col(treatCol).cast("boolean")
+    val cells = df
+      .filter(y.isNotNull && tr.isNotNull)
+      .groupBy(col(strataCol).as("__s"))
+      .agg(
+        sum(when(tr, 1L).otherwise(0L)).as("__nt"),
+        sum(when(!tr, 1L).otherwise(0L)).as("__nc"),
+        sum(when(tr, y).otherwise(0.0)).as("__st"),
+        sum(when(!tr, y).otherwise(0.0)).as("__sc"))
+    val diff = col("__st") / col("__nt") - col("__sc") / col("__nc")
+    val both = col("__nt") > 0 && col("__nc") > 0
+    val totals = cells.agg(
+      sum(col("__st")).as("__stAll"), sum(col("__nt")).as("__ntAll"),
+      sum(col("__sc")).as("__scAll"), sum(col("__nc")).as("__ncAll"))
+    val pooled =
+      when(col("__ntAll") > 0 && col("__ncAll") > 0,
+        col("__stAll") / col("__ntAll") -
+          col("__scAll") / col("__ncAll"))
+    // one pass over the stratum table with the 1-row totals alongside:
+    // the per-stratum sign test needs the pooled diff on every row
+    cells.crossJoin(broadcast(totals))
+      .agg(
+        sum(col("__nt") + col("__nc")).as("n"),
+        sum(when(both, 1L).otherwise(0L)).as("n_strata"),
+        first(pooled).as("pooled_diff"),
+        (sum(when(both,
+          (col("__nt") + col("__nc")).cast("double") * diff)) /
+          sum(when(both, (col("__nt") + col("__nc")).cast("double"))))
+          .as("stratified_diff"),
+        sum(when(both && pooled.isNotNull &&
+          signum(diff) =!= signum(pooled), 1L).otherwise(0L))
+          .as("n_disagreeing_strata"))
+      .withColumn("flipped",
+        col("pooled_diff").isNotNull &&
+          col("stratified_diff").isNotNull &&
+          signum(col("pooled_diff")) =!=
+          signum(col("stratified_diff")))
+  }
+
+  /** Trimmed mean of `valueCol`: the mean over values inside the
+    * EXACT [loQ, hiQ] discrete-quantile cuts (inclusive) — the robust
+    * location metric for heavy-tailed A/B reads (one whale order moves
+    * a raw mean; it cannot move the 1-99% trimmed mean). Cuts come
+    * from [[FeatureScale.exactQuantiles]] (bit-exact, reproducible —
+    * an approx-quantile cut drifts run to run) and broadcast back; the
+    * trim itself is one filtered aggregate. One row: n, n_kept, lo_cut,
+    * hi_cut, trimmed_mean.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      valueCol: String,
+      loQ: Double,
+      hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got ($loQ, $hiQ)")
+    val v = col(valueCol).cast("double")
+    val cuts = FeatureScale.exactQuantiles(df, valueCol, Seq(loQ, hiQ))
+      .groupBy()
+      .agg(
+        max(when(col("q") === loQ, col("value"))).as("__lo"),
+        max(when(col("q") === hiQ, col("value"))).as("__hi"))
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(cuts))
+      .agg(count(lit(1)).as("n"),
+        sum(when(v >= col("__lo") && v <= col("__hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        first(col("__lo")).as("lo_cut"),
+        first(col("__hi")).as("hi_cut"),
+        avg(when(v >= col("__lo") && v <= col("__hi"), v))
+          .as("trimmed_mean"))
+  }
+
+  /** Ratio-metric A/B test with delta-method variance: for unit-level
+    * (numerator, denominator) pairs — clicks and views per user,
+    * revenue and sessions per account — the metric is
+    * `R = sum(num) / sum(den)`, NOT the mean of per-unit ratios
+    * (which over-weights tiny denominators). Per group the delta
+    * method gives Var(R) ~ (var(x) - 2 R cov(x,y) + R^2 var(y)) /
+    * (n * mean(y)^2); z compares the two groups on independent
+    * normals. One row: n_a, n_b, ratio_a, ratio_b, diff, se, z (NULL
+    * when a group is degenerate). One map-side-combined moment
+    * aggregate — the units never shuffle.
+    */
+  def ratioTest(
+      df: DataFrame,
+      groupCol: String,
+      numCol: String,
+      denCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val x = col(numCol).cast("double")
+    val y = col(denCol).cast("double")
+    def arm(isA: Boolean, suffix: String) = {
+      val in = if (isA) g === groupA else g === groupB
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, x).otherwise(0.0)).as(s"__sx_$suffix"),
+        sum(when(in, y).otherwise(0.0)).as(s"__sy_$suffix"),
+        var_samp(when(in, x)).as(s"__vx_$suffix"),
+        var_samp(when(in, y)).as(s"__vy_$suffix"),
+        covar_samp(when(in, x), when(in, y)).as(s"__cxy_$suffix"))
+    }
+    val aggs = arm(isA = true, "a") ++ arm(isA = false, "b")
+    val stats = df
+      .filter(x.isNotNull && y.isNotNull &&
+        (g === groupA || g === groupB))
+      .agg(aggs.head, aggs.tail: _*)
+    def ratio(s: String) = col(s"__sx_$s") / col(s"__sy_$s")
+    def se2(s: String) = {
+      val r = ratio(s)
+      val my = col(s"__sy_$s") / col(s"n_$s")
+      (col(s"__vx_$s") - lit(2.0) * r * col(s"__cxy_$s") +
+        r * r * col(s"__vy_$s")) / (col(s"n_$s") * my * my)
+    }
+    stats
+      .withColumn("ratio_a",
+        when(col("__sy_a") =!= 0.0, ratio("a")))
+      .withColumn("ratio_b",
+        when(col("__sy_b") =!= 0.0, ratio("b")))
+      .withColumn("diff", col("ratio_a") - col("ratio_b"))
+      .withColumn("se",
+        when(col("n_a") > 1 && col("n_b") > 1,
+          sqrt(se2("a") + se2("b"))))
+      .withColumn("z",
+        when(col("se") > 0, col("diff") / col("se")))
+      .select(col("n_a"), col("n_b"), col("ratio_a"), col("ratio_b"),
+        col("diff"), col("se"), col("z"))
+  }
+
   /** Sample-ratio-mismatch check: observed per-group counts against
     * the DESIGNED allocation — the first thing to read on any
     * experiment dashboard (a 50/50 split arriving 52/48 means the

@@ -1047,6 +1047,22 @@ object PyBridge {
       groups.asScala.toSeq.zip(
         weights.asScala.toSeq.map(_.doubleValue())))
 
+  /** Simpson's-paradox screen (pooled vs stratified diff). */
+  def simpsonCheck(df: DataFrame, treatCol: String, metricCol: String,
+      strataCol: String): DataFrame =
+    graft.ops.Stats.simpsonCheck(df, treatCol, metricCol, strataCol)
+
+  /** Trimmed mean inside exact quantile cuts. */
+  def trimmedMean(df: DataFrame, valueCol: String, loQ: Double,
+      hiQ: Double): DataFrame =
+    graft.ops.Stats.trimmedMean(df, valueCol, loQ, hiQ)
+
+  /** Delta-method ratio-metric A/B test. */
+  def ratioTest(df: DataFrame, groupCol: String, numCol: String,
+      denCol: String, groupA: String, groupB: String): DataFrame =
+    graft.ops.Stats.ratioTest(df, groupCol, numCol, denCol, groupA,
+      groupB)
+
   /** Inter-rater agreement (po / pe / Cohen's kappa). */
   def agreementReport(df: DataFrame, colA: String,
       colB: String): DataFrame =

@@ -172,6 +172,70 @@ class AbTestSpec extends AnyFunSuite with Matchers
     byG("b").getDouble(6) shouldBe (chi2 +- 1e-9)
   }
 
+  test("simpsonCheck: hand-built paradox flips; balanced strata do " +
+    "not") {
+    import spark.implicits._
+    // classic: treatment wins in BOTH strata, loses pooled.
+    // stratum E (easy): treat 10 @ mean 8, control 90 @ mean 7
+    // stratum H (hard): treat 90 @ mean 3, control 10 @ mean 2
+    // pooled: treat (10*8 + 90*3)/100 = 3.5 ; control (90*7+10*2)/100
+    //   = 6.5 -> pooled diff = -3; every stratum diff = +1
+    val rows =
+      Seq.fill(10)((true, 8.0, "E")) ++ Seq.fill(90)((false, 7.0, "E")) ++
+        Seq.fill(90)((true, 3.0, "H")) ++ Seq.fill(10)((false, 2.0, "H"))
+    val r = ModelEvalHelpers.one(Stats.simpsonCheck(
+      rows.toDF("tr", "y", "st"), "tr", "y", "st"))
+    r.getLong(0) shouldBe 200L
+    r.getLong(1) shouldBe 2L
+    r.getDouble(2) shouldBe (-3.0 +- 1e-12)
+    r.getDouble(3) shouldBe (1.0 +- 1e-12)
+    r.getLong(4) shouldBe 2L
+    r.getBoolean(5) shouldBe true
+
+    val balanced = Seq((true, 2.0, "x"), (false, 1.0, "x"),
+      (true, 4.0, "y"), (false, 3.0, "y")).toDF("tr", "y", "st")
+    val b = ModelEvalHelpers.one(
+      Stats.simpsonCheck(balanced, "tr", "y", "st"))
+    b.getBoolean(5) shouldBe false
+    b.getLong(4) shouldBe 0L
+  }
+
+  test("trimmedMean: whale row cannot move the trimmed mean; cuts " +
+    "are the exact discrete quantiles") {
+    import spark.implicits._
+    val base = (1 to 98).map(_.toDouble)
+    val withWhale = (base :+ 1.0 :+ 1e9).toDF("v")
+    val r = ModelEvalHelpers.one(
+      Stats.trimmedMean(withWhale, "v", 0.01, 0.99))
+    r.getLong(0) shouldBe 100L
+    // cuts: rank ceil(0.01*100)=1 -> 1.0; ceil(0.99*100)=99 -> 98.0
+    r.getDouble(2) shouldBe 1.0
+    r.getDouble(3) shouldBe 98.0
+    r.getLong(1) shouldBe 99L // the 1e9 whale is the only drop
+    r.getDouble(4) shouldBe ((base.sum + 1.0) / 99 +- 1e-9)
+  }
+
+  test("ratioTest: sum/sum ratios, not mean-of-ratios; degenerate " +
+    "group yields NULL se/z") {
+    import spark.implicits._
+    // a: units (x,y) = (1,2), (3,2) -> ratio 4/4 = 1.0 (mean of
+    // per-unit ratios would be (0.5 + 1.5)/2 = 1.0 here, so also
+    // check b where they differ): b: (1,1), (1,4) -> 2/5 = 0.4
+    // (mean-of-ratios 0.625)
+    val df = Seq(("a", 1.0, 2.0), ("a", 3.0, 2.0),
+      ("b", 1.0, 1.0), ("b", 1.0, 4.0)).toDF("g", "x", "y")
+    val r = ModelEvalHelpers.one(Stats.ratioTest(df, "g", "x", "y", "a", "b"))
+    r.getDouble(2) shouldBe (1.0 +- 1e-12)
+    r.getDouble(3) shouldBe (0.4 +- 1e-12)
+    r.getDouble(4) shouldBe (0.6 +- 1e-12)
+    r.getDouble(6) should not be 0.0
+
+    val tiny = Seq(("a", 1.0, 2.0), ("b", 1.0, 1.0), ("b", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    ModelEvalHelpers.one(Stats.ratioTest(tiny, "g", "x", "y", "a", "b"))
+      .isNullAt(5) shouldBe true
+  }
+
   test("decompose: recovers a constructed linear trend + period-3 " +
     "seasonality with zero residual away from the edges") {
     import spark.implicits._
