@@ -1426,6 +1426,18 @@ def decompose(df: DataFrame, index_col: str, value_col: str,
         int(trend_window)), df)
 
 
+def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
+                       qs: List[float],
+                       keys: Optional[List[str]] = None) -> DataFrame:
+    """``exact_quantiles`` with a weight per row: the smallest value
+    whose cumulative weight reaches ceil(q * total) — e.g. the doc
+    length cut that keeps 99% of TOKENS. Non-positive weights carry
+    no rank."""
+    return _to_py_df(_jvm_bridge(df).weightedQuantiles(
+        df._jdf, value_col, weight_col, [float(q) for q in qs],
+        list(keys or [])), df)
+
+
 def name_match_pairs(left: DataFrame, right: DataFrame, id_col: str,
                      key_col: str, min_sim: float,
                      prefix_len: int = 2,
@@ -1450,6 +1462,16 @@ def name_match_pairs_blocked(left: DataFrame, right: DataFrame,
     return _to_py_df(_jvm_bridge(left).nameMatchPairsBlocked(
         left._jdf, right._jdf, id_col, key_col, block_col,
         float(min_sim)), left)
+
+
+def table_checksum(df: DataFrame, cols: List[str]) -> DataFrame:
+    """Order-insensitive cross-engine table checksum (md5 -> hex ->
+    mod-prime -> sum): one row per component (__rows + each column)
+    with the shared n. Two copies match iff every row matches — the
+    migration/replication parity check that diffs k+1 numbers instead
+    of the table."""
+    return _to_py_df(_jvm_bridge(df).tableChecksum(
+        df._jdf, list(cols)), df)
 
 
 def join_size_estimate(left: DataFrame, right: DataFrame,

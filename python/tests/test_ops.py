@@ -837,6 +837,13 @@ def test_round12c_stats_graph_noise():
     adj_mean = cu.selectExpr("avg(adjusted)").collect()[0][0]
     assert abs(raw_mean - adj_mean) < 1e-6
 
+    # table checksum: partition-invariant, detects a change
+    ck = ops.table_checksum(li, ["l_orderkey", "l_shipmode"])
+    ck2 = ops.table_checksum(li.repartition(13),
+                             ["l_orderkey", "l_shipmode"])
+    assert sorted(map(tuple, ck.collect())) == sorted(
+        map(tuple, ck2.collect()))
+
     # simpson screen + ratio metric + trimmed mean on the event stream
     sc = ops.simpson_check(
         events.selectExpr("user_id % 2 = 0 AS tr", "value",

@@ -742,6 +742,12 @@ object Bench {
           "blk", minSim = 0.95).count()
       }),
 
+      // migration parity digest: md5 + hex-parse + mod-sum over 600k
+      // rows x (1 row digest + 3 columns) in one map-side aggregate
+      "table_checksum" -> (() =>
+        graft.ops.Diagnostics.tableChecksum(t("lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_shipmode")).count()),
+
       // hourly series ops: dense 720-bucket series from 600k events,
       // additive decomposition + 48-lag autocorrelation via shifted
       // equi-joins (no global-sort windows)

@@ -2823,6 +2823,22 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q245_weighted_quantiles" -> ((s, dir) => {
+      // token-budget cut: what doc-length ceiling keeps 50/90/99% of
+      // the CHARS (not of the documents) — weighted order statistics
+      ops.FeatureScale.weightedQuantiles(t(s, dir, "documents"),
+        "n_chars", col("n_chars"), Seq(0.5, 0.9, 0.99))
+        .select((round(col("q"), 6) + 0.0).as("q"), col("n"),
+          col("value"))
+    }),
+
+    "q244_table_checksum" -> ((s, dir) => {
+      // migration parity: order-insensitive md5-mod-sum digests of the
+      // orders table, full-row + per-column — one aggregate
+      ops.Diagnostics.tableChecksum(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
     "q241_simpson_check" -> ((s, dir) => {
       // confounding screen: even/odd-user value gap, pooled vs
       // stratified by event type — one (stratum, arm) aggregate
@@ -6301,6 +6317,40 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q245_weighted_quantiles" ->
+      """WITH c AS (SELECT n_chars AS v, sum(n_chars)::BIGINT AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  GROUP BY 1),
+        |r AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |    sum(c) OVER () AS w FROM c),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT round(q, 6) + 0.0 AS q, max(w)::BIGINT AS n,
+        |  min(v) AS value
+        |FROM r, qs
+        |WHERE cum >= greatest(1, ceil(q * w))
+        |GROUP BY 1""".stripMargin,
+
+    "q244_table_checksum" ->
+      """WITH d AS (SELECT
+        |    coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>') AS c1,
+        |    coalesce(o_orderstatus, '<NULL>') AS c2,
+        |    coalesce(o_orderpriority, '<NULL>') AS c3
+        |  FROM orders),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(('0x' || substr(md5(c1 || '|' || c2 || '|' || c3),
+        |      1, 15)) AS BIGINT) % 1000000007)::BIGINT AS rck,
+        |    sum(CAST(('0x' || substr(md5(c1), 1, 15)) AS BIGINT)
+        |      % 1000000007)::BIGINT AS k1,
+        |    sum(CAST(('0x' || substr(md5(c2), 1, 15)) AS BIGINT)
+        |      % 1000000007)::BIGINT AS k2,
+        |    sum(CAST(('0x' || substr(md5(c3), 1, 15)) AS BIGINT)
+        |      % 1000000007)::BIGINT AS k3
+        |  FROM d)
+        |SELECT '__rows' AS component, n, rck AS checksum FROM s
+        |UNION ALL SELECT 'o_orderkey', n, k1 FROM s
+        |UNION ALL SELECT 'o_orderstatus', n, k2 FROM s
+        |UNION ALL SELECT 'o_orderpriority', n, k3 FROM s""".stripMargin,
 
     "q241_simpson_check" ->
       """WITH s AS (SELECT (user_id % 2 = 0) AS tr, value AS y,

@@ -10,6 +10,49 @@ import org.apache.spark.sql.functions._
   */
 object Diagnostics {
 
+  /** Order-insensitive cross-engine table checksum: one row per
+    * component — `__rows` (the full row digest over `cols` in the
+    * given order) and each column individually — with the shared
+    * row count. Two tables match iff every checksum and `n` match,
+    * regardless of row order, partitioning, or engine: the digest is
+    * `sum(conv(md5(canonical string)[0..15], 16, 10) % 1e9+7)`, all
+    * pieces (md5, hex parse, modulo, sum) arithmetic both Spark and
+    * the DuckDB oracle implement identically. The migration /
+    * replication parity check: run on both sides of a copy, diff two
+    * tiny frames instead of 100 TB.
+    *
+    * Canonicalization: values cast to string with NULL as the
+    * sentinel `<NULL>` (a real value equal to the sentinel would
+    * collide — acceptable for a checksum, documented); floating
+    * formats differ across engines, so cast/round doubles to strings
+    * YOURSELF before trusting a cross-engine match on them.
+    *
+    * Scale shape: ONE map-side-combined aggregate; nothing shuffles
+    * but the k+1 partial sums.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val P = 1000000007L
+    def canon(name: String) =
+      coalesce(col(name).cast("string"), lit("<NULL>"))
+    def digest(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % P
+    val rowStr = concat_ws("|", cols.map(canon): _*)
+    val aggs =
+      (count(lit(1)).as("n") +:
+        sum(digest(rowStr)).as("__ck___rows") +:
+        cols.map(c => sum(digest(canon(c))).as(s"__ck_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val components = ("__rows" +: cols).map { name =>
+      struct(lit(name).as("component"),
+        col(s"__ck_$name").as("checksum"))
+    }
+    one.select(col("n"),
+      explode(array(components: _*)).as("c"))
+      .select(col("c.component"), col("n"), col("c.checksum"))
+  }
+
   /** Heaviest `topK` values of a prospective shuffle key with exact
     * counts and corpus share. Deterministic total order (count desc,
     * then key columns asc).

@@ -182,6 +182,22 @@ object EventStats {
       indexCol: String,
       valueCol: String,
       maxLag: Int): DataFrame = {
+    // the persisted centered layout lives until the session drops it;
+    // long-lived sessions should use [[acfReleasable]]
+    acfReleasable(series, indexCol, valueCol, maxLag)._1
+  }
+
+  /** [[acf]] plus a release() thunk for the persisted centered series.
+    * The centered frame feeds THREE consumers (denominator, lag left
+    * side, lag right side) — without the persist each would recompute
+    * the series from its lineage, which for [[eventAcf]] means
+    * re-aggregating the raw event corpus three times.
+    */
+  def acfReleasable(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      maxLag: Int): (DataFrame, () => Unit) = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val s = series
       .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
@@ -190,19 +206,21 @@ object EventStats {
     val mu = s.agg(avg(col("__v")).as("__mu"))
     val centered = s.crossJoin(broadcast(mu))
       .select(col("__t"), (col("__v") - col("__mu")).as("__d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val den = centered.agg(sum(col("__d") * col("__d")).as("__den"))
     val a = centered
       .select(col("__t"), col("__d"),
         explode(array((1 to maxLag).map(l => lit(l)): _*)).as("lag"))
     val b = centered
       .select(col("__t").as("__bt"), col("__d").as("__bd"))
-    a.join(b, col("__t") + col("lag") === col("__bt"))
+    val out = a.join(b, col("__t") + col("lag") === col("__bt"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__d") * col("__bd")).as("__num"))
       .crossJoin(broadcast(den))
       .select(col("lag").cast("int").as("lag"), col("n_pairs"),
         when(col("__den") > 0, col("__num") / col("__den")).as("acf"))
+    (out, () => { centered.unpersist(); () })
   }
 
   /** [[acf]] over the per-bucket EVENT COUNTS of a raw event stream:
@@ -277,7 +295,25 @@ object EventStats {
       indexCol: String,
       valueCol: String,
       period: Int,
-      trendWindow: Int): DataFrame = {
+      trendWindow: Int): DataFrame =
+    // the persisted trend layout lives until the session drops it;
+    // long-lived sessions should use [[decomposeReleasable]]
+    decomposeReleasable(series, indexCol, valueCol, period,
+      trendWindow)._1
+
+  /** [[decompose]] plus a release() thunk for the persisted
+    * (series + trend) layout. The joined frame feeds TWO consumers
+    * (the per-phase seasonal means and the output projection) —
+    * without the persist each recomputes the series lineage, which
+    * for an [[eventSeries]] input means re-aggregating the raw event
+    * corpus.
+    */
+  def decomposeReleasable(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      period: Int,
+      trendWindow: Int): (DataFrame, () => Unit) = {
     require(period >= 2, s"period must be >= 2, got $period")
     require(trendWindow >= 1,
       s"trendWindow must be >= 1, got $trendWindow")
@@ -295,15 +331,17 @@ object EventStats {
       .select(col("t"),
         when(col("__k") === (2 * w + 1), col("__ma")).as("trend"))
     val withTrend = s.join(trend, Seq("t"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seasonal = withTrend
       .filter(col("trend").isNotNull)
       .groupBy(pmod(col("t"), lit(period.toLong)).as("__phase"))
       .agg(avg(col("v") - col("trend")).as("seasonal"))
-    withTrend
+    val out = withTrend
       .join(broadcast(seasonal),
         pmod(col("t"), lit(period.toLong)) === col("__phase"), "left")
       .select(col("t"), col("v"), col("trend"), col("seasonal"),
         (col("v") - col("trend") - col("seasonal")).as("residual"))
+    (out, () => { withTrend.unpersist(); () })
   }
 
   /** Per-key inter-arrival statistics: number of gaps, mean/min/max

@@ -370,15 +370,33 @@ object FeatureScale {
       df: DataFrame,
       valueCol: String,
       qs: Seq[Double],
+      keys: Seq[String] = Nil): DataFrame =
+    weightedQuantiles(df, valueCol, lit(1L), qs, keys)
+
+  /** [[exactQuantiles]] with a WEIGHT per row: the element at the
+    * smallest value whose cumulative weight reaches `q * totalWeight`
+    * (rank = max(1, ceil(q * W)) over integer weights — with weight 1
+    * this IS `quantile_disc`). The question a token-budgeted pipeline
+    * actually asks: "what sequence-length cut keeps 99% of TOKENS"
+    * is a token-weighted quantile of length, not a document-count
+    * one. Weights cast to long; rows with NULL/non-positive weight
+    * carry no rank.
+    */
+  def weightedQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      weight: Column,
+      qs: Seq[Double],
       keys: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty, "exactQuantiles needs at least one q")
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
       s"every q must be in [0, 1], got $qs")
     val keyCols = keys.map(col)
+    val w = weight.cast("long")
     val counts = df
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && w.isNotNull && w > 0)
       .groupBy((keyCols :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(w).as("__c"))
     val cum =
       if (keys.isEmpty) {
         val (c, release) = runningTotalsReleasable(

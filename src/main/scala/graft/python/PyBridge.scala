@@ -1079,6 +1079,14 @@ object PyBridge {
     graft.ops.EventStats.decompose(df, indexCol, valueCol, period,
       trendWindow)
 
+  /** Weight-per-row exact quantiles (weight column by name). */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, qs: java.util.List[java.lang.Double],
+      keys: java.util.List[String]): DataFrame =
+    graft.ops.FeatureScale.weightedQuantiles(df, valueCol,
+      org.apache.spark.sql.functions.col(weightCol),
+      qs.asScala.toSeq.map(_.doubleValue()), keys.asScala.toSeq)
+
   /** Blocked Jaro-Winkler record linkage. */
   def nameMatchPairs(left: DataFrame, right: DataFrame, idCol: String,
       keyCol: String, minSim: Double, prefixLen: Int,
@@ -1099,6 +1107,11 @@ object PyBridge {
       rightKeyCols: java.util.List[String]): DataFrame =
     graft.ops.Diagnostics.joinSizeEstimate(left, right,
       leftKeyCols.asScala.toSeq, rightKeyCols.asScala.toSeq)
+
+  /** Order-insensitive cross-engine table checksum. */
+  def tableChecksum(df: DataFrame,
+      cols: java.util.List[String]): DataFrame =
+    graft.ops.Diagnostics.tableChecksum(df, cols.asScala.toSeq)
 
   /** FK-violation counter (orphan child rows vs a parent key set). */
   def referentialIntegrity(child: DataFrame,

@@ -150,4 +150,33 @@ class DataQualitySpec extends AnyFunSuite with Matchers
     u.getLong(0) shouldBe 0L
     u.getDouble(5) shouldBe (0.0 +- 1e-12)
   }
+
+  test("tableChecksum: invariant under row order and partitioning; " +
+    "any single-cell change moves the row digest and the touched " +
+    "column's digest only") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "p"), (2L, "y", "q"), (3L, null, "r"))
+      .toDF("k", "v", "w")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      Diagnostics.tableChecksum(d, Seq("k", "v", "w")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val base = snap(df)
+    base("__rows")._1 shouldBe 3L
+    snap(df.repartition(7)) shouldBe base
+    snap(df.orderBy(col("v").desc_nulls_first)) shouldBe base
+
+    val changed = snap(df.withColumn("w",
+      when(col("k") === 2, "Q").otherwise(col("w"))))
+    changed("__rows")._2 should not be base("__rows")._2
+    changed("w")._2 should not be base("w")._2
+    changed("k") shouldBe base("k")
+    changed("v") shouldBe base("v")
+
+    // documented sentinel caveat: a literal "<NULL>" string collides
+    // with NULL in the per-column digest
+    val lit0 = snap(df.withColumn("v",
+      coalesce(col("v"), lit("<NULL>"))))
+    lit0("v") shouldBe base("v")
+  }
 }

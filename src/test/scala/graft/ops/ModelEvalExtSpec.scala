@@ -172,6 +172,22 @@ class ModelEvalExtSpec extends AnyFunSuite with Matchers
       Seq(0.5)).collect().head.getDouble(2) shouldBe 2.0
   }
 
+  test("weightedQuantiles: weight-expanded equals row-expanded; " +
+    "non-positive weights carry no rank") {
+    import spark.implicits._
+    // (value, weight): 1x5, 2x1, 3x4 -> expanded [1,1,1,1,1,2,3,3,3,3]
+    val wdf = Seq((1.0, 5L), (2.0, 1L), (3.0, 4L), (4.0, 0L),
+      (5.0, -2L)).toDF("v", "w")
+    val got = FeatureScale.weightedQuantiles(wdf, "v", col("w"),
+      Seq(0.1, 0.5, 0.6, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val expanded = Seq.fill(5)(1.0) ++ Seq(2.0) ++ Seq.fill(4)(3.0)
+    Seq(0.1, 0.5, 0.6, 1.0).foreach { q =>
+      val rank = math.max(1, math.ceil(q * expanded.size).toLong)
+      got(q) shouldBe expanded((rank - 1).toInt)
+    }
+  }
+
   test("exactQuantiles: fuzz vs sort-based order statistics") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
