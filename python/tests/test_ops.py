@@ -838,9 +838,9 @@ def test_round12c_stats_graph_noise():
     assert abs(raw_mean - adj_mean) < 1e-6
 
     # table checksum: partition-invariant, detects a change
-    ck = ops.table_checksum(li, ["l_orderkey", "l_shipmode"])
+    ck = ops.table_checksum(li, ["l_orderkey", "l_returnflag"])
     ck2 = ops.table_checksum(li.repartition(13),
-                             ["l_orderkey", "l_shipmode"])
+                             ["l_orderkey", "l_returnflag"])
     assert sorted(map(tuple, ck.collect())) == sorted(
         map(tuple, ck2.collect()))
 

@@ -746,7 +746,7 @@ object Bench {
       // rows x (1 row digest + 3 columns) in one map-side aggregate
       "table_checksum" -> (() =>
         graft.ops.Diagnostics.tableChecksum(t("lineitem"),
-          Seq("l_orderkey", "l_linenumber", "l_shipmode")).count()),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag")).count()),
 
       // hourly series ops: dense 720-bucket series from 600k events,
       // additive decomposition + 48-lag autocorrelation via shifted
