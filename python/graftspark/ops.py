@@ -1397,6 +1397,18 @@ def ratio_test(df: DataFrame, group_col: str, num_col: str,
         df._jdf, group_col, num_col, den_col, group_a, group_b), df)
 
 
+def quantile_treatment_effects(df: DataFrame, group_col: str,
+                               value_col: str, qs: List[float],
+                               group_a: str,
+                               group_b: str) -> DataFrame:
+    """Per-quantile gap between two groups' EXACT value distributions
+    (the distributional A/B read mean tests net away). Output per q:
+    q, n_a, n_b, value_a, value_b, qte."""
+    return _to_py_df(_jvm_bridge(df).quantileTreatmentEffects(
+        df._jdf, group_col, value_col, [float(q) for q in qs],
+        group_a, group_b), df)
+
+
 def agreement_report(df: DataFrame, col_a: str,
                      col_b: str) -> DataFrame:
     """Inter-rater agreement between two label columns: observed

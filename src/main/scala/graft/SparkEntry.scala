@@ -2823,6 +2823,19 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q246_quantile_effects" -> ((s, dir) => {
+      // distributional A/B: per-quantile account-balance gap between
+      // the q223 cohorts — what the mean test nets away
+      val sup = t(s, dir, "supplier").withColumn("cohort",
+        when(col("s_nationkey") < 12, "old").otherwise("new"))
+      ops.Stats.quantileTreatmentEffects(sup, "cohort", "s_acctbal",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9), "old", "new")
+        .select((round(col("q"), 6) + 0.0).as("q"), col("n_a"),
+          col("n_b"), (round(col("value_a"), 6) + 0.0).as("value_a"),
+          (round(col("value_b"), 6) + 0.0).as("value_b"),
+          (round(col("qte"), 6) + 0.0).as("qte"))
+    }),
+
     "q245_weighted_quantiles" -> ((s, dir) => {
       // token-budget cut: what doc-length ceiling keeps 50/90/99% of
       // the CHARS (not of the documents) — weighted order statistics
@@ -6316,6 +6329,23 @@ object SparkEntry {
            |  (SELECT count(l_extendedprice) FROM lineitem)::BIGINT AS n,
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // quantile_disc needs CONSTANT parameters: one UNION arm per q
+    "q246_quantile_effects" ->
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9).map { q =>
+        s"""SELECT $q + 0.0 AS q,
+           |  count(*) FILTER (WHERE s_nationkey < 12)::BIGINT AS n_a,
+           |  count(*) FILTER (WHERE s_nationkey >= 12)::BIGINT AS n_b,
+           |  round(quantile_disc(s_acctbal, $q)
+           |    FILTER (WHERE s_nationkey < 12), 6) + 0.0 AS value_a,
+           |  round(quantile_disc(s_acctbal, $q)
+           |    FILTER (WHERE s_nationkey >= 12), 6) + 0.0 AS value_b,
+           |  round(quantile_disc(s_acctbal, $q)
+           |      FILTER (WHERE s_nationkey < 12)
+           |    - quantile_disc(s_acctbal, $q)
+           |      FILTER (WHERE s_nationkey >= 12), 6) + 0.0 AS qte
+           |FROM supplier WHERE s_acctbal IS NOT NULL""".stripMargin
       }.mkString("\nUNION ALL\n"),
 
     "q245_weighted_quantiles" ->

@@ -470,6 +470,38 @@ object Stats {
         col("n_unlisted"), col("chi2"))
   }
 
+  /** Quantile treatment effects: the per-quantile gap between two
+    * groups' EXACT value distributions — the distributional A/B read
+    * the mean tests miss entirely (a treatment that helps the p10
+    * users and hurts the p90 users nets to zero in [[welchTTest]];
+    * it does not here). One row per q: q, n_a, n_b, value_a, value_b,
+    * qte (a - b). Quantiles are [[FeatureScale.exactQuantiles]]
+    * keyed by group — discrete, reproducible, never interpolated.
+    */
+  def quantileTreatmentEffects(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      groupA: String,
+      groupB: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val sub = df
+      .filter(g === groupA || g === groupB)
+      .withColumn("__g", g)
+    val quants = FeatureScale.exactQuantiles(sub, valueCol, qs,
+      keys = Seq("__g"))
+    val a = quants.filter(col("__g") === groupA)
+      .select(col("q"), col("n").as("n_a"),
+        col("value").cast("double").as("value_a"))
+    val b = quants.filter(col("__g") === groupB)
+      .select(col("q"), col("n").as("n_b"),
+        col("value").cast("double").as("value_b"))
+    a.join(b, Seq("q"), "full")
+      .select(col("q"), col("n_a"), col("n_b"), col("value_a"),
+        col("value_b"), (col("value_a") - col("value_b")).as("qte"))
+  }
+
   /** Inter-rater agreement between two label columns (human-label QA
     * before labels gate a pipeline): observed agreement po, chance
     * agreement pe (product of marginals), and Cohen's kappa

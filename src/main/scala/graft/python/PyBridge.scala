@@ -1063,6 +1063,13 @@ object PyBridge {
     graft.ops.Stats.ratioTest(df, groupCol, numCol, denCol, groupA,
       groupB)
 
+  /** Per-quantile treatment-effect gaps between two groups. */
+  def quantileTreatmentEffects(df: DataFrame, groupCol: String,
+      valueCol: String, qs: java.util.List[java.lang.Double],
+      groupA: String, groupB: String): DataFrame =
+    graft.ops.Stats.quantileTreatmentEffects(df, groupCol, valueCol,
+      qs.asScala.toSeq.map(_.doubleValue()), groupA, groupB)
+
   /** Inter-rater agreement (po / pe / Cohen's kappa). */
   def agreementReport(df: DataFrame, colA: String,
       colB: String): DataFrame =

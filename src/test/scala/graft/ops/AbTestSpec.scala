@@ -236,6 +236,22 @@ class AbTestSpec extends AnyFunSuite with Matchers
       .isNullAt(5) shouldBe true
   }
 
+  test("quantileTreatmentEffects: per-quantile gaps on a hand case " +
+    "where the mean test nets to zero") {
+    import spark.implicits._
+    // a = [1, 5], b = [3, 3]: equal means; p-low gap -2, p-high +2
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 3.0), ("b", 3.0))
+      .toDF("g", "v")
+    val got = Stats.quantileTreatmentEffects(df, "g", "v",
+      Seq(0.5, 1.0), "a", "b")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    got(0.5) shouldBe ((1.0, 3.0, -2.0))
+    got(1.0) shouldBe ((5.0, 3.0, 2.0))
+    ModelEvalHelpers.one(Stats.welchTTest(df, "g", "v", "a", "b"))
+      .getDouble(4) shouldBe (0.0 +- 1e-12) // the mean saw nothing
+  }
+
   test("decompose: recovers a constructed linear trend + period-3 " +
     "seasonality with zero residual away from the edges") {
     import spark.implicits._
