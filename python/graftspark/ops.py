@@ -1331,6 +1331,30 @@ def welch_t_test(df: DataFrame, group_col: str, value_col: str,
         df._jdf, group_col, value_col, group_a, group_b), df)
 
 
+def welch_t_test_by(df: DataFrame, keys: List[str], group_col: str,
+                    value_col: str, group_a: str,
+                    group_b: str) -> DataFrame:
+    """Per-segment Welch t-tests (the experiment-readout table): one
+    row per key combination, all segments from ONE aggregate.
+    Underpowered segments appear with NULL t/df rather than silently
+    vanishing. Multiple-testing correction is the caller's policy."""
+    return _to_py_df(_jvm_bridge(df).welchTTestBy(
+        df._jdf, list(keys), group_col, value_col, group_a,
+        group_b), df)
+
+
+def seasonal_anomalies(df: DataFrame, index_col: str, value_col: str,
+                       period: int, trend_window: int,
+                       z_threshold: float = 3.0) -> DataFrame:
+    """Flag indices whose decomposition residual sits more than
+    z_threshold sample stddevs from the mean residual — alerts on
+    departures FROM the seasonal shape, not on the shape. Returns the
+    flagged rows: t, v, trend, seasonal, residual, z."""
+    return _to_py_df(_jvm_bridge(df).seasonalAnomalies(
+        df._jdf, index_col, value_col, int(period), int(trend_window),
+        float(z_threshold)), df)
+
+
 def mann_whitney(df: DataFrame, group_col: str, value_col: str,
                  group_a: str, group_b: str) -> DataFrame:
     """Tie-corrected Mann-Whitney U / z (rank-based two-sample test

@@ -2823,6 +2823,37 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q247_welch_by_segment" -> ((s, dir) => {
+      // the experiment-readout table: one t-test per event-type
+      // segment, all segments from ONE aggregate
+      val ev = t(s, dir, "events")
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "a").otherwise("b"))
+      ops.Stats.welchTTestBy(ev, Seq("event_type"), "grp", "value",
+        "a", "b")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (round(col("mean_a"), 6) + 0.0).as("mean_a"),
+          (round(col("mean_b"), 6) + 0.0).as("mean_b"),
+          (round(col("diff"), 6) + 0.0).as("diff"),
+          (round(col("se"), 6) + 0.0).as("se"),
+          (round(col("t_stat"), 6) + 0.0).as("t_stat"),
+          (round(col("df"), 6) + 0.0).as("df"))
+    }),
+
+    "q248_seasonal_anomalies" -> ((s, dir) => {
+      // alert on departures FROM the daily shape, not on the shape:
+      // decompose the hourly series, flag |residual z| > 2
+      val series = ops.EventStats.eventSeries(t(s, dir, "events"),
+        "ts", bucketSeconds = 3600L)
+      ops.EventStats.seasonalAnomalies(series, "t", "n", period = 24,
+        trendWindow = 12, zThreshold = 2.0)
+        .select(col("t"), col("v"),
+          (round(col("trend"), 6) + 0.0).as("trend"),
+          (round(col("seasonal"), 6) + 0.0).as("seasonal"),
+          (round(col("residual"), 6) + 0.0).as("residual"),
+          (round(col("z"), 6) + 0.0).as("z"))
+    }),
+
     "q246_quantile_effects" -> ((s, dir) => {
       // distributional A/B: per-quantile account-balance gap between
       // the q223 cohorts — what the mean test nets away
@@ -6330,6 +6361,59 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q247_welch_by_segment" ->
+      """WITH s AS (SELECT event_type, CASE WHEN user_id % 2 = 0
+        |    THEN 'a' ELSE 'b' END AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT event_type,
+        |    count(*) FILTER (WHERE g = 'a')::BIGINT AS n_a,
+        |    count(*) FILTER (WHERE g = 'b')::BIGINT AS n_b,
+        |    avg(v) FILTER (WHERE g = 'a') AS mean_a,
+        |    avg(v) FILTER (WHERE g = 'b') AS mean_b,
+        |    var_samp(v) FILTER (WHERE g = 'a') AS va,
+        |    var_samp(v) FILTER (WHERE g = 'b') AS vb
+        |  FROM s GROUP BY 1),
+        |d AS (SELECT *, va / n_a AS sa, vb / n_b AS sb FROM a)
+        |SELECT event_type, n_a, n_b,
+        |  round(mean_a, 6) + 0.0 AS mean_a,
+        |  round(mean_b, 6) + 0.0 AS mean_b,
+        |  round(mean_a - mean_b, 6) + 0.0 AS diff,
+        |  round(sqrt(sa + sb), 6) + 0.0 AS se,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(sa + sb) > 0
+        |    THEN (mean_a - mean_b) / sqrt(sa + sb) END, 6) + 0.0
+        |    AS t_stat,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 AND sqrt(sa + sb) > 0
+        |    THEN pow(sa + sb, 2.0) / (pow(sa, 2.0) / (n_a - 1)
+        |      + pow(sb, 2.0) / (n_b - 1)) END, 6) + 0.0 AS df
+        |FROM d""".stripMargin,
+
+    "q248_seasonal_anomalies" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000)::BIGINT AS t,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |r AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+        |idx AS (SELECT unnest(generate_series(lo, hi)) AS t FROM r),
+        |d AS (SELECT idx.t, coalesce(b.n, 0)::DOUBLE AS v
+        |  FROM idx LEFT JOIN b ON b.t = idx.t),
+        |tr AS (SELECT t, v,
+        |    CASE WHEN count(*) OVER w = 25 THEN avg(v) OVER w END
+        |      AS trend FROM d
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |se AS (SELECT t % 24 AS ph, avg(v - trend) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+        |f AS (SELECT tr.t, tr.v, trend, seasonal,
+        |    v - trend - seasonal AS resid
+        |  FROM tr LEFT JOIN se ON tr.t % 24 = se.ph),
+        |st AS (SELECT avg(resid) AS mr, stddev_samp(resid) AS sr
+        |  FROM f)
+        |SELECT t, v, round(trend, 6) + 0.0 AS trend,
+        |  round(seasonal, 6) + 0.0 AS seasonal,
+        |  round(resid, 6) + 0.0 AS residual,
+        |  round((resid - mr) / sr, 6) + 0.0 AS z
+        |FROM f, st
+        |WHERE resid IS NOT NULL AND sr > 0
+        |  AND abs((resid - mr) / sr) > 2.0""".stripMargin,
 
     // quantile_disc needs CONSTANT parameters: one UNION arm per q
     "q246_quantile_effects" ->

@@ -344,6 +344,41 @@ object EventStats {
     (out, () => { withTrend.unpersist(); () })
   }
 
+  /** Seasonality-aware anomaly flags: [[decompose]] the series, then
+    * flag every index whose residual sits more than `zThreshold`
+    * sample standard deviations from the mean residual — the alert
+    * rule that does NOT page on midnight lulls or Monday ramps (a raw
+    * threshold on `v` fires on the daily shape; one on the residual
+    * fires on departures FROM it). Edge indices with an incomplete
+    * trend window carry no residual and cannot flag. Returns the
+    * flagged rows only: t, v, trend, seasonal, residual, z.
+    *
+    * Scale shape: [[decomposeReleasable]]'s plan plus one 1-row
+    * residual-moment aggregate broadcast back; the flag is a filter.
+    * The persisted decomposition lives until the session drops it
+    * (the decompose convenience contract).
+    */
+  def seasonalAnomalies(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      period: Int,
+      trendWindow: Int,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val (dec, release) = decomposeReleasable(series, indexCol,
+      valueCol, period, trendWindow)
+    val _ = release
+    val stats = dec.agg(avg(col("residual")).as("__mr"),
+      stddev_samp(col("residual")).as("__sr"))
+    dec.crossJoin(broadcast(stats))
+      .filter(col("residual").isNotNull && col("__sr") > 0)
+      .withColumn("z", (col("residual") - col("__mr")) / col("__sr"))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("t"), col("v"), col("trend"), col("seasonal"),
+        col("residual"), col("z"))
+  }
+
   /** Per-key inter-arrival statistics: number of gaps, mean/min/max
     * gap (seconds), sample std-dev, and the coefficient of variation —
     * the burstiness profile of an event stream (CV ~ 1 is Poisson,

@@ -111,13 +111,35 @@ object Stats {
       groupCol: String,
       valueCol: String,
       groupA: String,
+      groupB: String): DataFrame =
+    welchTTestBy(df, Nil, groupCol, valueCol, groupA, groupB)
+
+  /** [[welchTTest]] per `keys` segment — the experiment-readout table
+    * ("which user segments actually moved"): one t-test row per key
+    * combination, ALL segments from ONE map-side-combined aggregate
+    * (running the global test per segment in a loop would scan the
+    * corpus |segments| times). A segment where either arm has < 2
+    * values reports NULL t/df — it is in the table, visibly
+    * underpowered, rather than silently absent. Interpret jointly:
+    * k segments at 5% means k/20 false flags; that multiple-testing
+    * correction is the caller's policy.
+    */
+  def welchTTestBy(
+      df: DataFrame,
+      keys: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
       groupB: String): DataFrame = {
     val v = col(valueCol).cast("double")
     val g = col(groupCol).cast("string")
     val va = when(g === groupA, v)
     val vb = when(g === groupB, v)
-    val stats = df
-      .filter(v.isNotNull && (g === groupA || g === groupB))
+    val base = df.filter(v.isNotNull && (g === groupA || g === groupB))
+    val grouped =
+      if (keys.isEmpty) base.groupBy()
+      else base.groupBy(keys.map(col): _*)
+    val stats = grouped
       .agg(
         count(va).as("n_a"), count(vb).as("n_b"),
         avg(va).as("mean_a"), avg(vb).as("mean_b"),
@@ -136,8 +158,9 @@ object Stats {
           pow(sa + sb, 2.0) /
             (pow(sa, 2.0) / (col("n_a") - 1) +
               pow(sb, 2.0) / (col("n_b") - 1))))
-      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        col("diff"), col("se"), col("t_stat"), col("df"))
+      .select((keys.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("diff"), col("se"),
+        col("t_stat"), col("df"))): _*)
   }
 
   /** Mann-Whitney U test between two named groups — the rank-based

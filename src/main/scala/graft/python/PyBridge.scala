@@ -1023,6 +1023,20 @@ object PyBridge {
       groupA: String, groupB: String): DataFrame =
     graft.ops.Stats.welchTTest(df, groupCol, valueCol, groupA, groupB)
 
+  /** Per-segment Welch t-tests from one aggregate. */
+  def welchTTestBy(df: DataFrame, keys: java.util.List[String],
+      groupCol: String, valueCol: String, groupA: String,
+      groupB: String): DataFrame =
+    graft.ops.Stats.welchTTestBy(df, keys.asScala.toSeq, groupCol,
+      valueCol, groupA, groupB)
+
+  /** Seasonality-aware residual anomaly flags. */
+  def seasonalAnomalies(df: DataFrame, indexCol: String,
+      valueCol: String, period: Int, trendWindow: Int,
+      zThreshold: Double): DataFrame =
+    graft.ops.EventStats.seasonalAnomalies(df, indexCol, valueCol,
+      period, trendWindow, zThreshold)
+
   /** Tie-corrected Mann-Whitney U / z between two groups. */
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame =

@@ -274,6 +274,38 @@ class AbTestSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("welchTTestBy: per-segment tests equal per-slice global tests") {
+    import spark.implicits._
+    val df = Seq(("s1", "a", 1.0), ("s1", "a", 2.0), ("s1", "b", 4.0),
+      ("s1", "b", 6.0), ("s2", "a", 1.0), ("s2", "b", 1.0))
+      .toDF("seg", "g", "v")
+    val by = Stats.welchTTestBy(df, Seq("seg"), "g", "v", "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = ModelEvalHelpers.one(Stats.welchTTest(
+      df.filter(col("seg") === "s1"), "g", "v", "a", "b"))
+    by("s1").getDouble(5) shouldBe s1.getDouble(4) // diff
+    by("s1").getDouble(7) shouldBe s1.getDouble(6) // t
+    // single-row arms: present, NULL t
+    by("s2").isNullAt(7) shouldBe true
+  }
+
+  test("seasonalAnomalies: flags only the planted spike, not the " +
+    "seasonal shape") {
+    import spark.implicits._
+    // strong period-3 shape + one spike at t=13
+    val season = Array(30.0, -10.0, -20.0)
+    val rows = (0L until 30L).map { t =>
+      val spike = if (t == 13) 25.0 else 0.0
+      (t, 100.0 + season((t % 3).toInt) + spike)
+    }
+    val got = EventStats.seasonalAnomalies(rows.toDF("t", "v"), "t",
+      "v", period = 3, trendWindow = 3, zThreshold = 2.0)
+      .collect().map(_.getLong(0))
+    got should contain(13L)
+    // the seasonal extremes themselves do not flag
+    got.length should be <= 5
+  }
+
   test("eventSeries: dense from first to last bucket with zero fill") {
     import spark.implicits._
     val ev = Seq(0L, 500000L, 3000000L).toDF("ts") // buckets 0,0,3
