@@ -659,4 +659,114 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val ev = PyBridge.pcaExplainedVariance(emb, "embedding").collect()
     ev.map(_.getDouble(2)).sum shouldBe 1.0 +- 1e-9
   }
+
+  private def jDoubles(xs: Double*): ju.List[java.lang.Double] = {
+    val l = new ju.ArrayList[java.lang.Double]()
+    xs.foreach(x => l.add(java.lang.Double.valueOf(x)))
+    l
+  }
+
+  // the bridge is a pass-through, but double-summing aggregates are
+  // only reproducible to ~1e-15 relative across runs (partition order
+  // varies) — normalize doubles before the set compare
+  private def same(a: DataFrame, b: DataFrame): Unit = {
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map {
+        case d: Double => math.round(d * 1e6) / 1e6
+        case x => x
+      }).toSet
+    norm(a.collect()) shouldBe norm(b.collect())
+  }
+
+  test("bridge round-13 model-eval / ranking methods mirror the " +
+    "Scala API") {
+    val scored = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "(vec_id % 7) / 6.0 AS s",
+        "label >= 5 AS y", "vec_id % 5 AS q",
+        "greatest(0, label - 6) AS rel")
+    same(PyBridge.averagePrecision(scored, "s", "y"),
+      graft.ops.ModelEval.averagePrecision(scored, "s", "y"))
+    same(PyBridge.thresholdReport(scored, "s", "y", jDoubles(0.3, 0.7)),
+      graft.ops.ModelEval.thresholdReport(scored, "s", "y",
+        Seq(0.3, 0.7)))
+    same(PyBridge.rankingReport(scored, "q", "vec_id", "s", "rel", 5),
+      graft.ops.ModelEval.rankingReport(scored, "q", "vec_id", "s",
+        "rel", 5))
+  }
+
+  test("bridge round-13 experimentation methods mirror the Scala API") {
+    val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .selectExpr("s_suppkey", "s_acctbal", "s_nationkey",
+        "CASE WHEN s_nationkey < 12 THEN 'a' ELSE 'b' END AS g",
+        "s_acctbal > 0 AS conv")
+    same(PyBridge.welchTTest(sup, "g", "s_acctbal", "a", "b"),
+      graft.ops.Stats.welchTTest(sup, "g", "s_acctbal", "a", "b"))
+    same(PyBridge.welchTTestBy(sup, jList("s_nationkey"), "g",
+      "s_acctbal", "a", "b"),
+      graft.ops.Stats.welchTTestBy(sup, Seq("s_nationkey"), "g",
+        "s_acctbal", "a", "b"))
+    same(PyBridge.mannWhitney(sup, "g", "s_acctbal", "a", "b"),
+      graft.ops.Stats.mannWhitney(sup, "g", "s_acctbal", "a", "b"))
+    same(PyBridge.proportionTest(sup, "g", "conv", "a", "b"),
+      graft.ops.Stats.proportionTest(sup, "g", "conv", "a", "b"))
+    same(PyBridge.cuped(sup, "s_acctbal", "s_nationkey", "adj"),
+      graft.ops.Stats.cuped(sup, "s_acctbal", "s_nationkey", "adj"))
+    same(PyBridge.srmCheck(sup, "g", jList("a", "b"),
+      jDoubles(1.0, 1.0)),
+      graft.ops.Stats.srmCheck(sup, "g",
+        Seq("a" -> 1.0, "b" -> 1.0)))
+    same(PyBridge.simpsonCheck(sup, "conv", "s_acctbal", "g"),
+      graft.ops.Stats.simpsonCheck(sup, "conv", "s_acctbal", "g"))
+    same(PyBridge.trimmedMean(sup, "s_acctbal", 0.1, 0.9),
+      graft.ops.Stats.trimmedMean(sup, "s_acctbal", 0.1, 0.9))
+    same(PyBridge.quantileTreatmentEffects(sup, "g", "s_acctbal",
+      jDoubles(0.5), "a", "b"),
+      graft.ops.Stats.quantileTreatmentEffects(sup, "g", "s_acctbal",
+        Seq(0.5), "a", "b"))
+    same(PyBridge.agreementReport(sup, "g", "conv"),
+      graft.ops.Stats.agreementReport(sup, "g", "conv"))
+    val units = sup.selectExpr("g", "s_acctbal AS x",
+      "abs(s_acctbal) + 1.0 AS y")
+    same(PyBridge.ratioTest(units, "g", "x", "y", "a", "b"),
+      graft.ops.Stats.ratioTest(units, "g", "x", "y", "a", "b"))
+  }
+
+  test("bridge round-13 series / quantile / linkage / checksum " +
+    "methods mirror the Scala API") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    same(PyBridge.eventSeries(ev, "ts", 3600L),
+      graft.ops.EventStats.eventSeries(ev, "ts", 3600L))
+    same(PyBridge.eventAcf(ev, "ts", 3600L, 3),
+      graft.ops.EventStats.eventAcf(ev, "ts", 3600L, 3))
+    val series = graft.ops.EventStats.eventSeries(ev, "ts", 3600L)
+    same(PyBridge.acf(series, "t", "n", 2),
+      graft.ops.EventStats.acf(series, "t", "n", 2))
+    same(PyBridge.decompose(series, "t", "n", 24, 6),
+      graft.ops.EventStats.decompose(series, "t", "n", 24, 6))
+    same(PyBridge.seasonalAnomalies(series, "t", "n", 24, 6, 2.0),
+      graft.ops.EventStats.seasonalAnomalies(series, "t", "n", 24, 6,
+        2.0))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    same(PyBridge.exactQuantiles(li, "l_quantity", jDoubles(0.5, 0.9),
+      jList()),
+      graft.ops.FeatureScale.exactQuantiles(li, "l_quantity",
+        Seq(0.5, 0.9)))
+    same(PyBridge.weightedQuantiles(li, "l_quantity",
+      "l_linenumber", jDoubles(0.5), jList()),
+      graft.ops.FeatureScale.weightedQuantiles(li, "l_quantity",
+        col("l_linenumber"), Seq(0.5)))
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .selectExpr("p_partkey AS id", "p_name AS key",
+        "p_partkey % 10 AS blk")
+    same(PyBridge.nameMatchPairs(part, part, "id", "key", 0.95, 2, 4),
+      graft.ops.Joins.nameMatchPairs(part, part, "id", "key", 0.95,
+        2, 4))
+    same(PyBridge.nameMatchPairsBlocked(part, part, "id", "key",
+      "blk", 0.95),
+      graft.ops.Joins.nameMatchPairsBlocked(part, part, "id", "key",
+        "blk", 0.95))
+    same(PyBridge.tableChecksum(li, jList("l_orderkey", "l_returnflag")),
+      graft.ops.Diagnostics.tableChecksum(li,
+        Seq("l_orderkey", "l_returnflag")))
+  }
 }
