@@ -1343,6 +1343,17 @@ def welch_t_test_by(df: DataFrame, keys: List[str], group_col: str,
         group_b), df)
 
 
+def change_point(df: DataFrame, index_col: str,
+                 value_col: str) -> DataFrame:
+    """EXACT single change-point of an indexed series: the split
+    minimizing two-segment squared error, every candidate scored from
+    one distributed prefix-sum pass (O(n), never the O(n^2) textbook
+    rescan). One row: n, split_t, n_left, mean_left, mean_right,
+    sse_global, sse_split, reduction."""
+    return _to_py_df(_jvm_bridge(df).changePoint(
+        df._jdf, index_col, value_col), df)
+
+
 def seasonal_anomalies(df: DataFrame, index_col: str, value_col: str,
                        period: int, trend_window: int,
                        z_threshold: float = 3.0) -> DataFrame:

@@ -863,6 +863,12 @@ def test_round12c_stats_graph_noise():
     assert tm["lo_cut"] <= tm["trimmed_mean"] <= tm["hi_cut"]
     assert tm["n_kept"] <= tm["n"]
 
+    # change point: planted step recovered exactly
+    cp_series = spark.createDataFrame(
+        [(t, 1.0 if t < 8 else 9.0) for t in range(16)], ["t", "v"])
+    cp = ops.change_point(cp_series, "t", "v").collect()[0]
+    assert cp["split_t"] == 7 and abs(cp["sse_split"]) < 1e-9
+
     # inter-rater agreement: planted 1-in-7 disagreement -> kappa < 1
     raters = docs.selectExpr(
         "lang AS a",

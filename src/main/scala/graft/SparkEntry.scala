@@ -2823,6 +2823,24 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q249_change_point" -> ((s, dir) => {
+      // WHEN did the level shift: planted +25 step at bucket 500 over
+      // per-bucket mean quantities — all n-1 splits scored from one
+      // prefix-sum pass, argmax is a 1-row min_by
+      val series = t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 1000).as("t"))
+        .agg(avg(col("l_quantity")).as("base"))
+        .withColumn("v", col("base") +
+          when(col("t") >= 500, 25.0).otherwise(0.0))
+      ops.EventStats.changePoint(series, "t", "v")
+        .select(col("n"), col("split_t"), col("n_left"),
+          (round(col("mean_left"), 6) + 0.0).as("mean_left"),
+          (round(col("mean_right"), 6) + 0.0).as("mean_right"),
+          (round(col("sse_global"), 6) + 0.0).as("sse_global"),
+          (round(col("sse_split"), 6) + 0.0).as("sse_split"),
+          (round(col("reduction"), 6) + 0.0).as("reduction"))
+    }),
+
     "q247_welch_by_segment" -> ((s, dir) => {
       // the experiment-readout table: one t-test per event-type
       // segment, all segments from ONE aggregate
@@ -6361,6 +6379,29 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q249_change_point" ->
+      """WITH base AS (SELECT l_orderkey % 1000 AS t,
+        |    avg(l_quantity) AS b FROM lineitem GROUP BY 1),
+        |s AS (SELECT t, b + CASE WHEN t >= 500 THEN 25.0 ELSE 0 END
+        |    AS v FROM base),
+        |c AS (SELECT t, count(*) OVER w AS k, sum(v) OVER w AS cv,
+        |    sum(v * v) OVER w AS cv2, count(*) OVER () AS n,
+        |    sum(v) OVER () AS sv, sum(v * v) OVER () AS sv2
+        |  FROM s WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT t, k, cv, n, sv, sv2,
+        |    (cv2 - cv * cv / k) + ((sv2 - cv2)
+        |      - (sv - cv) * (sv - cv) / (n - k)) AS sse
+        |  FROM c WHERE k < n),
+        |best AS (SELECT * FROM sc ORDER BY sse, t LIMIT 1)
+        |SELECT n::BIGINT AS n, t AS split_t, k::BIGINT AS n_left,
+        |  round(cv / k, 6) + 0.0 AS mean_left,
+        |  round((sv - cv) / (n - k), 6) + 0.0 AS mean_right,
+        |  round(sv2 - sv * sv / n, 6) + 0.0 AS sse_global,
+        |  round(sse, 6) + 0.0 AS sse_split,
+        |  round(sv2 - sv * sv / n - sse, 6) + 0.0 AS reduction
+        |FROM best""".stripMargin,
 
     "q247_welch_by_segment" ->
       """WITH s AS (SELECT event_type, CASE WHEN user_id % 2 = 0

@@ -344,6 +344,75 @@ object EventStats {
     (out, () => { withTrend.unpersist(); () })
   }
 
+  /** EXACT single change-point detection: the split of an indexed
+    * series into two segments that minimizes total within-segment
+    * squared error — "WHEN did the level shift", where [[acf]] asks
+    * "does it cycle" and CUSUM flags "that it drifted". Returns one
+    * row: n, split_t (last index of the left segment), n_left,
+    * mean_left, mean_right, sse_global, sse_split, reduction
+    * (sse_global - sse_split; ~0 means no shift worth believing).
+    * Ties on reduction break to the smallest split_t. NULL
+    * index/value rows drop.
+    *
+    * Scale shape: every candidate split is scored from ONE
+    * [[FeatureScale.runningTotalsMultiReleasable]] pass (cumulative
+    * count / sum / sum-of-squares in index order) — left and right
+    * segment SSEs are arithmetic on the cumulatives, so the scan of
+    * all n-1 splits is a projection, the argmax is a 1-row
+    * min_by aggregate, and nothing ever sorts through a single
+    * partition. (The textbook per-split recomputation is O(n^2); this
+    * is the standard prefix-sum O(n) — distributed.) The persisted
+    * sorted layout lives until the session drops it; long-lived
+    * sessions should use [[changePointReleasable]].
+    */
+  def changePoint(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String): DataFrame =
+    changePointReleasable(series, indexCol, valueCol)._1
+
+  /** [[changePoint]] plus a release() thunk for the persisted
+    * prefix-sum layout.
+    */
+  def changePointReleasable(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String): (DataFrame, () => Unit) = {
+    val s = series
+      .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(indexCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+    val (cum, release) = FeatureScale.runningTotalsMultiReleasable(
+      s, Seq(col("__t")),
+      Seq("c" -> lit(1L), "v" -> col("__v"),
+        "v2" -> (col("__v") * col("__v"))))
+    val k = col("__cum_c").cast("double")
+    val n = col("__n_c").cast("double")
+    val sseL = col("__cum_v2") - col("__cum_v") * col("__cum_v") / k
+    val sseR = (col("__n_v2") - col("__cum_v2")) -
+      (col("__n_v") - col("__cum_v")) * (col("__n_v") - col("__cum_v")) /
+        (n - k)
+    val scored = cum
+      .filter(col("__cum_c") < col("__n_c"))
+      .select(col("__t"), col("__cum_c"), col("__cum_v"), col("__n_c"),
+        col("__n_v"), col("__n_v2"), (sseL + sseR).as("__sse"))
+    val out = scored
+      .agg(min_by(
+        struct(col("__t"), col("__cum_c"), col("__cum_v"),
+          col("__n_c"), col("__n_v"), col("__n_v2"), col("__sse")),
+        struct(col("__sse"), col("__t"))).as("b"))
+      .select(col("b.__n_c").as("n"), col("b.__t").as("split_t"),
+        col("b.__cum_c").as("n_left"),
+        (col("b.__cum_v") / col("b.__cum_c")).as("mean_left"),
+        ((col("b.__n_v") - col("b.__cum_v")) /
+          (col("b.__n_c") - col("b.__cum_c"))).as("mean_right"),
+        (col("b.__n_v2") - col("b.__n_v") * col("b.__n_v") /
+          col("b.__n_c")).as("sse_global"),
+        col("b.__sse").as("sse_split"))
+      .withColumn("reduction", col("sse_global") - col("sse_split"))
+    (out, release)
+  }
+
   /** Seasonality-aware anomaly flags: [[decompose]] the series, then
     * flag every index whose residual sits more than `zThreshold`
     * sample standard deviations from the mean residual — the alert

@@ -1030,6 +1030,11 @@ object PyBridge {
     graft.ops.Stats.welchTTestBy(df, keys.asScala.toSeq, groupCol,
       valueCol, groupA, groupB)
 
+  /** Exact single change-point (two-segment SSE argmin). */
+  def changePoint(df: DataFrame, indexCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventStats.changePoint(df, indexCol, valueCol)
+
   /** Seasonality-aware residual anomaly flags. */
   def seasonalAnomalies(df: DataFrame, indexCol: String,
       valueCol: String, period: Int, trendWindow: Int,

@@ -306,6 +306,28 @@ class AbTestSpec extends AnyFunSuite with Matchers
     got.length should be <= 5
   }
 
+  test("changePoint: clean level shift found exactly; ties break to " +
+    "the smallest split; zero reduction on a constant series") {
+    import spark.implicits._
+    val shift = ((0L to 9L).map(t => (t, 1.0)) ++
+      (10L to 19L).map(t => (t, 5.0))).toDF("t", "v")
+    val r = ModelEvalHelpers.one(EventStats.changePoint(shift, "t", "v"))
+    r.getLong(1) shouldBe 9L // last index of the left segment
+    r.getDouble(3) shouldBe (1.0 +- 1e-12)
+    r.getDouble(4) shouldBe (5.0 +- 1e-12)
+    r.getDouble(6) shouldBe (0.0 +- 1e-9) // sse at the true split
+    r.getDouble(7) shouldBe (r.getDouble(5) +- 1e-9)
+
+    // [1, 2, 1]: splits at t=0 and t=1 tie at sse 0.5 -> t=0 wins
+    val tie = Seq((0L, 1.0), (1L, 2.0), (2L, 1.0)).toDF("t", "v")
+    ModelEvalHelpers.one(EventStats.changePoint(tie, "t", "v"))
+      .getLong(1) shouldBe 0L
+
+    val const = Seq((0L, 3.0), (1L, 3.0), (2L, 3.0)).toDF("t", "v")
+    ModelEvalHelpers.one(EventStats.changePoint(const, "t", "v"))
+      .getDouble(7) shouldBe (0.0 +- 1e-12)
+  }
+
   test("eventSeries: dense from first to last bucket with zero fill") {
     import spark.implicits._
     val ev = Seq(0L, 500000L, 3000000L).toDF("ts") // buckets 0,0,3
