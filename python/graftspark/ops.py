@@ -1343,6 +1343,24 @@ def welch_t_test_by(df: DataFrame, keys: List[str], group_col: str,
         group_b), df)
 
 
+def trend_slope(df: DataFrame, index_col: str,
+                value_col: str) -> DataFrame:
+    """Theil-Sen (exact median of pairwise slopes — outlier-proof) and
+    OLS trend of a BUCKETED series side by side; disagreement means an
+    outlier owns OLS. Pairs are O(series^2): bucket first. Output:
+    n, n_pairs, theil_sen, ols."""
+    return _to_py_df(_jvm_bridge(df).trendSlope(
+        df._jdf, index_col, value_col), df)
+
+
+def categorical_profile(df: DataFrame, col: str) -> DataFrame:
+    """Exact distribution shape of one categorical column: n,
+    cardinality, entropy (nats), normalized_entropy, gini_impurity,
+    top_share. The exact twin of the frequent-items sketch summary."""
+    return _to_py_df(_jvm_bridge(df).categoricalProfile(
+        df._jdf, col), df)
+
+
 def change_point(df: DataFrame, index_col: str,
                  value_col: str) -> DataFrame:
     """EXACT single change-point of an indexed series: the split

@@ -863,6 +863,16 @@ def test_round12c_stats_graph_noise():
     assert tm["lo_cut"] <= tm["trimmed_mean"] <= tm["hi_cut"]
     assert tm["n_kept"] <= tm["n"]
 
+    # trend: robust and OLS slopes on the hourly series
+    hourly = ops.event_series(events, "ts", 3600)
+    ts = ops.trend_slope(hourly, "t", "n").collect()[0]
+    assert ts["n_pairs"] == ts["n"] * (ts["n"] - 1) // 2
+
+    # categorical shape: five event types, near-uniform
+    cprof = ops.categorical_profile(events, "event_type").collect()[0]
+    assert cprof["cardinality"] == 5
+    assert 0.99 < cprof["normalized_entropy"] <= 1.0
+
     # change point: planted step recovered exactly
     cp_series = spark.createDataFrame(
         [(t, 1.0 if t < 8 else 9.0) for t in range(16)], ["t", "v"])

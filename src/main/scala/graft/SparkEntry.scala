@@ -2823,6 +2823,29 @@ object SparkEntry {
           (round(col("value"), 6) + 0.0).as("value"))
     }),
 
+    "q250_trend_slope" -> ((s, dir) => {
+      // robust vs OLS trend of the hourly event series: the exact
+      // median of 259k pairwise slopes via the rank prefix sum
+      val series = ops.EventStats.eventSeries(t(s, dir, "events"),
+        "ts", bucketSeconds = 3600L)
+      ops.EventStats.trendSlope(series, "t", "n")
+        .select(col("n"), col("n_pairs"),
+          (round(col("theil_sen"), 6) + 0.0).as("theil_sen"),
+          (round(col("ols"), 6) + 0.0).as("ols"))
+    }),
+
+    "q251_categorical_profile" -> ((s, dir) => {
+      // exact distribution shape of event_type: entropy / impurity /
+      // majority share from one count aggregate
+      ops.Stats.categoricalProfile(t(s, dir, "events"), "event_type")
+        .select(col("n"), col("cardinality"),
+          (round(col("entropy"), 6) + 0.0).as("entropy"),
+          (round(col("normalized_entropy"), 6) + 0.0)
+            .as("normalized_entropy"),
+          (round(col("gini_impurity"), 6) + 0.0).as("gini_impurity"),
+          (round(col("top_share"), 6) + 0.0).as("top_share"))
+    }),
+
     "q249_change_point" -> ((s, dir) => {
       // WHEN did the level shift: planted +25 step at bucket 500 over
       // per-bucket mean quantities — all n-1 splits scored from one
@@ -6379,6 +6402,42 @@ object SparkEntry {
            |  round((SELECT quantile_disc(l_extendedprice, $q)
            |    FROM lineitem), 6) + 0.0 AS value""".stripMargin
       }.mkString("\nUNION ALL\n"),
+
+    "q250_trend_slope" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000)::BIGINT AS t,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |r AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+        |idx AS (SELECT unnest(generate_series(lo, hi)) AS t FROM r),
+        |d0 AS (SELECT idx.t::DOUBLE AS t0, coalesce(b.n, 0)::DOUBLE
+        |    AS v FROM idx LEFT JOIN b ON b.t = idx.t),
+        |m AS (SELECT min(t0) AS tmin FROM d0),
+        |d AS (SELECT t0 - m.tmin AS t, v FROM d0, m),
+        |p AS (SELECT (b2.v - a.v) / (b2.t - a.t) AS slope
+        |  FROM d a JOIN d b2 ON a.t < b2.t),
+        |o AS (SELECT count(*) AS n, sum(t) AS st, sum(v) AS sv,
+        |    sum(t * v) AS stv, sum(t * t) AS st2 FROM d)
+        |SELECT o.n::BIGINT AS n,
+        |  (SELECT count(*) FROM p)::BIGINT AS n_pairs,
+        |  round((SELECT quantile_disc(slope, 0.5) FROM p), 6) + 0.0
+        |    AS theil_sen,
+        |  round(CASE WHEN o.n * o.st2 - o.st * o.st > 0
+        |    THEN (o.n * o.stv - o.st * o.sv)
+        |      / (o.n * o.st2 - o.st * o.st) END, 6) + 0.0 AS ols
+        |FROM o""".stripMargin,
+
+    "q251_categorical_profile" ->
+      """WITH c AS (SELECT event_type AS v, count(*)::BIGINT AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS n FROM c),
+        |p AS (SELECT c.c, t.n, c.c::DOUBLE / t.n AS p FROM c, t)
+        |SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS cardinality,
+        |  round(-sum(p * ln(p)), 6) + 0.0 AS entropy,
+        |  round(CASE WHEN count(*) > 1
+        |    THEN -sum(p * ln(p)) / ln(count(*)::DOUBLE)
+        |    ELSE 0.0 END, 6) + 0.0 AS normalized_entropy,
+        |  round(1.0 - sum(p * p), 6) + 0.0 AS gini_impurity,
+        |  round(max(c)::DOUBLE / max(n), 6) + 0.0 AS top_share
+        |FROM p""".stripMargin,
 
     "q249_change_point" ->
       """WITH base AS (SELECT l_orderkey % 1000 AS t,

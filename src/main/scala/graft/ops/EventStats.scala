@@ -344,6 +344,57 @@ object EventStats {
     (out, () => { withTrend.unpersist(); () })
   }
 
+  /** Robust trend of an indexed SERIES: the Theil-Sen slope (exact
+    * median of all pairwise slopes — up to 29% of the points can be
+    * arbitrarily corrupt before it budges) next to the OLS slope it
+    * sanity-checks (one outlier hour can own OLS; when the two
+    * disagree, believe Theil-Sen and go find the outlier). One row:
+    * n, n_pairs, theil_sen, ols — EMPTY when n < 2 (no pair exists).
+    *
+    * Scale contract: pairwise slopes are O(n^2) OF THE SERIES — this
+    * op is for bucketed series ([[eventSeries]]: a year of hours is
+    * 8.8k points, 38M pairs — fine distributed), NOT raw event
+    * streams; bucket first. The pair median is EXACT via
+    * [[FeatureScale.exactQuantiles]] (the slope table feeds the same
+    * distributed prefix sum every rank statistic here uses); OLS is
+    * one moment aggregate.
+    */
+  def trendSlope(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String): DataFrame = {
+    val raw = series
+      .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(indexCol).cast("double").as("__t0"),
+        col(valueCol).cast("double").as("__v"))
+    // center the index: the slope is shift-invariant, and sums of
+    // t^2 at epoch magnitudes leave double precision (n * st2 for a
+    // year of hours is ~1e17 > 2^53) — centered they never do
+    val tmin = raw.agg(min(col("__t0")).as("__tmin"))
+    val s = raw.crossJoin(broadcast(tmin))
+      .select((col("__t0") - col("__tmin")).as("__t"), col("__v"))
+    val b = s.select(col("__t").as("__tb"), col("__v").as("__vb"))
+    val slopes = s.crossJoin(b)
+      .filter(col("__t") < col("__tb"))
+      .select(((col("__vb") - col("__v")) / (col("__tb") - col("__t")))
+        .as("__slope"))
+    val med = FeatureScale.exactQuantiles(slopes, "__slope", Seq(0.5))
+      .select(col("n").as("n_pairs"),
+        col("value").cast("double").as("theil_sen"))
+    val ols = s.agg(
+      count(lit(1)).as("n"), sum(col("__t")).as("__st"),
+      sum(col("__v")).as("__sv"),
+      sum(col("__t") * col("__v")).as("__stv"),
+      sum(col("__t") * col("__t")).as("__st2"))
+      .select(col("n"),
+        when(col("n") * col("__st2") - col("__st") * col("__st") > 0,
+          (col("n") * col("__stv") - col("__st") * col("__sv")) /
+            (col("n") * col("__st2") - col("__st") * col("__st")))
+          .as("ols"))
+    ols.crossJoin(broadcast(med))
+      .select(col("n"), col("n_pairs"), col("theil_sen"), col("ols"))
+  }
+
   /** EXACT single change-point detection: the split of an indexed
     * series into two segments that minimizes total within-segment
     * squared error — "WHEN did the level shift", where [[acf]] asks

@@ -92,6 +92,44 @@ object Stats {
         col("n"), col("card_a"), col("card_b"))
   }
 
+  /** Exact distribution shape of one categorical column: n (non-null),
+    * cardinality, Shannon entropy (nats), Gini impurity (1 - sum p^2),
+    * normalized entropy (over ln cardinality — 1.0 is uniform, the
+    * comparable-across-columns form), and top_share (the majority
+    * class's mass — a 0.99 here means the column is nearly constant
+    * and every model metric stratified on it is fiction). The EXACT
+    * twin of the frequent-items sketch summary: run this when the
+    * column is known-low-cardinality and the number must be exact.
+    * NULLs carry no mass.
+    *
+    * Scale shape: one map-side-combined count aggregate to the
+    * distinct values, then a 1-row reduction of the count table.
+    */
+  def categoricalProfile(df: DataFrame, colName: String): DataFrame = {
+    val counts = df
+      .filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__n"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("__c"), col("__n"),
+        (col("__c").cast("double") / col("__n")).as("__p"))
+      .agg(
+        first(col("__n")).as("n"),
+        count(lit(1)).as("cardinality"),
+        (-sum(col("__p") * log(col("__p")))).as("entropy"),
+        (lit(1.0) - sum(col("__p") * col("__p"))).as("gini_impurity"),
+        (max(col("__c")).cast("double") / first(col("__n")))
+          .as("top_share"))
+      .withColumn("normalized_entropy",
+        when(col("cardinality") > 1,
+          col("entropy") / log(col("cardinality").cast("double")))
+          .otherwise(0.0))
+      .select(col("n"), col("cardinality"), col("entropy"),
+        col("normalized_entropy"), col("gini_impurity"),
+        col("top_share"))
+  }
+
   /** Welch's unequal-variance t-test between two named groups of
     * `valueCol`: the A/B-test workhorse that does NOT assume the
     * variants share a variance (Student's pooled test silently lies

@@ -1030,6 +1030,15 @@ object PyBridge {
     graft.ops.Stats.welchTTestBy(df, keys.asScala.toSeq, groupCol,
       valueCol, groupA, groupB)
 
+  /** Theil-Sen + OLS trend of a bucketed series. */
+  def trendSlope(df: DataFrame, indexCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventStats.trendSlope(df, indexCol, valueCol)
+
+  /** Exact categorical distribution shape (entropy/gini/top share). */
+  def categoricalProfile(df: DataFrame, colName: String): DataFrame =
+    graft.ops.Stats.categoricalProfile(df, colName)
+
   /** Exact single change-point (two-segment SSE argmin). */
   def changePoint(df: DataFrame, indexCol: String,
       valueCol: String): DataFrame =

@@ -328,6 +328,51 @@ class AbTestSpec extends AnyFunSuite with Matchers
       .getDouble(7) shouldBe (0.0 +- 1e-12)
   }
 
+  test("trendSlope: exact on a line; one outlier moves OLS but not " +
+    "Theil-Sen; index shift changes nothing (centered internally)") {
+    import spark.implicits._
+    val line = (0L to 9L).map(t => (t, 2.0 * t + 1.0)).toDF("t", "v")
+    val r = ModelEvalHelpers.one(EventStats.trendSlope(line, "t", "v"))
+    r.getLong(1) shouldBe 45L
+    r.getDouble(2) shouldBe (2.0 +- 1e-12)
+    r.getDouble(3) shouldBe (2.0 +- 1e-12)
+
+    val dirty = (0L to 9L).map(t =>
+      (t, if (t == 5) 100.0 else 2.0 * t)).toDF("t", "v")
+    val d = ModelEvalHelpers.one(EventStats.trendSlope(dirty, "t", "v"))
+    d.getDouble(2) shouldBe (2.0 +- 1e-12) // robust
+    d.getDouble(3) should be > 2.5 // OLS owned by the outlier
+
+    // epoch-magnitude indices: centering keeps both slopes exact
+    val shifted = (0L to 9L).map(t =>
+      (t + 490000L, 2.0 * (t + 490000L) + 1.0)).toDF("t", "v")
+    val s2 = ModelEvalHelpers.one(
+      EventStats.trendSlope(shifted, "t", "v"))
+    s2.getDouble(2) shouldBe (2.0 +- 1e-12)
+    s2.getDouble(3) shouldBe (2.0 +- 1e-9)
+  }
+
+  test("categoricalProfile: hand-computed entropy/gini/top-share; " +
+    "constant column degenerates cleanly") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b").toDF("c")
+    val r = ModelEvalHelpers.one(Stats.categoricalProfile(df, "c"))
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 2L
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    r.getDouble(2) shouldBe (h +- 1e-12)
+    r.getDouble(3) shouldBe (h / math.log(2.0) +- 1e-12)
+    r.getDouble(4) shouldBe (0.375 +- 1e-12)
+    r.getDouble(5) shouldBe (0.75 +- 1e-12)
+
+    val const = Seq("x", "x").toDF("c")
+    val c = ModelEvalHelpers.one(Stats.categoricalProfile(const, "c"))
+    c.getLong(1) shouldBe 1L
+    c.getDouble(2) shouldBe (0.0 +- 1e-12)
+    c.getDouble(3) shouldBe (0.0 +- 1e-12)
+    c.getDouble(5) shouldBe (1.0 +- 1e-12)
+  }
+
   test("eventSeries: dense from first to last bucket with zero fill") {
     import spark.implicits._
     val ev = Seq(0L, 500000L, 3000000L).toDF("ts") // buckets 0,0,3
