@@ -748,15 +748,19 @@ object Bench {
         graft.ops.Diagnostics.tableChecksum(t("lineitem"),
           Seq("l_orderkey", "l_linenumber", "l_returnflag")).count()),
 
-      // hourly series ops: dense 720-bucket series from 600k events,
+      // hourly series ops: dense 720-bucket series from 600k events —
       // additive decomposition + 48-lag autocorrelation via shifted
-      // equi-joins (no global-sort windows)
+      // equi-joins (no global-sort windows), the exact change-point
+      // from one prefix-sum pass, and the Theil-Sen median of 259k
+      // pairwise slopes through the rank machinery
       "series_analysis" -> (() => {
         val series = graft.ops.EventStats.eventSeries(
           t("events"), "ts", bucketSeconds = 3600L)
         graft.ops.EventStats.decompose(series, "t", "n", period = 24,
           trendWindow = 12).count()
         graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).count()
+        graft.ops.EventStats.changePoint(series, "t", "n").count()
+        graft.ops.EventStats.trendSlope(series, "t", "n").count()
       }),
 
       // audio dedup e2e: synthesize white-noise WAVs executor-side
