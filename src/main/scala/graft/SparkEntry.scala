@@ -2834,6 +2834,43 @@ object SparkEntry {
           (round(col("ols"), 6) + 0.0).as("ols"))
     }),
 
+    "q252_png_decode" -> ((s, dir) => {
+      // REAL PNG decode through the JDK's javax.imageio: the q56
+      // analytic pixels re-encoded into a PNG container (lossless, so
+      // the decoded dims and channel means stay exactly
+      // oracle-checkable), decoded back through the format-sniffing
+      // partition-local codec path
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePng(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.decodeImages(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
+    "q253_png_image_hash" -> ((s, dir) => {
+      // perceptual hashes computed FROM PNG bytes: ImageIO decode must
+      // reproduce the synthetic pixel formula bit-exactly for the
+      // aHash/dHash oracle (same SQL as q131) to hold — the strongest
+      // possible pin on the PNG decode path
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizePng(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.imageHashes(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
+    }),
+
     "q251_categorical_profile" -> ((s, dir) => {
       // exact distribution shape of event_type: entropy / impurity /
       // majority share from one count aggregate
@@ -6424,6 +6461,66 @@ object SparkEntry {
         |    THEN (o.n * o.stv - o.st * o.sv)
         |      / (o.n * o.st2 - o.st * o.st) END, 6) + 0.0 AS ols
         |FROM o""".stripMargin,
+
+    "q252_png_decode" ->
+      // identical to the q56 oracle: PNG is lossless, so the analytic
+      // pixel formula survives the container round-trip bit-exactly
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d),
+        |xy AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px)
+        |SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+        |  3 AS channels,
+        |  round(avg((doc_id + 7 * x + 13 * y) % 256), 6) AS mean_r,
+        |  round(avg((doc_id * 3 + 5 * x + 11 * y) % 256), 6) AS mean_g,
+        |  round(avg((doc_id * 7 + 3 * x + 17 * y) % 256), 6) AS mean_b
+        |FROM xy GROUP BY doc_id""".stripMargin,
+
+    "q253_png_image_hash" ->
+      // identical to the q131 oracle: every aHash/dHash bit rebuilt
+      // from the pixel formula — ImageIO's PNG decode must agree
+      // bit-exactly
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |ag AS (SELECT doc_id, p,
+        |    ((doc_id + 7 * sx + 13 * sy) % 256)
+        |      + ((doc_id * 3 + 5 * sx + 11 * sy) % 256)
+        |      + ((doc_id * 7 + 3 * sx + 17 * sy) % 256) AS g3
+        |  FROM (SELECT doc_id, p, ((p % 8) * w) // 8 AS sx,
+        |      ((p // 8) * h) // 8 AS sy
+        |    FROM (SELECT doc_id, w, h, unnest(range(64)) AS p FROM d))),
+        |asum AS (SELECT doc_id, sum(g3) AS s3 FROM ag GROUP BY 1),
+        |abits AS (SELECT ag.doc_id AS doc_id, p,
+        |    CASE WHEN 64 * g3 > s3 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM ag JOIN asum ON ag.doc_id = asum.doc_id),
+        |ah AS (SELECT doc_id,
+        |    sum(CASE WHEN p >= 32 THEN bit << (p - 32) ELSE 0 END)::BIGINT
+        |      AS ahash_hi,
+        |    sum(CASE WHEN p < 32 THEN bit << p ELSE 0 END)::BIGINT
+        |      AS ahash_lo
+        |  FROM abits GROUP BY 1),
+        |dg AS (SELECT doc_id, x, y,
+        |    ((doc_id + 7 * sx + 13 * sy) % 256)
+        |      + ((doc_id * 3 + 5 * sx + 11 * sy) % 256)
+        |      + ((doc_id * 7 + 3 * sx + 17 * sy) % 256) AS g3
+        |  FROM (SELECT doc_id, p % 9 AS x, p // 9 AS y,
+        |      ((p % 9) * w) // 9 AS sx, ((p // 9) * h) // 8 AS sy
+        |    FROM (SELECT doc_id, w, h, unnest(range(72)) AS p FROM d))),
+        |dbits AS (SELECT l.doc_id AS doc_id, l.y * 8 + l.x AS p,
+        |    CASE WHEN r.g3 > l.g3 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM dg l JOIN dg r ON l.doc_id = r.doc_id AND l.y = r.y
+        |    AND r.x = l.x + 1
+        |  WHERE l.x < 8),
+        |dh AS (SELECT doc_id,
+        |    sum(CASE WHEN p >= 32 THEN bit << (p - 32) ELSE 0 END)::BIGINT
+        |      AS dhash_hi,
+        |    sum(CASE WHEN p < 32 THEN bit << p ELSE 0 END)::BIGINT
+        |      AS dhash_lo
+        |  FROM dbits GROUP BY 1)
+        |SELECT ah.doc_id AS doc_id, ahash_hi, ahash_lo, dhash_hi, dhash_lo
+        |FROM ah JOIN dh ON ah.doc_id = dh.doc_id""".stripMargin,
 
     "q251_categorical_profile" ->
       """WITH c AS (SELECT event_type AS v, count(*)::BIGINT AS c

@@ -211,9 +211,10 @@ object Media {
 
   final case class PHashRecord(id: Long, phash: Long)
 
-  /** DCT perceptual hashes of a binary PPM column — same codec-boundary
-    * shape as [[imageHashes]]: partition-local decode, zero shuffle,
-    * 8 bytes of hash state per row.
+  /** DCT perceptual hashes of a binary image column (PPM/PNG/JPEG,
+    * sniffed per row via [[decodeImage]]) — same codec-boundary shape
+    * as [[imageHashes]]: partition-local decode, zero shuffle, 8 bytes
+    * of hash state per row.
     */
   def imagePHashes(
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
@@ -222,12 +223,13 @@ object Media {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        PHashRecord(id, pHash64(decodePpm(blob)))
+        PHashRecord(id, pHash64(decodeImage(blob)))
       })
       .toDF()
   }
 
-  /** Perceptual hashes (aHash + dHash) of a binary PPM column —
+  /** Perceptual hashes (aHash + dHash) of a binary image column
+    * (PPM/PNG/JPEG, sniffed per row via [[decodeImage]]) —
     * partition-local decode at the codec boundary, zero shuffle; the
     * whole image column reduces to 16 bytes/row of hash state.
     */
@@ -238,7 +240,7 @@ object Media {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        val img = decodePpm(blob)
+        val img = decodeImage(blob)
         ImageHashRecord(id, aHash64(img), dHash64(img))
       })
       .toDF()
@@ -1245,6 +1247,162 @@ object Media {
         val m = parseWav(blob)
         WavRecord(id, m.channels, m.sampleRate, m.nFrames,
           m.nFrames * 1000000L / m.sampleRate, rmsPcm16(blob))
+      })
+      .toDF()
+  }
+
+  // ---------- PNG / JPEG via the JDK's ImageIO (zero new deps) ----------
+
+  /** Container sniff from magic bytes: "ppm" (P6), "png" (\x89PNG),
+    * "jpeg" (\xFF\xD8), or "unknown".
+    */
+  def sniffImageFormat(blob: Array[Byte]): String =
+    if (blob.length >= 2 && blob(0) == 'P' && blob(1) == '6') "ppm"
+    else if (blob.length >= 4 && (blob(0) & 0xff) == 0x89 &&
+      blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G') "png"
+    else if (blob.length >= 2 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8) "jpeg"
+    else "unknown"
+
+  // ImageIO setup, once per JVM (executor-side too): headless mode (a
+  // byte-array codec never needs a display) and the in-memory stream
+  // cache (the default spills every encode/decode through a temp FILE —
+  // a per-row disk write inside a mapPartitions hot loop).
+  private lazy val imageIoReady: Boolean = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  private def toBufferedImage(img: PpmImage): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](img.width)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = (y * img.width + x) * 3
+        row(x) = ((img.pixels(i) & 0xff) << 16) |
+          ((img.pixels(i + 1) & 0xff) << 8) | (img.pixels(i + 2) & 0xff)
+        x += 1
+      }
+      bi.setRGB(0, y, img.width, 1, row, 0, img.width)
+      y += 1
+    }
+    bi
+  }
+
+  private def fromBufferedImage(
+      bi: java.awt.image.BufferedImage): PpmImage = {
+    val w = bi.getWidth; val h = bi.getHeight
+    val px = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      // getRGB converts ANY stored color model (BGR bytes, palette,
+      // gray) to packed sRGB ints — one row at a time, no per-pixel
+      // ColorModel dispatch
+      bi.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val v = row(x); val i = (y * w + x) * 3
+        px(i) = ((v >> 16) & 0xff).toByte
+        px(i + 1) = ((v >> 8) & 0xff).toByte
+        px(i + 2) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, px)
+  }
+
+  /** Encode as PNG (lossless) through the JDK's ImageIO writer. */
+  def encodePng(img: PpmImage): Array[Byte] = {
+    require(imageIoReady)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(toBufferedImage(img), "png", bos),
+      "no PNG writer available in this JVM")
+    bos.toByteArray
+  }
+
+  /** Encode as JPEG at an explicit quality in (0, 1] — lossy by
+    * nature; pHash survival under recompression is the spec-pinned
+    * invariant ([[pHash64]]'s reason to exist).
+    */
+  def encodeJpeg(img: PpmImage, quality: Float = 0.95f): Array[Byte] = {
+    require(imageIoReady)
+    require(quality > 0f && quality <= 1f,
+      s"jpeg quality out of (0,1]: $quality")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+    require(writers.hasNext, "no JPEG writer available in this JVM")
+    val writer = writers.next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(toBufferedImage(img), null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL PNG/JPEG decode through the JDK's ImageIO — headless-safe,
+    * zero external codec libraries (verified in-container; MP3/MP4
+    * remain behind the [[Multimodal.ImageCodec]]-style plug boundary).
+    */
+  def decodeImageIo(blob: Array[Byte]): PpmImage = {
+    require(imageIoReady)
+    val bi =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    require(bi != null, "undecodable image bytes (no ImageIO reader matched)")
+    fromBufferedImage(bi)
+  }
+
+  /** Format-sniffing decode: P6 PPM through the byte-level parser,
+    * PNG/JPEG through ImageIO. The image ops route through here, so a
+    * mixed-format corpus decodes in one partition-local pass.
+    */
+  def decodeImage(blob: Array[Byte]): PpmImage =
+    sniffImageFormat(blob) match {
+      case "ppm" => decodePpm(blob)
+      case "png" | "jpeg" => decodeImageIo(blob)
+      case _ => throw new IllegalArgumentException(
+        "unrecognized image container (magic bytes match no known format)")
+    }
+
+  /** [[synthesizePpm]]'s pixels in a PNG container: PNG is lossless,
+    * so the decoded pixels — and therefore every analytic oracle
+    * written for the PPM fixtures — carry over bit-exact.
+    */
+  def synthesizePng(id: Long): Array[Byte] =
+    encodePng(decodePpm(synthesizePpm(id)))
+
+  /** [[synthesizePpm]]'s pixels JPEG-compressed — LOSSY: dims and
+    * channel count survive exactly, pixel values only approximately
+    * (the pHash-stability regime).
+    */
+  def synthesizeJpeg(id: Long, quality: Float = 0.95f): Array[Byte] =
+    encodeJpeg(decodePpm(synthesizePpm(id)), quality)
+
+  /** Decode a binary image column (PPM/PNG/JPEG, sniffed per row) into
+    * dimensions + channel means — [[decodePpmImages]] widened to the
+    * ImageIO formats; same scale shape (partition-local decode, zero
+    * shuffle).
+    */
+  def decodeImages(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val img = decodeImage(blob)
+        val (r, g, b) = meanRgb(img)
+        PpmRecord(id, img.width, img.height, img.channels, r, g, b)
       })
       .toDF()
   }

@@ -4,10 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video-as-bytes) plumbing: opaque `binary`
-  * columns + typed metadata, with decode/feature steps STUBBED behind a
-  * deterministic fake (this container has no image/audio codecs — the
-  * Spark-side schema, batching, and partitioning are real; swap
-  * [[decodeImageStub]]'s arithmetic for a real codec UDF in production).
+  * columns + typed metadata behind a partition-scoped codec boundary.
+  * REAL decoders exist for every container the JVM handles without
+  * external libraries: PPM/WAV/GVID byte-walkers in [[Media]], PNG/JPEG
+  * through the JDK's `javax.imageio` ([[ImageIoCodec]] /
+  * [[Media.decodeImage]]). [[FakeImageCodec]] remains only for
+  * formats the JVM genuinely cannot decode here (MP3/MP4/WebP) and for
+  * text-as-blob demo pipelines — the Spark-side schema, batching, and
+  * partitioning are identical either way, so swapping a native codec in
+  * production changes one object.
   */
 object Multimodal {
 
@@ -92,15 +97,28 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Deterministic FAKE codec — this container ships no image libraries,
-    * so dimensions derive from the byte length (same arithmetic as
-    * [[decodeImageStub]]). Swap for a real header parser in production;
-    * everything around it (batching, partition lifecycle, schema) is the
-    * real plumbing.
+  /** Deterministic FAKE codec for containers the JVM cannot decode here
+    * (MP3/MP4/WebP) and text-as-blob demo pipelines: dimensions derive
+    * from the byte length (same arithmetic as [[decodeImageStub]]).
+    * Every JVM-decodable format has a REAL codec instead:
+    * [[ImageIoCodec]] (PNG/JPEG/PPM).
     */
   object FakeImageCodec extends ImageCodec {
     override def decode(blob: Array[Byte]): (Int, Int, Int) =
       (64 + blob.length % 512, 64 + (blob.length * 7) % 512, 3)
+  }
+
+  /** REAL codec through [[Media.decodeImage]]: P6 PPM via the
+    * byte-level parser, PNG/JPEG via the JDK's `javax.imageio` — zero
+    * external dependencies, headless-safe. The production plug for the
+    * [[ImageCodec]] boundary; retires [[FakeImageCodec]] for every
+    * container this JVM can decode.
+    */
+  object ImageIoCodec extends ImageCodec {
+    override def decode(blob: Array[Byte]): (Int, Int, Int) = {
+      val img = Media.decodeImage(blob)
+      (img.width, img.height, img.channels)
+    }
   }
 
   /** Decode + resize through a partition-scoped codec: no shuffle, codec
@@ -112,10 +130,29 @@ object Multimodal {
       idCol: String,
       textCol: String,
       codec: ImageCodec = FakeImageCodec,
-      maxSide: Int = 256): org.apache.spark.sql.Dataset[ImageRecord] = {
-    val spark = df.sparkSession
+      maxSide: Int = 256): org.apache.spark.sql.Dataset[ImageRecord] =
+    decodeCore(df.select(col(idCol).cast("long"), asBlob(col(textCol))),
+      codec, maxSide)
+
+  /** [[decodePartitions]] over a REAL binary image column (no
+    * text-as-blob packing) — default codec is the real [[ImageIoCodec]].
+    */
+  def decodeBlobPartitions(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      codec: ImageCodec = ImageIoCodec,
+      maxSide: Int = 256): org.apache.spark.sql.Dataset[ImageRecord] =
+    decodeCore(df.select(col(idCol).cast("long"), col(blobCol)),
+      codec, maxSide)
+
+  private def decodeCore(
+      pairs: DataFrame,
+      codec: ImageCodec,
+      maxSide: Int): org.apache.spark.sql.Dataset[ImageRecord] = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), asBlob(col(textCol)))
+    pairs
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         codec.open()

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The JDK `javax.imageio` codec path (PNG/JPEG — zero external
+  * dependencies, headless-safe):
+  *
+  *  - PNG is LOSSLESS: encode -> decode must round-trip the pixel
+  *    array bit-exactly, so every analytic oracle written for the PPM
+  *    fixtures carries over to the PNG container unchanged (q252/q253
+  *    pin this against DuckDB; here it is pinned per-pixel).
+  *  - JPEG is LOSSY: dims/channels survive exactly, pixels only
+  *    approximately — the invariant that matters is the one pHash
+  *    exists for: the 64-bit DCT hash must survive recompression at
+  *    high quality with small Hamming drift, including a second
+  *    generation of recompression.
+  *  - the format sniffer routes each container to the right decoder
+  *    inside ONE partition-local pass (mixed-format corpora).
+  */
+class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  /** A 64x48 sinusoidal-texture image: strong low/mid-frequency DCT
+    * energy (so pHash's 63 AC signs are DECIDED, not noise — a
+    * featureless gradient leaves them near zero and the hash
+    * degenerate) with no hard edges to ring under JPEG. The perceptual
+    * regime pHash is specified for; the tiny 4..11 px synthesizePpm
+    * fixtures exercise decode exactness, not perceptual stability.
+    */
+  private def textured(id: Long): Media.PpmImage = {
+    val w = 64; val h = 48
+    val px = new Array[Byte](w * h * 3)
+    def v(d: Double): Byte = (128 + 100 * math.sin(d)).toInt.toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        px(i) = v(x * 0.30 + id * 1.0)
+        px(i + 1) = v(y * 0.35 + x * 0.10 + id * 0.7)
+        px(i + 2) = v((x + y) * 0.20 + id * 1.3)
+        x += 1
+      }
+      y += 1
+    }
+    Media.PpmImage(w, h, px)
+  }
+
+  test("sniffer classifies ppm/png/jpeg/unknown from magic bytes") {
+    val img = Media.decodePpm(Media.synthesizePpm(7))
+    Media.sniffImageFormat(Media.encodePpm(img)) shouldBe "ppm"
+    Media.sniffImageFormat(Media.encodePng(img)) shouldBe "png"
+    Media.sniffImageFormat(Media.encodeJpeg(img)) shouldBe "jpeg"
+    Media.sniffImageFormat(Array[Byte](1, 2, 3, 4)) shouldBe "unknown"
+    an[IllegalArgumentException] should be thrownBy
+      Media.decodeImage(Array[Byte](1, 2, 3, 4))
+  }
+
+  test("png: encode -> decode round-trips pixels bit-exactly") {
+    for (id <- 0L to 20L) {
+      val img = Media.decodePpm(Media.synthesizePpm(id))
+      val back = Media.decodeImage(Media.encodePng(img))
+      back.width shouldBe img.width
+      back.height shouldBe img.height
+      back.pixels shouldBe img.pixels
+    }
+    // and on a non-trivial size
+    val big = textured(3)
+    val back = Media.decodeImage(Media.encodePng(big))
+    back.pixels shouldBe big.pixels
+  }
+
+  test("png: synthesizePng carries the analytic pixel formula exactly " +
+    "(aHash/dHash/pHash identical to the PPM fixture's)") {
+    for (id <- 0L to 30L) {
+      val ppm = Media.decodePpm(Media.synthesizePpm(id))
+      val png = Media.decodeImage(Media.synthesizePng(id))
+      Media.aHash64(png) shouldBe Media.aHash64(ppm)
+      Media.dHash64(png) shouldBe Media.dHash64(ppm)
+      Media.pHash64(png) shouldBe Media.pHash64(ppm)
+    }
+  }
+
+  test("jpeg: dims and channels survive the lossy container exactly") {
+    for (id <- 0L to 10L) {
+      val img = Media.decodePpm(Media.synthesizePpm(id))
+      val back = Media.decodeImage(Media.encodeJpeg(img))
+      back.width shouldBe img.width
+      back.height shouldBe img.height
+      back.channels shouldBe 3
+    }
+  }
+
+  test("jpeg: pHash survives recompression at high quality " +
+    "(the invariant pHash exists for), two generations deep") {
+    // Measured floor in this JVM: worst Hamming 8 even at quality 1.0
+    // (the loss is the YCbCr round-trip + chroma handling, not the
+    // quantizer — mean drift ~2). The honest invariant is "far below
+    // the random-hash expectation of 32, inside the practical near-dup
+    // match radius (~10-12 of 64)", NOT the <=3 exact-band guarantee —
+    // which is why pHashNearDups verifies candidates with an exact
+    // Hamming pass rather than trusting band recall alone.
+    var worst1 = 0; var worst2 = 0; var sum1 = 0
+    for (id <- 0L to 19L) {
+      val img = textured(id)
+      val h0 = Media.pHash64(img)
+      val gen1 = Media.decodeImage(Media.encodeJpeg(img, 0.95f))
+      val d1 = hamming(h0, Media.pHash64(gen1))
+      val gen2 = Media.decodeImage(Media.encodeJpeg(gen1, 0.95f))
+      val d2 = hamming(h0, Media.pHash64(gen2))
+      worst1 = math.max(worst1, d1)
+      worst2 = math.max(worst2, d2)
+      sum1 += d1
+    }
+    info(s"worst pHash Hamming drift: gen1=$worst1 gen2=$worst2, " +
+      f"mean gen1=${sum1 / 20.0}%.1f (of 64; random ~ 32)")
+    worst1 should be <= 12
+    worst2 should be <= 12
+    (sum1 / 20.0) should be <= 6.0
+  }
+
+  test("jpeg: aHash/dHash stay near-stable under one recompression " +
+    "on textured content") {
+    var worstA = 0; var worstD = 0
+    for (id <- 0L to 19L) {
+      val img = textured(id)
+      val back = Media.decodeImage(Media.encodeJpeg(img, 0.95f))
+      worstA = math.max(worstA, hamming(Media.aHash64(img), Media.aHash64(back)))
+      worstD = math.max(worstD, hamming(Media.dHash64(img), Media.dHash64(back)))
+    }
+    info(s"worst aHash drift=$worstA dHash drift=$worstD (of 64)")
+    worstA should be <= 4
+    worstD should be <= 4
+  }
+
+  test("imageHashes/imagePHashes decode a MIXED ppm+png+jpeg column " +
+    "in one pass; lossless containers hash identically") {
+    import spark.implicits._
+    val rows = (0L to 11L).map { id =>
+      val fmt = id % 3
+      val blob =
+        if (fmt == 0) Media.synthesizePpm(id)
+        else if (fmt == 1) Media.synthesizePng(id)
+        else Media.synthesizeJpeg(id)
+      (id, fmt, blob)
+    }
+    val df = rows.toDF("id", "fmt", "blob")
+    val hashed = Media.imageHashes(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    hashed.size shouldBe 12
+    for ((id, fmt, _) <- rows if fmt != 2) {
+      val ppm = Media.decodePpm(Media.synthesizePpm(id))
+      hashed(id) shouldBe ((Media.aHash64(ppm), Media.dHash64(ppm)))
+    }
+    val ph = Media.imagePHashes(df, "id", "blob").collect()
+    ph.length shouldBe 12
+  }
+
+  test("ImageIoCodec drives the partition-scoped ImageCodec boundary " +
+    "with REAL dims (retiring the fake for JVM-decodable formats)") {
+    import spark.implicits._
+    val df = (0L to 9L).map(id => (id, Media.synthesizePng(id)))
+      .toDF("id", "blob")
+    val out = Multimodal.decodeBlobPartitions(df, "id", "blob")
+      .collect().map(r => r.id -> r).toMap
+    out.size shouldBe 10
+    for (id <- 0L to 9L) {
+      out(id).width shouldBe (4 + id % 8).toInt
+      out(id).height shouldBe (3 + id % 5).toInt
+      out(id).channels shouldBe 3
+    }
+  }
+}
