@@ -344,40 +344,77 @@ object EventStats {
     (out, () => { withTrend.unpersist(); () })
   }
 
-  /** Robust trend of an indexed SERIES: the Theil-Sen slope (exact
-    * median of all pairwise slopes — up to 29% of the points can be
-    * arbitrarily corrupt before it budges) next to the OLS slope it
-    * sanity-checks (one outlier hour can own OLS; when the two
-    * disagree, believe Theil-Sen and go find the outlier). One row:
-    * n, n_pairs, theil_sen, ols — EMPTY when n < 2 (no pair exists).
+  /** Robust trend of an indexed SERIES: the Theil-Sen slope (median
+    * of pairwise slopes — up to 29% of the points can be arbitrarily
+    * corrupt before it budges) next to the OLS slope it sanity-checks
+    * (one outlier hour can own OLS; when the two disagree, believe
+    * Theil-Sen and go find the outlier). One row: n, n_pairs,
+    * theil_sen, ols — EMPTY when n < 2 (no pair exists).
     *
-    * Scale contract: pairwise slopes are O(n^2) OF THE SERIES — this
-    * op is for bucketed series ([[eventSeries]]: a year of hours is
-    * 8.8k points, 38M pairs — fine distributed), NOT raw event
-    * streams; bucket first. The pair median is EXACT via
-    * [[FeatureScale.exactQuantiles]] (the slope table feeds the same
-    * distributed prefix sum every rank statistic here uses); OLS is
-    * one moment aggregate.
+    * Scale contract, ENFORCED by a measured 1-row count probe (the
+    * [[graft.ops.Similarity.knnLabelNoise]] auto-route precedent —
+    * the r13 review found the previous doc-only contract let a caller
+    * point this at an unbucketed event stream and get a silent O(n^2)
+    * corpus self-cross-join):
+    *  - n <= maxExactPoints: the EXACT median of all n(n-1)/2
+    *    pairwise slopes via [[FeatureScale.exactQuantiles]] (the
+    *    slope table feeds the same distributed prefix sum every rank
+    *    statistic here uses). The default budget (20k points = 200M
+    *    pairs) comfortably covers bucketed series — a year of hours
+    *    is 8.8k points.
+    *  - n > maxExactPoints: SAMPLED Theil-Sen — rows hash-bucket by
+    *    `xxhash64(t) mod ceil(n / pairBucketSize)` and pairs form
+    *    only WITHIN buckets (an equi-join, never a cartesian), so
+    *    ~n * pairBucketSize / 2 uniform pseudo-random pairs feed the
+    *    same exact-median machinery. The estimate converges to the
+    *    full-pair median (pairs are an unbiased sample of the slope
+    *    distribution); n_pairs reports the sampled count so the
+    *    regime is visible in the output.
+    * OLS is one moment aggregate either way.
     */
   def trendSlope(
       series: DataFrame,
       indexCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      maxExactPoints: Long = 20000L,
+      pairBucketSize: Int = 64): DataFrame = {
+    require(maxExactPoints >= 2,
+      s"maxExactPoints must be >= 2, got $maxExactPoints")
+    require(pairBucketSize >= 2,
+      s"pairBucketSize must be >= 2, got $pairBucketSize")
     val raw = series
       .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
       .select(col(indexCol).cast("double").as("__t0"),
         col(valueCol).cast("double").as("__v"))
+    // the route probe: one count over two columns — the only way to
+    // BOUND the pair blowup is to measure it (docs don't stop a
+    // caller; a require/route does)
+    val nPoints = raw.count()
     // center the index: the slope is shift-invariant, and sums of
     // t^2 at epoch magnitudes leave double precision (n * st2 for a
     // year of hours is ~1e17 > 2^53) — centered they never do
     val tmin = raw.agg(min(col("__t0")).as("__tmin"))
     val s = raw.crossJoin(broadcast(tmin))
       .select((col("__t0") - col("__tmin")).as("__t"), col("__v"))
-    val b = s.select(col("__t").as("__tb"), col("__v").as("__vb"))
-    val slopes = s.crossJoin(b)
-      .filter(col("__t") < col("__tb"))
-      .select(((col("__vb") - col("__v")) / (col("__tb") - col("__t")))
-        .as("__slope"))
+    val slopes =
+      if (nPoints <= maxExactPoints) {
+        val b = s.select(col("__t").as("__tb"), col("__v").as("__vb"))
+        s.crossJoin(b)
+          .filter(col("__t") < col("__tb"))
+          .select(((col("__vb") - col("__v")) /
+            (col("__tb") - col("__t"))).as("__slope"))
+      } else {
+        val nBuckets = ((nPoints + pairBucketSize - 1) / pairBucketSize)
+          .max(1L)
+        val withBucket = s.select(col("__t"), col("__v"),
+          pmod(xxhash64(col("__t")), lit(nBuckets)).as("__b"))
+        val b = withBucket.select(col("__b"), col("__t").as("__tb"),
+          col("__v").as("__vb"))
+        withBucket.join(b, Seq("__b"))
+          .filter(col("__t") < col("__tb"))
+          .select(((col("__vb") - col("__v")) /
+            (col("__tb") - col("__t"))).as("__slope"))
+      }
     val med = FeatureScale.exactQuantiles(slopes, "__slope", Seq(0.5))
       .select(col("n").as("n_pairs"),
         col("value").cast("double").as("theil_sen"))

@@ -358,8 +358,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
             wins.map(w => w.orderSpec.map(_.child.toString)
               .mkString("orderBy(", ",", ")")).mkString("; "))
         } catch {
-          // construction failures are QueryBoardSpec's concern
-          case _: Throwable => Nil
+          // a query that fails to PLAN is a canary failure too —
+          // silently skipping it would blind this audit to exactly
+          // the queries most likely to be broken (QueryBoardSpec pins
+          // construction, but this spec must not self-blind)
+          case e: Throwable =>
+            Seq(s"$name: failed to plan (${e.getClass.getSimpleName})")
         }
     }
     assert(offenders.isEmpty,
@@ -380,17 +384,35 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     // crossJoin(broadcast(stats)) pattern; K rows for the per-group
     // stats / quantile-edge / sketch tables the ops broadcast by
     // design); a literal LocalTableScan is caller-supplied config
-    // (splits, edges, weights) and bounded by its row count
-    def bounded(side: SparkPlan): Boolean =
-      walkPlans(side).exists {
-        case _: BaseAggregateExec => true
-        case l: LocalTableScanExec => l.rows.lengthCompare(1000) <= 0
-        case g: org.apache.spark.sql.execution.GlobalLimitExec =>
-          g.limit <= 10000
-        case c: org.apache.spark.sql.execution.CollectLimitExec =>
-          c.limit <= 10000
-        case _ => false
-      }
+    // (splits, edges, weights) and bounded by its row count.
+    //
+    // The bounding node must DOMINATE the side's output — reached by
+    // walking only unary nodes down from the side's root, so every
+    // row the join sees has passed through it. The r13 version
+    // accepted an aggregate ANYWHERE in the side's subtree, which let
+    // trendSlope's corpus self-cross-join through: both its sides
+    // carried the broadcast 1-row tmin aggregate deep in their
+    // lineage (as one input of an inner join), while the join OUTPUT
+    // was the full corpus. A join is not pass-through (either input
+    // can dominate cardinality), so the walk stops there.
+    @annotation.tailrec
+    def bounded(side: SparkPlan): Boolean = side match {
+      case _: BaseAggregateExec => true
+      case l: LocalTableScanExec => l.rows.lengthCompare(1000) <= 0
+      case g: org.apache.spark.sql.execution.GlobalLimitExec
+          if g.limit <= 10000 => true
+      case c: org.apache.spark.sql.execution.CollectLimitExec
+          if c.limit <= 10000 => true
+      // AQE / cache / reuse wrappers are leaf nodes whose real plan
+      // hangs off a field, not `children` — unwrap, don't stop
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case s: InMemoryTableScanExec => bounded(s.relation.cachedPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
+      case u if u.children.size == 1 => bounded(u.children.head)
+      case _ => false
+    }
 
     // Queries with a DOCUMENTED bounded all-pairs step:
     //  - q48: connected components demo builds its edge set by
@@ -405,10 +427,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     //  - q216: semanticContamination broadcasts the EVAL side whole —
     //    an eval benchmark is bounded by construction (Similarity
     //    scaladoc names ivfTopK as the too-big-to-broadcast route)
+    //  - q250: trendSlope routes on a MEASURED 1-row count probe —
+    //    the exact all-pairs plan (the self-cross this canary sees)
+    //    is only ever constructed when the probe reads
+    //    n <= maxExactPoints (20k points = 200M pairs); above it the
+    //    op plans the hash-bucketed equi-join sampler instead
+    //    (TrendSlopeRouteSpec pins both sides of the boundary)
     val allowed: Set[String] =
       Set("q48_dedup_clusters", "q45_embedding_top1",
         "q109_ivfpq_recall", "q152_knn_label_noise",
-        "q216_semantic_contamination")
+        "q216_semantic_contamination", "q250_trend_slope")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -427,7 +455,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
             }
           if (bad.isEmpty || allowed(name)) Nil
           else Seq(s"$name: ${bad.mkString(",")}")
-        } catch { case _: Throwable => Nil }
+        } catch {
+          // planning failures surface as offenders, not silent skips
+          case e: Throwable =>
+            Seq(s"$name: failed to plan (${e.getClass.getSimpleName})")
+        }
     }
     assert(offenders.isEmpty,
       s"\n${offenders.size} queries plan an unbounded cross join " +
