@@ -6425,10 +6425,11 @@ object SparkEntry {
         |  FROM lags l JOIN d a ON true
         |    JOIN d b ON b.t = a.t + l.lag, s
         |  GROUP BY 1)
-        |SELECT lag::INT AS lag, n_pairs,
-        |  round(CASE WHEN den.den > 0 THEN num / den.den END, 6) + 0.0
+        |SELECT l.lag::INT AS lag,
+        |  coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+        |  round(CASE WHEN den.den > 0 THEN p.num / den.den END, 6) + 0.0
         |    AS acf
-        |FROM p, den""".stripMargin,
+        |FROM lags l LEFT JOIN p ON p.lag = l.lag, den""".stripMargin,
 
     // quantile_disc needs CONSTANT parameters, so one arm per q —
     // DuckDB's own quantile implementation stays the independent oracle
@@ -6649,14 +6650,15 @@ object SparkEntry {
         |    coalesce(o_orderpriority, '<NULL>') AS c3
         |  FROM orders),
         |s AS (SELECT count(*)::BIGINT AS n,
-        |    sum(CAST(('0x' || substr(md5(c1 || '|' || c2 || '|' || c3),
-        |      1, 15)) AS BIGINT) % 1000000007)::BIGINT AS rck,
-        |    sum(CAST(('0x' || substr(md5(c1), 1, 15)) AS BIGINT)
-        |      % 1000000007)::BIGINT AS k1,
-        |    sum(CAST(('0x' || substr(md5(c2), 1, 15)) AS BIGINT)
-        |      % 1000000007)::BIGINT AS k2,
-        |    sum(CAST(('0x' || substr(md5(c3), 1, 15)) AS BIGINT)
-        |      % 1000000007)::BIGINT AS k3
+        |    (sum(CAST(('0x' || substr(md5(c1 || '|' || c2 || '|' || c3),
+        |      1, 15)) AS BIGINT) % 1000000007)
+        |      % 1000000007)::BIGINT AS rck,
+        |    (sum(CAST(('0x' || substr(md5(c1), 1, 15)) AS BIGINT)
+        |      % 1000000007) % 1000000007)::BIGINT AS k1,
+        |    (sum(CAST(('0x' || substr(md5(c2), 1, 15)) AS BIGINT)
+        |      % 1000000007) % 1000000007)::BIGINT AS k2,
+        |    (sum(CAST(('0x' || substr(md5(c3), 1, 15)) AS BIGINT)
+        |      % 1000000007) % 1000000007)::BIGINT AS k3
         |  FROM d)
         |SELECT '__rows' AS component, n, rck AS checksum FROM s
         |UNION ALL SELECT 'o_orderkey', n, k1 FROM s

@@ -15,9 +15,11 @@ object Diagnostics {
     * given order) and each column individually — with the shared
     * row count. Two tables match iff every checksum and `n` match,
     * regardless of row order, partitioning, or engine: the digest is
-    * `sum(conv(md5(canonical string)[0..15], 16, 10) % 1e9+7)`, all
-    * pieces (md5, hex parse, modulo, sum) arithmetic both Spark and
-    * the DuckDB oracle implement identically. The migration /
+    * `sum(conv(md5(canonical string)[0..15], 16, 10) % 1e9+7) % 1e9+7`
+    * with the sum carried in decimal(38,0) (LONG wraps past ~9.2e9
+    * rows — the regime this check exists for), all pieces (md5, hex
+    * parse, modulo, decimal sum, final modulo) arithmetic both Spark
+    * and the DuckDB oracle implement identically. The migration /
     * replication parity check: run on both sides of a copy, diff two
     * tiny frames instead of 100 TB.
     *
@@ -38,11 +40,18 @@ object Diagnostics {
     def digest(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
         .cast("long") % P
+    // per-row digests are < P ~ 1e9, so a LONG sum wraps (ANSI: throws)
+    // past ~9.2e9 rows — exactly the 100 TB regime this check exists
+    // for. Sum in decimal(38,0) (good to ~1e29 rows) and fold the sum
+    // back mod P so both engines report a BIGINT-safe checksum (the
+    // oracle's HUGEINT sum applies the same final modulo).
+    def modSum(c: org.apache.spark.sql.Column) =
+      pmod(sum(c.cast("decimal(38,0)")), lit(P)).cast("long")
     val rowStr = concat_ws("|", cols.map(canon): _*)
     val aggs =
       (count(lit(1)).as("n") +:
-        sum(digest(rowStr)).as("__ck___rows") +:
-        cols.map(c => sum(digest(canon(c))).as(s"__ck_$c")))
+        modSum(digest(rowStr)).as("__ck___rows") +:
+        cols.map(c => modSum(digest(canon(c))).as(s"__ck_$c")))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val components = ("__rows" +: cols).map { name =>
       struct(lit(name).as("component"),

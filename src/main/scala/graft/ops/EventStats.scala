@@ -166,8 +166,11 @@ object EventStats {
     * "anomalies" are just seasonality. Rows with a NULL index/value
     * drop; the series is assumed dense (use [[eventAcf]] to build a
     * gap-filled series from raw events) — a missing index contributes
-    * no pair at the lags that would touch it. Returns one row per
-    * lag: lag, n_pairs, acf (NULL for a constant series).
+    * no pair at the lags that would touch it. Returns one row for
+    * EVERY lag 1..maxLag: lag, n_pairs (0 when the lag has no pair —
+    * e.g. it exceeds the series span), acf (NULL for a constant
+    * series or a zero-pair lag) — callers iterating expected lags see
+    * explicit empties, never gaps.
     *
     * Scale shape: the mean/denominator reduce in one aggregate and
     * ride back as a broadcast 1-row; the lagged products come from an
@@ -213,12 +216,20 @@ object EventStats {
         explode(array((1 to maxLag).map(l => lit(l)): _*)).as("lag"))
     val b = centered
       .select(col("__t").as("__bt"), col("__d").as("__bd"))
-    val out = a.join(b, col("__t") + col("lag") === col("__bt"))
+    val agg = a.join(b, col("__t") + col("lag") === col("__bt"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__d") * col("__bd")).as("__num"))
+    // left-join the aggregated pairs against the literal lag list so
+    // zero-pair lags surface as (n_pairs=0, acf NULL) instead of
+    // silently disappearing (the groupBy alone can only emit lags
+    // that produced a pair)
+    val lagList = series.sparkSession.range(1L, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val out = lagList.join(agg, Seq("lag"), "left")
       .crossJoin(broadcast(den))
-      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+      .select(col("lag").cast("int").as("lag"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         when(col("__den") > 0, col("__num") / col("__den")).as("acf"))
     (out, () => { centered.unpersist(); () })
   }
@@ -254,9 +265,13 @@ object EventStats {
     val counts = df
       .filter(t.isNotNull)
       .select(t.as("__tm"))
-      // integer division (micros are exact longs; a double quotient
-      // could round across a bucket boundary)
-      .selectExpr(s"__tm div ${bucketSeconds * 1000000L} AS t")
+      // FLOOR integer division (micros are exact longs; a double
+      // quotient could round across a bucket boundary, and a bare
+      // `div` truncates toward zero — pre-1970 negative micros would
+      // land one bucket high and diverge from the oracle's floor `//`)
+      .selectExpr(("(__tm - pmod(__tm, " +
+        s"${bucketSeconds * 1000000L})) div " +
+        s"${bucketSeconds * 1000000L} AS t"))
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n"))
     val bounds = counts

@@ -288,6 +288,10 @@ object FeatureScale {
       weights: Seq[(String, Column)]): (DataFrame, () => Unit) = {
     require(order.nonEmpty, "runningTotals needs an ordering")
     require(weights.nonEmpty, "runningTotals needs at least one weight")
+    // a duplicate name would make the foldLeft withColumn silently
+    // overwrite the earlier weight, corrupting every cumulative
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate weight names: ${weights.map(_._1).mkString(", ")}")
     val inCols = df.columns.toSeq
     val sorted = weights
       .foldLeft(df) { case (d, (n, w)) => d.withColumn(s"__w_$n", w) }

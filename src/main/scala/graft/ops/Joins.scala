@@ -355,8 +355,12 @@ object Joins {
   }
 
   /** Blocked record linkage by Jaro-Winkler similarity: pairs from
-    * `left` x `right` whose keys block together (same `prefixLen`-byte
-    * prefix, length bands within one step of width `bandWidth`) and
+    * `left` x `right` whose keys block together (same
+    * `prefixLen`-CHARACTER prefix — substring()/length() count
+    * characters, so multibyte keys block on characters even though
+    * the similarity itself scores bytes; the DuckDB oracle blocks
+    * identically — length bands within one step of width `bandWidth`)
+    * and
     * score `jaro_winkler >= minSim` — the name/title matcher for
     * entity resolution, where [[fuzzyJoin]]'s edit-distance counts
     * typos but misses that "Jonathan Smythe" and "Jonathon Smith" are

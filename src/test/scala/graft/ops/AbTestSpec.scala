@@ -380,6 +380,17 @@ class AbTestSpec extends AnyFunSuite with Matchers
       .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1)))
     got shouldBe Array((0L, 2L), (1L, 0L), (2L, 0L), (3L, 1L))
   }
+
+  test("eventSeries: FLOOR bucketing — pre-1970 (negative-micros) " +
+    "timestamps land one bucket LOW, matching the oracle's //") {
+    import spark.implicits._
+    // -0.5s at 1s buckets: floor(-0.5) = bucket -1, NOT the
+    // truncate-toward-zero bucket 0; +0.5s stays in bucket 0
+    val ev = Seq(-500000L, 500000L).toDF("ts")
+    val got = EventStats.eventSeries(ev, "ts", 1L)
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe Array((-1L, 1L), (0L, 1L))
+  }
 }
 
 /** Tiny shared helper: collect exactly one row. */

@@ -178,5 +178,14 @@ class DataQualitySpec extends AnyFunSuite with Matchers
     val lit0 = snap(df.withColumn("v",
       coalesce(col("v"), lit("<NULL>"))))
     lit0("v") shouldBe base("v")
+
+    // the decimal(38,0) sum folds back mod P, so every reported
+    // checksum is BIGINT-safe on both engines regardless of row count
+    // (a LONG sum of sub-P digests would wrap past ~9.2e9 rows)
+    val P = 1000000007L
+    base.values.foreach { case (_, ck) =>
+      ck should be >= 0L
+      ck should be < P
+    }
   }
 }

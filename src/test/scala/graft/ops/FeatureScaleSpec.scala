@@ -234,4 +234,15 @@ class FeatureScaleSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       winLines.filterNot(_.contains("__pid")) shouldBe empty
     } finally release()
   }
+
+  test("runningTotalsMulti rejects duplicate weight names (a dup would " +
+    "silently overwrite the earlier weight column)") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      FeatureScale.runningTotalsMultiReleasable(df, Seq(col("t")),
+        Seq("w" -> lit(1L), "w" -> col("v")))
+    }
+    e.getMessage should include("duplicate weight names")
+  }
 }

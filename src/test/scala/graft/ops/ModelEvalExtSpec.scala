@@ -134,6 +134,18 @@ class ModelEvalExtSpec extends AnyFunSuite with Matchers
       .getLong(1) shouldBe 2L
   }
 
+  test("acf: zero-pair lags surface as (n_pairs=0, acf NULL) rows, " +
+    "never gaps — one row per lag 1..maxLag always") {
+    import spark.implicits._
+    // 3 points, maxLag 5: lags 3..5 exceed the span -> explicit empties
+    val s = Seq((0L, 1.0), (1L, 3.0), (2L, 2.0)).toDF("t", "v")
+    val got = EventStats.acf(s, "t", "v", maxLag = 5)
+      .orderBy("lag").collect()
+    got.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4, 5)
+    got.map(_.getLong(1)).toSeq shouldBe Seq(2L, 1L, 0L, 0L, 0L)
+    got.drop(2).foreach(_.isNullAt(2) shouldBe true)
+  }
+
   test("eventAcf: empty buckets between first and last event count " +
     "as zeros") {
     import spark.implicits._
