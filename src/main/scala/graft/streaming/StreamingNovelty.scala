@@ -38,18 +38,96 @@ object StreamingNovelty {
     * sorted broadcast array. Runs ONCE at query construction — the
     * distinct reduces executor-side to 8-byte hashes before the single
     * driver collect, the only corpus-sized work in the pipeline.
+    *
+    * The collect is GUARDED by a measured probe (the knnLabelNoise /
+    * trendSlope precedent — a doc-only footprint contract does not
+    * stop a caller): one approx_count_distinct aggregate runs BEFORE
+    * the driver collect (refusing after would already have OOMed the
+    * driver), and a reference whose distinct-gram estimate exceeds
+    * `maxExactGrams` (default 50M = ~400 MB of driver/broadcast
+    * longs) is refused with a pointer to [[referenceGramsBloom]] /
+    * [[TextOps.ngramNoveltyStored]]. [[referenceAuto]] routes instead
+    * of refusing. The estimate carries HLL error (~2%), so treat the
+    * threshold as soft and size it with margin.
     */
   def referenceGrams(
       reference: DataFrame,
       textCol: String,
-      n: Int): Broadcast[Array[Long]] = {
+      n: Int,
+      maxExactGrams: Long = 50000000L): Broadcast[Array[Long]] = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
-    val hashes = reference
+    val grams = reference
       .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
-      .select(xxhash64(col("g")).as("gh")).distinct()
-      .collect().map(_.getLong(0))
+      .select(xxhash64(col("g")).as("gh"))
+    val approx = probeDistinctGrams(grams)
+    require(approx <= maxExactGrams,
+      s"~$approx distinct grams exceed maxExactGrams=$maxExactGrams " +
+        "for the exact driver-resident array; use referenceGramsBloom " +
+        "(fixed footprint, FP-rate undercount) or " +
+        "TextOps.ngramNoveltyStored (nothing resident), or raise the " +
+        "budget explicitly")
+    val hashes = grams.distinct().collect().map(_.getLong(0))
     java.util.Arrays.sort(hashes)
     reference.sparkSession.sparkContext.broadcast(hashes)
+  }
+
+  private def probeDistinctGrams(grams: DataFrame): Long =
+    grams.agg(approx_count_distinct(col("gh")).as("__d"))
+      .head().getLong(0)
+
+  /** A routed novelty reference: carries whichever materialized form
+    * the probe chose plus the gram size, so scoring needs no caller
+    * knowledge of the route. `exact` is false on the Bloom route,
+    * where novelty is a LOWER BOUND by the filter's FP rate.
+    */
+  sealed trait NoveltyReference extends Serializable {
+    def n: Int
+    def exact: Boolean
+    def score(df: DataFrame, idCol: String, textCol: String): DataFrame
+  }
+
+  final case class ExactNoveltyReference(
+      ref: Broadcast[Array[Long]], n: Int) extends NoveltyReference {
+    def exact: Boolean = true
+    def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      StreamingNovelty.score(df, ref, idCol, textCol, n)
+  }
+
+  final case class BloomNoveltyReference(
+      ref: Broadcast[Array[Byte]], n: Int) extends NoveltyReference {
+    def exact: Boolean = false
+    def score(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      StreamingNovelty.scoreBloom(df, ref, idCol, textCol, n)
+  }
+
+  /** Probe-and-route reference build: the measured distinct-gram
+    * estimate picks [[referenceGrams]] (exact membership) at or under
+    * `maxExactGrams` and [[referenceGramsBloom]] (fixed footprint,
+    * documented FP-rate undercount) above it — the footgun-free
+    * entry point for corpora of unknown size. One probe aggregate
+    * either way; the exact route re-reads the reference once more for
+    * its collect (same cost it always had).
+    */
+  def referenceAuto(
+      reference: DataFrame,
+      textCol: String,
+      n: Int,
+      maxExactGrams: Long = 50000000L,
+      numBits: Long = 1L << 27,
+      numHashFns: Int = 5): NoveltyReference = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    val grams = reference
+      .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+    if (probeDistinctGrams(grams) <= maxExactGrams) {
+      val hashes = grams.distinct().collect().map(_.getLong(0))
+      java.util.Arrays.sort(hashes)
+      ExactNoveltyReference(
+        reference.sparkSession.sparkContext.broadcast(hashes), n)
+    } else {
+      BloomNoveltyReference(
+        referenceGramsBloom(reference, textCol, n, numBits, numHashFns), n)
+    }
   }
 
   /** [[referenceGrams]] with a FIXED driver/broadcast footprint: the

@@ -112,4 +112,39 @@ class StreamingNoveltySpec extends AnyFunSuite with Matchers
       ref, "doc_id", "text", n = 3)
     out.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
   }
+
+  test("exact build is GUARDED by the measured distinct-gram probe: " +
+    "over-budget references refuse with a route pointer") {
+    val e = intercept[IllegalArgumentException] {
+      StreamingNovelty.referenceGrams(referenceDf, "text", n = 3,
+        maxExactGrams = 5L)
+    }
+    e.getMessage should include("referenceGramsBloom")
+  }
+
+  test("referenceAuto routes on the probe: exact under budget, bloom " +
+    "over it — scoring agrees either way at these sizes") {
+    import spark.implicits._
+    val probe = Seq((1L, mkDoc(1)), (2L, "a wholly novel sentence " +
+      "about nothing in the reference corpus at all"))
+      .toDF("doc_id", "text")
+
+    val exactRoute = StreamingNovelty.referenceAuto(referenceDf, "text",
+      n = 3, maxExactGrams = 1000000L)
+    exactRoute.exact shouldBe true
+    exactRoute shouldBe a[StreamingNovelty.ExactNoveltyReference]
+
+    val bloomRoute = StreamingNovelty.referenceAuto(referenceDf, "text",
+      n = 3, maxExactGrams = 5L)
+    bloomRoute.exact shouldBe false
+    bloomRoute shouldBe a[StreamingNovelty.BloomNoveltyReference]
+
+    def snap(r: StreamingNovelty.NoveltyReference) =
+      r.score(probe, "doc_id", "text").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+        .toSet
+    // FP rate ~0 at 2^27 bits for a fixture-sized gram set, so the
+    // bloom route's lower bound is exact here
+    snap(bloomRoute) shouldBe snap(exactRoute)
+  }
 }
