@@ -2871,6 +2871,21 @@ object SparkEntry {
           col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
     }),
 
+    "q254_aiff_stats" -> ((s, dir) => {
+      // REAL AIFF decode through the JDK's javax.sound.sampled: the
+      // q57 analytic samples re-encoded into an AIFF container (PCM16
+      // is lossless across containers), parsed back through the
+      // format-sniffing partition-local audio path
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id, graft.ops.Media.synthesizeAiff(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.audioStats(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("channels"), col("sample_rate"),
+          col("n_frames"), col("duration_us"), round(col("rms"), 6).as("rms"))
+    }),
+
     "q251_categorical_profile" -> ((s, dir) => {
       // exact distribution shape of event_type: entropy / impurity /
       // majority share from one count aggregate
@@ -6522,6 +6537,19 @@ object SparkEntry {
         |  FROM dbits GROUP BY 1)
         |SELECT ah.doc_id AS doc_id, ahash_hi, ahash_lo, dhash_hi, dhash_lo
         |FROM ah JOIN dh ON ah.doc_id = dh.doc_id""".stripMargin,
+
+    "q254_aiff_stats" ->
+      // identical to the q57 oracle: PCM16 samples survive the AIFF
+      // container bit-exactly
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 100 AS n
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |v AS (SELECT doc_id, n,
+        |  ((doc_id * 31 + i * 17) % 2003) - 1001 AS smp FROM s)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
+        |  round(sqrt(avg(smp * smp)), 6) AS rms
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "q251_categorical_profile" ->
       """WITH c AS (SELECT event_type AS v, count(*)::BIGINT AS c

@@ -1251,6 +1251,153 @@ object Media {
       .toDF()
   }
 
+  // ------ AIFF / AU via the JDK's javax.sound.sampled (zero deps) ------
+
+  /** Audio container sniff from magic bytes: "wav" (RIFF), "aiff"
+    * (FORM), "au" (.snd), or "unknown".
+    */
+  def sniffAudioFormat(blob: Array[Byte]): String =
+    if (blob.length < 4) "unknown"
+    else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' &&
+      blob(3) == 'F') "wav"
+    else if (blob(0) == 'F' && blob(1) == 'O' && blob(2) == 'R' &&
+      blob(3) == 'M') "aiff"
+    else if (blob(0) == '.' && blob(1) == 's' && blob(2) == 'n' &&
+      blob(3) == 'd') "au"
+    else "unknown"
+
+  private def encodeViaAudioSystem(
+      sampleRate: Int, channels: Int, samples: Array[Short],
+      fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(samples.length % channels == 0,
+      "sample count must be a multiple of channels")
+    // big-endian PCM16 frames: AIFF stores big-endian natively and the
+    // JDK writer accepts it for AU/WAVE too (re-ordering internally)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) >> 8).toByte
+      pcm(2 * i + 1) = samples(i).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      samples.length.toLong / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  /** Encode PCM16 frames as AIFF through the JDK's AudioSystem. */
+  def encodeAiffPcm16(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] =
+    encodeViaAudioSystem(sampleRate, channels, samples,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+
+  /** Encode PCM16 frames as AU through the JDK's AudioSystem. */
+  def encodeAuPcm16(
+      sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] =
+    encodeViaAudioSystem(sampleRate, channels, samples,
+      javax.sound.sampled.AudioFileFormat.Type.AU)
+
+  /** REAL WAV/AIFF/AU parse + PCM16 sample decode through the JDK's
+    * `javax.sound.sampled.AudioSystem` — zero external codec
+    * libraries; MP3/OGG remain genuinely environmental. Returns
+    * (meta, interleaved samples). Refuses non-PCM16 payloads (the
+    * same contract as the hand-rolled [[rmsPcm16]]).
+    */
+  def decodeAudioIo(blob: Array[Byte]): (WavMeta, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val f = ais.getFormat
+    require(f.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16,
+      s"unsupported audio payload: ${f.getEncoding} " +
+        s"${f.getSampleSizeInBits}-bit (16-bit signed PCM only)")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val out = new Array[Short](n)
+    val big = f.isBigEndian
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (big) (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff))
+          .toShort
+        else (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff))
+          .toShort
+      i += 1
+    }
+    (WavMeta(f.getChannels, f.getSampleRate.toInt, 16,
+      n.toLong / f.getChannels), out)
+  }
+
+  /** Format-sniffing audio decode to (meta, PCM16 samples): WAV
+    * through the hand-rolled byte walker (validated fail-fast
+    * semantics, parity with AudioSystem spec-pinned), AIFF/AU through
+    * [[decodeAudioIo]].
+    */
+  def decodeAudioSamples(blob: Array[Byte]): (WavMeta, Array[Short]) =
+    sniffAudioFormat(blob) match {
+      case "wav" =>
+        val (meta, dataStart, dataLen) = walkWav(blob)
+        require(meta.bitsPerSample == 16,
+          "decodeAudioSamples requires 16-bit PCM")
+        val buf = java.nio.ByteBuffer.wrap(blob)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = dataLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort(dataStart + 2 * i); i += 1 }
+        (meta, out)
+      case "aiff" | "au" => decodeAudioIo(blob)
+      case _ => throw new IllegalArgumentException(
+        "unrecognized audio container (magic bytes match no known format)")
+    }
+
+  /** [[synthesizeWav]]'s samples in an AIFF container: PCM16 is
+    * lossless across containers, so every analytic oracle written for
+    * the WAV fixtures carries over bit-exactly.
+    */
+  def synthesizeAiff(id: Long): Array[Byte] = {
+    val n = (800 + id % 100).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort
+      i += 1
+    }
+    encodeAiffPcm16(8000, 1, samples)
+  }
+
+  /** Parse a binary audio column (WAV/AIFF/AU, sniffed per row) into
+    * audio stats — [[wavStats]] widened to the AudioSystem formats;
+    * same partition-local zero-shuffle scale shape and output schema.
+    */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val (m, samples) = decodeAudioSamples(blob)
+        var ss = 0L
+        var i = 0
+        while (i < samples.length) {
+          ss += samples(i).toLong * samples(i); i += 1
+        }
+        val rms =
+          if (samples.isEmpty) 0.0
+          else math.sqrt(ss.toDouble / samples.length)
+        WavRecord(id, m.channels, m.sampleRate, m.nFrames,
+          m.nFrames * 1000000L / m.sampleRate, rms)
+      })
+      .toDF()
+  }
+
   // ---------- PNG / JPEG via the JDK's ImageIO (zero new deps) ----------
 
   /** Container sniff from magic bytes: "ppm" (P6), "png" (\x89PNG),

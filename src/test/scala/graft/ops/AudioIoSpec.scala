@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The JDK `javax.sound.sampled` audio path (AIFF/AU — zero external
+  * dependencies) and the conformance pin it gives the hand-rolled WAV
+  * walker:
+  *
+  *  - PARITY: for every synthesized WAV fixture, AudioSystem's
+  *    independent RIFF parser must agree with [[Media.parseWav]] on
+  *    meta AND with the PCM16 payload sample-for-sample — the
+  *    hand-rolled walker verified against a second implementation.
+  *  - PCM16 is lossless across containers: AIFF/AU round-trip the
+  *    samples bit-exactly, so the WAV analytic oracles carry over
+  *    (q254 pins this against DuckDB).
+  *  - the sniffer routes WAV/AIFF/AU per row inside one
+  *    partition-local pass.
+  */
+class AudioIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
+
+  private def samplesOf(id: Long): Array[Short] = {
+    val n = (800 + id % 100).toInt
+    Array.tabulate(n)(i => (((id * 31 + i.toLong * 17) % 2003) - 1001).toShort)
+  }
+
+  test("hand-rolled WAV walker agrees with AudioSystem's independent " +
+    "RIFF parser on meta and every PCM16 sample") {
+    for (id <- 0L to 20L) {
+      val blob = Media.synthesizeWav(id)
+      val hand = Media.parseWav(blob)
+      val (sysMeta, sysSamples) = Media.decodeAudioIo(blob)
+      sysMeta shouldBe hand
+      sysSamples shouldBe samplesOf(id)
+      // and the hand-rolled sample read agrees too
+      Media.decodeAudioSamples(blob)._2 shouldBe sysSamples
+      // rms from either path matches the integer-exact walker rms
+      Media.rmsPcm16(blob) shouldBe
+        math.sqrt(sysSamples.map(s => s.toLong * s).sum.toDouble /
+          sysSamples.length) +- 1e-12
+    }
+    // stereo: interleaved samples survive the second parser too
+    val stereo = Media.encodeWavPcm16(44100, 2,
+      Array.tabulate(400)(i => (i * 37 - 3000).toShort))
+    val (m2, s2) = Media.decodeAudioIo(stereo)
+    m2 shouldBe Media.parseWav(stereo)
+    m2.channels shouldBe 2
+    m2.nFrames shouldBe 200L
+    s2 shouldBe Array.tabulate(400)(i => (i * 37 - 3000).toShort)
+  }
+
+  test("aiff/au: encode -> decode round-trips PCM16 bit-exactly") {
+    for (id <- Seq(0L, 7L, 99L)) {
+      val s = samplesOf(id)
+      val aiff = Media.encodeAiffPcm16(8000, 1, s)
+      Media.sniffAudioFormat(aiff) shouldBe "aiff"
+      val (am, as) = Media.decodeAudioSamples(aiff)
+      am.channels shouldBe 1
+      am.sampleRate shouldBe 8000
+      am.nFrames shouldBe s.length.toLong
+      as shouldBe s
+
+      val au = Media.encodeAuPcm16(8000, 1, s)
+      Media.sniffAudioFormat(au) shouldBe "au"
+      Media.decodeAudioSamples(au)._2 shouldBe s
+    }
+    Media.sniffAudioFormat(Array[Byte](9, 9, 9, 9)) shouldBe "unknown"
+    an[IllegalArgumentException] should be thrownBy
+      Media.decodeAudioSamples(Array[Byte](9, 9, 9, 9))
+  }
+
+  test("audioStats decodes a MIXED wav+aiff+au column in one pass " +
+    "with identical stats (lossless PCM16 across containers)") {
+    import spark.implicits._
+    val rows = (0L to 11L).map { id =>
+      val s = samplesOf(id)
+      val blob = (id % 3) match {
+        case 0 => Media.synthesizeWav(id)
+        case 1 => Media.encodeAiffPcm16(8000, 1, s)
+        case _ => Media.encodeAuPcm16(8000, 1, s)
+      }
+      (id, blob)
+    }
+    val got = Media.audioStats(rows.toDF("id", "blob"), "id", "blob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(5))).toMap
+    got.size shouldBe 12
+    for (id <- 0L to 11L) {
+      val s = samplesOf(id)
+      val (ch, rate, frames, rms) = got(id)
+      ch shouldBe 1
+      rate shouldBe 8000
+      frames shouldBe s.length.toLong
+      rms shouldBe math.sqrt(
+        s.map(x => x.toLong * x).sum.toDouble / s.length) +- 1e-9
+    }
+  }
+}
