@@ -8,9 +8,13 @@ tested. Two decoders are fully real, byte-level, stdlib-only:
 - PPM (P6) images → (width, height, channels, per-channel means)
 - RIFF/WAV PCM16 audio → (channels, sample_rate, n_frames, duration, rms)
 
-Codec-dependent formats (JPEG/PNG/MP3/video) need native libraries that
-are not in this container; they enter through the ``decoder`` hook of
-:func:`extract_image_features` — plug any callable
+PNG/JPEG and AIFF/AU decode are REAL on the JVM side (the engine uses
+``javax.imageio`` / ``javax.sound.sampled`` — zero extra dependencies);
+reach them from Python through :func:`graftspark.ops.decode_images` /
+:func:`graftspark.ops.audio_stats`, which route per-row on magic bytes.
+The pure-Python path here stays stdlib-only (PPM/WAV); other formats
+enter through the ``decoder`` hook of :func:`extract_image_features` —
+plug any callable
 ``bytes -> (width, height, channels, iterable_of_channel_means)`` (e.g.
 a Pillow-based one) and the Spark-side batching is unchanged. This is
 the same boundary as the Scala engine's ``graft.ops.Multimodal``

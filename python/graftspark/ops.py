@@ -642,10 +642,29 @@ def lang_id_trained(train: DataFrame, score: DataFrame, id_col: str,
 
 
 def image_hashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
-    """aHash64 + dHash64 perceptual hashes of a PPM image blob column
-    (exact integer forms, partition-local decode). Output: id, ahash,
-    dhash."""
+    """aHash64 + dHash64 perceptual hashes of an image blob column —
+    PPM/PNG/JPEG sniffed per row (PNG/JPEG decode through the JVM's
+    ImageIO; exact integer hash forms, partition-local decode).
+    Output: id, ahash, dhash."""
     return _to_py_df(_jvm_bridge(df).imageHashes(
+        df._jdf, id_col, blob_col), df)
+
+
+def decode_images(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL image decode of a blob column — PPM through the byte-level
+    parser, PNG/JPEG through the JVM's ImageIO (zero extra
+    dependencies), sniffed per row. Output: id, width, height,
+    channels, mean_r, mean_g, mean_b."""
+    return _to_py_df(_jvm_bridge(df).decodeImages(
+        df._jdf, id_col, blob_col), df)
+
+
+def audio_stats(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """REAL audio parse of a blob column — WAV through the validated
+    byte walker, AIFF/AU through the JVM's AudioSystem (zero extra
+    dependencies), sniffed per row. Output: id, channels, sample_rate,
+    n_frames, duration_us, rms."""
+    return _to_py_df(_jvm_bridge(df).audioStats(
         df._jdf, id_col, blob_col), df)
 
 

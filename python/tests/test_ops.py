@@ -377,6 +377,7 @@ def main():
     test_round13_seasonality()
     test_round13_privacy()
     test_round13_quality_screens()
+    test_round14_imageio_audio()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1325,6 +1326,44 @@ def test_round13_quality_screens():
     assert fd[("o_orderkey", "o_custkey")]["holds"]
     assert not fd[("o_custkey", "o_orderpriority")]["holds"]
     print("round-13 quality screens facade OK")
+
+def test_round14_imageio_audio():
+    from graftspark import ops
+
+    spark = _get_spark()
+    jvm = spark._jvm
+
+    # PNG blobs synthesized by the JVM (lossless container of the
+    # analytic PPM pixels) decode through the sniffing path with the
+    # same dims the formula predicts, and hash identically to the PPM
+    # twins through the SAME facade entry point
+    png_blobs = [(i, bytes(jvm.graft.ops.Media.synthesizePng(i)))
+                 for i in range(8)]
+    ppm_blobs = [(i, bytes(jvm.graft.ops.Media.synthesizePpm(i)))
+                 for i in range(8)]
+    pdf = spark.createDataFrame(png_blobs, ["id", "blob"])
+    mdf = spark.createDataFrame(ppm_blobs, ["id", "blob"])
+    dims = {r["id"]: (r["width"], r["height"], r["channels"])
+            for r in ops.decode_images(pdf, "id", "blob").collect()}
+    for i in range(8):
+        assert dims[i] == (4 + i % 8, 3 + i % 5, 3), dims[i]
+    png_h = {r["id"]: (r["ahash"], r["dhash"])
+             for r in ops.image_hashes(pdf, "id", "blob").collect()}
+    ppm_h = {r["id"]: (r["ahash"], r["dhash"])
+             for r in ops.image_hashes(mdf, "id", "blob").collect()}
+    assert png_h == ppm_h
+
+    # AIFF blobs (JVM AudioSystem container of the analytic WAV
+    # samples) parse to the same stats as the WAV twins
+    aiff = [(i, bytes(jvm.graft.ops.Media.synthesizeAiff(i)))
+            for i in range(6)]
+    adf = spark.createDataFrame(aiff, ["id", "blob"])
+    stats = {r["id"]: (r["channels"], r["sample_rate"], r["n_frames"])
+             for r in ops.audio_stats(adf, "id", "blob").collect()}
+    for i in range(6):
+        assert stats[i] == (1, 8000, 800 + i % 100), stats[i]
+    print("round-14 imageio/audio facade OK")
+
 
 
 if __name__ == "__main__":

@@ -600,9 +600,23 @@ object PyBridge {
     graft.ops.TextOps.langIdTrained(score, idCol, textCol, models, nBuckets)
   }
 
-  /** aHash64 + dHash64 perceptual hashes of a PPM image blob column. */
+  /** aHash64 + dHash64 perceptual hashes of an image blob column
+    * (PPM/PNG/JPEG, sniffed per row).
+    */
   def imageHashes(df: DataFrame, idCol: String, blobCol: String): DataFrame =
     graft.ops.Media.imageHashes(df, idCol, blobCol)
+
+  /** REAL image decode (PPM byte parser; PNG/JPEG via the JDK's
+    * ImageIO) to dims + channel means — sniffed per row.
+    */
+  def decodeImages(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.decodeImages(df, idCol, blobCol)
+
+  /** REAL audio parse (WAV byte walker; AIFF/AU via the JDK's
+    * AudioSystem) to stats — sniffed per row.
+    */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.audioStats(df, idCol, blobCol)
 
   /** Near-duplicate image pairs by banded perceptual-hash Hamming
     * distance (exact recall for maxHamming <= 3).
