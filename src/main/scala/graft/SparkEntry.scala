@@ -2886,6 +2886,29 @@ object SparkEntry {
           col("n_frames"), col("duration_us"), round(col("rms"), 6).as("rms"))
     }),
 
+    "q255_image_quality" -> ((s, dir) => {
+      // the multimodal curation screen: luminance/contrast/entropy
+      // stats per image over MIXED ppm+png containers (sniffed
+      // per row through the real decoders) — every statistic an
+      // integer-exact sum so the oracle replays bit-for-bit
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id,
+        if (id % 2 == 0) graft.ops.Media.synthesizePpm(id)
+        else graft.ops.Media.synthesizePng(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.imageQualityStats(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("gray_min"), col("gray_max"),
+          (round(col("gray_mean"), 6) + 0.0).as("gray_mean"),
+          (round(col("gray_std"), 6) + 0.0).as("gray_std"),
+          (round(col("frac_dark"), 6) + 0.0).as("frac_dark"),
+          (round(col("frac_bright"), 6) + 0.0).as("frac_bright"),
+          (round(col("entropy"), 6) + 0.0).as("entropy"),
+          col("low_contrast"))
+    }),
+
     "q251_categorical_profile" -> ((s, dir) => {
       // exact distribution shape of event_type: entropy / impurity /
       // majority share from one count aggregate
@@ -6550,6 +6573,37 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q255_image_quality" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, p % w AS x, p // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)),
+        |g AS (SELECT doc_id, w, h,
+        |    ((doc_id + 7 * x + 13 * y) % 256)
+        |      + ((doc_id * 3 + 5 * x + 11 * y) % 256)
+        |      + ((doc_id * 7 + 3 * x + 17 * y) % 256) AS g3
+        |  FROM px),
+        |a AS (SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+        |    min(g3)::INT AS gray_min, max(g3)::INT AS gray_max,
+        |    count(*)::BIGINT AS n, sum(g3)::BIGINT AS s,
+        |    sum(g3 * g3)::BIGINT AS s2,
+        |    sum(CASE WHEN g3 < 77 THEN 1 ELSE 0 END)::BIGINT AS nd,
+        |    sum(CASE WHEN g3 > 688 THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM g GROUP BY doc_id),
+        |hb AS (SELECT doc_id, g3 * 16 // 766 AS b, count(*)::BIGINT AS c
+        |  FROM g GROUP BY 1, 2),
+        |he AS (SELECT doc_id, sum(c * ln(c::DOUBLE)) AS clogc
+        |  FROM hb GROUP BY 1)
+        |SELECT a.doc_id AS doc_id, width, height, gray_min, gray_max,
+        |  round(s::DOUBLE / n, 6) + 0.0 AS gray_mean,
+        |  round(sqrt((n * s2 - s * s)::DOUBLE) / n, 6) + 0.0 AS gray_std,
+        |  round(nd::DOUBLE / n, 6) + 0.0 AS frac_dark,
+        |  round(nb::DOUBLE / n, 6) + 0.0 AS frac_bright,
+        |  round(ln(n::DOUBLE) - clogc / n, 6) + 0.0 AS entropy,
+        |  (gray_max - gray_min < 100) AS low_contrast
+        |FROM a JOIN he ON a.doc_id = he.doc_id""".stripMargin,
 
     "q251_categorical_profile" ->
       """WITH c AS (SELECT event_type AS v, count(*)::BIGINT AS c

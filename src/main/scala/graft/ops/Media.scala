@@ -1553,4 +1553,75 @@ object Media {
       })
       .toDF()
   }
+
+  final case class ImageQualityRecord(
+      id: Long, width: Int, height: Int,
+      gray_min: Int, gray_max: Int, gray_mean: Double, gray_std: Double,
+      frac_dark: Double, frac_bright: Double, entropy: Double,
+      low_contrast: Boolean)
+
+  /** Image quality screen — the luminance/contrast curation filter a
+    * multimodal training pipeline runs before anything expensive
+    * (degenerate captures: all-black frames, blown-out scans,
+    * near-constant synthetic fills): per image over the integer gray
+    * values [[gray3]] (r+g+b, 0..765) — min / max / mean / population
+    * std, the fraction of near-black (`gray3 < darkBelow`) and
+    * near-white (`gray3 > brightAbove`) pixels, the natural-log
+    * entropy of the 16-bin gray histogram (bin = gray3*16/766), and a
+    * `low_contrast` verdict (`gray_max - gray_min < minRange` —
+    * integer-exact, the SQL-replicable contrast test).
+    *
+    * Every statistic is built from integer-exact sums so the DuckDB
+    * oracle replays bit-for-bit: mean = sum/n (one IEEE division),
+    * std = sqrt(n*sumsq - sum^2)/n (one sqrt of an exact integer, one
+    * division), entropy = ln(n) - sum(c*ln c)/n over 16 bins.
+    * Decode is sniffed per row (PPM/PNG/JPEG); partition-local, zero
+    * shuffle at any scale.
+    */
+  def imageQualityStats(
+      df: DataFrame, idCol: String, blobCol: String,
+      darkBelow: Int = 77, brightAbove: Int = 688,
+      minRange: Int = 100): DataFrame = {
+    require(darkBelow >= 0 && brightAbove <= 765 && darkBelow <= brightAbove,
+      s"invalid thresholds [$darkBelow, $brightAbove]")
+    require(minRange >= 0, s"minRange must be >= 0, got $minRange")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val img = decodeImage(blob)
+        val g = gray3(img)
+        val n = g.length
+        var mn = 765; var mx = 0
+        var sum = 0L; var sumSq = 0L
+        var dark = 0L; var bright = 0L
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < n) {
+          val v = g(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sum += v
+          sumSq += v.toLong * v
+          if (v < darkBelow) dark += 1
+          if (v > brightAbove) bright += 1
+          bins(v * 16 / 766) += 1
+          i += 1
+        }
+        val mean = sum.toDouble / n
+        val std = math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
+        var clogc = 0.0
+        var b = 0
+        while (b < 16) {
+          if (bins(b) > 0) clogc += bins(b) * math.log(bins(b).toDouble)
+          b += 1
+        }
+        val entropy = math.log(n.toDouble) - clogc / n
+        ImageQualityRecord(id, img.width, img.height, mn, mx, mean, std,
+          dark.toDouble / n, bright.toDouble / n, entropy,
+          mx - mn < minRange)
+      })
+      .toDF()
+  }
 }

@@ -159,6 +159,42 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     ph.length shouldBe 12
   }
 
+  test("imageQualityStats: hand-computed degenerate + two-level cases " +
+    "(the curation screen's verdicts, integer-exact stats)") {
+    import spark.implicits._
+    // constant mid-gray 2x2: zero spread, entropy 0, low_contrast
+    val flat = Media.PpmImage(2, 2,
+      Array.fill(12)(100.toByte))
+    // half black / half white 2x2: max spread, entropy ln 2
+    val twoLevel = Media.PpmImage(2, 2,
+      (Array.fill(6)(0.toByte) ++ Array.fill(6)(255.toByte)))
+    val df = Seq(
+      (1L, Media.encodePng(flat)),
+      (2L, Media.encodePpm(twoLevel))).toDF("id", "blob")
+    val got = Media.imageQualityStats(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val f = got(1L)
+    f.getInt(3) shouldBe 300 // gray_min = 3*100
+    f.getInt(4) shouldBe 300
+    f.getDouble(5) shouldBe 300.0
+    f.getDouble(6) shouldBe 0.0 // std
+    f.getDouble(7) shouldBe 0.0 // frac_dark (300 >= 77)
+    f.getDouble(8) shouldBe 0.0
+    f.getDouble(9) shouldBe (0.0 +- 1e-12) // entropy of one bin
+    f.getBoolean(10) shouldBe true // range 0 < 100
+
+    val t = got(2L)
+    t.getInt(3) shouldBe 0
+    t.getInt(4) shouldBe 765
+    t.getDouble(5) shouldBe 382.5
+    t.getDouble(6) shouldBe 382.5 // half at each extreme
+    t.getDouble(7) shouldBe 0.5 // black half < 77
+    t.getDouble(8) shouldBe 0.5 // white half > 688
+    t.getDouble(9) shouldBe (math.log(2.0) +- 1e-12)
+    t.getBoolean(10) shouldBe false
+  }
+
   test("ImageIoCodec drives the partition-scoped ImageCodec boundary " +
     "with REAL dims (retiring the fake for JVM-decodable formats)") {
     import spark.implicits._
