@@ -841,6 +841,22 @@ object Bench {
       // (partition-local, blobs never shuffle), sample every 2nd frame
       // through the byte-walk decode, and dedup-hash each sampled frame
       // (aHash) — the multimodal family's decode+feature throughput row
+      // ImageIO round trip at corpus width: PNG encode (the synth) +
+      // sniffing decode + quality screen + perceptual hashes, all
+      // partition-local — measures the real JDK codec throughput
+      "image_decode" -> (() => {
+        import spark.implicits._
+        val blobs = t("documents").filter(col("doc_id") < 4000)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, graft.ops.Media.synthesizePng(id)))
+          .toDF("doc_id", "blob")
+        val q = graft.ops.Media.imageQualityStats(blobs, "doc_id", "blob")
+        val h = graft.ops.Media.imageHashes(blobs, "doc_id", "blob")
+        q.join(h, q("id") === h("id"))
+          .agg(countDistinct(col("ahash")), sum(col("entropy")))
+          .first(); 1L
+      }),
+
       "video_frames" -> (() => {
         import spark.implicits._
         val vids = t("documents").filter(col("doc_id") < 4000)
