@@ -247,13 +247,14 @@ object Media {
   }
 
   /** Image near-duplicate pairs by perceptual-hash Hamming distance,
-    * banded like SimHash: the 64-bit hash splits into 4 x 16-bit bands,
-    * so any pair within Hamming distance 3 collides in >=1 band
-    * (pigeonhole) — recall is exact for maxHamming <= 3, no all-pairs
-    * scan. Scale shape is [[Dedup.minHashLshPairs]]: the band
-    * self-join carries (id, hash) only, oversized buckets are dropped
-    * (`maxBucketSize`), pairs dedupe across bands before the exact
-    * Hamming verify. Returns (id_a, id_b, hamming) with id_a < id_b.
+    * banded like SimHash: the 64-bit hash splits into [[autoBands]]
+    * equal bands (more bands for a wider radius), so any pair within
+    * `maxHamming` collides in >=1 band (pigeonhole) — recall is EXACT
+    * at every radius, no all-pairs scan. Scale shape is
+    * [[Dedup.minHashLshPairs]]: the band self-join carries (id, hash)
+    * only, oversized buckets are dropped (`maxBucketSize`), pairs
+    * dedupe across bands before the exact Hamming verify. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
     */
   def imageHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
@@ -270,8 +271,6 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 3, useDHash: Boolean = true,
       maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
     val hashCol = if (useDHash) "dhash" else "ahash"
     bandedHammingPairsReleasable(
       imageHashes(df, idCol, blobCol)
@@ -279,23 +278,42 @@ object Media {
       maxHamming, maxBucketSize)
   }
 
-  /** Banded Hamming-distance pair join over an (id, 64-bit hash) frame
-    * — the shared engine behind [[imageHashNearDupsReleasable]] and
-    * [[pHashNearDupsReleasable]]: 4 x 16-bit bands (pigeonhole-exact
-    * for maxHamming <= 3), oversized-bucket drop, cross-band pair
-    * dedup, exact bit_count verify. The input is persisted here (it is
-    * referenced by the banding and both sides of the pair join — for
-    * decoded-image hashes that materializes the expensive stage once).
+  /** Smallest power-of-two band count that makes banded recall EXACT
+    * at `maxHamming` (pigeonhole: a pair within Hamming h differs in
+    * at most h bands, so with bands > h at least one band collides):
+    * maxHamming <= 3 keeps the classic 4 x 16-bit split; the JPEG
+    * recompression regime (measured drift 8-10 of 64 at quality 0.95)
+    * needs 16 x 4-bit bands. More bands = more candidate pairs per
+    * true pair — the exact Hamming verify after the bucket join keeps
+    * precision; the cap keeps flat-content buckets bounded.
+    */
+  private[ops] def autoBands(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+  }
+
+  /** Banded Hamming-distance pair join over an (id, 64-bit hash)
+    * frame — the shared engine behind [[imageHashNearDupsReleasable]]
+    * and [[pHashNearDupsReleasable]]: [[autoBands]] equal bands
+    * (pigeonhole-exact recall at any maxHamming), oversized-bucket
+    * drop, cross-band pair dedup, exact bit_count verify. The input
+    * is persisted here (it is referenced by the banding and both
+    * sides of the pair join — for decoded-image hashes that
+    * materializes the expensive stage once).
     */
   private[ops] def bandedHammingPairsReleasable(
       hashes0: DataFrame, maxHamming: Int,
       maxBucketSize: Int): (DataFrame, () => Unit) = {
+    val nBands = autoBands(maxHamming)
+    val bits = 64 / nBands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val hashes = hashes0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = hashes.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("h"), 16 * b)
-          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col("h"), bits * b)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("band", "bucket")))
     val pairs = banded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
@@ -318,8 +336,11 @@ object Media {
 
   /** Near-duplicate image pairs by DCT perceptual-hash (pHash) Hamming
     * distance — the recompression-robust twin of [[imageHashNearDups]]
-    * with the identical banded scale shape. Output: (id_a, id_b,
-    * hamming), id_a < id_b.
+    * with the identical banded scale shape. The JPEG-recompression
+    * regime (measured pHash drift 8-10 of 64 at quality 0.95) needs
+    * `maxHamming` ~ 10-12, which the auto-banding serves with exact
+    * recall (16 x 4-bit bands). Output: (id_a, id_b, hamming),
+    * id_a < id_b.
     */
   def pHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
@@ -332,14 +353,11 @@ object Media {
     */
   def pHashNearDupsReleasable(
       df: DataFrame, idCol: String, blobCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): (DataFrame, () => Unit) =
     bandedHammingPairsReleasable(
       imagePHashes(df, idCol, blobCol)
         .select(col("id"), col("phash").as("h")),
       maxHamming, maxBucketSize)
-  }
 
   private def bandCols(h: Column): Column =
     array((0 until 4).map(b =>

@@ -159,6 +159,44 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     ph.length shouldBe 12
   }
 
+  test("auto-banding: smallest power-of-two band count exceeding " +
+    "maxHamming (pigeonhole recall guarantee at any radius)") {
+    Media.autoBands(0) shouldBe 1
+    Media.autoBands(3) shouldBe 4
+    Media.autoBands(4) shouldBe 8
+    Media.autoBands(7) shouldBe 8
+    Media.autoBands(10) shouldBe 16
+    Media.autoBands(31) shouldBe 32
+    Media.autoBands(63) shouldBe 64
+    an[IllegalArgumentException] should be thrownBy Media.autoBands(64)
+  }
+
+  test("pHashNearDups at JPEG-recompression radius (maxHamming=12): " +
+    "banded recall equals the brute-force pair set, planted " +
+    "recompressed copies recovered") {
+    import spark.implicits._
+    val originals = (0L to 19L).map(id => (id, Media.encodePpm(textured(id))))
+    // ids 100.. are quality-0.95 JPEG recompressions of ids 0..4
+    val planted = (0L to 4L).map(id =>
+      (100L + id, Media.encodeJpeg(textured(id), 0.95f)))
+    val df = (originals ++ planted).toDF("id", "blob")
+    val found = Media.pHashNearDups(df, "id", "blob", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force oracle over the collected hashes
+    val hashes = Media.imagePHashes(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = hamming(ha, hb) if d <= 12
+    } yield (ia, ib) -> d).toMap
+    found shouldBe brute
+    // every planted recompression pairs with its original
+    for (id <- 0L to 4L) {
+      assert(found.contains((id, 100L + id)),
+        s"planted recompressed copy of $id not recovered: $found")
+    }
+  }
+
   test("imageQualityStats: hand-computed degenerate + two-level cases " +
     "(the curation screen's verdicts, integer-exact stats)") {
     import spark.implicits._
