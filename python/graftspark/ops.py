@@ -672,8 +672,9 @@ def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                          max_hamming: int = 3, use_dhash: bool = True,
                          max_bucket_size: int = 10000) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance,
-    banded into 4 x 16-bit bands (recall exact for ``max_hamming`` <= 3
-    by pigeonhole; blobs never shuffle — only 16-byte hash rows do).
+    auto-banded to the requested radius (smallest power-of-two band
+    count > ``max_hamming`` — recall exact at ANY radius by pigeonhole;
+    blobs never shuffle, only hash rows do).
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).imageHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming), bool(use_dhash),
@@ -693,7 +694,9 @@ def phash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                     max_bucket_size: int = 10000) -> DataFrame:
     """Near-duplicate image pairs by DCT perceptual-hash (pHash)
     Hamming distance — the recompression-robust twin of
-    ``image_hash_near_dups`` with the same banded scale shape.
+    ``image_hash_near_dups`` with the same auto-banded scale shape
+    (JPEG recompression drifts pHash by ~8-10 of 64 bits at quality
+    0.95, so use ``max_hamming`` ~ 12 for recompressed corpora).
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).pHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming),
