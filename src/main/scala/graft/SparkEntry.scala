@@ -2909,6 +2909,27 @@ object SparkEntry {
           col("low_contrast"))
     }),
 
+    "q256_image_resize" -> ((s, dir) => {
+      // the thumbnail/normalize ingest step over MIXED ppm+png
+      // containers: sniffing decode -> nearest-neighbor resize to 8x4
+      // -> re-encode in the source container; dims + means measured on
+      // the resized raster are analytic (the q119 oracle minus the
+      // container-dependent byte size)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map(id => (id,
+        if (id % 2 == 0) graft.ops.Media.synthesizePpm(id)
+        else graft.ops.Media.synthesizePng(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.resizeImages(blobs, "doc_id", "blob", 8, 4)
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     "q251_categorical_profile" -> ((s, dir) => {
       // exact distribution shape of event_type: entropy / impurity /
       // majority share from one count aggregate
@@ -6573,6 +6594,22 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q256_image_resize" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, unnest(range(32)) AS p FROM d),
+        |xy AS (SELECT doc_id, w, h, p % 8 AS x, p // 8 AS y FROM px),
+        |src AS (SELECT doc_id,
+        |    (x * w) // 8 AS sx, (y * h) // 4 AS sy FROM xy)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format,
+        |  8 AS width, 4 AS height,
+        |  round(avg((doc_id + 7 * sx + 13 * sy) % 256), 6) AS mean_r,
+        |  round(avg((doc_id * 3 + 5 * sx + 11 * sy) % 256), 6) AS mean_g,
+        |  round(avg((doc_id * 7 + 3 * sx + 17 * sy) % 256), 6) AS mean_b
+        |FROM src GROUP BY 1, 2""".stripMargin,
 
     "q255_image_quality" ->
       """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,

@@ -1572,6 +1572,46 @@ object Media {
       .toDF()
   }
 
+  final case class ResizedImageRecord(
+      id: Long, format: String, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      out_bytes: Long, blob: Array[Byte])
+
+  /** Resize a binary image column (PPM/PNG/JPEG, sniffed per row) with
+    * nearest-neighbor resampling and RE-ENCODE into the source
+    * container (JPEG at quality 0.95) — the thumbnail/normalize step
+    * of a multimodal ingest pipeline, [[resizePpmImages]] widened to
+    * the ImageIO formats. Channel means are measured on the resized
+    * raster BEFORE re-encode, so they stay analytic-oracle-exact even
+    * for the lossy JPEG container; `out_bytes` is the re-encoded size
+    * (compressor-dependent for PNG/JPEG — report it, never oracle
+    * it). Partition-local, zero shuffle.
+    */
+  def resizeImages(
+      df: DataFrame, idCol: String, blobCol: String,
+      newW: Int, newH: Int): DataFrame = {
+    require(newW >= 1 && newH >= 1, s"invalid target ${newW}x$newH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val fmt = sniffImageFormat(blob)
+        val resized = resizeNearest(decodeImage(blob), newW, newH)
+        val out = fmt match {
+          case "ppm" => encodePpm(resized)
+          case "png" => encodePng(resized)
+          case "jpeg" => encodeJpeg(resized, 0.95f)
+          case other => throw new IllegalArgumentException(
+            s"unrecognized image container: $other")
+        }
+        val (r, g, b) = meanRgb(resized)
+        ResizedImageRecord(id, fmt, resized.width, resized.height,
+          r, g, b, out.length.toLong, out)
+      })
+      .toDF()
+  }
+
   final case class ImageQualityRecord(
       id: Long, width: Int, height: Int,
       gray_min: Int, gray_max: Int, gray_mean: Double, gray_std: Double,

@@ -233,6 +233,31 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     t.getBoolean(10) shouldBe false
   }
 
+  test("resizeImages: re-encodes in the source container; resized " +
+    "PNG blob round-trips pixel-exact to resizeNearest's raster") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Media.synthesizePpm(0)),
+      (1L, Media.synthesizePng(1)),
+      (2L, Media.synthesizeJpeg(2))).toDF("id", "blob")
+    val out = Media.resizeImages(df, "id", "blob", 6, 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(0L).getString(1) shouldBe "ppm"
+    out(1L).getString(1) shouldBe "png"
+    out(2L).getString(1) shouldBe "jpeg"
+    out.values.foreach { r =>
+      r.getInt(2) shouldBe 6
+      r.getInt(3) shouldBe 5
+      Media.sniffImageFormat(r.getAs[Array[Byte]](8)) shouldBe
+        r.getString(1)
+    }
+    // PNG output blob decodes back to exactly resizeNearest's pixels
+    val want = Media.resizeNearest(
+      Media.decodePpm(Media.synthesizePpm(1)), 6, 5)
+    Media.decodeImage(out(1L).getAs[Array[Byte]](8)).pixels shouldBe
+      want.pixels
+  }
+
   test("ImageIoCodec drives the partition-scoped ImageCodec boundary " +
     "with REAL dims (retiring the fake for JVM-decodable formats)") {
     import spark.implicits._
