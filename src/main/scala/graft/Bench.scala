@@ -1038,7 +1038,18 @@ object Bench {
       // pre-sample alone
       val loadPost = loadavg1m()
       val rowLoad = math.max(loadPre, loadPost)
-      val contended = rowLoad > loadMax
+      // contended = the minimum did NOT reproduce within spreadMax even
+      // after the re-sampling budget AND the gap is material (>100 ms —
+      // scheduler jitter on a 0.1 s row is not contention). The
+      // condition that actually invalidates a cross-round delta. Load
+      // alone cannot decide it at local[32]: the 1-minute loadavg lags
+      // the bench's OWN 32-thread rows (measured 11-12 right after the
+      // graph rows while spreads sat at 1.01), so load is recorded per
+      // row as evidence and only the PRE-RUN machine load gates the
+      // artifact as a whole.
+      val secondBest =
+        if (okTimes.size < 2) sec else okTimes.sorted.apply(1)
+      val contended = spread > spreadMax && secondBest - sec > 0.1
       System.err.println(
         f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${okTimes.size}, " +
           f"spread $spread%.2f, load $rowLoad%.2f${if (contended) ", CONTENDED" else ""}" +
@@ -1047,7 +1058,7 @@ object Bench {
     }
     val loadAfter = loadavg1m()
     val anyContended = results.exists(_.contended) ||
-      loadBefore > loadMax || loadAfter > loadMax
+      loadBefore > loadMax
     val anyFailed = results.exists(_.failures > 0)
     // state-size invariant (the reference's headline: ~KB of profile per
     // column regardless of row count): serialized wire bytes per
