@@ -1137,7 +1137,14 @@ object Bench {
       System.err.println(s"[bench] could not write $effectivePath: $e") }
     System.err.println(s"[bench] row detail: $detailJson")
     val total = results.map(_.sec).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$anyContended,"failed":$anyFailed,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
+    // name the contended rows in the headline so a true flag is
+    // interpretable (one noisy sub-second row vs a busy machine)
+    val contendedRows = results.filter(_.contended).map(_.name)
+      .mkString("[\"", "\",\"", "\"]") match {
+      case "[\"\"]" => "[]"
+      case s => s
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$anyContended,"contended_rows":$contendedRows,"failed":$anyFailed,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
     spark.stop()
   }
 }
