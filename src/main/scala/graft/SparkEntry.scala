@@ -2930,6 +2930,26 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q257_leakage_safe_split" -> ((s, dir) => {
+      // near-duplicates must not straddle train/val/test (a test doc
+      // whose near-copy sits in train leaks the answer): planted dup
+      // chains (a~a+100 for a<50, a+100~a+200 for a<25) collapse into
+      // components whose min id is the split key for every member —
+      // the oracle replays the component map in closed form and the
+      // same md5-52-bit cutoffs as q77
+      val docs = t(s, dir, "documents")
+      val p1 = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 100).as("id_b"))
+      val p2 = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100).as("id_a"),
+          (col("doc_id") + 200).as("id_b"))
+      graft.ops.Sampling.leakageSafeSplit(docs, "doc_id",
+        p1.unionAll(p2),
+        Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
+
     "q251_categorical_profile" -> ((s, dir) => {
       // exact distribution shape of event_type: entropy / impurity /
       // majority share from one count aggregate
@@ -6594,6 +6614,23 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q257_leakage_safe_split" ->
+      """WITH rep AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 50 THEN doc_id
+        |      WHEN doc_id >= 100 AND doc_id < 150 THEN doc_id - 100
+        |      WHEN doc_id >= 200 AND doc_id < 225 THEN doc_id - 200
+        |      ELSE doc_id END AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN CAST(('0x' ||
+        |      substring(md5(CAST(r AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      < 450359962737049 THEN 'test'
+        |    WHEN CAST(('0x' ||
+        |      substring(md5(CAST(r AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      < 4053239664633446 THEN 'train'
+        |    ELSE 'val' END AS split
+        |FROM rep""".stripMargin,
 
     "q256_image_resize" ->
       """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,

@@ -84,19 +84,76 @@ object Sampling {
   def hashSplit(
       df: DataFrame,
       idCol: String,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double]): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .withColumn("split", splitLabel(md5Hash52(col(idCol)), weights))
+
+  /** The [[hashSplit]] label column over an arbitrary 52-bit hash:
+    * labels in lexicographic order, cutoffs at the normalized
+    * cumulative weights.
+    */
+  private def splitLabel(h: Column, weights: Map[String, Double]): Column = {
     require(weights.nonEmpty, "weights must not be empty")
     require(weights.values.forall(_ > 0), "every weight must be > 0")
     val total = weights.values.sum
     val cum = weights.toSeq.sortBy(_._1)
       .scanLeft(("", 0.0)) { case ((_, acc), (k, w)) => (k, acc + w / total) }
       .drop(1)
-    val h = md5Hash52(col(idCol))
-    val label = cum.init.foldRight(lit(cum.last._1)) {
+    cum.init.foldRight(lit(cum.last._1)) {
       case ((k, c), acc) => when(h < lit((c * HashSpace).toLong), k)
         .otherwise(acc)
     }
-    df.filter(col(idCol).isNotNull).withColumn("split", label)
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc whose near-copy sits
+    * in train leaks the answer into evaluation), so membership hashes
+    * the document's duplicate-COMPONENT representative instead of its
+    * own id. `pairs` — any near-dup pair output
+    * ([[Dedup.minHashLshPairs]], [[Media.pHashNearDups]],
+    * [[Dedup.simHashNearDups]]) — collapses into connected components
+    * ([[Dedup.connectedComponents]] star contraction); every member
+    * splits by the component's min id, documents in no pair by their
+    * own id — with empty `pairs` this IS [[hashSplit]], label for
+    * label. Null ids drop ([[hashSplit]]'s convention). Output: the
+    * input columns + `split`.
+    *
+    * Scale shape: component contraction runs over the PAIR set (the
+    * near-dup output — orders of magnitude below the corpus); the
+    * corpus pays one left join against the component map (AQE
+    * broadcast-converts from its measured size) and the map-only hash
+    * label. The component map stays persisted for this convenience
+    * form; long-lived sessions should use
+    * [[leakageSafeSplitReleasable]].
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Map[String, Double],
+      idColA: String = "id_a",
+      idColB: String = "id_b"): DataFrame =
+    leakageSafeSplitReleasable(df, idCol, pairs, weights, idColA, idColB)._1
+
+  /** [[leakageSafeSplit]] plus a release() thunk for the persisted
+    * component map (call after the split output is consumed).
+    */
+  def leakageSafeSplitReleasable(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Map[String, Double],
+      idColA: String = "id_a",
+      idColB: String = "id_b"): (DataFrame, () => Unit) = {
+    val (comp, release) =
+      Dedup.connectedComponentsReleasable(pairs, idColA, idColB)
+    val rep = coalesce(col("__comp"), col(idCol))
+    val out = df.filter(col(idCol).isNotNull)
+      .join(comp.select(col("id").as(idCol), col("comp").as("__comp")),
+        Seq(idCol), "left")
+      .withColumn("split", splitLabel(md5Hash52(rep), weights))
+      .drop("__comp")
+    (out, release)
   }
 
   /** Cap every group at `k` ORIGINAL rows (the "at most K docs per

@@ -1127,4 +1127,41 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       targetFraction = 0.2).select("id").collect().map(_.getLong(0)).toSet
     got.select("id").collect().map(_.getLong(0)).toSet shouldBe again
   }
+
+  test("leakageSafeSplit: every near-dup component lands in ONE split " +
+    "(the min id's hashSplit label); unpaired docs match hashSplit; " +
+    "empty pairs degrade to hashSplit exactly") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val w = Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // components: {7, 107, 207} (chain), {8, 108}, singletons elsewhere
+    val pairs = Seq((7L, 107L), (107L, 207L), (8L, 108L))
+      .toDF("id_a", "id_b")
+    val (out, release) = Sampling.leakageSafeSplitReleasable(
+      docs, "id", pairs, w)
+    try {
+      val got = out.collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      got.size shouldBe 300
+      val base = Sampling.hashSplit(docs, "id", w).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      // whole component carries the representative's label
+      got(107L) shouldBe base(7L)
+      got(207L) shouldBe base(7L)
+      got(7L) shouldBe base(7L)
+      got(108L) shouldBe base(8L)
+      // everything unpaired is untouched
+      (got -- Seq(107L, 207L, 108L)) shouldBe
+        (base -- Seq(107L, 207L, 108L))
+    } finally release()
+    // empty pairs: label-for-label identical to hashSplit
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (same, rel2) = Sampling.leakageSafeSplitReleasable(
+      docs, "id", empty, w)
+    try {
+      same.collect().map(r => r.getLong(0) -> r.getString(2)).toMap shouldBe
+        Sampling.hashSplit(docs, "id", w).collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+    } finally rel2()
+  }
 }
