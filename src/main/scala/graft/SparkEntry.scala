@@ -2930,6 +2930,21 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q258_source_separation" -> ((s, dir) => {
+      // data-mix diagnostic: does each label occupy its own region of
+      // embedding space? one vec_sum aggregate builds the K centroids,
+      // members score against their own centroid via broadcast, the
+      // K x K confusion comparison stays on the aggregate output
+      ops.Similarity.sourceSeparation(t(s, dir, "embeddings"),
+        "label", "embedding")
+        .select(col("key").cast("int").as("label"), col("n"),
+          (round(col("centroid_norm"), 6) + 0.0).as("centroid_norm"),
+          (round(col("intra_cos"), 6) + 0.0).as("intra_cos"),
+          col("nearest_key").cast("int").as("nearest_label"),
+          (round(col("nearest_cos"), 6) + 0.0).as("nearest_cos"),
+          (round(col("separation"), 6) + 0.0).as("separation"))
+    }),
+
     "q257_leakage_safe_split" -> ((s, dir) => {
       // near-duplicates must not straddle train/val/test (a test doc
       // whose near-copy sits in train leaks the answer): planted dup
@@ -6614,6 +6629,42 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q258_source_separation" ->
+      """WITH r AS (SELECT vec_id, label AS key, embedding::DOUBLE[] AS e
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |u AS (SELECT vec_id, key, unnest(e) AS x,
+        |    unnest(range(len(e))) AS i FROM r),
+        |cent AS (SELECT key, i, avg(x) AS m FROM u GROUP BY 1, 2),
+        |nn AS (SELECT key, count(*) AS n FROM r GROUP BY 1),
+        |cn AS (SELECT key, sqrt(sum(m * m)) AS cnorm FROM cent
+        |  GROUP BY 1),
+        |mem AS (SELECT u.vec_id, u.key, sum(u.x * c.m) AS dot,
+        |    sqrt(sum(u.x * u.x)) AS enorm
+        |  FROM u JOIN cent c ON u.key = c.key AND u.i = c.i
+        |  GROUP BY 1, 2),
+        |ic AS (SELECT mem.key,
+        |    avg(CASE WHEN enorm > 0 AND cnorm > 0
+        |      THEN dot / (enorm * cnorm) ELSE 0 END) AS intra
+        |  FROM mem JOIN cn ON mem.key = cn.key GROUP BY 1),
+        |cr AS (SELECT a.key AS ka, b.key AS kb, sum(a.m * b.m) AS dab
+        |  FROM cent a JOIN cent b ON a.i = b.i AND a.key <> b.key
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT ka, kb,
+        |    CASE WHEN x.cnorm > 0 AND y.cnorm > 0
+        |      THEN dab / (x.cnorm * y.cnorm) ELSE 0 END AS c
+        |  FROM cr JOIN cn x ON ka = x.key JOIN cn y ON kb = y.key),
+        |best AS (SELECT ka, kb, c, row_number() OVER
+        |    (PARTITION BY ka ORDER BY c DESC, kb DESC) AS rn FROM cc)
+        |SELECT nn.key AS label, nn.n,
+        |  round(cn.cnorm, 6) + 0.0 AS centroid_norm,
+        |  round(ic.intra, 6) + 0.0 AS intra_cos,
+        |  best.kb AS nearest_label,
+        |  round(best.c, 6) + 0.0 AS nearest_cos,
+        |  round(ic.intra - best.c, 6) + 0.0 AS separation
+        |FROM nn JOIN cn ON nn.key = cn.key JOIN ic ON nn.key = ic.key
+        |LEFT JOIN best ON nn.key = best.ka AND best.rn = 1""".stripMargin,
 
     "q257_leakage_safe_split" ->
       """WITH rep AS (SELECT doc_id,

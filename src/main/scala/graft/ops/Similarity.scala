@@ -867,4 +867,58 @@ object Similarity {
       else ivfTopK(df, df, idCol, embCol, k, nCentroids, nProbe)
     labelNoiseFromNeighbors(nb, df, idCol, labelCol)
   }
+
+  /** Per-source embedding cohesion/separation report — the data-mix
+    * diagnostic that says whether the declared sources actually
+    * occupy distinct regions of embedding space (a source whose
+    * members sit closer to another source's centroid than their own
+    * is mislabeled, duplicated, or not a real distribution): one row
+    * per key — n, centroid_norm, `intra_cos` (mean member-to-own-
+    * centroid cosine, cohesion), the nearest OTHER centroid
+    * (`nearest_key`, `nearest_cos` — the confusion direction; ties
+    * break to the larger key), and `separation = intra_cos -
+    * nearest_cos` (positive and large = clean separation). Keys with
+    * no peer (single-source input) carry NULL nearest/separation.
+    *
+    * Scale shape: ONE (key)-grouped [[graft.functions.vec_sum]]
+    * aggregate builds the K centroids (K = source count — tiny by
+    * definition); members score against their own centroid through a
+    * broadcast join and one row-local codegen cosine + grouped avg;
+    * the K x K centroid comparison stays in-plan on the K-row
+    * aggregate output. The corpus is read twice (centroid pass +
+    * scoring pass) and never shuffles beyond the two grouped
+    * aggregates.
+    */
+  def sourceSeparation(
+      df: DataFrame, keyCol: String, embCol: String): DataFrame = {
+    val rows = df
+      .filter(col(keyCol).isNotNull && col(embCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        col(embCol).cast("array<double>").as("e"))
+    val cents = rows.groupBy(col("key"))
+      .agg(vec_sum(col("e")).as("__s"), count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        transform(col("__s"), x => x / col("n")).as("c"))
+    val intra = rows
+      .join(broadcast(cents.select(col("key"), col("c"))), Seq("key"))
+      .groupBy(col("key"))
+      .agg(avg(cosine(col("e"), col("c"))).as("intra_cos"))
+    val cross = cents.select(col("key"), col("c"))
+      .crossJoin(broadcast(
+        cents.select(col("key").as("__k2"), col("c").as("__c2"))))
+      .filter(col("key") =!= col("__k2"))
+      .select(col("key"), col("__k2"),
+        cosine(col("c"), col("__c2")).as("__cc"))
+      .groupBy(col("key"))
+      .agg(max_by(col("__k2"), struct(col("__cc"), col("__k2")))
+        .as("nearest_key"),
+        max(col("__cc")).as("nearest_cos"))
+    cents
+      .select(col("key"), col("n"), norm(col("c")).as("centroid_norm"))
+      .join(intra, Seq("key"))
+      .join(cross, Seq("key"), "left")
+      .select(col("key"), col("n"), col("centroid_norm"),
+        col("intra_cos"), col("nearest_key"), col("nearest_cos"),
+        (col("intra_cos") - col("nearest_cos")).as("separation"))
+  }
 }
