@@ -668,6 +668,29 @@ def audio_stats(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
         df._jdf, id_col, blob_col), df)
 
 
+def leakage_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       weights: dict, id_col_a: str = "id_a",
+                       id_col_b: str = "id_b") -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate PAIRS (minhash
+    / pHash / simhash output) collapse into connected components and
+    every member splits by the component min id's hash, so near-dups
+    never straddle a split boundary; unpaired docs split by their own
+    id (== hash_split). Adds a ``split`` column."""
+    return _to_py_df(_jvm_bridge(df).leakageSafeSplit(
+        df._jdf, id_col, pairs._jdf,
+        {k: float(v) for k, v in weights.items()}, id_col_a, id_col_b), df)
+
+
+def source_separation(df: DataFrame, key_col: str,
+                      emb_col: str) -> DataFrame:
+    """Per-source embedding cohesion/confusion report: centroid norm,
+    intra_cos (member-to-own-centroid cosine), the nearest OTHER
+    centroid + cosine, and separation = intra_cos - nearest_cos. One
+    row per key; singleton inputs carry NULL nearest/separation."""
+    return _to_py_df(_jvm_bridge(df).sourceSeparation(
+        df._jdf, key_col, emb_col), df)
+
+
 def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                          max_hamming: int = 3, use_dhash: bool = True,
                          max_bucket_size: int = 10000) -> DataFrame:

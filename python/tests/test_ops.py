@@ -1364,6 +1364,27 @@ def test_round14_imageio_audio():
         assert stats[i] == (1, 8000, 800 + i % 100), stats[i]
     print("round-14 imageio/audio facade OK")
 
+    # leakage-safe split: the planted pair's two docs share one label
+    docs = _docs().select("doc_id", "text").filter("doc_id < 300")
+    pairs = spark.createDataFrame([(7, 107), (107, 207)],
+                                  ["id_a", "id_b"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    lab = {r["doc_id"]: r["split"]
+           for r in ops.leakage_safe_split(docs, "doc_id", pairs, w)
+           .collect()}
+    assert lab[7] == lab[107] == lab[207]
+    base = {r["doc_id"]: r["split"]
+            for r in ops.hash_split(docs, "doc_id", w).collect()}
+    assert lab[7] == base[7]
+    assert all(lab[k] == base[k] for k in lab if k not in (107, 207))
+
+    # per-source embedding separation over the labeled vectors
+    sep = ops.source_separation(_embs(), "label", "embedding")
+    rows = sep.collect()
+    assert len(rows) == 10
+    assert all(r["separation"] is not None for r in rows)
+    print("round-14 split/separation facade OK")
+
 
 
 if __name__ == "__main__":

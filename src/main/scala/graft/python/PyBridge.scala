@@ -618,6 +618,20 @@ object PyBridge {
   def audioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame =
     graft.ops.Media.audioStats(df, idCol, blobCol)
 
+  /** Leakage-safe split: near-dup components share one split label. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: java.util.Map[String, Double], idColA: String,
+      idColB: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ops.Sampling.leakageSafeSplit(df, idCol, pairs,
+      weights.asScala.toMap, idColA, idColB)
+  }
+
+  /** Per-source embedding cohesion/confusion report. */
+  def sourceSeparation(df: DataFrame, keyCol: String,
+      embCol: String): DataFrame =
+    graft.ops.Similarity.sourceSeparation(df, keyCol, embCol)
+
   /** Near-duplicate image pairs by banded perceptual-hash Hamming
     * distance (exact recall for maxHamming <= 3).
     */
