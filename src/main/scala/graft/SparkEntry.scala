@@ -2930,6 +2930,27 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q259_audio_quality" -> ((s, dir) => {
+      // the speech-corpus curation screen: clipping / silence / ZCR
+      // verdicts over planted quality regimes (id%7 clips at the
+      // rails, id%5 is near-silent, rest is the plain ramp) — every
+      // statistic integer-exact or a single IEEE op, so the oracle
+      // replays bit-for-bit
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids
+        .map(id => (id, graft.ops.Media.synthesizeWavQuality(id)))
+        .toDF("doc_id", "blob")
+      graft.ops.Media.audioQualityStats(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sample_rate"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"),
+          round(col("clip_frac"), 6).as("clip_frac"),
+          round(col("silence_frac"), 6).as("silence_frac"),
+          col("zero_crossings"), col("clipped"), col("near_silent"))
+    }),
+
     "q258_source_separation" -> ((s, dir) => {
       // data-mix diagnostic: does each label occupy its own region of
       // embedding space? one vec_sum aggregate builds the K centroids,
@@ -6629,6 +6650,36 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q259_audio_quality" ->
+      """WITH d AS (SELECT doc_id, (800 + doc_id % 100)::INT AS n
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, n, i,
+        |    ((doc_id * 31 + i * 17) % 2003) - 1001 AS base
+        |  FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM d)),
+        |v AS (SELECT doc_id, n, i,
+        |    CASE WHEN doc_id % 7 = 0
+        |        THEN least(greatest(base * 40, -32768), 32767)
+        |      WHEN doc_id % 5 = 0 THEN base % 50
+        |      ELSE base END AS v
+        |  FROM s),
+        |x AS (SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM v)
+        |SELECT doc_id, 1 AS channels, 8000 AS sample_rate,
+        |  max(n)::BIGINT AS n_samples,
+        |  round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms,
+        |  max(abs(v))::INT AS peak,
+        |  round(sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END)::DOUBLE
+        |    / max(n), 6) AS clip_frac,
+        |  round(sum(CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END)::DOUBLE
+        |    / max(n), 6) AS silence_frac,
+        |  coalesce(sum(CASE WHEN pv IS NOT NULL
+        |    AND ((pv >= 0) != (v >= 0)) THEN 1 END), 0)::BIGINT
+        |    AS zero_crossings,
+        |  (sum(CASE WHEN abs(v) >= 32000 THEN 1 ELSE 0 END) * 100
+        |    > max(n)) AS clipped,
+        |  (sum((v * v)::BIGINT) < max(n)::BIGINT * 2500) AS near_silent
+        |FROM x GROUP BY doc_id""".stripMargin,
 
     "q258_source_separation" ->
       """WITH r AS (SELECT vec_id, label AS key, embedding::DOUBLE[] AS e

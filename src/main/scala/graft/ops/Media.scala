@@ -1376,6 +1376,98 @@ object Media {
         "unrecognized audio container (magic bytes match no known format)")
     }
 
+  final case class AudioQualityRecord(
+      id: Long, channels: Int, sample_rate: Int, n_samples: Long,
+      rms: Double, peak: Int, clip_frac: Double, silence_frac: Double,
+      zero_crossings: Long, clipped: Boolean, near_silent: Boolean)
+
+  /** Audio quality screen — the clipping/silence curation filter a
+    * speech/audio training pipeline runs before anything expensive
+    * (blown recordings, dead microphones, digital silence): per clip
+    * over the PCM16 samples — RMS, peak amplitude, the fraction of
+    * near-full-scale samples (`|s| >= clipAbove`), the fraction of
+    * near-silent samples (`|s| < silenceBelow`), per-channel
+    * zero-crossing count (summed), and two verdicts: `clipped`
+    * (`n_clip * 100 > n_samples` — more than 1% of samples at the
+    * rail, integer-exact) and `near_silent` (`sum(s^2) < n * 2500` —
+    * RMS below 50 compared in the squared domain, so the test is
+    * integer-exact too). Decode is the sniffing WAV/AIFF/AU path;
+    * partition-local, zero shuffle at any scale.
+    */
+  def audioQualityStats(
+      df: DataFrame, idCol: String, blobCol: String,
+      clipAbove: Int = 32000, silenceBelow: Int = 100): DataFrame = {
+    require(clipAbove > 0 && clipAbove <= 32768,
+      s"clipAbove out of range: $clipAbove")
+    require(silenceBelow >= 0 && silenceBelow <= clipAbove,
+      s"silenceBelow out of range: $silenceBelow")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val (m, s) = decodeAudioSamples(blob)
+        val n = s.length
+        var sumSq = 0L
+        var peak = 0
+        var nClip = 0L
+        var nSil = 0L
+        var i = 0
+        while (i < n) {
+          val v = s(i).toInt
+          val a = math.abs(v)
+          sumSq += v.toLong * v
+          if (a > peak) peak = a
+          if (a >= clipAbove) nClip += 1
+          if (a < silenceBelow) nSil += 1
+          i += 1
+        }
+        // zero crossings per channel over the interleaved stream
+        val ch = m.channels
+        var zc = 0L
+        var c = 0
+        while (c < ch) {
+          var f = 1
+          while (f.toLong * ch + c < n) {
+            val prev = s((f - 1) * ch + c) >= 0
+            val cur = s(f * ch + c) >= 0
+            if (prev != cur) zc += 1
+            f += 1
+          }
+          c += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+        AudioQualityRecord(id, m.channels, m.sampleRate, n.toLong, rms,
+          peak, if (n == 0) 0.0 else nClip.toDouble / n,
+          if (n == 0) 0.0 else nSil.toDouble / n, zc,
+          nClip * 100 > n, sumSq < n.toLong * 2500)
+      })
+      .toDF()
+  }
+
+  /** [[synthesizeWav]] with planted quality regimes for the q259
+    * oracle: id % 7 == 0 clips (samples x40, clamped to the PCM16
+    * rails), id % 5 == 0 is near-silent (samples mod 50), everything
+    * else is the plain analytic ramp — all three replicable in SQL
+    * (Scala's Int %, clamp, and abs match DuckDB's % / least /
+    * greatest on these operand signs).
+    */
+  def synthesizeWavQuality(id: Long): Array[Byte] = {
+    val n = (800 + id % 100).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val base = ((id * 31 + i.toLong * 17) % 2003 - 1001).toInt
+      val v =
+        if (id % 7 == 0) math.max(-32768, math.min(32767, base * 40))
+        else if (id % 5 == 0) base % 50
+        else base
+      samples(i) = v.toShort
+      i += 1
+    }
+    encodeWavPcm16(8000, 1, samples)
+  }
+
   /** [[synthesizeWav]]'s samples in an AIFF container: PCM16 is
     * lossless across containers, so every analytic oracle written for
     * the WAV fixtures carries over bit-exactly.

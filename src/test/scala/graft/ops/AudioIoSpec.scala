@@ -69,6 +69,50 @@ class AudioIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
       Media.decodeAudioSamples(Array[Byte](9, 9, 9, 9))
   }
 
+  test("audioQualityStats: hand-computed clipped / silent / clean " +
+    "clips, AIFF container included (sniffing path)") {
+    import spark.implicits._
+    // clipped: alternating full-scale square wave
+    val clipped = Array.tabulate[Short](100)(i =>
+      if (i % 2 == 0) 32767 else -32768)
+    // silent: all zeros
+    val silent = Array.fill[Short](100)(0)
+    // clean: +-1000 square wave at period 4
+    val clean = Array.tabulate[Short](100)(i =>
+      if (i % 4 < 2) 1000 else -1000)
+    val df = Seq(
+      (1L, Media.encodeWavPcm16(8000, 1, clipped)),
+      (2L, Media.encodeWavPcm16(8000, 1, silent)),
+      (3L, Media.encodeAiffPcm16(8000, 1, clean)))
+      .toDF("id", "blob")
+    val got = Media.audioQualityStats(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val c = got(1L)
+    c.getInt(5) shouldBe 32768 // peak |−32768|
+    c.getDouble(6) shouldBe 1.0 // clip_frac
+    c.getDouble(7) shouldBe 0.0
+    c.getLong(8) shouldBe 99L // crosses every step
+    c.getBoolean(9) shouldBe true // clipped
+    c.getBoolean(10) shouldBe false
+
+    val q = got(2L)
+    q.getDouble(4) shouldBe 0.0 // rms
+    q.getDouble(7) shouldBe 1.0 // silence_frac
+    q.getLong(8) shouldBe 0L
+    q.getBoolean(9) shouldBe false
+    q.getBoolean(10) shouldBe true // near_silent
+
+    val k = got(3L)
+    k.getInt(1) shouldBe 1
+    k.getLong(3) shouldBe 100L
+    k.getDouble(4) shouldBe (1000.0 +- 1e-9)
+    k.getDouble(6) shouldBe 0.0
+    k.getLong(8) shouldBe 49L // sign flips at i=2,4,...,98 every 2 steps
+    k.getBoolean(9) shouldBe false
+    k.getBoolean(10) shouldBe false
+  }
+
   test("audioStats decodes a MIXED wav+aiff+au column in one pass " +
     "with identical stats (lossless PCM16 across containers)") {
     import spark.implicits._
