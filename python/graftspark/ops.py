@@ -691,6 +691,46 @@ def source_separation(df: DataFrame, key_col: str,
         df._jdf, key_col, emb_col), df)
 
 
+def image_quality_stats(df: DataFrame, id_col: str,
+                        blob_col: str) -> DataFrame:
+    """Image quality screen over a PPM/PNG/JPEG blob column (sniffed
+    per row): gray min/max/mean/std, near-black / near-white pixel
+    fractions, 16-bin gray-histogram entropy, low_contrast verdict —
+    the degenerate-capture curation filter."""
+    return _to_py_df(_jvm_bridge(df).imageQualityStats(
+        df._jdf, id_col, blob_col), df)
+
+
+def audio_quality_stats(df: DataFrame, id_col: str,
+                        blob_col: str) -> DataFrame:
+    """Audio quality screen over a WAV/AIFF/AU blob column (sniffed per
+    row): rms, peak, clip/silence fractions, zero crossings, and the
+    clipped / near_silent verdicts — the blown-recording and
+    dead-microphone curation filter."""
+    return _to_py_df(_jvm_bridge(df).audioQualityStats(
+        df._jdf, id_col, blob_col), df)
+
+
+def resize_images(df: DataFrame, id_col: str, blob_col: str,
+                  new_w: int, new_h: int) -> DataFrame:
+    """Nearest-neighbor resize of a PPM/PNG/JPEG blob column with
+    re-encode into the SOURCE container (JPEG at quality 0.95); means
+    are measured on the resized raster before re-encode. Output: id,
+    format, width, height, mean_r/g/b, out_bytes, blob."""
+    return _to_py_df(_jvm_bridge(df).resizeImages(
+        df._jdf, id_col, blob_col, int(new_w), int(new_h)), df)
+
+
+def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
+                          every_n: int = 1) -> DataFrame:
+    """Static/low-diversity video screen: distinct perceptual frame
+    appearances (aHash+dHash) over the sampled frames per video, the
+    diversity ratio, and the static verdict (every frame identical).
+    Corrupt containers drop whole."""
+    return _to_py_df(_jvm_bridge(df).videoFrameDiversity(
+        df._jdf, id_col, blob_col, int(every_n)), df)
+
+
 def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                          max_hamming: int = 3, use_dhash: bool = True,
                          max_bucket_size: int = 10000) -> DataFrame:

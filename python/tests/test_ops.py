@@ -1385,6 +1385,33 @@ def test_round14_imageio_audio():
     assert all(r["separation"] is not None for r in rows)
     print("round-14 split/separation facade OK")
 
+    # quality screens through the facade: flat PNG is low-contrast,
+    # planted-clipping WAV is clipped, static video is static
+    flatpng = bytes(jvm.graft.ops.Media.encodePng(
+        jvm.graft.ops.Media.decodePpm(
+            b"P6\n2 2\n255\n" + bytes([100] * 12))))
+    idf = spark.createDataFrame([(1, flatpng)], ["id", "blob"])
+    iq = ops.image_quality_stats(idf, "id", "blob").collect()[0]
+    assert iq["low_contrast"] and iq["gray_min"] == 300
+
+    wq = spark.createDataFrame(
+        [(7, bytes(jvm.graft.ops.Media.synthesizeWavQuality(7))),
+         (5, bytes(jvm.graft.ops.Media.synthesizeWavQuality(5)))],
+        ["id", "blob"])
+    aq = {r["id"]: r for r in
+          ops.audio_quality_stats(wq, "id", "blob").collect()}
+    assert aq[7]["clipped"] and not aq[7]["near_silent"]
+    assert aq[5]["near_silent"] and not aq[5]["clipped"]
+
+    rz = ops.resize_images(idf, "id", "blob", 4, 4).collect()[0]
+    assert rz["format"] == "png" and rz["width"] == 4
+
+    varied_v = bytes(jvm.graft.ops.Media.synthesizeGvid(9, 3, 4000))
+    vdf = spark.createDataFrame([(1, varied_v)], ["id", "blob"])
+    vd = ops.video_frame_diversity(vdf, "id", "blob").collect()[0]
+    assert not vd["static"] and vd["n_distinct"] == 3
+    print("round-14 quality screens facade OK")
+
 
 
 if __name__ == "__main__":

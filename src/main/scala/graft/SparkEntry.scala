@@ -2930,6 +2930,30 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q260_video_diversity" -> ((s, dir) => {
+      // the frozen-capture video screen: planted static videos
+      // (id % 6 == 0 repeats ONE frame) against normal multi-frame
+      // clips — distinct perceptual frame appearances per video decide
+      // the verdict; the oracle replays the planting scheme (distinct
+      // analytic frames hash distinctly — deterministic fixture)
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map { id =>
+        val n = (2 + id % 3).toInt
+        val frames =
+          if (id % 6 == 0)
+            Vector.fill(n)(graft.ops.Media.synthesizePpm(id * 31L))
+          else (0 until n)
+            .map(f => graft.ops.Media.synthesizePpm(id * 31L + f))
+        (id, graft.ops.Media.encodeGvid(4000, frames))
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.videoFrameDiversity(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("n_sampled"),
+          col("n_distinct"), round(col("diversity"), 6).as("diversity"),
+          col("static"))
+    }),
+
     "q259_audio_quality" -> ((s, dir) => {
       // the speech-corpus curation screen: clipping / silence / ZCR
       // verdicts over planted quality regimes (id%7 clips at the
@@ -6650,6 +6674,17 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q260_video_diversity" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::INT AS n
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, n::BIGINT AS n_sampled,
+        |  (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE n END)::BIGINT
+        |    AS n_distinct,
+        |  round(CASE WHEN doc_id % 6 = 0 THEN 1.0 / n ELSE 1.0 END, 6)
+        |    AS diversity,
+        |  (doc_id % 6 = 0) AS static
+        |FROM d""".stripMargin,
 
     "q259_audio_quality" ->
       """WITH d AS (SELECT doc_id, (800 + doc_id % 100)::INT AS n

@@ -2,7 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{array, bit_count, broadcast, col,
-  collect_list, count, lit, posexplode, shiftrightunsigned, size, xxhash64}
+  collect_list, count, count_distinct, lit, posexplode,
+  shiftrightunsigned, size, xxhash64}
 
 /** REAL media decode for self-contained formats that need no external
   * codec libraries: PPM (P6) raster images and WAV (RIFF PCM16) audio —
@@ -1375,6 +1376,32 @@ object Media {
       case _ => throw new IllegalArgumentException(
         "unrecognized audio container (magic bytes match no known format)")
     }
+
+  /** Static/low-diversity video screen — the frozen-capture /
+    * single-slide detector a video training pipeline runs before
+    * paying for frame extraction at scale: per video — the sampled
+    * frame count, the number of DISTINCT perceptual frame appearances
+    * (aHash+dHash pairs over the sampled frames), the diversity ratio,
+    * and the `static` verdict (every sampled frame hashes
+    * identically). Frame decode + hashing are partition-local
+    * ([[videoFrameSample]] drop-whole semantics for corrupt
+    * containers); only (video id, 16 bytes of hash) rows reach the one
+    * grouped aggregate.
+    */
+  def videoFrameDiversity(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int = 1): DataFrame = {
+    val frames = videoFrameSample(df, idCol, blobCol, everyN)
+      .select(col("id"), col("frame"))
+    imageHashes(frames, "id", "frame")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        count_distinct(col("ahash"), col("dhash")).as("n_distinct"))
+      .select(col("id"), col("n_sampled"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_sampled"))
+          .as("diversity"),
+        (col("n_distinct") === 1).as("static"))
+  }
 
   final case class AudioQualityRecord(
       id: Long, channels: Int, sample_rate: Int, n_samples: Long,

@@ -632,6 +632,26 @@ object PyBridge {
       embCol: String): DataFrame =
     graft.ops.Similarity.sourceSeparation(df, keyCol, embCol)
 
+  /** Image quality screen: luminance/contrast/entropy verdicts. */
+  def imageQualityStats(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.imageQualityStats(df, idCol, blobCol)
+
+  /** Audio quality screen: clipping/silence/ZCR verdicts. */
+  def audioQualityStats(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.audioQualityStats(df, idCol, blobCol)
+
+  /** Sniffing resize + same-container re-encode. */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+      newW: Int, newH: Int): DataFrame =
+    graft.ops.Media.resizeImages(df, idCol, blobCol, newW, newH)
+
+  /** Static/low-diversity video screen. */
+  def videoFrameDiversity(df: DataFrame, idCol: String,
+      blobCol: String, everyN: Int): DataFrame =
+    graft.ops.Media.videoFrameDiversity(df, idCol, blobCol, everyN)
+
   /** Near-duplicate image pairs by banded perceptual-hash Hamming
     * distance (exact recall for maxHamming <= 3).
     */

@@ -113,6 +113,27 @@ class AudioIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     k.getBoolean(10) shouldBe false
   }
 
+  test("videoFrameDiversity: planted static video flagged, varied " +
+    "clip scores full diversity, corrupt container drops whole") {
+    import spark.implicits._
+    val static = Media.encodeGvid(4000,
+      Vector.fill(4)(Media.synthesizePpm(7L)))
+    val varied = Media.encodeGvid(4000,
+      (0 until 4).map(f => Media.synthesizePpm(100L + f)))
+    val corrupt = Array[Byte](1, 2, 3, 4, 5)
+    val df = Seq((1L, static), (2L, varied), (3L, corrupt))
+      .toDF("id", "blob")
+    val got = Media.videoFrameDiversity(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got.keySet shouldBe Set(1L, 2L) // corrupt dropped whole
+    got(1L).getLong(1) shouldBe 4L
+    got(1L).getLong(2) shouldBe 1L
+    got(1L).getBoolean(4) shouldBe true
+    got(2L).getLong(2) shouldBe 4L
+    got(2L).getDouble(3) shouldBe 1.0
+    got(2L).getBoolean(4) shouldBe false
+  }
+
   test("audioStats decodes a MIXED wav+aiff+au column in one pass " +
     "with identical stats (lossless PCM16 across containers)") {
     import spark.implicits._
