@@ -2930,6 +2930,22 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q261_simhash_neardups" -> ((s, dir) => {
+      // the banded SimHash near-dup join END-TO-END (bucket shuffle,
+      // capped pair generation, exact Hamming verify): planted exact
+      // copies (doc_id + 100000 for doc_id < 50) MUST pair at
+      // Hamming 0; the count of recovered planted pairs is the
+      // hash-checked oracle (q127 pins fingerprint equality; this
+      // pins the JOIN finds them)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val union = docs.unionAll(
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.simHashNearDups(union, "doc_id", "text", maxHamming = 0)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .agg(count(lit(1)).as("n_recovered"))
+    }),
+
     "q260_video_diversity" -> ((s, dir) => {
       // the frozen-capture video screen: planted static videos
       // (id % 6 == 0 repeats ONE frame) against normal multi-frame
@@ -6674,6 +6690,10 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q261_simhash_neardups" ->
+      """SELECT count(*)::BIGINT AS n_recovered
+        |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q260_video_diversity" ->
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::INT AS n

@@ -789,6 +789,34 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Text near-duplicate pairs by SimHash Hamming distance — the text
+    * twin of [[Media.imageHashNearDups]], sharing its auto-banded
+    * engine ([[Media.autoBands]]: pigeonhole-exact recall at ANY
+    * `maxHamming`, oversized-bucket drop, cross-band dedup, exact
+    * bit_count verify). One 8-byte fingerprint per document crosses
+    * the band shuffle — the cheapest near-dup modality by state;
+    * [[minHashLshPairs]] remains the higher-recall shingle-level path
+    * when edit-distance-style rewrites must still pair. Returns
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    simHashNearDupsReleasable(df, idCol, textCol, maxHamming,
+      maxBucketSize)._1
+
+  /** [[simHashNearDups]] plus a release() thunk for the persisted
+    * fingerprint intermediate.
+    */
+  def simHashNearDupsReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) =
+    Media.bandedHammingPairsReleasable(
+      df.select(col(idCol).cast("long").as("id"),
+        simHash(col(textCol)).as("h")),
+      maxHamming, maxBucketSize)
+
   /** Exact n-gram Jaccard similarity between two texts (set semantics over
     * word k-shingles): |A n B| / |A u B|.
     */

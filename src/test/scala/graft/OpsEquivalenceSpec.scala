@@ -486,4 +486,36 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     df.select(graft.functions.vec_match_count(col("a"), col("b")))
       .first().getInt(0) shouldBe 2
   }
+
+  test("simHashNearDups: banded pair set equals brute force at " +
+    "radius 12; exact copies pair at Hamming 0; one-word edits on " +
+    "long docs pair within the radius") {
+    import spark.implicits._
+    def doc(id: Long, edit: Boolean): String = {
+      val words = (0 until 60).map(w => s"token${(id * 7 + w * 3) % 40}")
+      val base = words.mkString(" ")
+      if (edit) base.replace("token1 ", "edited ") else base
+    }
+    val rows = (0L until 20L).map(i => (i, doc(i, edit = false))) ++
+      Seq((100L, doc(3, edit = false))) ++ // exact copy of 3
+      Seq((101L, doc(5, edit = true))) // near copy of 5
+    val df = rows.toDF("id", "text")
+    val found = graft.ops.Dedup
+      .simHashNearDups(df, "id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // brute-force oracle over collected fingerprints
+    val sigs = df.select(col("id"),
+      graft.ops.Dedup.simHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 12
+    } yield (ia, ib) -> d).toMap
+    found shouldBe brute
+    found((3L, 100L)) shouldBe 0
+    assert(found.contains((5L, 101L)),
+      s"one-word edit not recovered: $found")
+    found((5L, 101L)) should be > 0
+  }
 }
