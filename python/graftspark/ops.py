@@ -721,6 +721,19 @@ def resize_images(df: DataFrame, id_col: str, blob_col: str,
         df._jdf, id_col, blob_col, int(new_w), int(new_h)), df)
 
 
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3,
+                      max_bucket_size: int = 10000) -> DataFrame:
+    """Text near-duplicate pairs by SimHash Hamming distance,
+    auto-banded to the radius (recall exact at ANY ``max_hamming`` by
+    pigeonhole; one 8-byte fingerprint per doc crosses the shuffle —
+    the cheapest near-dup modality; ``minhash_lsh_pairs`` is the
+    higher-recall shingle path). Output: id_a, id_b, hamming."""
+    return _to_py_df(_jvm_bridge(df).simHashNearDups(
+        df._jdf, id_col, text_col, int(max_hamming),
+        int(max_bucket_size)), df)
+
+
 def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
                           every_n: int = 1) -> DataFrame:
     """Static/low-diversity video screen: distinct perceptual frame

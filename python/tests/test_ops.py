@@ -1410,6 +1410,15 @@ def test_round14_imageio_audio():
     vdf = spark.createDataFrame([(1, varied_v)], ["id", "blob"])
     vd = ops.video_frame_diversity(vdf, "id", "blob").collect()[0]
     assert not vd["static"] and vd["n_distinct"] == 3
+    # simhash near-dup join: planted exact copy pairs at hamming 0
+    base = _docs().select("doc_id", "text").filter("doc_id < 100")
+    copies = base.filter("doc_id < 10").selectExpr(
+        "doc_id + 100000 AS doc_id", "text")
+    nd = ops.simhash_near_dups(base.unionAll(copies), "doc_id", "text",
+                               max_hamming=0)
+    planted = {(r["id_a"], r["id_b"]) for r in nd.collect()
+               if r["id_b"] == r["id_a"] + 100000}
+    assert len(planted) == 10
     print("round-14 quality screens facade OK")
 
 

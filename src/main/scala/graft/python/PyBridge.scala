@@ -652,6 +652,12 @@ object PyBridge {
       blobCol: String, everyN: Int): DataFrame =
     graft.ops.Media.videoFrameDiversity(df, idCol, blobCol, everyN)
 
+  /** Banded SimHash near-dup pair join (auto-banded to the radius). */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame =
+    graft.ops.Dedup.simHashNearDups(df, idCol, textCol, maxHamming,
+      maxBucketSize)
+
   /** Near-duplicate image pairs by banded perceptual-hash Hamming
     * distance (exact recall for maxHamming <= 3).
     */
