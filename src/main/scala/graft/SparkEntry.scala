@@ -2930,6 +2930,29 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q262_lenient_decode" -> ((s, dir) => {
+      // crawl-ingest decode policy: planted corrupt blobs (id % 9 == 0
+      // gets truncated-PNG garbage) cost their ROW, never the job —
+      // survivors decode exactly as in q252, and the oracle replays
+      // both the drop set and the survivors' analytic means
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map { id =>
+        val blob =
+          if (id % 9 == 0)
+            graft.ops.Media.synthesizePng(id).take(12) // truncated PNG
+          else if (id % 2 == 0) graft.ops.Media.synthesizePpm(id)
+          else graft.ops.Media.synthesizePng(id)
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.decodeImagesLenient(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     "q261_simhash_neardups" -> ((s, dir) => {
       // the banded SimHash near-dup join END-TO-END (bucket shuffle,
       // capped pair generation, exact Hamming verify): planted exact
@@ -6690,6 +6713,18 @@ object SparkEntry {
         |  any_value(n) AS n_frames, any_value(n) * 125 AS duration_us,
         |  round(sqrt(avg(smp * smp)), 6) AS rms
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "q262_lenient_decode" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100 AND doc_id % 9 <> 0),
+        |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d),
+        |xy AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px)
+        |SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+        |  round(avg((doc_id + 7 * x + 13 * y) % 256), 6) AS mean_r,
+        |  round(avg((doc_id * 3 + 5 * x + 11 * y) % 256), 6) AS mean_g,
+        |  round(avg((doc_id * 7 + 3 * x + 17 * y) % 256), 6) AS mean_b
+        |FROM xy GROUP BY doc_id""".stripMargin,
 
     "q261_simhash_neardups" ->
       """SELECT count(*)::BIGINT AS n_recovered

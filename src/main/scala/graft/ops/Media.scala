@@ -1377,6 +1377,59 @@ object Media {
         "unrecognized audio container (magic bytes match no known format)")
     }
 
+  /** [[decodeImages]] with DROP semantics for undecodable blobs — the
+    * 100 TB ingest form ([[videoFrameSample]]'s policy): one corrupt
+    * image in a billion-row crawl must cost its row, never the job.
+    * The strict [[decodeImages]] remains the right call for curated
+    * inputs where a bad blob means a pipeline bug upstream. Returns
+    * the decoded rows plus nothing for corrupt inputs; count the
+    * difference against the input when the drop rate itself is the
+    * signal.
+    */
+  def decodeImagesLenient(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          val img = decodeImage(blob)
+          val (r, g, b) = meanRgb(img)
+          Some(PpmRecord(id, img.width, img.height, img.channels,
+            r, g, b))
+        } catch {
+          // require() failures and ImageIO reader errors on truncated
+          // containers (IIOException extends IOException) both mean
+          // "this blob, not this job"
+          case _: IllegalArgumentException | _: java.io.IOException =>
+            None
+        }
+      })
+      .toDF()
+  }
+
+  /** [[imageHashes]] with DROP semantics for undecodable blobs (the
+    * crawl-ingest twin — see [[decodeImagesLenient]]).
+    */
+  def imageHashesLenient(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          val img = decodeImage(blob)
+          Some(ImageHashRecord(id, aHash64(img), dHash64(img)))
+        } catch {
+          case _: IllegalArgumentException | _: java.io.IOException =>
+            None
+        }
+      })
+      .toDF()
+  }
+
   /** Static/low-diversity video screen — the frozen-capture /
     * single-slide detector a video training pipeline runs before
     * paying for frame extraction at scale: per video — the sampled

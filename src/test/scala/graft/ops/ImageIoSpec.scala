@@ -233,6 +233,27 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     t.getBoolean(10) shouldBe false
   }
 
+  test("lenient decode: corrupt blobs cost their ROW, never the job " +
+    "(truncated PNG, unknown magic, truncated PPM all drop); the " +
+    "strict path still fails fast") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Media.synthesizePng(1)),
+      (2L, Media.synthesizePng(2).take(12)), // truncated PNG
+      (3L, Array[Byte](9, 9, 9, 9)), // unknown magic
+      (4L, Media.synthesizePpm(4).take(6)), // truncated PPM
+      (5L, Media.synthesizePpm(5)))
+      .toDF("id", "blob")
+    val ok = Media.decodeImagesLenient(df, "id", "blob")
+      .collect().map(_.getLong(0)).toSet
+    ok shouldBe Set(1L, 5L)
+    Media.imageHashesLenient(df, "id", "blob")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 5L)
+    // strict semantics unchanged: curated inputs fail fast
+    an[Exception] should be thrownBy
+      Media.decodeImages(df, "id", "blob").collect()
+  }
+
   test("resizeImages: re-encodes in the source container; resized " +
     "PNG blob round-trips pixel-exact to resizeNearest's raster") {
     import spark.implicits._
