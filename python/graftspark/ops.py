@@ -721,6 +721,23 @@ def resize_images(df: DataFrame, id_col: str, blob_col: str,
         df._jdf, id_col, blob_col, int(new_w), int(new_h)), df)
 
 
+def decode_images_lenient(df: DataFrame, id_col: str,
+                          blob_col: str) -> DataFrame:
+    """``decode_images`` with crawl-ingest DROP semantics: undecodable
+    blobs (truncated containers, unknown magic) cost their row, never
+    the job. Use the strict form for curated inputs."""
+    return _to_py_df(_jvm_bridge(df).decodeImagesLenient(
+        df._jdf, id_col, blob_col), df)
+
+
+def image_hashes_lenient(df: DataFrame, id_col: str,
+                         blob_col: str) -> DataFrame:
+    """``image_hashes`` with crawl-ingest DROP semantics for corrupt
+    blobs (see ``decode_images_lenient``)."""
+    return _to_py_df(_jvm_bridge(df).imageHashesLenient(
+        df._jdf, id_col, blob_col), df)
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3,
                       max_bucket_size: int = 10000) -> DataFrame:

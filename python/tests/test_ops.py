@@ -1419,6 +1419,13 @@ def test_round14_imageio_audio():
     planted = {(r["id_a"], r["id_b"]) for r in nd.collect()
                if r["id_b"] == r["id_a"] + 100000}
     assert len(planted) == 10
+    # lenient decode: the corrupt blob drops, the good one survives
+    mix = spark.createDataFrame(
+        [(1, bytes(jvm.graft.ops.Media.synthesizePng(1))),
+         (2, b"\x89PNGgarbage")], ["id", "blob"])
+    ok = ops.decode_images_lenient(mix, "id", "blob").collect()
+    assert [r["id"] for r in ok] == [1]
+    assert len(ops.image_hashes_lenient(mix, "id", "blob").collect()) == 1
     print("round-14 quality screens facade OK")
 
 

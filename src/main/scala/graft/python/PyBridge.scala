@@ -652,6 +652,16 @@ object PyBridge {
       blobCol: String, everyN: Int): DataFrame =
     graft.ops.Media.videoFrameDiversity(df, idCol, blobCol, everyN)
 
+  /** Crawl-ingest decode: corrupt blobs drop row-wise. */
+  def decodeImagesLenient(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.decodeImagesLenient(df, idCol, blobCol)
+
+  /** Crawl-ingest hashing: corrupt blobs drop row-wise. */
+  def imageHashesLenient(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.imageHashesLenient(df, idCol, blobCol)
+
   /** Banded SimHash near-dup pair join (auto-banded to the radius). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucketSize: Int): DataFrame =
