@@ -741,11 +741,11 @@ def image_hashes_lenient(df: DataFrame, id_col: str,
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3,
                       max_bucket_size: int = 10000) -> DataFrame:
-    """Text near-duplicate pairs by SimHash Hamming distance,
-    auto-banded to the radius (recall exact at ANY ``max_hamming`` by
-    pigeonhole; one 8-byte fingerprint per doc crosses the shuffle —
-    the cheapest near-dup modality; ``minhash_lsh_pairs`` is the
-    higher-recall shingle path). Output: id_a, id_b, hamming."""
+    """Text near-duplicate pairs by SimHash Hamming distance (exact
+    4 x 16-bit banding at ``max_hamming`` <= 3, a bounded exact scan
+    at wider radii; one 8-byte fingerprint per doc crosses the
+    shuffle — the cheapest near-dup modality; ``minhash_lsh_pairs`` is
+    the higher-recall shingle path). Output: id_a, id_b, hamming."""
     return _to_py_df(_jvm_bridge(df).simHashNearDups(
         df._jdf, id_col, text_col, int(max_hamming),
         int(max_bucket_size)), df)
@@ -764,10 +764,11 @@ def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
 def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                          max_hamming: int = 3, use_dhash: bool = True,
                          max_bucket_size: int = 10000) -> DataFrame:
-    """Near-duplicate image pairs by perceptual-hash Hamming distance,
-    auto-banded to the requested radius (smallest power-of-two band
-    count > ``max_hamming`` — recall exact at ANY radius by pigeonhole;
-    blobs never shuffle, only hash rows do).
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+    Recall is exact at any radius via two routed regimes: 4 x 16-bit
+    banding at ``max_hamming`` <= 3 (blobs never shuffle, only hash
+    rows do); a measured-count bounded broadcast scan at wider radii
+    that refuses past its budget.
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).imageHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming), bool(use_dhash),
@@ -787,9 +788,10 @@ def phash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                     max_bucket_size: int = 10000) -> DataFrame:
     """Near-duplicate image pairs by DCT perceptual-hash (pHash)
     Hamming distance — the recompression-robust twin of
-    ``image_hash_near_dups`` with the same auto-banded scale shape
-    (JPEG recompression drifts pHash by ~8-10 of 64 bits at quality
-    0.95, so use ``max_hamming`` ~ 12 for recompressed corpora).
+    ``image_hash_near_dups`` with the same routed engine (JPEG
+    recompression drifts pHash by ~8-10 of 64 bits at quality 0.95,
+    so use ``max_hamming`` ~ 12, which routes to the exact bounded
+    scan — <= 100k hashes per call; shard beyond that).
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).pHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming),

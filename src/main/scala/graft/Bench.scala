@@ -1057,8 +1057,17 @@ object Bench {
       RowResult(name, sec, okTimes.size, spread, rowLoad, contended, failures)
     }
     val loadAfter = loadavg1m()
+    // sustained EXTERNAL load that starts after loadBefore was read
+    // slows every pass uniformly (spread ~1.0, per-row flag blind) —
+    // but it also keeps the 1-minute loadavg high at the run's
+    // CALMEST moment, which the bench's own bursts do not (they decay
+    // between heavy rows: observed floor 1.5-2.6 vs peaks 11-12). The
+    // minimum per-row loadavg is therefore the machine's floor and a
+    // clean whole-run contention gate.
+    val loadFloor =
+      if (results.isEmpty) 0.0 else results.map(_.load).min
     val anyContended = results.exists(_.contended) ||
-      loadBefore > loadMax
+      loadBefore > loadMax || loadFloor > loadMax
     val anyFailed = results.exists(_.failures > 0)
     // state-size invariant (the reference's headline: ~KB of profile per
     // column regardless of row count): serialized wire bytes per

@@ -790,11 +790,11 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Text near-duplicate pairs by SimHash Hamming distance — the text
-    * twin of [[Media.imageHashNearDups]], sharing its auto-banded
-    * engine ([[Media.autoBands]]: pigeonhole-exact recall at ANY
-    * `maxHamming`, oversized-bucket drop, cross-band dedup, exact
-    * bit_count verify). One 8-byte fingerprint per document crosses
-    * the band shuffle — the cheapest near-dup modality by state;
+    * twin of [[Media.imageHashNearDups]], sharing its routed engine
+    * (exact 4 x 16-bit banding at `maxHamming <= 3`; a measured-count
+    * bounded broadcast scan at wider radii, refusing past the
+    * budget). One 8-byte fingerprint per document crosses the
+    * shuffle — the cheapest near-dup modality by state;
     * [[minHashLshPairs]] remains the higher-recall shingle-level path
     * when edit-distance-style rewrites must still pair. Returns
     * (id_a, id_b, hamming) with id_a < id_b.

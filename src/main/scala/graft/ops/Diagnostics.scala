@@ -60,11 +60,15 @@ object Diagnostics {
         cols.map(c => sum(digest(canon(c))).as(s"__ck_$c")))
     val partials = df.groupBy(spark_partition_id().as("__pid"))
       .agg(partialAggs.head, partialAggs.tail: _*)
+    // an EMPTY table has zero per-partition partials, so the outer
+    // sums are NULL — coalesce to the old df.agg(count) semantics
+    // (n = 0, checksum 0): an empty-to-empty copy must MATCH, not
+    // report NULL != 0 against the oracle's count(*)
     val finalAggs =
-      (sum(col("n")).as("n") +:
+      (coalesce(sum(col("n")), lit(0L)).as("n") +:
         ("__rows" +: cols).map(name =>
-          pmod(sum(pmod(col(s"__ck_$name"), lit(P))), lit(P))
-            .as(s"__ck_$name")))
+          coalesce(pmod(sum(pmod(col(s"__ck_$name"), lit(P))), lit(P)),
+            lit(0L)).as(s"__ck_$name")))
     val one = partials.agg(finalAggs.head, finalAggs.tail: _*)
     val components = ("__rows" +: cols).map { name =>
       struct(lit(name).as("component"),

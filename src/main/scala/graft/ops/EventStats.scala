@@ -392,7 +392,25 @@ object EventStats {
       indexCol: String,
       valueCol: String,
       maxExactPoints: Long = 20000L,
-      pairBucketSize: Int = 64): DataFrame = {
+      pairBucketSize: Int = 64): DataFrame =
+    // the persisted series layout lives until the session drops it;
+    // long-lived sessions should use [[trendSlopeReleasable]]
+    trendSlopeReleasable(series, indexCol, valueCol, maxExactPoints,
+      pairBucketSize)._1
+
+  /** [[trendSlope]] plus a release() thunk for the persisted series
+    * projection. The series feeds FOUR consumers (the route probe,
+    * the tmin centering aggregate, and both sides of the pair join) —
+    * without the persist each recomputes the series lineage, which
+    * for an [[eventSeries]] input means re-aggregating the raw event
+    * corpus four times.
+    */
+  def trendSlopeReleasable(
+      series: DataFrame,
+      indexCol: String,
+      valueCol: String,
+      maxExactPoints: Long = 20000L,
+      pairBucketSize: Int = 64): (DataFrame, () => Unit) = {
     require(maxExactPoints >= 2,
       s"maxExactPoints must be >= 2, got $maxExactPoints")
     require(pairBucketSize >= 2,
@@ -401,9 +419,11 @@ object EventStats {
       .filter(col(indexCol).isNotNull && col(valueCol).isNotNull)
       .select(col(indexCol).cast("double").as("__t0"),
         col(valueCol).cast("double").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the route probe: one count over two columns — the only way to
     // BOUND the pair blowup is to measure it (docs don't stop a
-    // caller; a require/route does)
+    // caller; a require/route does) — and it doubles as the persist
+    // materialization, so every later consumer reads the cache
     val nPoints = raw.count()
     // center the index: the slope is shift-invariant, and sums of
     // t^2 at epoch magnitudes leave double precision (n * st2 for a
@@ -443,8 +463,9 @@ object EventStats {
           (col("n") * col("__stv") - col("__st") * col("__sv")) /
             (col("n") * col("__st2") - col("__st") * col("__st")))
           .as("ols"))
-    ols.crossJoin(broadcast(med))
+    val out = ols.crossJoin(broadcast(med))
       .select(col("n"), col("n_pairs"), col("theil_sen"), col("ols"))
+    (out, () => { raw.unpersist(); () })
   }
 
   /** EXACT single change-point detection: the split of an indexed

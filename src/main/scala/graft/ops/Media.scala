@@ -212,6 +212,19 @@ object Media {
 
   final case class PHashRecord(id: Long, phash: Long)
 
+  /** The shared (id, blob) scaffold of every per-row media op: cast
+    * the id long, keep the raw bytes. Centralized so the schema and
+    * cast live in ONE place for the strict and lenient twins alike.
+    */
+  private def blobPairs(
+      df: DataFrame, idCol: String, blobCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+  }
+
   /** DCT perceptual hashes of a binary image column (PPM/PNG/JPEG,
     * sniffed per row via [[decodeImage]]) — same codec-boundary shape
     * as [[imageHashes]]: partition-local decode, zero shuffle, 8 bytes
@@ -221,8 +234,7 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
+    blobPairs(df, idCol, blobCol)
       .mapPartitions(_.map { case (id, blob) =>
         PHashRecord(id, pHash64(decodeImage(blob)))
       })
@@ -238,8 +250,7 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
+    blobPairs(df, idCol, blobCol)
       .mapPartitions(_.map { case (id, blob) =>
         val img = decodeImage(blob)
         ImageHashRecord(id, aHash64(img), dHash64(img))
@@ -247,15 +258,17 @@ object Media {
       .toDF()
   }
 
-  /** Image near-duplicate pairs by perceptual-hash Hamming distance,
-    * banded like SimHash: the 64-bit hash splits into [[autoBands]]
-    * equal bands (more bands for a wider radius), so any pair within
-    * `maxHamming` collides in >=1 band (pigeonhole) — recall is EXACT
-    * at every radius, no all-pairs scan. Scale shape is
-    * [[Dedup.minHashLshPairs]]: the band self-join carries (id, hash)
-    * only, oversized buckets are dropped (`maxBucketSize`), pairs
-    * dedupe across bands before the exact Hamming verify. Returns
-    * (id_a, id_b, hamming) with id_a < id_b.
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance.
+    * Recall is EXACT at every radius, via two routed regimes
+    * ([[bandedHammingPairsReleasable]]): `maxHamming <= 3` uses the
+    * classic 4 x 16-bit banding (pigeonhole; scale shape is
+    * [[Dedup.minHashLshPairs]] — the band self-join carries (id,
+    * hash) only, oversized buckets drop at `maxBucketSize`, pairs
+    * dedupe across bands before the exact Hamming verify); a wider
+    * radius routes to a measured-count bounded broadcast scan and
+    * REFUSES past the budget (banding cannot serve wide radii
+    * honestly — see the engine's scaladoc). Returns (id_a, id_b,
+    * hamming) with id_a < id_b.
     */
   def imageHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
@@ -279,69 +292,112 @@ object Media {
       maxHamming, maxBucketSize)
   }
 
-  /** Smallest power-of-two band count that makes banded recall EXACT
-    * at `maxHamming` (pigeonhole: a pair within Hamming h differs in
-    * at most h bands, so with bands > h at least one band collides):
-    * maxHamming <= 3 keeps the classic 4 x 16-bit split; the JPEG
-    * recompression regime (measured drift 8-10 of 64 at quality 0.95)
-    * needs 16 x 4-bit bands. More bands = more candidate pairs per
-    * true pair — the exact Hamming verify after the bucket join keeps
-    * precision; the cap keeps flat-content buckets bounded.
-    */
-  private[ops] def autoBands(maxHamming: Int): Int = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64), got $maxHamming")
-    Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
-  }
-
-  /** Banded Hamming-distance pair join over an (id, 64-bit hash)
-    * frame — the shared engine behind [[imageHashNearDupsReleasable]]
-    * and [[pHashNearDupsReleasable]]: [[autoBands]] equal bands
-    * (pigeonhole-exact recall at any maxHamming), oversized-bucket
-    * drop, cross-band pair dedup, exact bit_count verify. The input
-    * is persisted here (it is referenced by the banding and both
-    * sides of the pair join — for decoded-image hashes that
-    * materializes the expensive stage once).
+  /** Hamming-distance pair join over an (id, 64-bit hash) frame — the
+    * shared engine behind [[imageHashNearDupsReleasable]],
+    * [[pHashNearDupsReleasable]] and
+    * [[Dedup.simHashNearDupsReleasable]]. Two regimes, routed on the
+    * radius and a MEASURED count:
+    *
+    *  - `maxHamming <= 3`: the classic 4 x 16-bit banding — any pair
+    *    within Hamming 3 collides in >= 1 band (pigeonhole), and the
+    *    16-bit bucket domain (65k values) keeps buckets sparse at
+    *    corpus scale. Oversized (flat-content) buckets drop at the
+    *    documented cap; pairs dedupe across bands before the exact
+    *    bit_count verify.
+    *  - `maxHamming > 3`: banding CANNOT serve this radius honestly —
+    *    pigeonhole needs > maxHamming disjoint bands, which at 64
+    *    bits forces sub-16-bit bucket domains (16 values per band at
+    *    radius 12) where every bucket is corpus-sized: past
+    *    ~domain x cap rows the cap silently drops everything (zero
+    *    recall), below it the candidate set is ~n^2/domain (worse
+    *    than a flat scan). So the wide radius routes to an EXACT
+    *    bounded broadcast scan instead: the (id, hash) pairs (16
+    *    bytes/row) collect and broadcast, and every partition streams
+    *    its rows against the array — exact recall by construction,
+    *    O(n^2) compare ops of two instructions each, guarded by a
+    *    measured count `require` at `bruteThreshold` (default 100k
+    *    rows = 1.6 MB broadcast, ~1e10 xor+popcount — seconds on a
+    *    32-core stage). Past the threshold the op REFUSES with the
+    *    honest alternatives rather than silently degrading.
+    *
+    * The input is persisted here (probe + both regimes re-read it;
+    * for decoded-image hashes that materializes the expensive decode
+    * stage once).
     */
   private[ops] def bandedHammingPairsReleasable(
-      hashes0: DataFrame, maxHamming: Int,
-      maxBucketSize: Int): (DataFrame, () => Unit) = {
-    val nBands = autoBands(maxHamming)
-    val bits = 64 / nBands
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
+      hashes0: DataFrame, maxHamming: Int, maxBucketSize: Int,
+      bruteThreshold: Long = 100000L): (DataFrame, () => Unit) = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val hashes = hashes0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = hashes.select(col("id"),
-      posexplode(array((0 until nBands).map(b =>
-        shiftrightunsigned(col("h"), bits * b)
-          .bitwiseAND(lit(mask))): _*)).as(Seq("band", "bucket")))
-    val pairs = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids"))
-        .as(Seq("id_a", "id_b")))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nb"))
-      .drop("__nb")
-    val result = pairs
-      .join(hashes.select(col("id").as("id_a"), col("h").as("h_a")),
-        Seq("id_a"))
-      .join(hashes.select(col("id").as("id_b"), col("h").as("h_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    (result, () => { hashes.unpersist(blocking = false); () })
+    val release = () => { hashes.unpersist(blocking = false); () }
+    if (maxHamming <= 3) {
+      val banded = hashes.select(col("id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("h"), 16 * b)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
+      val pairs = banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucketSize))
+        .select(graft.functions.pair_generator(col("ids"))
+          .as(Seq("id_a", "id_b")))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nb"))
+        .drop("__nb")
+      val result = pairs
+        .join(hashes.select(col("id").as("id_a"), col("h").as("h_a")),
+          Seq("id_a"))
+        .join(hashes.select(col("id").as("id_b"), col("h").as("h_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      (result, release)
+    } else {
+      val n = hashes.count()
+      require(n <= bruteThreshold,
+        s"wide-radius Hamming join (maxHamming=$maxHamming > 3) needs " +
+          s"the exact bounded scan, but the input has $n rows > " +
+          s"bruteThreshold=$bruteThreshold. Band at maxHamming <= 3 " +
+          "(exact 4x16 recall), pre-normalize so duplicates land " +
+          "closer, shard the corpus, or raise bruteThreshold " +
+          "knowingly (cost grows with n^2).")
+      val spark = hashes.sparkSession
+      import spark.implicits._
+      val all = hashes.select(col("id").cast("long"), col("h"))
+        .as[(Long, Long)].collect()
+      val bc = spark.sparkContext.broadcast(all)
+      val result = hashes.select(col("id").cast("long"), col("h"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val arr = bc.value
+          it.flatMap { case (id, h) =>
+            arr.iterator.collect {
+              case (idB, hB)
+                  if idB > id &&
+                    java.lang.Long.bitCount(h ^ hB) <= maxHamming =>
+                (id, idB, java.lang.Long.bitCount(h ^ hB))
+            }
+          }
+        }
+        .toDF("id_a", "id_b", "hamming")
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+      (result, release)
+    }
   }
 
   /** Near-duplicate image pairs by DCT perceptual-hash (pHash) Hamming
     * distance — the recompression-robust twin of [[imageHashNearDups]]
-    * with the identical banded scale shape. The JPEG-recompression
-    * regime (measured pHash drift 8-10 of 64 at quality 0.95) needs
-    * `maxHamming` ~ 10-12, which the auto-banding serves with exact
-    * recall (16 x 4-bit bands). Output: (id_a, id_b, hamming),
-    * id_a < id_b.
+    * with the identical routed engine. The JPEG-recompression regime
+    * (measured pHash drift 8-10 of 64 at quality 0.95) needs
+    * `maxHamming` ~ 10-12, which routes to the exact bounded
+    * broadcast scan (<= 100k hashes per call by default — shard or
+    * pre-normalize beyond that; sub-16-bit banding at that radius
+    * would silently lose recall at scale). Output: (id_a, id_b,
+    * hamming), id_a < id_b.
     */
   def pHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
@@ -1390,20 +1446,20 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
+    blobPairs(df, idCol, blobCol)
       .mapPartitions(_.flatMap { case (id, blob) =>
+        // NonFatal, not a curated exception list: real crawl data
+        // makes the JDK readers throw unchecked surprises well beyond
+        // IIOException (CMMException on corrupt ICC profiles,
+        // NegativeArraySizeException on lying headers) — any of them
+        // means "this blob, not this job"; VM errors still propagate
         try {
           val img = decodeImage(blob)
           val (r, g, b) = meanRgb(img)
           Some(PpmRecord(id, img.width, img.height, img.channels,
             r, g, b))
         } catch {
-          // require() failures and ImageIO reader errors on truncated
-          // containers (IIOException extends IOException) both mean
-          // "this blob, not this job"
-          case _: IllegalArgumentException | _: java.io.IOException =>
-            None
+          case scala.util.control.NonFatal(_) => None
         }
       })
       .toDF()
@@ -1416,15 +1472,13 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
+    blobPairs(df, idCol, blobCol)
       .mapPartitions(_.flatMap { case (id, blob) =>
         try {
           val img = decodeImage(blob)
           Some(ImageHashRecord(id, aHash64(img), dHash64(img)))
         } catch {
-          case _: IllegalArgumentException | _: java.io.IOException =>
-            None
+          case scala.util.control.NonFatal(_) => None
         }
       })
       .toDF()
@@ -1453,7 +1507,10 @@ object Media {
       .select(col("id"), col("n_sampled"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_sampled"))
           .as("diversity"),
-        (col("n_distinct") === 1).as("static"))
+        // one sampled frame is EVIDENCE OF NOTHING — an everyN that
+        // undersamples a short clip to a single frame must not
+        // condemn it as frozen
+        (col("n_sampled") > 1 && col("n_distinct") === 1).as("static"))
   }
 
   final case class AudioQualityRecord(
@@ -1633,6 +1690,11 @@ object Media {
   private def fromBufferedImage(
       bi: java.awt.image.BufferedImage): PpmImage = {
     val w = bi.getWidth; val h = bi.getHeight
+    // a lying header can declare dimensions whose pixel buffer
+    // overflows Int (w*h*3 wraps negative) — fail cleanly, and in the
+    // lenient path that failure costs the row
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"image dimensions out of range: ${w}x$h")
     val px = new Array[Byte](w * h * 3)
     val row = new Array[Int](w)
     var y = 0
@@ -1734,8 +1796,7 @@ object Media {
       df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
+    blobPairs(df, idCol, blobCol)
       .mapPartitions(_.map { case (id, blob) =>
         val img = decodeImage(blob)
         val (r, g, b) = meanRgb(img)

@@ -66,6 +66,15 @@ object StreamingNovelty {
         "(fixed footprint, FP-rate undercount) or " +
         "TextOps.ngramNoveltyStored (nothing resident), or raise the " +
         "budget explicitly")
+    buildExact(grams, reference)
+  }
+
+  /** The exact-array materialization (distinct -> collect -> sort ->
+    * broadcast), shared by [[referenceGrams]] and [[referenceAuto]] so
+    * the two routes cannot drift.
+    */
+  private def buildExact(
+      grams: DataFrame, reference: DataFrame): Broadcast[Array[Long]] = {
     val hashes = grams.distinct().collect().map(_.getLong(0))
     java.util.Arrays.sort(hashes)
     reference.sparkSession.sparkContext.broadcast(hashes)
@@ -120,10 +129,7 @@ object StreamingNovelty {
       .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
     if (probeDistinctGrams(grams) <= maxExactGrams) {
-      val hashes = grams.distinct().collect().map(_.getLong(0))
-      java.util.Arrays.sort(hashes)
-      ExactNoveltyReference(
-        reference.sparkSession.sparkContext.broadcast(hashes), n)
+      ExactNoveltyReference(buildExact(grams, reference), n)
     } else {
       BloomNoveltyReference(
         referenceGramsBloom(reference, textCol, n, numBits, numHashFns), n)

@@ -487,7 +487,7 @@ class OpsEquivalenceSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       .first().getInt(0) shouldBe 2
   }
 
-  test("simHashNearDups: banded pair set equals brute force at " +
+  test("simHashNearDups: routed pair set equals brute force at " +
     "radius 12; exact copies pair at Hamming 0; one-word edits on " +
     "long docs pair within the radius") {
     import spark.implicits._

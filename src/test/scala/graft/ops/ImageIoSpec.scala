@@ -159,21 +159,27 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     ph.length shouldBe 12
   }
 
-  test("auto-banding: smallest power-of-two band count exceeding " +
-    "maxHamming (pigeonhole recall guarantee at any radius)") {
-    Media.autoBands(0) shouldBe 1
-    Media.autoBands(3) shouldBe 4
-    Media.autoBands(4) shouldBe 8
-    Media.autoBands(7) shouldBe 8
-    Media.autoBands(10) shouldBe 16
-    Media.autoBands(31) shouldBe 32
-    Media.autoBands(63) shouldBe 64
-    an[IllegalArgumentException] should be thrownBy Media.autoBands(64)
+  test("wide-radius Hamming join routes on a measured count and " +
+    "REFUSES past the budget (sub-16-bit banding would silently " +
+    "lose recall at scale); radius <= 3 stays banded at any size") {
+    import spark.implicits._
+    val hashes = (0L until 50L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("id", "h")
+    // over budget at wide radius: refuse with the honest message
+    val e = intercept[IllegalArgumentException] {
+      Media.bandedHammingPairsReleasable(hashes, maxHamming = 12,
+        maxBucketSize = 10000, bruteThreshold = 10L)._1.collect()
+    }
+    e.getMessage should include("bruteThreshold")
+    // radius <= 3 never probes or refuses — banding is exact there
+    val (banded, rel) = Media.bandedHammingPairsReleasable(hashes,
+      maxHamming = 3, maxBucketSize = 10000, bruteThreshold = 10L)
+    try banded.collect() finally rel()
   }
 
   test("pHashNearDups at JPEG-recompression radius (maxHamming=12): " +
-    "banded recall equals the brute-force pair set, planted " +
-    "recompressed copies recovered") {
+    "routed exact-scan recall equals the brute-force pair set, " +
+    "planted recompressed copies recovered") {
     import spark.implicits._
     val originals = (0L to 19L).map(id => (id, Media.encodePpm(textured(id))))
     // ids 100.. are quality-0.95 JPEG recompressions of ids 0..4
