@@ -740,15 +740,19 @@ def image_hashes_lenient(df: DataFrame, id_col: str,
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       max_hamming: int = 3,
-                      max_bucket_size: int = 10000) -> DataFrame:
-    """Text near-duplicate pairs by SimHash Hamming distance (exact
-    4 x 16-bit banding at ``max_hamming`` <= 3, a bounded exact scan
-    at wider radii; one 8-byte fingerprint per doc crosses the
+                      max_bucket_size: int = 10000,
+                      brute_threshold: int = 100000) -> DataFrame:
+    """Text near-duplicate pairs by SimHash Hamming distance, exact at
+    every radius: ``max_hamming`` <= 15 is served lazily at any corpus
+    size by multi-index hashing (pigeonhole probe expansion over
+    4 x 16-bit substrings); >= 16 routes to a bounded broadcast scan
+    that counts the corpus EAGERLY at call time and refuses past
+    ``brute_threshold``. One 8-byte fingerprint per doc crosses the
     shuffle — the cheapest near-dup modality; ``minhash_lsh_pairs`` is
-    the higher-recall shingle path). Output: id_a, id_b, hamming."""
+    the higher-recall shingle path. Output: id_a, id_b, hamming."""
     return _to_py_df(_jvm_bridge(df).simHashNearDups(
         df._jdf, id_col, text_col, int(max_hamming),
-        int(max_bucket_size)), df)
+        int(max_bucket_size), int(brute_threshold)), df)
 
 
 def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
@@ -763,16 +767,19 @@ def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
 
 def image_hash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                          max_hamming: int = 3, use_dhash: bool = True,
-                         max_bucket_size: int = 10000) -> DataFrame:
+                         max_bucket_size: int = 10000,
+                         brute_threshold: int = 100000) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance.
-    Recall is exact at any radius via two routed regimes: 4 x 16-bit
-    banding at ``max_hamming`` <= 3 (blobs never shuffle, only hash
-    rows do); a measured-count bounded broadcast scan at wider radii
-    that refuses past its budget.
+    Recall is exact at any radius: ``max_hamming`` <= 15 is served
+    lazily at any corpus size by multi-index hashing over 4 x 16-bit
+    substrings (blobs never shuffle, only hash/bucket rows do);
+    ``max_hamming`` >= 16 routes to a measured-count bounded broadcast
+    scan that materializes the decode EAGERLY at call time and refuses
+    past ``brute_threshold``.
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).imageHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming), bool(use_dhash),
-        int(max_bucket_size)), df)
+        int(max_bucket_size), int(brute_threshold)), df)
 
 
 def image_phashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
@@ -785,17 +792,19 @@ def image_phashes(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 
 def phash_near_dups(df: DataFrame, id_col: str, blob_col: str,
                     max_hamming: int = 3,
-                    max_bucket_size: int = 10000) -> DataFrame:
+                    max_bucket_size: int = 10000,
+                    brute_threshold: int = 100000) -> DataFrame:
     """Near-duplicate image pairs by DCT perceptual-hash (pHash)
     Hamming distance — the recompression-robust twin of
-    ``image_hash_near_dups`` with the same routed engine (JPEG
+    ``image_hash_near_dups`` with the same routed engine. JPEG
     recompression drifts pHash by ~8-10 of 64 bits at quality 0.95,
-    so use ``max_hamming`` ~ 12, which routes to the exact bounded
-    scan — <= 100k hashes per call; shard beyond that).
+    so use ``max_hamming`` ~ 12 — served at any corpus size by the
+    exact multi-index-hashing equi-join; only >= 16 falls back to the
+    eager bounded scan with its ``brute_threshold`` refusal.
     Output: id_a, id_b, hamming with id_a < id_b."""
     return _to_py_df(_jvm_bridge(df).pHashNearDups(
         df._jdf, id_col, blob_col, int(max_hamming),
-        int(max_bucket_size)), df)
+        int(max_bucket_size), int(brute_threshold)), df)
 
 
 def video_near_dups(df: DataFrame, id_col: str, blob_col: str,
@@ -1927,8 +1936,9 @@ def image_hash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
                                 use_dhash: bool = True) -> DataFrame:
     """Near-duplicate (new image, stored image) pairs by banded Hamming
     distance against a ``write_image_hash_reference`` store (recall
-    exact for max_hamming <= 3; the stored side never re-decodes or
-    re-exchanges). Output: new_id, ref_id, hamming."""
+    exact for max_hamming <= 15 via multi-index-hashing probe
+    expansion — the store itself never rewrites; the stored side never
+    re-decodes or re-exchanges). Output: new_id, ref_id, hamming."""
     return _to_py_df(_jvm_bridge(docs).imageHashNearDupsStored(
         docs._jdf, table, id_col, blob_col, int(max_hamming),
         bool(use_dhash)), docs)
@@ -2173,7 +2183,9 @@ def phash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
                            blob_col: str,
                            max_hamming: int = 3) -> DataFrame:
     """Near-duplicate (new image, stored image) pairs by banded pHash
-    Hamming distance against a ``write_phash_reference`` store.
+    Hamming distance against a ``write_phash_reference`` store —
+    radii 4..15 (the JPEG-recompression regime) probe with
+    multi-index-hashing expansion against the UNCHANGED store.
     Output: new_id, ref_id, hamming."""
     return _to_py_df(_jvm_bridge(docs).pHashNearDupsStored(
         docs._jdf, table, id_col, blob_col, int(max_hamming)), docs)

@@ -965,7 +965,21 @@ object Bench {
     val maxIters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "10").toInt
         .max(baseIters)
-    val fastRowSec = 0.5
+    // Sub-`fastRowSec` rows sample to a FIXED floor of attempts
+    // (fastRowFloor), not open-endedly to maxIters: the r14 postmortem
+    // found the old rule (<0.5 s -> re-run to 10, >=0.5 s -> stop at 3)
+    // made min-of-N depth depend on measured speed, so a row drifting
+    // across the threshold lost 7 sampling passes exactly when its
+    // delta needed them most — cross-round deltas on short rows were
+    // not apples-to-apples. The threshold sits at 1.0 s, away from the
+    // 0.3-0.7 s row cluster, and the floor is a fixed count either
+    // side of it; only the spread re-sampler may push past the floor
+    // (to maxIters).
+    val fastRowSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ROW_SEC", "1.0").toDouble
+    val fastRowFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_FLOOR", "8").toInt
+        .max(baseIters).min(maxIters)
     // r13 lesson: several graph rows ran under neighbor load (spread
     // up to 4.01) yet published as if they measured code — the loadavg
     // gate alone cannot tell the bench's own 32 threads from a noisy
@@ -992,7 +1006,8 @@ object Bench {
     val loadMax = loadMaxFrac * cores
     val loadBefore = loadavg1m()
     case class RowResult(name: String, sec: Double, iters: Int,
-        spread: Double, load: Double, contended: Boolean, failures: Int)
+        spread: Double, load: Double, contended: Boolean, failures: Int,
+        firstIterSec: Double)
     // dev aid: SPARK_GRAFT_BENCH_ONLY=fuzzy_join,pagerank times just
     // the named rows (prefix match); unset = all rows (driver mode)
     val onlyRows = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -1029,7 +1044,8 @@ object Bench {
         else okTimes.sorted.apply(1) / math.max(okTimes.min, 1e-9)
       (1 to baseIters).foreach(_ => pass())
       while (okTimes.nonEmpty &&
-        (okTimes.min < fastRowSec || spreadNow() > spreadMax) &&
+        ((okTimes.min < fastRowSec && attempts < fastRowFloor) ||
+          spreadNow() > spreadMax) &&
         attempts < maxIters) pass()
       val sec = if (okTimes.nonEmpty) okTimes.min else -1.0
       val spread = if (okTimes.size < 2) 1.0 else spreadNow()
@@ -1049,12 +1065,24 @@ object Bench {
       // artifact as a whole.
       val secondBest =
         if (okTimes.size < 2) sec else okTimes.sorted.apply(1)
-      val contended = spread > spreadMax && secondBest - sec > 0.1
+      // corroborating per-row load evidence (ADVICE r14): a sustained
+      // external load that starts after loadBefore was read and slows
+      // every pass uniformly leaves spread ~1.0 — but it keeps BOTH the
+      // row's pre and post 1-minute loadavg above the gate, which the
+      // bench's own bursts do not (they decay between rows)
+      val sustainedLoad = loadPre > loadMax && loadPost > loadMax
+      val contended =
+        (spread > spreadMax && secondBest - sec > 0.1) || sustainedLoad
+      // first successful pass vs the min separates JIT/warmup cost from
+      // steady state in cross-round regression triage
+      val firstIterSec = if (okTimes.nonEmpty) okTimes.head else -1.0
       System.err.println(
         f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${okTimes.size}, " +
-          f"spread $spread%.2f, load $rowLoad%.2f${if (contended) ", CONTENDED" else ""}" +
+          f"spread $spread%.2f, first $firstIterSec%.3f, load $rowLoad%.2f" +
+          f"${if (contended) ", CONTENDED" else ""}" +
           (if (failures > 0) s", $failures FAILED" else "") + ")")
-      RowResult(name, sec, okTimes.size, spread, rowLoad, contended, failures)
+      RowResult(name, sec, okTimes.size, spread, rowLoad, contended,
+        failures, firstIterSec)
     }
     val loadAfter = loadavg1m()
     // sustained EXTERNAL load that starts after loadBefore was read
@@ -1127,10 +1155,11 @@ object Bench {
     val rowDetail = results.map(r =>
       "\"" + r.name + f"""\":{"sec":${r.sec}%.3f,"iters":${r.iters},""" +
         f""""spread":${r.spread}%.2f,"loadavg":${r.load}%.2f,""" +
+        f""""first_iter_sec":${r.firstIterSec}%.3f,""" +
         s""""contended":${r.contended},"failures":${r.failures}}""")
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"spread_max":$spreadMax%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"rows":$rowDetail}"""
+      f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"spread_max":$spreadMax%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"fast_row_sec":$fastRowSec%.2f,"fast_row_floor":$fastRowFloor,"rows":$rowDetail}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_rows.json")
     // a BENCH_ONLY-filtered dev run must never clobber the full-board

@@ -112,6 +112,85 @@ object Dedup {
       graft.functions.minhash_sig(col(textCol), shingleK, params).as("sig"))
   }
 
+  /** All in-bucket candidate pairs (id_a, id_b), id_a < id_b, from
+    * bucket-keyed rows — the shared quadratic step of every LSH family
+    * member (MinHash/SimHash/hyperplane/cluster/frame-hash buckets),
+    * with the mega-bucket STRAGGLER fixed by salting. Buckets of at
+    * most `saltTarget` ids pair through the lazy
+    * [[graft.functions.PairGenerator]] exactly as before (one generator
+    * row per bucket); a bucket of size s in (saltTarget, maxBucketSize]
+    * splits into g = ceil(s / saltTarget) hash-salted groups whose
+    * g*(g+1)/2 group-vs-group blocks pair via an equi-join keyed
+    * (bucket, gi, gj) — the largest single task then owns
+    * ~saltTarget^2 pairs (~2% of a 10k bucket's ~50M), not all of
+    * them. The salt must happen BEFORE generation: a generator row is
+    * unsplittable by AQE (one input row's output cannot be
+    * re-partitioned), so a near-cap bucket previously serialized every
+    * pair through one core. Buckets above `maxBucketSize` still drop
+    * whole (the documented flat-content rule); singletons emit nothing.
+    *
+    * The emitted pair SET is identical to the unsalted generator: the
+    * block decomposition is exhaustive and disjoint (a pair with group
+    * ids a <= b appears exactly at block (a, b); within-block orderings
+    * dedupe on id_a < id_b before least/greatest normalization).
+    * Per-bucket duplicates across bands are preserved — callers dedupe
+    * across buckets exactly as before. The common case (no bucket over
+    * saltTarget) costs the same single shuffle as the historical
+    * collect_list + pair_generator shape — the salted branch's stages
+    * schedule empty.
+    */
+  private[ops] def cappedBucketPairs(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      maxBucketSize: Int,
+      saltTarget: Int = 1000): DataFrame = {
+    require(saltTarget >= 2, s"saltTarget must be >= 2, got $saltTarget")
+    val keys = keyCols.map(col)
+    val buckets = banded
+      .groupBy(keys: _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val small = buckets.filter(size(col("ids")) <= saltTarget)
+      .select(graft.functions.pair_generator(col("ids"))
+        .as(Seq("id_a", "id_b")))
+    // explode the oversized arrays back to (bucket, group, id) rows —
+    // row-local — then replicate each member over its block row/column:
+    // the member of group a sits on the LEFT of blocks (a, j), j >= a,
+    // and on the RIGHT of blocks (i, b), i <= b.
+    val big = buckets.filter(size(col("ids")) > saltTarget)
+      .withColumn("__g",
+        ceil(size(col("ids")).cast("double") / saltTarget).cast("int"))
+      .select(keys :+ col("__g") :+ explode(col("ids")).as("__id"): _*)
+      .withColumn("__grp",
+        pmod(xxhash64(col("__id")), col("__g")).cast("int"))
+    // the streaming side is EXPLICITLY spread by block key with a
+    // pinned partition count: the join's pair output explodes far past
+    // its input bytes, so AQE's byte-based coalescing (and a broadcast
+    // plan keeping the upstream 1-partition layout) would otherwise
+    // funnel every block back through one task — the exact straggler
+    // the salt exists to kill. An explicit repartition(n, cols) is
+    // exempt from AQE coalescing.
+    val blockParts = math.max(
+      banded.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      16)
+    val leftSide = big.select(keys ++ Seq(
+      col("__id").as("id_a"), col("__grp").as("__gi"),
+      explode(sequence(col("__grp"), col("__g") - 1)).as("__gj")): _*)
+      .repartition(blockParts,
+        keys ++ Seq(col("__gi"), col("__gj")): _*)
+    val rightSide = big.select(keys ++ Seq(
+      col("__id").as("id_b"),
+      explode(sequence(lit(0), col("__grp"))).as("__gi"),
+      col("__grp").as("__gj")): _*)
+    val bigPairs = leftSide
+      .join(rightSide, keyCols ++ Seq("__gi", "__gj"))
+      .filter(col("__gi") =!= col("__gj") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    small.unionByName(bigPairs)
+  }
+
   /** MinHash+LSH candidate pairs: signature -> bands -> bucket-join.
     *
     * Returns (id_a, id_b, est_jaccard) for pairs sharing >=1 LSH band,
@@ -170,14 +249,12 @@ object Dedup {
         .as(Seq("band", "bucket")))
 
     // ONE shuffle builds the buckets, applies the size cap, and generates
-    // in-bucket candidate pairs lazily (no window pass, no self-join):
-    // buckets above maxBucketSize (boilerplate shingles) are dropped so the
-    // quadratic in-bucket step stays bounded.
-    val pairs = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+    // in-bucket candidate pairs lazily — near-cap buckets salt into
+    // bounded blocks so no single task owns a mega-bucket's pairs
+    // ([[cappedBucketPairs]]); buckets above maxBucketSize (boilerplate
+    // shingles) are dropped so the quadratic in-bucket step stays bounded.
+    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
 
@@ -610,11 +687,8 @@ object Dedup {
     // (two longs per candidate — bounded by the bucket cap, tiny next to
     // the corpus). Consumed three times: candidate-id broadcast + both
     // payload joins.
-    val pairs = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
       .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
@@ -791,19 +865,21 @@ object Dedup {
 
   /** Text near-duplicate pairs by SimHash Hamming distance — the text
     * twin of [[Media.imageHashNearDups]], sharing its routed engine
-    * (exact 4 x 16-bit banding at `maxHamming <= 3`; a measured-count
-    * bounded broadcast scan at wider radii, refusing past the
-    * budget). One 8-byte fingerprint per document crosses the
-    * shuffle — the cheapest near-dup modality by state;
-    * [[minHashLshPairs]] remains the higher-recall shingle-level path
-    * when edit-distance-style rewrites must still pair. Returns
-    * (id_a, id_b, hamming) with id_a < id_b.
+    * (exact multi-index-hashing recall at `maxHamming <= 15` — lazy,
+    * any corpus size; a measured-count bounded broadcast scan at
+    * `maxHamming >= 16`, eager and refusing past `bruteThreshold`).
+    * One 8-byte fingerprint per document crosses the shuffle — the
+    * cheapest near-dup modality by state; [[minHashLshPairs]] remains
+    * the higher-recall shingle-level path when edit-distance-style
+    * rewrites must still pair. Returns (id_a, id_b, hamming) with
+    * id_a < id_b.
     */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): DataFrame =
     simHashNearDupsReleasable(df, idCol, textCol, maxHamming,
-      maxBucketSize)._1
+      maxBucketSize, bruteThreshold)._1
 
   /** [[simHashNearDups]] plus a release() thunk for the persisted
     * fingerprint intermediate.
@@ -811,11 +887,12 @@ object Dedup {
   def simHashNearDupsReleasable(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): (DataFrame, () => Unit) =
+      maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): (DataFrame, () => Unit) =
     Media.bandedHammingPairsReleasable(
       df.select(col(idCol).cast("long").as("id"),
         simHash(col(textCol)).as("h")),
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, bruteThreshold)
 
   /** Exact n-gram Jaccard similarity between two texts (set semantics over
     * word k-shingles): |A n B| / |A u B|.
@@ -856,13 +933,10 @@ object Dedup {
       posexplode(graft.functions.hyperplane_bands(col("emb"), planes, signBits))
         .as(Seq("band", "bucket")))
 
-    // same single-shuffle bucket -> cap -> lazy pair generation shape as
+    // same salted bucket -> cap -> lazy pair generation shape as
     // minHashLshPairs
-    val pairs = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
 
@@ -915,12 +989,10 @@ object Dedup {
       df.sparkSession.sparkContext, centroidBroadcastThreshold) _
     // clusters partition the corpus: every pair appears in exactly one
     // cell, so no cross-band dedupe pass is needed (unlike LSH)
-    val pairs = base
-      .select(assign(col("emb"), centroids, 1)(0).as("cluster_id"), col("id"))
-      .groupBy(col("cluster_id"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxClusterSize))
-      .select(graft.functions.pair_generator(col("ids")).as(Seq("id_a", "id_b")))
+    val pairs = cappedBucketPairs(
+      base.select(assign(col("emb"), centroids, 1)(0).as("cluster_id"),
+        col("id")),
+      Seq("cluster_id"), "id", maxClusterSize)
     pairs
       .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))

@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{array, bit_count, broadcast, col,
-  collect_list, count, count_distinct, lit, posexplode,
-  shiftrightunsigned, size, xxhash64}
+  collect_list, count, count_distinct, explode, lit, posexplode,
+  shiftrightunsigned, size, transform, typedLit, xxhash64}
 
 /** REAL media decode for self-contained formats that need no external
   * codec libraries: PPM (P6) raster images and WAV (RIFF PCM16) audio —
@@ -259,23 +259,25 @@ object Media {
   }
 
   /** Image near-duplicate pairs by perceptual-hash Hamming distance.
-    * Recall is EXACT at every radius, via two routed regimes
-    * ([[bandedHammingPairsReleasable]]): `maxHamming <= 3` uses the
-    * classic 4 x 16-bit banding (pigeonhole; scale shape is
-    * [[Dedup.minHashLshPairs]] — the band self-join carries (id,
-    * hash) only, oversized buckets drop at `maxBucketSize`, pairs
-    * dedupe across bands before the exact Hamming verify); a wider
-    * radius routes to a measured-count bounded broadcast scan and
-    * REFUSES past the budget (banding cannot serve wide radii
-    * honestly — see the engine's scaladoc). Returns (id_a, id_b,
-    * hamming) with id_a < id_b.
+    * Recall is EXACT at every radius, via the routed engine
+    * ([[bandedHammingPairsReleasable]]): `maxHamming <= 15` is served
+    * lazily by multi-index hashing over 4 x 16-bit substrings
+    * (pigeonhole probe expansion — scale shape is
+    * [[Dedup.minHashLshPairs]]: only (id, hash/bucket) rows shuffle,
+    * oversized exact buckets drop at `maxBucketSize`, pairs dedupe
+    * across bands before the exact Hamming verify); `maxHamming >= 16`
+    * routes to a measured-count bounded broadcast scan that
+    * materializes the decode EAGERLY at construction and REFUSES past
+    * `bruteThreshold` (see the engine's scaladoc). Returns (id_a,
+    * id_b, hamming) with id_a < id_b.
     */
   def imageHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 3, useDHash: Boolean = true,
-      maxBucketSize: Int = 10000): DataFrame =
+      maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): DataFrame =
     imageHashNearDupsReleasable(df, idCol, blobCol, maxHamming, useDHash,
-      maxBucketSize)._1
+      maxBucketSize, bruteThreshold)._1
 
   /** [[imageHashNearDups]] plus a release() thunk for the cached hash
     * intermediate (same contract as
@@ -284,45 +286,69 @@ object Media {
   def imageHashNearDupsReleasable(
       df: DataFrame, idCol: String, blobCol: String,
       maxHamming: Int = 3, useDHash: Boolean = true,
-      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
+      maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): (DataFrame, () => Unit) = {
     val hashCol = if (useDHash) "dhash" else "ahash"
     bandedHammingPairsReleasable(
       imageHashes(df, idCol, blobCol)
         .select(col("id"), col(hashCol).as("h")),
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, bruteThreshold)
   }
+
+  /** All 16-bit XOR deltas with popcount <= rPrime — the probe-expansion
+    * set of the multi-index-hashing regime (17 at rPrime=1, 137 at 2,
+    * 697 at 3). A plan-time literal array: probe expansion multiplies
+    * BUCKET KEYS, never corpus rows at rest.
+    */
+  private[ops] def mihProbeDeltas(rPrime: Int): Array[Long] =
+    (0 until 65536).collect {
+      case v if java.lang.Integer.bitCount(v) <= rPrime => v.toLong
+    }.toArray
 
   /** Hamming-distance pair join over an (id, 64-bit hash) frame — the
     * shared engine behind [[imageHashNearDupsReleasable]],
     * [[pHashNearDupsReleasable]] and
-    * [[Dedup.simHashNearDupsReleasable]]. Two regimes, routed on the
-    * radius and a MEASURED count:
+    * [[Dedup.simHashNearDupsReleasable]]. Regimes, routed on the radius
+    * alone (construction stays lazy for every radius <= 15):
     *
-    *  - `maxHamming <= 3`: the classic 4 x 16-bit banding — any pair
-    *    within Hamming 3 collides in >= 1 band (pigeonhole), and the
-    *    16-bit bucket domain (65k values) keeps buckets sparse at
-    *    corpus scale. Oversized (flat-content) buckets drop at the
-    *    documented cap; pairs dedupe across bands before the exact
-    *    bit_count verify.
-    *  - `maxHamming > 3`: banding CANNOT serve this radius honestly —
-    *    pigeonhole needs > maxHamming disjoint bands, which at 64
-    *    bits forces sub-16-bit bucket domains (16 values per band at
-    *    radius 12) where every bucket is corpus-sized: past
-    *    ~domain x cap rows the cap silently drops everything (zero
-    *    recall), below it the candidate set is ~n^2/domain (worse
-    *    than a flat scan). So the wide radius routes to an EXACT
-    *    bounded broadcast scan instead: the (id, hash) pairs (16
-    *    bytes/row) collect and broadcast, and every partition streams
+    *  - `maxHamming <= 15`: MULTI-INDEX HASHING (Norouzi et al., "Fast
+    *    Search in Hamming Space with Multi-Index Hashing", CVPR'12)
+    *    over 4 disjoint 16-bit substrings. Pigeonhole: if
+    *    Hamming(a, b) <= r then some substring differs by at most
+    *    r' = floor(r/4) (4(r'+1) > r), so EXACT recall comes from an
+    *    equi-join of probe-expanded buckets against exact buckets —
+    *    each row probes, per band, every bucket within Hamming r' of
+    *    its own substring (XOR with a literal delta array: 1 delta at
+    *    r' = 0, 17 at 1, 137 at 2, 697 at 3). Probe expansion
+    *    multiplies join KEYS, not stored rows; the 16-bit bucket
+    *    domain (65k values x 4 bands) stays sparse at corpus scale.
+    *    At r' = 0 this degenerates to the classic 4 x 16 banding and
+    *    pairs generate in-bucket via the salted
+    *    [[Dedup.cappedBucketPairs]]; at r' >= 1 candidates come from
+    *    the probe-vs-index equi-join (sort-merge, AQE-skew-splittable —
+    *    unlike a generator row, a hot join key CAN be split).
+    *    Oversized (flat-content) EXACT buckets drop at the documented
+    *    cap on the index side; pairs dedupe across bands/probes before
+    *    the exact bit_count verify.
+    *  - `maxHamming >= 16`: the probe set per band exceeds 2.5k
+    *    buckets (r' >= 4) and nearly half the key domain at r' -> 8,
+    *    so MIH degrades toward all-pairs; the radius routes to an
+    *    EXACT bounded broadcast scan instead: the (id, hash) pairs
+    *    (16 bytes/row) collect and broadcast, every partition streams
     *    its rows against the array — exact recall by construction,
-    *    O(n^2) compare ops of two instructions each, guarded by a
-    *    measured count `require` at `bruteThreshold` (default 100k
-    *    rows = 1.6 MB broadcast, ~1e10 xor+popcount — seconds on a
-    *    32-core stage). Past the threshold the op REFUSES with the
-    *    honest alternatives rather than silently degrading.
+    *    O(n^2) xor+popcount, guarded by a MEASURED count at
+    *    `bruteThreshold` (default 100k rows = 1.6 MB broadcast,
+    *    ~1e10 two-instruction compares — seconds on a 32-core stage).
+    *    Past the threshold the op REFUSES with honest alternatives
+    *    rather than silently degrading. NOTE: this branch (and only
+    *    this branch) runs the count — and therefore the upstream
+    *    decode/hash stages — EAGERLY at construction time; on refusal
+    *    the persisted input is released before the error propagates.
     *
-    * The input is persisted here (probe + both regimes re-read it;
-    * for decoded-image hashes that materializes the expensive decode
-    * stage once).
+    * The input is persisted here (the pair join re-reads it for the
+    * verify; for decoded-image hashes that materializes the expensive
+    * decode stage once). At radius >= 16 release() also drops the
+    * executor copies of the broadcast scan array.
     */
   private[ops] def bandedHammingPairsReleasable(
       hashes0: DataFrame, maxHamming: Int, maxBucketSize: Int,
@@ -332,17 +358,35 @@ object Media {
     val hashes = hashes0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val release = () => { hashes.unpersist(blocking = false); () }
-    if (maxHamming <= 3) {
-      val banded = hashes.select(col("id"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("h"), 16 * b)
-            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bucket")))
-      val pairs = banded
-        .groupBy(col("band"), col("bucket"))
-        .agg(collect_list(col("id")).as("ids"))
-        .filter(size(col("ids")).between(2, maxBucketSize))
-        .select(graft.functions.pair_generator(col("ids"))
-          .as(Seq("id_a", "id_b")))
+    if (maxHamming <= 15) {
+      val rPrime = maxHamming / 4
+      val index = hashes.select(col("id"),
+        posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
+      val cand =
+        if (rPrime == 0) {
+          Dedup.cappedBucketPairs(index, Seq("band", "bucket"), "id",
+            maxBucketSize)
+        } else {
+          // the flat-content cap, applied to EXACT buckets before the
+          // probe join (a probe into a dropped bucket finds nothing)
+          val oversized = index.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > maxBucketSize)
+            .select(col("band"), col("bucket"), lit(1).as("__drop"))
+          val kept = index
+            .join(broadcast(oversized), Seq("band", "bucket"), "left")
+            .filter(col("__drop").isNull).drop("__drop")
+          val deltas = typedLit(mihProbeDeltas(rPrime))
+          val probes = kept.select(col("id").as("id_a"), col("band"),
+            explode(transform(deltas,
+              d => col("bucket").bitwiseXOR(d))).as("bucket"))
+          probes
+            .join(kept.select(col("band"), col("bucket"),
+              col("id").as("id_b")), Seq("band", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"))
+        }
+      val pairs = cand
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nb"))
         .drop("__nb")
       val result = pairs
@@ -356,19 +400,34 @@ object Media {
         .filter(col("hamming") <= maxHamming)
       (result, release)
     } else {
-      val n = hashes.count()
-      require(n <= bruteThreshold,
-        s"wide-radius Hamming join (maxHamming=$maxHamming > 3) needs " +
-          s"the exact bounded scan, but the input has $n rows > " +
-          s"bruteThreshold=$bruteThreshold. Band at maxHamming <= 3 " +
-          "(exact 4x16 recall), pre-normalize so duplicates land " +
-          "closer, shard the corpus, or raise bruteThreshold " +
-          "knowingly (cost grows with n^2).")
+      // EAGER: the measured-count guard materializes the input here;
+      // on refusal, release the persisted frame before propagating.
+      val n = try hashes.count() catch {
+        case t: Throwable => release(); throw t
+      }
+      if (n > bruteThreshold) {
+        release()
+        throw new IllegalArgumentException(
+          s"very-wide Hamming join (maxHamming=$maxHamming >= 16) needs " +
+            s"the exact bounded scan, but the input has $n rows > " +
+            s"bruteThreshold=$bruteThreshold. Use maxHamming <= 15 " +
+            "(exact multi-index-hashing recall), pre-normalize so " +
+            "duplicates land closer, shard the corpus, or raise " +
+            "bruteThreshold knowingly (cost grows with n^2).")
+      }
       val spark = hashes.sparkSession
       import spark.implicits._
       val all = hashes.select(col("id").cast("long"), col("h"))
         .as[(Long, Long)].collect()
       val bc = spark.sparkContext.broadcast(all)
+      val releaseAll = () => {
+        hashes.unpersist(blocking = false)
+        // unpersist (not destroy): executor copies drop now; a
+        // re-materialization after release re-broadcasts from the
+        // driver copy instead of failing
+        bc.unpersist(blocking = false)
+        ()
+      }
       val result = hashes.select(col("id").cast("long"), col("h"))
         .as[(Long, Long)]
         .mapPartitions { it =>
@@ -385,7 +444,7 @@ object Media {
         .toDF("id_a", "id_b", "hamming")
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
-      (result, release)
+      (result, releaseAll)
     }
   }
 
@@ -393,28 +452,31 @@ object Media {
     * distance — the recompression-robust twin of [[imageHashNearDups]]
     * with the identical routed engine. The JPEG-recompression regime
     * (measured pHash drift 8-10 of 64 at quality 0.95) needs
-    * `maxHamming` ~ 10-12, which routes to the exact bounded
-    * broadcast scan (<= 100k hashes per call by default — shard or
-    * pre-normalize beyond that; sub-16-bit banding at that radius
-    * would silently lose recall at scale). Output: (id_a, id_b,
-    * hamming), id_a < id_b.
+    * `maxHamming` ~ 10-12, served at ANY corpus size by the exact
+    * multi-index-hashing equi-join (probe expansion of 137 buckets per
+    * band at radius 8-11 — keys multiply, rows don't); only
+    * `maxHamming >= 16` falls back to the measured bounded scan with
+    * its `bruteThreshold` refusal. Output: (id_a, id_b, hamming),
+    * id_a < id_b.
     */
   def pHashNearDups(
       df: DataFrame, idCol: String, blobCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): DataFrame =
     pHashNearDupsReleasable(df, idCol, blobCol, maxHamming,
-      maxBucketSize)._1
+      maxBucketSize, bruteThreshold)._1
 
   /** [[pHashNearDups]] plus a release() thunk for the cached hash
     * intermediate.
     */
   def pHashNearDupsReleasable(
       df: DataFrame, idCol: String, blobCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): (DataFrame, () => Unit) =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      bruteThreshold: Long = 100000L): (DataFrame, () => Unit) =
     bandedHammingPairsReleasable(
       imagePHashes(df, idCol, blobCol)
         .select(col("id"), col("phash").as("h")),
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, bruteThreshold)
 
   private def bandCols(h: Column): Column =
     array((0 until 4).map(b =>
@@ -438,6 +500,31 @@ object Media {
         posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
       .select(col("id"), col("h"),
         xxhash64(col("band"), col("bucket")).as("bb"))
+
+  /** Probe-side twin of [[bandedStoreRows]] with multi-index-hashing
+    * expansion: at `maxHamming <= 3` each row probes its 4 exact band
+    * buckets (identical to the store rows); at 4..15 each band
+    * additionally probes every bucket within floor(maxHamming/4) —
+    * the pigeonhole guarantee of [[bandedHammingPairsReleasable]]
+    * against an UNCHANGED exact-bucket store (expansion multiplies
+    * probe keys only; stored history never rewrites for a wider
+    * read-time radius).
+    */
+  private def bandedProbeRows(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "multi-index-hashing probe recall is exact only for " +
+        s"maxHamming <= 15, got $maxHamming")
+    val rPrime = maxHamming / 4
+    val base = hashes.select(col("id"), col("h"),
+      posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
+    val probed =
+      if (rPrime == 0) base
+      else base.select(col("id"), col("h"), col("band"),
+        explode(transform(typedLit(mihProbeDeltas(rPrime)),
+          d => col("bucket").bitwiseXOR(d))).as("bucket"))
+    probed.select(col("id"), col("h"),
+      xxhash64(col("band"), col("bucket")).as("bb"))
+  }
 
   /** Oversized-bucket drop + bucketed write shared by the hash stores. */
   private def writeHashReferenceRows(
@@ -496,16 +583,16 @@ object Media {
     * Hamming distance against a [[writePHashReference]] store — the
     * recompression-robust stored screen; scale shape identical to
     * [[imageHashNearDupsStored]] (batch decodes row-locally, stored
-    * side never re-decodes or re-exchanges). Output: new_id, ref_id,
-    * hamming.
+    * side never re-decodes or re-exchanges). Radii 4..15 probe with
+    * multi-index-hashing expansion against the UNCHANGED store — the
+    * JPEG-recompression regime (maxHamming ~ 10-12) works read-time
+    * without rewriting history. Output: new_id, ref_id, hamming.
     */
   def pHashNearDupsStored(
       docs: DataFrame, table: String, idCol: String, blobCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
-    val probe = bandedStoreRows(imagePHashes(docs, idCol, blobCol)
-      .select(col("id"), col("phash").as("h")))
+    val probe = bandedProbeRows(imagePHashes(docs, idCol, blobCol)
+      .select(col("id"), col("phash").as("h")), maxHamming)
       .select(col("id").as("new_id"), col("h").as("h_new"), col("bb"))
     val ref = graft.io.CorpusStore
       .readBucketed(docs.sparkSession, s"${table}_buckets")
@@ -541,21 +628,18 @@ object Media {
     * into the bucketed stored scan (the store never re-decodes or
     * re-exchanges), candidate pairs dedupe across bands, and the exact
     * bit_count Hamming verify decides. Recall is exact for
-    * `maxHamming` <= 3 by the 4-band pigeonhole. Pass the same
-    * `useDHash` as at write time. Output: new_id, ref_id, hamming.
+    * `maxHamming` <= 15 by the multi-index-hashing pigeonhole
+    * ([[bandedProbeRows]] — wider radii expand PROBE keys; the store
+    * itself never rewrites). Pass the same `useDHash` as at write
+    * time. Output: new_id, ref_id, hamming.
     */
   def imageHashNearDupsStored(
       docs: DataFrame, table: String, idCol: String, blobCol: String,
       maxHamming: Int = 3, useDHash: Boolean = true): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded recall is exact only for maxHamming <= 3, got $maxHamming")
     val hashCol = if (useDHash) "dhash" else "ahash"
-    val probe = imageHashes(docs, idCol, blobCol)
-      .select(col("id").as("new_id"), col(hashCol).as("h_new"))
-      .select(col("new_id"), col("h_new"),
-        posexplode(bandCols(col("h_new"))).as(Seq("band", "bucket")))
-      .select(col("new_id"), col("h_new"),
-        xxhash64(col("band"), col("bucket")).as("bb"))
+    val probe = bandedProbeRows(imageHashes(docs, idCol, blobCol)
+      .select(col("id"), col(hashCol).as("h")), maxHamming)
+      .select(col("id").as("new_id"), col("h").as("h_new"), col("bb"))
     val ref = graft.io.CorpusStore
       .readBucketed(docs.sparkSession, s"${table}_buckets")
     probe.join(ref, Seq("bb"))
@@ -745,11 +829,7 @@ object Media {
         }
       })
       .toDF("id", "h")
-    hashes.groupBy(col("h"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids"))
-        .as(Seq("id_a", "id_b")))
+    Dedup.cappedBucketPairs(hashes, Seq("h"), "id", maxBucketSize)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
@@ -1114,12 +1194,8 @@ object Media {
       s"minSharedBlocks must be >= 1, got $minSharedBlocks")
     val fps = audioFingerprints(df, idCol, blobCol, windowFrames)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = fps
-      .groupBy(col("block"), col("fp"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(graft.functions.pair_generator(col("ids"))
-        .as(Seq("id_a", "id_b")))
+    val result = Dedup
+      .cappedBucketPairs(fps, Seq("block", "fp"), "id", maxBucketSize)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedBlocks)

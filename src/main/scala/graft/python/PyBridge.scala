@@ -662,29 +662,39 @@ object PyBridge {
       blobCol: String): DataFrame =
     graft.ops.Media.imageHashesLenient(df, idCol, blobCol)
 
-  /** Banded SimHash near-dup pair join (auto-banded to the radius). */
+  /** SimHash near-dup pair join (multi-index hashing, exact recall
+    * for maxHamming <= 15; >= 16 routes to the EAGER measured bounded
+    * scan refusing past bruteThreshold).
+    */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucketSize: Int): DataFrame =
+      maxHamming: Int, maxBucketSize: Int,
+      bruteThreshold: Long): DataFrame =
     graft.ops.Dedup.simHashNearDups(df, idCol, textCol, maxHamming,
-      maxBucketSize)
+      maxBucketSize, bruteThreshold)
 
-  /** Near-duplicate image pairs by banded perceptual-hash Hamming
-    * distance (exact recall for maxHamming <= 3).
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance
+    * (multi-index hashing, exact recall for maxHamming <= 15; >= 16
+    * routes to the EAGER measured bounded scan refusing past
+    * bruteThreshold).
     */
   def imageHashNearDups(df: DataFrame, idCol: String, blobCol: String,
-      maxHamming: Int, useDHash: Boolean, maxBucketSize: Int): DataFrame =
+      maxHamming: Int, useDHash: Boolean, maxBucketSize: Int,
+      bruteThreshold: Long): DataFrame =
     graft.ops.Media.imageHashNearDups(df, idCol, blobCol, maxHamming,
-      useDHash, maxBucketSize)
+      useDHash, maxBucketSize, bruteThreshold)
 
   /** DCT perceptual hashes (pHash64) of a PPM image blob column. */
   def imagePHashes(df: DataFrame, idCol: String, blobCol: String): DataFrame =
     graft.ops.Media.imagePHashes(df, idCol, blobCol)
 
-  /** Near-duplicate image pairs by banded pHash Hamming distance. */
+  /** Near-duplicate image pairs by pHash Hamming distance (same
+    * multi-index-hashing routing as [[imageHashNearDups]]).
+    */
   def pHashNearDups(df: DataFrame, idCol: String, blobCol: String,
-      maxHamming: Int, maxBucketSize: Int): DataFrame =
+      maxHamming: Int, maxBucketSize: Int,
+      bruteThreshold: Long): DataFrame =
     graft.ops.Media.pHashNearDups(df, idCol, blobCol, maxHamming,
-      maxBucketSize)
+      maxBucketSize, bruteThreshold)
 
   /** Video near-duplicate pairs by shared sampled-frame hashes. */
   def videoNearDups(df: DataFrame, idCol: String, blobCol: String,

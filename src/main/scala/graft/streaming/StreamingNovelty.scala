@@ -59,15 +59,34 @@ object StreamingNovelty {
     val grams = reference
       .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
-    val approx = probeDistinctGrams(grams)
-    require(approx <= maxExactGrams,
-      s"~$approx distinct grams exceed maxExactGrams=$maxExactGrams " +
-        "for the exact driver-resident array; use referenceGramsBloom " +
-        "(fixed footprint, FP-rate undercount) or " +
-        "TextOps.ngramNoveltyStored (nothing resident), or raise the " +
-        "budget explicitly")
+    if (!charBoundWithinBudget(reference, textCol, maxExactGrams)) {
+      val approx = probeDistinctGrams(grams)
+      require(approx <= maxExactGrams,
+        s"~$approx distinct grams exceed maxExactGrams=$maxExactGrams " +
+          "for the exact driver-resident array; use referenceGramsBloom " +
+          "(fixed footprint, FP-rate undercount) or " +
+          "TextOps.ngramNoveltyStored (nothing resident), or raise the " +
+          "budget explicitly")
+    }
     buildExact(grams, reference)
   }
+
+  /** True when the exact-array guard provably cannot trip WITHOUT the
+    * gram-explode HLL probe (the r14 probe doubled the reference scan
+    * even for tiny corpora): either the caller opted out explicitly
+    * (`maxExactGrams == Long.MaxValue` — the caller owns the
+    * driver-memory risk) or the reference's total CHARACTER count —
+    * one cheap column aggregate, no explode/hash/distinct — already
+    * bounds the distinct gram count under the budget (a text of L
+    * chars yields fewer than L word n-grams).
+    */
+  private def charBoundWithinBudget(
+      reference: DataFrame, textCol: String, maxExactGrams: Long): Boolean =
+    maxExactGrams == Long.MaxValue || {
+      val r = reference
+        .agg(sum(length(col(textCol)).cast("long")).as("__chars")).head()
+      r.isNullAt(0) || r.getLong(0) <= maxExactGrams
+    }
 
   /** The exact-array materialization (distinct -> collect -> sort ->
     * broadcast), shared by [[referenceGrams]] and [[referenceAuto]] so
@@ -113,9 +132,10 @@ object StreamingNovelty {
     * estimate picks [[referenceGrams]] (exact membership) at or under
     * `maxExactGrams` and [[referenceGramsBloom]] (fixed footprint,
     * documented FP-rate undercount) above it — the footgun-free
-    * entry point for corpora of unknown size. One probe aggregate
-    * either way; the exact route re-reads the reference once more for
-    * its collect (same cost it always had).
+    * entry point for corpora of unknown size. The probe aggregate is
+    * skipped when the cheap character-count bound already proves the
+    * exact route fits; the exact route re-reads the reference once
+    * more for its collect (same cost it always had).
     */
   def referenceAuto(
       reference: DataFrame,
@@ -128,7 +148,8 @@ object StreamingNovelty {
     val grams = reference
       .select(explode(TextOps.ngrams(col(textCol), n)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
-    if (probeDistinctGrams(grams) <= maxExactGrams) {
+    if (charBoundWithinBudget(reference, textCol, maxExactGrams) ||
+        probeDistinctGrams(grams) <= maxExactGrams) {
       ExactNoveltyReference(buildExact(grams, reference), n)
     } else {
       BloomNoveltyReference(

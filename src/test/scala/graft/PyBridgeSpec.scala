@@ -110,12 +110,13 @@ class PyBridgeSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     val hashes = PyBridge.imageHashes(df, "id", "blob")
     hashes.columns.toSeq shouldBe Seq("id", "ahash", "dhash")
     hashes.count() shouldBe 21L
-    val pairs = PyBridge.imageHashNearDups(df, "id", "blob", 3, true, 10000)
+    val pairs = PyBridge.imageHashNearDups(df, "id", "blob", 3, true, 10000,
+      100000L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     pairs((7L, 500L)) shouldBe 0
     PyBridge.imagePHashes(df, "id", "blob").columns.toSeq shouldBe
       Seq("id", "phash")
-    val ppairs = PyBridge.pHashNearDups(df, "id", "blob", 0, 10000)
+    val ppairs = PyBridge.pHashNearDups(df, "id", "blob", 0, 10000, 100000L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     ppairs((7L, 500L)) shouldBe 0
     val vids = Seq(

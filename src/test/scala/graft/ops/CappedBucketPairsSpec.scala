@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The salted in-bucket pair generator shared by every LSH family
+  * member ([[Dedup.cappedBucketPairs]]). Two contracts:
+  *
+  *  - EQUIVALENCE: the emitted pair set is identical to the historical
+  *    unsalted collect_list + pair_generator shape for every bucket
+  *    size — below the salt target (generator path), above it (salted
+  *    block equi-join), and above the cap (dropped whole).
+  *  - NO STRAGGLER: a near-cap bucket's pairs must NOT serialize
+  *    through one task. A generator row is unsplittable by AQE (one
+  *    input row's output cannot be re-partitioned), so before the salt
+  *    a 10k-id bucket emitted all ~50M of its pairs from a single row
+  *    in a single task; salted blocks spread them across the join's
+  *    shuffle partitions.
+  */
+class CappedBucketPairsSpec extends AnyFunSuite with Matchers
+    with graft.SparkSuiteBase {
+
+  private def brutePairs(ids: Seq[Long]): Set[(Long, Long)] =
+    (for { a <- ids; b <- ids if a < b } yield (a, b)).toSet
+
+  test("salted pair set equals the unsalted generator across the " +
+    "size regimes: sub-target, salted, and dropped-over-cap buckets") {
+    import spark.implicits._
+    // bucket k holds `sizes(k)` ids; 25 > maxBucketSize drops whole
+    val sizes = Seq(1, 2, 5, 8, 9, 17, 25)
+    val rows = for {
+      (s, k) <- sizes.zipWithIndex
+      i <- 0 until s
+    } yield (k.toLong, k * 1000L + i * 7L) // non-contiguous ids
+    val banded = rows.toDF("bb", "id")
+    val got = Dedup
+      .cappedBucketPairs(banded, Seq("bb"), "id",
+        maxBucketSize = 20, saltTarget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (s, k) <- sizes.zipWithIndex if s <= 20
+      pair <- brutePairs((0 until s).map(i => k * 1000L + i * 7L))
+    } yield pair).toSet
+    got shouldBe want
+    // ordering convention holds on the salted path too
+    got.foreach { case (a, b) => a should be < b }
+  }
+
+  test("multi-column bucket keys (band, bucket) pair independently " +
+    "per key, duplicates across keys preserved for the caller's " +
+    "cross-band dedupe") {
+    import spark.implicits._
+    // ids 1,2 share band-0 bucket 10 AND band-1 bucket 20 -> the pair
+    // must appear twice (the historical per-band multiplicity)
+    val banded = Seq((0, 10L, 1L), (0, 10L, 2L), (1, 20L, 1L),
+      (1, 20L, 2L), (1, 30L, 3L)).toDF("band", "bucket", "id")
+    val got = Dedup
+      .cappedBucketPairs(banded, Seq("band", "bucket"), "id",
+        maxBucketSize = 100, saltTarget = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq.sorted shouldBe Seq((1L, 2L), (1L, 2L))
+  }
+
+  test("a planted 10k-id bucket (the near-cap straggler case) spreads " +
+    "its ~50M pairs so no single task owns more than 10%") {
+    import spark.implicits._
+    val n = 10000
+    val banded = (0 until n).map(i => (1L, i.toLong)).toDF("bb", "id")
+    val pairs = Dedup.cappedBucketPairs(banded, Seq("bb"), "id",
+      maxBucketSize = 10000, saltTarget = 500)
+    val perTask = pairs
+      .groupBy(spark_partition_id().as("task"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1))
+    val total = perTask.sum
+    total shouldBe n.toLong * (n - 1) / 2 // exhaustive: all 49,995,000
+    val maxShare = perTask.max.toDouble / total
+    info(f"tasks=${perTask.length} maxShare=$maxShare%.3f")
+    maxShare should be <= 0.10
+  }
+}

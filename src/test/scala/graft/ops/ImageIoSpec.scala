@@ -159,22 +159,72 @@ class ImageIoSpec extends AnyFunSuite with Matchers with graft.SparkSuiteBase {
     ph.length shouldBe 12
   }
 
-  test("wide-radius Hamming join routes on a measured count and " +
-    "REFUSES past the budget (sub-16-bit banding would silently " +
-    "lose recall at scale); radius <= 3 stays banded at any size") {
+  test("Hamming-join routing: radius <= 15 is served lazily by " +
+    "multi-index hashing at ANY size (no probe, no refusal); only " +
+    "radius >= 16 routes to the measured bounded scan and REFUSES " +
+    "past the budget") {
     import spark.implicits._
     val hashes = (0L until 50L).map(i => (i, i * 0x9E3779B97F4A7C15L))
       .toDF("id", "h")
-    // over budget at wide radius: refuse with the honest message
+    // radius 12 over the (tiny) brute budget: MIH serves it — no
+    // refusal — and the pair set equals brute force
+    val (mih, relM) = Media.bandedHammingPairsReleasable(hashes,
+      maxHamming = 12, maxBucketSize = 10000, bruteThreshold = 10L)
+    val found = try {
+      mih.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+    } finally relM()
+    val vals = (0L until 50L).map(i => i -> i * 0x9E3779B97F4A7C15L)
+    val brute = (for {
+      (ia, ha) <- vals; (ib, hb) <- vals if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 12
+    } yield (ia, ib) -> d).toMap
+    found shouldBe brute
+    // radius >= 16 is the only bounded-scan regime: over budget refuses
     val e = intercept[IllegalArgumentException] {
-      Media.bandedHammingPairsReleasable(hashes, maxHamming = 12,
+      Media.bandedHammingPairsReleasable(hashes, maxHamming = 16,
         maxBucketSize = 10000, bruteThreshold = 10L)._1.collect()
     }
     e.getMessage should include("bruteThreshold")
-    // radius <= 3 never probes or refuses — banding is exact there
+    // radius <= 3 never probes or refuses — exact banding at any size
     val (banded, rel) = Media.bandedHammingPairsReleasable(hashes,
       maxHamming = 3, maxBucketSize = 10000, bruteThreshold = 10L)
     try banded.collect() finally rel()
+  }
+
+  test("stored pHash screen serves the JPEG-recompression radius " +
+    "(maxHamming=12) by probe expansion against an UNCHANGED store: " +
+    "planted recompressions pair with their stored originals") {
+    import spark.implicits._
+    val table = s"mih_store_${System.nanoTime()}"
+    val reference = (0L to 14L).map(id => (id, Media.encodePpm(textured(id))))
+      .toDF("id", "blob")
+    Media.writePHashReference(reference, "id", "blob", table,
+      numBuckets = 4)
+    try {
+      // batch: quality-0.95 JPEG recompressions of stored ids 0..4 plus
+      // fresh content that must NOT pair
+      val batch = ((0L to 4L).map(id =>
+        (100L + id, Media.encodeJpeg(textured(id), 0.95f))) ++
+        (200L to 204L).map(id => (id, Media.encodePpm(textured(id + 50)))))
+        .toDF("id", "blob")
+      val found = Media.pHashNearDupsStored(batch, table, "id", "blob",
+        maxHamming = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // brute-force oracle: every (batch, reference) pair within 12
+      val refH = Media.imagePHashes(reference, "id", "blob")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val batchH = Media.imagePHashes(batch, "id", "blob")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val brute = (for {
+        (ib, hb) <- batchH; (ir, hr) <- refH
+        d = hamming(hb, hr) if d <= 12
+      } yield (ib, ir) -> d).toMap
+      found shouldBe brute
+      for (id <- 0L to 4L)
+        assert(found.contains((100L + id, id)),
+          s"planted recompression of stored $id not recovered: $found")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${table}_buckets")
   }
 
   test("pHashNearDups at JPEG-recompression radius (maxHamming=12): " +
