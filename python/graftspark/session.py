@@ -48,7 +48,8 @@ class GraftProfileSession:
                  cadence: Optional[str] = None,
                  group_by_columns: Optional[List[str]] = None,
                  model_profile: Optional[ModelProfileSpec] = None,
-                 tags: Optional[dict] = None):
+                 tags: Optional[dict] = None,
+                 flatten_nested: bool = False):
         self._df = dataframe
         self._name = name
         self._time_column = time_column
@@ -56,13 +57,15 @@ class GraftProfileSession:
         self._group_by_columns = list(group_by_columns or [])
         self._model_profile = model_profile
         self._tags = dict(tags or {})
+        self._flatten_nested = flatten_nested
 
     def _copy(self, **kw) -> "GraftProfileSession":
         args = dict(
             dataframe=self._df, name=self._name,
             time_column=self._time_column, cadence=self._cadence,
             group_by_columns=self._group_by_columns,
-            model_profile=self._model_profile, tags=self._tags)
+            model_profile=self._model_profile, tags=self._tags,
+            flatten_nested=self._flatten_nested)
         args.update(kw)
         return GraftProfileSession(**args)
 
@@ -91,6 +94,15 @@ class GraftProfileSession:
         tags[key] = value
         return self._copy(tags=tags)
 
+    def flattenNested(self):  # noqa: N802
+        """Expand nested struct/array/map columns into profile-able
+        leaves before aggregation: struct fields become dotted paths
+        ("addr.city"), arrays and maps contribute element profiles plus
+        a "<name>.size" length profile (elements are tracked in-row by
+        the aggregate — no explode). The reference degrades every
+        non-primitive value to UNKNOWN; this sees inside."""
+        return self._copy(flatten_nested=True)
+
     def _create_j_session(self):
         bridge = _jvm_bridge(self._df)
         j = bridge.newProfilingSession(self._df._jdf, self._name)
@@ -111,6 +123,8 @@ class GraftProfileSession:
                 j = j.withRegressionModel(mp.prediction_field, mp.target_field)
         for k, v in self._tags.items():
             j = j.withTag(k, v)
+        if self._flatten_nested:
+            j = j.flattenNested()
         return j
 
     def aggProfiles(self, datetime_ts: Optional[datetime] = None,  # noqa: N802

@@ -378,6 +378,7 @@ def main():
     test_round13_privacy()
     test_round13_quality_screens()
     test_round14_imageio_audio()
+    test_round15_nested_mih()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1427,6 +1428,40 @@ def test_round14_imageio_audio():
     assert [r["id"] for r in ok] == [1]
     assert len(ops.image_hashes_lenient(mix, "id", "blob").collect()) == 1
     print("round-14 quality screens facade OK")
+
+
+def test_round15_nested_mih():
+    from pyspark.sql import functions as F
+    from graftspark import ops
+    spark = _get_spark()
+    # nested profiling: struct -> dotted leaves, array -> element+size
+    df = _docs().select(
+        F.struct(F.col("n_chars").alias("len"),
+                 F.col("lang").alias("lg")).alias("meta"),
+        F.split(F.col("text"), " ").alias("words"))
+    from graftspark.session import GraftProfileSession
+    p = (GraftProfileSession(df, "nested").flattenNested().aggProfiles()
+         .select(F.col("`meta.len`.numbers.count").alias("n"),
+                 F.col("`words.size`.numbers.max").alias("max_words"),
+                 F.col("`words`.strings.count").alias("n_words"))
+         .collect()[0])
+    n_docs = df.count()
+    assert p["n"] == n_docs
+    exact = df.select(F.sum(F.size("words")).alias("s"),
+                      F.max(F.size("words")).alias("m")).collect()[0]
+    assert p["n_words"] == exact["s"] and p["max_words"] == exact["m"]
+    # wide-radius Hamming join through the facade: planted one-word
+    # edits recover at max_hamming=12 (multi-index hashing route)
+    base = _docs().select("doc_id", "text").filter("doc_id < 60")
+    edits = base.filter("doc_id < 10").selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat('edited ', substr(text, 8)) AS text")
+    nd = ops.simhash_near_dups(base.unionAll(edits), "doc_id", "text",
+                               max_hamming=12)
+    planted = {(r["id_a"], r["id_b"]) for r in nd.collect()
+               if r["id_b"] == r["id_a"] + 100000}
+    assert len(planted) == 10, planted
+    print("round-15 nested profile + MIH facade OK")
 
 
 

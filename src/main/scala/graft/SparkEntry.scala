@@ -2953,6 +2953,55 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q263_mih_neardups" -> ((s, dir) => {
+      // the wide-radius Hamming regime END-TO-END through multi-index
+      // hashing (the route that replaced the >100k-hash refusal at
+      // radius 4..15): planted one-word edits of doc_id < 50 must pair
+      // with their originals within Hamming 12 — the SimHash drift of
+      // a single leading-word rewrite on these fixture docs (and the
+      // pHash JPEG-recompression radius class). Recovery count is the
+      // oracle; MihHammingSpec pins routed == brute exhaustively.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edits = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("edited "), expr("substring(text, 8)")).as("text"))
+      Dedup.simHashNearDups(docs.unionAll(edits), "doc_id", "text",
+        maxHamming = 12)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .agg(count(lit(1)).as("n_recovered"))
+    }),
+
+    "q264_nested_profile" -> ((s, dir) => {
+      // nested-column profiling (the reference degrades non-primitives
+      // to UNKNOWN; flattenNested sees inside): a struct of
+      // (n_chars, lang), a words array, and a source->n_chars map
+      // profile in ONE aggregate pass — struct leaves as dotted paths,
+      // arrays/maps as element + size profiles, all DuckDB-replayable
+      // via UNNEST / string_split
+      val docs = t(s, dir, "documents").select(
+        struct(col("n_chars").as("len"), col("lang").as("lg")).as("meta"),
+        split(col("text"), " ").as("words"),
+        map(col("source"), col("n_chars")).as("src_len"))
+      docs.newProfilingSession().flattenNested().aggProfiles()
+        .select(
+          col("`meta.len`.numbers.count").as("len_n"),
+          col("`meta.len`.numbers.min").cast("long").as("len_min"),
+          col("`meta.len`.numbers.max").cast("long").as("len_max"),
+          round(col("`meta.len`.numbers.mean"), 6).as("len_mean"),
+          col("`meta.lg`.strings.count").as("lg_n"),
+          col("`meta.lg`.strings.length.min").cast("long").as("lg_len_min"),
+          col("`words`.strings.count").as("w_n"),
+          col("`words`.strings.length.sum").cast("long").as("w_len_sum"),
+          round(col("`words`.strings.length.mean"), 6).as("w_len_mean"),
+          col("`words.size`.numbers.min").cast("long").as("wsz_min"),
+          col("`words.size`.numbers.max").cast("long").as("wsz_max"),
+          round(col("`words.size`.numbers.mean"), 6).as("wsz_mean"),
+          col("`src_len`.numbers.count").as("sv_n"),
+          col("`src_len`.numbers.sum").cast("long").as("sv_sum"),
+          col("`src_len.keys`.strings.count").as("sk_n"),
+          col("`src_len.size`.numbers.max").cast("long").as("msz_max"))
+    }),
+
     "q261_simhash_neardups" -> ((s, dir) => {
       // the banded SimHash near-dup join END-TO-END (bucket shuffle,
       // capped pair generation, exact Hamming verify): planted exact
@@ -6729,6 +6778,33 @@ object SparkEntry {
     "q261_simhash_neardups" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q263_mih_neardups" ->
+      """SELECT count(*)::BIGINT AS n_recovered
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q264_nested_profile" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |sz AS (
+        |  SELECT len(string_split(text, ' ')) AS n_words FROM documents)
+        |SELECT
+        |  (SELECT count(n_chars) FROM documents)::BIGINT AS len_n,
+        |  (SELECT min(n_chars) FROM documents)::BIGINT AS len_min,
+        |  (SELECT max(n_chars) FROM documents)::BIGINT AS len_max,
+        |  (SELECT round(avg(n_chars), 6) FROM documents) AS len_mean,
+        |  (SELECT count(lang) FROM documents)::BIGINT AS lg_n,
+        |  (SELECT min(length(lang)) FROM documents)::BIGINT AS lg_len_min,
+        |  (SELECT count(*) FROM w)::BIGINT AS w_n,
+        |  (SELECT sum(length(word)) FROM w)::BIGINT AS w_len_sum,
+        |  (SELECT round(avg(length(word)), 6) FROM w) AS w_len_mean,
+        |  (SELECT min(n_words) FROM sz)::BIGINT AS wsz_min,
+        |  (SELECT max(n_words) FROM sz)::BIGINT AS wsz_max,
+        |  (SELECT round(avg(n_words), 6) FROM sz) AS wsz_mean,
+        |  (SELECT count(n_chars) FROM documents)::BIGINT AS sv_n,
+        |  (SELECT sum(n_chars) FROM documents)::BIGINT AS sv_sum,
+        |  (SELECT count(source) FROM documents)::BIGINT AS sk_n,
+        |  1::BIGINT AS msz_max""".stripMargin,
 
     "q260_video_diversity" ->
       """WITH d AS (SELECT doc_id, (2 + doc_id % 3)::INT AS n

@@ -53,7 +53,19 @@ case class ColumnProfileAgg(
 
   private type Tracker = (ColumnProfileState, Any) => Unit
 
-  @transient private lazy val track: Tracker = child.dataType match {
+  /** Static value routing, RECURSIVE over container types: an array (or
+    * map-value) column profiles its ELEMENTS in-row — the aggregate
+    * walks the ArrayData inside update, no explode, no extra shuffle —
+    * so `count` for a container column counts tracked elements, null
+    * elements land in null_count, and a NULL container itself counts
+    * one null (the reference degrades every non-primitive value to
+    * UNKNOWN, TypedDataConverter.java:32-60). Nested containers
+    * (array<array<...>>) recurse. Structs are expanded STATICALLY to
+    * dotted leaf columns by [[graft.profile.ProfileSession.flattenNested]]
+    * (a struct is a fixed set of columns, not a collection) and remain
+    * UNKNOWN when passed unexpanded.
+    */
+  private def trackerFor(dt: DataType): Tracker = dt match {
     case ByteType    => (st, v) => st.trackLong(v.asInstanceOf[Byte].toLong)
     case ShortType   => (st, v) => st.trackLong(v.asInstanceOf[Short].toLong)
     case IntegerType => (st, v) => st.trackLong(v.asInstanceOf[Int].toLong)
@@ -67,9 +79,36 @@ case class ColumnProfileAgg(
     case TimestampType | TimestampNTZType =>
       (st, v) => st.trackLong(v.asInstanceOf[Long])
     case DateType => (st, v) => st.trackLong(v.asInstanceOf[Int].toLong)
+    case ArrayType(et, _) =>
+      val elem = trackerFor(et)
+      (st, v) => {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (arr.isNullAt(i)) st.trackNull() else elem(st, arr.get(i, et))
+          i += 1
+        }
+      }
+    case MapType(_, vt, _) =>
+      // profile map VALUES (keys are usually identifiers; a key profile
+      // is map_keys(col) away via flattenNested's value semantics)
+      val value = trackerFor(vt)
+      (st, v) => {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val vals = m.valueArray()
+        val n = m.numElements()
+        var i = 0
+        while (i < n) {
+          if (vals.isNullAt(i)) st.trackNull() else value(st, vals.get(i, vt))
+          i += 1
+        }
+      }
     case _ =>
       (st, _) => { st.count += 1; st.schema.track(graft.types.InferredType.Unknown) }
   }
+
+  @transient private lazy val track: Tracker = trackerFor(child.dataType)
 
   override def update(st: ColumnProfileState, input: InternalRow): ColumnProfileState = {
     val v = child.eval(input)

@@ -69,10 +69,71 @@ case class ProfileSession(
 
   /** Columns that will be profiled (everything not a key/time/model field). */
   def profiledColumns: Seq[String] = {
-    val excluded = groupKeys.toSet ++ timeColumn.map(_._1).toSet ++
+    val excluded = reservedColumns
+    df.columns.toSeq.filterNot(excluded)
+  }
+
+  private def reservedColumns: Set[String] =
+    groupKeys.toSet ++ timeColumn.map(_._1).toSet ++
       classificationModel.toSeq.flatMap(m => Seq(m._1, m._2) ++ m._3).toSet ++
       regressionModel.toSeq.flatMap(m => Seq(m._1, m._2)).toSet
-    df.columns.toSeq.filterNot(excluded)
+
+  /** Backtick-quote a profiled column name for resolution: flattened
+    * nested leaves carry dots ("addr.city", "tags.size").
+    */
+  private def q(name: String): Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
+
+  /** Expand nested columns into profile-able LEAVES before aggregation —
+    * the reference degrades every non-primitive value to UNKNOWN
+    * (DatasetProfileAggregator.scala:92-97, TypedDataConverter.java:32-60);
+    * a Spark-native engine sees inside:
+    *
+    *   - struct fields recurse STATICALLY to dotted paths
+    *     (`addr.city`) — column pruning still reaches the parquet scan
+    *     (nested-field pruning keeps unprofiled siblings unread);
+    *   - an array column contributes a `<name>.size` length profile
+    *     plus an ELEMENT profile under its own name (the aggregate
+    *     walks elements in-row — no explode, no extra shuffle); an
+    *     array of structs contributes `<name>.size` plus one element
+    *     profile per FIELD (`tags.key` — extracting a field from
+    *     array<struct> is a Spark projection);
+    *   - a map column contributes `<name>.size`, a `<name>.keys`
+    *     element profile, and a map-VALUE element profile under its
+    *     own name.
+    *
+    * Group/time/model columns are kept untouched. Idempotent on flat
+    * frames. The one-shuffle plan shape of [[aggProfiles]] is
+    * unchanged — flattening is a projection.
+    */
+  def flattenNested(): ProfileSession = {
+    import org.apache.spark.sql.types._
+    def expand(c: Column, name: String, dt: DataType): Seq[(Column, String)] =
+      dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f =>
+            expand(c.getField(f.name), s"$name.${f.name}", f.dataType))
+        case ArrayType(et, containsNull) =>
+          val sizeCol = (size(c).as(s"$name.size"), s"$name.size")
+          et match {
+            case est: StructType =>
+              sizeCol +: est.fields.toSeq.flatMap(f =>
+                expand(c.getField(f.name), s"$name.${f.name}",
+                  ArrayType(f.dataType, containsNull = true)))
+            case _ => Seq((c.as(name), name), sizeCol)
+          }
+        case MapType(kt, _, _) =>
+          Seq((c.as(name), name),
+            (size(c).as(s"$name.size"), s"$name.size"),
+            (map_keys(c).as(s"$name.keys"), s"$name.keys"))
+        case _ => Seq((c.as(name), name))
+      }
+    val keep = reservedColumns
+    val cols = df.schema.fields.toSeq.flatMap { f =>
+      if (keep(f.name)) Seq(col(f.name))
+      else expand(col(f.name), f.name, f.dataType).map(_._1)
+    }
+    copy(df = df.select(cols: _*))
   }
 
   /** The profile DataFrame: one row per (group keys x time window), one
@@ -83,7 +144,7 @@ case class ProfileSession(
       timeColumn.map { case (c, cadence) => window(col(c), cadence).as("window") }
 
     val profileCols: Seq[Column] =
-      profiledColumns.map(c => profileAgg(col(c), cfg).as(c))
+      profiledColumns.map(c => profileAgg(q(c), cfg).as(c))
 
     val modelCols: Seq[Column] =
       classificationModel.map { case (p, t, s) =>
@@ -144,7 +205,10 @@ object ProfileSession {
     val profileCols = profiles.schema.fields.collect {
       case f if ProfileSchema.isProfileType(f.dataType) => f.name
     }.toSeq
-    val aggCols = profileCols.map(c => profile_merge(col(c)).as(c))
+    // flattened nested leaves carry dots ("arr.size") — quote so the
+    // reference resolves the COLUMN, not a field path into a sibling
+    val aggCols = profileCols.map(c =>
+      profile_merge(if (c.contains(".")) col(s"`$c`") else col(c)).as(c))
     if (keys.isEmpty) profiles.agg(aggCols.head, aggCols.tail: _*)
     else profiles.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }

@@ -53,6 +53,13 @@ class PyProfileSession private[python] (val session: ProfileSession) {
   def withTag(key: String, value: String): PyProfileSession =
     new PyProfileSession(session.withTag(key, value))
 
+  /** Expand nested struct/array/map columns into profile-able leaves
+    * (dotted struct paths, element + size profiles) — see
+    * [[ProfileSession.flattenNested]].
+    */
+  def flattenNested(): PyProfileSession =
+    new PyProfileSession(session.flattenNested())
+
   def withMetadata(key: String, value: String): PyProfileSession =
     new PyProfileSession(session.withMetadata(key, value))
 
