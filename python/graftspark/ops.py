@@ -755,6 +755,30 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def image_quality_monitor(df: DataFrame, ts_col: str, cadence: str,
+                          watermark: str, id_col: str,
+                          blob_col: str) -> DataFrame:
+    """Windowed image-quality monitor: per event-time window — rows,
+    corrupt rows (decode failures cost their ROW, never the query),
+    low-contrast count, luminance summary. Works on batch and
+    streaming frames (append mode after the watermark closes a
+    window). Output: window, n, n_corrupt, n_low_contrast, mean_gray,
+    mean_frac_dark, mean_frac_bright, gray_min, gray_max."""
+    return _to_py_df(_jvm_bridge(df).imageQualityMonitor(
+        df._jdf, ts_col, cadence, watermark, id_col, blob_col), df)
+
+
+def audio_quality_monitor(df: DataFrame, ts_col: str, cadence: str,
+                          watermark: str, id_col: str,
+                          blob_col: str) -> DataFrame:
+    """Windowed audio-quality monitor: per event-time window — rows,
+    corrupt rows, clipped / near-silent counts, RMS average, peak
+    maximum. Works on batch and streaming frames. Output: window, n,
+    n_corrupt, n_clipped, n_near_silent, mean_rms, peak_max."""
+    return _to_py_df(_jvm_bridge(df).audioQualityMonitor(
+        df._jdf, ts_col, cadence, watermark, id_col, blob_col), df)
+
+
 def video_frame_diversity(df: DataFrame, id_col: str, blob_col: str,
                           every_n: int = 1) -> DataFrame:
     """Static/low-diversity video screen: distinct perceptual frame

@@ -2953,6 +2953,48 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q265_streaming_media" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // the windowed media-quality monitor END-TO-END as a real
+      // streaming query (the q67 MemoryStream pattern): doc_id < 50
+      // lands on day 1, 50..99 on day 2, two corrupt blobs planted on
+      // day 1 — corrupt rows cost themselves (n_corrupt), never the
+      // query; verdict counts and gray extremes replay analytically
+      // from the synthetic pixel formula (the q255 oracle, grouped by
+      // the planted day). The collect below CONSTRUCTS the
+      // fixture-scale stream source; it is not a query-path collect.
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long].collect().sorted
+      val rows = ids.toIndexedSeq.map { id =>
+        val day = if (id < 50) 1 else 2
+        (java.sql.Timestamp.valueOf(f"2024-03-0$day 06:00:00"), id,
+          if (id % 2 == 0) graft.ops.Media.synthesizePpm(id)
+          else graft.ops.Media.synthesizePng(id))
+      } ++ IndexedSeq(
+        (java.sql.Timestamp.valueOf("2024-03-01 07:00:00"), 1000L,
+          "not an image".getBytes("UTF-8")),
+        (java.sql.Timestamp.valueOf("2024-03-01 08:00:00"), 1001L,
+          Array[Byte](1, 2, 3)))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+      val stream = input.toDF().toDF("ts", "doc_id", "blob")
+      val mon = graft.streaming.StreamingMedia.imageQualityMonitor(
+        stream, "ts", "1 day", "1 minute", "doc_id", "blob")
+      val name = "q265_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = mon.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select(
+        col("window.start").cast("date").cast("string").as("day"),
+        col("n"), col("n_corrupt"), col("n_low_contrast"),
+        col("gray_min"), col("gray_max"))
+    }),
+
     "q263_mih_neardups" -> ((s, dir) => {
       // the wide-radius Hamming regime END-TO-END through multi-index
       // hashing (the route that replaced the >100k-hash refusal at
@@ -6782,6 +6824,31 @@ object SparkEntry {
     "q263_mih_neardups" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q265_streaming_media" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,
+        |    (3 + doc_id % 5)::INT AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (SELECT doc_id, w, h, p % w AS x, p // w AS y
+        |  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)),
+        |g AS (SELECT doc_id,
+        |    ((doc_id + 7 * x + 13 * y) % 256)
+        |      + ((doc_id * 3 + 5 * x + 11 * y) % 256)
+        |      + ((doc_id * 7 + 3 * x + 17 * y) % 256) AS g3
+        |  FROM px),
+        |a AS (SELECT doc_id, min(g3) AS gmin, max(g3) AS gmax
+        |  FROM g GROUP BY 1),
+        |pd AS (SELECT CASE WHEN doc_id < 50 THEN '2024-03-01'
+        |    ELSE '2024-03-02' END AS day, gmin, gmax,
+        |    (gmax - gmin < 100) AS lc FROM a)
+        |SELECT day,
+        |  count(*)::BIGINT
+        |    + (CASE WHEN day = '2024-03-01' THEN 2 ELSE 0 END) AS n,
+        |  (CASE WHEN day = '2024-03-01' THEN 2 ELSE 0 END)::BIGINT
+        |    AS n_corrupt,
+        |  sum(CASE WHEN lc THEN 1 ELSE 0 END)::BIGINT AS n_low_contrast,
+        |  min(gmin)::INT AS gray_min, max(gmax)::INT AS gray_max
+        |FROM pd GROUP BY day""".stripMargin,
 
     "q264_nested_profile" ->
       """WITH w AS (

@@ -1619,43 +1619,53 @@ object Media {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        val (m, s) = decodeAudioSamples(blob)
-        val n = s.length
-        var sumSq = 0L
-        var peak = 0
-        var nClip = 0L
-        var nSil = 0L
-        var i = 0
-        while (i < n) {
-          val v = s(i).toInt
-          val a = math.abs(v)
-          sumSq += v.toLong * v
-          if (a > peak) peak = a
-          if (a >= clipAbove) nClip += 1
-          if (a < silenceBelow) nSil += 1
-          i += 1
-        }
-        // zero crossings per channel over the interleaved stream
-        val ch = m.channels
-        var zc = 0L
-        var c = 0
-        while (c < ch) {
-          var f = 1
-          while (f.toLong * ch + c < n) {
-            val prev = s((f - 1) * ch + c) >= 0
-            val cur = s(f * ch + c) >= 0
-            if (prev != cur) zc += 1
-            f += 1
-          }
-          c += 1
-        }
-        val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
-        AudioQualityRecord(id, m.channels, m.sampleRate, n.toLong, rms,
-          peak, if (n == 0) 0.0 else nClip.toDouble / n,
-          if (n == 0) 0.0 else nSil.toDouble / n, zc,
-          nClip * 100 > n, sumSq < n.toLong * 2500)
+        audioQualityRecord(id, blob, clipAbove, silenceBelow)
       })
       .toDF()
+  }
+
+  /** The per-row audio quality screen behind [[audioQualityStats]],
+    * shared with the streaming monitor
+    * ([[graft.streaming.StreamingMedia]]).
+    */
+  private[graft] def audioQualityRecord(
+      id: Long, blob: Array[Byte],
+      clipAbove: Int, silenceBelow: Int): AudioQualityRecord = {
+    val (m, s) = decodeAudioSamples(blob)
+    val n = s.length
+    var sumSq = 0L
+    var peak = 0
+    var nClip = 0L
+    var nSil = 0L
+    var i = 0
+    while (i < n) {
+      val v = s(i).toInt
+      val a = math.abs(v)
+      sumSq += v.toLong * v
+      if (a > peak) peak = a
+      if (a >= clipAbove) nClip += 1
+      if (a < silenceBelow) nSil += 1
+      i += 1
+    }
+    // zero crossings per channel over the interleaved stream
+    val ch = m.channels
+    var zc = 0L
+    var c = 0
+    while (c < ch) {
+      var f = 1
+      while (f.toLong * ch + c < n) {
+        val prev = s((f - 1) * ch + c) >= 0
+        val cur = s(f * ch + c) >= 0
+        if (prev != cur) zc += 1
+        f += 1
+      }
+      c += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+    AudioQualityRecord(id, m.channels, m.sampleRate, n.toLong, rms,
+      peak, if (n == 0) 0.0 else nClip.toDouble / n,
+      if (n == 0) 0.0 else nSil.toDouble / n, zc,
+      nClip * 100 > n, sumSq < n.toLong * 2500)
   }
 
   /** [[synthesizeWav]] with planted quality regimes for the q259
@@ -1957,38 +1967,48 @@ object Media {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        val img = decodeImage(blob)
-        val g = gray3(img)
-        val n = g.length
-        var mn = 765; var mx = 0
-        var sum = 0L; var sumSq = 0L
-        var dark = 0L; var bright = 0L
-        val bins = new Array[Long](16)
-        var i = 0
-        while (i < n) {
-          val v = g(i)
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          sum += v
-          sumSq += v.toLong * v
-          if (v < darkBelow) dark += 1
-          if (v > brightAbove) bright += 1
-          bins(v * 16 / 766) += 1
-          i += 1
-        }
-        val mean = sum.toDouble / n
-        val std = math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
-        var clogc = 0.0
-        var b = 0
-        while (b < 16) {
-          if (bins(b) > 0) clogc += bins(b) * math.log(bins(b).toDouble)
-          b += 1
-        }
-        val entropy = math.log(n.toDouble) - clogc / n
-        ImageQualityRecord(id, img.width, img.height, mn, mx, mean, std,
-          dark.toDouble / n, bright.toDouble / n, entropy,
-          mx - mn < minRange)
+        imageQualityRecord(id, blob, darkBelow, brightAbove, minRange)
       })
       .toDF()
+  }
+
+  /** The per-row image quality screen behind [[imageQualityStats]],
+    * shared with the streaming monitor
+    * ([[graft.streaming.StreamingMedia]]).
+    */
+  private[graft] def imageQualityRecord(
+      id: Long, blob: Array[Byte],
+      darkBelow: Int, brightAbove: Int, minRange: Int): ImageQualityRecord = {
+    val img = decodeImage(blob)
+    val g = gray3(img)
+    val n = g.length
+    var mn = 765; var mx = 0
+    var sum = 0L; var sumSq = 0L
+    var dark = 0L; var bright = 0L
+    val bins = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val v = g(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      sumSq += v.toLong * v
+      if (v < darkBelow) dark += 1
+      if (v > brightAbove) bright += 1
+      bins(v * 16 / 766) += 1
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    val std = math.sqrt((n.toLong * sumSq - sum * sum).toDouble) / n
+    var clogc = 0.0
+    var b = 0
+    while (b < 16) {
+      if (bins(b) > 0) clogc += bins(b) * math.log(bins(b).toDouble)
+      b += 1
+    }
+    val entropy = math.log(n.toDouble) - clogc / n
+    ImageQualityRecord(id, img.width, img.height, mn, mx, mean, std,
+      dark.toDouble / n, bright.toDouble / n, entropy,
+      mx - mn < minRange)
   }
 }

@@ -709,6 +709,22 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Windowed image-quality monitor (works on batch AND streaming
+    * frames; corrupt blobs cost their row, counted as n_corrupt).
+    */
+  def imageQualityMonitor(df: DataFrame, tsCol: String, cadence: String,
+      watermark: String, idCol: String, blobCol: String): DataFrame =
+    graft.streaming.StreamingMedia.imageQualityMonitor(df, tsCol,
+      cadence, watermark, idCol, blobCol)
+
+  /** Windowed audio-quality monitor (works on batch AND streaming
+    * frames; corrupt blobs cost their row, counted as n_corrupt).
+    */
+  def audioQualityMonitor(df: DataFrame, tsCol: String, cadence: String,
+      watermark: String, idCol: String, blobCol: String): DataFrame =
+    graft.streaming.StreamingMedia.audioQualityMonitor(df, tsCol,
+      cadence, watermark, idCol, blobCol)
+
   /** Windowed RMS / per-channel zero-crossing / peak stats of a PCM16
     * WAV blob column.
     */
