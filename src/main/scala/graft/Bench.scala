@@ -870,6 +870,23 @@ object Bench {
             col("frame"))
         graft.ops.Media.imageHashes(frames, "fid", "frame")
           .agg(countDistinct(col("ahash"))).first(); 1L
+      }),
+
+      // wide-radius Hamming join at corpus width through multi-index
+      // hashing (the regime that REFUSED past 100k hashes in r14):
+      // SimHash the full document table plus planted one-word edits,
+      // join at radius 12 (probe expansion 697 buckets/band) — counts
+      // the planted recoveries so the row measures the whole
+      // fingerprint -> probe-join -> verify pipeline
+      "mih_hamming" -> (() => {
+        val docs = t("documents").select(col("doc_id"), col("text"))
+        val edits = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("edited "), expr("substring(text, 8)")).as("text"))
+        graft.ops.Dedup.simHashNearDups(docs.unionAll(edits),
+          "doc_id", "text", maxHamming = 12)
+          .filter(col("id_b") === col("id_a") + 10000000L)
+          .agg(count(lit(1))).first().getLong(0)
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
