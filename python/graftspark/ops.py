@@ -1838,6 +1838,40 @@ def pca_explained_variance(df: DataFrame, emb_col: str) -> DataFrame:
         df._jdf, emb_col), df)
 
 
+def write_simhash_reference(reference: DataFrame, id_col: str,
+                            text_col: str, table: str,
+                            num_buckets: int = 16,
+                            max_bucket_size: int = 10000) -> None:
+    """Persist a corpus's 8-byte SimHash fingerprint index as a
+    bucketed store table (``<table>_buckets``) — the cheapest stored
+    text screen by state; probe new batches with
+    ``simhash_near_dups_stored``. Oversized (boilerplate) buckets drop
+    at write time."""
+    _jvm_bridge(reference).writeSimHashReference(
+        reference._jdf, id_col, text_col, table, int(num_buckets),
+        int(max_bucket_size))
+
+
+def append_simhash_reference(docs: DataFrame, id_col: str,
+                             text_col: str, table: str) -> None:
+    """GROW a stored SimHash index with a new batch (screen first —
+    ids are assumed fresh); history never rewrites."""
+    _jvm_bridge(docs).appendSimHashReference(
+        docs._jdf, id_col, text_col, table)
+
+
+def simhash_near_dups_stored(docs: DataFrame, table: str, id_col: str,
+                             text_col: str,
+                             max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate (new doc, stored doc) pairs by SimHash Hamming
+    distance against a ``write_simhash_reference`` store. Recall is
+    exact for ``max_hamming`` <= 15 via multi-index-hashing probe
+    expansion — wider radii expand probe keys; the store itself never
+    rewrites. Output: new_id, ref_id, hamming."""
+    return _to_py_df(_jvm_bridge(docs).simHashNearDupsStored(
+        docs._jdf, table, id_col, text_col, int(max_hamming)), docs)
+
+
 def write_minhash_reference(reference: DataFrame, id_col: str,
                             text_col: str, table: str,
                             num_hashes: int = 64, bands: int = 16,

@@ -1461,6 +1461,21 @@ def test_round15_nested_mih():
     planted = {(r["id_a"], r["id_b"]) for r in nd.collect()
                if r["id_b"] == r["id_a"] + 100000}
     assert len(planted) == 10, planted
+    # stored SimHash screen: exact copies hit the (unchanged) store at
+    # hamming 0; edits resolve through the wide-radius probe expansion
+    ops.write_simhash_reference(base, "doc_id", "text", "py_r15_shref",
+                                num_buckets=4)
+    try:
+        probe = base.filter("doc_id < 8").selectExpr(
+            "doc_id + 500000 AS doc_id",
+            "concat('edited ', substr(text, 8)) AS text")
+        hits = {(r["new_id"], r["ref_id"]) for r in
+                ops.simhash_near_dups_stored(
+                    probe, "py_r15_shref", "doc_id", "text",
+                    max_hamming=12).collect()}
+        assert all((500000 + i, i) in hits for i in range(8)), hits
+    finally:
+        spark.sql("DROP TABLE IF EXISTS py_r15_shref_buckets")
     print("round-15 nested profile + MIH facade OK")
 
 

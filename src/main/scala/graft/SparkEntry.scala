@@ -2953,6 +2953,31 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q266_simhash_stored" -> ((s, dir) => {
+      // incremental TEXT dedup against a stored 8-byte SimHash index —
+      // the cheapest stored screen by state, with the WIDE radius
+      // served by multi-index-hashing probe expansion against the
+      // unchanged store: exact copies (of doc_id < 25) recover at
+      // hamming 0 and one-word edits (of 25 <= doc_id < 50) recover at
+      // radius 12; recovery counts are the oracle (the planting rule
+      // alone — StoredSimHashSpec pins stored == brute).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.writeSimHashReference(docs.filter(col("doc_id") < 200),
+        "doc_id", "text", "graft_q266_ref", numBuckets = 4)
+      val batch = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("edited "), expr("substring(text, 8)")).as("text")))
+      Dedup.simHashNearDupsStored(batch, "graft_q266_ref",
+        "doc_id", "text", maxHamming = 12)
+        .agg(
+          sum(when(col("ref_id") === col("new_id") - 100000 &&
+            col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("ref_id") === col("new_id") - 200000, 1L)
+            .otherwise(0L)).as("n_edit"))
+    }),
+
     "q265_streaming_media" -> ((s, dir) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -6824,6 +6849,13 @@ object SparkEntry {
     "q263_mih_neardups" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q266_simhash_stored" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id < 25)::BIGINT
+        |    AS n_exact,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id >= 25 AND doc_id < 50)::BIGINT AS n_edit""".stripMargin,
 
     "q265_streaming_media" ->
       """WITH d AS (SELECT doc_id, (4 + doc_id % 8)::INT AS w,

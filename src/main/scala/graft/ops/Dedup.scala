@@ -894,6 +894,71 @@ object Dedup {
         simHash(col(textCol)).as("h")),
       maxHamming, maxBucketSize, bruteThreshold)
 
+  /** Persist a reference corpus's SimHash LSH buckets as a CorpusStore
+    * table — incremental TEXT dedup by 8-byte fingerprint, the cheapest
+    * member of the stored-screen family ([[writeMinHashReference]] is
+    * the higher-recall shingle-level sibling;
+    * [[Media.writePHashReference]] the image twin): fingerprint + band
+    * the historical documents ONCE into `<table>_buckets`
+    * (bb, id, h — the hash rides each of its 4 band rows, no second
+    * fetch join); each new batch probes with [[simHashNearDupsStored]]
+    * and only batch-derived rows shuffle. Oversized (boilerplate)
+    * buckets drop at write time.
+    */
+  def writeSimHashReference(
+      reference: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 16,
+      maxBucketSize: Int = 10000): Unit =
+    Media.writeHashReferenceRows(
+      Media.bandedStoreRows(reference.select(
+        col(idCol).cast("long").as("id"),
+        simHash(col(textCol)).as("h"))),
+      table, numBuckets, maxBucketSize)
+
+  /** GROW a SimHash store with a new batch (screen first — ids are
+    * assumed fresh); history never rewrites.
+    */
+  def appendSimHashReference(
+      docs: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val n = graft.io.CorpusStore
+      .storedNumBuckets(docs.sparkSession, s"${table}_buckets")
+    graft.io.CorpusStore.appendBucketed(
+      Media.bandedStoreRows(docs.select(
+        col(idCol).cast("long").as("id"),
+        simHash(col(textCol)).as("h"))),
+      s"${table}_buckets", "bb", n, Seq("bb"))
+  }
+
+  /** Near-duplicate (new doc, stored doc) pairs by SimHash Hamming
+    * distance against a [[writeSimHashReference]] store: the batch
+    * fingerprints row-locally, its band rows probe the bucketed stored
+    * scan (the store never re-exchanges), and the exact bit_count
+    * verify decides. Recall is exact for `maxHamming` <= 15 by the
+    * multi-index-hashing pigeonhole ([[Media.bandedProbeRows]] — wider
+    * radii expand PROBE keys; the store never rewrites). Output:
+    * new_id, ref_id, hamming.
+    */
+  def simHashNearDupsStored(
+      docs: DataFrame, table: String, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val probe = Media.bandedProbeRows(docs.select(
+      col(idCol).cast("long").as("id"),
+      simHash(col(textCol)).as("h")), maxHamming)
+      .select(col("id").as("new_id"), col("h").as("h_new"), col("bb"))
+    val ref = graft.io.CorpusStore
+      .readBucketed(docs.sparkSession, s"${table}_buckets")
+    probe.join(ref, Seq("bb"))
+      .select(col("new_id"), col("id").as("ref_id"),
+        col("h_new"), col("h").as("h_ref"))
+      .distinct() // hashes are functions of the ids -> this dedupes
+                  // multi-band/probe collisions of the same pair
+      .select(col("new_id"), col("ref_id"),
+        bit_count(col("h_new").bitwiseXOR(col("h_ref"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity between two texts (set semantics over
     * word k-shingles): |A n B| / |A u B|.
     */

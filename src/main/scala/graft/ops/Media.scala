@@ -494,7 +494,7 @@ object Media {
   /** (id, h) -> (id, h, bb) band-bucket rows shared by the aHash/dHash
     * and pHash store writers and probes.
     */
-  private def bandedStoreRows(hashes: DataFrame): DataFrame =
+  private[ops] def bandedStoreRows(hashes: DataFrame): DataFrame =
     hashes
       .select(col("id"), col("h"),
         posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
@@ -510,7 +510,7 @@ object Media {
     * probe keys only; stored history never rewrites for a wider
     * read-time radius).
     */
-  private def bandedProbeRows(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private[ops] def bandedProbeRows(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "multi-index-hashing probe recall is exact only for " +
         s"maxHamming <= 15, got $maxHamming")
@@ -527,7 +527,7 @@ object Media {
   }
 
   /** Oversized-bucket drop + bucketed write shared by the hash stores. */
-  private def writeHashReferenceRows(
+  private[ops] def writeHashReferenceRows(
       banded: DataFrame, table: String, numBuckets: Int,
       maxBucketSize: Int): Unit = {
     val oversized = banded.groupBy(col("bb"))

@@ -1383,6 +1383,29 @@ object PyBridge {
     graft.ops.Dedup.minHashNearDupsStored(docs, table, idCol, textCol,
       numHashes, bands, shingleK, threshold)
 
+  /** Persist a corpus's 8-byte SimHash index as a bucketed store
+    * table (the cheapest stored text screen by state).
+    */
+  def writeSimHashReference(reference: DataFrame, idCol: String,
+      textCol: String, table: String, numBuckets: Int,
+      maxBucketSize: Int): Unit =
+    graft.ops.Dedup.writeSimHashReference(reference, idCol, textCol,
+      table, numBuckets, maxBucketSize)
+
+  /** GROW a stored SimHash index with a new batch. */
+  def appendSimHashReference(docs: DataFrame, idCol: String,
+      textCol: String, table: String): Unit =
+    graft.ops.Dedup.appendSimHashReference(docs, idCol, textCol, table)
+
+  /** Near-dup (new doc, stored doc) pairs vs a stored SimHash index
+    * (exact recall for maxHamming <= 15 via multi-index-hashing probe
+    * expansion against the unchanged store).
+    */
+  def simHashNearDupsStored(docs: DataFrame, table: String,
+      idCol: String, textCol: String, maxHamming: Int): DataFrame =
+    graft.ops.Dedup.simHashNearDupsStored(docs, table, idCol, textCol,
+      maxHamming)
+
   /** Persist an image perceptual-hash LSH index as a store table. */
   def writeImageHashReference(reference: DataFrame, idCol: String,
       blobCol: String, table: String, useDHash: Boolean,
