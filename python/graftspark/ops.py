@@ -755,6 +755,23 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def audio_near_dups_shifted(df: DataFrame, id_col: str, blob_col: str,
+                            window_frames: int = 256,
+                            min_shared_blocks: int = 4,
+                            max_bucket_size: int = 10000) -> DataFrame:
+    """TIME-SHIFT-TOLERANT audio near-duplicate pairs: clips pair when
+    at least ``min_shared_blocks`` sliding fingerprints match at one
+    consistent relative window offset (offset voting — random
+    collisions scatter across offsets, a true shifted copy concentrates
+    on its shift). Closes the alignment sensitivity of
+    ``audio_near_dups``; tolerance granularity is ``window_frames``
+    frames, at ~8x its fingerprint rows. Output: id_a, id_b, shift,
+    n_shared."""
+    return _to_py_df(_jvm_bridge(df).audioNearDupsShifted(
+        df._jdf, id_col, blob_col, int(window_frames),
+        int(min_shared_blocks), int(max_bucket_size)), df)
+
+
 def image_quality_monitor(df: DataFrame, ts_col: str, cadence: str,
                           watermark: str, id_col: str,
                           blob_col: str) -> DataFrame:

@@ -1476,6 +1476,29 @@ def test_round15_nested_mih():
         assert all((500000 + i, i) in hits for i in range(8)), hits
     finally:
         spark.sql("DROP TABLE IF EXISTS py_r15_shref_buckets")
+    # time-shift-tolerant audio dedup: a 2-window-shifted copy pairs at
+    # the planted offset through the facade
+    import struct as _struct
+    jvm = spark._jvm
+    W = 32
+
+    def _pcm(vals):
+        gw = spark._sc._gateway
+        arr = gw.new_array(gw.jvm.short, len(vals))
+        for i, v in enumerate(vals):
+            arr[i] = v
+        return bytes(jvm.graft.ops.Media.encodeWavPcm16(8000, 1, arr))
+
+    base_s = [((7 * 31 + i * 17 + (i * i) % 97) % 2003) - 1001
+              for i in range(40 * W)]
+    a_df = spark.createDataFrame(
+        [(0, _pcm(base_s)), (1, _pcm([0] * (2 * W) + base_s))],
+        ["id", "blob"])
+    sh = ops.audio_near_dups_shifted(a_df, "id", "blob",
+                                     window_frames=W,
+                                     min_shared_blocks=10).collect()
+    planted = [r for r in sh if r["id_a"] == 0 and r["id_b"] == 1]
+    assert planted and planted[0]["shift"] == -2, sh
     print("round-15 nested profile + MIH facade OK")
 
 

@@ -2953,6 +2953,36 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q267_audio_shifted" -> ((s, dir) => {
+      // time-shift-tolerant audio dedup END-TO-END: planted copies of
+      // doc_id < 20 with 1..4 windows of prepended silence must pair
+      // with their originals AT EXACTLY the planted offset (the
+      // offset-voting contract — the blocked q204 join cannot recover
+      // any of these); recovery count is the oracle, AudioShiftSpec
+      // pins the sliding-fingerprint identities
+      import s.implicits._
+      val w = 32
+      def mk(id: Long, n: Int): Array[Short] =
+        Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 17 + (i * i) % 97) % 2003) - 1001).toShort)
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.flatMap { id =>
+        val base = mk(id, 50 * w)
+        val orig = Seq((id, graft.ops.Media.encodeWavPcm16(8000, 1, base)))
+        if (id < 20) {
+          val sh = (1 + id % 4).toInt
+          orig :+ ((id + 100000L, graft.ops.Media.encodeWavPcm16(8000, 1,
+            new Array[Short](sh * w) ++ base)))
+        } else orig
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.audioNearDupsShifted(blobs, "doc_id", "blob",
+        windowFrames = w, minSharedBlocks = 10)
+        .filter(col("id_b") === col("id_a") + 100000 &&
+          col("shift") === -(lit(1) + pmod(col("id_a"), lit(4))))
+        .agg(count(lit(1)).as("n_recovered"))
+    }),
+
     "q266_simhash_stored" -> ((s, dir) => {
       // incremental TEXT dedup against a stored 8-byte SimHash index —
       // the cheapest stored screen by state, with the WIDE radius
@@ -6849,6 +6879,10 @@ object SparkEntry {
     "q263_mih_neardups" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q267_audio_shifted" ->
+      """SELECT count(*)::BIGINT AS n_recovered
+        |FROM documents WHERE doc_id < 20""".stripMargin,
 
     "q266_simhash_stored" ->
       """SELECT

@@ -189,6 +189,13 @@ object ProfileIO {
       case f if ProfileSchema.isProfileType(f.dataType) => f.name
     }.toSeq
 
+  /** Resolve a profile COLUMN whose name may carry dots (flattened
+    * nested leaves like "arr.size") — unquoted, col() would walk it as
+    * a field path into a sibling struct.
+    */
+  private def qcol(name: String): Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
+
   /** Append a `why_profile` binary column carrying the full
     * DatasetProfileMessage of each profile row (built on executors).
     */
@@ -204,7 +211,7 @@ object ProfileIO {
     val cols = profileStructCols(profiles)
     val expr = DatasetProfileProtoExpr(
       cols,
-      cols.map(c => GraftBridge.expression(col(c).getField("state"))) ++
+      cols.map(c => GraftBridge.expression(qcol(c).getField("state"))) ++
         segmentTagCols.map(c => GraftBridge.expression(col(c))) ++
         model.map { case (cn, _) => GraftBridge.expression(col(cn)) },
       sessionId, sessionTimestamp, tags, metadata, model.map(_._2),
@@ -230,7 +237,7 @@ object ProfileIO {
       case f if !structCols.contains(f.name) => col(f.name)
     }.toSeq
     val summaries = structCols.map { c =>
-      col(c).dropFields("state", "numbers.kll", "numbers.theta",
+      qcol(c).dropFields("state", "numbers.kll", "numbers.theta",
         "strings.theta", "cardinality.hll").as(c)
     }
     profiles.select(keep ++ Seq(
@@ -251,10 +258,10 @@ object ProfileIO {
     val summaries = structCols.map { c =>
       val base =
         if (splitpoints.contains(c))
-          col(c).withField("numbers.histogram",
+          qcol(c).withField("numbers.histogram",
             graft.functions.kll_histogram_splits(
-              col(s"$c.numbers.kll"), splitpoints(c)))
-        else col(c)
+              qcol(c).getField("numbers").getField("kll"), splitpoints(c)))
+        else qcol(c)
       base.dropFields("state", "numbers.kll", "numbers.theta",
         "strings.theta", "cardinality.hll").as(c)
     }

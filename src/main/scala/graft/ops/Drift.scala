@@ -200,13 +200,15 @@ object Drift {
       require(df.limit(2).count() == 1,
         s"schemaDrift: side $side must hold exactly ONE global profile " +
           "row — merge grouped profiles down first (mergeProfiles)")
+      // backtick the profile column segment: flattened nested leaves
+      // carry dots ("arr.size") that col() would walk as a field path
       df.select(explode(array(cols.map(c => struct(
         lit(c).as("column"),
-        col(s"$c.inferred_type").as(s"type_$side"),
-        when(col(s"$c.count") > 0,
-          col(s"$c.null_count").cast("double") / col(s"$c.count"))
+        col(s"`$c`.inferred_type").as(s"type_$side"),
+        when(col(s"`$c`.count") > 0,
+          col(s"`$c`.null_count").cast("double") / col(s"`$c`.count"))
           .otherwise(lit(0.0)).as(s"null_frac_$side"),
-        round(col(s"$c.cardinality.estimate")).cast("long")
+        round(col(s"`$c`.cardinality.estimate")).cast("long")
           .as(s"card_$side"))): _*)).as("e"))
         .select(col("e.*"))
         .withColumn(s"present_$side", lit(1))

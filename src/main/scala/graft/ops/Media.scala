@@ -1142,6 +1142,94 @@ object Media {
     }
   }
 
+  /** Stride-1 SLIDING variant of [[audioFingerprintBlocks]]: one
+    * 64-bit fingerprint per delta-window START (8 consecutive deltas x
+    * 8 bands from each offset), not per disjoint 8-delta group. A copy
+    * time-shifted by any whole number of windows shares every sliding
+    * fingerprint outside the splice boundary, at a CONSTANT index
+    * offset — the alignment tolerance the blocked form trades away
+    * (its fingerprints only survive shifts that are multiples of
+    * 8 x windowFrames). Cost: ~8x the fingerprint rows of the blocked
+    * form — the classic recall/cost trade, now choosable per call.
+    */
+  def audioFingerprintsSliding(
+      blob: Array[Byte], windowFrames: Int): Seq[(Int, Long)] = {
+    val bands = 8
+    val e = goertzelEnergiesPcm16(blob, windowFrames, bands)
+    val deltas = math.max(0, e.length - 1)
+    (0 to deltas - 8).map { s =>
+      var fp = 0L
+      var i = 0
+      while (i < 8) {
+        val w = s + i + 1
+        var k = 0
+        while (k < bands) {
+          if (e(w)(k) > e(w - 1)(k)) fp |= 1L << (i * 8 + k)
+          k += 1
+        }
+        i += 1
+      }
+      (s, fp)
+    }
+  }
+
+  /** TIME-SHIFT-TOLERANT audio near-duplicate pairs — closes the
+    * alignment sensitivity [[audioNearDups]] documents: clips pair
+    * when at least `minSharedBlocks` sliding fingerprints
+    * ([[audioFingerprintsSliding]]) match at ONE CONSISTENT relative
+    * window offset (Shazam-style offset voting: random collisions
+    * scatter across offsets; a true shifted copy concentrates on its
+    * shift). Tolerance granularity is `windowFrames` frames — shifts
+    * that are whole windows recover fully; sub-window shifts still
+    * change the energies themselves.
+    *
+    * Scale shape: decode + sliding fingerprints are ONE partition-local
+    * pass (8x the blocked form's rows — the documented trade);
+    * candidates bucket on the fingerprint VALUE with the salted
+    * oversized-bucket cap (silence / test tones drop, a near-cap
+    * bucket spreads across tasks); the (clip, window-index) pair rides
+    * the bucket join packed into one long, so the offset vote is a
+    * plain groupBy after decode — never all-pairs. Clip ids must fit
+    * 31 bits (enforced).
+    *
+    * Output: (id_a, id_b, shift, n_shared), id_a < id_b, where
+    * `shift` = id_a's window index minus id_b's at the winning offset
+    * (one row per offset that clears `minSharedBlocks`).
+    */
+  def audioNearDupsShifted(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int = 256, minSharedBlocks: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minSharedBlocks >= 1,
+      s"minSharedBlocks must be >= 1, got $minSharedBlocks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        require(id >= 0 && id < (1L << 31),
+          s"clip id $id does not fit 31 bits (the packed pair key)")
+        try audioFingerprintsSliding(blob, windowFrames)
+          .map { case (s, fp) => (id * 4294967296L + s, fp) }
+        catch { case _: IllegalArgumentException => Nil }
+      })
+      .toDF("cid", "fp")
+    val decoded = Dedup
+      .cappedBucketPairs(fps, Seq("fp"), "cid", maxBucketSize)
+      .select(
+        shiftrightunsigned(col("id_a"), 32).as("ca"),
+        col("id_a").bitwiseAND(lit(0xffffffffL)).as("ia"),
+        shiftrightunsigned(col("id_b"), 32).as("cb"),
+        col("id_b").bitwiseAND(lit(0xffffffffL)).as("ib"))
+      .filter(col("ca") =!= col("cb")) // in-clip repeats are not dups
+    decoded
+      .groupBy(col("ca"), col("cb"), (col("ia") - col("ib")).as("shift"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedBlocks)
+      .select(col("ca").as("id_a"), col("cb").as("id_b"), col("shift"),
+        col("n_shared"))
+  }
+
   final case class AudioFpRecord(id: Long, block: Int, fp: Long)
 
   /** Per-clip audio sub-fingerprints of a binary WAV column: one row

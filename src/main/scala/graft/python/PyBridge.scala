@@ -709,6 +709,15 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Time-shift-tolerant audio near-dup pairs (sliding fingerprints +
+    * offset voting).
+    */
+  def audioNearDupsShifted(df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int, minSharedBlocks: Int,
+      maxBucketSize: Int): DataFrame =
+    graft.ops.Media.audioNearDupsShifted(df, idCol, blobCol,
+      windowFrames, minSharedBlocks, maxBucketSize)
+
   /** Windowed image-quality monitor (works on batch AND streaming
     * frames; corrupt blobs cost their row, counted as n_corrupt).
     */

@@ -135,6 +135,29 @@ class NestedProfileSpec extends AnyFunSuite with Matchers
     m shouldBe d
   }
 
+  test("flattened profiles ride the downstream surfaces: wire export " +
+    "round-trips dotted leaf names, jsonSummary serializes them, " +
+    "schemaDrift diffs them (the dotted-name resolution bug class)") {
+    val sess = nestedDf.newProfilingSession().flattenNested()
+    val prof = sess.aggProfiles()
+    // wire export: the proto parses back and carries the dotted names
+    val proto = sess.exportProto()
+    val bytes = proto.select(col("why_profile")).head().getAs[Array[Byte]](0)
+    val msg = graft.io.ProfileProto.fromBytes(bytes)
+    msg.columns.keySet should contain allOf ("s.x", "s.y", "arr",
+      "arr.size", "m.keys", "as.v")
+    // json summary: dotted leaves appear as keys
+    val js = graft.io.ProfileIO.jsonSummary(prof)
+      .select(col("summary_json")).head().getString(0)
+    js should include ("\"arr.size\"")
+    js should include ("\"s.x\"")
+    // schema drift between two flattened profiles resolves per leaf
+    val drift = graft.ops.Drift.schemaDrift(prof, prof)
+    val cols = drift.select(col("column")).collect().map(_.getString(0)).toSet
+    cols should contain allOf ("s.x", "arr.size", "m.keys")
+    drift.filter(col("type_changed") =!= 0).count() shouldBe 0L
+  }
+
   test("wide nested schema: a 60-field struct flattens to 60 leaf " +
     "profiles in ONE aggregate pass") {
     import spark.implicits._
