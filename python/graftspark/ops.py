@@ -755,6 +755,21 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def video_near_dups_fuzzy(df: DataFrame, id_col: str, blob_col: str,
+                          every_n: int = 1, max_hamming: int = 6,
+                          min_shared_frames: int = 2,
+                          max_bucket_size: int = 10000) -> DataFrame:
+    """Radius-tolerant video near-duplicate pairs — the fuzzy twin of
+    ``video_near_dups`` for re-encoded copies whose frame hashes drift
+    a few bits: clips pair when at least ``min_shared_frames``
+    cross-clip frame pairs sit within ``max_hamming`` (exact recall for
+    radii <= 15 via the multi-index-hashing frame join; never
+    all-pairs). Output: id_a, id_b, n_shared."""
+    return _to_py_df(_jvm_bridge(df).videoNearDupsFuzzy(
+        df._jdf, id_col, blob_col, int(every_n), int(max_hamming),
+        int(min_shared_frames), int(max_bucket_size)), df)
+
+
 def audio_near_dups_shifted(df: DataFrame, id_col: str, blob_col: str,
                             window_frames: int = 256,
                             min_shared_blocks: int = 4,

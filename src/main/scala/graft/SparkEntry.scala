@@ -2953,6 +2953,48 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q268_video_fuzzy" -> ((s, dir) => {
+      // radius-tolerant video dedup END-TO-END (the fuzzy twin of
+      // q217, riding the multi-index-hashing frame join): planted
+      // copies of doc_id < 20 whose every frame carries a small dark
+      // patch (aHash drifts a few bits — the re-encode regime) must
+      // pair with their originals at radius 10; the exact-match join
+      // cannot serve these. Recovery count is the oracle;
+      // VideoFuzzySpec pins routed == brute on real frame hashes.
+      import s.implicits._
+      def mkFrame(id: Long, f: Int, patch: Int): Array[Byte] = {
+        val w = 32; val h = 24
+        val px = Array.tabulate(w * h * 3) { i =>
+          val p = i / 3; val x = p % w; val y = p / w
+          ((id * 7 + f * 13 + 3 * x * x / (y + 1) + 5 * y) % 256).toByte
+        }
+        var y = 0
+        while (y < patch) {
+          var x = 0
+          while (x < patch) {
+            val p = (y * w + x) * 3
+            px(p) = 0; px(p + 1) = 0; px(p + 2) = 0
+            x += 1
+          }
+          y += 1
+        }
+        graft.ops.Media.encodePpm(graft.ops.Media.PpmImage(w, h, px))
+      }
+      def mkClip(id: Long, patch: Int): Array[Byte] =
+        graft.ops.Media.encodeGvid(4000,
+          (0 until 5).map(f => mkFrame(id, f, patch)))
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+      val clips = ids.flatMap { id =>
+        val orig = Seq((id, mkClip(id, 0)))
+        if (id < 20) orig :+ ((id + 100000L, mkClip(id, 6))) else orig
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.videoNearDupsFuzzy(clips, "doc_id", "blob",
+        maxHamming = 10, minSharedFrames = 2)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .agg(count(lit(1)).as("n_recovered"))
+    }),
+
     "q267_audio_shifted" -> ((s, dir) => {
       // time-shift-tolerant audio dedup END-TO-END: planted copies of
       // doc_id < 20 with 1..4 windows of prepended silence must pair
@@ -6881,6 +6923,10 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q267_audio_shifted" ->
+      """SELECT count(*)::BIGINT AS n_recovered
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
 

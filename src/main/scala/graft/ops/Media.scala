@@ -835,6 +835,59 @@ object Media {
       .filter(col("n_shared") >= minSharedFrames)
   }
 
+  /** RADIUS-TOLERANT video near-duplicate pairs — the fuzzy twin of
+    * [[videoNearDups]] for RE-ENCODED copies whose frame hashes drift
+    * a few bits (the pHash/aHash recompression regime): two videos
+    * pair when at least `minSharedFrames` cross-clip FRAME PAIRS sit
+    * within `maxHamming` (a frame matching two frames of the other
+    * clip counts twice). Candidates ride the shared multi-index-
+    * hashing engine ([[bandedHammingPairsReleasable]]) over
+    * (clip, frame)-packed hash rows, so any radius <= 15 is exact by
+    * the pigeonhole — never all-pairs, frames of flat content drop at
+    * the bucket cap. Clip ids must fit 31 bits (enforced). Corrupt
+    * containers drop whole. Output: (id_a, id_b, n_shared),
+    * id_a < id_b.
+    */
+  def videoNearDupsFuzzy(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int = 1, maxHamming: Int = 6, minSharedFrames: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "the packed-frame fuzzy join rides the lazy MIH regime only " +
+        s"(maxHamming <= 15), got $maxHamming")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        require(id >= 0 && id < (1L << 31),
+          s"clip id $id does not fit 31 bits (the packed pair key)")
+        try {
+          gvidFrames(blob).collect {
+            case (i, ppm) if i % everyN == 0 => aHash64(decodePpm(ppm))
+          }.toVector.distinct.zipWithIndex.map { case (h, idx) =>
+            (id * 4294967296L + idx, h)
+          }
+        } catch {
+          case _: IllegalArgumentException => Vector.empty
+        }
+      })
+      .toDF("id", "h")
+    val (pairs, _) =
+      bandedHammingPairsReleasable(hashes, maxHamming, maxBucketSize)
+    pairs
+      .select(shiftrightunsigned(col("id_a"), 32).as("ca"),
+        shiftrightunsigned(col("id_b"), 32).as("cb"))
+      .filter(col("ca") =!= col("cb")) // in-clip near-frames are motion
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+      .select(col("ca").as("id_a"), col("cb").as("id_b"), col("n_shared"))
+  }
+
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
   def meanRgb(img: PpmImage): (Double, Double, Double) = {
     var r = 0L; var g = 0L; var b = 0L

@@ -709,6 +709,15 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Radius-tolerant video near-dup pairs (multi-index-hashing frame
+    * join — re-encoded copies whose frame hashes drift a few bits).
+    */
+  def videoNearDupsFuzzy(df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int, maxHamming: Int, minSharedFrames: Int,
+      maxBucketSize: Int): DataFrame =
+    graft.ops.Media.videoNearDupsFuzzy(df, idCol, blobCol, everyN,
+      maxHamming, minSharedFrames, maxBucketSize)
+
   /** Time-shift-tolerant audio near-dup pairs (sliding fingerprints +
     * offset voting).
     */

@@ -79,6 +79,32 @@ class MihHammingSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("property: routed == brute on SEEDED RANDOM corpora with " +
+    "planted clusters at random radii across the full MIH range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x15AL)
+    for (_ <- 1 to 6) {
+      val radius = rnd.nextInt(16) // 0..15 — exercises r'=0..3
+      val n = 30 + rnd.nextInt(170)
+      val base = (0L until n.toLong).map(i => (i, rnd.nextLong()))
+      // planted cluster: perturbations of one hash at random distances
+      val clustered = (0 until 10).map { j =>
+        (10000L + j,
+          flip(base.head._2, rnd.nextInt(radius + 4), seed = j + 17))
+      }
+      val vals = base ++ clustered
+      val (routed, release) = Media.bandedHammingPairsReleasable(
+        vals.toDF("id", "h"), radius, maxBucketSize = 10000)
+      val got = try {
+        routed.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      } finally release()
+      withClue(s"radius=$radius n=${vals.size}: ") {
+        got shouldBe bruteWithin(vals, radius)
+      }
+    }
+  }
+
   test("probe-delta sets have the exact pigeonhole cardinalities " +
     "(1 + C(16,1) [+ C(16,2) [+ C(16,3)]])") {
     Media.mihProbeDeltas(0).length shouldBe 1
