@@ -1085,9 +1085,13 @@ object Bench {
       // corroborating per-row load evidence (ADVICE r14): a sustained
       // external load that starts after loadBefore was read and slows
       // every pass uniformly leaves spread ~1.0 — but it keeps BOTH the
-      // row's pre and post 1-minute loadavg above the gate, which the
-      // bench's own bursts do not (they decay between rows)
-      val sustainedLoad = loadPre > loadMax && loadPost > loadMax
+      // row's pre and post 1-minute loadavg high. The bar sits at
+      // 1.5x the gate (~17 on 32 cores): the bench's OWN 32-thread
+      // bursts measured 11-12 at peak (r13), so plain > loadMax would
+      // false-flag rows adjacent to the heavy graph cluster; only load
+      // the bench cannot self-generate trips this.
+      val sustainedLoad =
+        math.min(loadPre, loadPost) > loadMax * 1.5
       val contended =
         (spread > spreadMax && secondBest - sec > 0.1) || sustainedLoad
       // first successful pass vs the min separates JIT/warmup cost from

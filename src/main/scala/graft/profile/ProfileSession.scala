@@ -129,11 +129,18 @@ case class ProfileSession(
         case _ => Seq((c.as(name), name))
       }
     val keep = reservedColumns
-    val cols = df.schema.fields.toSeq.flatMap { f =>
-      if (keep(f.name)) Seq(col(f.name))
-      else expand(col(f.name), f.name, f.dataType).map(_._1)
+    val named = df.schema.fields.toSeq.flatMap { f =>
+      if (keep(f.name)) Seq((col(f.name), f.name))
+      else expand(col(f.name), f.name, f.dataType)
     }
-    copy(df = df.select(cols: _*))
+    // a leaf path can collide with a literal input column ("arr.size"
+    // next to an array "arr") — fail loudly; a silent duplicate would
+    // make every downstream by-name resolution ambiguous
+    val dupes = named.map(_._2).groupBy(identity).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"flattenNested would produce duplicate column names: " +
+        s"${dupes.mkString(", ")} — rename the colliding input columns")
+    copy(df = df.select(named.map(_._1): _*))
   }
 
   /** The profile DataFrame: one row per (group keys x time window), one

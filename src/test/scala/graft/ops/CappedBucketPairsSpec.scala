@@ -62,6 +62,33 @@ class CappedBucketPairsSpec extends AnyFunSuite with Matchers
     got.toSeq.sorted shouldBe Seq((1L, 2L), (1L, 2L))
   }
 
+  test("property: salted == brute on SEEDED RANDOM bucket layouts " +
+    "(random sizes straddling random salt targets and caps)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xB0CCEL)
+    for (_ <- 1 to 5) {
+      val saltTarget = 2 + rnd.nextInt(12)
+      val maxBucketSize = saltTarget + rnd.nextInt(30)
+      val nBuckets = 1 + rnd.nextInt(8)
+      val layout = (0 until nBuckets).map(k =>
+        k.toLong -> (1 + rnd.nextInt(maxBucketSize + 10)))
+      val rows = for {
+        (bucket, sz) <- layout
+        i <- 0 until sz
+      } yield (bucket, bucket * 100000L + i * 3L)
+      val got = Dedup
+        .cappedBucketPairs(rows.toDF("bb", "id"), Seq("bb"), "id",
+          maxBucketSize, saltTarget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (bucket, sz) <- layout if sz <= maxBucketSize
+        pair <- brutePairs((0 until sz).map(i => bucket * 100000L + i * 3L))
+      } yield pair).toSet
+      withClue(s"saltTarget=$saltTarget cap=$maxBucketSize " +
+        s"layout=$layout: ") { got shouldBe want }
+    }
+  }
+
   test("a planted 10k-id bucket (the near-cap straggler case) spreads " +
     "its ~50M pairs so no single task owns more than 10%") {
     import spark.implicits._

@@ -135,6 +135,58 @@ class NestedProfileSpec extends AnyFunSuite with Matchers
     m shouldBe d
   }
 
+  test("property: array ELEMENT profiles equal the profile of the " +
+    "exploded elements on seeded random nested data (the explode-free " +
+    "in-row walk is an optimization, not a semantic)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x2E57L)
+    val rows = (0 until 120).map { i =>
+      val n = rnd.nextInt(6)
+      val arr =
+        if (rnd.nextInt(10) == 0) null
+        else Seq.tabulate(n)(j =>
+          if (rnd.nextInt(8) == 0) null
+          else java.lang.Double.valueOf(rnd.nextInt(1000) / 7.0))
+      (i.toLong, arr)
+    }
+    val df = rows.toDF("id", "arr")
+    val nested = df.newProfilingSession().flattenNested().aggProfiles()
+      .select(col("arr.count"), col("arr.null_count"),
+        col("arr.numbers.count"), col("arr.numbers.sum"),
+        col("arr.numbers.min"), col("arr.numbers.max"),
+        col("arr.numbers.variance"), col("arr.cardinality.estimate"))
+      .head()
+    val exploded = df.filter(col("arr").isNotNull)
+      .select(explode(col("arr")).as("el"))
+      .agg(graft.functions.profile(col("el")).as("p"))
+      .select(col("p.count"), col("p.null_count"),
+        col("p.numbers.count"), col("p.numbers.sum"),
+        col("p.numbers.min"), col("p.numbers.max"),
+        col("p.numbers.variance"), col("p.cardinality.estimate"))
+      .head()
+    val nullArrays = rows.count(_._2 == null).toLong
+    nested.getLong(0) shouldBe exploded.getLong(0) + nullArrays
+    nested.getLong(1) shouldBe exploded.getLong(1) + nullArrays
+    nested.getLong(2) shouldBe exploded.getLong(2)
+    nested.getDouble(4) shouldBe exploded.getDouble(4) // min exact
+    nested.getDouble(5) shouldBe exploded.getDouble(5) // max exact
+    // sum/variance merge in different partition orders between the two
+    // plans — FP addition is not associative, so compare to 1e-9 rel
+    for (i <- Seq(3, 6, 7))
+      nested.getDouble(i) shouldBe exploded.getDouble(i) +-
+        (math.abs(exploded.getDouble(i)) * 1e-9 + 1e-12)
+  }
+
+  test("a leaf path colliding with a literal input column fails " +
+    "loudly instead of producing ambiguous duplicate names") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0), 3, 1L)).toDF("arr", "arr.size", "id")
+    val e = intercept[IllegalArgumentException] {
+      df.newProfilingSession().flattenNested()
+    }
+    e.getMessage should include ("arr.size")
+  }
+
   test("flattened profiles ride the downstream surfaces: wire export " +
     "round-trips dotted leaf names, jsonSummary serializes them, " +
     "schemaDrift diffs them (the dotted-name resolution bug class)") {
