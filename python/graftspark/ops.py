@@ -755,6 +755,26 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def image_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """HEADER-ONLY image metadata — format, dimensions, bit depth and
+    component count WITHOUT pixel decode (PNG signature+IHDR, JPEG
+    marker walk to SOF, PPM ASCII header): profiling the shape of an
+    image corpus costs header bytes per row, not a decode. Strict —
+    corrupt headers fail the job; crawl feeds use
+    ``image_meta_lenient``. Output: id, format, width, height,
+    bit_depth, n_components."""
+    return _to_py_df(_jvm_bridge(df).imageMeta(
+        df._jdf, id_col, blob_col), df)
+
+
+def image_meta_lenient(df: DataFrame, id_col: str,
+                       blob_col: str) -> DataFrame:
+    """``image_meta`` with crawl-ingest DROP semantics: a corrupt
+    header costs its row, never the job."""
+    return _to_py_df(_jvm_bridge(df).imageMetaLenient(
+        df._jdf, id_col, blob_col), df)
+
+
 def video_near_dups_fuzzy(df: DataFrame, id_col: str, blob_col: str,
                           every_n: int = 1, max_hamming: int = 6,
                           min_shared_frames: int = 2,

@@ -1499,6 +1499,14 @@ def test_round15_nested_mih():
                                      min_shared_blocks=10).collect()
     planted = [r for r in sh if r["id_a"] == 0 and r["id_b"] == 1]
     assert planted and planted[0]["shift"] == -2, sh
+    # header-only image metadata: dims without decode; corrupt drops
+    m_df = spark.createDataFrame(
+        [(0, bytes(jvm.graft.ops.Media.synthesizePng(4))),
+         (1, bytes(jvm.graft.ops.Media.synthesizeJpeg(4, 0.95))),
+         (2, b"not an image")], ["id", "blob"])
+    metas = {r["id"]: (r["format"], r["width"], r["height"])
+             for r in ops.image_meta_lenient(m_df, "id", "blob").collect()}
+    assert metas == {0: ("png", 8, 7), 1: ("jpeg", 8, 7)}, metas
     print("round-15 nested profile + MIH facade OK")
 
 

@@ -872,6 +872,20 @@ object Bench {
           .agg(countDistinct(col("ahash"))).first(); 1L
       }),
 
+      // header-only metadata over the SAME blobs image_decode fully
+      // decodes — the row pair quantifies what walking headers instead
+      // of pixels buys at corpus scale
+      "image_meta" -> (() => {
+        import spark.implicits._
+        val blobs = t("documents").filter(col("doc_id") < 4000)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, graft.ops.Media.synthesizePng(id)))
+          .toDF("doc_id", "blob")
+        graft.ops.Media.imageMeta(blobs, "doc_id", "blob")
+          .agg(sum(col("width") * col("height")), count(lit(1)))
+          .first(); 1L
+      }),
+
       // wide-radius Hamming join at corpus width through multi-index
       // hashing (the regime that REFUSED past 100k hashes in r14):
       // SimHash the full document table plus planted one-word edits,

@@ -2953,6 +2953,27 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q269_image_meta" -> ((s, dir) => {
+      // HEADER-ONLY image metadata over mixed ppm+png+jpeg containers:
+      // format/dims/depth from header bytes alone (no pixel decode —
+      // ImageMetaSpec proves truncated-pixel blobs still parse); dims
+      // replay analytically from the synthetic formula
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map { id =>
+        val blob = (id % 3) match {
+          case 0 => graft.ops.Media.synthesizePpm(id)
+          case 1 => graft.ops.Media.synthesizePng(id)
+          case _ => graft.ops.Media.synthesizeJpeg(id)
+        }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.imageMeta(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("bit_depth"))
+    }),
+
     "q268_video_fuzzy" -> ((s, dir) => {
       // radius-tolerant video dedup END-TO-END (the fuzzy twin of
       // q217, riding the multi-index-hashing frame join): planted
@@ -6929,6 +6950,15 @@ object SparkEntry {
     "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q269_image_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+        |    ELSE 'jpeg' END AS format,
+        |  (4 + doc_id % 8)::INT AS width,
+        |  (3 + doc_id % 5)::INT AS height,
+        |  8::INT AS bit_depth
+        |FROM documents WHERE doc_id < 100""".stripMargin,
 
     "q266_simhash_stored" ->
       """SELECT

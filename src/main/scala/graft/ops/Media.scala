@@ -35,10 +35,11 @@ object Media {
     out
   }
 
-  /** Parse a P6 PPM: magic, whitespace/comment-tolerant header tokens,
-    * then width*height*3 raw bytes.
+  /** P6 header parse shared by the full decode and the header-only
+    * metadata walk: (width, height, position of the first pixel byte).
+    * Touches header bytes only.
     */
-  def decodePpm(blob: Array[Byte]): PpmImage = {
+  private def parsePpmHeader(blob: Array[Byte]): (Int, Int, Int) = {
     require(blob.length >= 2 && blob(0) == 'P' && blob(1) == '6',
       "not a P6 PPM")
     var pos = 2
@@ -66,6 +67,14 @@ object Media {
     require(maxVal == 255, s"unsupported maxval $maxVal")
     require(w > 0 && h > 0, s"invalid dimensions ${w}x$h")
     pos += 1 // single whitespace after maxval per spec
+    (w, h, pos)
+  }
+
+  /** Parse a P6 PPM: magic, whitespace/comment-tolerant header tokens,
+    * then width*height*3 raw bytes.
+    */
+  def decodePpm(blob: Array[Byte]): PpmImage = {
+    val (w, h, pos) = parsePpmHeader(blob)
     // size math in Long — Int w*h*3 can overflow to a negative that would
     // defeat the truncation guard below
     val n = w.toLong * h * 3
@@ -1999,6 +2008,146 @@ object Media {
       case _ => throw new IllegalArgumentException(
         "unrecognized image container (magic bytes match no known format)")
     }
+
+  // ===== header-only image metadata (no pixel decode) ===============
+
+  final case class ImageMeta(format: String, width: Int, height: Int,
+      bitDepth: Int, nComponents: Int)
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  private def be16(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+  /** PNG IHDR walk: the 8-byte signature plus the mandatory first
+    * chunk (length 13, type IHDR) fix the metadata in the first 33
+    * bytes — width/height (big-endian 32), bit depth, color type.
+    * Color type -> sample count per the PNG spec (0 gray, 2 truecolor,
+    * 3 palette-indexed, 4 gray+alpha, 6 truecolor+alpha).
+    */
+  def parsePngMeta(blob: Array[Byte]): ImageMeta = {
+    require(blob.length >= 33, "truncated PNG header")
+    require((blob(0) & 0xff) == 0x89 && blob(1) == 'P' && blob(2) == 'N' &&
+      blob(3) == 'G' && (blob(4) & 0xff) == 0x0d && (blob(5) & 0xff) == 0x0a &&
+      (blob(6) & 0xff) == 0x1a && (blob(7) & 0xff) == 0x0a,
+      "not a PNG signature")
+    require(be32(blob, 8) == 13 && blob(12) == 'I' && blob(13) == 'H' &&
+      blob(14) == 'D' && blob(15) == 'R',
+      "first PNG chunk is not a 13-byte IHDR")
+    val w = be32(blob, 16); val h = be32(blob, 20)
+    require(w > 0 && h > 0, s"invalid PNG dimensions ${w}x$h")
+    val bitDepth = blob(24) & 0xff
+    val colorType = blob(25) & 0xff
+    val nComp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case t => throw new IllegalArgumentException(s"bad PNG color type $t")
+    }
+    ImageMeta("png", w, h, bitDepth, nComp)
+  }
+
+  /** JPEG marker-segment walk to the SOF frame header: every segment
+    * is (0xFF, marker, 2-byte big-endian length), standalone markers
+    * (RSTn/TEM) carry no length, and the frame header (SOF0..15 minus
+    * DHT/JPG/DAC) holds precision, height, width, component count.
+    * Walks SEGMENT HEADERS only — entropy-coded pixel data is never
+    * reached (SOF precedes the scan).
+    */
+  def parseJpegMeta(blob: Array[Byte]): ImageMeta = {
+    require(blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8, "not a JPEG (no SOI marker)")
+    var pos = 2
+    while (pos + 3 < blob.length) {
+      require((blob(pos) & 0xff) == 0xff,
+        s"bad JPEG marker byte at $pos")
+      val marker = blob(pos + 1) & 0xff
+      if (marker == 0xff) pos += 1 // fill byte
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        pos += 2 // standalone: TEM / RSTn / SOI / EOI
+      } else {
+        val len = be16(blob, pos + 2)
+        require(len >= 2 && pos + 2 + len <= blob.length,
+          s"truncated JPEG segment at $pos (len $len)")
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          require(len >= 8, s"short SOF segment (len $len)")
+          val precision = blob(pos + 4) & 0xff
+          val h = be16(blob, pos + 5)
+          val w = be16(blob, pos + 7)
+          val nComp = blob(pos + 9) & 0xff
+          require(w > 0 && h > 0, s"invalid JPEG dimensions ${w}x$h")
+          return ImageMeta("jpeg", w, h, precision, nComp)
+        }
+        require(marker != 0xda,
+          "JPEG scan (SOS) reached before any SOF frame header")
+        pos += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("no SOF frame header found")
+  }
+
+  /** HEADER-ONLY image metadata — format, dimensions, bit depth and
+    * component count WITHOUT pixel decode: PNG reads its fixed 33-byte
+    * signature+IHDR, JPEG walks marker segments to the SOF header, PPM
+    * parses its ASCII header. The [[videoStats]] walks-headers-only
+    * pattern applied to stills: profiling the SHAPE of a 100 TB image
+    * corpus costs header bytes per row, not a full decode per row
+    * (spec-pinned: metadata parses blobs whose pixel data is
+    * truncated away, where the decoder rightly fails).
+    */
+  def parseImageMeta(blob: Array[Byte]): ImageMeta =
+    sniffImageFormat(blob) match {
+      case "ppm" =>
+        val (w, h, _) = parsePpmHeader(blob)
+        ImageMeta("ppm", w, h, 8, 3)
+      case "png" => parsePngMeta(blob)
+      case "jpeg" => parseJpegMeta(blob)
+      case _ => throw new IllegalArgumentException(
+        "unrecognized image container (magic bytes match no known format)")
+    }
+
+  final case class ImageMetaRecord(id: Long, format: String, width: Int,
+      height: Int, bit_depth: Int, n_components: Int)
+
+  /** Header-only metadata of a binary image column: (id, format,
+    * width, height, bit_depth, n_components), partition-local, no
+    * pixel decode, zero shuffle. Strict — corrupt blobs fail the job;
+    * crawl feeds use [[imageMetaLenient]].
+    */
+  def imageMeta(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val m = parseImageMeta(blob)
+        ImageMetaRecord(id, m.format, m.width, m.height, m.bitDepth,
+          m.nComponents)
+      })
+      .toDF()
+  }
+
+  /** [[imageMeta]] with crawl-ingest DROP semantics: a corrupt header
+    * costs its row, never the job.
+    */
+  def imageMetaLenient(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          val m = parseImageMeta(blob)
+          Some(ImageMetaRecord(id, m.format, m.width, m.height,
+            m.bitDepth, m.nComponents))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+      .toDF()
+  }
 
   /** [[synthesizePpm]]'s pixels in a PNG container: PNG is lossless,
     * so the decoded pixels — and therefore every analytic oracle

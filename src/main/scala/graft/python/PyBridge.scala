@@ -709,6 +709,15 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Header-only image metadata (no pixel decode). */
+  def imageMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.imageMeta(df, idCol, blobCol)
+
+  /** [[imageMeta]] with crawl-ingest DROP semantics for corrupt headers. */
+  def imageMetaLenient(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.imageMetaLenient(df, idCol, blobCol)
+
   /** Radius-tolerant video near-dup pairs (multi-index-hashing frame
     * join — re-encoded copies whose frame hashes drift a few bits).
     */
