@@ -755,6 +755,25 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """HEADER-ONLY audio metadata — container, channels, sample rate,
+    bit depth, frame count and exact integer-math duration WITHOUT
+    touching sample data (WAV header walker; AIFF/AU via the JDK's
+    header-reading AudioFileFormat). Strict — corrupt headers fail the
+    job; crawl feeds use ``audio_meta_lenient``. Output: id, format,
+    channels, sample_rate, bits_per_sample, n_frames, duration_us."""
+    return _to_py_df(_jvm_bridge(df).audioMeta(
+        df._jdf, id_col, blob_col), df)
+
+
+def audio_meta_lenient(df: DataFrame, id_col: str,
+                       blob_col: str) -> DataFrame:
+    """``audio_meta`` with crawl-ingest DROP semantics: a corrupt
+    header costs its row, never the job."""
+    return _to_py_df(_jvm_bridge(df).audioMetaLenient(
+        df._jdf, id_col, blob_col), df)
+
+
 def image_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """HEADER-ONLY image metadata — format, dimensions, bit depth and
     component count WITHOUT pixel decode (PNG signature+IHDR, JPEG

@@ -1507,6 +1507,11 @@ def test_round15_nested_mih():
     metas = {r["id"]: (r["format"], r["width"], r["height"])
              for r in ops.image_meta_lenient(m_df, "id", "blob").collect()}
     assert metas == {0: ("png", 8, 7), 1: ("jpeg", 8, 7)}, metas
+    am_df = spark.createDataFrame(
+        [(0, _pcm(base_s)), (1, b"xxxx")], ["id", "blob"])
+    ams = {r["id"]: (r["format"], r["n_frames"])
+           for r in ops.audio_meta_lenient(am_df, "id", "blob").collect()}
+    assert ams == {0: ("wav", 40 * W)}, ams
     print("round-15 nested profile + MIH facade OK")
 
 

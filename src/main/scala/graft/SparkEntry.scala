@@ -2953,6 +2953,30 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q270_audio_meta" -> ((s, dir) => {
+      // HEADER-ONLY audio metadata over mixed wav+aiff+au containers:
+      // channels/rate/frames/duration from header bytes alone (no
+      // sample decode — AudioMetaSpec proves truncated-payload AIFF/AU
+      // still parse); every field replays analytically
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.map { id =>
+        val n = (200 + (id % 50) * 4).toInt
+        val smp = Array.tabulate(n)(i => ((i * 37) % 2003 - 1001).toShort)
+        val blob = (id % 3) match {
+          case 0 => graft.ops.Media.encodeWavPcm16(8000, 1, smp)
+          case 1 => graft.ops.Media.encodeAiffPcm16(8000, 1, smp)
+          case _ => graft.ops.Media.encodeAuPcm16(8000, 1, smp)
+        }
+        (id, blob)
+      }.toDF("doc_id", "blob")
+      graft.ops.Media.audioMeta(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_frames"),
+          col("duration_us"))
+    }),
+
     "q269_image_meta" -> ((s, dir) => {
       // HEADER-ONLY image metadata over mixed ppm+png+jpeg containers:
       // format/dims/depth from header bytes alone (no pixel decode —
@@ -6950,6 +6974,17 @@ object SparkEntry {
     "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q270_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+        |    ELSE 'au' END AS format,
+        |  1::INT AS channels,
+        |  8000::INT AS sample_rate,
+        |  16::INT AS bits_per_sample,
+        |  (200 + (doc_id % 50) * 4)::BIGINT AS n_frames,
+        |  ((200 + (doc_id % 50) * 4) * 125)::BIGINT AS duration_us
+        |FROM documents WHERE doc_id < 100""".stripMargin,
 
     "q269_image_meta" ->
       """SELECT doc_id,

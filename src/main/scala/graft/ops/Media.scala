@@ -1621,6 +1621,14 @@ object Media {
         s"${f.getSampleSizeInBits}-bit (16-bit signed PCM only)")
     val data = ais.readAllBytes()
     val n = data.length / 2
+    // fail-fast on truncation, like the WAV walker and the PPM
+    // decoder: a stream cut inside its sample data must not silently
+    // decode as a shorter clip (readAllBytes returns what it got)
+    val declaredFrames = ais.getFrameLength
+    require(declaredFrames < 0 ||
+      n.toLong / f.getChannels == declaredFrames,
+      s"truncated audio payload: header declares $declaredFrames " +
+        s"frames, stream carried ${n.toLong / f.getChannels}")
     val out = new Array[Short](n)
     val big = f.isBigEndian
     var i = 0
@@ -1634,6 +1642,75 @@ object Media {
     }
     (WavMeta(f.getChannels, f.getSampleRate.toInt, 16,
       n.toLong / f.getChannels), out)
+  }
+
+  /** HEADER-ONLY audio metadata — the audio twin of
+    * [[parseImageMeta]]: container, channels, sample rate, bit depth,
+    * frame count and exact integer-math duration WITHOUT touching
+    * sample data. WAV rides the hand-rolled header walker; AIFF/AU
+    * ride `AudioSystem.getAudioFileFormat`, which reads the header
+    * and never the payload. Profiling the shape of an audio corpus
+    * costs header bytes per row, not a sample decode per row
+    * (spec-pinned: blobs truncated inside their sample data still
+    * parse, where the decoder rightly fails).
+    */
+  def parseAudioMeta(blob: Array[Byte]): (String, WavMeta) =
+    sniffAudioFormat(blob) match {
+      case "wav" => ("wav", parseWav(blob))
+      case fmt @ ("aiff" | "au") =>
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(blob))
+        val f = ff.getFormat
+        require(ff.getFrameLength >= 0,
+          s"$fmt header carries no frame count")
+        (fmt, WavMeta(f.getChannels, f.getSampleRate.toInt,
+          f.getSampleSizeInBits, ff.getFrameLength.toLong))
+      case _ => throw new IllegalArgumentException(
+        "unrecognized audio container (magic bytes match no known format)")
+    }
+
+  final case class AudioMetaRecord(id: Long, format: String,
+      channels: Int, sample_rate: Int, bits_per_sample: Int,
+      n_frames: Long, duration_us: Long)
+
+  /** Header-only metadata of a binary audio column: (id, format,
+    * channels, sample_rate, bits_per_sample, n_frames, duration_us) —
+    * partition-local, no sample decode, zero shuffle. Strict; crawl
+    * feeds use [[audioMetaLenient]].
+    */
+  def audioMeta(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val (fmt, m) = parseAudioMeta(blob)
+        AudioMetaRecord(id, fmt, m.channels, m.sampleRate,
+          m.bitsPerSample, m.nFrames,
+          m.nFrames * 1000000L / m.sampleRate)
+      })
+      .toDF()
+  }
+
+  /** [[audioMeta]] with crawl-ingest DROP semantics: a corrupt header
+    * costs its row, never the job.
+    */
+  def audioMetaLenient(
+      df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try {
+          val (fmt, m) = parseAudioMeta(blob)
+          Some(AudioMetaRecord(id, fmt, m.channels, m.sampleRate,
+            m.bitsPerSample, m.nFrames,
+            m.nFrames * 1000000L / m.sampleRate))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      })
+      .toDF()
   }
 
   /** Format-sniffing audio decode to (meta, PCM16 samples): WAV

@@ -709,6 +709,15 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Header-only audio metadata (no sample decode). */
+  def audioMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.Media.audioMeta(df, idCol, blobCol)
+
+  /** [[audioMeta]] with crawl-ingest DROP semantics for corrupt headers. */
+  def audioMetaLenient(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.Media.audioMetaLenient(df, idCol, blobCol)
+
   /** Header-only image metadata (no pixel decode). */
   def imageMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
     graft.ops.Media.imageMeta(df, idCol, blobCol)
