@@ -755,6 +755,35 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def compression_ratio(df: DataFrame, id_col: str, text_col: str,
+                      level: int = 6) -> DataFrame:
+    """Deflate compressibility screen — the Gopher/FineWeb-class
+    repetitiveness signal: boilerplate and looped text compress far
+    below normal prose, so ``ratio = deflate(utf8)/raw`` is a cheap
+    quality filter needing no model and no reference corpus. One
+    Deflater per partition; null text scores as empty (ratio 1.0).
+    Output: id, raw_bytes, compressed_bytes, ratio."""
+    return _to_py_df(_jvm_bridge(df).compressionRatio(
+        df._jdf, id_col, text_col, int(level)), df)
+
+
+def gzip_texts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gzip-compress a text column to (id, blob)."""
+    return _to_py_df(_jvm_bridge(df).gzipTexts(
+        df._jdf, id_col, text_col), df)
+
+
+def gunzip_texts(df: DataFrame, id_col: str, blob_col: str,
+                 lenient: bool = False) -> DataFrame:
+    """Decompress gzip members (WARC-style crawl payloads) to text.
+    Strict by default (a corrupt member fails the job);
+    ``lenient=True`` drops corrupt rows instead. Output: id, text."""
+    b = _jvm_bridge(df)
+    j = (b.gunzipTextsLenient(df._jdf, id_col, blob_col) if lenient
+         else b.gunzipTexts(df._jdf, id_col, blob_col))
+    return _to_py_df(j, df)
+
+
 def audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """HEADER-ONLY audio metadata — container, channels, sample rate,
     bit depth, frame count and exact integer-math duration WITHOUT

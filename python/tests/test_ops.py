@@ -1512,6 +1512,18 @@ def test_round15_nested_mih():
     ams = {r["id"]: (r["format"], r["n_frames"])
            for r in ops.audio_meta_lenient(am_df, "id", "blob").collect()}
     assert ams == {0: ("wav", 40 * W)}, ams
+    # compression screen + gzip round trip
+    c_df = spark.createDataFrame(
+        [(0, "spam ham " * 300),
+         (1, " ".join(f"w{(i * 37 + i * i) % 9973}" for i in range(150)))],
+        ["id", "text"])
+    ratios = {r["id"]: r["ratio"] for r in
+              ops.compression_ratio(c_df, "id", "text").collect()}
+    assert ratios[0] < 0.05 < 0.3 < ratios[1], ratios
+    gz = ops.gzip_texts(c_df, "id", "text")
+    back = {r["id"]: r["text"] for r in
+            ops.gunzip_texts(gz, "id", "blob").collect()}
+    assert back[0] == "spam ham " * 300
     print("round-15 nested profile + MIH facade OK")
 
 

@@ -2953,6 +2953,27 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q271_compression" -> ((s, dir) => {
+      // the deflate-compressibility quality screen (Gopher/FineWeb-
+      // class repetitiveness signal, no model, no reference corpus):
+      // planted boilerplate copies (doc_id < 50, text replaced by a
+      // 200x-repeated phrase in SQL-derivable form) must flag below
+      // ratio 0.2 while the whole corpus flows through one
+      // partition-local deflate pass; CompressionSpec pins the margin
+      // and repartition invariance
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("lorem ipsum dolor"), 200))
+            .as("text"))
+      graft.ops.TextOps.compressionRatio(
+        docs.unionAll(planted), "doc_id", "text")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("id") >= 100000 && col("ratio") < 0.2, 1L)
+            .otherwise(0L)).as("n_flagged_planted"))
+    }),
+
     "q270_audio_meta" -> ((s, dir) => {
       // HEADER-ONLY audio metadata over mixed wav+aiff+au containers:
       // channels/rate/frames/duration from header bytes alone (no
@@ -6974,6 +6995,12 @@ object SparkEntry {
     "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q271_compression" ->
+      """SELECT
+        |  (SELECT count(*) + 50 FROM documents)::BIGINT AS n_docs,
+        |  (SELECT count(*) FROM documents WHERE doc_id < 50)::BIGINT
+        |    AS n_flagged_planted""".stripMargin,
 
     "q270_audio_meta" ->
       """SELECT doc_id,

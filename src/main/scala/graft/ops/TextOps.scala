@@ -1568,4 +1568,113 @@ object TextOps {
       .orderBy(desc("pmi"), asc("w1"), asc("w2"))
       .limit(topK)
   }
+
+  // ===== compression (java.util.zip) ================================
+  // The one place TextOps leaves pure column composition: zlib rides
+  // the JDK's native binding, so these are partition-local
+  // mapPartitions at the codec boundary — the Media-decoder pattern,
+  // not a per-row UDF (one Deflater instance serves a whole partition).
+
+  final case class CompressionRecord(
+      id: Long, raw_bytes: Int, compressed_bytes: Long, ratio: Double)
+
+  /** Deflate compressibility screen — the Gopher/FineWeb-class
+    * repetitiveness signal: boilerplate and looped text compress far
+    * below normal prose, so `ratio = deflate(utf8) / raw` is a cheap
+    * quality filter that needs no model and no reference corpus.
+    * One Deflater per PARTITION (reset per row — the native context is
+    * not reallocated in the hot loop); a null text scores as empty
+    * (raw_bytes 0, ratio 1.0). Output: id, raw_bytes,
+    * compressed_bytes, ratio. Partition-local, zero shuffle.
+    */
+  def compressionRatio(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      level: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level out of [1,9]: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) CompressionRecord(id, 0, 0L, 1.0)
+          else {
+            defl.reset()
+            defl.setInput(raw)
+            defl.finish()
+            var total = 0L
+            while (!defl.finished()) total += defl.deflate(buf)
+            CompressionRecord(id, raw.length, total,
+              total.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Gzip-compress a text column to a binary column (id, blob) — the
+    * shipping/round-trip twin of [[gunzipTexts]].
+    */
+  def gzipTexts(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        (id, bos.toByteArray)
+      })
+      .toDF("id", "blob")
+  }
+
+  /** Decompress a gzip binary column to text (WARC-style crawl
+    * payloads arrive as gzip members) — STRICT: a corrupt or truncated
+    * member fails the job; crawl feeds use [[gunzipTextsLenient]].
+    * Partition-local, zero shuffle.
+    */
+  def gunzipTexts(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) => (id, gunzipOne(blob)) })
+      .toDF("id", "text")
+  }
+
+  /** [[gunzipTexts]] with crawl-ingest DROP semantics: a corrupt
+    * member costs its row, never the job.
+    */
+  def gunzipTextsLenient(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        try Some((id, gunzipOne(blob)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+      .toDF("id", "text")
+  }
+
+  private def gunzipOne(blob: Array[Byte]): String = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 }

@@ -709,6 +709,24 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** Deflate-compressibility quality screen. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int): DataFrame =
+    graft.ops.TextOps.compressionRatio(df, idCol, textCol, level)
+
+  /** Gzip a text column to (id, blob). */
+  def gzipTexts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.TextOps.gzipTexts(df, idCol, textCol)
+
+  /** Decompress gzip members to text — strict. */
+  def gunzipTexts(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    graft.ops.TextOps.gunzipTexts(df, idCol, blobCol)
+
+  /** [[gunzipTexts]] with crawl-ingest DROP semantics. */
+  def gunzipTextsLenient(df: DataFrame, idCol: String,
+      blobCol: String): DataFrame =
+    graft.ops.TextOps.gunzipTextsLenient(df, idCol, blobCol)
+
   /** Header-only audio metadata (no sample decode). */
   def audioMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame =
     graft.ops.Media.audioMeta(df, idCol, blobCol)
