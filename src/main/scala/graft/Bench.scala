@@ -872,6 +872,15 @@ object Bench {
           .agg(countDistinct(col("ahash"))).first(); 1L
       }),
 
+      // the deflate-ratio quality screen over the full document table:
+      // one partition-local zlib pass, the cheapest model-free
+      // repetitiveness filter
+      "compression_ratio" -> (() => {
+        graft.ops.TextOps.compressionRatio(t("documents"), "doc_id", "text")
+          .agg(sum(col("compressed_bytes")), count(lit(1)))
+          .first(); 1L
+      }),
+
       // header-only metadata over the SAME blobs image_decode fully
       // decodes — the row pair quantifies what walking headers instead
       // of pixels buys at corpus scale
