@@ -1047,7 +1047,24 @@ object Bench {
     val loadBefore = loadavg1m()
     case class RowResult(name: String, sec: Double, iters: Int,
         spread: Double, load: Double, contended: Boolean, failures: Int,
-        firstIterSec: Double)
+        firstIterSec: Double, gcMs: Long, jitMs: Long)
+    // JVM-state confound meters (r15 bimodality triage: full-run
+    // totals swung 97 -> 112 s on identical code with tight in-run
+    // spreads, while isolated fresh-JVM runs of the same rows landed
+    // mid-range — accumulated driver-JVM state, not a machine
+    // lottery). Per-row GC and JIT-compilation time deltas make that
+    // confound READABLE in the artifact instead of inferred.
+    def gcTotalMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def jitTotalMs(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime
+      else 0L
+    }
     // dev aid: SPARK_GRAFT_BENCH_ONLY=fuzzy_join,pagerank times just
     // the named rows (prefix match); unset = all rows (driver mode)
     val onlyRows = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -1059,6 +1076,8 @@ object Bench {
     }
     val results = selectedBenches.map { case (name, fn) =>
       val loadPre = loadavg1m()
+      val gcPre = gcTotalMs()
+      val jitPre = jitTotalMs()
       // only SUCCESSFUL passes may set the row minimum: a throwing fn()
       // returns in ~ms, and recording that time both fakes a fast row
       // and (being sub-fastRowSec) re-runs the broken bench to maxIters
@@ -1120,13 +1139,16 @@ object Bench {
       // first successful pass vs the min separates JIT/warmup cost from
       // steady state in cross-round regression triage
       val firstIterSec = if (okTimes.nonEmpty) okTimes.head else -1.0
+      val gcMs = gcTotalMs() - gcPre
+      val jitMs = jitTotalMs() - jitPre
       System.err.println(
         f"[bench] $name%-24s $sec%8.3f s  ($rows rows, min of ${okTimes.size}, " +
-          f"spread $spread%.2f, first $firstIterSec%.3f, load $rowLoad%.2f" +
+          f"spread $spread%.2f, first $firstIterSec%.3f, load $rowLoad%.2f, " +
+          f"gc ${gcMs}ms, jit ${jitMs}ms" +
           f"${if (contended) ", CONTENDED" else ""}" +
           (if (failures > 0) s", $failures FAILED" else "") + ")")
       RowResult(name, sec, okTimes.size, spread, rowLoad, contended,
-        failures, firstIterSec)
+        failures, firstIterSec, gcMs, jitMs)
     }
     val loadAfter = loadavg1m()
     // sustained EXTERNAL load that starts after loadBefore was read
@@ -1200,6 +1222,7 @@ object Bench {
       "\"" + r.name + f"""\":{"sec":${r.sec}%.3f,"iters":${r.iters},""" +
         f""""spread":${r.spread}%.2f,"loadavg":${r.load}%.2f,""" +
         f""""first_iter_sec":${r.firstIterSec}%.3f,""" +
+        s""""gc_ms":${r.gcMs},"jit_ms":${r.jitMs},""" +
         s""""contended":${r.contended},"failures":${r.failures}}""")
       .mkString("{", ",", "}")
     val detailJson =
