@@ -53,6 +53,57 @@ class StreamingMediaSpec extends AnyFunSuite with Matchers
     streamed.size shouldBe 12
   }
 
+  test("the round-15 stateless screens run unchanged on streams in " +
+    "append mode with ZERO state-store operators: header-only image " +
+    "and audio metadata, and the compression-ratio screen") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sqlCtx
+
+    // image meta on a stream
+    val imgIn = MemoryStream[(Long, Array[Byte])]
+    val imgQ = Media
+      .imageMeta(imgIn.toDF().toDF("id", "blob"), "id", "blob")
+      .writeStream.format("memory").queryName("meta_img_stream")
+      .outputMode("append").start()
+    try {
+      imgIn.addData((0L until 6L).map(id => (id, Media.synthesizePng(id))))
+      imgQ.processAllAvailable()
+      imgQ.lastProgress.stateOperators shouldBe empty
+    } finally imgQ.stop()
+    spark.table("meta_img_stream").count() shouldBe 6
+
+    // audio meta on a stream
+    val audIn = MemoryStream[(Long, Array[Byte])]
+    val audQ = Media
+      .audioMeta(audIn.toDF().toDF("id", "blob"), "id", "blob")
+      .writeStream.format("memory").queryName("meta_aud_stream")
+      .outputMode("append").start()
+    try {
+      audIn.addData((0L until 5L).map(id =>
+        (id, Media.synthesizeWav(id))))
+      audQ.processAllAvailable()
+      audQ.lastProgress.stateOperators shouldBe empty
+    } finally audQ.stop()
+    spark.table("meta_aud_stream").count() shouldBe 5
+
+    // compression screen on a stream
+    val cIn = MemoryStream[(Long, String)]
+    val cQ = graft.ops.TextOps
+      .compressionRatio(cIn.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("comp_stream")
+      .outputMode("append").start()
+    try {
+      cIn.addData(Seq((1L, "spam ham " * 200), (2L, "varied prose here")))
+      cQ.processAllAvailable()
+      cQ.lastProgress.stateOperators shouldBe empty
+    } finally cQ.stop()
+    val ratios = spark.table("comp_stream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ratios(1L) should be < 0.1
+    ratios(2L) should be > 0.3
+  }
+
   test("windowed image-quality monitor equals the batch aggregate; a " +
     "corrupt blob costs its row (n_corrupt) and never the query") {
     val sqlCtx = spark.sqlContext
