@@ -359,7 +359,7 @@ object Media {
     * decode stage once). At radius >= 16 release() also drops the
     * executor copies of the broadcast scan array.
     */
-  private[ops] def bandedHammingPairsReleasable(
+  private[graft] def bandedHammingPairsReleasable(
       hashes0: DataFrame, maxHamming: Int, maxBucketSize: Int,
       bruteThreshold: Long = 100000L): (DataFrame, () => Unit) = {
     require(maxHamming >= 0 && maxHamming < 64,
