@@ -755,6 +755,19 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         int(max_bucket_size), int(brute_threshold)), df)
 
 
+def dedup_yield(corpus: DataFrame, id_col: str, pairs: DataFrame,
+                id_col_a: str = "id_a",
+                id_col_b: str = "id_b") -> DataFrame:
+    """One-row dedup YIELD report — the operational summary every
+    dedup run publishes before anyone deletes anything: n_docs,
+    n_in_pairs, n_clusters, max_cluster_size, n_dropped (keep one per
+    cluster), drop_frac, n_survivors. Clusters via star-contraction
+    connected components over the PAIR set only; pair ids outside the
+    corpus are ignored."""
+    return _to_py_df(_jvm_bridge(corpus).dedupYield(
+        corpus._jdf, id_col, pairs._jdf, id_col_a, id_col_b), corpus)
+
+
 def compression_ratio(df: DataFrame, id_col: str, text_col: str,
                       level: int = 6) -> DataFrame:
     """Deflate compressibility screen — the Gopher/FineWeb-class

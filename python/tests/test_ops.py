@@ -1524,6 +1524,14 @@ def test_round15_nested_mih():
     back = {r["id"]: r["text"] for r in
             ops.gunzip_texts(gz, "id", "blob").collect()}
     assert back[0] == "spam ham " * 300
+    # dedup yield report: planted 3-chains + 2-chains
+    y_corpus = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + [100, 101, 200]], ["doc_id"])
+    y_pairs = spark.createDataFrame(
+        [(0, 100), (1, 101), (100, 200)], ["id_a", "id_b"])
+    y = ops.dedup_yield(y_corpus, "doc_id", y_pairs).collect()[0]
+    assert (y["n_clusters"], y["max_cluster_size"], y["n_dropped"],
+            y["n_survivors"]) == (2, 3, 3, 10), y
     print("round-15 nested profile + MIH facade OK")
 
 

@@ -2953,6 +2953,25 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q272_dedup_yield" -> ((s, dir) => {
+      // the operational dedup-yield report over the q257 planted
+      // chains (a~a+100 for a<50, a+100~a+200 for a<25): 25 clusters
+      // of 3 + 25 of 2 -> 50 clusters, 75 keep-one drops — every
+      // field replays in closed form from the planting rule
+      val docs = t(s, dir, "documents")
+      val p1 = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 100).as("id_b"))
+      val p2 = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100).as("id_a"),
+          (col("doc_id") + 200).as("id_b"))
+      Dedup.dedupYield(docs, "doc_id", p1.unionAll(p2))
+        .select(col("n_docs"), col("n_in_pairs"), col("n_clusters"),
+          col("max_cluster_size"), col("n_dropped"),
+          (round(col("drop_frac"), 6) + 0.0).as("drop_frac"),
+          col("n_survivors"))
+    }),
+
     "q271_compression" -> ((s, dir) => {
       // the deflate-compressibility quality screen (Gopher/FineWeb-
       // class repetitiveness signal, no model, no reference corpus):
@@ -6995,6 +7014,15 @@ object SparkEntry {
     "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q272_dedup_yield" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        |SELECT n_docs, 125::BIGINT AS n_in_pairs,
+        |  50::BIGINT AS n_clusters, 3::BIGINT AS max_cluster_size,
+        |  75::BIGINT AS n_dropped,
+        |  round(75.0 / n_docs, 6) + 0.0 AS drop_frac,
+        |  (n_docs - 75)::BIGINT AS n_survivors
+        |FROM n""".stripMargin,
 
     "q271_compression" ->
       """SELECT

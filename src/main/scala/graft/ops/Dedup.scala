@@ -853,6 +853,52 @@ object Dedup {
     (out, () => { out.unpersist(blocking = false); () }, iter)
   }
 
+  /** One-row dedup YIELD report — the operational summary every dedup
+    * run publishes before anyone deletes anything: corpus size, docs
+    * touched by near-dup pairs, duplicate-cluster count and largest
+    * cluster, and the keep-one-per-cluster drop count/fraction.
+    * Clusters come from [[connectedComponents]] (star contraction over
+    * the PAIR set only — the corpus pays one left join and two
+    * aggregates); pair ids outside the corpus are ignored (the report
+    * is corpus-scoped). Output: n_docs, n_in_pairs, n_clusters,
+    * max_cluster_size, n_dropped, drop_frac, n_survivors.
+    */
+  def dedupYield(
+      corpus: DataFrame, idCol: String, pairs: DataFrame,
+      idColA: String = "id_a", idColB: String = "id_b"): DataFrame = {
+    val (labels, release) =
+      connectedComponentsReleasable(pairs, idColA, idColB)
+    val joined = corpus
+      .select(col(idCol).cast("long").as("id"))
+      .join(labels.select(col("id"), col("comp").as("__comp")),
+        Seq("id"), "left")
+      .select(col("id"), col("__comp").isNotNull.as("in_pairs"),
+        coalesce(col("__comp"), col("id")).as("comp"))
+    val totals = joined.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("in_pairs"), 1L).otherwise(0L)).as("n_in_pairs"))
+    val clusters = joined.groupBy(col("comp"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") >= 2)
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(max(col("__sz")), lit(1L)).as("max_cluster_size"),
+        coalesce(sum(col("__sz") - 1), lit(0L)).as("n_dropped"))
+    val out = totals.crossJoin(broadcast(clusters))
+      .select(col("n_docs"), col("n_in_pairs"), col("n_clusters"),
+        col("max_cluster_size"), col("n_dropped"),
+        when(col("n_docs") > 0,
+          col("n_dropped").cast("double") / col("n_docs"))
+          .otherwise(0.0).as("drop_frac"),
+        (col("n_docs") - col("n_dropped")).as("n_survivors"))
+    // the labels cache only serves this report's two consumers — the
+    // single output row is materialized eagerly so release is safe here
+    val row = out.collect()
+    release()
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), out.schema)
+  }
+
   /** 64-bit SimHash over word tokens: per-bit majority of token hashes.
     * One monolithic codegen-era expression ([[graft.functions.SimHash64]]):
     * tokenize + hash + all 64 bit-votes in a single scan of the text (the

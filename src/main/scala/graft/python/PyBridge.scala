@@ -709,6 +709,11 @@ object PyBridge {
     graft.ops.Media.videoNearDups(df, idCol, blobCol, everyN,
       minSharedFrames, maxBucketSize)
 
+  /** One-row dedup yield report over a corpus + near-dup pair frame. */
+  def dedupYield(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      idColA: String, idColB: String): DataFrame =
+    graft.ops.Dedup.dedupYield(corpus, idCol, pairs, idColA, idColB)
+
   /** Deflate-compressibility quality screen. */
   def compressionRatio(df: DataFrame, idCol: String, textCol: String,
       level: Int): DataFrame =

@@ -25,8 +25,8 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 271)
-      assert(SparkEntry.oracleSql.size == 266)
+      assert(SparkEntry.queries.size == 272)
+      assert(SparkEntry.oracleSql.size == 267)
     }
 
     it("every oracle entry has a matching query") {

@@ -89,6 +89,32 @@ class CappedBucketPairsSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("dedupYield: hand-computed chains — cluster count, largest " +
+    "cluster, keep-one drop math; out-of-corpus pair ids ignored; " +
+    "empty pair set reports zero drops") {
+    import spark.implicits._
+    val corpus = ((0L to 9L) ++ (100L to 103L) ++ (200L to 201L))
+      .toDF("doc_id")
+    // chains: {0,100,200} {1,101,201} size 3; {2,102} {3,103} size 2;
+    // (500,501) is entirely outside the corpus and must not count
+    val pairs = Seq((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L),
+      (100L, 200L), (101L, 201L), (500L, 501L)).toDF("id_a", "id_b")
+    val r = Dedup.dedupYield(corpus, "doc_id", pairs).head()
+    r.getLong(0) shouldBe 16 // n_docs
+    r.getLong(1) shouldBe 10 // n_in_pairs
+    r.getLong(2) shouldBe 4 // n_clusters
+    r.getLong(3) shouldBe 3 // max_cluster_size
+    r.getLong(4) shouldBe 6 // n_dropped
+    r.getDouble(5) shouldBe 6.0 / 16
+    r.getLong(6) shouldBe 10 // n_survivors
+    val empty = Dedup.dedupYield(corpus,
+      "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b")).head()
+    empty.getLong(0) shouldBe 16
+    empty.getLong(2) shouldBe 0
+    empty.getLong(4) shouldBe 0
+    empty.getLong(6) shouldBe 16
+  }
+
   test("a planted 10k-id bucket (the near-cap straggler case) spreads " +
     "its ~50M pairs so no single task owns more than 10%") {
     import spark.implicits._
