@@ -134,10 +134,24 @@ object Dedup {
     * ids a <= b appears exactly at block (a, b); within-block orderings
     * dedupe on id_a < id_b before least/greatest normalization).
     * Per-bucket duplicates across bands are preserved — callers dedupe
-    * across buckets exactly as before. The common case (no bucket over
-    * saltTarget) costs the same single shuffle as the historical
-    * collect_list + pair_generator shape — the salted branch's stages
-    * schedule empty.
+    * across buckets exactly as before.
+    *
+    * MEASURED-PROBE ROUTING (the [[graft.ops.EventStats.trendSlope]] /
+    * knnLabelNoise pattern): the salted union plan has TWO consumers of
+    * the bucket aggregate (the generator side and the block side), and
+    * ReuseExchange only dedupes the shuffle WRITE — each consumer
+    * re-runs the reduce-side collect_list, and the block branch
+    * schedules its explode/repartition/join stages even when every
+    * bucket is small. Committed r14→r15 bench artifacts priced that
+    * always-on tax at 0.2–0.3 s/row on the sub-second dedup rows. A
+    * 1-row count-only probe (max raw bucket size, map-side-combined —
+    * the ids payload never rides it) therefore routes the COMMON case
+    * (no bucket over saltTarget) to the historical single-consumer
+    * collect_list + pair_generator plan, and builds the salted union
+    * only when an oversized bucket is actually present. The probe runs
+    * EAGERLY at construction; callers whose upstream is expensive to
+    * recompute (codec decodes, minhash signatures) persist it first so
+    * the probe pass re-reads a cache, not the codec.
     */
   private[ops] def cappedBucketPairs(
       banded: DataFrame,
@@ -151,6 +165,12 @@ object Dedup {
       .groupBy(keys: _*)
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
+    val probe = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxRawBucket = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxRawBucket <= saltTarget)
+      return buckets.select(graft.functions.pair_generator(col("ids"))
+        .as(Seq("id_a", "id_b")))
     val small = buckets.filter(size(col("ids")) <= saltTarget)
       .select(graft.functions.pair_generator(col("ids"))
         .as(Seq("id_a", "id_b")))
@@ -675,9 +695,12 @@ object Dedup {
     val b = probe.select((col(idCol).cast("long") * 2 + 1).as("id"),
       col(textCol).as("__text"))
     val all = a.unionAll(b)
-    // signatures have exactly one consumer (banding) — no persist; the
-    // pipeline is one map stage into the bucket shuffle
+    // signatures now have TWO consumers — the bucket-size probe inside
+    // [[cappedBucketPairs]] and the banding pass — so the shingle/hash
+    // pipeline persists (id + numHashes longs per doc, tiny next to the
+    // corpus) instead of recomputing per consumer
     val sig = minHashSignatures(all, "id", "__text", numHashes, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"),
       posexplode(graft.functions.band_hashes(col("sig"), bands))
@@ -717,6 +740,7 @@ object Dedup {
         ngramJaccard(col("text_a"), col("text_b"), shingleK).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     (result, () => {
+      sig.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       candTexts.unpersist(blocking = false)
       ()

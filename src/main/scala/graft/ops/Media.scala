@@ -819,7 +819,20 @@ object Media {
   def videoNearDups(
       df: DataFrame, idCol: String, blobCol: String,
       everyN: Int = 1, minSharedFrames: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    videoNearDupsReleasable(df, idCol, blobCol, everyN, minSharedFrames,
+      maxBucketSize)._1
+
+  /** [[videoNearDups]] plus a release() thunk for the cached per-frame
+    * hash intermediate (the [[audioNearDupsReleasable]] contract). The
+    * decode pass has two consumers — the bucket-size probe inside
+    * [[Dedup.cappedBucketPairs]] and the pair join — so the 8-byte
+    * hash rows persist and the container decode runs exactly once.
+    */
+  def videoNearDupsReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int = 1, minSharedFrames: Int = 2,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1, got $minSharedFrames")
@@ -838,10 +851,12 @@ object Media {
         }
       })
       .toDF("id", "h")
-    Dedup.cappedBucketPairs(hashes, Seq("h"), "id", maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = Dedup.cappedBucketPairs(hashes, Seq("h"), "id", maxBucketSize)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
+    (result, () => { hashes.unpersist(blocking = false); () })
   }
 
   /** RADIUS-TOLERANT video near-duplicate pairs — the fuzzy twin of
@@ -860,7 +875,20 @@ object Media {
   def videoNearDupsFuzzy(
       df: DataFrame, idCol: String, blobCol: String,
       everyN: Int = 1, maxHamming: Int = 6, minSharedFrames: Int = 2,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    videoNearDupsFuzzyReleasable(df, idCol, blobCol, everyN, maxHamming,
+      minSharedFrames, maxBucketSize)._1
+
+  /** [[videoNearDupsFuzzy]] plus a release() thunk — forwards the
+    * [[bandedHammingPairsReleasable]] thunk that the plain form (by the
+    * [[minHashLshPairsReleasable]] plan-keyed-cache contract) leaves
+    * cached: the MEMORY_AND_DISK per-frame hash frame drops once the
+    * returned plan has been materialized.
+    */
+  def videoNearDupsFuzzyReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      everyN: Int = 1, maxHamming: Int = 6, minSharedFrames: Int = 2,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1, got $minSharedFrames")
@@ -885,9 +913,9 @@ object Media {
         }
       })
       .toDF("id", "h")
-    val (pairs, _) =
+    val (pairs, release) =
       bandedHammingPairsReleasable(hashes, maxHamming, maxBucketSize)
-    pairs
+    val result = pairs
       .select(shiftrightunsigned(col("id_a"), 32).as("ca"),
         shiftrightunsigned(col("id_b"), 32).as("cb"))
       .filter(col("ca") =!= col("cb")) // in-clip near-frames are motion
@@ -895,6 +923,7 @@ object Media {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
       .select(col("ca").as("id_a"), col("cb").as("id_b"), col("n_shared"))
+    (result, release)
   }
 
   /** Per-channel mean pixel values (unsigned bytes, exact integer sums). */
@@ -1261,7 +1290,21 @@ object Media {
   def audioNearDupsShifted(
       df: DataFrame, idCol: String, blobCol: String,
       windowFrames: Int = 256, minSharedBlocks: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    audioNearDupsShiftedReleasable(df, idCol, blobCol, windowFrames,
+      minSharedBlocks, maxBucketSize)._1
+
+  /** [[audioNearDupsShifted]] plus a release() thunk for the cached
+    * sliding-fingerprint intermediate (the [[audioNearDupsReleasable]]
+    * contract): the decode pass has two consumers — the bucket-size
+    * probe inside [[Dedup.cappedBucketPairs]] and the pair join — so
+    * the ~16-byte fingerprint rows persist and the WAV decode +
+    * Goertzel pass runs exactly once.
+    */
+  def audioNearDupsShiftedReleasable(
+      df: DataFrame, idCol: String, blobCol: String,
+      windowFrames: Int = 256, minSharedBlocks: Int = 4,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     require(minSharedBlocks >= 1,
       s"minSharedBlocks must be >= 1, got $minSharedBlocks")
     val spark = df.sparkSession
@@ -1276,6 +1319,7 @@ object Media {
         catch { case _: IllegalArgumentException => Nil }
       })
       .toDF("cid", "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val decoded = Dedup
       .cappedBucketPairs(fps, Seq("fp"), "cid", maxBucketSize)
       .select(
@@ -1284,12 +1328,13 @@ object Media {
         shiftrightunsigned(col("id_b"), 32).as("cb"),
         col("id_b").bitwiseAND(lit(0xffffffffL)).as("ib"))
       .filter(col("ca") =!= col("cb")) // in-clip repeats are not dups
-    decoded
+    val result = decoded
       .groupBy(col("ca"), col("cb"), (col("ia") - col("ib")).as("shift"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minSharedBlocks)
       .select(col("ca").as("id_a"), col("cb").as("id_b"), col("shift"),
         col("n_shared"))
+    (result, () => { fps.unpersist(blocking = false); () })
   }
 
   final case class AudioFpRecord(id: Long, block: Int, fp: Long)

@@ -115,6 +115,32 @@ class CappedBucketPairsSpec extends AnyFunSuite with Matchers
     empty.getLong(6) shouldBe 16
   }
 
+  test("measured-probe routing: an all-small layout gets the historical " +
+    "single-consumer generator plan (no union, no join); an oversized " +
+    "bucket brings the salted union back") {
+    import spark.implicits._
+    val small = (0 until 4).flatMap(k =>
+      (0 until 5).map(i => (k.toLong, k * 100L + i))).toDF("bb", "id")
+    val smallPlan = Dedup
+      .cappedBucketPairs(small, Seq("bb"), "id",
+        maxBucketSize = 100, saltTarget = 8)
+      .queryExecution.optimizedPlan.toString
+    withClue(s"small-layout plan: $smallPlan\n") {
+      smallPlan should not include "Union"
+      smallPlan should not include "Join"
+    }
+    val mixed = small.unionAll(
+      (0 until 30).map(i => (99L, 9900L + i)).toDF("bb", "id"))
+    val mixedPlan = Dedup
+      .cappedBucketPairs(mixed, Seq("bb"), "id",
+        maxBucketSize = 100, saltTarget = 8)
+      .queryExecution.optimizedPlan.toString
+    withClue(s"mixed-layout plan: $mixedPlan\n") {
+      mixedPlan should include("Union")
+      mixedPlan should include("Join")
+    }
+  }
+
   test("a planted 10k-id bucket (the near-cap straggler case) spreads " +
     "its ~50M pairs so no single task owns more than 10%") {
     import spark.implicits._
