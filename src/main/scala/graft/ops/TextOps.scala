@@ -1618,7 +1618,9 @@ object TextOps {
   }
 
   /** Gzip-compress a text column to a binary column (id, blob) — the
-    * shipping/round-trip twin of [[gunzipTexts]].
+    * shipping/round-trip twin of [[gunzipTexts]]. A null text
+    * compresses as empty bytes (the [[compressionRatio]] null policy —
+    * one rule across the compression family), round-tripping to "".
     */
   def gzipTexts(
       df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -1630,7 +1632,8 @@ object TextOps {
       .mapPartitions(_.map { case (id, text) =>
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (text != null)
+          gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         gz.close()
         (id, bos.toByteArray)
       })

@@ -113,13 +113,26 @@ case class ProfileSession(
         case st: StructType =>
           st.fields.toSeq.flatMap(f =>
             expand(c.getField(f.name), s"$name.${f.name}", f.dataType))
-        case ArrayType(et, containsNull) =>
+        case ArrayType(et, _) =>
           val sizeCol = (size(c).as(s"$name.size"), s"$name.size")
+          // element expansion for array<struct>: each field extraction
+          // is itself an array (`arr.f`: array<fieldType>) and profiles
+          // as an ELEMENT profile — but NO inner size column:
+          // size(arr.f) == size(arr) for every field, and `$name.size`
+          // already profiles it once
+          def expandElem(ec: Column, ename: String,
+              edt: DataType): Seq[(Column, String)] = edt match {
+            case est: StructType =>
+              est.fields.toSeq.flatMap(f =>
+                expandElem(ec.getField(f.name), s"$ename.${f.name}",
+                  f.dataType))
+            case _ => Seq((ec.as(ename), ename))
+          }
           et match {
             case est: StructType =>
               sizeCol +: est.fields.toSeq.flatMap(f =>
-                expand(c.getField(f.name), s"$name.${f.name}",
-                  ArrayType(f.dataType, containsNull = true)))
+                expandElem(c.getField(f.name), s"$name.${f.name}",
+                  f.dataType))
             case _ => Seq((c.as(name), name), sizeCol)
           }
         case MapType(kt, _, _) =>

@@ -61,4 +61,17 @@ class CompressionSpec extends AnyFunSuite with Matchers
       TextOps.gunzipTexts(mixed, "id", "blob").collect()
     }
   }
+
+  test("gzipTexts treats a null text as empty bytes (the " +
+    "compressionRatio null policy — one rule across the family), " +
+    "round-tripping to \"\"") {
+    import spark.implicits._
+    val withNull = Seq((0L, "alive"), (1L, null))
+      .toDF("id", "text")
+    val back = TextOps.gunzipTexts(
+      TextOps.gzipTexts(withNull, "id", "text"), "id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    back(0L) shouldBe "alive"
+    back(1L) shouldBe ""
+  }
 }

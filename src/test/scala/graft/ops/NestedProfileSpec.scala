@@ -119,6 +119,13 @@ class NestedProfileSpec extends AnyFunSuite with Matchers
     r.getLong(4) shouldBe 1
     r.getDouble(5) shouldBe 11.0 // 5 + 6
     r.getLong(6) shouldBe 1
+    // ONE size profile per array<struct>, not one per field:
+    // size(as.k) == size(as) for every field, so `as.k.size` /
+    // `as.v.size` would be redundant copies of `as.size` (and would
+    // contradict the scaladoc's "plus one element profile per FIELD")
+    p.columns should contain("as.size")
+    p.columns should not contain "as.k.size"
+    p.columns should not contain "as.v.size"
   }
 
   test("flattened nested profiles MERGE like any other profile state " +
