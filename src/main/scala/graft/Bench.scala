@@ -248,6 +248,19 @@ object Bench {
             (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
         wide.newProfilingSession().aggProfiles().count()
       }),
+      // reference parity: its widest in-repo dataset profiles 608 columns
+      // in one pass (WhyLogsTest.scala:107-128 — brazillian_608_features
+      // parquet, asserts 608 profiled columns). Same single
+      // ObjectHashAggregate, 4x the state width of wide150 — proves
+      // column-count scaling of the one-shuffle plan.
+      "profile_wide608" -> (() => {
+        val numeric = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val wide = t("lineitem").select(
+          (0 until 608).map(i =>
+            (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
+        wide.newProfilingSession().aggProfiles().count()
+      }),
       // interpolated bigram-LM perplexity of every document (two n-gram
       // count shuffles + three AQE-decided scoring joins)
       "bigram_perplexity" -> (() =>

@@ -3960,16 +3960,19 @@ object SparkEntry {
     "q187_pca_variance" -> ((s, dir) => {
       // PCA eigen-spectrum of the embedding covariance (driver-side
       // Jacobi on the collected d x d matrix — constant-bounded, the IVF
-      // codebook pattern): explained-variance report per component.
-      // No SQL eigensolver exists, so this row is rows-only; PcaSpec
-      // pins the invariants (orthonormal basis, descending eigenvalues,
-      // Av=lambda*v residual, projected variance == eigenvalue)
+      // codebook pattern). No SQL eigensolver exists, so the PER-
+      // COMPONENT spectrum is pinned by PcaSpec (orthonormal basis,
+      // descending eigenvalues, Av=lambda*v residual, projected
+      // variance == eigenvalue); the ORACLE-checkable invariant is the
+      // trace identity — the eigenvalues of the sample covariance sum
+      // to its trace, i.e. the sum of per-dimension var_samp, which
+      // DuckDB computes independently of any eigensolve. A Jacobi bug
+      // that loses or distorts mass hash-mismatches here.
       val m = ops.Pca.fit(t(s, dir, "embeddings"), "embedding")
       ops.Pca.explainedVariance(s, m)
-        .select(col("component"),
-          (round(col("eigenvalue"), 6) + 0.0).as("eigenvalue"),
-          (round(col("variance_ratio"), 6) + 0.0).as("variance_ratio"),
-          (round(col("cum_ratio"), 6) + 0.0).as("cum_ratio"))
+        .agg(count(lit(1)).as("n_components"),
+          (round(sum(col("eigenvalue")), 6) + 0.0).as("total_variance"),
+          (round(max(col("cum_ratio")), 6) + 0.0).as("final_cum_ratio"))
     }),
 
     "q139_shard_layout" -> ((s, dir) => {
@@ -8259,6 +8262,19 @@ object SparkEntry {
         |  round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+
+    // trace identity: sum(eigenvalues of sample cov) == sum of
+    // per-dimension var_samp — the eigensolve-free twin of q187
+    "q187_pca_variance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, unnest(e) AS x, unnest(range(len(e))) AS i
+        |  FROM e),
+        |v AS (SELECT i, var_samp(x) AS vv FROM u GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_components,
+        |  round(sum(vv), 6) + 0.0 AS total_variance,
+        |  1.0 AS final_cum_ratio
+        |FROM v""".stripMargin,
 
     "q178_blocklist" ->
       """WITH t AS (SELECT doc_id,

@@ -70,6 +70,13 @@ case class EasyDateTime(
       if (format.equalsIgnoreCase("epoch")) Instant.ofEpochSecond(s.toLong)
       else if (format.equalsIgnoreCase("epochMillis")) Instant.ofEpochMilli(s.toLong)
       else {
+        // ONE parse per value: the temporal-class routing below reads the
+        // already-parsed accessor (isSupported bit checks + X.from(...)),
+        // never re-parses the string — the r15 review flagged the old
+        // LocalDate.parse(s, formatter) routes as a per-row double parse.
+        // Inference still runs per value (cheap field checks), keeping the
+        // expression stateless and deterministic under any partitioning
+        // where the reference caches a parser after the first value.
         val parsed = formatter.parse(s)
         val hasYear = parsed.isSupported(ChronoField.YEAR)
         val hasMonth = parsed.isSupported(ChronoField.MONTH_OF_YEAR)
@@ -77,21 +84,21 @@ case class EasyDateTime(
         val hasHour = parsed.isSupported(ChronoField.HOUR_OF_DAY)
         if (hasHour && hasYear && hasMonth && hasDay) {
           if (formatter.getZone != null || parsed.isSupported(ChronoField.OFFSET_SECONDS))
-            ZonedDateTime.parse(s, formatter).toInstant
-          else LocalDateTime.parse(s, formatter).atZone(ZoneOffset.UTC).toInstant
+            ZonedDateTime.from(parsed).toInstant
+          else LocalDateTime.from(parsed).atZone(ZoneOffset.UTC).toInstant
         } else if (hasHour && !hasYear && !hasMonth && !hasDay) {
-          LocalTime.parse(s, formatter)
+          LocalTime.from(parsed)
             .atDate(LocalDate.ofEpochDay(0)).atZone(ZoneOffset.UTC).toInstant
         } else if (hasYear && hasMonth && hasDay) {
-          LocalDate.parse(s, formatter).atStartOfDay(ZoneOffset.UTC).toInstant
+          LocalDate.from(parsed).atStartOfDay(ZoneOffset.UTC).toInstant
         } else if (!hasYear && hasMonth && hasDay) {
-          MonthDay.parse(s, formatter).atYear(monthDayYear)
+          MonthDay.from(parsed).atYear(monthDayYear)
             .atStartOfDay.atZone(ZoneOffset.UTC).toInstant
         } else if (hasYear && hasMonth) {
-          YearMonth.parse(s, formatter).atDay(1)
+          YearMonth.from(parsed).atDay(1)
             .atStartOfDay.atZone(ZoneOffset.UTC).toInstant
         } else if (hasYear) {
-          Year.parse(s, formatter).atMonth(1).atDay(1)
+          Year.from(parsed).atMonth(1).atDay(1)
             .atStartOfDay.atZone(ZoneOffset.UTC).toInstant
         } else {
           throw new IllegalArgumentException(

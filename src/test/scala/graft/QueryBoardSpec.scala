@@ -26,7 +26,8 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
 
     it("pins the board size (update BOTH counts when adding a query)") {
       assert(SparkEntry.queries.size == 272)
-      assert(SparkEntry.oracleSql.size == 267)
+      // r16: q187 gained a DuckDB oracle (trace identity) — 4 rows-only left
+      assert(SparkEntry.oracleSql.size == 268)
     }
 
     it("every oracle entry has a matching query") {
