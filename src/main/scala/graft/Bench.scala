@@ -1045,32 +1045,36 @@ object Bench {
     // Each row is the MIN of several timed passes: a single pass under
     // unknown machine load recorded 2-9x phantoms (r6), and min-of-3
     // still polluted sub-second rows when the driver machine was
-    // contended (r8/r9 artifacts). Hardened loop: sub-`fastRowSec` rows
-    // keep sampling (up to maxIters) until the min rests on enough
-    // evidence, per-row 1-minute loadavg is recorded so noise is
-    // attributable after the fact, and a row whose loadavg exceeds
-    // `loadMax` is explicitly marked contended in the artifact rather
-    // than trusted silently.
+    // contended (r8/r9 artifacts). Hardened loop: cheap rows keep
+    // sampling (up to maxIters) until the min rests on enough
+    // evidence (the time-budget rule below), per-row 1-minute loadavg
+    // is recorded so noise is attributable after the fact, and a row
+    // whose loadavg exceeds `loadMax` is explicitly marked contended
+    // in the artifact rather than trusted silently.
     val baseIters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val maxIters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "10").toInt
         .max(baseIters)
-    // Sub-`fastRowSec` rows sample to a FIXED floor of attempts
-    // (fastRowFloor), not open-endedly to maxIters: the r14 postmortem
-    // found the old rule (<0.5 s -> re-run to 10, >=0.5 s -> stop at 3)
-    // made min-of-N depth depend on measured speed, so a row drifting
-    // across the threshold lost 7 sampling passes exactly when its
-    // delta needed them most — cross-round deltas on short rows were
-    // not apples-to-apples. The threshold sits at 1.0 s, away from the
-    // 0.3-0.7 s row cluster, and the floor is a fixed count either
-    // side of it; only the spread re-sampler may push past the floor
-    // (to maxIters).
-    val fastRowSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_ROW_SEC", "1.0").toDouble
+    // fastRowFloor caps the depth the time-budget rule may ask for
+    // (only the spread re-sampler may push past it, to maxIters).
     val fastRowFloor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_FLOOR", "8").toInt
         .max(baseIters).min(maxIters)
+    // r16: the fixed-threshold rule (< fastRowSec -> 8 passes, >= -> 3)
+    // was itself a cliff — random_project sat at 1.03-1.07 s, drifted
+    // just past the 1.0 s line inside the degraded-JVM closing run,
+    // got only 3 un-warmed passes, and published 1.072 s while an
+    // isolated idle run of the SAME code measures 0.715 s (== the r14
+    // committed value; jit_ms 1746 across its 8-pass window names the
+    // warmup). Sampling depth is now a smooth TIME BUDGET: each row
+    // keeps sampling until ~rowBudgetSec of passes have accumulated,
+    // clamped to [baseIters, fastRowFloor] — sub-second rows still get
+    // the full 8-pass floor, 1-2 s rows get 4-7 passes instead of
+    // falling off a cliff to 3, and multi-second rows keep min-of-3
+    // (the graph rows additionally get the untimed warmup pass).
+    val rowBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROW_BUDGET_SEC", "7.0").toDouble
     // r13 lesson: several graph rows ran under neighbor load (spread
     // up to 4.01) yet published as if they measured code — the loadavg
     // gate alone cannot tell the bench's own 32 threads from a noisy
@@ -1144,7 +1148,7 @@ object Bench {
       val jitPre = jitTotalMs()
       // only SUCCESSFUL passes may set the row minimum: a throwing fn()
       // returns in ~ms, and recording that time both fakes a fast row
-      // and (being sub-fastRowSec) re-runs the broken bench to maxIters
+      // and (being cheap) re-runs the broken bench to the budget depth
       val okTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       var attempts = 0
       var failures = 0
@@ -1176,9 +1180,16 @@ object Bench {
         }
       }
       (1 to baseIters).foreach(_ => pass())
+      // time-budget depth: target ceil(budget / min) passes so cheap rows
+      // accumulate JIT burn-in while expensive rows stay at min-of-3; the
+      // target re-evaluates as the min improves (a row whose min drops
+      // under warmup earns more passes, exactly when they matter)
+      def targetIters(): Int =
+        if (okTimes.isEmpty) baseIters
+        else math.min(fastRowFloor, math.max(baseIters,
+          math.ceil(rowBudgetSec / math.max(okTimes.min, 1e-9)).toInt))
       while (okTimes.nonEmpty &&
-        ((okTimes.min < fastRowSec && attempts < fastRowFloor) ||
-          spreadNow() > spreadMax) &&
+        (attempts < targetIters() || spreadNow() > spreadMax) &&
         attempts < maxIters) pass()
       val sec = if (okTimes.nonEmpty) okTimes.min else -1.0
       val spread = if (okTimes.size < 2) 1.0 else spreadNow()
@@ -1303,7 +1314,7 @@ object Bench {
         s""""contended":${r.contended},"failures":${r.failures}}""")
       .mkString("{", ",", "}")
     val detailJson =
-      f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"spread_max":$spreadMax%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"fast_row_sec":$fastRowSec%.2f,"fast_row_floor":$fastRowFloor,"rows":$rowDetail}"""
+      f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"loadavg_max_allowed":$loadMax%.2f,"load_max_frac":$loadMaxFrac%.2f,"spread_max":$spreadMax%.2f,"cores":$cores,"bench_iterations":$baseIters,"max_iterations":$maxIters,"row_budget_sec":$rowBudgetSec%.2f,"fast_row_floor":$fastRowFloor,"rows":$rowDetail}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_rows.json")
     // a BENCH_ONLY-filtered dev run must never clobber the full-board
