@@ -52,25 +52,38 @@ object Bench {
       regexp_replace(col("text"), "((\\w+ ){7}\\w+) ", "$1.\n").as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Dataset.forceCount() lets Catalyst PRUNE the final operator's
+    // unreferenced expressions: on a profile frame it deletes every
+    // sketch update (measured at sf0.1: profile_wide150 0.46 s
+    // "counted" vs 24.8 s forced — the committed r1-r15 profile rows
+    // timed a distinct-on-keys, not profiling), and on any row ending
+    // in an unreferenced aggregate it skips the final evaluation.
+    // forceCount() counts the plan's OWN output (queryExecution.toRdd),
+    // so every column of every operator evaluates — the cost a consumer
+    // of the result actually pays. Row counts are identical to count().
+    implicit class ForceOps(private val ds: org.apache.spark.sql.Dataset[_]) {
+      def forceCount(): Long = ds.queryExecution.toRdd.count()
+    }
+
     val benches: Seq[(String, () => Long)] = Seq(
       // full-width single-pass profile of every lineitem column, grouped
       "profile_full_grouped" -> (() =>
         t("lineitem").newProfilingSession()
-          .groupBy("l_returnflag", "l_linestatus").aggProfiles().count()),
+          .groupBy("l_returnflag", "l_linestatus").aggProfiles().forceCount()),
       // global single-row profile, all columns
       "profile_full_global" -> (() =>
-        t("lineitem").newProfilingSession().aggProfiles().count()),
+        t("lineitem").newProfilingSession().aggProfiles().forceCount()),
       // time-windowed profile (weekly buckets)
       "profile_timewindow" -> (() =>
         t("lineitem").newProfilingSession()
-          .withTimeColumn("l_shipdate", "7 days").aggProfiles().count()),
+          .withTimeColumn("l_shipdate", "7 days").aggProfiles().forceCount()),
       // standalone sketch aggs over 3 numeric + 1 string column
       "sketch_aggs" -> (() =>
         t("lineitem").groupBy(col("l_returnflag"))
           .agg(functions.kll_agg(col("l_extendedprice")).as("kll"),
             functions.theta_agg(col("l_partkey")).as("theta"),
             functions.hll_agg(col("l_orderkey")).as("hll"),
-            functions.freq_items_agg(col("l_linestatus")).as("freq")).count()),
+            functions.freq_items_agg(col("l_linestatus")).as("freq")).forceCount()),
       // relational: 3-way join + aggregation
       "join_agg" -> (() => {
         val li = t("lineitem"); val o = t("orders"); val c = t("customer")
@@ -78,33 +91,33 @@ object Bench {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-            count(lit(1))).count()
+            count(lit(1))).forceCount()
       }),
       // dedup: minhash LSH candidate pairs over the document corpus
       "dedup_minhash_lsh" -> (() =>
         Dedup.minHashLshPairs(t("documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleK = 2).count()),
+          numHashes = 64, bands = 16, shingleK = 2).forceCount()),
       // simhash every document
       "dedup_simhash" -> (() =>
-        t("documents").select(Dedup.simHash(col("text"))).count()),
+        t("documents").select(Dedup.simHash(col("text"))).forceCount()),
       // ANN: brute-force top-10 for 100 queries over the corpus
       "ann_bruteforce" -> (() => {
         val emb = t("embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 100),
-          "vec_id", "embedding", k = 10).count()
+          "vec_id", "embedding", k = 10).forceCount()
       }),
       // profile re-aggregation (merge path)
       "profile_merge" -> (() => {
         val fine = t("lineitem").newProfilingSession()
           .groupBy("l_returnflag", "l_linestatus").aggProfiles()
         graft.profile.ProfileSession.mergeProfiles(fine, Seq("l_returnflag"))
-          .count()
+          .forceCount()
       }),
       // IVF ANN: 100 queries through centroid-pruned inverted lists
       "ann_ivf" -> (() => {
         val emb = t("embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 100),
-          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).count()
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4).forceCount()
       }),
       // IVF-PQ ANN: same pruning, candidates scored from 8-byte PQ codes
       // (ADC), bounded exact re-rank — the memory-scale path
@@ -112,7 +125,7 @@ object Bench {
         val emb = t("embeddings")
         Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
-          m = 8, ksub = 16, rerank = 40).count()
+          m = 8, ksub = 16, rerank = 40).forceCount()
       }),
       // multi-band hyperplane LSH near-dup pairs. The synthetic corpus has
       // no natural near-dups (max pairwise cosine ~0.51, so a 0.8-threshold
@@ -127,19 +140,19 @@ object Bench {
             transform(col("embedding"),
               (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).as("embedding"))
         Dedup.embeddingNearDups(emb.unionAll(dups), "vec_id", "embedding",
-          threshold = 0.8, signBits = 8, bands = 8).count()
+          threshold = 0.8, signBits = 8, bands = 8).forceCount()
       }),
       // gap-based sessionization + per-session stats over the event stream
       // (ts is TIMESTAMP; Sessionize's schema dispatch does the exact
       // epoch-micro arithmetic — same plan shape as q50)
       "sessionize" -> (() =>
         graft.ops.Sessionize.stats(t("events"),
-          "user_id", "ts", gap = 14400L * 1000000L).count()),
+          "user_id", "ts", gap = 14400L * 1000000L).forceCount()),
       // per-document tf-idf top terms (tokenize + tf shuffle + broadcast
       // df + bounded top-k)
       "tfidf_topterms" -> (() =>
         graft.ops.TextOps.tfIdfTopTerms(t("documents"), "doc_id", "text", 5)
-          .count()),
+          .forceCount()),
       // whylogs wire-format export of a grouped profile (write+reparse)
       "proto_export" -> (() => {
         val prof = t("lineitem").newProfilingSession()
@@ -147,13 +160,13 @@ object Bench {
         graft.io.ProfileIO.withProtoColumn(prof)
           .select(graft.io.ProfileIO
             .protoColumnStats(col("why_profile"), "l_quantity"))
-          .count()
+          .forceCount()
       }),
       // IQR outlier screen over the full fact table (KLL quartiles +
       // broadcast fence count — the scale-safe two-pass plan)
       "iqr_outliers" -> (() =>
         graft.ops.Outliers.iqrStats(t("lineitem"), "l_extendedprice",
-          Seq("l_returnflag", "l_linestatus")).count()),
+          Seq("l_returnflag", "l_linestatus")).forceCount()),
       // cross-corpus decontamination: first 10% of docs (perturbed) probed
       // against the full corpus through one bucket shuffle
       "contamination" -> (() => {
@@ -167,7 +180,7 @@ object Bench {
         // stop measuring the shingle/hash pipeline
         val (pairs, rel) = Dedup.crossCorpusNearDupsReleasable(
           corpus, probe, "doc_id", "text", threshold = 0.7, shingleK = 2)
-        try pairs.count() finally rel()
+        try pairs.forceCount() finally rel()
       }),
       // exact n-gram decontamination: 10% of docs (prefixed) probed
       // against the full corpus — probe grams broadcast, corpus side
@@ -178,7 +191,7 @@ object Bench {
           .select(col("doc_id"),
             concat(lit("eval header : "), col("text")).as("text"))
         Dedup.ngramContamination(corpus, probe, "doc_id", "text",
-          n = 8, minShared = 3).count()
+          n = 8, minShared = 3).forceCount()
       }),
       // CCNet line-level dedup: frequent-line aggregate + adaptive
       // anti-join + reassembly over a token-per-line corpus rewrite
@@ -186,7 +199,7 @@ object Bench {
         val docs = t("documents").select(col("doc_id"),
           regexp_replace(col("text"), " ", "\n").as("text"))
         Dedup.removeFrequentLines(docs, "doc_id", "text",
-          minDocFreq = 400L).count()
+          minDocFreq = 400L).forceCount()
       }),
       // LM sequence packing: full-corpus layout via the distributed
       // prefix sum (range exchange of 3 longs/row + per-pid window)
@@ -195,14 +208,14 @@ object Bench {
           size(split(col("text"), " ")).as("n_tok"))
         val (packed, release) = graft.ops.Packing.packSequencesReleasable(
           docs, "doc_id", "n_tok", "doc_id", budget = 2048L)
-        val n = packed.count()
+        val n = packed.forceCount()
         release(); n
       }),
       // unigram-LM perplexity of every document (token-count shuffle +
       // AQE-decided vocabulary join + per-doc mean)
       "perplexity" -> (() =>
         graft.ops.TextOps.unigramPerplexity(t("documents"), "doc_id", "text")
-          .count()),
+          .forceCount()),
       // continuous drift monitor (q69 path): weekly windowed profiles
       // scored against a merged global reference, sketch-only
       "drift_monitor" -> (() => {
@@ -211,7 +224,7 @@ object Bench {
         val reference = t("lineitem").newProfilingSession().aggProfiles()
         val edges = Seq(10000.0, 30000.0, 60000.0, 90000.0)
         graft.ops.Drift.againstReference(windows, reference,
-          Map("l_extendedprice" -> edges), keep = Seq("window")).count()
+          Map("l_extendedprice" -> edges), keep = Seq("window")).forceCount()
       }),
       // profile-driven validation: expectation checks evaluated from the
       // windowed profile frame alone (no raw re-scan after profiling)
@@ -226,7 +239,7 @@ object Bench {
           graft.ops.Validation.DistinctBetween("l_quantity", 40.0, 60.0),
           graft.ops.Validation.QuantileAtMost("l_extendedprice", 0.5, 1e6),
           graft.ops.Validation.TypeIs("l_quantity", "FRACTIONAL")),
-          keep = Seq("window")).count()
+          keep = Seq("window")).forceCount()
       }),
       // stored-binary viewer loop: export grouped profiles as delimited
       // wire binaries, read them back with the binaryFile-source viewer
@@ -236,7 +249,7 @@ object Bench {
         val prof = t("lineitem").newProfilingSession()
           .groupBy("l_returnflag", "l_linestatus").aggProfiles()
         graft.io.ProfileIO.writeDelimitedBinaries(prof, tmp)
-        graft.io.ProfileViewer.view(spark, s"$tmp/*.bin").count()
+        graft.io.ProfileViewer.view(spark, s"$tmp/*.bin").forceCount()
       }),
       // Lending-Club-shaped wide profile: 150 numeric columns in ONE pass
       // (the reference's headline dataset is 100+ columns wide)
@@ -246,7 +259,7 @@ object Bench {
         val wide = t("lineitem").select(
           (0 until 150).map(i =>
             (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
-        wide.newProfilingSession().aggProfiles().count()
+        wide.newProfilingSession().aggProfiles().forceCount()
       }),
       // reference parity: its widest in-repo dataset profiles 608 columns
       // in one pass (WhyLogsTest.scala:107-128 — brazillian_608_features
@@ -259,13 +272,13 @@ object Bench {
         val wide = t("lineitem").select(
           (0 until 608).map(i =>
             (col(numeric(i % numeric.length)) + lit(i)).as(s"c$i")): _*)
-        wide.newProfilingSession().aggProfiles().count()
+        wide.newProfilingSession().aggProfiles().forceCount()
       }),
       // interpolated bigram-LM perplexity of every document (two n-gram
       // count shuffles + three AQE-decided scoring joins)
       "bigram_perplexity" -> (() =>
         graft.ops.TextOps.bigramPerplexity(t("documents"), "doc_id", "text")
-          .count()),
+          .forceCount()),
       // SemDeDup survivors over the corpus with 10% planted exact copies
       // (k-means cells + in-cell pair generation + anti-join)
       "semdedup" -> (() => {
@@ -274,24 +287,24 @@ object Bench {
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
             col("label"))
         Dedup.semDedupSurvivors(emb.unionAll(dups), "vec_id", "embedding",
-          threshold = 0.99, nCentroids = 16).count()
+          threshold = 0.99, nCentroids = 16).forceCount()
       }),
       // temperature-weighted source rebalancing (map-only corpus filter)
       "temperature_mix" -> (() =>
         graft.ops.Sampling.temperatureMix(t("documents"), "doc_id",
-          "source", targetFraction = 0.5, temperature = 0.5).count()),
+          "source", targetFraction = 0.5, temperature = 0.5).forceCount()),
       // token-budget prefix selection (distributed prefix sum + semi-join)
       "token_budget" -> (() => {
         val docs = t("documents").select(col("doc_id"), col("text"),
           size(split(col("text"), " ")).as("n_tok"))
         graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id", "n_tok",
-          budget = 100000L).count()
+          budget = 100000L).forceCount()
       }),
       // exact-substring dedup: repeated 8-token windows across the corpus
       // (hash-only counting shuffle + exemplar fetch join)
       "substring_dedup" -> (() =>
         Dedup.duplicatedSpans(t("documents"), "doc_id", "text",
-          windowTokens = 8, minDocs = 2).count()),
+          windowTokens = 8, minDocs = 2).forceCount()),
       // Bloom-accelerated exact decontamination: 10% of texts are the
       // probe; map-side membership prefilter + bounded confirm join
       "bloom_decontaminate" -> (() => {
@@ -299,7 +312,7 @@ object Bench {
         val probe = corpus.filter(col("doc_id") % 10 === 0)
         val (semi, release) = Dedup.bloomSemiJoinReleasable(corpus, probe,
           "text", numBits = 1L << 23, numHashFns = 5)
-        val n = semi.count(); release(); n
+        val n = semi.forceCount(); release(); n
       }),
       // BM25 retrieval: 20 queries against the corpus, top-10 each
       // (broadcast term semi-join + bounded top-k)
@@ -310,7 +323,7 @@ object Bench {
             substring(col("text"), 1, 60).as("qtext"))
         val (top, release) = graft.ops.TextOps.bm25TopKReleasable(docs,
           "doc_id", "text", queries, "query_id", "qtext", k = 10)
-        val n = top.count(); release(); n
+        val n = top.forceCount(); release(); n
       }),
       // BM25 at the HIGH-CARDINALITY vocabulary: same shape, but the
       // term prefilter now prunes ~63/64 of the token stream map-side —
@@ -322,7 +335,7 @@ object Bench {
             substring(col("text"), 1, 60).as("qtext"))
         val (top, release) = graft.ops.TextOps.bm25TopKReleasable(docs,
           "doc_id", "text", queries, "query_id", "qtext", k = 10)
-        val n = top.count(); release(); n
+        val n = top.forceCount(); release(); n
       }),
       // exact n-gram decontamination at the high-cardinality vocabulary:
       // probe grams only match same-residue docs, so the broadcast join
@@ -333,7 +346,7 @@ object Bench {
           .select(col("doc_id"),
             concat(lit("eval header : "), col("text")).as("text"))
         Dedup.ngramContamination(corpus, probe, "doc_id", "text",
-          n = 8, minShared = 3).count()
+          n = 8, minShared = 3).forceCount()
       }),
       // ingest text cleanup over the full corpus (row-local, zero
       // shuffle). first() + read the SUM, not count(): count(1) would
@@ -359,7 +372,7 @@ object Bench {
       // sliding context-window chunking of every document
       "context_chunks" -> (() =>
         graft.ops.TextOps.contextChunks(t("documents"), "doc_id", "text",
-          windowTokens = 32, strideTokens = 24).count()),
+          windowTokens = 32, strideTokens = 24).forceCount()),
       // DSIR importance weights: two bounded histograms + broadcast +
       // row-local scoring pass (target = 'en' docs)
       "dsir_weights" -> (() => {
@@ -376,7 +389,7 @@ object Bench {
         graft.ops.TextOps.ngramNovelty(
           corpus.filter(col("doc_id") % 10 =!= 0),
           corpus.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", n = 8).count()
+          "doc_id", "text", n = 8).forceCount()
       }),
       // JL projection of every embedding to 16 dims (row-local)
       "random_project" -> (() => {
@@ -413,7 +426,7 @@ object Bench {
           Seq("view", "click", "purchase"), Seq("event_id"))
           .agg(sum(col("depth"))).first()
         graft.ops.Funnel.transitions(ev, "user_id", "ts", "event_type",
-          Seq("event_id")).count()
+          Seq("event_id")).forceCount()
       }),
 
       // DoReMi-lite solve (K-row aggregate + driver iteration) feeding
@@ -426,7 +439,7 @@ object Bench {
             .as("lr"))
         val w = graft.ops.Sampling.doremiWeights(d, "source", "lp", "lr")
         graft.ops.Sampling.applyMixtureWeights(docs, "source", "doc_id",
-          w, targetFraction = 0.3).count()
+          w, targetFraction = 0.3).forceCount()
       }),
 
       // exact distributed ECDF over ~600k lineitem rows (counts
@@ -437,7 +450,7 @@ object Bench {
         val (ranked, release) = graft.ops.FeatureScale
           .percentileRanksReleasable(li, "l_extendedprice",
             Seq("l_returnflag"))
-        try ranked.count() finally release()
+        try ranked.forceCount() finally release()
       }),
 
       // one aggregate per side + scalar array math; vectors never
@@ -449,7 +462,7 @@ object Bench {
           "embedding").first()
         graft.ops.Drift.embeddingDriftByDim(
           emb.filter(col("label") >= 5), emb.filter(col("label") < 5),
-          "embedding").count()
+          "embedding").forceCount()
       }),
 
       // Morton key + range layout + parquet write over lineitem (the
@@ -472,7 +485,7 @@ object Bench {
       "corr_matrix" -> (() =>
         graft.ops.Stats.corrMatrix(t("lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-          .count()),
+          .forceCount()),
 
       // 3 power iterations over the customer->supplier purchase graph:
       // edges normalized + persisted once, per-iteration exchanges are
@@ -484,26 +497,26 @@ object Bench {
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
         graft.ops.Graph.pageRank(edges, "src", "dst", None,
-          iterations = 3).count()
+          iterations = 3).forceCount()
       }),
 
       // exact cosine 10-NN per labeled vector + neighborhood majority:
       // corpus broadcast-scored map-side, then two skinny id-pair joins
       "knn_label_noise" -> (() =>
         graft.ops.Similarity.knnLabelNoise(t("embeddings"),
-          "vec_id", "embedding", "label", k = 10).count()),
+          "vec_id", "embedding", "label", k = 10).forceCount()),
 
       // pairwise 8-gram Jaccard between sources: grams dedupe to
       // (group, hash) in one exchange reused by sizes + both join sides
       "source_overlap" -> (() =>
         graft.ops.TextOps.sourceOverlap(t("documents"),
-          "source", "text", n = 8).count()),
+          "source", "text", n = 8).forceCount()),
 
       // exact trailing-1h per-event stats: one hash exchange + sort,
       // single RANGE window over the full event table
       "rolling_window" -> (() =>
         graft.ops.EventStats.rollingWindowStats(t("events"),
-          "user_id", "ts", "value", windowSeconds = 3600L).count()),
+          "user_id", "ts", "value", windowSeconds = 3600L).forceCount()),
 
       // blocked edit-distance self-linkage over customer names: block
       // equi-join + codegen levenshtein, no cartesian product
@@ -514,7 +527,7 @@ object Bench {
         val c = t("customer").filter(col("c_custkey") <= 1200)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
         graft.ops.Joins.fuzzyJoin(c, c, "id", "name", maxDist = 1)
-          .count()
+          .forceCount()
       }),
 
       // 3 self-vote LPA rounds over the symmetrized purchase graph:
@@ -526,7 +539,7 @@ object Bench {
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
         graft.ops.Graph.labelPropagation(edges, "src", "dst",
-          iterations = 3).count()
+          iterations = 3).forceCount()
       }),
 
       // first/last-touch attribution for every purchase: one exchange
@@ -534,18 +547,18 @@ object Bench {
       "attribution" -> (() =>
         graft.ops.EventStats.touchAttribution(t("events"), "user_id",
           "ts", "event_type", "event_id", Seq("view", "click"),
-          "purchase", lookbackSeconds = 3600L).count()),
+          "purchase", lookbackSeconds = 3600L).forceCount()),
 
       // cosine k-means: 2 Lloyd passes + assignment, all map-only
       // with k-row aggregates — zero corpus shuffles
       "kmeans" -> (() =>
         graft.ops.Similarity.kmeansClusters(t("embeddings"),
-          "vec_id", "embedding", k = 8, iterations = 2).count()),
+          "vec_id", "embedding", k = 8, iterations = 2).forceCount()),
 
       // token counts map-side-combined, OLS over the bounded top-200
       "zipf" -> (() =>
         graft.ops.TextOps.zipfFit(t("documents"), "text", topN = 200)
-          .count()),
+          .forceCount()),
 
       // personalized PageRank from the nation-0 customer seeds:
       // 3 iterations, teleport + dangling mass to seeds
@@ -558,7 +571,7 @@ object Bench {
         val seeds = t("customer").filter(col("c_nationkey") === 0)
           .select(concat(lit("c:"), col("c_custkey")).as("seed"))
         graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
-          seeds, "seed", None, iterations = 3).count()
+          seeds, "seed", None, iterations = 3).forceCount()
       }),
 
       // HITS on the purchase graph, 2 L1-normalized rounds; both edge
@@ -570,7 +583,7 @@ object Bench {
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
         graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
-          .count()
+          .forceCount()
       }),
 
       // triangle census of the order co-purchase graph (parts sharing
@@ -581,7 +594,7 @@ object Bench {
         val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("o"))
           .filter(col("p") < col("p2"))
           .select(col("p").as("src"), col("p2").as("dst"))
-        graft.ops.Graph.triangleStats(edges, "src", "dst").count()
+        graft.ops.Graph.triangleStats(edges, "src", "dst").forceCount()
       }),
 
       // full readability battery: row-local regexp counting + HOF fold,
@@ -597,13 +610,13 @@ object Bench {
       // joins on the filtered bigram table
       "pmi_collocations" -> (() =>
         graft.ops.TextOps.pmiCollocations(t("documents"), "text",
-          minCount = 5, topK = 50).count()),
+          minCount = 5, topK = 50).forceCount()),
 
       // 8 BPE merges: one corpus collapse, then per-merge vocab-sized
       // aggregates + 1-row argmax collects
       "bpe_train" -> (() =>
         graft.ops.Tokenizer.bpeTrain(t("documents"), "text",
-          merges = 8).count()),
+          merges = 8).forceCount()),
 
       // PCA: one bounded moment aggregate, driver Jacobi (d=64), then a
       // row-local broadcast projection pass
@@ -623,14 +636,14 @@ object Bench {
           .select(col("key"), expr("duration div 3600000000").as("dh"),
             col("observed"))
         val n = graft.ops.EventStats.kaplanMeier(tte, "dh", "observed")
-          .count()
+          .forceCount()
         val (lr, lrRel) = graft.ops.EventStats.logRankReleasable(
           tte.select(pmod(col("key"), lit(2)).cast("string").as("g"),
             col("dh"), col("observed")), "dh", "observed", "g")
-        try lr.count() finally lrRel()
+        try lr.forceCount() finally lrRel()
         val (seg, segRel) = graft.ops.EventStats.rfmReleasable(
           t("events"), "user_id", "ts", "value")
-        try seg.count() finally segRel()
+        try seg.forceCount() finally segRel()
         n
       }),
 
@@ -640,7 +653,7 @@ object Bench {
         val (m, release) = graft.ops.Drift.psiMatrixReleasable(
           t("documents"), "source", "n_chars",
           Seq(150.0, 250.0, 350.0, 450.0))
-        try m.count() finally release()
+        try m.forceCount() finally release()
       }),
 
       // ANN serving from the index at rest: write (clustering +
@@ -653,7 +666,7 @@ object Bench {
           numBuckets = 8)
         try graft.ops.Similarity.ivfTopKStored(
           emb.filter(col("vec_id") < 100), "graft_bench_ivf",
-          "vec_id", "embedding", k = 10, nProbe = 4).count()
+          "vec_id", "embedding", k = 10, nProbe = 4).forceCount()
         finally {
           spark.sql("DROP TABLE IF EXISTS graft_bench_ivf_centroids")
           spark.sql("DROP TABLE IF EXISTS graft_bench_ivf_lists")
@@ -672,7 +685,7 @@ object Bench {
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
         try graft.ops.Dedup.minHashNearDupsStored(batch,
           "graft_bench_mh", "doc_id", "text", numHashes = 64,
-          bands = 16, shingleK = 3, threshold = 0.8).count()
+          bands = 16, shingleK = 3, threshold = 0.8).forceCount()
         finally {
           spark.sql("DROP TABLE IF EXISTS graft_bench_mh_buckets")
           spark.sql("DROP TABLE IF EXISTS graft_bench_mh_sigs")
@@ -688,8 +701,8 @@ object Bench {
             .as("s"),
             (col("event_type") === "purchase").as("y"))
         val (a, rel) = graft.ops.ModelEval.aucReleasable(scored, "s", "y")
-        try a.count() finally rel()
-        graft.ops.ModelEval.ece(scored, "s", "y", nBins = 20).count()
+        try a.forceCount() finally rel()
+        graft.ops.ModelEval.ece(scored, "s", "y", nBins = 20).forceCount()
       }),
 
       // PR-curve AP (multi-weight prefix sum over ~1k distinct scores)
@@ -702,11 +715,11 @@ object Bench {
             (col("event_type") === "purchase").as("y"))
         val (ap, rel) = graft.ops.ModelEval
           .averagePrecisionReleasable(scored, "s", "y")
-        try ap.count() finally rel()
+        try ap.forceCount() finally rel()
         graft.ops.ModelEval.rankingReport(
           t("events").withColumn("rel",
             (col("event_type") === "purchase").cast("int")),
-          "user_id", "event_id", "value", "rel", k = 10).count()
+          "user_id", "event_id", "value", "rel", k = 10).forceCount()
       }),
 
       // two-sample tests at corpus scale: mann-whitney ranks ~600k
@@ -716,11 +729,11 @@ object Bench {
         val ev = t("events")
           .withColumn("grp",
             when(col("user_id") % 2 === 0, "a").otherwise("b"))
-        graft.ops.Stats.welchTTest(ev, "grp", "value", "a", "b").count()
-        graft.ops.Stats.mannWhitney(ev, "grp", "value", "a", "b").count()
+        graft.ops.Stats.welchTTest(ev, "grp", "value", "a", "b").forceCount()
+        graft.ops.Stats.mannWhitney(ev, "grp", "value", "a", "b").forceCount()
         graft.ops.Stats.proportionTest(
           ev.withColumn("conv", col("event_type") === "purchase"),
-          "grp", "conv", "a", "b").count()
+          "grp", "conv", "a", "b").forceCount()
       }),
 
       // exact discrete quantiles of 600k prices: distinct-value counts
@@ -728,7 +741,7 @@ object Bench {
       "exact_quantiles" -> (() =>
         graft.ops.FeatureScale.exactQuantiles(t("lineitem"),
           "l_extendedprice",
-          Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)).count()),
+          Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)).forceCount()),
 
       // prefix-blocked Jaro-Winkler on a PATHOLOGICAL key space (64
       // base names -> huge shared-prefix blocks): a 5k-row slice times
@@ -742,7 +755,7 @@ object Bench {
           concat(substring(col("key"), 1, 2),
             substring(col("key"), 4, 1000000)).as("key"))
         graft.ops.Joins.nameMatchPairs(base, typod, "id", "key",
-          minSim = 0.95).count()
+          minSim = 0.95).forceCount()
       }),
 
       // the Fellegi-Sunter shape at full width: 20k vs 20k, blocked on
@@ -757,14 +770,14 @@ object Bench {
           concat(substring(col("key"), 1, 2),
             substring(col("key"), 4, 1000000)).as("key"), col("blk"))
         graft.ops.Joins.nameMatchPairsBlocked(base, typod, "id", "key",
-          "blk", minSim = 0.95).count()
+          "blk", minSim = 0.95).forceCount()
       }),
 
       // migration parity digest: md5 + hex-parse + mod-sum over 600k
       // rows x (1 row digest + 3 columns) in one map-side aggregate
       "table_checksum" -> (() =>
         graft.ops.Diagnostics.tableChecksum(t("lineitem"),
-          Seq("l_orderkey", "l_linenumber", "l_returnflag")).count()),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag")).forceCount()),
 
       // hourly series ops: dense 720-bucket series from 600k events —
       // additive decomposition + 48-lag autocorrelation via shifted
@@ -775,10 +788,10 @@ object Bench {
         val series = graft.ops.EventStats.eventSeries(
           t("events"), "ts", bucketSeconds = 3600L)
         graft.ops.EventStats.decompose(series, "t", "n", period = 24,
-          trendWindow = 12).count()
-        graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).count()
-        graft.ops.EventStats.changePoint(series, "t", "n").count()
-        graft.ops.EventStats.trendSlope(series, "t", "n").count()
+          trendWindow = 12).forceCount()
+        graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).forceCount()
+        graft.ops.EventStats.changePoint(series, "t", "n").forceCount()
+        graft.ops.EventStats.trendSlope(series, "t", "n").forceCount()
       }),
 
       // audio dedup e2e: synthesize white-noise WAVs executor-side
@@ -798,7 +811,7 @@ object Bench {
         val (pairs, rel) = graft.ops.Media.audioNearDupsReleasable(
           clips, "doc_id", "blob", windowFrames = 64,
           minSharedBlocks = 1)
-        try pairs.count() finally rel()
+        try pairs.forceCount() finally rel()
       }),
 
       // stupid-backoff trigram LM at the pruned-LM floor: three n-gram
@@ -806,7 +819,7 @@ object Bench {
       // member of the perplexity family
       "trigram_perplexity" -> (() =>
         graft.ops.TextOps.trigramPerplexity(t("documents"), "doc_id",
-          "text", minCount = 2L).count()),
+          "text", minCount = 2L).forceCount()),
 
       // DCT perceptual-hash dedup e2e: synthesize PPMs executor-side,
       // 32x32 gray + 2D DCT per image, banded Hamming pair join over
@@ -822,7 +835,7 @@ object Bench {
             .toDF("doc_id", "blob"))
         val (pairs, rel) = graft.ops.Media.pHashNearDupsReleasable(
           blobs, "doc_id", "blob", maxHamming = 0)
-        try pairs.count() finally rel()
+        try pairs.forceCount() finally rel()
       }),
 
       // video dedup e2e: synthesize GVID containers with planted
@@ -842,7 +855,7 @@ object Bench {
             .toDF("doc_id", "blob"))
         val (pairs, rel) = graft.ops.Media.videoNearDupsReleasable(
           vids, "doc_id", "blob", everyN = 1, minSharedFrames = 2)
-        try pairs.count() finally rel()
+        try pairs.forceCount() finally rel()
       }),
 
       // semantic decontamination e2e: 500-vector eval side broadcast
@@ -853,7 +866,7 @@ object Bench {
         val eval = emb.filter(col("vec_id") % 10 === 0)
           .limit(500)
         graft.ops.Similarity.semanticContamination(emb, eval,
-          "vec_id", "embedding", threshold = 0.99).count()
+          "vec_id", "embedding", threshold = 0.99).forceCount()
       }),
 
       // video ingest e2e: synthesize GVID containers executor-side
@@ -941,58 +954,58 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] warmup failed (non-fatal): $e")
       }
-    warm(t("lineitem").limit(1000).newProfilingSession().aggProfiles().count())
+    warm(t("lineitem").limit(1000).newProfilingSession().aggProfiles().forceCount())
     warm(Dedup.minHashLshPairs(t("documents").limit(200), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleK = 2).count())
-    warm(t("documents").limit(200).select(Dedup.simHash(col("text"))).count())
+      numHashes = 64, bands = 16, shingleK = 2).forceCount())
+    warm(t("documents").limit(200).select(Dedup.simHash(col("text"))).forceCount())
     val warmEmb = t("embeddings").limit(100)
     warm(Similarity.bruteForceTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 2).count())
+      "vec_id", "embedding", k = 2).forceCount())
     warm(Similarity.ivfPqTopK(warmEmb, warmEmb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 2, nCentroids = 4, nProbe = 2,
-      m = 8, ksub = 4, rerank = 5).count())
+      m = 8, ksub = 4, rerank = 5).forceCount())
     warm(graft.ops.TextOps.tfIdfTopTerms(t("documents").limit(200),
-      "doc_id", "text", 2).count())
+      "doc_id", "text", 2).forceCount())
     warm(graft.ops.Sessionize.stats(t("events").limit(500),
-      "user_id", "ts", gap = 14400L * 1000000L).count())
+      "user_id", "ts", gap = 14400L * 1000000L).forceCount())
     warm(graft.ops.Outliers.iqrStats(t("lineitem").limit(1000),
-      "l_extendedprice", Seq("l_returnflag")).count())
+      "l_extendedprice", Seq("l_returnflag")).forceCount())
     warm(graft.ops.TextOps.unigramPerplexity(t("documents").limit(200),
-      "doc_id", "text").count())
+      "doc_id", "text").forceCount())
     val warmDocs = t("documents").limit(200).select(col("doc_id"), col("text"))
     warm(Dedup.ngramContamination(warmDocs, warmDocs.limit(20), "doc_id",
-      "text", n = 8, minShared = 3).count())
+      "text", n = 8, minShared = 3).forceCount())
     warm {
       val (p, rel) = graft.ops.Packing.packSequencesReleasable(
         warmDocs.select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tok")),
         "doc_id", "n_tok", "doc_id", budget = 2048L)
-      p.count(); rel()
+      p.forceCount(); rel()
     }
-    warm(graft.ops.TextOps.bigramPerplexity(warmDocs, "doc_id", "text").count())
+    warm(graft.ops.TextOps.bigramPerplexity(warmDocs, "doc_id", "text").forceCount())
     warm(Dedup.semDedupSurvivors(warmEmb, "vec_id", "embedding",
-      threshold = 0.99, nCentroids = 4).count())
+      threshold = 0.99, nCentroids = 4).forceCount())
     warm(graft.ops.Sampling.temperatureMix(t("documents").limit(200), "doc_id",
-      "source", targetFraction = 0.5, temperature = 0.5).count())
+      "source", targetFraction = 0.5, temperature = 0.5).forceCount())
     warm(Dedup.duplicatedSpans(warmDocs, "doc_id", "text",
-      windowTokens = 8, minDocs = 2).count())
+      windowTokens = 8, minDocs = 2).forceCount())
     warm {
       val (semi, rel) = Dedup.bloomSemiJoinReleasable(warmDocs,
         warmDocs.limit(20), "text", numBits = 1L << 16, numHashFns = 5)
-      semi.count(); rel()
+      semi.forceCount(); rel()
     }
     warm(warmDocs.select(graft.ops.TextOps.readability(col("text"))
       .as("r")).agg(sum(col("r.n_words"))).first())
-    warm(graft.ops.TextOps.pmiCollocations(warmDocs, "text", 2, 5).count())
-    warm(graft.ops.Tokenizer.bpeTrain(warmDocs, "text", merges = 2).count())
+    warm(graft.ops.TextOps.pmiCollocations(warmDocs, "text", 2, 5).forceCount())
+    warm(graft.ops.Tokenizer.bpeTrain(warmDocs, "text", merges = 2).forceCount())
     warm {
       val m = graft.ops.Pca.fit(warmEmb, "embedding")
-      graft.ops.Pca.project(warmEmb, "embedding", m, 4).count()
+      graft.ops.Pca.project(warmEmb, "embedding", m, 4).forceCount()
     }
     warm(graft.ops.TextOps.bm25TopK(warmDocs, "doc_id", "text",
       warmDocs.limit(3).select(col("doc_id").as("query_id"),
         substring(col("text"), 1, 40).as("qtext")),
-      "query_id", "qtext", k = 3).count())
+      "query_id", "qtext", k = 3).forceCount())
     warm {
       import spark.implicits._
       val vv = t("documents").limit(8).select(col("doc_id")).as[Long]
@@ -1000,7 +1013,7 @@ object Bench {
         .toDF("doc_id", "blob")
       val fr = graft.ops.Media.videoFrameSample(vv, "doc_id", "blob", 2)
         .select(col("id").as("fid"), col("frame"))
-      graft.ops.Media.imageHashes(fr, "fid", "frame").count()
+      graft.ops.Media.imageHashes(fr, "fid", "frame").forceCount()
     }
     // the media-dedup trio's plan shapes (synthesize -> decode/hash ->
     // capped bucket pairs -> verify): their sub-second windows carried
@@ -1014,7 +1027,7 @@ object Bench {
         (id, graft.ops.Media.synthesizeWavNoise(id))).toDF("doc_id", "blob")
       val (p, rel) = graft.ops.Media.audioNearDupsReleasable(
         clips, "doc_id", "blob", windowFrames = 64, minSharedBlocks = 1)
-      try p.count() finally rel()
+      try p.forceCount() finally rel()
     }
     warm {
       import spark.implicits._
@@ -1023,7 +1036,7 @@ object Bench {
         (id, graft.ops.Media.synthesizePpm(id))).toDF("doc_id", "blob")
       val (p, rel) = graft.ops.Media.pHashNearDupsReleasable(
         blobs, "doc_id", "blob", maxHamming = 0)
-      try p.count() finally rel()
+      try p.forceCount() finally rel()
     }
     warm {
       import spark.implicits._
@@ -1032,7 +1045,7 @@ object Bench {
         (id, graft.ops.Media.synthesizeGvid(id, 2))).toDF("doc_id", "blob")
       val (p, rel) = graft.ops.Media.videoNearDupsReleasable(
         vids, "doc_id", "blob", everyN = 1, minSharedFrames = 1)
-      try p.count() finally rel()
+      try p.forceCount() finally rel()
     }
     warm(hcDocs.count()) // materialize the persisted fixtures OUTSIDE timing
     warm(mlDocs.count())

@@ -125,7 +125,13 @@ object SparkEntry {
       o.newProfilingSession().aggProfiles()
         .select(col("o_totalprice.count").as("n"),
           round(col("o_totalprice.numbers.sum"), 2).as("price_sum"),
-          round(col("o_totalprice.numbers.variance"), 4).as("price_var"),
+          // variance here is ~2.07e10: rounding at 4 DECIMALS demanded
+          // ~1e-14 relative agreement between a parallel Chan merge and
+          // DuckDB's sequential var_samp — one merge-tree change (the
+          // r16 update-parallelize rule) flipped the 4th decimal. Round
+          // to the nearest hundred instead: 5e-9 relative, ~1000x the
+          // float64 parallel-reduction drift, scale-appropriate.
+          round(col("o_totalprice.numbers.variance"), -2).as("price_var"),
           col("o_orderstatus.strings.count").as("n_status"),
           col("o_custkey.numbers.long_min").as("cust_min"),
           col("o_custkey.numbers.long_max").as("cust_max"),
@@ -4399,7 +4405,7 @@ object SparkEntry {
     "q07_profile_global" ->
       """SELECT count(*) AS n,
         |  round(sum(o_totalprice), 2) AS price_sum,
-        |  round(var_samp(o_totalprice), 4) AS price_var,
+        |  round(var_samp(o_totalprice), -2) AS price_var,
         |  count(o_orderstatus) AS n_status,
         |  min(o_custkey) AS cust_min,
         |  max(o_custkey) AS cust_max,

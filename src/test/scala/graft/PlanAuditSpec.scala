@@ -213,7 +213,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     row.length shouldBe 1
     prof.schema.fields.count(_.name.startsWith("c")) shouldBe 608
     val plan = finalPlan(prof)
-    "Exchange".r.findAllIn(plan).length shouldBe 1
+    // one partial+final aggregate pair and NO hash exchange (global agg
+    // ships 608 sketch states once). The limit fixture contributes its
+    // own single-partition exchange, and the 1-split input legitimately
+    // gains the documented update-parallelize round-robin
+    // (AutoParallelizeSpec) — pin that no OTHER shuffle appears
+    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 2
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 0
+    "roundrobinpartitioning".r
+      .findAllIn(plan.toLowerCase).length should be <= 1
   }
 
   test("mixture resampler: cutoffs broadcast, corpus filter map-only " +
