@@ -15,13 +15,17 @@ import graft.io.EasyDateTime
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (es: Seq[Expression]) => builder(es)))
     }
+    // narrow-rows-through-the-shuffle rewrite for the profile
+    // update-parallelize repartition (see NarrowRepartitionRule)
+    ext.injectOptimizerRule(_ => graft.plans.NarrowRepartitionRule)
+  }
 }
 
 object GraftExtensions {

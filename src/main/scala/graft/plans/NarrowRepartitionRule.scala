@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Repartition}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Ship the NARROW rows through a round-robin shuffle, not the widened
+  * ones: rewrites `Repartition(shuffle = true, Project)` to
+  * `Project(Repartition(...))` when the projection is deterministic and
+  * strictly WIDENS the row (by static `defaultSize` of the schemas).
+  *
+  * Motivation: [[graft.profile.ProfileSession.aggProfiles]]'s
+  * update-parallelize rule repartitions under-split inputs before the
+  * CPU-heavy profile aggregate. When the profiled frame is a widening
+  * projection of a narrow source — a 608-column synthetic view over 8
+  * parquet columns, or flattenNested's leaf expansion — the exchange
+  * would otherwise serialize the WIDE rows (608 doubles ~ 2.9 GB at
+  * sf0.1) when shuffling the 8 source columns (~38 MB) and projecting
+  * AFTER the exchange computes the identical result: a round-robin
+  * exchange references no columns, and a deterministic projection
+  * commutes with any row routing.
+  *
+  * Guards: only `shuffle = true` Repartition (round-robin — a
+  * RepartitionByExpression depends on its key columns, untouched), only
+  * fully deterministic projections (a rand() column must be computed
+  * exactly once per row, before OR after the shuffle is NOT equivalent
+  * across retries), and only when the projection strictly widens (a
+  * narrowing projection below the exchange is already optimal — Catalyst
+  * column pruning put it there).
+  *
+  * Registered by [[graft.GraftExtensions]] (injectOptimizerRule) and
+  * installed lazily into `spark.experimental.extraOptimizations` by
+  * ProfileSession, so the optimization applies with or without the
+  * extensions conf. The rule is idempotent: the rewritten shape no
+  * longer matches the pattern.
+  */
+object NarrowRepartitionRule extends Rule[LogicalPlan] {
+
+  private def rowWidth(plan: LogicalPlan): Long =
+    plan.output.map(_.dataType.defaultSize.toLong).sum
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Repartition(n, true, p @ Project(list, child))
+        if list.forall(_.deterministic) && rowWidth(p) > rowWidth(child) =>
+      Project(list, Repartition(n, shuffle = true, child))
+  }
+}

@@ -217,6 +217,11 @@ case class ProfileSession(
       }.toSeq
 
     val aggCols = profileCols ++ modelCols
+    // when the repartition below fires on a WIDENING projection, the
+    // exchange must ship the narrow source rows, not the projected ones
+    // (graft.plans.NarrowRepartitionRule); install the rewrite for
+    // sessions not configured with graft.GraftExtensions
+    ProfileSession.ensureNarrowShuffleRule(df.sparkSession)
     val base = parallelism match {
       case Some(n) => df.repartition(n)
       case None if !df.isStreaming &&
@@ -260,6 +265,19 @@ case class ProfileSession(
 }
 
 object ProfileSession {
+  /** Install [[graft.plans.NarrowRepartitionRule]] into the session's
+    * extra optimizations once (idempotent, benign race) — sessions
+    * configured with `spark.sql.extensions=graft.GraftExtensions` get it
+    * there instead; applying both is harmless (the rule is idempotent).
+    */
+  private[profile] def ensureNarrowShuffleRule(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.contains(graft.plans.NarrowRepartitionRule))
+      ex.extraOptimizations =
+        ex.extraOptimizations :+ graft.plans.NarrowRepartitionRule
+  }
+
   /** Merge stored profile rows (from [[ProfileSession.aggProfiles]]) down to
     * a coarser grouping: re-aggregation of profiles, no raw data needed.
     * `profileCols` default: every struct column carrying a profile state.

@@ -1,0 +1,24 @@
+package graft.tools
+import graft.metrics.{ColumnProfileState, ProfileConfig}
+object CellCost {
+  def run(tag: String, cfg: ProfileConfig, n: Int): Unit = {
+    val st = new ColumnProfileState(cfg)
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < n) { st.trackDouble((i % 1000000).toDouble / 997.0); i += 1 }
+    println(f"$tag%-28s ${(System.nanoTime() - t0).toDouble / n}%8.1f ns/cell")
+  }
+  def main(args: Array[String]): Unit = {
+    val n = 5000000
+    (1 to 2).foreach { pass =>
+      println(s"--- pass $pass")
+      run("full default", ProfileConfig(), n)
+      run("no hll", ProfileConfig(withHll = false), n)
+      run("no freq", ProfileConfig(withFreqItems = false), n)
+      run("no hll+freq (no strings)", ProfileConfig(withHll = false, withFreqItems = false), n)
+      run("no kll", ProfileConfig(withKll = false), n)
+      run("no theta", ProfileConfig(withTheta = false), n)
+      run("counts only", ProfileConfig(withKll = false, withTheta = false, withHll = false, withFreqItems = false), n)
+    }
+  }
+}

@@ -57,6 +57,26 @@ class AutoParallelizeSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     } finally spark.conf.unset("spark.graft.profile.autoParallelize")
   }
 
+  test("widening projections shuffle NARROW: the round-robin exchange " +
+    "ships the source rows, not the projected ones") {
+    // 40 derived columns over a 3-column 1-partition source: the
+    // parallelize repartition fires, and NarrowRepartitionRule must hoist
+    // the widening projection ABOVE it so the exchange carries 3 columns
+    val wide = base.coalesce(1).select(
+      (0 until 40).map(i => (col("x") + lit(i)).as(s"w$i")): _*)
+    val prof = wide.newProfilingSession().aggProfiles()
+    val reparts = prof.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }
+    reparts should have size 1
+    // the exchange input is the narrow source projection (pruned to the
+    // single referenced column), NOT the 40 widened columns
+    reparts.head.output.length should be < 40
+    // and the profile still computes over all 40
+    prof.schema.fields.count(_.name.startsWith("w")) shouldBe 40
+    prof.select(col("w39.count")).collect().head.getLong(0) shouldBe 200L
+  }
+
   test("parallelized profile equals the as-is profile exactly") {
     val direct = {
       spark.conf.set("spark.graft.profile.autoParallelize", "false")
