@@ -639,8 +639,15 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
   test("profile drift: zero against itself, positive under a real shift") {
     import graft.profile.ProfileSession.ProfilingOps
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // persist: self-drift must read the SAME materialized profile on both
+    // sides. Without it the join evaluates the plan twice, and since r16's
+    // update-parallelize rule the 4 partials merge in arrival order —
+    // above KLL exact capacity two recomputations are only near-identical
+    // (the engine's claim is merge-order-insensitive SUMMARIES, not
+    // bit-identical sketch bytes across independent aggregations)
     val profA = li.filter(col("l_orderkey") % 2 === 0)
       .newProfilingSession().aggProfiles()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profShifted = li.filter(col("l_orderkey") % 2 === 1)
       .withColumn("l_quantity", col("l_quantity") * 3)
       .newProfilingSession().aggProfiles()
