@@ -94,9 +94,15 @@ object Bench {
             count(lit(1))).forceCount()
       }),
       // dedup: minhash LSH candidate pairs over the document corpus
-      "dedup_minhash_lsh" -> (() =>
-        Dedup.minHashLshPairs(t("documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleK = 2).forceCount()),
+      // Releasable + per-pass release: the persisted signature cache is
+      // keyed by logical plan, so a plain call would serve passes 2..N
+      // the cached signatures and the min would stop measuring the
+      // shingle/hash pipeline (the same honesty fix as the media trio)
+      "dedup_minhash_lsh" -> (() => {
+        val (pairs, rel) = Dedup.minHashLshPairsReleasable(t("documents"),
+          "doc_id", "text", numHashes = 64, bands = 16, shingleK = 2)
+        try pairs.forceCount() finally rel()
+      }),
       // simhash every document
       "dedup_simhash" -> (() =>
         t("documents").select(Dedup.simHash(col("text"))).forceCount()),
@@ -139,8 +145,10 @@ object Bench {
           .select((col("vec_id") + 1000000).as("vec_id"),
             transform(col("embedding"),
               (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).as("embedding"))
-        Dedup.embeddingNearDups(emb.unionAll(dups), "vec_id", "embedding",
-          threshold = 0.8, signBits = 8, bands = 8).forceCount()
+        val (pairs, rel) = Dedup.embeddingNearDupsReleasable(
+          emb.unionAll(dups), "vec_id", "embedding",
+          threshold = 0.8, signBits = 8, bands = 8)
+        try pairs.forceCount() finally rel()
       }),
       // gap-based sessionization + per-session stats over the event stream
       // (ts is TIMESTAMP; Sessionize's schema dispatch does the exact
@@ -286,8 +294,10 @@ object Bench {
         val dups = emb.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
             col("label"))
-        Dedup.semDedupSurvivors(emb.unionAll(dups), "vec_id", "embedding",
-          threshold = 0.99, nCentroids = 16).forceCount()
+        val (surv, rel) = Dedup.semDedupSurvivorsReleasable(
+          emb.unionAll(dups), "vec_id", "embedding",
+          threshold = 0.99, nCentroids = 16)
+        try surv.forceCount() finally rel()
       }),
       // temperature-weighted source rebalancing (map-only corpus filter)
       "temperature_mix" -> (() =>

@@ -1059,7 +1059,25 @@ object Dedup {
       threshold: Double,
       signBits: Int = 8,
       bands: Int = 8,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    embeddingNearDupsReleasable(df, idCol, embCol, threshold, signBits,
+      bands, maxBucketSize)._1
+
+  /** [[embeddingNearDups]] plus a release() thunk for the cached banded
+    * frame (the [[minHashLshPairsReleasable]] contract): the hyperplane
+    * banding pass over every embedding has two consumers — the
+    * bucket-size probe inside [[cappedBucketPairs]] and the pair
+    * generation — so the (band, bucket, id) rows persist and the
+    * corpus-wide hyperplane projections compute exactly once.
+    */
+  def embeddingNearDupsReleasable(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      signBits: Int = 8,
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): (DataFrame, () => Unit) = {
     val dims = Similarity.dim(df, embCol)
     val planes = Similarity.randomPlanes(bands * signBits, dims)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
@@ -1067,6 +1085,7 @@ object Dedup {
     val banded = base.select(col("id"),
       posexplode(graft.functions.hyperplane_bands(col("emb"), planes, signBits))
         .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // same salted bucket -> cap -> lazy pair generation shape as
     // minHashLshPairs
@@ -1075,12 +1094,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nbands"))
       .drop("__nbands")
 
-    pairs
+    val result = pairs
       .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    (result, () => { banded.unpersist(blocking = false); () })
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
@@ -1109,7 +1129,26 @@ object Dedup {
       nCentroids: Int = 16,
       iterations: Int = 2,
       maxClusterSize: Int = 10000,
-      centroidBroadcastThreshold: Int = 1024): DataFrame = {
+      centroidBroadcastThreshold: Int = 1024): DataFrame =
+    semDedupPairsReleasable(df, idCol, embCol, threshold, nCentroids,
+      iterations, maxClusterSize, centroidBroadcastThreshold)._1
+
+  /** [[semDedupPairs]] plus a release() thunk for the cached
+    * cluster-assignment frame (the [[minHashLshPairsReleasable]]
+    * contract): scoring every embedding against the codebook has two
+    * consumers — the bucket-size probe inside [[cappedBucketPairs]] and
+    * the pair generation — so the (cluster_id, id) rows persist and the
+    * assignment pass computes exactly once.
+    */
+  def semDedupPairsReleasable(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      iterations: Int = 2,
+      maxClusterSize: Int = 10000,
+      centroidBroadcastThreshold: Int = 1024): (DataFrame, () => Unit) = {
     val base = df.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("emb"))
     val centroids = Similarity.fitCentroids(
@@ -1118,22 +1157,25 @@ object Dedup {
     // empty corpus -> no centroids to assign against; no pairs, by
     // construction, rather than a zero-length-codebook error
     if (centroids.isEmpty)
-      return base.select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cosine")).limit(0)
+      return (base.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0), () => ())
     val assign = Similarity.assignTopCentroids(
       df.sparkSession.sparkContext, centroidBroadcastThreshold) _
+    val assigned = base
+      .select(assign(col("emb"), centroids, 1)(0).as("cluster_id"),
+        col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // clusters partition the corpus: every pair appears in exactly one
     // cell, so no cross-band dedupe pass is needed (unlike LSH)
-    val pairs = cappedBucketPairs(
-      base.select(assign(col("emb"), centroids, 1)(0).as("cluster_id"),
-        col("id")),
+    val pairs = cappedBucketPairs(assigned,
       Seq("cluster_id"), "id", maxClusterSize)
-    pairs
+    val result = pairs
       .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    (result, () => { assigned.unpersist(blocking = false); () })
   }
 
   /** The curation-side view of [[semDedupPairs]]: the input rows that
@@ -1153,12 +1195,29 @@ object Dedup {
       nCentroids: Int = 16,
       iterations: Int = 2,
       maxClusterSize: Int = 10000,
-      centroidBroadcastThreshold: Int = 1024): DataFrame = {
-    val dropped = semDedupPairs(df, idCol, embCol, threshold, nCentroids,
-      iterations, maxClusterSize, centroidBroadcastThreshold)
-      .select(col("id_b").as(idCol)) // id_a < id_b: the higher id drops
-    df.join(dropped, Seq(idCol), "left_anti")
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      centroidBroadcastThreshold: Int = 1024): DataFrame =
+    semDedupSurvivorsReleasable(df, idCol, embCol, threshold, nCentroids,
+      iterations, maxClusterSize, centroidBroadcastThreshold)._1
+
+  /** [[semDedupSurvivors]] plus the release() thunk of the underlying
+    * [[semDedupPairsReleasable]] cluster-assignment cache.
+    */
+  def semDedupSurvivorsReleasable(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nCentroids: Int = 16,
+      iterations: Int = 2,
+      maxClusterSize: Int = 10000,
+      centroidBroadcastThreshold: Int = 1024): (DataFrame, () => Unit) = {
+    val (pairs, release) = semDedupPairsReleasable(df, idCol, embCol,
+      threshold, nCentroids, iterations, maxClusterSize,
+      centroidBroadcastThreshold)
+    val dropped =
+      pairs.select(col("id_b").as(idCol)) // id_a < id_b: the higher id drops
+    (df.join(dropped, Seq(idCol), "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*), release)
   }
 
   /** Persist a reference corpus's distinct normalized-text fingerprints

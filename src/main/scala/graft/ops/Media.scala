@@ -815,6 +815,11 @@ object Media {
     * all-pairs; the shared-frame count is the bucket-collision count,
     * no second fetch join. Corrupt containers drop whole.
     * Output: (id_a, id_b, n_shared), id_a < id_b.
+    *
+    * Caches the per-frame hash frame for the session (plan-keyed, so
+    * repeated calls over the SAME input reuse one entry); long-lived
+    * sessions running many distinct corpora should use
+    * [[videoNearDupsReleasable]] and release() after materializing.
     */
   def videoNearDups(
       df: DataFrame, idCol: String, blobCol: String,
@@ -871,6 +876,10 @@ object Media {
     * the bucket cap. Clip ids must fit 31 bits (enforced). Corrupt
     * containers drop whole. Output: (id_a, id_b, n_shared),
     * id_a < id_b.
+    *
+    * Caches the per-frame hash frame for the session (plan-keyed);
+    * long-lived sessions running many distinct corpora should use
+    * [[videoNearDupsFuzzyReleasable]] and release() after materializing.
     */
   def videoNearDupsFuzzy(
       df: DataFrame, idCol: String, blobCol: String,
@@ -1286,6 +1295,11 @@ object Media {
     * Output: (id_a, id_b, shift, n_shared), id_a < id_b, where
     * `shift` = id_a's window index minus id_b's at the winning offset
     * (one row per offset that clears `minSharedBlocks`).
+    *
+    * Caches the sliding-fingerprint frame for the session (plan-keyed);
+    * long-lived sessions running many distinct corpora should use
+    * [[audioNearDupsShiftedReleasable]] and release() after
+    * materializing.
     */
   def audioNearDupsShifted(
       df: DataFrame, idCol: String, blobCol: String,

@@ -39,8 +39,15 @@ object NarrowRepartitionRule extends Rule[LogicalPlan] {
     plan.output.map(_.dataType.defaultSize.toLong).sum
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // n >= numShufflePartitions: the rewrite moves the projection AFTER
+    // the exchange, so its compute parallelism becomes n — only hoist
+    // when n is at least the session's standard parallelism (the
+    // profile parallelize rule repartitions to exactly that). A user's
+    // .select(wide).repartition(1) must keep computing the projection
+    // on the upstream partitions, not serialize it through one task.
     case Repartition(n, true, p @ Project(list, child))
-        if list.forall(_.deterministic) && rowWidth(p) > rowWidth(child) =>
+        if n >= conf.numShufflePartitions &&
+          list.forall(_.deterministic) && rowWidth(p) > rowWidth(child) =>
       Project(list, Repartition(n, shuffle = true, child))
   }
 }

@@ -229,10 +229,23 @@ case class ProfileSession(
             .get("spark.graft.profile.autoParallelize", "true").toBoolean =>
         val target = df.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "200").toInt
-        // plan-only partition probe (no job runs); a failure to plan the
-        // RDD lineage (exotic sources) falls back to the as-is input
+        // Only MAP-ONLY lineages are probed: under AQE, Dataset.rdd on a
+        // plan containing ANY exchange EXECUTES those stages eagerly
+        // (getFinalPhysicalPlan), breaking laziness and running the
+        // upstream shuffles a second un-reused time when the profile
+        // materializes. An input with an exchange already gets
+        // shuffle-partition parallelism from it — under-splitting only
+        // afflicts exchange-free shapes (file scans, in-memory frames),
+        // and on those Dataset.rdd is genuinely plan-only (no stages to
+        // run). Exotic sources that fail to plan fall back to as-is.
+        val mapOnly =
+          try df.queryExecution.sparkPlan.collectFirst {
+            case e: org.apache.spark.sql.execution.exchange.Exchange => e
+          }.isEmpty
+          catch { case _: Throwable => false }
         val inParts =
-          try df.rdd.getNumPartitions catch { case _: Throwable => target }
+          if (!mapOnly) target
+          else try df.rdd.getNumPartitions catch { case _: Throwable => target }
         if (inParts * 2 <= target) df.repartition(target) else df
       case None => df
     }

@@ -27,6 +27,8 @@ object AnnScale {
     val nQueries = args.lift(3).map(_.toInt).getOrElse(100)
     val nCentroids = args.lift(4).map(_.toInt).getOrElse(256)
     val nProbe = args.lift(5).map(_.toInt).getOrElse(16)
+    require(nQueries > 0 && nQueries <= n,
+      s"nQueries must be in [1, n]: got $nQueries of $n")
     val nClusters = 1024L
     val spark = SparkSession.builder()
       .appName("ann-scale")
