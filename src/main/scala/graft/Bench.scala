@@ -943,15 +943,23 @@ object Bench {
       // join at radius 12 (probe expansion 697 buckets/band) — counts
       // the planted recoveries so the row measures the whole
       // fingerprint -> probe-join -> verify pipeline
+      // Releasable + per-pass release, like the dedup trio: the
+      // persisted fingerprint frame is plan-keyed, so later passes of a
+      // plain call sometimes read the cache (the committed f1/f2 runs
+      // measured 12.6 vs 4.5 s for the SAME row depending on whether
+      // pass 1's cache entry got reused) — the honest row recomputes
+      // the fingerprint -> probe-join -> verify pipeline every pass
       "mih_hamming" -> (() => {
         val docs = t("documents").select(col("doc_id"), col("text"))
         val edits = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"),
             concat(lit("edited "), expr("substring(text, 8)")).as("text"))
-        graft.ops.Dedup.simHashNearDups(docs.unionAll(edits),
-          "doc_id", "text", maxHamming = 12)
+        val (dups, rel) = graft.ops.Dedup.simHashNearDupsReleasable(
+          docs.unionAll(edits), "doc_id", "text", maxHamming = 12)
+        try dups
           .filter(col("id_b") === col("id_a") + 10000000L)
           .agg(count(lit(1))).first().getLong(0)
+        finally rel()
       }))
 
     // JVM/codegen warmup on tiny slices so timings measure the operators,
@@ -1137,8 +1145,14 @@ object Bench {
     // before the timed window — excluded from the min, recorded in the
     // artifact (`warmup_iters`/`warmup_sec`) so cross-round readers see
     // the protocol, not just the number.
+    // mih_hamming joined the set in r16: with the plan-keyed cache
+    // released per pass (honest protocol), its first pass carries ~10 s
+    // of JIT (first_iter 13-14.6 s vs 4.4 s steady) and in one committed
+    // run the compiler never tiered up inside the 3-pass window (all
+    // three passes ~12.6 s, spread 1.03 — the graph-row failure mode)
     val warmupPassRows: Set[String] =
-      Set("pagerank", "label_prop", "hits", "personalized_pr")
+      Set("pagerank", "label_prop", "hits", "personalized_pr",
+        "mih_hamming")
     // JVM-state confound meters (r15 bimodality triage: full-run
     // totals swung 97 -> 112 s on identical code with tight in-run
     // spreads, while isolated fresh-JVM runs of the same rows landed
