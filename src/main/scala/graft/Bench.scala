@@ -1150,9 +1150,13 @@ object Bench {
     // of JIT (first_iter 13-14.6 s vs 4.4 s steady) and in one committed
     // run the compiler never tiered up inside the 3-pass window (all
     // three passes ~12.6 s, spread 1.03 — the graph-row failure mode)
+    // profile_wide608 joined in r16-close: consecutive honest runs
+    // landed 16.9 vs 24.8 s with tight in-run spreads (1.01/1.03) and
+    // the slow run carrying 1.7x the GC — the heaviest row rides
+    // accumulated JVM state exactly like the graph cluster
     val warmupPassRows: Set[String] =
       Set("pagerank", "label_prop", "hits", "personalized_pr",
-        "mih_hamming")
+        "mih_hamming", "profile_wide608")
     // JVM-state confound meters (r15 bimodality triage: full-run
     // totals swung 97 -> 112 s on identical code with tight in-run
     // spreads, while isolated fresh-JVM runs of the same rows landed
