@@ -1273,17 +1273,75 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
-    // ---- q9x: scale paths, rows-only checks (not SQL-expressible:
-    // sketch internals / seeded-hash candidates) ----
+    // ---- q9x: scale paths re-shaped to invariant outputs (r17): the
+    // raw signatures/candidates are seeded-hash-dependent, so each query
+    // emits a quantity with an independent SQL twin instead — planted
+    // near-dup recall with the exact Jaccard recomputed from shingle
+    // sets (q90), token-multiset fingerprint invariance through the full
+    // screen (q91), planted-copy exact top-k under real cell pruning
+    // (q93/q98). The scale path itself (banding, bucket join, IVF probe)
+    // still executes; only the OUTPUT is the oracle-able invariant. ----
     "q90_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      // Near-dup recall at provable odds: each source doc with >= 30
+      // distinct 2-shingles gets a planted variant (two novel tokens
+      // appended -> true Jaccard >= 30/32). A j >= 0.9375 pair misses a
+      // 16x4 banding with prob (1 - j^4)^16 <= 7e-11 — and the seeded
+      // pipeline is deterministic, so the fixture either recovers all
+      // pairs forever or never. The reported jaccard is the EXACT
+      // shingle-set value (Dedup.ngramJaccard, the q44 recipe), which
+      // DuckDB recomputes independently from the same planting rule —
+      // est_jaccard (signature-dependent for j < 1) never leaves the
+      // engine.
+      val src = t(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .withColumn("__toks",
+          filter(split(lower(col("text")), " "), t => length(t) > 0))
+        .withColumn("__sh", when(size(col("__toks")) >= 2,
+            array_distinct(zip_with(
+              slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+              slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+              (a, b) => concat(a, lit(" "), b))))
+          .otherwise(array(array_join(col("__toks"), " "))))
+        .filter(size(col("__sh")) >= 30)
+        .select(col("doc_id"), col("text"))
+      val planted = src.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graftnoisea graftnoiseb")).as("text"))
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(planted)
+      Dedup.minHashLshPairs(corpus, "doc_id", "text",
         numHashes = 64, bands = 16, shingleK = 2)
-        .filter(col("est_jaccard") >= 0.2)
+        .filter(col("id_b") === col("id_a") + 200000 && col("id_a") < 200)
+        .join(corpus.select(col("doc_id").as("id_a"),
+          col("text").as("__ta")), Seq("id_a"))
+        .join(corpus.select(col("doc_id").as("id_b"),
+          col("text").as("__tb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccard(col("__ta"), col("__tb"), 2), 4)
+            .as("jaccard"))
     }),
 
     "q91_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      // SimHash is a pure function of the TOKEN MULTISET (whitespace-
+      // class split, case-folded, every occurrence votes), so a copy
+      // with reversed token order, doubled spaces, and a trailing tab
+      // MUST fingerprint identically — and the multi-index screen's
+      // pigeonhole guarantee makes recall at hamming 0 exact, so every
+      // planted pair comes back with hamming exactly 0. Pins (beyond
+      // q127's identical-text purity): multiset-not-sequence semantics,
+      // whitespace normalization, and screen completeness end-to-end.
+      val src = t(s, dir, "documents")
+        .filter(col("doc_id") < 60 && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val mangled = src.select((col("doc_id") + 300000).as("doc_id"),
+        concat(array_join(reverse(filter(split(col("text"), "\\s+"),
+            t => length(t) > 0)), "  "), lit("\t")).as("text"))
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(mangled)
+      Dedup.simHashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 300000 && col("id_a") < 60)
+        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"),
+          col("hamming"))
     }),
 
     "q92_embedding_neardups" -> ((s, dir) => {
@@ -1320,24 +1378,68 @@ object SparkEntry {
     }),
 
     "q93_ivf_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      // IVF under REAL pruning (nProbe=3 of 8), oracle-checked: each
+      // query vec_id<10 gets three planted near-copies (dim0 + 0.01g at
+      // +10000g) whose cosine to the query is ~1 while the natural max
+      // is ~0.51 — so the exact top-3 is the copy set, and because a
+      // near-identical vector shares its source's nearest centroid, all
+      // three live in the first probed cell: pruned IVF must return the
+      // exact answer. DuckDB rebuilds the planted corpus with list ops
+      // and computes exact cosine top-3; ranks re-derive from the
+      // ROUNDED cosine with an id tiebreak on both engines (q108's
+      // float-ulp guard).
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val copies = (1 to 3).map { g =>
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 10000 * g).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.01 * g)).otherwise(x))
+              .as("embedding"))
+      }.reduce(_ unionAll _)
+      val corpus = emb.unionAll(copies)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cosine"), 6).desc, col("item_id"))
+      Similarity.ivfTopK(corpus, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+        .select(col("query_id"), col("item_id"),
+          (round(col("cosine"), 6) + 0.0).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     "q98_ivfpq_ann" -> ((s, dir) => {
-      // IVF-PQ: coarse-cell pruning + product-quantized candidate scoring
-      // + bounded exact re-rank. k-means codes aren't SQL-expressible, so
-      // rows-only like q93; the exact/recall contracts live in
-      // OpsEquivalenceSpec's lossless-regime and recall-floor tests
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+      // IVF-PQ under real pruning with the q93 planted-copy fixture:
+      // ADC scores are k-means-code approximations (never SQL-twinned),
+      // but the copies' approximate cosine ~1 clears the natural ~0.51
+      // ceiling by far more than any PQ distortion, so all three copies
+      // survive into the 20-candidate exact re-rank — whose output is
+      // the exact top-3 DuckDB computes by brute force. Same rounded-
+      // cosine re-rank guard as q93.
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val copies = (1 to 3).map { g =>
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 10000 * g).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i === 0, x + lit(0.01 * g)).otherwise(x))
+              .as("embedding"))
+      }.reduce(_ unionAll _)
+      val corpus = emb.unionAll(copies)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cosine"), 6).desc, col("item_id"))
+      Similarity.ivfPqTopK(corpus, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 4,
         m = 8, ksub = 16, rerank = 20)
+        .select(col("query_id"), col("item_id"),
+          (round(col("cosine"), 6) + 0.0).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     "q108_ivf_recall" -> ((s, dir) => {
-      // HASH-CHECKED invariant for the ANN family (q93 is rows-only):
+      // HASH-CHECKED invariant for the ANN family (q93 checks the
+      // PRUNED path on a planted fixture; this row checks exhaustive):
       // probing EVERY centroid makes IVF exhaustive, so its top-k must
       // equal exact brute force — which DuckDB CAN compute. Ranks are
       // recomputed on the ROUNDED cosine with an id tiebreak on both
@@ -1354,7 +1456,8 @@ object SparkEntry {
     }),
 
     "q109_ivfpq_recall" -> ((s, dir) => {
-      // HASH-CHECKED recall row for IVF-PQ (q98 is rows-only): with a
+      // HASH-CHECKED recall row for IVF-PQ (q98 checks real pruning
+      // on a planted fixture; this row checks the lossless regime): with a
       // full probe and a re-rank bound past the corpus size, the exact
       // re-rank re-scores EVERY candidate, so recall vs brute force is
       // 1.0 regardless of quantization error — pinning the
@@ -4048,8 +4151,8 @@ object SparkEntry {
     }),
 
     "q126_minhash_invariant" -> ((s, dir) => {
-      // HASH-CHECKED invariant for the MinHash-LSH family (q90 is
-      // rows-only): an exact duplicate has the identical shingle set,
+      // HASH-CHECKED invariant for the MinHash-LSH family (q90 covers
+      // near-dup recall + exact-Jaccard values): an exact duplicate has the identical shingle set,
       // hence identical signature, hence identical band hashes — EVERY
       // band collides, so LSH must recover the planted pair with
       // est_jaccard exactly 1.0 (64/64 minhashes agree). Plant copies
@@ -4067,7 +4170,8 @@ object SparkEntry {
     }),
 
     "q127_simhash_invariant" -> ((s, dir) => {
-      // HASH-CHECKED invariant for SimHash (q91 is rows-only): the
+      // HASH-CHECKED invariant for SimHash (q91 covers multiset
+      // semantics + the screen path; this row pins raw-sig purity): the
       // 64-bit fingerprint is a pure function of the text, so a planted
       // exact copy MUST fingerprint identically — identical-signature
       // count over the planted pairs equals the pair count, which the
@@ -8650,6 +8754,92 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.95""".stripMargin,
+
+    "q90_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200 AND text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0) AS wa,
+        |    list_filter(string_split(
+        |        lower(text || ' graftnoisea graftnoiseb'), ' '),
+        |      t -> len(t) > 0) AS wb
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wa) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(wa)),
+        |        i -> wa[i] || ' ' || wa[i + 1]))
+        |    ELSE [array_to_string(wa, ' ')] END AS sa,
+        |    CASE WHEN len(wb) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(wb)),
+        |        i -> wb[i] || ' ' || wb[i + 1]))
+        |    ELSE [array_to_string(wb, ' ')] END AS sb
+        |  FROM tok)
+        |SELECT doc_id AS id_a, doc_id + 200000 AS id_b,
+        |  round(len(list_intersect(sa, sb))::DOUBLE /
+        |        len(list_distinct(sa || sb)), 4) AS jaccard
+        |FROM sh WHERE len(sa) >= 30""".stripMargin,
+
+    "q91_simhash" ->
+      """SELECT doc_id, doc_id + 300000 AS dup_id, 0 AS hamming
+        |FROM documents WHERE doc_id < 60 AND text IS NOT NULL""".stripMargin,
+
+    "q93_ivf_ann" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |              FROM embeddings),
+        |cop AS (
+        |  SELECT vec_id + 10000 * g AS vec_id,
+        |    list_transform(e, (x, i) ->
+        |      CASE WHEN i = 1 THEN x + 0.01 * g ELSE x END) AS e
+        |  FROM base, (SELECT unnest([1, 2, 3]) AS g) WHERE vec_id < 10),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT qid, v.vec_id AS iid,
+        |    list_dot_product(qe, e) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(e, e))) AS s
+        |  FROM q, v WHERE v.vec_id <> qid),
+        |top AS (
+        |  SELECT qid, iid, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims),
+        |sel AS (SELECT qid, iid, s FROM top WHERE rn <= 3)
+        |SELECT qid AS query_id, iid AS item_id,
+        |  round(s, 6) + 0.0 AS cosine,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(s, 6) DESC, iid) AS rank
+        |FROM sel""".stripMargin,
+
+    "q98_ivfpq_ann" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |              FROM embeddings),
+        |cop AS (
+        |  SELECT vec_id + 10000 * g AS vec_id,
+        |    list_transform(e, (x, i) ->
+        |      CASE WHEN i = 1 THEN x + 0.01 * g ELSE x END) AS e
+        |  FROM base, (SELECT unnest([1, 2, 3]) AS g) WHERE vec_id < 10),
+        |v AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT qid, v.vec_id AS iid,
+        |    list_dot_product(qe, e) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(e, e))) AS s
+        |  FROM q, v WHERE v.vec_id <> qid),
+        |top AS (
+        |  SELECT qid, iid, s,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, iid) AS rn
+        |  FROM sims),
+        |sel AS (SELECT qid, iid, s FROM top WHERE rn <= 3)
+        |SELECT qid AS query_id, iid AS item_id,
+        |  round(s, 6) + 0.0 AS cosine,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(s, 6) DESC, iid) AS rank
+        |FROM sel""".stripMargin,
 
     "q94_kll_grid_large" ->
       """WITH f AS (

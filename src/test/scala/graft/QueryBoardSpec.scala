@@ -26,8 +26,11 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
 
     it("pins the board size (update BOTH counts when adding a query)") {
       assert(SparkEntry.queries.size == 272)
-      // r16: q187 gained a DuckDB oracle (trace identity) — 4 rows-only left
-      assert(SparkEntry.oracleSql.size == 268)
+      // r17: q90/q91/q93/q98 re-shaped to invariant outputs with DuckDB
+      // oracles (planted near-dup recall + exact Jaccard, token-multiset
+      // screen recall, planted-copy exact top-k under pruning) — every
+      // board query is now oracle-checked, zero rows-only
+      assert(SparkEntry.oracleSql.size == 272)
     }
 
     it("every oracle entry has a matching query") {
