@@ -152,6 +152,23 @@ object Dedup {
     * EAGERLY at construction; callers whose upstream is expensive to
     * recompute (codec decodes, minhash signatures) persist it first so
     * the probe pass re-reads a cache, not the codec.
+    *
+    * LAZY-CONSTRUCTION ATTEMPT, MEASURED AND REVERTED (r17): moving the
+    * probe into the plan as a [[Dataset.scalar]] subquery (so
+    * construction schedules no job) was benched in two variants against
+    * this eager version on the same session. (a) big branch behind a
+    * `probe > saltTarget` per-row filter over `banded`: the runtime
+    * constant-false filter still runs the scan — audio_dedup
+    * 0.576→0.718 s, phash_dups 0.499→0.590, video_dedup 0.551→0.640,
+    * mih_hamming 3.96→4.79 (+16–25%). (b) big branch behind an
+    * empty-broadcast gate (1-row frame filtered by the subquery,
+    * crossJoin for AQE empty-relation collapse): common-case rows
+    * unchanged vs (a) — the collapse does not beat the per-pass
+    * subquery + union overhead — and the oversized regime lost its
+    * bucket-exchange reuse entirely (mih_hamming 3.96→14.1 s, 3.6×).
+    * The one-job eager probe over the caller-persisted input is the
+    * measured optimum; laziness here is not worth 16–25% on every
+    * sub-second LSH row.
     */
   private[ops] def cappedBucketPairs(
       banded: DataFrame,
