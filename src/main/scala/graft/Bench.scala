@@ -506,8 +506,9 @@ object Bench {
         val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
-        graft.ops.Graph.pageRank(edges, "src", "dst", None,
-          iterations = 3).forceCount()
+        val (ranks, rel) = graft.ops.Graph.pageRankReleasable(
+          edges, "src", "dst", None, iterations = 3)
+        try ranks.forceCount() finally rel()
       }),
 
       // exact cosine 10-NN per labeled vector + neighborhood majority:
@@ -548,8 +549,9 @@ object Bench {
         val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
-        graft.ops.Graph.labelPropagation(edges, "src", "dst",
-          iterations = 3).forceCount()
+        val (lbl, rel) = graft.ops.Graph.labelPropagationReleasable(
+          edges, "src", "dst", iterations = 3)
+        try lbl.forceCount() finally rel()
       }),
 
       // first/last-touch attribution for every purchase: one exchange
@@ -580,8 +582,9 @@ object Bench {
             concat(lit("s:"), col("l_suppkey")).as("dst"))
         val seeds = t("customer").filter(col("c_nationkey") === 0)
           .select(concat(lit("c:"), col("c_custkey")).as("seed"))
-        graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
-          seeds, "seed", None, iterations = 3).forceCount()
+        val (ranks, rel) = graft.ops.Graph.personalizedPageRankReleasable(
+          edges, "src", "dst", seeds, "seed", None, iterations = 3)
+        try ranks.forceCount() finally rel()
       }),
 
       // HITS on the purchase graph, 2 L1-normalized rounds; both edge
@@ -592,8 +595,9 @@ object Bench {
         val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
           .select(concat(lit("c:"), col("o_custkey")).as("src"),
             concat(lit("s:"), col("l_suppkey")).as("dst"))
-        graft.ops.Graph.hits(edges, "src", "dst", iterations = 2)
-          .forceCount()
+        val (ha, rel) = graft.ops.Graph.hitsReleasable(
+          edges, "src", "dst", iterations = 2)
+        try ha.forceCount() finally rel()
       }),
 
       // triangle census of the order co-purchase graph (parts sharing
@@ -1157,6 +1161,24 @@ object Bench {
     val warmupPassRows: Set[String] =
       Set("pagerank", "label_prop", "hits", "personalized_pr",
         "mih_hamming", "profile_wide608")
+    // Between-pass/between-row DRAIN (bench-only protocol, r17): a
+    // pass leaves async debris behind — unpersist(blocking=false)
+    // block removals in flight, and ContextCleaner work that only
+    // starts once the pass's RDD/broadcast/shuffle references are
+    // GC'd (shuffle registrations otherwise pile up in the
+    // MapOutputTracker for the whole run). The r16 committed pagerank
+    // row measured its untimed warmup at 10.7 s and then >= 25 s on
+    // EVERY timed pass of identical code — cross-pass JVM decay, not
+    // the operator (isolated runs of the same row: min 5.8 s <=
+    // warmup 11.0 s). A full GC promotes the dropped references to
+    // the cleaner queue and the sleep lets it drain; it runs OUTSIDE
+    // every timed window — before each row, and between passes of the
+    // heavy warmup-protocol rows.
+    def drainJvm(): Unit = {
+      System.gc()
+      Thread.sleep(150)
+    }
+    val drainBetweenPassRows: Set[String] = warmupPassRows + "triangles"
     // JVM-state confound meters (r15 bimodality triage: full-run
     // totals swung 97 -> 112 s on identical code with tight in-run
     // spreads, while isolated fresh-JVM runs of the same rows landed
@@ -1184,6 +1206,7 @@ object Bench {
       case None => benches
     }
     val results = selectedBenches.map { case (name, fn) =>
+      drainJvm() // every row starts from a drained JVM
       val loadPre = loadavg1m()
       val gcPre = gcTotalMs()
       val jitPre = jitTotalMs()
@@ -1204,6 +1227,7 @@ object Bench {
           failures += 1
           System.err.println(s"[bench] $name failed: $e")
         }
+        if (drainBetweenPassRows(name)) drainJvm()
       }
       // spread = 2nd-best/best: ~1.0 means the min is reproducible, a
       // large spread means the row was noisy even within this run
@@ -1219,6 +1243,7 @@ object Bench {
           System.err.println(s"[bench] $name warmup pass failed " +
             s"(non-fatal, timed loop records the real failure): $e")
         }
+        drainJvm()
       }
       (1 to baseIters).foreach(_ => pass())
       // time-budget depth: target ceil(budget / min) passes so cheap rows

@@ -31,6 +31,13 @@ object Graph {
     *
     * Returns (node, rank, scaled_rank = rank * N) — ranks sum to 1,
     * scaled_rank is 1.0 for an average node.
+    *
+    * The returned frame reads the FINAL persisted rank iterate (the
+    * persist is what keeps re-executions O(1) instead of replaying the
+    * whole iteration chain), so each call adds one node-sized cache
+    * entry the session keeps until it is released — long-lived sessions
+    * ranking many graphs should use [[pageRankReleasable]] and release
+    * when done consuming the result.
     */
   def pageRank(
       edges: DataFrame,
@@ -38,7 +45,21 @@ object Graph {
       dstCol: String,
       weightCol: Option[String] = None,
       iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    pageRankReleasable(edges, srcCol, dstCol, weightCol, iterations,
+      damping)._1
+
+  /** [[pageRank]] plus a release() thunk for the final persisted rank
+    * frame (re-executions of the returned frame after release replay
+    * the full iteration chain — consume first, then release).
+    */
+  def pageRankReleasable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None,
+      iterations: Int = 5,
+      damping: Double = 0.85): (DataFrame, () => Unit) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -87,12 +108,13 @@ object Graph {
       ranks.unpersist(blocking = false)
       ranks = next
     }
-    val out = ranks.select(col("node"), col("rank"),
+    val finalRanks = ranks
+    val out = finalRanks.select(col("node"), col("rank"),
       (col("rank") * n).as("scaled_rank"))
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     dangling.unpersist(blocking = false)
-    out
+    (out, () => { finalRanks.unpersist(blocking = false); () })
   }
 
   /** Personalized PageRank: the random surfer teleports to the SEED
@@ -105,7 +127,9 @@ object Graph {
     * Same iteration shape as [[pageRank]] (normalized edges persisted
     * on the join key once, rank-sized per-iteration exchanges, 1-row
     * broadcast dangling mass, O(1) lineage); the teleport vector
-    * rides the persisted node frame as a column.
+    * rides the persisted node frame as a column. Like [[pageRank]],
+    * the result reads the final persisted iterate — long-lived
+    * sessions should use [[personalizedPageRankReleasable]].
     */
   def personalizedPageRank(
       edges: DataFrame,
@@ -115,7 +139,22 @@ object Graph {
       seedCol: String,
       weightCol: Option[String] = None,
       iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    personalizedPageRankReleasable(edges, srcCol, dstCol, seeds,
+      seedCol, weightCol, iterations, damping)._1
+
+  /** [[personalizedPageRank]] plus a release() thunk for the final
+    * persisted rank frame.
+    */
+  def personalizedPageRankReleasable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      weightCol: Option[String] = None,
+      iterations: Int = 5,
+      damping: Double = 0.85): (DataFrame, () => Unit) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
@@ -165,11 +204,12 @@ object Graph {
       ranks.unpersist(blocking = false)
       ranks = next
     }
-    val out = ranks.select(col("node"), col("rank"))
+    val finalRanks = ranks
+    val out = finalRanks.select(col("node"), col("rank"))
     norm.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     dangling.unpersist(blocking = false)
-    out
+    (out, () => { finalRanks.unpersist(blocking = false); () })
   }
 
   /** HITS hubs-and-authorities over a directed edge table (Kleinberg
@@ -183,13 +223,25 @@ object Graph {
     * dst (the authority-update join key) and on src (the hub-update
     * key), so neither update re-exchanges edges; scores are
     * node-sized, normalization is an in-plan 1-row broadcast, and
-    * persist-and-swap keeps lineage O(1).
+    * persist-and-swap keeps lineage O(1). The result joins the final
+    * persisted hub AND authority iterates — long-lived sessions should
+    * use [[hitsReleasable]].
     */
   def hits(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    hitsReleasable(edges, srcCol, dstCol, iterations)._1
+
+  /** [[hits]] plus a release() thunk for the final persisted hub and
+    * authority frames.
+    */
+  def hitsReleasable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): (DataFrame, () => Unit) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
@@ -236,12 +288,17 @@ object Graph {
       hubs.unpersist(blocking = false)
       hubs = hNext
     }
-    val out = hubs.join(auths, Seq("node"))
+    val (finalHubs, finalAuths) = (hubs, auths)
+    val out = finalHubs.join(finalAuths, Seq("node"))
       .select(col("node"), col("hub"), col("authority"))
     eByDst.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    out
+    (out, () => {
+      finalHubs.unpersist(blocking = false)
+      finalAuths.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -265,7 +322,18 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    labelPropagationReleasable(edges, srcCol, dstCol, iterations)._1
+
+  /** [[labelPropagation]] plus a release() thunk for the final
+    * persisted label frame (the plain variant's result keeps it cached
+    * for the session — the [[pageRank]] note applies).
+    */
+  def labelPropagationReleasable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): (DataFrame, () => Unit) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
@@ -323,7 +391,8 @@ object Graph {
     }
     und.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    labels
+    val finalLabels = labels
+    (finalLabels, () => { finalLabels.unpersist(blocking = false); () })
   }
 
   /** Per-node degree statistics over a directed edge table: out_deg /
