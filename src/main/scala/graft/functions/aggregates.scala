@@ -110,7 +110,43 @@ case class ColumnProfileAgg(
 
   @transient private lazy val track: Tracker = trackerFor(child.dataType)
 
+  /** Primitive-column fast path (r17): after binding, a plain column
+    * child is a BoundReference, and `child.eval` would box every
+    * numeric cell (365M Long/Double allocations per wide608 pass)
+    * purely to route it through the Any-typed tracker. Reading the
+    * primitive straight off the InternalRow keeps the update loop
+    * allocation-free for the five fixed-width types; every other
+    * child shape (expressions, strings, containers) keeps the generic
+    * eval route. Null semantics identical: isNullAt -> trackNull.
+    */
+  @transient private lazy val primitiveUpdate:
+      (ColumnProfileState, InternalRow) => Unit = child match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+      val ord = b.ordinal
+      b.dataType match {
+        case LongType => (st, row) =>
+          if (row.isNullAt(ord)) st.trackNull()
+          else st.trackLong(row.getLong(ord))
+        case IntegerType => (st, row) =>
+          if (row.isNullAt(ord)) st.trackNull()
+          else st.trackLong(row.getInt(ord).toLong)
+        case DoubleType => (st, row) =>
+          if (row.isNullAt(ord)) st.trackNull()
+          else st.trackDouble(row.getDouble(ord))
+        case FloatType => (st, row) =>
+          if (row.isNullAt(ord)) st.trackNull()
+          else st.trackDouble(row.getFloat(ord).toDouble)
+        case BooleanType => (st, row) =>
+          if (row.isNullAt(ord)) st.trackNull()
+          else st.trackBoolean(row.getBoolean(ord))
+        case _ => null
+      }
+    case _ => null
+  }
+
   override def update(st: ColumnProfileState, input: InternalRow): ColumnProfileState = {
+    val fast = primitiveUpdate
+    if (fast != null) { fast(st, input); return st }
     val v = child.eval(input)
     if (v == null) st.trackNull() else track(st, v)
     st

@@ -83,6 +83,61 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
     if (freq != null) freq.update(t)
   }
 
+  // ---- numeric stringify fast path (r17) -------------------------------
+  // The update-path hot loop at 365M cells/pass (wide608) spent ~50% of
+  // its per-cell budget materializing String.valueOf(v) and its UTF-8
+  // copy just to feed the HLL/freq sketches (CellCost: "counts only"
+  // measured 251 ns/cell with every sketch DISABLED — all stringify).
+  // SEMANTICS ARE PINNED to stringified-value hashing (the HLL estimate
+  // and frequent items must be byte-identical to hll.update(
+  // String.valueOf(v)), which hashes the UTF-8 bytes — q11/q12 oracles
+  // and the wire format both observe it), so the fast path renders the
+  // SAME ASCII bytes into a reusable scratch buffer and feeds the HLL
+  // through the ByteBuffer overload (MurmurHash3 over remaining bytes ==
+  // the byte[] hash of update(String); pinned by NumericStringifySpec).
+  // The freq sketch keys by the String ITEM, so when it is enabled one
+  // String is still built — from the scratch bytes (Latin-1 fast path),
+  // never re-encoded. Numeric renderings are always <= 24 ASCII chars,
+  // comfortably under any sane stringLengthMax, so truncation never
+  // applies (guarded below for pathological configs).
+  @transient private var scratch: Array[Byte] = _
+
+  /** Renders v's decimal digits (exactly Long.toString) into scratch;
+    * returns the length. Long.MinValue-safe (negative accumulation).
+    */
+  private def renderLong(v: Long): Int = {
+    if (scratch == null) scratch = new Array[Byte](24)
+    val b = scratch
+    var n = if (v > 0) -v else v // negative domain holds MinValue
+    var i = 24
+    while (n <= -10) {
+      i -= 1; b(i) = ('0' - (n % 10)).toByte; n /= 10
+    }
+    i -= 1; b(i) = ('0' - n).toByte
+    if (v < 0) { i -= 1; b(i) = '-' }
+    // shift to offset 0 so callers address [0, len)
+    val len = 24 - i
+    System.arraycopy(b, i, b, 0, len)
+    len
+  }
+
+  /** Feeds the scratch bytes [0, len) to HLL/freq exactly as
+    * trackText(new String(bytes)) would — zero-copy for the HLL, one
+    * Latin-1 String only when the freq sketch needs the item.
+    */
+  private def trackTextScratch(len: Int): Unit = {
+    if (len > cfg.stringLengthMax) { // pathological config; stay exact
+      trackText(new String(scratch, 0, len,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      return
+    }
+    if (hll != null)
+      hll.update(java.nio.ByteBuffer.wrap(scratch, 0, len))
+    if (freq != null)
+      freq.update(new String(scratch, 0, len,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
   def trackNull(): Unit = {
     count += 1
     schema.track(InferredType.Null)
@@ -91,7 +146,7 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   def trackLong(v: Long): Unit = {
     count += 1
     schema.track(InferredType.Integral)
-    trackText(String.valueOf(v))
+    if (hll != null || freq != null) trackTextScratch(renderLong(v))
     numbers.trackLong(v)
   }
 
@@ -101,7 +156,21 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
       schema.track(InferredType.Null)
     } else {
       schema.track(InferredType.Fractional)
-      trackText(String.valueOf(v))
+      if (hll != null || freq != null) {
+        // integral doubles below 1e7 render as "<digits>.0" — exactly
+        // Double.toString's output in that range (scientific notation
+        // starts at 1e7; -0.0 keeps its sign and is excluded). The
+        // fractional/huge rest keeps the JDK's shortest-repr rendering —
+        // a re-implementation could not be trusted to match it
+        // bit-for-bit, and parity is the semantic contract.
+        if (v == Math.rint(v) && Math.abs(v) < 1e7 &&
+            !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L)) {
+          val len = renderLong(v.toLong)
+          scratch(len) = '.'
+          scratch(len + 1) = '0'
+          trackTextScratch(len + 2)
+        } else trackText(String.valueOf(v))
+      }
       numbers.trackDouble(v)
     }
   }

@@ -1068,6 +1068,11 @@ object Dedup {
     * band buckets ([[graft.functions.HyperplaneBands]]), the bucket
     * self-join carries ids only, oversized buckets are dropped, pairs
     * dedupe before the embeddings are fetched for the exact-cosine verify.
+    *
+    * The banded frame persists for the bucket-size probe (plan-keyed
+    * cache); this plain variant never releases it — long-lived sessions
+    * processing many distinct corpora should use
+    * [[embeddingNearDupsReleasable]] and release when done.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -1138,6 +1143,10 @@ object Dedup {
     * embeddings back (two AQE-sized joins on the bounded pair frame);
     * the corpus embedding frame itself never shuffles.
     */
+  /** Plain variant of [[semDedupPairsReleasable]]: the cluster-assignment
+    * frame it persists (plan-keyed cache) is never released here —
+    * long-lived sessions should use the Releasable variant.
+    */
   def semDedupPairs(
       df: DataFrame,
       idCol: String,
@@ -1203,6 +1212,10 @@ object Dedup {
     * come back by anti-join on the dropped-id side, which is bounded by
     * the candidate pair set (AQE picks the strategy); full row payload
     * and column order are preserved.
+    *
+    * This plain variant never releases the persisted cluster-assignment
+    * cache — long-lived sessions should use
+    * [[semDedupSurvivorsReleasable]].
     */
   def semDedupSurvivors(
       df: DataFrame,

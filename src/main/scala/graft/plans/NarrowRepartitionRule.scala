@@ -38,6 +38,27 @@ object NarrowRepartitionRule extends Rule[LogicalPlan] {
   private def rowWidth(plan: LogicalPlan): Long =
     plan.output.map(_.dataType.defaultSize.toLong).sum
 
+  /** The widening comparison uses static defaultSize, where a string
+    * counts ~20 bytes regardless of its real length — so a projection
+    * deriving many numerics from a few LARGE text columns would be
+    * misclassified as "widening" and hoisted, shipping the fat text
+    * rows through the shuffle (the opposite of the rule's intent).
+    * Variable-length child output therefore disables the hoist: the
+    * rewrite only fires when the child row is provably fixed-width,
+    * where defaultSize IS the wire width.
+    */
+  private def fixedWidth(plan: LogicalPlan): Boolean =
+    plan.output.forall { a =>
+      a.dataType match {
+        case _: org.apache.spark.sql.types.StringType => false
+        case org.apache.spark.sql.types.BinaryType => false
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // n >= numShufflePartitions: the rewrite moves the projection AFTER
     // the exchange, so its compute parallelism becomes n — only hoist
@@ -47,7 +68,8 @@ object NarrowRepartitionRule extends Rule[LogicalPlan] {
     // on the upstream partitions, not serialize it through one task.
     case Repartition(n, true, p @ Project(list, child))
         if n >= conf.numShufflePartitions &&
-          list.forall(_.deterministic) && rowWidth(p) > rowWidth(child) =>
+          list.forall(_.deterministic) && fixedWidth(child) &&
+          rowWidth(p) > rowWidth(child) =>
       Project(list, Repartition(n, shuffle = true, child))
   }
 }

@@ -187,6 +187,21 @@ case class ProfileSession(
     * (states-only). Streaming inputs skip the rule (partitioning is the
     * stream's own concern); `spark.graft.profile.autoParallelize=false`
     * opts out.
+    *
+    * DETERMINISM: sketch-derived fields (HLL/theta/KLL/frequent-items
+    * bytes and their estimates) are merge-order-insensitive as
+    * SUMMARIES but not byte-identical across independent recomputations
+    * once the input is repartitioned (partial-merge arrival order is
+    * scheduler-dependent — this includes the auto-parallelize
+    * round-robin above on previously single-partition inputs). Exact
+    * counters (counts, min/max/sum, type counts) are always exact.
+    * Self-joins of a profile frame with itself should persist() the
+    * frame first so both sides read one materialization.
+    *
+    * Building the plan also installs [[graft.plans.NarrowRepartitionRule]]
+    * into the session's extra optimizations (session-wide, idempotent,
+    * a no-op on non-profile plans) unless GraftExtensions already
+    * provides it.
     */
   def aggProfiles(): DataFrame = {
     val keyCols: Seq[Column] = groupKeys.map(col) ++
@@ -279,16 +294,24 @@ case class ProfileSession(
 
 object ProfileSession {
   /** Install [[graft.plans.NarrowRepartitionRule]] into the session's
-    * extra optimizations once (idempotent, benign race) — sessions
-    * configured with `spark.sql.extensions=graft.GraftExtensions` get it
-    * there instead; applying both is harmless (the rule is idempotent).
+    * extra optimizations once (idempotent) — sessions configured with
+    * `spark.sql.extensions=graft.GraftExtensions` get it there instead;
+    * applying both is harmless (the rule is idempotent). NOTE: this
+    * mutates SESSION-GLOBAL optimizer state as a side effect of plan
+    * building (the rule is a no-op on plans without the profile
+    * aggregate, but it does run on every query of the session
+    * afterwards). The append is synchronized on the session's
+    * `experimental` holder so a concurrent user append of their own
+    * rule is never lost to a read-modify-write race.
     */
   private[profile] def ensureNarrowShuffleRule(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val ex = spark.experimental
-    if (!ex.extraOptimizations.contains(graft.plans.NarrowRepartitionRule))
-      ex.extraOptimizations =
-        ex.extraOptimizations :+ graft.plans.NarrowRepartitionRule
+    ex.synchronized {
+      if (!ex.extraOptimizations.contains(graft.plans.NarrowRepartitionRule))
+        ex.extraOptimizations =
+          ex.extraOptimizations :+ graft.plans.NarrowRepartitionRule
+    }
   }
 
   /** Merge stored profile rows (from [[ProfileSession.aggProfiles]]) down to

@@ -8,11 +8,27 @@ object CellCost {
     while (i < n) { st.trackDouble((i % 1000000).toDouble / 997.0); i += 1 }
     println(f"$tag%-28s ${(System.nanoTime() - t0).toDouble / n}%8.1f ns/cell")
   }
+  def runLong(tag: String, cfg: ProfileConfig, n: Int): Unit = {
+    val st = new ColumnProfileState(cfg)
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < n) { st.trackLong((i % 1000000).toLong - 500000L); i += 1 }
+    println(f"$tag%-28s ${(System.nanoTime() - t0).toDouble / n}%8.1f ns/cell")
+  }
+  def runIntegralDouble(tag: String, cfg: ProfileConfig, n: Int): Unit = {
+    val st = new ColumnProfileState(cfg)
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < n) { st.trackDouble((i % 1000000).toDouble); i += 1 }
+    println(f"$tag%-28s ${(System.nanoTime() - t0).toDouble / n}%8.1f ns/cell")
+  }
   def main(args: Array[String]): Unit = {
     val n = 5000000
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass")
       run("full default", ProfileConfig(), n)
+      runLong("full long cells", ProfileConfig(), n)
+      runIntegralDouble("full integral-double", ProfileConfig(), n)
       run("no hll", ProfileConfig(withHll = false), n)
       run("no freq", ProfileConfig(withFreqItems = false), n)
       run("no hll+freq (no strings)", ProfileConfig(withHll = false, withFreqItems = false), n)

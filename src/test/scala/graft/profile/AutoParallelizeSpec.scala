@@ -77,6 +77,28 @@ class AutoParallelizeSpec extends AnyFunSuite with Matchers with SparkSuiteBase 
     prof.select(col("w39.count")).collect().head.getLong(0) shouldBe 200L
   }
 
+  test("variable-length child rows disable the hoist: numerics derived " +
+    "from a string column must NOT ship the text through the exchange") {
+    // static defaultSize counts a string as ~20 bytes, so 40 derived
+    // numerics would look "widening" over (x, s) — but the real rows
+    // carry arbitrary-length text and hoisting would shuffle it. The
+    // fixedWidth guard keeps the projection BELOW the exchange.
+    val wide = base.coalesce(1).select(
+      (0 until 40).map(i =>
+        (org.apache.spark.sql.functions.length(col("s")) + col("x") +
+          lit(i)).as(s"w$i")): _*)
+    val prof = wide.newProfilingSession().aggProfiles()
+    val reparts = prof.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.shuffle => r
+    }
+    reparts should have size 1
+    // the exchange input is the PROJECTED fixed-width rows (40 cols),
+    // proving the string never rides the shuffle
+    reparts.head.output.length shouldBe 40
+    prof.select(col("w0.count")).collect().head.getLong(0) shouldBe 200L
+  }
+
   test("parallelized profile equals the as-is profile exactly") {
     val direct = {
       spark.conf.set("spark.graft.profile.autoParallelize", "false")
