@@ -124,18 +124,21 @@ case class ColumnProfileAgg(
     case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
       val ord = b.ordinal
       b.dataType match {
+        // numeric cells go through the state's 256-value buffer (cache
+        // locality, see ColumnProfileState) — same sequence, delayed,
+        // bit-identical; flush happens at serialize/merge/eval
         case LongType => (st, row) =>
           if (row.isNullAt(ord)) st.trackNull()
-          else st.trackLong(row.getLong(ord))
+          else st.bufferLong(row.getLong(ord))
         case IntegerType => (st, row) =>
           if (row.isNullAt(ord)) st.trackNull()
-          else st.trackLong(row.getInt(ord).toLong)
+          else st.bufferLong(row.getInt(ord).toLong)
         case DoubleType => (st, row) =>
           if (row.isNullAt(ord)) st.trackNull()
-          else st.trackDouble(row.getDouble(ord))
+          else st.bufferDouble(row.getDouble(ord))
         case FloatType => (st, row) =>
           if (row.isNullAt(ord)) st.trackNull()
-          else st.trackDouble(row.getFloat(ord).toDouble)
+          else st.bufferDouble(row.getFloat(ord).toDouble)
         case BooleanType => (st, row) =>
           if (row.isNullAt(ord)) st.trackNull()
           else st.trackBoolean(row.getBoolean(ord))
@@ -156,8 +159,10 @@ case class ColumnProfileAgg(
     a.merge(b); a
   }
 
-  override def eval(st: ColumnProfileState): Any =
+  override def eval(st: ColumnProfileState): Any = {
+    st.flush()
     toCatalyst(ProfileSchema.summarize(st))
+  }
 
   override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
   override def deserialize(bytes: Array[Byte]): ColumnProfileState =
@@ -216,8 +221,10 @@ case class ProfileMergeAgg(
     a.merge(b); a
   }
 
-  override def eval(st: ColumnProfileState): Any =
+  override def eval(st: ColumnProfileState): Any = {
+    st.flush()
     toCatalyst(ProfileSchema.summarize(st))
+  }
 
   override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
   override def deserialize(bytes: Array[Byte]): ColumnProfileState =

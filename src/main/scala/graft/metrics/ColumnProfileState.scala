@@ -84,58 +84,42 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   }
 
   // ---- numeric stringify fast path (r17) -------------------------------
-  // The update-path hot loop at 365M cells/pass (wide608) spent ~50% of
-  // its per-cell budget materializing String.valueOf(v) and its UTF-8
-  // copy just to feed the HLL/freq sketches (CellCost: "counts only"
-  // measured 251 ns/cell with every sketch DISABLED — all stringify).
-  // SEMANTICS ARE PINNED to stringified-value hashing (the HLL estimate
-  // and frequent items must be byte-identical to hll.update(
-  // String.valueOf(v)), which hashes the UTF-8 bytes — q11/q12 oracles
-  // and the wire format both observe it), so the fast path renders the
-  // SAME ASCII bytes into a reusable scratch buffer and feeds the HLL
-  // through the ByteBuffer overload (MurmurHash3 over remaining bytes ==
-  // the byte[] hash of update(String); pinned by NumericStringifySpec).
-  // The freq sketch keys by the String ITEM, so when it is enabled one
-  // String is still built — from the scratch bytes (Latin-1 fast path),
-  // never re-encoded. Numeric renderings are always <= 24 ASCII chars,
-  // comfortably under any sane stringLengthMax, so truncation never
-  // applies (guarded below for pathological configs).
+  // The update-path hot loop at 365M cells/pass (wide608) spends a large
+  // share of its per-cell budget materializing String.valueOf(v) just to
+  // feed the HLL/freq sketches (CellCost: "counts only" measured
+  // 251 ns/cell with every sketch DISABLED — all stringify). SEMANTICS
+  // ARE PINNED to stringified-value hashing (HLL estimates and frequent
+  // items must be byte-identical to sketch.update(String.valueOf(v)) —
+  // q11/q12 oracles and the wire format observe it; pinned by
+  // NumericStringifySpec), so the fast path only (a) SKIPS the render
+  // when no sketch consumes it and (b) replaces Double.toString
+  // (~200 ns on JDK 17) for INTEGRAL doubles below 1e7 with a direct
+  // "<digits>.0" byte render + one Latin-1 String — exactly the JDK's
+  // output in that range. Fractional doubles keep Double.toString (a
+  // shortest-repr re-implementation could not be trusted bit-for-bit),
+  // and the sketches always receive a plain String: an earlier variant
+  // fed the HLL through update(ByteBuffer) to skip the String, which
+  // was faster single-threaded but 1.5x SLOWER at local[32] (the
+  // MurmurHash3 ByteBuffer route wraps a memory segment per call —
+  // measured wide608 23.7 -> 35.1 s before reverting).
   @transient private var scratch: Array[Byte] = _
 
-  /** Renders v's decimal digits (exactly Long.toString) into scratch;
-    * returns the length. Long.MinValue-safe (negative accumulation).
+  /** Renders v's decimal digits (exactly Long.toString) into scratch
+    * ending at index 22, returning the start index — so two trailing
+    * bytes remain for the integral-double ".0" suffix.
+    * Long.MinValue-safe (negative accumulation).
     */
   private def renderLong(v: Long): Int = {
     if (scratch == null) scratch = new Array[Byte](24)
     val b = scratch
     var n = if (v > 0) -v else v // negative domain holds MinValue
-    var i = 24
+    var i = 22
     while (n <= -10) {
       i -= 1; b(i) = ('0' - (n % 10)).toByte; n /= 10
     }
     i -= 1; b(i) = ('0' - n).toByte
     if (v < 0) { i -= 1; b(i) = '-' }
-    // shift to offset 0 so callers address [0, len)
-    val len = 24 - i
-    System.arraycopy(b, i, b, 0, len)
-    len
-  }
-
-  /** Feeds the scratch bytes [0, len) to HLL/freq exactly as
-    * trackText(new String(bytes)) would — zero-copy for the HLL, one
-    * Latin-1 String only when the freq sketch needs the item.
-    */
-  private def trackTextScratch(len: Int): Unit = {
-    if (len > cfg.stringLengthMax) { // pathological config; stay exact
-      trackText(new String(scratch, 0, len,
-        java.nio.charset.StandardCharsets.ISO_8859_1))
-      return
-    }
-    if (hll != null)
-      hll.update(java.nio.ByteBuffer.wrap(scratch, 0, len))
-    if (freq != null)
-      freq.update(new String(scratch, 0, len,
-        java.nio.charset.StandardCharsets.ISO_8859_1))
+    i
   }
 
   def trackNull(): Unit = {
@@ -146,7 +130,7 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   def trackLong(v: Long): Unit = {
     count += 1
     schema.track(InferredType.Integral)
-    if (hll != null || freq != null) trackTextScratch(renderLong(v))
+    if (hll != null || freq != null) trackText(String.valueOf(v))
     numbers.trackLong(v)
   }
 
@@ -159,16 +143,14 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
       if (hll != null || freq != null) {
         // integral doubles below 1e7 render as "<digits>.0" — exactly
         // Double.toString's output in that range (scientific notation
-        // starts at 1e7; -0.0 keeps its sign and is excluded). The
-        // fractional/huge rest keeps the JDK's shortest-repr rendering —
-        // a re-implementation could not be trusted to match it
-        // bit-for-bit, and parity is the semantic contract.
+        // starts at 1e7; -0.0 keeps its sign and is excluded)
         if (v == Math.rint(v) && Math.abs(v) < 1e7 &&
             !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L)) {
-          val len = renderLong(v.toLong)
-          scratch(len) = '.'
-          scratch(len + 1) = '0'
-          trackTextScratch(len + 2)
+          val start = renderLong(v.toLong)
+          scratch(22) = '.'
+          scratch(23) = '0'
+          trackText(new String(scratch, start, 24 - start,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
         } else trackText(String.valueOf(v))
       }
       numbers.trackDouble(v)
@@ -205,7 +187,57 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
     strings.update(s)
   }
 
+  // ---- numeric update BUFFER (r17, cache-locality) ---------------------
+  // A wide profile interleaves updates across hundreds of column states
+  // per input row; at 608 columns the per-thread working set (HLL table
+  // + theta table + KLL levels + freq map per state) is tens of MB, so
+  // EVERY cell update misses cache and the 32-thread pass ran ~4x the
+  // single-thread CellCost floor. The aggregate's primitive fast path
+  // therefore appends numeric cells to a tiny per-state buffer and
+  // flushes 256 at a time through the exact trackLong/trackDouble
+  // sequence — one column's sketch structures then stay hot in L2 for
+  // 256 consecutive updates. ORDER IS PRESERVED per state (a buffer
+  // only delays the same subsequence), so every sketch ingests the
+  // identical value sequence and the result is BIT-IDENTICAL to the
+  // unbuffered path (BufferedUpdateSpec). flush() runs before
+  // serialize/merge/summary — the state is never observed half-applied
+  // by the aggregate lifecycle; direct field readers outside it must
+  // call flush() first (the aggregate and summarizer do).
+  private[graft] final val BufCap = 256
+  @transient private var pKinds: Array[Byte] = _ // 0 = long, 1 = double
+  @transient private var pBits: Array[Long] = _
+  @transient private var pN: Int = 0
+
+  def bufferLong(v: Long): Unit = {
+    if (pBits == null) {
+      pKinds = new Array[Byte](BufCap); pBits = new Array[Long](BufCap)
+    }
+    pKinds(pN) = 0; pBits(pN) = v; pN += 1
+    if (pN == BufCap) flush()
+  }
+
+  def bufferDouble(v: Double): Unit = {
+    if (pBits == null) {
+      pKinds = new Array[Byte](BufCap); pBits = new Array[Long](BufCap)
+    }
+    pKinds(pN) = 1
+    pBits(pN) = java.lang.Double.doubleToRawLongBits(v)
+    pN += 1
+    if (pN == BufCap) flush()
+  }
+
+  def flush(): Unit = {
+    var i = 0
+    while (i < pN) {
+      if (pKinds(i) == 0) trackLong(pBits(i))
+      else trackDouble(java.lang.Double.longBitsToDouble(pBits(i)))
+      i += 1
+    }
+    pN = 0
+  }
+
   def merge(o: ColumnProfileState): Unit = {
+    flush(); o.flush()
     count += o.count
     trueCount += o.trueCount
     schema.merge(o.schema)
@@ -223,6 +255,7 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   def nullCount: Long = schema.get(InferredType.Null)
 
   def serialize(): Array[Byte] = {
+    flush()
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     ProfileConfig.write(cfg, out)

@@ -35,28 +35,36 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object NarrowRepartitionRule extends Rule[LogicalPlan] {
 
-  private def rowWidth(plan: LogicalPlan): Long =
-    plan.output.map(_.dataType.defaultSize.toLong).sum
+  private def width(
+      attrs: Iterable[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : Long =
+    attrs.map(_.dataType.defaultSize.toLong).sum
 
-  /** The widening comparison uses static defaultSize, where a string
-    * counts ~20 bytes regardless of its real length — so a projection
-    * deriving many numerics from a few LARGE text columns would be
-    * misclassified as "widening" and hoisted, shipping the fat text
-    * rows through the shuffle (the opposite of the rule's intent).
-    * Variable-length child output therefore disables the hoist: the
-    * rewrite only fires when the child row is provably fixed-width,
-    * where defaultSize IS the wire width.
+  /** Guards are judged on the projection's REFERENCED attributes, not
+    * the child's full output: after the hoist the later pruning batch
+    * strips unreferenced child columns below the exchange, so the
+    * references are exactly what the shuffle will carry. Two
+    * consequences: (1) a source whose UNREAD columns are strings (the
+    * lineitem-derived wide profile) still hoists — the strings never
+    * ride; (2) a projection that actually READS variable-length
+    * columns must not hoist, because static defaultSize counts a
+    * string as ~20 bytes regardless of real length — a projection
+    * deriving many numerics from LARGE text would be misclassified as
+    * "widening" and the hoist would ship the fat text rows (the
+    * opposite of the rule's intent). The first guard implementation
+    * (r17) checked the child's full output and silently disabled the
+    * hoist for every table with ANY string column — measured
+    * profile_wide608 23.7 -> 34.1 s before the fix.
     */
-  private def fixedWidth(plan: LogicalPlan): Boolean =
-    plan.output.forall { a =>
-      a.dataType match {
-        case _: org.apache.spark.sql.types.StringType => false
-        case org.apache.spark.sql.types.BinaryType => false
-        case _: org.apache.spark.sql.types.ArrayType => false
-        case _: org.apache.spark.sql.types.MapType => false
-        case _: org.apache.spark.sql.types.StructType => false
-        case _ => true
-      }
+  private def fixedType(
+      a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+    a.dataType match {
+      case _: org.apache.spark.sql.types.StringType => false
+      case org.apache.spark.sql.types.BinaryType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -68,8 +76,9 @@ object NarrowRepartitionRule extends Rule[LogicalPlan] {
     // on the upstream partitions, not serialize it through one task.
     case Repartition(n, true, p @ Project(list, child))
         if n >= conf.numShufflePartitions &&
-          list.forall(_.deterministic) && fixedWidth(child) &&
-          rowWidth(p) > rowWidth(child) =>
+          list.forall(_.deterministic) &&
+          p.references.forall(fixedType) &&
+          width(p.output) > width(p.references) =>
       Project(list, Repartition(n, shuffle = true, child))
   }
 }

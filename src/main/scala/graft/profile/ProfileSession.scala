@@ -264,7 +264,28 @@ case class ProfileSession(
         if (inParts * 2 <= target) df.repartition(target) else df
       case None => df
     }
-    if (keyCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
+    // WIDE GLOBAL profiles (no keys, no model metrics, >= 64 columns)
+    // merge in TWO LEVELS: the single-group plan funnels every
+    // partition's partial states into ONE reducer task, and at 608
+    // columns that final merge measured 7.8 s single-threaded (32
+    // partials x 608 sketch merges + deserialize) of a ~21 s row. An
+    // intermediate spark_partition_id()-keyed aggregate merges the
+    // partials 8-ways-parallel first, then profile_merge collapses the
+    // 8 summary rows (the q03-oracled re-aggregation path), so the
+    // single-threaded tail shrinks from 32-way to 8-way. Narrow
+    // profiles keep the historical single-exchange plan — their merge
+    // tail is negligible and the oracle-pinned sketch VALUES stay on
+    // the exact plan that pinned them.
+    val twoLevelFanIn = 8
+    if (keyCols.isEmpty && modelCols.isEmpty && profiledColumns.size >= 64 &&
+        df.sparkSession.conf
+          .get("spark.graft.profile.twoLevelMerge", "true").toBoolean) {
+      val partial = base
+        .groupBy(pmod(spark_partition_id(), lit(twoLevelFanIn)).as("__mg"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      ProfileSession.mergeProfiles(partial.drop("__mg"), Seq.empty)
+    }
+    else if (keyCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
     else base.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
