@@ -97,11 +97,13 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   // "<digits>.0" byte render + one Latin-1 String — exactly the JDK's
   // output in that range. Fractional doubles keep Double.toString (a
   // shortest-repr re-implementation could not be trusted bit-for-bit),
-  // and the sketches always receive a plain String: an earlier variant
-  // fed the HLL through update(ByteBuffer) to skip the String, which
-  // was faster single-threaded but 1.5x SLOWER at local[32] (the
-  // MurmurHash3 ByteBuffer route wraps a memory segment per call —
-  // measured wide608 23.7 -> 35.1 s before reverting).
+  // and the sketches always receive a plain String: a variant feeding
+  // the HLL through update(ByteBuffer) to skip the String was faster
+  // single-threaded but SLOWER at local[32] — clean A/B with the fixed
+  // narrow-shuffle guard and the update buffer in place measured
+  // wide608 16.9 s (String) vs 20.2 s (ByteBuffer); the MurmurHash3
+  // ByteBuffer route wraps a Memory segment per call, which the
+  // 32-thread pass pays and the single-thread CellCost loop hides.
   @transient private var scratch: Array[Byte] = _
 
   /** Renders v's decimal digits (exactly Long.toString) into scratch
@@ -203,7 +205,7 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   // serialize/merge/summary — the state is never observed half-applied
   // by the aggregate lifecycle; direct field readers outside it must
   // call flush() first (the aggregate and summarizer do).
-  private[graft] final val BufCap = 256
+  private[graft] final val BufCap = 512
   @transient private var pKinds: Array[Byte] = _ // 0 = long, 1 = double
   @transient private var pBits: Array[Long] = _
   @transient private var pN: Int = 0
