@@ -61,8 +61,17 @@ object Bench {
     // forceCount() counts the plan's OWN output (queryExecution.toRdd),
     // so every column of every operator evaluates — the cost a consumer
     // of the result actually pays. Row counts are identical to count().
+    // SPARK_GRAFT_BENCH_COUNT_MODE=pruned restores the r1-r15 prunable
+    // count() protocol — an ATTRIBUTION instrument, never a publishing
+    // mode: running a riser row under both modes on the same code
+    // separates "the r15 number was hollow" (pruned ~= r15 committed,
+    // honest ~= r16 committed) from "the code regressed".
+    val prunedCountMode =
+      sys.env.get("SPARK_GRAFT_BENCH_COUNT_MODE").contains("pruned")
     implicit class ForceOps(private val ds: org.apache.spark.sql.Dataset[_]) {
-      def forceCount(): Long = ds.queryExecution.toRdd.count()
+      def forceCount(): Long =
+        if (prunedCountMode) ds.count()
+        else ds.queryExecution.toRdd.count()
     }
 
     val benches: Seq[(String, () => Long)] = Seq(
