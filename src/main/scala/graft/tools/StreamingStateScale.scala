@@ -36,13 +36,34 @@ import org.apache.spark.sql.functions._
   * the sketch config (ProfileConfig's KLL k / HLL lgK / frequent-items k
   * shrink bytes/column).
   *
-  *   sbt -batch "runMain graft.tools.StreamingStateScale [nRows] [nCols] [nWindows]"
+  *   sbt -batch "runMain graft.tools.StreamingStateScale [nRows] [nCols] [nWindows] [nBatches]"
+  *
+  * WIDTH WALL (measured r17): the windowed-stateful shape holds to 150
+  * columns (the canonical receipt) but OOMs a 16 GB driver at 300 and
+  * 608 columns REGARDLESS of windows (tried 24/6/2), rows (100k/20k),
+  * or trigger count — a mid-run heap histogram shows ~185M live
+  * Catalyst expression nodes (~12 GB of Invoke/GetExternalRowField/
+  * ValidateExternalType/TreeNode lambdas): IncrementalExecution
+  * re-analyzes the ultra-wide nested profile plan EVERY trigger and
+  * the complete-mode collect builds row (de)serializer trees over the
+  * 608 x ~60-field schema — planning cost, NOT state (state stays
+  * open_windows x groups rows at any width). Guidance at reference-
+  * parity width: run wide profiles through the foreachBatch
+  * store-and-merge sink (one batch-planned aggregate per trigger,
+  * profile_merge roll-up), or cap continuous windowed profiles near
+  * the receipted 150 columns.
   */
 object StreamingStateScale {
   def main(args: Array[String]): Unit = {
     val nRows = args.headOption.map(_.toInt).getOrElse(200000)
     val nCols = args.lift(1).map(_.toInt).getOrElse(150)
     val nWindows = args.lift(2).map(_.toInt).getOrElse(24)
+    // trigger count: complete mode re-emits EVERY open window's full
+    // profile row per trigger (24 x nCols summarize+convert calls), so
+    // at reference-parity width (608) the output cost dominates long
+    // before state does — the state claim needs >= 2 triggers (state
+    // must survive a trigger boundary), not 10
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .appName("streaming-state-scale")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -80,7 +101,6 @@ object StreamingStateScale {
       .start()
     val t0 = System.nanoTime()
     try {
-      val nBatches = 10
       val perBatch = nRows / nBatches
       var b = 0
       while (b < nBatches) {
