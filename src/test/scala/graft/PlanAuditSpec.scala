@@ -213,13 +213,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     row.length shouldBe 1
     prof.schema.fields.count(_.name.startsWith("c")) shouldBe 608
     val plan = finalPlan(prof)
-    // one partial+final aggregate pair and NO hash exchange (global agg
-    // ships 608 sketch states once). The limit fixture contributes its
-    // own single-partition exchange, and the 1-split input legitimately
-    // gains the documented update-parallelize round-robin
-    // (AutoParallelizeSpec) — pin that no OTHER shuffle appears
-    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 2
-    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 0
+    // r17 two-level merge shape for WIDE (>= 64 col) global profiles:
+    // partials fan into 8 spark_partition_id groups (exactly ONE hash
+    // exchange carrying 608 sketch states), then profile_merge
+    // collapses the 8 summary rows through its own partial/final pair
+    // (a second states-only exchange, single-partition). The limit
+    // fixture contributes its own exchange, and the 1-split input
+    // legitimately gains the documented update-parallelize round-robin
+    // (AutoParallelizeSpec) — pin that no OTHER shuffle appears and
+    // both aggregate levels are ObjectHashAggregate pairs.
+    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 4
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
     "roundrobinpartitioning".r
       .findAllIn(plan.toLowerCase).length should be <= 1
   }
