@@ -226,4 +226,35 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     out.map(_.getString(0)).toSet shouldBe Set("a", "b")
     out.foreach(r => r.getDouble(2) shouldBe (r.getDouble(1) * 2 +- 1e-12))
   }
+
+  test("Releasable contract (r17): each graph op's release() drops its " +
+    "final persisted iterate from the session cache — results consumed " +
+    "first stay correct, and repeated calls stop accumulating entries") {
+    import spark.implicits._
+    // persisted-RDD registry: persist() registers on materialization,
+    // unpersist(blocking = false) deregisters synchronously (only the
+    // block deletion is async) — so the count is a deterministic meter
+    // for cache-entry accumulation
+    def cacheEntries(): Int = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val before = cacheEntries()
+    val (pr, relPr) = Graph.pageRankReleasable(edges, "src", "dst",
+      None, iterations = 2)
+    val prRows = pr.collect()
+    prRows.map(_.getDouble(1)).sum shouldBe (1.0 +- 1e-9)
+    val (ha, relHits) = Graph.hitsReleasable(edges, "src", "dst",
+      iterations = 2)
+    ha.count() shouldBe 3
+    val (lbl, relLpa) = Graph.labelPropagationReleasable(edges, "src",
+      "dst", iterations = 2)
+    lbl.count() shouldBe 3
+    val seeds = Seq("a").toDF("seed")
+    val (ppr, relPpr) = Graph.personalizedPageRankReleasable(edges,
+      "src", "dst", seeds, "seed", None, iterations = 2)
+    ppr.count() shouldBe 3
+    cacheEntries() should be > before // the live results hold caches
+    relPr(); relHits(); relLpa(); relPpr()
+    cacheEntries() shouldBe before // every final iterate released
+  }
 }
