@@ -33,6 +33,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_profile" -> (es => ColumnProfileAgg(es.head).toAggregateExpression()),
     "graft_profile_merge" -> (es => ProfileMergeAgg(es.head).toAggregateExpression()),
+    "graft_profile_state" -> (es => ColumnProfileStateAgg(es.head).toAggregateExpression()),
     "kll_agg" -> (es => KllAgg(es.head).toAggregateExpression()),
     "kll_merge" -> (es => KllMergeAgg(es.head).toAggregateExpression()),
     "kll_quantile" -> (es => KllQuantile(es(0), es(1))),

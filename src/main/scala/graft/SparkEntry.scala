@@ -3062,6 +3062,43 @@ object SparkEntry {
           round(col("mean_b"), 6).as("mean_b"))
     }),
 
+    "q273_profile_state" -> ((s, dir) => {
+      // the raw-state intermediate (r17 profile_state): per-group state
+      // binaries re-aggregate through profile_merge's BinaryType route —
+      // the wide-profile per-column merge plan's building block, pinned
+      // here on exact counters against plain SQL
+      val li = t(s, dir, "lineitem")
+      val states = li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.profile_state(col("l_quantity")).as("st"))
+      states.agg(graft.functions.profile_merge(col("st")).as("p"))
+        .select(col("p.count").as("cnt"),
+          col("p.null_count").as("null_cnt"),
+          (round(col("p.numbers.min"), 6) + 0.0).as("q_min"),
+          (round(col("p.numbers.max"), 6) + 0.0).as("q_max"),
+          (round(col("p.numbers.sum"), 4) + 0.0).as("q_sum"))
+    }),
+
+    "q274_wide_merge" -> ((s, dir) => {
+      // the >= 64-column wide-profile plan (partials -> posexplode ->
+      // per-column profile_merge -> reassembly) on the correctness
+      // board: exact counters of four representative columns must match
+      // plain SQL (sums restricted to integral-valued columns — exact
+      // in double under any merge order)
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_orderkey")
+      val wide = li.select((0 until 64).map(i =>
+        (col(cols(i % 4)) + lit(i)).as(s"c$i")): _*)
+      val prof = wide.newProfilingSession().aggProfiles()
+      prof.select(
+        col("c0.count").as("cnt0"),
+        (round(col("c0.numbers.sum"), 4) + 0.0).as("sum0"),
+        (round(col("c1.numbers.min"), 6) + 0.0).as("min1"),
+        (round(col("c2.numbers.max"), 6) + 0.0).as("max2"),
+        col("c3.numbers.long_min").as("lmin3"),
+        col("c63.null_count").as("nulls63"))
+    }),
+
     "q272_dedup_yield" -> ((s, dir) => {
       // the operational dedup-yield report over the q257 planted
       // chains (a~a+100 for a<50, a+100~a+200 for a<25): 25 clusters
@@ -7133,6 +7170,22 @@ object SparkEntry {
     "q268_video_fuzzy" ->
       """SELECT count(*)::BIGINT AS n_recovered
         |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    "q273_profile_state" ->
+      """SELECT count(*)::BIGINT AS cnt, 0::BIGINT AS null_cnt,
+        |  round(min(l_quantity), 6) + 0.0 AS q_min,
+        |  round(max(l_quantity), 6) + 0.0 AS q_max,
+        |  round(sum(l_quantity), 4) + 0.0 AS q_sum
+        |FROM lineitem""".stripMargin,
+
+    "q274_wide_merge" ->
+      """SELECT count(*)::BIGINT AS cnt0,
+        |  round(sum(l_quantity), 4) + 0.0 AS sum0,
+        |  round(min(l_extendedprice) + 1, 6) + 0.0 AS min1,
+        |  round(max(l_discount) + 2, 6) + 0.0 AS max2,
+        |  (min(l_orderkey) + 3)::BIGINT AS lmin3,
+        |  0::BIGINT AS nulls63
+        |FROM lineitem""".stripMargin,
 
     "q272_dedup_yield" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)

@@ -33,20 +33,12 @@ import graft.profile.ProfileSchema
   * INTEGRAL (epoch micros / days) — unlike the reference, which degrades
   * them to UNKNOWN.
   */
-case class ColumnProfileAgg(
-    child: Expression,
-    cfg: ProfileConfig = ProfileConfig.default,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ColumnProfileState] {
+trait ColumnProfileAggBase extends TypedImperativeAggregate[ColumnProfileState] {
+  def child: Expression
+  def cfg: ProfileConfig
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
-  override def dataType: DataType = ProfileSchema.schema
-  override def prettyName: String = "graft_profile"
-
-  @transient private lazy val toCatalyst =
-    CatalystTypeConverters.createToCatalystConverter(ProfileSchema.schema)
 
   override def createAggregationBuffer(): ColumnProfileState =
     new ColumnProfileState(cfg)
@@ -159,18 +151,69 @@ case class ColumnProfileAgg(
     a.merge(b); a
   }
 
+  override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
+  override def deserialize(bytes: Array[Byte]): ColumnProfileState =
+    ColumnProfileState.deserialize(bytes)
+}
+
+/** [[ColumnProfileAggBase]] finishing to the full queryable profile
+  * struct — THE profile aggregate.
+  */
+case class ColumnProfileAgg(
+    child: Expression,
+    cfg: ProfileConfig = ProfileConfig.default,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends ColumnProfileAggBase {
+
+  override def dataType: DataType = ProfileSchema.schema
+  override def prettyName: String = "graft_profile"
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(ProfileSchema.schema)
+
   override def eval(st: ColumnProfileState): Any = {
     st.flush()
     toCatalyst(ProfileSchema.summarize(st))
   }
 
-  override def serialize(st: ColumnProfileState): Array[Byte] = st.serialize()
-  override def deserialize(bytes: Array[Byte]): ColumnProfileState =
-    ColumnProfileState.deserialize(bytes)
-
   override def withNewMutableAggBufferOffset(o: Int): ColumnProfileAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): ColumnProfileAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** [[ColumnProfileAggBase]] finishing to the RAW serialized state — the
+  * intermediate level of the wide-profile per-column merge plan
+  * ([[graft.profile.ProfileSession.aggProfiles]]). Summarizing a profile
+  * (quantile grid, histogram, frequent items, Catalyst conversion of the
+  * ~60-field struct) costs ~ms per state; the wide plan's intermediate
+  * level would pay it partitions x columns times for rows whose ONLY
+  * consumer is profile_merge, which reads just the state bytes
+  * (stage-metered at 608 columns: the summarize level was ~half the row's
+  * wall). `profile_merge` accepts these binaries directly (its BinaryType
+  * child route) and summarizes ONCE per column at the end.
+  */
+case class ColumnProfileStateAgg(
+    child: Expression,
+    cfg: ProfileConfig = ProfileConfig.default,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends ColumnProfileAggBase {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_profile_state"
+
+  override def eval(st: ColumnProfileState): Any = {
+    st.flush()
+    st.serialize()
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ColumnProfileStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ColumnProfileStateAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)

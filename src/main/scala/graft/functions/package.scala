@@ -25,6 +25,13 @@ package object functions {
   def profile(c: Column, cfg: ProfileConfig): Column =
     agg(ColumnProfileAgg(expr(c), cfg))
 
+  /** Full-pass profile finishing to the RAW state binary (no summary) —
+    * the cheap intermediate for multi-level merges; finish with
+    * [[profile_merge]], which accepts it directly.
+    */
+  def profile_state(c: Column, cfg: ProfileConfig = ProfileConfig.default): Column =
+    agg(ColumnProfileStateAgg(expr(c), cfg))
+
   /** Re-aggregate stored profiles (profile struct or raw state binary). */
   def profile_merge(c: Column): Column = agg(ProfileMergeAgg(expr(c)))
 

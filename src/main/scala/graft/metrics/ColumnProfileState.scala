@@ -124,6 +124,47 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
     i
   }
 
+  // ---- repeat-value memo (r17, GC + sketch-skip) ------------------------
+  // Real tables are full of low-cardinality numeric columns (flags, small
+  // enums, prices with few distinct cents) — in the wide-profile pass most
+  // of the per-cell budget on those columns buys NOTHING new: the render
+  // re-produces a String the state already hashed, and the HLL/theta
+  // updates are byte-level no-ops on a duplicate (MemoizedUpdateSpec pins
+  // datasketches idempotency: coupon dedup in LIST/SET, register max in
+  // HLL mode, hash-table reject in theta — verified on compact AND
+  // updatable images). A tiny direct-mapped cache keyed by (kind, raw
+  // bits) therefore remembers the last rendered String per slot: a HIT
+  // skips the render, the String/byte[] allocations, and the HLL + theta
+  // updates, feeding only the per-occurrence consumers (freq counts,
+  // KLL, moments, counters). A hit is only ever declared for a value this
+  // state itself fully tracked (the memo is populated AFTER the sketch
+  // updates), so the skip is provably byte-identical — high-cardinality
+  // columns just miss (~3 ns probe) and take the old path. The memo is
+  // @transient runtime state: deserialize/merge start cold (misses are
+  // merely conservative — duplicate sketch updates are no-ops).
+  private[graft] final val MemoSize = 128 // direct-mapped; 7-bit index
+  @transient private var memoBits: Array[Long] = _
+  @transient private var memoKind: Array[Byte] = _ // 0 = long, 1 = double
+  @transient private var memoStr: Array[String] = _
+  // test hook: forces every lookup to miss (old path) for parity specs
+  private[graft] var memoDisabled: Boolean = false
+
+  private def memoIdx(bits: Long): Int =
+    (((bits * 0x9E3779B97F4A7C15L) >>> 57) & 127L).toInt
+
+  private def memoHit(i: Int, kind: Byte, bits: Long): Boolean =
+    !memoDisabled && memoStr != null && memoStr(i) != null &&
+      memoKind(i) == kind && memoBits(i) == bits
+
+  private def memoStore(i: Int, kind: Byte, bits: Long, s: String): Unit = {
+    if (memoStr == null) {
+      memoBits = new Array[Long](MemoSize)
+      memoKind = new Array[Byte](MemoSize)
+      memoStr = new Array[String](MemoSize)
+    }
+    memoBits(i) = bits; memoKind(i) = kind; memoStr(i) = s
+  }
+
   def trackNull(): Unit = {
     count += 1
     schema.track(InferredType.Null)
@@ -132,8 +173,19 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
   def trackLong(v: Long): Unit = {
     count += 1
     schema.track(InferredType.Integral)
-    if (hll != null || freq != null) trackText(String.valueOf(v))
-    numbers.trackLong(v)
+    if (hll != null || freq != null) {
+      val i = memoIdx(v)
+      if (memoHit(i, 0, v)) {
+        if (freq != null) freq.update(memoStr(i))
+        numbers.trackLongRepeat(v)
+        return
+      }
+      val s = String.valueOf(v) // longs never exceed stringLengthMax
+      if (hll != null) hll.update(s)
+      if (freq != null) freq.update(s)
+      numbers.trackLong(v)
+      memoStore(i, 0, v, s)
+    } else numbers.trackLong(v)
   }
 
   def trackDouble(v: Double): Unit = {
@@ -143,28 +195,61 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
     } else {
       schema.track(InferredType.Fractional)
       if (hll != null || freq != null) {
+        val bits = java.lang.Double.doubleToRawLongBits(v)
+        val i = memoIdx(bits)
+        if (memoHit(i, 1, bits)) {
+          if (freq != null) freq.update(memoStr(i))
+          numbers.trackDoubleRepeat(v)
+          return
+        }
         // integral doubles below 1e7 render as "<digits>.0" — exactly
         // Double.toString's output in that range (scientific notation
         // starts at 1e7; -0.0 keeps its sign and is excluded)
-        if (v == Math.rint(v) && Math.abs(v) < 1e7 &&
-            !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L)) {
-          val start = renderLong(v.toLong)
-          scratch(22) = '.'
-          scratch(23) = '0'
-          trackText(new String(scratch, start, 24 - start,
-            java.nio.charset.StandardCharsets.ISO_8859_1))
-        } else trackText(String.valueOf(v))
-      }
-      numbers.trackDouble(v)
+        val s =
+          if (v == Math.rint(v) && Math.abs(v) < 1e7 &&
+              !(v == 0.0 && bits != 0L)) {
+            val start = renderLong(v.toLong)
+            scratch(22) = '.'
+            scratch(23) = '0'
+            new String(scratch, start, 24 - start,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          } else String.valueOf(v)
+        trackText(s)
+        numbers.trackDouble(v)
+        memoStore(i, 1, bits, s)
+      } else numbers.trackDouble(v)
     }
   }
+
+  // boolean twin of the memo: a column sees at most two boolean texts,
+  // so after the first occurrence of each the HLL update is a proven
+  // no-op (String.valueOf(boolean) returns the interned literal — the
+  // render was already free; only the hash+coupon is skipped)
+  @transient private var boolSeenTrue: Boolean = false
+  @transient private var boolSeenFalse: Boolean = false
 
   def trackBoolean(v: Boolean): Unit = {
     count += 1
     schema.track(InferredType.Boolean)
     if (v) trueCount += 1
-    trackText(String.valueOf(v))
+    if (!memoDisabled && (if (v) boolSeenTrue else boolSeenFalse)) {
+      if (freq != null) freq.update(String.valueOf(v))
+    } else {
+      trackText(String.valueOf(v))
+      if (v) boolSeenTrue = true else boolSeenFalse = true
+    }
   }
+
+  // string memo: direct-mapped by the String's own hash; only SHORT
+  // strings (<= 64 chars) are memoized — low-cardinality columns are
+  // flag/enum-shaped, and pinning 64 references to megabyte documents
+  // per state would be a memory hazard for zero hit-rate. A hit skips
+  // the HLL update and the string theta update (both byte-idempotent,
+  // MemoizedUpdateSpec); freq counting and the exact length/token/
+  // charpos stats still run per occurrence. <= 64 chars also means the
+  // 256-char truncation never applies, so the memoized text IS the
+  // tracked text.
+  @transient private var smemo: Array[String] = _
 
   def trackString(s: String): Unit = {
     count += 1
@@ -185,8 +270,22 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
       }
     }
     schema.track(InferredType.String)
-    trackText(s)
-    strings.update(s)
+    if (!memoDisabled && s.length <= 64 && (hll != null || freq != null)) {
+      val i = s.hashCode & 63
+      if (smemo == null) smemo = new Array[String](64)
+      val c = smemo(i)
+      if (c != null && c.equals(s)) {
+        if (freq != null) freq.update(c)
+        strings.updateRepeat(s)
+      } else {
+        trackText(s)
+        strings.update(s)
+        smemo(i) = s
+      }
+    } else {
+      trackText(s)
+      strings.update(s)
+    }
   }
 
   // ---- numeric update BUFFER (r17, cache-locality) ---------------------

@@ -43,10 +43,20 @@ final class NumberState(val kllK: Int, val withKll: Boolean, val withTheta: Bool
   var theta: Union =
     if (withTheta) SetOperation.builder().buildUnion() else null
 
-  def trackLong(v: Long): Unit = {
+  def trackLong(v: Long): Unit = trackLongImpl(v, updateTheta = true)
+
+  /** Repeat-value fast path (r17 memo cache): the caller PROVES this exact
+    * value was already tracked by this state, so the theta update — a
+    * byte-level no-op on a duplicate (MemoizedUpdateSpec pins Union
+    * idempotency) — is skipped. Everything per-occurrence (counters,
+    * moments, KLL) still runs.
+    */
+  def trackLongRepeat(v: Long): Unit = trackLongImpl(v, updateTheta = false)
+
+  private def trackLongImpl(v: Long, updateTheta: Boolean): Unit = {
     variance.update(v.toDouble)
     if (kll != null) kll.update(v.toFloat)
-    if (theta != null) theta.update(v.toDouble)
+    if (updateTheta && theta != null) theta.update(v.toDouble)
     if (doubles.count > 0) doubles.update(v.toDouble)
     else {
       longCount += 1
@@ -56,10 +66,15 @@ final class NumberState(val kllK: Int, val withKll: Boolean, val withTheta: Bool
     }
   }
 
-  def trackDouble(v: Double): Unit = {
+  def trackDouble(v: Double): Unit = trackDoubleImpl(v, updateTheta = true)
+
+  /** See [[trackLongRepeat]]. */
+  def trackDoubleRepeat(v: Double): Unit = trackDoubleImpl(v, updateTheta = false)
+
+  private def trackDoubleImpl(v: Double, updateTheta: Boolean): Unit = {
     variance.update(v)
     if (kll != null) kll.update(v.toFloat)
-    if (theta != null) theta.update(v)
+    if (updateTheta && theta != null) theta.update(v)
     if (doubles.count == 0 && longCount > 0) absorbLongs()
     doubles.update(v)
   }

@@ -107,9 +107,19 @@ final class StringState(val withTheta: Boolean, val withCharPos: Boolean)
   var charPos: CharPosState =
     if (withCharPos) new CharPosState(CharPosState.DefaultCharset) else null
 
-  def update(s: String): Unit = {
+  def update(s: String): Unit = updateImpl(s, updateTheta = true)
+
+  /** Repeat-value fast path (r17 memo cache): the caller PROVES this exact
+    * string was already tracked by this state, so the theta update — a
+    * byte-level no-op on a duplicate (MemoizedUpdateSpec) — is skipped.
+    * Everything per-occurrence (count, length/token moments, char
+    * positions) still runs.
+    */
+  def updateRepeat(s: String): Unit = updateImpl(s, updateTheta = false)
+
+  private def updateImpl(s: String, updateTheta: Boolean): Unit = {
     count += 1
-    if (theta != null) theta.update(s)
+    if (updateTheta && theta != null) theta.update(s)
     length.update(s.length.toDouble)
     // Java String.split(" ") drops trailing empty tokens but keeps
     // leading/interior empties — replicate via -1 limit then trim trailing.
@@ -139,12 +149,27 @@ final class StringState(val withTheta: Boolean, val withCharPos: Boolean)
 }
 
 object StringState {
-  /** Token count under Java `String.split(" ")` semantics. */
+  /** Token count under Java `String.split(" ")` semantics — computed by
+    * a character walk instead of materializing the split (the split
+    * allocated one array + one substring per token PER TRACKED VALUE on
+    * the update hot path; SpaceTokenCountSpec pins walk == split on
+    * randomized inputs). split(" ") keeps leading/interior empty tokens
+    * and drops trailing ones, so the count is (spaces before the last
+    * non-space char) + 1, or 0 when the string is all spaces/empty.
+    */
   def spaceTokenCount(s: String): Int = {
-    val parts = s.split(" ", -1)
-    var end = parts.length
-    while (end > 0 && parts(end - 1).isEmpty) end -= 1
-    end
+    var last = s.length - 1
+    while (last >= 0 && s.charAt(last) == ' ') last -= 1
+    if (last < 0) 0
+    else {
+      var k = 0
+      var i = 0
+      while (i < last) {
+        if (s.charAt(i) == ' ') k += 1
+        i += 1
+      }
+      k + 1
+    }
   }
 
   def read(in: DataInputStream): StringState = {

@@ -385,10 +385,19 @@ object Media {
           val kept = index
             .join(broadcast(oversized), Seq("band", "bucket"), "left")
             .filter(col("__drop").isNull).drop("__drop")
+          // explode the LITERAL delta array first, XOR after: the
+          // transform-then-explode shape materialized a fresh
+          // 697-element array per input row per band (the generator's
+          // child re-evaluates per row); exploding the literal emits
+          // rows off the one shared array and the XOR is a per-output
+          // projection — no per-row array allocation, much smaller
+          // generated code on the hottest mih loop
           val deltas = typedLit(mihProbeDeltas(rPrime))
-          val probes = kept.select(col("id").as("id_a"), col("band"),
-            explode(transform(deltas,
-              d => col("bucket").bitwiseXOR(d))).as("bucket"))
+          val probes = kept
+            .select(col("id").as("id_a"), col("band"), col("bucket"),
+              explode(deltas).as("__d"))
+            .select(col("id_a"), col("band"),
+              col("bucket").bitwiseXOR(col("__d")).as("bucket"))
           probes
             .join(kept.select(col("band"), col("bucket"),
               col("id").as("id_b")), Seq("band", "bucket"))

@@ -265,25 +265,54 @@ case class ProfileSession(
       case None => df
     }
     // WIDE GLOBAL profiles (no keys, no model metrics, >= 64 columns)
-    // merge in TWO LEVELS: the single-group plan funnels every
-    // partition's partial states into ONE reducer task, and at 608
-    // columns that final merge measured 7.8 s single-threaded (32
-    // partials x 608 sketch merges + deserialize) of a ~21 s row. An
-    // intermediate spark_partition_id()-keyed aggregate merges the
-    // partials 8-ways-parallel first, then profile_merge collapses the
-    // 8 summary rows (the q03-oracled re-aggregation path), so the
-    // single-threaded tail shrinks from 32-way to 8-way. Narrow
+    // merge PER COLUMN: the single-group plan funnels every partition's
+    // partial states into ONE reducer task, and at 608 columns that
+    // final merge measured 7.8 s single-threaded (32 partials x 608
+    // sketch merges + deserialize) of a ~21 s row. The r17 two-level
+    // fan-in (pid%8 intermediate aggregate, then one 8-way
+    // profile_merge) cut it to 3.2 s but still ran level 1 on only 8
+    // threads and level 2 on one. Column merges are INDEPENDENT, so the
+    // tail parallelizes fully: materialize one partial row per
+    // shuffle-partition group (reduce-side merges are trivial),
+    // posexplode the row's profile structs to (column-index, state)
+    // rows, merge each column's partials in its own group via
+    // profile_merge (the q03-oracled re-aggregation path — 608 groups
+    // saturate every core; the explicit repartition stops AQE from
+    // coalescing the ~10 MB-per-task state shuffle down to a handful of
+    // tasks), and reassemble the single profile row through a keyed map
+    // (608 entries, trivial). Shuffle volume is IDENTICAL to the
+    // two-level plan — partitions x columns x sketch-KBs, independent
+    // of input rows — only the merge parallelism changes. Narrow
     // profiles keep the historical single-exchange plan — their merge
     // tail is negligible and the oracle-pinned sketch VALUES stay on
     // the exact plan that pinned them.
-    val twoLevelFanIn = 8
     if (keyCols.isEmpty && modelCols.isEmpty && profiledColumns.size >= 64 &&
         df.sparkSession.conf
           .get("spark.graft.profile.twoLevelMerge", "true").toBoolean) {
-      val partial = base
-        .groupBy(pmod(spark_partition_id(), lit(twoLevelFanIn)).as("__mg"))
-        .agg(aggCols.head, aggCols.tail: _*)
-      ProfileSession.mergeProfiles(partial.drop("__mg"), Seq.empty)
+      val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      // the intermediate level finishes to RAW state binaries
+      // (profile_state): its only consumer is profile_merge, and
+      // summarizing partitions x columns intermediate structs was
+      // stage-metered at ~half the wide608 row (summaries cost ~ms per
+      // state; the struct is also ~2x the state bytes on the wire)
+      val stateCols: Seq[Column] = profiledColumns.map(c =>
+        graft.functions.profile_state(q(c), cfg).as(c))
+      val partials = base
+        .groupBy(pmod(spark_partition_id(), lit(p)).as("__mg"))
+        .agg(stateCols.head, stateCols.tail: _*)
+        .drop("__mg")
+      val kv = partials
+        .select(posexplode(array(profiledColumns.map(q): _*))
+          .as(Seq("__i", "__st")))
+        .repartition(p, col("__i"))
+      val merged = kv.groupBy("__i")
+        .agg(graft.functions.profile_merge(col("__st")).as("__m"))
+      val assembled = merged
+        .agg(map_from_entries(collect_list(struct(col("__i"), col("__m"))))
+          .as("__all"))
+      assembled.select(profiledColumns.zipWithIndex.map { case (c, i) =>
+        col("__all").getItem(i).as(c)
+      }: _*)
     }
     else if (keyCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
     else base.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)

@@ -213,17 +213,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     row.length shouldBe 1
     prof.schema.fields.count(_.name.startsWith("c")) shouldBe 608
     val plan = finalPlan(prof)
-    // r17 two-level merge shape for WIDE (>= 64 col) global profiles:
-    // partials fan into 8 spark_partition_id groups (exactly ONE hash
-    // exchange carrying 608 sketch states), then profile_merge
-    // collapses the 8 summary rows through its own partial/final pair
-    // (a second states-only exchange, single-partition). The limit
-    // fixture contributes its own exchange, and the 1-split input
-    // legitimately gains the documented update-parallelize round-robin
-    // (AutoParallelizeSpec) — pin that no OTHER shuffle appears and
-    // both aggregate levels are ObjectHashAggregate pairs.
-    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 4
-    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    // r17 per-column merge shape for WIDE (>= 64 col) global profiles:
+    // partials fan into spark_partition_id groups (one states-only hash
+    // exchange), posexplode turns the partial rows into (column-index,
+    // state) rows that an explicit REPARTITION_BY_NUM exchange spreads
+    // over every core (pinned: AQE must NOT coalesce it — a coalesced
+    // merge re-serializes the tail), profile_merge reduces each column
+    // in its own group reusing that partitioning (no third hash
+    // exchange), and a single-partition collect_list map reassembles
+    // the row. The limit fixture contributes its own exchange, and the
+    // 1-split input legitimately gains the documented
+    // update-parallelize round-robin (AutoParallelizeSpec) — pin that
+    // no OTHER shuffle appears and all three aggregates are
+    // ObjectHashAggregate pairs.
+    "ObjectHashAggregate".r.findAllIn(plan).length should be >= 6
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 2
+    plan should include ("REPARTITION_BY_NUM")
+    plan should include ("posexplode")
     "roundrobinpartitioning".r
       .findAllIn(plan.toLowerCase).length should be <= 1
   }

@@ -183,6 +183,37 @@ class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     row.getDouble(2) shouldBe 200.0 * 299
   }
 
+  test("wide per-column merge matches the single-level plan's summaries") {
+    // the >= 64-column path re-plans the merge tail per column; exact
+    // counters must be EXACT and sketch estimates must agree with the
+    // single-exchange plan (same data, merge-order-insensitive)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+    val wide = li.select((0 until 70).map(i =>
+      (col(cols(i % cols.length)) + lit(i)).as(s"c$i")): _*)
+    def summarize(df: org.apache.spark.sql.DataFrame) = {
+      val row = df.select((0 until 70).flatMap(i => Seq(
+        col(s"c$i.count"), col(s"c$i.null_count"),
+        col(s"c$i.numbers.min"), col(s"c$i.numbers.max"),
+        col(s"c$i.numbers.count"),
+        round(col(s"c$i.cardinality.estimate"), 6),
+        col(s"c$i.numbers.sum"))): _*).first().toSeq
+      // merge ORDER differs between the two plans, so fractional sums
+      // agree only to fp-associativity (exact fields stay exact)
+      (row.grouped(7).flatMap(_.take(6)).toSeq,
+        row.grouped(7).map(_.last.asInstanceOf[Double]).toSeq)
+    }
+    val (pcExact, pcSums) = summarize(wide.newProfilingSession().aggProfiles())
+    spark.conf.set("spark.graft.profile.twoLevelMerge", "false")
+    val (slExact, slSums) =
+      try summarize(wide.newProfilingSession().aggProfiles())
+      finally spark.conf.unset("spark.graft.profile.twoLevelMerge")
+    pcExact shouldBe slExact
+    pcSums.zip(slSums).foreach { case (a, b) =>
+      math.abs(a - b) should be <= 1e-9 * math.max(math.abs(a), 1.0)
+    }
+  }
+
   test("cardinality estimate is exact for small distinct counts") {
     val p = spark.read.parquet(s"$sfDir/nation.parquet")
       .newProfilingSession().aggProfiles()

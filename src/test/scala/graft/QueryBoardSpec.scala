@@ -25,12 +25,14 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 272)
+      assert(SparkEntry.queries.size == 274)
       // r17: q90/q91/q93/q98 re-shaped to invariant outputs with DuckDB
       // oracles (planted near-dup recall + exact Jaccard, token-multiset
       // screen recall, planted-copy exact top-k under pruning) — every
-      // board query is now oracle-checked, zero rows-only
-      assert(SparkEntry.oracleSql.size == 272)
+      // board query is now oracle-checked, zero rows-only; q273/q274
+      // pin the profile_state raw-binary intermediate and the >= 64-col
+      // per-column wide merge plan on exact counters
+      assert(SparkEntry.oracleSql.size == 274)
     }
 
     it("every oracle entry has a matching query") {

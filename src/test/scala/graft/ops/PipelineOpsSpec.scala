@@ -672,9 +672,17 @@ class PipelineOpsSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
       cols.zipWithIndex.map { case (c, i) =>
         ((col("id") % 97 + i).cast("double")).as(c)
       }: _*)
-    val profA = wide.newProfilingSession().aggProfiles()
-    val profB = wide.withColumn("c3", col("c3") * 2.0)
-      .newProfilingSession().aggProfiles()
+    // single-level profile plan for the fixture: the >= 64-col wide
+    // path adds its own posexplode per profile (per-column merge),
+    // which would make the Generate pin below count profile-subplan
+    // generates instead of the drift operator's one explode
+    spark.conf.set("spark.graft.profile.twoLevelMerge", "false")
+    val (profA, profB) =
+      try {
+        (wide.newProfilingSession().aggProfiles(),
+          wide.withColumn("c3", col("c3") * 2.0)
+            .newProfilingSession().aggProfiles())
+      } finally spark.conf.unset("spark.graft.profile.twoLevelMerge")
     val edges = cols.map(c => c -> Seq(20.0, 50.0, 80.0)).toMap
 
     val t0 = System.nanoTime()
