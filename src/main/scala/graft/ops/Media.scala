@@ -537,9 +537,14 @@ object Media {
       posexplode(bandCols(col("h"))).as(Seq("band", "bucket")))
     val probed =
       if (rPrime == 0) base
-      else base.select(col("id"), col("h"), col("band"),
-        explode(transform(typedLit(mihProbeDeltas(rPrime)),
-          d => col("bucket").bitwiseXOR(d))).as("bucket"))
+      else base
+        // explode the LITERAL delta array, XOR after — the
+        // transform-then-explode shape allocated a fresh delta-sized
+        // array per probe row (see bandedHammingPairsReleasable)
+        .select(col("id"), col("h"), col("band"), col("bucket"),
+          explode(typedLit(mihProbeDeltas(rPrime))).as("__d"))
+        .select(col("id"), col("h"), col("band"),
+          col("bucket").bitwiseXOR(col("__d")).as("bucket"))
     probed.select(col("id"), col("h"),
       xxhash64(col("band"), col("bucket")).as("bb"))
   }

@@ -86,11 +86,121 @@ object StreamingProfile {
 
   /** Re-aggregate the profile store down to one profile per group — the
     * cross-batch merge (same monoid as the batch engine's mergeProfiles).
+    *
+    * Compaction-aware: when [[compactStore]] has produced checkpoint
+    * directories (`batch=compact_<id>`), the read uses the HIGHEST
+    * COMPLETE checkpoint (parquet `_SUCCESS` marker — a crashed
+    * compaction leaves no marker and is ignored) plus every per-trigger
+    * directory with batchId > id. Per-trigger directories at or below a
+    * complete checkpoint are redundant by construction and excluded, so
+    * a crash anywhere in compact-then-vacuum never double-counts or
+    * loses data.
     */
   def mergeStored(spark: SparkSession, storePath: String,
       keys: Seq[String]): DataFrame =
-    ProfileSession.mergeProfiles(
-      spark.read.parquet(storePath).drop("batch"), keys)
+    ProfileSession.mergeProfiles(readStored(spark, storePath), keys)
+
+  /** The store's current LIVE partial-profile rows (checkpoint-aware, see
+    * [[mergeStored]]), without the `batch` partition column.
+    */
+  def readStored(spark: SparkSession, storePath: String): DataFrame = {
+    val (ckpt, liveBatches) = storeParts(storePath)
+    val paths = ckpt.map(_._2).toSeq ++ liveBatches.map(_._2)
+    require(paths.nonEmpty, s"profile store $storePath is empty")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Fold every per-trigger directory with batchId <= `upToBatchId`
+    * (plus the previous checkpoint, if any) into ONE checkpoint
+    * directory `batch=compact_<upToBatchId>`. The store stays a valid
+    * partial set throughout: the checkpoint holds the same monoid rows
+    * (one partial profile per group), so [[mergeStored]] before, during,
+    * and after compaction returns the same result — the write is
+    * invisible until its `_SUCCESS` marker lands (readers gate on it),
+    * and the consumed directories stay on disk until [[vacuumStore]].
+    * Unbounded retention cost drops from O(triggers) directories to
+    * O(1) + directories since the last compaction.
+    */
+  def compactStore(spark: SparkSession, storePath: String,
+      upToBatchId: Long): Unit = {
+    val (ckpt, liveBatches) = storeParts(storePath)
+    val consumed = liveBatches.filter(_._1 <= upToBatchId).map(_._2) ++
+      ckpt.filter(_._1 <= upToBatchId).map(_._2)
+    if (consumed.isEmpty) return
+    // merge back to the finest stored grouping: every non-profile
+    // column (keys and/or window) keys the merge, so the checkpoint
+    // rows stay PARTIALS at the store's own granularity
+    val in = spark.read.parquet(consumed: _*)
+    val groupCols = in.schema.fields.collect {
+      case f if !graft.profile.ProfileSchema.isProfileType(f.dataType) =>
+        f.name
+    }.toSeq
+    ProfileSession.mergeProfiles(in, groupCols)
+      .write.mode("overwrite")
+      .parquet(s"$storePath/batch=compact_$upToBatchId")
+  }
+
+  /** Delete per-trigger and checkpoint directories made redundant by a
+    * COMPLETE checkpoint — pure garbage collection, safe to run (or
+    * crash in) at any point after the checkpoint's `_SUCCESS` landed.
+    */
+  def vacuumStore(storePath: String): Unit = {
+    val (ckpt, _) = storeParts(storePath)
+    ckpt.foreach { case (id, _) =>
+      batchDirs(storePath).foreach {
+        case (BatchDir(bid), p) if bid <= id =>
+          deleteRecursively(new java.io.File(p))
+        case (CompactDir(cid), p) if cid < id =>
+          deleteRecursively(new java.io.File(p))
+        case _ =>
+      }
+    }
+  }
+
+  private object BatchDir {
+    def unapply(name: String): Option[Long] = {
+      val s = name.stripPrefix("batch=")
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    }
+  }
+  private object CompactDir {
+    def unapply(name: String): Option[Long] = {
+      val s = name.stripPrefix("batch=")
+      if (s.startsWith("compact_") && s.drop(8).nonEmpty &&
+        s.drop(8).forall(_.isDigit)) Some(s.drop(8).toLong)
+      else None
+    }
+  }
+
+  private def batchDirs(storePath: String): Seq[(String, String)] = {
+    val root = new java.io.File(storePath)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(f => (f.getName, f.getAbsolutePath))
+  }
+
+  /** (best complete checkpoint, live per-trigger dirs after it). */
+  private def storeParts(storePath: String)
+      : (Option[(Long, String)], Seq[(Long, String)]) = {
+    val dirs = batchDirs(storePath)
+    val complete = dirs.collect {
+      case (CompactDir(id), p)
+          if new java.io.File(p, "_SUCCESS").exists() => (id, p)
+    }
+    val best = complete.sortBy(-_._1).headOption
+    val floor = best.map(_._1).getOrElse(Long.MinValue)
+    val live = dirs.collect {
+      case (BatchDir(id), p) if id > floor => (id, p)
+    }
+    (best, live)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Continuous metric-anomaly screen — the streaming completion of
     * [[graft.ops.Drift.metricAnomalies]], whose cross-WINDOW aggregate
@@ -147,7 +257,7 @@ object StreamingProfile {
         timeColumn = Some(timeColumn), cfg = cfg).aggProfiles()
         .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
       val merged = ProfileSession.mergeProfiles(
-        spark.read.parquet(storePath).drop("batch"), keys :+ "window")
+        readStored(spark, storePath), keys :+ "window")
       graft.ops.Drift.metricAnomalies(merged, cols,
         keep = keys :+ "window", threshold = threshold)
         .write.mode("overwrite").parquet(screenPath)

@@ -244,6 +244,62 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
       .select(col("value.count")).as[Long].head() shouldBe 12L
   }
 
+  test("store compaction: checkpoint-aware merge is invariant across " +
+    "compact and vacuum, and a crashed compaction is invisible") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_compact_store").toString
+    def batch(vals: Seq[(Timestamp, String, Double)]) =
+      vals.toDF("ts", "key", "value")
+    // 4 triggers, keyed store (one partial per key per batch)
+    StreamingProfile.storeBatchProfiles(batch(batch1), 0L, store,
+      keys = Seq("key"))
+    StreamingProfile.storeBatchProfiles(batch(batch2), 1L, store,
+      keys = Seq("key"))
+    StreamingProfile.storeBatchProfiles(batch(batch1), 2L, store,
+      keys = Seq("key"))
+    StreamingProfile.storeBatchProfiles(batch(batch2), 3L, store,
+      keys = Seq("key"))
+    def snapshot() = StreamingProfile.mergeStored(spark, store, Seq("key"))
+      .select(col("key"), col("value.count"), col("value.numbers.sum"),
+        col("value.numbers.min"), col("value.numbers.max"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toVector
+    val before = snapshot()
+    before.map(_._2).sum shouldBe 2L * (batch1.size + batch2.size)
+
+    // a CRASHED compaction (no _SUCCESS) must be invisible to readers
+    val crashed = new java.io.File(s"$store/batch=compact_9")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(crashed.getPath, "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    snapshot() shouldBe before
+
+    // real compaction of batches <= 1: merge result unchanged, the
+    // consumed per-trigger dirs still on disk (vacuum not yet run)
+    crashed.listFiles().foreach(_.delete()); crashed.delete()
+    StreamingProfile.compactStore(spark, store, upToBatchId = 1L)
+    snapshot() shouldBe before
+    new java.io.File(s"$store/batch=0").exists() shouldBe true
+
+    // vacuum deletes ONLY the dirs covered by the complete checkpoint
+    StreamingProfile.vacuumStore(store)
+    snapshot() shouldBe before
+    new java.io.File(s"$store/batch=0").exists() shouldBe false
+    new java.io.File(s"$store/batch=1").exists() shouldBe false
+    new java.io.File(s"$store/batch=2").exists() shouldBe true
+
+    // re-compaction folds the previous checkpoint + later batches;
+    // the older checkpoint vacuums away
+    StreamingProfile.compactStore(spark, store, upToBatchId = 3L)
+    StreamingProfile.vacuumStore(store)
+    snapshot() shouldBe before
+    new java.io.File(s"$store/batch=compact_1").exists() shouldBe false
+    new java.io.File(s"$store/batch=compact_3").exists() shouldBe true
+    new java.io.File(s"$store/batch=3").exists() shouldBe false
+  }
+
   test("row-local curation filters run unchanged on a stream") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
