@@ -2395,6 +2395,50 @@ def store_stats(spark, table: str) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+def store_batch_profiles(batch: DataFrame, batch_id: int,
+                         store_path: str,
+                         keys: Optional[List[str]] = None) -> None:
+    """foreachBatch body of the streaming profile store sink: profile
+    one micro-batch and write its partial profiles to a ``batch=<id>``
+    subdirectory of the parquet store (overwrite, so at-least-once
+    replay of a batch is idempotent). Use inside pyspark's
+    ``writeStream.foreachBatch``; read back with
+    ``merge_stored_profiles``."""
+    _jvm_bridge(batch).storeBatchProfiles(
+        batch._jdf, int(batch_id), store_path, list(keys or []))
+
+
+def merge_stored_profiles(spark, store_path: str,
+                          keys: Optional[List[str]] = None) -> DataFrame:
+    """Re-aggregate a streaming profile store down to one profile per
+    group — the cross-batch merge (same monoid as batch profiles).
+    Checkpoint-aware: reads the highest COMPLETE ``batch=compact_<id>``
+    checkpoint plus strictly newer trigger directories."""
+    jdf = getattr(spark._jvm, "graft.python.PyBridge").mergeStoredProfiles(
+        spark._jsparkSession, store_path, list(keys or []))
+    return DataFrame(jdf, spark)
+
+
+def compact_profile_store(spark, store_path: str,
+                          up_to_batch_id: int) -> None:
+    """Fold every trigger directory (and any previous checkpoint) with
+    batch id <= ``up_to_batch_id`` into one ``batch=compact_<id>``
+    checkpoint — retention drops from O(triggers) to O(1) directories.
+    Readers only see a checkpoint once its _SUCCESS marker lands, so a
+    crash mid-compaction neither double-counts nor loses data; run
+    ``vacuum_profile_store`` afterwards to GC the covered dirs."""
+    getattr(spark._jvm, "graft.python.PyBridge").compactProfileStore(
+        spark._jsparkSession, store_path, int(up_to_batch_id))
+
+
+def vacuum_profile_store(spark, store_path: str) -> None:
+    """Delete store directories made redundant by a complete
+    checkpoint — pure GC, safe to run (or crash in) at any point after
+    the checkpoint's _SUCCESS landed."""
+    getattr(spark._jvm, "graft.python.PyBridge").vacuumProfileStore(
+        store_path)
+
+
 def time_to_event(df: DataFrame, key_col: str, ts_col: str,
                   type_col: str, target_type: str) -> DataFrame:
     """Per key: duration (micros) from the first event to the first

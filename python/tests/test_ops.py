@@ -379,6 +379,7 @@ def main():
     test_round13_quality_screens()
     test_round14_imageio_audio()
     test_round15_nested_mih()
+    test_round17_profile_store_lifecycle()
     print("ALL OPS TESTS PASSED")
 
 
@@ -1534,6 +1535,52 @@ def test_round15_nested_mih():
             y["n_survivors"]) == (2, 3, 3, 10), y
     print("round-15 nested profile + MIH facade OK")
 
+
+
+def test_round17_profile_store_lifecycle():
+    import tempfile
+    from pyspark.sql import functions as F
+    from graftspark import ops
+
+    spark = _get_spark()
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    store = tempfile.mkdtemp(prefix="graft_pystore_")
+
+    # six simulated triggers append batch=<id> partials; replaying a
+    # batch id must be idempotent (overwrite semantics)
+    for b in range(6):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(6)) == b)
+        ops.store_batch_profiles(batch, b, store, keys=["event_type"])
+    ops.store_batch_profiles(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(6)) == 2), 2, store,
+        keys=["event_type"])
+
+    def snapshot():
+        return {r["event_type"]: (r["cnt"], round(r["s"], 4))
+                for r in ops.merge_stored_profiles(
+                    spark, store, keys=["event_type"])
+                .select(F.col("event_type"),
+                        F.col("value.count").alias("cnt"),
+                        F.col("value.numbers.sum").alias("s"))
+                .collect()}
+
+    want = {r["event_type"]: (r["cnt"], round(r["s"], 4))
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("value").alias("s")).collect()}
+    assert snapshot() == want and len(want) > 0
+
+    # compact + vacuum twice; the merged profile never changes
+    ops.compact_profile_store(spark, store, 3)
+    ops.vacuum_profile_store(spark, store)
+    assert snapshot() == want
+    ops.compact_profile_store(spark, store, 5)
+    ops.vacuum_profile_store(spark, store)
+    assert snapshot() == want
+    # after the second vacuum the store is a single checkpoint dir
+    dirs = [d for d in os.listdir(store) if d.startswith("batch=")]
+    assert dirs == ["batch=compact_5"], dirs
+    print("round-17 profile store lifecycle OK")
 
 
 if __name__ == "__main__":

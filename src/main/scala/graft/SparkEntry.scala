@@ -3099,6 +3099,38 @@ object SparkEntry {
         col("c63.null_count").as("nulls63"))
     }),
 
+    "q275_store_lifecycle" -> ((s, dir) => {
+      // the streaming profile store's retention lifecycle end-to-end
+      // on the correctness board: six simulated triggers append
+      // batch=<id> partials of events keyed by event_type, batches
+      // 0-3 fold into a checkpoint, vacuum deletes the covered dirs,
+      // a second compaction folds the checkpoint + 4-5 into
+      // compact_5, vacuum again (the store is now ONE directory) —
+      // and mergeStored still equals the all-data profile EXACTLY:
+      // the stored rows are partials of one monoid, so DuckDB
+      // recomputes the emitted counters from plain SQL over the
+      // same table
+      val ev = t(s, dir, "events")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q275_store_").toString
+      (0L until 6L).foreach { b =>
+        graft.streaming.StreamingProfile.storeBatchProfiles(
+          ev.filter(pmod(col("event_id"), lit(6)) === b), b, store,
+          keys = Seq("event_type"))
+      }
+      graft.streaming.StreamingProfile.compactStore(s, store, 3L)
+      graft.streaming.StreamingProfile.vacuumStore(store)
+      graft.streaming.StreamingProfile.compactStore(s, store, 5L)
+      graft.streaming.StreamingProfile.vacuumStore(store)
+      graft.streaming.StreamingProfile
+        .mergeStored(s, store, Seq("event_type"))
+        .select(col("event_type"),
+          col("value.count").as("cnt"),
+          (round(col("value.numbers.min"), 6) + 0.0).as("v_min"),
+          (round(col("value.numbers.max"), 6) + 0.0).as("v_max"),
+          (round(col("value.numbers.sum"), 4) + 0.0).as("v_sum"))
+    }),
+
     "q272_dedup_yield" -> ((s, dir) => {
       // the operational dedup-yield report over the q257 planted
       // chains (a~a+100 for a<50, a+100~a+200 for a<25): 25 clusters
@@ -7186,6 +7218,15 @@ object SparkEntry {
         |  (min(l_orderkey) + 3)::BIGINT AS lmin3,
         |  0::BIGINT AS nulls63
         |FROM lineitem""".stripMargin,
+
+    // store lifecycle is pure plumbing around one profile monoid —
+    // the merged counters are plain SQL per group
+    "q275_store_lifecycle" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |  round(min(value), 6) + 0.0 AS v_min,
+        |  round(max(value), 6) + 0.0 AS v_max,
+        |  round(sum(value), 4) + 0.0 AS v_sum
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q272_dedup_yield" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)

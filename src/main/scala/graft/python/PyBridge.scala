@@ -1643,6 +1643,34 @@ object PyBridge {
       table: String): DataFrame =
     graft.io.CorpusStore.storeStats(spark, table)
 
+  /** foreachBatch body of the streaming profile store sink: profile
+    * one micro-batch and write its partials to `batch=<id>`
+    * (overwrite — at-least-once replay of a batch is idempotent). */
+  def storeBatchProfiles(batch: DataFrame, batchId: Long,
+      storePath: String, keys: java.util.List[String]): Unit =
+    graft.streaming.StreamingProfile.storeBatchProfiles(
+      batch, batchId, storePath, keys.asScala.toSeq)
+
+  /** Merge a streaming profile store to one profile per group —
+    * checkpoint-aware (highest complete `batch=compact_<id>` plus
+    * strictly newer trigger dirs). */
+  def mergeStoredProfiles(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, keys: java.util.List[String]): DataFrame =
+    graft.streaming.StreamingProfile.mergeStored(spark, storePath,
+      keys.asScala.toSeq)
+
+  /** Fold trigger dirs (and any previous checkpoint) <= upToBatchId
+    * into one `batch=compact_<id>` checkpoint; readers see it only
+    * once its _SUCCESS marker lands. */
+  def compactProfileStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, upToBatchId: Long): Unit =
+    graft.streaming.StreamingProfile.compactStore(spark, storePath,
+      upToBatchId)
+
+  /** GC store directories covered by a complete checkpoint. */
+  def vacuumProfileStore(storePath: String): Unit =
+    graft.streaming.StreamingProfile.vacuumStore(storePath)
+
   /** Grow a fingerprint store with a screened batch. */
   def appendFingerprints(docs: DataFrame, table: String,
       textCol: String): Unit =

@@ -25,14 +25,15 @@ class QueryBoardSpec extends AnyFunSpec with SparkSuiteBase {
   describe("SparkEntry driver board") {
 
     it("pins the board size (update BOTH counts when adding a query)") {
-      assert(SparkEntry.queries.size == 274)
+      assert(SparkEntry.queries.size == 275)
       // r17: q90/q91/q93/q98 re-shaped to invariant outputs with DuckDB
       // oracles (planted near-dup recall + exact Jaccard, token-multiset
       // screen recall, planted-copy exact top-k under pruning) — every
       // board query is now oracle-checked, zero rows-only; q273/q274
       // pin the profile_state raw-binary intermediate and the >= 64-col
-      // per-column wide merge plan on exact counters
-      assert(SparkEntry.oracleSql.size == 274)
+      // per-column wide merge plan on exact counters; q275 pins the
+      // streaming store compact/vacuum/merge lifecycle
+      assert(SparkEntry.oracleSql.size == 275)
     }
 
     it("every oracle entry has a matching query") {
