@@ -808,13 +808,18 @@ object Bench {
       // from one prefix-sum pass, and the Theil-Sen median of 259k
       // pairwise slopes through the rank machinery
       "series_analysis" -> (() => {
+        // the 720-row series persists across the four consumers — the
+        // recommended usage (r17: the lazy frame re-ran the 600k-event
+        // bucketing aggregate once per op)
         val series = graft.ops.EventStats.eventSeries(
-          t("events"), "ts", bucketSeconds = 3600L)
-        graft.ops.EventStats.decompose(series, "t", "n", period = 24,
-          trendWindow = 12).forceCount()
-        graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).forceCount()
-        graft.ops.EventStats.changePoint(series, "t", "n").forceCount()
-        graft.ops.EventStats.trendSlope(series, "t", "n").forceCount()
+          t("events"), "ts", bucketSeconds = 3600L).persist()
+        try {
+          graft.ops.EventStats.decompose(series, "t", "n", period = 24,
+            trendWindow = 12).forceCount()
+          graft.ops.EventStats.acf(series, "t", "n", maxLag = 48).forceCount()
+          graft.ops.EventStats.changePoint(series, "t", "n").forceCount()
+          graft.ops.EventStats.trendSlope(series, "t", "n").forceCount()
+        } finally series.unpersist(blocking = false)
       }),
 
       // audio dedup e2e: synthesize white-noise WAVs executor-side
