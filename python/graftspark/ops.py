@@ -2397,15 +2397,19 @@ def store_stats(spark, table: str) -> DataFrame:
 
 def store_batch_profiles(batch: DataFrame, batch_id: int,
                          store_path: str,
-                         keys: Optional[List[str]] = None) -> None:
+                         keys: Optional[List[str]] = None,
+                         time_column: Optional[str] = None,
+                         cadence: str = "1 hour") -> None:
     """foreachBatch body of the streaming profile store sink: profile
     one micro-batch and write its partial profiles to a ``batch=<id>``
     subdirectory of the parquet store (overwrite, so at-least-once
-    replay of a batch is idempotent). Use inside pyspark's
-    ``writeStream.foreachBatch``; read back with
+    replay of a batch is idempotent). ``time_column`` adds event-time
+    bucketing at ``cadence`` (profiles per window x keys). Use inside
+    pyspark's ``writeStream.foreachBatch``; read back with
     ``merge_stored_profiles``."""
     _jvm_bridge(batch).storeBatchProfiles(
-        batch._jdf, int(batch_id), store_path, list(keys or []))
+        batch._jdf, int(batch_id), store_path, list(keys or []),
+        time_column, cadence)
 
 
 def merge_stored_profiles(spark, store_path: str,

@@ -1580,6 +1580,23 @@ def test_round17_profile_store_lifecycle():
     # after the second vacuum the store is a single checkpoint dir
     dirs = [d for d in os.listdir(store) if d.startswith("batch=")]
     assert dirs == ["batch=compact_5"], dirs
+
+    # windowed store: time_column buckets each batch's profiles by
+    # event time; the merged store groups by the window struct
+    wstore = tempfile.mkdtemp(prefix="graft_pystore_w_")
+    for b in range(2):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == b)
+        ops.store_batch_profiles(batch, b, wstore,
+                                 time_column="ts", cadence="1 day")
+    wm = ops.merge_stored_profiles(spark, wstore, keys=["window"])
+    got_days = {(r["window"]["start"], r["cnt"])
+                for r in wm.select(F.col("window"),
+                                   F.col("value.count").alias("cnt"))
+                .collect()}
+    want_days = {(r["d"], r["cnt"]) for r in ev.groupBy(
+        F.window("ts", "1 day").getField("start").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got_days == want_days and len(want_days) > 1
     print("round-17 profile store lifecycle OK")
 
 

@@ -1645,11 +1645,14 @@ object PyBridge {
 
   /** foreachBatch body of the streaming profile store sink: profile
     * one micro-batch and write its partials to `batch=<id>`
-    * (overwrite — at-least-once replay of a batch is idempotent). */
+    * (overwrite — at-least-once replay of a batch is idempotent).
+    * `timeCol`/`cadence` null = no time bucketing. */
   def storeBatchProfiles(batch: DataFrame, batchId: Long,
-      storePath: String, keys: java.util.List[String]): Unit =
+      storePath: String, keys: java.util.List[String],
+      timeCol: String, cadence: String): Unit =
     graft.streaming.StreamingProfile.storeBatchProfiles(
-      batch, batchId, storePath, keys.asScala.toSeq)
+      batch, batchId, storePath, keys.asScala.toSeq,
+      timeColumn = Option(timeCol).map(t => (t, cadence)))
 
   /** Merge a streaming profile store to one profile per group —
     * checkpoint-aware (highest complete `batch=compact_<id>` plus
