@@ -397,10 +397,13 @@ object Graph {
         .agg(min_by(col("label"),
           struct((-col("__c")).as("c"), col("label").as("l")))
           .as("__new"))
-      val next = nodes.join(best, Seq("node"), "left")
-        .join(labels, Seq("node"))
-        .select(col("node"),
-          coalesce(col("__new"), col("label")).as("label"))
+      // the self-vote union guarantees every node contributes at least
+      // its own-label cell, so `best` covers the full node set — no
+      // fallback joins back onto nodes/labels are needed (isolated
+      // nodes keep their own label through their single self-vote
+      // cell); the agg output stays hash-partitioned on node, the key
+      // the next iteration's neighbor join reuses
+      val next = best.select(col("node"), col("__new").as("label"))
         .persist()
       next.count()
       labels.unpersist(blocking = false)
