@@ -269,7 +269,13 @@ object Graph {
 
     // uniform hub init materializes inside iteration 1's single job
     // (each iteration is ONE action: hNext.count() pulls aNext's
-    // persist with it — the a-side cache fills en route)
+    // persist with it — the a-side cache fills en route).
+    // The iteration carries SPARSE score frames: a node absent from
+    // the frame has score exactly 0, and zero-score rows contribute
+    // nothing to either update join's sums or to the L1 normalizers,
+    // so densifying every round (the old nodes ⟕ raw coalesce joins)
+    // was two dead node-sized joins per iteration — the zeros are
+    // joined back on exactly once, at the output.
     var hubs = nodes.select(col("node"), lit(1.0).as("hub")).persist()
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -278,11 +284,9 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("__a"))
       val aSum = aRaw.agg(sum(col("__a")).as("__s"))
-      val aNext = nodes.join(aRaw, Seq("node"), "left")
+      val aNext = aRaw
         .crossJoin(broadcast(aSum))
-        .select(col("node"),
-          (coalesce(col("__a"), lit(0.0)) / col("__s"))
-            .as("authority"))
+        .select(col("node"), (col("__a") / col("__s")).as("authority"))
         .persist()
       if (auths != null) auths.unpersist(blocking = false)
       auths = aNext
@@ -291,22 +295,27 @@ object Graph {
         .groupBy(col("src").as("node"))
         .agg(sum(col("authority")).as("__h"))
       val hSum = hRaw.agg(sum(col("__h")).as("__s"))
-      val hNext = nodes.join(hRaw, Seq("node"), "left")
+      val hNext = hRaw
         .crossJoin(broadcast(hSum))
-        .select(col("node"),
-          (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
+        .select(col("node"), (col("__h") / col("__s")).as("hub"))
         .persist()
       hNext.count()
       hubs.unpersist(blocking = false)
       hubs = hNext
     }
     val (finalHubs, finalAuths) = (hubs, auths)
-    val out = finalHubs.join(finalAuths, Seq("node"))
-      .select(col("node"), col("hub"), col("authority"))
+    val out = nodes
+      .join(finalHubs, Seq("node"), "left")
+      .join(finalAuths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("authority"), lit(0.0)).as("authority"))
     eByDst.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // nodes rides the RESULT plan (the one-time zero densify), so its
+    // cache lives until release() with the final iterates
     (out, () => {
+      nodes.unpersist(blocking = false)
       finalHubs.unpersist(blocking = false)
       finalAuths.unpersist(blocking = false)
       ()
