@@ -654,20 +654,27 @@ object Bench {
       // the survival family: KM curve + log-rank between even/odd
       // cohorts + RFM segmentation, all off the events table
       "survival" -> (() => {
+        // the user-sized time-to-event frame persists across its two
+        // consumers (KM + log-rank) — correct usage, like
+        // series_analysis (r17): lazy reuse re-ran the 600k-event
+        // aggregation once per op
         val tte = graft.ops.EventStats.timeToEvent(t("events"),
           "user_id", "ts", "event_type", "purchase")
           .select(col("key"), expr("duration div 3600000000").as("dh"),
             col("observed"))
-        val n = graft.ops.EventStats.kaplanMeier(tte, "dh", "observed")
-          .forceCount()
-        val (lr, lrRel) = graft.ops.EventStats.logRankReleasable(
-          tte.select(pmod(col("key"), lit(2)).cast("string").as("g"),
-            col("dh"), col("observed")), "dh", "observed", "g")
-        try lr.forceCount() finally lrRel()
-        val (seg, segRel) = graft.ops.EventStats.rfmReleasable(
-          t("events"), "user_id", "ts", "value")
-        try seg.forceCount() finally segRel()
-        n
+          .persist()
+        try {
+          val n = graft.ops.EventStats.kaplanMeier(tte, "dh", "observed")
+            .forceCount()
+          val (lr, lrRel) = graft.ops.EventStats.logRankReleasable(
+            tte.select(pmod(col("key"), lit(2)).cast("string").as("g"),
+              col("dh"), col("observed")), "dh", "observed", "g")
+          try lr.forceCount() finally lrRel()
+          val (seg, segRel) = graft.ops.EventStats.rfmReleasable(
+            t("events"), "user_id", "ts", "value")
+          try seg.forceCount() finally segRel()
+          n
+        } finally tte.unpersist(blocking = false)
       }),
 
       // 190-pair source drift matrix off ONE corpus scan (per-group
