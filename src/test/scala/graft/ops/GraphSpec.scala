@@ -92,6 +92,23 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     out.values.toSet.size shouldBe 2
   }
 
+  test("labelPropagation: a star whose hub carries the smallest id " +
+    "converges to the hub's label in ONE iteration (the LpaScale " +
+    "receipt's planted invariant)") {
+    import spark.implicits._
+    // each member's cells tie {hub-label: 1, self-vote: 1} -> smallest
+    // label (the hub's); the hub's cells all tie at count 1 -> its own
+    // smallest label. One iteration suffices and further rounds are a
+    // fixed point.
+    val e = (1L to 6L).map(i => (0L, i)).toDF("s", "d")
+    val one = Graph.labelPropagation(e, "s", "d", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one.values.toSet shouldBe Set(0L)
+    val three = Graph.labelPropagation(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    three shouldBe one
+  }
+
   test("labelPropagation: isolated self-loop node keeps its own " +
     "label; deterministic across partitionings") {
     import spark.implicits._
