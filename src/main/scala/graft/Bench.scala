@@ -994,7 +994,8 @@ object Bench {
               .exists(_.split(",").contains("mih_hamming"))) {
             val joins = res.queryExecution.executedPlan.toString
               .linesIterator.map(_.trim)
-              .filter(l => l.contains("Join")).map(_.take(72)).toSeq
+              .filter(l => l.contains("Join") || l.contains("Exchange"))
+              .map(_.take(150)).toSeq
             System.err.println(
               s"[explain] mih joins:\n  ${joins.mkString("\n  ")}")
           }
@@ -1485,6 +1486,33 @@ object Bench {
       case s => s
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$anyContended,"contended_rows":$contendedRows,"failed":$anyFailed,"profile_bytes_per_column":$bytesPerColumn%.0f,"bm25_keep_frac_hc":$bm25KeepHc%.4f,"ngram_keep_frac_hc":$ngramKeepHc%.4f}""")
+    // Driver-tail robustness (r18): the grading harness keeps only the LAST
+    // 2000 bytes of the run's output, and the full-precision metric line
+    // above (~3.4 KB at 88 rows) gets its head truncated there — BENCH_r17
+    // recorded "parsed": null for exactly this reason. Emit a SECOND,
+    // compact metric line (2-decimal row→sec, heaviest rows first) as the
+    // final stdout line so the tail window always contains one complete
+    // JSON object. If the compact line itself would outgrow the window
+    // (rows added in later rounds), the SMALLEST rows are dropped and
+    // counted in "omitted" — the full-precision line above and the
+    // bench_rows.json side file remain the complete artifacts.
+    val compactBudget = 1850
+    val bySecDesc = results.sortBy(-_.sec)
+    def compactLine(keep: Int): String = {
+      val qsC = bySecDesc.take(keep)
+        .map(r => "\"" + r.name + f"\":${r.sec}%.2f").mkString("{", ",", "}")
+      val omitted =
+        if (keep < results.size) s""","omitted":${results.size - keep}"""
+        else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsC,"sf":"$sfDir","contended":$anyContended,"failed":$anyFailed$omitted}"""
+    }
+    var keepRows = results.size
+    var compact = compactLine(keepRows)
+    while (compact.length > compactBudget && keepRows > 1) {
+      keepRows -= 1
+      compact = compactLine(keepRows)
+    }
+    println(compact)
     spark.stop()
   }
 }

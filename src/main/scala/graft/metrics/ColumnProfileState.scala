@@ -180,7 +180,15 @@ final class ColumnProfileState(val cfg: ProfileConfig, allocate: Boolean = true)
         numbers.trackLongRepeat(v)
         return
       }
-      val s = String.valueOf(v) // longs never exceed stringLengthMax
+      // longs render to at most 20 chars, so truncation only applies
+      // under a non-default stringLengthMax < 20 — matched to trackText
+      // so the fast path's sketch inputs never diverge from string
+      // tracking under ANY config (the branch is a hoisted comparison
+      // on a plain field, free on the default 256)
+      val s0 = String.valueOf(v)
+      val s =
+        if (s0.length > cfg.stringLengthMax) s0.substring(0, cfg.stringLengthMax)
+        else s0
       if (hll != null) hll.update(s)
       if (freq != null) freq.update(s)
       numbers.trackLong(v)

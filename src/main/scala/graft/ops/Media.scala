@@ -398,9 +398,33 @@ object Media {
               explode(deltas).as("__d"))
             .select(col("id_a"), col("band"),
               col("bucket").bitwiseXOR(col("__d")).as("bucket"))
+          // Build-side determinism (r18, the bench's one bimodal row):
+          // Catalyst prices the probe side at its Generate CHILD's size —
+          // it cannot see the literal-delta multiplier (697x at radius
+          // 12) — so the static planner picks the PROBE stream as the
+          // broadcast build side. That is a driver-side single-threaded
+          // hash build over millions of exploded rows plus hundreds of
+          // MB of per-pass garbage; AQE flips the build to the exact-
+          // bucket side only when its re-planning beats the broadcast
+          // stage's materialization, and losing that race is exactly the
+          // row's 1.4 s vs 12 s session lottery. Pin the build side
+          // deliberately: the exact-bucket side broadcasts under a
+          // counted bound (the count materializes the caller-persisted
+          // fingerprints the pipeline scans right after — one cached
+          // pass, same eager pattern as the capped-bucket probe), and
+          // above the bound it becomes the per-partition build of a
+          // shuffled hash join, where the flat-bucket cap keeps every
+          // partition's build bounded at any corpus size.
+          val nHashes = hashes.count()
+          val bcastMax = hashes.sparkSession.conf
+            .get("spark.graft.mih.broadcastMaxHashes", "1000000").toLong
+          val keptB = kept.select(col("band"), col("bucket"),
+            col("id").as("id_b"))
+          val attach =
+            if (nHashes <= bcastMax) broadcast(keptB)
+            else keptB.hint("shuffle_hash")
           probes
-            .join(kept.select(col("band"), col("bucket"),
-              col("id").as("id_b")), Seq("band", "bucket"))
+            .join(attach, Seq("band", "bucket"))
             .filter(col("id_a") < col("id_b"))
             .select(col("id_a"), col("id_b"))
         }

@@ -310,9 +310,23 @@ case class ProfileSession(
       val assembled = merged
         .agg(map_from_entries(collect_list(struct(col("__i"), col("__m"))))
           .as("__all"))
-      assembled.select(profiledColumns.zipWithIndex.map { case (c, i) =>
-        col("__all").getItem(i).as(c)
-      }: _*)
+      // Zero-row inputs: the first level's groupBy produces no groups, so
+      // the map is empty and every getItem misses. The narrow single-level
+      // plan returns count=0 profile structs there (the aggregate's finish
+      // on initial state); preserve that contract by coalescing each column
+      // with the SAME aggregate's empty-input default, computed over
+      // limit(0) — Catalyst collapses it to an empty relation, so the
+      // defaults row costs no input scan, and the 1-row broadcast is
+      // negligible against the wide merge itself.
+      val defaults = broadcast(
+        base.limit(0).agg(profileCols.head, profileCols.tail: _*)
+          .select(profiledColumns.zipWithIndex.map { case (c, i) =>
+            q(c).as(s"__d$i")
+          }: _*))
+      assembled.crossJoin(defaults)
+        .select(profiledColumns.zipWithIndex.map { case (c, i) =>
+          coalesce(col("__all").getItem(i), col(s"__d$i")).as(c)
+        }: _*)
     }
     else if (keyCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)
     else base.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)

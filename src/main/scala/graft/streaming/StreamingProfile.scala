@@ -124,7 +124,14 @@ object StreamingProfile {
   def compactStore(spark: SparkSession, storePath: String,
       upToBatchId: Long): Unit = {
     val (ckpt, liveBatches) = storeParts(storePath)
-    val consumed = liveBatches.filter(_._1 <= upToBatchId).map(_._2) ++
+    val newBatches = liveBatches.filter(_._1 <= upToBatchId)
+    // Non-advancing call (upToBatchId == the current complete checkpoint,
+    // no newer trigger dirs): the write target would be the checkpoint
+    // directory being READ, and mode(overwrite) onto a read path is
+    // committer/version-dependent (post-vacuum that checkpoint is the
+    // only copy). Nothing new to fold — no-op.
+    if (newBatches.isEmpty && ckpt.exists(_._1 == upToBatchId)) return
+    val consumed = newBatches.map(_._2) ++
       ckpt.filter(_._1 <= upToBatchId).map(_._2)
     if (consumed.isEmpty) return
     // merge back to the finest stored grouping: every non-profile
