@@ -22,6 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Scale-adaptive parallelism for a blocked join's STREAM side: the
+    * in-block pair stage does quadratic work per block row, and when the
+    * stream side is a map-only lineage over a small scan (one parquet
+    * footer's worth of rows), every broadcast-join probe — and all the
+    * quadratic scoring behind it — runs on the scan's 1-2 tasks while
+    * the rest of the machine idles (measured on the bench's fuzzy_join
+    * worst case: 9.2 s single-pass, one 1.44M-pair task). Round-robin
+    * repartition to the session's shuffle parallelism, but ONLY when
+    * the input is map-only (Dataset.rdd on an exchange-bearing plan
+    * would execute those stages eagerly under AQE) and under-split by
+    * 2x — large inputs already arrive with enough scan partitions, so
+    * at scale this is a no-op, exactly the aggProfiles auto-parallelize
+    * contract.
+    */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val mapOnly =
+      try df.queryExecution.sparkPlan.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty
+      catch { case _: Throwable => false }
+    val inParts =
+      if (!mapOnly) target
+      else try df.rdd.getNumPartitions catch { case _: Throwable => target }
+    if (mapOnly && inParts * 2 <= target) df.repartition(target) else df
+  }
+
   /** Equi-join `large` with `small` on `key`, salted into `saltBuckets`
     * sub-keys. Result rows equal the plain join exactly; the shuffle key
     * is (key, salt) so no single reducer owns a hot key. The salt on the
@@ -335,7 +363,10 @@ object Joins {
           col(s"__${side}_blocks"),
           explode(col(s"__${side}_blocks")).as("__block"))
     }
-    val lb = blocks(left, "left", threeBands = false)
+    // the stream side carries the quadratic in-block scoring: spread it
+    // when the source scan is narrower than the session parallelism
+    // (no-op at scale — see spreadIfNarrow)
+    val lb = spreadIfNarrow(blocks(left, "left", threeBands = false))
     val rb = blocks(right, "right", threeBands = true)
     lb.join(rb, Seq("__block"))
       // a pair meets once per SHARED block (<= 6): keep it only in the
@@ -408,7 +439,7 @@ object Joins {
         .select(col(idCol).as(s"${side}_id"), k.as(s"${side}_key"),
           explode(bands).as("__block"))
     }
-    blocks(left, "left", threeBands = false)
+    spreadIfNarrow(blocks(left, "left", threeBands = false))
       .join(blocks(right, "right", threeBands = true), Seq("__block"))
       .withColumn("sim",
         graft.functions.jaro_winkler(col("left_key"), col("right_key")))
