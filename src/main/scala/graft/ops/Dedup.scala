@@ -524,8 +524,15 @@ object Dedup {
       s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val Seed2 = 0x9E3779B97F4A7C15L
-    def spanStream = df.select(col(idCol).as("__id"),
-      explode(graft.ops.TextOps.ngrams(col(textCol), windowTokens))
+    // tokenize + window explode + double-hash is the heavy per-row
+    // stage and BOTH consumers (count + exemplar fetch) re-run it off
+    // the scan: spread an under-split source first (no-op at scale),
+    // which also lets the consumers share one exchange instead of two
+    // scans
+    val src = Parallelism.spreadIfNarrow(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text")))
+    def spanStream = src.select(col("__id"),
+      explode(graft.ops.TextOps.ngrams(col("__text"), windowTokens))
         .as("span"))
     val dupHashes = spanStream
       .select(xxhash64(col("span")).as("__h1"),

@@ -53,12 +53,17 @@ object Diagnostics {
     // comfortably) and fold again. (a%P + b%P) % P == (a+b) % P, so
     // the result is bit-identical to the oracle's flat HUGEINT sum
     // mod P at any grouping.
+    // the per-row md5 digests are the whole cost and run map-side on
+    // the scan's split count: spread an under-split input (no-op at
+    // scale, Parallelism.spreadIfNarrow) — the exchange carries only
+    // the checksummed columns, and the partials stay per-partition
+    val spread = Parallelism.spreadIfNarrow(df.select(cols.map(col): _*))
     val rowStr = concat_ws("|", cols.map(canon): _*)
     val partialAggs =
       (count(lit(1)).as("n") +:
         sum(digest(rowStr)).as("__ck___rows") +:
         cols.map(c => sum(digest(canon(c))).as(s"__ck_$c")))
-    val partials = df.groupBy(spark_partition_id().as("__pid"))
+    val partials = spread.groupBy(spark_partition_id().as("__pid"))
       .agg(partialAggs.head, partialAggs.tail: _*)
     // an EMPTY table has zero per-partition partials, so the outer
     // sums are NULL — coalesce to the old df.agg(count) semantics

@@ -22,33 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Scale-adaptive parallelism for a blocked join's STREAM side: the
-    * in-block pair stage does quadratic work per block row, and when the
-    * stream side is a map-only lineage over a small scan (one parquet
-    * footer's worth of rows), every broadcast-join probe — and all the
-    * quadratic scoring behind it — runs on the scan's 1-2 tasks while
-    * the rest of the machine idles (measured on the bench's fuzzy_join
-    * worst case: 9.2 s single-pass, one 1.44M-pair task). Round-robin
-    * repartition to the session's shuffle parallelism, but ONLY when
-    * the input is map-only (Dataset.rdd on an exchange-bearing plan
-    * would execute those stages eagerly under AQE) and under-split by
-    * 2x — large inputs already arrive with enough scan partitions, so
-    * at scale this is a no-op, exactly the aggProfiles auto-parallelize
-    * contract.
+  /** The blocked joins' STREAM side carries the quadratic in-block
+    * scoring — spread it when the source scan is narrower than the
+    * session parallelism (no-op at scale, [[Parallelism.spreadIfNarrow]]).
     */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    val mapOnly =
-      try df.queryExecution.sparkPlan.collectFirst {
-        case e: org.apache.spark.sql.execution.exchange.Exchange => e
-      }.isEmpty
-      catch { case _: Throwable => false }
-    val inParts =
-      if (!mapOnly) target
-      else try df.rdd.getNumPartitions catch { case _: Throwable => target }
-    if (mapOnly && inParts * 2 <= target) df.repartition(target) else df
-  }
+  private def spreadIfNarrow(df: DataFrame): DataFrame =
+    Parallelism.spreadIfNarrow(df)
 
   /** Equi-join `large` with `small` on `key`, salted into `saltBuckets`
     * sub-keys. Result rows equal the plain join exactly; the shuffle key

@@ -979,6 +979,11 @@ object TextOps {
     require(minCount == 1L || lambda < 1.0,
       s"lambda must be < 1 when minCount > 1 (floored bigrams score 0 " +
         s"conditional mass and need unigram interpolation), got lambda=$lambda")
+    // NOT spread (Parallelism.spreadIfNarrow): measured on the bench —
+    // the added exchange REGRESSES the two-consumer bigram LM (interleaved
+    // draws 1.20/0.91 s -> 1.76/1.80 s) while the three-consumer trigram
+    // LM improves; the tokenize here is light enough that the scan's
+    // split count wins
     val docs = df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0).as("toks"))
@@ -1045,9 +1050,15 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val docs = df.select(col(idCol).as("id"),
-      filter(split(lower(col(textCol)), "\\s+"),
-        t => length(t) > 0).as("toks"))
+    // tokenize + the n-gram explodes re-run per consumer off the scan:
+    // spread an under-split source (no-op at scale,
+    // Parallelism.spreadIfNarrow) so the LM count stages run at session
+    // parallelism and the consumers share one exchange
+    val docs = Parallelism.spreadIfNarrow(
+      df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        filter(split(lower(col("__text")), "\\s+"),
+          t => length(t) > 0).as("toks"))
     val toks = docs.select(col("id"), explode(col("toks")).as("term"))
     def shifted(from: Int, span: Column): Column =
       slice(col("toks"), lit(from), span)
