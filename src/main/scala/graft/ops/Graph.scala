@@ -257,6 +257,11 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+    // NOT repartition(dst).distinct() (the r18 LPA/triangles one-exchange
+    // setup): measured A/B REGRESSED here (7.58 -> 11.46 s, warmup
+    // 9.1 -> 26.8 s) — HITS's dst copy feeds a second repartition(src)
+    // cache build, and losing distinct's map-side partial dedup makes
+    // BOTH cache builds carry the raw duplicated edge stream
     val eByDst = e.repartition(col("dst")).persist()
     // the src copy and the node set both derive from the dst copy's
     // CACHE, so the upstream edge plan (and the dedup) runs exactly once
@@ -372,13 +377,23 @@ object Graph {
     // previous round's aggregate, so the per-iteration join
     // re-exchanges neither side; only the (node, label) cell stream
     // moves)
+    // ONE exchange builds the partitioned-and-deduped edge frame (r18):
+    // repartition on dst FIRST, then distinct — hashpartitioning(dst)
+    // already co-locates equal (src, dst) rows, so Catalyst plans the
+    // dedup aggregate WITHOUT its own (src, dst) exchange and the output
+    // keeps the dst partitioning every iteration join reuses. The
+    // previous distinct().repartition(dst) shuffled the symmetrized
+    // stream twice (2m records each way — the LpaScale receipt's
+    // high-water stage).
     val und = e0.union(e0.select(col("dst").as("src"),
         col("src").as("dst")))
-      .distinct()
       .repartition(col("dst"))
+      .distinct()
       .persist()
-    val nodes = und.select(col("src").as("node")).distinct()
-      .union(ein.filter(col("src").isNotNull).select(col("src").as("node")))
+    // und's srcs are a subset of ein's non-null src/dst values, so the
+    // census needs only the two input branches (the old und branch paid
+    // an extra node-sized exchange plus an und scan for no coverage)
+    val nodes = ein.filter(col("src").isNotNull).select(col("src").as("node"))
       .union(ein.filter(col("dst").isNotNull).select(col("dst").as("node")))
       .distinct()
       .persist()
@@ -476,9 +491,13 @@ object Graph {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
-    // canonical undirected edge set (a < b), deduped
+    // canonical undirected edge set (a < b), deduped: repartition on
+    // `a` BEFORE distinct (hashpartitioning(a) co-locates equal (a, b)
+    // rows, so the dedup plans without its own (a, b) exchange) and the
+    // output keeps the `a` partitioning the first degree join reuses
     val und = e0.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
+      .repartition(col("a"))
       .distinct()
       .persist()
     val deg = und.select(col("a").as("node"))

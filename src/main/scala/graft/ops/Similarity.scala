@@ -264,8 +264,13 @@ object Similarity {
     // norms hoisted to per-ROW columns: |a| and |b| compute n + q
     // times instead of n x q, and the per-pair score keeps cosine()'s
     // exact fp shape (dot / (qnorm * inorm)) — bit-identical results
-    val c = corpus.select(col(idCol).as("item_id"),
-      col(embCol).as("item_emb"), norm(col(embCol)).as("__in"))
+    // the corpus side does the n x q cosine scoring map-side: spread an
+    // under-split scan (no-op at scale, Parallelism.spreadIfNarrow) so
+    // the scoring runs at session parallelism instead of the file's
+    // split count (measured: the whole 4M-pair stage on ONE task)
+    val c = Parallelism.spreadIfNarrow(
+      corpus.select(col(idCol).as("item_id"),
+        col(embCol).as("item_emb"), norm(col(embCol)).as("__in")))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).as("query_emb"), norm(col(embCol)).as("__qn"))
     val scored = c.crossJoin(broadcast(q))
@@ -305,9 +310,12 @@ object Similarity {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val idType = df.schema(idCol).dataType
-    val c = df.select(col(idCol).as("item_id"),
-      col(embCol).as("item_emb"), col(labelCol).as("__il"),
-      norm(col(embCol)).as("__in"))
+    // same corpus-side spread as bruteForceTopK: the anchor x corpus
+    // scoring is map-side and serializes on an under-split scan
+    val c = Parallelism.spreadIfNarrow(
+      df.select(col(idCol).as("item_id"),
+        col(embCol).as("item_emb"), col(labelCol).as("__il"),
+        norm(col(embCol)).as("__in")))
     val q = df.select(col(idCol).as("query_id"),
       col(embCol).as("query_emb"), col(labelCol).as("__ql"),
       norm(col(embCol)).as("__qn"))
@@ -396,7 +404,12 @@ object Similarity {
       centroidBroadcastThreshold: Int = 1024): DataFrame = {
     val idType = corpus.schema(idCol).dataType
     // array-level Cast (codegen'd), not transform(x => x.cast) — the HOF
-    // evaluates an interpreted lambda per element on every pass
+    // evaluates an interpreted lambda per element on every pass.
+    // NOT spread (Parallelism.spreadIfNarrow): the centroid training
+    // runs several separate driver-side jobs over this frame, and each
+    // re-executes an added repartition exchange (shuffle reuse is
+    // per-query, not per-session) — measured flat on ann_ivf and a 2x
+    // REGRESSION on the PQ sibling, so the scan's split count stays
     val c = corpus.select(col(idCol).as("item_id"),
       col(embCol).cast("array<double>").as("item_emb"))
 
@@ -686,6 +699,10 @@ object Similarity {
     val idType = corpus.schema(idCol).dataType
     val rerankN = if (rerank > 0) rerank else 4 * k
     val sc = corpus.sparkSession.sparkContext
+    // NOT spread (Parallelism.spreadIfNarrow): coarse + m sub-codebook
+    // training passes are separate driver-side jobs that each re-run an
+    // added repartition exchange — measured 2.17 -> 4.43 s on the bench
+    // row before this note
     val c = corpus.select(col(idCol).as("item_id"),
       normalizeL2(col(embCol)).as("item_emb"))
     val q = queries.select(col(idCol).as("query_id"),
