@@ -22,6 +22,11 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Parallelism {
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    // ops kill-switch (also the before/after lever for plan audits):
+    // spark.graft.spreadNarrow=false restores the pre-r18 scan-split
+    // parallelism everywhere this helper is applied
+    if (!df.sparkSession.conf
+        .get("spark.graft.spreadNarrow", "true").toBoolean) return df
     val target = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     val mapOnly =

@@ -24,6 +24,10 @@ object RowPlan {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // before/after lever for the r18 spread plans:
+      // SPARK_GRAFT_SPREAD=false dumps the pre-r18 plan shape
+      .config("spark.graft.spreadNarrow",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -38,7 +42,33 @@ object RowPlan {
       }),
       "knn_label_noise" -> (() =>
         (graft.ops.Similarity.knnLabelNoise(t("embeddings"),
-          "vec_id", "embedding", "label", k = 10), () => ()))
+          "vec_id", "embedding", "label", k = 10), () => ())),
+      "substring_dedup" -> (() =>
+        (graft.ops.Dedup.duplicatedSpans(t("documents"), "doc_id", "text",
+          windowTokens = 8, minDocs = 2), () => ())),
+      "table_checksum" -> (() =>
+        (graft.ops.Diagnostics.tableChecksum(t("lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag")), () => ())),
+      "trigram_perplexity" -> (() =>
+        (graft.ops.TextOps.trigramPerplexity(t("documents"), "doc_id",
+          "text", minCount = 2L), () => ())),
+      "label_prop" -> (() => {
+        val o = t("orders"); val li = t("lineitem")
+        val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c:"), col("o_custkey")).as("src"),
+            concat(lit("s:"), col("l_suppkey")).as("dst"))
+        val (lbl, rel) = graft.ops.Graph.labelPropagationReleasable(
+          edges, "src", "dst", iterations = 3)
+        (lbl, rel)
+      }),
+      "triangles" -> (() => {
+        val li = t("lineitem").filter(col("l_orderkey") <= 40000)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("o"))
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        (graft.ops.Graph.triangleStats(edges, "src", "dst"), () => ())
+      })
     )
     val (df, rel) = frames(row)()
     try {

@@ -298,6 +298,20 @@ class StreamingProfileSpec extends AnyFunSuite with Matchers with SparkSuiteBase
     new java.io.File(s"$store/batch=compact_1").exists() shouldBe false
     new java.io.File(s"$store/batch=compact_3").exists() shouldBe true
     new java.io.File(s"$store/batch=3").exists() shouldBe false
+
+    // NON-ADVANCING compaction (r18, the ADVICE-r17 footgun): calling
+    // compact at the current checkpoint id with no newer trigger dirs
+    // must be a NO-OP — the old code mode(overwrite)-wrote the very
+    // checkpoint directory it was reading, and post-vacuum that
+    // checkpoint is the only copy. The checkpoint's files must be
+    // untouched (same names+sizes) and the merge unchanged.
+    val ckptDir = new java.io.File(s"$store/batch=compact_3")
+    def ckptState() = ckptDir.listFiles().map(f =>
+      (f.getName, f.length())).sortBy(_._1).toVector
+    val filesBefore = ckptState()
+    StreamingProfile.compactStore(spark, store, upToBatchId = 3L)
+    ckptState() shouldBe filesBefore
+    snapshot() shouldBe before
   }
 
   test("row-local curation filters run unchanged on a stream") {
