@@ -314,18 +314,24 @@ case class ProfileSession(
       // the map is empty and every getItem misses. The narrow single-level
       // plan returns count=0 profile structs there (the aggregate's finish
       // on initial state); preserve that contract by coalescing each column
-      // with the SAME aggregate's empty-input default, computed over
-      // limit(0) — Catalyst collapses it to an empty relation, so the
-      // defaults row costs no input scan, and the 1-row broadcast is
-      // negligible against the wide merge itself.
-      val defaults = broadcast(
-        base.limit(0).agg(profileCols.head, profileCols.tail: _*)
-          .select(profiledColumns.zipWithIndex.map { case (c, i) =>
-            q(c).as(s"__d$i")
-          }: _*))
-      assembled.crossJoin(defaults)
+      // with that same finish value, built DRIVER-SIDE as one literal.
+      // The empty finish is column-type-independent (the buffer is
+      // `new ColumnProfileState(cfg)` before any update; eval summarizes
+      // it), so one literal serves all columns — the r18 shape (a
+      // per-pass limit(0) N-column aggregate subplan + broadcast
+      // crossJoin) re-analyzed, re-optimized and re-codegenned a second
+      // N-wide aggregate every pass, measured at ~2x the wide608 row
+      // (~12 -> ~21 s; see OPTIMIZATION_r19.md).
+      val emptyFinish = {
+        val st = new graft.metrics.ColumnProfileState(cfg)
+        st.flush()
+        GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            ProfileSchema.summarize(st), ProfileSchema.schema))
+      }
+      assembled
         .select(profiledColumns.zipWithIndex.map { case (c, i) =>
-          coalesce(col("__all").getItem(i), col(s"__d$i")).as(c)
+          coalesce(col("__all").getItem(i), emptyFinish).as(c)
         }: _*)
     }
     else if (keyCols.isEmpty) base.agg(aggCols.head, aggCols.tail: _*)

@@ -214,6 +214,28 @@ class ProfileE2ESpec extends AnyFunSuite with Matchers with SparkSuiteBase {
     }
   }
 
+  test("zero-row wide profile equals the narrow plan's count=0 structs") {
+    // the >= 64-column per-column merge coalesces missing map entries
+    // with a driver-built empty-finish literal; it must stay EXACTLY the
+    // single-level plan's empty-input finish (count=0 structs, not nulls)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+    val wide = li.filter(lit(false)).select((0 until 70).map(i =>
+      (col(cols(i % cols.length)) + lit(i)).as(s"c$i")): _*)
+    def firstRow(df: org.apache.spark.sql.DataFrame): Row =
+      df.select((0 until 70).flatMap(i => Seq(
+        col(s"c$i.count"), col(s"c$i.null_count"),
+        col(s"c$i.numbers"), col(s"c$i.inferred_type"),
+        col(s"c$i.cardinality.estimate"))): _*).first()
+    val pc = firstRow(wide.newProfilingSession().aggProfiles())
+    spark.conf.set("spark.graft.profile.twoLevelMerge", "false")
+    val sl =
+      try firstRow(wide.newProfilingSession().aggProfiles())
+      finally spark.conf.unset("spark.graft.profile.twoLevelMerge")
+    pc shouldBe sl
+    pc.getLong(0) shouldBe 0L // count=0, not null
+  }
+
   test("cardinality estimate is exact for small distinct counts") {
     val p = spark.read.parquet(s"$sfDir/nation.parquet")
       .newProfilingSession().aggProfiles()
